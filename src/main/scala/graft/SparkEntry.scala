@@ -1,13 +1,134 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every key in [[queries]] is an operator from SURVEY.md §2 (parity) or
+  * the north-star extension set (dedup / similarity / text analysis /
+  * events); [[oracleSql]] carries the DuckDB-equivalent ANSI SQL for the
+  * driver's hash-compare. Column names and row ordering are kept
+  * identical on both sides by construction.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    graft.pipeline.EntityPipeline.entityCounts(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- parity: the reference's pipeline shape (SURVEY.md §2.2-2.4) ----
+    "p01_entity_count"       -> (graft.pipeline.EntityPipeline.entityCounts _),
+    // ---- relational surface ----
+    "q01_pricing_summary"    -> (Relational.pricingSummary _),
+    "q02_top_orders"         -> (Relational.topOrders _),
+    "q03_region_revenue"     -> (Relational.regionRevenue _),
+    "q04_brand_volume"       -> (Relational.brandVolume _),
+    "q05_topk_per_customer"  -> (Relational.topOrdersPerCustomer _),
+    "q06_top_lineitems"      -> (Relational.topLineitems _),
+    "q07_set_ops"            -> (Relational.setOps _),
+    "q08_rollup"             -> (Relational.rollupSummary _),
+    "q09_distinct_counts"    -> (Relational.distinctCounts _),
+    "q10_customers_without_f"-> (Relational.customersWithoutF _),
+    "q11_priority_breakdown" -> (Relational.priorityBreakdown _),
+    "q12_running_supplier"   -> (Relational.runningSupplierVolume _),
+  )
+
+  /** DuckDB-runnable oracle for each query (same tables, same column
+    * names, same ORDER BY). Money math is exact DECIMAL → DOUBLE on both
+    * sides so hashes match bit-for-bit.
+    */
+  def oracleSql: Map[String, String] = {
+    val disc = "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,3)))"
+    Map(
+      "p01_entity_count" -> graft.pipeline.EntityPipeline.oracle,
+      "q01_pricing_summary" -> s"""
+        SELECT l_returnflag, l_linestatus,
+          count(*) AS n_rows,
+          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base,
+          CAST(CAST(sum($disc) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+          CAST(CAST(sum($disc * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,3)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
+          CAST(CAST(sum(CAST(l_discount AS DECIMAL(4,3))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_disc
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+      "q02_top_orders" -> s"""
+        SELECT l_orderkey, o_orderdate, CAST(CAST(sum($disc) AS VARCHAR) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate  > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+      "q03_region_revenue" -> s"""
+        SELECT r_name, n_name, CAST(CAST(sum($disc) AS VARCHAR) AS DOUBLE) AS revenue, count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN supplier ON l_suppkey  = s_suppkey AND s_nationkey = c_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+        GROUP BY r_name, n_name ORDER BY revenue DESC, n_name""",
+      "q04_brand_volume" -> """
+        SELECT p_brand, count(*) AS n_items,
+          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand""",
+      "q05_topk_per_customer" -> """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn""",
+      "q06_top_lineitems" -> """
+        SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
+      "q07_set_ops" -> """
+        SELECT DISTINCT c_custkey FROM (
+          (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+          UNION
+          (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) t
+        ORDER BY c_custkey""",
+      "q08_rollup" -> """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+      "q09_distinct_counts" -> """
+        SELECT l_returnflag,
+          count(DISTINCT l_partkey) AS n_parts,
+          count(DISTINCT l_suppkey) AS n_supps,
+          count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      "q10_customers_without_f" -> """
+        SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+      "q11_priority_breakdown" -> """
+        SELECT o_orderpriority, count(*) AS n_orders,
+          CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+          CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+          CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+      "q12_running_supplier" -> """
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+               OVER (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_qty
+        FROM lineitem WHERE l_suppkey <= 5
+        ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+    )
+  }
 }

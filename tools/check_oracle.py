@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
+oracle against DuckDB views over the parquet tables in <sfDir>, loads the
+Spark result parquet from <verifyOutDir>/<name>/, sorts columns by name
+(as the driver does), and compares row-by-row with exact equality.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return [tuple(r[i] for i in order) for r in rows], [cols[i] for i in order]
+
+
+def eq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            o = con.execute(sql)
+            o_cols = [d[0] for d in o.description]
+            o_rows = o.fetchall()
+            sres = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            s_cols = [d[0] for d in sres.description]
+            s_rows = sres.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {str(e).splitlines()[0]}")
+            failures += 1
+            continue
+        o_rows, o_cols2 = canon(o_rows, o_cols)
+        s_rows, s_cols2 = canon(s_rows, s_cols)
+        if o_cols2 != s_cols2:
+            print(f"FAIL {name}: columns oracle={o_cols2} spark={s_cols2}")
+            failures += 1
+            continue
+        if len(o_rows) != len(s_rows):
+            print(f"FAIL {name}: rows oracle={len(o_rows)} spark={len(s_rows)}")
+            failures += 1
+            continue
+        bad = [(i, o_rows[i], s_rows[i]) for i in range(len(o_rows))
+               if not eq(list(o_rows[i]), list(s_rows[i]))]
+        if bad:
+            i, orow, srow = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(o_rows)} rows differ; "
+                  f"first at {i}:\n  oracle={orow}\n  spark ={srow}")
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(o_rows)} rows")
+    # queries without oracles (rows-only check)
+    missing = set()
+    import os
+    for d in os.listdir(out_dir):
+        if os.path.isdir(f"{out_dir}/{d}") and d not in oracles:
+            missing.add(d)
+    for name in sorted(missing):
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()[0]
+        print(f"ROWS {name}: {n} rows (no oracle)")
+    print(f"\n{'PASS' if failures == 0 else 'FAIL'}: "
+          f"{len(oracles) - failures}/{len(oracles)} oracle-checked queries match")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
