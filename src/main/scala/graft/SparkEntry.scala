@@ -34,6 +34,22 @@ object SparkEntry {
     "q10_customers_without_f"-> (Relational.customersWithoutF _),
     "q11_priority_breakdown" -> (Relational.priorityBreakdown _),
     "q12_running_supplier"   -> (Relational.runningSupplierVolume _),
+    // ---- event-time surface (ST3/ST4/ST7 batch-checkable analogs) ----
+    "e01_tumbling"           -> (EventOps.tumbling _),
+    "e02_sliding"            -> (EventOps.sliding _),
+    "e03_sessions"           -> (EventOps.sessions _),
+    "e04_json_stats"         -> (EventOps.jsonStats _),
+    "e05_asof_attribution"   -> (EventOps.purchaseAttribution _),
+    "e06_first_events"       -> (EventOps.firstEvents _),
+    "e07_type_shares"        -> (EventOps.typeShares _),
+    // ---- text analysis (LLM-pipeline extensions) ----
+    "t01_token_stats"        -> (TextOps.tokenStats _),
+    "t02_quality_score"      -> (TextOps.qualityScore _),
+    "t03_lang_id"            -> (TextOps.langId _),
+    "t04_fingerprints"       -> (TextOps.fingerprints _),
+    "t05_top_terms"          -> (TextOps.topTerms _),
+    "t06_top_bigrams"        -> (TextOps.topBigrams _),
+    "t07_approx_distinct"    -> (TextOps.approxDistinctTerms _),
   )
 
   /** DuckDB-runnable oracle for each query (same tables, same column
@@ -129,6 +145,95 @@ object SparkEntry {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_qty
         FROM lineitem WHERE l_suppkey <= 5
         ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+      "e01_tumbling" -> """
+        SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start, event_type,
+          count(*) AS n,
+          CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+      "e02_sliding" -> """
+        SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type, count(*) AS n FROM (
+          SELECT event_type,
+            unnest([time_bucket(INTERVAL '30 minutes', ts),
+                    time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+          FROM events) t
+        GROUP BY 1, 2 ORDER BY 1, 2""",
+      "e03_sessions" -> """
+        WITH marked AS (
+          SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '10 minutes'
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        numbered AS (
+          SELECT user_id, ts,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked)
+        SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start, count(*) AS n
+        FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start""",
+      "e04_json_stats" -> """
+        SELECT event_type, count(*) AS n,
+          CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+          CAST(CAST(sum(k) AS BIGINT) AS DOUBLE) / count(k) AS avg_k
+        FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events) t
+        GROUP BY event_type ORDER BY event_type""",
+      "e05_asof_attribution" -> """
+        SELECT p.event_id AS purchase_id, p.user_id, s.event_id AS signup_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+        ORDER BY purchase_id""",
+      "e06_first_events" -> """
+        SELECT event_id, user_id, event_type, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id) AS rn
+          FROM events) t
+        WHERE rn = 1 ORDER BY event_id""",
+      "e07_type_shares" -> """
+        SELECT event_type, count(*) AS n,
+          CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
+        FROM events GROUP BY event_type ORDER BY event_type""",
+      "t01_token_stats" -> """
+        SELECT doc_id,
+          len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+          len(list_distinct(regexp_split_to_array(text, '\s+'))) AS n_distinct,
+          length(text) AS n_chars,
+          CAST(length(text) - (len(regexp_split_to_array(text, '\s+')) - 1) AS DOUBLE)
+            / len(regexp_split_to_array(text, '\s+')) AS avg_token_len
+        FROM documents ORDER BY doc_id""",
+      "t02_quality_score" -> """
+        WITH x AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents)
+        SELECT doc_id,
+          CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t) AS stop_ratio,
+          CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+          least(len(t) / 50.0, 1.0) AS len_score,
+          0.4 * (1.0 - CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t))
+            + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+            + 0.3 * least(len(t) / 50.0, 1.0) AS quality
+        FROM x ORDER BY doc_id""",
+      "t03_lang_id" -> """
+        WITH x AS (SELECT doc_id, lang, regexp_split_to_array(text, '\s+') AS t FROM documents)
+        SELECT doc_id, lang AS declared_lang,
+          CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t) AS en_score,
+          CASE WHEN CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t) >= 0.04
+               THEN 'en' ELSE 'unk' END AS pred_lang
+        FROM x ORDER BY doc_id""",
+      "t04_fingerprints" -> """
+        SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS min_doc_id FROM (
+          SELECT doc_id,
+            md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\s+'))), ' ')) AS fingerprint
+          FROM documents) t
+        GROUP BY fingerprint ORDER BY fingerprint""",
+      "t05_top_terms" -> """
+        SELECT term, count(*) AS n FROM (
+          SELECT unnest(regexp_split_to_array(text, '\s+')) AS term FROM documents) t
+        GROUP BY term ORDER BY n DESC, term LIMIT 20""",
+      "t06_top_bigrams" -> """
+        WITH tk AS (SELECT regexp_split_to_array(text, '\s+') AS t FROM documents),
+        bg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                            i -> t[i] || ' ' || t[i+1])) AS bigram FROM tk)
+        SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+        ORDER BY n DESC, bigram LIMIT 20""",
     )
   }
 }

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables._
+
+/** Event-time operators over the `events` table — the batch-checkable
+  * analogs of the streaming semantics in SURVEY.md §2.5 (ST3/ST4
+  * extensions): tumbling / sliding / session windows, JSON extraction,
+  * as-of joins, ingest dedup (ST7). The same `window()` /
+  * `session_window()` expressions run unchanged under `readStream` with
+  * a watermark — see graft.streaming.StreamJob for the streaming form.
+  */
+object EventOps {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+
+  /** Tumbling 1-hour windows per event type (ST4). Group-by on the
+    * window expression is a plain hash aggregate — state/bounded-ness
+    * concerns only arise in the streaming form (with watermark).
+    */
+  def tumbling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum(dec($"value")).cast("double").as("sum_value"))
+      .select($"window.start".as("window_start"), $"event_type", $"n", $"sum_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** Sliding 1-hour windows every 30 minutes — each event lands in two
+    * windows; Spark expands via the TimeWindow generator (no self-join).
+    */
+  def sliding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("window_start"), $"event_type", $"n")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** Session windows with a 10-minute inactivity gap per user (ST4
+    * extension). Spark merges rows while the next event starts before
+    * `prev_ts + gap` (end-exclusive) — the oracle reproduces exactly
+    * that boundary with a gaps-and-islands rewrite.
+    */
+  def sessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(session_window($"ts", "10 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"session_window.start".as("session_start"), $"n")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** JSON extraction from the props payload (P2-adjacent: schema-on-read
+    * over a semi-structured column) + grouped stats.
+    */
+  def jsonStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+           sum($"k").as("sum_k"),
+           min($"k").as("min_k"),
+           max($"k").as("max_k"),
+           (sum($"k").cast("double") / count($"k")).as("avg_k"))
+      .orderBy($"event_type")
+  }
+
+  /** As-of join: each purchase matched to the user's latest signup at or
+    * before the purchase time. See [[AsOf.asOfJoin]] for the plan shape.
+    */
+  def purchaseAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+    val signups = e.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", $"event_id".as("signup_id"))
+    AsOf.asOfJoin(purchases, signups, key = "user_id", ts = "ts",
+                  rightPayload = Seq("signup_id"), rightTieBreak = "signup_id")
+      .select($"purchase_id", $"user_id", $"signup_id")
+      .orderBy($"purchase_id")
+  }
+
+  /** First event per (user, type) — the in-engine equivalent of the
+    * producer's LRU ingest dedup (ST7), as a rank-1 window instead of
+    * unbounded `dropDuplicates` state.
+    */
+  def firstEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+
+  /** Event-type distribution: grouped counts + share of total. The
+    * global total comes from an empty-frame window over the (tiny)
+    * aggregated result, not from a second scan.
+    */
+  def typeShares(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy()
+    events(s, dir)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .withColumn("share", $"n".cast("double") / sum($"n").over(w))
+      .orderBy($"event_type")
+  }
+}

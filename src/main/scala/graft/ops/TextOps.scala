@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline extensions: token statistics, quality scoring,
+  * language-ID heuristics, document fingerprinting, term/n-gram
+  * frequencies. Everything is built-in Column expressions (array
+  * higher-order functions), fully codegen'd — no UDFs in the hot path,
+  * so whole-stage codegen spans the entire plan at any scale.
+  */
+object TextOps {
+
+  /** English-ish stopword list used by quality / lang-id scoring.
+    * Deliberately tiny and fixed so the DuckDB oracle can inline it.
+    */
+  val Stopwords: Seq[String] = Seq("a", "the")
+
+  private def toks(text: Column): Column = split(text, "\\s+")
+
+  /** Per-document token statistics: counts, distinct counts, char
+    * length, mean token length — single narrow scan, no shuffle at all.
+    */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"doc_id",
+        size(toks($"text")).cast("long").as("n_tokens"),
+        size(array_distinct(toks($"text"))).cast("long").as("n_distinct"),
+        length($"text").cast("long").as("n_chars"))
+      .withColumn("avg_token_len",
+        ($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
+  /** Heuristic quality score: mix of stopword ratio, type-token ratio
+    * and a length saturation term — the standard cheap pre-filter for
+    * LLM training corpora. Expression order is fixed and identical to
+    * the oracle so the double arithmetic is bit-reproducible.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    val nTok = size(t).cast("double")
+    val nStop = size(filter(t, c => c.isin(Stopwords: _*))).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val stopRatio = nStop / nTok
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    documents(s, dir)
+      .select($"doc_id",
+        stopRatio.as("stop_ratio"),
+        ttr.as("ttr"),
+        lenScore.as("len_score"),
+        (lit(0.4) * (lit(1.0) - stopRatio) + lit(0.3) * ttr + lit(0.3) * lenScore).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** Language-ID heuristic: stopword-hit-rate thresholding. (The corpus
+    * shares one vocabulary across declared langs, so this is the
+    * deterministic n-gram-scoring *mechanism*, checkable by the oracle;
+    * swapping in per-language stopword tables is a data change only.)
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    val score = size(filter(t, c => c.isin(Stopwords: _*))).cast("double") / size(t)
+    documents(s, dir)
+      .select($"doc_id", $"lang".as("declared_lang"), score.as("en_score"),
+        when(score >= 0.04, "en").otherwise("unk").as("pred_lang"))
+      .orderBy($"doc_id")
+  }
+
+  /** Canonical-form document fingerprint: md5 over the sorted distinct
+    * token set. Groups under the fingerprint are (order- and
+    * multiplicity-insensitive) duplicate clusters.
+    */
+  def fingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"doc_id",
+        md5(concat_ws(" ", array_sort(array_distinct(toks($"text"))))).as("fingerprint"))
+      .groupBy($"fingerprint")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc_id"))
+      .orderBy($"fingerprint")
+  }
+
+  /** Corpus-level term frequencies, top 20. At 100 TB this is the
+    * classic two-phase aggregate: partial counts map-side, 31-key
+    * shuffle, then a single-reducer top-k (TakeOrderedAndProject).
+    */
+  def topTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select(explode(toks($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"term")
+      .limit(20)
+  }
+
+  /** Word-bigram frequencies, top 20 — n-gram construction via the
+    * `transform(sequence(...))` higher-order expression (no UDF, no
+    * self-join).
+    */
+  def topBigrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select(explode(expr(
+        "transform(sequence(0, size(split(text, '\\\\s+')) - 2), " +
+        "i -> concat_ws(' ', split(text, '\\\\s+')[i], split(text, '\\\\s+')[i+1]))")).as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(20)
+  }
+
+  /** Approximate distinct terms per source (HyperLogLog++) next to the
+    * exact count — the 100 TB path is the approx one (constant memory,
+    * one pass); exact is there for the oracle-less sanity check.
+    * No oracle: HLL sketches are engine-specific by construction.
+    */
+  def approxDistinctTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"source", explode(toks($"text")).as("term"))
+      .groupBy($"source")
+      .agg(approx_count_distinct($"term").as("approx_terms"),
+           countDistinct($"term").as("exact_terms"))
+      .orderBy($"source")
+  }
+}
