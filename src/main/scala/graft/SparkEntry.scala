@@ -50,6 +50,17 @@ object SparkEntry {
     "t05_top_terms"          -> (TextOps.topTerms _),
     "t06_top_bigrams"        -> (TextOps.topBigrams _),
     "t07_approx_distinct"    -> (TextOps.approxDistinctTerms _),
+    // ---- deduplication (LLM-pipeline extensions) ----
+    "d01_exact_dups"         -> (Dedup.exactDupGroups _),
+    "d02_minhash_sigs"       -> (Dedup.minhashSignatures _),
+    "d03_minhash_lsh_pairs"  -> (Dedup.minhashLshPairs _),
+    "d04_shingle_jaccard"    -> (Dedup.shingleJaccardPairs _),
+    "d05_simhash"            -> (Dedup.simhash _),
+    "d06_simhash_pairs"      -> (Dedup.simhashPairs _),
+    "d07_embedding_dups"     -> (Dedup.embeddingDupPairs _),
+    // ---- similarity search ----
+    "s01_knn_brute"          -> (Similarity.bruteForceKnn _),
+    "s02_knn_bucketed"       -> (Similarity.bucketedKnn _),
   )
 
   /** DuckDB-runnable oracle for each query (same tables, same column
@@ -234,6 +245,102 @@ object SparkEntry {
                                             i -> t[i] || ' ' || t[i+1])) AS bigram FROM tk)
         SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
         ORDER BY n DESC, bigram LIMIT 20""",
+      "d01_exact_dups" -> """
+        SELECT text_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id FROM (
+          SELECT doc_id, md5(text) AS text_hash FROM documents) t
+        GROUP BY text_hash ORDER BY text_hash""",
+      "d02_minhash_sigs" -> """
+        WITH tk AS (SELECT doc_id, list_distinct(regexp_split_to_array(text, '\s+')) AS ts
+                    FROM documents)
+        SELECT doc_id, i, list_min(list_transform(ts,
+          t -> CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 8)) AS BIGINT))) AS minhash
+        FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii
+        ORDER BY doc_id, i""",
+      "d03_minhash_lsh_pairs" -> """
+        WITH tk AS (SELECT doc_id, list_distinct(regexp_split_to_array(text, '\s+')) AS ts
+                    FROM documents),
+        mh AS (SELECT doc_id, i, list_min(list_transform(ts,
+                 t -> CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 8)) AS BIGINT))) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    md5(array_to_string(list_transform(list_slice(sig, 3*j + 1, 3*j + 3),
+                        v -> CAST(v AS VARCHAR)), ',')) AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b""",
+      "d04_shingle_jaccard" -> """
+        WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tk),
+        e AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sh)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(count(*) AS DOUBLE) / (any_value(a.ns) + any_value(b.ns) - count(*)) AS jaccard
+        FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(count(*) AS DOUBLE) / (any_value(a.ns) + any_value(b.ns) - count(*)) >= 0.3
+        ORDER BY doc_a, doc_b""",
+      "d05_simhash" -> """
+        WITH tc AS (SELECT doc_id, tok, count(*) AS cnt FROM (
+                      SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+                      FROM documents) x GROUP BY doc_id, tok),
+        h AS (SELECT doc_id, cnt, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tc),
+        b AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+              FROM h, (SELECT unnest(generate_series(0, 31)) AS i) ii GROUP BY doc_id, i)
+        SELECT doc_id, CAST(sum(CASE WHEN w >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+        FROM b GROUP BY doc_id ORDER BY doc_id""",
+      "d06_simhash_pairs" -> """
+        WITH tc AS (SELECT doc_id, tok, count(*) AS cnt FROM (
+                      SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+                      FROM documents) x GROUP BY doc_id, tok),
+        h AS (SELECT doc_id, cnt, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tc),
+        b AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+              FROM h, (SELECT unnest(generate_series(0, 31)) AS i) ii GROUP BY doc_id, i),
+        sh AS (SELECT doc_id, CAST(sum(CASE WHEN w >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+               FROM b GROUP BY doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        ORDER BY doc_a, doc_b""",
+      "d07_embedding_dups" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+        ORDER BY id_a, id_b""",
+      "s01_knn_brute" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings),
+        q AS (SELECT * FROM e WHERE vec_id < 5)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+            list_dot_product(q.v, e.v) / (q.nrm * e.nrm) AS cos,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_dot_product(q.v, e.v) / (q.nrm * e.nrm) DESC, e.vec_id) AS rank
+          FROM q JOIN e ON e.vec_id <> q.vec_id) t
+        WHERE rank <= 10 ORDER BY q_id, rank""",
+      "s02_knn_bucketed" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+                     (CASE WHEN embedding[1] > 0.0 THEN 1 ELSE 0 END) +
+                     (CASE WHEN embedding[2] > 0.0 THEN 2 ELSE 0 END) +
+                     (CASE WHEN embedding[3] > 0.0 THEN 4 ELSE 0 END) +
+                     (CASE WHEN embedding[4] > 0.0 THEN 8 ELSE 0 END) AS bucket
+                   FROM embeddings),
+        q AS (SELECT * FROM e WHERE vec_id < 5)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+            list_dot_product(q.v, e.v) / (q.nrm * e.nrm) AS cos,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_dot_product(q.v, e.v) / (q.nrm * e.nrm) DESC, e.vec_id) AS rank
+          FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id) t
+        WHERE rank <= 5 ORDER BY q_id, rank""",
     )
   }
 }

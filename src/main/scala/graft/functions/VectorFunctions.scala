@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.sqrt
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Dot product of two float vectors, accumulated in double, as a native
+  * Catalyst expression with whole-stage codegen.
+  *
+  * This is the (b)-tier extension point from the build rules: a scalar
+  * the similarity/dedup operators evaluate millions of times per task.
+  * A Scala UDF here would box two `Seq[Float]` per call and fall out of
+  * codegen; this expression reads the unsafe array data in place and
+  * emits a tight primitive loop into the generated code, so the whole
+  * KNN / near-dup stage stays inside one WholeStageCodegen span.
+  *
+  * The accumulation is a strict left-to-right double fold — bit-exact
+  * with DuckDB's `list_dot_product` over `DOUBLE[]`, which the oracles
+  * rely on.
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object VectorFunctions {
+
+  /** `vec_dot(a, b)` as a Column. */
+  def vec_dot(a: Column, b: Column): Column =
+    GraftBridge.column(
+      FloatVectorDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** L2 norm of a float vector. */
+  def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
+
+  /** Full cosine similarity (recomputes both norms — prefer
+    * [[cosinePrenormed]] in joins, where norms are computed once per
+    * vector before the pair explosion).
+    */
+  def cosine(a: Column, b: Column): Column =
+    vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+  /** Cosine from a pair dot product and per-side precomputed norms. */
+  def cosinePrenormed(dot: Column, normA: Column, normB: Column): Column =
+    dot / (normA * normB)
+}
