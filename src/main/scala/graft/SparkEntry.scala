@@ -61,6 +61,9 @@ object SparkEntry {
     // ---- similarity search ----
     "s01_knn_brute"          -> (Similarity.bruteForceKnn _),
     "s02_knn_bucketed"       -> (Similarity.bucketedKnn _),
+    // ---- multimodal binary columns (decode stubbed, plumbing real) ----
+    "m01_media_meta"         -> (Multimodal.mediaMeta _),
+    "m02_media_stats"        -> (Multimodal.mediaStats _),
   )
 
   /** DuckDB-runnable oracle for each query (same tables, same column
@@ -341,6 +344,26 @@ object SparkEntry {
               ORDER BY list_dot_product(q.v, e.v) / (q.nrm * e.nrm) DESC, e.vec_id) AS rank
           FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id) t
         WHERE rank <= 5 ORDER BY q_id, rank""",
+      "m01_media_meta" -> """
+        SELECT doc_id,
+          CASE WHEN n_chars % 3 = 0 THEN 'image'
+               WHEN n_chars % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+          strlen(text) AS n_bytes,
+          64 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 512 AS width,
+          64 + (CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) // 512) % 512 AS height
+        FROM documents ORDER BY doc_id""",
+      "m02_media_stats" -> """
+        WITH m AS (
+          SELECT doc_id,
+            CASE WHEN n_chars % 3 = 0 THEN 'image'
+                 WHEN n_chars % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+            strlen(text) AS n_bytes,
+            64 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 512 AS width,
+            64 + (CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) // 512) % 512 AS height
+          FROM documents)
+        SELECT media_type, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+          max(width) AS max_width, min(height) AS min_height
+        FROM m GROUP BY media_type ORDER BY media_type""",
     )
   }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ner.RuleNer
+import graft.pipeline.EntityPipeline
+
+/** Property-style invariants (seeded random inputs, SURVEY.md §5.4):
+  * count conservation through explode/groupBy, dedup idempotence,
+  * null-safety of the NER contract.
+  */
+class InvariantSpec extends AnyFunSuite {
+
+  private val rnd = new Random(42)
+  private val vocab = Vector("spark", "table", "the", "word", "Alice", "bob", "Window", "x1")
+
+  private def randomText(): String =
+    Seq.fill(rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  test("sum of grouped counts equals total entities emitted") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val texts = Seq.fill(60)(randomText())
+    val df = texts.toDF("text")
+    val counted = EntityPipeline.countEntities(df)
+      .agg(sum($"count")).head().getLong(0)
+    val direct = texts.map(t => RuleNer.extractEntities(t).length.toLong).sum
+    assert(counted == direct)
+  }
+
+  test("explode row count equals sum of array sizes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq.fill(40)(randomText()).toDF("text")
+      .select(RuleNer.entitiesCol($"text").as("es"))
+    val exploded = df.select(explode($"es")).count()
+    val sizes = df.select(sum(size($"es"))).head().getLong(0)
+    assert(exploded == sizes)
+  }
+
+  test("dedup is idempotent") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq.fill(50)(vocab(rnd.nextInt(3))).toDF("url")
+    val once = df.dropDuplicates("url")
+    val twice = once.dropDuplicates("url")
+    assert(once.count() == twice.count())
+    assert(once.count() == df.select($"url").distinct().count())
+  }
+
+  test("NER never throws and never returns null on arbitrary strings") {
+    val weird = Seq(null, "", " ", "\t\n", "ünïcödé Wörds", "123 456", "UPPER lower",
+      "a" * 1000, (0 until 50).map(_ => "\"'\\").mkString(" "))
+    weird.foreach { s =>
+      val out = RuleNer.extractEntities(s)
+      assert(out != null)
+    }
+  }
+}
