@@ -253,34 +253,38 @@ object SparkEntry {
           SELECT doc_id, md5(text) AS text_hash FROM documents) t
         GROUP BY text_hash ORDER BY text_hash""",
       "d02_minhash_sigs" -> """
-        WITH tk AS (SELECT doc_id, list_distinct(regexp_split_to_array(text, '\s+')) AS ts
+        WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
                     FROM documents)
-        SELECT doc_id, i, list_min(list_transform(ts,
-          t -> CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 8)) AS BIGINT))) AS minhash
+        SELECT doc_id, i,
+          list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS minhash
         FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii
         ORDER BY doc_id, i""",
       "d03_minhash_lsh_pairs" -> """
-        WITH tk AS (SELECT doc_id, list_distinct(regexp_split_to_array(text, '\s+')) AS ts
+        WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
                     FROM documents),
-        mh AS (SELECT doc_id, i, list_min(list_transform(ts,
-                 t -> CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 8)) AS BIGINT))) AS m
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
                FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
         sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
         bands AS (SELECT doc_id, j,
-                    md5(array_to_string(list_transform(list_slice(sig, 3*j + 1, 3*j + 3),
-                        v -> CAST(v AS VARCHAR)), ',')) AS bkey
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
                   FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj)
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         ORDER BY doc_a, doc_b""",
       "d04_shingle_jaccard" -> """
-        WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
-        sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
-                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tk),
-        e AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sh)
+        WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+                    FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(th) - 2),
+                 i -> ((th[i] * 31 + th[i+1]) % 2147483647 * 31 + th[i+2]) % 2147483647)) AS s
+               FROM tk),
+        e AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shash FROM sh)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           CAST(count(*) AS DOUBLE) / (any_value(a.ns) + any_value(b.ns) - count(*)) AS jaccard
-        FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM e a JOIN e b ON a.shash = b.shash AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
         HAVING CAST(count(*) AS DOUBLE) / (any_value(a.ns) + any_value(b.ns) - count(*)) >= 0.3
         ORDER BY doc_a, doc_b""",

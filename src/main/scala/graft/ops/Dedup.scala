@@ -49,40 +49,87 @@ object Dedup {
       .orderBy($"text_hash")
   }
 
-  /** MinHash signature expression: 12 independent hash functions
-    * h_i(t) = md5(i || ':' || t), min over the distinct token set.
-    * Computed entirely with higher-order array functions — one pass, no
-    * explode, no shuffle.
+  /** MinHash signature family: one md5 per token (h32), then 12 cheap
+    * affine rehashes h_i(t) = ((2i+1)·h + 40503·i) mod (2³¹−1) — the
+    * standard universal-hash trick that avoids 12 md5 evaluations per
+    * token.
+    *
+    * CRITICAL SHAPE CONSTRAINT (measured, not theoretical): every array
+    * expression here is a SINGLE `aggregate` fold over its input — never
+    * `transform(sequence(...), i -> arr[i])`. Catalyst inlines projected
+    * aliases into downstream inferred filters (join-key `isnotnull`
+    * constraints push all the way into the scan), and an index-based
+    * lambda re-evaluates the whole child array per index — O(n²) md5
+    * work per document at the single-task scan stage (10+ s at sf0.1).
+    * A fold stays O(n) no matter where the optimizer re-evaluates it.
     */
   private val sigExpr: String =
-    "transform(sequence(0, 11), i -> array_min(transform(tokset, t -> " +
-      h32("concat(cast(i as string), ':', t)") + ")))"
+    "aggregate(th, array_repeat(cast(2147483647 as bigint), 12), " +
+      "(acc, h) -> zip_with(acc, sequence(0, 11), " +
+      "(m, i) -> least(m, ((2*i + 1) * h + 40503 * i) % 2147483647)))"
+
+  /** Token-hash array, projected once and cut off with a repartition
+    * barrier: without the barrier, CollapseProject re-inlines the md5
+    * pipeline into every downstream consumer (including the filter the
+    * optimizer infers under explode), multiplying the hash work; with
+    * it, the array is materialized once and — because both sides of the
+    * self-joins produce the identical exchange — ReusedExchange computes
+    * it once for both branches.
+    */
+  private def tokenHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"doc_id", expr(s"transform($toksE, t -> ${h32("t")})").as("th"))
+      .repartition($"doc_id")
+  }
 
   /** MinHash signatures in long form (doc_id, i, minhash) — the
     * oracle-checkable dump of the signature matrix.
     */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    documents(s, dir)
-      .select($"doc_id", expr(s"array_distinct($toksE)").as("tokset"))
-      .select($"doc_id", posexplode(expr(sigExpr)))
+    tokenHashes(s, dir)
+      .select($"doc_id", expr(sigExpr).as("sig"))
+      .repartition($"doc_id")
+      .select($"doc_id", posexplode($"sig"))
       .select($"doc_id", $"pos".cast("long").as("i"), $"col".as("minhash"))
       .orderBy($"doc_id", $"i")
   }
 
-  /** LSH candidate pairs: 4 bands × 3 rows. Docs sharing any band key
-    * become a candidate pair via an equi-join on (band, key) — linear
-    * shuffle, never all-pairs. (Probability calibration: a pair with
-    * Jaccard j collides with prob 1-(1-j³)⁴.)
+  /** LSH candidate pairs: 4 bands × 3 rows, band keys packed into one
+    * long (mod 2³¹−1; collisions only merge buckets, identically in the
+    * oracle). Docs sharing any band key become a candidate pair via an
+    * equi-join on (band, key) — linear shuffle, never all-pairs.
+    * (Probability calibration: a pair with Jaccard j collides with prob
+    * 1-(1-j³)⁴.)
     */
+  // Skew note for 100 TB: on corpora with heavy template reuse a single
+  // band bucket can hold thousands of docs (measured: max bucket 2668 of
+  // 5000 docs on the synthetic corpus → 15M candidate pairs). The
+  // standard mitigations compose here unchanged: cap bucket size (drop
+  // or sample pathological buckets — they are near-certain duplicates
+  // anyway), or salt the band key with a secondary hash and union the
+  // splits. AQE's skew-join handling also splits oversized partitions
+  // at runtime.
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Single fold over the 12-element signature, emitting one packed
+    // band key per 3 rows — same ((m0·31+m1) mod M ·31 + m2) mod M value
+    // the oracle computes by indexing, but with no arr[i] access (see
+    // sigExpr's shape constraint).
     val bandsExpr =
-      "transform(sequence(0, 3), j -> md5(concat_ws(',', " +
-        "cast(sig[3*j] as string), cast(sig[3*j+1] as string), cast(sig[3*j+2] as string))))"
-    val bands = documents(s, dir)
-      .select($"doc_id", expr(s"array_distinct($toksE)").as("tokset"))
+      "aggregate(sig, " +
+        "named_struct('cnt', 0, 'cur', cast(0 as bigint), 'acc', cast(array() as array<bigint>)), " +
+        "(a, m) -> named_struct(" +
+        "'cnt', a.cnt + 1, " +
+        "'cur', case when (a.cnt + 1) % 3 = 0 then cast(0 as bigint) " +
+        "       else (a.cur * 31 + m) % 2147483647 end, " +
+        "'acc', case when (a.cnt + 1) % 3 = 0 " +
+        "       then array_append(a.acc, (a.cur * 31 + m) % 2147483647) else a.acc end), " +
+        "a -> a.acc)"
+    val bands = tokenHashes(s, dir)
       .select($"doc_id", expr(sigExpr).as("sig"))
+      .repartition($"doc_id")
       .select($"doc_id", posexplode(expr(bandsExpr)))
       .select($"doc_id", $"pos".as("band"), $"col".as("bkey"))
     val a = bands.toDF("doc_a", "band_a", "bkey_a")
@@ -95,15 +142,37 @@ object Dedup {
   /** Word-3-gram Jaccard similarity over candidate pairs generated by a
     * shared-shingle equi-join (inverted-index style — only docs sharing
     * at least one shingle are ever paired, so sparsity bounds the work).
+    * Shingles are md5-hashed to longs before the explode: the join
+    * shuffles 8-byte keys instead of ~20-char strings, and the pair
+    * explosion compares primitives. (Hash collisions would fold two
+    * shingles together — identically in the oracle, which hashes the
+    * same way.)
+    *
+    * Two repartition barriers keep the plan linear: the first
+    * materializes the token array before the shingle lambda indexes it
+    * (else Catalyst re-evaluates `split` per index — O(tokens²)); the
+    * second materializes the hash array so the filter inferred under
+    * explode checks an attribute instead of re-running the md5 pass.
     */
   def shingleJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Shingle hash = arithmetic combination of the three token md5s
+    // (((h0·31+h1) mod M)·31+h2) mod M, built by one fold that carries
+    // the previous two token hashes — linear in tokens under arbitrary
+    // optimizer inlining (see sigExpr's shape constraint), and md5 runs
+    // once per token, not once per shingle.
     val shExpr =
-      s"array_distinct(transform(sequence(0, size($toksE) - 3), " +
-        s"i -> concat_ws(' ', $toksE[i], $toksE[i+1], $toksE[i+2])))"
-    val sh = documents(s, dir)
+      "array_distinct(aggregate(th, " +
+        "named_struct('p2', cast(null as bigint), 'p1', cast(null as bigint), " +
+        "'acc', cast(array() as array<bigint>)), " +
+        "(a, h) -> named_struct('p2', a.p1, 'p1', h, " +
+        "'acc', case when a.p2 is null then a.acc " +
+        "       else array_append(a.acc, ((a.p2 * 31 + a.p1) % 2147483647 * 31 + h) % 2147483647) end), " +
+        "a -> a.acc))"
+    val sh = tokenHashes(s, dir)
       .select($"doc_id", expr(shExpr).as("sh"))
-      .select($"doc_id", size($"sh").as("nsh"), explode($"sh").as("shingle"))
+      .repartition($"doc_id")
+      .select($"doc_id", size($"sh").as("nsh"), explode($"sh").as("shash"))
     val a = sh.toDF("doc_a", "na", "sh_a")
     val b = sh.toDF("doc_b", "nb", "sh_b")
     a.join(b, $"sh_a" === $"sh_b" && $"doc_a" < $"doc_b")
