@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, Coalesce, Expression, ExpressionInfo, In, LambdaFunction, Literal, NamedLambdaVariable, Or, RLike, StringSplit}
+import org.apache.spark.sql.types.StringType
+
+import graft.functions.FloatVectorDot
+import graft.ner.RuleNer
+
+/** SQL-surface registration for the engine's custom functions, so SQL
+  * text can call them exactly like built-ins:
+  *
+  *   SELECT entity, count(1) FROM t
+  *   LATERAL VIEW explode(rule_ner(text)) AS entity GROUP BY entity
+  *
+  *   SELECT vec_dot(a.embedding, b.embedding) FROM ...
+  *
+  * Two entry points, same builders:
+  *  - [[GraftFunctions.register]] — imperative, for an existing session
+  *    (what Verify/Bench/tests use);
+  *  - [[GraftExtensions]] — the `spark.sql.extensions` route
+  *    (`--conf spark.sql.extensions=graft.GraftExtensions`), the
+  *    deployment-grade wiring for cluster jobs.
+  */
+object GraftFunctions {
+
+  val vecDotBuilder: Seq[Expression] => Expression =
+    exprs => FloatVectorDot(exprs(0), exprs(1))
+
+  /** rule_ner(text) → array<string> — the U1 NER contract as a SQL
+    * function: the same split → gazetteer∪capitalized filter as the
+    * Column path, built as a raw Catalyst tree (a Column→Expression
+    * bridge would embed unresolvable column nodes in the SQL plan).
+    */
+  val ruleNerBuilder: Seq[Expression] => Expression = { exprs =>
+    val toks = StringSplit(Coalesce(Seq(exprs.head, Literal(""))), Literal("\\s+"), Literal(-1))
+    val t = NamedLambdaVariable("t", StringType, nullable = true)
+    val isEntity = Or(
+      In(t, RuleNer.Gazetteer.map(Literal(_))),
+      RLike(t, Literal(RuleNer.CapitalizedRe)))
+    ArrayFilter(toks, LambdaFunction(isEntity, Seq(t)))
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot", vecDotBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("rule_ner", ruleNerBuilder, "scala_udf")
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
+      GraftFunctions.vecDotBuilder))
+    e.injectFunction((
+      FunctionIdentifier("rule_ner"),
+      new ExpressionInfo(RuleNer.getClass.getName, "rule_ner"),
+      GraftFunctions.ruleNerBuilder))
+  }
+}

@@ -34,6 +34,13 @@ object SparkEntry {
     "q10_customers_without_f"-> (Relational.customersWithoutF _),
     "q11_priority_breakdown" -> (Relational.priorityBreakdown _),
     "q12_running_supplier"   -> (Relational.runningSupplierVolume _),
+    "q13_cube"               -> (Relational2.cubeSummary _),
+    "q14_percentiles"        -> (Relational2.quantityPercentiles _),
+    "q15_part_strings"       -> (Relational2.partStrings _),
+    "q16_above_avg"          -> (Relational2.aboveAverageCustomers _),
+    "q17_pivot"              -> (Relational2.statusPriorityPivot _),
+    "q18_quarters"           -> (Relational2.ordersByQuarter _),
+    "q19_grouping_sets"      -> (Relational2.revenueGroupingSets _),
     // ---- event-time surface (ST3/ST4/ST7 batch-checkable analogs) ----
     "e01_tumbling"           -> (EventOps.tumbling _),
     "e02_sliding"            -> (EventOps.sliding _),
@@ -159,6 +166,51 @@ object SparkEntry {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_qty
         FROM lineitem WHERE l_suppkey <= 5
         ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+      "q13_cube" -> """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+      "q14_percentiles" -> """
+        SELECT l_returnflag,
+          quantile_cont(l_quantity, 0.25) AS q25,
+          quantile_cont(l_quantity, 0.5) AS median,
+          quantile_cont(l_quantity, 0.75) AS q75,
+          quantile_cont(l_extendedprice, 0.9) AS price_p90
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      "q15_part_strings" -> """
+        SELECT p_partkey, upper(p_type) AS type_upper,
+          substr(p_name, 1, 8) AS name_prefix,
+          regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+          length(p_name) AS name_len,
+          CAST(levenshtein(p_type, 'STANDARD') AS BIGINT) AS type_dist
+        FROM part ORDER BY p_partkey""",
+      "q16_above_avg" -> """
+        SELECT c_mktsegment, count(*) AS n,
+          CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*) AS seg_avg
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*)
+                           FROM customer)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+      "q17_pivot" -> """
+        SELECT o_orderstatus,
+          CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+          CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+          CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+          CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS unspecified,
+          CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+      "q18_quarters" -> """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+          CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+          count(*) AS n_orders,
+          CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+      "q19_grouping_sets" -> """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
       "e01_tumbling" -> """
         SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start, event_type,
           count(*) AS n,

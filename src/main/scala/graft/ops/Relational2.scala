@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables._
+
+/** Second tranche of the relational surface: CUBE / GROUPING SETS,
+  * exact percentiles, string functions, scalar subqueries, pivot,
+  * calendar arithmetic, and the SQL-string entry point (temp views +
+  * `spark.sql`) — everything still plain Catalyst plans.
+  */
+object Relational2 {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+
+  /** CUBE grouping-sets aggregate — all four (flag × status) subtotal
+    * combinations in one pass (Expand + single shuffle).
+    */
+  def cubeSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), sum(dec($"l_quantity")).cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** Exact interpolated percentiles (SQL PERCENTILE_CONT semantics —
+    * matches DuckDB's quantile_cont on the same sorted doubles). Exact
+    * percentiles need a full sort per group; the 100 TB path is
+    * approx_percentile (t-digest) — kept here exact so the oracle can
+    * check values.
+    */
+  def quantityPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("median"),
+        expr("percentile(l_quantity, 0.75)").as("q75"),
+        expr("percentile(l_extendedprice, 0.9)").as("price_p90"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** String-function projection: case mapping, substring, regexp
+    * extraction, edit distance — all codegen'd built-ins.
+    */
+  def partStrings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    part(s, dir)
+      .select($"p_partkey",
+        upper($"p_type").as("type_upper"),
+        substring($"p_name", 1, 8).as("name_prefix"),
+        regexp_extract($"p_brand", "#(\\d+)", 1).as("brand_num"),
+        length($"p_name").cast("long").as("name_len"),
+        levenshtein($"p_type", lit("STANDARD")).cast("long").as("type_dist"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Scalar subquery: customers above the global average balance.
+    * The aggregate is a one-row broadcast, not a per-row subplan.
+    */
+  def aboveAverageCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = customer(s, dir)
+    val avgBal = c.agg((sum(dec($"c_acctbal")).cast("double") / count(lit(1))).as("avg_bal"))
+    c.crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), (sum(dec($"c_acctbal")).cast("double") / count(lit(1))).as("seg_avg"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Pivot: order counts, statuses × priorities in one pass (the
+    * DataFrame pivot with explicit values avoids the extra
+    * distinct-values job and keeps the column set deterministic).
+    */
+  def statusPriorityPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .pivot($"o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map(
+        "1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium",
+        "4-NOT SPECIFIED" -> "unspecified", "5-LOW" -> "low"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Calendar arithmetic: orders per (year, quarter) with revenue. */
+  def ordersByQuarter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .groupBy(year($"o_orderdate").as("yr"), quarter($"o_orderdate").as("qtr"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec($"o_totalprice")).cast("double").as("revenue"))
+      .orderBy($"yr", $"qtr")
+  }
+
+  /** The SQL entry point: same engine, SQL text in — temp views over the
+    * parquet tables, GROUPING SETS (not expressible in the DataFrame
+    * API), `spark.sql` out.
+    */
+  def revenueGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+        count(1) AS n_rows,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM v_lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+  }
+}
