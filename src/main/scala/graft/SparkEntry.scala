@@ -57,6 +57,8 @@ object SparkEntry {
     "t05_top_terms"          -> (TextOps.topTerms _),
     "t06_top_bigrams"        -> (TextOps.topBigrams _),
     "t07_approx_distinct"    -> (TextOps.approxDistinctTerms _),
+    "t08_subtoken_count"     -> (TextOps.subtokenCounts _),
+    "t09_rolling_fingerprint"-> (TextOps.rollingFingerprints _),
     // ---- deduplication (LLM-pipeline extensions) ----
     "d01_exact_dups"         -> (Dedup.exactDupGroups _),
     "d02_minhash_sigs"       -> (Dedup.minhashSignatures _),
@@ -300,6 +302,21 @@ object SparkEntry {
                                             i -> t[i] || ' ' || t[i+1])) AS bigram FROM tk)
         SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
         ORDER BY n DESC, bigram LIMIT 20""",
+      "t08_subtoken_count" -> """
+        SELECT doc_id,
+          len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+          len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_subtokens,
+          CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS DOUBLE)
+            / len(regexp_split_to_array(text, '\s+')) AS pieces_per_token
+        FROM documents ORDER BY doc_id""",
+      "t09_rolling_fingerprint" -> """
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_split_to_array(text, '\s+'),
+                t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
+            (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_hash
+        FROM documents ORDER BY doc_id""",
       "d01_exact_dups" -> """
         SELECT text_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id FROM (
           SELECT doc_id, md5(text) AS text_hash FROM documents) t

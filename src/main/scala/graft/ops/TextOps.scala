@@ -123,6 +123,34 @@ object TextOps {
       .limit(20)
   }
 
+  /** BPE-ish subtoken counting: greedy ≤4-char alpha chunks via
+    * regexp_extract_all — the cheap stand-in for a real tokenizer's
+    * piece count, alongside the whitespace token count.
+    */
+  def subtokenCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"doc_id",
+        size(toks($"text")).cast("long").as("n_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).cast("long").as("n_subtokens"))
+      .withColumn("pieces_per_token", $"n_subtokens".cast("double") / $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash over
+    * the per-token md5 hashes, as a single linear fold (same shape
+    * constraint as Dedup.sigExpr — no indexed array access).
+    */
+  def rollingFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h32t = "cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)"
+    documents(s, dir)
+      .select($"doc_id", expr(
+        s"aggregate(transform(split(text, '\\\\s+'), t -> $h32t), " +
+          "cast(0 as bigint), (acc, h) -> (acc * 31 + h) % 2147483647)").as("rolling_hash"))
+      .orderBy($"doc_id")
+  }
+
   /** Approximate distinct terms per source (HyperLogLog++) next to the
     * exact count — the 100 TB path is the approx one (constant memory,
     * one pass); exact is there for the oracle-less sanity check.
