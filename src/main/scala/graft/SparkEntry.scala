@@ -59,6 +59,7 @@ object SparkEntry {
     "t07_approx_distinct"    -> (TextOps.approxDistinctTerms _),
     "t08_subtoken_count"     -> (TextOps.subtokenCounts _),
     "t09_rolling_fingerprint"-> (TextOps.rollingFingerprints _),
+    "t10_topk_per_source"    -> (TextOps.topTermsPerSource _),
     // ---- deduplication (LLM-pipeline extensions) ----
     "d01_exact_dups"         -> (Dedup.exactDupGroups _),
     "d02_minhash_sigs"       -> (Dedup.minhashSignatures _),
@@ -317,6 +318,14 @@ object SparkEntry {
                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
             (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_hash
         FROM documents ORDER BY doc_id""",
+      "t10_topk_per_source" -> """
+        SELECT source, rank, term, n FROM (
+          SELECT source, term, n,
+            row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rank
+          FROM (SELECT source, tok AS term, count(*) AS n FROM (
+                  SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS tok
+                  FROM documents) x GROUP BY source, tok) c) w
+        WHERE rank <= 5 ORDER BY source, rank""",
       "d01_exact_dups" -> """
         SELECT text_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id FROM (
           SELECT doc_id, md5(text) AS text_hash FROM documents) t

@@ -151,6 +151,27 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Top-5 terms per source via the typed [[graft.functions.TopKTerms]]
+    * aggregator — bounded k-entry partial buffers instead of a window's
+    * full per-partition sort (see the Aggregator's scaladoc for the
+    * shuffle math). The oracle checks it against the window formulation,
+    * proving the two are equivalent.
+    */
+  def topTermsPerSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = documents(s, dir)
+      .select($"source", explode(toks($"text")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)]
+    counts.groupByKey(_._1)
+      .agg(new graft.functions.TopKTerms(5).toColumn.name("topk"))
+      .toDF("source", "topk")
+      .select($"source", posexplode($"topk"))
+      .select($"source", ($"pos" + 1).cast("long").as("rank"),
+        $"col.term".as("term"), $"col.n".as("n"))
+      .orderBy($"source", $"rank")
+  }
+
   /** Approximate distinct terms per source (HyperLogLog++) next to the
     * exact count — the 100 TB path is the approx one (constant memory,
     * one pass); exact is there for the oracle-less sanity check.

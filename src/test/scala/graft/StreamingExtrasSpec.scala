@@ -30,6 +30,30 @@ class StreamingExtrasSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches purchases to recent signups") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val signups = MemoryStream[(Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+    val sDf = signups.toDF().toDF("s_user", "s_ts").withWatermark("s_ts", "1 hour")
+    val pDf = purchases.toDF().toDF("p_user", "p_ts").withWatermark("p_ts", "1 hour")
+    val joined = pDf.join(sDf,
+      expr("p_user = s_user AND p_ts >= s_ts AND p_ts <= s_ts + interval 30 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      signups.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:00")))
+      purchases.addData((1L, ts("2024-01-01 00:10:00")), // within 30 min → match
+                        (2L, ts("2024-01-01 00:50:00")), // outside 30 min → no match
+                        (3L, ts("2024-01-01 00:10:00"))) // no signup → no match
+      q.processAllAvailable()
+      val users = spark.table("ss_join").collect().map(_.getLong(0)).toSeq
+      assert(users == Seq(1L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps custom per-key state across triggers") {
     val spark = TestSpark.spark
     import spark.implicits._
