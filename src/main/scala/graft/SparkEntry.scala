@@ -49,6 +49,7 @@ object SparkEntry {
     "e05_asof_attribution"   -> (EventOps.purchaseAttribution _),
     "e06_first_events"       -> (EventOps.firstEvents _),
     "e07_type_shares"        -> (EventOps.typeShares _),
+    "e08_user_series_sim"    -> (EventOps.userSeriesSimilarity _),
     // ---- text analysis (LLM-pipeline extensions) ----
     "t01_token_stats"        -> (TextOps.tokenStats _),
     "t02_quality_score"      -> (TextOps.qualityScore _),
@@ -262,6 +263,20 @@ object SparkEntry {
         SELECT event_type, count(*) AS n,
           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
         FROM events GROUP BY event_type ORDER BY event_type""",
+      "e08_user_series_sim" -> {
+        val hourSums = (0 until 24).map(h =>
+          s"CAST(CAST(sum(CASE WHEN hour(ts) = $h THEN CAST(value AS DECIMAL(18,4)) " +
+          s"ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)").mkString(", ")
+        s"""
+        WITH v AS (SELECT user_id, [$hourSums] AS v FROM events GROUP BY user_id),
+        nv AS (SELECT user_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+               FROM v)
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+          list_dot_product(a.u, b.u) AS cos
+        FROM nv a JOIN nv b ON a.user_id < b.user_id
+        ORDER BY cos DESC, user_a, user_b LIMIT 10"""
+      },
       "t01_token_stats" -> """
         SELECT doc_id,
           len(regexp_split_to_array(text, '\s+')) AS n_tokens,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Dot product of two float vectors, accumulated in double, as a native
   * Catalyst expression with whole-stage codegen.
@@ -27,14 +27,26 @@ case class FloatVectorDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Element accessor picked from the input type: works for both
+    * array<float> (the embeddings table) and array<double> (derived
+    * profiles). Both accumulate in double, left to right.
+    */
+  private lazy val isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) {
+    if (isFloat) while (i < n) {
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    } else while (i < n) {
+      s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
     s
@@ -45,11 +57,14 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("sum")
+      val get = if (isFloat) "(double) %s.getFloat(%s)" else "%s.getDouble(%s)"
+      val xa = get.format(a, i)
+      val xb = get.format(b, i)
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $s += $xa * $xb;
          |}
          |${ev.value} = $s;
        """.stripMargin
