@@ -75,6 +75,7 @@ object SparkEntry {
     // ---- multimodal binary columns (decode stubbed, plumbing real) ----
     "m01_media_meta"         -> (Multimodal.mediaMeta _),
     "m02_media_stats"        -> (Multimodal.mediaStats _),
+    "m03_frame_sample"       -> (Multimodal.frameSample _),
   )
 
   /** DuckDB-runnable oracle for each query (same tables, same column
@@ -461,6 +462,14 @@ object SparkEntry {
         SELECT media_type, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
           max(width) AS max_width, min(height) AS min_height
         FROM m GROUP BY media_type ORDER BY media_type""",
+      "m03_frame_sample" -> """
+        WITH m AS (SELECT doc_id, strlen(text) AS n_bytes FROM documents
+                   WHERE n_chars % 3 = 2)
+        SELECT doc_id, frame_idx, frame_idx * 1000 AS byte_offset FROM (
+          SELECT doc_id, unnest(generate_series(0,
+            least(CAST((n_bytes - 1) // 1000 AS INTEGER), 7))) AS frame_idx
+          FROM m) t
+        ORDER BY doc_id, frame_idx""",
     )
   }
 }

