@@ -61,6 +61,7 @@ object SparkEntry {
     "t08_subtoken_count"     -> (TextOps.subtokenCounts _),
     "t09_rolling_fingerprint"-> (TextOps.rollingFingerprints _),
     "t10_topk_per_source"    -> (TextOps.topTermsPerSource _),
+    "t11_training_selection" -> (TextOps.trainingSelection _),
     // ---- deduplication (LLM-pipeline extensions) ----
     "d01_exact_dups"         -> (Dedup.exactDupGroups _),
     "d02_minhash_sigs"       -> (Dedup.minhashSignatures _),
@@ -342,6 +343,35 @@ object SparkEntry {
                   SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS tok
                   FROM documents) x GROUP BY source, tok) c) w
         WHERE rank <= 5 ORDER BY source, rank""",
+      "t11_training_selection" -> """
+        WITH x AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        scored AS (
+          SELECT doc_id,
+            0.4 * (1.0 - CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t))
+              + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+              + 0.3 * least(len(t) / 50.0, 1.0) AS quality
+          FROM x),
+        kept AS (SELECT doc_id, quality FROM scored WHERE quality >= 0.8),
+        canonical AS (
+          SELECT min(doc_id) AS doc_id FROM (
+            SELECT doc_id,
+              md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\s+'))), ' ')) AS fp
+            FROM documents) f GROUP BY fp),
+        th AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(th) - 2),
+                 i -> ((th[i] * 31 + th[i+1]) % 2147483647 * 31 + th[i+2]) % 2147483647)) AS s
+               FROM th),
+        e AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shash FROM sh),
+        juniors AS (
+          SELECT DISTINCT b.doc_id FROM e a JOIN e b
+            ON a.shash = b.shash AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id, a.ns, b.ns
+          HAVING CAST(count(*) AS DOUBLE) / (any_value(a.ns) + any_value(b.ns) - count(*)) >= 0.3)
+        SELECT k.doc_id, k.quality FROM kept k
+        WHERE k.doc_id IN (SELECT doc_id FROM canonical)
+          AND k.doc_id NOT IN (SELECT doc_id FROM juniors)
+        ORDER BY k.doc_id""",
       "d01_exact_dups" -> """
         SELECT text_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id FROM (
           SELECT doc_id, md5(text) AS text_hash FROM documents) t

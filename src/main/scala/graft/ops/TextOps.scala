@@ -172,6 +172,40 @@ object TextOps {
       .orderBy($"source", $"rank")
   }
 
+  /** The end-to-end training-set selection pipeline — the composite the
+    * individual operators exist for: keep a document iff
+    *  (1) its quality score clears the bar,
+    *  (2) it is the canonical (min doc_id) member of its exact-duplicate
+    *      fingerprint group, and
+    *  (3) it is not the junior member of any near-duplicate pair
+    *      (shingle Jaccard ≥ 0.3 — the senior doc survives).
+    * Plan shape: one narrow scan feeds the quality filter; dedup checks
+    * are two anti-join-style probes against aggregates — at 100 TB
+    * these are the same LSH/fingerprint structures, just persisted.
+    */
+  def trainingSelection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    val nTok = size(t).cast("double")
+    val quality =
+      lit(0.4) * (lit(1.0) - size(filter(t, c => c.isin(Stopwords: _*))).cast("double") / nTok) +
+      lit(0.3) * (size(array_distinct(t)).cast("double") / nTok) +
+      lit(0.3) * least(nTok / lit(50.0), lit(1.0))
+    val scored = documents(s, dir).select($"doc_id", quality.as("quality"))
+      .filter($"quality" >= 0.8)
+
+    val canonical = fingerprints(s, dir)
+      .select($"min_doc_id".as("doc_id"))
+
+    val juniors = graft.ops.Dedup.shingleJaccardPairs(s, dir)
+      .select($"doc_b".as("doc_id")).distinct()
+
+    scored
+      .join(canonical, Seq("doc_id"), "left_semi")
+      .join(juniors, Seq("doc_id"), "left_anti")
+      .orderBy($"doc_id")
+  }
+
   /** Approximate distinct terms per source (HyperLogLog++) next to the
     * exact count — the 100 TB path is the approx one (constant memory,
     * one pass); exact is there for the oracle-less sanity check.
