@@ -77,6 +77,8 @@ object SparkEntry {
     "m01_media_meta"         -> (Multimodal.mediaMeta _),
     "m02_media_stats"        -> (Multimodal.mediaStats _),
     "m03_frame_sample"       -> (Multimodal.frameSample _),
+    "m04_resize_plan"        -> (Multimodal.resizePlan _),
+    "t12_normalize"          -> (TextOps.normalizeText _),
   )
 
   /** DuckDB-runnable oracle for each query (same tables, same column
@@ -372,6 +374,21 @@ object SparkEntry {
         WHERE k.doc_id IN (SELECT doc_id FROM canonical)
           AND k.doc_id NOT IN (SELECT doc_id FROM juniors)
         ORDER BY k.doc_id""",
+      "t12_normalize" -> """
+        SELECT doc_id, length(text) AS raw_len,
+          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean_text,
+          length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS clean_len
+        FROM documents ORDER BY doc_id""",
+      "m04_resize_plan" -> """
+        WITH m AS (
+          SELECT doc_id,
+            64 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 512 AS width,
+            64 + (CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) // 512) % 512 AS height
+          FROM documents WHERE n_chars % 3 = 0)
+        SELECT doc_id, width, height,
+          CAST(floor(width * (256.0 / greatest(width, height))) AS BIGINT) AS out_w,
+          CAST(floor(height * (256.0 / greatest(width, height))) AS BIGINT) AS out_h
+        FROM m ORDER BY doc_id""",
       "d01_exact_dups" -> """
         SELECT text_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id FROM (
           SELECT doc_id, md5(text) AS text_hash FROM documents) t

@@ -96,6 +96,22 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** Resize planning for image payloads: fit the decoded dimensions
+    * into a 256-px box preserving aspect ratio — pure arithmetic on the
+    * metadata, no payload touch, so the planner can run it from the
+    * metadata columns alone (binary column pruned at the scan).
+    */
+  def resizePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodeAll(mediaTable(s, dir)).toDF()
+      .filter($"media_type" === "image")
+      .withColumn("scale", lit(256.0) / greatest($"width", $"height"))
+      .select($"doc_id", $"width", $"height",
+        floor($"width" * $"scale").cast("long").as("out_w"),
+        floor($"height" * $"scale").cast("long").as("out_h"))
+      .orderBy($"doc_id")
+  }
+
   /** Metadata-only aggregate over the decoded stream — the query shape
     * where column pruning pays off at scale.
     */

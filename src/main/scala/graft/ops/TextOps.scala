@@ -206,6 +206,24 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Text normalization — the canonical pre-tokenization cleanup pass:
+    * lowercase, strip non-alphanumerics to spaces, collapse runs of
+    * whitespace, trim. Emits the cleaned text plus before/after lengths
+    * (narrow map, no shuffle — at 100 TB this runs fused into whatever
+    * consumes it).
+    */
+  def normalizeText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " "))
+    documents(s, dir)
+      .select($"doc_id",
+        length($"text").cast("long").as("raw_len"),
+        cleaned.as("clean_text"),
+        length(cleaned).cast("long").as("clean_len"))
+      .orderBy($"doc_id")
+  }
+
   /** Approximate distinct terms per source (HyperLogLog++) next to the
     * exact count — the 100 TB path is the approx one (constant memory,
     * one pass); exact is there for the oracle-less sanity check.
