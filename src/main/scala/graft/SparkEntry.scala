@@ -67,6 +67,7 @@ object SparkEntry {
     "d02_minhash_sigs"       -> (Dedup.minhashSignatures _),
     "d03_minhash_lsh_pairs"  -> (Dedup.minhashLshPairs _),
     "d04_shingle_jaccard"    -> (Dedup.shingleJaccardPairs _),
+    "d08_lsh_pairs_capped"   -> ((s, d) => Dedup.minhashLshPairsCapped(s, d)),
     "d05_simhash"            -> (Dedup.simhash _),
     "d06_simhash_pairs"      -> (Dedup.simhashPairs _),
     "d07_embedding_dups"     -> (Dedup.embeddingDupPairs _),
@@ -414,6 +415,23 @@ object SparkEntry {
                   FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj)
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b""",
+      "d08_lsh_pairs_capped" -> """
+        WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+                    FROM documents),
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        small AS (SELECT j, bkey FROM bands GROUP BY j, bkey
+                  HAVING count(*) <= 64 AND count(*) > 1),
+        inb AS (SELECT b.* FROM bands b JOIN small s ON b.j = s.j AND b.bkey = s.bkey)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         ORDER BY doc_a, doc_b""",
       "d04_shingle_jaccard" -> """
         WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),

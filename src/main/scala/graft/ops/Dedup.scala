@@ -111,29 +111,62 @@ object Dedup {
   // anyway), or salt the band key with a secondary hash and union the
   // splits. AQE's skew-join handling also splits oversized partitions
   // at runtime.
-  def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Single fold over the 12-element signature, emitting one packed
+    * band key per 3 rows — same ((m0·31+m1) mod M ·31 + m2) mod M value
+    * the oracle computes by indexing, but with no arr[i] access (see
+    * sigExpr's shape constraint).
+    */
+  private val bandsExpr: String =
+    "aggregate(sig, " +
+      "named_struct('cnt', 0, 'cur', cast(0 as bigint), 'acc', cast(array() as array<bigint>)), " +
+      "(a, m) -> named_struct(" +
+      "'cnt', a.cnt + 1, " +
+      "'cur', case when (a.cnt + 1) % 3 = 0 then cast(0 as bigint) " +
+      "       else (a.cur * 31 + m) % 2147483647 end, " +
+      "'acc', case when (a.cnt + 1) % 3 = 0 " +
+      "       then array_append(a.acc, (a.cur * 31 + m) % 2147483647) else a.acc end), " +
+      "a -> a.acc)"
+
+  /** (band, bkey, doc_id) — the LSH index both pair generators share. */
+  private def bandKeys(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Single fold over the 12-element signature, emitting one packed
-    // band key per 3 rows — same ((m0·31+m1) mod M ·31 + m2) mod M value
-    // the oracle computes by indexing, but with no arr[i] access (see
-    // sigExpr's shape constraint).
-    val bandsExpr =
-      "aggregate(sig, " +
-        "named_struct('cnt', 0, 'cur', cast(0 as bigint), 'acc', cast(array() as array<bigint>)), " +
-        "(a, m) -> named_struct(" +
-        "'cnt', a.cnt + 1, " +
-        "'cur', case when (a.cnt + 1) % 3 = 0 then cast(0 as bigint) " +
-        "       else (a.cur * 31 + m) % 2147483647 end, " +
-        "'acc', case when (a.cnt + 1) % 3 = 0 " +
-        "       then array_append(a.acc, (a.cur * 31 + m) % 2147483647) else a.acc end), " +
-        "a -> a.acc)"
-    val bands = tokenHashes(s, dir)
+    tokenHashes(s, dir)
       .select($"doc_id", expr(sigExpr).as("sig"))
       .repartition($"doc_id")
       .select($"doc_id", posexplode(expr(bandsExpr)))
-      .select($"doc_id", $"pos".as("band"), $"col".as("bkey"))
-    val a = bands.toDF("doc_a", "band_a", "bkey_a")
-    val b = bands.toDF("doc_b", "band_b", "bkey_b")
+      .select($"pos".as("band"), $"col".as("bkey"), $"doc_id")
+  }
+
+  def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = bandKeys(s, dir)
+    val a = bands.toDF("band_a", "bkey_a", "doc_a")
+    val b = bands.toDF("band_b", "bkey_b", "doc_b")
+    a.join(b, $"band_a" === $"band_b" && $"bkey_a" === $"bkey_b" && $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The scale-path variant of [[minhashLshPairs]]: band buckets larger
+    * than a cap are dropped before pair generation. On template-heavy
+    * corpora a single bucket can hold thousands of docs and the pair
+    * explosion is quadratic per bucket; members of such buckets are
+    * near-certain duplicates that the exact-fingerprint pass (d01) or a
+    * cheaper representative-based sweep handles, so dropping the bucket
+    * trades negligible recall for a hard bound on join output —
+    * candidates ≤ cap² · buckets instead of max_bucket². The cap is a
+    * group-count semi-join, identical in the oracle.
+    */
+  def minhashLshPairsCapped(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import s.implicits._
+    val bands = bandKeys(s, dir)
+    val smallBuckets = bands.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter($"bucket_n" <= cap && $"bucket_n" > 1)
+      .select($"band", $"bkey")
+    val inSmall = bands.join(smallBuckets, Seq("band", "bkey"))
+    val a = inSmall.toDF("band_a", "bkey_a", "doc_a")
+    val b = inSmall.toDF("band_b", "bkey_b", "doc_b")
     a.join(b, $"band_a" === $"band_b" && $"bkey_a" === $"bkey_b" && $"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b").distinct()
       .orderBy($"doc_a", $"doc_b")
