@@ -50,6 +50,7 @@ object SparkEntry {
     "e06_first_events"       -> (EventOps.firstEvents _),
     "e07_type_shares"        -> (EventOps.typeShares _),
     "e08_user_series_sim"    -> (EventOps.userSeriesSimilarity _),
+    "e09_user_sim_bucketed"  -> (EventOps.userSeriesSimilarityBucketed _),
     // ---- text analysis (LLM-pipeline extensions) ----
     "t01_token_stats"        -> (TextOps.tokenStats _),
     "t02_quality_score"      -> (TextOps.qualityScore _),
@@ -70,7 +71,9 @@ object SparkEntry {
     "d08_lsh_pairs_capped"   -> ((s, d) => Dedup.minhashLshPairsCapped(s, d)),
     "d05_simhash"            -> (Dedup.simhash _),
     "d06_simhash_pairs"      -> (Dedup.simhashPairs _),
+    "d09_simhash_banded"     -> (Dedup.simhashPairsBanded _),
     "d07_embedding_dups"     -> (Dedup.embeddingDupPairs _),
+    "d10_embedding_bucketed" -> (Dedup.embeddingDupPairsBucketed _),
     // ---- similarity search ----
     "s01_knn_brute"          -> (Similarity.bruteForceKnn _),
     "s02_knn_bucketed"       -> (Similarity.bucketedKnn _),
@@ -282,6 +285,26 @@ object SparkEntry {
         FROM nv a JOIN nv b ON a.user_id < b.user_id
         ORDER BY cos DESC, user_a, user_b LIMIT 10"""
       },
+      "e09_user_sim_bucketed" -> {
+        val hourSums = (0 until 24).map(h =>
+          s"CAST(CAST(sum(CASE WHEN hour(ts) = $h THEN CAST(value AS DECIMAL(18,4)) " +
+          s"ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)").mkString(", ")
+        s"""
+        WITH v AS (SELECT user_id, [$hourSums] AS v FROM events GROUP BY user_id),
+        nv AS (SELECT user_id, v,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+               FROM v),
+        bk AS (SELECT user_id, u,
+                 (CASE WHEN v[1] > v[13] THEN 1 ELSE 0 END) +
+                 (CASE WHEN v[2] > v[14] THEN 2 ELSE 0 END) +
+                 (CASE WHEN v[3] > v[15] THEN 4 ELSE 0 END) +
+                 (CASE WHEN v[4] > v[16] THEN 8 ELSE 0 END) AS bucket
+               FROM nv)
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+          list_dot_product(a.u, b.u) AS cos
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.user_id < b.user_id
+        ORDER BY cos DESC, user_a, user_b LIMIT 10"""
+      },
       "t01_token_stats" -> """
         SELECT doc_id,
           len(regexp_split_to_array(text, '\s+')) AS n_tokens,
@@ -470,6 +493,24 @@ object SparkEntry {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
         ORDER BY doc_a, doc_b""",
+      "d09_simhash_banded" -> """
+        WITH tc AS (SELECT doc_id, tok, count(*) AS cnt FROM (
+                      SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+                      FROM documents) x GROUP BY doc_id, tok),
+        h AS (SELECT doc_id, cnt, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tc),
+        b AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+              FROM h, (SELECT unnest(generate_series(0, 31)) AS i) ii GROUP BY doc_id, i),
+        sh AS (SELECT doc_id, CAST(sum(CASE WHEN w >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+               FROM b GROUP BY doc_id),
+        bands AS (SELECT doc_id, simhash, j, (simhash >> (8 * j)) & 255 AS bv
+                  FROM sh, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.simhash AS sim_a, b.simhash AS sim_b
+                 FROM bands a JOIN bands b
+                   ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 8
+        ORDER BY doc_a, doc_b""",
       "d07_embedding_dups" -> """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
@@ -477,6 +518,19 @@ object SparkEntry {
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
         FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+        ORDER BY id_a, id_b""",
+      "d10_embedding_bucketed" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+                     (CASE WHEN embedding[1] > 0.0 THEN 1 ELSE 0 END) +
+                     (CASE WHEN embedding[2] > 0.0 THEN 2 ELSE 0 END) +
+                     (CASE WHEN embedding[3] > 0.0 THEN 4 ELSE 0 END) +
+                     (CASE WHEN embedding[4] > 0.0 THEN 8 ELSE 0 END) AS bucket
+                   FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
         ORDER BY id_a, id_b""",
       "s01_knn_brute" -> """

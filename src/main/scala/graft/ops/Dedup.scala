@@ -217,34 +217,49 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** 32-bit SimHash per document: token-frequency-weighted bit votes.
-    * Shuffles are per-(doc, token) and per-(doc, bit) aggregates — both
-    * linear; the hash is identical in the oracle.
+  /** 32-bit SimHash, built in ONE narrow fold over the token-hash
+    * array: the frequency-weighted bit vote Σ_distinct-tokens cnt·(±1)
+    * equals the plain per-occurrence sum Σ_occurrences (±1), so no
+    * (doc, token) aggregate — and no 32× bit explode — is needed at
+    * all. The outer fold packs the sign bits; both folds are
+    * O(tokens + 32) per document with zero shuffles beyond
+    * [[tokenHashes]]'s barrier (previously: two wide aggregates over a
+    * 32×-exploded (doc, token, bit) stream).
     */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
+  private val simhashExpr: String =
+    "aggregate(" +
+      "aggregate(th, array_repeat(cast(0 as bigint), 32), " +
+      "(acc, h) -> zip_with(acc, sequence(0, 31), " +
+      "(w, i) -> w + case when (h >> i) & 1 = 1 then 1 else -1 end)), " +
+      "named_struct('i', 0, 'sh', cast(0 as bigint)), " +
+      "(a, w) -> named_struct('i', a.i + 1, " +
+      "'sh', a.sh + case when w >= 0 then shiftleft(cast(1 as bigint), a.i) " +
+      "             else cast(0 as bigint) end), " +
+      "a -> a.sh)"
+
+  /** (doc_id, simhash) with a repartition barrier so every consumer
+    * (d05's dump, d06's self-join, d09's 4-band transform) reads the
+    * hash as an attribute instead of re-inlining the fold.
+    */
+  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    documents(s, dir)
-      .select($"doc_id", explode(split($"text", "\\s+")).as("tok"))
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", expr(h32("tok")))
-      .select($"doc_id", $"cnt", $"h", explode(expr("sequence(0, 31)")).as("i"))
-      .withColumn("contrib", when(expr("(h >> i) & 1") === 1, $"cnt").otherwise(-$"cnt"))
-      .groupBy($"doc_id", $"i").agg(sum($"contrib").as("w"))
-      .groupBy($"doc_id")
-      .agg(sum(when($"w" >= 0, expr("shiftleft(cast(1 as bigint), i)")).otherwise(0L))
-        .as("simhash"))
-      .orderBy($"doc_id")
+    tokenHashes(s, dir)
+      .select($"doc_id", expr(simhashExpr).as("simhash"))
+      .repartition($"doc_id")
   }
 
-  /** Near-dup pairs by SimHash hamming distance ≤ 8. All-pairs here is
-    * the verification oracle; the scale path bands the 32-bit hash into
-    * 4 bytes and equi-joins on any matching byte (pigeonhole: hamming ≤ 8
-    * over 32 bits ⇒ but not per-band; banding trades recall for cost
-    * exactly as LSH does).
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    simhashDf(s, dir).orderBy($"doc_id")
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ 8 — the ALL-PAIRS
+    * recall oracle for [[simhashPairsBanded]], bounded to small inputs;
+    * the banded equi-join is the registered scale path.
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sims = simhash(s, dir)
+    val sims = simhashDf(s, dir)
     val a = sims.toDF("doc_a", "sim_a")
     val b = sims.toDF("doc_b", "sim_b")
     a.join(b, $"doc_a" < $"doc_b")
@@ -254,10 +269,36 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** Embedding-cosine near-duplicate pairs (cos ≥ 0.4). Norms are
-    * computed once per vector before the pair join; the pair predicate
-    * uses the codegen'd FloatVectorDot. The bucketed/ANN variant for
-    * scale is Similarity.bucketedKnn.
+  /** The scale path for [[simhashPairs]]: the 32-bit hash splits into
+    * 4 byte-bands; docs sharing any band byte become candidates via an
+    * equi-join on (band, byte) — linear shuffle, quadratic only within
+    * a band bucket — and hamming ≤ 8 is verified on candidates only.
+    * Pigeonhole: pairs at distance ≤ 3 are guaranteed caught (4 bands
+    * cannot all differ); at distance 4-8 banding trades recall for the
+    * bounded join exactly as d08 does. The oracle computes the
+    * identical banded semantics, so the tradeoff is value-checked.
+    */
+  def simhashPairsBanded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = simhashDf(s, dir)
+      .select($"doc_id", $"simhash", posexplode(expr(
+        "transform(sequence(0, 3), j -> (simhash >> (8 * j)) & 255)")))
+      .select($"doc_id", $"simhash", $"pos".as("band"), $"col".as("bval"))
+    val a = bands.toDF("doc_a", "sim_a", "band_a", "bv_a")
+    val b = bands.toDF("doc_b", "sim_b", "band_b", "bv_b")
+    a.join(b, $"band_a" === $"band_b" && $"bv_a" === $"bv_b" && $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"sim_a", $"sim_b").distinct()
+      .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as bigint)"))
+      .filter($"hamming" <= 8)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cos ≥ 0.4) — the ALL-PAIRS
+    * recall oracle for [[embeddingDupPairsBucketed]], bounded to small
+    * inputs; the sign-bucketed equi-join is the registered scale path.
+    * Norms are computed once per vector before the pair join; the pair
+    * predicate uses the codegen'd FloatVectorDot.
     */
   def embeddingDupPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -266,6 +307,30 @@ object Dedup {
     val a = e.toDF("id_a", "emb_a", "nrm_a")
     val b = e.toDF("id_b", "emb_b", "nrm_b")
     a.join(b, $"id_a" < $"id_b")
+      .withColumn("cos", cosinePrenormed(vec_dot($"emb_a", $"emb_b"), $"nrm_a", $"nrm_b"))
+      .filter($"cos" >= 0.4)
+      .select($"id_a", $"id_b", $"cos")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** The scale path for [[embeddingDupPairs]]: candidate pairs come
+    * from an equi-join on the same sign-plane LSH bucket s02 uses
+    * (16 cells over the leading dimensions), then the cosine threshold
+    * is verified with the codegen'd dot product on candidates only —
+    * candidates drop ~16× versus all-pairs and the join is a plain
+    * shuffle on the bucket key. Cross-bucket near-dups are the recall
+    * tradeoff (a cos ≥ 0.4 pair rarely straddles sign flips in every
+    * probed dimension — multi-probe recovers them at scale); the
+    * oracle computes the identical bucketed semantics.
+    */
+  def embeddingDupPairsBucketed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+      .select($"vec_id", $"embedding", vec_norm($"embedding").as("nrm"),
+        expr(Similarity.signBucketExpr).as("bucket"))
+    val a = e.toDF("id_a", "emb_a", "nrm_a", "bucket_a")
+    val b = e.toDF("id_b", "emb_b", "nrm_b", "bucket_b")
+    a.join(b, $"bucket_a" === $"bucket_b" && $"id_a" < $"id_b")
       .withColumn("cos", cosinePrenormed(vec_dot($"emb_a", $"emb_b"), $"nrm_a", $"nrm_b"))
       .filter($"cos" >= 0.4)
       .select($"id_a", $"id_b", $"cos")

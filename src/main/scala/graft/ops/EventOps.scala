@@ -103,34 +103,67 @@ object EventOps {
       .orderBy($"event_id")
   }
 
-  /** Time-series similarity search (the streaming-data similarity
-    * pattern): each user's activity becomes a 24-dim hour-of-day value
-    * profile built by 24 conditional aggregates in ONE groupBy pass (no
-    * collect_list — its order is nondeterministic), then the top-10 most
-    * similar user pairs by cosine. The profile build is linear and
-    * shuffle-once; the pair join is quadratic in USERS (thousands, not
-    * events) — at 100 TB the profiles feed the same LSH bucketing as
-    * Similarity.bucketedKnn.
+  /** (user_id, v: raw 24-dim hour-of-day value sums, u: L2-normalized
+    * profile) — the shared profile build for e08/e09. 24 conditional
+    * aggregates in ONE groupBy pass (no collect_list — its order is
+    * nondeterministic); L2-normalization once per user behind a
+    * repartition barrier so neither the fold nor the normalization
+    * re-inlines into the pair joins (measured 10.7 s → ~3 s at sf0.1:
+    * cosine degenerates to a single dot fold per pair).
     */
-  def userSeriesSimilarity(s: SparkSession, dir: String): DataFrame = {
+  private def userProfiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val zeroDec = lit(0).cast(DecimalType(18, 4))
     val hourSums = (0 until 24).map(h =>
       sum(when(hour($"ts") === h, dec($"value")).otherwise(zeroDec)).cast("double"))
-    // L2-normalize once per user (barrier keeps it from re-inlining into
-    // the pair join): cosine degenerates to a single dot fold per pair —
-    // 3× fewer interpreted higher-order evaluations than
-    // dot/(sqrt·sqrt) per pair (measured 10.7 s → ~3 s at sf0.1).
-    val vecs = events(s, dir)
+    events(s, dir)
       .groupBy($"user_id")
       .agg(array(hourSums: _*).as("v"))
-      .select($"user_id", expr(
+      .select($"user_id", $"v", expr(
         "transform(v, x -> x / sqrt(aggregate(zip_with(v, v, (p, q) -> p * q), 0D, (acc, z) -> acc + z)))")
         .as("u"))
       .repartition($"user_id")
+  }
+
+  /** Time-series similarity search (the streaming-data similarity
+    * pattern): top-10 most similar user pairs by profile cosine. The
+    * ALL-PAIRS form — the recall oracle for
+    * [[userSeriesSimilarityBucketed]], bounded to small inputs; the
+    * bucketed equi-join is the registered scale path.
+    */
+  def userSeriesSimilarity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vecs = userProfiles(s, dir).select($"user_id", $"u")
     val a = vecs.toDF("user_a", "ua")
     val b = vecs.toDF("user_b", "ub")
     a.join(b, $"user_a" < $"user_b")
+      .withColumn("cos", graft.functions.VectorFunctions.vec_dot($"ua", $"ub"))
+      .select($"user_a", $"user_b", $"cos")
+      .orderBy($"cos".desc, $"user_a", $"user_b")
+      .limit(10)
+  }
+
+  /** The scale path for [[userSeriesSimilarity]]: profiles are
+    * LSH-bucketed by 4 deterministic hyperplane signs — hour h vs hour
+    * h+12 activity contrasts (morning/evening shape), which are
+    * sign tests against fixed hyperplanes (e_h − e_h+12) and work even
+    * though raw activity sums are all non-negative (plain sign-bits
+    * would put every user in one bucket). Pairs form only within a
+    * bucket via an equi-join, so the users×users cross join becomes
+    * quadratic-per-bucket; cross-bucket pairs are the documented recall
+    * tradeoff and the oracle computes the identical bucketed semantics.
+    */
+  def userSeriesSimilarityBucketed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucketed = userProfiles(s, dir).withColumn("bucket",
+      expr("(case when v[0] > v[12] then 1 else 0 end) + " +
+           "(case when v[1] > v[13] then 2 else 0 end) + " +
+           "(case when v[2] > v[14] then 4 else 0 end) + " +
+           "(case when v[3] > v[15] then 8 else 0 end)"))
+      .select($"user_id", $"u", $"bucket")
+    val a = bucketed.toDF("user_a", "ua", "bucket_a")
+    val b = bucketed.toDF("user_b", "ub", "bucket_b")
+    a.join(b, $"bucket_a" === $"bucket_b" && $"user_a" < $"user_b")
       .withColumn("cos", graft.functions.VectorFunctions.vec_dot($"ua", $"ub"))
       .select($"user_a", $"user_b", $"cos")
       .orderBy($"cos".desc, $"user_a", $"user_b")

@@ -55,10 +55,11 @@ object Relational {
   }
 
   /** TPC-H Q3-shaped: 3-way join with filters pushed below the joins,
-    * grouped revenue, top-10. customer is small relative to orders →
-    * broadcastable; Catalyst/AQE picks that up from stats, we hint it
-    * explicitly for the 100 TB case where orders ⋈ lineitem must stay a
-    * shuffle join but customer must not.
+    * grouped revenue, top-10. No broadcast hint on customer: it GROWS
+    * with scale factor (a forced broadcast is a driver OOM at 100 TB),
+    * so stats + AQE decide at runtime — broadcast while the filtered
+    * side fits, shuffled hash join beyond that. Only constant-size
+    * dimensions (nation/region) ever deserve a hard hint.
     */
   def topOrders(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -70,7 +71,7 @@ object Relational {
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
     val rev = dec($"l_extendedprice") * (lit(1).cast(DecimalType(3, 2)) - rate($"l_discount"))
     l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(c, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate")
       .agg(sum(rev).cast("double").as("revenue"))
       .orderBy($"revenue".desc, $"l_orderkey")
@@ -79,8 +80,11 @@ object Relational {
 
   /** TPC-H Q5-shaped: 6-way join (region→nation→customer→orders→lineitem
     * →supplier with the s_nationkey = c_nationkey locality predicate).
-    * Dimension chain region/nation/customer/supplier broadcasts; only
-    * orders ⋈ lineitem is a real shuffle at scale.
+    * Only the CONSTANT-size dimensions nation (25 rows) and region (5)
+    * carry broadcast hints; customer and supplier grow linearly with
+    * scale factor, so their join strategy is left to stats + AQE — they
+    * broadcast at small SF and degrade gracefully to shuffled hash
+    * joins at 100 TB instead of OOMing the driver.
     */
   def regionRevenue(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -93,8 +97,8 @@ object Relational {
     val l = lineitem(s, dir)
     val sup = supplier(s, dir)
     l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
-      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
       .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")

@@ -40,9 +40,11 @@ object Similarity {
   /** Sign-bucket of the first four dimensions — a 16-cell
     * random-hyperplane LSH with axis-aligned planes (deterministic and
     * SQL-expressible; real deployments draw the planes from a seeded
-    * RNG and keep them as a broadcast matrix).
+    * RNG and keep them as a broadcast matrix). Shared with
+    * Dedup.embeddingDupPairsBucketed so ANN probe and dup-pair
+    * generation use one index definition.
     */
-  private val bucketExpr: String =
+  private[ops] val signBucketExpr: String =
     "(CASE WHEN embedding[0] > 0.0 THEN 1 ELSE 0 END) + " +
     "(CASE WHEN embedding[1] > 0.0 THEN 2 ELSE 0 END) + " +
     "(CASE WHEN embedding[2] > 0.0 THEN 4 ELSE 0 END) + " +
@@ -54,7 +56,7 @@ object Similarity {
     */
   def bucketedKnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = withNorm(embeddings(s, dir)).withColumn("bucket", expr(bucketExpr))
+    val e = withNorm(embeddings(s, dir)).withColumn("bucket", expr(signBucketExpr))
     val q = e.filter($"vec_id" < 5).toDF("q_id", "q_emb", "q_nrm", "q_bucket")
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
     e.join(broadcast(q), $"bucket" === $"q_bucket" && $"vec_id" =!= $"q_id")
