@@ -2,28 +2,40 @@ package graft.ops
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
-  * payloads plus typed metadata, with decode / feature-extraction staged
-  * as partition-wise transforms over a typed Dataset.
+  * payloads plus typed metadata.
   *
   * The actual media codecs are STUBBED (this container has no image or
-  * audio libraries): [[MediaDecoder.decodeStub]] is a deterministic fake
-  * that derives "decoded" properties from an md5 of the payload bytes.
-  * Everything around the stub — the binary column handling, the case
-  * class schema, the `mapPartitions` batch shape (one decoder instance
-  * per partition, the Scala analog of a pandas-UDF iterator), the
-  * partitioning — is real and tested, so swapping a real codec into
-  * `decodeStub` changes no plumbing.
+  * audio libraries). The stub "decode" derives pseudo-dimensions from an
+  * md5 of the payload bytes, and exists in TWO forms that are
+  * value-identical (asserted in MultimodalSpec):
   *
-  * At 100 TB: payloads dominate row size, so the decode pass is a
-  * narrow map with no shuffle; metadata-only downstream queries prune
-  * the binary column at the parquet scan (columnar projection), which
-  * is the entire point of carrying media as a column rather than files.
+  *  - [[decodeWidth]]/[[decodeHeight]]: Column expressions — the
+  *    registered queries (m01-m04) use these, so the whole pipeline
+  *    stays inside whole-stage codegen and Catalyst can reorder the
+  *    `media_type` filter BELOW the decode (non-matching rows are never
+  *    decoded) and prune unused columns at the parquet scan.
+  *  - [[MediaDecoder.decodeStub]] via [[decodeAll]]: the
+  *    `mapPartitions` slot where a REAL codec would live (one decoder
+  *    instance per partition — the expensive codec/model init happens
+  *    once per partition, not per row). A real JNI/JavaCV decode is not
+  *    expressible as a Column, so this boundary is kept, tested, and
+  *    documented — but NOT placed in the registered query path, where
+  *    its opacity would defeat filter pushdown and column pruning.
+  *
+  * At 100 TB: payloads dominate row size. Media lives in parquet as a
+  * binary column next to its typed metadata; metadata-only queries
+  * (resize planning, stats) must read ONLY the metadata columns — the
+  * columnar projection is the entire point of carrying media as a
+  * column rather than files. [[resizePlanFromMeta]] is that shape, and
+  * MultimodalSpec asserts its scan's ReadSchema excludes the payload.
+  * Queries that DO touch payloads (decode, frame hashing) are narrow
+  * maps with no shuffle.
   */
 object Multimodal {
 
@@ -31,10 +43,24 @@ object Multimodal {
   final case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
                              width: Long, height: Long)
 
+  /** 64-bit value from the first 8 hex chars of the payload md5 —
+    * identical in DuckDB as CAST(('0x'||substr(md5(x),1,8)) AS BIGINT).
+    */
+  private def h32(payload: Column): Column =
+    conv(substring(md5(payload), 1, 8), 16, 10).cast("long")
+
+  /** Stub-decode width as a Column: 64 + h % 512. */
+  def decodeWidth(payload: Column): Column = lit(64L) + h32(payload) % 512L
+
+  /** Stub-decode height as a Column: 64 + (h / 512) % 512. */
+  def decodeHeight(payload: Column): Column =
+    lit(64L) + (h32(payload) / lit(512L)).cast("long") % 512L
+
   object MediaDecoder {
     /** Deterministic fake decode: md5-derived pseudo-dimensions.
-      * Mirrors exactly the SQL the oracle runs, so the full
-      * binary→metadata path is value-checked end-to-end.
+      * Bit-identical to [[decodeWidth]]/[[decodeHeight]] (asserted in
+      * MultimodalSpec), so the mapPartitions codec slot and the codegen
+      * query path are interchangeable.
       */
     def decodeStub(payload: Array[Byte]): (Long, Long) = {
       val md = MessageDigest.getInstance("MD5")
@@ -58,9 +84,10 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** Decode pass: one decoder instance per partition (the expensive
-    * model/codec init happens once per partition, not per row — U3's
-    * lazy-singleton pattern in Dataset form).
+  /** The real-codec slot: one decoder instance per partition (U3's
+    * lazy-singleton pattern in Dataset form). Kept OUT of the
+    * registered queries — an opaque mapPartitions blocks filter
+    * pushdown and column pruning, which only a genuine codec justifies.
     */
   def decodeAll(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
@@ -72,22 +99,34 @@ object Multimodal {
     }
   }
 
+  /** Decoded metadata via the Column path — one codegen stage over the
+    * scan, no opaque boundary.
+    */
+  private def decodedMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).toDF()
+      .select($"doc_id", $"media_type",
+        length($"payload").cast("long").as("n_bytes"),
+        decodeWidth($"payload").as("width"),
+        decodeHeight($"payload").as("height"))
+  }
+
   /** Oracle-checked query: full binary→decode→metadata pipeline. */
   def mediaMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    decodeAll(mediaTable(s, dir)).toDF().orderBy($"doc_id")
+    decodedMeta(s, dir).orderBy($"doc_id")
   }
 
   /** Frame sampling for "video" payloads: every 1000th byte offset, up
-    * to 8 frames, emitted one row per frame with a deterministic
-    * stub-"decoded" frame hash. The generate is a narrow explode of a
-    * bounded sequence — per-row fanout is capped, so the pass stays
-    * shuffle-free at any corpus size.
+    * to 8 frames. The media_type filter sits below everything (only
+    * video rows are touched), the per-row fanout is a bounded explode,
+    * and no decode runs at all — only the payload length is read.
     */
   def frameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    decodeAll(mediaTable(s, dir)).toDF()
+    mediaTable(s, dir).toDF()
       .filter($"media_type" === "video")
+      .select($"doc_id", length($"payload").cast("long").as("n_bytes"))
       .select($"doc_id", $"n_bytes",
         explode(expr("sequence(0, least(cast((n_bytes - 1) / 1000 as int), 7))"))
           .as("frame_idx"))
@@ -97,13 +136,33 @@ object Multimodal {
   }
 
   /** Resize planning for image payloads: fit the decoded dimensions
-    * into a 256-px box preserving aspect ratio — pure arithmetic on the
-    * metadata, no payload touch, so the planner can run it from the
-    * metadata columns alone (binary column pruned at the scan).
+    * into a 256-px box preserving aspect ratio. The image filter runs
+    * BELOW the decode (audio/video payloads are never hashed), and the
+    * whole query is one codegen stage over the scan.
     */
   def resizePlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    decodeAll(mediaTable(s, dir)).toDF()
+    mediaTable(s, dir).toDF()
+      .filter($"media_type" === "image")
+      .select($"doc_id",
+        decodeWidth($"payload").as("width"),
+        decodeHeight($"payload").as("height"))
+      .withColumn("scale", lit(256.0) / greatest($"width", $"height"))
+      .select($"doc_id", $"width", $"height",
+        floor($"width" * $"scale").cast("long").as("out_w"),
+        floor($"height" * $"scale").cast("long").as("out_h"))
+      .orderBy($"doc_id")
+  }
+
+  /** The metadata-only form of [[resizePlan]], over a media table whose
+    * decode metadata was persisted next to the payload (the production
+    * layout at 100 TB — decode once, plan from metadata forever). Takes
+    * the persisted frame directly so the spec can assert the payload
+    * column is pruned from the scan.
+    */
+  def resizePlanFromMeta(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media
       .filter($"media_type" === "image")
       .withColumn("scale", lit(256.0) / greatest($"width", $"height"))
       .select($"doc_id", $"width", $"height",
@@ -112,12 +171,10 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
-  /** Metadata-only aggregate over the decoded stream — the query shape
-    * where column pruning pays off at scale.
-    */
+  /** Metadata-only aggregate over the decoded stream. */
   def mediaStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    decodeAll(mediaTable(s, dir)).toDF()
+    decodedMeta(s, dir)
       .groupBy($"media_type")
       .agg(count(lit(1)).as("n"),
            sum($"n_bytes").as("total_bytes"),

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Multimodal
@@ -14,6 +15,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(w1 >= 64 && w1 < 576 && h1 >= 64 && h1 < 576)
   }
 
+  test("Column decode expressions are bit-identical to the codec-slot stub") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val media = Multimodal.mediaTable(spark, TestSpark.sfDir)
+    val viaColumns = media.toDF()
+      .select($"doc_id",
+        Multimodal.decodeWidth($"payload").as("width"),
+        Multimodal.decodeHeight($"payload").as("height"))
+    val viaStub = Multimodal.decodeAll(media).toDF()
+      .select($"doc_id", $"width", $"height")
+    assert(viaColumns.except(viaStub).count() == 0)
+    assert(viaStub.except(viaColumns).count() == 0)
+  }
+
   test("binary payload plumbing: one metadata row per document, sane sizes") {
     val spark = TestSpark.spark
     import spark.implicits._
@@ -21,9 +36,48 @@ class MultimodalSpec extends AnyFunSuite {
     val meta = Multimodal.mediaMeta(spark, TestSpark.sfDir)
     assert(meta.count() == docs.count())
     val joined = meta.join(docs, "doc_id")
-      .select($"n_bytes", org.apache.spark.sql.functions.length($"text").cast("long").as("len"))
+      .select($"n_bytes", length($"text").cast("long").as("len"))
       .collect()
     joined.foreach(r => assert(r.getLong(0) == r.getLong(1))) // ASCII text: bytes == chars
     assert(meta.select($"media_type").distinct().count() == 3)
+  }
+
+  test("metadata-only resize plan prunes the payload column at the scan") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // The production layout: decode once, persist metadata next to the
+    // payload; planning queries must then never read the binary column.
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    Multimodal.mediaTable(spark, TestSpark.sfDir).toDF()
+      .withColumn("n_bytes", length($"payload").cast("long"))
+      .withColumn("width", Multimodal.decodeWidth($"payload"))
+      .withColumn("height", Multimodal.decodeHeight($"payload"))
+      .write.mode("overwrite").parquet(dir)
+    val persisted = spark.read.parquet(dir)
+    val plan = Multimodal.resizePlanFromMeta(persisted)
+    plan.collect()
+    val planStr = plan.queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(planStr).map(_.group(1)).toList
+    assert(readSchemas.nonEmpty, planStr)
+    readSchemas.foreach { read =>
+      assert(!read.contains("payload"), s"payload not pruned: $read")
+    }
+    // And the result matches the payload-decoding form on the same corpus.
+    val fromPayload = Multimodal.resizePlan(spark, TestSpark.sfDir)
+    assert(plan.except(fromPayload).count() == 0)
+    assert(fromPayload.except(plan).count() == 0)
+  }
+
+  test("registered m04 plan keeps the image filter below the decode") {
+    val spark = TestSpark.spark
+    // The Column-expression decode means the media_type predicate is a
+    // plain filter the optimizer keeps under the projection — the md5
+    // never runs for audio/video rows. Assert no opaque
+    // DeserializeToObject/mapPartitions boundary is in the plan.
+    val plan = Multimodal.resizePlan(spark, TestSpark.sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("MapPartitions"), plan)
+    assert(!plan.contains("DeserializeToObject"), plan)
   }
 }
