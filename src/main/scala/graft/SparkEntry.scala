@@ -49,7 +49,6 @@ object SparkEntry {
     "e05_asof_attribution"   -> (EventOps.purchaseAttribution _),
     "e06_first_events"       -> (EventOps.firstEvents _),
     "e07_type_shares"        -> (EventOps.typeShares _),
-    "e08_user_series_sim"    -> (EventOps.userSeriesSimilarity _),
     "e09_user_sim_bucketed"  -> (EventOps.userSeriesSimilarityBucketed _),
     // ---- text analysis (LLM-pipeline extensions) ----
     "t01_token_stats"        -> (TextOps.tokenStats _),
@@ -64,15 +63,17 @@ object SparkEntry {
     "t10_topk_per_source"    -> (TextOps.topTermsPerSource _),
     "t11_training_selection" -> (TextOps.trainingSelection _),
     // ---- deduplication (LLM-pipeline extensions) ----
+    // The all-pairs / uncapped forms (Dedup.minhashLshPairs,
+    // Dedup.simhashPairs, Dedup.embeddingDupPairs,
+    // EventOps.userSeriesSimilarity) are deliberately NOT registered:
+    // they are the small-input recall oracles for the bucketed scale
+    // paths below (d08/d09/d10/e09), value-checked in RecallSpec.
     "d01_exact_dups"         -> (Dedup.exactDupGroups _),
     "d02_minhash_sigs"       -> (Dedup.minhashSignatures _),
-    "d03_minhash_lsh_pairs"  -> (Dedup.minhashLshPairs _),
     "d04_shingle_jaccard"    -> (Dedup.shingleJaccardPairs _),
     "d08_lsh_pairs_capped"   -> ((s, d) => Dedup.minhashLshPairsCapped(s, d)),
     "d05_simhash"            -> (Dedup.simhash _),
-    "d06_simhash_pairs"      -> (Dedup.simhashPairs _),
     "d09_simhash_banded"     -> (Dedup.simhashPairsBanded _),
-    "d07_embedding_dups"     -> (Dedup.embeddingDupPairs _),
     "d10_embedding_bucketed" -> (Dedup.embeddingDupPairsBucketed _),
     // ---- similarity search ----
     "s01_knn_brute"          -> (Similarity.bruteForceKnn _),
@@ -271,20 +272,6 @@ object SparkEntry {
         SELECT event_type, count(*) AS n,
           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
         FROM events GROUP BY event_type ORDER BY event_type""",
-      "e08_user_series_sim" -> {
-        val hourSums = (0 until 24).map(h =>
-          s"CAST(CAST(sum(CASE WHEN hour(ts) = $h THEN CAST(value AS DECIMAL(18,4)) " +
-          s"ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)").mkString(", ")
-        s"""
-        WITH v AS (SELECT user_id, [$hourSums] AS v FROM events GROUP BY user_id),
-        nv AS (SELECT user_id,
-                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
-               FROM v)
-        SELECT a.user_id AS user_a, b.user_id AS user_b,
-          list_dot_product(a.u, b.u) AS cos
-        FROM nv a JOIN nv b ON a.user_id < b.user_id
-        ORDER BY cos DESC, user_a, user_b LIMIT 10"""
-      },
       "e09_user_sim_bucketed" -> {
         val hourSums = (0 until 24).map(h =>
           s"CAST(CAST(sum(CASE WHEN hour(ts) = $h THEN CAST(value AS DECIMAL(18,4)) " +
@@ -425,20 +412,6 @@ object SparkEntry {
           list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS minhash
         FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii
         ORDER BY doc_id, i""",
-      "d03_minhash_lsh_pairs" -> """
-        WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
-                      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
-                    FROM documents),
-        mh AS (SELECT doc_id, i,
-                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
-               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
-        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
-        bands AS (SELECT doc_id, j,
-                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
-                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj)
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-        ORDER BY doc_a, doc_b""",
       "d08_lsh_pairs_capped" -> """
         WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
                       t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
@@ -479,20 +452,6 @@ object SparkEntry {
               FROM h, (SELECT unnest(generate_series(0, 31)) AS i) ii GROUP BY doc_id, i)
         SELECT doc_id, CAST(sum(CASE WHEN w >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
         FROM b GROUP BY doc_id ORDER BY doc_id""",
-      "d06_simhash_pairs" -> """
-        WITH tc AS (SELECT doc_id, tok, count(*) AS cnt FROM (
-                      SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
-                      FROM documents) x GROUP BY doc_id, tok),
-        h AS (SELECT doc_id, cnt, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tc),
-        b AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS w
-              FROM h, (SELECT unnest(generate_series(0, 31)) AS i) ii GROUP BY doc_id, i),
-        sh AS (SELECT doc_id, CAST(sum(CASE WHEN w >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
-               FROM b GROUP BY doc_id)
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
-        ORDER BY doc_a, doc_b""",
       "d09_simhash_banded" -> """
         WITH tc AS (SELECT doc_id, tok, count(*) AS cnt FROM (
                       SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
@@ -511,15 +470,6 @@ object SparkEntry {
         SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 8
         ORDER BY doc_a, doc_b""",
-      "d07_embedding_dups" -> """
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-                   FROM embeddings)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-          list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
-        ORDER BY id_a, id_b""",
       "d10_embedding_bucketed" -> """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,

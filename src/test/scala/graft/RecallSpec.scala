@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, EventOps}
+
+/** Recall oracles for the bucketed/capped scale paths: the all-pairs /
+  * uncapped forms are exhaustive ground truth on the small sf0.001
+  * corpus, and each registered scale path must (a) emit only pairs the
+  * ground truth contains, with identical values, and (b) honor its
+  * stated guarantee (containment for capping, the pigeonhole bound for
+  * banding). This is why the all-pairs forms exist at all — they never
+  * run at scale and are not registered in SparkEntry.queries.
+  */
+class RecallSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private def dir = TestSpark.sfDir
+
+  test("d08 capped LSH pairs are a subset of the uncapped d03 pairs") {
+    val uncapped = Dedup.minhashLshPairs(spark, dir)
+    val capped = Dedup.minhashLshPairsCapped(spark, dir)
+    assert(capped.count() > 0)
+    assert(capped.except(uncapped).count() == 0)
+  }
+
+  test("d09 banded SimHash pairs are a subset of all-pairs d06, and catch all hamming<=3") {
+    val spark0 = spark
+    import spark0.implicits._
+    val allPairs = Dedup.simhashPairs(spark, dir)
+    val banded = Dedup.simhashPairsBanded(spark, dir)
+    assert(banded.count() > 0)
+    assert(banded.except(allPairs).count() == 0)
+    // Pigeonhole: a pair differing in <= 3 of 32 bits cannot differ in
+    // all 4 byte-bands, so banding is guaranteed to catch it.
+    val close = allPairs.filter($"hamming" <= 3)
+    assert(close.except(banded).count() == 0)
+  }
+
+  test("d10 bucketed embedding dups are a subset of all-pairs d07 with identical cosines") {
+    val allPairs = Dedup.embeddingDupPairs(spark, dir)
+    val bucketed = Dedup.embeddingDupPairsBucketed(spark, dir)
+    assert(bucketed.count() > 0)
+    assert(bucketed.except(allPairs).count() == 0)
+  }
+
+  test("e09 bucketed top-10 is dominated rank-by-rank by the exact e08 top-10") {
+    val exact = EventOps.userSeriesSimilarity(spark, dir)
+      .select("cos").collect().map(_.getDouble(0))
+    val bucketed = EventOps.userSeriesSimilarityBucketed(spark, dir)
+      .select("cos").collect().map(_.getDouble(0))
+    assert(bucketed.nonEmpty && bucketed.length <= exact.length)
+    bucketed.zip(exact).foreach { case (b, e) =>
+      assert(b <= e + 1e-12, s"bucketed cos $b exceeds exact $e at same rank")
+    }
+  }
+}
