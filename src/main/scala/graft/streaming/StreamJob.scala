@@ -25,13 +25,18 @@ import graft.pipeline.EntityPipeline
   */
 object StreamJob {
 
-  /** CLI surface of the reference (readme.md:88-96 / .env.example). */
+  /** CLI surface of the reference (readme.md:88-96 / .env.example).
+    * `trigger` is the interval string exactly as the reference takes it
+    * (spark_entity_counter.py:95, e.g. "30 seconds"); the checkpoint
+    * dir defaults to the reference's hardcoded path
+    * (spark_entity_counter.py:153) but is overridable.
+    */
   final case class Config(
-      bootstrapServers: String,
-      inputTopic: String,
-      outputTopic: String,
-      checkpointDir: String,
-      triggerSeconds: Int = 30)
+      bootstrapServers: String = "localhost:9092",
+      inputTopic: String = "topic1",
+      outputTopic: String = "topic2",
+      checkpointDir: String = "/tmp/spark_entity_counter_checkpoint",
+      trigger: String = "30 seconds")
 
   /** Kafka-value stream → entity-count stream serialized for the sink.
     * `current_timestamp` stamps rows per-trigger exactly like the
@@ -69,7 +74,7 @@ object StreamJob {
       .option("topic", cfg.outputTopic)
       .option("checkpointLocation", cfg.checkpointDir)
       .outputMode(OutputMode.Complete)
-      .trigger(Trigger.ProcessingTime(s"${cfg.triggerSeconds} seconds"))
+      .trigger(Trigger.ProcessingTime(cfg.trigger))
       .start()
   }
 
