@@ -62,6 +62,7 @@ object SparkEntry {
     "t09_rolling_fingerprint"-> (TextOps.rollingFingerprints _),
     "t10_topk_per_source"    -> (TextOps.topTermsPerSource _),
     "t11_training_selection" -> (TextOps.trainingSelection _),
+    "t13_tfidf"              -> (TextOps.tfIdf _),
     // ---- deduplication (LLM-pipeline extensions) ----
     // The all-pairs / uncapped forms (Dedup.minhashLshPairs,
     // Dedup.simhashPairs, Dedup.embeddingDupPairs,
@@ -75,6 +76,7 @@ object SparkEntry {
     "d05_simhash"            -> (Dedup.simhash _),
     "d09_simhash_banded"     -> (Dedup.simhashPairsBanded _),
     "d10_embedding_bucketed" -> (Dedup.embeddingDupPairsBucketed _),
+    "d11_dup_clusters"       -> ((s, d) => Dedup.dupClusters(s, d)),
     // ---- similarity search ----
     "s01_knn_brute"          -> (Similarity.bruteForceKnn _),
     "s02_knn_bucketed"       -> (Similarity.bucketedKnn _),
@@ -385,6 +387,19 @@ object SparkEntry {
         WHERE k.doc_id IN (SELECT doc_id FROM canonical)
           AND k.doc_id NOT IN (SELECT doc_id FROM juniors)
         ORDER BY k.doc_id""",
+      "t13_tfidf" -> """
+        WITH tc AS (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS term
+                    FROM documents),
+        tf AS (SELECT source, term, count(*) AS tf FROM tc GROUP BY source, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        ns AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+        x AS (SELECT f.source, f.term, f.tf, d.df,
+                CAST(f.tf AS DOUBLE) * ln(CAST(n_sources AS DOUBLE) / CAST(d.df AS DOUBLE)) AS tfidf
+              FROM tf f JOIN df d ON f.term = d.term CROSS JOIN ns)
+        SELECT source, rank, term, tf, df, tfidf FROM (
+          SELECT *, row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, term) AS rank
+          FROM x) t
+        WHERE rank <= 5 ORDER BY source, rank""",
       "t12_normalize" -> """
         SELECT doc_id, length(text) AS raw_len,
           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean_text,
@@ -483,6 +498,31 @@ object SparkEntry {
         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
         ORDER BY id_a, id_b""",
+      "d11_dup_clusters" -> """
+        WITH RECURSIVE
+        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+               FROM documents),
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        small AS (SELECT j, bkey FROM bands GROUP BY j, bkey
+                  HAVING count(*) <= 64 AND count(*) > 1),
+        inb AS (SELECT b.* FROM bands b JOIN small s ON b.j = s.j AND b.bkey = s.bkey),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node)
+        SELECT node AS doc_id, min(lbl) AS cluster_id
+        FROM walk GROUP BY node ORDER BY doc_id""",
       "s01_knn_brute" -> """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm

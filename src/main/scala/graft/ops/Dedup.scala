@@ -172,6 +172,53 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Duplicate-cluster assignment: connected components over the
+    * capped-LSH candidate-pair graph ([[minhashLshPairsCapped]]), each
+    * doc labeled with the min doc_id of its component — the step a real
+    * dedup pipeline runs after pair generation, so "keep one per
+    * cluster" becomes a plain filter (doc_id = cluster_id).
+    *
+    * Algorithm: iterative min-label propagation to fixpoint (the Pregel
+    * formulation of CC). Each round is one equi-join of the edge list
+    * against current labels plus a min-aggregate — linear shuffles, no
+    * all-pairs anywhere — and the round count is the graph diameter,
+    * which for near-dup clusters is tiny (clusters are dense blobs, not
+    * long chains; the corpus converges in 3 rounds). At 1000-executor
+    * scale the same loop runs with the edge list persisted across
+    * rounds; the large-star/small-star variant (Kiveris et al.) would
+    * cut rounds to O(log d) if diameters ever grew — not worth the
+    * extra shuffles here. The driver holds only the per-round changed
+    * COUNT (a scalar), never data.
+    *
+    * Exact and deterministic (min label is partition-order-free), so
+    * the DuckDB oracle reproduces it with a recursive reachability CTE.
+    */
+  def dupClusters(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import s.implicits._
+    val pairs = minhashLshPairsCapped(s, dir, cap).select($"doc_a", $"doc_b")
+    val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
+      .toDF("src", "dst").persist()
+    var labels = edges.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("lbl")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select($"dst".as("node"), $"lbl".as("nlbl"))
+        .groupBy($"node").agg(min($"nlbl").as("nlbl"))
+      val next = labels.join(prop, Seq("node"), "left")
+        .select($"node", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("node"))
+        .filter($"lbl" =!= $"old").count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select($"node".as("doc_id"), $"lbl".as("cluster_id")).orderBy($"doc_id")
+  }
+
   /** Word-3-gram Jaccard similarity over candidate pairs generated by a
     * shared-shingle equi-join (inverted-index style — only docs sharing
     * at least one shingle are ever paired, so sparsity bounds the work).

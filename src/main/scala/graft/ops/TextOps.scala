@@ -224,6 +224,35 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** TF-IDF top-5 terms per source: tf = term count within a source's
+    * corpus, df = number of sources containing the term, idf =
+    * ln(n_sources / df). One shuffle builds the (source, term) counts,
+    * a vocab-sized aggregate derives df, and n_sources arrives as a
+    * one-row broadcast (scalar cross join — never a per-row subquery).
+    * The final ranking windows over the aggregated vocab table, not the
+    * corpus, so its input is bounded by |sources| × |vocab| regardless
+    * of corpus size. Expression structure (cast-then-divide-then-ln) is
+    * identical to the oracle for bit-reproducible doubles.
+    */
+  def tfIdf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = documents(s, dir)
+      .select($"source", explode(toks($"text")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nSources = documents(s, dir).agg(countDistinct($"source").as("n_sources"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(nSources))
+      .withColumn("tfidf",
+        $"tf".cast("double") * log($"n_sources".cast("double") / $"df".cast("double")))
+    val w = Window.partitionBy($"source").orderBy($"tfidf".desc, $"term")
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"source", $"rank", $"term", $"tf", $"df", $"tfidf")
+      .orderBy($"source", $"rank")
+  }
+
   /** Approximate distinct terms per source (HyperLogLog++) next to the
     * exact count — the 100 TB path is the approx one (constant memory,
     * one pass); exact is there for the oracle-less sanity check.
