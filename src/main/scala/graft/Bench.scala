@@ -9,6 +9,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Constraint propagation re-derives isnotnull() constraints from
+      // join keys and filters and substitutes the FULL defining
+      // expression of derived columns into scan-stage filters — for
+      // this engine's interpreted higher-order folds (MinHash/SimHash
+      // signatures) that re-evaluates the whole hash pipeline per row.
+      // No query here relies on inferred constraints (keys are never
+      // null); turning it off keeps every fold single-evaluation.
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -18,7 +26,12 @@ object Bench {
     // otherwise lands on an arbitrary map-ordered query).
     spark.range(1000).selectExpr("sum(id)").collect()
     try { Tables.lineitem(spark, sfDir).limit(1).count() } catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional name filter for local iteration on a single query:
+    //   SPARK_GRAFT_ONLY=d11_dup_clusters sbt "runMain graft.Bench"
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val selected = only.fold(SparkEntry.queries)(re =>
+      SparkEntry.queries.filter { case (k, _) => k.matches(re) })
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>

