@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, Coalesce, Expression, ExpressionInfo, In, LambdaFunction, Literal, NamedLambdaVariable, Or, RLike, StringSplit}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.FloatVectorDot
+import graft.functions.{FloatVectorDot, MinHashBands, MinHashSig, RollingHash, ShingleHashes, SimHash60}
 import graft.ner.RuleNer
 
 /** SQL-surface registration for the engine's custom functions, so SQL
@@ -42,10 +42,22 @@ object GraftFunctions {
     ArrayFilter(toks, LambdaFunction(isEntity, Seq(t)))
   }
 
+  /** The text-hash expression family (TextHashes.scala), SQL-callable:
+    * minhash_sig / minhash_bands / simhash60 / shingle_hashes /
+    * rolling_hash, each a single codegen'd call over a string column.
+    */
+  val hashBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_sig" -> (exprs => MinHashSig(exprs.head)),
+    "minhash_bands" -> (exprs => MinHashBands(exprs.head)),
+    "simhash60" -> (exprs => SimHash60(exprs.head)),
+    "shingle_hashes" -> (exprs => ShingleHashes(exprs.head)),
+    "rolling_hash" -> (exprs => RollingHash(exprs.head)))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vec_dot", vecDotBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("rule_ner", ruleNerBuilder, "scala_udf")
+    hashBuilders.foreach { case (n, b) => reg.createOrReplaceTempFunction(n, b, "scala_udf") }
   }
 }
 
@@ -59,5 +71,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rule_ner"),
       new ExpressionInfo(RuleNer.getClass.getName, "rule_ner"),
       GraftFunctions.ruleNerBuilder))
+    GraftFunctions.hashBuilders.foreach { case (n, b) =>
+      e.injectFunction((FunctionIdentifier(n),
+        new ExpressionInfo(classOf[MinHashSig].getName, n), b))
+    }
   }
 }

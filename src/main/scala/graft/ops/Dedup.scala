@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.functions.TextHashes._
 import graft.functions.VectorFunctions._
 
 /** Deduplication operators for a training-data pipeline, over the
@@ -30,12 +31,6 @@ import graft.functions.VectorFunctions._
   */
 object Dedup {
 
-  /** 32-bit md5-derived hash, identical in DuckDB. */
-  private def h32(e: String): String =
-    s"cast(conv(substring(md5($e), 1, 8), 16, 10) as bigint)"
-
-  private val toksE = "split(text, '\\\\s+')"
-
   /** Exact duplicate groups by full-text md5. One narrow projection +
     * one aggregate on the 128-bit digest — the canonical exact-dedup at
     * any scale (the digest, not the document, is what shuffles).
@@ -52,88 +47,46 @@ object Dedup {
   /** MinHash signature family: one md5 per token (h32), then 12 cheap
     * affine rehashes h_i(t) = ((2i+1)·h + 40503·i) mod (2³¹−1) — the
     * standard universal-hash trick that avoids 12 md5 evaluations per
-    * token.
-    *
-    * CRITICAL SHAPE CONSTRAINT (measured, not theoretical): every array
-    * expression here is a SINGLE `aggregate` fold over its input — never
-    * `transform(sequence(...), i -> arr[i])`. Catalyst inlines projected
-    * aliases into downstream inferred filters (join-key `isnotnull`
-    * constraints push all the way into the scan), and an index-based
-    * lambda re-evaluates the whole child array per index — O(n²) md5
-    * work per document at the single-task scan stage (10+ s at sf0.1).
-    * A fold stays O(n) no matter where the optimizer re-evaluates it.
+    * token. Computed by the native codegen expression
+    * [[graft.functions.MinHashSig]] — one static call per row inside
+    * whole-stage codegen (see TextHashes.scala for why the earlier
+    * higher-order-function folds were replaced: interpreted lambda
+    * dispatch per token×slot was the measured floor under every dedup
+    * query).
     */
-  private val sigExpr: String =
-    "aggregate(th, array_repeat(cast(2147483647 as bigint), 12), " +
-      "(acc, h) -> zip_with(acc, sequence(0, 11), " +
-      "(m, i) -> least(m, ((2*i + 1) * h + 40503 * i) % 2147483647)))"
-
-  /** Token-hash array, projected once and cut off with a repartition
-    * barrier: without the barrier, CollapseProject re-inlines the md5
-    * pipeline into every downstream consumer (including the filter the
-    * optimizer infers under explode), multiplying the hash work; with
-    * it, the array is materialized once and — because both sides of the
-    * self-joins produce the identical exchange — ReusedExchange computes
-    * it once for both branches.
-    */
-  private def tokenHashes(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    documents(s, dir)
-      .select($"doc_id", expr(s"transform($toksE, t -> ${h32("t")})").as("th"))
-      .repartition($"doc_id")
-  }
 
   /** MinHash signatures in long form (doc_id, i, minhash) — the
     * oracle-checkable dump of the signature matrix.
     */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    tokenHashes(s, dir)
-      .select($"doc_id", expr(sigExpr).as("sig"))
-      .repartition($"doc_id")
-      .select($"doc_id", posexplode($"sig"))
+    documents(s, dir)
+      .select($"doc_id", posexplode(minhash_sig($"text")))
       .select($"doc_id", $"pos".cast("long").as("i"), $"col".as("minhash"))
       .orderBy($"doc_id", $"i")
   }
 
-  /** LSH candidate pairs: 4 bands × 3 rows, band keys packed into one
-    * long (mod 2³¹−1; collisions only merge buckets, identically in the
-    * oracle). Docs sharing any band key become a candidate pair via an
-    * equi-join on (band, key) — linear shuffle, never all-pairs.
-    * (Probability calibration: a pair with Jaccard j collides with prob
-    * 1-(1-j³)⁴.)
+  /** LSH candidate pairs: 4 bands × 3 signature rows, band keys packed
+    * into one long (mod 2³¹−1; collisions only merge buckets,
+    * identically in the oracle). Docs sharing any band key become a
+    * candidate pair via an equi-join on (band, key) — linear shuffle,
+    * never all-pairs. (Probability calibration: a pair with Jaccard j
+    * collides with prob 1-(1-j³)⁴.)
+    *
+    * Skew note for 100 TB: on corpora with heavy template reuse a
+    * single band bucket can hold thousands of docs (measured: max
+    * bucket 2668 of 5000 docs on the synthetic corpus → 15M candidate
+    * pairs). The standard mitigations compose here unchanged: cap
+    * bucket size ([[minhashLshPairsCapped]]), salt the band key, or
+    * lean on AQE skew-join splitting.
     */
-  // Skew note for 100 TB: on corpora with heavy template reuse a single
-  // band bucket can hold thousands of docs (measured: max bucket 2668 of
-  // 5000 docs on the synthetic corpus → 15M candidate pairs). The
-  // standard mitigations compose here unchanged: cap bucket size (drop
-  // or sample pathological buckets — they are near-certain duplicates
-  // anyway), or salt the band key with a secondary hash and union the
-  // splits. AQE's skew-join handling also splits oversized partitions
-  // at runtime.
-  /** Single fold over the 12-element signature, emitting one packed
-    * band key per 3 rows — same ((m0·31+m1) mod M ·31 + m2) mod M value
-    * the oracle computes by indexing, but with no arr[i] access (see
-    * sigExpr's shape constraint).
+  /** (band, bkey, doc_id) — the LSH index both pair generators share,
+    * one codegen'd [[graft.functions.MinHashBands]] call per document.
     */
-  private val bandsExpr: String =
-    "aggregate(sig, " +
-      "named_struct('cnt', 0, 'cur', cast(0 as bigint), 'acc', cast(array() as array<bigint>)), " +
-      "(a, m) -> named_struct(" +
-      "'cnt', a.cnt + 1, " +
-      "'cur', case when (a.cnt + 1) % 3 = 0 then cast(0 as bigint) " +
-      "       else (a.cur * 31 + m) % 2147483647 end, " +
-      "'acc', case when (a.cnt + 1) % 3 = 0 " +
-      "       then array_append(a.acc, (a.cur * 31 + m) % 2147483647) else a.acc end), " +
-      "a -> a.acc)"
-
-  /** (band, bkey, doc_id) — the LSH index both pair generators share. */
   private def bandKeys(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    tokenHashes(s, dir)
-      .select($"doc_id", expr(sigExpr).as("sig"))
-      .repartition($"doc_id")
-      .select($"doc_id", posexplode(expr(bandsExpr)))
+    documents(s, dir)
+      .select($"doc_id", posexplode(minhash_bands($"text")))
       .select($"pos".as("band"), $"col".as("bkey"), $"doc_id")
   }
 
@@ -245,36 +198,17 @@ object Dedup {
   /** Word-3-gram Jaccard similarity over candidate pairs generated by a
     * shared-shingle equi-join (inverted-index style — only docs sharing
     * at least one shingle are ever paired, so sparsity bounds the work).
-    * Shingles are md5-hashed to longs before the explode: the join
+    * Shingles are md5-hashed to longs by the codegen'd
+    * [[graft.functions.ShingleHashes]] before the explode: the join
     * shuffles 8-byte keys instead of ~20-char strings, and the pair
     * explosion compares primitives. (Hash collisions would fold two
     * shingles together — identically in the oracle, which hashes the
     * same way.)
-    *
-    * Two repartition barriers keep the plan linear: the first
-    * materializes the token array before the shingle lambda indexes it
-    * (else Catalyst re-evaluates `split` per index — O(tokens²)); the
-    * second materializes the hash array so the filter inferred under
-    * explode checks an attribute instead of re-running the md5 pass.
     */
   def shingleJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Shingle hash = arithmetic combination of the three token md5s
-    // (((h0·31+h1) mod M)·31+h2) mod M, built by one fold that carries
-    // the previous two token hashes — linear in tokens under arbitrary
-    // optimizer inlining (see sigExpr's shape constraint), and md5 runs
-    // once per token, not once per shingle.
-    val shExpr =
-      "array_distinct(aggregate(th, " +
-        "named_struct('p2', cast(null as bigint), 'p1', cast(null as bigint), " +
-        "'acc', cast(array() as array<bigint>)), " +
-        "(a, h) -> named_struct('p2', a.p1, 'p1', h, " +
-        "'acc', case when a.p2 is null then a.acc " +
-        "       else array_append(a.acc, ((a.p2 * 31 + a.p1) % 2147483647 * 31 + h) % 2147483647) end), " +
-        "a -> a.acc))"
-    val sh = tokenHashes(s, dir)
-      .select($"doc_id", expr(shExpr).as("sh"))
-      .repartition($"doc_id")
+    val sh = documents(s, dir)
+      .select($"doc_id", shingle_hashes($"text").as("sh"))
       .select($"doc_id", size($"sh").as("nsh"), explode($"sh").as("shash"))
     val a = sh.toDF("doc_a", "na", "sh_a")
     val b = sh.toDF("doc_b", "nb", "sh_b")
@@ -289,50 +223,24 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** 60-bit SimHash (Charikar-style, Google's near-dup fingerprint is
-    * the 64-bit variant; 60 bits = 15 md5 hex chars keeps the value
-    * positive in a signed 64-bit int on BOTH engines), built in ONE
-    * narrow fold over a 60-bit token-hash array: the
-    * frequency-weighted bit vote Σ_distinct-tokens cnt·(±1) equals the
-    * plain per-occurrence sum Σ_occurrences (±1), so no (doc, token)
-    * aggregate — and no per-bit explode — is needed at all. The outer
-    * fold packs the sign bits; both folds are O(tokens + 60) per
-    * document with zero shuffles.
+  /** 60-bit SimHash (Charikar-style; 60 bits = 15 md5 hex chars keeps
+    * the value positive in a signed 64-bit int on BOTH engines),
+    * computed by the codegen'd [[graft.functions.SimHash60]] — one
+    * static call per row. The frequency-weighted bit vote
+    * Σ_distinct-tokens cnt·(±1) equals the plain per-occurrence sum, so
+    * no (doc, token) aggregate is needed at all.
     *
     * Width matters at scale: band buckets are keyed by simhash
     * fragments, so bucket count — and with it candidate-pair dilution
     * in [[simhashPairsBanded]] — grows exponentially with band width.
     * 8-bit bands (of a 32-bit hash) give 256 buckets and a
-    * corpus-quadratic candidate volume (measured 56M joined rows at
-    * sf0.1); 15-bit bands give 32,768 and keep the join output-bound
-    * by true near-dups.
-    */
-  private val simhashExpr: String =
-    "aggregate(" +
-      "aggregate(th, array_repeat(cast(0 as bigint), 60), " +
-      "(acc, h) -> zip_with(acc, sequence(0, 59), " +
-      "(w, i) -> w + case when (h >> i) & 1 = 1 then 1 else -1 end)), " +
-      "named_struct('i', 0, 'sh', cast(0 as bigint)), " +
-      "(a, w) -> named_struct('i', a.i + 1, " +
-      "'sh', a.sh + case when w >= 0 then shiftleft(cast(1 as bigint), a.i) " +
-      "             else cast(0 as bigint) end), " +
-      "a -> a.sh)"
-
-  /** (doc_id, simhash) with a repartition barrier so every consumer
-    * (d05's dump, d06's self-join, d09's 4-band transform) reads the
-    * hash as an attribute instead of re-inlining the fold. The token
-    * hashes here are 60-bit (15 hex chars of the md5) — separate from
-    * [[tokenHashes]]'s 32-bit values, whose width the MinHash affine
-    * rehash family depends on.
+    * corpus-quadratic candidate volume; 15-bit bands give 32,768 and
+    * keep the join output-bound by true near-dups.
     */
   private def simhashDf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     documents(s, dir)
-      .select($"doc_id", expr(
-        s"transform($toksE, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))").as("th"))
-      .repartition($"doc_id")
-      .select($"doc_id", expr(simhashExpr).as("simhash"))
-      .repartition($"doc_id")
+      .select($"doc_id", simhash60($"text").as("simhash"))
   }
 
   def simhash(s: SparkSession, dir: String): DataFrame = {

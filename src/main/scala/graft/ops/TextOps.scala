@@ -138,16 +138,15 @@ object TextOps {
   }
 
   /** Order-sensitive document fingerprint: polynomial rolling hash over
-    * the per-token md5 hashes, as a single linear fold (same shape
-    * constraint as Dedup.sigExpr — no indexed array access).
+    * the per-token md5 hashes, via the codegen'd
+    * [[graft.functions.RollingHash]] (one static call per row — see
+    * TextHashes.scala for the fold-replacement rationale).
     */
   def rollingFingerprints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val h32t = "cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)"
     documents(s, dir)
-      .select($"doc_id", expr(
-        s"aggregate(transform(split(text, '\\\\s+'), t -> $h32t), " +
-          "cast(0 as bigint), (acc, h) -> (acc * 31 + h) % 2147483647)").as("rolling_hash"))
+      .select($"doc_id",
+        graft.functions.TextHashes.rolling_hash($"text").as("rolling_hash"))
       .orderBy($"doc_id")
   }
 

@@ -33,4 +33,74 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(counts.collect().toSeq.map(r => (r.getString(0), r.getLong(1))) ==
            viaDf.collect().toSeq.map(r => (r.getString(0), r.getLong(1))))
   }
+
+  test("native hash expressions are bit-identical to the HOF fold formulations") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.functions.TextHashes._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select($"doc_id", $"text")
+
+    // The pre-expression fold forms (see git history: Dedup.sigExpr,
+    // bandsExpr, simhashExpr, shExpr; TextOps rolling fold) — kept here
+    // verbatim as the executable spec of the hash math.
+    val h32 = "cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)"
+    val th32 = s"transform(split(text, '\\\\s+'), t -> $h32)"
+    val h60 = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+    val th60 = s"transform(split(text, '\\\\s+'), t -> $h60)"
+    val sigExpr =
+      s"aggregate($th32, array_repeat(cast(2147483647 as bigint), 12), " +
+        "(acc, h) -> zip_with(acc, sequence(0, 11), " +
+        "(m, i) -> least(m, ((2*i + 1) * h + 40503 * i) % 2147483647)))"
+    val bandsExpr =
+      s"aggregate($sigExpr, " +
+        "named_struct('cnt', 0, 'cur', cast(0 as bigint), 'acc', cast(array() as array<bigint>)), " +
+        "(a, m) -> named_struct(" +
+        "'cnt', a.cnt + 1, " +
+        "'cur', case when (a.cnt + 1) % 3 = 0 then cast(0 as bigint) " +
+        "       else (a.cur * 31 + m) % 2147483647 end, " +
+        "'acc', case when (a.cnt + 1) % 3 = 0 " +
+        "       then array_append(a.acc, (a.cur * 31 + m) % 2147483647) else a.acc end), " +
+        "a -> a.acc)"
+    val simhashExpr =
+      s"aggregate(aggregate($th60, array_repeat(cast(0 as bigint), 60), " +
+        "(acc, h) -> zip_with(acc, sequence(0, 59), " +
+        "(w, i) -> w + case when (h >> i) & 1 = 1 then 1 else -1 end)), " +
+        "named_struct('i', 0, 'sh', cast(0 as bigint)), " +
+        "(a, w) -> named_struct('i', a.i + 1, " +
+        "'sh', a.sh + case when w >= 0 then shiftleft(cast(1 as bigint), a.i) " +
+        "             else cast(0 as bigint) end), " +
+        "a -> a.sh)"
+    val shExpr =
+      s"array_distinct(aggregate($th32, " +
+        "named_struct('p2', cast(null as bigint), 'p1', cast(null as bigint), " +
+        "'acc', cast(array() as array<bigint>)), " +
+        "(a, h) -> named_struct('p2', a.p1, 'p1', h, " +
+        "'acc', case when a.p2 is null then a.acc " +
+        "       else array_append(a.acc, ((a.p2 * 31 + a.p1) % 2147483647 * 31 + h) % 2147483647) end), " +
+        "a -> a.acc))"
+    val rollExpr =
+      s"aggregate($th32, cast(0 as bigint), (acc, h) -> (acc * 31 + h) % 2147483647)"
+
+    val diff = docs.select($"doc_id",
+        minhash_sig($"text").as("e_sig"), expr(sigExpr).as("f_sig"),
+        minhash_bands($"text").as("e_bands"), expr(bandsExpr).as("f_bands"),
+        simhash60($"text").as("e_sim"), expr(simhashExpr).as("f_sim"),
+        shingle_hashes($"text").as("e_sh"), expr(shExpr).as("f_sh"),
+        rolling_hash($"text").as("e_roll"), expr(rollExpr).as("f_roll"))
+      .filter($"e_sig" =!= $"f_sig" || $"e_bands" =!= $"f_bands" ||
+              $"e_sim" =!= $"f_sim" || $"e_sh" =!= $"f_sh" ||
+              $"e_roll" =!= $"f_roll")
+    assert(diff.count() == 0)
+
+    // And the SQL registration exposes the same values.
+    GraftFunctions.register(spark)
+    docs.limit(5).createOrReplaceTempView("v_hash_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, simhash60(text) AS sh, rolling_hash(text) AS rh FROM v_hash_docs")
+    val viaCol = docs.limit(5).select($"doc_id",
+      simhash60($"text").as("sh"), rolling_hash($"text").as("rh"))
+    assert(viaSql.except(viaCol).count() == 0)
+  }
 }
