@@ -80,6 +80,8 @@ object SparkEntry {
     // ---- similarity search ----
     "s01_knn_brute"          -> (Similarity.bruteForceKnn _),
     "s02_knn_bucketed"       -> (Similarity.bucketedKnn _),
+    "s03_label_purity"       -> (Similarity.knnLabelPurity _),
+    "t14_hash_split"         -> (TextOps.hashSplit _),
     // ---- multimodal binary columns (decode stubbed, plumbing real) ----
     "m01_media_meta"         -> (Multimodal.mediaMeta _),
     "m02_media_stats"        -> (Multimodal.mediaStats _),
@@ -523,6 +525,31 @@ object SparkEntry {
           SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node)
         SELECT node AS doc_id, min(lbl) AS cluster_id
         FROM walk GROUP BY node ORDER BY doc_id""",
+      "s03_label_purity" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+                     (CASE WHEN embedding[1] > 0.0 THEN 1 ELSE 0 END) +
+                     (CASE WHEN embedding[2] > 0.0 THEN 2 ELSE 0 END) +
+                     (CASE WHEN embedding[3] > 0.0 THEN 4 ELSE 0 END) +
+                     (CASE WHEN embedding[4] > 0.0 THEN 8 ELSE 0 END) AS bucket
+                   FROM embeddings),
+        top1 AS (SELECT q_label, nbr_label FROM (
+          SELECT q.label AS q_label, e.label AS nbr_label,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_dot_product(q.v, e.v) / (q.nrm * e.nrm) DESC, e.vec_id) AS rank
+          FROM e q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id) t
+          WHERE rank = 1)
+        SELECT q_label AS label, count(*) AS n_vecs,
+          CAST(sum(CASE WHEN nbr_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_top1_match,
+          CAST(CAST(sum(CASE WHEN nbr_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / count(*) AS purity
+        FROM top1 GROUP BY q_label ORDER BY label""",
+      "t14_hash_split" -> """
+        SELECT doc_id, source,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+          CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id""",
       "s01_knn_brute" -> """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm

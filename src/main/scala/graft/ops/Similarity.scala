@@ -66,4 +66,35 @@ object Similarity {
       .select($"q_id", $"rank", $"vec_id", $"cos")
       .orderBy($"q_id", $"rank")
   }
+
+  /** Label-purity audit — the mislabeled-example detector of a training
+    * pipeline: every vector's 1-NN (within its LSH bucket, self
+    * excluded) is compared to its own label, aggregated per label.
+    * Deliberately built from comparisons and integer counts only — no
+    * floating-point row-sums — so the result is bit-deterministic under
+    * any shuffle order (a float centroid mean would not be).
+    *
+    * Scale shape: the bucket equi-join probes 1/16 of the corpus per
+    * vector in expectation (same index as [[bucketedKnn]]/d10), the
+    * rank window partitions by query vector, and the final aggregate is
+    * a label-sized table.
+    */
+  def knnLabelPurity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+      .select($"vec_id", $"embedding", $"label",
+        vec_norm($"embedding").as("nrm"), expr(signBucketExpr).as("bucket"))
+    val q = e.toDF("q_id", "q_emb", "q_label", "q_nrm", "q_bucket")
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    val top1 = e.join(q.hint("merge"), $"bucket" === $"q_bucket" && $"vec_id" =!= $"q_id")
+      .withColumn("cos", cosinePrenormed(vec_dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" === 1)
+    top1.groupBy($"q_label")
+      .agg(count(lit(1)).as("n_vecs"),
+           sum(when($"label" === $"q_label", 1L).otherwise(0L)).as("n_top1_match"))
+      .withColumn("purity", $"n_top1_match".cast("double") / $"n_vecs")
+      .select($"q_label".as("label"), $"n_vecs", $"n_top1_match", $"purity")
+      .orderBy($"label")
+  }
 }

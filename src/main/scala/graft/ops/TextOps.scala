@@ -252,6 +252,25 @@ object TextOps {
       .orderBy($"source", $"rank")
   }
 
+  /** Deterministic train/val/test assignment by content-free hash
+    * sharding: bucket = md5(doc_id) mod 100, split by 80/10/10. The
+    * canonical way to partition a 100 TB corpus — no RNG state, no
+    * shuffle, stable under reruns and backfills (a doc's split never
+    * changes when the corpus grows), and expressible identically in any
+    * engine. One narrow scan, zero exchanges before the presentation
+    * sort.
+    */
+  def hashSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
+    documents(s, dir)
+      .select($"doc_id", $"source", bucket.as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val").otherwise("test"))
+      .orderBy($"doc_id")
+  }
+
   /** Approximate distinct terms per source (HyperLogLog++) next to the
     * exact count — the 100 TB path is the approx one (constant memory,
     * one pass); exact is there for the oracle-less sanity check.
