@@ -34,6 +34,7 @@ object SparkEntry {
     "q10_customers_without_f"-> (Relational.customersWithoutF _),
     "q11_priority_breakdown" -> (Relational.priorityBreakdown _),
     "q12_running_supplier"   -> (Relational.runningSupplierVolume _),
+    "q20_salted_agg"         -> (Relational.saltedFlagTotals _),
     "q13_cube"               -> (Relational2.cubeSummary _),
     "q14_percentiles"        -> (Relational2.quantityPercentiles _),
     "q15_part_strings"       -> (Relational2.partStrings _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "s01_knn_brute"          -> (Similarity.bruteForceKnn _),
     "s02_knn_bucketed"       -> (Similarity.bucketedKnn _),
     "s03_label_purity"       -> (Similarity.knnLabelPurity _),
+    "s04_knn_ivf"            -> (Similarity.ivfKnn _),
     "t14_hash_split"         -> (TextOps.hashSplit _),
     // ---- multimodal binary columns (decode stubbed, plumbing real) ----
     "m01_media_meta"         -> (Multimodal.mediaMeta _),
@@ -525,6 +527,30 @@ object SparkEntry {
           SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node)
         SELECT node AS doc_id, min(lbl) AS cluster_id
         FROM walk GROUP BY node ORDER BY doc_id""",
+      "q20_salted_agg" -> """
+        SELECT l_returnflag,
+          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+          count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      "s04_knn_ivf" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings),
+        cb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        assigned AS (SELECT vec_id, v, nrm, cell_id FROM (
+          SELECT e.vec_id, e.v, e.nrm, cb.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) DESC, cb.cell_id) AS arank
+          FROM e CROSS JOIN cb) t WHERE arank = 1),
+        q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cell_id AS q_cell
+              FROM assigned WHERE vec_id < 5)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q.q_id, a.vec_id,
+            list_dot_product(q.qv, a.v) / (q.qnrm * a.nrm) AS cos,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY list_dot_product(q.qv, a.v) / (q.qnrm * a.nrm) DESC, a.vec_id) AS rank
+          FROM q JOIN assigned a ON a.cell_id = q.q_cell AND a.vec_id <> q.q_id) t
+        WHERE rank <= 5 ORDER BY q_id, rank""",
       "s03_label_purity" -> """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,

@@ -223,4 +223,29 @@ object Relational {
               sum(dec($"l_quantity")).over(w).cast("double").as("running_qty"))
       .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
   }
+
+  /** Salted two-phase aggregation — the hot-key discipline spelled out
+    * as a query: phase 1 aggregates on (key, salt) so a skewed key's
+    * rows spread over 16 reducers; phase 2 merges the 16 partials per
+    * key. With 3 return flags over the whole corpus, a plain groupBy
+    * sends a third of 100 TB through single reducers; salting bounds
+    * every task at 1/16 of a key. Decimal partials make the two-phase
+    * sum bit-equal to the direct aggregate, and the oracle IS the
+    * direct aggregate — proving salting changes the plan, not the
+    * result. (Spark's own partial aggregation covers sum/count; explicit
+    * salt is the pattern for the cases it can't, e.g. exact distinct
+    * collections per hot key.)
+    */
+  def saltedFlagTotals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .select($"l_returnflag", ($"l_orderkey" % 16).as("salt"),
+        dec($"l_quantity").as("qty"))
+      .groupBy($"l_returnflag", $"salt")
+      .agg(sum($"qty").as("part_qty"), count(lit(1)).as("part_n"))
+      .groupBy($"l_returnflag")
+      .agg(sum($"part_qty").cast("double").as("sum_qty"),
+           sum($"part_n").as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
 }

@@ -67,6 +67,42 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** IVF-style ANN: a coarse codebook of K=16 deterministic seed
+    * centroids (the 16 lowest-id vectors — a real deployment k-means
+    * trains them; the assignment/probe structure is identical), every
+    * vector assigned to its nearest cell by cosine, queries probing
+    * only their own cell.
+    *
+    * Scale shape — this is the part that matters at 100 TB: the
+    * codebook is a KB-sized broadcast; assignment is a narrow map over
+    * the corpus (broadcast nested argmax, NO shuffle — compare: LSH
+    * bucketing is also narrow, but IVF cells adapt to the data
+    * distribution where fixed hyperplanes cannot); the probe is an
+    * equi-join on cell_id touching 1/K of the corpus per query in
+    * expectation. Assignment uses comparisons only (rank-1 window by
+    * cosine with id tiebreak), so cells are bit-deterministic.
+    */
+  def ivfKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(embeddings(s, dir))
+    val cb = e.filter($"vec_id" < 16)
+      .toDF("cell_id", "c_emb", "c_nrm")
+    val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cell_id")
+    val assigned = e.crossJoin(broadcast(cb))
+      .withColumn("ccos", cosinePrenormed(vec_dot($"embedding", $"c_emb"), $"nrm", $"c_nrm"))
+      .withColumn("arank", row_number().over(aw))
+      .filter($"arank" === 1)
+      .select($"vec_id", $"embedding", $"nrm", $"cell_id")
+    val q = assigned.filter($"vec_id" < 5).toDF("q_id", "q_emb", "q_nrm", "q_cell")
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    assigned.join(q.hint("merge"), $"cell_id" === $"q_cell" && $"vec_id" =!= $"q_id")
+      .withColumn("cos", cosinePrenormed(vec_dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Label-purity audit — the mislabeled-example detector of a training
     * pipeline: every vector's 1-NN (within its LSH bucket, self
     * excluded) is compared to its own label, aggregated per label.
