@@ -42,6 +42,7 @@ object SparkEntry {
     "q17_pivot"              -> (Relational2.statusPriorityPivot _),
     "q18_quarters"           -> (Relational2.ordersByQuarter _),
     "q19_grouping_sets"      -> (Relational2.revenueGroupingSets _),
+    "q21_order_gaps"         -> (Relational2.orderGaps _),
     // ---- event-time surface (ST3/ST4/ST7 batch-checkable analogs) ----
     "e01_tumbling"           -> (EventOps.tumbling _),
     "e02_sliding"            -> (EventOps.sliding _),
@@ -527,6 +528,15 @@ object SparkEntry {
           SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node)
         SELECT node AS doc_id, min(lbl) AS cluster_id
         FROM walk GROUP BY node ORDER BY doc_id""",
+      "q21_order_gaps" -> """
+        SELECT o_custkey, o_orderkey,
+          CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS gap_days
+        FROM (
+          SELECT o_custkey, o_orderkey, o_orderdate,
+            lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey) AS prev_date
+          FROM orders WHERE o_custkey <= 20) t
+        ORDER BY o_custkey, o_orderkey""",
       "q20_salted_agg" -> """
         SELECT l_returnflag,
           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,

@@ -100,6 +100,24 @@ object Relational2 {
       .orderBy($"yr", $"qtr")
   }
 
+  /** lead/lag window surface: per-customer inter-order gaps in days,
+    * with first orders carrying a null gap (lag's frame-start
+    * behavior). One shuffle on o_custkey; the window sorts within
+    * partitions only. Bounded to a key subset so the dump stays small.
+    */
+  def orderGaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    orders(s, dir)
+      .filter($"o_custkey" <= 20)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        lag($"o_orderdate", 1).over(w).as("prev_date"))
+      .select($"o_custkey", $"o_orderkey",
+        datediff($"o_orderdate", $"prev_date").cast("long").as("gap_days"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   /** The SQL entry point: same engine, SQL text in — temp views over the
     * parquet tables, GROUPING SETS (not expressible in the DataFrame
     * API), `spark.sql` out.

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketing: the co-located-join story executed, not just claimed. */
+class SourcesSpec2 extends AnyFunSuite {
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val orders = Tables.orders(spark, TestSpark.sfDir)
+    val customer = Tables.customer(spark, TestSpark.sfDir)
+
+    spark.sql("DROP TABLE IF EXISTS g_orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS g_customer_bkt")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("g_orders_bkt")
+    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("g_customer_bkt")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join code path so the assertion is about
+      // bucketing, not about broadcast kicking in on the small corpus
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("g_orders_bkt")
+        .join(spark.table("g_customer_bkt"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join must read bucket-aligned data: no exchange on either
+      // join key anywhere in the plan (the final aggregation's
+      // mktsegment exchange is the only one allowed)
+      assert(!plan.contains("Exchange hashpartitioning(o_custkey"), plan)
+      assert(!plan.contains("Exchange hashpartitioning(c_custkey"), plan)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // same result as the unbucketed join
+      val direct = orders.join(customer, $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+      assert(joined.except(direct).count() == 0)
+      assert(direct.except(joined).count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS g_orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS g_customer_bkt")
+    }
+  }
+}

@@ -10,6 +10,8 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.sql.shuffle.partitions", "4")
       // see Bench.scala: inferred-constraint inlining re-evaluates folds
       .config("spark.sql.constraintPropagation.enabled", "false")
