@@ -59,4 +59,38 @@ class InvariantSpec extends AnyFunSuite {
       assert(out != null)
     }
   }
+
+  test("dup clusters: labels are component minima and respect the pair graph") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val clusters = graft.ops.Dedup.dupClusters(spark, TestSpark.sfDir)
+    val pairs = graft.ops.Dedup.minhashLshPairsCapped(spark, TestSpark.sfDir)
+    // every clustered doc appears in some pair, label <= doc_id, and the
+    // label is itself a member of the same cluster (a canonical rep)
+    assert(clusters.filter($"cluster_id" > $"doc_id").count() == 0)
+    val reps = clusters.select($"cluster_id".as("cid")).distinct()
+      .join(clusters, $"cid" === $"doc_id", "left_anti")
+    assert(reps.count() == 0)
+    // both endpoints of every pair landed in the same cluster
+    val lbl = clusters.toDF("d", "c")
+    val crossCluster = pairs
+      .join(lbl.toDF("d", "c_a"), $"doc_a" === $"d").drop("d")
+      .join(lbl.toDF("d", "c_b"), $"doc_b" === $"d").drop("d")
+      .filter($"c_a" =!= $"c_b")
+    assert(crossCluster.count() == 0)
+  }
+
+  test("hash split: deterministic, total, and stable under corpus growth") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val full = graft.ops.TextOps.hashSplit(spark, TestSpark.sfDir)
+    assert(full.select($"split").distinct().count() == 3)
+    // re-evaluation is identical (no RNG state anywhere)
+    assert(full.except(graft.ops.TextOps.hashSplit(spark, TestSpark.sfDir)).count() == 0)
+    // a document's assignment depends only on its id: any subset of the
+    // corpus assigns identically
+    val subset = graft.ops.TextOps.hashSplit(spark, TestSpark.sfDir)
+      .filter($"doc_id" % 2 === 0)
+    assert(subset.except(full.filter($"doc_id" % 2 === 0)).count() == 0)
+  }
 }
