@@ -93,4 +93,51 @@ class IngestSimSpec extends AnyFunSuite {
     assert(m.isDefined, s"$field missing in $json")
     m.get.group(1)
   }
+
+  test("full topology: producer-analog output feeds the entity counter end to end") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import spark.implicits._
+    val pagesDir = Files.createTempDirectory("graft-topo-pages").toString
+    val topicDir = Files.createTempDirectory("graft-topo-topic").toString
+    val ckptP = Files.createTempDirectory("graft-topo-ckpt-p").toString
+    val ckptC = Files.createTempDirectory("graft-topo-ckpt-c").toString
+
+    def article(url: String, title: String): String =
+      s"""{"source":"x","author":"a","title":"$title","description":"d",""" +
+        s""""url":"$url","publishedAt":"2024-01-01T00:00:00Z","content":"c"}"""
+
+    Files.write(Paths.get(s"$pagesDir/p1.json"), Seq(
+      article("http://a", "Spark streams"),
+      article("http://b", "Alice joins spark")).mkString("\n").getBytes)
+    Files.write(Paths.get(s"$pagesDir/p2.json"), Seq(
+      article("http://a", "Spark streams"), // dup url: must not count twice
+      article("http://c", "spark wins")).mkString("\n").getBytes)
+
+    val producer = IngestSim.run(spark, pagesDir, ckptP, query = "demo",
+      maxFilesPerTrigger = 1, sinkFormat = "text",
+      sinkOptions = Map("path" -> topicDir),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    assert(producer.awaitTermination(120000))
+
+    val raw = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(topicDir)
+    val consumer = StreamJob.entityCounts(raw).writeStream
+      .format("memory").queryName("topo_counts_t")
+      .option("checkpointLocation", ckptC)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(consumer.awaitTermination(120000))
+
+    val counts = spark.table("topo_counts_t")
+      .as[(String, Long)].collect().toMap
+    // dedup dropped the repeated http://a article, so "Spark" counts once
+    // from it; entities follow RuleNer over title (titles only contain
+    // the capitalized/gazetteer words)
+    assert(counts.get("spark").contains(2L), counts)   // "joins spark", "spark wins"
+    assert(counts.get("Spark").contains(1L), counts)   // dup page dropped
+    assert(counts.get("Alice").contains(1L), counts)
+  }
 }
