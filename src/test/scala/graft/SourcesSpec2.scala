@@ -47,4 +47,34 @@ class SourcesSpec2 extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS g_customer_bkt")
     }
   }
+
+  test("bloom-filter runtime prefilter: superset of the semi-join, bounded FPs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // The runtime-filter pattern for 100 TB joins: build a bloom filter
+    // on the small side's keys, broadcast it, and drop fact rows before
+    // the shuffle. False positives only cost extra shuffled rows — the
+    // exact join afterwards removes them — so correctness never depends
+    // on the sketch.
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+    val hot = Tables.orders(spark, TestSpark.sfDir)
+      .filter($"o_totalprice" > 200000.0)
+      .select($"o_orderkey")
+    val nHot = hot.count()
+    assert(nHot > 0)
+    val bloom = hot.stat.bloomFilter("o_orderkey", nHot, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bc.value.mightContain(k))
+    val prefiltered = li.filter(mightContain($"l_orderkey"))
+    val exact = li.join(hot, $"l_orderkey" === $"o_orderkey", "left_semi")
+    val nPre = prefiltered.count()
+    val nExact = exact.count()
+    val nAll = li.count()
+    // no false negatives: everything the semi-join keeps passes the bloom
+    assert(exact.select($"l_orderkey").except(
+      prefiltered.select($"l_orderkey")).count() == 0)
+    // false-positive volume stays near the configured 1% of the rest
+    assert(nPre - nExact <= math.max(50L, ((nAll - nExact) * 0.05).toLong),
+      s"pre=$nPre exact=$nExact all=$nAll")
+  }
 }
