@@ -165,8 +165,12 @@ object Dedup {
     val pairs = cappedPairsUnsorted(s, dir, cap).localCheckpoint()
     val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
       .toDF("src", "dst").localCheckpoint()
-    var labels = edges.select($"src".as("node")).distinct()
-      .select($"node", $"node".as("lbl")).localCheckpoint()
+    // Seed = min(node, min(neighbors)): the first neighbor step fused
+    // into initialization (one aggregate instead of a full round).
+    var labels = edges.select($"dst".as("node"), $"src".as("lbl"))
+      .union(edges.select($"src".as("node"), $"src".as("lbl")))
+      .groupBy($"node").agg(min($"lbl").as("lbl"))
+      .localCheckpoint()
     // Labels only ever decrease, so the label-sum is a fixpoint
     // witness: one cheap aggregate per round instead of a
     // change-detection join.
