@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -73,14 +74,16 @@ private class ArticlesTable(options: CaseInsensitiveStringMap)
   override def name(): String = "graft_articles"
   override def schema(): StructType = ArticlesSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ArticlesScan(
       o.getInt("pages", 1), o.getInt("pageSize", 20),
-      o.getOrDefault("query", "bitcoin"))
+      o.getOrDefault("query", "bitcoin"),
+      o.getInt("pagesPerTrigger", 1))
 }
 
-private class ArticlesScan(pages: Int, pageSize: Int, query: String)
+private class ArticlesScan(pages: Int, pageSize: Int, query: String,
+                           pagesPerTrigger: Int)
     extends ScanBuilder with Scan with Batch {
   override def build(): Scan = this
   override def readSchema(): StructType = ArticlesSource.schema
@@ -89,6 +92,48 @@ private class ArticlesScan(pages: Int, pageSize: Int, query: String)
     (1 to pages).map(p => ArticlesPage(p, pageSize, query): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ArticlesReaderFactory
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ArticlesMicroBatch(pages, pageSize, query, pagesPerTrigger)
+}
+
+/** Streaming form — the reference's poll loop as a MicroBatchStream:
+  * the offset IS the page counter (news_producer.py:150-153's
+  * `page += 1`), each trigger advances by at most `pagesPerTrigger`
+  * (ST8's rate cap enforced at the connector, the same place Kafka's
+  * maxOffsetsPerTrigger lives), and the stream drains once `pages` is
+  * reached, so tests and AvailableNow-style backfills terminate.
+  * Offsets are committed/restored by the engine via their JSON form,
+  * so checkpoint recovery resumes at the right page for free.
+  */
+private case class PageOffset(page: Int) extends Offset {
+  override def json(): String = page.toString
+}
+
+private class ArticlesMicroBatch(pages: Int, pageSize: Int, query: String,
+                                 pagesPerTrigger: Int)
+    extends MicroBatchStream with SupportsAdmissionControl {
+  override def initialOffset(): Offset = PageOffset(0)
+  override def deserializeOffset(json: String): Offset = PageOffset(json.toInt)
+  // Admission control carries the rate cap (the same seam Kafka's
+  // maxOffsetsPerTrigger uses): each trigger admits at most
+  // pagesPerTrigger pages past the committed offset, and the stream
+  // reports no new data once the page budget is exhausted.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    PageOffset(math.min(start.asInstanceOf[PageOffset].page + pagesPerTrigger, pages))
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = PageOffset(pages)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: the engine calls latestOffset(start, limit)")
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[PageOffset].page
+    val until = end.asInstanceOf[PageOffset].page
+    (from + 1 to until).map(p => ArticlesPage(p, pageSize, query): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArticlesReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private case class ArticlesPage(page: Int, pageSize: Int, query: String)

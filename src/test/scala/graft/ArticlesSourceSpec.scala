@@ -38,4 +38,30 @@ class ArticlesSourceSpec extends AnyFunSuite {
     // tokens are letters-only, so ids never pollute the counts)
     assert(counts.filter($"entity" === "stream").head().getLong(1) == 60L)
   }
+
+  test("streaming form: page offsets advance under the pages-per-trigger cap") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-articles-ckpt").toString
+    val stream = spark.readStream.format("graft.sources.ArticlesSource")
+      .option("pages", 5).option("pageSize", 10)
+      .option("pagesPerTrigger", 2).option("query", "bitcoin")
+      .load()
+    val q = stream.writeStream.format("memory").queryName("articles_stream")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("articles_stream").count() == 50)
+      // rate cap: no micro-batch admitted more than 2 pages x 10 rows,
+      // and draining 5 pages needed at least 3 batches
+      val withInput = q.recentProgress.filter(_.numInputRows > 0)
+      assert(withInput.length >= 3, withInput.map(_.numInputRows).mkString(","))
+      withInput.foreach(p => assert(p.numInputRows <= 20, p.numInputRows))
+      // exactly the batch rows, streamed
+      val batch = spark.read.format("graft.sources.ArticlesSource")
+        .option("pages", 5).option("pageSize", 10).option("query", "bitcoin").load()
+      assert(spark.table("articles_stream").except(batch).count() == 0)
+      assert(batch.except(spark.table("articles_stream")).count() == 0)
+    } finally q.stop()
+  }
 }
