@@ -52,6 +52,7 @@ object SparkEntry {
     "e06_first_events"       -> (EventOps.firstEvents _),
     "e07_type_shares"        -> (EventOps.typeShares _),
     "e09_user_sim_bucketed"  -> (EventOps.userSeriesSimilarityBucketed _),
+    "e10_range_join"         -> (EventOps.purchaseSignupRange _),
     // ---- text analysis (LLM-pipeline extensions) ----
     "t01_token_stats"        -> (TextOps.tokenStats _),
     "t02_quality_score"      -> (TextOps.qualityScore _),
@@ -279,6 +280,15 @@ object SparkEntry {
         SELECT event_type, count(*) AS n,
           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
         FROM events GROUP BY event_type ORDER BY event_type""",
+      "e10_range_join" -> """
+        WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+        su AS (SELECT user_id, ts AS s_ts, event_id AS signup_id
+               FROM events WHERE event_type = 'signup')
+        SELECT p.purchase_id, p.user_id, su.signup_id
+        FROM p JOIN su ON p.user_id = su.user_id
+        WHERE su.s_ts <= p.p_ts AND su.s_ts > p.p_ts - INTERVAL 7 DAY
+        ORDER BY purchase_id, signup_id""",
       "e09_user_sim_bucketed" -> {
         val hourSums = (0 until 24).map(h =>
           s"CAST(CAST(sum(CASE WHEN hour(ts) = $h THEN CAST(value AS DECIMAL(18,4)) " +

@@ -170,6 +170,29 @@ object EventOps {
       .limit(10)
   }
 
+  /** Range join: every purchase matched to ALL of the user's signups in
+    * the preceding 7 days (vs e05's as-of join, which keeps only the
+    * latest). Plan shape: an equi-join on user_id carries the shuffle;
+    * the range predicate is a post-join filter inside the same stage —
+    * never a cartesian, because the equality key is there to hash on.
+    * At 100 TB the refinement is bucketing both sides by user_id (see
+    * SourcesSpec2's bucketed-join proof) so even the equi-shuffle
+    * disappears; a pure range join without any equality key would
+    * instead want a bucketed-by-time-bin overlap join.
+    */
+  def purchaseSignupRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("p_ts"))
+    val signups = e.filter($"event_type" === "signup")
+      .select($"user_id", $"ts".as("s_ts"), $"event_id".as("signup_id"))
+    purchases.join(signups, Seq("user_id"))
+      .filter($"s_ts" <= $"p_ts" && $"s_ts" > $"p_ts" - expr("INTERVAL 7 DAYS"))
+      .select($"purchase_id", $"user_id", $"signup_id")
+      .orderBy($"purchase_id", $"signup_id")
+  }
+
   /** Event-type distribution: grouped counts + share of total. The
     * global total comes from an empty-frame window over the (tiny)
     * aggregated result, not from a second scan.
