@@ -103,4 +103,56 @@ class GraftFunctionsSpec extends AnyFunSuite {
       simhash60($"text").as("sh"), rolling_hash($"text").as("rh"))
     assert(viaSql.except(viaCol).count() == 0)
   }
+
+  test("native hash expressions match the folds on adversarial random strings") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.functions.TextHashes._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val atoms = Vector("word", "a", "Zed", "\u00e9t\u00e9", "x1", "", " ", "\t", "\n",
+      "  ", "\u4e2d\u6587", "mixed-case", "UP", "1", "!?")
+    val texts = (0 until 200).map { _ =>
+      (0 until (1 + rnd.nextInt(30))).map(_ => atoms(rnd.nextInt(atoms.size))).mkString("")
+    } :+ "" :+ " leading" :+ "trailing " :+ "\ttab\nnewline mix  runs"
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+    val h32 = "cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)"
+    val th32 = s"transform(split(text, '\\\\s+'), t -> $h32)"
+    val h60 = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+    val th60 = s"transform(split(text, '\\\\s+'), t -> $h60)"
+    val sigExpr =
+      s"aggregate($th32, array_repeat(cast(2147483647 as bigint), 12), " +
+        "(acc, h) -> zip_with(acc, sequence(0, 11), " +
+        "(m, i) -> least(m, ((2*i + 1) * h + 40503 * i) % 2147483647)))"
+    val simhashExpr =
+      s"aggregate(aggregate($th60, array_repeat(cast(0 as bigint), 60), " +
+        "(acc, h) -> zip_with(acc, sequence(0, 59), " +
+        "(w, i) -> w + case when (h >> i) & 1 = 1 then 1 else -1 end)), " +
+        "named_struct('i', 0, 'sh', cast(0 as bigint)), " +
+        "(a, w) -> named_struct('i', a.i + 1, " +
+        "'sh', a.sh + case when w >= 0 then shiftleft(cast(1 as bigint), a.i) " +
+        "             else cast(0 as bigint) end), " +
+        "a -> a.sh)"
+    val shExpr =
+      s"array_distinct(aggregate($th32, " +
+        "named_struct('p2', cast(null as bigint), 'p1', cast(null as bigint), " +
+        "'acc', cast(array() as array<bigint>)), " +
+        "(a, h) -> named_struct('p2', a.p1, 'p1', h, " +
+        "'acc', case when a.p2 is null then a.acc " +
+        "       else array_append(a.acc, ((a.p2 * 31 + a.p1) % 2147483647 * 31 + h) % 2147483647) end), " +
+        "a -> a.acc))"
+    val rollExpr =
+      s"aggregate($th32, cast(0 as bigint), (acc, h) -> (acc * 31 + h) % 2147483647)"
+
+    val diff = docs.select($"doc_id",
+        minhash_sig($"text").as("e1"), expr(sigExpr).as("f1"),
+        simhash60($"text").as("e2"), expr(simhashExpr).as("f2"),
+        shingle_hashes($"text").as("e3"), expr(shExpr).as("f3"),
+        rolling_hash($"text").as("e4"), expr(rollExpr).as("f4"))
+      .filter($"e1" =!= $"f1" || $"e2" =!= $"f2" || $"e3" =!= $"f3" || $"e4" =!= $"f4")
+    val bad = diff.collect()
+    assert(bad.isEmpty, bad.take(3).mkString("\n"))
+  }
 }
