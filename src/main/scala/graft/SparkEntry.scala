@@ -86,6 +86,7 @@ object SparkEntry {
     "s03_label_purity"       -> (Similarity.knnLabelPurity _),
     "s04_knn_ivf"            -> (Similarity.ivfKnn _),
     "t14_hash_split"         -> (TextOps.hashSplit _),
+    "t15_length_hist"        -> (TextOps.lengthHistogram _),
     // ---- multimodal binary columns (decode stubbed, plumbing real) ----
     "m01_media_meta"         -> (Multimodal.mediaMeta _),
     "m02_media_stats"        -> (Multimodal.mediaStats _),
@@ -589,6 +590,10 @@ object SparkEntry {
           CAST(sum(CASE WHEN nbr_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_top1_match,
           CAST(CAST(sum(CASE WHEN nbr_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / count(*) AS purity
         FROM top1 GROUP BY q_label ORDER BY label""",
+      "t15_length_hist" -> """
+        SELECT bin, bin * 200 AS bin_lo, count(*) AS n_docs FROM (
+          SELECT CAST(floor(n_chars / 200.0) AS BIGINT) AS bin FROM documents) t
+        GROUP BY bin ORDER BY bin""",
       "t14_hash_split" -> """
         SELECT doc_id, source,
           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,

@@ -271,6 +271,22 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Document-length histogram in fixed 200-char bins — the corpus
+    * profile every curation run starts from. Integer bin math keeps it
+    * engine-exact; one aggregate, bin-count-sized output regardless of
+    * corpus size.
+    */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"doc_id", floor($"n_chars" / 200.0).cast("long").as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("bin_lo", ($"bin" * 200).cast("long"))
+      .select($"bin", $"bin_lo", $"n_docs")
+      .orderBy($"bin")
+  }
+
   /** Approximate distinct terms per source (HyperLogLog++) next to the
     * exact count — the 100 TB path is the approx one (constant memory,
     * one pass); exact is there for the oracle-less sanity check.

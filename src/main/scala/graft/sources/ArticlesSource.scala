@@ -63,7 +63,10 @@ object ArticlesSource {
       s"$query Headline$id joins the stream",
       s"description $id",
       s"http://news.example/$urlId",
-      f"2024-01-01T${(id / 60) % 24}%02d:${id % 60}%02d:00Z",
+      // monotone in id (one article per minute from 2024-01-01): pages
+      // arrive in publish order, as a real feed does — event-time
+      // watermarks downstream stay meaningful
+      java.time.Instant.ofEpochSecond(1704067200L + id * 60L).toString,
       s"content $id about $query",
     )
   }
