@@ -75,6 +75,7 @@ object SparkEntry {
     "d01_exact_dups"         -> (Dedup.exactDupGroups _),
     "d02_minhash_sigs"       -> (Dedup.minhashSignatures _),
     "d04_shingle_jaccard"    -> (Dedup.shingleJaccardPairs _),
+    "d12_shingle_capped"     -> ((s, d) => Dedup.shingleJaccardPairsCapped(s, d)),
     "d08_lsh_pairs_capped"   -> ((s, d) => Dedup.minhashLshPairsCapped(s, d)),
     "d05_simhash"            -> (Dedup.simhash _),
     "d09_simhash_banded"     -> (Dedup.simhashPairsBanded _),
@@ -471,6 +472,23 @@ object SparkEntry {
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           CAST(count(*) AS DOUBLE) / (any_value(a.ns) + any_value(b.ns) - count(*)) AS jaccard
         FROM e a JOIN e b ON a.shash = b.shash AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(count(*) AS DOUBLE) / (any_value(a.ns) + any_value(b.ns) - count(*)) >= 0.3
+        ORDER BY doc_a, doc_b""",
+      "d12_shingle_capped" -> """
+        WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+                    FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(th) - 2),
+                 i -> ((th[i] * 31 + th[i+1]) % 2147483647 * 31 + th[i+2]) % 2147483647)) AS s
+               FROM tk),
+        e AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shash FROM sh),
+        rare AS (SELECT shash FROM e GROUP BY shash
+                 HAVING count(*) <= 256 AND count(*) > 1),
+        k AS (SELECT e.* FROM e JOIN rare r ON e.shash = r.shash)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(count(*) AS DOUBLE) / (any_value(a.ns) + any_value(b.ns) - count(*)) AS jaccard
+        FROM k a JOIN k b ON a.shash = b.shash AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
         HAVING CAST(count(*) AS DOUBLE) / (any_value(a.ns) + any_value(b.ns) - count(*)) >= 0.3
         ORDER BY doc_a, doc_b""",

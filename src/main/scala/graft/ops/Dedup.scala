@@ -227,6 +227,38 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** The skew-bounded form of [[shingleJaccardPairs]]: shingles whose
+    * document frequency exceeds `cap` are dropped BEFORE pair
+    * generation (a group-count semi-join, identical in the oracle).
+    * Ubiquitous shingles — boilerplate trigrams shared by thousands of
+    * docs — are exactly the hot join keys that explode the inverted
+    * index quadratically, and they carry no discriminative signal for
+    * near-dup detection; the cap bounds every shingle's pair
+    * contribution at cap². Intersections count only surviving
+    * (discriminative) shingles while denominators keep the full shingle
+    * sets, so scores are conservative; the oracle computes the
+    * identical capped semantics, value-checking the tradeoff.
+    */
+  def shingleJaccardPairsCapped(s: SparkSession, dir: String, cap: Int = 256): DataFrame = {
+    import s.implicits._
+    val sh = documents(s, dir)
+      .select($"doc_id", shingle_hashes($"text").as("sh"))
+      .select($"doc_id", size($"sh").as("nsh"), explode($"sh").as("shash"))
+    val rare = sh.groupBy($"shash").agg(count(lit(1)).as("df"))
+      .filter($"df" <= cap && $"df" > 1)
+      .select($"shash")
+    val kept = sh.join(rare.hint("merge"), Seq("shash"))
+    val a = kept.toDF("sh_a", "doc_a", "na")
+    val b = kept.toDF("sh_b", "doc_b", "nb")
+    a.join(b.hint("merge"), $"sh_a" <=> $"sh_b" && $"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b", $"na", $"nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+      .filter($"jaccard" >= 0.3)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** 60-bit SimHash (Charikar-style; 60 bits = 15 md5 hex chars keeps
     * the value positive in a signed 64-bit int on BOTH engines),
     * computed by the codegen'd [[graft.functions.SimHash60]] — one
