@@ -20,14 +20,18 @@ import graft.functions.VectorFunctions._
   * just shapes.
   *
   * Scale story (100 TB): everything here is shuffle-bounded by design —
-  * MinHash/SimHash signatures are computed in a single narrow pass
-  * (higher-order array functions, no explode of token streams except
-  * where the aggregate itself is per-token), and candidate generation is
-  * an equi-join on (band, bucket-key) — the LSH trick that replaces the
-  * quadratic all-pairs comparison. Only the final verification of
+  * MinHash/SimHash signatures are one native codegen expression call
+  * per document (graft.functions.TextHashes — no token explode, no
+  * interpreted lambda folds), and candidate generation is an equi-join
+  * on (band, bucket-key) — the LSH trick that replaces the quadratic
+  * all-pairs comparison. Skewed buckets are bounded by caps (d08/d12)
+  * or diluted by wide bands (d09); only the final verification of
   * candidate pairs (a tiny fraction) touches pairwise math. The
-  * brute-force pair queries (d06/d07) exist as the correctness oracles
-  * for the bucketed paths and are bounded to small inputs.
+  * all-pairs forms (minhashLshPairs, simhashPairs, embeddingDupPairs)
+  * are NOT registered queries: they are the exhaustive ground truth the
+  * bucketed paths are recall-checked against on small inputs
+  * (RecallSpec), and PlanAuditSpec gates every registered query against
+  * cartesian plans.
   */
 object Dedup {
 
