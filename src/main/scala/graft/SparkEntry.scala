@@ -86,6 +86,7 @@ object SparkEntry {
     "s02_knn_bucketed"       -> (Similarity.bucketedKnn _),
     "s03_label_purity"       -> (Similarity.knnLabelPurity _),
     "s04_knn_ivf"            -> (Similarity.ivfKnn _),
+    "s05_knn_multiprobe"     -> (Similarity.multiProbeKnn _),
     "t14_hash_split"         -> (TextOps.hashSplit _),
     "t15_length_hist"        -> (TextOps.lengthHistogram _),
     // ---- multimodal binary columns (decode stubbed, plumbing real) ----
@@ -589,6 +590,25 @@ object SparkEntry {
             row_number() OVER (PARTITION BY q.q_id
               ORDER BY list_dot_product(q.qv, a.v) / (q.qnrm * a.nrm) DESC, a.vec_id) AS rank
           FROM q JOIN assigned a ON a.cell_id = q.q_cell AND a.vec_id <> q.q_id) t
+        WHERE rank <= 5 ORDER BY q_id, rank""",
+      "s05_knn_multiprobe" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+                     (CASE WHEN embedding[1] > 0.0 THEN 1 ELSE 0 END) +
+                     (CASE WHEN embedding[2] > 0.0 THEN 2 ELSE 0 END) +
+                     (CASE WHEN embedding[3] > 0.0 THEN 4 ELSE 0 END) +
+                     (CASE WHEN embedding[4] > 0.0 THEN 8 ELSE 0 END) AS bucket
+                   FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm,
+                unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                        xor(bucket, 4), xor(bucket, 8)]) AS probe_bucket
+              FROM e WHERE vec_id < 5)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q.q_id, e.vec_id,
+            list_dot_product(q.qv, e.v) / (q.qnrm * e.nrm) AS cos,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY list_dot_product(q.qv, e.v) / (q.qnrm * e.nrm) DESC, e.vec_id) AS rank
+          FROM q JOIN e ON e.bucket = q.probe_bucket AND e.vec_id <> q.q_id) t
         WHERE rank <= 5 ORDER BY q_id, rank""",
       "s03_label_purity" -> """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,

@@ -48,19 +48,15 @@ object Dedup {
       .orderBy($"text_hash")
   }
 
-  /** MinHash signature family: one md5 per token (h32), then 12 cheap
-    * affine rehashes h_i(t) = ((2i+1)·h + 40503·i) mod (2³¹−1) — the
-    * standard universal-hash trick that avoids 12 md5 evaluations per
-    * token. Computed by the native codegen expression
-    * [[graft.functions.MinHashSig]] — one static call per row inside
-    * whole-stage codegen (see TextHashes.scala for why the earlier
-    * higher-order-function folds were replaced: interpreted lambda
-    * dispatch per token×slot was the measured floor under every dedup
-    * query).
-    */
-
   /** MinHash signatures in long form (doc_id, i, minhash) — the
-    * oracle-checkable dump of the signature matrix.
+    * oracle-checkable dump of the signature matrix. One md5 per token
+    * (h32), then 12 cheap affine rehashes h_i(t) = ((2i+1)·h + 40503·i)
+    * mod (2³¹−1) — the standard universal-hash trick that avoids 12
+    * md5 evaluations per token — all inside the native codegen
+    * expression [[graft.functions.MinHashSig]], one static call per row
+    * (see TextHashes.scala for why the higher-order-function folds were
+    * replaced: interpreted lambda dispatch per token×slot was the
+    * measured floor under every dedup query).
     */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

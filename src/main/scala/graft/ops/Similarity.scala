@@ -67,6 +67,30 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Multi-probe ANN: like [[bucketedKnn]], but each query probes its
+    * own sign-bucket PLUS the four Hamming-1 neighbor buckets (one sign
+    * flipped) — the standard recovery for LSH's cross-bucket recall
+    * loss: a near neighbor that straddles one low-margin hyperplane is
+    * found in the flipped bucket. 5/16 of the corpus probed per query
+    * instead of 1/16; still never a corpus self-shuffle, and the probe
+    * fan-out is an exploded literal array, not a join multiplier.
+    */
+  def multiProbeKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(embeddings(s, dir)).withColumn("bucket", expr(signBucketExpr))
+    val q = e.filter($"vec_id" < 5).toDF("q_id", "q_emb", "q_nrm", "q_bucket")
+      .select($"q_id", $"q_emb", $"q_nrm", explode(expr(
+        "array(q_bucket, q_bucket ^ 1, q_bucket ^ 2, q_bucket ^ 4, q_bucket ^ 8)"))
+        .as("probe_bucket"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    e.join(broadcast(q), $"bucket" === $"probe_bucket" && $"vec_id" =!= $"q_id")
+      .withColumn("cos", cosinePrenormed(vec_dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
   /** IVF-style ANN: a coarse codebook of K=16 deterministic seed
     * centroids (the 16 lowest-id vectors — a real deployment k-means
     * trains them; the assignment/probe structure is identical), every

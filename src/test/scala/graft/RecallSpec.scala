@@ -54,4 +54,23 @@ class RecallSpec extends AnyFunSuite {
       assert(b <= e + 1e-12, s"bucketed cos $b exceeds exact $e at same rank")
     }
   }
+
+  test("s05 multi-probe dominates s02 single-probe rank-by-rank, bounded by exact s01") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.ops.Similarity
+    def cosByRank(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.select($"q_id", $"rank", $"cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val single = cosByRank(Similarity.bucketedKnn(spark, dir))
+    val multi = cosByRank(Similarity.multiProbeKnn(spark, dir))
+    val exact = cosByRank(Similarity.bruteForceKnn(spark, dir))
+    single.foreach { case (k, c1) =>
+      // more probes can only improve (or tie) the candidate at each rank
+      multi.get(k).foreach(cm => assert(cm >= c1 - 1e-12, s"$k: $cm < $c1"))
+    }
+    multi.foreach { case (k, cm) =>
+      exact.get(k).foreach(ce => assert(cm <= ce + 1e-12, s"$k: $cm > exact $ce"))
+    }
+  }
 }
