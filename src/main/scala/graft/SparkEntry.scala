@@ -81,6 +81,7 @@ object SparkEntry {
     "d09_simhash_banded"     -> (Dedup.simhashPairsBanded _),
     "d10_embedding_bucketed" -> (Dedup.embeddingDupPairsBucketed _),
     "d11_dup_clusters"       -> ((s, d) => Dedup.dupClusters(s, d)),
+    "d13_dup_clusters_multi" -> ((s, d) => Dedup.dupClustersMulti(s, d)),
     // ---- similarity search ----
     "s01_knn_brute"          -> (Similarity.bruteForceKnn _),
     "s02_knn_bucketed"       -> (Similarity.bucketedKnn _),
@@ -591,6 +592,48 @@ object SparkEntry {
               ORDER BY list_dot_product(q.qv, a.v) / (q.qnrm * a.nrm) DESC, a.vec_id) AS rank
           FROM q JOIN assigned a ON a.cell_id = q.q_cell AND a.vec_id <> q.q_id) t
         WHERE rank <= 5 ORDER BY q_id, rank""",
+      "d13_dup_clusters_multi" -> """
+        WITH RECURSIVE
+        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+               FROM documents),
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        small AS (SELECT j, bkey FROM bands GROUP BY j, bkey
+                  HAVING count(*) <= 64 AND count(*) > 1),
+        inb AS (SELECT b.* FROM bands b JOIN small s ON b.j = s.j AND b.bkey = s.bkey),
+        mpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        tc AS (SELECT doc_id, tok, count(*) AS cnt FROM (
+                 SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+                 FROM documents) x GROUP BY doc_id, tok),
+        sh0 AS (SELECT doc_id, cnt, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tc),
+        sb AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+               FROM sh0, (SELECT unnest(generate_series(0, 59)) AS i) ii GROUP BY doc_id, i),
+        sh AS (SELECT doc_id, CAST(sum(CASE WHEN w >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+               FROM sb GROUP BY doc_id),
+        sbands AS (SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767 AS bv
+                   FROM sh, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        spairs AS (SELECT doc_a, doc_b FROM (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sim_a, b.simhash AS sim_b
+          FROM sbands a JOIN sbands b
+            ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id) t
+          WHERE bit_count(xor(sim_a, sim_b)) <= 8),
+        allp AS (SELECT * FROM mpairs UNION SELECT * FROM spairs),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM allp
+                  UNION ALL SELECT doc_b, doc_a FROM allp),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node)
+        SELECT node AS doc_id, min(lbl) AS cluster_id
+        FROM walk GROUP BY node ORDER BY doc_id""",
       "s05_knn_multiprobe" -> """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,

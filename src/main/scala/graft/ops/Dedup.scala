@@ -157,12 +157,33 @@ object Dedup {
     * Exact and deterministic (min label is partition-order-free), so
     * the DuckDB oracle reproduces it with a recursive reachability CTE.
     */
-  def dupClusters(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+  def dupClusters(s: SparkSession, dir: String, cap: Int = 64): DataFrame =
+    connectedComponents(s, cappedPairsUnsorted(s, dir, cap))
+
+  /** Multi-signal duplicate clustering — what a production pipeline
+    * actually runs: the candidate graph is the UNION of independent
+    * near-dup signals (capped MinHash-LSH pairs ∪ banded SimHash pairs
+    * at hamming ≤ 8), then one connected-components pass labels every
+    * doc either signal implicated. Signals compose at the edge level
+    * for free; each keeps its own skew bound.
+    */
+  def dupClustersMulti(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import s.implicits._
+    connectedComponents(s,
+      cappedPairsUnsorted(s, dir, cap)
+        .union(bandedPairsUnsorted(s, dir).select($"doc_a", $"doc_b")))
+  }
+
+  /** Min-label propagation with pointer jumping over an undirected
+    * (doc_a, doc_b) pair graph — see [[dupClusters]]'s scaladoc for the
+    * round structure and convergence argument.
+    */
+  private def connectedComponents(s: SparkSession, pairsDf: DataFrame): DataFrame = {
     import s.implicits._
     // Materialize the pair list ONCE before the symmetrizing
     // self-union — unioning the lazy frame with itself would run the
-    // whole LSH pipeline twice.
-    val pairs = cappedPairsUnsorted(s, dir, cap).localCheckpoint()
+    // whole candidate pipeline twice.
+    val pairs = pairsDf.localCheckpoint()
     val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
       .toDF("src", "dst").localCheckpoint()
     // Seed = min(node, min(neighbors)): the first neighbor step fused
@@ -312,7 +333,7 @@ object Dedup {
     * computes the identical banded semantics, so the tradeoff is
     * value-checked.
     */
-  def simhashPairsBanded(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def bandedPairsUnsorted(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bands = simhashDf(s, dir)
       .select($"doc_id", $"simhash", posexplode(expr(
@@ -334,7 +355,11 @@ object Dedup {
       .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as bigint)"))
       .filter($"hamming" <= 8)
       .select($"doc_a", $"doc_b", $"hamming").distinct()
-      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def simhashPairsBanded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bandedPairsUnsorted(s, dir).orderBy($"doc_a", $"doc_b")
   }
 
   /** Embedding-cosine near-duplicate pairs (cos ≥ 0.4) — the ALL-PAIRS
