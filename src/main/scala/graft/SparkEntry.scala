@@ -82,6 +82,7 @@ object SparkEntry {
     "d10_embedding_bucketed" -> (Dedup.embeddingDupPairsBucketed _),
     "d11_dup_clusters"       -> ((s, d) => Dedup.dupClusters(s, d)),
     "d13_dup_clusters_multi" -> ((s, d) => Dedup.dupClustersMulti(s, d)),
+    "d14_incremental"        -> ((s, d) => Dedup.incrementalDedup(s, d)),
     // ---- similarity search ----
     "s01_knn_brute"          -> (Similarity.bruteForceKnn _),
     "s02_knn_bucketed"       -> (Similarity.bucketedKnn _),
@@ -592,6 +593,37 @@ object SparkEntry {
               ORDER BY list_dot_product(q.qv, a.v) / (q.qnrm * a.nrm) DESC, a.vec_id) AS rank
           FROM q JOIN assigned a ON a.cell_id = q.q_cell AND a.vec_id <> q.q_id) t
         WHERE rank <= 5 ORDER BY q_id, rank""",
+      "d14_incremental" -> """
+        WITH nh AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0),
+        hh AS (SELECT doc_id AS hist_doc, md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+        exact AS (SELECT nh.doc_id, min(hh.hist_doc) AS exact_match
+                  FROM nh JOIN hh ON nh.h = hh.h GROUP BY nh.doc_id),
+        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+               FROM documents),
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        hb AS (SELECT j, bkey, doc_id AS hist_doc FROM bands WHERE doc_id % 5 <> 0),
+        smallh AS (SELECT j, bkey FROM hb GROUP BY j, bkey HAVING count(*) <= 64),
+        near AS (SELECT nb.doc_id, min(hb.hist_doc) AS near_match
+                 FROM bands nb
+                 JOIN hb ON nb.j = hb.j AND nb.bkey = hb.bkey
+                 JOIN smallh sm ON hb.j = sm.j AND hb.bkey = sm.bkey
+                 WHERE nb.doc_id % 5 = 0 GROUP BY nb.doc_id),
+        merged AS (SELECT COALESCE(e.doc_id, n.doc_id) AS doc_id,
+                     e.exact_match, n.near_match
+                   FROM exact e FULL OUTER JOIN near n ON e.doc_id = n.doc_id)
+        SELECT doc_id,
+          exact_match IS NOT NULL AS exact_dup,
+          near_match IS NOT NULL AS near_dup,
+          least(COALESCE(exact_match, near_match),
+                COALESCE(near_match, exact_match)) AS best_match
+        FROM merged ORDER BY doc_id""",
       "d13_dup_clusters_multi" -> """
         WITH RECURSIVE
         tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),

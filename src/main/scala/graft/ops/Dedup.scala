@@ -220,6 +220,47 @@ object Dedup {
     labels.select($"node".as("doc_id"), $"lbl".as("cluster_id")).orderBy($"doc_id")
   }
 
+  /** Incremental dedup — the shape production actually runs: a NEW
+    * batch (doc_id ≡ 0 mod 5, a deterministic 20% slice standing in for
+    * today's crawl) is checked against the HISTORICAL corpus (the other
+    * 80%, standing in for the persisted fingerprint/LSH index), never
+    * against itself. Exact hits probe the md5 store; near hits probe
+    * the banded MinHash index with the historical bucket-size cap
+    * (at scale both sides of these joins are the new batch — tiny —
+    * against index tables that are pre-bucketed and pre-capped on
+    * disk, so the scan cost is the batch, not the corpus). Emits one
+    * row per matched new doc with both flags and the earliest matching
+    * historical doc.
+    */
+  def incrementalDedup(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir)
+    val isNew = $"doc_id" % 5 === 0
+    val newHashes = docs.filter(isNew).select($"doc_id", md5($"text").as("h"))
+    val histHashes = docs.filter(!isNew).select($"doc_id".as("hist_doc"), md5($"text").as("h"))
+    val exact = newHashes.join(histHashes, "h")
+      .groupBy($"doc_id").agg(min($"hist_doc").as("exact_match"))
+
+    val bands = bandKeys(s, dir)
+    val newBands = bands.filter($"doc_id" % 5 === 0)
+    val histBands = bands.filter($"doc_id" % 5 =!= 0)
+      .select($"band", $"bkey", $"doc_id".as("hist_doc"))
+    val smallHist = histBands.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("n")).filter($"n" <= cap)
+      .select($"band", $"bkey")
+    val near = newBands
+      .join(histBands.join(smallHist.hint("merge"), Seq("band", "bkey")), Seq("band", "bkey"))
+      .groupBy($"doc_id").agg(min($"hist_doc").as("near_match"))
+
+    exact.join(near, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        $"exact_match".isNotNull.as("exact_dup"),
+        $"near_match".isNotNull.as("near_dup"),
+        least(coalesce($"exact_match", $"near_match"),
+              coalesce($"near_match", $"exact_match")).as("best_match"))
+      .orderBy($"doc_id")
+  }
+
   /** Word-3-gram Jaccard similarity over candidate pairs generated by a
     * shared-shingle equi-join (inverted-index style — only docs sharing
     * at least one shingle are ever paired, so sparsity bounds the work).
