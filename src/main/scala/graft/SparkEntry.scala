@@ -43,6 +43,7 @@ object SparkEntry {
     "q18_quarters"           -> (Relational2.ordersByQuarter _),
     "q19_grouping_sets"      -> (Relational2.revenueGroupingSets _),
     "q21_order_gaps"         -> (Relational2.orderGaps _),
+    "q22_late_orders"        -> (Relational2.lateOrders _),
     // ---- event-time surface (ST3/ST4/ST7 batch-checkable analogs) ----
     "e01_tumbling"           -> (EventOps.tumbling _),
     "e02_sliding"            -> (EventOps.sliding _),
@@ -569,6 +570,13 @@ object SparkEntry {
               ORDER BY o_orderdate, o_orderkey) AS prev_date
           FROM orders WHERE o_custkey <= 20) t
         ORDER BY o_custkey, o_orderkey""",
+      "q22_late_orders" -> """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""",
       "q20_salted_agg" -> """
         SELECT l_returnflag,
           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,

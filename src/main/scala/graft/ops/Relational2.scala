@@ -118,6 +118,24 @@ object Relational2 {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** Correlated-EXISTS shape (TPC-H Q4 form): orders having at least
+    * one lineitem shipped more than 90 days after the order date,
+    * counted per priority. Planned as a left-semi hash join on the
+    * order key with the date predicate as the join condition — the
+    * subquery never materializes more than the semi-join probe.
+    */
+  def lateOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val late = lineitem(s, dir).select($"l_orderkey", $"l_shipdate")
+    orders(s, dir)
+      .join(late,
+        $"l_orderkey" === $"o_orderkey" && $"l_shipdate" > date_add($"o_orderdate", 90),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** The SQL entry point: same engine, SQL text in — temp views over the
     * parquet tables, GROUPING SETS (not expressible in the DataFrame
     * API), `spark.sql` out.

@@ -77,4 +77,21 @@ class SourcesSpec2 extends AnyFunSuite {
     assert(nPre - nExact <= math.max(50L, ((nAll - nExact) * 0.05).toLong),
       s"pre=$nPre exact=$nExact all=$nAll")
   }
+
+  test("schema evolution: mergeSchema unions columns added over corpus generations") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // the 100 TB reality: the corpus schema grows over time; old
+    // partitions lack new columns and must read as nulls
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/gen=1")
+    Seq((3L, "gamma", 0.9)).toDF("doc_id", "text", "quality")
+      .write.parquet(s"$dir/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.toSet == Set("doc_id", "text", "quality", "gen"))
+    assert(merged.count() == 3)
+    assert(merged.filter($"quality".isNull).count() == 2)  // old generation
+    assert(merged.filter($"gen" === 2 && $"quality" === 0.9).count() == 1)
+  }
 }
