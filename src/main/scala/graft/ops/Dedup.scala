@@ -206,7 +206,9 @@ object Dedup {
       val stepped = labels.join(prop, Seq("node"), "left")
         .select($"node", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
       // (2) pointer jump: lbl := lbl(lbl) (labels are node ids, every
-      // label has a row, so the inner join is total)
+      // label has a row, so the inner join is total). A second jump per
+      // round was measured and does NOT help — the extra self-join
+      // costs what the saved round would have.
       val ptr = stepped.select($"node".as("p_node"), $"lbl".as("p_lbl"))
       val next = stepped.join(ptr, stepped("lbl") === ptr("p_node"))
         .select($"node", least($"lbl", $"p_lbl").as("lbl"))
