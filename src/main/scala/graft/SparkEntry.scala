@@ -92,6 +92,7 @@ object SparkEntry {
     "s05_knn_multiprobe"     -> (Similarity.multiProbeKnn _),
     "t14_hash_split"         -> (TextOps.hashSplit _),
     "t15_length_hist"        -> (TextOps.lengthHistogram _),
+    "t16_contamination"      -> (TextOps.contamination _),
     // ---- multimodal binary columns (decode stubbed, plumbing real) ----
     "m01_media_meta"         -> (Multimodal.mediaMeta _),
     "m02_media_stats"        -> (Multimodal.mediaStats _),
@@ -711,6 +712,18 @@ object SparkEntry {
           CAST(sum(CASE WHEN nbr_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_top1_match,
           CAST(CAST(sum(CASE WHEN nbr_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / count(*) AS purity
         FROM top1 GROUP BY q_label ORDER BY label""",
+      "t16_contamination" -> """
+        WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+                    FROM documents),
+        grams AS (SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, len(th) - 3), i -> ((((((th[i]) * 31 + th[i+1]) % 2147483647) * 31 + th[i+2]) % 2147483647) * 31 + th[i+3]) % 2147483647)) AS gs
+                  FROM tk WHERE len(th) >= 4),
+        bg AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0),
+        cand AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 97 <> 0)
+        SELECT cand.doc_id, count(*) AS n_hits
+        FROM cand JOIN bg ON cand.g = bg.g
+        GROUP BY cand.doc_id ORDER BY doc_id""",
       "t15_length_hist" -> """
         SELECT bin, bin * 200 AS bin_lo, count(*) AS n_docs FROM (
           SELECT CAST(floor(n_chars / 200.0) AS BIGINT) AS bin FROM documents) t

@@ -145,6 +145,32 @@ object GraftHash {
     new GenericArrayData(out)
   }
 
+  /** Distinct polynomial hashes of every n-token window (the 3-gram
+    * case is [[shingleHashes]]), first-occurrence order.
+    */
+  def ngramHashes(text: UTF8String, n: Int): ArrayData = {
+    val ts = tokens(text)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (ts.length >= n) {
+      val hs = new Array[Long](ts.length)
+      var i = 0
+      while (i < ts.length) { hs(i) = h32(ts(i)); i += 1 }
+      var k = 0
+      while (k + n <= ts.length) {
+        var acc = 0L
+        var j = 0
+        while (j < n) { acc = (acc * 31 + hs(k + j)) % M; j += 1 }
+        seen.add(acc)
+        k += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   def rollingHash(text: UTF8String): Long = {
     val ts = tokens(text)
     var acc = 0L
@@ -194,6 +220,16 @@ case class ShingleHashes(child: Expression) extends GraftHashExpr {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** n is a construction-time literal, so codegen emits a constant. */
+case class NGramHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    GraftHash.ngramHashes(t.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.ngramHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class RollingHash(child: Expression) extends GraftHashExpr {
   override def dataType: DataType = LongType
   override protected def staticCall: String = "rollingHash"
@@ -208,4 +244,5 @@ object TextHashes {
   def simhash60(c: Column): Column = col(SimHash60(GraftBridge.expression(c)))
   def shingle_hashes(c: Column): Column = col(ShingleHashes(GraftBridge.expression(c)))
   def rolling_hash(c: Column): Column = col(RollingHash(GraftBridge.expression(c)))
+  def ngram_hashes(c: Column, n: Int): Column = col(NGramHashes(GraftBridge.expression(c), n))
 }

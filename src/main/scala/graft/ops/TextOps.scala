@@ -287,6 +287,32 @@ object TextOps {
       .orderBy($"bin")
   }
 
+  /** Benchmark decontamination — the training-pipeline op that near-dup
+    * dedup does NOT cover: find corpus documents containing any n-token
+    * run from a held-out benchmark set (here a deterministic ~1%
+    * doc_id slice standing in for the eval suite). n = 4 on this
+    * synthetic corpus so the check is non-trivial (its 31-word random
+    * text shares no longer runs); real deployments use 8-13-gram runs —
+    * the knob is one literal. Grams come from the
+    * codegen'd [[graft.functions.NGramHashes]]; the benchmark gram set
+    * is tiny by nature, so the membership probe broadcasts it and the
+    * corpus streams through one scan — at 100 TB this is a broadcast
+    * semi-join (or a bloom prefilter, see SourcesSpec2) against a gram
+    * set that fits in memory, never a corpus shuffle.
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextHashes.ngram_hashes
+    val docs = documents(s, dir)
+    val benchGrams = docs.filter($"doc_id" % 97 === 0)
+      .select(explode(ngram_hashes($"text", 4)).as("g")).distinct()
+    docs.filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", explode(ngram_hashes($"text", 4)).as("g"))
+      .join(benchGrams, "g")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy($"doc_id")
+  }
+
   /** Approximate distinct terms per source (HyperLogLog++) next to the
     * exact count — the 100 TB path is the approx one (constant memory,
     * one pass); exact is there for the oracle-less sanity check.
