@@ -31,23 +31,49 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
     val selected = only.fold(SparkEntry.queries)(re =>
       SparkEntry.queries.filter { case (k, _) => k.matches(re) })
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Single-shot timings on this box swing 3-5x between identical-code
+    // runs (BENCH_r03 vs r04: q02 1.36 -> 4.93 s on unchanged source), so
+    // one sample cannot adjudicate a 2x-of-baseline bar. Each query runs
+    // 3x (2x when the first sample is sub-second, to keep total wall
+    // bounded) and the reported number is the MEDIAN; the min is emitted
+    // alongside as the best-case floor.
+    val maxRepeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          false
+          None
       }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      timeOnce(name, fn) match {
+        case None => (name, Seq.empty[Double], false)
+        case Some(first) =>
+          val repeats = if (first < 1.0) math.min(2, maxRepeats) else maxRepeats
+          val rest = (2 to repeats).flatMap(_ => timeOnce(name, fn))
+          // A repeat that fails after a successful first run still marks
+          // the query failed: flakiness is a failure, not a timing.
+          val allOk = rest.size == repeats - 1
+          (name, first +: rest, allOk)
+      }
+    }
+    def jsonMap(f: Seq[Double] => Double): String = results
+      .filter(_._2.nonEmpty)
+      .map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    val qs = jsonMap(median)
+    val qsMin = jsonMap(_.min)
     // A failed query must surface as a failure, never as a fast timing:
     // the total goes NaN-free but the JSON carries the failed names.
     val failed = results.filter(!_._3).map(_._1)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"n_failed":${failed.length},"queries":$qs,"sf":"$sfDir"}""")
+    val total = results.filter(_._2.nonEmpty).map(r => median(r._2)).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","failed":$failedJson,"n_failed":${failed.length},"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
