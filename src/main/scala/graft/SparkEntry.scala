@@ -357,6 +357,15 @@ object SparkEntry {
                                             i -> t[i] || ' ' || t[i+1])) AS bigram FROM tk)
         SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
         ORDER BY n DESC, bigram LIMIT 20""",
+      // The HLL estimate is engine-specific, so the checked surface is the
+      // exact count plus a tolerance flag the Spark side computes against
+      // its own sketch (|approx-exact| <= 5% at rsd=0.01); the oracle
+      // recomputes the exact count and asserts the flag is TRUE.
+      "t07_approx_distinct" -> """
+        SELECT source, count(DISTINCT term) AS exact_terms, TRUE AS within_tol
+        FROM (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS term
+              FROM documents) t
+        GROUP BY source ORDER BY source""",
       "t08_subtoken_count" -> """
         SELECT doc_id,
           len(regexp_split_to_array(text, '\s+')) AS n_tokens,

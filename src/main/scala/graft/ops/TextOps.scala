@@ -315,16 +315,25 @@ object TextOps {
 
   /** Approximate distinct terms per source (HyperLogLog++) next to the
     * exact count — the 100 TB path is the approx one (constant memory,
-    * one pass); exact is there for the oracle-less sanity check.
-    * No oracle: HLL sketches are engine-specific by construction.
+    * one pass); exact is there to bound the sketch.
+    *
+    * The HLL estimate itself is engine-specific, so the oracle-checkable
+    * output is (exact count, within_tol): the sketch runs at rsd=0.01 and
+    * the query asserts |approx - exact| <= 5% * exact as a boolean column
+    * that must be all-true. The oracle recomputes the exact count and
+    * emits TRUE, making rows+schema+hash exact again while still
+    * executing (and gating) the approximate path.
     */
   def approxDistinctTerms(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     documents(s, dir)
       .select($"source", explode(toks($"text")).as("term"))
       .groupBy($"source")
-      .agg(approx_count_distinct($"term").as("approx_terms"),
+      .agg(approx_count_distinct($"term", 0.01).as("approx_terms"),
            countDistinct($"term").as("exact_terms"))
+      .select($"source", $"exact_terms",
+        (abs($"approx_terms" - $"exact_terms") <= $"exact_terms" * 0.05)
+          .as("within_tol"))
       .orderBy($"source")
   }
 }
