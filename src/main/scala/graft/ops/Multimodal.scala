@@ -1,6 +1,10 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.security.MessageDigest
+
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -68,6 +72,104 @@ object Multimodal {
       val h = java.lang.Long.parseLong(hex, 16)
       (64L + h % 512L, 64L + (h / 512L) % 512L)
     }
+  }
+
+  final case class PngRow(doc_id: Long, payload: Array[Byte])
+  final case class PngMeta(doc_id: Long, width: Long, height: Long, pix_sum: Long)
+
+  /** A REAL image codec — PNG via JDK `javax.imageio` (public, zero new
+    * dependencies), filling the mapPartitions slot that [[decodeAll]]
+    * documents. Images are generated deterministically from `doc_id`
+    * (dimensions `8 + id % 25` by `8 + (id/25) % 25`, grayscale pixel
+    * `(id*31 + x*7 + y*13) % 256`), so the DECODED width/height/raster
+    * checksum are recomputable by the DuckDB oracle from the formula
+    * alone — the m05 hash match proves real bytes went through a real
+    * encoder and decoder, not a stub.
+    *
+    * PNG is lossless and the raster is written as TYPE_INT_RGB gray
+    * (r=g=b=v), so decode returns the exact generated values.
+    */
+  object PngCodec {
+    def dims(docId: Long): (Int, Int) =
+      (8 + (docId % 25).toInt, 8 + ((docId / 25) % 25).toInt)
+
+    def pixel(docId: Long, x: Int, y: Int): Int =
+      ((docId * 31 + x * 7 + y * 13) % 256).toInt
+
+    def encode(docId: Long): Array[Byte] = {
+      val (w, h) = dims(docId)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = pixel(docId, x, y)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode width, height, and the sum of the blue channel over the
+      * full raster (= the generated gray value, PNG being lossless).
+      */
+    def decode(payload: Array[Byte]): (Int, Int, Long) = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          sum += (img.getRGB(x, y) & 0xff).toLong
+          x += 1
+        }
+        y += 1
+      }
+      (img.getWidth, img.getHeight, sum)
+    }
+  }
+
+  /** PNG payload table: one encoded image per document id. Generation
+    * stands in for ingest (the corpus ships no real media); the encode
+    * runs distributed, one ImageIO pipeline per partition, with the
+    * disk-backed ImageIO cache off (executors should never touch temp
+    * files for an in-memory encode).
+    */
+  def pngTable(s: SparkSession, dir: String): Dataset[PngRow] = {
+    import s.implicits._
+    documents(s, dir).select($"doc_id").as[Long].mapPartitions { ids =>
+      ImageIO.setUseCache(false)
+      ids.map(id => PngRow(id, PngCodec.encode(id)))
+    }
+  }
+
+  /** The real-codec decode over PNG payloads — the production shape of
+    * [[decodeAll]]: opaque per-partition decode, metadata out, payloads
+    * never leave the stage (no shuffle touches the binary column).
+    */
+  def decodePngs(media: Dataset[PngRow]): Dataset[PngMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { r =>
+        val (w, h, sum) = PngCodec.decode(r.payload)
+        PngMeta(r.doc_id, w.toLong, h.toLong, sum)
+      }
+    }
+  }
+
+  /** Oracle-checked query: encode real PNGs, decode them through the
+    * real codec, emit decoded metadata. The oracle recomputes
+    * width/height/pix_sum from the generator formula — a hash match
+    * means the decoded raster is bit-exact.
+    */
+  def pngDecodeMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodePngs(pngTable(s, dir)).toDF().orderBy($"doc_id")
   }
 
   /** The media table: documents' text bytes standing in as payloads,

@@ -69,6 +69,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fromPayload.except(plan).count() == 0)
   }
 
+  test("PNG codec round-trips: decode(encode(id)) returns the generator formula") {
+    for (id <- Seq(0L, 1L, 24L, 25L, 311L, 499L, 624L, 12345L)) {
+      val (w, h) = Multimodal.PngCodec.dims(id)
+      val bytes = Multimodal.PngCodec.encode(id)
+      // Real PNG bytes: magic header present, non-trivial size.
+      assert(bytes.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+      val (dw, dh, sum) = Multimodal.PngCodec.decode(bytes)
+      assert((dw, dh) == (w, h))
+      var expected = 0L
+      for (y <- 0 until h; x <- 0 until w) expected += Multimodal.PngCodec.pixel(id, x, y)
+      assert(sum == expected, s"raster checksum mismatch for id=$id")
+    }
+  }
+
+  test("m05 decodes every document's PNG distributed, matching the formula") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val decoded = Multimodal.pngDecodeMeta(spark, TestSpark.sfDir)
+    val viaFormula = Tables.documents(spark, TestSpark.sfDir)
+      .select($"doc_id",
+        (lit(8L) + $"doc_id" % 25).as("width"),
+        (lit(8L) + ($"doc_id" / 25).cast("long") % 25).as("height"))
+      .as[(Long, Long, Long)].collect().map { case (id, w, h) =>
+        var sum = 0L
+        for (y <- 0 until h.toInt; x <- 0 until w.toInt)
+          sum += Multimodal.PngCodec.pixel(id, x, y)
+        (id, w, h, sum)
+      }.toSeq.toDF("doc_id", "width", "height", "pix_sum")
+    assert(decoded.count() == viaFormula.count())
+    assert(decoded.except(viaFormula).count() == 0)
+    assert(viaFormula.except(decoded).count() == 0)
+  }
+
   test("registered m04 plan keeps the image filter below the decode") {
     val spark = TestSpark.spark
     // The Column-expression decode means the media_type predicate is a
