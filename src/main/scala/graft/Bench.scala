@@ -38,9 +38,19 @@ object Bench {
     // bounded) and the reported number is the MEDIAN; the min is emitted
     // alongside as the best-case floor.
     val maxRepeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    // Timed unit = a `noop`-format write, NOT count(): under count()
+    // Catalyst elides the presentation orderBy and prunes every column
+    // not needed for row counting, so timings would be optimistic
+    // relative to what the driver's Verify path (a parquet write of the
+    // full result) actually pays. The noop sink computes every output
+    // row and column end to end and discards the bytes — full
+    // materialization cost without I/O noise.
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) } catch {
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           None

@@ -102,6 +102,10 @@ object SparkEntry {
     // dimensions + raster checksum oracle-checked against the generator
     // formula (a hash match proves the decode is bit-exact, not a stub).
     "m05_png_decode"         -> (Multimodal.pngDecodeMeta _),
+    // m06 is the REAL audio codec: WAV PCM bytes through
+    // javax.sound.sampled, decoded sample count + (position-weighted)
+    // amplitude sums oracle-checked against the generator formula.
+    "m06_wav_decode"         -> (Multimodal.wavDecodeMeta _),
     "t12_normalize"          -> (TextOps.normalizeText _),
   )
 
@@ -461,6 +465,21 @@ object SparkEntry {
             generate_series(0, 8 + (doc_id // 25) % 25 - 1), y ->
               list_transform(generate_series(0, 8 + doc_id % 25 - 1), x ->
                 (doc_id * 31 + 7 * x + 13 * y) % 256)))) AS BIGINT) AS pix_sum
+        FROM documents ORDER BY doc_id""",
+      // Recomputes the WAV generator formula (n = 200 + id % 400 samples,
+      // s_i = (id*7919 + i*104729) % 65536 - 32768) — the Spark side gets
+      // these numbers by DECODING real WAV bytes; the position-weighted
+      // sum pins the decoded sample ORDER, so a hash match certifies the
+      // codec end to end.
+      "m06_wav_decode" -> """
+        SELECT doc_id,
+          200 + doc_id % 400 AS n_samples,
+          CAST(list_sum(list_transform(
+            generate_series(0, CAST(200 + doc_id % 400 AS INTEGER) - 1),
+            i -> (doc_id * 7919 + i * 104729) % 65536 - 32768)) AS BIGINT) AS amp_sum,
+          CAST(list_sum(list_transform(
+            generate_series(0, CAST(200 + doc_id % 400 AS INTEGER) - 1),
+            i -> ((doc_id * 7919 + i * 104729) % 65536 - 32768) * (i + 1))) AS BIGINT) AS amp_wsum
         FROM documents ORDER BY doc_id""",
       "d01_exact_dups" -> """
         SELECT text_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id FROM (

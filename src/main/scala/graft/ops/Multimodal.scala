@@ -5,6 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.security.MessageDigest
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -170,6 +171,101 @@ object Multimodal {
   def pngDecodeMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     decodePngs(pngTable(s, dir)).toDF().orderBy($"doc_id")
+  }
+
+  final case class WavRow(doc_id: Long, payload: Array[Byte])
+  final case class WavMeta(doc_id: Long, n_samples: Long, amp_sum: Long, amp_wsum: Long)
+
+  /** A REAL audio codec — WAV (16-bit signed PCM, mono, little-endian)
+    * via JDK `javax.sound.sampled` (public, zero new dependencies) —
+    * the audio twin of [[PngCodec]], closing the m01-m04 "audio"
+    * modality with actual bytes. Samples are generated
+    * deterministically from `doc_id` (`n = 200 + id % 400` samples,
+    * `s_i = (id·7919 + i·104729) mod 65536 − 32768`), so the DECODED
+    * sample count, amplitude sum, and position-weighted amplitude sum
+    * are recomputable by the DuckDB oracle from the formula alone — a
+    * hash match on m06 proves real bytes went through a real WAV
+    * encoder and decoder in the right order (the weighted sum pins
+    * sample ORDER, not just the multiset).
+    *
+    * PCM is lossless, so decode returns the exact generated values.
+    */
+  object WavCodec {
+    val format = new AudioFormat(8000f, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+
+    def nSamples(docId: Long): Int = (200 + docId % 400).toInt
+
+    def sample(docId: Long, i: Int): Int =
+      ((docId * 7919L + i * 104729L) % 65536L).toInt - 32768
+
+    def encode(docId: Long): Array[Byte] = {
+      val n = nSamples(docId)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = sample(docId, i)
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(new ByteArrayInputStream(pcm), format, n.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode sample count, Σ sᵢ, and Σ sᵢ·(i+1) over the PCM frames. */
+    def decode(payload: Array[Byte]): (Long, Long, Long) = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var sum = 0L
+        var wsum = 0L
+        var i = 0
+        while (i < n) {
+          val s = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+          sum += s
+          wsum += s.toLong * (i + 1)
+          i += 1
+        }
+        (n.toLong, sum, wsum)
+      } finally ais.close()
+    }
+  }
+
+  /** WAV payload table: one encoded clip per document id, encoded
+    * distributed exactly like [[pngTable]].
+    */
+  def wavTable(s: SparkSession, dir: String): Dataset[WavRow] = {
+    import s.implicits._
+    documents(s, dir).select($"doc_id").as[Long].mapPartitions { ids =>
+      ids.map(id => WavRow(id, WavCodec.encode(id)))
+    }
+  }
+
+  /** The real-codec decode over WAV payloads — same shape as
+    * [[decodePngs]]: opaque per-partition decode, metadata out, the
+    * binary column never crosses a shuffle.
+    */
+  def decodeWavs(media: Dataset[WavRow]): Dataset[WavMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (n, sum, wsum) = WavCodec.decode(r.payload)
+        WavMeta(r.doc_id, n, sum, wsum)
+      }
+    }
+  }
+
+  /** Oracle-checked query: encode real WAVs, decode them through the
+    * real codec, emit decoded metadata. The oracle recomputes
+    * n_samples/amp_sum/amp_wsum from the generator formula — a hash
+    * match means the decoded PCM stream is bit-exact and in order.
+    */
+  def wavDecodeMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodeWavs(wavTable(s, dir)).toDF().orderBy($"doc_id")
   }
 
   /** The media table: documents' text bytes standing in as payloads,

@@ -102,6 +102,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaFormula.except(decoded).count() == 0)
   }
 
+  test("WAV codec round-trips: decode(encode(id)) returns the generator formula") {
+    for (id <- Seq(0L, 1L, 199L, 200L, 399L, 400L, 12345L)) {
+      val bytes = Multimodal.WavCodec.encode(id)
+      // Real WAV bytes: RIFF/WAVE container header present.
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+      assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+      val n = Multimodal.WavCodec.nSamples(id)
+      var sum = 0L
+      var wsum = 0L
+      for (i <- 0 until n) {
+        val s = Multimodal.WavCodec.sample(id, i)
+        sum += s
+        wsum += s.toLong * (i + 1)
+      }
+      val (dn, dsum, dwsum) = Multimodal.WavCodec.decode(bytes)
+      assert(dn == n.toLong, s"sample count mismatch for id=$id")
+      assert(dsum == sum, s"amplitude checksum mismatch for id=$id")
+      assert(dwsum == wsum, s"weighted checksum (sample order) mismatch for id=$id")
+    }
+  }
+
+  test("m06 decodes every document's WAV distributed, matching the formula") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val decoded = Multimodal.wavDecodeMeta(spark, TestSpark.sfDir)
+    val viaFormula = Tables.documents(spark, TestSpark.sfDir)
+      .select($"doc_id").as[Long].collect().map { id =>
+        val n = Multimodal.WavCodec.nSamples(id)
+        var sum = 0L
+        var wsum = 0L
+        for (i <- 0 until n) {
+          val s = Multimodal.WavCodec.sample(id, i)
+          sum += s
+          wsum += s.toLong * (i + 1)
+        }
+        (id, n.toLong, sum, wsum)
+      }.toSeq.toDF("doc_id", "n_samples", "amp_sum", "amp_wsum")
+    assert(decoded.count() == viaFormula.count())
+    assert(decoded.except(viaFormula).count() == 0)
+    assert(viaFormula.except(decoded).count() == 0)
+  }
+
   test("registered m04 plan keeps the image filter below the decode") {
     val spark = TestSpark.spark
     // The Column-expression decode means the media_type predicate is a
