@@ -84,6 +84,7 @@ object SparkEntry {
     "d11_dup_clusters"       -> ((s, d) => Dedup.dupClusters(s, d)),
     "d13_dup_clusters_multi" -> ((s, d) => Dedup.dupClustersMulti(s, d)),
     "d14_incremental"        -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "d15_incremental_multi"  -> ((s, d) => Dedup.incrementalDedupMulti(s, d)),
     // ---- similarity search ----
     "s01_knn_brute"          -> (Similarity.bruteForceKnn _),
     "s02_knn_bucketed"       -> (Similarity.bucketedKnn _),
@@ -676,6 +677,56 @@ object SparkEntry {
           near_match IS NOT NULL AS near_dup,
           least(COALESCE(exact_match, near_match),
                 COALESCE(near_match, exact_match)) AS best_match
+        FROM merged ORDER BY doc_id""",
+      "d15_incremental_multi" -> """
+        WITH nh AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0),
+        hh AS (SELECT doc_id AS hist_doc, md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+        exact AS (SELECT nh.doc_id, min(hh.hist_doc) AS exact_match
+                  FROM nh JOIN hh ON nh.h = hh.h GROUP BY nh.doc_id),
+        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+               FROM documents),
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        hb AS (SELECT j, bkey, doc_id AS hist_doc FROM bands WHERE doc_id % 5 <> 0),
+        smallh AS (SELECT j, bkey FROM hb GROUP BY j, bkey HAVING count(*) <= 64),
+        near AS (SELECT nb.doc_id, min(hb.hist_doc) AS near_match
+                 FROM bands nb
+                 JOIN hb ON nb.j = hb.j AND nb.bkey = hb.bkey
+                 JOIN smallh sm ON hb.j = sm.j AND hb.bkey = sm.bkey
+                 WHERE nb.doc_id % 5 = 0 GROUP BY nb.doc_id),
+        tc AS (SELECT doc_id, tok, count(*) AS cnt FROM (
+                 SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+                 FROM documents) x GROUP BY doc_id, tok),
+        sh0 AS (SELECT doc_id, cnt, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tc),
+        sb AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+               FROM sh0, (SELECT unnest(generate_series(0, 59)) AS i) ii GROUP BY doc_id, i),
+        sh AS (SELECT doc_id, CAST(sum(CASE WHEN w >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+               FROM sb GROUP BY doc_id),
+        sbands AS (SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767 AS bv
+                   FROM sh, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        simm AS (SELECT a.doc_id, min(b.doc_id) AS sim_match
+                 FROM sbands a JOIN sbands b ON a.j = b.j AND a.bv = b.bv
+                 WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+                   AND bit_count(xor(a.simhash, b.simhash)) <= 8
+                 GROUP BY a.doc_id),
+        merged AS (SELECT COALESCE(e.doc_id, n.doc_id, s.doc_id) AS doc_id,
+                     e.exact_match, n.near_match, s.sim_match
+                   FROM exact e
+                   FULL OUTER JOIN near n ON e.doc_id = n.doc_id
+                   FULL OUTER JOIN simm s ON COALESCE(e.doc_id, n.doc_id) = s.doc_id)
+        SELECT doc_id,
+          exact_match IS NOT NULL AS exact_dup,
+          near_match IS NOT NULL AS near_dup,
+          sim_match IS NOT NULL AS sim_dup,
+          least(COALESCE(exact_match, near_match, sim_match),
+                COALESCE(near_match, sim_match, exact_match),
+                COALESCE(sim_match, exact_match, near_match)) AS best_match
         FROM merged ORDER BY doc_id""",
       "d13_dup_clusters_multi" -> """
         WITH RECURSIVE

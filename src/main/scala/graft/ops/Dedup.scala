@@ -177,8 +177,29 @@ object Dedup {
   /** Min-label propagation with pointer jumping over an undirected
     * (doc_a, doc_b) pair graph — see [[dupClusters]]'s scaladoc for the
     * round structure and convergence argument.
+    *
+    * Rounds vs diameter: the seed performs one neighbor step (radius
+    * 1); each subsequent round performs one more neighbor step and one
+    * pointer jump, so the distance the component minimum has travelled
+    * at least doubles per round — ⌈log₂ d⌉ rounds reach every node of a
+    * diameter-d component, plus one fixpoint-confirmation round in
+    * which the label-sum witness is unchanged. ConvergenceSpec pins
+    * this empirically with adversarial identity/descending chains of
+    * diameter 300 (worst case for min-label: the minimum sits at one
+    * end), asserting rounds ≤ ⌈log₂ d⌉ + 2. The 64-round guard is
+    * therefore headroom for diameters ~2⁶², not a bound the algorithm
+    * ever approaches.
     */
-  private def connectedComponents(s: SparkSession, pairsDf: DataFrame): DataFrame = {
+  private def connectedComponents(s: SparkSession, pairsDf: DataFrame): DataFrame =
+    connectedComponentsWithRounds(s, pairsDf)._1
+
+  /** [[connectedComponents]] also reporting how many propagation rounds
+    * ran — the test seam for the convergence bound. The second element
+    * is the ONLY value the driver ever materializes per round (the
+    * label-sum fixpoint witness is a scalar aggregate).
+    */
+  private[graft] def connectedComponentsWithRounds(
+      s: SparkSession, pairsDf: DataFrame): (DataFrame, Int) = {
     import s.implicits._
     // Materialize the pair list ONCE before the symmetrizing
     // self-union — unioning the lazy frame with itself would run the
@@ -219,7 +240,8 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    labels.select($"node".as("doc_id"), $"lbl".as("cluster_id")).orderBy($"doc_id")
+    (labels.select($"node".as("doc_id"), $"lbl".as("cluster_id")).orderBy($"doc_id"),
+      rounds)
   }
 
   /** Incremental dedup — the shape production actually runs: a NEW
@@ -260,6 +282,60 @@ object Dedup {
         $"near_match".isNotNull.as("near_dup"),
         least(coalesce($"exact_match", $"near_match"),
               coalesce($"near_match", $"exact_match")).as("best_match"))
+      .orderBy($"doc_id")
+  }
+
+  /** Multi-signal incremental dedup — [[incrementalDedup]] composing ALL
+    * THREE signals at ingest the way [[dupClustersMulti]] composes them
+    * for clustering: the new batch (doc_id ≡ 0 mod 5) probes (1) the
+    * exact md5 store, (2) the capped banded-MinHash index, and (3) the
+    * banded-SimHash index (hamming ≤ 8 verified on candidates, wide
+    * 15-bit bands carrying the skew bound exactly as in d09). Each
+    * probe is new-batch-vs-index only — the batch never self-joins, and
+    * at scale each index is pre-bucketed on disk so the scan cost is
+    * the batch, not the corpus. Emits one row per matched new doc with
+    * a flag per signal and the earliest matching historical doc across
+    * all signals (the least-of-coalesces form is null-skipping min,
+    * identical in both engines).
+    */
+  def incrementalDedupMulti(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir)
+    val newHashes = docs.filter($"doc_id" % 5 === 0).select($"doc_id", md5($"text").as("h"))
+    val histHashes = docs.filter($"doc_id" % 5 =!= 0).select($"doc_id".as("hist_doc"), md5($"text").as("h"))
+    val exact = newHashes.join(histHashes, "h")
+      .groupBy($"doc_id").agg(min($"hist_doc").as("exact_match"))
+
+    val bands = bandKeys(s, dir)
+    val newBands = bands.filter($"doc_id" % 5 === 0)
+    val histBands = bands.filter($"doc_id" % 5 =!= 0)
+      .select($"band", $"bkey", $"doc_id".as("hist_doc"))
+    val smallHist = histBands.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("n")).filter($"n" <= cap)
+      .select($"band", $"bkey")
+    val near = newBands
+      .join(histBands.join(smallHist.hint("merge"), Seq("band", "bkey")), Seq("band", "bkey"))
+      .groupBy($"doc_id").agg(min($"hist_doc").as("near_match"))
+
+    val sb = simhashBands(s, dir)
+    val newSim = sb.filter($"doc_id" % 5 === 0).toDF("doc_id", "sim_a", "band", "bval")
+    val histSim = sb.filter($"doc_id" % 5 =!= 0).toDF("hist_doc", "sim_b", "band", "bval")
+    // merge hint for the same ReusedExchange reason as in
+    // bandedPairsUnsorted: both sides shuffle on (band, bval) and the
+    // simhash pipeline evaluates once.
+    val sim = newSim.join(histSim.hint("merge"), Seq("band", "bval"))
+      .filter(expr("cast(bit_count(sim_a ^ sim_b) as bigint)") <= 8)
+      .groupBy($"doc_id").agg(min($"hist_doc").as("sim_match"))
+
+    exact.join(near, Seq("doc_id"), "full_outer")
+      .join(sim, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        $"exact_match".isNotNull.as("exact_dup"),
+        $"near_match".isNotNull.as("near_dup"),
+        $"sim_match".isNotNull.as("sim_dup"),
+        least(coalesce($"exact_match", $"near_match", $"sim_match"),
+              coalesce($"near_match", $"sim_match", $"exact_match"),
+              coalesce($"sim_match", $"exact_match", $"near_match")).as("best_match"))
       .orderBy($"doc_id")
   }
 
@@ -376,12 +452,21 @@ object Dedup {
     * computes the identical banded semantics, so the tradeoff is
     * value-checked.
     */
-  private[ops] def bandedPairsUnsorted(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, simhash, band, bval) — the banded SimHash index shared by
+    * the pair generator and the incremental probe: 4 15-bit bands of
+    * the 60-bit hash.
+    */
+  private def simhashBands(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bands = simhashDf(s, dir)
+    simhashDf(s, dir)
       .select($"doc_id", $"simhash", posexplode(expr(
         "transform(sequence(0, 3), j -> (simhash >> (15 * j)) & 32767)")))
       .select($"doc_id", $"simhash", $"pos".as("band"), $"col".as("bval"))
+  }
+
+  private[ops] def bandedPairsUnsorted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = simhashBands(s, dir)
     val a = bands.toDF("doc_a", "sim_a", "band_a", "bv_a")
     val b = bands.toDF("doc_b", "sim_b", "band_b", "bv_b")
     // Hamming verification runs BEFORE the dedup of multi-band

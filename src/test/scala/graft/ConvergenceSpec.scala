@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+/** Adversarial convergence proof for the connected-components pointer
+  * jumping (d11/d13): on worst-case chain graphs — diameter in the
+  * hundreds, component minimum at one END of the chain, so min-label
+  * needs the full diameter under one-hop propagation — the round count
+  * must stay logarithmic. One-hop propagation would need ~d rounds
+  * (measured at 295 s / unconverged-at-64 before the round-3 fix);
+  * pointer jumping doubles the reached distance per round.
+  *
+  * The driver-side loop only ever materializes ONE scalar per round
+  * (the label-sum fixpoint witness, Dedup.connectedComponentsWithRounds)
+  * — the labels themselves live in executor partitions behind a
+  * localCheckpoint; nothing here collects them except the final
+  * assertion readback.
+  */
+class ConvergenceSpec extends AnyFunSuite {
+
+  private def bound(diameter: Int): Int =
+    (math.log(diameter) / math.log(2)).ceil.toInt + 2
+
+  /** Path graph over explicit node ids: ids(k) — ids(k+1). */
+  private def chain(ids: Seq[Long]) = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    ids.zip(ids.tail).toDF("doc_a", "doc_b")
+  }
+
+  test("identity chain of diameter 300 converges in <= ceil(log2 d) + 2 rounds") {
+    val spark = TestSpark.spark
+    val d = 300
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(spark, chain(0L.to(d.toLong)))
+    assert(rounds <= bound(d), s"took $rounds rounds, bound ${bound(d)}")
+    val rows = labels.collect()
+    assert(rows.length == d + 1)
+    rows.foreach(r => assert(r.getLong(1) == 0L, s"node ${r.getLong(0)} not labeled 0"))
+  }
+
+  test("descending chain (minimum at the far end) stays within the bound") {
+    val spark = TestSpark.spark
+    val d = 300
+    // Path v_0 - v_1 - ... - v_d with v_k = d - k: the minimum (0) sits
+    // at the end opposite to where the largest ids cluster.
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(spark, chain(d.toLong.to(0L, -1L)))
+    assert(rounds <= bound(d), s"took $rounds rounds, bound ${bound(d)}")
+    labels.collect().foreach(r => assert(r.getLong(1) == 0L))
+  }
+
+  test("several disjoint chains converge together, each to its own minimum") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = 200
+    // Three chains with disjoint id ranges (offsets 0, 10k, 20k); the
+    // worst diameter governs the shared round count.
+    val offsets = Seq(0L, 10000L, 20000L)
+    val edges = offsets.map(off => chain(off.to(off + d))).reduce(_ union _)
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(spark, edges)
+    assert(rounds <= bound(d), s"took $rounds rounds, bound ${bound(d)}")
+    val byCluster = labels.groupBy($"cluster_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCluster == offsets.map(_ -> (d + 1).toLong).toMap)
+  }
+}
