@@ -65,6 +65,83 @@ class ArticlesSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointed restart resumes at the committed page offset — no page re-emitted") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-articles-restart")
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"
+    // Memory sinks refuse checkpoint recovery (not fault-tolerant), so
+    // the restart boundary is proven against the parquet file sink —
+    // the recovery-capable sink production would use, whose commit log
+    // also makes re-emission visible as duplicate rows in the output.
+    def start(pages: Int) =
+      spark.readStream.format("graft.sources.ArticlesSource")
+        .option("pages", pages).option("pageSize", 10)
+        .option("pagesPerTrigger", 1).option("query", "bitcoin")
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+
+    // Run 1: drain a 3-page feed, stop cleanly — offsets are committed
+    // to the checkpoint through the engine's JSON offset round-trip.
+    val q1 = start(pages = 3)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 30)
+
+    // Run 2: SAME checkpoint, the feed has grown to 6 pages. The
+    // restarted stream must deserialize the committed offset (page 3)
+    // and admit only pages 4..6 — a re-emitted page would surface as
+    // extra rows and duplicate urls in the output.
+    val q2 = start(pages = 6)
+    try {
+      q2.processAllAvailable()
+      // admission control survives the restart: exactly the 3 new
+      // pages were admitted, one page per trigger
+      val withInput = q2.recentProgress.filter(_.numInputRows > 0)
+      assert(withInput.map(_.numInputRows).sum == 30,
+        withInput.map(_.numInputRows).mkString(","))
+      assert(withInput.length >= 3, withInput.map(_.numInputRows).mkString(","))
+      withInput.foreach(p => assert(p.numInputRows <= 10, p.numInputRows))
+    } finally q2.stop()
+    // the two runs together are exactly the 6-page batch read, once
+    val streamedAll = spark.read.parquet(out)
+    assert(streamedAll.count() == 60, s"total rows = ${streamedAll.count()}")
+    val batch = read(pages = 6, pageSize = 10)
+    assert(streamedAll.except(batch).count() == 0)
+    assert(batch.except(streamedAll).count() == 0)
+  }
+
+  test("DSv2 stream drives the entity pipeline: complete-mode counts equal the batch run") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-articles-e2e").toString
+    // S4 (DSv2 micro-batch, rate-capped) → P7 to_json → P1/P2/P3/P4
+    // parse → U1 NER → U2 explode → A1 grouped count, complete mode —
+    // the whole reference pipeline driven by the in-engine source.
+    val articles = spark.readStream.format("graft.sources.ArticlesSource")
+      .option("pages", 3).option("pageSize", 20)
+      .option("pagesPerTrigger", 1).option("query", "bitcoin")
+      .load()
+    val asKafkaValue = articles
+      .select(to_json(struct(articles.columns.map(col): _*)).as("value"))
+    val counts = EntityPipeline.countEntities(EntityPipeline.parseArticles(asKafkaValue))
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("articles_e2e_counts")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("articles_e2e_counts")
+      val batchArticles = read(pages = 3, pageSize = 20)
+      val batchCounts = EntityPipeline.countEntities(EntityPipeline.parseArticles(
+        batchArticles.select(to_json(struct(batchArticles.columns.map(col): _*)).as("value"))))
+      assert(streamed.except(batchCounts).count() == 0)
+      assert(batchCounts.except(streamed).count() == 0)
+      // and it genuinely ran micro-batched under the page cap
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    } finally q.stop()
+  }
+
   test("DSv2 stream composes with the ingest dedup: duplicate urls dropped in flight") {
     val spark = TestSpark.spark
     import spark.implicits._
