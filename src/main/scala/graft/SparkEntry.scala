@@ -107,6 +107,10 @@ object SparkEntry {
     // javax.sound.sampled, decoded sample count + (position-weighted)
     // amplitude sums oracle-checked against the generator formula.
     "m06_wav_decode"         -> (Multimodal.wavDecodeMeta _),
+    // m07 is the REAL video codec: multi-frame animated GIF through
+    // javax.imageio, decoded frame count + frame-order-weighted raster
+    // sums oracle-checked against the generator formula.
+    "m07_gif_frames"         -> (Multimodal.gifDecodeMeta _),
     "t12_normalize"          -> (TextOps.normalizeText _),
   )
 
@@ -481,6 +485,27 @@ object SparkEntry {
           CAST(list_sum(list_transform(
             generate_series(0, CAST(200 + doc_id % 400 AS INTEGER) - 1),
             i -> ((doc_id * 7919 + i * 104729) % 65536 - 32768) * (i + 1))) AS BIGINT) AS amp_wsum
+        FROM documents ORDER BY doc_id""",
+      // Recomputes the GIF generator formula (2 + id % 4 frames of
+      // (6 + id % 10) x (6 + (id/10) % 10), gray pixel
+      // (id*31 + f*17 + 7x + 13y) % 256) — the Spark side gets these
+      // numbers by DECODING real multi-frame GIF bytes; the
+      // frame-index-weighted sum pins the decoded frame ORDER.
+      "m07_gif_frames" -> """
+        SELECT doc_id,
+          2 + doc_id % 4 AS n_frames,
+          6 + doc_id % 10 AS width,
+          6 + (doc_id // 10) % 10 AS height,
+          CAST(list_sum(list_transform(generate_series(0, 2 + doc_id % 4 - 1), f ->
+            list_sum(flatten(list_transform(
+              generate_series(0, 6 + (doc_id // 10) % 10 - 1), y ->
+                list_transform(generate_series(0, 6 + doc_id % 10 - 1), x ->
+                  (doc_id * 31 + f * 17 + 7 * x + 13 * y) % 256)))))) AS BIGINT) AS pix_sum,
+          CAST(list_sum(list_transform(generate_series(0, 2 + doc_id % 4 - 1), f ->
+            (f + 1) * list_sum(flatten(list_transform(
+              generate_series(0, 6 + (doc_id // 10) % 10 - 1), y ->
+                list_transform(generate_series(0, 6 + doc_id % 10 - 1), x ->
+                  (doc_id * 31 + f * 17 + 7 * x + 13 * y) % 256)))))) AS BIGINT) AS pix_wsum
         FROM documents ORDER BY doc_id""",
       "d01_exact_dups" -> """
         SELECT text_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id FROM (

@@ -268,6 +268,145 @@ object Multimodal {
     decodeWavs(wavTable(s, dir)).toDF().orderBy($"doc_id")
   }
 
+  final case class GifRow(doc_id: Long, payload: Array[Byte])
+  final case class GifMeta(doc_id: Long, n_frames: Long, width: Long, height: Long,
+                           pix_sum: Long, pix_wsum: Long)
+
+  /** A REAL video codec — multi-frame animated GIF via JDK
+    * `javax.imageio` (public, zero new dependencies) — the video twin
+    * of [[PngCodec]]/[[WavCodec]], closing the last stubbed modality
+    * with actual bytes: a container holding an ORDERED frame sequence,
+    * decoded frame by frame. Frames are generated deterministically
+    * from `doc_id` (`2 + id % 4` frames of `6 + id % 10` ×
+    * `6 + (id/10) % 10`, gray pixel `(id·31 + f·17 + x·7 + y·13) mod
+    * 256`), so the DECODED frame count, dimensions, raster sum, and
+    * frame-index-weighted raster sum are recomputable by the DuckDB
+    * oracle from the formula alone. The weighted sum pins frame ORDER —
+    * a hash match on m07 proves real bytes went through a real
+    * multi-frame encoder and decoder with the sequence intact.
+    *
+    * GIF stores 8-bit indexed color; TYPE_BYTE_GRAY frames palettize to
+    * the 256-gray table losslessly, so decode returns the exact
+    * generated values.
+    */
+  object GifCodec {
+    def dims(docId: Long): (Int, Int) =
+      (6 + (docId % 10).toInt, 6 + ((docId / 10) % 10).toInt)
+
+    def nFrames(docId: Long): Int = (2 + docId % 4).toInt
+
+    def pixel(docId: Long, f: Int, x: Int, y: Int): Int =
+      ((docId * 31 + f * 17 + x * 7 + y * 13) % 256).toInt
+
+    def encode(docId: Long): Array[Byte] = {
+      val (w, h) = dims(docId)
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames(docId)) {
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, pixel(docId, f, x, y))
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      bos.toByteArray
+    }
+
+    /** Decode frame count, first-frame dimensions, Σ pixels over all
+      * frames, and Σ (f+1)·(frame-f raster sum) — the last pins the
+      * frame sequence order, not just the frame multiset.
+      */
+    def decode(payload: Array[Byte]): (Long, Long, Long, Long, Long) = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        var w = 0L
+        var h = 0L
+        var sum = 0L
+        var wsum = 0L
+        var f = 0
+        while (f < n) {
+          val img = reader.read(f)
+          if (f == 0) { w = img.getWidth.toLong; h = img.getHeight.toLong }
+          var frameSum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              frameSum += (img.getRGB(x, y) & 0xff).toLong
+              x += 1
+            }
+            y += 1
+          }
+          sum += frameSum
+          wsum += (f + 1) * frameSum
+          f += 1
+        }
+        (n.toLong, w, h, sum, wsum)
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    }
+  }
+
+  /** GIF payload table: one encoded clip per document id, encoded
+    * distributed exactly like [[pngTable]] (ImageIO disk cache off —
+    * executors never touch temp files for an in-memory encode).
+    */
+  def gifTable(s: SparkSession, dir: String): Dataset[GifRow] = {
+    import s.implicits._
+    documents(s, dir).select($"doc_id").as[Long].mapPartitions { ids =>
+      ImageIO.setUseCache(false)
+      ids.map(id => GifRow(id, GifCodec.encode(id)))
+    }
+  }
+
+  /** The real-codec decode over GIF payloads — same shape as
+    * [[decodePngs]]: opaque per-partition decode, metadata out, the
+    * binary column never crosses a shuffle.
+    */
+  def decodeGifs(media: Dataset[GifRow]): Dataset[GifMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { r =>
+        val (n, w, h, sum, wsum) = GifCodec.decode(r.payload)
+        GifMeta(r.doc_id, n, w, h, sum, wsum)
+      }
+    }
+  }
+
+  /** Oracle-checked query: encode real multi-frame GIFs, decode them
+    * through the real codec, emit decoded metadata. The oracle
+    * recomputes every column from the generator formula — a hash match
+    * means the decoded frame sequence is bit-exact and in order.
+    */
+  def gifDecodeMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodeGifs(gifTable(s, dir)).toDF().orderBy($"doc_id")
+  }
+
   /** The media table: documents' text bytes standing in as payloads,
     * with a deterministic modality assignment.
     */

@@ -144,6 +144,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaFormula.except(decoded).count() == 0)
   }
 
+  test("GIF codec round-trips: decode(encode(id)) returns the generator formula") {
+    for (id <- Seq(0L, 1L, 9L, 10L, 99L, 311L, 499L, 12345L)) {
+      val bytes = Multimodal.GifCodec.encode(id)
+      // Real GIF bytes: GIF89a/GIF87a container header present.
+      assert(new String(bytes.take(3), "US-ASCII") == "GIF", bytes.take(6).mkString(","))
+      val (w, h) = Multimodal.GifCodec.dims(id)
+      val n = Multimodal.GifCodec.nFrames(id)
+      var sum = 0L
+      var wsum = 0L
+      for (f <- 0 until n) {
+        var frameSum = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          frameSum += Multimodal.GifCodec.pixel(id, f, x, y)
+        sum += frameSum
+        wsum += (f + 1).toLong * frameSum
+      }
+      val (dn, dw, dh, dsum, dwsum) = Multimodal.GifCodec.decode(bytes)
+      assert(dn == n.toLong, s"frame count mismatch for id=$id: $dn != $n")
+      assert((dw, dh) == (w.toLong, h.toLong), s"dims mismatch for id=$id")
+      assert(dsum == sum, s"raster checksum mismatch for id=$id")
+      assert(dwsum == wsum, s"weighted checksum (frame order) mismatch for id=$id")
+    }
+  }
+
+  test("m07 decodes every document's GIF frames distributed, matching the formula") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val decoded = Multimodal.gifDecodeMeta(spark, TestSpark.sfDir)
+    val viaFormula = Tables.documents(spark, TestSpark.sfDir)
+      .select($"doc_id").as[Long].collect().map { id =>
+        val (w, h) = Multimodal.GifCodec.dims(id)
+        val n = Multimodal.GifCodec.nFrames(id)
+        var sum = 0L
+        var wsum = 0L
+        for (f <- 0 until n) {
+          var frameSum = 0L
+          for (y <- 0 until h; x <- 0 until w)
+            frameSum += Multimodal.GifCodec.pixel(id, f, x, y)
+          sum += frameSum
+          wsum += (f + 1).toLong * frameSum
+        }
+        (id, n.toLong, w.toLong, h.toLong, sum, wsum)
+      }.toSeq.toDF("doc_id", "n_frames", "width", "height", "pix_sum", "pix_wsum")
+    assert(decoded.count() == viaFormula.count())
+    assert(decoded.except(viaFormula).count() == 0)
+    assert(viaFormula.except(decoded).count() == 0)
+  }
+
   test("registered m04 plan keeps the image filter below the decode") {
     val spark = TestSpark.spark
     // The Column-expression decode means the media_type predicate is a
