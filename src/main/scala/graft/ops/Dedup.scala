@@ -300,15 +300,33 @@ object Dedup {
     */
   def incrementalDedupMulti(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
     import s.implicits._
-    val docs = documents(s, dir)
-    val newHashes = docs.filter($"doc_id" % 5 === 0).select($"doc_id", md5($"text").as("h"))
-    val histHashes = docs.filter($"doc_id" % 5 =!= 0).select($"doc_id".as("hist_doc"), md5($"text").as("h"))
+    val docs = documents(s, dir).select($"doc_id", $"text")
+    multiSignalProbe(docs.filter($"doc_id" % 5 === 0),
+                     docs.filter($"doc_id" % 5 =!= 0), cap)
+      .orderBy($"doc_id")
+  }
+
+  /** The frame-based core of [[incrementalDedupMulti]], shared with the
+    * streaming ingest shape (each foreachBatch micro-batch probes a
+    * static historical index with exactly this plan — every output row
+    * depends only on its own doc vs the index, so per-batch probes
+    * compose to the batch result; asserted in StreamingExtrasSpec).
+    * Both inputs are (doc_id, text); output is unsorted.
+    */
+  def multiSignalProbe(newDocs: DataFrame, histDocs: DataFrame,
+                       cap: Int = 64): DataFrame = {
+    val s = newDocs.sparkSession
+    import s.implicits._
+    val newHashes = newDocs.select($"doc_id", md5($"text").as("h"))
+    val histHashes = histDocs.select($"doc_id".as("hist_doc"), md5($"text").as("h"))
     val exact = newHashes.join(histHashes, "h")
       .groupBy($"doc_id").agg(min($"hist_doc").as("exact_match"))
 
-    val bands = bandKeys(s, dir)
-    val newBands = bands.filter($"doc_id" % 5 === 0)
-    val histBands = bands.filter($"doc_id" % 5 =!= 0)
+    def bandsOf(df: DataFrame): DataFrame = df
+      .select($"doc_id", posexplode(minhash_bands($"text")))
+      .select($"pos".as("band"), $"col".as("bkey"), $"doc_id")
+    val newBands = bandsOf(newDocs)
+    val histBands = bandsOf(histDocs)
       .select($"band", $"bkey", $"doc_id".as("hist_doc"))
     val smallHist = histBands.groupBy($"band", $"bkey")
       .agg(count(lit(1)).as("n")).filter($"n" <= cap)
@@ -317,9 +335,13 @@ object Dedup {
       .join(histBands.join(smallHist.hint("merge"), Seq("band", "bkey")), Seq("band", "bkey"))
       .groupBy($"doc_id").agg(min($"hist_doc").as("near_match"))
 
-    val sb = simhashBands(s, dir)
-    val newSim = sb.filter($"doc_id" % 5 === 0).toDF("doc_id", "sim_a", "band", "bval")
-    val histSim = sb.filter($"doc_id" % 5 =!= 0).toDF("hist_doc", "sim_b", "band", "bval")
+    def simBandsOf(df: DataFrame): DataFrame = df
+      .select($"doc_id", simhash60($"text").as("simhash"))
+      .select($"doc_id", $"simhash", posexplode(expr(
+        "transform(sequence(0, 3), j -> (simhash >> (15 * j)) & 32767)")))
+      .select($"doc_id", $"simhash", $"pos".as("band"), $"col".as("bval"))
+    val newSim = simBandsOf(newDocs).toDF("doc_id", "sim_a", "band", "bval")
+    val histSim = simBandsOf(histDocs).toDF("hist_doc", "sim_b", "band", "bval")
     // merge hint for the same ReusedExchange reason as in
     // bandedPairsUnsorted: both sides shuffle on (band, bval) and the
     // simhash pipeline evaluates once.
@@ -336,7 +358,6 @@ object Dedup {
         least(coalesce($"exact_match", $"near_match", $"sim_match"),
               coalesce($"near_match", $"sim_match", $"exact_match"),
               coalesce($"sim_match", $"exact_match", $"near_match")).as("best_match"))
-      .orderBy($"doc_id")
   }
 
   /** Word-3-gram Jaccard similarity over candidate pairs generated by a

@@ -54,6 +54,51 @@ class StreamingExtrasSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming multi-signal dedup: foreachBatch probes compose to the batch d15 result") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // The production ingest shape: new documents arrive in micro-batches
+    // and each batch probes the STATIC historical index (exact md5 +
+    // capped MinHash-LSH + banded SimHash) via the same frame-based core
+    // the batch d15 query uses. Every output row depends only on its own
+    // doc vs the index, so the union over batches must equal the batch
+    // run bit for bit.
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select($"doc_id", $"text")
+    val hist = docs.filter($"doc_id" % 5 =!= 0)
+    val newDocs = docs.filter($"doc_id" % 5 === 0)
+      .as[(Long, String)].collect().sortBy(_._1)
+    // three uneven micro-batches covering all new docs
+    val batches = Seq(
+      newDocs.take(newDocs.length / 3),
+      newDocs.slice(newDocs.length / 3, newDocs.length / 2),
+      newDocs.drop(newDocs.length / 2))
+    val input = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected.synchronized {
+          collected ++= graft.ops.Dedup.multiSignalProbe(batch, hist).collect()
+        }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        input.addData(b.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.createDataFrame(
+      spark.sparkContext.parallelize(collected.toSeq),
+      graft.ops.Dedup.incrementalDedupMulti(spark, TestSpark.sfDir).schema)
+    val batchRun = graft.ops.Dedup.incrementalDedupMulti(spark, TestSpark.sfDir)
+    assert(streamed.count() == batchRun.count())
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+  }
+
   test("flatMapGroupsWithState keeps custom per-key state across triggers") {
     val spark = TestSpark.spark
     import spark.implicits._
