@@ -28,6 +28,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"all-pairs plans in: ${offenders.mkString(", ")}")
   }
 
+  test("small dimensions broadcast and aggregates combine map-side in executed plans") {
+    val spark = TestSpark.spark
+    def executed(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // q03's nation/region joins carry explicit broadcast hints (fixed
+    // 25/5-row dimensions — safe at any scale factor), so the executed
+    // plan must contain broadcast hash joins regardless of stats.
+    val q03 = executed("q03_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(q03).length >= 2, q03.take(3000))
+    // q04 broadcasts the part-brand projection (MB-scale at 100 TB).
+    assert(executed("q04_brand_volume").contains("BroadcastHashJoin"))
+    // s02's ANN probe broadcasts the small query set into the
+    // bucket-equi join — the corpus is never shuffled.
+    assert(executed("s02_knn_bucketed").contains("BroadcastHashJoin"))
+    // q01 is the pure scan→aggregate shape: no join anywhere, and the
+    // aggregation must combine map-side (partial_sum before the
+    // exchange) — the shuffle carries groups, not rows.
+    val q01 = executed("q01_pricing_summary")
+    assert(!q01.contains("Join"), q01.take(3000))
+    assert(q01.contains("partial_sum"), q01.take(3000))
+  }
+
   test("executed plans of the pair generators use hash or merge joins only") {
     val spark = TestSpark.spark
     Seq("d08_lsh_pairs_capped", "d09_simhash_banded", "d10_embedding_bucketed",
