@@ -127,6 +127,73 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Product-quantization ANN (ADC form): the memory-compression scale
+    * path the other variants don't cover. The 64-dim embedding splits
+    * into M=4 16-dim subspaces; each subspace gets a K=16 codebook
+    * (deterministic seed centroids — the sub-vectors of the 16
+    * lowest-id vectors, same seeding convention as [[ivfKnn]]; real
+    * deployments k-means-train them, the encode/probe structure is
+    * identical). Every corpus vector is ENCODED as 4 centroid ids
+    * (argmin subspace L2², comparisons only, id tiebreak → 4 bytes per
+    * vector at K=16); a query builds its 4×16 distance table once, and
+    * the approximate distance to ANY corpus vector is 4 table lookups —
+    * asymmetric distance computation.
+    *
+    * Scale shape at 100 TB: the corpus scan reads CODES (4 bytes/vec,
+    * a 64× compression of the float payload — production persists the
+    * codes column next to the embedding and never rescans floats); the
+    * query-side distance tables are a KB-scale broadcast; adc² is a
+    * row-wise lookup sum with NO shuffle before the per-query top-k
+    * window. Encoding itself is a narrow broadcast argmin over the
+    * corpus, exactly like IVF assignment.
+    *
+    * Determinism: subspace dots are sequential-fold doubles (bit-exact
+    * across engines), L2² composed as dot(s,s) − 2·dot(s,c) + dot(c,c)
+    * left-associated in both engines, the ADC sum is pinned to subspace
+    * order 0+1+2+3, and every argmin/rank breaks ties on id.
+    */
+  def pqKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sub = embeddings(s, dir)
+      .select($"vec_id", explode(expr("sequence(0, 3)")).as("m"), $"embedding")
+      .select($"vec_id", $"m", expr("slice(embedding, 16 * m + 1, 16)").as("sv"))
+    val cb = sub.filter($"vec_id" < 16).toDF("k", "m", "cv")
+    def l2(x: String, c: String) =
+      vec_dot(col(x), col(x)) - lit(2.0) * vec_dot(col(x), col(c)) + vec_dot(col(c), col(c))
+
+    // Encode: per (vector, subspace) the nearest centroid id.
+    val aw = Window.partitionBy($"vec_id", $"m").orderBy($"dist".asc, $"k")
+    val enc = sub.join(broadcast(cb), Seq("m"))
+      .withColumn("dist", l2("sv", "cv"))
+      .withColumn("arank", row_number().over(aw))
+      .filter($"arank" === 1)
+      .groupBy($"vec_id")
+      .agg(max(when($"m" === 0, $"k")).as("c0"), max(when($"m" === 1, $"k")).as("c1"),
+           max(when($"m" === 2, $"k")).as("c2"), max(when($"m" === 3, $"k")).as("c3"))
+
+    // Query-side distance tables: per (query, subspace) the 16 centroid
+    // distances as an array indexed by centroid id.
+    val qt = sub.filter($"vec_id" < 5).toDF("q_id", "m", "qv")
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d", l2("qv", "cv"))
+      .groupBy($"q_id", $"m")
+      .agg(expr("transform(sort_array(collect_list(struct(k, d))), x -> x.d)").as("darr"))
+      .groupBy($"q_id")
+      .agg(max(when($"m" === 0, $"darr")).as("d0"), max(when($"m" === 1, $"darr")).as("d1"),
+           max(when($"m" === 2, $"darr")).as("d2"), max(when($"m" === 3, $"darr")).as("d3"))
+
+    // ADC: 4 broadcast table lookups per corpus row, then per-query top-5.
+    val w = Window.partitionBy($"q_id").orderBy($"adc2".asc, $"vec_id")
+    enc.join(broadcast(qt), $"vec_id" =!= $"q_id")
+      .withColumn("adc2",
+        element_at($"d0", ($"c0" + 1).cast("int")) + element_at($"d1", ($"c1" + 1).cast("int")) +
+        element_at($"d2", ($"c2" + 1).cast("int")) + element_at($"d3", ($"c3" + 1).cast("int")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"vec_id", $"adc2")
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Label-purity audit — the mislabeled-example detector of a training
     * pipeline: every vector's 1-NN (within its LSH bucket, self
     * excluded) is compared to its own label, aggregated per label.
