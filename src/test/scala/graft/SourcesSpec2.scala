@@ -94,4 +94,52 @@ class SourcesSpec2 extends AnyFunSuite {
     assert(merged.filter($"quality".isNull).count() == 2)  // old generation
     assert(merged.filter($"gen" === 2 && $"quality" === 0.9).count() == 1)
   }
+
+  test("persisted bucketed LSH index: the incremental probe shuffles only the batch") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.functions.TextHashes.minhash_bands
+    // The storage half of the incremental-dedup scale story (d14/d15):
+    // the historical MinHash band index lives on disk bucketed by its
+    // join key, so probing a new batch shuffles ONLY the batch — the
+    // corpus-sized index side reads bucket-aligned with no exchange.
+    val docs = Tables.documents(spark, TestSpark.sfDir).select($"doc_id", $"text")
+    def bandsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", posexplode(minhash_bands($"text")))
+      .select($"pos".as("band"), $"col".as("bkey"), $"doc_id")
+    val hist = bandsOf(docs.filter($"doc_id" % 5 =!= 0))
+      .withColumnRenamed("doc_id", "hist_doc")
+    spark.sql("DROP TABLE IF EXISTS g_lsh_index")
+    hist.write.bucketBy(8, "band", "bkey").sortBy("band", "bkey")
+      .saveAsTable("g_lsh_index")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle path so the assertion is about bucketing
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val newBands = bandsOf(docs.filter($"doc_id" % 5 === 0))
+      val probed = spark.table("g_lsh_index")
+        .join(newBands, Seq("band", "bkey"))
+        .groupBy($"doc_id").agg(min($"hist_doc").as("near_match"))
+      probed.collect()
+      // adaptive plan toString repeats the initial plan below the final
+      // one — assert on the final section only
+      val plan = probed.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("Bucketed: true"), plan)
+      // exactly ONE exchange on the join key — the batch side; the
+      // index side reads its buckets in place
+      val nKeyExchanges = "Exchange hashpartitioning\\(band".r.findAllIn(plan).length
+      assert(nKeyExchanges == 1, s"expected 1 join-key exchange, plan:\n$plan")
+      // and the probe result equals the same join computed from scratch
+      val direct = bandsOf(docs.filter($"doc_id" % 5 =!= 0))
+        .withColumnRenamed("doc_id", "hist_doc")
+        .join(newBands, Seq("band", "bkey"))
+        .groupBy($"doc_id").agg(min($"hist_doc").as("near_match"))
+      assert(probed.except(direct).count() == 0)
+      assert(direct.except(probed).count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS g_lsh_index")
+    }
+  }
 }
