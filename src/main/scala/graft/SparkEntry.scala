@@ -95,6 +95,7 @@ object SparkEntry {
     "t14_hash_split"         -> (TextOps.hashSplit _),
     "t15_length_hist"        -> (TextOps.lengthHistogram _),
     "t16_contamination"      -> (TextOps.contamination _),
+    "t17_repetition"         -> (TextOps.repetitionFilters _),
     // ---- multimodal binary columns (decode stubbed, plumbing real) ----
     "m01_media_meta"         -> (Multimodal.mediaMeta _),
     "m02_media_stats"        -> (Multimodal.mediaStats _),
@@ -873,6 +874,37 @@ object SparkEntry {
         SELECT cand.doc_id, count(*) AS n_hits
         FROM cand JOIN bg ON cand.g = bg.g
         GROUP BY cand.doc_id ORDER BY doc_id""",
+      // Gopher-style repetition filters: integer-exact thresholds
+      // (count*k <= total), max_run via gaps-and-islands, bigrams via
+      // lead() — identical constructs in both engines.
+      "t17_repetition" -> """
+        WITH arr AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS a FROM documents),
+        tok AS (SELECT doc_id, pos, a[pos] AS tok
+                FROM arr, LATERAL (SELECT unnest(generate_series(1, len(a))) AS pos) p),
+        tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+        tokstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                       count(*) AS n_distinct, max(c) AS top_token_n
+                     FROM tc GROUP BY doc_id),
+        bg AS (SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+               FROM tok),
+        bgstats AS (SELECT doc_id, max(c) AS top_bigram_n FROM (
+                      SELECT doc_id, bigram, count(*) AS c FROM bg
+                      WHERE bigram IS NOT NULL GROUP BY doc_id, bigram) t
+                    GROUP BY doc_id),
+        runs AS (SELECT doc_id, tok,
+                   pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
+                 FROM tok),
+        rstats AS (SELECT doc_id, max(c) AS max_run FROM (
+                     SELECT doc_id, count(*) AS c FROM runs GROUP BY doc_id, tok, grp) t
+                   GROUP BY doc_id)
+        SELECT t.doc_id, t.n_tokens, t.n_distinct, t.top_token_n,
+          b.top_bigram_n, r.max_run,
+          (r.max_run <= 2 AND t.top_token_n * 6 <= t.n_tokens
+           AND b.top_bigram_n * 12 <= t.n_tokens - 1) AS rep_ok
+        FROM tokstats t
+        JOIN bgstats b ON t.doc_id = b.doc_id
+        JOIN rstats r ON t.doc_id = r.doc_id
+        ORDER BY t.doc_id""",
       "t15_length_hist" -> """
         SELECT bin, bin * 200 AS bin_lo, count(*) AS n_docs FROM (
           SELECT CAST(floor(n_chars / 200.0) AS BIGINT) AS bin FROM documents) t

@@ -336,4 +336,52 @@ object TextOps {
           .as("within_tol"))
       .orderBy($"source")
   }
+
+  /** Repetition-based quality filters — the Gopher-style axis t02's
+    * length/punctuation/stopword score does not cover: documents whose
+    * text repeats itself (boilerplate loops, template stutter, token
+    * runs) are flagged by three integer-exact signals per doc:
+    *
+    *  - `top_token_n`: occurrences of the most frequent token
+    *    (flag if > n_tokens/6),
+    *  - `top_bigram_n`: occurrences of the most frequent adjacent
+    *    bigram, via lead() so the positions pipeline is reused — never
+    *    `transform(sequence, i -> arr[i])` indexing (flag if
+    *    > (n_tokens-1)/12),
+    *  - `max_run`: the longest run of one token repeated consecutively,
+    *    gaps-and-islands over (pos − row_number per (doc, token))
+    *    (flag if ≥ 3).
+    *
+    * `rep_ok` composes the three. All thresholds compare integers
+    * (count·k ≤ total), so the flag is bit-deterministic — no float
+    * ratios. Shuffles: one by (doc_id, tok) for counts+runs, one by
+    * doc_id for the bigram window and final stats — all key-bounded,
+    * no self-joins.
+    */
+  def repetitionFilters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = documents(s, dir)
+      .select($"doc_id", posexplode(toks($"text")))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("pos"), $"col".as("tok"))
+    val tc = tok.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val tokstats = tc.groupBy($"doc_id").agg(
+      sum($"c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+      max($"c").as("top_token_n"))
+    val wb = Window.partitionBy($"doc_id").orderBy($"pos")
+    val bgstats = tok
+      .select($"doc_id", concat($"tok", lit(" "), lead($"tok", 1).over(wb)).as("bigram"))
+      .filter($"bigram".isNotNull)
+      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_bigram_n"))
+    val wr = Window.partitionBy($"doc_id", $"tok").orderBy($"pos")
+    val rstats = tok.withColumn("grp", $"pos" - row_number().over(wr))
+      .groupBy($"doc_id", $"tok", $"grp").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("max_run"))
+    tokstats.join(bgstats, "doc_id").join(rstats, "doc_id")
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"top_token_n",
+        $"top_bigram_n", $"max_run",
+        ($"max_run" <= 2 && $"top_token_n" * 6 <= $"n_tokens" &&
+         $"top_bigram_n" * 12 <= $"n_tokens" - 1).as("rep_ok"))
+      .orderBy($"doc_id")
+  }
 }
