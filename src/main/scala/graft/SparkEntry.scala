@@ -92,6 +92,7 @@ object SparkEntry {
     "s04_knn_ivf"            -> (Similarity.ivfKnn _),
     "s05_knn_multiprobe"     -> (Similarity.multiProbeKnn _),
     "s06_knn_pq"             -> (Similarity.pqKnn _),
+    "s07_knn_pq_rerank"      -> (Similarity.pqRerankKnn _),
     "t14_hash_split"         -> (TextOps.hashSplit _),
     "t15_length_hist"        -> (TextOps.lengthHistogram _),
     "t16_contamination"      -> (TextOps.contamination _),
@@ -843,6 +844,42 @@ object SparkEntry {
           SELECT q_id, vec_id, adc2,
             row_number() OVER (PARTITION BY q_id ORDER BY adc2 ASC, vec_id) AS rank
           FROM adc) t
+        WHERE rank <= 5 ORDER BY q_id, rank""",
+      // Two-stage retrieval: the s06 ADC scoring shortlists top-25 per
+      // query, exact cosine re-ranks only the shortlist.
+      "s07_knn_pq_rerank" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings),
+        sub AS (SELECT vec_id, m, v[16*m+1 : 16*m+16] AS sv
+                FROM e, (SELECT unnest(generate_series(0, 3)) AS m) mm),
+        cb AS (SELECT m, vec_id AS k, sv AS cv FROM sub WHERE vec_id < 16),
+        dists AS (SELECT s.vec_id, s.m, cb.k,
+                    list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, cb.cv)
+                      + list_dot_product(cb.cv, cb.cv) AS d
+                  FROM sub s JOIN cb ON s.m = cb.m),
+        enc AS (SELECT vec_id, m, k AS code FROM (
+                  SELECT vec_id, m, k,
+                    row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k) AS rnk
+                  FROM dists) t WHERE rnk = 1),
+        adc AS (SELECT qd.vec_id AS q_id, enc.vec_id AS vec_id,
+                  max(CASE WHEN enc.m = 0 THEN qd.d END) + max(CASE WHEN enc.m = 1 THEN qd.d END)
+                  + max(CASE WHEN enc.m = 2 THEN qd.d END) + max(CASE WHEN enc.m = 3 THEN qd.d END) AS adc2
+                FROM enc JOIN dists qd ON qd.m = enc.m AND qd.k = enc.code
+                WHERE qd.vec_id < 5 AND enc.vec_id <> qd.vec_id
+                GROUP BY qd.vec_id, enc.vec_id),
+        shortlist AS (SELECT q_id, vec_id FROM (
+                        SELECT q_id, vec_id,
+                          row_number() OVER (PARTITION BY q_id ORDER BY adc2 ASC, vec_id) AS srank
+                        FROM adc) t WHERE srank <= 25)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT sl.q_id, sl.vec_id,
+            list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos,
+            row_number() OVER (PARTITION BY sl.q_id
+              ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC, sl.vec_id) AS rank
+          FROM shortlist sl
+          JOIN e q ON q.vec_id = sl.q_id
+          JOIN e c ON c.vec_id = sl.vec_id) t
         WHERE rank <= 5 ORDER BY q_id, rank""",
       "s03_label_purity" -> """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,

@@ -154,6 +154,19 @@ object Similarity {
     */
   def pqKnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val w = Window.partitionBy($"q_id").orderBy($"adc2".asc, $"vec_id")
+    pqAdc(s, dir)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"vec_id", $"adc2")
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** (q_id, vec_id, adc2) for every query × corpus vector — the shared
+    * ADC scoring of [[pqKnn]] and [[pqRerankKnn]].
+    */
+  private def pqAdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val sub = embeddings(s, dir)
       .select($"vec_id", explode(expr("sequence(0, 3)")).as("m"), $"embedding")
       .select($"vec_id", $"m", expr("slice(embedding, 16 * m + 1, 16)").as("sv"))
@@ -182,15 +195,40 @@ object Similarity {
       .agg(max(when($"m" === 0, $"darr")).as("d0"), max(when($"m" === 1, $"darr")).as("d1"),
            max(when($"m" === 2, $"darr")).as("d2"), max(when($"m" === 3, $"darr")).as("d3"))
 
-    // ADC: 4 broadcast table lookups per corpus row, then per-query top-5.
-    val w = Window.partitionBy($"q_id").orderBy($"adc2".asc, $"vec_id")
+    // ADC: 4 broadcast table lookups per corpus row.
     enc.join(broadcast(qt), $"vec_id" =!= $"q_id")
-      .withColumn("adc2",
-        element_at($"d0", ($"c0" + 1).cast("int")) + element_at($"d1", ($"c1" + 1).cast("int")) +
-        element_at($"d2", ($"c2" + 1).cast("int")) + element_at($"d3", ($"c3" + 1).cast("int")))
+      .select($"q_id", $"vec_id",
+        (element_at($"d0", ($"c0" + 1).cast("int")) + element_at($"d1", ($"c1" + 1).cast("int")) +
+         element_at($"d2", ($"c2" + 1).cast("int")) + element_at($"d3", ($"c3" + 1).cast("int")))
+          .as("adc2"))
+  }
+
+  /** Two-stage retrieval — the standard production pattern the
+    * single-stage variants approximate: the PQ/ADC scan produces a
+    * cheap SHORTLIST (top-25 by quantized distance, 4 table lookups per
+    * corpus row), then ONLY the shortlist is re-ranked by exact cosine
+    * over the full float vectors. At 100 TB the corpus pass touches
+    * 4-byte codes; the expensive float reads are 25 rows per query —
+    * recall comes from the wide shortlist, precision from the exact
+    * re-rank. The shortlist join back to the embeddings table is a
+    * broadcast of (5 queries × 25) ids against the corpus scan.
+    */
+  def pqRerankKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ws = Window.partitionBy($"q_id").orderBy($"adc2".asc, $"vec_id")
+    val shortlist = pqAdc(s, dir)
+      .withColumn("srank", row_number().over(ws))
+      .filter($"srank" <= 25)
+      .select($"q_id", $"vec_id")
+    val e = withNorm(embeddings(s, dir))
+    val q = e.filter($"vec_id" < 5).toDF("q_id", "q_emb", "q_nrm")
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    e.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", cosinePrenormed(vec_dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 5)
-      .select($"q_id", $"rank", $"vec_id", $"adc2")
+      .select($"q_id", $"rank", $"vec_id", $"cos")
       .orderBy($"q_id", $"rank")
   }
 

@@ -73,4 +73,26 @@ class RecallSpec extends AnyFunSuite {
       exact.get(k).foreach(ce => assert(cm <= ce + 1e-12, s"$k: $cm > exact $ce"))
     }
   }
+
+  test("s07 exact re-rank dominates raw s06 PQ ranking in recall@5 per query") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.ops.Similarity
+    // Theorem-backed, not statistical: every exact-top-5 member that
+    // made the ADC shortlist beats all other shortlist members by exact
+    // cosine, so re-ranking retains it; s06's top-5 is a subset of the
+    // shortlist, hence per-query recall@5(s07) >= recall@5(s06).
+    def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"q_id", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (q, a) => q -> a.map(_._2).toSet }
+    val exact = top5(Similarity.bruteForceKnn(spark, dir).filter($"rank" <= 5))
+    val raw = top5(Similarity.pqKnn(spark, dir))
+    val rerank = top5(Similarity.pqRerankKnn(spark, dir))
+    exact.keys.foreach { q =>
+      val rawHits = (exact(q) & raw.getOrElse(q, Set.empty)).size
+      val rerankHits = (exact(q) & rerank.getOrElse(q, Set.empty)).size
+      assert(rerankHits >= rawHits, s"q=$q: rerank $rerankHits < raw $rawHits")
+    }
+  }
 }
