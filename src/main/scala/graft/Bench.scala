@@ -72,18 +72,31 @@ object Bench {
           (name, first +: rest, allOk)
       }
     }
-    def jsonMap(f: Seq[Double] => Double): String = results
+    def jsonMap(f: Seq[Double] => Double, fmt: Double => String): String = results
       .filter(_._2.nonEmpty)
-      .map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
+      .map { case (k, v, _) => s"\"" + k + "\":" + fmt(f(v)) }
       .mkString("{", ",", "}")
-    val qs = jsonMap(median)
-    val qsMin = jsonMap(_.min)
+    // Compact number: 2 decimals, trailing zeros (and a bare dot)
+    // stripped — "0.38", "0.4", "2", never "0.40" or "2.".
+    def compact(d: Double): String = {
+      val s = f"$d%.2f"
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
     // A failed query must surface as a failure, never as a fast timing:
     // the total goes NaN-free but the JSON carries the failed names.
     val failed = results.filter(!_._3).map(_._1)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.filter(_._2.nonEmpty).map(r => median(r._2)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","failed":$failedJson,"n_failed":${failed.length},"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
+    // Stop BEFORE printing: any shutdown-time log line landing after
+    // the contract line would push it out of the driver's tail window.
     spark.stop()
+    // Full-precision detail (medians + best-case mins) goes to stderr —
+    // it is for humans and logs. The driver contract line on stdout must
+    // fit, whole, inside the driver's 2000-char tail capture, so it
+    // carries compact 2-decimal numbers and the short sf name.
+    System.err.println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","failed":$failedJson,"queries":${jsonMap(median, _.toString)},"queries_min":${jsonMap(_.min, _.toString)},"sf":"$sfDir"}""")
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val failedField = if (failed.isEmpty) "" else s""","failed":$failedJson"""
+    println(s"""{"metric":"total","value":${compact(total)},"unit":"sec","n_failed":${failed.length}$failedField,"queries":${jsonMap(median, compact)},"sf":"$sfShort"}""")
   }
 }

@@ -85,6 +85,9 @@ object SparkEntry {
     "d13_dup_clusters_multi" -> ((s, d) => Dedup.dupClustersMulti(s, d)),
     "d14_incremental"        -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "d15_incremental_multi"  -> ((s, d) => Dedup.incrementalDedupMulti(s, d)),
+    // d16 = SemDeDup-style semantic prune: IVF-cell clustering (the s04
+    // codebook) + within-cell cosine threshold, one-pass greedy keep.
+    "d16_semantic_prune"     -> (Dedup.semanticPrune _),
     // ---- similarity search ----
     "s01_knn_brute"          -> (Similarity.bruteForceKnn _),
     "s02_knn_bucketed"       -> (Similarity.bucketedKnn _),
@@ -675,6 +678,25 @@ object SparkEntry {
               ORDER BY list_dot_product(q.qv, a.v) / (q.qnrm * a.nrm) DESC, a.vec_id) AS rank
           FROM q JOIN assigned a ON a.cell_id = q.q_cell AND a.vec_id <> q.q_id) t
         WHERE rank <= 5 ORDER BY q_id, rank""",
+      "d16_semantic_prune" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings),
+        cb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        assigned AS (SELECT vec_id, v, nrm, cell_id FROM (
+          SELECT e.vec_id, e.v, e.nrm, cb.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) DESC, cb.cell_id) AS arank
+          FROM e CROSS JOIN cb) t WHERE arank = 1)
+        SELECT vec_id, kept_by, cell_id, cos FROM (
+          SELECT a.vec_id, b.vec_id AS kept_by, a.cell_id,
+            list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC, b.vec_id) AS r
+          FROM assigned a JOIN assigned b
+            ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id
+          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35) t
+        WHERE r = 1 ORDER BY vec_id""",
       "d14_incremental" -> """
         WITH nh AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0),
         hh AS (SELECT doc_id AS hist_doc, md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),

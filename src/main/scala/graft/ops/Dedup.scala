@@ -553,4 +553,38 @@ object Dedup {
       .select($"id_a", $"id_b", $"cos")
       .orderBy($"id_a", $"id_b")
   }
+
+  /** Semantic dedup (SemDeDup-style): embeddings are clustered by the
+    * coarse IVF codebook shared with s04 (`Similarity.ivfAssigned` — a
+    * KB-sized broadcast argmax, no shuffle), and WITHIN each cell a
+    * vector is pruned when an earlier-id cell-mate is semantically
+    * close (cos ≥ 0.35); the reported `kept_by` is the closest such
+    * mate (cos desc, id tiebreak). This is the one-pass greedy form:
+    * `kept_by` may itself be pruned (chains collapse transitively —
+    * d11/d13 are the clustering forms that resolve that); production
+    * SemDeDup works the same way per cluster.
+    *
+    * Scale shape at 100 TB: the pair join is an equi-join on cell_id —
+    * 1/K of the corpus per probe in expectation, never all-pairs — and
+    * the per-vector winner is a rank-1 window partitioned by vec_id.
+    * Cell skew is bounded by the codebook (a real deployment k-means
+    * re-trains when a cell grows hot; the df-cap of d12 is the same
+    * discipline). Both self-join branches are identical exchanges, so
+    * ReusedExchange evaluates the assignment pipeline once.
+    */
+  def semanticPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assigned = Similarity.ivfAssigned(s, dir)
+    val a = assigned.toDF("vec_id", "emb", "nrm", "cell_id")
+    val b = assigned.toDF("kept_by", "emb_k", "nrm_k", "cell_k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"cos".desc, $"kept_by")
+    a.join(b.hint("merge"), $"cell_id" === $"cell_k" && $"kept_by" < $"vec_id")
+      .withColumn("cos", cosinePrenormed(vec_dot($"emb", $"emb_k"), $"nrm", $"nrm_k"))
+      .filter($"cos" >= 0.35)
+      .withColumn("r", row_number().over(w))
+      .filter($"r" === 1)
+      .select($"vec_id", $"kept_by", $"cell_id", $"cos")
+      .orderBy($"vec_id")
+  }
 }

@@ -106,17 +106,27 @@ object Similarity {
     * expectation. Assignment uses comparisons only (rank-1 window by
     * cosine with id tiebreak), so cells are bit-deterministic.
     */
-  def ivfKnn(s: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, embedding, nrm, cell_id): every vector assigned to its
+    * nearest of the 16 deterministic seed centroids — the shared coarse
+    * index of [[ivfKnn]] and `Dedup.semanticPrune`. A KB-sized codebook
+    * broadcast and a narrow argmax map over the corpus; NO shuffle.
+    */
+  private[ops] def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = withNorm(embeddings(s, dir))
     val cb = e.filter($"vec_id" < 16)
       .toDF("cell_id", "c_emb", "c_nrm")
     val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cell_id")
-    val assigned = e.crossJoin(broadcast(cb))
+    e.crossJoin(broadcast(cb))
       .withColumn("ccos", cosinePrenormed(vec_dot($"embedding", $"c_emb"), $"nrm", $"c_nrm"))
       .withColumn("arank", row_number().over(aw))
       .filter($"arank" === 1)
       .select($"vec_id", $"embedding", $"nrm", $"cell_id")
+  }
+
+  def ivfKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assigned = ivfAssigned(s, dir)
     val q = assigned.filter($"vec_id" < 5).toDF("q_id", "q_emb", "q_nrm", "q_cell")
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
     assigned.join(q.hint("merge"), $"cell_id" === $"q_cell" && $"vec_id" =!= $"q_id")

@@ -13,8 +13,10 @@ class PlanAuditSpec extends AnyFunSuite {
   // crossJoin against a bounded broadcast side is the intended plan:
   //  - q16_above_avg: one-row global aggregate
   //  - s04_knn_ivf:   16-row coarse codebook
+  //  - d16_semantic_prune: same 16-row codebook (shared ivfAssigned)
   //  - t13_tfidf:     one-row n_sources aggregate
-  private val boundedCrossJoins = Set("q16_above_avg", "s04_knn_ivf", "t13_tfidf")
+  private val boundedCrossJoins =
+    Set("q16_above_avg", "s04_knn_ivf", "d16_semantic_prune", "t13_tfidf")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark

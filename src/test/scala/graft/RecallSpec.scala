@@ -95,4 +95,44 @@ class RecallSpec extends AnyFunSuite {
       assert(rerankHits >= rawHits, s"q=$q: rerank $rerankHits < raw $rawHits")
     }
   }
+
+  test("d16 semantic prune equals a driver-side recomputation on sf0.001") {
+    val spark0 = spark
+    import spark0.implicits._
+    // Independent oracle in plain Scala: same left-to-right double fold
+    // as FloatVectorDot, same 16-seed codebook, same greedy rule. Exact
+    // double equality is intentional — identical operation order must
+    // give identical bits, or the DuckDB oracle would drift too.
+    val vecs = TestSpark.spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val emb = vecs.toMap
+    val cb = vecs.filter(_._1 < 16)
+    def cos(a: Long, b: Long): Double = dot(emb(a), emb(b)) / (nrm(a) * nrm(b))
+    val cell = vecs.map { case (id, _) =>
+      id -> cb.map { case (cid, _) => (cid, cos(id, cid)) }
+        .maxBy { case (cid, c) => (c, -cid) }._1
+    }.toMap
+    val expected = vecs.flatMap { case (id, _) =>
+      val mates = vecs.filter { case (o, _) => o < id && cell(o) == cell(id) }
+        .map { case (o, _) => (o, cos(id, o)) }
+        .filter(_._2 >= 0.35)
+      if (mates.isEmpty) None
+      else {
+        val (keptBy, c) = mates.maxBy { case (o, cv) => (cv, -o) }
+        Some((id, keptBy, cell(id), c))
+      }
+    }.toSeq
+    val got = graft.ops.Dedup.semanticPrune(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.nonEmpty)
+    assert(got == expected.sortBy(_._1))
+  }
 }
