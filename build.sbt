@@ -16,6 +16,7 @@ run / fork := true
 // line would push ~75 chars of the line out of that window.
 Global / showSuccess := false
 Global / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

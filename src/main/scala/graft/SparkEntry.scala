@@ -54,6 +54,9 @@ object SparkEntry {
     "e07_type_shares"        -> (EventOps.typeShares _),
     "e09_user_sim_bucketed"  -> (EventOps.userSeriesSimilarityBucketed _),
     "e10_range_join"         -> (EventOps.purchaseSignupRange _),
+    // e11 = ordered conversion funnel (view -> click -> purchase with
+    // strict event-time ordering between stages, integer-µs lag sums).
+    "e11_funnel"             -> (EventOps.funnel _),
     // ---- text analysis (LLM-pipeline extensions) ----
     "t01_token_stats"        -> (TextOps.tokenStats _),
     "t02_quality_score"      -> (TextOps.qualityScore _),
@@ -77,6 +80,9 @@ object SparkEntry {
     "d02_minhash_sigs"       -> (Dedup.minhashSignatures _),
     "d04_shingle_jaccard"    -> (Dedup.shingleJaccardPairs _),
     "d12_shingle_capped"     -> ((s, d) => Dedup.shingleJaccardPairsCapped(s, d)),
+    // d17 = asymmetric containment (inter/min) over the same df-capped
+    // shingle index — catches doc-in-doc duplication Jaccard misses.
+    "d17_containment"        -> ((s, d) => Dedup.shingleContainmentPairs(s, d)),
     "d08_lsh_pairs_capped"   -> ((s, d) => Dedup.minhashLshPairsCapped(s, d)),
     "d05_simhash"            -> (Dedup.simhash _),
     "d09_simhash_banded"     -> (Dedup.simhashPairsBanded _),
@@ -97,6 +103,9 @@ object SparkEntry {
     "s06_knn_pq"             -> (Similarity.pqKnn _),
     "s07_knn_pq_rerank"      -> (Similarity.pqRerankKnn _),
     "t14_hash_split"         -> (TextOps.hashSplit _),
+    // t18 = language-stratified deterministic downsample (md5-bucket
+    // per-stratum rates; rerun-stable, shuffle-free).
+    "t18_stratified_sample"  -> (TextOps.stratifiedSample _),
     "t15_length_hist"        -> (TextOps.lengthHistogram _),
     "t16_contamination"      -> (TextOps.contamination _),
     "t17_repetition"         -> (TextOps.repetitionFilters _),
@@ -315,6 +324,25 @@ object SparkEntry {
         FROM p JOIN su ON p.user_id = su.user_id
         WHERE su.s_ts <= p.p_ts AND su.s_ts > p.p_ts - INTERVAL 7 DAY
         ORDER BY purchase_id, signup_id""",
+      "e11_funnel" -> """
+        WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+               JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+               JOIN s2 ON e.user_id = s2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        SELECT count(s1.t1) AS view_users, count(s2.t2) AS click_users,
+          count(s3.t3) AS purchase_users,
+          CAST(sum(CASE WHEN s2.t2 IS NOT NULL
+                        THEN epoch_us(s2.t2) - epoch_us(s1.t1) END) AS BIGINT)
+            AS sum_view_to_click_us,
+          CAST(sum(CASE WHEN s3.t3 IS NOT NULL
+                        THEN epoch_us(s3.t3) - epoch_us(s2.t2) END) AS BIGINT)
+            AS sum_click_to_purchase_us
+        FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                LEFT JOIN s3 ON s1.user_id = s3.user_id""",
       "e09_user_sim_bucketed" -> {
         val hourSums = (0 until 24).map(h =>
           s"CAST(CAST(sum(CASE WHEN hour(ts) = $h THEN CAST(value AS DECIMAL(18,4)) " +
@@ -573,6 +601,24 @@ object SparkEntry {
         GROUP BY a.doc_id, b.doc_id
         HAVING CAST(count(*) AS DOUBLE) / (any_value(a.ns) + any_value(b.ns) - count(*)) >= 0.3
         ORDER BY doc_a, doc_b""",
+      "d17_containment" -> """
+        WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+                    FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(th) - 2),
+                 i -> ((th[i] * 31 + th[i+1]) % 2147483647 * 31 + th[i+2]) % 2147483647)) AS s
+               FROM tk),
+        e AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shash FROM sh),
+        rare AS (SELECT shash FROM e GROUP BY shash
+                 HAVING count(*) <= 256 AND count(*) > 1),
+        k AS (SELECT e.* FROM e JOIN rare r ON e.shash = r.shash)
+        SELECT doc_a, doc_b, containment, jaccard FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(count(*) AS DOUBLE) / least(any_value(a.ns), any_value(b.ns)) AS containment,
+            CAST(count(*) AS DOUBLE) / (any_value(a.ns) + any_value(b.ns) - count(*)) AS jaccard
+          FROM k a JOIN k b ON a.shash = b.shash AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id) t
+        WHERE containment >= 0.2 ORDER BY doc_a, doc_b""",
       "d05_simhash" -> """
         WITH tc AS (SELECT doc_id, tok, count(*) AS cnt FROM (
                       SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
@@ -975,6 +1021,14 @@ object SparkEntry {
                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
                ELSE 'test' END AS split
         FROM documents ORDER BY doc_id""",
+      "t18_stratified_sample" -> """
+        SELECT doc_id, lang, source,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 <
+          CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 50 WHEN 'fr' THEN 50
+                    WHEN 'es' THEN 75 ELSE 100 END
+        ORDER BY doc_id""",
       "s01_knn_brute" -> """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm

@@ -400,9 +400,16 @@ object Dedup {
     * sets, so scores are conservative; the oracle computes the
     * identical capped semantics, value-checking the tradeoff.
     */
-  def shingleJaccardPairsCapped(s: SparkSession, dir: String, cap: Int = 256): DataFrame = {
+  /** (doc_a, doc_b, na, nb, inter) for every pair sharing ≥1 rare
+    * shingle — the candidate-generation + overlap-count core shared by
+    * [[shingleJaccardPairsCapped]] (symmetric Jaccard) and
+    * [[shingleContainmentPairs]] (asymmetric containment). Frame-based
+    * so specs can feed constructed corpora.
+    */
+  private[graft] def shinglePairCounts(docs: DataFrame, cap: Int): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val sh = documents(s, dir)
+    val sh = docs
       .select($"doc_id", shingle_hashes($"text").as("sh"))
       .select($"doc_id", size($"sh").as("nsh"), explode($"sh").as("shash"))
     val rare = sh.groupBy($"shash").agg(count(lit(1)).as("df"))
@@ -414,9 +421,33 @@ object Dedup {
     a.join(b.hint("merge"), $"sh_a" <=> $"sh_b" && $"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b", $"na", $"nb")
       .agg(count(lit(1)).as("inter"))
+  }
+
+  def shingleJaccardPairsCapped(s: SparkSession, dir: String, cap: Int = 256): DataFrame = {
+    import s.implicits._
+    shinglePairCounts(documents(s, dir).select($"doc_id", $"text"), cap)
       .withColumn("jaccard", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
       .filter($"jaccard" >= 0.3)
       .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Containment near-dup pairs — the asymmetric metric Jaccard blinds
+    * itself to: a short document pasted inside a long one scores
+    * `inter/min(|A|,|B|)` ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0. The standard
+    * catch for doc-in-doc duplication (quote inflation, boilerplate
+    * wrapping, concatenated crawls) in training-data pipelines. Same
+    * df-capped inverted-index candidates and skew bound as d12 — only
+    * the scoring denominator changes; both metrics are emitted so
+    * downstream policy can distinguish "same doc" from "contains doc".
+    */
+  def shingleContainmentPairs(s: SparkSession, dir: String, cap: Int = 256): DataFrame = {
+    import s.implicits._
+    shinglePairCounts(documents(s, dir).select($"doc_id", $"text"), cap)
+      .withColumn("containment", $"inter".cast("double") / least($"na", $"nb"))
+      .withColumn("jaccard", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+      .filter($"containment" >= 0.2)
+      .select($"doc_a", $"doc_b", $"containment", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
 

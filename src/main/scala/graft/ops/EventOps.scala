@@ -205,4 +205,39 @@ object EventOps {
       .withColumn("share", $"n".cast("double") / sum($"n").over(w))
       .orderBy($"event_type")
   }
+
+  /** Ordered conversion funnel view → click → purchase: a user reaches
+    * stage 2 only with a click strictly AFTER their first view, stage 3
+    * only with a purchase strictly after that click — the ordering
+    * constraint is what separates a funnel from three independent
+    * counts (a user who purchases before ever viewing does not
+    * convert). Conversion lags are summed in integer microseconds, so
+    * the single-row report is bit-deterministic under any shuffle.
+    *
+    * Scale shape: each stage is a filtered scan (event_type pushed to
+    * the parquet reader) aggregated per user, then an equi-join on
+    * user_id against the previous stage's (user, ts) frame — all three
+    * shuffles hash on user_id, so AQE plans them as one co-partitioned
+    * chain; nothing ever leaves the user's partition until the final
+    * KB-sized global aggregate.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select($"user_id", $"event_type", $"ts")
+    val s1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val s2 = ev.filter($"event_type" === "click")
+      .join(s1, Seq("user_id")).filter($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val s3 = ev.filter($"event_type" === "purchase")
+      .join(s2, Seq("user_id")).filter($"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .agg(
+        count($"t1").as("view_users"),
+        count($"t2").as("click_users"),
+        count($"t3").as("purchase_users"),
+        sum(when($"t2".isNotNull, unix_micros($"t2") - unix_micros($"t1"))).as("sum_view_to_click_us"),
+        sum(when($"t3".isNotNull, unix_micros($"t3") - unix_micros($"t2"))).as("sum_click_to_purchase_us"))
+  }
 }

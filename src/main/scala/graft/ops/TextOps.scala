@@ -271,6 +271,33 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic stratified sampling — rebalancing an over-
+    * represented stratum is the step between corpus profiling and
+    * training-set cut. Each language keeps a fixed share (en 25 %,
+    * de/fr 50 %, es 75 %, zh 100 %) decided by the same md5 bucket
+    * primitive as [[hashSplit]], so the sample is rerun-stable: a doc
+    * is in or out forever, independent of partitioning, corpus growth,
+    * or which executor saw it — `df.sample()` guarantees none of that.
+    *
+    * Scale shape: a narrow scan + filter (no shuffle at all before the
+    * presentation sort); the per-stratum rate is a 5-arm CASE on a
+    * column already read. At 100 TB this is the exact plan you want —
+    * sampling must never cost a shuffle.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
+    val rate = when($"lang" === "en", 25)
+      .when($"lang" === "de" || $"lang" === "fr", 50)
+      .when($"lang" === "es", 75)
+      .otherwise(100)
+    documents(s, dir)
+      .select($"doc_id", $"lang", $"source", bucket.as("bucket"))
+      .filter($"bucket" < rate)
+      .orderBy($"doc_id")
+  }
+
   /** Document-length histogram in fixed 200-char bins — the corpus
     * profile every curation run starts from. Integer bin math keeps it
     * engine-exact; one aggregate, bin-count-sized output regardless of

@@ -93,4 +93,48 @@ class InvariantSpec extends AnyFunSuite {
       .filter($"doc_id" % 2 === 0)
     assert(subset.except(full.filter($"doc_id" % 2 === 0)).count() == 0)
   }
+
+  test("e11 funnel equals a driver-side recomputation and is monotone") {
+    val spark = TestSpark.spark
+    val ev = graft.Tables.events(spark, TestSpark.sfDir)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) as us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def firstAfter(tpe: String, bound: Map[Long, Long]): Map[Long, Long] =
+      ev.filter(e => e._2 == tpe && bound.get(e._1).exists(e._3 > _))
+        .groupBy(_._1).map { case (u, es) => u -> es.map(_._3).min }
+    val t1 = ev.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._3).min }
+    val t2 = firstAfter("click", t1)
+    val t3 = firstAfter("purchase", t2)
+    val row = graft.ops.EventOps.funnel(spark, TestSpark.sfDir).collect().head
+    assert(row.getLong(0) == t1.size && row.getLong(1) == t2.size && row.getLong(2) == t3.size)
+    assert(row.getLong(0) >= row.getLong(1) && row.getLong(1) >= row.getLong(2))
+    assert(row.getLong(3) == t2.map { case (u, t) => t - t1(u) }.sum)
+    assert(row.getLong(4) == t3.map { case (u, t) => t - t2(u) }.sum)
+  }
+
+  test("t18 stratified sample honors per-language rates and is rerun-stable") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val sampled = graft.ops.TextOps.stratifiedSample(spark, TestSpark.sfDir)
+    val rates = Map("en" -> 25L, "de" -> 50L, "fr" -> 50L, "es" -> 75L, "zh" -> 100L)
+    // every kept row's bucket is under its language's rate
+    val viol = sampled.collect().filter(r => r.getLong(3) >= rates(r.getString(1)))
+    assert(viol.isEmpty)
+    // the keep decision is a pure function of doc_id: recompute md5
+    // buckets driver-side and compare the kept id set exactly
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select($"doc_id", $"lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.filter { case (id, lang) => bucket(id) < rates(lang) }
+      .map(_._1).toSet
+    assert(sampled.select($"doc_id").collect().map(_.getLong(0)).toSet == expected)
+    assert(expected.nonEmpty && expected.size < docs.length)
+  }
 }

@@ -135,4 +135,24 @@ class RecallSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(got == expected.sortBy(_._1))
   }
+
+  test("d17 containment flags doc-in-doc pairs Jaccard misses") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    // Doc 0 is pasted verbatim at the head of doc 1 (then 200 unique
+    // filler tokens): containment(0,1) = 1 while Jaccard ≈ 6/206 —
+    // exactly the doc-in-doc case the symmetric metric cannot flag.
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 200).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, short), (1L, s"$short $filler")).toDF("doc_id", "text")
+    val row = Dedup.shinglePairCounts(docs, 256)
+      .withColumn("containment", $"inter".cast("double") / least($"na", $"nb"))
+      .withColumn("jaccard", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+      .collect()
+    assert(row.length == 1)
+    val r = row.head
+    assert(r.getAs[Double]("containment") == 1.0)
+    assert(r.getAs[Double]("jaccard") < 0.3)
+  }
 }
