@@ -118,6 +118,9 @@ object SparkEntry {
     // dimensions + raster checksum oracle-checked against the generator
     // formula (a hash match proves the decode is bit-exact, not a stub).
     "m05_png_decode"         -> (Multimodal.pngDecodeMeta _),
+    // m08 = perceptual hash (8x8 integer-exact aHash) computed from the
+    // decoded PNG raster — image near-dup fingerprinting on real bytes.
+    "m08_ahash"              -> (Multimodal.pngAHash _),
     // m06 is the REAL audio codec: WAV PCM bytes through
     // javax.sound.sampled, decoded sample count + (position-weighted)
     // amplitude sums oracle-checked against the generator formula.
@@ -505,6 +508,35 @@ object SparkEntry {
               list_transform(generate_series(0, 8 + doc_id % 25 - 1), x ->
                 (doc_id * 31 + 7 * x + 13 * y) % 256)))) AS BIGINT) AS pix_sum
         FROM documents ORDER BY doc_id""",
+      "m08_ahash" -> """
+        WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w, 8 + (doc_id // 25) % 25 AS h
+                   FROM documents),
+        t AS (SELECT doc_id, w, h,
+                CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                  list_transform(generate_series(0, w - 1), x ->
+                    (doc_id * 31 + 7 * x + 13 * y) % 256)))) AS BIGINT) AS total
+              FROM d),
+        cells AS (SELECT doc_id, w, h, total, i, j,
+                    (i * w) // 8 AS x0, ((i + 1) * w) // 8 AS x1,
+                    (j * h) // 8 AS y0, ((j + 1) * h) // 8 AS y1
+                  FROM t,
+                    (SELECT unnest(generate_series(0, 7)) AS i) ii,
+                    (SELECT unnest(generate_series(0, 7)) AS j) jj),
+        cs AS (SELECT doc_id, w, h, total, i, j,
+                 (x1 - x0) * (y1 - y0) AS np,
+                 CAST(list_sum(flatten(list_transform(generate_series(y0, y1 - 1), y ->
+                   list_transform(generate_series(x0, x1 - 1), x ->
+                     (doc_id * 31 + 7 * x + 13 * y) % 256)))) AS BIGINT) AS csum
+               FROM cells),
+        bits AS (SELECT doc_id, 8 * j + i AS b,
+                   CASE WHEN csum * w * h > total * np THEN 1 ELSE 0 END AS bit
+                 FROM cs)
+        SELECT doc_id,
+          CAST(sum(CASE WHEN b >= 32 AND bit = 1
+                        THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+          CAST(sum(CASE WHEN b < 32 AND bit = 1
+                        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS ahash_lo
+        FROM bits GROUP BY doc_id ORDER BY doc_id""",
       // Recomputes the WAV generator formula (n = 200 + id % 400 samples,
       // s_i = (id*7919 + i*104729) % 65536 - 32768) — the Spark side gets
       // these numbers by DECODING real WAV bytes; the position-weighted

@@ -173,6 +173,79 @@ object Multimodal {
     decodePngs(pngTable(s, dir)).toDF().orderBy($"doc_id")
   }
 
+  final case class AHash(doc_id: Long, ahash_hi: Long, ahash_lo: Long)
+
+  /** 8×8 average-hash (aHash) of a decoded raster — the standard
+    * perceptual fingerprint for image near-dup detection: cell bit = 1
+    * iff the cell's mean brightness exceeds the image mean. Both means
+    * are compared cross-multiplied in integers (`csum·w·h > total·np`),
+    * so the hash is bit-deterministic with no float rounding anywhere.
+    * Cell x-bounds are `⌊i·w/8⌋ .. ⌊(i+1)·w/8⌋` (same for y) — the
+    * exact quantization the oracle reproduces; note `⌊8x/w⌋` per pixel
+    * is a DIFFERENT partition and would not match.
+    *
+    * The 64-bit hash is emitted as two 32-bit halves: bit 63 would be
+    * the sign bit of a BIGINT and engines disagree on signed shift
+    * overflow, and the halves double as the band keys a banded
+    * hamming-join dedup would bucket on (d09's discipline applied to
+    * pixels instead of text).
+    */
+  private[graft] def ahashOf(img: BufferedImage): (Long, Long) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { total += (img.getRGB(x, y) & 0xff).toLong; x += 1 }
+      y += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    var j = 0
+    while (j < 8) {
+      val y0 = j * h / 8; val y1 = (j + 1) * h / 8
+      var i = 0
+      while (i < 8) {
+        val x0 = i * w / 8; val x1 = (i + 1) * w / 8
+        var csum = 0L
+        var yy = y0
+        while (yy < y1) {
+          var xx = x0
+          while (xx < x1) { csum += (img.getRGB(xx, yy) & 0xff).toLong; xx += 1 }
+          yy += 1
+        }
+        val np = (x1 - x0).toLong * (y1 - y0).toLong
+        if (csum * w * h > total * np) {
+          val b = 8 * j + i
+          if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+        }
+        i += 1
+      }
+      j += 1
+    }
+    (hi, lo)
+  }
+
+  /** Perceptual hashing over REAL decoded PNGs: encode distributed,
+    * decode per partition, hash the raster — payloads never shuffle
+    * (the narrow m05 pipeline with a hash instead of a checksum). At
+    * 100 TB the (doc_id, ahash) table is what persists; near-dup
+    * candidates then come from an equi-join on 16-bit bands of the
+    * hash, never from pixel data.
+    */
+  def pngAHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pngTable(s, dir).mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        val (hi, lo) = ahashOf(img)
+        AHash(r.doc_id, hi, lo)
+      }
+    }.toDF().orderBy($"doc_id")
+  }
+
   final case class WavRow(doc_id: Long, payload: Array[Byte])
   final case class WavMeta(doc_id: Long, n_samples: Long, amp_sum: Long, amp_wsum: Long)
 

@@ -192,6 +192,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaFormula.except(decoded).count() == 0)
   }
 
+  test("m08 aHash of the decoded raster equals the formula-side hash, and flags near-dups") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Formula-side recompute with the SAME ⌊k·w/8⌋ cell quantization the
+    // oracle uses — passing through encode+decode first must not change
+    // a single bit (PNG is lossless).
+    def formulaHash(id: Long): (Long, Long) = {
+      val (w, h) = Multimodal.PngCodec.dims(id)
+      var total = 0L
+      for (y <- 0 until h; x <- 0 until w) total += Multimodal.PngCodec.pixel(id, x, y)
+      var hi = 0L; var lo = 0L
+      for (j <- 0 until 8; i <- 0 until 8) {
+        val (x0, x1, y0, y1) = (i * w / 8, (i + 1) * w / 8, j * h / 8, (j + 1) * h / 8)
+        var csum = 0L
+        for (y <- y0 until y1; x <- x0 until x1) csum += Multimodal.PngCodec.pixel(id, x, y)
+        if (csum * w * h > total * (x1 - x0).toLong * (y1 - y0)) {
+          val b = 8 * j + i
+          if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+        }
+      }
+      (hi, lo)
+    }
+    val got = graft.ops.Multimodal.pngAHash(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, hi, lo) =>
+      assert((hi, lo) == formulaHash(id), s"doc $id")
+    }
+    // The perceptual property: re-encoding the same raster with one
+    // pixel nudged by ±1 gray level leaves the hash within a few bits
+    // (hamming distance over both halves), while a structurally
+    // different image (different id) is far away on average.
+    val id = got.head._1
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.PngCodec.encode(id)))
+    val v = img.getRGB(0, 0) & 0xff
+    val nudged = (v + 1) min 255
+    img.setRGB(0, 0, (nudged << 16) | (nudged << 8) | nudged)
+    val (nhi, nlo) = Multimodal.ahashOf(img)
+    val ham = java.lang.Long.bitCount(nhi ^ got.head._2) +
+      java.lang.Long.bitCount(nlo ^ got.head._3)
+    assert(ham <= 2, s"one-pixel nudge moved $ham bits")
+  }
+
   test("registered m04 plan keeps the image filter below the decode") {
     val spark = TestSpark.spark
     // The Column-expression decode means the media_type predicate is a
