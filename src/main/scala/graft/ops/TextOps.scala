@@ -353,11 +353,18 @@ object TextOps {
     */
   def approxDistinctTerms(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Mixing countDistinct with a non-distinct aggregate makes Catalyst
+    // rewrite through an Expand that doubles every input row. HLL
+    // insertion is idempotent, so sketching the DISTINCT (source, term)
+    // pairs gives the bit-identical estimate — and the distinct is a
+    // map-side partial aggregate, so the shuffle carries unique pairs
+    // (bounded by vocabulary, not corpus: the 100 TB shape).
     documents(s, dir)
       .select($"source", explode(toks($"text")).as("term"))
+      .distinct()
       .groupBy($"source")
       .agg(approx_count_distinct($"term", 0.01).as("approx_terms"),
-           countDistinct($"term").as("exact_terms"))
+           count(lit(1)).as("exact_terms"))
       .select($"source", $"exact_terms",
         (abs($"approx_terms" - $"exact_terms") <= $"exact_terms" * 0.05)
           .as("within_tol"))
