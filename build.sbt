@@ -17,6 +17,9 @@ run / fork := true
 Global / showSuccess := false
 Global / showTiming := false
 Global / excludeLintKeys ++= Set(showSuccess, showTiming)
+// Forked run output passes through raw — sbt's "[info] " logger prefix
+// would count against the same 2000-char window.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

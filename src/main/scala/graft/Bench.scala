@@ -96,7 +96,8 @@ object Bench {
     // carries compact 2-decimal numbers and the short sf name.
     System.err.println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","failed":$failedJson,"queries":${jsonMap(median, _.toString)},"queries_min":${jsonMap(_.min, _.toString)},"sf":"$sfDir"}""")
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val failedField = if (failed.isEmpty) "" else s""","failed":$failedJson"""
-    println(s"""{"metric":"total","value":${compact(total)},"unit":"sec","n_failed":${failed.length}$failedField,"queries":${jsonMap(median, compact)},"sf":"$sfShort"}""")
+    val failedField =
+      if (failed.isEmpty) "" else s""","n_failed":${failed.length},"failed":$failedJson"""
+    println(s"""{"metric":"total","value":${compact(total)},"unit":"sec"$failedField,"queries":${jsonMap(median, compact)},"sf":"$sfShort"}""")
   }
 }

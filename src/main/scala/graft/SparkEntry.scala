@@ -94,6 +94,9 @@ object SparkEntry {
     // d16 = SemDeDup-style semantic prune: IVF-cell clustering (the s04
     // codebook) + within-cell cosine threshold, one-pass greedy keep.
     "d16_semantic_prune"     -> (Dedup.semanticPrune _),
+    // d18 = sketch-accuracy audit: MinHash-estimated vs true token
+    // Jaccard on the d08 candidate pairs.
+    "d18_mh_accuracy"        -> ((s, d) => Dedup.minhashAccuracy(s, d)),
     // ---- similarity search ----
     "s01_knn_brute"          -> (Similarity.bruteForceKnn _),
     "s02_knn_bucketed"       -> (Similarity.bucketedKnn _),
@@ -106,6 +109,9 @@ object SparkEntry {
     // t18 = language-stratified deterministic downsample (md5-bucket
     // per-stratum rates; rerun-stable, shuffle-free).
     "t18_stratified_sample"  -> (TextOps.stratifiedSample _),
+    // t19 = cross-corpus novelty (fraction of a doc's shingles unique
+    // to it) — the corpus-level complement of t17's within-doc filters.
+    "t19_novelty"            -> (TextOps.noveltyScore _),
     "t15_length_hist"        -> (TextOps.lengthHistogram _),
     "t16_contamination"      -> (TextOps.contamination _),
     "t17_repetition"         -> (TextOps.repetitionFilters _),
@@ -602,6 +608,35 @@ object SparkEntry {
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         ORDER BY doc_a, doc_b""",
+      "d18_mh_accuracy" -> """
+        WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+                    FROM documents),
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        small AS (SELECT j, bkey FROM bands GROUP BY j, bkey
+                  HAVING count(*) <= 64 AND count(*) > 1),
+        inb AS (SELECT b.* FROM bands b JOIN small s ON b.j = s.j AND b.bkey = s.bkey),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(text, '\s+')) AS tok
+                FROM documents)
+        SELECT p.doc_a, p.doc_b,
+          CAST(len(list_filter(generate_series(1, 12), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 12
+            AS est_jaccard,
+          CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE) /
+            (len(ta.tok) + len(tb.tok) - len(list_intersect(ta.tok, tb.tok))) AS true_jaccard
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b
+        JOIN tok ta ON ta.doc_id = p.doc_a
+        JOIN tok tb ON tb.doc_id = p.doc_b
+        ORDER BY doc_a, doc_b""",
       "d04_shingle_jaccard" -> """
         WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
                       t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
@@ -1061,6 +1096,20 @@ object SparkEntry {
           CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 50 WHEN 'fr' THEN 50
                     WHEN 'es' THEN 75 ELSE 100 END
         ORDER BY doc_id""",
+      "t19_novelty" -> """
+        WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+                    FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(th) - 2),
+                 i -> ((th[i] * 31 + th[i+1]) % 2147483647 * 31 + th[i+2]) % 2147483647)) AS s
+               FROM tk),
+        e AS (SELECT doc_id, unnest(s) AS shash FROM sh),
+        df AS (SELECT shash, count(*) AS df FROM e GROUP BY shash)
+        SELECT e.doc_id, count(*) AS n_shingles,
+          CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novel_frac
+        FROM e JOIN df ON e.shash = df.shash
+        GROUP BY e.doc_id ORDER BY e.doc_id""",
       "s01_knn_brute" -> """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm

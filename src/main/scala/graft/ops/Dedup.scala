@@ -585,6 +585,34 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Estimator-quality audit for the MinHash index: on every d08
+    * candidate pair, the Jaccard ESTIMATE from 12-component signature
+    * agreement next to the TRUE distinct-token Jaccard. This is the
+    * "measure, don't guess" query for the sketch itself — at 100 TB
+    * the audit runs on a sampled pair set and its error distribution
+    * decides whether the signature width (12) needs widening before a
+    * dedup campaign trusts the index.
+    *
+    * Scale shape: candidates only (the capped LSH join), then two
+    * broadcast-sized per-doc joins carrying the 12-int signature and
+    * the distinct token set; agreement is a 12-step zip fold, truth is
+    * two set-intersection counts — no all-pairs anything.
+    */
+  def minhashAccuracy(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir).select($"doc_id", minhash_sig($"text").as("sig"),
+      array_distinct(split($"text", "\\s+")).as("tok"))
+    cappedPairsUnsorted(s, dir, cap)
+      .join(docs.toDF("doc_a", "sig_a", "tok_a"), Seq("doc_a"))
+      .join(docs.toDF("doc_b", "sig_b", "tok_b"), Seq("doc_b"))
+      .withColumn("agree", expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))"))
+      .withColumn("inter", expr("size(array_intersect(tok_a, tok_b))"))
+      .select($"doc_a", $"doc_b",
+        ($"agree".cast("double") / 12).as("est_jaccard"),
+        ($"inter".cast("double") / (size($"tok_a") + size($"tok_b") - $"inter")).as("true_jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Semantic dedup (SemDeDup-style): embeddings are clustered by the
     * coarse IVF codebook shared with s04 (`Similarity.ivfAssigned` — a
     * KB-sized broadcast argmax, no shuffle), and WITHIN each cell a

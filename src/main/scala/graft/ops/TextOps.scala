@@ -298,6 +298,31 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Cross-document novelty: per document, the fraction of its
+    * distinct shingles that appear NOWHERE else in the corpus. The
+    * inverse signal of boilerplate — a doc whose shingles are all
+    * corpus-unique is fresh content; a doc at 0 novelty is assembled
+    * entirely from text that exists elsewhere (t17 measures repetition
+    * WITHIN a doc; this measures it ACROSS the corpus).
+    *
+    * Scale shape: one shingle explode feeds both sides of a df
+    * aggregate + equi-join on the shingle hash — the same inverted
+    * index as d04/t16, co-partitioned so the join adds no extra
+    * shuffle. Output is one row per doc with ≥1 shingle.
+    */
+  def noveltyScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = documents(s, dir)
+      .select($"doc_id", explode(graft.functions.TextHashes.shingle_hashes($"text")).as("shash"))
+    val df = sh.groupBy($"shash").agg(count(lit(1)).as("df"))
+    sh.join(df.hint("merge"), Seq("shash"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when($"df" === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novel_frac", $"n_novel".cast("double") / $"n_shingles")
+      .orderBy($"doc_id")
+  }
+
   /** Document-length histogram in fixed 200-char bins — the corpus
     * profile every curation run starts from. Integer bin math keeps it
     * engine-exact; one aggregate, bin-count-sized output regardless of

@@ -94,6 +94,38 @@ class InvariantSpec extends AnyFunSuite {
     assert(subset.except(full.filter($"doc_id" % 2 === 0)).count() == 0)
   }
 
+  test("t19 novelty: bounded, consistent with the df table, zero for exact dups") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val nov = graft.ops.TextOps.noveltyScore(spark, TestSpark.sfDir)
+    val rows = nov.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, novel, frac) =>
+      assert(novel >= 0 && novel <= n)
+      assert(frac == novel.toDouble / n)
+    }
+    // independent recount: total novel shingles must equal the number
+    // of (doc, shingle) rows whose shingle has corpus frequency 1
+    import graft.functions.TextHashes.shingle_hashes
+    val sh = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select($"doc_id", explode(shingle_hashes($"text")).as("shash"))
+    val singletons = sh.groupBy($"shash").agg(count(lit(1)).as("df"))
+      .filter($"df" === 1).count()
+    assert(rows.map(_._3).sum == singletons)
+    // every member of an exact-duplicate group shares ALL its shingles
+    // with its twin → novelty exactly zero (vacuous when the tiny sf
+    // has no exact dups; sf0.01 has them and d01 covers that scale)
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select($"doc_id", md5($"text").as("h"))
+    val dupDocs = docs.withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"h")))
+      .filter($"n" >= 2).select($"doc_id").collect().map(_.getLong(0)).toSet
+    val novMap = rows.map(r => r._1 -> r._4).toMap
+    dupDocs.foreach { id =>
+      novMap.get(id).foreach(f => assert(f == 0.0, s"dup doc $id has novelty $f"))
+    }
+  }
+
   test("e11 funnel equals a driver-side recomputation and is monotone") {
     val spark = TestSpark.spark
     val ev = graft.Tables.events(spark, TestSpark.sfDir)

@@ -136,6 +136,24 @@ class RecallSpec extends AnyFunSuite {
     assert(got == expected.sortBy(_._1))
   }
 
+  test("d18 sketch audit: estimates bounded, error near the 12-hash theoretical std") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = Dedup.minhashAccuracy(spark, dir)
+      .select($"est_jaccard", $"true_jaccard").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (e, t) =>
+      assert(e >= 0.0 && e <= 1.0 && t > 0.0 && t <= 1.0)
+    }
+    // A 12-component MinHash estimate of j has std sqrt(j(1-j)/12) <=
+    // 0.145; the MEAN absolute error across candidate pairs must sit in
+    // that regime (deterministic corpus, so this is a fixed number —
+    // 0.25 leaves ~70% slack over the theoretical mean |error|).
+    val meanErr = rows.map { case (e, t) => math.abs(e - t) }.sum / rows.length
+    assert(meanErr <= 0.25, s"mean |est-true| = $meanErr")
+  }
+
   test("d17 containment flags doc-in-doc pairs Jaccard misses") {
     val spark0 = spark
     import spark0.implicits._
