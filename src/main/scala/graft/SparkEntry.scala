@@ -105,6 +105,9 @@ object SparkEntry {
     "s05_knn_multiprobe"     -> (Similarity.multiProbeKnn _),
     "s06_knn_pq"             -> (Similarity.pqKnn _),
     "s07_knn_pq_rerank"      -> (Similarity.pqRerankKnn _),
+    // s08 = the production IVF-PQ composition: coarse-cell probe, ADC
+    // over cell members' 4-byte codes, exact re-rank of the shortlist.
+    "s08_knn_ivfpq"          -> (Similarity.ivfPqKnn _),
     "t14_hash_split"         -> (TextOps.hashSplit _),
     // t18 = language-stratified deterministic downsample (md5-bucket
     // per-stratum rates; rerun-stable, shuffle-free).
@@ -979,6 +982,48 @@ object SparkEntry {
           SELECT q_id, vec_id, adc2,
             row_number() OVER (PARTITION BY q_id ORDER BY adc2 ASC, vec_id) AS rank
           FROM adc) t
+        WHERE rank <= 5 ORDER BY q_id, rank""",
+      "s08_knn_ivfpq" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings),
+        ccb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        cells AS (SELECT vec_id, cell_id FROM (
+          SELECT e.vec_id, ccb.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, ccb.cv) / (e.nrm * ccb.cnrm) DESC, ccb.cell_id) AS arank
+          FROM e CROSS JOIN ccb) t WHERE arank = 1),
+        sub AS (SELECT vec_id, m, v[16*m+1 : 16*m+16] AS sv
+                FROM e, (SELECT unnest(generate_series(0, 3)) AS m) mm),
+        cb AS (SELECT m, vec_id AS k, sv AS cv FROM sub WHERE vec_id < 16),
+        dists AS (SELECT s.vec_id, s.m, cb.k,
+                    list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, cb.cv)
+                      + list_dot_product(cb.cv, cb.cv) AS d
+                  FROM sub s JOIN cb ON s.m = cb.m),
+        enc AS (SELECT vec_id, m, k AS code FROM (
+                  SELECT vec_id, m, k,
+                    row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k) AS rnk
+                  FROM dists) t WHERE rnk = 1),
+        adc AS (SELECT qd.vec_id AS q_id, enc.vec_id AS vec_id,
+                  max(CASE WHEN enc.m = 0 THEN qd.d END) + max(CASE WHEN enc.m = 1 THEN qd.d END)
+                  + max(CASE WHEN enc.m = 2 THEN qd.d END) + max(CASE WHEN enc.m = 3 THEN qd.d END) AS adc2
+                FROM enc JOIN dists qd ON qd.m = enc.m AND qd.k = enc.code
+                JOIN cells cc ON cc.vec_id = enc.vec_id
+                JOIN cells cq ON cq.vec_id = qd.vec_id AND cq.cell_id = cc.cell_id
+                WHERE qd.vec_id < 5 AND enc.vec_id <> qd.vec_id
+                GROUP BY qd.vec_id, enc.vec_id),
+        shortlist AS (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY adc2 ASC, vec_id) AS srank
+          FROM adc) t WHERE srank <= 25)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT sl.q_id, sl.vec_id,
+            list_dot_product(q.v, a.v) / (q.nrm * a.nrm) AS cos,
+            row_number() OVER (PARTITION BY sl.q_id
+              ORDER BY list_dot_product(q.v, a.v) / (q.nrm * a.nrm) DESC, sl.vec_id) AS rank
+          FROM shortlist sl
+          JOIN e a ON a.vec_id = sl.vec_id
+          JOIN e q ON q.vec_id = sl.q_id) t
         WHERE rank <= 5 ORDER BY q_id, rank""",
       // Two-stage retrieval: the s06 ADC scoring shortlists top-25 per
       // query, exact cosine re-ranks only the shortlist.

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -172,45 +172,62 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
-  /** (q_id, vec_id, adc2) for every query × corpus vector — the shared
-    * ADC scoring of [[pqKnn]] and [[pqRerankKnn]].
-    */
-  private def pqAdc(s: SparkSession, dir: String): DataFrame = {
+  private def pqSub(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sub = embeddings(s, dir)
+    embeddings(s, dir)
       .select($"vec_id", explode(expr("sequence(0, 3)")).as("m"), $"embedding")
       .select($"vec_id", $"m", expr("slice(embedding, 16 * m + 1, 16)").as("sv"))
-    val cb = sub.filter($"vec_id" < 16).toDF("k", "m", "cv")
-    def l2(x: String, c: String) =
-      vec_dot(col(x), col(x)) - lit(2.0) * vec_dot(col(x), col(c)) + vec_dot(col(c), col(c))
+  }
 
-    // Encode: per (vector, subspace) the nearest centroid id.
+  private def pqL2(x: String, c: String) =
+    vec_dot(col(x), col(x)) - lit(2.0) * vec_dot(col(x), col(c)) + vec_dot(col(c), col(c))
+
+  /** (vec_id, c0..c3): every corpus vector encoded as its 4 nearest
+    * subspace-centroid ids — the 4-byte PQ code column. */
+  private def pqEncoded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sub = pqSub(s, dir)
+    val cb = sub.filter($"vec_id" < 16).toDF("k", "m", "cv")
     val aw = Window.partitionBy($"vec_id", $"m").orderBy($"dist".asc, $"k")
-    val enc = sub.join(broadcast(cb), Seq("m"))
-      .withColumn("dist", l2("sv", "cv"))
+    sub.join(broadcast(cb), Seq("m"))
+      .withColumn("dist", pqL2("sv", "cv"))
       .withColumn("arank", row_number().over(aw))
       .filter($"arank" === 1)
       .groupBy($"vec_id")
       .agg(max(when($"m" === 0, $"k")).as("c0"), max(when($"m" === 1, $"k")).as("c1"),
            max(when($"m" === 2, $"k")).as("c2"), max(when($"m" === 3, $"k")).as("c3"))
+  }
 
-    // Query-side distance tables: per (query, subspace) the 16 centroid
-    // distances as an array indexed by centroid id.
-    val qt = sub.filter($"vec_id" < 5).toDF("q_id", "m", "qv")
+  /** (q_id, d0..d3): per query the 4×16 centroid-distance tables,
+    * arrays indexed by centroid id. */
+  private def pqQueryTables(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sub = pqSub(s, dir)
+    val cb = sub.filter($"vec_id" < 16).toDF("k", "m", "cv")
+    sub.filter($"vec_id" < 5).toDF("q_id", "m", "qv")
       .join(broadcast(cb), Seq("m"))
-      .withColumn("d", l2("qv", "cv"))
+      .withColumn("d", pqL2("qv", "cv"))
       .groupBy($"q_id", $"m")
       .agg(expr("transform(sort_array(collect_list(struct(k, d))), x -> x.d)").as("darr"))
       .groupBy($"q_id")
       .agg(max(when($"m" === 0, $"darr")).as("d0"), max(when($"m" === 1, $"darr")).as("d1"),
            max(when($"m" === 2, $"darr")).as("d2"), max(when($"m" === 3, $"darr")).as("d3"))
+  }
 
-    // ADC: 4 broadcast table lookups per corpus row.
-    enc.join(broadcast(qt), $"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id",
-        (element_at($"d0", ($"c0" + 1).cast("int")) + element_at($"d1", ($"c1" + 1).cast("int")) +
-         element_at($"d2", ($"c2" + 1).cast("int")) + element_at($"d3", ($"c3" + 1).cast("int")))
-          .as("adc2"))
+  /** adc² = 4 distance-table lookups, subspace order pinned 0+1+2+3. */
+  private def adc2Col: Column =
+    (element_at(col("d0"), (col("c0") + 1).cast("int")) +
+     element_at(col("d1"), (col("c1") + 1).cast("int")) +
+     element_at(col("d2"), (col("c2") + 1).cast("int")) +
+     element_at(col("d3"), (col("c3") + 1).cast("int")))
+
+  /** (q_id, vec_id, adc2) for every query × corpus vector — the shared
+    * ADC scoring of [[pqKnn]] and [[pqRerankKnn]].
+    */
+  private def pqAdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pqEncoded(s, dir).join(broadcast(pqQueryTables(s, dir)), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", adc2Col.as("adc2"))
   }
 
   /** Two-stage retrieval — the standard production pattern the
@@ -227,6 +244,43 @@ object Similarity {
     import s.implicits._
     val ws = Window.partitionBy($"q_id").orderBy($"adc2".asc, $"vec_id")
     val shortlist = pqAdc(s, dir)
+      .withColumn("srank", row_number().over(ws))
+      .filter($"srank" <= 25)
+      .select($"q_id", $"vec_id")
+    val e = withNorm(embeddings(s, dir))
+    val q = e.filter($"vec_id" < 5).toDF("q_id", "q_emb", "q_nrm")
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    e.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", cosinePrenormed(vec_dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** The full IVF+PQ retrieval pipeline — the composition production
+    * ANN systems actually deploy (an IVF-PQ index): the coarse IVF
+    * codebook (shared with s04/d16) restricts each query to its own
+    * cell, ADC scores ONLY the cell's members from their 4-byte codes,
+    * the cell-local top-25 shortlist is re-ranked by exact cosine.
+    *
+    * Scale shape — each stage cuts the next stage's input: the cell
+    * probe drops the scan to 1/K of the corpus (equi-join on cell_id,
+    * unlike s06's full-corpus ADC sweep), codes keep the probed bytes
+    * at 4/vector, and the float reads are 25 rows per query. At 100 TB
+    * the (cell_id, codes) table IS the index; floats are only fetched
+    * for shortlist members.
+    */
+  def ivfPqKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = ivfAssigned(s, dir).select($"vec_id", $"cell_id")
+    val probe = broadcast(
+      pqQueryTables(s, dir).join(cells.toDF("q_id", "q_cell"), Seq("q_id")))
+    val ws = Window.partitionBy($"q_id").orderBy($"adc2".asc, $"vec_id")
+    val shortlist = pqEncoded(s, dir).join(cells, Seq("vec_id"))
+      .join(probe, $"cell_id" === $"q_cell" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", adc2Col.as("adc2"))
       .withColumn("srank", row_number().over(ws))
       .filter($"srank" <= 25)
       .select($"q_id", $"vec_id")

@@ -14,9 +14,10 @@ class PlanAuditSpec extends AnyFunSuite {
   //  - q16_above_avg: one-row global aggregate
   //  - s04_knn_ivf:   16-row coarse codebook
   //  - d16_semantic_prune: same 16-row codebook (shared ivfAssigned)
+  //  - s08_knn_ivfpq: same 16-row codebook (coarse stage of IVF-PQ)
   //  - t13_tfidf:     one-row n_sources aggregate
   private val boundedCrossJoins =
-    Set("q16_above_avg", "s04_knn_ivf", "d16_semantic_prune", "t13_tfidf")
+    Set("q16_above_avg", "s04_knn_ivf", "d16_semantic_prune", "s08_knn_ivfpq", "t13_tfidf")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark

@@ -136,6 +136,52 @@ class RecallSpec extends AnyFunSuite {
     assert(got == expected.sortBy(_._1))
   }
 
+  test("s08 IVF-PQ stays within the query's cell and equals s04 when the shortlist covers it") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.ops.Similarity
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.select($"q_id", $"rank", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (q, a) => q -> a.sortBy(_._2).map(_._3).toSeq }
+    val s08 = sets(Similarity.ivfPqKnn(spark, dir))
+    val s04 = sets(Similarity.ivfKnn(spark, dir))
+    assert(s08.nonEmpty)
+    // Driver-side cell assignment (same fold/tiebreaks as ivfAssigned,
+    // already proven equal in the d16 test) → per-query cell size.
+    val vecs = TestSpark.spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val emb = vecs.toMap
+    val cb16 = vecs.filter(_._1 < 16)
+    val cell = vecs.map { case (id, _) =>
+      id -> cb16.map { case (cid, cv) => (cid, dot(emb(id), cv) / (nrm(id) * nrm(cid))) }
+        .maxBy { case (cid, c) => (c, -cid) }._1
+    }.toMap
+    val cellSize = cell.groupBy(_._2).map { case (c, m) => c -> m.size }
+    s04.keys.foreach { q =>
+      val mates = cellSize(cell(q)) - 1 // self excluded
+      if (mates <= 25) {
+        // the 25-wide ADC shortlist necessarily holds the WHOLE cell,
+        // so the exact re-rank must reproduce s04's exact top-5
+        assert(s08.getOrElse(q, Seq.empty) == s04(q),
+          s"q=$q (cell of $mates): ${s08.get(q)} != ${s04.get(q)}")
+      } else {
+        // truncated shortlist: results still come only from the cell
+        s08.getOrElse(q, Seq.empty).foreach { v =>
+          assert(cell(v) == cell(q), s"q=$q neighbor $v left the cell")
+        }
+      }
+    }
+  }
+
   test("d18 sketch audit: estimates bounded, error near the 12-hash theoretical std") {
     val spark0 = spark
     import spark0.implicits._
