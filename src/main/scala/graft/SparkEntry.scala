@@ -57,6 +57,8 @@ object SparkEntry {
     // e11 = ordered conversion funnel (view -> click -> purchase with
     // strict event-time ordering between stages, integer-µs lag sums).
     "e11_funnel"             -> (EventOps.funnel _),
+    // e12 = weekly retention cohort matrix (first-event week × age).
+    "e12_retention"          -> (EventOps.retentionCohorts _),
     // ---- text analysis (LLM-pipeline extensions) ----
     "t01_token_stats"        -> (TextOps.tokenStats _),
     "t02_quality_score"      -> (TextOps.qualityScore _),
@@ -97,6 +99,9 @@ object SparkEntry {
     // d18 = sketch-accuracy audit: MinHash-estimated vs true token
     // Jaccard on the d08 candidate pairs.
     "d18_mh_accuracy"        -> ((s, d) => Dedup.minhashAccuracy(s, d)),
+    // d19 = the dedup outcome: per cluster, kept representative +
+    // members collapsed + characters removed from the corpus.
+    "d19_dedup_report"       -> ((s, d) => Dedup.dedupMaterialize(s, d)),
     // ---- similarity search ----
     "s01_knn_brute"          -> (Similarity.bruteForceKnn _),
     "s02_knn_bucketed"       -> (Similarity.bucketedKnn _),
@@ -355,6 +360,17 @@ object SparkEntry {
             AS sum_click_to_purchase_us
         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
                 LEFT JOIN s3 ON s1.user_id = s3.user_id""",
+      "e12_retention" -> """
+        WITH first AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+                       FROM events GROUP BY user_id),
+        active AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+                   FROM events)
+        SELECT f.cohort_week,
+          CAST(date_diff('day', f.cohort_week, a.week) // 7 AS BIGINT) AS week_age,
+          count(DISTINCT a.user_id) AS n_users
+        FROM active a JOIN first f ON a.user_id = f.user_id
+        GROUP BY f.cohort_week, week_age
+        ORDER BY cohort_week, week_age""",
       "e09_user_sim_bucketed" -> {
         val hourSums = (0 until 24).map(h =>
           s"CAST(CAST(sum(CASE WHEN hour(ts) = $h THEN CAST(value AS DECIMAL(18,4)) " +
@@ -754,6 +770,37 @@ object SparkEntry {
           SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node)
         SELECT node AS doc_id, min(lbl) AS cluster_id
         FROM walk GROUP BY node ORDER BY doc_id""",
+      "d19_dedup_report" -> """
+        WITH RECURSIVE
+        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+               FROM documents),
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        small AS (SELECT j, bkey FROM bands GROUP BY j, bkey
+                  HAVING count(*) <= 64 AND count(*) > 1),
+        inb AS (SELECT b.* FROM bands b JOIN small s ON b.j = s.j AND b.bkey = s.bkey),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+        clusters AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+                     FROM walk GROUP BY node)
+        SELECT c.cluster_id, count(*) AS n_members,
+          count(*) - 1 AS n_dropped,
+          CAST(sum(CASE WHEN c.doc_id <> c.cluster_id THEN d.n_chars ELSE 0 END) AS BIGINT)
+            AS chars_dropped
+        FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+        GROUP BY c.cluster_id ORDER BY c.cluster_id""",
       "q21_order_gaps" -> """
         SELECT o_custkey, o_orderkey,
           CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS gap_days

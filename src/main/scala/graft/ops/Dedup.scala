@@ -160,6 +160,29 @@ object Dedup {
   def dupClusters(s: SparkSession, dir: String, cap: Int = 64): DataFrame =
     connectedComponents(s, cappedPairsUnsorted(s, dir, cap))
 
+  /** The dedup OUTCOME materialized — what a curation run reports and
+    * ships: per duplicate cluster (d11's connected components over the
+    * capped-LSH graph), the kept representative (the cluster label,
+    * which InvariantSpec proves is the member minimum), how many
+    * members collapse into it, and how many characters of near-dup
+    * text leave the corpus. The global sums of these columns ARE the
+    * campaign's savings report.
+    *
+    * Scale shape: d11's labeling plus one narrow join against
+    * (doc_id, n_chars) and a cluster-sized aggregate — nothing new
+    * shuffles but the labels themselves.
+    */
+  def dedupMaterialize(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import s.implicits._
+    dupClusters(s, dir, cap)
+      .join(documents(s, dir).select($"doc_id", $"n_chars"), Seq("doc_id"))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+           (count(lit(1)) - 1).as("n_dropped"),
+           sum(when($"doc_id" =!= $"cluster_id", $"n_chars").otherwise(0L)).as("chars_dropped"))
+      .orderBy($"cluster_id")
+  }
+
   /** Multi-signal duplicate clustering — what a production pipeline
     * actually runs: the candidate graph is the UNION of independent
     * near-dup signals (capped MinHash-LSH pairs ∪ banded SimHash pairs

@@ -206,6 +206,31 @@ object EventOps {
       .orderBy($"event_type")
   }
 
+  /** Weekly retention cohorts: users grouped by their first-event week,
+    * each later week of activity counted as distinct users at that
+    * cohort age — the density matrix behind every retention curve.
+    * Week truncation (Monday-start in both engines) and integer
+    * day-difference division keep the cells engine-exact.
+    *
+    * Scale shape: one groupBy(user) for first-events, one distinct on
+    * (user, week) — both shuffle on user_id and co-partition with the
+    * join between them; the final aggregate is cohort×age-sized (tiny).
+    * The distinct-user count is a single distinct aggregate, so it
+    * plans as the standard two-phase partial distinct, no Expand.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select($"user_id", $"ts")
+    val first = ev.groupBy($"user_id")
+      .agg(to_date(date_trunc("week", min($"ts"))).as("cohort_week"))
+    val active = ev.select($"user_id", to_date(date_trunc("week", $"ts")).as("week")).distinct()
+    active.join(first, Seq("user_id"))
+      .groupBy($"cohort_week",
+        expr("CAST(datediff(week, cohort_week) DIV 7 AS BIGINT)").as("week_age"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"week_age")
+  }
+
   /** Ordered conversion funnel view → click → purchase: a user reaches
     * stage 2 only with a click strictly AFTER their first view, stage 3
     * only with a purchase strictly after that click — the ordering

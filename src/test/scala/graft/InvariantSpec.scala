@@ -145,6 +145,44 @@ class InvariantSpec extends AnyFunSuite {
     assert(row.getLong(4) == t3.map { case (u, t) => t - t2(u) }.sum)
   }
 
+  test("e12 retention: age-0 cell equals cohort size, matrix covers every active user-week") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val m = graft.ops.EventOps.retentionCohorts(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(m.nonEmpty)
+    m.foreach { case (_, age, n) => assert(age >= 0 && n > 0) }
+    // every user is active in their own first week, so the age-0 cell
+    // must count the entire cohort — and be the max of its row
+    val byCohort = m.groupBy(_._1)
+    byCohort.foreach { case (c, cells) =>
+      val age0 = cells.find(_._2 == 0L)
+      assert(age0.isDefined, s"cohort $c missing age 0")
+      assert(cells.forall(_._3 <= age0.get._3), s"cohort $c: age-0 not max")
+    }
+    // total cells = distinct (user, week) pairs grouped — cross-check
+    // the matrix total against a direct distinct count
+    val direct = graft.Tables.events(spark, TestSpark.sfDir)
+      .select($"user_id", date_trunc("week", $"ts").as("w")).distinct().count()
+    assert(m.map(_._3).sum == direct)
+  }
+
+  test("d19 dedup report is consistent with the d11 cluster labeling") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val clusters = graft.ops.Dedup.dupClusters(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val report = graft.ops.Dedup.dedupMaterialize(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(report.nonEmpty)
+    val sizes = clusters.groupBy(_._2).map { case (c, m) => c -> m.length }
+    assert(report.map(r => r._1 -> r._2.toInt).toMap == sizes)
+    report.foreach { case (_, members, dropped, chars) =>
+      assert(dropped == members - 1)
+      assert(chars > 0) // every cluster drops at least one real doc
+    }
+  }
+
   test("t18 stratified sample honors per-language rates and is rerun-stable") {
     val spark = TestSpark.spark
     import spark.implicits._
