@@ -90,14 +90,26 @@ object Bench {
     // Stop BEFORE printing: any shutdown-time log line landing after
     // the contract line would push it out of the driver's tail window.
     spark.stop()
-    // Full-precision detail (medians + best-case mins) goes to stderr —
-    // it is for humans and logs. The driver contract line on stdout must
-    // fit, whole, inside the driver's 2000-char tail capture, so it
-    // carries compact 2-decimal numbers and the short sf name.
-    System.err.println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","failed":$failedJson,"queries":${jsonMap(median, _.toString)},"queries_min":${jsonMap(_.min, _.toString)},"sf":"$sfDir"}""")
+    // Full-precision detail (full names, medians + best-case mins) goes
+    // to bench_detail.json in the working directory and to stderr — for
+    // humans, logs, and anyone reading the repo after a run. The driver
+    // contract line on stdout must fit, WHOLE, inside the driver's
+    // 2000-char tail capture even as the query surface grows, so its
+    // map keys are the short unique ids (the prefix before the first
+    // underscore: q01..q22, d01..d19, t01..t19, s01..s08, e01..e12,
+    // m01..m08, p01) with compact 2-decimal values.
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","failed":$failedJson,"queries":${jsonMap(median, _.toString)},"queries_min":${jsonMap(_.min, _.toString)},"sf":"$sfDir"}"""
+    System.err.println(detail)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
+    catch { case _: Throwable => () } // a read-only cwd must not kill the report
+    def shortId(k: String): String = k.takeWhile(_ != '_')
+    def jsonMapShort(f: Seq[Double] => Double): String = results
+      .filter(_._2.nonEmpty)
+      .map { case (k, v, _) => s"\"" + shortId(k) + "\":" + compact(f(v)) }
+      .mkString("{", ",", "}")
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val failedField =
-      if (failed.isEmpty) "" else s""","n_failed":${failed.length},"failed":$failedJson"""
-    println(s"""{"metric":"total","value":${compact(total)},"unit":"sec"$failedField,"queries":${jsonMap(median, compact)},"sf":"$sfShort"}""")
+      if (failed.isEmpty) "" else s""","n_failed":${failed.length},"failed":${failed.map(k => "\"" + shortId(k) + "\"").mkString("[", ",", "]")}"""
+    println(s"""{"metric":"total","value":${compact(total)},"unit":"sec"$failedField,"queries":${jsonMapShort(median)},"sf":"$sfShort"}""")
   }
 }
