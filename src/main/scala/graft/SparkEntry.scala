@@ -59,6 +59,8 @@ object SparkEntry {
     "e11_funnel"             -> (EventOps.funnel _),
     // e12 = weekly retention cohort matrix (first-event week × age).
     "e12_retention"          -> (EventOps.retentionCohorts _),
+    // e13 = integer-exact 2-sigma anomaly flags on hourly type counts.
+    "e13_anomalies"          -> (EventOps.hourlyAnomalies _),
     // ---- text analysis (LLM-pipeline extensions) ----
     "t01_token_stats"        -> (TextOps.tokenStats _),
     "t02_quality_score"      -> (TextOps.qualityScore _),
@@ -120,6 +122,9 @@ object SparkEntry {
     // t19 = cross-corpus novelty (fraction of a doc's shingles unique
     // to it) — the corpus-level complement of t17's within-doc filters.
     "t19_novelty"            -> (TextOps.noveltyScore _),
+    // t20 = unigram-LM mean negative log-prob (perplexity-filter
+    // stand-in; term-ordered fold keeps the float sum engine-exact).
+    "t20_unigram_nll"        -> (TextOps.unigramLogProb _),
     "t15_length_hist"        -> (TextOps.lengthHistogram _),
     "t16_contamination"      -> (TextOps.contamination _),
     "t17_repetition"         -> (TextOps.repetitionFilters _),
@@ -371,6 +376,19 @@ object SparkEntry {
         FROM active a JOIN first f ON a.user_id = f.user_id
         GROUP BY f.cohort_week, week_age
         ORDER BY cohort_week, week_age""",
+      "e13_anomalies" -> """
+        WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour_start,
+                          count(*) AS n_events
+                        FROM events GROUP BY event_type, hour_start),
+        stats AS (SELECT event_type, count(*) AS n_hours,
+                    CAST(sum(n_events) AS BIGINT) AS s,
+                    CAST(sum(n_events * n_events) AS BIGINT) AS q
+                  FROM hourly GROUP BY event_type)
+        SELECT h.event_type, h.hour_start, h.n_events,
+          (h.n_events * st.n_hours - st.s) * (h.n_events * st.n_hours - st.s)
+            > 4 * (st.n_hours * st.q - st.s * st.s) AS is_anomaly
+        FROM hourly h JOIN stats st ON h.event_type = st.event_type
+        ORDER BY h.event_type, h.hour_start""",
       "e09_user_sim_bucketed" -> {
         val hourSums = (0 until 24).map(h =>
           s"CAST(CAST(sum(CASE WHEN hour(ts) = $h THEN CAST(value AS DECIMAL(18,4)) " +
@@ -1202,6 +1220,21 @@ object SparkEntry {
           CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novel_frac
         FROM e JOIN df ON e.shash = df.shash
         GROUP BY e.doc_id ORDER BY e.doc_id""",
+      "t20_unigram_nll" -> """
+        WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+                     FROM documents),
+        tf AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+        tot AS (SELECT count(*) AS total_tokens FROM tok),
+        dt AS (SELECT doc_id, term, count(*) AS n_dt FROM tok GROUP BY doc_id, term),
+        c AS (SELECT dt.doc_id, dt.term, dt.n_dt,
+                -CAST(dt.n_dt AS DOUBLE) * ln(CAST(tf.cnt AS DOUBLE) / tot.total_tokens)
+                  AS contrib
+              FROM dt JOIN tf ON dt.term = tf.term CROSS JOIN tot)
+        SELECT doc_id, CAST(sum(n_dt) AS BIGINT) AS n_tokens,
+          list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS nll,
+          list_reduce(list(contrib ORDER BY term), (a, b) -> a + b)
+            / CAST(sum(n_dt) AS BIGINT) AS avg_nll
+        FROM c GROUP BY doc_id ORDER BY doc_id""",
       "s01_knn_brute" -> """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm

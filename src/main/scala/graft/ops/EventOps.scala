@@ -206,6 +206,35 @@ object EventOps {
       .orderBy($"event_type")
   }
 
+  /** Hourly anomaly flags per event type — 2σ outlier detection with
+    * NO floating point anywhere: |c − μ| > 2σ (μ = S/n, population
+    * σ² = Q/n − S²/n²) multiplies through by n² into the all-integer
+    * `(c·n − S)² > 4·(n·Q − S²)` over count sums S=Σc, Q=Σc², so the
+    * boolean is engine- and shuffle-order-exact (a float mean/stddev
+    * would not hash-match). Safe in BIGINT while
+    * c·n < ~3·10⁹; beyond that the same comparison lifts to
+    * DECIMAL(38,0) unchanged.
+    *
+    * Scale shape: one windowed aggregate (hour × type), one tiny
+    * per-type stats aggregate broadcast back over it — the detection
+    * join adds no shuffle of the hourly table.
+    */
+  def hourlyAnomalies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = events(s, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour_start"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = hourly.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_hours"), sum($"n_events").as("s"),
+           sum($"n_events" * $"n_events").as("q"))
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .withColumn("dev", $"n_events" * $"n_hours" - $"s")
+      .withColumn("is_anomaly",
+        $"dev" * $"dev" > lit(4L) * ($"n_hours" * $"q" - $"s" * $"s"))
+      .select($"event_type", $"hour_start", $"n_events", $"is_anomaly")
+      .orderBy($"event_type", $"hour_start")
+  }
+
   /** Weekly retention cohorts: users grouped by their first-event week,
     * each later week of activity counted as distinct users at that
     * cohort age — the density matrix behind every retention curve.

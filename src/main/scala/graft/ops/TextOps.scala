@@ -298,6 +298,36 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Unigram language-model score — the model-free stand-in for the
+    * perplexity filter every corpus-quality pipeline runs: each doc's
+    * mean negative log-probability under the corpus's own unigram
+    * distribution. Fluent/common text scores low, gibberish and rare-
+    * token soup score high. Float discipline: per-doc contributions are
+    * folded in TERM ORDER (sort_array + aggregate, left-to-right, `0.0
+    * + x` exact), so the sum is bit-identical in any engine at any
+    * parallelism — a plain float sum() over a shuffle would not be.
+    *
+    * Scale shape: term frequencies are a vocabulary-sized aggregate,
+    * the corpus total a one-row broadcast, and the per-(doc, term)
+    * grouping bounds the collect_list at each doc's distinct-term
+    * count. Two shuffles (term join, doc group), both map-combined.
+    */
+  def unigramLogProb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = documents(s, dir).select($"doc_id", explode(toks($"text")).as("term"))
+    val tf = tok.groupBy($"term").agg(count(lit(1)).as("cnt"))
+    val tot = tok.agg(count(lit(1)).as("total_tokens"))
+    val dt = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("n_dt"))
+    dt.join(tf, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib", -$"n_dt" * log($"cnt".cast("double") / $"total_tokens"))
+      .groupBy($"doc_id")
+      .agg(sum($"n_dt").as("n_tokens"),
+           expr("aggregate(transform(sort_array(collect_list(struct(term, contrib))), x -> x.contrib), 0D, (a, x) -> a + x)").as("nll"))
+      .withColumn("avg_nll", $"nll" / $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
   /** Cross-document novelty: per document, the fraction of its
     * distinct shingles that appear NOWHERE else in the corpus. The
     * inverse signal of boilerplate — a doc whose shingles are all

@@ -183,6 +183,48 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("e13 anomaly flags equal the integer 2-sigma rule recomputed driver-side") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val hourly = graft.Tables.events(spark, TestSpark.sfDir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val byType = hourly.groupBy(_._1)
+    val expected = hourly.map { case (t, h, c) =>
+      val cs = byType(t).map(_._3)
+      val n = cs.length.toLong; val sSum = cs.sum; val q = cs.map(x => x * x).sum
+      val dev = c * n - sSum
+      ((t, h), dev * dev > 4L * (n * q - sSum * sSum))
+    }.toMap
+    val got = graft.ops.EventOps.hourlyAnomalies(spark, TestSpark.sfDir).collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1)), r.getBoolean(3))).toMap
+    assert(got.size == expected.size && got == expected)
+  }
+
+  test("t20 unigram NLL equals a term-ordered driver-side fold") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").toSeq))
+    val allToks = docs.flatMap(_._2)
+    val tf = allToks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val total = allToks.length.toLong
+    val expected = docs.filter(_._2.nonEmpty).map { case (id, toks) =>
+      val dt = toks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+      // same order as sort_array(struct(term, _)): unsigned-byte UTF-8
+      val nll = dt.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (t, n)) =>
+        acc + (-n.toDouble * math.log(tf(t).toDouble / total))
+      }
+      id -> ((toks.length.toLong, nll, nll / toks.length))
+    }.toMap
+    val got = graft.ops.TextOps.unigramLogProb(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.nonEmpty)
+    assert(got == expected)
+  }
+
   test("t18 stratified sample honors per-language rates and is rerun-stable") {
     val spark = TestSpark.spark
     import spark.implicits._
