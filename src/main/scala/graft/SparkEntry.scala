@@ -1224,7 +1224,7 @@ object SparkEntry {
         WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
                      FROM documents),
         tf AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
-        tot AS (SELECT count(*) AS total_tokens FROM tok),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM tf),
         dt AS (SELECT doc_id, term, count(*) AS n_dt FROM tok GROUP BY doc_id, term),
         c AS (SELECT dt.doc_id, dt.term, dt.n_dt,
                 -CAST(dt.n_dt AS DOUBLE) * ln(CAST(tf.cnt AS DOUBLE) / tot.total_tokens)

@@ -316,7 +316,9 @@ object TextOps {
     import s.implicits._
     val tok = documents(s, dir).select($"doc_id", explode(toks($"text")).as("term"))
     val tf = tok.groupBy($"term").agg(count(lit(1)).as("cnt"))
-    val tot = tok.agg(count(lit(1)).as("total_tokens"))
+    // corpus total derived from tf — the tokenizing scan runs twice
+    // (tf, dt), not three times
+    val tot = tf.agg(sum($"cnt").as("total_tokens"))
     val dt = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("n_dt"))
     dt.join(tf, Seq("term"))
       .crossJoin(broadcast(tot))
