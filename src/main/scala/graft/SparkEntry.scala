@@ -44,6 +44,9 @@ object SparkEntry {
     "q19_grouping_sets"      -> (Relational2.revenueGroupingSets _),
     "q21_order_gaps"         -> (Relational2.orderGaps _),
     "q22_late_orders"        -> (Relational2.lateOrders _),
+    // q23 = the constant-memory approx-percentile scale path for q14,
+    // gated t07-style (oracle asserts the sketch lands in tolerance).
+    "q23_approx_percentiles" -> (Relational2.approxPercentileAudit _),
     // ---- event-time surface (ST3/ST4/ST7 batch-checkable analogs) ----
     "e01_tumbling"           -> (EventOps.tumbling _),
     "e02_sliding"            -> (EventOps.sliding _),
@@ -835,6 +838,12 @@ object SparkEntry {
                       WHERE l.l_orderkey = o.o_orderkey
                         AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+      "q23_approx_percentiles" -> """
+        SELECT l_returnflag,
+          quantile_cont(l_quantity, 0.5) AS exact_med_qty,
+          quantile_cont(l_extendedprice, 0.9) AS exact_p90_price,
+          TRUE AS qty_within_tol, TRUE AS price_within_tol
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
       "q20_salted_agg" -> """
         SELECT l_returnflag,
           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,

@@ -150,4 +150,31 @@ object Relational2 {
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
   }
+
+  /** The approximate-quantile SCALE PATH for q14, t07-style: exact
+    * `percentile` buffers every value of a group in the aggregation
+    * state — memory-bound and unshippable at 100 TB — while
+    * `approx_percentile` keeps a constant-size mergeable sketch. Both
+    * run here and the output carries the exact values plus booleans
+    * asserting the sketch landed inside tolerance (±1 quantity unit at
+    * the median; 2 % relative on the p90 price). The oracle emits
+    * literal TRUE for the booleans, so a sketch drifting out of
+    * tolerance fails the hash compare — the same gate design t07 uses
+    * for HLL. Tolerances absorb the sketch's partition-merge-order
+    * sensitivity; the exact columns stay bit-exact.
+    */
+  def approxPercentileAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("exact_med_qty"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("a_q"),
+        expr("percentile(l_extendedprice, 0.9)").as("exact_p90_price"),
+        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("a_p"))
+      .select($"l_returnflag", $"exact_med_qty", $"exact_p90_price",
+        (abs($"a_q" - $"exact_med_qty") <= lit(1.0)).as("qty_within_tol"),
+        (abs($"a_p" - $"exact_p90_price") <= $"exact_p90_price" * 0.02).as("price_within_tol"))
+      .orderBy($"l_returnflag")
+  }
 }

@@ -60,8 +60,11 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("executed plans of the pair generators use hash or merge joins only") {
     val spark = TestSpark.spark
+    // (d16/s08 are absent: their bounded 16-row codebook broadcast is
+    // BY DESIGN a BroadcastNestedLoopJoin — whitelisted above)
     Seq("d08_lsh_pairs_capped", "d09_simhash_banded", "d10_embedding_bucketed",
-        "e09_user_sim_bucketed", "d04_shingle_jaccard", "s03_label_purity")
+        "e09_user_sim_bucketed", "d04_shingle_jaccard", "s03_label_purity",
+        "d17_containment", "d18_mh_accuracy", "t19_novelty")
       .foreach { name =>
         val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)
         df.collect()
