@@ -159,6 +159,7 @@ object Dedup {
     */
   def dupClusters(s: SparkSession, dir: String, cap: Int = 64): DataFrame =
     connectedComponents(s, cappedPairsUnsorted(s, dir, cap))
+      .orderBy(col("doc_id"))
 
   /** The dedup OUTCOME materialized — what a curation run reports and
     * ships: per duplicate cluster (d11's connected components over the
@@ -174,7 +175,9 @@ object Dedup {
     */
   def dedupMaterialize(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
     import s.implicits._
-    dupClusters(s, dir, cap)
+    // Unordered labels: the report re-aggregates per cluster, so a
+    // presentation sort on doc_id here would be a wasted global sort.
+    connectedComponents(s, cappedPairsUnsorted(s, dir, cap))
       .join(documents(s, dir).select($"doc_id", $"n_chars"), Seq("doc_id"))
       .groupBy($"cluster_id")
       .agg(count(lit(1)).as("n_members"),
@@ -195,6 +198,7 @@ object Dedup {
     connectedComponents(s,
       cappedPairsUnsorted(s, dir, cap)
         .union(bandedPairsUnsorted(s, dir).select($"doc_a", $"doc_b")))
+      .orderBy($"doc_id")
   }
 
   /** Min-label propagation with pointer jumping over an undirected
@@ -224,18 +228,33 @@ object Dedup {
   private[graft] def connectedComponentsWithRounds(
       s: SparkSession, pairsDf: DataFrame): (DataFrame, Int) = {
     import s.implicits._
+    val sc = s.sparkContext
+    // localCheckpoint pins its blocks in the block manager until the
+    // driver GCs the RDD — which in a long session (the bench runs this
+    // loop ~9 times: d11/d13/d19 × repeats) never happens promptly, so
+    // superseded rounds accumulate as dead pinned blocks. Track the
+    // persistent-RDD ids each checkpoint creates and free them
+    // explicitly the moment they are superseded; only the FINAL label
+    // table (which the returned plan references) stays pinned.
+    def tracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, (sc.getPersistentRDDs -- before).values.toSeq)
+    }
+    def free(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
+      rdds.foreach(_.unpersist(blocking = false))
     // Materialize the pair list ONCE before the symmetrizing
     // self-union — unioning the lazy frame with itself would run the
     // whole candidate pipeline twice.
-    val pairs = pairsDf.localCheckpoint()
-    val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
-      .toDF("src", "dst").localCheckpoint()
+    val (pairs, pairsRdds) = tracked(pairsDf)
+    val (edges, edgesRdds) = tracked(
+      pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("src", "dst"))
     // Seed = min(node, min(neighbors)): the first neighbor step fused
     // into initialization (one aggregate instead of a full round).
-    var labels = edges.select($"dst".as("node"), $"src".as("lbl"))
-      .union(edges.select($"src".as("node"), $"src".as("lbl")))
-      .groupBy($"node").agg(min($"lbl").as("lbl"))
-      .localCheckpoint()
+    var (labels, labelsRdds) = tracked(
+      edges.select($"dst".as("node"), $"src".as("lbl"))
+        .union(edges.select($"src".as("node"), $"src".as("lbl")))
+        .groupBy($"node").agg(min($"lbl").as("lbl")))
     // Labels only ever decrease, so the label-sum is a fixpoint
     // witness: one cheap aggregate per round instead of a
     // change-detection join.
@@ -254,17 +273,21 @@ object Dedup {
       // round was measured and does NOT help — the extra self-join
       // costs what the saved round would have.
       val ptr = stepped.select($"node".as("p_node"), $"lbl".as("p_lbl"))
-      val next = stepped.join(ptr, stepped("lbl") === ptr("p_node"))
-        .select($"node", least($"lbl", $"p_lbl").as("lbl"))
-        .localCheckpoint()
+      val (next, nextRdds) = tracked(
+        stepped.join(ptr, stepped("lbl") === ptr("p_node"))
+          .select($"node", least($"lbl", $"p_lbl").as("lbl")))
       val nextSum = next.agg(sum($"lbl")).head.getLong(0)
       converged = nextSum == lblSum
       lblSum = nextSum
+      free(labelsRdds) // superseded round — its blocks are dead now
       labels = next
+      labelsRdds = nextRdds
       rounds += 1
     }
-    (labels.select($"node".as("doc_id"), $"lbl".as("cluster_id")).orderBy($"doc_id"),
-      rounds)
+    // The candidate graph is never referenced past the loop.
+    free(pairsRdds)
+    free(edgesRdds)
+    (labels.select($"node".as("doc_id"), $"lbl".as("cluster_id")), rounds)
   }
 
   /** Incremental dedup — the shape production actually runs: a NEW

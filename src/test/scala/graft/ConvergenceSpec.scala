@@ -52,6 +52,22 @@ class ConvergenceSpec extends AnyFunSuite {
     labels.collect().foreach(r => assert(r.getLong(1) == 0L))
   }
 
+  test("superseded checkpoint blocks are freed: only the final label table stays pinned") {
+    val spark = TestSpark.spark
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(spark, chain(0L.to(300L)))
+    labels.write.format("noop").mode("overwrite").save()
+    // The loop checkpoints pairs + edges + seed + one table per round;
+    // everything superseded must be unpersisted by the time it returns.
+    // Only the final label table (referenced by the returned plan) may
+    // remain — without the explicit frees this is 3 + rounds tables.
+    val leaked = (sc.getPersistentRDDs.keySet -- before).size
+    assert(rounds >= 2, s"degenerate run ($rounds rounds) cannot witness the leak")
+    assert(leaked <= 1, s"$leaked checkpointed RDD sets still pinned after convergence")
+  }
+
   test("several disjoint chains converge together, each to its own minimum") {
     val spark = TestSpark.spark
     import spark.implicits._
