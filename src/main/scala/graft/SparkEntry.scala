@@ -107,6 +107,12 @@ object SparkEntry {
     // d19 = the dedup outcome: per cluster, kept representative +
     // members collapsed + characters removed from the corpus.
     "d19_dedup_report"       -> ((s, d) => Dedup.dedupMaterialize(s, d)),
+    // d20 = chunk-level exact substring dedup (fixed 10-token windows):
+    // repeated spans across distinct documents, the boilerplate finder.
+    "d20_chunk_dedup"        -> ((s, d) => Dedup.chunkDedup(s, d)),
+    // d21 = connected components over the embedding near-dup graph —
+    // semantic clusters (paraphrase chains), d11's embedding analog.
+    "d21_semantic_clusters"  -> (Dedup.semanticClusters _),
     // ---- similarity search ----
     "s01_knn_brute"          -> (Similarity.bruteForceKnn _),
     "s02_knn_bucketed"       -> (Similarity.bucketedKnn _),
@@ -128,6 +134,12 @@ object SparkEntry {
     // t20 = unigram-LM mean negative log-prob (perplexity-filter
     // stand-in; term-ordered fold keeps the float sum engine-exact).
     "t20_unigram_nll"        -> (TextOps.unigramLogProb _),
+    // t21 = sequence packing: greedy concat-then-cut token-budget
+    // binning per (source, md5 shard) — the corpus→training-run step.
+    "t21_sequence_pack"      -> ((s, d) => TextOps.sequencePack(s, d)),
+    // t22 = per-source KL divergence vs the corpus unigram blend —
+    // the data-mixing drift monitor (term-ordered float fold).
+    "t22_source_divergence"  -> (TextOps.sourceDivergence _),
     "t15_length_hist"        -> (TextOps.lengthHistogram _),
     "t16_contamination"      -> (TextOps.contamination _),
     "t17_repetition"         -> (TextOps.repetitionFilters _),
@@ -822,6 +834,38 @@ object SparkEntry {
             AS chars_dropped
         FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
         GROUP BY c.cluster_id ORDER BY c.cluster_id""",
+      "d20_chunk_dedup" -> """
+        WITH s AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS wl FROM documents),
+        chunks AS (
+          SELECT doc_id, unnest([array_to_string(wl[(i-1)*10+1:i*10], ' ')
+                                 FOR i IN generate_series(1, len(wl)//10)]) AS chunk
+          FROM s),
+        per_doc AS (
+          SELECT md5(chunk) AS chunk_hash, doc_id, count(*) AS n_occ, min(chunk) AS chunk
+          FROM chunks GROUP BY 1, 2)
+        SELECT chunk_hash, min(chunk) AS chunk, count(*) AS n_docs,
+          CAST(sum(n_occ) AS BIGINT) AS n_occ, min(doc_id) AS min_doc_id
+        FROM per_doc GROUP BY chunk_hash HAVING count(*) >= 2 ORDER BY chunk_hash""",
+      "d21_semantic_clusters" -> """
+        WITH RECURSIVE
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+                (CASE WHEN embedding[1] > 0.0 THEN 1 ELSE 0 END) +
+                (CASE WHEN embedding[2] > 0.0 THEN 2 ELSE 0 END) +
+                (CASE WHEN embedding[3] > 0.0 THEN 4 ELSE 0 END) +
+                (CASE WHEN embedding[4] > 0.0 THEN 8 ELSE 0 END) AS bucket
+              FROM embeddings),
+        pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+                  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT g.dst, w.lbl FROM walk w JOIN edges g ON g.src = w.node)
+        SELECT node AS vec_id, min(lbl) AS cluster_id
+        FROM walk GROUP BY node ORDER BY vec_id""",
       "q21_order_gaps" -> """
         SELECT o_custkey, o_orderkey,
           CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS gap_days
@@ -1244,6 +1288,35 @@ object SparkEntry {
           list_reduce(list(contrib ORDER BY term), (a, b) -> a + b)
             / CAST(sum(n_dt) AS BIGINT) AS avg_nll
         FROM c GROUP BY doc_id ORDER BY doc_id""",
+      "t21_sequence_pack" -> """
+        WITH t AS (SELECT source, doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+                     CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+                   FROM documents),
+        c AS (SELECT source, shard, doc_id, n_tokens,
+                COALESCE(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+              FROM t)
+        SELECT source, shard, CAST(cum_before // 256 AS BIGINT) AS seq_id,
+          count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+          min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM c GROUP BY 1, 2, 3 ORDER BY source, shard, seq_id""",
+      "t22_source_divergence" -> """
+        WITH tok AS (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS term
+                     FROM documents),
+        st AS (SELECT source, term, count(*) AS c_st FROM tok GROUP BY 1, 2),
+        tf AS (SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY term),
+        ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+        tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_total FROM tf),
+        c AS (SELECT st.source, st.term, st.c_st,
+                (CAST(st.c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE)) *
+                  ln((CAST(st.c_st AS DOUBLE) * CAST(tot.n_total AS DOUBLE)) /
+                     (CAST(ns.n_s AS DOUBLE) * CAST(tf.c_t AS DOUBLE))) AS contrib
+              FROM st JOIN tf ON st.term = tf.term
+                      JOIN ns ON st.source = ns.source CROSS JOIN tot)
+        SELECT source, count(*) AS n_terms, CAST(sum(c_st) AS BIGINT) AS n_tokens,
+          list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS kl
+        FROM c GROUP BY source ORDER BY source""",
       "s01_knn_brute" -> """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm

@@ -619,6 +619,14 @@ object Dedup {
     */
   def embeddingDupPairsBucketed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    embeddingPairsBucketedUnsorted(s, dir).orderBy($"id_a", $"id_b")
+  }
+
+  /** [[embeddingDupPairsBucketed]] without the presentation sort — the
+    * reusable edge list for graph consumers ([[semanticClusters]]).
+    */
+  private def embeddingPairsBucketedUnsorted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = embeddings(s, dir)
       .select($"vec_id", $"embedding", vec_norm($"embedding").as("nrm"),
         expr(Similarity.signBucketExpr).as("bucket"))
@@ -628,7 +636,67 @@ object Dedup {
       .withColumn("cos", cosinePrenormed(vec_dot($"emb_a", $"emb_b"), $"nrm_a", $"nrm_b"))
       .filter($"cos" >= 0.4)
       .select($"id_a", $"id_b", $"cos")
-      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Semantic duplicate clusters — connected components over the
+    * embedding near-dup graph (d10's sign-bucketed cos ≥ 0.4 pairs),
+    * the embedding-space analog of d11's lexical clustering: chains of
+    * paraphrases collapse into one cluster even when the endpoints'
+    * cosine is below threshold. Only vectors implicated in at least
+    * one near-dup pair appear; everything else is trivially its own
+    * singleton and never shuffles.
+    *
+    * Scale shape: the edge list is the bounded bucketed equi-join
+    * (never all-pairs), and the labeling is the same O(log diameter)
+    * pointer-jumping loop as d11 — candidate generation and clustering
+    * both survive the 100× corpus unchanged.
+    */
+  def semanticClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    connectedComponents(s,
+      embeddingPairsBucketedUnsorted(s, dir).select($"id_a".as("doc_a"), $"id_b".as("doc_b")))
+      .select($"doc_id".as("vec_id"), $"cluster_id")
+      .orderBy($"vec_id")
+  }
+
+  /** Chunk-level exact substring dedup — the fixed-window form of the
+    * suffix-dedup every LLM corpus pipeline runs (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * documents are cut into non-overlapping 10-token windows, each
+    * window is hashed, and a window whose hash recurs in ≥ 2 distinct
+    * documents is a repeated span — boilerplate, licence blocks,
+    * templated passages — reported with its document frequency, total
+    * occurrence count, and earliest carrier. Exact-doc dedup (d01)
+    * misses these: two documents sharing one paragraph are different
+    * documents but still leak the same training text.
+    *
+    * Scale shape: one token explode, then two md5-keyed aggregates
+    * (chunk assembly is a per-(doc, window) group bounded at 10 rows;
+    * the recurrence count groups by digest only — documents never
+    * shuffle whole). The distinct-docs / total-occurrences pair is
+    * computed Expand-free by aggregating (hash, doc) first and
+    * re-aggregating, per the countDistinct rule.
+    */
+  def chunkDedup(s: SparkSession, dir: String, window: Int = 10): DataFrame = {
+    import s.implicits._
+    val words = documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", "\\s+")).as(Seq("pos", "word")))
+    val chunks = words
+      .groupBy($"doc_id", ($"pos" / window).cast("int").as("chunk_no"))
+      .agg(count(lit(1)).as("n_words"),
+        array_join(
+          expr("transform(sort_array(collect_list(struct(pos, word))), x -> x.word)"),
+          " ").as("chunk"))
+      .filter($"n_words" === window) // trailing partial windows drop
+    val perDoc = chunks
+      .groupBy(md5($"chunk").as("chunk_hash"), $"doc_id")
+      .agg(count(lit(1)).as("n_occ"), min($"chunk").as("chunk"))
+    perDoc
+      .groupBy($"chunk_hash")
+      .agg(min($"chunk").as("chunk"), count(lit(1)).as("n_docs"),
+        sum($"n_occ").as("n_occ"), min($"doc_id").as("min_doc_id"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"chunk_hash")
   }
 
   /** Estimator-quality audit for the MinHash index: on every d08

@@ -330,6 +330,76 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Sequence packing — the step between a curated corpus and a
+    * training run: documents are concatenated in a deterministic order
+    * and cut into fixed token-budget sequences; this reports the
+    * packing plan (which sequence each budget window starts, how many
+    * docs and tokens land in it). A doc belongs to the sequence its
+    * first token falls into (`cum_before div budget`), i.e. greedy
+    * concat-then-cut packing.
+    *
+    * Scale shape: the running sum is a window partitioned by
+    * (source, shard) where shard is the same md5 bucket primitive as
+    * t14 — windows are bounded by the shard width, never a single
+    * global sort, and the shard assignment is rerun-stable, so the
+    * packing is reproducible across runs and cluster sizes. One
+    * narrow scan + one bounded window + one aggregate.
+    */
+  def sequencePack(s: SparkSession, dir: String, budget: Int = 256): DataFrame = {
+    import s.implicits._
+    val shard = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 8")
+    val w = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(s, dir)
+      .select($"source", $"doc_id", shard.as("shard"),
+        size(toks($"text")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"cum_before div $budget"))
+      .groupBy($"source", $"shard", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("seq_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"shard", $"seq_id")
+  }
+
+  /** Per-source distribution drift — KL(source ‖ corpus) over unigram
+    * term distributions: the data-mixing monitor that tells a training
+    * pipeline when one shard's language has wandered from the blend
+    * (crawl drift, a broken extractor, an injected corpus). Low KL =
+    * the source reads like the corpus; spikes localize the divergent
+    * source without reading a single document.
+    *
+    * Float discipline: each (source, term) contribution is folded in
+    * TERM ORDER (sort_array + aggregate, the t20 recipe), so the sum
+    * is bit-identical in any engine at any parallelism.
+    *
+    * Scale shape: everything derives from ONE (source, term) aggregate
+    * of the token explode — corpus term frequencies and per-source
+    * totals re-aggregate it (map-combined, vocabulary-sized), and the
+    * corpus total is a one-row broadcast. No second pass over text.
+    */
+  def sourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val st = documents(s, dir)
+      .select($"source", explode(toks($"text")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("c_st"))
+    val tf = st.groupBy($"term").agg(sum($"c_st").as("c_t"))
+    val ns = st.groupBy($"source").agg(sum($"c_st").as("n_s"))
+    val tot = tf.agg(sum($"c_t").as("n_total"))
+    st.join(tf, Seq("term")).join(ns, Seq("source")).crossJoin(broadcast(tot))
+      // platform_ln, not log: Spark's log is StrictMath-based and
+      // differs from DuckDB's libm ln by 1 ULP on ~4 % of these ratios.
+      .withColumn("contrib",
+        ($"c_st".cast("double") / $"n_s".cast("double")) *
+          graft.functions.VectorFunctions.platform_ln(
+            ($"c_st".cast("double") * $"n_total".cast("double")) /
+              ($"n_s".cast("double") * $"c_t".cast("double"))))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_terms"), sum($"c_st").as("n_tokens"),
+        expr("aggregate(transform(sort_array(collect_list(struct(term, contrib))), x -> x.contrib), 0D, (a, x) -> a + x)").as("kl"))
+      .orderBy($"source")
+  }
+
   /** Cross-document novelty: per document, the fraction of its
     * distinct shingles that appear NOWHERE else in the corpus. The
     * inverse signal of boilerplate — a doc whose shingles are all

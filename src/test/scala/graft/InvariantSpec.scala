@@ -225,6 +225,105 @@ class InvariantSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("d20 chunk dedup equals a driver-side window recount") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").toSeq))
+    // recompute: non-overlapping 10-word windows, drop trailing partials
+    val occ = docs.flatMap { case (id, ws) =>
+      ws.grouped(10).filter(_.length == 10).map(c => (c.mkString(" "), id))
+    }
+    val expected = occ.groupBy(_._1).collect {
+      case (chunk, xs) if xs.map(_._2).distinct.length >= 2 =>
+        chunk -> ((xs.map(_._2).distinct.length.toLong, xs.length.toLong, xs.map(_._2).min))
+    }
+    val got = graft.ops.Dedup.chunkDedup(spark, TestSpark.sfDir).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected.toMap)
+    // every reported span really recurs across documents
+    got.values.foreach { case (nDocs, nOcc, _) => assert(nDocs >= 2 && nOcc >= nDocs) }
+  }
+
+  test("d21 semantic clusters: labels are component minima over the d10 pair graph") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val clusters = graft.ops.Dedup.semanticClusters(spark, TestSpark.sfDir)
+    val pairs = graft.ops.Dedup.embeddingDupPairsBucketed(spark, TestSpark.sfDir)
+      .select($"id_a", $"id_b")
+    assert(clusters.filter($"cluster_id" > $"vec_id").count() == 0)
+    // every representative is a member of its own cluster
+    val reps = clusters.select($"cluster_id".as("cid")).distinct()
+      .join(clusters, $"cid" === $"vec_id", "left_anti")
+    assert(reps.count() == 0)
+    // both endpoints of every near-dup pair share a cluster
+    val lbl = clusters.toDF("d", "c")
+    val crossCluster = pairs
+      .join(lbl.toDF("d", "c_a"), $"id_a" === $"d").drop("d")
+      .join(lbl.toDF("d", "c_b"), $"id_b" === $"d").drop("d")
+      .filter($"c_a" =!= $"c_b")
+    assert(crossCluster.count() == 0)
+    // exactly the vectors implicated in a pair appear (no singletons)
+    val inPairs = pairs.select($"id_a".as("v")).union(pairs.select($"id_b")).distinct()
+    assert(clusters.count() == inPairs.count())
+  }
+
+  test("t21 sequence packing equals a driver-side greedy recount and conserves tokens") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def shard(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 8
+    }
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select($"source", $"doc_id", $"text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split("\\s+").length.toLong))
+    // greedy concat-then-cut per (source, shard), docs in id order
+    val expected = docs.groupBy(d => (d._1, shard(d._2))).toSeq.flatMap {
+      case ((src, sh), ds) =>
+        val sorted = ds.sortBy(_._2)
+        val cums = sorted.scanLeft(0L)(_ + _._3)
+        sorted.zip(cums).map { case ((_, id, n), before) => (src, sh, before / 256, id, n) }
+    }.groupBy(x => (x._1, x._2, x._3)).map { case ((src, sh, seq), xs) =>
+      (src, sh, seq) -> ((xs.length.toLong, xs.map(_._5).sum, xs.map(_._4).min, xs.map(_._4).max))
+    }
+    val got = graft.ops.TextOps.sequencePack(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expected)
+    // token conservation: the packing plan accounts for every token once
+    assert(got.values.map(_._2).sum == docs.map(_._3).sum)
+  }
+
+  test("t22 source divergence equals a term-ordered driver-side fold and is non-negative") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val toks = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select($"source", $"text").collect()
+      .flatMap(r => r.getString(1).split("\\s+").map(t => (r.getString(0), t)))
+    val st = toks.groupBy(identity).map { case ((s0, t), xs) => (s0, t, xs.length.toLong) }.toSeq
+    val tf = st.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._3).sum }
+    val ns = st.groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._3).sum }
+    val nTotal = tf.values.sum
+    val expected = st.groupBy(_._1).map { case (src, xs) =>
+      // same order as sort_array(struct(term, _)): unsigned-byte UTF-8
+      val kl = xs.sortBy(_._2).foldLeft(0.0) { case (acc, (_, t, c)) =>
+        acc + (c.toDouble / ns(src)) *
+          Math.log((c.toDouble * nTotal) / (ns(src).toDouble * tf(t)))
+      }
+      src -> ((xs.length.toLong, ns(src), kl))
+    }
+    val got = graft.ops.TextOps.sourceDivergence(spark, TestSpark.sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.nonEmpty)
+    assert(got == expected)
+    // KL(source ‖ corpus) is non-negative up to float rounding
+    got.values.foreach { case (_, _, kl) => assert(kl >= -1e-12) }
+  }
+
   test("t18 stratified sample honors per-language rates and is rerun-stable") {
     val spark = TestSpark.spark
     import spark.implicits._
