@@ -113,6 +113,9 @@ object SparkEntry {
     // d21 = connected components over the embedding near-dup graph —
     // semantic clusters (paraphrase chains), d11's embedding analog.
     "d21_semantic_clusters"  -> (Dedup.semanticClusters _),
+    // d22 = content-defined chunk dedup (CDC boundaries travel with
+    // the text) — d20's repeated-span finder at ANY alignment.
+    "d22_chunk_cdc"          -> ((s, d) => Dedup.chunkDedupCdc(s, d)),
     // ---- similarity search ----
     "s01_knn_brute"          -> (Similarity.bruteForceKnn _),
     "s02_knn_bucketed"       -> (Similarity.bucketedKnn _),
@@ -140,6 +143,9 @@ object SparkEntry {
     // t22 = per-source KL divergence vs the corpus unigram blend —
     // the data-mixing drift monitor (term-ordered float fold).
     "t22_source_divergence"  -> (TextOps.sourceDivergence _),
+    // t23 = temperature (α=0.5) source resampling — downsample-only
+    // multinomial rebalance, md5-bucket deterministic keep decision.
+    "t23_temp_resample"      -> (TextOps.temperatureResample _),
     "t15_length_hist"        -> (TextOps.lengthHistogram _),
     "t16_contamination"      -> (TextOps.contamination _),
     "t17_repetition"         -> (TextOps.repetitionFilters _),
@@ -866,6 +872,25 @@ object SparkEntry {
           SELECT g.dst, w.lbl FROM walk w JOIN edges g ON g.src = w.node)
         SELECT node AS vec_id, min(lbl) AS cluster_id
         FROM walk GROUP BY node ORDER BY vec_id""",
+      "d22_chunk_cdc" -> """
+        WITH s AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS wl FROM documents),
+        tok AS (SELECT doc_id, i AS pos, wl[i] AS word,
+                  CASE WHEN CAST(('0x' || substr(md5(wl[i]), 1, 8)) AS BIGINT) % 8 = 0
+                       THEN 1 ELSE 0 END AS b
+                FROM s, LATERAL unnest(generate_series(1, len(wl))) AS t(i)),
+        c AS (SELECT doc_id, pos, word,
+                sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS chunk_no
+              FROM tok),
+        chunks AS (SELECT doc_id, chunk_no,
+                     string_agg(word, ' ' ORDER BY pos) AS chunk
+                   FROM c GROUP BY 1, 2 HAVING count(*) >= 5),
+        per_doc AS (
+          SELECT md5(chunk) AS chunk_hash, doc_id, count(*) AS n_occ, min(chunk) AS chunk
+          FROM chunks GROUP BY 1, 2)
+        SELECT chunk_hash, min(chunk) AS chunk, count(*) AS n_docs,
+          CAST(sum(n_occ) AS BIGINT) AS n_occ, min(doc_id) AS min_doc_id
+        FROM per_doc GROUP BY chunk_hash HAVING count(*) >= 2 ORDER BY chunk_hash""",
       "q21_order_gaps" -> """
         SELECT o_custkey, o_orderkey,
           CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS gap_days
@@ -1317,6 +1342,20 @@ object SparkEntry {
         SELECT source, count(*) AS n_terms, CAST(sum(c_st) AS BIGINT) AS n_tokens,
           list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS kl
         FROM c GROUP BY source ORDER BY source""",
+      "t23_temp_resample" -> """
+        WITH d AS (SELECT source, doc_id,
+                     CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 1000000 AS bucket
+                   FROM documents),
+        ns AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_s FROM d GROUP BY source),
+        mn AS (SELECT min(n_s) AS n_min FROM ns),
+        r AS (SELECT source, sqrt(CAST(n_min AS DOUBLE) / CAST(n_s AS DOUBLE)) AS rate
+              FROM ns CROSS JOIN mn)
+        SELECT d.source, d.doc_id, d.n_tokens, r.rate
+        FROM d JOIN r ON d.source = r.source
+        WHERE CAST(d.bucket AS DOUBLE) < r.rate * 1000000.0
+        ORDER BY d.doc_id""",
       "s01_knn_brute" -> """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm

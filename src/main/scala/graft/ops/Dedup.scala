@@ -688,6 +688,52 @@ object Dedup {
           expr("transform(sort_array(collect_list(struct(pos, word))), x -> x.word)"),
           " ").as("chunk"))
       .filter($"n_words" === window) // trailing partial windows drop
+    spanReport(s, chunks)
+  }
+
+  /** Content-defined chunk dedup — [[chunkDedup]] with its alignment
+    * blind spot closed. d20's fixed windows only match a shared span
+    * when both carriers place it at the same offset mod window (insert
+    * one token at the front of a document and every boundary shifts);
+    * a fixed-STRIDE overlap doesn't fix that, it only widens the
+    * matching offset classes. The alignment-independent construction
+    * is content-defined chunking (the rsync/LBFS/winnowing idea):
+    * a chunk boundary opens wherever a token's md5 bucket lands in
+    * 1/8 of hash space, so boundary positions travel WITH the text —
+    * two copies of a span chunk identically no matter where each copy
+    * sits. Any shared span containing two boundary tokens ≥ minLen
+    * apart yields an identical full chunk in every carrier (expected
+    * chunk length = 8 tokens). Chunks shorter than minLen are noise
+    * (single hot words) and drop.
+    *
+    * Scale shape: one token explode, a per-document prefix-sum window
+    * (bounded by document length, never a global sort), then the same
+    * digest-keyed report as d20 — documents never shuffle whole.
+    */
+  def chunkDedupCdc(s: SparkSession, dir: String, minLen: Int = 5): DataFrame = {
+    import s.implicits._
+    val boundary =
+      expr("cast(conv(substring(md5(word), 1, 8), 16, 10) as bigint) % 8 = 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val chunks = documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", "\\s+")).as(Seq("pos", "word")))
+      .withColumn("chunk_no", sum(boundary.cast("long")).over(w))
+      .groupBy($"doc_id", $"chunk_no")
+      .agg(count(lit(1)).as("n_words"),
+        array_join(
+          expr("transform(sort_array(collect_list(struct(pos, word))), x -> x.word)"),
+          " ").as("chunk"))
+      .filter($"n_words" >= minLen)
+    spanReport(s, chunks)
+  }
+
+  /** Shared tail of the chunk-dedup family: (doc, chunk) occurrences →
+    * repeated-span report keyed by digest, docs never shuffled whole.
+    */
+  private def spanReport(s: SparkSession, chunks: DataFrame): DataFrame = {
+    import s.implicits._
     val perDoc = chunks
       .groupBy(md5($"chunk").as("chunk_hash"), $"doc_id")
       .agg(count(lit(1)).as("n_occ"), min($"chunk").as("chunk"))

@@ -400,6 +400,40 @@ object TextOps {
       .orderBy($"source")
   }
 
+  /** Temperature-scaled source resampling — the multinomial α-rebalance
+    * (α = 0.5, the mT5/XLM-R recipe) that keeps dominant sources from
+    * drowning small ones in the training mix: target share q_s ∝ p_s^α,
+    * realized downsample-only, so the keep rate reduces to
+    * r_s = (n_min / n_s)^(1−α) = sqrt(n_min / n_s) — no normalization
+    * SUM anywhere, so every float step (IEEE divide, sqrt, multiply) is
+    * correctly rounded and bit-identical across engines; max/min are
+    * order-free. The keep decision reuses the t14/t18 md5-bucket
+    * primitive (parts-per-million resolution), so the sample is
+    * rerun-stable and independent of partitioning.
+    *
+    * Scale shape: per-source token totals are a 5-row aggregate, the
+    * corpus minimum a one-row broadcast, and the selection itself a
+    * narrow scan + broadcast-joined constant rate — no shuffle touches
+    * document text.
+    */
+  def temperatureResample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 1000000")
+    val docs = documents(s, dir)
+      .select($"source", $"doc_id", size(toks($"text")).cast("long").as("n_tokens"))
+    val ns = docs.groupBy($"source").agg(sum($"n_tokens").as("n_s"))
+    val minNs = ns.agg(min($"n_s").as("n_min"))
+    val rates = ns.crossJoin(broadcast(minNs))
+      .select($"source",
+        sqrt($"n_min".cast("double") / $"n_s".cast("double")).as("rate"))
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("bucket", bucket)
+      .filter($"bucket".cast("double") < $"rate" * 1000000.0)
+      .select($"source", $"doc_id", $"n_tokens", $"rate")
+      .orderBy($"doc_id")
+  }
+
   /** Cross-document novelty: per document, the fraction of its
     * distinct shingles that appear NOWHERE else in the corpus. The
     * inverse signal of boilerplate — a doc whose shingles are all

@@ -324,6 +324,85 @@ class InvariantSpec extends AnyFunSuite {
     got.values.foreach { case (_, _, kl) => assert(kl >= -1e-12) }
   }
 
+  test("d22 CDC chunking equals a driver-side recount and is alignment-independent") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket8(w: String): Long = {
+      val hex = md.digest(w.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 8
+    }
+    // driver-side recount on the real corpus
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").toSeq))
+    val occ = docs.flatMap { case (id, ws) =>
+      val chunkNos = ws.scanLeft(0L)((acc, w) => acc + (if (bucket8(w) == 0) 1 else 0)).tail
+      ws.zip(chunkNos).groupBy(_._2).values
+        .filter(_.length >= 5).map(c => (c.map(_._1).mkString(" "), id))
+    }
+    val expected = occ.groupBy(_._1).collect {
+      case (chunk, xs) if xs.map(_._2).distinct.length >= 2 =>
+        chunk -> ((xs.map(_._2).distinct.length.toLong, xs.length.toLong, xs.map(_._2).min))
+    }.toMap
+    val got = graft.ops.Dedup.chunkDedupCdc(spark, TestSpark.sfDir).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+
+    // alignment independence: a span shared at DIFFERENT offsets is
+    // found by CDC and provably missed by d20's fixed windows
+    val pool = (0 until 400).map(i => s"w$i")
+    val bWords = pool.filter(bucket8(_) == 0)
+    val xWords = pool.filter(bucket8(_) != 0)
+    assert(bWords.length >= 2 && xWords.length >= 20)
+    val span = (bWords(0) +: xWords.take(5)) :+ bWords(1) // chunk = b x1..x5
+    val docA = (xWords.slice(6, 8) ++ span ++ xWords.slice(11, 14)).mkString(" ")
+    val docB = (xWords.slice(14, 17) ++ span ++ xWords.slice(17, 19)).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cdc = graft.ops.Dedup.chunkDedupCdc(spark, dir).collect()
+    val wanted = (bWords(0) +: xWords.take(5)).mkString(" ")
+    assert(cdc.exists(r => r.getString(1) == wanted && r.getLong(2) == 2L))
+    // both docs are 12 tokens, span offsets 2 vs 3 — no aligned 10-window
+    assert(graft.ops.Dedup.chunkDedup(spark, dir).count() == 0)
+  }
+
+  test("t23 temperature resample equals driver-side rates and flattens the mix") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 1000000
+    }
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select($"source", $"doc_id", $"text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split("\\s+").length.toLong))
+    val ns = docs.groupBy(_._1).map { case (src, xs) => src -> xs.map(_._3).sum }
+    val nMin = ns.values.min
+    val rate = ns.map { case (src, n) => src -> Math.sqrt(nMin.toDouble / n.toDouble) }
+    val expected = docs.filter { case (src, id, _) => bucket(id).toDouble < rate(src) * 1000000.0 }
+      .map(_._2).toSet
+    val got = graft.ops.TextOps.temperatureResample(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(1), r.getString(0), r.getDouble(3)))
+    assert(got.map(_._1).toSet == expected)
+    // rates are bit-exact and the smallest source keeps everything
+    got.foreach { case (_, src, r) => assert(r == rate(src)) }
+    val smallest = ns.minBy(_._2)._1
+    assert(rate(smallest) == 1.0)
+    // flattening: every source's kept-token share moves toward uniform —
+    // the max/min kept-token ratio never exceeds the original ratio
+    val keptNs = got.groupBy(_._2).map { case (src, xs) =>
+      src -> docs.filter(d => xs.exists(_._1 == d._2)).map(_._3).sum }
+    if (keptNs.size >= 2 && ns.size >= 2) {
+      val before = ns.values.max.toDouble / ns.values.min
+      val after = keptNs.values.max.toDouble / keptNs.values.min
+      assert(after <= before * 1.05) // md5-bucket realization noise margin
+    }
+  }
+
   test("t18 stratified sample honors per-language rates and is rerun-stable") {
     val spark = TestSpark.spark
     import spark.implicits._
