@@ -161,6 +161,9 @@ object SparkEntry {
     // m08 = perceptual hash (8x8 integer-exact aHash) computed from the
     // decoded PNG raster — image near-dup fingerprinting on real bytes.
     "m08_ahash"              -> (Multimodal.pngAHash _),
+    // m09 = audio feature extraction: per-frame energy over the real
+    // WAV decode (64-sample frames, integer-exact activity detection).
+    "m09_wav_frames"         -> ((s, d) => Multimodal.wavFrameEnergy(s, d)),
     // m06 is the REAL audio codec: WAV PCM bytes through
     // javax.sound.sampled, decoded sample count + (position-weighted)
     // amplitude sums oracle-checked against the generator formula.
@@ -616,6 +619,29 @@ object SparkEntry {
             generate_series(0, CAST(200 + doc_id % 400 AS INTEGER) - 1),
             i -> ((doc_id * 7919 + i * 104729) % 65536 - 32768) * (i + 1))) AS BIGINT) AS amp_wsum
         FROM documents ORDER BY doc_id""",
+      // Recomputes m09's frame energies from the WAV generator formula:
+      // 64-sample frames over n = 200 + id%400 samples of
+      // s_i = (id*7919 + i*104729) % 65536 - 32768; peak/total/active
+      // all integer-exact, above-mean via energy*n_frames > total.
+      "m09_wav_frames" -> """
+        WITH f AS (SELECT doc_id, CAST(200 + doc_id % 400 AS BIGINT) AS n FROM documents),
+        e AS (SELECT doc_id, (n + 63) // 64 AS n_frames, fr,
+                CAST(list_sum(list_transform(
+                  generate_series(CAST(fr * 64 AS INTEGER),
+                                  CAST(least(n, fr * 64 + 64) AS INTEGER) - 1),
+                  i -> ((doc_id * 7919 + i * 104729) % 65536 - 32768) *
+                       ((doc_id * 7919 + i * 104729) % 65536 - 32768))) AS BIGINT) AS energy
+              FROM f, LATERAL unnest(generate_series(0, CAST((n + 63) // 64 AS INTEGER) - 1))
+                      AS t(fr)),
+        w AS (SELECT doc_id, n_frames, fr, energy,
+                sum(energy) OVER (PARTITION BY doc_id) AS tot
+              FROM e)
+        SELECT doc_id, CAST(min(n_frames) AS BIGINT) AS n_frames,
+          CAST((array_agg(fr ORDER BY energy DESC, fr ASC))[1] AS BIGINT) AS peak_frame,
+          CAST(max(energy) AS BIGINT) AS peak_energy,
+          CAST(min(tot) AS BIGINT) AS total_energy,
+          CAST(sum(CASE WHEN energy * n_frames > tot THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+        FROM w GROUP BY doc_id ORDER BY doc_id""",
       // Recomputes the GIF generator formula (2 + id % 4 frames of
       // (6 + id % 10) x (6 + (id/10) % 10), gray pixel
       // (id*31 + f*17 + 7x + 13y) % 256) — the Spark side gets these

@@ -341,6 +341,59 @@ object Multimodal {
     decodeWavs(wavTable(s, dir)).toDF().orderBy($"doc_id")
   }
 
+  final case class WavFrames(doc_id: Long, n_frames: Long, peak_frame: Long,
+      peak_energy: Long, total_energy: Long, n_active: Long)
+
+  /** m09 — audio FEATURE EXTRACTION over the real codec: per-clip
+    * frame energies (non-overlapping 64-sample frames, energy = Σ sᵢ²),
+    * reduced to the features an audio-curation pipeline filters on —
+    * loudest frame (tie → lowest index), its energy, total energy, and
+    * the count of above-mean frames (silence/activity detection). The
+    * audio twin of m08's image aHash: decode is no longer the end of
+    * the pipeline, it feeds a real signal-processing step. All math is
+    * 64-bit integer (samples ≤ 2¹⁵ → frame energy ≤ 2³⁶; the
+    * above-mean test cross-multiplies `energy·n_frames > total` like
+    * e13/m08), so the DuckDB oracle recomputes every value exactly
+    * from the generator formula — a hash match certifies real bytes →
+    * real decoder → real features.
+    *
+    * Scale shape: one mapPartitions pass, payloads never shuffle, the
+    * feature row is ~48 bytes/clip regardless of clip length.
+    */
+  def wavFrameEnergy(s: SparkSession, dir: String, frame: Int = 64): DataFrame = {
+    import s.implicits._
+    wavTable(s, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.payload))
+        val en: Array[Long] =
+          try {
+            val bytes = ais.readAllBytes()
+            val nS = bytes.length / 2
+            val nF = (nS + frame - 1) / frame
+            val e = new Array[Long](nF)
+            var i = 0
+            while (i < nS) {
+              val sm = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toLong
+              e(i / frame) += sm * sm
+              i += 1
+            }
+            e
+          } finally ais.close()
+        val nF = en.length
+        var peak = 0
+        var tot = 0L
+        var i = 0
+        while (i < nF) {
+          if (en(i) > en(peak)) peak = i
+          tot += en(i)
+          i += 1
+        }
+        val active = en.count(e => e * nF > tot)
+        WavFrames(r.doc_id, nF.toLong, peak.toLong, en(peak), tot, active.toLong)
+      }
+    }.toDF().orderBy($"doc_id")
+  }
+
   final case class GifRow(doc_id: Long, payload: Array[Byte])
   final case class GifMeta(doc_id: Long, n_frames: Long, width: Long, height: Long,
                            pix_sum: Long, pix_wsum: Long)

@@ -144,6 +144,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaFormula.except(decoded).count() == 0)
   }
 
+  test("m09 frame energies match the formula, and energy is frame-local") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def energies(id: Long): Array[Long] = {
+      val n = Multimodal.WavCodec.nSamples(id)
+      val e = new Array[Long]((n + 63) / 64)
+      for (i <- 0 until n) {
+        val s = Multimodal.WavCodec.sample(id, i).toLong
+        e(i / 64) += s * s
+      }
+      e
+    }
+    val viaFormula = Tables.documents(spark, TestSpark.sfDir)
+      .select($"doc_id").as[Long].collect().map { id =>
+        val e = energies(id)
+        val peak = e.indices.minBy(i => (-e(i), i))
+        val tot = e.sum
+        (id, e.length.toLong, peak.toLong, e(peak), tot,
+          e.count(x => x * e.length > tot).toLong)
+      }.toSeq.toDF("doc_id", "n_frames", "peak_frame", "peak_energy",
+        "total_energy", "n_active")
+    val got = Multimodal.wavFrameEnergy(spark, TestSpark.sfDir)
+    assert(got.count() == viaFormula.count())
+    assert(got.except(viaFormula).count() == 0)
+    assert(viaFormula.except(got).count() == 0)
+    // locality: zeroing one sample changes exactly one frame's energy
+    val id = 7L
+    val base = energies(id)
+    val bytes = Multimodal.WavCodec.encode(id)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val pcm = ais.readAllBytes(); ais.close()
+    pcm(0) = 0; pcm(1) = 0 // zero sample 0 → only frame 0 moves
+    val mod = new Array[Long](base.length)
+    for (i <- 0 until pcm.length / 2) {
+      val s = (((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff))).toLong
+      mod(i / 64) += s * s
+    }
+    val changed = base.indices.count(i => base(i) != mod(i))
+    assert(changed == 1 && base(0) != mod(0))
+  }
+
   test("GIF codec round-trips: decode(encode(id)) returns the generator formula") {
     for (id <- Seq(0L, 1L, 9L, 10L, 99L, 311L, 499L, 12345L)) {
       val bytes = Multimodal.GifCodec.encode(id)
