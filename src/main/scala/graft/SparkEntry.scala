@@ -64,6 +64,9 @@ object SparkEntry {
     "e12_retention"          -> (EventOps.retentionCohorts _),
     // e13 = integer-exact 2-sigma anomaly flags on hourly type counts.
     "e13_anomalies"          -> (EventOps.hourlyAnomalies _),
+    // e14 = first-order Markov transition matrix over per-user event
+    // sequences (lead window; P(to|from) as one exact integer divide).
+    "e14_transitions"        -> (EventOps.transitions _),
     // ---- text analysis (LLM-pipeline extensions) ----
     "t01_token_stats"        -> (TextOps.tokenStats _),
     "t02_quality_score"      -> (TextOps.qualityScore _),
@@ -127,6 +130,9 @@ object SparkEntry {
     // s08 = the production IVF-PQ composition: coarse-cell probe, ADC
     // over cell members' 4-byte codes, exact re-rank of the shortlist.
     "s08_knn_ivfpq"          -> (Similarity.ivfPqKnn _),
+    // s09 = coreset manifest: per IVF cell the best-fit representative,
+    // population, and worst-fit cosine — diversity sampling + cell audit.
+    "s09_centroid_reps"      -> (Similarity.centroidReps _),
     "t14_hash_split"         -> (TextOps.hashSplit _),
     // t18 = language-stratified deterministic downsample (md5-bucket
     // per-stratum rates; rerun-stable, shuffle-free).
@@ -146,6 +152,12 @@ object SparkEntry {
     // t23 = temperature (α=0.5) source resampling — downsample-only
     // multinomial rebalance, md5-bucket deterministic keep decision.
     "t23_temp_resample"      -> (TextOps.temperatureResample _),
+    // t24 = per-source Shannon entropy of the unigram distribution —
+    // t22's in-source companion (degenerate/templated-source detector).
+    "t24_source_entropy"     -> (TextOps.sourceEntropy _),
+    // t25 = curriculum binning: per-source quality quartiles (ntile,
+    // doc_id tiebreak) → the per-phase training manifest.
+    "t25_curriculum"         -> (TextOps.curriculum _),
     "t15_length_hist"        -> (TextOps.lengthHistogram _),
     "t16_contamination"      -> (TextOps.contamination _),
     "t17_repetition"         -> (TextOps.repetitionFilters _),
@@ -172,6 +184,9 @@ object SparkEntry {
     // javax.imageio, decoded frame count + frame-order-weighted raster
     // sums oracle-checked against the generator formula.
     "m07_gif_frames"         -> (Multimodal.gifDecodeMeta _),
+    // m10 = EXECUTED resize over the real codec: decode → 2× box
+    // downsample → re-encode → decode, position-weighted checksum.
+    "m10_png_resize"         -> (Multimodal.pngResize _),
     "t12_normalize"          -> (TextOps.normalizeText _),
   )
 
@@ -413,6 +428,17 @@ object SparkEntry {
             > 4 * (st.n_hours * st.q - st.s * st.s) AS is_anomaly
         FROM hourly h JOIN stats st ON h.event_type = st.event_type
         ORDER BY h.event_type, h.hour_start""",
+      "e14_transitions" -> """
+        WITH nx AS (SELECT event_type AS from_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS to_type
+                    FROM events),
+        c AS (SELECT from_type, to_type, count(*) AS n FROM nx
+              WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        SELECT from_type, to_type, n,
+          CAST(n AS DOUBLE) / CAST(CAST(sum(n) OVER (PARTITION BY from_type)
+            AS BIGINT) AS DOUBLE) AS p
+        FROM c ORDER BY from_type, to_type""",
       "e09_user_sim_bucketed" -> {
         val hourSums = (0 until 24).map(h =>
           s"CAST(CAST(sum(CASE WHEN hour(ts) = $h THEN CAST(value AS DECIMAL(18,4)) " +
@@ -663,6 +689,22 @@ object SparkEntry {
                 list_transform(generate_series(0, 6 + doc_id % 10 - 1), x ->
                   (doc_id * 31 + f * 17 + 7 * x + 13 * y) % 256)))))) AS BIGINT) AS pix_wsum
         FROM documents ORDER BY doc_id""",
+      "m10_png_resize" -> """
+        WITH d AS (SELECT doc_id, (8 + doc_id % 25) // 2 AS ow,
+                     (8 + (doc_id // 25) % 25) // 2 AS oh
+                   FROM documents),
+        px AS (SELECT doc_id, ow, oh, j, i,
+                 (((doc_id * 31 + 7 * (2*i) + 13 * (2*j)) % 256)
+                  + ((doc_id * 31 + 7 * (2*i+1) + 13 * (2*j)) % 256)
+                  + ((doc_id * 31 + 7 * (2*i) + 13 * (2*j+1)) % 256)
+                  + ((doc_id * 31 + 7 * (2*i+1) + 13 * (2*j+1)) % 256)) // 4 AS v
+               FROM d,
+                 LATERAL (SELECT unnest(generate_series(0, oh - 1)) AS j) jj,
+                 LATERAL (SELECT unnest(generate_series(0, ow - 1)) AS i) ii)
+        SELECT doc_id, ow AS out_w, oh AS out_h,
+          CAST(sum(v) AS BIGINT) AS out_sum,
+          CAST(sum(v * (j * ow + i + 1)) AS BIGINT) AS out_wsum
+        FROM px GROUP BY doc_id, ow, oh ORDER BY doc_id""",
       "d01_exact_dups" -> """
         SELECT text_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id FROM (
           SELECT doc_id, md5(text) AS text_hash FROM documents) t
@@ -1152,6 +1194,26 @@ object SparkEntry {
             row_number() OVER (PARTITION BY q_id ORDER BY adc2 ASC, vec_id) AS rank
           FROM adc) t
         WHERE rank <= 5 ORDER BY q_id, rank""",
+      "s09_centroid_reps" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings),
+        cb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        assigned AS (SELECT vec_id, cell_id, ccos FROM (
+          SELECT e.vec_id, cb.cell_id,
+            list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) AS ccos,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) DESC, cb.cell_id) AS arank
+          FROM e CROSS JOIN cb) t WHERE arank = 1),
+        ranked AS (SELECT vec_id, cell_id, ccos,
+                     row_number() OVER (PARTITION BY cell_id
+                       ORDER BY ccos DESC, vec_id) AS rrank
+                   FROM assigned)
+        SELECT cell_id, count(*) AS n_members,
+          max(CASE WHEN rrank = 1 THEN vec_id END) AS rep_id,
+          max(CASE WHEN rrank = 1 THEN ccos END) AS rep_cos,
+          min(ccos) AS min_cos
+        FROM ranked GROUP BY cell_id ORDER BY cell_id""",
       "s08_knn_ivfpq" -> """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
@@ -1382,6 +1444,37 @@ object SparkEntry {
         FROM d JOIN r ON d.source = r.source
         WHERE CAST(d.bucket AS DOUBLE) < r.rate * 1000000.0
         ORDER BY d.doc_id""",
+      "t24_source_entropy" -> """
+        WITH tok AS (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS term
+                     FROM documents),
+        st AS (SELECT source, term, count(*) AS c_st FROM tok GROUP BY 1, 2),
+        ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+        c AS (SELECT st.source, st.term, st.c_st,
+                -((CAST(st.c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE)) *
+                  ln(CAST(st.c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE))) AS contrib
+              FROM st JOIN ns ON st.source = ns.source)
+        SELECT source, count(*) AS vocab, CAST(sum(c_st) AS BIGINT) AS n_tokens,
+          list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS entropy,
+          list_reduce(list(contrib ORDER BY term), (a, b) -> a + b)
+            / ln(CAST(count(*) AS DOUBLE)) AS norm_entropy
+        FROM c GROUP BY source ORDER BY source""",
+      "t25_curriculum" -> """
+        WITH x AS (SELECT source, doc_id, regexp_split_to_array(text, '\s+') AS t
+                   FROM documents),
+        q AS (SELECT source, doc_id,
+                0.4 * (1.0 - CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t))
+                  + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+                  + 0.3 * least(len(t) / 50.0, 1.0) AS quality,
+                CAST(len(t) AS BIGINT) AS n_tokens
+              FROM x),
+        ph AS (SELECT source, doc_id, quality, n_tokens,
+                 ntile(4) OVER (PARTITION BY source
+                   ORDER BY quality, doc_id) AS phase
+               FROM q)
+        SELECT source, CAST(phase AS BIGINT) AS phase, count(*) AS n_docs,
+          min(quality) AS q_min, max(quality) AS q_max,
+          CAST(sum(n_tokens) AS BIGINT) AS phase_tokens
+        FROM ph GROUP BY source, phase ORDER BY source, phase""",
       "s01_knn_brute" -> """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm

@@ -294,4 +294,34 @@ object EventOps {
         sum(when($"t2".isNotNull, unix_micros($"t2") - unix_micros($"t1"))).as("sum_view_to_click_us"),
         sum(when($"t3".isNotNull, unix_micros($"t3") - unix_micros($"t2"))).as("sum_click_to_purchase_us"))
   }
+
+  /** Per-user event-type transition matrix (first-order Markov): for
+    * every consecutive event pair within a user's timeline, count
+    * (from_type → to_type) and the conditional probability
+    * P(to | from) = n / Σ_to n. The sequence-model view of the event
+    * log — what feeds next-action prediction, session simulators, and
+    * bot detection (a user whose transition rows concentrate on one
+    * self-loop is a script, not a person). Ordering ties on ts break by
+    * event_id, so the successor is total-ordered and engine-exact; the
+    * probability is one BIGINT÷BIGINT double divide (correctly rounded,
+    * no float accumulation anywhere).
+    *
+    * Scale shape: ONE shuffle on user_id feeds the lead() window
+    * (per-user timelines are bounded); the transition aggregate is
+    * map-side combined down to |types|² rows, and the denominator is a
+    * window over that tiny aggregate — no second pass over events.
+    */
+  def transitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val fromW = Window.partitionBy($"from_type")
+    events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("to_type", lead($"event_type", 1).over(seq))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", $"n".cast("double") / sum($"n").over(fromW).cast("double"))
+      .orderBy($"from_type", $"to_type")
+  }
 }

@@ -173,6 +173,67 @@ object Multimodal {
     decodePngs(pngTable(s, dir)).toDF().orderBy($"doc_id")
   }
 
+  final case class PngResized(doc_id: Long, out_w: Long, out_h: Long,
+      out_sum: Long, out_wsum: Long)
+
+  /** m10 — an EXECUTED image transform over the real codec: m04 plans
+    * resizes from metadata; this one decodes the PNG, 2× box-downsamples
+    * the raster (output pixel = ⌊mean of its 2×2 block⌋, odd edge rows/
+    * columns cropped — all integer math), RE-ENCODES the result as PNG,
+    * and decodes THAT to emit the output dimensions, raster sum, and
+    * position-weighted raster sum. The weighted sum pins pixel
+    * placement, so the oracle hash match certifies the whole
+    * decode → transform → encode → decode chain, not just a checksum
+    * that a pass-through could fake.
+    *
+    * Scale shape: one mapPartitions pass (codec init per partition, the
+    * U3 pattern), payloads never shuffle, output is 5 longs per image.
+    * This is the thumbnail/preprocess stage of a multimodal training
+    * pipeline in its production shape.
+    */
+  def pngResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pngTable(s, dir).mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        val ow = img.getWidth / 2
+        val oh = img.getHeight / 2
+        val out = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
+        var j = 0
+        while (j < oh) {
+          var i = 0
+          while (i < ow) {
+            val v = ((img.getRGB(2 * i, 2 * j) & 0xff) +
+              (img.getRGB(2 * i + 1, 2 * j) & 0xff) +
+              (img.getRGB(2 * i, 2 * j + 1) & 0xff) +
+              (img.getRGB(2 * i + 1, 2 * j + 1) & 0xff)) / 4
+            out.setRGB(i, j, (v << 16) | (v << 8) | v)
+            i += 1
+          }
+          j += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", bos)
+        val back = ImageIO.read(new ByteArrayInputStream(bos.toByteArray))
+        var sum = 0L
+        var wsum = 0L
+        var y = 0
+        while (y < back.getHeight) {
+          var x = 0
+          while (x < back.getWidth) {
+            val p = (back.getRGB(x, y) & 0xff).toLong
+            sum += p
+            wsum += p * (y * back.getWidth + x + 1)
+            x += 1
+          }
+          y += 1
+        }
+        PngResized(r.doc_id, back.getWidth.toLong, back.getHeight.toLong, sum, wsum)
+      }
+    }.toDF().orderBy($"doc_id")
+  }
+
   final case class AHash(doc_id: Long, ahash_hi: Long, ahash_lo: Long)
 
   /** 8×8 average-hash (aHash) of a decoded raster — the standard

@@ -326,4 +326,39 @@ object Similarity {
       .select($"q_label".as("label"), $"n_vecs", $"n_top1_match", $"purity")
       .orderBy($"label")
   }
+
+  /** Coreset / diversity-sampling manifest over the shared IVF index:
+    * per cell, the REPRESENTATIVE member (highest cosine to the cell
+    * seed, vec_id tiebreak), its cosine, the cell population, and the
+    * worst-fit cosine (min). This is the cluster-sampling step of a
+    * curation pipeline — keep one exemplar per semantic cell, or weight
+    * cells by population — and the audit row that flags degenerate
+    * cells (min_cos near 0 = the cell is a catch-all, split it).
+    *
+    * Scale shape: assignment is the same broadcast-codebook narrow map
+    * as s04/d16 (NO corpus shuffle); the representative is a rank-1
+    * window partitioned by cell; the output is K rows regardless of
+    * corpus size. min/max are order-free, so every emitted float is
+    * engine-exact without an ordered fold.
+    */
+  def centroidReps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(embeddings(s, dir))
+    val cb = e.filter($"vec_id" < 16).toDF("cell_id", "c_emb", "c_nrm")
+    val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cell_id")
+    val assigned = e.crossJoin(broadcast(cb))
+      .withColumn("ccos", cosinePrenormed(vec_dot($"embedding", $"c_emb"), $"nrm", $"c_nrm"))
+      .withColumn("arank", row_number().over(aw))
+      .filter($"arank" === 1)
+      .select($"vec_id", $"cell_id", $"ccos")
+    val rw = Window.partitionBy($"cell_id").orderBy($"ccos".desc, $"vec_id")
+    assigned
+      .withColumn("rrank", row_number().over(rw))
+      .groupBy($"cell_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when($"rrank" === 1, $"vec_id")).as("rep_id"),
+        max(when($"rrank" === 1, $"ccos")).as("rep_cos"),
+        min($"ccos").as("min_cos"))
+      .orderBy($"cell_id")
+  }
 }

@@ -579,4 +579,74 @@ object TextOps {
          $"top_bigram_n" * 12 <= $"n_tokens" - 1).as("rep_ok"))
       .orderBy($"doc_id")
   }
+
+  /** Per-source Shannon entropy of the unigram term distribution —
+    * H_s = −Σ_t p_t ln p_t — plus the vocabulary-normalized form
+    * H_s / ln |V_s| ∈ [0,1]. The information-theoretic companion of
+    * t22's KL divergence: KL localizes WHICH source drifted from the
+    * blend; entropy tells whether a source is degenerate in itself
+    * (near 0 = a few tokens dominate — templated/boilerplate text;
+    * near 1 = uniform usage). Training mixtures weight high-entropy
+    * sources up because they carry more information per token.
+    *
+    * Float discipline: each (source, term) contribution is folded in
+    * TERM ORDER (the t20/t22 recipe) and ln is [[PlatformLn]], so the
+    * sums are bit-identical in any engine at any parallelism.
+    *
+    * Scale shape: everything derives from ONE (source, term) aggregate
+    * of the token explode (map-side combined, vocabulary-sized);
+    * per-source totals re-aggregate it and broadcast back. No second
+    * pass over text, no window over the corpus.
+    */
+  def sourceEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.platform_ln
+    val st = documents(s, dir)
+      .select($"source", explode(toks($"text")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("c_st"))
+    val ns = st.groupBy($"source").agg(sum($"c_st").as("n_s"))
+    st.join(broadcast(ns), Seq("source"))
+      .withColumn("p", $"c_st".cast("double") / $"n_s".cast("double"))
+      .withColumn("contrib", -($"p" * platform_ln($"p")))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("vocab"), sum($"c_st").as("n_tokens"),
+        expr("aggregate(transform(sort_array(collect_list(struct(term, contrib))), x -> x.contrib), 0D, (a, x) -> a + x)").as("entropy"))
+      .withColumn("norm_entropy",
+        $"entropy" / platform_ln($"vocab".cast("double")))
+      .orderBy($"source")
+  }
+
+  /** Curriculum binning: within each source, documents are ranked by
+    * the t02 quality score (doc_id tiebreak → a total order) and cut
+    * into 4 equal-size phases with ntile — the curriculum-learning
+    * schedule (train on phase 4 first or last, per recipe) realized as
+    * a deterministic column. Output is the per-(source, phase) manifest
+    * a training run consumes: doc count, quality range, token budget.
+    *
+    * Scale shape: the rank window partitions by SOURCE, so no global
+    * sort ever happens — each window is bounded by its source's size.
+    * At 100 TB with few huge sources, the same schedule comes from
+    * broadcast approx-quantile cutpoints (the q23 sketch) instead of a
+    * rank; the ntile form is the exact-arithmetic variant the oracle
+    * can replay.
+    */
+  def curriculum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    val nTok = size(t).cast("double")
+    val nStop = size(filter(t, c => c.isin(Stopwords: _*))).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val stopRatio = nStop / nTok
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val quality = lit(0.4) * (lit(1.0) - stopRatio) + lit(0.3) * ttr + lit(0.3) * lenScore
+    val w = Window.partitionBy($"source").orderBy($"quality", $"doc_id")
+    documents(s, dir)
+      .select($"source", $"doc_id", quality.as("quality"),
+        size(t).cast("long").as("n_tokens"))
+      .withColumn("phase", ntile(4).over(w).cast("long"))
+      .groupBy($"source", $"phase")
+      .agg(count(lit(1)).as("n_docs"), min($"quality").as("q_min"),
+        max($"quality").as("q_max"), sum($"n_tokens").as("phase_tokens"))
+      .orderBy($"source", $"phase")
+  }
 }

@@ -427,4 +427,105 @@ class InvariantSpec extends AnyFunSuite {
     assert(sampled.select($"doc_id").collect().map(_.getLong(0)).toSet == expected)
     assert(expected.nonEmpty && expected.size < docs.length)
   }
+
+  test("e14 transition counts conserve pairs and P(to|from) sums to 1") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = graft.ops.EventOps.transitions(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // driver recount: sort each user's events by (ts, event_id), count
+    // consecutive pairs
+    val ev = graft.Tables.events(spark, TestSpark.sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map { r =>
+        val t = r.getTimestamp(1)
+        // full-precision key: epoch seconds + nanos (getTime alone
+        // truncates to millis and could reorder sub-ms ties)
+        (r.getLong(0), (t.getTime / 1000, t.getNanos), r.getLong(2), r.getString(3))
+      }
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      sorted.zip(sorted.drop(1))
+    }.groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+    assert(got.map(g => (g._1, g._2, g._3)).toSet == expected.toSet)
+    // each from-type's probabilities are n/total exactly and sum to ~1
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val tot = rows.map(_._3).sum
+      rows.foreach(r => assert(r._4 == r._3.toDouble / tot))
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("t24 entropy matches a driver-side ordered fold and is bounded") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = graft.ops.TextOps.sourceEntropy(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1).map { case (src, rows) =>
+      val counts = rows.flatMap(_._2.split("\\s+")).groupBy(identity)
+        .map { case (t, v) => (t, v.size.toLong) }
+      src -> counts
+    }
+    got.foreach { case (src, vocab, nTokens, entropy, norm) =>
+      val counts = bySource(src)
+      val n = counts.values.sum
+      assert(vocab == counts.size && nTokens == n)
+      // same term-ordered fold, same Math.log: bit-exact
+      val exp = counts.toSeq.sortBy(_._1).map { case (_, c) =>
+        val p = c.toDouble / n.toDouble
+        -(p * Math.log(p))
+      }.foldLeft(0.0)(_ + _)
+      assert(entropy == exp, s"$src: got $entropy want $exp")
+      assert(norm == entropy / Math.log(vocab.toDouble))
+      assert(entropy >= 0.0 && norm <= 1.0 + 1e-12)
+    }
+  }
+
+  test("t25 curriculum phases are equal-size cuts in quality order") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = graft.ops.TextOps.curriculum(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val perSource = got.groupBy(_._1)
+    val docCounts = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .groupBy($"source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    perSource.foreach { case (src, phases) =>
+      assert(phases.map(_._2).sorted.toSeq == (1L to phases.length))
+      // ntile: sizes differ by at most 1, larger phases first
+      val sizes = phases.sortBy(_._2).map(_._3)
+      assert(sizes.sum == docCounts(src))
+      assert(sizes.max - sizes.min <= 1)
+      assert(sizes.sorted.reverse.toSeq == sizes.toSeq)
+      // quality ranges are non-overlapping and increasing with phase
+      val sorted = phases.sortBy(_._2)
+      sorted.zip(sorted.drop(1)).foreach { case (lo, hi) =>
+        assert(lo._4 <= lo._5 && lo._5 <= hi._4,
+          s"$src: phase ${lo._2} [${lo._4},${lo._5}] overlaps phase ${hi._2} [${hi._4},${hi._5}]")
+      }
+    }
+  }
+
+  test("s09 cells partition the corpus and reps dominate their cells") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = graft.ops.Similarity.centroidReps(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val total = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet").count()
+    assert(got.map(_._2).sum == total)
+    assert(got.map(_._1).distinct.length == got.length && got.length <= 16)
+    got.foreach { case (cell, n, rep, repCos, minCos) =>
+      assert(repCos >= minCos, s"cell $cell: rep $repCos < min $minCos")
+      assert(n >= 1 && rep >= 0)
+      // each seed vector lands in its own cell, so the seed IS the
+      // representative and rep_cos is 1 up to the dot/(sqrt·sqrt)
+      // rounding of the self-cosine (±1 ULP)
+      if (cell == rep) assert(math.abs(repCos - 1.0) < 1e-12)
+    }
+    // the 16 seeds assign to themselves: rep of cell k is vector k
+    got.foreach { case (cell, _, rep, _, _) => assert(rep == cell) }
+  }
 }

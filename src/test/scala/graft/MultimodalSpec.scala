@@ -278,6 +278,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ham <= 2, s"one-pixel nudge moved $ham bits")
   }
 
+  test("m10 resize output matches the box-downsample formula exactly") {
+    val spark = TestSpark.spark
+    // Recompute out_w/out_h/out_sum/out_wsum driver-side from the
+    // generator formula for every doc and compare the full rows — an
+    // exact match certifies decode → downsample → encode → decode with
+    // pixels in place (the weighted sum pins position).
+    val got = Multimodal.pngResize(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, ow, oh, sum, wsum) =>
+      val (w, h) = Multimodal.PngCodec.dims(id)
+      assert(ow == w / 2 && oh == h / 2)
+      var es = 0L
+      var ews = 0L
+      for (j <- 0 until h / 2; i <- 0 until w / 2) {
+        val v = (Multimodal.PngCodec.pixel(id, 2 * i, 2 * j) +
+          Multimodal.PngCodec.pixel(id, 2 * i + 1, 2 * j) +
+          Multimodal.PngCodec.pixel(id, 2 * i, 2 * j + 1) +
+          Multimodal.PngCodec.pixel(id, 2 * i + 1, 2 * j + 1)) / 4
+        es += v
+        ews += v.toLong * (j * (w / 2) + i + 1)
+      }
+      assert(sum == es && wsum == ews, s"doc $id: got ($sum,$wsum) want ($es,$ews)")
+    }
+  }
+
   test("registered m04 plan keeps the image filter below the decode") {
     val spark = TestSpark.spark
     // The Column-expression decode means the media_type predicate is a
