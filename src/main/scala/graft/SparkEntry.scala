@@ -133,6 +133,9 @@ object SparkEntry {
     // s09 = coreset manifest: per IVF cell the best-fit representative,
     // population, and worst-fit cosine — diversity sampling + cell audit.
     "s09_centroid_reps"      -> (Similarity.centroidReps _),
+    // s10 = int8 quantization audit: per-dim range/scale/code-sum/worst
+    // reconstruction error — the float32→uint8 index-export step.
+    "s10_quantization"       -> (Similarity.quantizationAudit _),
     "t14_hash_split"         -> (TextOps.hashSplit _),
     // t18 = language-stratified deterministic downsample (md5-bucket
     // per-stratum rates; rerun-stable, shuffle-free).
@@ -158,6 +161,9 @@ object SparkEntry {
     // t25 = curriculum binning: per-source quality quartiles (ntile,
     // doc_id tiebreak) → the per-phase training manifest.
     "t25_curriculum"         -> (TextOps.curriculum _),
+    // t26 = bigram-LM NLL with add-one smoothing — t20 with first-order
+    // context (flags common words in impossible order).
+    "t26_bigram_nll"         -> (TextOps.bigramLogProb _),
     "t15_length_hist"        -> (TextOps.lengthHistogram _),
     "t16_contamination"      -> (TextOps.contamination _),
     "t17_repetition"         -> (TextOps.repetitionFilters _),
@@ -1214,6 +1220,19 @@ object SparkEntry {
           max(CASE WHEN rrank = 1 THEN ccos END) AS rep_cos,
           min(ccos) AS min_cos
         FROM ranked GROUP BY cell_id ORDER BY cell_id""",
+      "s10_quantization" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        el AS (SELECT vec_id, d, v[d + 1] AS x
+               FROM e, (SELECT unnest(generate_series(0, 63)) AS d) dd),
+        st AS (SELECT d, min(x) AS d_min, max(x) AS d_max FROM el GROUP BY d),
+        qv AS (SELECT el.d, el.x, st.d_min, st.d_max,
+                 CAST(floor((el.x - st.d_min) * 255.0 / (st.d_max - st.d_min)) AS BIGINT) AS q
+               FROM el JOIN st ON el.d = st.d)
+        SELECT CAST(d AS BIGINT) AS dim, min(d_min) AS d_min, max(d_max) AS d_max,
+          max((d_max - d_min) / 255.0) AS scale,
+          CAST(sum(q) AS BIGINT) AS q_sum,
+          max(abs(CAST(q AS DOUBLE) * ((d_max - d_min) / 255.0) + d_min - x)) AS max_abs_err
+        FROM qv GROUP BY d ORDER BY dim""",
       "s08_knn_ivfpq" -> """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
@@ -1400,6 +1419,28 @@ object SparkEntry {
           list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS nll,
           list_reduce(list(contrib ORDER BY term), (a, b) -> a + b)
             / CAST(sum(n_dt) AS BIGINT) AS avg_nll
+        FROM c GROUP BY doc_id ORDER BY doc_id""",
+      "t26_bigram_nll" -> """
+        WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1])) AS bigram FROM tk),
+        cb AS (SELECT bigram, count(*) AS cnt_bg FROM bg GROUP BY bigram),
+        cf AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                 CAST(sum(cnt_bg) AS BIGINT) AS cnt_w1 FROM cb GROUP BY 1),
+        v AS (SELECT count(DISTINCT term) AS vocab FROM
+                (SELECT unnest(regexp_split_to_array(text, '\s+')) AS term FROM documents) q),
+        db AS (SELECT doc_id, bigram, count(*) AS n_db FROM bg GROUP BY doc_id, bigram),
+        c AS (SELECT db.doc_id, db.bigram, db.n_db,
+                -CAST(db.n_db AS DOUBLE) *
+                  ln(CAST(cb.cnt_bg + 1 AS DOUBLE) / CAST(cf.cnt_w1 + v.vocab AS DOUBLE))
+                  AS contrib
+              FROM db JOIN cb ON db.bigram = cb.bigram
+                      JOIN cf ON split_part(db.bigram, ' ', 1) = cf.w1
+                      CROSS JOIN v)
+        SELECT doc_id, CAST(sum(n_db) AS BIGINT) AS n_bigrams,
+          list_reduce(list(contrib ORDER BY bigram), (a, b) -> a + b) AS nll,
+          list_reduce(list(contrib ORDER BY bigram), (a, b) -> a + b)
+            / CAST(sum(n_db) AS BIGINT) AS avg_nll
         FROM c GROUP BY doc_id ORDER BY doc_id""",
       "t21_sequence_pack" -> """
         WITH t AS (SELECT source, doc_id,

@@ -361,4 +361,41 @@ object Similarity {
         min($"ccos").as("min_cos"))
       .orderBy($"cell_id")
   }
+
+  /** Int8 quantization audit — the index-export step: per dimension,
+    * the min/max range, the derived affine scale, the sum of the
+    * quantized codes, and the worst reconstruction error across the
+    * corpus. This is what ships an ANN index to serving (float32 →
+    * uint8 cuts the vector payload 4×; s06's PQ cuts 64×, this keeps
+    * per-dim resolution) — and the audit row that catches a dimension
+    * whose range is blown out by outliers (scale ≫ siblings → clamp or
+    * winsorize before export).
+    *
+    * Determinism: min/max/max-err are order-free, the code sum is an
+    * INTEGER sum, and each element's quantize/reconstruct is a pinned
+    * chain of correctly-rounded IEEE ops — nothing accumulates in
+    * float, so the result is engine- and shuffle-order-exact.
+    *
+    * Scale shape: one posexplode scan → per-dim aggregate (64 rows),
+    * broadcast back over a second scan — the per-dim stats join adds
+    * no shuffle of the corpus. Output is dimension-count rows
+    * regardless of corpus size.
+    */
+  def quantizationAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val el = embeddings(s, dir)
+      .select($"vec_id", posexplode($"embedding"))
+      .select($"vec_id", $"pos".cast("long").as("dim"), $"col".cast("double").as("x"))
+    val st = el.groupBy($"dim").agg(min($"x").as("d_min"), max($"x").as("d_max"))
+    el.join(broadcast(st), Seq("dim"))
+      .withColumn("q",
+        floor(($"x" - $"d_min") * lit(255.0) / ($"d_max" - $"d_min")).cast("long"))
+      .withColumn("err",
+        abs($"q".cast("double") * (($"d_max" - $"d_min") / lit(255.0)) + $"d_min" - $"x"))
+      .groupBy($"dim")
+      .agg(min($"d_min").as("d_min"), max($"d_max").as("d_max"),
+        max(($"d_max" - $"d_min") / lit(255.0)).as("scale"),
+        sum($"q").as("q_sum"), max($"err").as("max_abs_err"))
+      .orderBy($"dim")
+  }
 }

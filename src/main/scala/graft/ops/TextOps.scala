@@ -330,6 +330,48 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Bigram language-model score with add-one smoothing — t20's
+    * unigram NLL upgraded to first-order context: each doc's mean
+    * negative log-probability of its bigrams under the corpus's own
+    * bigram model, P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+V). Catches what
+    * unigrams can't — a doc made of common words in impossible order
+    * (shuffled text, keyword stuffing) scores high here while t20
+    * scores it fluent. The Laplace prior keeps unseen transitions
+    * finite without a backoff table.
+    *
+    * Float discipline: per-doc contributions fold in BIGRAM ORDER (the
+    * t20/t22 recipe) with [[PlatformLn]], so sums are engine-exact.
+    *
+    * Scale shape: corpus bigram counts are a bigram-vocabulary-sized
+    * aggregate, first-token totals RE-AGGREGATE that table (no third
+    * scan of text), vocabulary is a one-row broadcast, and the
+    * per-(doc, bigram) grouping bounds every collect_list at the doc's
+    * distinct-bigram count.
+    */
+  def bigramLogProb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.platform_ln
+    val tk = documents(s, dir).select($"doc_id", toks($"text").as("t"))
+    val bg = tk.select($"doc_id", explode(expr(
+      "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bigram"))
+    val cb = bg.groupBy($"bigram").agg(count(lit(1)).as("cnt_bg"))
+    val cf = cb.groupBy(substring_index($"bigram", " ", 1).as("w1"))
+      .agg(sum($"cnt_bg").as("cnt_w1"))
+    val v = tk.select(explode($"t").as("term"))
+      .agg(count_distinct($"term").as("vocab"))
+    val db = bg.groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("n_db"))
+    db.join(cb, Seq("bigram"))
+      .join(cf, substring_index($"bigram", " ", 1) === $"w1")
+      .crossJoin(broadcast(v))
+      .withColumn("contrib", -$"n_db".cast("double") * platform_ln(
+        ($"cnt_bg" + lit(1L)).cast("double") / ($"cnt_w1" + $"vocab").cast("double")))
+      .groupBy($"doc_id")
+      .agg(sum($"n_db").as("n_bigrams"),
+        expr("aggregate(transform(sort_array(collect_list(struct(bigram, contrib))), x -> x.contrib), 0D, (a, x) -> a + x)").as("nll"))
+      .withColumn("avg_nll", $"nll" / $"n_bigrams")
+      .orderBy($"doc_id")
+  }
+
   /** Sequence packing — the step between a curated corpus and a
     * training run: documents are concatenated in a deterministic order
     * and cut into fixed token-budget sequences; this reports the

@@ -528,4 +528,58 @@ class InvariantSpec extends AnyFunSuite {
     // the 16 seeds assign to themselves: rep of cell k is vector k
     got.foreach { case (cell, _, rep, _, _) => assert(rep == cell) }
   }
+
+  test("t26 bigram NLL equals a bigram-ordered driver-side fold") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = graft.ops.TextOps.bigramLogProb(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").toSeq))
+    val allBigrams = docs.flatMap { case (_, t) => t.zip(t.drop(1)).map(p => s"${p._1} ${p._2}") }
+    val cb = allBigrams.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val cf = cb.groupBy(_._1.split(" ")(0)).map { case (w, v) => (w, v.values.sum) }
+    val vocab = docs.flatMap(_._2).distinct.size.toLong
+    val expected = docs.filter(_._2.size >= 2).map { case (id, t) =>
+      val db = t.zip(t.drop(1)).map(p => s"${p._1} ${p._2}")
+        .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      val nll = db.toSeq.sortBy(_._1).map { case (bgr, n) =>
+        -n.toDouble * Math.log((cb(bgr) + 1L).toDouble / (cf(bgr.split(" ")(0)) + vocab).toDouble)
+      }.foldLeft(0.0)(_ + _)
+      (id, db.values.sum, nll)
+    }.map { case (id, n, nll) => id -> (n, nll) }.toMap
+    assert(got.length == expected.size)
+    got.foreach { case (id, n, nll, avg) =>
+      val (en, enll) = expected(id)
+      assert(n == en && nll == enll, s"doc $id: got ($n,$nll) want ($en,$enll)")
+      assert(avg == nll / n)
+    }
+  }
+
+  test("s10 quantization audit equals a driver-side recount, codes fit uint8") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = graft.ops.Similarity.quantizationAudit(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+    val vecs = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dims = vecs.head.length
+    assert(got.length == dims)
+    got.foreach { case (dim, dMin, dMax, scale, qSum, maxErr) =>
+      val xs = vecs.map(v => v(dim.toInt).toDouble)
+      assert(dMin == xs.min && dMax == xs.max)
+      assert(scale == (dMax - dMin) / 255.0)
+      val qs = xs.map(x => math.floor((x - dMin) * 255.0 / (dMax - dMin)).toLong)
+      assert(qs.forall(q => q >= 0 && q <= 255))
+      assert(qSum == qs.sum)
+      val errs = xs.zip(qs).map { case (x, q) =>
+        math.abs(q.toDouble * ((dMax - dMin) / 255.0) + dMin - x) }
+      assert(maxErr == errs.max)
+      // reconstruction is within one quantization step everywhere
+      assert(maxErr <= scale + 1e-15)
+    }
+  }
 }
