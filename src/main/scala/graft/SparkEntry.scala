@@ -193,6 +193,9 @@ object SparkEntry {
     // m10 = EXECUTED resize over the real codec: decode → 2× box
     // downsample → re-encode → decode, position-weighted checksum.
     "m10_png_resize"         -> (Multimodal.pngResize _),
+    // m11 = image near-dup pairs: m08's real-byte aHashes through the
+    // d09 banding discipline (4×16-bit bands, Hamming ≤ 2 verify).
+    "m11_image_dups"         -> ((s, d) => Multimodal.imageDupPairs(s, d)),
     "t12_normalize"          -> (TextOps.normalizeText _),
   )
 
@@ -695,6 +698,46 @@ object SparkEntry {
                 list_transform(generate_series(0, 6 + doc_id % 10 - 1), x ->
                   (doc_id * 31 + f * 17 + 7 * x + 13 * y) % 256)))))) AS BIGINT) AS pix_wsum
         FROM documents ORDER BY doc_id""",
+      "m11_image_dups" -> """
+        WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w, 8 + (doc_id // 25) % 25 AS h
+                   FROM documents),
+        t AS (SELECT doc_id, w, h,
+                CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                  list_transform(generate_series(0, w - 1), x ->
+                    (doc_id * 31 + 7 * x + 13 * y) % 256)))) AS BIGINT) AS total
+              FROM d),
+        cells AS (SELECT doc_id, w, h, total, i, j,
+                    (i * w) // 8 AS x0, ((i + 1) * w) // 8 AS x1,
+                    (j * h) // 8 AS y0, ((j + 1) * h) // 8 AS y1
+                  FROM t,
+                    (SELECT unnest(generate_series(0, 7)) AS i) ii,
+                    (SELECT unnest(generate_series(0, 7)) AS j) jj),
+        cs AS (SELECT doc_id, w, h, total, i, j,
+                 (x1 - x0) * (y1 - y0) AS np,
+                 CAST(list_sum(flatten(list_transform(generate_series(y0, y1 - 1), y ->
+                   list_transform(generate_series(x0, x1 - 1), x ->
+                     (doc_id * 31 + 7 * x + 13 * y) % 256)))) AS BIGINT) AS csum
+               FROM cells),
+        bits AS (SELECT doc_id, 8 * j + i AS b,
+                   CASE WHEN csum * w * h > total * np THEN 1 ELSE 0 END AS bit
+                 FROM cs),
+        hx AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN b >= 32 AND bit = 1
+                               THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(sum(CASE WHEN b < 32 AND bit = 1
+                               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
+               FROM bits GROUP BY doc_id),
+        bd AS (SELECT doc_id, hi, lo, bb.band,
+                 CASE bb.band WHEN 0 THEN lo & 65535
+                              WHEN 1 THEN (lo >> 16) & 65535
+                              WHEN 2 THEN hi & 65535
+                              ELSE (hi >> 16) & 65535 END AS bval
+               FROM hx, (SELECT unnest(generate_series(0, 3)) AS band) bb)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+        FROM bd a JOIN bd b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2
+        ORDER BY doc_a, doc_b""",
       "m10_png_resize" -> """
         WITH d AS (SELECT doc_id, (8 + doc_id % 25) // 2 AS ow,
                      (8 + (doc_id // 25) % 25) // 2 AS oh

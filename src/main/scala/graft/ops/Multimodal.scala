@@ -295,7 +295,7 @@ object Multimodal {
     * candidates then come from an equi-join on 16-bit bands of the
     * hash, never from pixel data.
     */
-  def pngAHash(s: SparkSession, dir: String): DataFrame = {
+  private def ahashTable(s: SparkSession, dir: String): Dataset[AHash] = {
     import s.implicits._
     pngTable(s, dir).mapPartitions { rows =>
       ImageIO.setUseCache(false)
@@ -304,7 +304,50 @@ object Multimodal {
         val (hi, lo) = ahashOf(img)
         AHash(r.doc_id, hi, lo)
       }
-    }.toDF().orderBy($"doc_id")
+    }
+  }
+
+  def pngAHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ahashTable(s, dir).toDF().orderBy($"doc_id")
+  }
+
+  /** m11 — image near-duplicate candidate pairs over REAL decoded
+    * rasters: the d09 banding discipline applied to m08's perceptual
+    * hashes. Each 64-bit aHash splits into 4×16-bit band keys; pairs
+    * sharing ANY band equi-join into candidates; total Hamming distance
+    * ≤ 2 verifies. This is multimodal dedup end-to-end on real bytes —
+    * decode → perceptual hash → banded candidate join — the image twin
+    * of the text near-dup family.
+    *
+    * Scale shape: pixels reduce to 16 bytes/image before anything
+    * shuffles (the hash table is what moves, never rasters); the band
+    * join is a 2¹⁶-value-per-band equi-join whose buckets dilute as the
+    * corpus grows; Hamming verification is a per-row bit_count BEFORE
+    * the distinct, so only verified near-dups reach the dedup shuffle
+    * (the d09 ordering). The merge hint makes both join branches the
+    * same exchange — ReusedExchange runs the decode+hash pipeline once.
+    */
+  def imageDupPairs(s: SparkSession, dir: String, maxHamming: Int = 2): DataFrame = {
+    import s.implicits._
+    val withBands = ahashTable(s, dir).toDF()
+      .select($"doc_id", $"ahash_hi", $"ahash_lo",
+        explode(expr("array(" +
+          "struct(0L as band, ahash_lo & 65535 as bval), " +
+          "struct(1L as band, shiftright(ahash_lo, 16) & 65535 as bval), " +
+          "struct(2L as band, ahash_hi & 65535 as bval), " +
+          "struct(3L as band, shiftright(ahash_hi, 16) & 65535 as bval))")).as("b"))
+      .select($"doc_id", $"ahash_hi", $"ahash_lo",
+        $"b.band".as("band"), $"b.bval".as("bval"))
+    val a = withBands.toDF("doc_a", "hi_a", "lo_a", "band_a", "bv_a")
+    val b = withBands.toDF("doc_b", "hi_b", "lo_b", "band_b", "bv_b")
+    a.join(b.hint("merge"),
+        $"band_a" === $"band_b" && $"bv_a" === $"bv_b" && $"doc_a" < $"doc_b")
+      .withColumn("hamming",
+        expr("cast(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) as bigint)"))
+      .filter($"hamming" <= maxHamming)
+      .select($"doc_a", $"doc_b", $"hamming").distinct()
+      .orderBy($"doc_a", $"doc_b")
   }
 
   final case class WavRow(doc_id: Long, payload: Array[Byte])

@@ -305,6 +305,38 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m11 image near-dup pairs equal a driver-side band-join recount") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = Multimodal.imageDupPairs(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // recompute every aHash from the pixel formula, then replay the
+    // band join + Hamming <= 2 verify exactly
+    val ids = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select($"doc_id").collect().map(_.getLong(0))
+    val hashes = ids.map { id =>
+      val (w, h) = Multimodal.PngCodec.dims(id)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = Multimodal.PngCodec.pixel(id, x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      id -> Multimodal.ahashOf(img)
+    }.toMap
+    def bands(hl: (Long, Long)): Seq[Long] =
+      Seq(hl._2 & 0xffffL, (hl._2 >> 16) & 0xffffL, hl._1 & 0xffffL, (hl._1 >> 16) & 0xffffL)
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if bands(hashes(a)).zip(bands(hashes(b))).exists(p => p._1 == p._2)
+      ham = java.lang.Long.bitCount(hashes(a)._1 ^ hashes(b)._1) +
+        java.lang.Long.bitCount(hashes(a)._2 ^ hashes(b)._2)
+      if ham <= 2
+    } yield (a, b, ham.toLong)).toSet
+    assert(got == expected)
+    assert(got.forall { case (a, b, h) => a < b && h >= 0 && h <= 2 })
+  }
+
   test("registered m04 plan keeps the image filter below the decode") {
     val spark = TestSpark.spark
     // The Column-expression decode means the media_type predicate is a
