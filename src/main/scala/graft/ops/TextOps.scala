@@ -354,12 +354,16 @@ object TextOps {
     val tk = documents(s, dir).select($"doc_id", toks($"text").as("t"))
     val bg = tk.select($"doc_id", explode(expr(
       "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bigram"))
-    val cb = bg.groupBy($"bigram").agg(count(lit(1)).as("cnt_bg"))
+    // ONE explode scan feeds every bigram table: corpus counts and
+    // first-token totals RE-AGGREGATE the per-(doc, bigram) table
+    // (identical subtrees → ReusedExchange evaluates the explode once),
+    // instead of re-scanning text per table.
+    val db = bg.groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("n_db"))
+    val cb = db.groupBy($"bigram").agg(sum($"n_db").as("cnt_bg"))
     val cf = cb.groupBy(substring_index($"bigram", " ", 1).as("w1"))
       .agg(sum($"cnt_bg").as("cnt_w1"))
     val v = tk.select(explode($"t").as("term"))
       .agg(count_distinct($"term").as("vocab"))
-    val db = bg.groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("n_db"))
     db.join(cb, Seq("bigram"))
       .join(cf, substring_index($"bigram", " ", 1) === $"w1")
       .crossJoin(broadcast(v))
