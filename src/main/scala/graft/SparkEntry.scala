@@ -67,6 +67,9 @@ object SparkEntry {
     // e14 = first-order Markov transition matrix over per-user event
     // sequences (lead window; P(to|from) as one exact integer divide).
     "e14_transitions"        -> (EventOps.transitions _),
+    // e15 = dwell-time profile per transition (integer-µs gaps, exact
+    // mean) — e14's latency companion, the funnel's timing surface.
+    "e15_dwell"              -> (EventOps.transitionDwell _),
     // ---- text analysis (LLM-pipeline extensions) ----
     "t01_token_stats"        -> (TextOps.tokenStats _),
     "t02_quality_score"      -> (TextOps.qualityScore _),
@@ -448,6 +451,20 @@ object SparkEntry {
           CAST(n AS DOUBLE) / CAST(CAST(sum(n) OVER (PARTITION BY from_type)
             AS BIGINT) AS DOUBLE) AS p
         FROM c ORDER BY from_type, to_type""",
+      "e15_dwell" -> """
+        WITH nx AS (SELECT event_type AS from_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS to_type,
+                      epoch_us(lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id)) - epoch_us(ts) AS gap_us
+                    FROM events)
+        SELECT from_type, to_type, count(*) AS n,
+          CAST(sum(gap_us) AS BIGINT) AS total_gap_us,
+          min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+          CAST(CAST(sum(gap_us) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+            AS mean_gap_us
+        FROM nx WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type ORDER BY from_type, to_type""",
       "e09_user_sim_bucketed" -> {
         val hourSums = (0 until 24).map(h =>
           s"CAST(CAST(sum(CASE WHEN hour(ts) = $h THEN CAST(value AS DECIMAL(18,4)) " +

@@ -324,4 +324,33 @@ object EventOps {
       .withColumn("p", $"n".cast("double") / sum($"n").over(fromW).cast("double"))
       .orderBy($"from_type", $"to_type")
   }
+
+  /** Dwell-time profile per transition — [[transitions]]' timing
+    * companion: for each consecutive (from → to) event pair, the
+    * count, total/min/max/mean gap in integer microseconds. The latency
+    * surface of the product funnel (how long users sit between a view
+    * and a click) and the bot tell e14's counts can't see — a script's
+    * gaps are machine-regular, a human's spread over seconds. Gaps are
+    * integer µs (sum/min/max order-free, one exact BIGINT÷BIGINT divide
+    * for the mean), so every cell is engine- and shuffle-order-exact.
+    *
+    * Scale shape: identical to e14 — one shuffle on user_id for the
+    * lead window, then a |types|²-row map-combined aggregate.
+    */
+  def transitionDwell(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("to_type", lead($"event_type", 1).over(seq))
+      .withColumn("next_ts", lead($"ts", 1).over(seq))
+      .filter($"to_type".isNotNull)
+      .withColumn("gap_us", unix_micros($"next_ts") - unix_micros($"ts"))
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"), sum($"gap_us").as("total_gap_us"),
+        min($"gap_us").as("min_gap_us"), max($"gap_us").as("max_gap_us"))
+      .withColumn("mean_gap_us",
+        $"total_gap_us".cast("double") / $"n".cast("double"))
+      .orderBy($"from_type", $"to_type")
+  }
 }

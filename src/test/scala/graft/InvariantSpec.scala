@@ -529,6 +529,24 @@ class InvariantSpec extends AnyFunSuite {
     got.foreach { case (cell, _, rep, _, _) => assert(rep == cell) }
   }
 
+  test("e15 dwell gaps are consistent with e14 counts and non-negative") {
+    val spark = TestSpark.spark
+    val dwell = graft.ops.EventOps.transitionDwell(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    val counts = graft.ops.EventOps.transitions(spark, TestSpark.sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(dwell.nonEmpty && dwell.length == counts.size)
+    dwell.foreach { case (from, to, n, total, mn, mx, mean) =>
+      // same pair universe and the same counts as e14
+      assert(counts((from, to)) == n)
+      // the successor is strictly later or simultaneous, never earlier
+      assert(mn >= 0L && mx >= mn)
+      assert(total >= n * mn && total <= n * mx)
+      assert(mean == total.toDouble / n.toDouble)
+    }
+  }
+
   test("t26 bigram NLL equals a bigram-ordered driver-side fold") {
     val spark = TestSpark.spark
     import spark.implicits._
