@@ -337,6 +337,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.forall { case (a, b, h) => a < b && h >= 0 && h <= 2 })
   }
 
+  test("m11 executed plan: no shuffle ever carries a binary payload column") {
+    val spark = TestSpark.spark
+    val df = Multimodal.imageDupPairs(spark, TestSpark.sfDir)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    // QueryStageExec is a leaf node, so TreeNode.collect stops there —
+    // descend into materialized stages by hand.
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: QueryStageExec => shuffles(q.plan)
+      case r: ReusedExchangeExec => Seq.empty // output mirrors the reused original
+      case s: ShuffleExchangeLike => s +: s.children.flatMap(shuffles)
+      case other => other.children.flatMap(shuffles)
+    }
+    val ex = shuffles(df.queryExecution.executedPlan)
+    assert(ex.nonEmpty, "expected at least one shuffle in the band join")
+    ex.foreach { e =>
+      val binCols = e.output.filter(_.dataType ==
+        org.apache.spark.sql.types.BinaryType).map(_.name)
+      assert(binCols.isEmpty,
+        s"shuffle carries binary column(s) ${binCols.mkString(",")}: pixels must " +
+          "reduce to hashes before anything shuffles")
+    }
+  }
+
   test("registered m04 plan keeps the image filter below the decode") {
     val spark = TestSpark.spark
     // The Column-expression decode means the media_type predicate is a
