@@ -167,6 +167,9 @@ object SparkEntry {
     // t26 = bigram-LM NLL with add-one smoothing — t20 with first-order
     // context (flags common words in impossible order).
     "t26_bigram_nll"         -> (TextOps.bigramLogProb _),
+    // t27 = mixture-realization plan: largest downsample-only budget a
+    // target ppm mixture admits, per-source allocation + binding source.
+    "t27_mixture_plan"       -> (TextOps.mixturePlan _),
     "t15_length_hist"        -> (TextOps.lengthHistogram _),
     "t16_contamination"      -> (TextOps.contamination _),
     "t17_repetition"         -> (TextOps.repetitionFilters _),
@@ -1502,6 +1505,20 @@ object SparkEntry {
           list_reduce(list(contrib ORDER BY bigram), (a, b) -> a + b)
             / CAST(sum(n_db) AS BIGINT) AS avg_nll
         FROM c GROUP BY doc_id ORDER BY doc_id""",
+      "t27_mixture_plan" -> """
+        WITH ns AS (SELECT source,
+                      CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_s
+                    FROM documents GROUP BY source),
+        w AS (SELECT source, n_s,
+                200000 + 100000 * (CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 5) AS ppm
+              FROM ns),
+        m AS (SELECT source, n_s, ppm, n_s * 1000000 // ppm AS max_t FROM w),
+        b AS (SELECT min(max_t) AS t_budget FROM m)
+        SELECT source, n_s AS n_tokens, ppm,
+          ppm * t_budget // 1000000 AS keep_tokens,
+          max_t = t_budget AS is_binding,
+          CAST(ppm * t_budget // 1000000 AS DOUBLE) / CAST(n_s AS DOUBLE) AS utilization
+        FROM m CROSS JOIN b ORDER BY source""",
       "t21_sequence_pack" -> """
         WITH t AS (SELECT source, doc_id,
                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,

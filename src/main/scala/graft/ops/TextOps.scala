@@ -480,6 +480,41 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Mixture-realization plan — the step BEFORE t23's sampling: given
+    * per-source target weights (parts-per-million), find the largest
+    * total token budget T the corpus can realize downsample-only
+    * (T = min_s ⌊n_s·10⁶ / ppm_s⌋ — the binding source caps the run),
+    * then per source the kept-token allocation ⌊ppm_s·T / 10⁶⌋, its
+    * utilization of the source, and whether it is the binding one.
+    * This is what a mixture spec compiles to before any doc is touched:
+    * which source limits the run, and how much of each source ships.
+    * All math is BIGINT (floor divides), so every cell is engine-exact.
+    * Weights here derive from the source suffix (20–60 % by index mod
+    * 5) — a stand-in for the config a real run broadcasts.
+    *
+    * Scale shape: one narrow scan → a |sources|-row aggregate; the
+    * budget minimum is a one-row broadcast folded back over the tiny
+    * aggregate. Document text is never rescanned.
+    */
+  def mixturePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ns = documents(s, dir)
+      .select($"source", size(toks($"text")).cast("long").as("n_tokens"))
+      .groupBy($"source").agg(sum($"n_tokens").as("n_s"))
+      .withColumn("ppm",
+        lit(200000L) + lit(100000L) *
+          (regexp_extract($"source", "(\\d+)", 1).cast("long") % 5L))
+      .withColumn("max_t", expr("n_s * 1000000 div ppm"))
+    val budget = ns.agg(min($"max_t").as("t_budget"))
+    ns.crossJoin(broadcast(budget))
+      .select($"source", $"n_s".as("n_tokens"), $"ppm",
+        expr("ppm * t_budget div 1000000").as("keep_tokens"),
+        ($"max_t" === $"t_budget").as("is_binding"))
+      .withColumn("utilization",
+        $"keep_tokens".cast("double") / $"n_tokens".cast("double"))
+      .orderBy($"source")
+  }
+
   /** Cross-document novelty: per document, the fraction of its
     * distinct shingles that appear NOWHERE else in the corpus. The
     * inverse signal of boilerplate — a doc whose shingles are all

@@ -104,6 +104,17 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(viaSql.except(viaCol).count() == 0)
   }
 
+  test("platform_ln is SQL-callable and equal to Math.log, not builtin ln everywhere") {
+    val spark = TestSpark.spark
+    GraftFunctions.register(spark)
+    // a value where StrictMath.log and Math.log may differ by 1 ULP is
+    // platform-dependent; the hard contract is Math.log equality
+    val rows = spark.sql(
+      "SELECT x, platform_ln(x) AS pl FROM VALUES (0.3D), (2.5D), (123.456D) AS t(x)")
+      .collect()
+    rows.foreach(r => assert(r.getDouble(1) == Math.log(r.getDouble(0))))
+  }
+
   test("native hash expressions match the folds on adversarial random strings") {
     val spark = TestSpark.spark
     import spark.implicits._

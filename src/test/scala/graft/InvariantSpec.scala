@@ -547,6 +547,29 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("t27 mixture plan: allocations fit sources, exactly one binding min") {
+    val spark = TestSpark.spark
+    val got = graft.ops.TextOps.mixturePlan(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    // recompute the budget driver-side from the emitted (n_s, ppm)
+    val budget = got.map { case (_, n, ppm, _, _, _) => n * 1000000L / ppm }.min
+    got.foreach { case (src, n, ppm, keep, binding, util) =>
+      assert(keep == ppm * budget / 1000000L)
+      // downsample-only: the allocation never exceeds the source
+      assert(keep <= n, s"$src allocated $keep > available $n")
+      assert(binding == (n * 1000000L / ppm == budget))
+      assert(util == keep.toDouble / n.toDouble && util <= 1.0)
+    }
+    // at least one source binds, and a binding source is fully used up
+    // to the two floor divides (combined slack < (ppm + 10^6)/10^6 < 2)
+    assert(got.exists(_._5))
+    got.filter(_._5).foreach { case (src, n, _, keep, _, _) =>
+      assert(n - keep <= 1L, s"binding $src wastes ${n - keep} tokens")
+    }
+  }
+
   test("t26 bigram NLL equals a bigram-ordered driver-side fold") {
     val spark = TestSpark.spark
     import spark.implicits._
