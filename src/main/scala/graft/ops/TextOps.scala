@@ -322,7 +322,12 @@ object TextOps {
     val dt = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("n_dt"))
     dt.join(tf, Seq("term"))
       .crossJoin(broadcast(tot))
-      .withColumn("contrib", -$"n_dt" * log($"cnt".cast("double") / $"total_tokens"))
+      // platform_ln, not log: Spark's builtin is StrictMath-based and
+      // differs from DuckDB's libm ln by 1 ULP on ~4 % of ratios —
+      // invisible at sf0.01's vocabulary, a 200-row hash mismatch at
+      // sf0.1 (found by the sf0.1 oracle sweep, round 9).
+      .withColumn("contrib", -$"n_dt" * graft.functions.VectorFunctions.platform_ln(
+        $"cnt".cast("double") / $"total_tokens"))
       .groupBy($"doc_id")
       .agg(sum($"n_dt").as("n_tokens"),
            expr("aggregate(transform(sort_array(collect_list(struct(term, contrib))), x -> x.contrib), 0D, (a, x) -> a + x)").as("nll"))
