@@ -242,8 +242,12 @@ object TextOps {
     val nSources = documents(s, dir).agg(countDistinct($"source").as("n_sources"))
     val scored = tf.join(df, "term")
       .crossJoin(broadcast(nSources))
+      // platform_ln for the same reason as t20: the idf ratio set is
+      // data-dependent (grows with the source count), so only the
+      // libm-exact ln is guaranteed to match the oracle at every SF.
       .withColumn("tfidf",
-        $"tf".cast("double") * log($"n_sources".cast("double") / $"df".cast("double")))
+        $"tf".cast("double") * graft.functions.VectorFunctions.platform_ln(
+          $"n_sources".cast("double") / $"df".cast("double")))
     val w = Window.partitionBy($"source").orderBy($"tfidf".desc, $"term")
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
