@@ -45,11 +45,30 @@ object Bench {
     // full result) actually pays. The noop sink computes every output
     // row and column end to end and discards the bytes — full
     // materialization cost without I/O noise.
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+    // Round-9 lesson (d18/d02 "drift"): medians moved 2.5-4x on
+    // byte-identical code, and without allocation telemetry the cause —
+    // single-JVM session pressure from a 105-query surface vs a real
+    // plan regression — was arguable for a whole round. Each timed run
+    // therefore also records the JVM-wide GC time it overlapped with
+    // and the peak heap the run reached (pool peaks reset per run), so
+    // a slow row attributes itself: high gc_ms = session pressure,
+    // flat gc_ms = the plan itself.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    val gcBeans = ManagementFactory.getGarbageCollectorMXBeans.asScala
+    val heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getType == java.lang.management.MemoryType.HEAP && p.isValid)
+    def gcMs: Long = gcBeans.map(_.getCollectionTime).sum
+    final case class Sample(sec: Double, gcMs: Long, peakMb: Long)
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Sample] = {
+      heapPools.foreach(_.resetPeakUsage())
+      val gc0 = gcMs
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        Some((System.nanoTime() - t0) / 1e9)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val peak = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
+        Some(Sample(sec, gcMs - gc0, peak))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
@@ -62,9 +81,9 @@ object Bench {
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       timeOnce(name, fn) match {
-        case None => (name, Seq.empty[Double], false)
+        case None => (name, Seq.empty[Sample], false)
         case Some(first) =>
-          val repeats = if (first < 1.0) math.min(2, maxRepeats) else maxRepeats
+          val repeats = if (first.sec < 1.0) math.min(2, maxRepeats) else maxRepeats
           val rest = (2 to repeats).flatMap(_ => timeOnce(name, fn))
           // A repeat that fails after a successful first run still marks
           // the query failed: flakiness is a failure, not a timing.
@@ -72,9 +91,10 @@ object Bench {
           (name, first +: rest, allOk)
       }
     }
-    def jsonMap(f: Seq[Double] => Double, fmt: Double => String): String = results
+    def jsonMap(f: Seq[Double] => Double, fmt: Double => String,
+                of: Sample => Double = _.sec): String = results
       .filter(_._2.nonEmpty)
-      .map { case (k, v, _) => s"\"" + k + "\":" + fmt(f(v)) }
+      .map { case (k, v, _) => s"\"" + k + "\":" + fmt(f(v.map(of))) }
       .mkString("{", ",", "}")
     // Compact number: 2 decimals, trailing zeros (and a bare dot)
     // stripped — "0.38", "0.4", "2", never "0.40" or "2.".
@@ -86,7 +106,7 @@ object Bench {
     // the total goes NaN-free but the JSON carries the failed names.
     val failed = results.filter(!_._3).map(_._1)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.filter(_._2.nonEmpty).map(r => median(r._2)).sum
+    val total = results.filter(_._2.nonEmpty).map(r => median(r._2.map(_.sec))).sum
     // Stop BEFORE printing: any shutdown-time log line landing after
     // the contract line would push it out of the driver's tail window.
     spark.stop()
@@ -98,14 +118,14 @@ object Bench {
     // map keys are the short unique ids (the prefix before the first
     // underscore: q01..q22, d01..d19, t01..t19, s01..s08, e01..e12,
     // m01..m08, p01) with compact 2-decimal values.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","failed":$failedJson,"queries":${jsonMap(median, _.toString)},"queries_min":${jsonMap(_.min, _.toString)},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","failed":$failedJson,"queries":${jsonMap(median, _.toString)},"queries_min":${jsonMap(_.min, _.toString)},"queries_gc_ms":${jsonMap(median, _.toLong.toString, _.gcMs.toDouble)},"queries_peak_heap_mb":${jsonMap(median, _.toLong.toString, _.peakMb.toDouble)},"sf":"$sfDir"}"""
     System.err.println(detail)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
     catch { case _: Throwable => () } // a read-only cwd must not kill the report
     def shortId(k: String): String = k.takeWhile(_ != '_')
     def jsonMapShort(f: Seq[Double] => Double): String = results
       .filter(_._2.nonEmpty)
-      .map { case (k, v, _) => s"\"" + shortId(k) + "\":" + compact(f(v)) }
+      .map { case (k, v, _) => s"\"" + shortId(k) + "\":" + compact(f(v.map(_.sec))) }
       .mkString("{", ",", "}")
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val failedField =

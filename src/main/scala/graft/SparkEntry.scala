@@ -819,8 +819,7 @@ object SparkEntry {
         inb AS (SELECT b.* FROM bands b JOIN small s ON b.j = s.j AND b.bkey = s.bkey),
         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                   FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(text, '\s+')) AS tok
-                FROM documents)
+        tok AS (SELECT doc_id, list_distinct(th) AS tok FROM tk)
         SELECT p.doc_a, p.doc_b,
           CAST(len(list_filter(generate_series(1, 12), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 12
             AS est_jaccard,

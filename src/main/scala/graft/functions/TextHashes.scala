@@ -145,6 +145,24 @@ object GraftHash {
     new GenericArrayData(out)
   }
 
+  /** Distinct token h32 hashes, first-occurrence order — the unigram
+    * degenerate of [[shingleHashes]]: the token inverted-index key d18
+    * recounts true Jaccard over (8-byte keys shuffle instead of token
+    * strings or arrays; collisions fold tokens identically in the
+    * oracle, which hashes the same way).
+    */
+  def tokenHashes(text: UTF8String): ArrayData = {
+    val ts = tokens(text)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < ts.length) { seen.add(h32(ts(i))); i += 1 }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Distinct polynomial hashes of every n-token window (the 3-gram
     * case is [[shingleHashes]]), first-occurrence order.
     */
@@ -213,6 +231,13 @@ case class SimHash60(child: Expression) extends GraftHashExpr {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class TokenHashes(child: Expression) extends GraftHashExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def staticCall: String = "tokenHashes"
+  override protected def evalImpl(t: UTF8String): Any = GraftHash.tokenHashes(t)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class ShingleHashes(child: Expression) extends GraftHashExpr {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def staticCall: String = "shingleHashes"
@@ -243,6 +268,7 @@ object TextHashes {
   def minhash_bands(c: Column): Column = col(MinHashBands(GraftBridge.expression(c)))
   def simhash60(c: Column): Column = col(SimHash60(GraftBridge.expression(c)))
   def shingle_hashes(c: Column): Column = col(ShingleHashes(GraftBridge.expression(c)))
+  def token_hashes(c: Column): Column = col(TokenHashes(GraftBridge.expression(c)))
   def rolling_hash(c: Column): Column = col(RollingHash(GraftBridge.expression(c)))
   def ngram_hashes(c: Column, n: Int): Column = col(NGramHashes(GraftBridge.expression(c), n))
 }

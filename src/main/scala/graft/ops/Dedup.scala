@@ -753,23 +753,48 @@ object Dedup {
     * decides whether the signature width (12) needs widening before a
     * dedup campaign trusts the index.
     *
-    * Scale shape: candidates only (the capped LSH join), then two
-    * broadcast-sized per-doc joins carrying the 12-int signature and
-    * the distinct token set; agreement is a 12-step zip fold, truth is
-    * two set-intersection counts — no all-pairs anything.
+    * Scale shape: candidates only (the capped LSH join), and the TRUE
+    * Jaccard is recounted from the token inverted index — the d04
+    * discipline — instead of carrying per-doc distinct-token ARRAYS
+    * through the pair joins (the round-9 form; its per-pair payload was
+    * O(doc tokens)): each pair fans out over doc_a's token hashes
+    * (pairs ⋈ index on doc_a), the fan-out inner-joins the index again
+    * on (doc_b, token), and the surviving row count IS |A ∩ B|. Every
+    * shuffled pair row is (doc_a, doc_b, token-hash) — three longs —
+    * and |A|, |B| arrive as precomputed per-doc counts. Tokens are
+    * h32-hashed ([[graft.functions.TokenHashes]], one codegen call per
+    * row); collisions fold tokens identically in the oracle. The only
+    * arrays anywhere are the 12-int signatures the estimate needs.
     */
   def minhashAccuracy(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
     import s.implicits._
-    val docs = documents(s, dir).select($"doc_id", minhash_sig($"text").as("sig"),
-      array_distinct(split($"text", "\\s+")).as("tok"))
-    cappedPairsUnsorted(s, dir, cap)
-      .join(docs.toDF("doc_a", "sig_a", "tok_a"), Seq("doc_a"))
-      .join(docs.toDF("doc_b", "sig_b", "tok_b"), Seq("doc_b"))
+    val docs = documents(s, dir)
+    // (doc_id, th): the token inverted index — 8-byte keys, no arrays.
+    val tokIdx = docs.select($"doc_id", explode(token_hashes($"text")).as("th"))
+    // The pair list is consumed ONCE (the LSH pipeline is the expensive
+    // branch; a second reference would evaluate it twice — broadcast
+    // joins leave no identical exchange for ReusedExchange to share):
+    // fan each pair out over doc_a's tokens, LEFT-probe doc_b's index —
+    // (doc_b, th) is unique, so the probe never multiplies rows — and
+    // re-aggregate. Misses count 0, so a zero-overlap candidate (an LSH
+    // band collision does not guarantee a shared token — band keys are
+    // mod 2³¹−1) surfaces with true_jaccard = 0 instead of vanishing.
+    val pairCounts = cappedPairsUnsorted(s, dir, cap)
+      .join(tokIdx.toDF("doc_a", "th"), Seq("doc_a"))
+      .join(tokIdx.toDF("doc_b", "th").withColumn("hit", lit(1L)),
+            Seq("doc_b", "th"), "left")
+      .groupBy($"doc_a", $"doc_b").agg(sum(coalesce($"hit", lit(0L))).as("inter"))
+    // Per-doc metadata re-joins AFTER the aggregate, onto candidate-count
+    // rows: the 12-int signatures are the only arrays anywhere.
+    val meta = docs.select($"doc_id", minhash_sig($"text").as("sig"),
+      size(token_hashes($"text")).cast("long").as("ntok"))
+    pairCounts
+      .join(meta.toDF("doc_a", "sig_a", "na"), Seq("doc_a"))
+      .join(meta.toDF("doc_b", "sig_b", "nb"), Seq("doc_b"))
       .withColumn("agree", expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))"))
-      .withColumn("inter", expr("size(array_intersect(tok_a, tok_b))"))
       .select($"doc_a", $"doc_b",
         ($"agree".cast("double") / 12).as("est_jaccard"),
-        ($"inter".cast("double") / (size($"tok_a") + size($"tok_b") - $"inter")).as("true_jaccard"))
+        ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("true_jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -295,32 +295,52 @@ object EventOps {
         sum(when($"t3".isNotNull, unix_micros($"t3") - unix_micros($"t2"))).as("sum_click_to_purchase_us"))
   }
 
+  /** The ONE events pass behind e14 AND e15: per-user lead() window
+    * (ordering ties on ts break by event_id, so the successor is
+    * total-ordered and engine-exact), then a map-combined aggregate
+    * down to |types|² rows carrying both the transition count and the
+    * integer-µs gap stats. e14 projects counts + probability out of
+    * it; e15 adds the mean. Until round 9 each query ran its own
+    * identical lead-window pipeline — two full event scans and two
+    * user_id shuffles for what is one intermediate; at 100 TB a user
+    * materializes THIS frame once and both views are |types|²-sized
+    * derivations (EventOpsSpec pins both the derivation equality and
+    * the one-Exchange-on-events plan shape).
+    *
+    * Scale shape: ONE shuffle on user_id feeds the lead() window
+    * (per-user timelines are bounded); everything after is
+    * |types|²-sized.
+    */
+  private[graft] def transitionStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("to_type", lead($"event_type", 1).over(seq))
+      .withColumn("next_ts", lead($"ts", 1).over(seq))
+      .filter($"to_type".isNotNull)
+      .withColumn("gap_us", unix_micros($"next_ts") - unix_micros($"ts"))
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"), sum($"gap_us").as("total_gap_us"),
+        min($"gap_us").as("min_gap_us"), max($"gap_us").as("max_gap_us"))
+  }
+
   /** Per-user event-type transition matrix (first-order Markov): for
     * every consecutive event pair within a user's timeline, count
     * (from_type → to_type) and the conditional probability
     * P(to | from) = n / Σ_to n. The sequence-model view of the event
     * log — what feeds next-action prediction, session simulators, and
     * bot detection (a user whose transition rows concentrate on one
-    * self-loop is a script, not a person). Ordering ties on ts break by
-    * event_id, so the successor is total-ordered and engine-exact; the
-    * probability is one BIGINT÷BIGINT double divide (correctly rounded,
-    * no float accumulation anywhere).
-    *
-    * Scale shape: ONE shuffle on user_id feeds the lead() window
-    * (per-user timelines are bounded); the transition aggregate is
-    * map-side combined down to |types|² rows, and the denominator is a
-    * window over that tiny aggregate — no second pass over events.
+    * self-loop is a script, not a person). The probability is one
+    * BIGINT÷BIGINT double divide (correctly rounded, no float
+    * accumulation anywhere), and the denominator is a window over the
+    * tiny [[transitionStats]] aggregate — no second pass over events.
     */
   def transitions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val seq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val fromW = Window.partitionBy($"from_type")
-    events(s, dir)
-      .select($"user_id", $"ts", $"event_id", $"event_type")
-      .withColumn("to_type", lead($"event_type", 1).over(seq))
-      .filter($"to_type".isNotNull)
-      .groupBy($"event_type".as("from_type"), $"to_type")
-      .agg(count(lit(1)).as("n"))
+    transitionStats(s, dir)
+      .select($"from_type", $"to_type", $"n")
       .withColumn("p", $"n".cast("double") / sum($"n").over(fromW).cast("double"))
       .orderBy($"from_type", $"to_type")
   }
@@ -333,22 +353,10 @@ object EventOps {
     * gaps are machine-regular, a human's spread over seconds. Gaps are
     * integer µs (sum/min/max order-free, one exact BIGINT÷BIGINT divide
     * for the mean), so every cell is engine- and shuffle-order-exact.
-    *
-    * Scale shape: identical to e14 — one shuffle on user_id for the
-    * lead window, then a |types|²-row map-combined aggregate.
     */
   def transitionDwell(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val seq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    events(s, dir)
-      .select($"user_id", $"ts", $"event_id", $"event_type")
-      .withColumn("to_type", lead($"event_type", 1).over(seq))
-      .withColumn("next_ts", lead($"ts", 1).over(seq))
-      .filter($"to_type".isNotNull)
-      .withColumn("gap_us", unix_micros($"next_ts") - unix_micros($"ts"))
-      .groupBy($"event_type".as("from_type"), $"to_type")
-      .agg(count(lit(1)).as("n"), sum($"gap_us").as("total_gap_us"),
-        min($"gap_us").as("min_gap_us"), max($"gap_us").as("max_gap_us"))
+    transitionStats(s, dir)
       .withColumn("mean_gap_us",
         $"total_gap_us".cast("double") / $"n".cast("double"))
       .orderBy($"from_type", $"to_type")

@@ -115,6 +115,34 @@ class GraftFunctionsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(1) == Math.log(r.getDouble(0))))
   }
 
+  test("platform_ln matches Math.log bit-for-bit over the corpus vocabulary") {
+    // The t20/t26/t13/t22/t24 oracle contract in executable form: the
+    // engine's ln IS the platform libm on the DATA-DEPENDENT argument
+    // set those queries feed it (the unigram probability ratios of the
+    // corpus vocabulary — the set where StrictMath diverges by 1 ULP on
+    // ~4 % of arguments). A JDK bump that changes libm fails HERE, by
+    // name, instead of surfacing as an unexplained oracle hash mismatch.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tf = graft.Tables.documents(spark, TestSpark.sfDir)
+      .select(explode(split($"text", "\\s+")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("cnt"))
+    val tot = tf.agg(sum($"cnt").as("total"))
+    val rows = tf.crossJoin(broadcast(tot))
+      .select(($"cnt".cast("double") / $"total".cast("double")).as("p"),
+        graft.functions.VectorFunctions.platform_ln(
+          $"cnt".cast("double") / $"total".cast("double")).as("pl"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(Math.log(r.getDouble(0))),
+        s"platform_ln(${r.getDouble(0)}) != Math.log — the JDK's libm changed; " +
+          "every ln-consuming oracle (t13/t20/t22/t24/t26) is now at risk")
+    }
+  }
+
   test("native hash expressions match the folds on adversarial random strings") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -65,6 +65,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(q01.contains("partial_sum"), q01.take(3000))
   }
 
+  test("d18 shuffles carry no arrays except the 12-int signatures") {
+    // The round-9 form carried per-doc distinct-token ARRAYS through two
+    // pair joins (O(doc tokens) per pair row); the rewrite recounts true
+    // Jaccard from the token inverted index, so every shuffled pair row
+    // is integers. The 12-slot minhash signature (est_jaccard's input)
+    // is the ONLY array any exchange may carry.
+    val spark = TestSpark.spark
+    val df = SparkEntry.queries("d18_mh_accuracy")(spark, TestSpark.sfDir)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: QueryStageExec => shuffles(q.plan)
+      case r: ReusedExchangeExec => Seq.empty
+      case s: ShuffleExchangeLike => s +: s.children.flatMap(shuffles)
+      case other => other.children.flatMap(shuffles)
+    }
+    val ex = shuffles(df.queryExecution.executedPlan)
+    assert(ex.nonEmpty, "expected shuffles in the LSH pair pipeline")
+    ex.foreach { e =>
+      val arrays = e.output
+        .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        .map(_.name).filterNot(_.startsWith("sig"))
+      assert(arrays.isEmpty,
+        s"d18 shuffle carries array column(s) ${arrays.mkString(",")}: true " +
+          "Jaccard must recount from the token index, not shuffle token arrays")
+    }
+  }
+
   test("executed plans of the pair generators use hash or merge joins only") {
     val spark = TestSpark.spark
     // (d16/s08 are absent: their bounded 16-row codebook broadcast is
