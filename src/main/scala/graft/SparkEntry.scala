@@ -202,6 +202,10 @@ object SparkEntry {
     // m11 = image near-dup pairs: m08's real-byte aHashes through the
     // d09 banding discipline (4×16-bit bands, Hamming ≤ 2 verify).
     "m11_image_dups"         -> ((s, d) => Multimodal.imageDupPairs(s, d)),
+    // m12 = image dedup end-to-end: m11's pairs clustered by connected
+    // components (d11's loop), reported d19-style with REAL decoded
+    // pixels charged to each dropped member.
+    "m12_image_dedup_report" -> (Multimodal.imageDedupReport _),
     "t12_normalize"          -> (TextOps.normalizeText _),
   )
 
@@ -758,6 +762,62 @@ object SparkEntry {
         FROM bd a JOIN bd b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2
         ORDER BY doc_a, doc_b""",
+      // m12: the m11 aHash + band-pair chain, then the d11 recursive
+      // reachability CTE for clusters, then per-cluster savings charged
+      // by the generator-formula pixel counts (the Spark side gets the
+      // same numbers by DECODING real PNG bytes).
+      "m12_image_dedup_report" -> """
+        WITH RECURSIVE
+        d AS (SELECT doc_id, 8 + doc_id % 25 AS w, 8 + (doc_id // 25) % 25 AS h
+              FROM documents),
+        t AS (SELECT doc_id, w, h,
+                CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                  list_transform(generate_series(0, w - 1), x ->
+                    (doc_id * 31 + 7 * x + 13 * y) % 256)))) AS BIGINT) AS total
+              FROM d),
+        cells AS (SELECT doc_id, w, h, total, i, j,
+                    (i * w) // 8 AS x0, ((i + 1) * w) // 8 AS x1,
+                    (j * h) // 8 AS y0, ((j + 1) * h) // 8 AS y1
+                  FROM t,
+                    (SELECT unnest(generate_series(0, 7)) AS i) ii,
+                    (SELECT unnest(generate_series(0, 7)) AS j) jj),
+        cs AS (SELECT doc_id, w, h, total, i, j,
+                 (x1 - x0) * (y1 - y0) AS np,
+                 CAST(list_sum(flatten(list_transform(generate_series(y0, y1 - 1), y ->
+                   list_transform(generate_series(x0, x1 - 1), x ->
+                     (doc_id * 31 + 7 * x + 13 * y) % 256)))) AS BIGINT) AS csum
+               FROM cells),
+        bits AS (SELECT doc_id, 8 * j + i AS b,
+                   CASE WHEN csum * w * h > total * np THEN 1 ELSE 0 END AS bit
+                 FROM cs),
+        hx AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN b >= 32 AND bit = 1
+                               THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(sum(CASE WHEN b < 32 AND bit = 1
+                               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
+               FROM bits GROUP BY doc_id),
+        bd AS (SELECT doc_id, hi, lo, bb.band,
+                 CASE bb.band WHEN 0 THEN lo & 65535
+                              WHEN 1 THEN (lo >> 16) & 65535
+                              WHEN 2 THEN hi & 65535
+                              ELSE (hi >> 16) & 65535 END AS bval
+               FROM hx, (SELECT unnest(generate_series(0, 3)) AS band) bb),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bd a JOIN bd b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+                  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+        cl AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+               FROM walk GROUP BY node)
+        SELECT cluster_id, count(*) AS n_members,
+          count(*) - 1 AS n_dropped,
+          CAST(sum(CASE WHEN cl.doc_id <> cluster_id THEN d.w * d.h ELSE 0 END) AS BIGINT) AS px_dropped
+        FROM cl JOIN d ON cl.doc_id = d.doc_id
+        GROUP BY cluster_id ORDER BY cluster_id""",
       "m10_png_resize" -> """
         WITH d AS (SELECT doc_id, (8 + doc_id % 25) // 2 AS ow,
                      (8 + (doc_id // 25) % 25) // 2 AS oh

@@ -258,7 +258,9 @@ object Dedup {
     // Labels only ever decrease, so the label-sum is a fixpoint
     // witness: one cheap aggregate per round instead of a
     // change-detection join.
-    var lblSum = labels.agg(sum($"lbl")).head.getLong(0)
+    // coalesce: an empty edge set (legal for callers like m12 on a
+    // corpus with no near-dups) sums to NULL, not 0.
+    var lblSum = labels.agg(coalesce(sum($"lbl"), lit(0L))).head.getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 64) {
@@ -276,7 +278,7 @@ object Dedup {
       val (next, nextRdds) = tracked(
         stepped.join(ptr, stepped("lbl") === ptr("p_node"))
           .select($"node", least($"lbl", $"p_lbl").as("lbl")))
-      val nextSum = next.agg(sum($"lbl")).head.getLong(0)
+      val nextSum = next.agg(coalesce(sum($"lbl"), lit(0L))).head.getLong(0)
       converged = nextSum == lblSum
       lblSum = nextSum
       free(labelsRdds) // superseded round — its blocks are dead now

@@ -234,7 +234,7 @@ object Multimodal {
     }.toDF().orderBy($"doc_id")
   }
 
-  final case class AHash(doc_id: Long, ahash_hi: Long, ahash_lo: Long)
+  final case class AHash(doc_id: Long, ahash_hi: Long, ahash_lo: Long, n_px: Long)
 
   /** 8×8 average-hash (aHash) of a decoded raster — the standard
     * perceptual fingerprint for image near-dup detection: cell bit = 1
@@ -302,14 +302,18 @@ object Multimodal {
       rows.map { r =>
         val img = ImageIO.read(new ByteArrayInputStream(r.payload))
         val (hi, lo) = ahashOf(img)
-        AHash(r.doc_id, hi, lo)
+        // decoded raster size rides along (n_px): the image-dedup report
+        // (m12) charges dropped members by REAL decoded pixels, and at
+        // 100 TB (hash, dims) is the per-image sidecar that persists.
+        AHash(r.doc_id, hi, lo, img.getWidth.toLong * img.getHeight.toLong)
       }
     }
   }
 
   def pngAHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    ahashTable(s, dir).toDF().orderBy($"doc_id")
+    ahashTable(s, dir).toDF().select($"doc_id", $"ahash_hi", $"ahash_lo")
+      .orderBy($"doc_id")
   }
 
   /** m11 — image near-duplicate candidate pairs over REAL decoded
@@ -328,7 +332,11 @@ object Multimodal {
     * (the d09 ordering). The merge hint makes both join branches the
     * same exchange — ReusedExchange runs the decode+hash pipeline once.
     */
-  def imageDupPairs(s: SparkSession, dir: String, maxHamming: Int = 2): DataFrame = {
+  /** [[imageDupPairs]] without the presentation sort — the reusable
+    * edge list for graph consumers ([[imageDedupReport]]).
+    */
+  private def imageDupPairsUnsorted(s: SparkSession, dir: String,
+      maxHamming: Int): DataFrame = {
     import s.implicits._
     val withBands = ahashTable(s, dir).toDF()
       .select($"doc_id", $"ahash_hi", $"ahash_lo",
@@ -347,7 +355,44 @@ object Multimodal {
         expr("cast(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) as bigint)"))
       .filter($"hamming" <= maxHamming)
       .select($"doc_a", $"doc_b", $"hamming").distinct()
-      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def imageDupPairs(s: SparkSession, dir: String, maxHamming: Int = 2): DataFrame = {
+    import s.implicits._
+    imageDupPairsUnsorted(s, dir, maxHamming).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** m12 — image dedup END-TO-END: m11's verified near-dup pairs run
+    * through the same pointer-jumping connected components as the text
+    * clusters (d11's loop, shared verbatim), and the labeling
+    * materializes into a d19-style campaign report: per cluster the kept
+    * representative (the min-id label — the member minimum, as
+    * InvariantSpec proves for d19), how many images collapse into it,
+    * and how many REAL decoded pixels leave the corpus. This closes the
+    * multimodal dedup story: decode → perceptual hash → banded candidate
+    * join → Hamming verify → cluster → savings report, all on real
+    * bytes.
+    *
+    * Scale shape: pixels reduce to 16 bytes + one n_px long per image
+    * before anything shuffles (rasters never cross an exchange —
+    * MultimodalSpec asserts it on the executed plan); the cluster loop
+    * is O(log diameter) with per-round block reclamation; the final
+    * charge-back join touches (doc_id, n_px) pairs only. The second
+    * decode pass behind that join is a narrow per-partition map — at
+    * 100 TB the (hash, n_px) sidecar table persists and neither pass
+    * re-reads media.
+    */
+  def imageDedupReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = graft.ops.Dedup.connectedComponentsWithRounds(s,
+      imageDupPairsUnsorted(s, dir, maxHamming = 2).select($"doc_a", $"doc_b"))._1
+    labels
+      .join(ahashTable(s, dir).toDF().select($"doc_id", $"n_px"), Seq("doc_id"))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+           (count(lit(1)) - 1).as("n_dropped"),
+           sum(when($"doc_id" =!= $"cluster_id", $"n_px").otherwise(0L)).as("px_dropped"))
+      .orderBy($"cluster_id")
   }
 
   final case class WavRow(doc_id: Long, payload: Array[Byte])

@@ -364,6 +364,42 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m12 executed plan: clustering never shuffles a binary payload") {
+    // m12 runs the full decode -> hash -> band-join -> connected
+    // components -> savings-report chain; like m11, the only things
+    // that may cross an exchange are hashes, ids, labels, and pixel
+    // COUNTS — never rasters.
+    val spark = TestSpark.spark
+    val df = Multimodal.imageDedupReport(spark, TestSpark.sfDir)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: QueryStageExec => shuffles(q.plan)
+      case r: ReusedExchangeExec => Seq.empty
+      case s: ShuffleExchangeLike => s +: s.children.flatMap(shuffles)
+      case other => other.children.flatMap(shuffles)
+    }
+    val ex = shuffles(df.queryExecution.executedPlan)
+    assert(ex.nonEmpty)
+    ex.foreach { e =>
+      val binCols = e.output.filter(_.dataType ==
+        org.apache.spark.sql.types.BinaryType).map(_.name)
+      assert(binCols.isEmpty, s"m12 shuffle carries binary: ${binCols.mkString(",")}")
+    }
+    // and the report's numbers hold together: every cluster has >= 2
+    // members (singletons never enter the pair graph) and n_dropped is
+    // exactly n_members - 1.
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2 && r.getLong(2) == r.getLong(1) - 1)
+      assert(r.getLong(3) > 0) // every dropped image has pixels
+    }
+  }
+
   test("registered m04 plan keeps the image filter below the decode") {
     val spark = TestSpark.spark
     // The Column-expression decode means the media_type predicate is a
