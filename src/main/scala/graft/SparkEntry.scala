@@ -133,6 +133,10 @@ object SparkEntry {
     // s08 = the production IVF-PQ composition: coarse-cell probe, ADC
     // over cell members' 4-byte codes, exact re-rank of the shortlist.
     "s08_knn_ivfpq"          -> (Similarity.ivfPqKnn _),
+    // s11 = recall-vs-probe-width audit of the s08 IVF-PQ index:
+    // recall@5 vs exact brute force at shortlist widths 5/25/50 —
+    // the "measure the approximation" row for the production index.
+    "s11_recall_audit"       -> (Similarity.ivfPqRecallAudit _),
     // s09 = coreset manifest: per IVF cell the best-fit representative,
     // population, and worst-fit cosine — diversity sampling + cell audit.
     "s09_centroid_reps"      -> (Similarity.centroidReps _),
@@ -1397,6 +1401,63 @@ object SparkEntry {
           JOIN e a ON a.vec_id = sl.vec_id
           JOIN e q ON q.vec_id = sl.q_id) t
         WHERE rank <= 5 ORDER BY q_id, rank""",
+      // s11: the s08 chain cut at width 50, each width a rank window
+      // over the scored shortlist, recall against brute-force top-5.
+      "s11_recall_audit" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings),
+        ccb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        cells AS (SELECT vec_id, cell_id FROM (
+          SELECT e.vec_id, ccb.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, ccb.cv) / (e.nrm * ccb.cnrm) DESC, ccb.cell_id) AS arank
+          FROM e CROSS JOIN ccb) t WHERE arank = 1),
+        sub AS (SELECT vec_id, m, v[16*m+1 : 16*m+16] AS sv
+                FROM e, (SELECT unnest(generate_series(0, 3)) AS m) mm),
+        cb AS (SELECT m, vec_id AS k, sv AS cv FROM sub WHERE vec_id < 16),
+        dists AS (SELECT s.vec_id, s.m, cb.k,
+                    list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, cb.cv)
+                      + list_dot_product(cb.cv, cb.cv) AS d
+                  FROM sub s JOIN cb ON s.m = cb.m),
+        enc AS (SELECT vec_id, m, k AS code FROM (
+                  SELECT vec_id, m, k,
+                    row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k) AS rnk
+                  FROM dists) t WHERE rnk = 1),
+        adc AS (SELECT qd.vec_id AS q_id, enc.vec_id AS vec_id,
+                  max(CASE WHEN enc.m = 0 THEN qd.d END) + max(CASE WHEN enc.m = 1 THEN qd.d END)
+                  + max(CASE WHEN enc.m = 2 THEN qd.d END) + max(CASE WHEN enc.m = 3 THEN qd.d END) AS adc2
+                FROM enc JOIN dists qd ON qd.m = enc.m AND qd.k = enc.code
+                JOIN cells cc ON cc.vec_id = enc.vec_id
+                JOIN cells cq ON cq.vec_id = qd.vec_id AND cq.cell_id = cc.cell_id
+                WHERE qd.vec_id < 5 AND enc.vec_id <> qd.vec_id
+                GROUP BY qd.vec_id, enc.vec_id),
+        shortlist AS (SELECT q_id, vec_id, srank FROM (
+          SELECT q_id, vec_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY adc2 ASC, vec_id) AS srank
+          FROM adc) t WHERE srank <= 50),
+        scored AS (SELECT sl.q_id, sl.vec_id, sl.srank,
+                     list_dot_product(q.v, a.v) / (q.nrm * a.nrm) AS cos
+                   FROM shortlist sl
+                   JOIN e a ON a.vec_id = sl.vec_id
+                   JOIN e q ON q.vec_id = sl.q_id),
+        appr AS (SELECT q_id, width, vec_id FROM (
+          SELECT s.q_id, ww.width, s.vec_id,
+            row_number() OVER (PARTITION BY s.q_id, ww.width
+              ORDER BY s.cos DESC, s.vec_id) AS rnk
+          FROM scored s, (SELECT unnest([5, 25, 50]) AS width) ww
+          WHERE s.srank <= ww.width) t WHERE rnk <= 5),
+        exact5 AS (SELECT q_id, vec_id FROM (
+          SELECT q.vec_id AS q_id, a.vec_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_dot_product(q.v, a.v) / (q.nrm * a.nrm) DESC, a.vec_id) AS rnk
+          FROM e q JOIN e a ON a.vec_id <> q.vec_id
+          WHERE q.vec_id < 5) t WHERE rnk <= 5)
+        SELECT ap.q_id, CAST(ap.width AS BIGINT) AS width,
+          CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+          CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS recall_at_5
+        FROM appr ap LEFT JOIN exact5 ex ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+        GROUP BY ap.q_id, ap.width ORDER BY ap.q_id, width""",
       // Two-stage retrieval: the s06 ADC scoring shortlists top-25 per
       // query, exact cosine re-ranks only the shortlist.
       "s07_knn_pq_rerank" -> """

@@ -296,6 +296,68 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** s11 — recall-vs-probe-width audit for the production IVF-PQ index
+    * (s08): per query vector, recall@5 of the cell-probe + ADC + exact
+    * re-rank pipeline against the exact brute-force top-5, at shortlist
+    * widths 5 / 25 / 50. The t07/d18 "measure the approximation"
+    * discipline applied to the index a deployment actually serves
+    * from — this row is what decides the width knob (and whether the
+    * coarse codebook needs more probes) BEFORE a curation campaign
+    * trusts the index.
+    *
+    * One pass, not one per width: the ADC shortlist is cut once at the
+    * MAX width and exact-scored once; each width is then a rank window
+    * over that 50-row-per-query frame (srank <= width), so the sweep
+    * costs one extra KB-sized explode, not three corpus scans. Recall
+    * is monotone in width by construction (a true top-5 member in a
+    * wider shortlist is never outranked by more than 4 vectors) —
+    * RecallSpec asserts the dominance on the real corpus.
+    *
+    * Scale shape: identical to s08 (cell-probe equi-join, 4-byte codes,
+    * float fetch only for shortlist rows) plus a brute-force exact pass
+    * for ground truth — the audit runs on a SAMPLED query set at 100 TB
+    * precisely because ground truth costs a corpus scan per batch.
+    */
+  def ivfPqRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val widths = Seq(5, 25, 50)
+    val cells = ivfAssigned(s, dir).select($"vec_id", $"cell_id")
+    val probe = broadcast(
+      pqQueryTables(s, dir).join(cells.toDF("q_id", "q_cell"), Seq("q_id")))
+    val ws = Window.partitionBy($"q_id").orderBy($"adc2".asc, $"vec_id")
+    val shortlist = pqEncoded(s, dir).join(cells, Seq("vec_id"))
+      .join(probe, $"cell_id" === $"q_cell" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", adc2Col.as("adc2"))
+      .withColumn("srank", row_number().over(ws))
+      .filter($"srank" <= widths.max)
+      .select($"q_id", $"vec_id", $"srank")
+    val e = withNorm(embeddings(s, dir))
+    val q = e.filter($"vec_id" < 5).toDF("q_id", "q_emb", "q_nrm")
+    val scored = e.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", cosinePrenormed(vec_dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
+      .select($"q_id", $"vec_id", $"srank", $"cos")
+    val wN = Window.partitionBy($"q_id", $"width").orderBy($"cos".desc, $"vec_id")
+    val approxTop5 = scored
+      .select($"q_id", $"vec_id", $"srank", $"cos",
+        explode(expr(s"array(${widths.mkString(", ")})")).as("width"))
+      .filter($"srank" <= $"width")
+      .withColumn("rank", row_number().over(wN))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"width".cast("long").as("width"), $"vec_id")
+    val wq = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    val exact5 = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .withColumn("cos", cosinePrenormed(vec_dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
+      .withColumn("rank", row_number().over(wq))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"vec_id").withColumn("hit", lit(1L))
+    approxTop5.join(exact5, Seq("q_id", "vec_id"), "left")
+      .groupBy($"q_id", $"width")
+      .agg(sum(coalesce($"hit", lit(0L))).as("n_match"))
+      .withColumn("recall_at_5", $"n_match".cast("double") / 5)
+      .orderBy($"q_id", $"width")
+  }
+
   /** Label-purity audit — the mislabeled-example detector of a training
     * pipeline: every vector's 1-NN (within its LSH bucket, self
     * excluded) is compared to its own label, aggregated per label.

@@ -22,11 +22,12 @@ class PlanAuditSpec extends AnyFunSuite {
   //  - s09_centroid_reps: same 16-row codebook as s04 (shared seeding)
   //  - t26_bigram_nll: one-row vocabulary-count aggregate
   //  - t27_mixture_plan: one-row budget-minimum aggregate
+  //  - s11_recall_audit: same 16-row codebook as s08 (the audited index)
   private val boundedCrossJoins =
     Set("q16_above_avg", "s04_knn_ivf", "d16_semantic_prune", "s08_knn_ivfpq",
         "t13_tfidf", "t20_unigram_nll", "t22_source_divergence",
         "t23_temp_resample", "s09_centroid_reps", "t26_bigram_nll",
-        "t27_mixture_plan")
+        "t27_mixture_plan", "s11_recall_audit")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark

@@ -96,6 +96,43 @@ class RecallSpec extends AnyFunSuite {
     }
   }
 
+  test("s11 recall@5 is monotone non-decreasing across shortlist widths") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.ops.Similarity
+    // Theorem-backed like the s07 test: the width-w candidate set is a
+    // subset of the width-w' set for w < w', and any exact-top-5 member
+    // present in a candidate set survives exact re-ranking (at most 4
+    // vectors beat it globally). So recall@5 can only rise with width.
+    val rows = Similarity.ivfPqRecallAudit(spark, dir)
+      .select($"q_id", $"width", $"n_match", $"recall_at_5").collect()
+    assert(rows.length == 15) // 5 queries x widths {5, 25, 50}
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 5)
+      assert(r.getDouble(3) == r.getLong(2).toDouble / 5)
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (q, qr) =>
+      val byWidth = qr.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+      assert(byWidth == byWidth.sorted,
+        s"q=$q: recall not monotone across widths: $byWidth")
+    }
+    // and width 25 reproduces the registered s08 pipeline's recall
+    val exact = Similarity.bruteForceKnn(spark, dir).filter($"rank" <= 5)
+      .select($"q_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, a) => q -> a.map(_._2).toSet }
+    val s08 = Similarity.ivfPqKnn(spark, dir)
+      .select($"q_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, a) => q -> a.map(_._2).toSet }
+    rows.filter(_.getLong(1) == 25L).foreach { r =>
+      val q = r.getLong(0)
+      val hits = (exact.getOrElse(q, Set.empty) & s08.getOrElse(q, Set.empty)).size
+      assert(r.getLong(2) == hits.toLong,
+        s"q=$q: audit n_match ${r.getLong(2)} != s08 recomputation $hits")
+    }
+  }
+
   test("d16 semantic prune equals a driver-side recomputation on sf0.001") {
     val spark0 = spark
     import spark0.implicits._
