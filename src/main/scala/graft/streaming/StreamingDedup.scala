@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming incremental dedup — the d15 multi-signal probe
+  * (graft.ops.Dedup.multiSignalProbe) as a production micro-batch job:
+  * each arriving batch of (doc_id, text) documents probes the STATIC
+  * historical index with all three signals (exact md5, capped
+  * MinHash-LSH, banded SimHash), never itself, and ships one flagged
+  * row per matched document. This is the ingest-time shape of the
+  * dedup family: the index is yesterday's corpus, the stream is
+  * today's crawl.
+  *
+  * Semantics that make the streaming form EQUAL the batch form (both
+  * asserted in StreamingExtrasSpec): every output row depends only on
+  * its own document versus the index, so per-batch probes compose —
+  * the union over any batch partitioning of the input is bit-identical
+  * to one batch run (d15 on the same slice).
+  *
+  * Exactly-once: the sink write is idempotent BY BATCH ID — each batch
+  * overwrites its own `batch_id=<n>` partition directory, so a batch
+  * replayed after a crash (offsets logged, commit missing) lands in
+  * the same place with the same rows instead of appending duplicates.
+  * foreachBatch + checkpoint gives at-least-once batch execution; the
+  * keyed overwrite upgrades the OUTPUT to exactly-once. The restart
+  * test forces a replay by deleting the last commit marker and proves
+  * the output is still exactly the batch answer.
+  *
+  * Scale shape: identical to d15 — at 100 TB each index is
+  * pre-bucketed/capped on disk, so per-batch probe cost scales with
+  * the BATCH, not the corpus; the streaming loop adds no state beyond
+  * the checkpoint (the index is static within a run, swapped between
+  * runs by the usual snapshot rotation).
+  */
+object StreamingDedup {
+
+  /** One micro-batch probe — exposed separately so tests and batch
+    * backfills run the identical frame transform.
+    */
+  def probeBatch(batch: DataFrame, hist: DataFrame, cap: Int = 64): DataFrame =
+    graft.ops.Dedup.multiSignalProbe(batch, hist, cap)
+
+  /** Start the job: `newDocs` is any streaming frame bearing
+    * (doc_id, text); `hist` the static historical corpus; flagged rows
+    * land under `outDir/batch_id=<n>/` (a plain
+    * `spark.read.parquet(outDir)` reassembles the full output with the
+    * batch id as a partition column).
+    */
+  def run(newDocs: DataFrame, hist: DataFrame, outDir: String,
+          checkpointDir: String, cap: Int = 64): StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        probeBatch(batch, hist, cap)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+}
