@@ -224,9 +224,27 @@ object Dedup {
     * ran — the test seam for the convergence bound. The second element
     * is the ONLY value the driver ever materializes per round (the
     * label-sum fixpoint witness is a scalar aggregate).
+    *
+    * Small-graph fast path (round 10): after the pair list materializes
+    * (it always does — the loop needs it checkpointed anyway), its COUNT
+    * is known for free, and when the edge list is broadcast-sized the
+    * whole graph collapses to a driver union-find — the same
+    * measured-size discipline as a broadcast hash join, applied to the
+    * iterative loop. Rationale: each distributed round costs 2 actions
+    * of fixed scheduling latency regardless of graph size, which
+    * DOMINATES when the candidate graph is small (m12's image graph at
+    * sf0.1: ~180 edges but ~4 s of round overhead); a ≤10⁶-edge graph
+    * is ~16 MB — smaller than a default broadcast side. Union-by-min +
+    * path compression makes every root the component MINIMUM, so the
+    * labels are bit-identical to the loop's (five oracle rows — d11,
+    * d13, d19, d21, m12 — plus a dedicated equivalence test pin this).
+    * At 100 TB the gate reads the measured size, exactly like AQE: a
+    * post-cap candidate graph that is actually big takes the
+    * O(log diameter) loop unchanged. Fast path reports 0 rounds.
     */
   private[graft] def connectedComponentsWithRounds(
-      s: SparkSession, pairsDf: DataFrame): (DataFrame, Int) = {
+      s: SparkSession, pairsDf: DataFrame,
+      driverMaxEdges: Long = 1000000L): (DataFrame, Int) = {
     import s.implicits._
     val sc = s.sparkContext
     // localCheckpoint pins its blocks in the block manager until the
@@ -247,6 +265,29 @@ object Dedup {
     // self-union — unioning the lazy frame with itself would run the
     // whole candidate pipeline twice.
     val (pairs, pairsRdds) = tracked(pairsDf)
+    if (pairs.count() <= driverMaxEdges) {
+      val edgeArr = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      free(pairsRdds)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edgeArr.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        // union by MIN: the root only ever decreases, so each final root
+        // IS its component's minimum id — the loop's exact labeling.
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labeled = parent.keysIterator.toSeq.sorted.map(n => (n, find(n)))
+      return (labeled.toDF("doc_id", "cluster_id"), 0)
+    }
     val (edges, edgesRdds) = tracked(
       pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("src", "dst"))
     // Seed = min(node, min(neighbors)): the first neighbor step fused

@@ -34,7 +34,7 @@ class ConvergenceSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     val d = 300
     val (labels, rounds) =
-      Dedup.connectedComponentsWithRounds(spark, chain(0L.to(d.toLong)))
+      Dedup.connectedComponentsWithRounds(spark, chain(0L.to(d.toLong)), driverMaxEdges = 0L)
     assert(rounds <= bound(d), s"took $rounds rounds, bound ${bound(d)}")
     val rows = labels.collect()
     assert(rows.length == d + 1)
@@ -47,7 +47,7 @@ class ConvergenceSpec extends AnyFunSuite {
     // Path v_0 - v_1 - ... - v_d with v_k = d - k: the minimum (0) sits
     // at the end opposite to where the largest ids cluster.
     val (labels, rounds) =
-      Dedup.connectedComponentsWithRounds(spark, chain(d.toLong.to(0L, -1L)))
+      Dedup.connectedComponentsWithRounds(spark, chain(d.toLong.to(0L, -1L)), driverMaxEdges = 0L)
     assert(rounds <= bound(d), s"took $rounds rounds, bound ${bound(d)}")
     labels.collect().foreach(r => assert(r.getLong(1) == 0L))
   }
@@ -57,7 +57,7 @@ class ConvergenceSpec extends AnyFunSuite {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val (labels, rounds) =
-      Dedup.connectedComponentsWithRounds(spark, chain(0L.to(300L)))
+      Dedup.connectedComponentsWithRounds(spark, chain(0L.to(300L)), driverMaxEdges = 0L)
     labels.write.format("noop").mode("overwrite").save()
     // The loop checkpoints pairs + edges + seed + one table per round;
     // everything superseded must be unpersisted by the time it returns.
@@ -68,6 +68,28 @@ class ConvergenceSpec extends AnyFunSuite {
     assert(leaked <= 1, s"$leaked checkpointed RDD sets still pinned after convergence")
   }
 
+  test("driver union-find fast path labels bit-identically to the distributed loop") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Adversarial mix: two descending chains (minimum at the far end),
+    // a star, a triangle with a pendant, and self-contained pairs —
+    // collected via the fast path (default threshold) and via the loop
+    // (threshold 0), labels must match exactly.
+    val edges = chain(300L.to(0L, -1L))
+      .union(chain(Seq(1000L, 900L, 800L, 700L)))
+      .union(Seq((2000L, 2001L), (2000L, 2002L), (2000L, 2003L),
+        (3000L, 3001L), (3001L, 3002L), (3002L, 3000L), (3002L, 3003L),
+        (4000L, 4001L)).toDF("doc_a", "doc_b"))
+    def labelsOf(threshold: Long): Map[Long, Long] =
+      Dedup.connectedComponentsWithRounds(spark, edges, driverMaxEdges = threshold)
+        ._1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = labelsOf(Long.MaxValue)
+    val loop = labelsOf(0L)
+    assert(fast == loop)
+    assert(fast(300L) == 0L && fast(700L) == 700L && fast(2003L) == 2000L &&
+      fast(3003L) == 3000L && fast(4001L) == 4000L)
+  }
+
   test("several disjoint chains converge together, each to its own minimum") {
     val spark = TestSpark.spark
     import spark.implicits._
@@ -76,7 +98,7 @@ class ConvergenceSpec extends AnyFunSuite {
     // worst diameter governs the shared round count.
     val offsets = Seq(0L, 10000L, 20000L)
     val edges = offsets.map(off => chain(off.to(off + d))).reduce(_ union _)
-    val (labels, rounds) = Dedup.connectedComponentsWithRounds(spark, edges)
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(spark, edges, driverMaxEdges = 0L)
     assert(rounds <= bound(d), s"took $rounds rounds, bound ${bound(d)}")
     val byCluster = labels.groupBy($"cluster_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
