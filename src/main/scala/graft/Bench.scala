@@ -52,7 +52,11 @@ object Bench {
     // therefore also records the JVM-wide GC time it overlapped with
     // and the peak heap the run reached (pool peaks reset per run), so
     // a slow row attributes itself: high gc_ms = session pressure,
-    // flat gc_ms = the plan itself.
+    // flat gc_ms = the plan itself. The field is named
+    // "overlapped_gc_ms" because it is JVM-WIDE collector time that
+    // overlapped the run — GC triggered by daemon threads or a
+    // neighbor query's deferred cleanup is charged to whichever query
+    // was timing. Co-occurrence telemetry for triage, not attribution.
     import java.lang.management.ManagementFactory
     import scala.jdk.CollectionConverters._
     val gcBeans = ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -118,7 +122,7 @@ object Bench {
     // map keys are the short unique ids (the prefix before the first
     // underscore: q01..q22, d01..d19, t01..t19, s01..s08, e01..e12,
     // m01..m08, p01) with compact 2-decimal values.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","failed":$failedJson,"queries":${jsonMap(median, _.toString)},"queries_min":${jsonMap(_.min, _.toString)},"queries_gc_ms":${jsonMap(median, _.toLong.toString, _.gcMs.toDouble)},"queries_peak_heap_mb":${jsonMap(median, _.toLong.toString, _.peakMb.toDouble)},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","failed":$failedJson,"queries":${jsonMap(median, _.toString)},"queries_min":${jsonMap(_.min, _.toString)},"queries_overlapped_gc_ms":${jsonMap(median, _.toLong.toString, _.gcMs.toDouble)},"queries_peak_heap_mb":${jsonMap(median, _.toLong.toString, _.peakMb.toDouble)},"sf":"$sfDir"}"""
     System.err.println(detail)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
     catch { case _: Throwable => () } // a read-only cwd must not kill the report

@@ -265,7 +265,11 @@ object Dedup {
     // self-union — unioning the lazy frame with itself would run the
     // whole candidate pipeline twice.
     val (pairs, pairsRdds) = tracked(pairsDf)
-    if (pairs.count() <= driverMaxEdges) {
+    // Deployments tune the gate without a code change; the parameter
+    // default stays the documented ~16 MB edge bound.
+    val maxEdges = s.conf.getOption("spark.graft.cc.driverMaxEdges")
+      .map(_.toLong).getOrElse(driverMaxEdges)
+    if (pairs.count() <= maxEdges) {
       val edgeArr = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
       free(pairsRdds)
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -286,7 +290,12 @@ object Dedup {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val labeled = parent.keysIterator.toSeq.sorted.map(n => (n, find(n)))
-      return (labeled.toDF("doc_id", "cluster_id"), 0)
+      // parallelize, not toDF-on-Seq: a Seq.toDF embeds the rows in the
+      // plan as a LocalRelation that downstream consumers (d19-style
+      // report joins) re-serialize per action; an RDD-backed frame
+      // ships the rows to the block layer once.
+      return (sc.parallelize(labeled, math.max(1, sc.defaultParallelism / 4))
+        .toDF("doc_id", "cluster_id"), 0)
     }
     val (edges, edgesRdds) = tracked(
       pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("src", "dst"))

@@ -336,9 +336,19 @@ object Multimodal {
     * edge list for graph consumers ([[imageDedupReport]]).
     */
   private def imageDupPairsUnsorted(s: SparkSession, dir: String,
+      maxHamming: Int): DataFrame =
+    dupPairsFromAHash(s, ahashTable(s, dir).toDF(), maxHamming)
+
+  /** Pair generation from a PRECOMPUTED (doc_id, ahash, n_px) sidecar —
+    * the shape a 100 TB deployment actually runs (the sidecar persists;
+    * rasters are decoded once, at sidecar-build time). Callers that
+    * need both the pairs and the sidecar (m12) checkpoint the sidecar
+    * and feed this, so the corpus is decoded exactly once per run.
+    */
+  private def dupPairsFromAHash(s: SparkSession, ahash: DataFrame,
       maxHamming: Int): DataFrame = {
     import s.implicits._
-    val withBands = ahashTable(s, dir).toDF()
+    val withBands = ahash
       .select($"doc_id", $"ahash_hi", $"ahash_lo",
         explode(expr("array(" +
           "struct(0L as band, ahash_lo & 65535 as bval), " +
@@ -377,17 +387,24 @@ object Multimodal {
     * before anything shuffles (rasters never cross an exchange —
     * MultimodalSpec asserts it on the executed plan); the cluster loop
     * is O(log diameter) with per-round block reclamation; the final
-    * charge-back join touches (doc_id, n_px) pairs only. The second
-    * decode pass behind that join is a narrow per-partition map — at
-    * 100 TB the (hash, n_px) sidecar table persists and neither pass
-    * re-reads media.
+    * charge-back join touches (doc_id, n_px) pairs only. The (hash,
+    * n_px) sidecar is checkpointed once and feeds both the candidate
+    * join and the charge-back join — each PNG decodes exactly once per
+    * run; at 100 TB the sidecar table persists and no pass re-reads
+    * media.
     */
   def imageDedupReport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // One decode pass: the (hash, n_px) sidecar is checkpointed once
+    // and feeds BOTH the pair-candidate join and the n_px charge-back
+    // join. Without this, the cluster labels pass through the CC loop's
+    // localCheckpoint/collect, so no common exchange survives for
+    // ReusedExchange to share and every PNG decodes twice.
+    val ahash = ahashTable(s, dir).toDF().localCheckpoint()
     val labels = graft.ops.Dedup.connectedComponentsWithRounds(s,
-      imageDupPairsUnsorted(s, dir, maxHamming = 2).select($"doc_a", $"doc_b"))._1
+      dupPairsFromAHash(s, ahash, maxHamming = 2).select($"doc_a", $"doc_b"))._1
     labels
-      .join(ahashTable(s, dir).toDF().select($"doc_id", $"n_px"), Seq("doc_id"))
+      .join(ahash.select($"doc_id", $"n_px"), Seq("doc_id"))
       .groupBy($"cluster_id")
       .agg(count(lit(1)).as("n_members"),
            (count(lit(1)) - 1).as("n_dropped"),

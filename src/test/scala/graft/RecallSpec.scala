@@ -106,7 +106,14 @@ class RecallSpec extends AnyFunSuite {
     // vectors beat it globally). So recall@5 can only rise with width.
     val rows = Similarity.ivfPqRecallAudit(spark, dir)
       .select($"q_id", $"width", $"n_match", $"recall_at_5").collect()
-    assert(rows.length == 15) // 5 queries x widths {5, 25, 50}
+    // Assert the exact (q_id, width) key set, not a bare count: if a
+    // fixture change empties one query's shortlist at one width, the
+    // failure names the missing (query, width) instead of "14 != 15".
+    val expectedKeys = for (q <- 0L until 5L; w <- Seq(5L, 25L, 50L)) yield (q, w)
+    val actualKeys = rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(actualKeys.sorted == expectedKeys.sorted,
+      s"missing=${(expectedKeys.toSet -- actualKeys).mkString(",")} " +
+        s"extra=${(actualKeys.toSet -- expectedKeys).mkString(",")}")
     rows.foreach { r =>
       assert(r.getLong(2) >= 0 && r.getLong(2) <= 5)
       assert(r.getDouble(3) == r.getLong(2).toDouble / 5)
