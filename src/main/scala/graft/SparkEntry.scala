@@ -137,6 +137,10 @@ object SparkEntry {
     // recall@5 vs exact brute force at shortlist widths 5/25/50 —
     // the "measure the approximation" row for the production index.
     "s11_recall_audit"       -> (Similarity.ivfPqRecallAudit _),
+    // s12 = hot-cell rebalance audit: per-IVF-cell population vs the
+    // uniform share, plus the split/merge plan a rebalance would run —
+    // the d12 frequency-cap discipline applied to the coarse index.
+    "s12_cell_rebalance"     -> (Similarity.ivfCellRebalanceAudit _),
     // s09 = coreset manifest: per IVF cell the best-fit representative,
     // population, and worst-fit cosine — diversity sampling + cell audit.
     "s09_centroid_reps"      -> (Similarity.centroidReps _),
@@ -1458,6 +1462,35 @@ object SparkEntry {
           CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS recall_at_5
         FROM appr ap LEFT JOIN exact5 ex ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
         GROUP BY ap.q_id, ap.width ORDER BY ap.q_id, width""",
+      // s12: the s04 assignment reduced to per-cell counts, occupancy
+      // against the uniform share, and the split/merge rebalance plan.
+      "s12_cell_rebalance" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings),
+        cb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        assigned AS (SELECT vec_id, cell_id FROM (
+          SELECT e.vec_id, cb.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) DESC, cb.cell_id) AS arank
+          FROM e CROSS JOIN cb) t WHERE arank = 1),
+        pop AS (SELECT cell_id, count(*) AS n_vectors FROM assigned GROUP BY cell_id),
+        occ AS (SELECT cell_id, n_vectors,
+                  CAST(n_vectors * 16 AS DOUBLE) / CAST(sum(n_vectors) OVER () AS DOUBLE) AS occupancy
+                FROM pop),
+        nearest AS (SELECT cell_id, n_id AS nearest_cell FROM (
+          SELECT a.cell_id, b.cell_id AS n_id,
+            row_number() OVER (PARTITION BY a.cell_id
+              ORDER BY list_dot_product(a.cv, b.cv) / (a.cnrm * b.cnrm) DESC, b.cell_id) AS r
+          FROM cb a CROSS JOIN cb b WHERE a.cell_id <> b.cell_id) t WHERE r = 1)
+        SELECT o.cell_id, o.n_vectors, o.occupancy,
+          CASE WHEN o.occupancy > 1.1 THEN 'split'
+               WHEN o.occupancy < 0.9 THEN 'merge' ELSE 'keep' END AS action,
+          CAST(CASE WHEN o.occupancy > 1.1 THEN CEIL(o.occupancy)
+                    WHEN o.occupancy < 0.9 THEN 0 ELSE 1 END AS BIGINT) AS n_target_cells,
+          CASE WHEN o.occupancy < 0.9 THEN n.nearest_cell ELSE NULL END AS merge_into
+        FROM occ o JOIN nearest n ON n.cell_id = o.cell_id
+        ORDER BY o.cell_id""",
       // Two-stage retrieval: the s06 ADC scoring shortlists top-25 per
       // query, exact cosine re-ranks only the shortlist.
       "s07_knn_pq_rerank" -> """

@@ -358,6 +358,65 @@ object Similarity {
       .orderBy($"q_id", $"width")
   }
 
+  /** s12 — hot-cell rebalance audit for the IVF coarse index: the one
+    * scale discipline the IVF family documented but did not measure.
+    * An IVF cell's probe cost is proportional to its population; a
+    * cell that drifts hot (occupancy ≫ uniform) makes every query that
+    * probes it pay the skew, and a near-empty cell wastes a codebook
+    * slot. This is the d12 document-frequency-cap discipline applied
+    * to cells: measure per-cell population against the uniform share,
+    * flag the outliers, and emit the split/merge plan a rebalance
+    * would execute — split a hot cell into ⌈occupancy⌉ sub-cells
+    * (re-training its centroid into that many), merge a cold cell into
+    * its nearest surviving neighbor centroid.
+    *
+    * Output per cell: population, occupancy (population ÷ uniform
+    * share), action (`split` above 1.1, `merge` below 0.9, else
+    * `keep`), n_target_cells (sub-cells a split re-trains; 0 for a
+    * merged-away cell), merge_into (nearest other centroid by cosine,
+    * NULL unless merging).
+    *
+    * Scale shape: the audit reads the (vec_id, cell_id) assignment —
+    * at 100 TB the persisted sidecar, here the same narrow broadcast
+    * argmax as every IVF consumer — and reduces it to K rows before
+    * anything else happens; the nearest-neighbor plan is a K×K
+    * codebook self-join entirely inside one broadcast. The audit row
+    * count is the codebook size regardless of corpus size.
+    */
+  def ivfCellRebalanceAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pop = ivfAssigned(s, dir)
+      .groupBy($"cell_id").agg(count(lit(1)).as("n_vectors"))
+    // nearest OTHER centroid by cosine (id tiebreak): the merge target.
+    val cb = withNorm(embeddings(s, dir)).filter($"vec_id" < 16)
+    val a = cb.toDF("cell_id", "a_emb", "a_nrm")
+    val b = cb.toDF("n_id", "b_emb", "b_nrm")
+    val nw = Window.partitionBy($"cell_id").orderBy($"ncos".desc, $"n_id")
+    val nearest = a.crossJoin(broadcast(b)).filter($"cell_id" =!= $"n_id")
+      .withColumn("ncos", cosinePrenormed(vec_dot($"a_emb", $"b_emb"), $"a_nrm", $"b_nrm"))
+      .withColumn("r", row_number().over(nw)).filter($"r" === 1)
+      .select($"cell_id", $"n_id".as("nearest_cell"))
+    // The corpus has already reduced to K per-cell counts; the total is
+    // a one-row broadcast, not an unpartitioned window (which would
+    // funnel through a single-partition WindowExec).
+    val tot = pop.agg(sum($"n_vectors").as("n_total"))
+    pop.crossJoin(broadcast(tot))
+      .withColumn("occupancy",
+        ($"n_vectors" * 16).cast("double") / $"n_total".cast("double"))
+      .withColumn("action",
+        when($"occupancy" > 1.1, "split")
+          .when($"occupancy" < 0.9, "merge").otherwise("keep"))
+      .withColumn("n_target_cells",
+        when($"occupancy" > 1.1, ceil($"occupancy"))
+          .when($"occupancy" < 0.9, lit(0L)).otherwise(lit(1L)))
+      .join(broadcast(nearest), Seq("cell_id"))
+      .withColumn("merge_into",
+        when($"action" === "merge", $"nearest_cell").otherwise(lit(null).cast("long")))
+      .select($"cell_id", $"n_vectors", $"occupancy", $"action",
+        $"n_target_cells", $"merge_into")
+      .orderBy($"cell_id")
+  }
+
   /** Label-purity audit — the mislabeled-example detector of a training
     * pipeline: every vector's 1-NN (within its LSH bucket, self
     * excluded) is compared to its own label, aggregated per label.

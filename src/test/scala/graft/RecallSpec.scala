@@ -140,6 +140,46 @@ class RecallSpec extends AnyFunSuite {
     }
   }
 
+  test("s12 flags exactly the cells outside the occupancy bounds, plan fields consistent") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.ops.Similarity
+    val rows = Similarity.ivfCellRebalanceAudit(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSet == (0L until 16L).toSet,
+      "every codebook cell must appear exactly once")
+    // Recompute occupancy independently from the per-cell counts the
+    // audit itself reports (total = sum of counts): the flagged set
+    // must be EXACTLY the cells outside the bounds — no false flags,
+    // no misses.
+    val total = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val occ = r.getLong(1).toDouble * 16 / total
+      assert(r.getDouble(2) == occ, s"cell ${r.getLong(0)}: occupancy mismatch")
+      val expected = if (occ > 1.1) "split" else if (occ < 0.9) "merge" else "keep"
+      assert(r.getString(3) == expected,
+        s"cell ${r.getLong(0)}: occ=$occ flagged ${r.getString(3)}, expected $expected")
+      // The plan fields follow the action: a split re-trains into
+      // ceil(occupancy) sub-cells, a merge names a target centroid and
+      // contributes 0 cells, a keep is the identity.
+      r.getString(3) match {
+        case "split" =>
+          assert(r.getLong(4) == math.ceil(occ).toLong && r.getLong(4) >= 2)
+          assert(r.isNullAt(5))
+        case "merge" =>
+          assert(r.getLong(4) == 0L)
+          assert(!r.isNullAt(5) && r.getLong(5) != r.getLong(0))
+        case _ =>
+          assert(r.getLong(4) == 1L)
+          assert(r.isNullAt(5))
+      }
+    }
+    // Non-degenerate on the test corpus: at least one split and one
+    // merge actually fire (thresholds were chosen against the real
+    // distribution at every shipped SF).
+    assert(rows.exists(_.getString(3) == "split"))
+    assert(rows.exists(_.getString(3) == "merge"))
+  }
+
   test("d16 semantic prune equals a driver-side recomputation on sf0.001") {
     val spark0 = spark
     import spark0.implicits._
