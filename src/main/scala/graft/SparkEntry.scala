@@ -214,6 +214,11 @@ object SparkEntry {
     // components (d11's loop), reported d19-style with REAL decoded
     // pixels charged to each dropped member.
     "m12_image_dedup_report" -> (Multimodal.imageDedupReport _),
+    // m13 = incremental image dedup: the new-arrivals slice (d14's
+    // doc_id%5==0 convention) probes the historical m08 aHash sidecar
+    // via band join + Hamming verify — the batch form the streaming
+    // image-dedup job composes to.
+    "m13_incremental_image"  -> (Multimodal.incrementalImageDedup _),
     "t12_normalize"          -> (TextOps.normalizeText _),
   )
 
@@ -826,6 +831,55 @@ object SparkEntry {
           CAST(sum(CASE WHEN cl.doc_id <> cluster_id THEN d.w * d.h ELSE 0 END) AS BIGINT) AS px_dropped
         FROM cl JOIN d ON cl.doc_id = d.doc_id
         GROUP BY cluster_id ORDER BY cluster_id""",
+      // m13: the m11 hash+band chain split into the d14 slices — new
+      // arrivals (doc_id%5=0) band-join the historical sidecar
+      // (doc_id%5<>0), Hamming <= 2 verifies, each matched new image
+      // reports its lowest-id historical match.
+      "m13_incremental_image" -> """
+        WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w, 8 + (doc_id // 25) % 25 AS h
+                   FROM documents),
+        t AS (SELECT doc_id, w, h,
+                CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                  list_transform(generate_series(0, w - 1), x ->
+                    (doc_id * 31 + 7 * x + 13 * y) % 256)))) AS BIGINT) AS total
+              FROM d),
+        cells AS (SELECT doc_id, w, h, total, i, j,
+                    (i * w) // 8 AS x0, ((i + 1) * w) // 8 AS x1,
+                    (j * h) // 8 AS y0, ((j + 1) * h) // 8 AS y1
+                  FROM t,
+                    (SELECT unnest(generate_series(0, 7)) AS i) ii,
+                    (SELECT unnest(generate_series(0, 7)) AS j) jj),
+        cs AS (SELECT doc_id, w, h, total, i, j,
+                 (x1 - x0) * (y1 - y0) AS np,
+                 CAST(list_sum(flatten(list_transform(generate_series(y0, y1 - 1), y ->
+                   list_transform(generate_series(x0, x1 - 1), x ->
+                     (doc_id * 31 + 7 * x + 13 * y) % 256)))) AS BIGINT) AS csum
+               FROM cells),
+        bits AS (SELECT doc_id, 8 * j + i AS b,
+                   CASE WHEN csum * w * h > total * np THEN 1 ELSE 0 END AS bit
+                 FROM cs),
+        hx AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN b >= 32 AND bit = 1
+                               THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(sum(CASE WHEN b < 32 AND bit = 1
+                               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
+               FROM bits GROUP BY doc_id),
+        bd AS (SELECT doc_id, hi, lo, bb.band,
+                 CASE bb.band WHEN 0 THEN lo & 65535
+                              WHEN 1 THEN (lo >> 16) & 65535
+                              WHEN 2 THEN hi & 65535
+                              ELSE (hi >> 16) & 65535 END AS bval
+               FROM hx, (SELECT unnest(generate_series(0, 3)) AS band) bb),
+        probes AS (SELECT DISTINCT a.doc_id, b.doc_id AS dup_of,
+                     CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+                   FROM bd a JOIN bd b ON a.band = b.band AND a.bval = b.bval
+                   WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+                     AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2)
+        SELECT doc_id, dup_of, hamming FROM (
+          SELECT doc_id, dup_of, hamming,
+            row_number() OVER (PARTITION BY doc_id ORDER BY dup_of) AS r
+          FROM probes) z
+        WHERE r = 1 ORDER BY doc_id""",
       "m10_png_resize" -> """
         WITH d AS (SELECT doc_id, (8 + doc_id % 25) // 2 AS ow,
                      (8 + (doc_id // 25) % 25) // 2 AS oh

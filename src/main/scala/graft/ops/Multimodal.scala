@@ -8,6 +8,7 @@ import javax.imageio.ImageIO
 import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -140,11 +141,18 @@ object Multimodal {
     * disk-backed ImageIO cache off (executors should never touch temp
     * files for an in-memory encode).
     */
-  def pngTable(s: SparkSession, dir: String): Dataset[PngRow] = {
-    import s.implicits._
-    documents(s, dir).select($"doc_id").as[Long].mapPartitions { ids =>
+  def pngTable(s: SparkSession, dir: String): Dataset[PngRow] =
+    pngTableFor(documents(s, dir).select(col("doc_id")).as[Long](s.implicits.newLongEncoder))
+
+  /** [[pngTable]] over an explicit id set — callers that work on a
+    * SLICE (the incremental probe's new-arrivals side) filter ids
+    * BEFORE the encoder runs, so no superfluous image is ever encoded.
+    */
+  private def pngTableFor(ids: Dataset[Long]): Dataset[PngRow] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
       ImageIO.setUseCache(false)
-      ids.map(id => PngRow(id, PngCodec.encode(id)))
+      it.map(id => PngRow(id, PngCodec.encode(id)))
     }
   }
 
@@ -295,9 +303,18 @@ object Multimodal {
     * candidates then come from an equi-join on 16-bit bands of the
     * hash, never from pixel data.
     */
-  private def ahashTable(s: SparkSession, dir: String): Dataset[AHash] = {
-    import s.implicits._
-    pngTable(s, dir).mapPartitions { rows =>
+  private def ahashTable(s: SparkSession, dir: String): Dataset[AHash] =
+    ahashRows(pngTable(s, dir))
+
+  /** The decode+hash pass over any PNG set — shared by the whole-corpus
+    * sidecar build ([[ahashTable]]) and the per-batch probe side of the
+    * incremental/streaming dedup ([[imageProbeBatch]]). Payloads are
+    * consumed inside this narrow map; only (id, hash halves, n_px)
+    * leave it.
+    */
+  private def ahashRows(media: Dataset[PngRow]): Dataset[AHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
       ImageIO.setUseCache(false)
       rows.map { r =>
         val img = ImageIO.read(new ByteArrayInputStream(r.payload))
@@ -345,10 +362,14 @@ object Multimodal {
     * need both the pairs and the sidecar (m12) checkpoint the sidecar
     * and feed this, so the corpus is decoded exactly once per run.
     */
-  private def dupPairsFromAHash(s: SparkSession, ahash: DataFrame,
-      maxHamming: Int): DataFrame = {
+  /** (doc_id, ahash_hi, ahash_lo) → one row per 16-bit band:
+    * (doc_id, ahash_hi, ahash_lo, band, bval) — the shared banding step
+    * of the whole-corpus pair join (m11) and the incremental probe.
+    */
+  private def ahashBands(ahash: DataFrame): DataFrame = {
+    val s = ahash.sparkSession
     import s.implicits._
-    val withBands = ahash
+    ahash
       .select($"doc_id", $"ahash_hi", $"ahash_lo",
         explode(expr("array(" +
           "struct(0L as band, ahash_lo & 65535 as bval), " +
@@ -357,6 +378,12 @@ object Multimodal {
           "struct(3L as band, shiftright(ahash_hi, 16) & 65535 as bval))")).as("b"))
       .select($"doc_id", $"ahash_hi", $"ahash_lo",
         $"b.band".as("band"), $"b.bval".as("bval"))
+  }
+
+  private def dupPairsFromAHash(s: SparkSession, ahash: DataFrame,
+      maxHamming: Int): DataFrame = {
+    import s.implicits._
+    val withBands = ahashBands(ahash)
     val a = withBands.toDF("doc_a", "hi_a", "lo_a", "band_a", "bv_a")
     val b = withBands.toDF("doc_b", "hi_b", "lo_b", "band_b", "bv_b")
     a.join(b.hint("merge"),
@@ -410,6 +437,72 @@ object Multimodal {
            (count(lit(1)) - 1).as("n_dropped"),
            sum(when($"doc_id" =!= $"cluster_id", $"n_px").otherwise(0L)).as("px_dropped"))
       .orderBy($"cluster_id")
+  }
+
+  /** One micro-batch of arriving media probing the STATIC perceptual
+    * index — the image twin of `Dedup.multiSignalProbe`, and the core
+    * the streaming job (`graft.streaming.StreamingImageDedup`) runs per
+    * batch. `batch` bears (doc_id, payload: PNG bytes); `index` is the
+    * persisted (doc_id, ahash_hi, ahash_lo) sidecar of the historical
+    * corpus. The batch decodes and hashes inside one narrow map (no
+    * exchange ever sees the payload — asserted on the executed plan in
+    * StreamingExtrasSpec), bands join against the index bands, total
+    * Hamming ≤ maxHamming verifies, and each matched new image reports
+    * its lowest-id historical match.
+    *
+    * Every output row depends only on its own image versus the index,
+    * so per-batch probes compose: the union over any batch partitioning
+    * equals one batch run ([[incrementalImageDedup]]) bit for bit.
+    *
+    * Scale shape: the BATCH side is broadcast (a micro-batch is small
+    * by definition; the index is the corpus-sized side and only
+    * streams), so probe cost scales with the batch, not the corpus —
+    * the index band table is pre-materialized at 100 TB.
+    */
+  def imageProbeBatch(batch: DataFrame, index: DataFrame,
+      maxHamming: Int = 2): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val bh = ahashRows(batch.select($"doc_id", $"payload").as[PngRow]).toDF()
+    val bBands = ahashBands(bh).toDF("doc_id", "hi_a", "lo_a", "band_a", "bv_a")
+    val iBands = ahashBands(index).toDF("hist_doc", "hi_b", "lo_b", "band_b", "bv_b")
+    val w = Window.partitionBy($"doc_id").orderBy($"hist_doc")
+    broadcast(bBands)
+      .join(iBands, $"band_a" === $"band_b" && $"bv_a" === $"bv_b")
+      .withColumn("hamming",
+        expr("cast(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) as bigint)"))
+      .filter($"hamming" <= maxHamming)
+      .select($"doc_id", $"hist_doc", $"hamming").distinct()
+      .withColumn("r", row_number().over(w))
+      .filter($"r" === 1)
+      .select($"doc_id", $"hist_doc".as("dup_of"), $"hamming")
+  }
+
+  /** m13 — incremental IMAGE dedup, the batch form the streaming job's
+    * per-batch probes must compose to (the d14/d15 slice convention:
+    * doc_id ≡ 0 mod 5 is today's arrivals, the other 80% the persisted
+    * index). New images are encoded and hashed only for the new slice
+    * (ids filter before the codec), the index side is the m08 sidecar
+    * of the historical slice.
+    */
+  /** The persisted (doc_id, ahash_hi, ahash_lo) sidecar of the
+    * HISTORICAL slice (doc_id ≢ 0 mod 5, the d14 convention) — the
+    * static index the incremental batch query and the streaming job
+    * both probe.
+    */
+  def historicalAHashIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val histIds = documents(s, dir).select($"doc_id")
+      .filter($"doc_id" % 5 =!= 0).as[Long]
+    ahashRows(pngTableFor(histIds)).toDF()
+      .select($"doc_id", $"ahash_hi", $"ahash_lo")
+  }
+
+  def incrementalImageDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val newPngs = pngTableFor(documents(s, dir).select($"doc_id")
+      .filter($"doc_id" % 5 === 0).as[Long]).toDF()
+    imageProbeBatch(newPngs, historicalAHashIndex(s, dir)).orderBy($"doc_id")
   }
 
   final case class WavRow(doc_id: Long, payload: Array[Byte])

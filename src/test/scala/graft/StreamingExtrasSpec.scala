@@ -152,6 +152,135 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(batchRun.except(streamed).count() == 0)
   }
 
+  test("streaming image dedup: foreachBatch probes compose to the batch m13 result") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.ops.Multimodal
+    // The second-modality ingest shape: micro-batches of raw PNG bytes
+    // probe the STATIC m08 aHash sidecar via the same frame core the
+    // batch m13 query uses. Each output row depends only on its own
+    // image vs the index, so the union over batches must equal the
+    // batch run bit for bit.
+    val index = Multimodal.historicalAHashIndex(spark, TestSpark.sfDir)
+      .localCheckpoint() // hash the historical corpus once, not per batch
+    val newIds = Tables.documents(spark, TestSpark.sfDir).select($"doc_id")
+      .filter($"doc_id" % 5 === 0).as[Long].collect().sorted
+    val newRows = newIds.map(id => (id, Multimodal.PngCodec.encode(id)))
+    val batches = Seq(
+      newRows.take(newRows.length / 3),
+      newRows.slice(newRows.length / 3, newRows.length / 2),
+      newRows.drop(newRows.length / 2))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = input.toDF().toDF("doc_id", "payload").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected.synchronized {
+          collected ++= Multimodal.imageProbeBatch(batch, index).collect()
+        }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        input.addData(b.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batchRun = Multimodal.incrementalImageDedup(spark, TestSpark.sfDir)
+    val streamed = spark.createDataFrame(
+      spark.sparkContext.parallelize(collected.toSeq), batchRun.schema)
+    assert(streamed.count() > 0, "fixture must produce at least one image match")
+    assert(streamed.count() == batchRun.count())
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+  }
+
+  test("image probe executed plan: no exchange ever carries the payload bytes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val index = Multimodal.historicalAHashIndex(spark, TestSpark.sfDir)
+    val newRows = Tables.documents(spark, TestSpark.sfDir).select($"doc_id")
+      .filter($"doc_id" % 5 === 0).as[Long].collect().sorted
+      .map(id => (id, Multimodal.PngCodec.encode(id)))
+    val batch = newRows.toSeq.toDF("doc_id", "payload")
+    val df = Multimodal.imageProbeBatch(batch, index)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    // Both shuffle AND broadcast exchanges: the batch side is broadcast,
+    // and a broadcast of raw rasters would be exactly the at-scale bug
+    // this asserts against.
+    def exchanges(p: SparkPlan): Seq[Exchange] = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case q: QueryStageExec => exchanges(q.plan)
+      case r: ReusedExchangeExec => Seq.empty
+      case e: Exchange => e +: e.children.flatMap(exchanges)
+      case other => other.children.flatMap(exchanges)
+    }
+    val ex = exchanges(df.queryExecution.executedPlan)
+    assert(ex.nonEmpty, "expected at least one exchange in the band join")
+    ex.foreach { e =>
+      val binCols = e.output.filter(_.dataType ==
+        org.apache.spark.sql.types.BinaryType).map(_.name)
+      assert(binCols.isEmpty,
+        s"exchange carries binary column(s) ${binCols.mkString(",")}: the batch " +
+          "must reduce to hashes before it is broadcast or shuffled")
+    }
+  }
+
+  test("StreamingImageDedup restart replays the uncommitted batch exactly-once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.ops.Multimodal
+    val index = Multimodal.historicalAHashIndex(spark, TestSpark.sfDir).localCheckpoint()
+    val newRows = Tables.documents(spark, TestSpark.sfDir).select($"doc_id")
+      .filter($"doc_id" % 5 === 0).as[Long].collect().sorted
+      .map(id => (id, Multimodal.PngCodec.encode(id)))
+    val batches = Seq(
+      newRows.take(newRows.length / 3),
+      newRows.slice(newRows.length / 3, newRows.length / 2),
+      newRows.drop(newRows.length / 2))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sid_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sid_out").toString
+    val input = MemoryStream[(Long, Array[Byte])]
+    val stream = input.toDF().toDF("doc_id", "payload")
+    def start() = graft.streaming.StreamingImageDedup.run(stream, index, out, ckpt)
+
+    val q1 = start()
+    try {
+      input.addData(batches(0).toSeq); q1.processAllAvailable()
+      input.addData(batches(1).toSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    // Crash between offset log and commit: drop the LAST commit marker
+    // (and its stale .crc sibling), forcing a replay of batch 1 under
+    // the same batch id on restart.
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.map(_.getName.toLong).toSeq == Seq(0L, 1L))
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.1.crc")
+    if (crc.exists()) assert(crc.delete())
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays batch 1
+      input.addData(batches(2).toSeq); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirs == Seq("batch_id=0", "batch_id=1", "batch_id=2"))
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batchRun = Multimodal.incrementalImageDedup(spark, TestSpark.sfDir)
+    assert(streamed.count() == batchRun.count())
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+  }
+
   test("flatMapGroupsWithState keeps custom per-key state across triggers") {
     val spark = TestSpark.spark
     import spark.implicits._
