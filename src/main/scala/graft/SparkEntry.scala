@@ -21,6 +21,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- parity: the reference's pipeline shape (SURVEY.md §2.2-2.4) ----
     "p01_entity_count"       -> (graft.pipeline.EntityPipeline.entityCounts _),
+    // p02 = gazetteer-augmented typed NER: broadcast (surface -> type)
+    // table below the explode, capitalized-word PER fallback — the
+    // PER/ORG/LOC/MISC surface contract of the reference's model.
+    "p02_typed_entities"     -> (graft.pipeline.EntityPipeline.typedEntityCounts _),
     // ---- relational surface ----
     "q01_pricing_summary"    -> (Relational.pricingSummary _),
     "q02_top_orders"         -> (Relational.topOrders _),
@@ -230,6 +234,7 @@ object SparkEntry {
     val disc = "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,3)))"
     Map(
       "p01_entity_count" -> graft.pipeline.EntityPipeline.oracle,
+      "p02_typed_entities" -> graft.pipeline.EntityPipeline.typedOracle,
       "q01_pricing_summary" -> s"""
         SELECT l_returnflag, l_linestatus,
           count(*) AS n_rows,

@@ -28,6 +28,26 @@ object RuleNer {
   val Gazetteer: Seq[String] =
     Seq("hash", "join", "merge", "spark", "stream", "table", "vector", "window")
 
+  /** Typed gazetteer — (surface, type) rows emitting the reference
+    * model's PER/ORG/LOC/MISC surface contract. All lists are public
+    * knowledge: LOC is well-known world cities, PER common given names,
+    * ORG/MISC the engine vocabulary the synthetic corpus actually
+    * contains. The table is broadcast-joined below the explode
+    * (p02/typedEntityCounts); a surface absent from the corpus simply
+    * never matches — the LOC/PER rows exercise the join contract even
+    * on the lowercase technical test corpus.
+    */
+  val TypedGazetteer: Seq[(String, String)] = Seq(
+    "spark" -> "ORG",
+    "hash" -> "MISC", "join" -> "MISC", "merge" -> "MISC",
+    "stream" -> "MISC", "table" -> "MISC", "vector" -> "MISC",
+    "window" -> "MISC",
+    "berlin" -> "LOC", "cairo" -> "LOC", "lima" -> "LOC",
+    "london" -> "LOC", "oslo" -> "LOC", "paris" -> "LOC",
+    "quito" -> "LOC", "tokyo" -> "LOC",
+    "alice" -> "PER", "bob" -> "PER", "carol" -> "PER",
+    "dave" -> "PER", "erin" -> "PER", "frank" -> "PER")
+
   val CapitalizedRe = "^[A-Z][A-Za-z]+$"
 
   /** Plain-Scala extractor — the shape the reference uses (a row-at-a-time

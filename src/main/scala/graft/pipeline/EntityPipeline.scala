@@ -67,4 +67,57 @@ object EntityPipeline {
     WHERE tok IN ($gaz) OR regexp_full_match(tok, '[A-Z][A-Za-z]+')
     GROUP BY tok ORDER BY n DESC, tok"""
   }
+
+  /** p02 — gazetteer-augmented typed NER: the p01 spine (tokenize below
+    * a shared explode) with a broadcast (surface → PER/ORG/LOC/MISC)
+    * gazetteer join deciding the type, and the p01 capitalized-word
+    * heuristic kept as the PER fallback for proper nouns the gazetteer
+    * does not know. Gazetteer hits take precedence over the heuristic
+    * (a known surface is typed by the table, not guessed). This narrows
+    * the fidelity gap to the reference's transformer NER within public
+    * knowledge: the output carries the model's typed surface contract,
+    * and every rule stays ANSI-SQL-expressible so the oracle models the
+    * gazetteer table directly as a VALUES relation.
+    *
+    * Scale shape: the gazetteer is a KB-sized broadcast below the
+    * explode — tokens never shuffle untyped; the only exchange is the
+    * final (entity, type) count aggregation, with map-side partial
+    * aggregation on the exploded tokens.
+    */
+  def typedEntityCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gaz = RuleNer.TypedGazetteer.toDF("surface", "entity_type")
+    Tables.documents(s, dir)
+      .select(explode(split(coalesce($"text", lit("")), "\\s+")).as("entity"))
+      .filter($"entity" =!= "")
+      .join(broadcast(gaz), $"entity" === $"surface", "left")
+      .withColumn("entity_type",
+        coalesce($"entity_type",
+          when($"entity".rlike(RuleNer.CapitalizedRe), "PER")))
+      .filter($"entity_type".isNotNull)
+      .groupBy($"entity", $"entity_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"entity")
+  }
+
+  /** DuckDB oracle for [[typedEntityCounts]] — the gazetteer modeled
+    * directly as a VALUES relation, same left join + PER fallback.
+    */
+  val typedOracle: String = {
+    val gazRows = RuleNer.TypedGazetteer
+      .map { case (sf, ty) => s"('$sf', '$ty')" }.mkString(", ")
+    s"""
+    WITH gaz(surface, entity_type) AS (VALUES $gazRows),
+    toks AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok
+             FROM documents),
+    typed AS (SELECT t.tok,
+                COALESCE(g.entity_type,
+                  CASE WHEN regexp_full_match(t.tok, '[A-Z][A-Za-z]+')
+                       THEN 'PER' END) AS entity_type
+              FROM toks t LEFT JOIN gaz g ON t.tok = g.surface
+              WHERE t.tok <> '')
+    SELECT tok AS entity, entity_type, count(*) AS n FROM typed
+    WHERE entity_type IS NOT NULL
+    GROUP BY tok, entity_type ORDER BY n DESC, entity"""
+  }
 }

@@ -48,4 +48,40 @@ class RuleNerSpec extends AnyFunSuite {
       RuleNer.extractEntitiesUdf($"text").as("b")).collect()
     both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
+
+  test("p02 typed gazetteer: table wins over the heuristic, types stay in contract") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Surface contract of the reference model: every emitted type is one
+    // of PER/ORG/LOC/MISC, a gazetteer surface is typed by the table
+    // (never the capitalized-word guess), and the fallback types unknown
+    // proper nouns as PER.
+    val gaz = RuleNer.TypedGazetteer.toMap
+    assert(gaz.values.toSet.subsetOf(Set("PER", "ORG", "LOC", "MISC")))
+    assert(gaz.size == RuleNer.TypedGazetteer.size, "gazetteer surfaces must be unique")
+    val out = graft.pipeline.EntityPipeline
+      .typedEntityCounts(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (entity, tpe, n) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(Set("PER", "ORG", "LOC", "MISC").contains(tpe))
+      assert(n > 0)
+      gaz.get(entity) match {
+        case Some(t) => assert(tpe == t, s"$entity: gazetteer type $t beaten by $tpe")
+        case None => assert(tpe == "PER" && entity.matches(RuleNer.CapitalizedRe),
+          s"$entity: non-gazetteer entity must come from the PER fallback")
+      }
+    }
+    // Non-degenerate on the shipped corpus: the ORG and MISC rows match.
+    val types = out.map(_.getString(1)).toSet
+    assert(types.contains("ORG") && types.contains("MISC"))
+    // And the total count per entity agrees with the untyped p01 row for
+    // shared gazetteer surfaces (same tokenization, same corpus).
+    val p01 = graft.pipeline.EntityPipeline.entityCounts(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.filter(r => RuleNer.Gazetteer.contains(r.getString(0))).foreach { r =>
+      assert(p01(r.getString(0)) == r.getLong(2),
+        s"${r.getString(0)}: typed count ${r.getLong(2)} != p01 ${p01(r.getString(0))}")
+    }
+  }
 }
