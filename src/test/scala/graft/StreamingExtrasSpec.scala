@@ -281,6 +281,84 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(batchRun.except(streamed).count() == 0)
   }
 
+  test("streamed transitions compose to the batch transitionStats on the same slice") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // The watermarked streaming form of the e14/e15 family: feed the
+    // whole sf0.001 event log in event-time order (the ordered-ingest
+    // contract) across three uneven micro-batches that split most
+    // users' timelines, and the per-batch flatMapGroupsWithState pairs
+    // must aggregate to the batch lead()-window result bit for bit.
+    val evs = Tables.events(spark, TestSpark.sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .as[(Long, java.sql.Timestamp, Long, String, Long)]
+      .collect().sortBy(e => (e._5, e._3))
+      .map(e => (e._1, e._2, e._3, e._4))
+    val batches = Seq(
+      evs.take(evs.length / 3),
+      evs.slice(evs.length / 3, 2 * evs.length / 3),
+      evs.drop(2 * evs.length / 3))
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val stream = input.toDF().toDF("user_id", "ts", "event_id", "event_type")
+    // Horizon wider than the 30-day log span: state eviction is the
+    // production semantics for idle users, but the equality contract
+    // needs every user to survive the batch boundaries here.
+    val q = graft.streaming.StreamTransitions
+      .transitions(stream, horizonMs = 90L * 24 * 3600 * 1000).toDF()
+      .writeStream.format("memory").queryName("st_trans")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        input.addData(b.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("st_trans")
+      .groupBy($"from_type", $"to_type")
+      .agg(count(lit(1)).as("n"), sum($"gap_us").as("total_gap_us"),
+        min($"gap_us").as("min_gap_us"), max($"gap_us").as("max_gap_us"))
+    val batchRun = graft.ops.EventOps.transitionStats(spark, TestSpark.sfDir)
+    val nStreamed = streamed.count()
+    assert(nStreamed > 0, "fixture must produce transitions")
+    assert(nStreamed == batchRun.count())
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+    // The batch split genuinely exercised cross-batch chaining: pairs
+    // total events - users, which only holds if pairs spanning batch
+    // boundaries were emitted from remembered state.
+    val nUsers = evs.map(_._1).distinct.length
+    val totalPairs = spark.table("st_trans").count()
+    assert(totalPairs == evs.length - nUsers)
+  }
+
+  test("StreamTransitions evicts idle users at the horizon: no pair across an eviction") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val stream = input.toDF().toDF("user_id", "ts", "event_id", "event_type")
+    val q = graft.streaming.StreamTransitions
+      .transitions(stream, watermark = "1 minute", horizonMs = 60000L).toDF()
+      .writeStream.format("memory").queryName("st_evict")
+      .outputMode("append").start()
+    try {
+      // A's first event, then a far-future B event advances the
+      // watermark a day past A's 60 s horizon -> A's state evicts.
+      input.addData((1L, ts("2024-01-01 00:00:00"), 1L, "view")); q.processAllAvailable()
+      input.addData((2L, ts("2024-01-02 00:00:00"), 2L, "view")); q.processAllAvailable()
+      // A returns after the eviction: NO pair may bridge the gap...
+      input.addData((1L, ts("2024-01-03 00:00:00"), 3L, "click")); q.processAllAvailable()
+      // ...but the fresh state chains A's next event normally.
+      input.addData((1L, ts("2024-01-03 00:00:01"), 4L, "buy")); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("st_evict")
+      .select($"user_id", $"from_type", $"to_type", $"gap_us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(rows == Seq((1L, "click", "buy", 1000000L)))
+  }
+
   test("flatMapGroupsWithState keeps custom per-key state across triggers") {
     val spark = TestSpark.spark
     import spark.implicits._
