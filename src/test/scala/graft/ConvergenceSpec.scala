@@ -90,6 +90,32 @@ class ConvergenceSpec extends AnyFunSuite {
       fast(3003L) == 3000L && fast(4001L) == 4000L)
   }
 
+  test("a graph just above the driver gate takes the loop, labels equal to the fast path") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // The gate boundary the equivalence test above never crosses: the
+    // DEFAULT threshold (1e6) with a measured edge count just past it.
+    // 1,000,001 disjoint pairs give the mass; a 4-chain with its
+    // minimum at the far end forces real pointer-jumping rounds.
+    val pairs = spark.range(1000001L)
+      .select(($"id" * 2).as("doc_a"), ($"id" * 2 + 1).as("doc_b"))
+    val edges = pairs.union(chain(Seq(3000003L, 3000002L, 3000001L, 3000000L)))
+    val (loopLabels, rounds) = Dedup.connectedComponentsWithRounds(spark, edges)
+    assert(rounds > 0,
+      "an edge count above the gate must take the distributed loop, not collect")
+    val (fastLabels, fastRounds) =
+      Dedup.connectedComponentsWithRounds(spark, edges, driverMaxEdges = Long.MaxValue)
+    assert(fastRounds == 0)
+    // Bit-identical labeling across the gate on the SAME >1e6-edge
+    // graph (the small-graph equivalence test can't witness this side).
+    assert(loopLabels.except(fastLabels).count() == 0)
+    assert(fastLabels.except(loopLabels).count() == 0)
+    val chainLabels = loopLabels.filter($"doc_id" >= 3000000L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainLabels == Seq(3000000L, 3000001L, 3000002L, 3000003L)
+      .map(_ -> 3000000L).toMap)
+  }
+
   test("several disjoint chains converge together, each to its own minimum") {
     val spark = TestSpark.spark
     import spark.implicits._
