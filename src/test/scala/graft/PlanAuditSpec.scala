@@ -23,11 +23,13 @@ class PlanAuditSpec extends AnyFunSuite {
   //  - t26_bigram_nll: one-row vocabulary-count aggregate
   //  - t27_mixture_plan: one-row budget-minimum aggregate
   //  - s11_recall_audit: same 16-row codebook as s08 (the audited index)
+  //  - s12_cell_rebalance: one-row corpus-total aggregate + the 16x16
+  //    codebook nearest-neighbor self-join (both broadcast, K-bounded)
   private val boundedCrossJoins =
     Set("q16_above_avg", "s04_knn_ivf", "d16_semantic_prune", "s08_knn_ivfpq",
         "t13_tfidf", "t20_unigram_nll", "t22_source_divergence",
         "t23_temp_resample", "s09_centroid_reps", "t26_bigram_nll",
-        "t27_mixture_plan", "s11_recall_audit")
+        "t27_mixture_plan", "s11_recall_audit", "s12_cell_rebalance")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark
