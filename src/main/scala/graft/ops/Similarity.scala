@@ -385,8 +385,12 @@ object Similarity {
     */
   def ivfCellRebalanceAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // localCheckpoint the K-row per-cell counts: the total aggregate
+    // below would otherwise re-derive the WHOLE corpus assignment for
+    // its one row — two corpus scans for a K-row audit.
     val pop = ivfAssigned(s, dir)
       .groupBy($"cell_id").agg(count(lit(1)).as("n_vectors"))
+      .localCheckpoint()
     // nearest OTHER centroid by cosine (id tiebreak): the merge target.
     val cb = withNorm(embeddings(s, dir)).filter($"vec_id" < 16)
     val a = cb.toDF("cell_id", "a_emb", "a_nrm")
