@@ -145,6 +145,10 @@ object SparkEntry {
     // uniform share, plus the split/merge plan a rebalance would run —
     // the d12 frequency-cap discipline applied to the coarse index.
     "s12_cell_rebalance"     -> (Similarity.ivfCellRebalanceAudit _),
+    // s13 = SQ8 two-stage retrieval: global-affine uint8 codes, integer-
+    // exact reconstructed-cosine shortlist, exact float re-rank — the
+    // 4x-compression serving path between PQ (s07) and raw floats.
+    "s13_sq_rerank"          -> (Similarity.sqRerankKnn _),
     // s09 = coreset manifest: per IVF cell the best-fit representative,
     // population, and worst-fit cosine — diversity sampling + cell audit.
     "s09_centroid_reps"      -> (Similarity.centroidReps _),
@@ -182,6 +186,13 @@ object SparkEntry {
     // t27 = mixture-realization plan: largest downsample-only budget a
     // target ppm mixture admits, per-source allocation + binding source.
     "t27_mixture_plan"       -> (TextOps.mixturePlan _),
+    // t28 = vocabulary-growth (Heaps-law) audit: cumulative vocab vs
+    // tokens at doc-id deciles via token first-occurrence — the
+    // corpus-saturation curve.
+    "t28_vocab_growth"       -> (TextOps.vocabGrowth _),
+    // t29 = source-pair Jaccard over distinct vocabularies — the
+    // source-level near-duplicate matrix (drop the feed, not the docs).
+    "t29_source_jaccard"     -> (TextOps.sourceJaccard _),
     "t15_length_hist"        -> (TextOps.lengthHistogram _),
     "t16_contamination"      -> (TextOps.contamination _),
     "t17_repetition"         -> (TextOps.repetitionFilters _),
@@ -1550,6 +1561,48 @@ object SparkEntry {
           CASE WHEN o.occupancy < 0.9 THEN n.nearest_cell ELSE NULL END AS merge_into
         FROM occ o JOIN nearest n ON n.cell_id = o.cell_id
         ORDER BY o.cell_id""",
+      // s13: the SQ8 path — global-affine uint8 codes, approximate
+      // cosine reconstructed from integer sums (every term exact in
+      // double, so the shortlist ranking is engine-exact), exact
+      // cosine re-rank of the top-25. FP chains mirror the Spark side
+      // term for term.
+      "s13_sq_rerank" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings),
+        st AS (SELECT min(x) AS gmin, max(x) AS gmax
+               FROM (SELECT unnest(v) AS x FROM e)),
+        c AS (SELECT vec_id,
+                list_transform(v, x ->
+                  CAST(floor((x - gmin) * 255.0 / (gmax - gmin)) AS DOUBLE)) AS qv,
+                gmin, (gmax - gmin) / 255.0 AS scale
+              FROM e, st),
+        cs AS (SELECT vec_id, qv, gmin, scale,
+                 CAST(list_sum(qv) AS DOUBLE) AS sq,
+                 list_dot_product(qv, qv) AS sq2
+               FROM c),
+        pairs AS (SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+                    (v.scale * v.scale * list_dot_product(q.qv, v.qv)
+                     + v.scale * v.gmin * (q.sq + v.sq)
+                     + 64.0 * v.gmin * v.gmin) /
+                    (sqrt(v.scale * v.scale * q.sq2 + 2.0 * v.scale * v.gmin * q.sq
+                          + 64.0 * v.gmin * v.gmin)
+                     * sqrt(v.scale * v.scale * v.sq2 + 2.0 * v.scale * v.gmin * v.sq
+                            + 64.0 * v.gmin * v.gmin)) AS acos
+                  FROM cs q JOIN cs v ON v.vec_id <> q.vec_id
+                  WHERE q.vec_id < 5),
+        shortlist AS (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY acos DESC, vec_id) AS srank
+          FROM pairs) t WHERE srank <= 25)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT sl.q_id, sl.vec_id,
+            list_dot_product(q.v, a.v) / (q.nrm * a.nrm) AS cos,
+            row_number() OVER (PARTITION BY sl.q_id
+              ORDER BY list_dot_product(q.v, a.v) / (q.nrm * a.nrm) DESC, sl.vec_id) AS rank
+          FROM shortlist sl JOIN e a ON a.vec_id = sl.vec_id
+          JOIN e q ON q.vec_id = sl.q_id) t
+        WHERE rank <= 5 ORDER BY q_id, rank""",
       // Two-stage retrieval: the s06 ADC scoring shortlists top-25 per
       // query, exact cosine re-ranks only the shortlist.
       "s07_knn_pq_rerank" -> """
@@ -1788,6 +1841,44 @@ object SparkEntry {
           list_reduce(list(contrib ORDER BY term), (a, b) -> a + b)
             / ln(CAST(count(*) AS DOUBLE)) AS norm_entropy
         FROM c GROUP BY source ORDER BY source""",
+      // t28: token first-occurrence assigns each type to one doc-id
+      // decile ((doc_id*10)//n all-BIGINT floor division, t27 class);
+      // cumulative sums run over the ten decile rows.
+      "t28_vocab_growth" -> """
+        WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        dd AS (SELECT (d.doc_id * 10) // n.n_docs AS b, count(*) AS nd,
+                 CAST(sum(len(regexp_split_to_array(d.text, '\s+'))) AS BIGINT) AS nt
+               FROM documents d, n GROUP BY 1),
+        fo AS (SELECT term, min(doc_id) AS first_doc FROM (
+                 SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+                 FROM documents) t GROUP BY term),
+        td AS (SELECT (fo.first_doc * 10) // n.n_docs AS b, count(*) AS nv
+               FROM fo, n GROUP BY 1)
+        SELECT dd.b + 1 AS decile,
+          CAST(sum(dd.nd) OVER (ORDER BY dd.b) AS BIGINT) AS cum_docs,
+          CAST(sum(dd.nt) OVER (ORDER BY dd.b) AS BIGINT) AS cum_tokens,
+          CAST(sum(coalesce(td.nv, 0)) OVER (ORDER BY dd.b) AS BIGINT) AS cum_vocab,
+          CAST(sum(coalesce(td.nv, 0)) OVER (ORDER BY dd.b) AS DOUBLE)
+            / CAST(sum(dd.nt) OVER (ORDER BY dd.b) AS DOUBLE) AS ttr
+        FROM dd LEFT JOIN td ON td.b = dd.b ORDER BY decile""",
+      // t29: distinct (source, term) self-joined on term — fan-out
+      // structurally bounded by |sources|² per term.
+      "t29_source_jaccard" -> """
+        WITH st AS (SELECT DISTINCT source, term FROM (
+               SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS term
+               FROM documents) t),
+        sz AS (SELECT source, count(*) AS n_terms FROM st GROUP BY source),
+        inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+                  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+                  GROUP BY 1, 2)
+        SELECT i.src_a, i.src_b,
+          CAST(za.n_terms AS BIGINT) AS n_a, CAST(zb.n_terms AS BIGINT) AS n_b,
+          CAST(i.n_common AS BIGINT) AS n_common,
+          CAST(i.n_common AS DOUBLE)
+            / CAST(za.n_terms + zb.n_terms - i.n_common AS DOUBLE) AS jaccard
+        FROM inter i JOIN sz za ON za.source = i.src_a
+        JOIN sz zb ON zb.source = i.src_b
+        ORDER BY src_a, src_b""",
       "t25_curriculum" -> """
         WITH x AS (SELECT source, doc_id, regexp_split_to_array(text, '\s+') AS t
                    FROM documents),

@@ -421,6 +421,74 @@ object Similarity {
       .orderBy($"cell_id")
   }
 
+  /** s13 — scalar-quantized (SQ8) two-stage retrieval: the per-dimension
+    *-resolution compression path between s07's PQ (64× compression,
+    * coarse) and the raw floats (no compression). Every embedding is
+    * quantized to 64 uint8 codes with ONE global affine map
+    * `q = floor((x − gmin)·255/(gmax − gmin))` (the export convention a
+    * serving stack ships — s10 audits the per-dim variant of the same
+    * map); the approximate score is reconstructed-cosine computed
+    * entirely from INTEGER sums:
+    *
+    *   dot(x,y) ≈ s²·Σqxqy + s·m·(Σqx + Σqy) + 64·m²   (s=scale, m=gmin)
+    *
+    * so the only per-pair work is an integer dot product — every term
+    * (Σqxqy ≤ 64·255², Σq, Σq²) is exactly representable in double,
+    * which makes the whole shortlist ranking bit-deterministic under
+    * any shuffle order, unlike a float-accumulated approximate cosine.
+    * The top-25 shortlist is then re-ranked by exact cosine over the
+    * full floats, s07-style.
+    *
+    * Scale shape at 100 TB: the corpus pass reads the 64-byte code
+    * column (4× smaller than float32; production persists it next to
+    * the embedding like the PQ codes), the global (gmin, gmax) pair is
+    * a one-row broadcast from the export step, per-vector Σq/Σq² ride
+    * along as two doubles, and the float fetch is 25 rows per query.
+    * Integer-domain scoring is also the SIMD-friendly form hardware
+    * executes 4-8× wider than float math.
+    */
+  def sqRerankKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val st = embeddings(s, dir)
+      .select(explode($"embedding").as("xf"))
+      .select($"xf".cast("double").as("x"))
+      .agg(min($"x").as("gmin"), max($"x").as("gmax"))
+    // Codes as exact small-integer doubles: vec_dot's strict left fold
+    // over them is an INTEGER sum in disguise (every partial < 2^53).
+    val coded = embeddings(s, dir).crossJoin(broadcast(st))
+      .select($"vec_id", $"gmin",
+        (($"gmax" - $"gmin") / lit(255.0)).as("scale"),
+        expr("transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE) - gmin) " +
+          "* 255.0D / (gmax - gmin)) AS DOUBLE))").as("qv"))
+      .withColumn("sq", expr("aggregate(qv, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("sq2", vec_dot($"qv", $"qv"))
+    val q = coded.select($"vec_id".as("q_id"), $"qv".as("q_qv"),
+      $"sq".as("sx"), $"sq2".as("sx2")).filter($"q_id" < 5)
+    val ws = Window.partitionBy($"q_id").orderBy($"acos".desc, $"vec_id")
+    val shortlist = coded.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .withColumn("sxy", vec_dot($"q_qv", $"qv"))
+      .withColumn("acos",
+        ($"scale" * $"scale" * $"sxy" + $"scale" * $"gmin" * ($"sx" + $"sq") +
+          lit(64.0) * $"gmin" * $"gmin") /
+        (sqrt($"scale" * $"scale" * $"sx2" + lit(2.0) * $"scale" * $"gmin" * $"sx" +
+          lit(64.0) * $"gmin" * $"gmin") *
+         sqrt($"scale" * $"scale" * $"sq2" + lit(2.0) * $"scale" * $"gmin" * $"sq" +
+          lit(64.0) * $"gmin" * $"gmin")))
+      .withColumn("srank", row_number().over(ws))
+      .filter($"srank" <= 25)
+      .select($"q_id", $"vec_id")
+    val e = withNorm(embeddings(s, dir))
+    val qe = e.filter($"vec_id" < 5).toDF("q_id", "q_emb", "q_nrm")
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    e.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(qe), Seq("q_id"))
+      .withColumn("cos", cosinePrenormed(vec_dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Label-purity audit — the mislabeled-example detector of a training
     * pipeline: every vector's 1-NN (within its LSH bucket, self
     * excluded) is compared to its own label, aggregated per label.

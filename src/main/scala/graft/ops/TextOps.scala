@@ -706,6 +706,94 @@ object TextOps {
       .orderBy($"source")
   }
 
+  /** t28 — vocabulary-growth (Heaps-law) audit: cumulative distinct
+    * vocabulary vs cumulative token count at ten corpus checkpoints
+    * (doc-id deciles). The curve a data curator reads before sizing a
+    * tokenizer vocabulary or estimating how much MORE data keeps
+    * adding new types — sublinear growth flattening early means the
+    * corpus is saturating (more of the same); a curve that keeps
+    * climbing means the next shard still buys coverage.
+    *
+    * The distributed form never re-scans the corpus per checkpoint:
+    * each token's FIRST-occurrence document (`min(doc_id)` over the
+    * token explode — the same vocabulary-sized inverted-index shuffle
+    * as d18/t24) assigns it to exactly one decile; per-decile new-type
+    * counts and token counts then cumulate through a ten-row window.
+    * The decile boundary is all-BIGINT floor division
+    * (`(doc_id * 10) div n_docs`, the t27 discipline), so bucketing is
+    * engine-exact; the type-token ratio is one exact integer division
+    * per output row.
+    *
+    * Scale shape: one token explode → vocabulary-sized min-aggregate
+    * (map-side combined); one narrow doc scan → 10-row aggregate; the
+    * cumulative window runs over TEN rows, not the corpus. The one-row
+    * doc-count aggregate is a broadcast crossJoin (whitelisted, t13
+    * class).
+    */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = documents(s, dir)
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val docDeciles = d
+      .select($"doc_id", size(toks($"text")).cast("long").as("n_toks"))
+      .crossJoin(broadcast(n))
+      .withColumn("b", expr("(doc_id * 10) div n_docs"))
+      .groupBy($"b").agg(count(lit(1)).as("nd"), sum($"n_toks").as("nt"))
+    val typeDeciles = d
+      .select($"doc_id", explode(toks($"text")).as("term"))
+      .groupBy($"term").agg(min($"doc_id").as("first_doc"))
+      .crossJoin(broadcast(n))
+      .withColumn("b", expr("(first_doc * 10) div n_docs"))
+      .groupBy($"b").agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docDeciles.join(typeDeciles, Seq("b"), "left")
+      .withColumn("decile", $"b" + 1)
+      .withColumn("cum_docs", sum($"nd").over(w))
+      .withColumn("cum_tokens", sum($"nt").over(w))
+      .withColumn("cum_vocab", sum(coalesce($"nv", lit(0L))).over(w))
+      .withColumn("ttr", $"cum_vocab".cast("double") / $"cum_tokens".cast("double"))
+      .select($"decile", $"cum_docs", $"cum_tokens", $"cum_vocab", $"ttr")
+      .orderBy($"decile")
+  }
+
+  /** t29 — source-pair Jaccard similarity over distinct vocabularies:
+    * the SOURCE-level near-duplicate detector. Two feeds that are
+    * mirrors of each other (a crawl and its re-crawl, a dump and its
+    * fork) show near-identical token sets long before any document
+    * pair is hashed — this matrix is the first thing to read when
+    * deciding whether a whole source should be dropped rather than
+    * deduped document by document (the d19 savings report's
+    * upstream sibling).
+    *
+    * Scale shape: everything derives from the DISTINCT (source, term)
+    * projection — vocabulary × sources sized, map-side combined, tiny
+    * next to the corpus. The self-join is keyed on term, and its
+    * fan-out is STRUCTURALLY bounded: a term in k sources emits
+    * k·(k−1)/2 ≤ |sources|²/2 pair rows, so the worst-case output is
+    * vocabulary · |sources|² — no df cap needed (compare d12, where
+    * per-DOCUMENT fan-out does need one). Per-source set sizes are a
+    * |sources|-row broadcast.
+    */
+  def sourceJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val st = documents(s, dir)
+      .select($"source", explode(toks($"text")).as("term"))
+      .distinct()
+    val inter = st.toDF("src_a", "term")
+      .join(st.toDF("src_b", "term"), Seq("term"))
+      .filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_common"))
+    val sizes = st.groupBy($"source").agg(count(lit(1)).as("n_terms"))
+    inter
+      .join(broadcast(sizes.toDF("src_a", "n_a")), Seq("src_a"))
+      .join(broadcast(sizes.toDF("src_b", "n_b")), Seq("src_b"))
+      .withColumn("jaccard",
+        $"n_common".cast("double") / ($"n_a" + $"n_b" - $"n_common").cast("double"))
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"n_common", $"jaccard")
+      .orderBy($"src_a", $"src_b")
+  }
+
   /** Curriculum binning: within each source, documents are ranked by
     * the t02 quality score (doc_id tiebreak → a total order) and cut
     * into 4 equal-size phases with ntile — the curriculum-learning

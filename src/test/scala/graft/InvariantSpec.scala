@@ -623,4 +623,58 @@ class InvariantSpec extends AnyFunSuite {
       assert(maxErr <= scale + 1e-15)
     }
   }
+
+  test("t28 vocab growth equals a driver-side recount and is monotone") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = graft.ops.TextOps.vocabGrowth(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").toSeq))
+    val n = docs.length.toLong
+    // driver recount: decile of a doc, cumulative docs/tokens/vocab
+    def decile(id: Long): Long = id * 10 / n + 1
+    val expected = (1L to 10L).map { k =>
+      val in = docs.filter(d => decile(d._1) <= k)
+      (k, in.length.toLong, in.map(_._2.length.toLong).sum,
+        in.flatMap(_._2).toSet.size.toLong)
+    }
+    assert(rows.length == 10)
+    rows.zip(expected).foreach { case ((d, cd, ct, cv, ttr), (ek, ecd, ect, ecv)) =>
+      assert(d == ek && cd == ecd && ct == ect,
+        s"decile $d: docs/tokens ($cd,$ct) want ($ecd,$ect)")
+      // cum_vocab counts FIRST occurrences — equals the distinct set size
+      assert(cv == ecv, s"decile $d: vocab $cv want $ecv")
+      assert(ttr == cv.toDouble / ct)
+    }
+    // monotone growth, full coverage at decile 10
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(identity).toSeq)
+    assert(rows.last._2 == n)
+  }
+
+  test("t29 source jaccard equals a driver-side set recount") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = graft.ops.TextOps.sourceJaccard(spark, TestSpark.sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    val bySource = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1).split("\\s+").toSet))
+      .groupBy(_._1).map { case (s0, a) => s0 -> a.flatMap(_._2).toSet }
+    val sources = bySource.keys.toSeq.sorted
+    val expectedPairs = for {
+      a <- sources; b <- sources if a < b
+      inter = (bySource(a) & bySource(b)).size if inter > 0
+    } yield (a, b)
+    assert(rows.keySet == expectedPairs.toSet)
+    rows.foreach { case ((a, b), (na, nb, nc, j)) =>
+      assert(na == bySource(a).size && nb == bySource(b).size)
+      assert(nc == (bySource(a) & bySource(b)).size)
+      assert(j == nc.toDouble / (na + nb - nc).toDouble)
+      assert(nc <= math.min(na, nb) && j > 0.0 && j <= 1.0)
+    }
+  }
 }

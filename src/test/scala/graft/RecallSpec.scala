@@ -96,6 +96,23 @@ class RecallSpec extends AnyFunSuite {
     }
   }
 
+  test("s13 SQ8 rerank: exact cosines on every emitted row, high recall@5 vs s01") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.ops.Similarity
+    val exact5 = Similarity.bruteForceKnn(spark, dir).filter($"rank" <= 5)
+      .select($"q_id", $"vec_id", $"cos")
+    val sq = Similarity.sqRerankKnn(spark, dir).select($"q_id", $"vec_id", $"cos")
+    assert(sq.count() == 25, "5 queries x top-5")
+    // The re-rank stage computes the same exact-cosine chain as s01, so
+    // a recalled pair must match on the VALUE too — joining on all
+    // three columns makes a 1-ULP drift a recall failure, not a pass.
+    val hits = sq.join(exact5, Seq("q_id", "vec_id", "cos")).count()
+    val recall = hits.toDouble / exact5.count()
+    assert(recall >= 0.8, s"SQ8 recall@5 = $recall — the uint8 shortlist " +
+      "lost exact-top-5 members it is expected to keep at width 25")
+  }
+
   test("s11 recall@5 is monotone non-decreasing across shortlist widths") {
     val spark0 = spark
     import spark0.implicits._
