@@ -234,6 +234,10 @@ object SparkEntry {
     // via band join + Hamming verify — the batch form the streaming
     // image-dedup job composes to.
     "m13_incremental_image"  -> (Multimodal.incrementalImageDedup _),
+    // m14 = audio nearest-neighbor: per probe clip the closest clip in
+    // its duration class by integer L1 over m09-style frame-energy
+    // fingerprints — the audio twin of the m11 image near-dup probe.
+    "m14_audio_nn"           -> (Multimodal.audioNearestNeighbor _),
     "t12_normalize"          -> (TextOps.normalizeText _),
   )
 
@@ -730,6 +734,30 @@ object SparkEntry {
           CAST(min(tot) AS BIGINT) AS total_energy,
           CAST(sum(CASE WHEN energy * n_frames > tot THEN 1 ELSE 0 END) AS BIGINT) AS n_active
         FROM w GROUP BY doc_id ORDER BY doc_id""",
+      // m14: per-frame energies recomputed from the WAV generator
+      // formula (the m09 CTE), clips paired within the same frame
+      // count, integer L1 summed frame-by-frame, rank-1 by (l1, id).
+      "m14_audio_nn" -> """
+        WITH f AS (SELECT doc_id, CAST(200 + doc_id % 400 AS BIGINT) AS n FROM documents),
+        e AS (SELECT doc_id, (n + 63) // 64 AS n_frames, fr,
+                CAST(list_sum(list_transform(
+                  generate_series(CAST(fr * 64 AS INTEGER),
+                                  CAST(least(n, fr * 64 + 64) AS INTEGER) - 1),
+                  i -> ((doc_id * 7919 + i * 104729) % 65536 - 32768) *
+                       ((doc_id * 7919 + i * 104729) % 65536 - 32768))) AS BIGINT) AS energy
+              FROM f, LATERAL unnest(generate_series(0, CAST((n + 63) // 64 AS INTEGER) - 1))
+                      AS t(fr)),
+        pairs AS (SELECT q.doc_id AS q_id, c.doc_id AS c_id,
+                    CAST(min(q.n_frames) AS BIGINT) AS n_frames,
+                    CAST(sum(abs(q.energy - c.energy)) AS BIGINT) AS l1
+                  FROM e q JOIN e c ON c.n_frames = q.n_frames AND c.fr = q.fr
+                                   AND c.doc_id <> q.doc_id
+                  WHERE q.doc_id < 50
+                  GROUP BY q.doc_id, c.doc_id)
+        SELECT doc_id, nn_id, n_frames, l1_dist FROM (
+          SELECT q_id AS doc_id, c_id AS nn_id, n_frames, l1 AS l1_dist,
+            row_number() OVER (PARTITION BY q_id ORDER BY l1 ASC, c_id) AS r
+          FROM pairs) t WHERE r = 1 ORDER BY doc_id""",
       // Recomputes the GIF generator formula (2 + id % 4 frames of
       // (6 + id % 10) x (6 + (id/10) % 10), gray pixel
       // (id*31 + f*17 + 7x + 13y) % 256) — the Spark side gets these

@@ -653,6 +653,76 @@ object Multimodal {
     }.toDF().orderBy($"doc_id")
   }
 
+  final case class AudioFp(doc_id: Long, n_frames: Long, energies: Array[Long])
+
+  /** Per-clip frame-energy FINGERPRINT over the real WAV codec: the
+    * m09 frame energies kept as an ordered vector instead of reduced to
+    * scalars — the compact audio signature a similarity/dedup pass
+    * compares instead of raw PCM. Decode happens once per clip inside
+    * the partition (payloads never leave the codec map, the
+    * [[decodePngs]] discipline); what emerges is ≤ ⌈599/64⌉ = 10 longs
+    * per clip regardless of sample rate — a constant-size signature,
+    * the audio analog of the 12-int minhash vector.
+    */
+  def audioFingerprints(s: SparkSession, dir: String, frame: Int = 64): Dataset[AudioFp] = {
+    import s.implicits._
+    wavTable(s, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.payload))
+        val en: Array[Long] =
+          try {
+            val bytes = ais.readAllBytes()
+            val nS = bytes.length / 2
+            val nF = (nS + frame - 1) / frame
+            val e = new Array[Long](nF)
+            var i = 0
+            while (i < nS) {
+              val sm = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toLong
+              e(i / frame) += sm * sm
+              i += 1
+            }
+            e
+          } finally ais.close()
+        AudioFp(r.doc_id, en.length.toLong, en)
+      }
+    }
+  }
+
+  /** m14 — audio nearest-neighbor by frame-energy fingerprint: for each
+    * probe clip (doc_id < 50), the closest other clip in its DURATION
+    * CLASS (equal frame count) by integer L1 distance over the energy
+    * vectors — the audio twin of m11's image near-dup probe, closing
+    * the third modality's similarity story on real decoded bytes. All
+    * arithmetic is 64-bit integer (energies ≤ 2³⁶, L1 sums ≤ 2⁴⁰), so
+    * the DuckDB oracle recomputes every distance exactly from the WAV
+    * generator formula, and the rank tiebreak is doc_id — fully
+    * deterministic.
+    *
+    * Scale shape: the probe set is broadcast (the small side by
+    * definition); the corpus streams once through the codec map and
+    * joins on the duration-class key. The only array any exchange
+    * carries is the ≤10-long fingerprint (constant-size, the minhash
+    * convention); PCM payloads never leave the decode partition —
+    * MultimodalSpec asserts it on the executed plan. A production
+    * deployment with one duration class would band on quantized
+    * energy-profile bits instead (the m11 recipe); the generator's
+    * natural 7-way duration key plays that role here.
+    */
+  def audioNearestNeighbor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = audioFingerprints(s, dir).toDF()
+    val probes = fp.filter($"doc_id" < 50).toDF("q_id", "q_n", "q_en")
+    val w = Window.partitionBy($"q_id").orderBy($"l1".asc, $"doc_id")
+    fp.join(broadcast(probes), $"n_frames" === $"q_n" && $"doc_id" =!= $"q_id")
+      .withColumn("l1", expr(
+        "aggregate(zip_with(q_en, energies, (x, y) -> abs(x - y)), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("r", row_number().over(w))
+      .filter($"r" === 1)
+      .select($"q_id".as("doc_id"), $"doc_id".as("nn_id"),
+        $"q_n".as("n_frames"), $"l1".as("l1_dist"))
+      .orderBy($"doc_id")
+  }
+
   final case class GifRow(doc_id: Long, payload: Array[Byte])
   final case class GifMeta(doc_id: Long, n_frames: Long, width: Long, height: Long,
                            pix_sum: Long, pix_wsum: Long)

@@ -400,6 +400,57 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m14 audio 1-NN equals a driver-side fingerprint recount, PCM never shuffles") {
+    val spark = TestSpark.spark
+    val df = Multimodal.audioNearestNeighbor(spark, TestSpark.sfDir)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver recount straight from the WAV generator formula
+    val ids = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    def energies(id: Long): Array[Long] = {
+      val n = Multimodal.WavCodec.nSamples(id)
+      val e = new Array[Long]((n + 63) / 64)
+      var i = 0
+      while (i < n) {
+        val s = Multimodal.WavCodec.sample(id, i).toLong
+        e(i / 64) += s * s
+        i += 1
+      }
+      e
+    }
+    val fp = ids.map(id => id -> energies(id)).toMap
+    val expected = ids.filter(_ < 50).flatMap { q =>
+      val qe = fp(q)
+      val cands = ids.filter(c => c != q && fp(c).length == qe.length).map { c =>
+        (c, qe.zip(fp(c)).map { case (a, b) => math.abs(a - b) }.sum)
+      }
+      if (cands.isEmpty) None
+      else {
+        val (c, l1) = cands.minBy { case (cid, d) => (d, cid) }
+        Some((q, c, qe.length.toLong, l1))
+      }
+    }
+    assert(rows.toSeq == expected.toSeq)
+    // executed plan: the only arrays on exchanges are the <=10-long
+    // fingerprints; PCM payload bytes never leave the codec partition.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: QueryStageExec => shuffles(q.plan)
+      case r: ReusedExchangeExec => Seq.empty
+      case s: ShuffleExchangeLike => s +: s.children.flatMap(shuffles)
+      case other => other.children.flatMap(shuffles)
+    }
+    shuffles(df.queryExecution.executedPlan).foreach { e =>
+      val binCols = e.output.filter(_.dataType ==
+        org.apache.spark.sql.types.BinaryType).map(_.name)
+      assert(binCols.isEmpty, s"m14 shuffle carries binary: ${binCols.mkString(",")}")
+    }
+  }
+
   test("registered m04 plan keeps the image filter below the decode") {
     val spark = TestSpark.spark
     // The Column-expression decode means the media_type predicate is a
