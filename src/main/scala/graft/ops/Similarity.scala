@@ -421,6 +421,53 @@ object Similarity {
       .orderBy($"cell_id")
   }
 
+  /** One micro-batch of QUERY vectors probing the static IVF index —
+    * the serving-time shape of s04, and the core the streaming job
+    * (`graft.streaming.StreamingAnn`) runs per batch. `batch` bears
+    * (q_id, embedding); `index` is the persisted (vec_id, embedding,
+    * nrm, cell_id) assignment sidecar ([[ivfAssigned]] here; a real
+    * deployment reads it from disk). Each query is assigned to its
+    * nearest coarse centroid with EXACTLY the corpus assignment's
+    * argmax (same comparisons, same id tiebreak), probes only that
+    * cell, and emits its top-5 by exact cosine.
+    *
+    * Every output row depends only on its own query versus the index,
+    * so per-batch probes compose: the union over any batch partitioning
+    * of a query set equals the one-shot run bit for bit —
+    * StreamingExtrasSpec asserts the streamed union equals s04 on the
+    * same queries.
+    *
+    * Scale shape: the BATCH side broadcasts (a micro-batch is small by
+    * definition) after a 16-row codebook argmax; the corpus-sized index
+    * only streams through the cell equi-join — probe cost scales with
+    * the batch, not the corpus.
+    */
+  def ivfProbeBatch(batch: DataFrame, index: DataFrame): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val cb = index.filter($"vec_id" < 16)
+      .select($"vec_id".as("cell_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+    val qn = batch.select($"q_id", $"embedding".as("q_emb"),
+      vec_norm($"embedding").as("q_nrm"))
+    val aw = Window.partitionBy($"q_id").orderBy($"ccos".desc, $"cell_id")
+    val qAssigned = qn.crossJoin(broadcast(cb))
+      .withColumn("ccos", cosinePrenormed(vec_dot($"q_emb", $"c_emb"), $"q_nrm", $"c_nrm"))
+      .withColumn("arank", row_number().over(aw))
+      .filter($"arank" === 1)
+      .select($"q_id", $"q_emb", $"q_nrm", $"cell_id".as("q_cell"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    index.join(broadcast(qAssigned), $"cell_id" === $"q_cell" && $"vec_id" =!= $"q_id")
+      .withColumn("cos", cosinePrenormed(vec_dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+  }
+
+  /** The persisted IVF assignment sidecar for [[ivfProbeBatch]] — the
+    * corpus side of the serving index, exposed for the streaming job.
+    */
+  def ivfIndex(s: SparkSession, dir: String): DataFrame = ivfAssigned(s, dir)
+
   /** s13 — scalar-quantized (SQ8) two-stage retrieval: the per-dimension
     *-resolution compression path between s07's PQ (64× compression,
     * coarse) and the raw floats (no compression). Every embedding is

@@ -196,6 +196,45 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(batchRun.except(streamed).count() == 0)
   }
 
+  test("streaming ANN: foreachBatch probes compose to the batch s04 result") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.ops.Similarity
+    // The serving shape of the similarity family: micro-batches of
+    // query vectors probe the STATIC IVF index through the same frame
+    // core as s04. Each output row depends only on its own query vs
+    // the index, so the union over batches must equal the one-shot
+    // batch run bit for bit — including the exact cosine doubles.
+    val index = Similarity.ivfIndex(spark, TestSpark.sfDir)
+      .localCheckpoint() // assign the corpus once, not per batch
+    val qRows = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .filter($"vec_id" < 5).select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[(Long, Array[Float])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = input.toDF().toDF("q_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected.synchronized {
+          collected ++= graft.streaming.StreamingAnn.probeBatch(batch, index).collect()
+        }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      input.addData(qRows.take(2).toSeq)
+      q.processAllAvailable()
+      input.addData(qRows.drop(2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchRun = Similarity.ivfKnn(spark, TestSpark.sfDir)
+    val streamed = spark.createDataFrame(
+      spark.sparkContext.parallelize(collected.toSeq), batchRun.schema)
+    assert(streamed.count() == 25, "5 queries x top-5")
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+  }
+
   test("image probe executed plan: no exchange ever carries the payload bytes") {
     val spark = TestSpark.spark
     import spark.implicits._
