@@ -64,6 +64,10 @@ object SparkEntry {
     // e11 = ordered conversion funnel (view -> click -> purchase with
     // strict event-time ordering between stages, integer-µs lag sums).
     "e11_funnel"             -> (EventOps.funnel _),
+    // e16 = windowed top-k "trending": per tumbling day the top-3 event
+    // types by count plus their share — e01's matrix reduced to the
+    // ranked cut a dashboard reads.
+    "e16_windowed_topk"      -> ((s, d) => EventOps.windowedTopTypes(s, d)),
     // e12 = weekly retention cohort matrix (first-event week × age).
     "e12_retention"          -> (EventOps.retentionCohorts _),
     // e13 = integer-exact 2-sigma anomaly flags on hourly type counts.
@@ -385,6 +389,19 @@ object SparkEntry {
           count(*) AS n,
           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+      // e16: the e01 day-bucketed counts cut to rank<=3 per day with
+      // the exact integer-division share.
+      "e16_windowed_topk" -> """
+        WITH d AS (SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS day,
+                     event_type, count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT day, event_type, n,
+                CAST(sum(n) OVER (PARTITION BY day) AS BIGINT) AS day_total,
+                row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rnk
+              FROM d)
+        SELECT day, CAST(rnk AS BIGINT) AS rnk, event_type, n,
+          CAST(n AS DOUBLE) / CAST(day_total AS DOUBLE) AS share
+        FROM r WHERE rnk <= 3 ORDER BY day, rnk""",
       "e02_sliding" -> """
         SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type, count(*) AS n FROM (
           SELECT event_type,

@@ -361,4 +361,33 @@ object EventOps {
         $"total_gap_us".cast("double") / $"n".cast("double"))
       .orderBy($"from_type", $"to_type")
   }
+
+  /** e16 — windowed top-k ("trending"): per tumbling day, the top-3
+    * event types by count with their share of the day's volume. The
+    * leaderboard shape every monitoring surface wants from an event
+    * stream — e01 gives the full (window, type) matrix, this reduces
+    * it to the ranked cut a dashboard or an alert actually reads.
+    *
+    * Scale shape: one shuffle on (day, type) with map-side combine;
+    * the rank window partitions by DAY and each partition holds at
+    * most |event types| aggregated rows — the window never sees raw
+    * events, so there is no per-day skew regardless of how hot a day
+    * is. The share divide is exact BIGINT÷BIGINT per emitted row.
+    */
+  def windowedTopTypes(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val perDay = events(s, dir)
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("day"), $"event_type", $"n")
+    val rw = Window.partitionBy($"day").orderBy($"n".desc, $"event_type")
+    val tw = Window.partitionBy($"day")
+    perDay
+      .withColumn("day_total", sum($"n").over(tw))
+      .withColumn("rnk", row_number().over(rw).cast("long"))
+      .filter($"rnk" <= k)
+      .withColumn("share", $"n".cast("double") / $"day_total".cast("double"))
+      .select($"day", $"rnk", $"event_type", $"n", $"share")
+      .orderBy($"day", $"rnk")
+  }
 }

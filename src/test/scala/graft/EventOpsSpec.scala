@@ -54,4 +54,29 @@ class EventOpsSpec extends AnyFunSuite {
         s"$name: expected exactly one raw-events exchange, got ${raw.length}")
     }
   }
+
+  test("e16 windowed top-k agrees with the full e01-style day matrix") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = graft.ops.EventOps.windowedTopTypes(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    // driver recount from raw events: day-truncate, count, rank
+    val events = Tables.events(spark, TestSpark.sfDir)
+      .select($"ts", $"event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)))
+    val perDay = events.groupBy { case (ts, _) =>
+      val c = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
+      c.setTime(ts); c.set(java.util.Calendar.HOUR_OF_DAY, 0)
+      c.set(java.util.Calendar.MINUTE, 0); c.set(java.util.Calendar.SECOND, 0)
+      c.set(java.util.Calendar.MILLISECOND, 0)
+      new java.sql.Timestamp(c.getTimeInMillis)
+    }.map { case (day, evs) => day -> evs.groupBy(_._2).map { case (t, a) => t -> a.length.toLong } }
+    val expected = perDay.toSeq.sortBy(_._1.getTime).flatMap { case (day, counts) =>
+      val total = counts.values.sum
+      counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(3).zipWithIndex.map {
+        case ((t, n), i) => (day, (i + 1).toLong, t, n, n.toDouble / total.toDouble)
+      }
+    }
+    assert(got.toSeq == expected)
+  }
 }
