@@ -5,21 +5,17 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
 import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Bucketing — the co-located-join discipline the scale notes cite
-  * throughout (SURVEY §2/§7: "pre-partition both sides on the join key
-  * so the fact-to-fact join never shuffles"): written once with
-  * `bucketBy(n, key)`, both tables land pre-hashed into matching
-  * buckets, and every subsequent equi-join on that key reads
-  * co-located splits with ZERO exchanges — at 100 TB this turns the
-  * recurring lineitem ⋈ orders shuffle (the single biggest data
-  * movement in the q-family) into a metadata lookup, amortized across
-  * every query that touches the pair.
-  *
-  * This spec EXECUTES the discipline rather than documenting it: the
-  * same join is run over bucketed tables (expect: no shuffle carries a
-  * join key) and over the raw parquet (expect: both sides shuffle),
-  * proving the engine's table-layout path delivers the co-location the
-  * docstrings promise.
+/** Bucketing on the FACT-TO-FACT pair — SourcesSpec2 proves the
+  * discipline on a dimension-style join (orders ⋈ customer) and on the
+  * persisted LSH index; this spec covers the remaining, biggest case:
+  * lineitem ⋈ orders, the largest recurring data movement in the
+  * q-family, where BOTH sides are fact-sized and neither can
+  * broadcast at 100 TB. It also adds the negative control the positive
+  * tests lack — the identical join over raw parquet must hash-shuffle
+  * both sides — and asserts the two paths return identical rows
+  * (co-location changes movement, never answers). Exchanges are
+  * walked structurally on the executed plan (the AdaptiveSparkPlan /
+  * QueryStage descent), not string-matched.
   */
 class BucketingSpec extends AnyFunSuite {
 
