@@ -320,6 +320,52 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(batchRun.except(streamed).count() == 0)
   }
 
+  test("StreamingAnn restart replays the uncommitted batch exactly-once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.ops.Similarity
+    val index = Similarity.ivfIndex(spark, TestSpark.sfDir).localCheckpoint()
+    val qRows = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .filter($"vec_id" < 5).select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sann_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sann_out").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val stream = input.toDF().toDF("q_id", "embedding")
+    def start() = graft.streaming.StreamingAnn.run(stream, index, out, ckpt)
+
+    val q1 = start()
+    try {
+      input.addData(qRows.take(2).toSeq); q1.processAllAvailable()
+      input.addData(qRows.slice(2, 4).toSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    // Crash between offset log and commit: drop the LAST commit marker,
+    // forcing a replay of batch 1 under the same batch id on restart —
+    // the batch_id-keyed overwrite must land the same rows, not append.
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.map(_.getName.toLong).toSeq == Seq(0L, 1L))
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.1.crc")
+    if (crc.exists()) assert(crc.delete())
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays batch 1
+      input.addData(qRows.drop(4).toSeq); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirs == Seq("batch_id=0", "batch_id=1", "batch_id=2"))
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batchRun = Similarity.ivfKnn(spark, TestSpark.sfDir)
+    assert(streamed.count() == 25)
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+  }
+
   test("streamed transitions compose to the batch transitionStats on the same slice") {
     val spark = TestSpark.spark
     import spark.implicits._
