@@ -666,9 +666,21 @@ object Multimodal {
     */
   def audioFingerprints(s: SparkSession, dir: String, frame: Int = 64): Dataset[AudioFp] = {
     import s.implicits._
-    wavTable(s, dir).mapPartitions { rows =>
-      rows.map { r =>
-        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.payload))
+    audioFingerprintsFor(documents(s, dir).select($"doc_id").as[Long], frame)
+  }
+
+  /** Fingerprints for an explicit id set — the filter-below-the-codec
+    * seam ([[pngTableFor]]'s convention): callers that only need a few
+    * clips (the m14 probe set, an incremental batch) pass the filtered
+    * ids and decode exactly those, instead of decoding the corpus and
+    * filtering above the opaque map.
+    */
+  def audioFingerprintsFor(ids: Dataset[Long], frame: Int = 64): Dataset[AudioFp] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val payload = WavCodec.encode(id)
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
         val en: Array[Long] =
           try {
             val bytes = ais.readAllBytes()
@@ -683,7 +695,7 @@ object Multimodal {
             }
             e
           } finally ais.close()
-        AudioFp(r.doc_id, en.length.toLong, en)
+        AudioFp(id, en.length.toLong, en)
       }
     }
   }
@@ -710,8 +722,14 @@ object Multimodal {
     */
   def audioNearestNeighbor(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // The corpus decodes ONCE; the probe branch filters BELOW the codec
+    // (the m13 discipline — a filter above the opaque map cannot push
+    // down, and would re-decode every clip to keep 50), so total codec
+    // work is corpus + probes, not 2x corpus.
     val fp = audioFingerprints(s, dir).toDF()
-    val probes = fp.filter($"doc_id" < 50).toDF("q_id", "q_n", "q_en")
+    val probes = audioFingerprintsFor(documents(s, dir)
+        .select($"doc_id").filter($"doc_id" < 50).as[Long]).toDF()
+      .toDF("q_id", "q_n", "q_en")
     val w = Window.partitionBy($"q_id").orderBy($"l1".asc, $"doc_id")
     fp.join(broadcast(probes), $"n_frames" === $"q_n" && $"doc_id" =!= $"q_id")
       .withColumn("l1", expr(

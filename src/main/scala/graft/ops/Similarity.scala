@@ -496,10 +496,16 @@ object Similarity {
     */
   def sqRerankKnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // One-row export range, checkpointed: both the corpus and query
+    // branches reference it, and without the cut each would re-run the
+    // min/max pass — a second full corpus scan at 100 TB (at scale this
+    // pair ships from the s10 export sidecar; the checkpoint is the
+    // local stand-in for "read it, don't recompute it").
     val st = embeddings(s, dir)
       .select(explode($"embedding").as("xf"))
       .select($"xf".cast("double").as("x"))
       .agg(min($"x").as("gmin"), max($"x").as("gmax"))
+      .localCheckpoint()
     // Codes as exact small-integer doubles: vec_dot's strict left fold
     // over them is an INTEGER sum in disguise (every partial < 2^53).
     val coded = embeddings(s, dir).crossJoin(broadcast(st))
