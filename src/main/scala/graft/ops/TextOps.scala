@@ -777,9 +777,15 @@ object TextOps {
     */
   def sourceJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // The distinct (source, term) projection is referenced three times
+    // (both self-join sides + the size table) and the toDF renames keep
+    // ReuseExchange from sharing the subtree — checkpoint the
+    // vocabulary-sized table once so the corpus is scanned once, not
+    // four times (at 100 TB this projection is the persisted sidecar).
     val st = documents(s, dir)
       .select($"source", explode(toks($"text")).as("term"))
       .distinct()
+      .localCheckpoint()
     val inter = st.toDF("src_a", "term")
       .join(st.toDF("src_b", "term"), Seq("term"))
       .filter($"src_a" < $"src_b")
