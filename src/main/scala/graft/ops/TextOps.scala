@@ -733,7 +733,9 @@ object TextOps {
   def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = documents(s, dir)
-    val n = d.agg(count(lit(1)).as("n_docs"))
+    // One-row doc count, checkpointed: both decile branches reference
+    // it, and each reference would otherwise re-run the count scan.
+    val n = d.agg(count(lit(1)).as("n_docs")).localCheckpoint()
     val docDeciles = d
       .select($"doc_id", size(toks($"text")).cast("long").as("n_toks"))
       .crossJoin(broadcast(n))
