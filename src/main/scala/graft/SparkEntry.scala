@@ -130,6 +130,11 @@ object SparkEntry {
     // d22 = content-defined chunk dedup (CDC boundaries travel with
     // the text) — d20's repeated-span finder at ANY alignment.
     "d22_chunk_cdc"          -> ((s, d) => Dedup.chunkDedupCdc(s, d)),
+    // d23 = cluster-tightness audit: per d11 cluster the weakest
+    // candidate edge by TRUE Jaccard (token-index recount) — the
+    // single-linkage chaining detector a campaign reads before
+    // trusting the d19 report.
+    "d23_cluster_tightness"  -> ((s, d) => Dedup.clusterTightness(s, d)),
     // ---- similarity search ----
     "s01_knn_brute"          -> (Similarity.bruteForceKnn _),
     "s02_knn_bucketed"       -> (Similarity.bucketedKnn _),
@@ -986,6 +991,53 @@ object SparkEntry {
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         ORDER BY doc_a, doc_b""",
+      // d23: the d18 true-Jaccard recount joined to the d11 recursive
+      // labeling, reduced to per-cluster weakest-edge rows.
+      "d23_cluster_tightness" -> """
+        WITH RECURSIVE
+        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+               FROM documents),
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        small AS (SELECT j, bkey FROM bands GROUP BY j, bkey
+                  HAVING count(*) <= 64 AND count(*) > 1),
+        inb AS (SELECT b.* FROM bands b JOIN small s ON b.j = s.j AND b.bkey = s.bkey),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        tok AS (SELECT doc_id, list_distinct(th) AS tok FROM tk),
+        tj AS (SELECT p.doc_a, p.doc_b,
+                 CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE) /
+                   (len(ta.tok) + len(tb.tok) - len(list_intersect(ta.tok, tb.tok))) AS true_jaccard
+               FROM pairs p
+               JOIN tok ta ON ta.doc_id = p.doc_a
+               JOIN tok tb ON tb.doc_id = p.doc_b),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+        lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY node),
+        ej AS (SELECT l.cluster_id, t.doc_a, t.doc_b, t.true_jaccard,
+                 row_number() OVER (PARTITION BY l.cluster_id
+                   ORDER BY t.true_jaccard ASC, t.doc_a, t.doc_b) AS r
+               FROM tj t JOIN lab l ON l.doc_id = t.doc_a),
+        agg AS (SELECT cluster_id, count(*) AS n_edges, min(true_jaccard) AS min_jaccard,
+                  max(CASE WHEN r = 1 THEN doc_a END) AS weak_a,
+                  max(CASE WHEN r = 1 THEN doc_b END) AS weak_b
+                FROM ej GROUP BY cluster_id),
+        mem AS (SELECT cluster_id, count(*) AS n_members FROM lab GROUP BY cluster_id)
+        SELECT a.cluster_id, CAST(m.n_members AS BIGINT) AS n_members,
+          CAST(a.n_edges AS BIGINT) AS n_edges, a.min_jaccard,
+          CAST(a.weak_a AS BIGINT) AS weak_a, CAST(a.weak_b AS BIGINT) AS weak_b
+        FROM agg a JOIN mem m ON m.cluster_id = a.cluster_id
+        ORDER BY a.cluster_id""",
       "d18_mh_accuracy" -> """
         WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
                       t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th

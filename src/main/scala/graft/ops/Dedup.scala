@@ -850,6 +850,63 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** d23 — cluster-tightness audit: the methodological check on the
+    * d11/d19 clustering family. Connected components is SINGLE-LINKAGE
+    * clustering, and single linkage chains: A≈B and B≈C put A and C in
+    * one cluster even when A and C share nothing — a dedup campaign
+    * that keeps one representative per cluster then silently drops
+    * documents that were never near-duplicates of the kept one. This
+    * audit measures that risk per cluster: the candidate-edge count,
+    * the WEAKEST edge's true Jaccard (recounted from the token
+    * inverted index, the d18 discipline — est-Jaccard would audit the
+    * sketch with the sketch), and which edge it is. A cluster whose
+    * min_jaccard is far below the campaign threshold is a chained
+    * cluster — split it (or verify-before-cluster) before shipping the
+    * d19 report.
+    *
+    * Scale shape: the LSH pair list materializes once (it must — the
+    * CC loop checkpoints it anyway) and feeds both the true-Jaccard
+    * recount and the labeling; pair shuffles carry three longs (d18's
+    * inverted-index probe, no token arrays); the weakest-edge pick is
+    * a rank-1 window partitioned by cluster over EDGE rows; output is
+    * cluster-count rows.
+    */
+  def clusterTightness(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir)
+    val tokIdx = docs.select($"doc_id", explode(token_hashes($"text")).as("th"))
+    // Consumed twice (Jaccard recount + CC labeling): cut once, like the
+    // m12 sidecar — the LSH pipeline never re-runs.
+    val edges = cappedPairsUnsorted(s, dir, cap).localCheckpoint()
+    val pairCounts = edges
+      .join(tokIdx.toDF("doc_a", "th"), Seq("doc_a"))
+      .join(tokIdx.toDF("doc_b", "th").withColumn("hit", lit(1L)),
+            Seq("doc_b", "th"), "left")
+      .groupBy($"doc_a", $"doc_b").agg(sum(coalesce($"hit", lit(0L))).as("inter"))
+    val meta = docs.select($"doc_id",
+      size(token_hashes($"text")).cast("long").as("ntok"))
+    val tj = pairCounts
+      .join(meta.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(meta.toDF("doc_b", "nb"), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("true_jaccard"))
+    val labels = connectedComponents(s, edges)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id").orderBy($"true_jaccard".asc, $"doc_a", $"doc_b")
+    tj.join(labels.toDF("doc_a", "cluster_id"), Seq("doc_a"))
+      .withColumn("r", row_number().over(w))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_edges"),
+        min($"true_jaccard").as("min_jaccard"),
+        max(when($"r" === 1, $"doc_a")).as("weak_a"),
+        max(when($"r" === 1, $"doc_b")).as("weak_b"))
+      .join(labels.groupBy($"cluster_id").agg(count(lit(1)).as("n_members")),
+        Seq("cluster_id"))
+      .select($"cluster_id", $"n_members", $"n_edges", $"min_jaccard",
+        $"weak_a", $"weak_b")
+      .orderBy($"cluster_id")
+  }
+
   /** Semantic dedup (SemDeDup-style): embeddings are clustered by the
     * coarse IVF codebook shared with s04 (`Similarity.ivfAssigned` — a
     * KB-sized broadcast argmax, no shuffle), and WITHIN each cell a

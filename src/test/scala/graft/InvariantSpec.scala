@@ -624,6 +624,30 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("d23 cluster tightness agrees with d18 edges and d11 labels") {
+    val spark = TestSpark.spark
+    val rows = graft.ops.Dedup.clusterTightness(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    val labels = graft.ops.Dedup.dupClusters(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val edges = graft.ops.Dedup.minhashAccuracy(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val byCluster = edges.groupBy { case (a, _, _) => labels(a) }
+    assert(rows.nonEmpty && rows.map(_._1).toSet == byCluster.keySet)
+    rows.foreach { case (cid, nm, ne, minJ, wa, wb) =>
+      val es = byCluster(cid)
+      assert(ne == es.length, s"cluster $cid: edge count")
+      assert(nm == labels.count(_._2 == cid).toLong, s"cluster $cid: members")
+      // a connected component with nm members needs >= nm-1 edges
+      assert(ne >= nm - 1, s"cluster $cid: not spanning")
+      val weakest = es.minBy { case (a, b, j) => (j, a, b) }
+      assert((wa, wb) == ((weakest._1, weakest._2)) && minJ == weakest._3,
+        s"cluster $cid: weakest edge mismatch")
+      assert(labels(wa) == cid && labels(wb) == cid)
+    }
+  }
+
   test("t28 vocab growth equals a driver-side recount and is monotone") {
     val spark = TestSpark.spark
     import spark.implicits._
