@@ -158,6 +158,10 @@ object SparkEntry {
     // exact reconstructed-cosine shortlist, exact float re-rank — the
     // 4x-compression serving path between PQ (s07) and raw floats.
     "s13_sq_rerank"          -> (Similarity.sqRerankKnn _),
+    // s14 = kNN-graph construction: every vector's top-3 cell-mates as
+    // a materialized edge list — the artifact SemDeDup/graph-ANN/UMAP
+    // consume; corpus-wide, unlike the few-query probes.
+    "s14_knn_graph"          -> ((s, d) => Similarity.knnGraph(s, d)),
     // s09 = coreset manifest: per IVF cell the best-fit representative,
     // population, and worst-fit cosine — diversity sampling + cell audit.
     "s09_centroid_reps"      -> (Similarity.centroidReps _),
@@ -1658,6 +1662,27 @@ object SparkEntry {
           CASE WHEN o.occupancy < 0.9 THEN n.nearest_cell ELSE NULL END AS merge_into
         FROM occ o JOIN nearest n ON n.cell_id = o.cell_id
         ORDER BY o.cell_id""",
+      // s14: the s04 assignment self-joined on cell, full top-3 per
+      // vector — the kNN-graph edge list.
+      "s14_knn_graph" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings),
+        cb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        cells AS (SELECT vec_id, cell_id FROM (
+          SELECT e.vec_id, cb.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) DESC, cb.cell_id) AS arank
+          FROM e CROSS JOIN cb) t WHERE arank = 1)
+        SELECT vec_id, CAST(rank AS BIGINT) AS rank, nb_id, cos FROM (
+          SELECT a.vec_id, b.vec_id AS nb_id,
+            list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) AS cos,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) DESC, b.vec_id) AS rank
+          FROM cells a JOIN cells b ON b.cell_id = a.cell_id AND b.vec_id <> a.vec_id
+          JOIN e ea ON ea.vec_id = a.vec_id
+          JOIN e eb ON eb.vec_id = b.vec_id) t
+        WHERE rank <= 3 ORDER BY vec_id, rank""",
       // s13: the SQ8 path — global-affine uint8 codes, approximate
       // cosine reconstructed from integer sums (every term exact in
       // double, so the shortlist ranking is engine-exact), exact

@@ -542,6 +542,36 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** s14 — kNN-GRAPH construction: every vector's top-3 neighbors
+    * within its IVF cell, as a materialized edge list. The batch
+    * artifact half the similarity family consumes downstream —
+    * SemDeDup variants prune over it, graph-ANN indexes (HNSW-style)
+    * bootstrap from it, UMAP/clustering read it — distinct from the
+    * query-time probes (s02-s08: FEW queries against the corpus;
+    * this: EVERY vector, corpus × corpus).
+    *
+    * Scale shape: the only join is the cell equi-join of the shared
+    * IVF assignment against itself (merge-hinted so ReusedExchange
+    * computes the assignment once — the d16 discipline); within-cell
+    * pair volume is Σ_cells n_c², which the s12 rebalance audit is
+    * precisely the tool to bound (hot cells split before this runs).
+    * The per-vector winner set is a rank window partitioned by
+    * vec_id; output is 3 rows per corpus vector.
+    */
+  def knnGraph(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val assigned = ivfAssigned(s, dir)
+    val a = assigned.toDF("vec_id", "emb", "nrm", "cell_id")
+    val b = assigned.toDF("nb_id", "emb_n", "nrm_n", "cell_n")
+    val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"nb_id")
+    a.join(b.hint("merge"), $"cell_id" === $"cell_n" && $"vec_id" =!= $"nb_id")
+      .withColumn("cos", cosinePrenormed(vec_dot($"emb", $"emb_n"), $"nrm", $"nrm_n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"vec_id", $"rank", $"nb_id", $"cos")
+      .orderBy($"vec_id", $"rank")
+  }
+
   /** Label-purity audit — the mislabeled-example detector of a training
     * pipeline: every vector's 1-NN (within its LSH bucket, self
     * excluded) is compared to its own label, aggregated per label.

@@ -113,6 +113,20 @@ class RecallSpec extends AnyFunSuite {
       "lost exact-top-5 members it is expected to keep at width 25")
   }
 
+  test("s14 kNN-graph edges for the s04 query set equal s04's top-3 exactly") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.ops.Similarity
+    // Theorem-backed: s14 and s04 rank the SAME within-cell candidate
+    // set by the same (cos desc, id) order, so the graph's first three
+    // edges per query vector must be s04's first three rows bit for bit.
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val graph = rows(Similarity.knnGraph(spark, dir).filter($"vec_id" < 5))
+    val probe = rows(Similarity.ivfKnn(spark, dir).filter($"rank" <= 3))
+    assert(graph.nonEmpty && graph == probe)
+  }
+
   test("s11 recall@5 is monotone non-decreasing across shortlist widths") {
     val spark0 = spark
     import spark0.implicits._
