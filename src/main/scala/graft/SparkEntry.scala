@@ -206,6 +206,10 @@ object SparkEntry {
     // t29 = source-pair Jaccard over distinct vocabularies — the
     // source-level near-duplicate matrix (drop the feed, not the docs).
     "t29_source_jaccard"     -> (TextOps.sourceJaccard _),
+    // t30 = term-frequency spectrum + Good-Turing discounts: N_r per
+    // frequency band, r* = (r+1)N_{r+1}/N_r — the unseen-mass audit
+    // (singleton share) behind smoothing and coverage decisions.
+    "t30_freq_spectrum"      -> (TextOps.freqSpectrum _),
     "t15_length_hist"        -> (TextOps.lengthHistogram _),
     "t16_contamination"      -> (TextOps.contamination _),
     "t17_repetition"         -> (TextOps.repetitionFilters _),
@@ -1983,6 +1987,23 @@ object SparkEntry {
           CAST(sum(coalesce(td.nv, 0)) OVER (ORDER BY dd.b) AS DOUBLE)
             / CAST(sum(dd.nt) OVER (ORDER BY dd.b) AS DOUBLE) AS ttr
         FROM dd LEFT JOIN td ON td.b = dd.b ORDER BY decile""",
+      // t30: count-of-counts over the term-frequency table; r* defined
+      // only where the next spectrum row is exactly r+1 (NULL at gaps
+      // and the max band, mirroring the Spark side).
+      "t30_freq_spectrum" -> """
+        WITH tf AS (SELECT term, count(*) AS r FROM (
+               SELECT unnest(regexp_split_to_array(text, '\s+')) AS term
+               FROM documents) t GROUP BY term),
+        sp AS (SELECT r, count(*) AS n_terms FROM tf GROUP BY r),
+        led AS (SELECT r, n_terms,
+                  lead(r) OVER (ORDER BY r) AS next_r,
+                  lead(n_terms) OVER (ORDER BY r) AS next_n
+                FROM sp)
+        SELECT CAST(r AS BIGINT) AS r, CAST(n_terms AS BIGINT) AS n_terms,
+          CASE WHEN next_r = r + 1
+               THEN CAST((r + 1) * next_n AS DOUBLE) / CAST(n_terms AS DOUBLE)
+          END AS r_star
+        FROM led ORDER BY r""",
       // t29: distinct (source, term) self-joined on term — fan-out
       // structurally bounded by |sources|² per term.
       "t29_source_jaccard" -> """

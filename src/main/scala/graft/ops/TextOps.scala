@@ -759,6 +759,45 @@ object TextOps {
       .orderBy($"decile")
   }
 
+  /** t30 — term-frequency spectrum with Good-Turing discounts: N_r =
+    * how many vocabulary types occur exactly r times, plus the
+    * Good-Turing re-estimate r* = (r+1)·N_{r+1}/N_r. The classic
+    * audit row behind smoothing and coverage decisions: the singleton
+    * band's share of total tokens (N_1/N) IS the Good-Turing estimate
+    * of unseen-vocabulary mass — the companion number to t28's
+    * saturation curve (t28 says how fast vocabulary grew; this says
+    * how much probability mass the next shard's NEW types will carry).
+    * A corpus whose spectrum lacks a fat singleton band is templated
+    * (cross-check t17/t24); one that is all singletons won't support
+    * a bigram LM (cross-check t26).
+    *
+    * Determinism: every column is either an exact integer or one exact
+    * BIGINT÷BIGINT divide; the r* lead lookup is a window over
+    * SPECTRUM-sized rows (distinct frequency values — dozens), never
+    * the corpus.
+    *
+    * Scale shape: one token explode → vocabulary-sized count aggregate
+    * (map-side combined) → spectrum-sized count-of-counts aggregate.
+    * The corpus never shuffles twice; the window input is bounded by
+    * the number of DISTINCT frequencies regardless of corpus size.
+    */
+  def freqSpectrum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = documents(s, dir)
+      .select(explode(toks($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("r"))
+    val spectrum = tf.groupBy($"r").agg(count(lit(1)).as("n_terms"))
+    val w = Window.orderBy($"r")
+    spectrum
+      .withColumn("next_r", lead($"r", 1).over(w))
+      .withColumn("next_n", lead($"n_terms", 1).over(w))
+      .withColumn("r_star",
+        when($"next_r" === $"r" + 1,
+          (($"r" + 1) * $"next_n").cast("double") / $"n_terms".cast("double")))
+      .select($"r", $"n_terms", $"r_star")
+      .orderBy($"r")
+  }
+
   /** t29 — source-pair Jaccard similarity over distinct vocabularies:
     * the SOURCE-level near-duplicate detector. Two feeds that are
     * mirrors of each other (a crawl and its re-crawl, a dump and its

@@ -677,6 +677,31 @@ class InvariantSpec extends AnyFunSuite {
     assert(rows.last._2 == n)
   }
 
+  test("t30 frequency spectrum conserves token and type mass vs a driver recount") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = graft.ops.TextOps.freqSpectrum(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val tokens = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select($"text").collect().flatMap(_.getString(0).split("\\s+"))
+    val tf = tokens.groupBy(identity).map { case (_, a) => a.length.toLong }
+    val expected = tf.groupBy(identity).map { case (r, a) => r -> a.size.toLong }
+    assert(rows.map(r => r._1 -> r._2).toMap == expected)
+    // conservation: sum r*N_r = corpus tokens, sum N_r = vocabulary
+    assert(rows.map(r => r._1 * r._2).sum == tokens.length.toLong)
+    assert(rows.map(_._2).sum == tf.size.toLong)
+    // r* defined exactly where the next band is r+1, with the GT value
+    val byR = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (r, n, rStar) =>
+      byR.get(r + 1) match {
+        case Some(nNext) =>
+          assert(rStar.contains((r + 1) * nNext.toDouble / n.toDouble), s"r=$r")
+        case None => assert(rStar.isEmpty, s"r=$r should have no r*")
+      }
+    }
+  }
+
   test("t29 source jaccard equals a driver-side set recount") {
     val spark = TestSpark.spark
     import spark.implicits._
