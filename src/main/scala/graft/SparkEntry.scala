@@ -1923,6 +1923,10 @@ object SparkEntry {
           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
           min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM c GROUP BY 1, 2, 3 ORDER BY source, shard, seq_id""",
+      // t22/t24: the segmented fold — 256 md5 term segments, term order
+      // within a segment, segment order across segment sums; the same
+      // fixed association order the Spark side pins, with buffers
+      // bounded by the segment width instead of the source vocabulary.
       "t22_source_divergence" -> """
         WITH tok AS (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS term
                      FROM documents),
@@ -1931,14 +1935,20 @@ object SparkEntry {
         ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
         tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_total FROM tf),
         c AS (SELECT st.source, st.term, st.c_st,
+                CAST(('0x' || substr(md5(st.term), 1, 2)) AS BIGINT) AS seg,
                 (CAST(st.c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE)) *
                   ln((CAST(st.c_st AS DOUBLE) * CAST(tot.n_total AS DOUBLE)) /
                      (CAST(ns.n_s AS DOUBLE) * CAST(tf.c_t AS DOUBLE))) AS contrib
               FROM st JOIN tf ON st.term = tf.term
-                      JOIN ns ON st.source = ns.source CROSS JOIN tot)
-        SELECT source, count(*) AS n_terms, CAST(sum(c_st) AS BIGINT) AS n_tokens,
-          list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS kl
-        FROM c GROUP BY source ORDER BY source""",
+                      JOIN ns ON st.source = ns.source CROSS JOIN tot),
+        segs AS (SELECT source, seg, count(*) AS n_terms_seg,
+                   CAST(sum(c_st) AS BIGINT) AS n_tokens_seg,
+                   list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS f_seg
+                 FROM c GROUP BY source, seg)
+        SELECT source, CAST(sum(n_terms_seg) AS BIGINT) AS n_terms,
+          CAST(sum(n_tokens_seg) AS BIGINT) AS n_tokens,
+          list_reduce(list(f_seg ORDER BY seg), (a, b) -> a + b) AS kl
+        FROM segs GROUP BY source ORDER BY source""",
       "t23_temp_resample" -> """
         WITH d AS (SELECT source, doc_id,
                      CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
@@ -1959,14 +1969,20 @@ object SparkEntry {
         st AS (SELECT source, term, count(*) AS c_st FROM tok GROUP BY 1, 2),
         ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
         c AS (SELECT st.source, st.term, st.c_st,
+                CAST(('0x' || substr(md5(st.term), 1, 2)) AS BIGINT) AS seg,
                 -((CAST(st.c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE)) *
                   ln(CAST(st.c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE))) AS contrib
-              FROM st JOIN ns ON st.source = ns.source)
-        SELECT source, count(*) AS vocab, CAST(sum(c_st) AS BIGINT) AS n_tokens,
-          list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS entropy,
-          list_reduce(list(contrib ORDER BY term), (a, b) -> a + b)
-            / ln(CAST(count(*) AS DOUBLE)) AS norm_entropy
-        FROM c GROUP BY source ORDER BY source""",
+              FROM st JOIN ns ON st.source = ns.source),
+        segs AS (SELECT source, seg, count(*) AS n_terms_seg,
+                   CAST(sum(c_st) AS BIGINT) AS n_tokens_seg,
+                   list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS f_seg
+                 FROM c GROUP BY source, seg)
+        SELECT source, CAST(sum(n_terms_seg) AS BIGINT) AS vocab,
+          CAST(sum(n_tokens_seg) AS BIGINT) AS n_tokens,
+          list_reduce(list(f_seg ORDER BY seg), (a, b) -> a + b) AS entropy,
+          list_reduce(list(f_seg ORDER BY seg), (a, b) -> a + b)
+            / ln(CAST(sum(n_terms_seg) AS DOUBLE)) AS norm_entropy
+        FROM segs GROUP BY source ORDER BY source""",
       // t28: token first-occurrence assigns each type to one doc-id
       // decile ((doc_id*10)//n all-BIGINT floor division, t27 class);
       // cumulative sums run over the ten decile rows.

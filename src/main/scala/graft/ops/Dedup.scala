@@ -81,14 +81,12 @@ object Dedup {
     * lean on AQE skew-join splitting.
     */
   /** (band, bkey, doc_id) — the LSH index both pair generators share,
-    * one codegen'd [[graft.functions.MinHashBands]] call per document.
+    * read from the session's [[CorpusIndexes]] cache (built once per
+    * run, one codegen'd [[graft.functions.MinHashBands]] call per
+    * document; at 100 TB this is the persisted band sidecar).
     */
-  private def bandKeys(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    documents(s, dir)
-      .select($"doc_id", posexplode(minhash_bands($"text")))
-      .select($"pos".as("band"), $"col".as("bkey"), $"doc_id")
-  }
+  private def bandKeys(s: SparkSession, dir: String): DataFrame =
+    CorpusIndexes.minhashBands(s, dir)
 
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -470,9 +468,7 @@ object Dedup {
     */
   def shingleJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = documents(s, dir)
-      .select($"doc_id", shingle_hashes($"text").as("sh"))
-      .select($"doc_id", size($"sh").as("nsh"), explode($"sh").as("shash"))
+    val sh = CorpusIndexes.shingles(s, dir)
     val a = sh.toDF("doc_a", "na", "sh_a")
     val b = sh.toDF("doc_b", "nb", "sh_b")
     // merge hint: identical shuffles on the shingle hash → the
@@ -507,9 +503,19 @@ object Dedup {
   private[graft] def shinglePairCounts(docs: DataFrame, cap: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val sh = docs
+    shinglePairCountsFromIndex(s, docs
       .select($"doc_id", shingle_hashes($"text").as("sh"))
-      .select($"doc_id", size($"sh").as("nsh"), explode($"sh").as("shash"))
+      .select($"doc_id", size($"sh").as("nsh"), explode($"sh").as("shash")), cap)
+  }
+
+  /** [[shinglePairCounts]] over a prebuilt (doc_id, nsh, shash) index —
+    * the registered queries feed the shared [[CorpusIndexes.shingles]]
+    * sidecar here; the frame-based wrapper above keeps constructed-corpus
+    * specs working.
+    */
+  private def shinglePairCountsFromIndex(s: SparkSession, sh: DataFrame,
+                                         cap: Int): DataFrame = {
+    import s.implicits._
     val rare = sh.groupBy($"shash").agg(count(lit(1)).as("df"))
       .filter($"df" <= cap && $"df" > 1)
       .select($"shash")
@@ -523,7 +529,7 @@ object Dedup {
 
   def shingleJaccardPairsCapped(s: SparkSession, dir: String, cap: Int = 256): DataFrame = {
     import s.implicits._
-    shinglePairCounts(documents(s, dir).select($"doc_id", $"text"), cap)
+    shinglePairCountsFromIndex(s, CorpusIndexes.shingles(s, dir), cap)
       .withColumn("jaccard", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
       .filter($"jaccard" >= 0.3)
       .select($"doc_a", $"doc_b", $"jaccard")
@@ -541,7 +547,7 @@ object Dedup {
     */
   def shingleContainmentPairs(s: SparkSession, dir: String, cap: Int = 256): DataFrame = {
     import s.implicits._
-    shinglePairCounts(documents(s, dir).select($"doc_id", $"text"), cap)
+    shinglePairCountsFromIndex(s, CorpusIndexes.shingles(s, dir), cap)
       .withColumn("containment", $"inter".cast("double") / least($"na", $"nb"))
       .withColumn("jaccard", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
       .filter($"containment" >= 0.2)
@@ -821,8 +827,9 @@ object Dedup {
   def minhashAccuracy(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
     import s.implicits._
     val docs = documents(s, dir)
-    // (doc_id, th): the token inverted index — 8-byte keys, no arrays.
-    val tokIdx = docs.select($"doc_id", explode(token_hashes($"text")).as("th"))
+    // (doc_id, th): the token inverted index — 8-byte keys, no arrays;
+    // shared via the session sidecar cache (d23 probes the same index).
+    val tokIdx = CorpusIndexes.tokens(s, dir)
     // The pair list is consumed ONCE (the LSH pipeline is the expensive
     // branch; a second reference would evaluate it twice — broadcast
     // joins leave no identical exchange for ReusedExchange to share):
@@ -874,7 +881,7 @@ object Dedup {
   def clusterTightness(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
     import s.implicits._
     val docs = documents(s, dir)
-    val tokIdx = docs.select($"doc_id", explode(token_hashes($"text")).as("th"))
+    val tokIdx = CorpusIndexes.tokens(s, dir)
     // Consumed twice (Jaccard recount + CC labeling): cut once, like the
     // m12 sidecar — the LSH pipeline never re-runs.
     val edges = cappedPairsUnsorted(s, dir, cap).localCheckpoint()

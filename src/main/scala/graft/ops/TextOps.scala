@@ -424,9 +424,18 @@ object TextOps {
     * the source reads like the corpus; spikes localize the divergent
     * source without reading a single document.
     *
-    * Float discipline: each (source, term) contribution is folded in
-    * TERM ORDER (sort_array + aggregate, the t20 recipe), so the sum
-    * is bit-identical in any engine at any parallelism.
+    * Float discipline: contributions fold in a SEGMENTED fixed order
+    * (the t20 recipe, bounded): terms hash into 256 md5 segments, each
+    * segment's contributions fold in term order, and the 256 segment
+    * sums fold in segment order — one fixed association order, so the
+    * sum is bit-identical in any engine at any parallelism, and no
+    * aggregation buffer ever holds more than one segment (~|V_s|/256
+    * expected). The round-11 form folded the WHOLE per-source
+    * vocabulary in one collect_list buffer — exact, but at 100 TB a
+    * web-scale source's vocabulary is a multi-GB single buffer in one
+    * task; the segmented fold is the same deterministic sum with
+    * buffers bounded by the segment width (PlanAuditSpec gates the
+    * discipline).
     *
     * Scale shape: everything derives from ONE (source, term) aggregate
     * of the token explode — corpus term frequencies and per-source
@@ -449,11 +458,31 @@ object TextOps {
           graft.functions.VectorFunctions.platform_ln(
             ($"c_st".cast("double") * $"n_total".cast("double")) /
               ($"n_s".cast("double") * $"c_t".cast("double"))))
+      .withColumn("seg", segOf($"term"))
+      .groupBy($"source", $"seg")
+      .agg(count(lit(1)).as("n_terms_seg"), sum($"c_st").as("n_tokens_seg"),
+        expr(segFold).as("f_seg"))
       .groupBy($"source")
-      .agg(count(lit(1)).as("n_terms"), sum($"c_st").as("n_tokens"),
-        expr("aggregate(transform(sort_array(collect_list(struct(term, contrib))), x -> x.contrib), 0D, (a, x) -> a + x)").as("kl"))
+      .agg(sum($"n_terms_seg").as("n_terms"), sum($"n_tokens_seg").as("n_tokens"),
+        expr(outerFold).as("kl"))
       .orderBy($"source")
   }
+
+  /** 256-way md5 term segmentation + the two-level deterministic fold
+    * shared by t22/t24 (applies to a column named `term`): within a
+    * segment contributions fold in term order, segment sums fold in
+    * segment order. Both levels are the same `0D`-seeded left fold as
+    * t20, so the association order is fixed and engine-exact while
+    * every buffer is segment-bounded.
+    */
+  private def segOf(term: Column): Column =
+    expr("cast(conv(substring(md5(term), 1, 2), 16, 10) as bigint)")
+
+  private val segFold =
+    "aggregate(transform(sort_array(collect_list(struct(term, contrib))), x -> x.contrib), 0D, (a, x) -> a + x)"
+
+  private val outerFold =
+    "aggregate(transform(sort_array(collect_list(struct(seg, f_seg))), x -> x.f_seg), 0D, (a, x) -> a + x)"
 
   /** Temperature-scaled source resampling — the multinomial α-rebalance
     * (α = 0.5, the mT5/XLM-R recipe) that keeps dominant sources from
@@ -538,8 +567,10 @@ object TextOps {
     */
   def noveltyScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = documents(s, dir)
-      .select($"doc_id", explode(graft.functions.TextHashes.shingle_hashes($"text")).as("shash"))
+    // The shared shingle sidecar (CorpusIndexes) — same inverted index
+    // as d04/d12/d17, built once per run.
+    val sh = graft.ops.CorpusIndexes.shingles(s, dir)
+      .select($"doc_id", $"shash")
     val df = sh.groupBy($"shash").agg(count(lit(1)).as("df"))
     sh.join(df.hint("merge"), Seq("shash"))
       .groupBy($"doc_id")
@@ -679,9 +710,12 @@ object TextOps {
     * near 1 = uniform usage). Training mixtures weight high-entropy
     * sources up because they carry more information per token.
     *
-    * Float discipline: each (source, term) contribution is folded in
-    * TERM ORDER (the t20/t22 recipe) and ln is [[PlatformLn]], so the
-    * sums are bit-identical in any engine at any parallelism.
+    * Float discipline: contributions fold in the t22 SEGMENTED fixed
+    * order (256 md5 term segments, term order within a segment,
+    * segment order across sums) with [[PlatformLn]], so the sums are
+    * bit-identical in any engine at any parallelism and no aggregation
+    * buffer holds more than one segment's terms — the 100 TB-safe form
+    * of the ordered fold (see t22's scaladoc for the buffer argument).
     *
     * Scale shape: everything derives from ONE (source, term) aggregate
     * of the token explode (map-side combined, vocabulary-sized);
@@ -698,9 +732,13 @@ object TextOps {
     st.join(broadcast(ns), Seq("source"))
       .withColumn("p", $"c_st".cast("double") / $"n_s".cast("double"))
       .withColumn("contrib", -($"p" * platform_ln($"p")))
+      .withColumn("seg", segOf($"term"))
+      .groupBy($"source", $"seg")
+      .agg(count(lit(1)).as("n_terms_seg"), sum($"c_st").as("n_tokens_seg"),
+        expr(segFold).as("f_seg"))
       .groupBy($"source")
-      .agg(count(lit(1)).as("vocab"), sum($"c_st").as("n_tokens"),
-        expr("aggregate(transform(sort_array(collect_list(struct(term, contrib))), x -> x.contrib), 0D, (a, x) -> a + x)").as("entropy"))
+      .agg(sum($"n_terms_seg").as("vocab"), sum($"n_tokens_seg").as("n_tokens"),
+        expr(outerFold).as("entropy"))
       .withColumn("norm_entropy",
         $"entropy" / platform_ln($"vocab".cast("double")))
       .orderBy($"source")

@@ -17,6 +17,15 @@ class InvariantSpec extends AnyFunSuite {
   private val rnd = new Random(42)
   private val vocab = Vector("spark", "table", "the", "word", "Alice", "bob", "Window", "x1")
 
+  /** The t22/t24 term segment: first md5 byte (= first two hex chars),
+    * 0..255 — must match `conv(substring(md5(term), 1, 2), 16, 10)`.
+    */
+  private def md5Seg(t: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8"))
+    (d(0).toInt & 0xff).toLong
+  }
+
   private def randomText(): String =
     Seq.fill(rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
 
@@ -309,11 +318,16 @@ class InvariantSpec extends AnyFunSuite {
     val ns = st.groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._3).sum }
     val nTotal = tf.values.sum
     val expected = st.groupBy(_._1).map { case (src, xs) =>
-      // same order as sort_array(struct(term, _)): unsigned-byte UTF-8
-      val kl = xs.sortBy(_._2).foldLeft(0.0) { case (acc, (_, t, c)) =>
-        acc + (c.toDouble / ns(src)) *
-          Math.log((c.toDouble * nTotal) / (ns(src).toDouble * tf(t)))
-      }
+      // the round-12 SEGMENTED fold: terms hash into 256 md5 segments,
+      // term order within a segment (sort_array's unsigned-byte UTF-8),
+      // segment order across the 0.0-seeded segment sums
+      val kl = xs.groupBy(x => md5Seg(x._2)).toSeq.sortBy(_._1)
+        .foldLeft(0.0) { case (outer, (_, segTerms)) =>
+          outer + segTerms.sortBy(_._2).foldLeft(0.0) { case (acc, (_, t, c)) =>
+            acc + (c.toDouble / ns(src)) *
+              Math.log((c.toDouble * nTotal) / (ns(src).toDouble * tf(t)))
+          }
+        }
       src -> ((xs.length.toLong, ns(src), kl))
     }
     val got = graft.ops.TextOps.sourceDivergence(spark, TestSpark.sfDir).collect()
@@ -473,11 +487,15 @@ class InvariantSpec extends AnyFunSuite {
       val counts = bySource(src)
       val n = counts.values.sum
       assert(vocab == counts.size && nTokens == n)
-      // same term-ordered fold, same Math.log: bit-exact
-      val exp = counts.toSeq.sortBy(_._1).map { case (_, c) =>
-        val p = c.toDouble / n.toDouble
-        -(p * Math.log(p))
-      }.foldLeft(0.0)(_ + _)
+      // same segmented fold (md5 segment, term order within, segment
+      // order across), same Math.log: bit-exact
+      val exp = counts.toSeq.groupBy(x => md5Seg(x._1)).toSeq.sortBy(_._1)
+        .foldLeft(0.0) { case (outer, (_, segTerms)) =>
+          outer + segTerms.sortBy(_._1).foldLeft(0.0) { case (acc, (_, c)) =>
+            val p = c.toDouble / n.toDouble
+            acc + -(p * Math.log(p))
+          }
+        }
       assert(entropy == exp, s"$src: got $entropy want $exp")
       assert(norm == entropy / Math.log(vocab.toDouble))
       assert(entropy >= 0.0 && norm <= 1.0 + 1e-12)

@@ -103,6 +103,43 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("no corpus-cardinality group carries an unbounded collect_list") {
+    // The round-11 finding on t22/t24: an ordered fold whose
+    // collect_list buffer is keyed by SOURCE alone grows with the
+    // source's vocabulary — a multi-GB single buffer in one task at
+    // 100 TB. The discipline: every collect_list must either group by
+    // a per-item key (doc_id/vec_id/q_id — the buffer is bounded by
+    // one document/query) or carry a second grouping column (the
+    // 256-way term-hash segment, bounding the buffer at the segment
+    // width). Checked mechanically across every registered query.
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+    val itemKeys = Set("doc_id", "vec_id", "q_id")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, TestSpark.sfDir).queryExecution.optimizedPlan.collect {
+        case a: Aggregate =>
+          val lists = a.aggregateExpressions.flatMap(_.collect {
+            case c: CollectList => c
+          })
+          // A collect over the 256 segment sums (references the `seg`
+          // key) is domain-bounded even under a single grouping key —
+          // that IS the outer level of the segmented fold.
+          val unbounded = lists.filterNot(
+            _.child.references.toSeq.map(_.name).contains("seg"))
+          val boundedGroup =
+            a.groupingExpressions.size >= 2 ||
+              a.groupingExpressions.flatMap(_.references.toSeq.map(_.name))
+                .exists(itemKeys.contains)
+          if (unbounded.nonEmpty && !boundedGroup)
+            Some(s"$name: grouping=${a.groupingExpressions.map(_.sql).mkString(",")}")
+          else None
+      }.flatten
+    }
+    assert(offenders.isEmpty,
+      s"unbounded collect_list buffers in: ${offenders.mkString("; ")}")
+  }
+
   test("executed plans of the pair generators use hash or merge joins only") {
     val spark = TestSpark.spark
     // (d16/s08 are absent: their bounded 16-row codebook broadcast is
