@@ -135,6 +135,11 @@ object SparkEntry {
     // single-linkage chaining detector a campaign reads before
     // trusting the d19 report.
     "d23_cluster_tightness"  -> ((s, d) => Dedup.clusterTightness(s, d)),
+    // d24 = cross-modal disagreement report: d11 text clusters joined
+    // with m12 image clusters per doc; flags text-dups whose images
+    // differ and image-dups whose texts differ — the review queue
+    // before a cross-modal dedup drops anything.
+    "d24_crossmodal"         -> (Multimodal.crossModalReport _),
     // ---- similarity search ----
     "s01_knn_brute"          -> (Similarity.bruteForceKnn _),
     "s02_knn_bucketed"       -> (Similarity.bucketedKnn _),
@@ -210,6 +215,10 @@ object SparkEntry {
     // frequency band, r* = (r+1)N_{r+1}/N_r — the unseen-mass audit
     // (singleton share) behind smoothing and coverage decisions.
     "t30_freq_spectrum"      -> (TextOps.freqSpectrum _),
+    // t31 = t25's curriculum at 100 TB shape: phase boundaries from
+    // broadcast approx-quantile cutpoints (no per-source rank window);
+    // emits the exact manifest + a sketch-agreement gate (t07 pattern).
+    "t31_curriculum_sketch"  -> (TextOps.curriculumSketch _),
     "t15_length_hist"        -> (TextOps.lengthHistogram _),
     "t16_contamination"      -> (TextOps.contamination _),
     "t17_repetition"         -> (TextOps.repetitionFilters _),
@@ -1046,6 +1055,97 @@ object SparkEntry {
           CAST(a.weak_a AS BIGINT) AS weak_a, CAST(a.weak_b AS BIGINT) AS weak_b
         FROM agg a JOIN mem m ON m.cluster_id = a.cluster_id
         ORDER BY a.cluster_id""",
+      // d24: the d11 text-cluster walk + the m12 image-cluster walk
+      // (aHash recomputed from the generator formula), joined per doc
+      // with singleton defaults, then the two cross-modal
+      // distinct-count disagreement flags.
+      "d24_crossmodal" -> """
+        WITH RECURSIVE
+        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+               FROM documents),
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        small AS (SELECT j, bkey FROM bands GROUP BY j, bkey
+                  HAVING count(*) <= 64 AND count(*) > 1),
+        inb AS (SELECT b.* FROM bands b JOIN small s ON b.j = s.j AND b.bkey = s.bkey),
+        tpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        tedges AS (SELECT doc_a AS src, doc_b AS dst FROM tpairs
+                   UNION ALL SELECT doc_b, doc_a FROM tpairs),
+        twalk(node, lbl) AS (
+          SELECT src, src FROM tedges
+          UNION
+          SELECT e.dst, w.lbl FROM twalk w JOIN tedges e ON e.src = w.node),
+        tlab AS (SELECT node AS doc_id, min(lbl) AS text_cluster
+                 FROM twalk GROUP BY node),
+        d AS (SELECT doc_id, 8 + doc_id % 25 AS w, 8 + (doc_id // 25) % 25 AS h
+              FROM documents),
+        t AS (SELECT doc_id, w, h,
+                CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                  list_transform(generate_series(0, w - 1), x ->
+                    (doc_id * 31 + 7 * x + 13 * y) % 256)))) AS BIGINT) AS total
+              FROM d),
+        cells AS (SELECT doc_id, w, h, total, i, j,
+                    (i * w) // 8 AS x0, ((i + 1) * w) // 8 AS x1,
+                    (j * h) // 8 AS y0, ((j + 1) * h) // 8 AS y1
+                  FROM t,
+                    (SELECT unnest(generate_series(0, 7)) AS i) ii,
+                    (SELECT unnest(generate_series(0, 7)) AS j) jj),
+        cs AS (SELECT doc_id, w, h, total, i, j,
+                 (x1 - x0) * (y1 - y0) AS np,
+                 CAST(list_sum(flatten(list_transform(generate_series(y0, y1 - 1), y ->
+                   list_transform(generate_series(x0, x1 - 1), x ->
+                     (doc_id * 31 + 7 * x + 13 * y) % 256)))) AS BIGINT) AS csum
+               FROM cells),
+        bits AS (SELECT doc_id, 8 * j + i AS b,
+                   CASE WHEN csum * w * h > total * np THEN 1 ELSE 0 END AS bit
+                 FROM cs),
+        hx AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN b >= 32 AND bit = 1
+                               THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(sum(CASE WHEN b < 32 AND bit = 1
+                               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
+               FROM bits GROUP BY doc_id),
+        bd AS (SELECT doc_id, hi, lo, bb.band,
+                 CASE bb.band WHEN 0 THEN lo & 65535
+                              WHEN 1 THEN (lo >> 16) & 65535
+                              WHEN 2 THEN hi & 65535
+                              ELSE (hi >> 16) & 65535 END AS bval
+               FROM hx, (SELECT unnest(generate_series(0, 3)) AS band) bb),
+        ipairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bd a JOIN bd b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+                   WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2),
+        iedges AS (SELECT doc_a AS src, doc_b AS dst FROM ipairs
+                   UNION ALL SELECT doc_b, doc_a FROM ipairs),
+        iwalk(node, lbl) AS (
+          SELECT src, src FROM iedges
+          UNION
+          SELECT e.dst, w.lbl FROM iwalk w JOIN iedges e ON e.src = w.node),
+        ilab AS (SELECT node AS doc_id, min(lbl) AS image_cluster
+                 FROM iwalk GROUP BY node),
+        allids AS (SELECT DISTINCT doc_id FROM
+                     (SELECT doc_id FROM tlab
+                      UNION ALL SELECT doc_id FROM ilab) u),
+        jn AS (SELECT a.doc_id,
+                 COALESCE(tl.text_cluster, a.doc_id) AS text_cluster,
+                 COALESCE(il.image_cluster, a.doc_id) AS image_cluster
+               FROM allids a LEFT JOIN tlab tl ON tl.doc_id = a.doc_id
+                             LEFT JOIN ilab il ON il.doc_id = a.doc_id),
+        tc AS (SELECT text_cluster, count(DISTINCT image_cluster) AS n_img
+               FROM jn GROUP BY 1),
+        ic AS (SELECT image_cluster, count(DISTINCT text_cluster) AS n_txt
+               FROM jn GROUP BY 1)
+        SELECT jn.doc_id, jn.text_cluster, jn.image_cluster,
+          tc.n_img > 1 AS img_split, ic.n_txt > 1 AS text_split
+        FROM jn JOIN tc ON tc.text_cluster = jn.text_cluster
+                JOIN ic ON ic.image_cluster = jn.image_cluster
+        ORDER BY jn.doc_id""",
       "d18_mh_accuracy" -> """
         WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
                       t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
@@ -2038,6 +2138,25 @@ object SparkEntry {
         FROM inter i JOIN sz za ON za.source = i.src_a
         JOIN sz zb ON zb.source = i.src_b
         ORDER BY src_a, src_b""",
+      // t31: the exact ntile manifest is the oracle-checkable arm; the
+      // sketch-phase agreement gate is engine-specific and surfaces as
+      // the all-true agree_ok boolean (t07/q23 tolerance discipline).
+      "t31_curriculum_sketch" -> """
+        WITH x AS (SELECT source, doc_id, regexp_split_to_array(text, '\s+') AS t
+                   FROM documents),
+        q AS (SELECT source, doc_id,
+                0.4 * (1.0 - CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t))
+                  + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+                  + 0.3 * least(len(t) / 50.0, 1.0) AS quality,
+                CAST(len(t) AS BIGINT) AS n_tokens
+              FROM x),
+        ph AS (SELECT source, doc_id, quality, n_tokens,
+                 ntile(4) OVER (PARTITION BY source
+                   ORDER BY quality, doc_id) AS phase
+               FROM q)
+        SELECT source, CAST(phase AS BIGINT) AS phase, count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS phase_tokens, TRUE AS agree_ok
+        FROM ph GROUP BY source, phase ORDER BY source, phase""",
       "t25_curriculum" -> """
         WITH x AS (SELECT source, doc_id, regexp_split_to_array(text, '\s+') AS t
                    FROM documents),

@@ -156,8 +156,15 @@ object Dedup {
     * the DuckDB oracle reproduces it with a recursive reachability CTE.
     */
   def dupClusters(s: SparkSession, dir: String, cap: Int = 64): DataFrame =
+    dupClusterLabels(s, dir, cap).orderBy(col("doc_id"))
+
+  /** d11's (doc_id, cluster_id) labeling without the presentation sort
+    * — the text-cluster sidecar graph consumers join (d24 reads it next
+    * to the image labels).
+    */
+  private[graft] def dupClusterLabels(s: SparkSession, dir: String,
+                                      cap: Int = 64): DataFrame =
     connectedComponents(s, cappedPairsUnsorted(s, dir, cap))
-      .orderBy(col("doc_id"))
 
   /** The dedup OUTCOME materialized — what a curation run reports and
     * ships: per duplicate cluster (d11's connected components over the

@@ -372,7 +372,8 @@ object EventOps {
     * the rank window partitions by DAY and each partition holds at
     * most |event types| aggregated rows — the window never sees raw
     * events, so there is no per-day skew regardless of how hot a day
-    * is. The share divide is exact BIGINT÷BIGINT per emitted row.
+    * is. The share is one double divide of exact integers per emitted
+    * row (the t28 ttr discipline), so it is engine-exact.
     */
   def windowedTopTypes(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import s.implicits._
@@ -380,6 +381,20 @@ object EventOps {
       .groupBy(window($"ts", "1 day"), $"event_type")
       .agg(count(lit(1)).as("n"))
       .select($"window.start".as("day"), $"event_type", $"n")
+    rankWindowCounts(perDay, k)
+      .orderBy($"day", $"rnk")
+  }
+
+  /** The rank-and-share tail of e16 over finalized (day, event_type, n)
+    * rows — shared with the streaming form
+    * (`graft.streaming.StreamingTopK` ranks each closed window's rows
+    * inside foreachBatch with exactly this frame), so the streamed
+    * leaderboard composes to the batch one by construction. Input is
+    * pre-aggregated: at most |event types| rows per day.
+    */
+  private[graft] def rankWindowCounts(perDay: DataFrame, k: Int): DataFrame = {
+    val s = perDay.sparkSession
+    import s.implicits._
     val rw = Window.partitionBy($"day").orderBy($"n".desc, $"event_type")
     val tw = Window.partitionBy($"day")
     perDay
@@ -388,6 +403,5 @@ object EventOps {
       .filter($"rnk" <= k)
       .withColumn("share", $"n".cast("double") / $"day_total".cast("double"))
       .select($"day", $"rnk", $"event_type", $"n", $"share")
-      .orderBy($"day", $"rnk")
   }
 }

@@ -439,6 +439,57 @@ object Multimodal {
       .orderBy($"cluster_id")
   }
 
+  /** The (doc_id, cluster_id) image labeling alone — m12 without the
+    * savings charge-back, for consumers that join the label table
+    * (d24's cross-modal report).
+    */
+  private[graft] def imageClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Dedup.connectedComponentsWithRounds(s,
+      imageDupPairsUnsorted(s, dir, maxHamming = 2).select($"doc_a", $"doc_b"))._1
+  }
+
+  /** d24 — CROSS-MODAL dedup disagreement report: the three modalities
+    * dedup independently (d11 text, m12 image), but a curation campaign
+    * that keeps one representative per TEXT cluster silently collapses
+    * documents whose attached media differ — and vice versa. Per
+    * document implicated in either signal: its text-cluster id, its
+    * image-cluster id (each defaulting to the doc's own id when that
+    * modality saw no duplicate), and the two disagreement flags —
+    * `img_split` (this doc's text cluster spans >1 image cluster:
+    * text-dups whose images differ) and `text_split` (its image
+    * cluster spans >1 text cluster: image-dups whose texts differ).
+    * The flagged rows ARE the review queue a cross-modal dedup ships
+    * before dropping anything.
+    *
+    * Scale shape: both inputs are the existing cluster label sidecars
+    * (K-sized — only docs implicated in ≥1 near-dup pair appear), so
+    * every join and distinct-count here is cluster-sized, never
+    * corpus-sized; the per-cluster fan-out tables broadcast. The label
+    * table is checkpointed once and feeds the two distinct-count
+    * aggregates plus the output join.
+    */
+  def crossModalReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val txt = graft.ops.Dedup.dupClusterLabels(s, dir).toDF("doc_id", "text_cluster")
+    val img = imageClusterLabels(s, dir).toDF("doc_id", "image_cluster")
+    val all = txt.select($"doc_id").union(img.select($"doc_id")).distinct()
+    val j = all
+      .join(txt, Seq("doc_id"), "left")
+      .join(img, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"text_cluster", $"doc_id").as("text_cluster"),
+        coalesce($"image_cluster", $"doc_id").as("image_cluster"))
+      .localCheckpoint()
+    val t = j.groupBy($"text_cluster").agg(countDistinct($"image_cluster").as("n_img"))
+    val i = j.groupBy($"image_cluster").agg(countDistinct($"text_cluster").as("n_txt"))
+    j.join(broadcast(t), Seq("text_cluster"))
+      .join(broadcast(i), Seq("image_cluster"))
+      .select($"doc_id", $"text_cluster", $"image_cluster",
+        ($"n_img" > 1).as("img_split"), ($"n_txt" > 1).as("text_split"))
+      .orderBy($"doc_id")
+  }
+
   /** One micro-batch of arriving media probing the STATIC perceptual
     * index — the image twin of `Dedup.multiSignalProbe`, and the core
     * the streaming job (`graft.streaming.StreamingImageDedup`) runs per

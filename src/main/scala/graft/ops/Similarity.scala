@@ -441,8 +441,17 @@ object Similarity {
     * definition) after a 16-row codebook argmax; the corpus-sized index
     * only streams through the cell equi-join — probe cost scales with
     * the batch, not the corpus.
+    *
+    * Id-space contract: with `excludeSelf` (the default, s04 parity)
+    * the probe drops index rows where vec_id = q_id — correct when
+    * queries share the corpus id space (self-queries must not return
+    * themselves). An EXTERNAL query stream whose ids are unrelated to
+    * corpus ids must pass `excludeSelf = false`, or a query whose id
+    * coincidentally equals an unrelated corpus vector's silently loses
+    * that vector as a candidate.
     */
-  def ivfProbeBatch(batch: DataFrame, index: DataFrame): DataFrame = {
+  def ivfProbeBatch(batch: DataFrame, index: DataFrame,
+                    excludeSelf: Boolean = true): DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
     val cb = index.filter($"vec_id" < 16)
@@ -456,7 +465,8 @@ object Similarity {
       .filter($"arank" === 1)
       .select($"q_id", $"q_emb", $"q_nrm", $"cell_id".as("q_cell"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-    index.join(broadcast(qAssigned), $"cell_id" === $"q_cell" && $"vec_id" =!= $"q_id")
+    val selfGuard = if (excludeSelf) $"vec_id" =!= $"q_id" else lit(true)
+    index.join(broadcast(qAssigned), $"cell_id" === $"q_cell" && selfGuard)
       .withColumn("cos", cosinePrenormed(vec_dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 5)
@@ -508,11 +518,16 @@ object Similarity {
       .localCheckpoint()
     // Codes as exact small-integer doubles: vec_dot's strict left fold
     // over them is an INTEGER sum in disguise (every partial < 2^53).
+    // Degenerate-range guard: a corpus whose values are all equal has
+    // gmax = gmin; the affine map then divides 0/0 into NaN codes whose
+    // sort order differs between engines. Scale 0 + all-zero codes keep
+    // the degenerate case engine-exact (every acos = 1, id tiebreak).
     val coded = embeddings(s, dir).crossJoin(broadcast(st))
       .select($"vec_id", $"gmin",
         (($"gmax" - $"gmin") / lit(255.0)).as("scale"),
-        expr("transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE) - gmin) " +
-          "* 255.0D / (gmax - gmin)) AS DOUBLE))").as("qv"))
+        expr("transform(embedding, x -> CAST(CASE WHEN gmax = gmin THEN 0.0 " +
+          "ELSE floor((CAST(x AS DOUBLE) - gmin) * 255.0D / (gmax - gmin)) " +
+          "END AS DOUBLE))").as("qv"))
       .withColumn("sq", expr("aggregate(qv, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"))
       .withColumn("sq2", vec_dot($"qv", $"qv"))
     val q = coded.select($"vec_id".as("q_id"), $"qv".as("q_qv"),

@@ -767,6 +767,14 @@ object TextOps {
     * cumulative window runs over TEN rows, not the corpus. The one-row
     * doc-count aggregate is a broadcast crossJoin (whitelisted, t13
     * class).
+    *
+    * Id contract: the decile key `(doc_id * 10) div n_docs` assumes
+    * doc_ids are 0-based and contiguous (the testdata fixture's
+    * layout); 1-based or sparse ids would land the max id in an 11th
+    * bucket. Corpora without that layout should rank ids first
+    * (row_number over doc_id) — the checkpoint semantics ("first tenth
+    * of the corpus") are about ingest order, which contiguous ids
+    * encode for free.
     */
   def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -895,6 +903,20 @@ object TextOps {
     */
   def curriculum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"quality", $"doc_id")
+    qualityScored(s, dir)
+      .withColumn("phase", ntile(4).over(w).cast("long"))
+      .groupBy($"source", $"phase")
+      .agg(count(lit(1)).as("n_docs"), min($"quality").as("q_min"),
+        max($"quality").as("q_max"), sum($"n_tokens").as("phase_tokens"))
+      .orderBy($"source", $"phase")
+  }
+
+  /** (source, doc_id, quality, n_tokens) — the t02 quality scoring
+    * shared by the two curriculum forms (t25 exact ntile, t31 sketch).
+    */
+  private def qualityScored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val t = toks($"text")
     val nTok = size(t).cast("double")
     val nStop = size(filter(t, c => c.isin(Stopwords: _*))).cast("double")
@@ -902,14 +924,75 @@ object TextOps {
     val stopRatio = nStop / nTok
     val lenScore = least(nTok / lit(50.0), lit(1.0))
     val quality = lit(0.4) * (lit(1.0) - stopRatio) + lit(0.3) * ttr + lit(0.3) * lenScore
-    val w = Window.partitionBy($"source").orderBy($"quality", $"doc_id")
     documents(s, dir)
       .select($"source", $"doc_id", quality.as("quality"),
         size(t).cast("long").as("n_tokens"))
-      .withColumn("phase", ntile(4).over(w).cast("long"))
+  }
+
+  /** t31 — the 100 TB form of t25's curriculum: phase boundaries come
+    * from BROADCAST approx-quantile cutpoints (the q23 sketch, one
+    * |sources|-row aggregate) instead of a per-source rank window. The
+    * rank form is exact but pays a per-source sort whose partitions
+    * scale with the biggest source — one web-scale source and the
+    * window runs hot; the sketch form assigns each document its phase
+    * with a narrow scan against three broadcast doubles, no window at
+    * all on the assignment path.
+    *
+    * Oracle discipline (the t07/q23 tolerance pattern): the sketch
+    * assignment is engine-specific, so the emitted manifest is the
+    * EXACT ntile one (n_docs/phase_tokens per phase — recomputable by
+    * the oracle) plus `agree_ok`, asserting per source that the sketch
+    * agrees with the exact rank on ≥ 90 % of documents (an integer
+    * ×10/×9 compare, engine-exact; the oracle emits TRUE). Ties and
+    * quantile-rank conventions cost the sketch a few boundary
+    * documents — InvariantSpec pins the measured agreement.
+    *
+    * Scale shape: one scored scan → the ntile manifest (audit arm,
+    * exact, oracle-checkable) + one approx_percentile aggregate
+    * (|sources| rows, broadcast back) → per-(source, phase) integer
+    * agreement counts. The sketch never shuffles documents.
+    */
+  def curriculumSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = qualityScored(s, dir)
+    val w = Window.partitionBy($"source").orderBy($"quality", $"doc_id")
+    val exact = scored.withColumn("phase", ntile(4).over(w).cast("long"))
+    val cuts = scored.groupBy($"source")
+      .agg(expr("approx_percentile(quality, array(0.25D, 0.5D, 0.75D), 10000)")
+        .as("cut"))
+    val sw = Window.partitionBy($"source")
+    exact.join(broadcast(cuts), Seq("source"))
+      .withColumn("sketch_phase",
+        lit(1L) + ($"quality" > $"cut" (0)).cast("long") +
+          ($"quality" > $"cut" (1)).cast("long") +
+          ($"quality" > $"cut" (2)).cast("long"))
       .groupBy($"source", $"phase")
-      .agg(count(lit(1)).as("n_docs"), min($"quality").as("q_min"),
-        max($"quality").as("q_max"), sum($"n_tokens").as("phase_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("phase_tokens"),
+        sum(($"sketch_phase" === $"phase").cast("long")).as("n_agree_ph"))
+      .withColumn("agree_ok",
+        sum($"n_agree_ph").over(sw) * 10 >= sum($"n_docs").over(sw) * 9)
+      .select($"source", $"phase", $"n_docs", $"phase_tokens", $"agree_ok")
       .orderBy($"source", $"phase")
+  }
+
+  /** Per-source sketch-vs-exact agreement counts — the test seam for
+    * t31's floor (InvariantSpec reads the real fraction).
+    */
+  private[graft] def curriculumSketchAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = qualityScored(s, dir)
+    val w = Window.partitionBy($"source").orderBy($"quality", $"doc_id")
+    val exact = scored.withColumn("phase", ntile(4).over(w).cast("long"))
+    val cuts = scored.groupBy($"source")
+      .agg(expr("approx_percentile(quality, array(0.25D, 0.5D, 0.75D), 10000)")
+        .as("cut"))
+    exact.join(broadcast(cuts), Seq("source"))
+      .withColumn("sketch_phase",
+        lit(1L) + ($"quality" > $"cut" (0)).cast("long") +
+          ($"quality" > $"cut" (1)).cast("long") +
+          ($"quality" > $"cut" (2)).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(($"sketch_phase" === $"phase").cast("long")).as("n_agree"))
   }
 }

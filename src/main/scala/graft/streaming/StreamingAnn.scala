@@ -42,15 +42,24 @@ object StreamingAnn {
   /** Start the job: `queries` is any streaming frame bearing
     * (q_id, embedding); `index` the static IVF assignment sidecar;
     * results land under `outDir/batch_id=<n>/`.
+    *
+    * The index is materialized (localCheckpoint) HERE, once per run:
+    * a caller passing the lazy `ivfIndex` frame would otherwise
+    * re-execute the full corpus IVF assignment on every micro-batch —
+    * the per-batch cost must scale with the batch, so the corpus-sized
+    * work happens exactly once (idempotent if the caller already
+    * checkpointed, as the tests do).
     */
   def run(queries: DataFrame, index: DataFrame, outDir: String,
-          checkpointDir: String): StreamingQuery =
+          checkpointDir: String): StreamingQuery = {
+    val idx = index.localCheckpoint()
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        probeBatch(batch, index)
+        probeBatch(batch, idx)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+  }
 }

@@ -502,6 +502,31 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("t31 sketch curriculum: manifest equals t25's and sketch agreement clears the floor") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // The registered row: exact manifest + all-true agreement gate.
+    val t31 = graft.ops.TextOps.curriculumSketch(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val t25 = graft.ops.TextOps.curriculum(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(5)))).toMap
+    assert(t31.keySet == t25.keySet)
+    t31.foreach { case (k, (nDocs, phTok, agreeOk)) =>
+      assert((nDocs, phTok) == t25(k), s"$k manifest drifted from the exact ntile arm")
+      assert(agreeOk, s"$k: sketch agreement below the 90% floor")
+    }
+    // The real measured agreement, pinned above the registered floor
+    // with margin: the sketch loses only tie/rank-convention boundary
+    // docs, never a phase's worth.
+    val agree = graft.ops.TextOps.curriculumSketchAgreement(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(agree.nonEmpty)
+    agree.foreach { case (src, n, nAgree) =>
+      assert(nAgree * 10 >= n * 9, s"$src: $nAgree/$n below floor")
+    }
+  }
+
   test("t25 curriculum phases are equal-size cuts in quality order") {
     val spark = TestSpark.spark
     import spark.implicits._

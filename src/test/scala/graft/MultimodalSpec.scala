@@ -462,4 +462,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("MapPartitions"), plan)
     assert(!plan.contains("DeserializeToObject"), plan)
   }
+
+  test("d24 cross-modal report composes from the d11 and m12 label tables") {
+    val spark = TestSpark.spark
+    // Driver-side recomputation of the disagreement set from the two
+    // label tables the report claims to join — the oracle does the same
+    // with recursive CTEs; this pins the composition at fixture scale.
+    val txt = graft.ops.Dedup.dupClusters(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val img = Multimodal.imageClusterLabels(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = (txt.keySet ++ img.keySet).toSeq.sorted
+    val tcOf = ids.map(id => id -> txt.getOrElse(id, id)).toMap
+    val icOf = ids.map(id => id -> img.getOrElse(id, id)).toMap
+    val nImg = ids.groupBy(tcOf).map { case (tc, ms) => tc -> ms.map(icOf).distinct.size }
+    val nTxt = ids.groupBy(icOf).map { case (ic, ms) => ic -> ms.map(tcOf).distinct.size }
+    val expected = ids.map(id =>
+      (id, tcOf(id), icOf(id), nImg(tcOf(id)) > 1, nTxt(icOf(id)) > 1))
+    val got = Multimodal.crossModalReport(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
+      .toSeq
+    assert(got.nonEmpty)
+    assert(got == expected)
+    // the fixture must actually exercise a disagreement, or the flags
+    // are vacuous
+    assert(got.exists(_._4) || got.exists(_._5),
+      "fixture produced no cross-modal disagreement")
+  }
 }

@@ -235,6 +235,25 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(batchRun.except(streamed).count() == 0)
   }
 
+  test("ivfProbeBatch excludeSelf flag controls the id-space contract") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.ops.Similarity
+    val index = Similarity.ivfIndex(spark, TestSpark.sfDir).localCheckpoint()
+    // an EXTERNAL query whose id coincides with an unrelated corpus id:
+    // its embedding IS corpus vector 7's, so vector 7 is its true 1-NN
+    val emb7 = index.filter($"vec_id" === 7L)
+      .select($"embedding").collect()(0).getSeq[Float](0).toArray
+    val batch = Seq((7L, emb7)).toDF("q_id", "embedding")
+    val withSelf = Similarity.ivfProbeBatch(batch, index, excludeSelf = false)
+      .filter($"rank" === 1).collect()
+    assert(withSelf.length == 1 && withSelf(0).getLong(2) == 7L,
+      "external id space: the coincident corpus vector must stay a candidate")
+    val noSelf = Similarity.ivfProbeBatch(batch, index)
+      .filter($"vec_id" === 7L).collect()
+    assert(noSelf.isEmpty, "corpus id space: a self-query must not return itself")
+  }
+
   test("image probe executed plan: no exchange ever carries the payload bytes") {
     val spark = TestSpark.spark
     import spark.implicits._
@@ -362,6 +381,101 @@ class StreamingExtrasSpec extends AnyFunSuite {
     val streamed = spark.read.parquet(out).drop("batch_id")
     val batchRun = Similarity.ivfKnn(spark, TestSpark.sfDir)
     assert(streamed.count() == 25)
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+  }
+
+  test("streaming top-k: closed windows compose to the batch e16 result") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // The live-leaderboard shape: events arrive in event-time order
+    // (the ordered-ingest contract) across uneven micro-batches; as the
+    // watermark closes each tumbling day, the finalized (day, type)
+    // counts are ranked inside foreachBatch. The union over batches
+    // must equal batch e16 on the same events, because a sentinel event
+    // 3 days past the log's end closes every real window.
+    val evs = Tables.events(spark, TestSpark.sfDir)
+      .select($"ts", $"event_type")
+      .as[(java.sql.Timestamp, String)].collect().sortBy(_._1.getTime)
+    val batches = Seq(
+      evs.take(evs.length / 3),
+      evs.slice(evs.length / 3, 2 * evs.length / 3),
+      evs.drop(2 * evs.length / 3))
+    val sentinel = new java.sql.Timestamp(
+      evs.map(_._1.getTime).max + 3L * 24 * 3600 * 1000)
+    val out = java.nio.file.Files.createTempDirectory("graft_stk_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stk_ckpt").toString
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingTopK.run(
+      input.toDF().toDF("ts", "event_type"), out, ckpt)
+    try {
+      batches.foreach { b =>
+        input.addData(b.toSeq)
+        q.processAllAvailable()
+      }
+      // sentinel advances the watermark past every real day; its own
+      // window stays open and never emits
+      input.addData(Seq((sentinel, "view")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batchRun = graft.ops.EventOps.windowedTopTypes(spark, TestSpark.sfDir)
+    assert(streamed.count() > 0, "fixture must close at least one window")
+    assert(streamed.count() == batchRun.count())
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+  }
+
+  test("StreamingTopK restart replays the uncommitted batch exactly-once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val evs = Tables.events(spark, TestSpark.sfDir)
+      .select($"ts", $"event_type")
+      .as[(java.sql.Timestamp, String)].collect().sortBy(_._1.getTime)
+    val batches = Seq(
+      evs.take(evs.length / 2),
+      evs.drop(evs.length / 2))
+    val sentinel = new java.sql.Timestamp(
+      evs.map(_._1.getTime).max + 3L * 24 * 3600 * 1000)
+    val out = java.nio.file.Files.createTempDirectory("graft_stkr_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stkr_ckpt").toString
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = input.toDF().toDF("ts", "event_type")
+    def start() = graft.streaming.StreamingTopK.run(stream, out, ckpt)
+
+    val q1 = start()
+    try {
+      input.addData(batches(0).toSeq); q1.processAllAvailable()
+      input.addData(batches(1).toSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    // Crash between offset log and commit: drop the LAST commit marker
+    // (plus its stale .crc), forcing a replay of that batch — with its
+    // restored aggregate state — under the same batch id on restart.
+    // (Watermark advancement schedules extra no-data batches, so the
+    // commit count is not fixed; the replayed LAST one is what matters.)
+    val commitDir = new java.io.File(s"$ckpt/commits")
+    val commits = commitDir.listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    val lastId = commits.last.getName.toLong
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.$lastId.crc")
+    if (crc.exists()) assert(crc.delete())
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays the dropped batch
+      input.addData(Seq((sentinel, "view"))); q2.processAllAvailable()
+    } finally q2.stop()
+
+    // The replayed batch overwrote its own batch_id dir: the union over
+    // dirs equals batch e16 exactly — count equality catches any
+    // duplicated emission, set difference any drift.
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batchRun = graft.ops.EventOps.windowedTopTypes(spark, TestSpark.sfDir)
+    assert(streamed.count() == batchRun.count())
     assert(streamed.except(batchRun).count() == 0)
     assert(batchRun.except(streamed).count() == 0)
   }
