@@ -264,6 +264,10 @@ object SparkEntry {
     // its duration class by integer L1 over m09-style frame-energy
     // fingerprints — the audio twin of the m11 image near-dup probe.
     "m14_audio_nn"           -> (Multimodal.audioNearestNeighbor _),
+    // m15 = video frame-level dedup: per-frame aHash over the real GIF
+    // decode, digest-keyed repeated-scene report across videos (the
+    // d20 span discipline on the third modality; no pair join).
+    "m15_video_frame_dedup"  -> (Multimodal.videoFrameDedup _),
     "t12_normalize"          -> (TextOps.normalizeText _),
   )
 
@@ -776,6 +780,47 @@ object SparkEntry {
       // m14: per-frame energies recomputed from the WAV generator
       // formula (the m09 CTE), clips paired within the same frame
       // count, integer L1 summed frame-by-frame, rank-1 by (l1, id).
+      // m15: per-frame aHash recomputed from the GIF generator formula
+      // (the m11 cell-sum chain with the frame dimension added), then
+      // the digest-keyed two-level aggregate; a hash match proves the
+      // Spark side decoded real frame sequences through a real codec.
+      "m15_video_frame_dedup" -> """
+        WITH d AS (SELECT doc_id, 6 + doc_id % 10 AS w, 6 + (doc_id // 10) % 10 AS h,
+                          2 + doc_id % 4 AS nf FROM documents),
+        fr AS (SELECT doc_id, f, w, h,
+                 CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                   list_transform(generate_series(0, w - 1), x ->
+                     (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256)))) AS BIGINT) AS total
+               FROM d, LATERAL unnest(generate_series(0, CAST(nf - 1 AS INTEGER))) AS t(f)),
+        cells AS (SELECT doc_id, f, w, h, total, i, j,
+                    (i * w) // 8 AS x0, ((i + 1) * w) // 8 AS x1,
+                    (j * h) // 8 AS y0, ((j + 1) * h) // 8 AS y1
+                  FROM fr,
+                    (SELECT unnest(generate_series(0, 7)) AS i) ii,
+                    (SELECT unnest(generate_series(0, 7)) AS j) jj),
+        cs AS (SELECT doc_id, f, w, h, total, i, j,
+                 (x1 - x0) * (y1 - y0) AS np,
+                 CAST(list_sum(flatten(list_transform(generate_series(y0, y1 - 1), y ->
+                   list_transform(generate_series(x0, x1 - 1), x ->
+                     (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256)))) AS BIGINT) AS csum
+               FROM cells),
+        bits AS (SELECT doc_id, f, 8 * j + i AS b,
+                   CASE WHEN csum * w * h > total * np THEN 1 ELSE 0 END AS bit
+                 FROM cs),
+        hx AS (SELECT doc_id, f,
+                 CAST(sum(CASE WHEN b >= 32 AND bit = 1
+                               THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(sum(CASE WHEN b < 32 AND bit = 1
+                               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
+               FROM bits GROUP BY doc_id, f),
+        pv AS (SELECT hi, lo, doc_id, count(*) AS n_occ,
+                 min(doc_id * 8 + f) AS min_fid
+               FROM hx GROUP BY hi, lo, doc_id)
+        SELECT hi AS ahash_hi, lo AS ahash_lo, count(*) AS n_videos,
+          CAST(sum(n_occ) AS BIGINT) AS n_frames,
+          min(min_fid) // 8 AS min_doc_id, min(min_fid) % 8 AS min_frame
+        FROM pv GROUP BY hi, lo HAVING count(*) >= 2
+        ORDER BY ahash_hi, ahash_lo""",
       "m14_audio_nn" -> """
         WITH f AS (SELECT doc_id, CAST(200 + doc_id % 400 AS BIGINT) AS n FROM documents),
         e AS (SELECT doc_id, (n + 63) // 64 AS n_frames, fr,

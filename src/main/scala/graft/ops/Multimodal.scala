@@ -931,6 +931,78 @@ object Multimodal {
     decodeGifs(gifTable(s, dir)).toDF().orderBy($"doc_id")
   }
 
+  final case class FrameHash(doc_id: Long, frame_no: Long,
+                             ahash_hi: Long, ahash_lo: Long)
+
+  /** Per-FRAME perceptual hashes over the real GIF decode — the video
+    * modality's dedup sidecar: each container is decoded frame by frame
+    * inside the codec slot and every frame gets the same integer-exact
+    * 8×8 aHash as the still images ([[ahashOf]]); only (video, frame,
+    * hash halves) leave the map — rasters never cross an exchange.
+    */
+  def gifFrameAHashes(media: Dataset[GifRow]): Dataset[FrameHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.payload))
+        val reader = ImageIO.getImageReadersByFormatName("gif").next()
+        try {
+          reader.setInput(iis)
+          (0 until reader.getNumImages(true)).map { f =>
+            val (hi, lo) = ahashOf(reader.read(f))
+            FrameHash(r.doc_id, f.toLong, hi, lo)
+          }
+        } finally {
+          reader.dispose()
+          iis.close()
+        }
+      }
+    }
+  }
+
+  /** m15 — VIDEO frame-level dedup report: the d20/d01 repeated-span
+    * discipline applied to the third modality. Every video decodes into
+    * its ordered frames, every frame gets the m08 perceptual hash, and
+    * a hash carried by ≥ 2 distinct videos is a repeated scene (shared
+    * intros/outros, static boilerplate frames, re-posted clips) —
+    * reported with its video count, total frame occurrences, and the
+    * earliest carrier (video, frame). Frame dedup is what makes video
+    * corpora trainable: the same title card in ten thousand clips is
+    * the video twin of d20's licence-block paragraph.
+    *
+    * Exactness: grouping is BY THE DIGEST (hamming 0), so the report is
+    * a pure digest-keyed aggregate — no pair join anywhere, output
+    * bounded by distinct repeated hashes. (Hamming > 0 near-dup frames
+    * would reuse the m11 band machinery over the same sidecar — on this
+    * corpus every frame shares one gradient structure, so a loose
+    * threshold degenerates to all-pairs; the exact-match report is the
+    * form whose output stays group-sized at any corpus.) The earliest
+    * carrier is min(doc_id·8 + frame) unpacked — one order-free integer
+    * min, engine-exact.
+    *
+    * Scale shape: pixels reduce to 16 bytes/frame inside the codec
+    * slot; two digest-keyed aggregates ((hash, video) then hash — the
+    * d20 shape, so a video repeating a frame internally counts once
+    * toward n_videos); videos never shuffle whole.
+    */
+  def videoFrameDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perVideo = gifFrameAHashes(gifTable(s, dir)).toDF()
+      .groupBy($"ahash_hi", $"ahash_lo", $"doc_id")
+      .agg(count(lit(1)).as("n_occ"),
+        min($"doc_id" * 8 + $"frame_no").as("min_fid"))
+    perVideo
+      .groupBy($"ahash_hi", $"ahash_lo")
+      .agg(count(lit(1)).as("n_videos"), sum($"n_occ").as("n_frames"),
+        min($"min_fid").as("min_fid"))
+      .filter($"n_videos" >= 2)
+      .select($"ahash_hi", $"ahash_lo", $"n_videos", $"n_frames",
+        expr("min_fid div 8").as("min_doc_id"),
+        ($"min_fid" % 8).as("min_frame"))
+      .orderBy($"ahash_hi", $"ahash_lo")
+  }
+
   /** The media table: documents' text bytes standing in as payloads,
     * with a deterministic modality assignment.
     */

@@ -463,6 +463,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("DeserializeToObject"), plan)
   }
 
+  test("m15 video frame dedup equals a formula recount and shuffles no binary") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import Multimodal.GifCodec
+    // driver-side recount: per-frame aHash from the generator formula
+    // (same integer 8x8 cell algorithm), digest groups across videos
+    val ids = Tables.documents(spark, TestSpark.sfDir)
+      .select($"doc_id").as[Long].collect().sorted
+    def frameHash(id: Long, f: Int): (Long, Long) = {
+      val (w, h) = GifCodec.dims(id)
+      val px = Array.tabulate(h, w)((y, x) => GifCodec.pixel(id, f, x, y).toLong)
+      val total = px.map(_.sum).sum
+      var hi = 0L; var lo = 0L
+      for (j <- 0 until 8; i <- 0 until 8) {
+        val x0 = i * w / 8; val x1 = (i + 1) * w / 8
+        val y0 = j * h / 8; val y1 = (j + 1) * h / 8
+        var csum = 0L
+        for (y <- y0 until y1; x <- x0 until x1) csum += px(y)(x)
+        val np = (x1 - x0).toLong * (y1 - y0)
+        if (csum * w * h > total * np) {
+          val b = 8 * j + i
+          if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+        }
+      }
+      (hi, lo)
+    }
+    val frames = ids.flatMap(id =>
+      (0 until GifCodec.nFrames(id)).map(f => (frameHash(id, f), id, f.toLong)))
+    val expected = frames.groupBy(_._1).collect {
+      case ((hi, lo), xs) if xs.map(_._2).distinct.length >= 2 =>
+        (hi, lo) -> ((xs.map(_._2).distinct.length.toLong, xs.length.toLong,
+          xs.map(x => x._2 * 8 + x._3).min))
+    }.toMap
+    val got = Multimodal.videoFrameDedup(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4) * 8 + r.getLong(5)))).toMap
+    assert(got.nonEmpty, "fixture must produce at least one repeated frame group")
+    assert(got == expected)
+
+    // the decoded rasters must reduce to hashes inside the codec slot:
+    // no exchange in the executed plan may carry a binary column
+    val df = Multimodal.videoFrameDedup(spark, TestSpark.sfDir)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    def exchanges(p: SparkPlan): Seq[Exchange] = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case q: QueryStageExec => exchanges(q.plan)
+      case r: ReusedExchangeExec => Seq.empty
+      case e: Exchange => e +: e.children.flatMap(exchanges)
+      case other => other.children.flatMap(exchanges)
+    }
+    val ex = exchanges(df.queryExecution.executedPlan)
+    assert(ex.nonEmpty)
+    ex.foreach { e =>
+      val bin = e.output.filter(_.dataType ==
+        org.apache.spark.sql.types.BinaryType).map(_.name)
+      assert(bin.isEmpty, s"m15 exchange carries binary column(s): ${bin.mkString(",")}")
+    }
+  }
+
   test("d24 cross-modal report composes from the d11 and m12 label tables") {
     val spark = TestSpark.spark
     // Driver-side recomputation of the disagreement set from the two
