@@ -135,6 +135,10 @@ object SparkEntry {
     // single-linkage chaining detector a campaign reads before
     // trusting the d19 report.
     "d23_cluster_tightness"  -> ((s, d) => Dedup.clusterTightness(s, d)),
+    // d25 = ingest admission: per arriving doc (d14 slice) the full
+    // admit/reject verdict — three dedup signals vs the static index,
+    // the t02 quality bar, benchmark decontamination — with reasons.
+    "d25_ingest_admission"   -> ((s, d) => Dedup.ingestAdmission(s, d)),
     // d24 = cross-modal disagreement report: d11 text clusters joined
     // with m12 image clusters per doc; flags text-dups whose images
     // differ and image-dups whose texts differ — the review queue
@@ -215,6 +219,11 @@ object SparkEntry {
     // frequency band, r* = (r+1)N_{r+1}/N_r — the unseen-mass audit
     // (singleton share) behind smoothing and coverage decisions.
     "t30_freq_spectrum"      -> (TextOps.freqSpectrum _),
+    // t32 = the curation funnel: per source, how many docs (and
+    // tokens) survive exact dedup -> near-dedup -> quality ->
+    // decontamination, in pipeline order — the waterfall report the
+    // mixture planner consumes.
+    "t32_curation_funnel"    -> (TextOps.curationFunnel _),
     // t31 = t25's curriculum at 100 TB shape: phase boundaries from
     // broadcast approx-quantile cutpoints (no per-source rank window);
     // emits the exact manifest + a sketch-agreement gate (t07 pattern).
@@ -263,6 +272,11 @@ object SparkEntry {
     // m14 = audio nearest-neighbor: per probe clip the closest clip in
     // its duration class by integer L1 over m09-style frame-energy
     // fingerprints — the audio twin of the m11 image near-dup probe.
+    // s15 = one distributed Lloyd iteration over the IVF assignment:
+    // per (cell, dim) the seed vs re-trained centroid value + cell
+    // population — the codebook-training step the IVF family defers to,
+    // deterministic via vec_id-segmented ordered folds.
+    "s15_kmeans_step"        -> (Similarity.kmeansStep _),
     "m14_audio_nn"           -> (Multimodal.audioNearestNeighbor _),
     // m15 = video frame-level dedup: per-frame aHash over the real GIF
     // decode, digest-keyed repeated-scene report across videos (the
@@ -780,6 +794,35 @@ object SparkEntry {
       // m14: per-frame energies recomputed from the WAV generator
       // formula (the m09 CTE), clips paired within the same frame
       // count, integer L1 summed frame-by-frame, rank-1 by (l1, id).
+      // s15: the s04 assignment CTE + the segmented deterministic fold
+      // (vec_id % 256 segments, vec_id order within, segment order
+      // across) for the per-(cell, dim) member mean.
+      "s15_kmeans_step" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings),
+        cb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        assigned AS (SELECT vec_id, v, nrm, cell_id FROM (
+          SELECT e.vec_id, e.v, e.nrm, cb.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) DESC, cb.cell_id) AS arank
+          FROM e CROSS JOIN cb) t WHERE arank = 1),
+        el AS (SELECT cell_id, vec_id, i AS dim, CAST(v[i + 1] AS DOUBLE) AS x,
+                 vec_id % 256 AS seg
+               FROM assigned, LATERAL unnest(generate_series(0, 63)) AS t(i)),
+        segs AS (SELECT cell_id, dim, seg, count(*) AS n_seg,
+                   list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) AS s_seg
+                 FROM el GROUP BY 1, 2, 3),
+        upd AS (SELECT cell_id, dim, CAST(sum(n_seg) AS BIGINT) AS n_members,
+                  list_reduce(list(s_seg ORDER BY seg), (a, b) -> a + b) AS x_sum
+                FROM segs GROUP BY 1, 2),
+        seed AS (SELECT vec_id AS cell_id, i AS dim, CAST(v[i + 1] AS DOUBLE) AS old_c
+                 FROM e, LATERAL unnest(generate_series(0, 63)) AS t(i)
+                 WHERE vec_id < 16)
+        SELECT u.cell_id, CAST(u.dim AS BIGINT) AS dim, s.old_c,
+          u.x_sum / CAST(u.n_members AS DOUBLE) AS new_c, u.n_members
+        FROM upd u JOIN seed s ON s.cell_id = u.cell_id AND s.dim = u.dim
+        ORDER BY u.cell_id, u.dim""",
       // m15: per-frame aHash recomputed from the GIF generator formula
       // (the m11 cell-sum chain with the frame dimension added), then
       // the digest-keyed two-level aggregate; a hash match proves the
@@ -1100,6 +1143,79 @@ object SparkEntry {
           CAST(a.weak_a AS BIGINT) AS weak_a, CAST(a.weak_b AS BIGINT) AS weak_b
         FROM agg a JOIN mem m ON m.cluster_id = a.cluster_id
         ORDER BY a.cluster_id""",
+      // d25: the d15 probe CTEs + the t25 quality expression + the t16
+      // gram sets, left-joined onto every arriving doc.
+      "d25_ingest_admission" -> """
+        WITH nh AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0),
+        hh AS (SELECT doc_id AS hist_doc, md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+        exact AS (SELECT nh.doc_id, min(hh.hist_doc) AS exact_match
+                  FROM nh JOIN hh ON nh.h = hh.h GROUP BY nh.doc_id),
+        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+               FROM documents),
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        hb AS (SELECT j, bkey, doc_id AS hist_doc FROM bands WHERE doc_id % 5 <> 0),
+        smallh AS (SELECT j, bkey FROM hb GROUP BY j, bkey HAVING count(*) <= 64),
+        near AS (SELECT nb.doc_id, min(hb.hist_doc) AS near_match
+                 FROM bands nb
+                 JOIN hb ON nb.j = hb.j AND nb.bkey = hb.bkey
+                 JOIN smallh sm ON hb.j = sm.j AND hb.bkey = sm.bkey
+                 WHERE nb.doc_id % 5 = 0 GROUP BY nb.doc_id),
+        tc AS (SELECT doc_id, tok, count(*) AS cnt FROM (
+                 SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+                 FROM documents) x GROUP BY doc_id, tok),
+        sh0 AS (SELECT doc_id, cnt, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tc),
+        sb AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+               FROM sh0, (SELECT unnest(generate_series(0, 59)) AS i) ii GROUP BY doc_id, i),
+        sh AS (SELECT doc_id, CAST(sum(CASE WHEN w >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+               FROM sb GROUP BY doc_id),
+        sbands AS (SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767 AS bv
+                   FROM sh, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        simm AS (SELECT a.doc_id, min(b.doc_id) AS sim_match
+                 FROM sbands a JOIN sbands b ON a.j = b.j AND a.bv = b.bv
+                 WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+                   AND bit_count(xor(a.simhash, b.simhash)) <= 8
+                 GROUP BY a.doc_id),
+        merged AS (SELECT COALESCE(e.doc_id, n.doc_id, s.doc_id) AS doc_id,
+                     e.exact_match, n.near_match, s.sim_match
+                   FROM exact e
+                   FULL OUTER JOIN near n ON e.doc_id = n.doc_id
+                   FULL OUTER JOIN simm s ON COALESCE(e.doc_id, n.doc_id) = s.doc_id),
+        q AS (SELECT doc_id,
+                0.4 * (1.0 - CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t))
+                  + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+                  + 0.3 * least(len(t) / 50.0, 1.0) AS quality
+              FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+                    FROM documents WHERE doc_id % 5 = 0) b),
+        grams AS (SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, len(th) - 3),
+                    i -> ((((((th[i]) * 31 + th[i+1]) % 2147483647) * 31 + th[i+2]) % 2147483647) * 31 + th[i+3]) % 2147483647)) AS gs
+                  FROM tk WHERE len(th) >= 4),
+        bg AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0),
+        dirty AS (SELECT DISTINCT doc_id FROM
+                    (SELECT doc_id, unnest(gs) AS g FROM grams
+                     WHERE doc_id % 5 = 0) c
+                  JOIN bg ON c.g = bg.g)
+        SELECT q.doc_id,
+          (m.exact_match IS NOT NULL) AS exact_dup,
+          (m.near_match IS NOT NULL) AS near_dup,
+          (m.sim_match IS NOT NULL) AS sim_dup,
+          (q.quality < 0.8) AS low_quality,
+          (dt.doc_id IS NOT NULL) AS contaminated,
+          least(COALESCE(m.exact_match, m.near_match, m.sim_match),
+                COALESCE(m.near_match, m.sim_match, m.exact_match),
+                COALESCE(m.sim_match, m.exact_match, m.near_match)) AS best_match,
+          (m.exact_match IS NULL AND m.near_match IS NULL AND m.sim_match IS NULL
+           AND q.quality >= 0.8 AND dt.doc_id IS NULL) AS admit
+        FROM q LEFT JOIN merged m ON m.doc_id = q.doc_id
+               LEFT JOIN dirty dt ON dt.doc_id = q.doc_id
+        ORDER BY q.doc_id""",
       // d24: the d11 text-cluster walk + the m12 image-cluster walk
       // (aHash recomputed from the generator formula), joined per doc
       // with singleton defaults, then the two cross-modal
@@ -2183,6 +2299,57 @@ object SparkEntry {
         FROM inter i JOIN sz za ON za.source = i.src_a
         JOIN sz zb ON zb.source = i.src_b
         ORDER BY src_a, src_b""",
+      // t32: the t04 fingerprint + d04 shingle-pair + t25 quality +
+      // t16 gram-contamination pieces composed as boolean gate columns
+      // over one doc table, aggregated per source.
+      "t32_curation_funnel" -> """
+        WITH base AS (SELECT source, doc_id, regexp_split_to_array(text, '\s+') AS t
+                      FROM documents),
+        d AS (SELECT source, doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                0.4 * (1.0 - CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t))
+                  + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+                  + 0.3 * least(len(t) / 50.0, 1.0) AS quality,
+                md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
+              FROM base),
+        canon AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY fp),
+        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+               FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(th) - 2),
+                 i -> ((th[i] * 31 + th[i+1]) % 2147483647 * 31 + th[i+2]) % 2147483647)) AS s
+               FROM tk),
+        e AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shash FROM sh),
+        juniors AS (SELECT DISTINCT doc_b AS doc_id FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM e a JOIN e b ON a.shash = b.shash AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING CAST(count(*) AS DOUBLE)
+            / (any_value(a.ns) + any_value(b.ns) - count(*)) >= 0.3) p),
+        grams AS (SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, len(th) - 3),
+                    i -> ((((((th[i]) * 31 + th[i+1]) % 2147483647) * 31 + th[i+2]) % 2147483647) * 31 + th[i+3]) % 2147483647)) AS gs
+                  FROM tk WHERE len(th) >= 4),
+        bg AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0),
+        dirty AS (SELECT DISTINCT doc_id FROM
+                    (SELECT doc_id, unnest(gs) AS g FROM grams
+                     WHERE doc_id % 97 <> 0) c
+                  JOIN bg ON c.g = bg.g),
+        staged AS (SELECT d.source, d.doc_id, d.n_tokens,
+          (cn.doc_id IS NOT NULL) AS exact_ok,
+          (cn.doc_id IS NOT NULL AND j.doc_id IS NULL) AS near_ok,
+          (cn.doc_id IS NOT NULL AND j.doc_id IS NULL AND d.quality >= 0.8) AS quality_ok,
+          (cn.doc_id IS NOT NULL AND j.doc_id IS NULL AND d.quality >= 0.8
+           AND d.doc_id % 97 <> 0 AND dt.doc_id IS NULL) AS clean_ok
+          FROM d LEFT JOIN canon cn ON cn.doc_id = d.doc_id
+                 LEFT JOIN juniors j ON j.doc_id = d.doc_id
+                 LEFT JOIN dirty dt ON dt.doc_id = d.doc_id)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN exact_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+          CAST(sum(CASE WHEN near_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+          CAST(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+          CAST(sum(CASE WHEN clean_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+          CAST(sum(CASE WHEN clean_ok THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+        FROM staged GROUP BY source ORDER BY source""",
       // t31: the exact ntile manifest is the oracle-checkable arm; the
       // sketch-phase agreement gate is engine-specific and surfaces as
       // the all-true agree_ok boolean (t07/q23 tolerance discipline).

@@ -38,6 +38,14 @@ private[graft] object CorpusIndexes {
                     (build: => DataFrame): DataFrame =
     cache.computeIfAbsent((s, dir, key), _ => build.localCheckpoint())
 
+  /** The same memoize-and-checkpoint discipline for sidecars owned by
+    * other ops objects (the image aHash table, the CC label tables) —
+    * one shared cache so every per-session sidecar lives in one place.
+    */
+  private[ops] def memo(s: SparkSession, dir: String, key: String)
+                       (build: => DataFrame): DataFrame =
+    cached(s, dir, key)(build)
+
   /** (doc_id, nsh, shash): the exploded word-3-gram shingle inverted
     * index — one codegen'd `shingle_hashes` pass over the corpus.
     */

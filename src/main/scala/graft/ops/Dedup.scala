@@ -159,12 +159,17 @@ object Dedup {
     dupClusterLabels(s, dir, cap).orderBy(col("doc_id"))
 
   /** d11's (doc_id, cluster_id) labeling without the presentation sort
-    * — the text-cluster sidecar graph consumers join (d24 reads it next
-    * to the image labels).
+    * — the text-cluster sidecar graph consumers join (d11, d19, d24).
+    * A session sidecar (CorpusIndexes discipline): the CC labeling
+    * runs once per (session, dir, cap) and every consumer reads the
+    * checkpointed result — at scale this IS the persisted label table
+    * a dedup campaign writes next to the corpus snapshot.
     */
   private[graft] def dupClusterLabels(s: SparkSession, dir: String,
                                       cap: Int = 64): DataFrame =
-    connectedComponents(s, cappedPairsUnsorted(s, dir, cap))
+    CorpusIndexes.memo(s, dir, s"text_labels_$cap") {
+      connectedComponents(s, cappedPairsUnsorted(s, dir, cap))
+    }
 
   /** The dedup OUTCOME materialized — what a curation run reports and
     * ships: per duplicate cluster (d11's connected components over the
@@ -182,7 +187,7 @@ object Dedup {
     import s.implicits._
     // Unordered labels: the report re-aggregates per cluster, so a
     // presentation sort on doc_id here would be a wasted global sort.
-    connectedComponents(s, cappedPairsUnsorted(s, dir, cap))
+    dupClusterLabels(s, dir, cap)
       .join(documents(s, dir).select($"doc_id", $"n_chars"), Seq("doc_id"))
       .groupBy($"cluster_id")
       .agg(count(lit(1)).as("n_members"),
@@ -461,6 +466,83 @@ object Dedup {
         least(coalesce($"exact_match", $"near_match", $"sim_match"),
               coalesce($"near_match", $"sim_match", $"exact_match"),
               coalesce($"sim_match", $"exact_match", $"near_match")).as("best_match"))
+  }
+
+  /** d25 — INGEST ADMISSION: the t32 curation gates applied at the
+    * boundary where production actually applies them — per ARRIVING
+    * document, against static sidecars, before anything enters the
+    * corpus. The new batch (doc_id ≡ 0 mod 5, the d14 slice
+    * convention) is scored on every gate at once:
+    *
+    *  - `exact_dup` / `near_dup` / `sim_dup`: the three
+    *    [[multiSignalProbe]] signals against the historical index
+    *    (md5 store, capped MinHash-LSH bands, banded SimHash);
+    *  - `low_quality`: the t02 score under 0.8, computed from the doc
+    *    alone;
+    *  - `contaminated`: shares a 4-token run with the benchmark slice
+    *    (doc_id ≡ 0 mod 97 — the t16 eval set), a broadcast membership
+    *    probe;
+    *  - `admit`: no gate fired.
+    *
+    * One row per arriving doc (not just matches — rejects carry their
+    * reason), with the earliest matching historical doc where a dedup
+    * signal fired. The per-batch streaming form
+    * (`graft.streaming.StreamingAdmission`) runs the identical frame
+    * core per micro-batch; every output row depends only on its own
+    * doc vs the static sidecars, so per-batch probes compose to this
+    * batch query bit for bit.
+    *
+    * Scale shape: probes are batch-vs-index equi-joins (the batch is
+    * the small side; at scale each index is the pre-bucketed persisted
+    * sidecar), quality is a narrow map, and the benchmark gram set is
+    * tiny by nature (broadcast). Admission cost scales with the batch,
+    * never the corpus.
+    */
+  def ingestAdmission(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir).select($"doc_id", $"text")
+    val benchGrams = documents(s, dir).filter($"doc_id" % 97 === 0)
+      .select(explode(graft.functions.TextHashes.ngram_hashes($"text", 4)).as("g"))
+      .distinct()
+    admissionProbe(docs.filter($"doc_id" % 5 === 0),
+        docs.filter($"doc_id" % 5 =!= 0), benchGrams, cap)
+      .orderBy($"doc_id")
+  }
+
+  /** The frame-based core of [[ingestAdmission]], shared with the
+    * streaming job: `newDocs`/`histDocs` bear (doc_id, text),
+    * `benchGrams` is the broadcast eval-gram set (g). Unsorted.
+    */
+  def admissionProbe(newDocs: DataFrame, histDocs: DataFrame,
+                     benchGrams: DataFrame, cap: Int = 64): DataFrame = {
+    val s = newDocs.sparkSession
+    import s.implicits._
+    val t = org.apache.spark.sql.functions.split($"text", "\\s+")
+    val nTok = size(t).cast("double")
+    val quality =
+      lit(0.4) * (lit(1.0) - size(filter(t,
+        c => c.isin(graft.ops.TextOps.Stopwords: _*))).cast("double") / nTok) +
+      lit(0.3) * (size(array_distinct(t)).cast("double") / nTok) +
+      lit(0.3) * least(nTok / lit(50.0), lit(1.0))
+    val dirty = newDocs
+      .select($"doc_id", explode(graft.functions.TextHashes.ngram_hashes($"text", 4)).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .select($"doc_id").distinct()
+      .withColumn("is_dirty", lit(true))
+    val probes = multiSignalProbe(newDocs, histDocs, cap)
+    newDocs.select($"doc_id", quality.as("quality"))
+      .join(probes, Seq("doc_id"), "left")
+      .join(dirty, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"exact_dup", lit(false)).as("exact_dup"),
+        coalesce($"near_dup", lit(false)).as("near_dup"),
+        coalesce($"sim_dup", lit(false)).as("sim_dup"),
+        ($"quality" < 0.8).as("low_quality"),
+        $"is_dirty".isNotNull.as("contaminated"),
+        $"best_match")
+      .withColumn("admit",
+        !$"exact_dup" && !$"near_dup" && !$"sim_dup" &&
+          !$"low_quality" && !$"contaminated")
   }
 
   /** Word-3-gram Jaccard similarity over candidate pairs generated by a
@@ -889,9 +971,11 @@ object Dedup {
     import s.implicits._
     val docs = documents(s, dir)
     val tokIdx = CorpusIndexes.tokens(s, dir)
-    // Consumed twice (Jaccard recount + CC labeling): cut once, like the
-    // m12 sidecar — the LSH pipeline never re-runs.
-    val edges = cappedPairsUnsorted(s, dir, cap).localCheckpoint()
+    // The labeling comes from the shared session sidecar (identical
+    // pair generator as d11); the edge list feeds only the Jaccard
+    // recount here, so one lazy derivation suffices — its band index
+    // is itself the cached sidecar.
+    val edges = cappedPairsUnsorted(s, dir, cap)
     val pairCounts = edges
       .join(tokIdx.toDF("doc_a", "th"), Seq("doc_a"))
       .join(tokIdx.toDF("doc_b", "th").withColumn("hit", lit(1L)),
@@ -904,7 +988,7 @@ object Dedup {
       .join(meta.toDF("doc_b", "nb"), Seq("doc_b"))
       .select($"doc_a", $"doc_b",
         ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("true_jaccard"))
-    val labels = connectedComponents(s, edges)
+    val labels = dupClusterLabels(s, dir, cap)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"cluster_id").orderBy($"true_jaccard".asc, $"doc_a", $"doc_b")
     tj.join(labels.toDF("doc_a", "cluster_id"), Seq("doc_a"))

@@ -306,6 +306,17 @@ object Multimodal {
   private def ahashTable(s: SparkSession, dir: String): Dataset[AHash] =
     ahashRows(pngTable(s, dir))
 
+  /** The (doc_id, ahash_hi, ahash_lo, n_px) sidecar as a SESSION
+    * sidecar (CorpusIndexes discipline): the corpus is decoded and
+    * hashed ONCE per (session, dir); m08/m11/m12/m13/d24 read the
+    * checkpointed table. This is the m12 scaladoc's "at 100 TB the
+    * sidecar persists and no pass re-reads media" made literal for the
+    * whole family — round-12 bench attribution showed each consumer
+    * paying its own full decode pass.
+    */
+  private def ahashSidecar(s: SparkSession, dir: String): DataFrame =
+    CorpusIndexes.memo(s, dir, "png_ahash")(ahashTable(s, dir).toDF())
+
   /** The decode+hash pass over any PNG set — shared by the whole-corpus
     * sidecar build ([[ahashTable]]) and the per-batch probe side of the
     * incremental/streaming dedup ([[imageProbeBatch]]). Payloads are
@@ -329,7 +340,7 @@ object Multimodal {
 
   def pngAHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    ahashTable(s, dir).toDF().select($"doc_id", $"ahash_hi", $"ahash_lo")
+    ahashSidecar(s, dir).select($"doc_id", $"ahash_hi", $"ahash_lo")
       .orderBy($"doc_id")
   }
 
@@ -354,7 +365,7 @@ object Multimodal {
     */
   private def imageDupPairsUnsorted(s: SparkSession, dir: String,
       maxHamming: Int): DataFrame =
-    dupPairsFromAHash(s, ahashTable(s, dir).toDF(), maxHamming)
+    dupPairsFromAHash(s, ahashSidecar(s, dir), maxHamming)
 
   /** Pair generation from a PRECOMPUTED (doc_id, ahash, n_px) sidecar —
     * the shape a 100 TB deployment actually runs (the sidecar persists;
@@ -422,14 +433,12 @@ object Multimodal {
     */
   def imageDedupReport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // One decode pass: the (hash, n_px) sidecar is checkpointed once
-    // and feeds BOTH the pair-candidate join and the n_px charge-back
-    // join. Without this, the cluster labels pass through the CC loop's
-    // localCheckpoint/collect, so no common exchange survives for
-    // ReusedExchange to share and every PNG decodes twice.
-    val ahash = ahashTable(s, dir).toDF().localCheckpoint()
-    val labels = graft.ops.Dedup.connectedComponentsWithRounds(s,
-      dupPairsFromAHash(s, ahash, maxHamming = 2).select($"doc_a", $"doc_b"))._1
+    // One decode pass per SESSION: the (hash, n_px) sidecar and the
+    // cluster labels are both session sidecars (CorpusIndexes), shared
+    // with m08/m11/m13/d24 — the candidate join and the n_px
+    // charge-back read the same checkpointed table.
+    val ahash = ahashSidecar(s, dir)
+    val labels = imageClusterLabels(s, dir)
     labels
       .join(ahash.select($"doc_id", $"n_px"), Seq("doc_id"))
       .groupBy($"cluster_id")
@@ -441,13 +450,16 @@ object Multimodal {
 
   /** The (doc_id, cluster_id) image labeling alone — m12 without the
     * savings charge-back, for consumers that join the label table
-    * (d24's cross-modal report).
+    * (d24's cross-modal report). A session sidecar: the CC labeling
+    * runs once per (session, dir) and m12/d24 read the result — at
+    * scale this IS the persisted label table a campaign writes.
     */
-  private[graft] def imageClusterLabels(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    graft.ops.Dedup.connectedComponentsWithRounds(s,
-      imageDupPairsUnsorted(s, dir, maxHamming = 2).select($"doc_a", $"doc_b"))._1
-  }
+  private[graft] def imageClusterLabels(s: SparkSession, dir: String): DataFrame =
+    CorpusIndexes.memo(s, dir, "image_labels") {
+      import s.implicits._
+      graft.ops.Dedup.connectedComponentsWithRounds(s,
+        imageDupPairsUnsorted(s, dir, maxHamming = 2).select($"doc_a", $"doc_b"))._1
+    }
 
   /** d24 — CROSS-MODAL dedup disagreement report: the three modalities
     * dedup independently (d11 text, m12 image), but a curation campaign
@@ -543,9 +555,10 @@ object Multimodal {
     */
   def historicalAHashIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val histIds = documents(s, dir).select($"doc_id")
-      .filter($"doc_id" % 5 =!= 0).as[Long]
-    ahashRows(pngTableFor(histIds)).toDF()
+    // a filter over the session sidecar: the historical slice is a
+    // subset of the corpus sidecar, so no second decode pass runs
+    ahashSidecar(s, dir)
+      .filter($"doc_id" % 5 =!= 0)
       .select($"doc_id", $"ahash_hi", $"ahash_lo")
   }
 

@@ -587,6 +587,53 @@ object Similarity {
       .orderBy($"vec_id", $"rank")
   }
 
+  /** s15 — one distributed Lloyd (k-means) iteration over the shared
+    * IVF assignment: the training step every IVF scaladoc defers to
+    * ("a real deployment k-means trains them"), made real. Per
+    * (cell, dimension): the seed centroid's value, the re-trained
+    * value (the mean of the cell's members in that dimension), and the
+    * cell population. Iterating this to a fixed point IS k-means; one
+    * step as a registered query keeps the oracle exact while
+    * exercising the full update machinery.
+    *
+    * Float discipline: the member sum folds in the t22 SEGMENTED fixed
+    * order — vectors hash into 256 segments by `vec_id % 256`, each
+    * segment's values fold in vec_id order, segment sums fold in
+    * segment order — so the mean's numerator is bit-identical in any
+    * engine at any parallelism with buffers bounded by cell/256, and
+    * the mean itself is one correctly-rounded IEEE divide.
+    *
+    * Scale shape: assignment is the broadcast-codebook narrow argmax
+    * (no corpus shuffle); the update is one (cell, dim, seg) aggregate
+    * of the posexplode — map-side combined, K·64·256 groups
+    * regardless of corpus size — re-aggregated to K·64 rows; the seed
+    * codebook joins back as a broadcast. At 100 TB this is exactly the
+    * per-iteration cost profile of distributed k-means: one narrow
+    * pass + one bounded aggregate.
+    */
+  def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val el = ivfAssigned(s, dir)
+      .select($"cell_id", $"vec_id", posexplode($"embedding"))
+      .select($"cell_id", $"vec_id", $"pos".cast("long").as("dim"),
+        $"col".cast("double").as("x"))
+      .withColumn("seg", $"vec_id" % 256)
+    val segSums = el.groupBy($"cell_id", $"dim", $"seg")
+      .agg(count(lit(1)).as("n_seg"),
+        expr("aggregate(transform(sort_array(collect_list(struct(vec_id, x))), v -> v.x), 0D, (a, v) -> a + v)").as("s_seg"))
+    val updated = segSums.groupBy($"cell_id", $"dim")
+      .agg(sum($"n_seg").as("n_members"),
+        expr("aggregate(transform(sort_array(collect_list(struct(seg, s_seg))), v -> v.s_seg), 0D, (a, v) -> a + v)").as("x_sum"))
+      .withColumn("new_c", $"x_sum" / $"n_members".cast("double"))
+    val seed = embeddings(s, dir).filter($"vec_id" < 16)
+      .select($"vec_id".as("cell_id"), posexplode($"embedding"))
+      .select($"cell_id", $"pos".cast("long").as("dim"),
+        $"col".cast("double").as("old_c"))
+    updated.join(broadcast(seed), Seq("cell_id", "dim"))
+      .select($"cell_id", $"dim", $"old_c", $"new_c", $"n_members")
+      .orderBy($"cell_id", $"dim")
+  }
+
   /** Label-purity audit — the mislabeled-example detector of a training
     * pipeline: every vector's 1-NN (within its LSH bucket, self
     * excluded) is compared to its own label, aggregated per label.

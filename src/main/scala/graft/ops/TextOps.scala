@@ -975,6 +975,72 @@ object TextOps {
       .orderBy($"source", $"phase")
   }
 
+  /** t32 — the CURATION FUNNEL: the per-source waterfall report a
+    * curation campaign ships before a training run — how many
+    * documents (and tokens) survive each gate, in pipeline order:
+    *
+    *   n_docs → n_exact (canonical member of its t04 fingerprint
+    *   group) → n_near (not the junior of any d04 shingle-Jaccard
+    *   pair) → n_quality (t02 score ≥ 0.8) → n_clean (not in the t16
+    *   benchmark slice and sharing no 4-gram run with it) →
+    *   tokens_kept (final survivors' token budget).
+    *
+    * This is t11's selection composite widened to the report the
+    * mixture planner (t27) consumes: WHERE documents die, per source —
+    * a source losing everything at the near-dup gate is a mirror
+    * crawl (cross-check t29); one dying at quality is boilerplate
+    * (t17/t24); one dying at decontamination overlaps the eval suite.
+    *
+    * Scale shape: every gate is an existing bounded structure — the
+    * fingerprint aggregate (digest-keyed), the shared-sidecar shingle
+    * pair join (CorpusIndexes, df-bounded), a narrow quality scan, the
+    * broadcast gram semi-join (t16) — composed with left-semi/anti
+    * probes on doc_id and reduced to a |sources|-row report. Documents
+    * never shuffle whole.
+    */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextHashes.ngram_hashes
+    val t = toks($"text")
+    val nTok = size(t).cast("double")
+    val quality =
+      lit(0.4) * (lit(1.0) - size(filter(t, c => c.isin(Stopwords: _*))).cast("double") / nTok) +
+      lit(0.3) * (size(array_distinct(t)).cast("double") / nTok) +
+      lit(0.3) * least(nTok / lit(50.0), lit(1.0))
+    val docs = documents(s, dir).select($"source", $"doc_id",
+      size(t).cast("long").as("n_tokens"), quality.as("quality"))
+
+    val canonical = fingerprints(s, dir).select($"min_doc_id".as("doc_id"))
+    val juniors = graft.ops.Dedup.shingleJaccardPairs(s, dir)
+      .select($"doc_b".as("doc_id")).distinct()
+    val benchDocs = documents(s, dir).filter($"doc_id" % 97 === 0)
+    val benchGrams = benchDocs.select(explode(ngram_hashes($"text", 4)).as("g")).distinct()
+    val contaminated = documents(s, dir).filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", explode(ngram_hashes($"text", 4)).as("g"))
+      .join(benchGrams, "g")
+      .select($"doc_id").distinct()
+
+    // Every gate is a boolean COLUMN (left joins, no filtering), so one
+    // aggregate counts every funnel stage in one pass.
+    val staged = docs
+      .join(canonical.withColumn("is_canon", lit(true)), Seq("doc_id"), "left")
+      .join(juniors.withColumn("is_junior", lit(true)), Seq("doc_id"), "left")
+      .join(contaminated.withColumn("dirty", lit(true)), Seq("doc_id"), "left")
+      .withColumn("exact_ok", $"is_canon".isNotNull)
+      .withColumn("near_ok", $"exact_ok" && $"is_junior".isNull)
+      .withColumn("quality_ok", $"near_ok" && $"quality" >= 0.8)
+      .withColumn("clean_ok",
+        $"quality_ok" && ($"doc_id" % 97 =!= 0) && $"dirty".isNull)
+    staged.groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum($"exact_ok".cast("long")).as("n_exact"),
+        sum($"near_ok".cast("long")).as("n_near"),
+        sum($"quality_ok".cast("long")).as("n_quality"),
+        sum($"clean_ok".cast("long")).as("n_clean"),
+        sum(when($"clean_ok", $"n_tokens").otherwise(0L)).as("tokens_kept"))
+      .orderBy($"source")
+  }
+
   /** Per-source sketch-vs-exact agreement counts — the test seam for
     * t31's floor (InvariantSpec reads the real fraction).
     */

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming ingest admission — the d25 curation gates as a
+  * production micro-batch job, completing the streaming family's
+  * story: not just "is this arriving doc a duplicate"
+  * (StreamingDedup) but the FULL admit/reject decision a curation
+  * pipeline makes at the door — three dedup signals against the
+  * static historical index, the t02 quality bar, and benchmark
+  * decontamination — one verdict row per arriving document, with the
+  * reject reason(s) carried as columns.
+  *
+  * Semantics that make the streaming form EQUAL the batch form (both
+  * asserted in StreamingExtrasSpec): every output row depends only on
+  * its own document versus the static sidecars, so per-batch probes
+  * compose — the union over any batch partitioning of the new slice
+  * is bit-identical to the one-shot d25 batch query.
+  *
+  * Exactly-once: the StreamingDedup convention — each batch
+  * overwrites its own `batch_id=<n>` directory, so an at-least-once
+  * replay after a crash rewrites the same rows instead of appending
+  * duplicates.
+  *
+  * Scale shape: per-batch cost scales with the BATCH (it is the small
+  * side of every probe join; the gram set broadcasts); the historical
+  * index and eval-gram sidecars are static within a run and swapped
+  * between runs by snapshot rotation, exactly like the dedup indexes.
+  */
+object StreamingAdmission {
+
+  /** One micro-batch admission — exposed separately so tests and
+    * batch backfills run the identical frame transform.
+    */
+  def admitBatch(batch: DataFrame, histDocs: DataFrame,
+                 benchGrams: DataFrame): DataFrame =
+    graft.ops.Dedup.admissionProbe(batch, histDocs, benchGrams)
+
+  /** Start the job: `docs` is any streaming frame bearing
+    * (doc_id, text); `histDocs` the static historical corpus slice;
+    * `benchGrams` the eval-suite gram set (g). Verdict rows land under
+    * `outDir/batch_id=<n>/`.
+    */
+  def run(docs: DataFrame, histDocs: DataFrame, benchGrams: DataFrame,
+          outDir: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(batch, histDocs, benchGrams)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+}

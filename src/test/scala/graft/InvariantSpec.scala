@@ -527,6 +527,70 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("s15 k-means step: segmented-fold means are bit-exact and improve the Lloyd objective") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = graft.ops.Similarity.kmeansStep(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    // driver-side reassignment + segmented-fold recount
+    val embs = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cells = embs.keys.toSeq.sorted.map { id =>
+      id -> (0L until 16L).minBy(c => (-cos(embs(id), embs(c)), c))
+    }
+    val byCell = cells.groupBy(_._2).map { case (c, ms) => c -> ms.map(_._1).sorted }
+    byCell.foreach { case (cell, members) =>
+      (0 until 64).foreach { dim =>
+        val (oldC, newC, n) = got((cell, dim.toLong))
+        assert(n == members.length.toLong)
+        assert(oldC == embs(cell)(dim))
+        // the registered fold order: vec_id%256 segments, vec_id order
+        // within, segment order across, each level 0.0-seeded
+        val exp = members.groupBy(_ % 256).toSeq.sortBy(_._1)
+          .foldLeft(0.0) { case (acc, (_, seg)) =>
+            acc + seg.sorted.foldLeft(0.0)((a, id) => a + embs(id)(dim))
+          } / members.length
+        assert(newC == exp, s"cell $cell dim $dim: got $newC want $exp")
+      }
+    }
+    // Lloyd guarantee: per cell the mean minimizes the summed squared
+    // L2 to members, so the update never worsens it vs the seed
+    byCell.foreach { case (cell, members) =>
+      def sse(c: Int => Double): Double = members.map { id =>
+        (0 until 64).map(d => { val e = embs(id)(d) - c(d); e * e }).sum
+      }.sum
+      val before = sse(d => got((cell, d.toLong))._1)
+      val after = sse(d => got((cell, d.toLong))._2)
+      assert(after <= before + 1e-9, s"cell $cell: $after > $before")
+    }
+  }
+
+  test("t32 funnel stages are monotone and the quality stage equals t11's selection") {
+    val spark = TestSpark.spark
+    val rows = graft.ops.TextOps.curationFunnel(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, nExact, nNear, nQuality, nClean, tokens) =>
+      assert(nDocs >= nExact && nExact >= nNear && nNear >= nQuality &&
+        nQuality >= nClean, s"$src: funnel not monotone")
+      assert((nClean == 0) == (tokens == 0L) || nClean > 0, src)
+    }
+    // the quality stage IS t11's selection predicate (canonical ∧
+    // non-junior ∧ quality ≥ 0.8), so the totals must agree exactly
+    val t11 = graft.ops.TextOps.trainingSelection(spark, TestSpark.sfDir).count()
+    assert(rows.map(_._5).sum == t11)
+    // the fixture must attrition somewhere or the gates are vacuous
+    assert(rows.map(_._6).sum < rows.map(_._2).sum)
+  }
+
   test("t25 curriculum phases are equal-size cuts in quality order") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -152,6 +152,110 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(batchRun.except(streamed).count() == 0)
   }
 
+  test("streaming admission: per-batch verdicts compose to the batch d25 result") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // The full ingest-time curation gate: micro-batches of arriving
+    // docs are scored on dedup/quality/decontamination against STATIC
+    // sidecars. Every verdict row depends only on its own doc vs the
+    // sidecars, so the union over batches equals the batch run.
+    val docs = Tables.documents(spark, TestSpark.sfDir).select($"doc_id", $"text")
+    val hist = docs.filter($"doc_id" % 5 =!= 0).localCheckpoint()
+    val benchGrams = Tables.documents(spark, TestSpark.sfDir)
+      .filter($"doc_id" % 97 === 0)
+      .select(explode(
+        graft.functions.TextHashes.ngram_hashes($"text", 4)).as("g"))
+      .distinct().localCheckpoint()
+    val newDocs = docs.filter($"doc_id" % 5 === 0)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val batches = Seq(
+      newDocs.take(newDocs.length / 3),
+      newDocs.slice(newDocs.length / 3, newDocs.length / 2),
+      newDocs.drop(newDocs.length / 2))
+    val input = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected.synchronized {
+          collected ++= graft.streaming.StreamingAdmission
+            .admitBatch(batch, hist, benchGrams).collect()
+        }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        input.addData(b.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batchRun = graft.ops.Dedup.ingestAdmission(spark, TestSpark.sfDir)
+    val streamed = spark.createDataFrame(
+      spark.sparkContext.parallelize(collected.toSeq), batchRun.schema)
+    assert(streamed.count() == batchRun.count())
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+    // the fixture must exercise both verdicts, or admission is vacuous
+    val admits = batchRun.filter($"admit").count()
+    assert(admits > 0 && admits < batchRun.count())
+  }
+
+  test("StreamingAdmission restart replays the uncommitted batch exactly-once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sfDir).select($"doc_id", $"text")
+    val hist = docs.filter($"doc_id" % 5 =!= 0).localCheckpoint()
+    val benchGrams = Tables.documents(spark, TestSpark.sfDir)
+      .filter($"doc_id" % 97 === 0)
+      .select(explode(
+        graft.functions.TextHashes.ngram_hashes($"text", 4)).as("g"))
+      .distinct().localCheckpoint()
+    val newDocs = docs.filter($"doc_id" % 5 === 0)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val batches = Seq(
+      newDocs.take(newDocs.length / 3),
+      newDocs.slice(newDocs.length / 3, newDocs.length / 2),
+      newDocs.drop(newDocs.length / 2))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sadm_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sadm_out").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    def start() = graft.streaming.StreamingAdmission
+      .run(stream, hist, benchGrams, out, ckpt)
+
+    val q1 = start()
+    try {
+      input.addData(batches(0).toSeq); q1.processAllAvailable()
+      input.addData(batches(1).toSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    // Crash between offset log and commit: drop the LAST commit marker
+    // (and its stale .crc), forcing a replay of batch 1 under the same
+    // batch id — the batch_id-keyed overwrite must rewrite, not append.
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.map(_.getName.toLong).toSeq == Seq(0L, 1L))
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.1.crc")
+    if (crc.exists()) assert(crc.delete())
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays batch 1
+      input.addData(batches(2).toSeq); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirs == Seq("batch_id=0", "batch_id=1", "batch_id=2"))
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batchRun = graft.ops.Dedup.ingestAdmission(spark, TestSpark.sfDir)
+    assert(streamed.count() == batchRun.count())
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+  }
+
   test("streaming image dedup: foreachBatch probes compose to the batch m13 result") {
     val spark = TestSpark.spark
     import spark.implicits._
