@@ -272,6 +272,11 @@ object SparkEntry {
     // m14 = audio nearest-neighbor: per probe clip the closest clip in
     // its duration class by integer L1 over m09-style frame-energy
     // fingerprints — the audio twin of the m11 image near-dup probe.
+    // s16 = mutual-kNN clustering: connected components over the
+    // MUTUAL edges of the s14 graph (a names b AND b names a) — the
+    // density-filtered semantic grouping a pipeline runs over a
+    // materialized kNN graph.
+    "s16_mutual_knn"         -> ((s, d) => Similarity.mutualKnnClusters(s, d)),
     // s15 = one distributed Lloyd iteration over the IVF assignment:
     // per (cell, dim) the seed vs re-trained centroid value + cell
     // population — the codebook-training step the IVF family defers to,
@@ -794,6 +799,38 @@ object SparkEntry {
       // m14: per-frame energies recomputed from the WAV generator
       // formula (the m09 CTE), clips paired within the same frame
       // count, integer L1 summed frame-by-frame, rank-1 by (l1, id).
+      // s16: the s14 graph CTE, mutual-filtered, through the d11
+      // recursive reachability walk.
+      "s16_mutual_knn" -> """
+        WITH RECURSIVE
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+              FROM embeddings),
+        cb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        cells AS (SELECT vec_id, cell_id FROM (
+          SELECT e.vec_id, cb.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) DESC, cb.cell_id) AS arank
+          FROM e CROSS JOIN cb) t WHERE arank = 1),
+        g AS (SELECT vec_id, nb_id FROM (
+          SELECT a.vec_id, b.vec_id AS nb_id,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) DESC, b.vec_id) AS rank
+          FROM cells a JOIN cells b ON b.cell_id = a.cell_id AND b.vec_id <> a.vec_id
+          JOIN e ea ON ea.vec_id = a.vec_id
+          JOIN e eb ON eb.vec_id = b.vec_id) t
+          WHERE rank <= 3),
+        mutual AS (SELECT g.vec_id AS doc_a, g.nb_id AS doc_b
+                   FROM g JOIN g r ON r.vec_id = g.nb_id AND r.nb_id = g.vec_id
+                   WHERE g.vec_id < g.nb_id),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM mutual
+                  UNION ALL SELECT doc_b, doc_a FROM mutual),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT ed.dst, w.lbl FROM walk w JOIN edges ed ON ed.src = w.node)
+        SELECT node AS vec_id, min(lbl) AS cluster_id
+        FROM walk GROUP BY node ORDER BY vec_id""",
       // s15: the s04 assignment CTE + the segmented deterministic fold
       // (vec_id % 256 segments, vec_id order within, segment order
       // across) for the per-(cell, dim) member mean.

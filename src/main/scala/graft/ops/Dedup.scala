@@ -230,6 +230,12 @@ object Dedup {
   private def connectedComponents(s: SparkSession, pairsDf: DataFrame): DataFrame =
     connectedComponentsWithRounds(s, pairsDf)._1
 
+  /** The shared CC labeling over any (doc_a, doc_b) edge list — for
+    * graph consumers outside this object (s16's mutual-kNN clusters).
+    */
+  private[ops] def connectedComponentsOver(s: SparkSession, pairsDf: DataFrame): DataFrame =
+    connectedComponents(s, pairsDf)
+
   /** [[connectedComponents]] also reporting how many propagation rounds
     * ran — the test seam for the convergence bound. The second element
     * is the ONLY value the driver ever materializes per round (the

@@ -575,6 +575,14 @@ object Similarity {
     */
   def knnGraph(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import s.implicits._
+    knnGraphUnsorted(s, dir, k).orderBy($"vec_id", $"rank")
+  }
+
+  /** [[knnGraph]] without the presentation sort — the reusable edge
+    * list for graph consumers ([[mutualKnnClusters]]).
+    */
+  private def knnGraphUnsorted(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
     val assigned = ivfAssigned(s, dir)
     val a = assigned.toDF("vec_id", "emb", "nrm", "cell_id")
     val b = assigned.toDF("nb_id", "emb_n", "nrm_n", "cell_n")
@@ -584,7 +592,6 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= k)
       .select($"vec_id", $"rank", $"nb_id", $"cos")
-      .orderBy($"vec_id", $"rank")
   }
 
   /** s15 — one distributed Lloyd (k-means) iteration over the shared
@@ -632,6 +639,123 @@ object Similarity {
     updated.join(broadcast(seed), Seq("cell_id", "dim"))
       .select($"cell_id", $"dim", $"old_c", $"new_c", $"n_members")
       .orderBy($"cell_id", $"dim")
+  }
+
+  /** Full k-means TRAINING — [[kmeansStep]] iterated to an assignment
+    * fixed point: the codebook-production loop behind every IVF
+    * deployment. NOT a registered query (a float loop of data-dependent
+    * depth is not DuckDB-replayable); InvariantSpec certifies it
+    * instead — monotone SSE descent (the Lloyd guarantee) and
+    * convergence before the iteration cap.
+    *
+    * Loop discipline (the d11 CC recipe on the embedding side): the
+    * corpus is checkpointed ONCE and re-scanned per iteration; the
+    * centroid matrix lives on the DRIVER (K·64 doubles — KB-scale, the
+    * codebook is broadcast state by nature) so every iteration's plan
+    * is one broadcast argmin + one bounded aggregate at CONSTANT plan
+    * depth — no lineage growth, nothing corpus-sized ever collected.
+    * Convergence is witnessed by the assignment checksum
+    * Σ (vec_id+1)·cell (a scalar per round, like CC's label-sum).
+    *
+    * Assignment is by squared L2 (comparisons only, id tiebreak) —
+    * the objective with the textbook monotonicity certificate; the
+    * serving-side IVF (s04) assigns by cosine, and a deployment
+    * re-normalizes the trained codebook for cosine serving. Empty
+    * cells keep their previous centroid (the standard fix). The
+    * per-(cell, dim) means use the s15 segmented fold, so the trained
+    * codebook is deterministic at any parallelism; the reported SSE is
+    * a plain distributed sum (diagnostic, tolerance-compared in the
+    * spec).
+    */
+  def kmeansTrain(s: SparkSession, dir: String, k: Int = 16,
+                  maxIters: Int = 16): (Array[Array[Double]], Seq[Double], Int) = {
+    import s.implicits._
+    val corpus = embeddings(s, dir)
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .localCheckpoint()
+    var centroids = corpus.filter($"vec_id" < k).orderBy($"vec_id")
+      .select($"v").collect().map(_.getSeq[Double](0).toArray)
+    var sseHist = Vector.empty[Double]
+    var prevWitness = Long.MinValue
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val cdf = broadcast(centroids.zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("cell_id", "c"))
+      val aw = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cell_id")
+      val assigned = corpus.crossJoin(cdf)
+        .withColumn("d2",
+          vec_dot($"v", $"v") - lit(2.0) * vec_dot($"v", $"c") + vec_dot($"c", $"c"))
+        .withColumn("r", row_number().over(aw))
+        .filter($"r" === 1)
+        .select($"vec_id", $"cell_id", $"v")
+        .persist()
+      try {
+        val witness = assigned
+          .agg(coalesce(sum(($"vec_id" + 1) * $"cell_id"), lit(0L))).head.getLong(0)
+        // s15's segmented deterministic per-(cell, dim) means
+        val means = assigned
+          .select($"cell_id", $"vec_id", posexplode($"v"))
+          .select($"cell_id", $"vec_id", $"pos".cast("long").as("dim"), $"col".as("x"))
+          .withColumn("seg", $"vec_id" % 256)
+          .groupBy($"cell_id", $"dim", $"seg")
+          .agg(count(lit(1)).as("n_seg"),
+            expr("aggregate(transform(sort_array(collect_list(struct(vec_id, x))), v -> v.x), 0D, (a, v) -> a + v)").as("s_seg"))
+          .groupBy($"cell_id", $"dim")
+          .agg(sum($"n_seg").as("n"),
+            expr("aggregate(transform(sort_array(collect_list(struct(seg, s_seg))), v -> v.s_seg), 0D, (a, v) -> a + v)").as("x_sum"))
+          .collect()
+        val next = centroids.map(_.clone())
+        means.foreach { r =>
+          next(r.getLong(0).toInt)(r.getLong(1).toInt) =
+            r.getDouble(3) / r.getLong(2).toDouble
+        }
+        val ndf = broadcast(next.zipWithIndex
+          .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("cell_id", "nc"))
+        val sse = assigned.join(ndf, Seq("cell_id"))
+          .agg(coalesce(sum(
+            vec_dot($"v", $"v") - lit(2.0) * vec_dot($"v", $"nc") +
+              vec_dot($"nc", $"nc")), lit(0.0))).head.getDouble(0)
+        centroids = next
+        sseHist = sseHist :+ sse
+        converged = witness == prevWitness
+        prevWitness = witness
+        iters += 1
+      } finally assigned.unpersist(blocking = false)
+    }
+    (centroids, sseHist, iters)
+  }
+
+  /** s16 — MUTUAL-kNN clustering: connected components over the
+    * mutual edges of the s14 kNN graph (a→b kept only when b→a also
+    * holds). Mutuality is the classic density filter — a hub vector
+    * that many points name as neighbor does NOT glue them into one
+    * cluster unless it names them back — so the components are tight
+    * semantic groups rather than d21's threshold-ball chains. This is
+    * the standard cheap clustering a curation pipeline runs over a
+    * materialized kNN graph (and the seed structure of HDBSCAN-style
+    * methods).
+    *
+    * Scale shape: the mutual filter is a self-join of the s14 edge
+    * list on the REVERSED key — edge-list-sized, never corpus-sized —
+    * and the labeling is the shared O(log diameter) pointer-jumping
+    * loop. Only vectors with ≥1 mutual edge appear; everything else is
+    * its own singleton and never shuffles.
+    */
+  def mutualKnnClusters(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    // Both sides of the mutual semi-join (and the CC loop) read the
+    // edge list; cut it once so the within-cell kNN join runs once
+    // per query, not per reference (the t29/d23 discipline).
+    val edges = knnGraphUnsorted(s, dir, k).select($"vec_id", $"nb_id")
+      .localCheckpoint()
+    val mutual = edges
+      .join(edges.toDF("nb_id", "vec_id"), Seq("vec_id", "nb_id"), "left_semi")
+      .filter($"vec_id" < $"nb_id")
+      .select($"vec_id".as("doc_a"), $"nb_id".as("doc_b"))
+    graft.ops.Dedup.connectedComponentsOver(s, mutual)
+      .select($"doc_id".as("vec_id"), $"cluster_id")
+      .orderBy($"vec_id")
   }
 
   /** Label-purity audit — the mislabeled-example detector of a training

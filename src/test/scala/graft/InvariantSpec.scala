@@ -591,6 +591,29 @@ class InvariantSpec extends AnyFunSuite {
     assert(rows.map(_._6).sum < rows.map(_._2).sum)
   }
 
+  test("kmeansTrain: SSE descends monotonically and the assignment reaches a fixed point") {
+    val spark = TestSpark.spark
+    val (centroids, sseHist, iters) =
+      graft.ops.Similarity.kmeansTrain(spark, TestSpark.sfDir, k = 16, maxIters = 16)
+    assert(centroids.length == 16 && centroids.forall(_.length == 64))
+    assert(iters < 16, s"did not converge in $iters iterations")
+    assert(sseHist.nonEmpty)
+    // the Lloyd guarantee, with a relative tolerance absorbing the
+    // shuffle-order noise of the diagnostic SSE sum
+    sseHist.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a * (1 + 1e-9), s"SSE rose: $a -> $b in $sseHist")
+      case _ =>
+    }
+    // training moved the codebook away from the raw seeds
+    val seeds = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 16)
+      .orderBy("vec_id").select("vec_id", "embedding").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    assert(centroids.zip(seeds).exists { case (c, s0) =>
+      c.zip(s0).exists { case (x, y) => math.abs(x - y) > 1e-12 }
+    })
+  }
+
   test("t25 curriculum phases are equal-size cuts in quality order") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -35,7 +35,7 @@ class PlanAuditSpec extends AnyFunSuite {
         "t23_temp_resample", "s09_centroid_reps", "t26_bigram_nll",
         "t27_mixture_plan", "s11_recall_audit", "s12_cell_rebalance",
         "s13_sq_rerank", "t28_vocab_growth", "s14_knn_graph",
-        "s15_kmeans_step")
+        "s15_kmeans_step", "s16_mutual_knn")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark
