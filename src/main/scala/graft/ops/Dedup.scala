@@ -420,6 +420,41 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** The three historical probe indexes — md5 store, df-capped MinHash
+    * bands, banded SimHash — derived from a (doc_id, text) corpus
+    * slice. At 100 TB these ARE the persisted index tables a dedup
+    * service keeps next to the corpus snapshot; the streaming jobs
+    * build them ONCE per run (checkpointed) so per-batch probe cost
+    * scales with the batch — re-deriving them per micro-batch would
+    * re-hash the whole history every trigger.
+    */
+  final case class TextProbeIndex(md5s: DataFrame, cappedBands: DataFrame,
+                                  simBands: DataFrame)
+
+  def buildTextProbeIndex(histDocs: DataFrame, cap: Int = 64,
+                          materialize: Boolean = false): TextProbeIndex = {
+    val s = histDocs.sparkSession
+    import s.implicits._
+    val md5s = histDocs.select($"doc_id".as("hist_doc"), md5($"text").as("h"))
+    val histBands = histDocs
+      .select($"doc_id", posexplode(minhash_bands($"text")))
+      .select($"pos".as("band"), $"col".as("bkey"), $"doc_id".as("hist_doc"))
+    val smallHist = histBands.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("n")).filter($"n" <= cap)
+      .select($"band", $"bkey")
+    val cappedBands = histBands.join(smallHist.hint("merge"), Seq("band", "bkey"))
+    val simBands = histDocs
+      .select($"doc_id", simhash60($"text").as("simhash"))
+      .select($"doc_id", $"simhash", posexplode(expr(
+        "transform(sequence(0, 3), j -> (simhash >> (15 * j)) & 32767)")))
+      .select($"doc_id".as("hist_doc"), $"simhash".as("sim_b"),
+        $"pos".as("band"), $"col".as("bval"))
+    if (materialize)
+      TextProbeIndex(md5s.localCheckpoint(), cappedBands.localCheckpoint(),
+        simBands.localCheckpoint())
+    else TextProbeIndex(md5s, cappedBands, simBands)
+  }
+
   /** The frame-based core of [[incrementalDedupMulti]], shared with the
     * streaming ingest shape (each foreachBatch micro-batch probes a
     * static historical index with exactly this plan — every output row
@@ -428,38 +463,34 @@ object Dedup {
     * Both inputs are (doc_id, text); output is unsorted.
     */
   def multiSignalProbe(newDocs: DataFrame, histDocs: DataFrame,
-                       cap: Int = 64): DataFrame = {
+                       cap: Int = 64): DataFrame =
+    multiSignalProbeIndexed(newDocs, buildTextProbeIndex(histDocs, cap))
+
+  /** [[multiSignalProbe]] against PREBUILT historical indexes — the
+    * form the streaming jobs run per micro-batch (only the batch side
+    * hashes text; the history reads as sidecar tables).
+    */
+  def multiSignalProbeIndexed(newDocs: DataFrame,
+                              idx: TextProbeIndex): DataFrame = {
     val s = newDocs.sparkSession
     import s.implicits._
     val newHashes = newDocs.select($"doc_id", md5($"text").as("h"))
-    val histHashes = histDocs.select($"doc_id".as("hist_doc"), md5($"text").as("h"))
-    val exact = newHashes.join(histHashes, "h")
+    val exact = newHashes.join(idx.md5s, "h")
       .groupBy($"doc_id").agg(min($"hist_doc").as("exact_match"))
 
-    def bandsOf(df: DataFrame): DataFrame = df
+    val newBands = newDocs
       .select($"doc_id", posexplode(minhash_bands($"text")))
       .select($"pos".as("band"), $"col".as("bkey"), $"doc_id")
-    val newBands = bandsOf(newDocs)
-    val histBands = bandsOf(histDocs)
-      .select($"band", $"bkey", $"doc_id".as("hist_doc"))
-    val smallHist = histBands.groupBy($"band", $"bkey")
-      .agg(count(lit(1)).as("n")).filter($"n" <= cap)
-      .select($"band", $"bkey")
     val near = newBands
-      .join(histBands.join(smallHist.hint("merge"), Seq("band", "bkey")), Seq("band", "bkey"))
+      .join(idx.cappedBands, Seq("band", "bkey"))
       .groupBy($"doc_id").agg(min($"hist_doc").as("near_match"))
 
-    def simBandsOf(df: DataFrame): DataFrame = df
+    val newSim = newDocs
       .select($"doc_id", simhash60($"text").as("simhash"))
       .select($"doc_id", $"simhash", posexplode(expr(
         "transform(sequence(0, 3), j -> (simhash >> (15 * j)) & 32767)")))
-      .select($"doc_id", $"simhash", $"pos".as("band"), $"col".as("bval"))
-    val newSim = simBandsOf(newDocs).toDF("doc_id", "sim_a", "band", "bval")
-    val histSim = simBandsOf(histDocs).toDF("hist_doc", "sim_b", "band", "bval")
-    // merge hint for the same ReusedExchange reason as in
-    // bandedPairsUnsorted: both sides shuffle on (band, bval) and the
-    // simhash pipeline evaluates once.
-    val sim = newSim.join(histSim.hint("merge"), Seq("band", "bval"))
+      .select($"doc_id", $"simhash".as("sim_a"), $"pos".as("band"), $"col".as("bval"))
+    val sim = newSim.join(idx.simBands, Seq("band", "bval"))
       .filter(expr("cast(bit_count(sim_a ^ sim_b) as bigint)") <= 8)
       .groupBy($"doc_id").agg(min($"hist_doc").as("sim_match"))
 
@@ -520,7 +551,21 @@ object Dedup {
     * `benchGrams` is the broadcast eval-gram set (g). Unsorted.
     */
   def admissionProbe(newDocs: DataFrame, histDocs: DataFrame,
-                     benchGrams: DataFrame, cap: Int = 64): DataFrame = {
+                     benchGrams: DataFrame, cap: Int = 64): DataFrame =
+    admissionVerdict(newDocs, multiSignalProbe(newDocs, histDocs, cap), benchGrams)
+
+  /** [[admissionProbe]] against a PREBUILT historical index — the form
+    * the streaming job runs per micro-batch.
+    */
+  def admissionProbeIndexed(newDocs: DataFrame, idx: TextProbeIndex,
+                            benchGrams: DataFrame): DataFrame =
+    admissionVerdict(newDocs, multiSignalProbeIndexed(newDocs, idx), benchGrams)
+
+  /** Quality + decontamination gates composed onto the dedup probe
+    * rows — one verdict row per doc in `newDocs`.
+    */
+  private def admissionVerdict(newDocs: DataFrame, probes: DataFrame,
+                               benchGrams: DataFrame): DataFrame = {
     val s = newDocs.sparkSession
     import s.implicits._
     val t = org.apache.spark.sql.functions.split($"text", "\\s+")
@@ -535,7 +580,6 @@ object Dedup {
       .join(broadcast(benchGrams), "g")
       .select($"doc_id").distinct()
       .withColumn("is_dirty", lit(true))
-    val probes = multiSignalProbe(newDocs, histDocs, cap)
     newDocs.select($"doc_id", quality.as("quality"))
       .join(probes, Seq("doc_id"), "left")
       .join(dirty, Seq("doc_id"), "left")

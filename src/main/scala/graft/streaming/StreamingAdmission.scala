@@ -41,15 +41,21 @@ object StreamingAdmission {
     * (doc_id, text); `histDocs` the static historical corpus slice;
     * `benchGrams` the eval-suite gram set (g). Verdict rows land under
     * `outDir/batch_id=<n>/`.
+    *
+    * The historical probe indexes are built and materialized once per
+    * run (the StreamingDedup discipline) — only the BATCH side hashes
+    * text per trigger.
     */
   def run(docs: DataFrame, histDocs: DataFrame, benchGrams: DataFrame,
-          outDir: String, checkpointDir: String): StreamingQuery =
+          outDir: String, checkpointDir: String): StreamingQuery = {
+    val idx = graft.ops.Dedup.buildTextProbeIndex(histDocs, materialize = true)
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitBatch(batch, histDocs, benchGrams)
+        graft.ops.Dedup.admissionProbeIndexed(batch, idx, benchGrams)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+  }
 }

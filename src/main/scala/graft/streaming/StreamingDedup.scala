@@ -46,15 +46,24 @@ object StreamingDedup {
     * land under `outDir/batch_id=<n>/` (a plain
     * `spark.read.parquet(outDir)` reassembles the full output with the
     * batch id as a partition column).
+    *
+    * The three historical probe indexes (md5 store, capped bands,
+    * SimHash bands) are built and materialized HERE, once per run —
+    * probing raw history text per micro-batch would re-hash the whole
+    * corpus every trigger; with the prebuilt sidecars the per-batch
+    * cost scales with the batch (the image/ANN jobs' index discipline
+    * applied to the text modality).
     */
   def run(newDocs: DataFrame, hist: DataFrame, outDir: String,
-          checkpointDir: String, cap: Int = 64): StreamingQuery =
+          checkpointDir: String, cap: Int = 64): StreamingQuery = {
+    val idx = graft.ops.Dedup.buildTextProbeIndex(hist, cap, materialize = true)
     newDocs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        probeBatch(batch, hist, cap)
+        graft.ops.Dedup.multiSignalProbeIndexed(batch, idx)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+  }
 }
