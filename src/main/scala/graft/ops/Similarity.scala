@@ -111,18 +111,24 @@ object Similarity {
     * index of [[ivfKnn]] and `Dedup.semanticPrune`. A KB-sized codebook
     * broadcast and a narrow argmax map over the corpus; NO shuffle.
     */
-  private[ops] def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e = withNorm(embeddings(s, dir))
-    val cb = e.filter($"vec_id" < 16)
-      .toDF("cell_id", "c_emb", "c_nrm")
-    val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cell_id")
-    e.crossJoin(broadcast(cb))
-      .withColumn("ccos", cosinePrenormed(vec_dot($"embedding", $"c_emb"), $"nrm", $"c_nrm"))
-      .withColumn("arank", row_number().over(aw))
-      .filter($"arank" === 1)
-      .select($"vec_id", $"embedding", $"nrm", $"cell_id")
-  }
+  private[ops] def ivfAssigned(s: SparkSession, dir: String): DataFrame =
+    CorpusIndexes.memo(s, dir, "ivf_assigned") {
+      import s.implicits._
+      val e = withNorm(embeddings(s, dir))
+      val cb = e.filter($"vec_id" < 16)
+        .toDF("cell_id", "c_emb", "c_nrm")
+      val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cell_id")
+      // A SESSION sidecar (CorpusIndexes discipline): eight consumers
+      // (s04/s08/s11/s12/s14/s15/s16/d16) and the streaming ANN index
+      // all read this assignment — at 100 TB it IS the persisted
+      // sidecar every scaladoc in this family points to; locally the
+      // argmax runs once per (session, dir).
+      e.crossJoin(broadcast(cb))
+        .withColumn("ccos", cosinePrenormed(vec_dot($"embedding", $"c_emb"), $"nrm", $"c_nrm"))
+        .withColumn("arank", row_number().over(aw))
+        .filter($"arank" === 1)
+        .select($"vec_id", $"embedding", $"nrm", $"cell_id")
+    }
 
   def ivfKnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -183,20 +189,24 @@ object Similarity {
     vec_dot(col(x), col(x)) - lit(2.0) * vec_dot(col(x), col(c)) + vec_dot(col(c), col(c))
 
   /** (vec_id, c0..c3): every corpus vector encoded as its 4 nearest
-    * subspace-centroid ids — the 4-byte PQ code column. */
-  private def pqEncoded(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sub = pqSub(s, dir)
-    val cb = sub.filter($"vec_id" < 16).toDF("k", "m", "cv")
-    val aw = Window.partitionBy($"vec_id", $"m").orderBy($"dist".asc, $"k")
-    sub.join(broadcast(cb), Seq("m"))
-      .withColumn("dist", pqL2("sv", "cv"))
-      .withColumn("arank", row_number().over(aw))
-      .filter($"arank" === 1)
-      .groupBy($"vec_id")
-      .agg(max(when($"m" === 0, $"k")).as("c0"), max(when($"m" === 1, $"k")).as("c1"),
-           max(when($"m" === 2, $"k")).as("c2"), max(when($"m" === 3, $"k")).as("c3"))
-  }
+    * subspace-centroid ids — the 4-byte PQ code column, as a SESSION
+    * sidecar ("production persists the codes column next to the
+    * embedding" made literal: s06/s07/s08/s11 read one encode pass).
+    */
+  private def pqEncoded(s: SparkSession, dir: String): DataFrame =
+    CorpusIndexes.memo(s, dir, "pq_codes") {
+      import s.implicits._
+      val sub = pqSub(s, dir)
+      val cb = sub.filter($"vec_id" < 16).toDF("k", "m", "cv")
+      val aw = Window.partitionBy($"vec_id", $"m").orderBy($"dist".asc, $"k")
+      sub.join(broadcast(cb), Seq("m"))
+        .withColumn("dist", pqL2("sv", "cv"))
+        .withColumn("arank", row_number().over(aw))
+        .filter($"arank" === 1)
+        .groupBy($"vec_id")
+        .agg(max(when($"m" === 0, $"k")).as("c0"), max(when($"m" === 1, $"k")).as("c1"),
+             max(when($"m" === 2, $"k")).as("c2"), max(when($"m" === 3, $"k")).as("c3"))
+    }
 
   /** (q_id, d0..d3): per query the 4×16 centroid-distance tables,
     * arrays indexed by centroid id. */
