@@ -132,8 +132,8 @@ object Bench {
           var samples = first +: rest
           var post = Vector.empty[Sample]
           var extras = 0
-          while (ok && extras < 4 &&
-                 median(samples.map(_.sec)) > driftBar * samples.map(_.sec).min) {
+          def breached = median(samples.map(_.sec)) > driftBar * samples.map(_.sec).min
+          while (ok && extras < 4 && breached) {
             settle()
             timeOnce(name, fn) match {
               case Some(sm) => samples = samples :+ sm; post = post :+ sm
@@ -141,9 +141,25 @@ object Bench {
             }
             extras += 1
           }
+          // Substitution discipline: a single lucky post-settle sample
+          // must never rewrite the reported median. If the all-samples
+          // median still breaches and the settled evidence would clear
+          // the bar but holds <3 samples, keep sampling (settled) until
+          // it has 3 — only a settled MAJORITY can substitute. The
+          // all-samples median is emitted alongside in bench_detail
+          // (queries_median_all) so any substitution is visible in the
+          // artifact, never silent.
+          while (ok && post.nonEmpty && post.size < 3 && breached &&
+                 median(post.map(_.sec)) <= driftBar * samples.map(_.sec).min) {
+            settle()
+            timeOnce(name, fn) match {
+              case Some(sm) => samples = samples :+ sm; post = post :+ sm
+              case None => ok = false
+            }
+          }
           val allMin = if (samples.nonEmpty) samples.map(_.sec).min else 0.0
           val report =
-            if (ok && post.nonEmpty &&
+            if (ok && post.size >= 3 &&
                 median(samples.map(_.sec)) > driftBar * allMin &&
                 median(post.map(_.sec)) <= driftBar * allMin) post
             else samples
@@ -180,7 +196,7 @@ object Bench {
     // map keys are the short unique ids (the prefix before the first
     // underscore: q01..q22, d01..d19, t01..t19, s01..s08, e01..e12,
     // m01..m08, p01) with compact 2-decimal values.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","failed":$failedJson,"queries":${jsonMap(median, _.toString)},"queries_min":${jsonMap(_.min, _.toString, pick = _.all)},"queries_overlapped_gc_ms":${jsonMap(median, _.toLong.toString, _.gcMs.toDouble)},"queries_peak_heap_mb":${jsonMap(median, _.toLong.toString, _.peakMb.toDouble)},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","failed":$failedJson,"queries":${jsonMap(median, _.toString)},"queries_min":${jsonMap(_.min, _.toString, pick = _.all)},"queries_median_all":${jsonMap(median, _.toString, pick = _.all)},"queries_overlapped_gc_ms":${jsonMap(median, _.toLong.toString, _.gcMs.toDouble)},"queries_peak_heap_mb":${jsonMap(median, _.toLong.toString, _.peakMb.toDouble)},"sf":"$sfDir"}"""
     System.err.println(detail)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
     catch { case _: Throwable => () } // a read-only cwd must not kill the report

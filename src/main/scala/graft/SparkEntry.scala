@@ -894,11 +894,11 @@ object SparkEntry {
                                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
                FROM bits GROUP BY doc_id, f),
         pv AS (SELECT hi, lo, doc_id, count(*) AS n_occ,
-                 min(doc_id * 8 + f) AS min_fid
+                 min(doc_id * 1024 + f) AS min_fid
                FROM hx GROUP BY hi, lo, doc_id)
         SELECT hi AS ahash_hi, lo AS ahash_lo, count(*) AS n_videos,
           CAST(sum(n_occ) AS BIGINT) AS n_frames,
-          min(min_fid) // 8 AS min_doc_id, min(min_fid) % 8 AS min_frame
+          min(min_fid) // 1024 AS min_doc_id, min(min_fid) % 1024 AS min_frame
         FROM pv GROUP BY hi, lo HAVING count(*) >= 2
         ORDER BY ahash_hi, ahash_lo""",
       "m14_audio_nn" -> """

@@ -31,12 +31,38 @@ import graft.functions.TextHashes._
   */
 private[graft] object CorpusIndexes {
 
+  /** One-slot lazy holder: `computeIfAbsent` only ever constructs the
+    * holder (cheap, no callback into the cache), and the build itself
+    * runs when the caller forces `df` — AFTER the map operation has
+    * returned. Sidecar builds that read other sidecars (the CC label
+    * tables read the band index, the aHash consumers read the aHash
+    * table) therefore re-enter `cached` outside any mapping function,
+    * honouring the ConcurrentHashMap contract that the mapping
+    * function must not modify the map. Dependencies form a DAG, so
+    * the per-holder lazy-val locks can never cycle.
+    */
+  private final class Holder(build: () => DataFrame) {
+    lazy val df: DataFrame = build().localCheckpoint()
+  }
+
   private val cache =
-    new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new ConcurrentHashMap[(SparkSession, String, String), Holder]()
+
+  /** Drop entries whose session is gone. A long-lived JVM that starts
+    * and stops many sessions would otherwise pin every dead session's
+    * checkpointed blocks forever; purging on access keeps the cache
+    * bounded by the live sessions without needing a listener.
+    */
+  private def purgeStopped(): Unit = {
+    val it = cache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+  }
 
   private def cached(s: SparkSession, dir: String, key: String)
-                    (build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((s, dir, key), _ => build.localCheckpoint())
+                    (build: => DataFrame): DataFrame = {
+    purgeStopped()
+    cache.computeIfAbsent((s, dir, key), _ => new Holder(() => build)).df
+  }
 
   /** The same memoize-and-checkpoint discipline for sidecars owned by
     * other ops objects (the image aHash table, the CC label tables) —

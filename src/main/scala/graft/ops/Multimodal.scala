@@ -947,6 +947,14 @@ object Multimodal {
   final case class FrameHash(doc_id: Long, frame_no: Long,
                              ahash_hi: Long, ahash_lo: Long)
 
+  /** Earliest-carrier packing factor for m15's `min(doc_id·F + frame)`:
+    * must exceed the max frame count of any container or the unpacked
+    * (min_doc_id, min_frame) silently corrupts (frame 9 of doc N would
+    * decode as a frame of doc N+1 at F=8). 1024 frames per container is
+    * far above this corpus (≤ 5) and enforced at decode time below.
+    */
+  private[graft] val FramePack = 1024L
+
   /** Per-FRAME perceptual hashes over the real GIF decode — the video
     * modality's dedup sidecar: each container is decoded frame by frame
     * inside the codec slot and every frame gets the same integer-exact
@@ -962,7 +970,10 @@ object Multimodal {
         val reader = ImageIO.getImageReadersByFormatName("gif").next()
         try {
           reader.setInput(iis)
-          (0 until reader.getNumImages(true)).map { f =>
+          val nf = reader.getNumImages(true)
+          require(nf < FramePack,
+            s"container ${r.doc_id} has $nf frames >= packing factor $FramePack")
+          (0 until nf).map { f =>
             val (hi, lo) = ahashOf(reader.read(f))
             FrameHash(r.doc_id, f.toLong, hi, lo)
           }
@@ -991,8 +1002,11 @@ object Multimodal {
     * corpus every frame shares one gradient structure, so a loose
     * threshold degenerates to all-pairs; the exact-match report is the
     * form whose output stays group-sized at any corpus.) The earliest
-    * carrier is min(doc_id·8 + frame) unpacked — one order-free integer
-    * min, engine-exact.
+    * carrier is min(doc_id·1024 + frame) unpacked — one order-free
+    * integer min, engine-exact. The packing factor is far above any
+    * plausible frame count (this corpus's GIFs carry ≤ 5 frames); a
+    * video exceeding it would corrupt the unpacked carrier, so the
+    * codec slot asserts frame_no < 1024 at decode time.
     *
     * Scale shape: pixels reduce to 16 bytes/frame inside the codec
     * slot; two digest-keyed aggregates ((hash, video) then hash — the
@@ -1004,15 +1018,15 @@ object Multimodal {
     val perVideo = gifFrameAHashes(gifTable(s, dir)).toDF()
       .groupBy($"ahash_hi", $"ahash_lo", $"doc_id")
       .agg(count(lit(1)).as("n_occ"),
-        min($"doc_id" * 8 + $"frame_no").as("min_fid"))
+        min($"doc_id" * FramePack + $"frame_no").as("min_fid"))
     perVideo
       .groupBy($"ahash_hi", $"ahash_lo")
       .agg(count(lit(1)).as("n_videos"), sum($"n_occ").as("n_frames"),
         min($"min_fid").as("min_fid"))
       .filter($"n_videos" >= 2)
       .select($"ahash_hi", $"ahash_lo", $"n_videos", $"n_frames",
-        expr("min_fid div 8").as("min_doc_id"),
-        ($"min_fid" % 8).as("min_frame"))
+        expr(s"min_fid div $FramePack").as("min_doc_id"),
+        ($"min_fid" % FramePack).as("min_frame"))
       .orderBy($"ahash_hi", $"ahash_lo")
   }
 
