@@ -139,6 +139,12 @@ object SparkEntry {
     // admit/reject verdict — three dedup signals vs the static index,
     // the t02 quality bar, benchmark decontamination — with reasons.
     "d25_ingest_admission"   -> ((s, d) => Dedup.ingestAdmission(s, d)),
+    // d26 = the d25 gates as a short-circuit cascade (quality → exact
+    // → MinHash → SimHash → decontamination), each stage probing only
+    // survivors; per-doc signal independence makes the verdict
+    // provably d25's, and the probed_* flags carry the measured
+    // probe reduction.
+    "d26_staged_admission"   -> ((s, d) => Dedup.stagedAdmission(s, d)),
     // d24 = cross-modal disagreement report: d11 text clusters joined
     // with m12 image clusters per doc; flags text-dups whose images
     // differ and image-dups whose texts differ — the review queue
@@ -282,11 +288,27 @@ object SparkEntry {
     // population — the codebook-training step the IVF family defers to,
     // deterministic via vec_id-segmented ordered folds.
     "s15_kmeans_step"        -> (Similarity.kmeansStep _),
+    // s17 = TWO Lloyd iterations from the deterministic seed under the
+    // hash oracle — the same lloydIter the full kmeansTrain loop runs,
+    // so the training step is certified by composition; every double
+    // (assignment metric, means, SSE) is an in-order fold, bit-exact
+    // cross-engine.
+    "s17_kmeans_two_step"    -> ((s, d) => Similarity.kmeansTwoStep(s, d)),
+    // s18 = graph-navigated ANN: beam search over the mutual-kNN edge
+    // sidecar seeded by the IVF probe (fixed beam 3, 3 unrolled
+    // rounds, cosine/id ranking throughout) — the HNSW-style serving
+    // family, reachable neighbors beyond the probe cell.
+    "s18_graph_beam"         -> ((s, d) => Similarity.graphBeamKnn(s, d)),
     "m14_audio_nn"           -> (Multimodal.audioNearestNeighbor _),
     // m15 = video frame-level dedup: per-frame aHash over the real GIF
     // decode, digest-keyed repeated-scene report across videos (the
     // d20 span discipline on the third modality; no pair join).
     "m15_video_frame_dedup"  -> (Multimodal.videoFrameDedup _),
+    // m16 = sequence-aware video near-dups: consecutive frame-hash
+    // 2-grams as shingles (d04/d12 discipline on the video modality),
+    // df-capped band join, shingle Jaccard >= 0.5; shares m15's
+    // one-decode-per-session frame-hash sidecar.
+    "m16_video_seq_neardup"  -> ((s, d) => Multimodal.videoSequenceNearDups(s, d)),
     "t12_normalize"          -> (TextOps.normalizeText _),
   )
 
@@ -860,6 +882,164 @@ object SparkEntry {
           u.x_sum / CAST(u.n_members AS DOUBLE) AS new_c, u.n_members
         FROM upd u JOIN seed s ON s.cell_id = u.cell_id AND s.dim = u.dim
         ORDER BY u.cell_id, u.dim""",
+      // s17: two Lloyd rounds replayed as CTEs. Assignment metric and
+      // SSE are the direct squared-difference in-order folds (matching
+      // Spark's zip_with aggregate bit for bit); means and SSE sum
+      // through the s15/t22 segmented order; empty cells keep the
+      // previous centroid (the coalesce in c1/c2).
+      "s17_kmeans_two_step" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
+        a1 AS (SELECT vec_id, v, cell_id FROM (
+          SELECT e.vec_id, e.v, c0.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(generate_series(1, 64), i ->
+                (e.v[i] - c0.cv[i]) * (e.v[i] - c0.cv[i])), (a, b) -> a + b) ASC,
+              c0.cell_id) AS r
+          FROM e CROSS JOIN c0) t WHERE r = 1),
+        el1 AS (SELECT cell_id, vec_id, i AS dim, v[i + 1] AS x, vec_id % 256 AS seg
+                FROM a1, LATERAL unnest(generate_series(0, 63)) AS t(i)),
+        seg1 AS (SELECT cell_id, dim, seg, count(*) AS n_seg,
+                   list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) AS s_seg
+                 FROM el1 GROUP BY 1, 2, 3),
+        m1 AS (SELECT cell_id, dim, CAST(sum(n_seg) AS BIGINT) AS n,
+                 list_reduce(list(s_seg ORDER BY seg), (a, b) -> a + b) AS x_sum
+               FROM seg1 GROUP BY 1, 2),
+        c1 AS (SELECT sd.cell_id,
+                 list(coalesce(m1.x_sum / CAST(m1.n AS DOUBLE), sd.oc) ORDER BY sd.d) AS cv
+               FROM (SELECT cell_id, d, cv[d + 1] AS oc
+                     FROM c0, LATERAL unnest(generate_series(0, 63)) AS t(d)) sd
+               LEFT JOIN m1 ON m1.cell_id = sd.cell_id AND m1.dim = sd.d
+               GROUP BY sd.cell_id),
+        n1 AS (SELECT c0.cell_id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_members
+               FROM c0 LEFT JOIN (SELECT cell_id, count(*) AS n FROM a1 GROUP BY 1) cnt
+                 USING (cell_id)),
+        sse1 AS (SELECT list_reduce(list(s_seg ORDER BY seg), (a, b) -> a + b) AS sse
+                 FROM (SELECT seg, list_reduce(list(err ORDER BY vec_id), (a, b) -> a + b) AS s_seg
+                       FROM (SELECT a1.vec_id, a1.vec_id % 256 AS seg,
+                               list_reduce(list_transform(generate_series(1, 64), i ->
+                                 (a1.v[i] - c1.cv[i]) * (a1.v[i] - c1.cv[i])), (a, b) -> a + b) AS err
+                             FROM a1 JOIN c1 USING (cell_id)) q1 GROUP BY seg) q2),
+        a2 AS (SELECT vec_id, v, cell_id FROM (
+          SELECT e.vec_id, e.v, c1.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(generate_series(1, 64), i ->
+                (e.v[i] - c1.cv[i]) * (e.v[i] - c1.cv[i])), (a, b) -> a + b) ASC,
+              c1.cell_id) AS r
+          FROM e CROSS JOIN c1) t WHERE r = 1),
+        el2 AS (SELECT cell_id, vec_id, i AS dim, v[i + 1] AS x, vec_id % 256 AS seg
+                FROM a2, LATERAL unnest(generate_series(0, 63)) AS t(i)),
+        seg2 AS (SELECT cell_id, dim, seg, count(*) AS n_seg,
+                   list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) AS s_seg
+                 FROM el2 GROUP BY 1, 2, 3),
+        m2 AS (SELECT cell_id, dim, CAST(sum(n_seg) AS BIGINT) AS n,
+                 list_reduce(list(s_seg ORDER BY seg), (a, b) -> a + b) AS x_sum
+               FROM seg2 GROUP BY 1, 2),
+        c2 AS (SELECT sd.cell_id,
+                 list(coalesce(m2.x_sum / CAST(m2.n AS DOUBLE), sd.oc) ORDER BY sd.d) AS cv
+               FROM (SELECT cell_id, d, cv[d + 1] AS oc
+                     FROM c1, LATERAL unnest(generate_series(0, 63)) AS t(d)) sd
+               LEFT JOIN m2 ON m2.cell_id = sd.cell_id AND m2.dim = sd.d
+               GROUP BY sd.cell_id),
+        n2 AS (SELECT c0.cell_id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_members
+               FROM c0 LEFT JOIN (SELECT cell_id, count(*) AS n FROM a2 GROUP BY 1) cnt
+                 USING (cell_id)),
+        sse2 AS (SELECT list_reduce(list(s_seg ORDER BY seg), (a, b) -> a + b) AS sse
+                 FROM (SELECT seg, list_reduce(list(err ORDER BY vec_id), (a, b) -> a + b) AS s_seg
+                       FROM (SELECT a2.vec_id, a2.vec_id % 256 AS seg,
+                               list_reduce(list_transform(generate_series(1, 64), i ->
+                                 (a2.v[i] - c2.cv[i]) * (a2.v[i] - c2.cv[i])), (a, b) -> a + b) AS err
+                             FROM a2 JOIN c2 USING (cell_id)) q1 GROUP BY seg) q2)
+        SELECT CAST(1 AS BIGINT) AS iter, c1.cell_id, CAST(t.d AS BIGINT) AS dim,
+          c1.cv[t.d + 1] AS c, n1.n_members, sse1.sse
+        FROM c1 JOIN n1 ON n1.cell_id = c1.cell_id,
+          LATERAL unnest(generate_series(0, 63)) AS t(d), sse1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT) AS iter, c2.cell_id, CAST(t.d AS BIGINT) AS dim,
+          c2.cv[t.d + 1] AS c, n2.n_members, sse2.sse
+        FROM c2 JOIN n2 ON n2.cell_id = c2.cell_id,
+          LATERAL unnest(generate_series(0, 63)) AS t(d), sse2
+        ORDER BY iter, cell_id, dim""",
+      // s18: assignment CTEs, the NAVIGABLE graph (mutual top-3 over
+      // 2-probe candidates — edges span cell boundaries), then the
+      // beam walk unrolled — round 0 scores the probe cell, three
+      // rounds expand the top-3 frontier along mutual edges,
+      // anti-joining everything already visited; top-10 of the
+      // visited set.
+      "s18_graph_beam" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+              FROM embeddings),
+        cb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        ranked AS (SELECT vec_id, cell_id, arank FROM (
+          SELECT e.vec_id, cb.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) DESC, cb.cell_id) AS arank
+          FROM e CROSS JOIN cb) t WHERE arank <= 2),
+        cells AS (SELECT vec_id, cell_id FROM ranked WHERE arank = 1),
+        g AS (SELECT vec_id, nb_id FROM (
+          SELECT a.vec_id, b.vec_id AS nb_id,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) DESC, b.vec_id) AS rank
+          FROM ranked a JOIN cells b ON b.cell_id = a.cell_id AND b.vec_id <> a.vec_id
+          JOIN e ea ON ea.vec_id = a.vec_id
+          JOIN e eb ON eb.vec_id = b.vec_id) t
+          WHERE rank <= 3),
+        me AS (SELECT g.vec_id AS src, g.nb_id AS dst
+               FROM g JOIN g r ON r.vec_id = g.nb_id AND r.nb_id = g.vec_id),
+        q AS (SELECT vec_id AS q_id, cell_id AS q_cell FROM cells WHERE vec_id < 5),
+        v0 AS (SELECT q.q_id, c.vec_id AS nb_id,
+                 list_dot_product(eq.v, en.v) / (eq.nrm * en.nrm) AS cos
+               FROM q JOIN cells c ON c.cell_id = q.q_cell AND c.vec_id <> q.q_id
+               JOIN e eq ON eq.vec_id = q.q_id
+               JOIN e en ON en.vec_id = c.vec_id),
+        f0 AS (SELECT q_id, nb_id FROM (
+                 SELECT q_id, nb_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id) AS r
+                 FROM v0) t WHERE r <= 3),
+        n1 AS (SELECT c.q_id, c.nb_id,
+                 list_dot_product(eq.v, en.v) / (eq.nrm * en.nrm) AS cos
+               FROM (SELECT DISTINCT f.q_id, me.dst AS nb_id
+                     FROM f0 f JOIN me ON me.src = f.nb_id
+                     WHERE me.dst <> f.q_id
+                       AND NOT EXISTS (SELECT 1 FROM v0 v
+                             WHERE v.q_id = f.q_id AND v.nb_id = me.dst)) c
+               JOIN e eq ON eq.vec_id = c.q_id
+               JOIN e en ON en.vec_id = c.nb_id),
+        v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM n1),
+        f1 AS (SELECT q_id, nb_id FROM (
+                 SELECT q_id, nb_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id) AS r
+                 FROM n1) t WHERE r <= 3),
+        n2 AS (SELECT c.q_id, c.nb_id,
+                 list_dot_product(eq.v, en.v) / (eq.nrm * en.nrm) AS cos
+               FROM (SELECT DISTINCT f.q_id, me.dst AS nb_id
+                     FROM f1 f JOIN me ON me.src = f.nb_id
+                     WHERE me.dst <> f.q_id
+                       AND NOT EXISTS (SELECT 1 FROM v1 v
+                             WHERE v.q_id = f.q_id AND v.nb_id = me.dst)) c
+               JOIN e eq ON eq.vec_id = c.q_id
+               JOIN e en ON en.vec_id = c.nb_id),
+        v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM n2),
+        f2 AS (SELECT q_id, nb_id FROM (
+                 SELECT q_id, nb_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id) AS r
+                 FROM n2) t WHERE r <= 3),
+        n3 AS (SELECT c.q_id, c.nb_id,
+                 list_dot_product(eq.v, en.v) / (eq.nrm * en.nrm) AS cos
+               FROM (SELECT DISTINCT f.q_id, me.dst AS nb_id
+                     FROM f2 f JOIN me ON me.src = f.nb_id
+                     WHERE me.dst <> f.q_id
+                       AND NOT EXISTS (SELECT 1 FROM v2 v
+                             WHERE v.q_id = f.q_id AND v.nb_id = me.dst)) c
+               JOIN e eq ON eq.vec_id = c.q_id
+               JOIN e en ON en.vec_id = c.nb_id),
+        v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM n3)
+        SELECT q_id, CAST(r AS BIGINT) AS rank, nb_id, cos FROM (
+          SELECT q_id, nb_id, cos,
+            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id) AS r
+          FROM v3) t WHERE r <= 10
+        ORDER BY q_id, rank""",
       // m15: per-frame aHash recomputed from the GIF generator formula
       // (the m11 cell-sum chain with the frame dimension added), then
       // the digest-keyed two-level aggregate; a hash match proves the
@@ -901,6 +1081,60 @@ object SparkEntry {
           min(min_fid) // 1024 AS min_doc_id, min(min_fid) % 1024 AS min_frame
         FROM pv GROUP BY hi, lo HAVING count(*) >= 2
         ORDER BY ahash_hi, ahash_lo""",
+      // m16: the m15 frame-hash CTE, then consecutive-frame 2-grams
+      // (exact 128-bit keys), the d12 df cap, and pair Jaccard over
+      // shared rare grams — intersections count capped grams only,
+      // denominators keep full per-video gram counts.
+      "m16_video_seq_neardup" -> """
+        WITH d AS (SELECT doc_id, 6 + doc_id % 10 AS w, 6 + (doc_id // 10) % 10 AS h,
+                          2 + doc_id % 4 AS nf FROM documents),
+        fr AS (SELECT doc_id, f, w, h,
+                 CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                   list_transform(generate_series(0, w - 1), x ->
+                     (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256)))) AS BIGINT) AS total
+               FROM d, LATERAL unnest(generate_series(0, CAST(nf - 1 AS INTEGER))) AS t(f)),
+        cells AS (SELECT doc_id, f, w, h, total, i, j,
+                    (i * w) // 8 AS x0, ((i + 1) * w) // 8 AS x1,
+                    (j * h) // 8 AS y0, ((j + 1) * h) // 8 AS y1
+                  FROM fr,
+                    (SELECT unnest(generate_series(0, 7)) AS i) ii,
+                    (SELECT unnest(generate_series(0, 7)) AS j) jj),
+        cs AS (SELECT doc_id, f, w, h, total, i, j,
+                 (x1 - x0) * (y1 - y0) AS np,
+                 CAST(list_sum(flatten(list_transform(generate_series(y0, y1 - 1), y ->
+                   list_transform(generate_series(x0, x1 - 1), x ->
+                     (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256)))) AS BIGINT) AS csum
+               FROM cells),
+        bits AS (SELECT doc_id, f, 8 * j + i AS b,
+                   CASE WHEN csum * w * h > total * np THEN 1 ELSE 0 END AS bit
+                 FROM cs),
+        hx AS (SELECT doc_id, f,
+                 CAST(sum(CASE WHEN b >= 32 AND bit = 1
+                               THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(sum(CASE WHEN b < 32 AND bit = 1
+                               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
+               FROM bits GROUP BY doc_id, f),
+        grams AS (SELECT DISTINCT a.doc_id, a.hi AS g1h, a.lo AS g1l,
+                    b.hi AS g2h, b.lo AS g2l
+                  FROM hx a JOIN hx b ON b.doc_id = a.doc_id AND b.f = a.f + 1),
+        ng AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        rare AS (SELECT g1h, g1l, g2h, g2l FROM grams
+                 GROUP BY 1, 2, 3, 4 HAVING count(*) <= 64),
+        capped AS (SELECT g.* FROM grams g
+                   JOIN rare r ON g.g1h = r.g1h AND g.g1l = r.g1l
+                              AND g.g2h = r.g2h AND g.g2l = r.g2l),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                  FROM capped a JOIN capped b
+                    ON a.g1h = b.g1h AND a.g1l = b.g1l
+                   AND a.g2h = b.g2h AND a.g2l = b.g2l
+                   AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT p.doc_a, p.doc_b, na.n AS na, nb.n AS nb, p.inter,
+          CAST(p.inter AS DOUBLE) / (na.n + nb.n - p.inter) AS jaccard
+        FROM pairs p JOIN ng na ON na.doc_id = p.doc_a
+                     JOIN ng nb ON nb.doc_id = p.doc_b
+        WHERE CAST(p.inter AS DOUBLE) / (na.n + nb.n - p.inter) >= 0.5
+        ORDER BY doc_a, doc_b""",
       "m14_audio_nn" -> """
         WITH f AS (SELECT doc_id, CAST(200 + doc_id % 400 AS BIGINT) AS n FROM documents),
         e AS (SELECT doc_id, (n + 63) // 64 AS n_frames, fr,
@@ -1253,6 +1487,88 @@ object SparkEntry {
         FROM q LEFT JOIN merged m ON m.doc_id = q.doc_id
                LEFT JOIN dirty dt ON dt.doc_id = q.doc_id
         ORDER BY q.doc_id""",
+      // d26: the d25 signal CTEs verbatim, with the staged columns
+      // derived by PRECEDENCE over the full signal set — legitimate
+      // because every signal is per-doc independent of the probed
+      // set, so the short-circuit can only skip probes whose outcome
+      // cannot matter; the hash match against Spark's genuinely
+      // staged plan IS the semantics proof.
+      "d26_staged_admission" -> """
+        WITH nh AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0),
+        hh AS (SELECT doc_id AS hist_doc, md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+        exact AS (SELECT nh.doc_id, min(hh.hist_doc) AS exact_match
+                  FROM nh JOIN hh ON nh.h = hh.h GROUP BY nh.doc_id),
+        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+               FROM documents),
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        hb AS (SELECT j, bkey, doc_id AS hist_doc FROM bands WHERE doc_id % 5 <> 0),
+        smallh AS (SELECT j, bkey FROM hb GROUP BY j, bkey HAVING count(*) <= 64),
+        near AS (SELECT nb.doc_id, min(hb.hist_doc) AS near_match
+                 FROM bands nb
+                 JOIN hb ON nb.j = hb.j AND nb.bkey = hb.bkey
+                 JOIN smallh sm ON hb.j = sm.j AND hb.bkey = sm.bkey
+                 WHERE nb.doc_id % 5 = 0 GROUP BY nb.doc_id),
+        tc AS (SELECT doc_id, tok, count(*) AS cnt FROM (
+                 SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+                 FROM documents) x GROUP BY doc_id, tok),
+        sh0 AS (SELECT doc_id, cnt, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tc),
+        sb AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+               FROM sh0, (SELECT unnest(generate_series(0, 59)) AS i) ii GROUP BY doc_id, i),
+        sh AS (SELECT doc_id, CAST(sum(CASE WHEN w >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+               FROM sb GROUP BY doc_id),
+        sbands AS (SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767 AS bv
+                   FROM sh, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        simm AS (SELECT a.doc_id, min(b.doc_id) AS sim_match
+                 FROM sbands a JOIN sbands b ON a.j = b.j AND a.bv = b.bv
+                 WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+                   AND bit_count(xor(a.simhash, b.simhash)) <= 8
+                 GROUP BY a.doc_id),
+        merged AS (SELECT COALESCE(e.doc_id, n.doc_id, s.doc_id) AS doc_id,
+                     e.exact_match, n.near_match, s.sim_match
+                   FROM exact e
+                   FULL OUTER JOIN near n ON e.doc_id = n.doc_id
+                   FULL OUTER JOIN simm s ON COALESCE(e.doc_id, n.doc_id) = s.doc_id),
+        q AS (SELECT doc_id,
+                0.4 * (1.0 - CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t))
+                  + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+                  + 0.3 * least(len(t) / 50.0, 1.0) AS quality
+              FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+                    FROM documents WHERE doc_id % 5 = 0) b),
+        grams AS (SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, len(th) - 3),
+                    i -> ((((((th[i]) * 31 + th[i+1]) % 2147483647) * 31 + th[i+2]) % 2147483647) * 31 + th[i+3]) % 2147483647)) AS gs
+                  FROM tk WHERE len(th) >= 4),
+        bg AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0),
+        dirty AS (SELECT DISTINCT doc_id FROM
+                    (SELECT doc_id, unnest(gs) AS g FROM grams
+                     WHERE doc_id % 5 = 0) c
+                  JOIN bg ON c.g = bg.g),
+        staged AS (SELECT q.doc_id, q.quality, m.exact_match, m.near_match,
+                     m.sim_match, (dt.doc_id IS NOT NULL) AS is_dirty
+                   FROM q LEFT JOIN merged m ON m.doc_id = q.doc_id
+                          LEFT JOIN dirty dt ON dt.doc_id = q.doc_id)
+        SELECT doc_id,
+          CASE WHEN quality < 0.8 THEN 'quality'
+               WHEN exact_match IS NOT NULL THEN 'exact'
+               WHEN near_match IS NOT NULL THEN 'near'
+               WHEN sim_match IS NOT NULL THEN 'sim'
+               WHEN is_dirty THEN 'contaminated' END AS reject_stage,
+          CASE WHEN quality < 0.8 THEN NULL
+               ELSE COALESCE(exact_match, near_match, sim_match) END AS best_match,
+          (quality >= 0.8 AND exact_match IS NULL) AS probed_near,
+          (quality >= 0.8 AND exact_match IS NULL AND near_match IS NULL) AS probed_sim,
+          (quality >= 0.8 AND exact_match IS NULL AND near_match IS NULL
+             AND sim_match IS NULL) AS probed_decontam,
+          (quality >= 0.8 AND exact_match IS NULL AND near_match IS NULL
+             AND sim_match IS NULL AND NOT is_dirty) AS admit
+        FROM staged ORDER BY doc_id""",
       // d24: the d11 text-cluster walk + the m12 image-cluster walk
       // (aHash recomputed from the generator formula), joined per doc
       // with singleton defaults, then the two cross-modal

@@ -31,6 +31,41 @@ import graft.functions.TextHashes._
   */
 private[graft] object CorpusIndexes {
 
+  /** Session conf key naming the DURABLE sidecar root for the data dir
+    * in use. When set and `<root>/<key>` exists (and the root's
+    * `_graft_source` marker names the same data dir), [[cached]] reads
+    * the persisted bucketed table instead of rebuilding — the campaign
+    * shape: indexes are built once per corpus SNAPSHOT by
+    * [[persistSidecars]], and every later session (batch or streaming)
+    * reads them from disk.
+    */
+  val SidecarDirKey = "graft.sidecar.dir"
+
+  /** On-disk layout of a persistable sidecar: bucketed (and
+    * sorted-within-bucket) parquet, registered in the catalog via DDL
+    * so Spark trusts the co-location — an equi-join or aggregate on
+    * the bucket column reads the table without an exchange, and an
+    * equality filter prunes to one bucket. No partition columns: the
+    * bucketed-only form keeps the disk schema (names, order, types)
+    * EXACTLY the session frame's, so consumers cannot tell the forms
+    * apart (the hash-identity the spec asserts).
+    */
+  private[graft] final case class Layout(nBuckets: Int, bucketCol: String,
+                                         sortCols: Seq[String])
+
+  /** Every persistable sidecar, keyed as in the session cache, with
+    * the join/probe column each consumer family hits as bucket key.
+    */
+  private val layouts: Map[String, Layout] = Map(
+    "shingles"       -> Layout(8, "shash", Seq("shash")),
+    "tokens"         -> Layout(8, "th", Seq("th")),
+    "bands"          -> Layout(8, "bkey", Seq("bkey")),
+    "png_ahash"      -> Layout(8, "doc_id", Seq("doc_id")),
+    "text_labels_64" -> Layout(8, "doc_id", Seq("doc_id")),
+    "image_labels"   -> Layout(8, "doc_id", Seq("doc_id")),
+    "ivf_assigned"   -> Layout(8, "cell_id", Seq("cell_id", "vec_id")),
+    "pq_codes"       -> Layout(8, "vec_id", Seq("vec_id")))
+
   /** One-slot lazy holder: `computeIfAbsent` only ever constructs the
     * holder (cheap, no callback into the cache), and the build itself
     * runs when the caller forces `df` — AFTER the map operation has
@@ -42,7 +77,7 @@ private[graft] object CorpusIndexes {
     * the per-holder lazy-val locks can never cycle.
     */
   private final class Holder(build: () => DataFrame) {
-    lazy val df: DataFrame = build().localCheckpoint()
+    lazy val df: DataFrame = build()
   }
 
   private val cache =
@@ -61,7 +96,140 @@ private[graft] object CorpusIndexes {
   private def cached(s: SparkSession, dir: String, key: String)
                     (build: => DataFrame): DataFrame = {
     purgeStopped()
-    cache.computeIfAbsent((s, dir, key), _ => new Holder(() => build)).df
+    cache.computeIfAbsent((s, dir, key), _ => new Holder(() =>
+      readDisk(s, dir, key).getOrElse(build.localCheckpoint()))).df
+  }
+
+  // ---- durable sidecar layer -------------------------------------
+
+  private def hadoopPath(s: SparkSession, p: String) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    (path.getFileSystem(s.sparkContext.hadoopConfiguration), path)
+  }
+
+  private def pathExists(s: SparkSession, p: String): Boolean = {
+    val (fs, path) = hadoopPath(s, p)
+    fs.exists(path)
+  }
+
+  /** The marker file binding a sidecar root to its source corpus dir —
+    * the guard against serving one corpus's indexes to another. Plain
+    * Hadoop-FS IO so the root can live on any filesystem Spark reads.
+    */
+  private def markerPath(root: String) = s"$root/_graft_source"
+
+  private def writeMarker(s: SparkSession, root: String, dir: String): Unit = {
+    val (fs, path) = hadoopPath(s, markerPath(root))
+    val out = fs.create(path, true)
+    try out.write(dir.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMarker(s: SparkSession, root: String): Option[String] = {
+    val (fs, path) = hadoopPath(s, markerPath(root))
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  /** Catalog-safe, root-stable table name: one catalog entry per
+    * (sidecar root, key), shared by every session on the SparkContext.
+    */
+  private[graft] def tableName(root: String, key: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"graft_sc_${key}_$h"
+  }
+
+  /** Write `df` as a bucketed external parquet table at `path`. The
+    * frame is repartitioned to the bucket count on the bucket column
+    * first, so the layout is exactly one file per bucket — at campaign
+    * scale a writer keeps more write parallelism, but the bucket
+    * function (and thus the read-side co-location) is identical.
+    */
+  private[graft] def writeBucketedTable(df: DataFrame, path: String,
+      tbl: String, lay: Layout): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    df.repartition(lay.nBuckets, col(lay.bucketCol))
+      .write.mode("overwrite").option("path", path)
+      .bucketBy(lay.nBuckets, lay.bucketCol)
+      .sortBy(lay.sortCols.head, lay.sortCols.tail: _*)
+      .format("parquet").saveAsTable(tbl)
+  }
+
+  /** Register (if absent) and read the bucketed table written by
+    * [[writeBucketedTable]]. The DDL re-issued here is the catalog
+    * entry a deployment's metastore keeps; column list comes from the
+    * parquet footer, so the schema is byte-authoritative.
+    */
+  private[graft] def readBucketedTable(s: SparkSession, path: String,
+      tbl: String, lay: Layout): DataFrame = {
+    if (!s.catalog.tableExists(tbl)) {
+      val schemaDDL = s.read.parquet(path).schema.toDDL
+      s.sql(s"CREATE TABLE $tbl ($schemaDDL) USING PARQUET " +
+        s"CLUSTERED BY (${lay.bucketCol}) " +
+        s"SORTED BY (${lay.sortCols.mkString(", ")}) " +
+        s"INTO ${lay.nBuckets} BUCKETS LOCATION '$path'")
+    }
+    s.table(tbl)
+  }
+
+  private def readDisk(s: SparkSession, dir: String, key: String): Option[DataFrame] =
+    for {
+      root <- s.conf.getOption(SidecarDirKey)
+      lay  <- layouts.get(key)
+      src  <- readMarker(s, root) if src == dir
+      path = s"$root/$key" if pathExists(s, path)
+    } yield readBucketedTable(s, path, tableName(root, key), lay)
+
+  /** Builders for every persistable sidecar — each returns the SESSION
+    * form (memoized + checkpointed), so persisting is write-through:
+    * build once, write once, and the writing session keeps serving
+    * from memory while every later session reads the disk table.
+    */
+  private def builders(s: SparkSession, dir: String): Map[String, () => DataFrame] = Map(
+    "shingles"       -> (() => shingles(s, dir)),
+    "tokens"         -> (() => tokens(s, dir)),
+    "bands"          -> (() => minhashBands(s, dir)),
+    "png_ahash"      -> (() => Multimodal.ahashSidecarFrame(s, dir)),
+    "text_labels_64" -> (() => Dedup.dupClusterLabels(s, dir)),
+    "image_labels"   -> (() => Multimodal.imageClusterLabels(s, dir)),
+    "ivf_assigned"   -> (() => Similarity.ivfAssigned(s, dir)),
+    "pq_codes"       -> (() => Similarity.pqCodesFrame(s, dir)))
+
+  /** All sidecar keys [[persistSidecars]] writes by default. */
+  val persistableKeys: Seq[String] = Seq("shingles", "tokens", "bands",
+    "png_ahash", "text_labels_64", "image_labels", "ivf_assigned", "pq_codes")
+
+  /** Read ONE persisted sidecar table from a root, registered with its
+    * bucket layout — for consumers that take the index as an explicit
+    * frame (the streaming jobs' snapshot-rotation path) rather than
+    * through the session conf.
+    */
+  def readSidecar(s: SparkSession, root: String, key: String): DataFrame =
+    readBucketedTable(s, s"$root/$key", tableName(root, key), layouts(key))
+
+  /** Write the corpus snapshot's sidecar tables under `outDir` — the
+    * once-per-snapshot index build a 100 TB campaign runs before its
+    * query/streaming sessions. Each table lands bucketed on its
+    * consumers' join column; the `_graft_source` marker pins the
+    * snapshot so a mismatched corpus never reads them. Point any later
+    * session at the root via `spark.conf.set(SidecarDirKey, outDir)`
+    * and every CorpusIndexes consumer — batch queries and the
+    * streaming jobs alike — reads the disk form transparently.
+    */
+  def persistSidecars(s: SparkSession, dir: String, outDir: String,
+                      keys: Seq[String] = null): Unit = {
+    val ks = Option(keys).getOrElse(persistableKeys)
+    val bs = builders(s, dir)
+    ks.foreach { key =>
+      writeBucketedTable(bs(key)(), s"$outDir/$key",
+        tableName(outDir, key), layouts(key))
+    }
+    writeMarker(s, outDir, dir)
   }
 
   /** The same memoize-and-checkpoint discipline for sidecars owned by

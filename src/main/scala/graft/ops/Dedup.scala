@@ -415,8 +415,8 @@ object Dedup {
   def incrementalDedupMulti(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
     import s.implicits._
     val docs = documents(s, dir).select($"doc_id", $"text")
-    multiSignalProbe(docs.filter($"doc_id" % 5 === 0),
-                     docs.filter($"doc_id" % 5 =!= 0), cap)
+    multiSignalProbeIndexed(docs.filter($"doc_id" % 5 === 0),
+                            textProbeSidecar(s, dir, cap))
       .orderBy($"doc_id")
   }
 
@@ -453,6 +453,60 @@ object Dedup {
       TextProbeIndex(md5s.localCheckpoint(), cappedBands.localCheckpoint(),
         simBands.localCheckpoint())
     else TextProbeIndex(md5s, cappedBands, simBands)
+  }
+
+  /** The probe index for the registered slice convention (history =
+    * doc_id % 5 ≠ 0) as SESSION sidecars — d15, d25 and d26 all probe
+    * the SAME three tables, so the history hashes once per (session,
+    * dir) instead of once per consuming query (the CorpusIndexes
+    * discipline; round-13 bench attribution showed every admission
+    * query paying the full history hash).
+    */
+  private[graft] def textProbeSidecar(s: SparkSession, dir: String,
+                                      cap: Int = 64): TextProbeIndex = {
+    import s.implicits._
+    lazy val idx = buildTextProbeIndex(
+      documents(s, dir).select($"doc_id", $"text").filter($"doc_id" % 5 =!= 0), cap)
+    TextProbeIndex(
+      CorpusIndexes.memo(s, dir, "probe_md5s")(idx.md5s),
+      CorpusIndexes.memo(s, dir, s"probe_bands_$cap")(idx.cappedBands),
+      CorpusIndexes.memo(s, dir, "probe_sim")(idx.simBands))
+  }
+
+  private val probeLayouts = Seq(
+    ("probe_md5s", CorpusIndexes.Layout(8, "h", Seq("h"))),
+    ("probe_capped_bands", CorpusIndexes.Layout(8, "bkey", Seq("bkey"))),
+    ("probe_sim_bands", CorpusIndexes.Layout(8, "bval", Seq("bval"))))
+
+  /** DURABLE form of [[buildTextProbeIndex]]: write the three probe
+    * tables under `outDir`, each bucketed on the column the per-batch
+    * probe joins (md5 on `h`, MinHash bands on `bkey`, SimHash bands
+    * on `bval`) — the snapshot-rotation artifact a dedup service
+    * builds once per corpus snapshot and every streaming run reads.
+    * With the index side pre-bucketed, a probing batch shuffles only
+    * ITSELF to the bucket layout; the history never moves again.
+    */
+  def persistTextProbeIndex(histDocs: DataFrame, outDir: String,
+                            cap: Int = 64): Unit = {
+    val idx = buildTextProbeIndex(histDocs, cap)
+    probeLayouts.zip(Seq(idx.md5s, idx.cappedBands, idx.simBands)).foreach {
+      case ((key, lay), df) =>
+        CorpusIndexes.writeBucketedTable(df, s"$outDir/$key",
+          CorpusIndexes.tableName(outDir, key), lay)
+    }
+  }
+
+  /** Read the probe index persisted by [[persistTextProbeIndex]] —
+    * what StreamingDedup/StreamingAdmission pass per micro-batch when
+    * given an index dir: no corpus pass at job start, the history
+    * reads straight from the bucketed disk tables.
+    */
+  def loadTextProbeIndex(s: SparkSession, outDir: String): TextProbeIndex = {
+    val Seq(md5s, capped, sim) = probeLayouts.map { case (key, lay) =>
+      CorpusIndexes.readBucketedTable(s, s"$outDir/$key",
+        CorpusIndexes.tableName(outDir, key), lay)
+    }
+    TextProbeIndex(md5s, capped, sim)
   }
 
   /** The frame-based core of [[incrementalDedupMulti]], shared with the
@@ -541,8 +595,8 @@ object Dedup {
     val benchGrams = documents(s, dir).filter($"doc_id" % 97 === 0)
       .select(explode(graft.functions.TextHashes.ngram_hashes($"text", 4)).as("g"))
       .distinct()
-    admissionProbe(docs.filter($"doc_id" % 5 === 0),
-        docs.filter($"doc_id" % 5 =!= 0), benchGrams, cap)
+    admissionProbeIndexed(docs.filter($"doc_id" % 5 === 0),
+        textProbeSidecar(s, dir, cap), benchGrams)
       .orderBy($"doc_id")
   }
 
@@ -561,6 +615,16 @@ object Dedup {
                             benchGrams: DataFrame): DataFrame =
     admissionVerdict(newDocs, multiSignalProbeIndexed(newDocs, idx), benchGrams)
 
+  /** The t02-class quality score the admission gates share. */
+  private def qualityCol: org.apache.spark.sql.Column = {
+    val t = org.apache.spark.sql.functions.split(col("text"), "\\s+")
+    val nTok = size(t).cast("double")
+    lit(0.4) * (lit(1.0) - size(filter(t,
+      c => c.isin(graft.ops.TextOps.Stopwords: _*))).cast("double") / nTok) +
+    lit(0.3) * (size(array_distinct(t)).cast("double") / nTok) +
+    lit(0.3) * least(nTok / lit(50.0), lit(1.0))
+  }
+
   /** Quality + decontamination gates composed onto the dedup probe
     * rows — one verdict row per doc in `newDocs`.
     */
@@ -568,13 +632,7 @@ object Dedup {
                                benchGrams: DataFrame): DataFrame = {
     val s = newDocs.sparkSession
     import s.implicits._
-    val t = org.apache.spark.sql.functions.split($"text", "\\s+")
-    val nTok = size(t).cast("double")
-    val quality =
-      lit(0.4) * (lit(1.0) - size(filter(t,
-        c => c.isin(graft.ops.TextOps.Stopwords: _*))).cast("double") / nTok) +
-      lit(0.3) * (size(array_distinct(t)).cast("double") / nTok) +
-      lit(0.3) * least(nTok / lit(50.0), lit(1.0))
+    val quality = qualityCol
     val dirty = newDocs
       .select($"doc_id", explode(graft.functions.TextHashes.ngram_hashes($"text", 4)).as("g"))
       .join(broadcast(benchGrams), "g")
@@ -593,6 +651,107 @@ object Dedup {
       .withColumn("admit",
         !$"exact_dup" && !$"near_dup" && !$"sim_dup" &&
           !$"low_quality" && !$"contaminated")
+  }
+
+  /** d26 — STAGED admission: [[ingestAdmission]]'s gates applied as a
+    * short-circuit cascade, cheapest first — quality (a narrow
+    * expression, no join), then exact md5, then capped MinHash-LSH,
+    * then banded SimHash, then gram decontamination (the widest
+    * per-doc expansion) — each stage probing ONLY the previous stage's
+    * survivors. The verdict is provably d25's: every signal is
+    * per-doc independent of the probed set, so skipping a later probe
+    * for an already-rejected doc can never flip `admit` (the oracle
+    * derives the staged columns from the full signal set by precedence
+    * — a hash match IS the semantics proof; AdmissionSpec additionally
+    * asserts verdict equality and the measured probe-count reduction).
+    *
+    * This is the production door at 100 TB: a re-crawl's arrivals are
+    * mostly exact dups, so the expensive hashing (12 MinHash passes,
+    * the 60-bit SimHash, the 4-gram explode) runs on the small
+    * surviving fraction instead of every arrival. Emitted per doc:
+    * the first firing gate (`reject_stage`, null = admitted), the
+    * firing stage's earliest historical match, and the three
+    * probed_* flags whose counts ARE the measured reduction.
+    *
+    * Scale shape: the cascade chains batch-sized anti-joins (each
+    * against a match-id list no larger than the batch); every probe
+    * join is batch-vs-bucketed-index; the doc scan per stage is
+    * narrow. Nothing here touches the corpus beyond the shared
+    * sidecars.
+    */
+  def stagedAdmission(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir).select($"doc_id", $"text")
+    val benchGrams = documents(s, dir).filter($"doc_id" % 97 === 0)
+      .select(explode(graft.functions.TextHashes.ngram_hashes($"text", 4)).as("g"))
+      .distinct()
+    stagedAdmissionProbeIndexed(docs.filter($"doc_id" % 5 === 0),
+        textProbeSidecar(s, dir, cap), benchGrams)
+      .orderBy($"doc_id")
+  }
+
+  /** The staged cascade against a PREBUILT index — the form a
+    * streaming door runs per micro-batch (AdmissionSpec proves verdict
+    * equality with [[admissionProbeIndexed]] on the same index).
+    */
+  def stagedAdmissionProbeIndexed(newDocs: DataFrame, idx: TextProbeIndex,
+                                  benchGrams: DataFrame): DataFrame = {
+    val s = newDocs.sparkSession
+    import s.implicits._
+    // Each survivor set is MATERIALIZED: every stage's plan would
+    // otherwise re-run all earlier stages' hashing per branch (the
+    // final assembly references all four), and the cascade exists
+    // precisely so later stages touch fewer docs. The checkpoints are
+    // batch-sized — at the door, the batch is small by definition.
+    val base = newDocs.select($"doc_id", $"text", qualityCol.as("quality"))
+      .localCheckpoint()
+    val sv1 = base.filter($"quality" >= 0.8).select($"doc_id", $"text")
+    val exact = sv1.select($"doc_id", md5($"text").as("h"))
+      .join(idx.md5s, "h")
+      .groupBy($"doc_id").agg(min($"hist_doc").as("m_exact"))
+      .localCheckpoint()
+    val sv2 = sv1.join(exact.select($"doc_id"), Seq("doc_id"), "left_anti")
+    val near = sv2
+      .select($"doc_id", posexplode(minhash_bands($"text")))
+      .select($"pos".as("band"), $"col".as("bkey"), $"doc_id")
+      .join(idx.cappedBands, Seq("band", "bkey"))
+      .groupBy($"doc_id").agg(min($"hist_doc").as("m_near"))
+      .localCheckpoint()
+    val sv3 = sv2.join(near.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val sim = sv3
+      .select($"doc_id", simhash60($"text").as("simhash"))
+      .select($"doc_id", $"simhash", posexplode(expr(
+        "transform(sequence(0, 3), j -> (simhash >> (15 * j)) & 32767)")))
+      .select($"doc_id", $"simhash".as("sim_a"), $"pos".as("band"), $"col".as("bval"))
+      .join(idx.simBands, Seq("band", "bval"))
+      .filter(expr("cast(bit_count(sim_a ^ sim_b) as bigint)") <= 8)
+      .groupBy($"doc_id").agg(min($"hist_doc").as("m_sim"))
+      .localCheckpoint()
+    val sv4 = sv3.join(sim.select($"doc_id"), Seq("doc_id"), "left_anti")
+    val dirty = sv4
+      .select($"doc_id", explode(graft.functions.TextHashes.ngram_hashes($"text", 4)).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .select($"doc_id").distinct()
+      .withColumn("is_dirty", lit(true))
+    base.select($"doc_id", $"quality")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .join(sim, Seq("doc_id"), "left")
+      .join(dirty, Seq("doc_id"), "left")
+      .withColumn("reject_stage",
+        when($"quality" < 0.8, "quality")
+          .when($"m_exact".isNotNull, "exact")
+          .when($"m_near".isNotNull, "near")
+          .when($"m_sim".isNotNull, "sim")
+          .when($"is_dirty".isNotNull, "contaminated"))
+      .withColumn("probed_near", $"quality" >= 0.8 && $"m_exact".isNull)
+      .withColumn("probed_sim", $"probed_near" && $"m_near".isNull)
+      .withColumn("probed_decontam", $"probed_sim" && $"m_sim".isNull)
+      .withColumn("best_match", coalesce($"m_exact", $"m_near", $"m_sim"))
+      .withColumn("admit", $"reject_stage".isNull)
+      .select($"doc_id", $"reject_stage", $"best_match", $"probed_near",
+        $"probed_sim", $"probed_decontam", $"admit")
   }
 
   /** Word-3-gram Jaccard similarity over candidate pairs generated by a

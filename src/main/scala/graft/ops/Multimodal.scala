@@ -317,6 +317,10 @@ object Multimodal {
   private def ahashSidecar(s: SparkSession, dir: String): DataFrame =
     CorpusIndexes.memo(s, dir, "png_ahash")(ahashTable(s, dir).toDF())
 
+  /** The aHash sidecar for the durable-sidecar writer. */
+  private[ops] def ahashSidecarFrame(s: SparkSession, dir: String): DataFrame =
+    ahashSidecar(s, dir)
+
   /** The decode+hash pass over any PNG set — shared by the whole-corpus
     * sidecar build ([[ahashTable]]) and the per-batch probe side of the
     * incremental/streaming dedup ([[imageProbeBatch]]). Payloads are
@@ -1013,9 +1017,20 @@ object Multimodal {
     * d20 shape, so a video repeating a frame internally counts once
     * toward n_videos); videos never shuffle whole.
     */
+  /** The (doc_id, frame_no, ahash_hi, ahash_lo) per-frame hash table
+    * as a SESSION sidecar (CorpusIndexes discipline): the GIF corpus
+    * decodes ONCE per (session, dir) and both video-dedup consumers
+    * (m15 exact scenes, m16 sequence near-dups) read the checkpointed
+    * table — at 100 TB this is the persisted frame-hash sidecar a
+    * video campaign keeps next to the clips.
+    */
+  private[ops] def gifFramesSidecar(s: SparkSession, dir: String): DataFrame =
+    CorpusIndexes.memo(s, dir, "gif_frames")(
+      gifFrameAHashes(gifTable(s, dir)).toDF())
+
   def videoFrameDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val perVideo = gifFrameAHashes(gifTable(s, dir)).toDF()
+    val perVideo = gifFramesSidecar(s, dir)
       .groupBy($"ahash_hi", $"ahash_lo", $"doc_id")
       .agg(count(lit(1)).as("n_occ"),
         min($"doc_id" * FramePack + $"frame_no").as("min_fid"))
@@ -1028,6 +1043,68 @@ object Multimodal {
         expr(s"min_fid div $FramePack").as("min_doc_id"),
         ($"min_fid" % FramePack).as("min_frame"))
       .orderBy($"ahash_hi", $"ahash_lo")
+  }
+
+  /** m16 — SEQUENCE-aware video near-duplicates: m15's frame hashes
+    * through the shingle discipline. Each video's ordered frame-hash
+    * sequence is a document; its word-2-grams (consecutive frame-hash
+    * pairs, exact 128-bit keys — no mixing, so the oracle replays them
+    * verbatim) are its shingles; videos sharing ≥ 1 rare shingle become
+    * candidate pairs scored by shingle Jaccard. This catches what m15's
+    * per-frame digest report cannot: re-posted clips and trims that
+    * preserve frame RUNS — the d04/d12 discipline on the third
+    * modality.
+    *
+    * Skew bound (the d12 form): 2-grams carried by more than `cap`
+    * videos are dropped BEFORE pair generation — a boilerplate
+    * intro-outro transition shared by a million clips is exactly the
+    * hot key that explodes the inverted index, and it carries no
+    * pairing signal. Intersections count only surviving shingles while
+    * denominators keep full counts, so scores are conservative,
+    * identically in the oracle.
+    *
+    * Scale shape: pixels reduce to 16 bytes/frame in the codec slot
+    * (shared m15 sidecar — one decode pass per session); the 2-gram
+    * build is one per-video window (frames of a video are adjacent
+    * after one hash-partition on doc_id — no binary on any exchange);
+    * pair generation is a banded equi-join on the gram key with the df
+    * cap bounding every gram's contribution at cap²; output is
+    * pair-sized, never corpus².
+    */
+  def videoSequenceNearDups(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import s.implicits._
+    val fh = gifFramesSidecar(s, dir)
+    val w = Window.partitionBy($"doc_id").orderBy($"frame_no")
+    val grams = fh
+      .withColumn("g2h", lead($"ahash_hi", 1).over(w))
+      .withColumn("g2l", lead($"ahash_lo", 1).over(w))
+      .filter($"g2h".isNotNull)
+      .select($"doc_id", $"ahash_hi".as("g1h"), $"ahash_lo".as("g1l"),
+        $"g2h", $"g2l")
+      .distinct()
+    val gramCols = Seq("g1h", "g1l", "g2h", "g2l")
+    val ng = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val rare = grams.groupBy(gramCols.map(col): _*)
+      .agg(count(lit(1)).as("df")).filter($"df" <= cap)
+      .select(gramCols.map(col): _*)
+    // NOTE: a using-columns join moves the join keys FIRST in the
+    // output schema; re-select into explicit order before any
+    // positional rename or the doc id silently becomes a gram column.
+    val capped = grams.join(rare.hint("merge"), gramCols)
+      .select(("doc_id" +: gramCols).map(col): _*)
+    val a = capped.toDF("doc_a", "a1h", "a1l", "a2h", "a2l")
+    val b = capped.toDF("doc_b", "b1h", "b1l", "b2h", "b2l")
+    a.join(b.hint("merge"),
+        $"a1h" === $"b1h" && $"a1l" === $"b1l" &&
+        $"a2h" === $"b2h" && $"a2l" === $"b2l" && $"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(ng.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(ng.toDF("doc_b", "nb"), Seq("doc_b"))
+      .withColumn("jaccard", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"na", $"nb", $"inter", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** The media table: documents' text bytes standing in as payloads,

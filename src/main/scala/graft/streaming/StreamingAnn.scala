@@ -53,6 +53,24 @@ object StreamingAnn {
   def run(queries: DataFrame, index: DataFrame, outDir: String,
           checkpointDir: String): StreamingQuery = {
     val idx = index.localCheckpoint()
+    runWith(queries, idx, outDir, checkpointDir)
+  }
+
+  /** Start the job against the DURABLE index: `sidecarRoot` is a dir
+    * written by `CorpusIndexes.persistSidecars`; the `ivf_assigned`
+    * table reads straight from its bucketed parquet — no run-start
+    * corpus pass, no in-memory copy, the 100 TB snapshot-rotation
+    * shape.
+    */
+  def runFromSidecar(queries: DataFrame, sidecarRoot: String, outDir: String,
+                     checkpointDir: String): StreamingQuery =
+    runWith(queries,
+      graft.ops.CorpusIndexes.readSidecar(queries.sparkSession, sidecarRoot,
+        "ivf_assigned"),
+      outDir, checkpointDir)
+
+  private def runWith(queries: DataFrame, idx: DataFrame, outDir: String,
+                      checkpointDir: String): StreamingQuery =
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         probeBatch(batch, idx)
@@ -61,5 +79,4 @@ object StreamingAnn {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
-  }
 }

@@ -55,8 +55,15 @@ object StreamingDedup {
     * applied to the text modality).
     */
   def run(newDocs: DataFrame, hist: DataFrame, outDir: String,
-          checkpointDir: String, cap: Int = 64): StreamingQuery = {
-    val idx = graft.ops.Dedup.buildTextProbeIndex(hist, cap, materialize = true)
+          checkpointDir: String, cap: Int = 64,
+          indexDir: Option[String] = None): StreamingQuery = {
+    // Durable-sidecar path: an `indexDir` written by
+    // Dedup.persistTextProbeIndex skips the run-start corpus pass
+    // entirely — the history reads straight from the bucketed disk
+    // tables (the snapshot-rotation shape at 100 TB).
+    val idx = indexDir
+      .map(d => graft.ops.Dedup.loadTextProbeIndex(newDocs.sparkSession, d))
+      .getOrElse(graft.ops.Dedup.buildTextProbeIndex(hist, cap, materialize = true))
     newDocs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Dedup.multiSignalProbeIndexed(batch, idx)

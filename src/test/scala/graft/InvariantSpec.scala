@@ -807,6 +807,20 @@ class InvariantSpec extends AnyFunSuite {
     assert(rows.last._2 == n)
   }
 
+  test("t28 rejects sparse (non-contiguous) doc_ids at plan-build time") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t28-sparse").toString
+    // gap at id 2: ids {0,1,3} with n_docs=3 breaks max = n_docs - 1
+    Seq((0L, "a b c"), (1L, "b c d"), (3L, "c d e"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.TextOps.vocabGrowth(spark, dir)
+    }
+    assert(ex.getMessage.contains("contiguous"))
+  }
+
   test("t30 frequency spectrum conserves token and type mass vs a driver recount") {
     val spark = TestSpark.spark
     import spark.implicits._

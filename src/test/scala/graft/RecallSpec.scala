@@ -74,6 +74,101 @@ class RecallSpec extends AnyFunSuite {
     }
   }
 
+  test("s18 beam search dominates s04 rank-by-rank and in recall@5, within a bounded extra budget") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.ops.Similarity
+    def cosByRank(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.select($"q_id", $"rank", $"cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def topIds(df: org.apache.spark.sql.DataFrame, idCol: String, k: Int): Map[Long, Set[Long]] =
+      df.filter($"rank" <= k)
+        .select($"q_id", org.apache.spark.sql.functions.col(idCol)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (q, a: Array[(Long, Long)]) => q -> a.map(_._2).toSet }
+    // Theorem-backed: s18's round-0 candidate set IS s04's probe cell
+    // and later rounds only ADD scored candidates, so at every rank
+    // the beam's cosine >= the cell scan's, and recall@5 against the
+    // exact answer can only improve; everything stays bounded by s01.
+    val s04 = cosByRank(Similarity.ivfKnn(spark, dir))
+    val s18 = cosByRank(Similarity.graphBeamKnn(spark, dir))
+    val exact = cosByRank(Similarity.bruteForceKnn(spark, dir))
+    s04.foreach { case (k, c4) =>
+      s18.get(k).foreach(c8 => assert(c8 >= c4 - 1e-12, s"$k: beam $c8 < cell $c4"))
+    }
+    s18.foreach { case (k, c8) =>
+      exact.get(k).foreach(ce => assert(c8 <= ce + 1e-12, s"$k: beam $c8 > exact $ce"))
+    }
+    val exact5 = topIds(Similarity.bruteForceKnn(spark, dir), "vec_id", 5)
+    val cell5 = topIds(Similarity.ivfKnn(spark, dir), "vec_id", 5)
+    val beam5 = topIds(Similarity.graphBeamKnn(spark, dir), "nb_id", 5)
+    var gained = 0
+    exact5.keys.foreach { q =>
+      val cellHits = (exact5(q) & cell5.getOrElse(q, Set.empty)).size
+      val beamHits = (exact5(q) & beam5.getOrElse(q, Set.empty)).size
+      assert(beamHits >= cellHits, s"q=$q: beam recall $beamHits < cell $cellHits")
+      if (beamHits > cellHits) gained += 1
+    }
+    // At rank 10 the cell boundary bites: compare the walk against the
+    // pure cell scan (rounds = 0 — same code, no expansion)
+    val exact10 = topIds(Similarity.bruteForceKnn(spark, dir), "vec_id", 10)
+    val cell10 = topIds(Similarity.graphBeamKnn(spark, dir, rounds = 0), "nb_id", 10)
+    val beam10 = topIds(Similarity.graphBeamKnn(spark, dir), "nb_id", 10)
+    var gained10 = 0
+    exact10.keys.foreach { q =>
+      val c = (exact10(q) & cell10.getOrElse(q, Set.empty)).size
+      val b = (exact10(q) & beam10.getOrElse(q, Set.empty)).size
+      assert(b >= c, s"q=$q: beam recall@10 $b < cell $c")
+      if (b > c) gained10 += 1
+    }
+    info(s"queries improved at rank 10: $gained10 of ${exact10.size}")
+    // Budget: the walk adds at most rounds*beam*degree = 3*3*3 = 27
+    // scored candidates over the cell scan (mutual degree <= k = 3) —
+    // below the MEAN cell, so the total budget stays under the s05
+    // two-cell multi-probe scan.
+    val cellSizes = Similarity.ivfIndex(spark, dir)
+      .groupBy($"cell_id").count().select($"count").as[Long].collect()
+    val meanCell = cellSizes.sum / cellSizes.length
+    assert(27 <= meanCell,
+      s"budget bound: extra 27 should stay below the mean cell ($meanCell)")
+    info(s"queries improved by the walk: $gained of ${exact5.size}")
+  }
+
+  test("s18 navigation crosses cell boundaries: the walk recovers a neighbor the cell scan misses") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.ops.Similarity
+    // Constructed corpus: centroids 0..15 are one-hot axes; query 0
+    // = e0. Cell 0 holds 16/17 and the BRIDGE 18 (0.6·e0+0.4·e1);
+    // vector 19 (0.45·e0+0.55·e1) lands in cell 1 yet is a genuine
+    // neighbor of query 0 — reachable only through the mutual edge
+    // 18↔19, which exists because the nav graph draws candidates from
+    // each vector's two nearest cells.
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      parts.foreach { case (i, x) => a(i) = x }
+      a
+    }
+    val rows =
+      (0 until 16).map(i => (i.toLong, vec(i -> 1f), 0)) ++ Seq(
+        (16L, vec(0 -> 0.95f, 1 -> 0.05f), 0),
+        (17L, vec(0 -> 0.8f, 1 -> 0.2f), 0),
+        (18L, vec(0 -> 0.6f, 1 -> 0.4f), 0),  // the bridge, cell 0
+        (19L, vec(0 -> 0.45f, 1 -> 0.55f), 0), // the target, cell 1
+        (20L, vec(0 -> 0.1f, 1 -> 0.9f), 0),
+        (21L, vec(0 -> 0.12f, 1 -> 0.88f), 0))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s18-cross").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    def idsFor(df: org.apache.spark.sql.DataFrame, q: Long): Set[Long] =
+      df.filter($"q_id" === q).select($"nb_id").collect().map(_.getLong(0)).toSet
+    val cellOnly = idsFor(Similarity.graphBeamKnn(spark, tmp, rounds = 0), 0L)
+    val walked = idsFor(Similarity.graphBeamKnn(spark, tmp), 0L)
+    assert(!cellOnly.contains(19L), s"cell scan should miss 19, got $cellOnly")
+    assert(walked.contains(19L), s"the walk should recover 19, got $walked")
+    assert(cellOnly.subsetOf(walked))
+  }
+
   test("s07 exact re-rank dominates raw s06 PQ ranking in recall@5 per query") {
     val spark0 = spark
     import spark0.implicits._

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.CorpusIndexes
+
+/** The DURABLE sidecar layer: `CorpusIndexes.persistSidecars` writes
+  * the session sidecars (shingle/token/band/aHash/labels/IVF/PQ) as
+  * bucketed parquet tables under a caller-given root, and any session
+  * pointed at that root via `graft.sidecar.dir` serves every consumer
+  * from disk instead of rebuilding. Asserted here:
+  *
+  *  - RESULT IDENTITY: the four sidecar-heaviest registered queries
+  *    (d04 shingles, t11 shingles+labels, m12 aHash+image labels, s08
+  *    IVF+PQ) return row-identical results from the disk form and the
+  *    session form — the spec the round-12 verdict names.
+  *  - The disk path is REALLY exercised (the reading session's plans
+  *    scan the sidecar root; the catalog holds the registered tables).
+  *  - BUCKETED LAYOUT: an equality filter on the bucket column prunes
+  *    to 1 of 8 buckets, and a bucket-column aggregate runs with zero
+  *    exchanges (the BucketingSpec discipline on the persisted index).
+  *  - SNAPSHOT GUARD: a root whose `_graft_source` marker names a
+  *    different corpus dir is ignored — consumers silently rebuild.
+  *  - The streaming probe-index round-trip: the three probe tables
+  *    reloaded from disk give bit-identical multi-signal verdicts.
+  */
+class SidecarDiskSpec extends AnyFunSuite {
+
+  private val keys = Seq("d04_shingle_jaccard", "t11_training_selection",
+    "m12_image_dedup_report", "s08_knn_ivfpq")
+
+  private lazy val root: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sidecars").toString
+    CorpusIndexes.persistSidecars(TestSpark.spark, TestSpark.sfDir, dir)
+    dir
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toString)
+
+  private def diskSession(): SparkSession = {
+    val s2 = TestSpark.spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set(CorpusIndexes.SidecarDirKey, root)
+    s2
+  }
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+    case q: QueryStageExec => scans(q.plan)
+    case s: FileSourceScanExec => Seq(s)
+    case other => other.children.flatMap(scans)
+  }
+
+  private def shuffles(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+    case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+    case q: QueryStageExec => shuffles(q.plan)
+    case _: ReusedExchangeExec => Seq.empty
+    case s: ShuffleExchangeLike => s +: s.children.flatMap(shuffles)
+    case other => other.children.flatMap(shuffles)
+  }
+
+  test("disk-sidecar results are identical to session-sidecar results (d04/t11/m12/s08)") {
+    val base = TestSpark.spark
+    val s2 = diskSession()
+    keys.foreach { q =>
+      val expect = rows(SparkEntry.queries(q)(base, TestSpark.sfDir))
+      val disk = SparkEntry.queries(q)(s2, TestSpark.sfDir)
+      assert(rows(disk) == expect, s"$q: disk form diverged from session form")
+    }
+    // the disk path was really taken: the registered tables exist and
+    // a consumer plan scans files under the sidecar root
+    assert(s2.catalog.tableExists(CorpusIndexes.tableName(root, "shingles")))
+    val sh = graft.ops.Dedup.shingleJaccardPairs(s2, TestSpark.sfDir)
+    sh.collect()
+    val scanned = scans(sh.queryExecution.executedPlan)
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(scanned.exists(_.contains(root)),
+      s"expected a scan under $root, got $scanned")
+  }
+
+  test("persisted sidecars are bucketed: filter prunes to one bucket, bucket-key aggregate has zero exchanges") {
+    val s2 = diskSession()
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val sh = CorpusIndexes.readSidecar(s2, root, "shingles")
+      val someHash = sh.select("shash").head().getLong(0)
+      val filtered = sh.filter(sh("shash") === someHash)
+      filtered.collect()
+      val sc = scans(filtered.queryExecution.executedPlan)
+      assert(sc.nonEmpty)
+      assert(sc.head.metadata.get("SelectedBucketsCount").exists(_.contains("1 out of 8")),
+        s"bucket pruning missing: ${sc.head.metadata.get("SelectedBucketsCount")}")
+      val agg = sh.groupBy("shash").count()
+      agg.collect()
+      assert(shuffles(agg.queryExecution.executedPlan).isEmpty,
+        "bucket-column aggregate should not exchange")
+    } finally s2.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
+  test("a sidecar root written for a different corpus dir is ignored") {
+    val s2 = TestSpark.spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set(CorpusIndexes.SidecarDirKey, root)
+    // same root, different data dir: the marker names sf0.001, so a
+    // query over another dir must rebuild in-session — and stay right
+    val otherDir = java.nio.file.Files.createTempDirectory("graft-otherdocs").toString
+    import s2.implicits._
+    Seq((0L, "alpha beta gamma delta epsilon zeta"),
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "totally different words here now yes"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$otherDir/documents.parquet")
+    val pairs = graft.ops.Dedup.shingleJaccardPairs(s2, otherDir)
+    pairs.collect()
+    val scanned = scans(pairs.queryExecution.executedPlan)
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(!scanned.exists(_.contains(root)),
+      "mismatched-source sidecar must not be read")
+  }
+
+  test("StreamingDedup run against the disk index equals the batch answer") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sfDir).select($"doc_id", $"text")
+    val hist = docs.filter($"doc_id" % 5 =!= 0)
+    val newDocs = docs.filter($"doc_id" % 5 === 0)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-sd-idx").toString
+    graft.ops.Dedup.persistTextProbeIndex(hist, idxDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sd-ckpt2").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-sd-out2").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    // hist is NOT passed: the run must stand entirely on the disk index
+    val q = graft.streaming.StreamingDedup.run(stream,
+      hist = null, out, ckpt, indexDir = Some(idxDir))
+    try {
+      input.addData(newDocs.take(newDocs.length / 2).toSeq)
+      q.processAllAvailable()
+      input.addData(newDocs.drop(newDocs.length / 2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batchRun = graft.ops.Dedup.incrementalDedupMulti(spark, TestSpark.sfDir)
+    assert(streamed.count() == batchRun.count())
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+  }
+
+  test("streaming probe index round-trips through disk with identical verdicts") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val docs = Tables.documents(s, TestSpark.sfDir).select($"doc_id", $"text")
+    val hist = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-probeidx").toString
+    graft.ops.Dedup.persistTextProbeIndex(hist, dir)
+    val built = graft.ops.Dedup.buildTextProbeIndex(hist)
+    val loaded = graft.ops.Dedup.loadTextProbeIndex(s, dir)
+    val a = rows(graft.ops.Dedup.multiSignalProbeIndexed(batch, built)
+      .orderBy($"doc_id"))
+    val b = rows(graft.ops.Dedup.multiSignalProbeIndexed(batch, loaded)
+      .orderBy($"doc_id"))
+    assert(a == b, "disk probe index diverged from built probe index")
+    assert(a.nonEmpty)
+  }
+}

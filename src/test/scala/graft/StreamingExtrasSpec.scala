@@ -662,6 +662,81 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(rows == Seq((1L, "click", "buy", 1000000L)))
   }
 
+  test("StreamingKmeans: in-order micro-batches compose bit-exactly to the batch s15 step") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val seed = graft.streaming.StreamingKmeans.seedCodebook(spark, TestSpark.sfDir)
+    val vecs = Tables.embeddings(spark, TestSpark.sfDir)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val slices = Seq(vecs.take(vecs.length / 3),
+      vecs.slice(vecs.length / 3, 2 * vecs.length / 3),
+      vecs.drop(2 * vecs.length / 3))
+    val out = java.nio.file.Files.createTempDirectory("graft-skm-out").toString
+    val st = java.nio.file.Files.createTempDirectory("graft-skm-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-skm-ckpt").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    val q = graft.streaming.StreamingKmeans.run(stream, seed, out, st, ckpt)
+    try {
+      slices.foreach { sl => input.addData(sl.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell_id", $"dim", $"old_c", $"new_c", $"n_members").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val streamed = rows(spark.read.parquet(s"$out/batch_id=2"))
+    val batch = rows(graft.ops.Similarity.kmeansStep(spark, TestSpark.sfDir))
+    // bit-exact: the left fold composes across in-order batches
+    assert(streamed == batch)
+  }
+
+  test("StreamingKmeans restart replays the uncommitted batch exactly-once (state snapshots)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val seed = graft.streaming.StreamingKmeans.seedCodebook(spark, TestSpark.sfDir)
+    val vecs = Tables.embeddings(spark, TestSpark.sfDir)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val slices = Seq(vecs.take(vecs.length / 3),
+      vecs.slice(vecs.length / 3, 2 * vecs.length / 3),
+      vecs.drop(2 * vecs.length / 3))
+    val out = java.nio.file.Files.createTempDirectory("graft-skm2-out").toString
+    val st = java.nio.file.Files.createTempDirectory("graft-skm2-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-skm2-ckpt").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    def start() = graft.streaming.StreamingKmeans.run(stream, seed, out, st, ckpt)
+    val q1 = start()
+    try {
+      input.addData(slices(0).toSeq); q1.processAllAvailable()
+      input.addData(slices(1).toSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    // crash between offset log and commit: batch 1 must replay; it
+    // re-reads the UNCHANGED batch-0 state snapshot, so the re-fold
+    // writes identical state and codebook
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.map(_.getName.toLong).toSeq == Seq(0L, 1L))
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.1.crc")
+    if (crc.exists()) assert(crc.delete())
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays batch 1
+      input.addData(slices(2).toSeq); q2.processAllAvailable()
+    } finally q2.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell_id", $"dim", $"old_c", $"new_c", $"n_members").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val streamed = rows(spark.read.parquet(s"$out/batch_id=2"))
+    val batch = rows(graft.ops.Similarity.kmeansStep(spark, TestSpark.sfDir))
+    assert(streamed == batch)
+  }
+
   test("flatMapGroupsWithState keeps custom per-key state across triggers") {
     val spark = TestSpark.spark
     import spark.implicits._
