@@ -299,6 +299,11 @@ object SparkEntry {
     // rounds, cosine/id ranking throughout) — the HNSW-style serving
     // family, reachable neighbors beyond the probe cell.
     "s18_graph_beam"         -> ((s, d) => Similarity.graphBeamKnn(s, d)),
+    // s19 = IVF serving on the TRAINED codebook (two certified Lloyd
+    // iterations, shared with s17): re-assign by cosine to the
+    // adapted centroids, probe the query's cell — train → serve,
+    // the production loop closed under the oracle.
+    "s19_trained_ivf"        -> ((s, d) => Similarity.ivfTrainedKnn(s, d)),
     "m14_audio_nn"           -> (Multimodal.audioNearestNeighbor _),
     // m15 = video frame-level dedup: per-frame aHash over the real GIF
     // decode, digest-keyed repeated-scene report across videos (the
@@ -1039,6 +1044,77 @@ object SparkEntry {
           SELECT q_id, nb_id, cos,
             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id) AS r
           FROM v3) t WHERE r <= 10
+        ORDER BY q_id, rank""",
+      // s19: the s17 training CTEs through c2 (bit-exact trained
+      // codebook), then cosine re-assignment and the s04-style cell
+      // probe — every cosine an explicit in-order fold.
+      "s19_trained_ivf" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
+        a1 AS (SELECT vec_id, v, cell_id FROM (
+          SELECT e.vec_id, e.v, c0.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(generate_series(1, 64), i ->
+                (e.v[i] - c0.cv[i]) * (e.v[i] - c0.cv[i])), (a, b) -> a + b) ASC,
+              c0.cell_id) AS r
+          FROM e CROSS JOIN c0) t WHERE r = 1),
+        el1 AS (SELECT cell_id, vec_id, i AS dim, v[i + 1] AS x, vec_id % 256 AS seg
+                FROM a1, LATERAL unnest(generate_series(0, 63)) AS t(i)),
+        seg1 AS (SELECT cell_id, dim, seg, count(*) AS n_seg,
+                   list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) AS s_seg
+                 FROM el1 GROUP BY 1, 2, 3),
+        m1 AS (SELECT cell_id, dim, CAST(sum(n_seg) AS BIGINT) AS n,
+                 list_reduce(list(s_seg ORDER BY seg), (a, b) -> a + b) AS x_sum
+               FROM seg1 GROUP BY 1, 2),
+        c1 AS (SELECT sd.cell_id,
+                 list(coalesce(m1.x_sum / CAST(m1.n AS DOUBLE), sd.oc) ORDER BY sd.d) AS cv
+               FROM (SELECT cell_id, d, cv[d + 1] AS oc
+                     FROM c0, LATERAL unnest(generate_series(0, 63)) AS t(d)) sd
+               LEFT JOIN m1 ON m1.cell_id = sd.cell_id AND m1.dim = sd.d
+               GROUP BY sd.cell_id),
+        a2 AS (SELECT vec_id, v, cell_id FROM (
+          SELECT e.vec_id, e.v, c1.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(generate_series(1, 64), i ->
+                (e.v[i] - c1.cv[i]) * (e.v[i] - c1.cv[i])), (a, b) -> a + b) ASC,
+              c1.cell_id) AS r
+          FROM e CROSS JOIN c1) t WHERE r = 1),
+        el2 AS (SELECT cell_id, vec_id, i AS dim, v[i + 1] AS x, vec_id % 256 AS seg
+                FROM a2, LATERAL unnest(generate_series(0, 63)) AS t(i)),
+        seg2 AS (SELECT cell_id, dim, seg, count(*) AS n_seg,
+                   list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) AS s_seg
+                 FROM el2 GROUP BY 1, 2, 3),
+        m2 AS (SELECT cell_id, dim, CAST(sum(n_seg) AS BIGINT) AS n,
+                 list_reduce(list(s_seg ORDER BY seg), (a, b) -> a + b) AS x_sum
+               FROM seg2 GROUP BY 1, 2),
+        c2 AS (SELECT sd.cell_id,
+                 list(coalesce(m2.x_sum / CAST(m2.n AS DOUBLE), sd.oc) ORDER BY sd.d) AS cv
+               FROM (SELECT cell_id, d, cv[d + 1] AS oc
+                     FROM c1, LATERAL unnest(generate_series(0, 63)) AS t(d)) sd
+               LEFT JOIN m2 ON m2.cell_id = sd.cell_id AND m2.dim = sd.d
+               GROUP BY sd.cell_id),
+        assigned AS (SELECT vec_id, v, cell_id FROM (
+          SELECT e.vec_id, e.v, c2.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(generate_series(1, 64), i -> e.v[i] * c2.cv[i]), (a, b) -> a + b)
+              / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]), (a, b) -> a + b))
+                 * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c2.cv[i] * c2.cv[i]), (a, b) -> a + b))) DESC,
+              c2.cell_id) AS r
+          FROM e CROSS JOIN c2) t WHERE r = 1),
+        q AS (SELECT vec_id AS q_id, v AS qv, cell_id AS q_cell
+              FROM assigned WHERE vec_id < 5)
+        SELECT q_id, CAST(r AS BIGINT) AS rank, vec_id, cos FROM (
+          SELECT q.q_id, a.vec_id,
+            list_reduce(list_transform(generate_series(1, 64), i -> q.qv[i] * a.v[i]), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> q.qv[i] * q.qv[i]), (x, y) -> x + y))
+               * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i]), (x, y) -> x + y))) AS cos,
+            row_number() OVER (PARTITION BY q.q_id ORDER BY
+              list_reduce(list_transform(generate_series(1, 64), i -> q.qv[i] * a.v[i]), (x, y) -> x + y)
+              / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> q.qv[i] * q.qv[i]), (x, y) -> x + y))
+                 * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i]), (x, y) -> x + y))) DESC,
+              a.vec_id) AS r
+          FROM q JOIN assigned a ON a.cell_id = q.q_cell AND a.vec_id <> q.q_id) t
+        WHERE r <= 5
         ORDER BY q_id, rank""",
       // m15: per-frame aHash recomputed from the GIF generator formula
       // (the m11 cell-sum chain with the frame dimension added), then

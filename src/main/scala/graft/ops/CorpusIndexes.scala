@@ -148,13 +148,19 @@ private[graft] object CorpusIndexes {
     * first, so the layout is exactly one file per bucket — at campaign
     * scale a writer keeps more write parallelism, but the bucket
     * function (and thus the read-side co-location) is identical.
+    * With `append = true` the rows land as NEW bucket files next to
+    * the existing ones (same bucket function, so co-location is
+    * preserved) — the incremental-refresh path; the table must
+    * already exist on disk and is registered first if this session
+    * has not seen it.
     */
   private[graft] def writeBucketedTable(df: DataFrame, path: String,
-      tbl: String, lay: Layout): Unit = {
+      tbl: String, lay: Layout, append: Boolean = false): Unit = {
     val s = df.sparkSession
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    if (append) readBucketedTable(s, path, tbl, lay)
+    else s.sql(s"DROP TABLE IF EXISTS $tbl")
     df.repartition(lay.nBuckets, col(lay.bucketCol))
-      .write.mode("overwrite").option("path", path)
+      .write.mode(if (append) "append" else "overwrite").option("path", path)
       .bucketBy(lay.nBuckets, lay.bucketCol)
       .sortBy(lay.sortCols.head, lay.sortCols.tail: _*)
       .format("parquet").saveAsTable(tbl)

@@ -431,24 +431,48 @@ object Dedup {
   final case class TextProbeIndex(md5s: DataFrame, cappedBands: DataFrame,
                                   simBands: DataFrame)
 
-  def buildTextProbeIndex(histDocs: DataFrame, cap: Int = 64,
-                          materialize: Boolean = false): TextProbeIndex = {
-    val s = histDocs.sparkSession
+  /** The per-doc RAW probe rows — md5 store, UNCAPPED MinHash bands,
+    * SimHash bands — for a (doc_id, text) slice. Shared by the
+    * in-session index build and the durable writer/refresher: every
+    * row here depends only on its own document, which is what makes
+    * the durable index APPEND-ONLY under refresh.
+    */
+  private def rawProbeParts(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val s = docs.sparkSession
     import s.implicits._
-    val md5s = histDocs.select($"doc_id".as("hist_doc"), md5($"text").as("h"))
-    val histBands = histDocs
+    val md5s = docs.select($"doc_id".as("hist_doc"), md5($"text").as("h"))
+    val rawBands = docs
       .select($"doc_id", posexplode(minhash_bands($"text")))
       .select($"pos".as("band"), $"col".as("bkey"), $"doc_id".as("hist_doc"))
-    val smallHist = histBands.groupBy($"band", $"bkey")
-      .agg(count(lit(1)).as("n")).filter($"n" <= cap)
-      .select($"band", $"bkey")
-    val cappedBands = histBands.join(smallHist.hint("merge"), Seq("band", "bkey"))
-    val simBands = histDocs
+    val simBands = docs
       .select($"doc_id", simhash60($"text").as("simhash"))
       .select($"doc_id", $"simhash", posexplode(expr(
         "transform(sequence(0, 3), j -> (simhash >> (15 * j)) & 32767)")))
       .select($"doc_id".as("hist_doc"), $"simhash".as("sim_b"),
         $"pos".as("band"), $"col".as("bval"))
+    (md5s, rawBands, simBands)
+  }
+
+  /** The df-cap applied to a raw band table — kept OUT of the stored
+    * rows so the durable form stays append-only: the filter re-derives
+    * from whatever rows exist at read time, which is exactly what
+    * makes an incremental refresh equal a from-scratch rebuild (a key
+    * that crosses the cap only after a delta arrives is dropped by
+    * both, structurally).
+    */
+  private def capBands(rawBands: DataFrame, cap: Int): DataFrame = {
+    val s = rawBands.sparkSession
+    import s.implicits._
+    val small = rawBands.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("n")).filter($"n" <= cap)
+      .select($"band", $"bkey")
+    rawBands.join(small.hint("merge"), Seq("band", "bkey"))
+  }
+
+  def buildTextProbeIndex(histDocs: DataFrame, cap: Int = 64,
+                          materialize: Boolean = false): TextProbeIndex = {
+    val (md5s, rawBands, simBands) = rawProbeParts(histDocs)
+    val cappedBands = capBands(rawBands, cap)
     if (materialize)
       TextProbeIndex(md5s.localCheckpoint(), cappedBands.localCheckpoint(),
         simBands.localCheckpoint())
@@ -475,38 +499,63 @@ object Dedup {
 
   private val probeLayouts = Seq(
     ("probe_md5s", CorpusIndexes.Layout(8, "h", Seq("h"))),
-    ("probe_capped_bands", CorpusIndexes.Layout(8, "bkey", Seq("bkey"))),
+    ("probe_raw_bands", CorpusIndexes.Layout(8, "bkey", Seq("bkey"))),
     ("probe_sim_bands", CorpusIndexes.Layout(8, "bval", Seq("bval"))))
 
   /** DURABLE form of [[buildTextProbeIndex]]: write the three probe
     * tables under `outDir`, each bucketed on the column the per-batch
     * probe joins (md5 on `h`, MinHash bands on `bkey`, SimHash bands
-    * on `bval`) — the snapshot-rotation artifact a dedup service
-    * builds once per corpus snapshot and every streaming run reads.
+    * on `bval`) — the snapshot artifact a dedup service builds once
+    * and every streaming run reads. The band table stores the RAW
+    * (uncapped) rows: every stored row depends only on its own
+    * document, so a later crawl day appends ([[refreshTextProbeIndex]])
+    * instead of rebuilding; the global df cap re-derives at load.
     * With the index side pre-bucketed, a probing batch shuffles only
     * ITSELF to the bucket layout; the history never moves again.
     */
   def persistTextProbeIndex(histDocs: DataFrame, outDir: String,
-                            cap: Int = 64): Unit = {
-    val idx = buildTextProbeIndex(histDocs, cap)
-    probeLayouts.zip(Seq(idx.md5s, idx.cappedBands, idx.simBands)).foreach {
+                            cap: Int = 64): Unit =
+    writeProbeParts(histDocs, outDir, append = false)
+
+  /** INCREMENTAL refresh: append a new slice's probe rows to the
+    * durable index — the crawl-day ingestion path. Pure appends (the
+    * rows are per-doc), so no text outside the delta is ever
+    * re-hashed; the df cap is not stored but re-derived at load over
+    * the merged rows, which makes the refreshed index equal a
+    * from-scratch rebuild on the union STRUCTURALLY — including a
+    * band key that crosses the cap only once the delta lands
+    * (both forms drop it; asserted with a crossing witness in
+    * SidecarDiskSpec).
+    */
+  def refreshTextProbeIndex(newDocs: DataFrame, outDir: String): Unit =
+    writeProbeParts(newDocs, outDir, append = true)
+
+  private def writeProbeParts(docs: DataFrame, outDir: String,
+                              append: Boolean): Unit = {
+    val (md5s, rawBands, simBands) = rawProbeParts(docs)
+    probeLayouts.zip(Seq(md5s, rawBands, simBands)).foreach {
       case ((key, lay), df) =>
         CorpusIndexes.writeBucketedTable(df, s"$outDir/$key",
-          CorpusIndexes.tableName(outDir, key), lay)
+          CorpusIndexes.tableName(outDir, key), lay, append = append)
     }
   }
 
-  /** Read the probe index persisted by [[persistTextProbeIndex]] —
-    * what StreamingDedup/StreamingAdmission pass per micro-batch when
-    * given an index dir: no corpus pass at job start, the history
-    * reads straight from the bucketed disk tables.
+  /** Read the probe index persisted by [[persistTextProbeIndex]] (and
+    * any [[refreshTextProbeIndex]] appends) — what StreamingDedup/
+    * StreamingAdmission pass per micro-batch when given an index dir:
+    * no corpus pass at job start, the history reads straight from the
+    * bucketed disk tables. The df cap applies here, over whatever
+    * rows the tables hold; the cap's groupBy AND its join back both
+    * run co-located on the bkey bucketing — one zero-shuffle pass
+    * over 20-byte band rows per run, never a text re-hash.
     */
-  def loadTextProbeIndex(s: SparkSession, outDir: String): TextProbeIndex = {
-    val Seq(md5s, capped, sim) = probeLayouts.map { case (key, lay) =>
+  def loadTextProbeIndex(s: SparkSession, outDir: String,
+                         cap: Int = 64): TextProbeIndex = {
+    val Seq(md5s, raw, sim) = probeLayouts.map { case (key, lay) =>
       CorpusIndexes.readBucketedTable(s, s"$outDir/$key",
         CorpusIndexes.tableName(outDir, key), lay)
     }
-    TextProbeIndex(md5s, capped, sim)
+    TextProbeIndex(md5s, capBands(raw, cap), sim)
   }
 
   /** The frame-based core of [[incrementalDedupMulti]], shared with the

@@ -807,12 +807,30 @@ object Similarity {
     * codebook-sized (2·K·64 rows) built from the driver-held KB
     * codebook, the kmeansTrain discipline.
     */
+  /** The two-iteration training result, memoized per (session, dir):
+    * s17 (the oracle certificate) and s19 (serving on the trained
+    * codebook) share ONE training run — the driver-side KB-codebook
+    * analog of the CorpusIndexes sidecar discipline.
+    */
+  private val twoStepCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (Array[Array[Double]], Double, Array[Long], Array[Array[Double]], Double, Array[Long])]()
+
+  private def twoStepTrained(s: SparkSession, dir: String, k: Int = 16) = {
+    val it = twoStepCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    twoStepCache.computeIfAbsent((s, dir), _ => {
+      val corpus = kmeansCorpus(s, dir)
+      val seed = kmeansSeed(corpus, k)
+      val (c1, sse1, _, n1) = lloydIter(s, corpus, seed)
+      val (c2, sse2, _, n2) = lloydIter(s, corpus, c1)
+      (c1, sse1, n1, c2, sse2, n2)
+    })
+  }
+
   def kmeansTwoStep(s: SparkSession, dir: String, k: Int = 16): DataFrame = {
     import s.implicits._
-    val corpus = kmeansCorpus(s, dir)
-    val seed = kmeansSeed(corpus, k)
-    val (c1, sse1, _, n1) = lloydIter(s, corpus, seed)
-    val (c2, sse2, _, n2) = lloydIter(s, corpus, c1)
+    val (c1, sse1, n1, c2, sse2, n2) = twoStepTrained(s, dir, k)
     val rows = for {
       (cb, sse, ns, it) <- Seq((c1, sse1, n1, 1L), (c2, sse2, n2, 2L))
       cell <- cb.indices
@@ -820,6 +838,54 @@ object Similarity {
     } yield (it, cell.toLong, dim.toLong, cb(cell)(dim), ns(cell), sse)
     rows.toDF("iter", "cell_id", "dim", "c", "n_members", "sse")
       .orderBy($"iter", $"cell_id", $"dim")
+  }
+
+  /** s19 — IVF serving on the TRAINED codebook: the production loop
+    * closed. The two certified Lloyd iterations ([[twoStepTrained]],
+    * shared with s17) produce the codebook; every corpus vector
+    * re-assigns to its nearest TRAINED centroid by cosine (ranking by
+    * cosine over the raw centroid IS ranking over the re-normalized
+    * one — the kmeansTrain scaladoc's cosine-serving step); queries
+    * probe their cell, exact top-5 within it — s04's serving shape on
+    * cells that have adapted to the data instead of the raw seeds.
+    *
+    * Engine-exactness: trained centroids are bit-exact cross-engine
+    * (the s17 proof); every cosine here is built from explicit
+    * in-order folds (`zip_with` products, squared-norm transforms) on
+    * BOTH sides, so assignment, ranking and the emitted doubles all
+    * replay exactly in the oracle.
+    *
+    * Scale shape: training is two broadcast-argmin passes + bounded
+    * aggregates (the lloydIter profile); serving is the s04 shape —
+    * broadcast KB codebook, narrow argmax, cell equi-join probe.
+    */
+  def ivfTrainedKnn(s: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    import s.implicits._
+    val (_, _, _, c2, _, _) = twoStepTrained(s, dir, k)
+    val corpus = kmeansCorpus(s, dir)
+    val cdf = broadcast(c2.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("cell_id", "c"))
+    val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cell_id")
+    val assigned = corpus.crossJoin(cdf)
+      .withColumn("ccos",
+        expr("aggregate(zip_with(v, c, (a, b) -> a * b), 0D, (acc, y) -> acc + y)") /
+        (expr("sqrt(aggregate(transform(v, a -> a * a), 0D, (acc, y) -> acc + y))") *
+         expr("sqrt(aggregate(transform(c, a -> a * a), 0D, (acc, y) -> acc + y))")))
+      .withColumn("arank", row_number().over(aw))
+      .filter($"arank" === 1)
+      .select($"vec_id", $"v", $"cell_id")
+      .localCheckpoint()
+    val q = assigned.filter($"vec_id" < 5).toDF("q_id", "qv", "q_cell")
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    assigned.join(q.hint("merge"), $"cell_id" === $"q_cell" && $"vec_id" =!= $"q_id")
+      .withColumn("cos",
+        expr("aggregate(zip_with(qv, v, (a, b) -> a * b), 0D, (acc, y) -> acc + y)") /
+        (expr("sqrt(aggregate(transform(qv, a -> a * a), 0D, (acc, y) -> acc + y))") *
+         expr("sqrt(aggregate(transform(v, a -> a * a), 0D, (acc, y) -> acc + y))")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+      .orderBy($"q_id", $"rank")
   }
 
   /** s16 — MUTUAL-kNN clustering: connected components over the

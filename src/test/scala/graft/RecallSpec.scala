@@ -134,6 +134,34 @@ class RecallSpec extends AnyFunSuite {
     info(s"queries improved by the walk: $gained of ${exact5.size}")
   }
 
+  test("s19 trained-codebook serving: bounded by exact, recall measured against the seed cells") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.ops.Similarity
+    def cosByRank(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.select($"q_id", $"rank", $"cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.filter($"rank" <= 5).select($"q_id", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (q, a: Array[(Long, Long)]) => q -> a.map(_._2).toSet }
+    val trained = cosByRank(Similarity.ivfTrainedKnn(spark, dir))
+    val exact = cosByRank(Similarity.bruteForceKnn(spark, dir))
+    // any cell's rank-r candidate can never beat the exact rank-r cosine
+    trained.foreach { case (k, ct) =>
+      exact.get(k).foreach(ce => assert(ct <= ce + 1e-12, s"$k: $ct > exact $ce"))
+    }
+    val exact5 = top5(Similarity.bruteForceKnn(spark, dir))
+    val seed5 = top5(Similarity.ivfKnn(spark, dir))
+    val trained5 = top5(Similarity.ivfTrainedKnn(spark, dir))
+    val (seedHits, trainedHits) = exact5.keys.foldLeft((0, 0)) { case ((sh, th), q) =>
+      (sh + (exact5(q) & seed5.getOrElse(q, Set.empty)).size,
+       th + (exact5(q) & trained5.getOrElse(q, Set.empty)).size)
+    }
+    assert(trainedHits > 0, "trained cells must retrieve real neighbors")
+    info(s"recall@5 hits across queries: trained $trainedHits vs seed $seedHits (exact ${5 * exact5.size})")
+  }
+
   test("s18 navigation crosses cell boundaries: the walk recovers a neighbor the cell scan misses") {
     val spark0 = spark
     import spark0.implicits._

@@ -153,6 +153,44 @@ class SidecarDiskSpec extends AnyFunSuite {
     assert(batchRun.except(streamed).count() == 0)
   }
 
+  test("incremental probe-index refresh equals a from-scratch rebuild, including a cap crossing") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val docs = Tables.documents(s, TestSpark.sfDir).select($"doc_id", $"text")
+    val hist = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    // day 1: two thirds of the history; day 2: the rest arrives
+    val day1 = hist.filter($"doc_id" % 3 =!= 0)
+    val day2 = hist.filter($"doc_id" % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-probe-inc").toString
+    graft.ops.Dedup.persistTextProbeIndex(day1, dir)
+    graft.ops.Dedup.refreshTextProbeIndex(day2, dir)
+    val refreshed = graft.ops.Dedup.loadTextProbeIndex(s, dir)
+    val scratch = graft.ops.Dedup.buildTextProbeIndex(hist)
+    val a = rows(graft.ops.Dedup.multiSignalProbeIndexed(batch, refreshed)
+      .orderBy($"doc_id"))
+    val b = rows(graft.ops.Dedup.multiSignalProbeIndexed(batch, scratch)
+      .orderBy($"doc_id"))
+    assert(a == b && a.nonEmpty,
+      "refreshed index must probe identically to a from-scratch rebuild")
+
+    // cap crossing: 40 identical docs fit under the cap; 30 more
+    // identical arrivals push the shared band keys over 64 — the
+    // refreshed load must drop them exactly like a scratch build
+    val mk = (ids: Range) => ids.map(i =>
+      (i.toLong, "the same boilerplate sentence repeated for the cap test"))
+      .toDF("doc_id", "text")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-probe-cap").toString
+    graft.ops.Dedup.persistTextProbeIndex(mk(0 until 40), dir2)
+    val before = graft.ops.Dedup.loadTextProbeIndex(s, dir2)
+    assert(before.cappedBands.count() > 0, "under the cap: bands kept")
+    graft.ops.Dedup.refreshTextProbeIndex(mk(40 until 70), dir2)
+    val after = graft.ops.Dedup.loadTextProbeIndex(s, dir2)
+    assert(after.cappedBands.count() == 0,
+      "over the cap after the delta: every shared band key must drop")
+    assert(after.md5s.count() == 70, "md5 store keeps appending")
+  }
+
   test("streaming probe index round-trips through disk with identical verdicts") {
     val s = TestSpark.spark
     import s.implicits._
