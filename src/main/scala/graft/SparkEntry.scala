@@ -314,6 +314,11 @@ object SparkEntry {
     // df-capped band join, shingle Jaccard >= 0.5; shares m15's
     // one-decode-per-session frame-hash sidecar.
     "m16_video_seq_neardup"  -> ((s, d) => Multimodal.videoSequenceNearDups(s, d)),
+    // m17 = incremental video dedup: arriving videos (d14 slice) probe
+    // the historical frame-digest index — known-frame fraction +
+    // earliest carrier per arrival; completes the incremental-probe
+    // trio across text/image/video; shares the one-decode sidecar.
+    "m17_incremental_video"  -> (Multimodal.incrementalVideoDedup _),
     "t12_normalize"          -> (TextOps.normalizeText _),
   )
 
@@ -1211,6 +1216,57 @@ object SparkEntry {
                      JOIN ng nb ON nb.doc_id = p.doc_b
         WHERE CAST(p.inter AS DOUBLE) / (na.n + nb.n - p.inter) >= 0.5
         ORDER BY doc_a, doc_b""",
+      // m17: the m15 frame-hash CTE, split new (doc_id%5=0) vs
+      // history; per new video the distinct-hash match count against
+      // the history's earliest-carrier digest index.
+      "m17_incremental_video" -> """
+        WITH d AS (SELECT doc_id, 6 + doc_id % 10 AS w, 6 + (doc_id // 10) % 10 AS h,
+                          2 + doc_id % 4 AS nf FROM documents),
+        fr AS (SELECT doc_id, f, w, h,
+                 CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                   list_transform(generate_series(0, w - 1), x ->
+                     (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256)))) AS BIGINT) AS total
+               FROM d, LATERAL unnest(generate_series(0, CAST(nf - 1 AS INTEGER))) AS t(f)),
+        cells AS (SELECT doc_id, f, w, h, total, i, j,
+                    (i * w) // 8 AS x0, ((i + 1) * w) // 8 AS x1,
+                    (j * h) // 8 AS y0, ((j + 1) * h) // 8 AS y1
+                  FROM fr,
+                    (SELECT unnest(generate_series(0, 7)) AS i) ii,
+                    (SELECT unnest(generate_series(0, 7)) AS j) jj),
+        cs AS (SELECT doc_id, f, w, h, total, i, j,
+                 (x1 - x0) * (y1 - y0) AS np,
+                 CAST(list_sum(flatten(list_transform(generate_series(y0, y1 - 1), y ->
+                   list_transform(generate_series(x0, x1 - 1), x ->
+                     (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256)))) AS BIGINT) AS csum
+               FROM cells),
+        bits AS (SELECT doc_id, f, 8 * j + i AS b,
+                   CASE WHEN csum * w * h > total * np THEN 1 ELSE 0 END AS bit
+                 FROM cs),
+        hx AS (SELECT doc_id, f,
+                 CAST(sum(CASE WHEN b >= 32 AND bit = 1
+                               THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(sum(CASE WHEN b < 32 AND bit = 1
+                               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
+               FROM bits GROUP BY doc_id, f),
+        nf2 AS (SELECT doc_id, count(*) AS n_frames FROM hx
+                WHERE doc_id % 5 = 0 GROUP BY doc_id),
+        nd AS (SELECT doc_id, hi, lo FROM hx WHERE doc_id % 5 = 0
+               GROUP BY doc_id, hi, lo),
+        ndc AS (SELECT doc_id, count(*) AS n_distinct FROM nd GROUP BY doc_id),
+        hm AS (SELECT hi, lo, min(doc_id) AS hist_doc FROM hx
+               WHERE doc_id % 5 <> 0 GROUP BY hi, lo),
+        mt AS (SELECT nd.doc_id, count(*) AS n_matched,
+                 min(hm.hist_doc) AS first_hist
+               FROM nd JOIN hm ON hm.hi = nd.hi AND hm.lo = nd.lo
+               GROUP BY nd.doc_id)
+        SELECT nf2.doc_id, nf2.n_frames, ndc.n_distinct,
+          CAST(coalesce(mt.n_matched, 0) AS BIGINT) AS n_matched,
+          CAST(coalesce(mt.n_matched, 0) AS DOUBLE)
+            / CAST(ndc.n_distinct AS DOUBLE) AS match_frac,
+          mt.first_hist
+        FROM nf2 JOIN ndc ON ndc.doc_id = nf2.doc_id
+        LEFT JOIN mt ON mt.doc_id = nf2.doc_id
+        ORDER BY nf2.doc_id""",
       "m14_audio_nn" -> """
         WITH f AS (SELECT doc_id, CAST(200 + doc_id % 400 AS BIGINT) AS n FROM documents),
         e AS (SELECT doc_id, (n + 63) // 64 AS n_frames, fr,

@@ -1107,6 +1107,87 @@ object Multimodal {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** The earliest-carrier frame-digest index over the HISTORICAL
+    * videos (doc_id % 5 ≠ 0, the d14 slice convention): per distinct
+    * frame aHash, the lowest historical video id carrying it. Derived
+    * from the shared frame-hash sidecar — digest-keyed, 24 bytes/row,
+    * the video modality's persisted probe table.
+    */
+  private def histFrameIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gifFramesSidecar(s, dir).filter($"doc_id" % 5 =!= 0)
+      .groupBy($"ahash_hi", $"ahash_lo").agg(min($"doc_id").as("hist_doc"))
+  }
+
+  /** The frame-digest probe shared by the m17 batch query and the
+    * streaming video job: per probing video, total decoded frames,
+    * distinct frame hashes, how many of those appear in history, the
+    * matched fraction, and the earliest historical carrier. Every
+    * output row depends only on its own video versus the index, so
+    * per-batch probes compose to the batch query bit for bit.
+    */
+  private def frameProbe(newFrames: DataFrame, histIdx: DataFrame): DataFrame = {
+    val s = newFrames.sparkSession
+    import s.implicits._
+    val counts = newFrames.groupBy($"doc_id").agg(count(lit(1)).as("n_frames"))
+    val nd = newFrames.select($"doc_id", $"ahash_hi", $"ahash_lo").distinct()
+    val dcounts = nd.groupBy($"doc_id").agg(count(lit(1)).as("n_distinct"))
+    val matches = nd.join(histIdx, Seq("ahash_hi", "ahash_lo"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_matched"), min($"hist_doc").as("first_hist"))
+    counts.join(dcounts, Seq("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_frames", $"n_distinct",
+        coalesce($"n_matched", lit(0L)).as("n_matched"),
+        (coalesce($"n_matched", lit(0L)).cast("double") /
+          $"n_distinct".cast("double")).as("match_frac"),
+        $"first_hist")
+  }
+
+  /** One micro-batch video probe for the streaming job: arriving
+    * (doc_id, payload: GIF bytes) decode and frame-hash INSIDE the
+    * batch's codec slot (payloads never cross an exchange), then
+    * probe the static frame index by exact digest.
+    */
+  def videoProbeBatch(batch: DataFrame, histIdx: DataFrame): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    frameProbe(
+      gifFrameAHashes(batch.select($"doc_id", $"payload").as[GifRow]).toDF(),
+      histIdx)
+  }
+
+  /** m17 — INCREMENTAL video dedup: the d14 slice convention on the
+    * third modality, completing the incremental-probe trio (text
+    * d14/d15, image m13, video m17). New arrivals (doc_id ≡ 0 mod 5)
+    * probe the HISTORICAL frame-digest index: per arriving video, how
+    * many of its distinct frame hashes history already carries, the
+    * matched fraction (the trim/re-post signal — a clip that is 80%
+    * known frames is a re-edit even if no whole-video digest matches),
+    * and the earliest historical carrier. One row per arrival,
+    * rejects carry zero/null — the admission-verdict shape.
+    *
+    * Scale shape: both sides read the shared 16-byte-per-frame
+    * sidecar (ONE decode pass per session feeds m15/m16/m17); the
+    * probe is a digest equi-join against a digest-keyed history
+    * aggregate — no pair join, no binary on any exchange, cost scales
+    * with the batch. The streaming form
+    * (`graft.streaming.StreamingVideoDedup`) runs the identical
+    * frame transform per micro-batch.
+    */
+  def incrementalVideoDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    frameProbe(gifFramesSidecar(s, dir).filter($"doc_id" % 5 === 0),
+        histFrameIndex(s, dir))
+      .orderBy($"doc_id")
+  }
+
+  /** The historical frame index, materialized — what the streaming
+    * video job passes per micro-batch.
+    */
+  def videoFrameIndex(s: SparkSession, dir: String): DataFrame =
+    histFrameIndex(s, dir).localCheckpoint()
+
   /** The media table: documents' text bytes standing in as payloads,
     * with a deterministic modality assignment.
     */

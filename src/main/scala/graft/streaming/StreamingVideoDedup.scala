@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming video dedup — [[StreamingImageDedup]]'s ingest pattern on
+  * the third modality, completing the streaming dedup family across
+  * text, image and video: each arriving micro-batch of (doc_id,
+  * payload: GIF bytes) decodes and frame-hashes INSIDE the batch's
+  * codec slot (payloads never cross an exchange), then probes the
+  * STATIC historical frame-digest index by exact digest — per arriving
+  * video its known-frame fraction and earliest historical carrier,
+  * the re-post/trim verdict at the door.
+  *
+  * Streaming == batch: every output row depends only on its own video
+  * versus the index, so per-batch probes compose — the union over any
+  * batch partitioning equals `Multimodal.incrementalVideoDedup` (m17)
+  * on the same slice, bit for bit (asserted in StreamingExtrasSpec).
+  *
+  * Exactly-once: the family convention — each batch overwrites its own
+  * `batch_id=<n>` partition, so an at-least-once replay after a crash
+  * rewrites the same rows. The restart test forces that replay.
+  *
+  * Scale shape: the batch side decodes only its own payloads; the
+  * index is the digest-keyed frame sidecar aggregate (24 bytes/row),
+  * static within a run, swapped by snapshot rotation — or refreshed
+  * incrementally, since frame-hash rows are per-video.
+  */
+object StreamingVideoDedup {
+
+  /** One micro-batch probe — exposed separately so tests and batch
+    * backfills run the identical frame transform.
+    */
+  def probeBatch(batch: DataFrame, index: DataFrame): DataFrame =
+    graft.ops.Multimodal.videoProbeBatch(batch, index)
+
+  /** Start the job: `newMedia` is any streaming frame bearing
+    * (doc_id, payload: GIF bytes); `index` the static
+    * (ahash_hi, ahash_lo, hist_doc) earliest-carrier table
+    * (`Multimodal.videoFrameIndex`); verdict rows land under
+    * `outDir/batch_id=<n>/`.
+    */
+  def run(newMedia: DataFrame, index: DataFrame, outDir: String,
+          checkpointDir: String): StreamingQuery =
+    newMedia.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        probeBatch(batch, index)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+}

@@ -443,6 +443,85 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(batchRun.except(streamed).count() == 0)
   }
 
+  test("StreamingVideoDedup restart replays the uncommitted batch exactly-once; union equals batch m17") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.ops.Multimodal
+    val index = Multimodal.videoFrameIndex(spark, TestSpark.sfDir)
+    val newRows = Tables.documents(spark, TestSpark.sfDir).select($"doc_id")
+      .filter($"doc_id" % 5 === 0).as[Long].collect().sorted
+      .map(id => (id, Multimodal.GifCodec.encode(id)))
+    val batches = Seq(
+      newRows.take(newRows.length / 3),
+      newRows.slice(newRows.length / 3, newRows.length / 2),
+      newRows.drop(newRows.length / 2))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_svd_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_svd_out").toString
+    val input = MemoryStream[(Long, Array[Byte])]
+    val stream = input.toDF().toDF("doc_id", "payload")
+    def start() = graft.streaming.StreamingVideoDedup.run(stream, index, out, ckpt)
+
+    val q1 = start()
+    try {
+      input.addData(batches(0).toSeq); q1.processAllAvailable()
+      input.addData(batches(1).toSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.map(_.getName.toLong).toSeq == Seq(0L, 1L))
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.1.crc")
+    if (crc.exists()) assert(crc.delete())
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays batch 1
+      input.addData(batches(2).toSeq); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirs == Seq("batch_id=0", "batch_id=1", "batch_id=2"))
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batchRun = Multimodal.incrementalVideoDedup(spark, TestSpark.sfDir)
+    assert(streamed.count() == batchRun.count())
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+  }
+
+  test("video probe executed plan: no exchange ever carries the payload bytes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val index = Multimodal.videoFrameIndex(spark, TestSpark.sfDir)
+    val newRows = Tables.documents(spark, TestSpark.sfDir).select($"doc_id")
+      .filter($"doc_id" % 5 === 0).as[Long].collect().sorted
+      .map(id => (id, Multimodal.GifCodec.encode(id)))
+    val batch = newRows.toSeq.toDF("doc_id", "payload")
+    val df = Multimodal.videoProbeBatch(batch, index)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    def exchanges(p: SparkPlan): Seq[Exchange] = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case q: QueryStageExec => exchanges(q.plan)
+      case _: ReusedExchangeExec => Seq.empty
+      case e: Exchange => e +: e.children.flatMap(exchanges)
+      case other => other.children.flatMap(exchanges)
+    }
+    val ex = exchanges(df.queryExecution.executedPlan)
+    assert(ex.nonEmpty, "expected at least one exchange in the digest probe")
+    ex.foreach { e =>
+      val binCols = e.output.filter(_.dataType ==
+        org.apache.spark.sql.types.BinaryType).map(_.name)
+      assert(binCols.isEmpty,
+        s"exchange carries binary column(s) ${binCols.mkString(",")}: frames " +
+          "must reduce to digests before anything moves")
+    }
+  }
+
   test("StreamingAnn restart replays the uncommitted batch exactly-once") {
     val spark = TestSpark.spark
     import spark.implicits._
