@@ -18,6 +18,17 @@ object EventOps {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
 
+  /** Epoch microseconds tolerant of BOTH timestamp flavors the events
+    * parquet may carry: `unix_micros` itself rejects TIMESTAMP_NTZ, and
+    * the driver's generator writes plain `timestamp[us]` (no UTC flag),
+    * which Spark 4 reads as NTZ. The cast interprets NTZ wall-clock in
+    * the session zone — the engine runs UTC sessions (Verify/Bench), so
+    * the value equals DuckDB's `epoch_us` on the same naive timestamp,
+    * and on an already-instant TIMESTAMP the cast is a no-op.
+    */
+  private def micros(c: org.apache.spark.sql.Column) =
+    unix_micros(c.cast("timestamp"))
+
   /** Tumbling 1-hour windows per event type (ST4). Group-by on the
     * window expression is a plain hash aggregate — state/bounded-ness
     * concerns only arise in the streaming form (with watermark).
@@ -291,8 +302,8 @@ object EventOps {
         count($"t1").as("view_users"),
         count($"t2").as("click_users"),
         count($"t3").as("purchase_users"),
-        sum(when($"t2".isNotNull, unix_micros($"t2") - unix_micros($"t1"))).as("sum_view_to_click_us"),
-        sum(when($"t3".isNotNull, unix_micros($"t3") - unix_micros($"t2"))).as("sum_click_to_purchase_us"))
+        sum(when($"t2".isNotNull, micros($"t2") - micros($"t1"))).as("sum_view_to_click_us"),
+        sum(when($"t3".isNotNull, micros($"t3") - micros($"t2"))).as("sum_click_to_purchase_us"))
   }
 
   /** The ONE events pass behind e14 AND e15: per-user lead() window
@@ -319,7 +330,7 @@ object EventOps {
       .withColumn("to_type", lead($"event_type", 1).over(seq))
       .withColumn("next_ts", lead($"ts", 1).over(seq))
       .filter($"to_type".isNotNull)
-      .withColumn("gap_us", unix_micros($"next_ts") - unix_micros($"ts"))
+      .withColumn("gap_us", micros($"next_ts") - micros($"ts"))
       .groupBy($"event_type".as("from_type"), $"to_type")
       .agg(count(lit(1)).as("n"), sum($"gap_us").as("total_gap_us"),
         min($"gap_us").as("min_gap_us"), max($"gap_us").as("max_gap_us"))

@@ -45,7 +45,10 @@ object StreamTransitions {
     val s = events.sparkSession
     import s.implicits._
     events
-      .select($"user_id", $"ts", unix_micros($"ts").as("ts_us"),
+      .select($"user_id", $"ts",
+        // cast tolerates TIMESTAMP_NTZ sources (unix_micros is
+        // TIMESTAMP-strict); no-op on an instant-typed ts.
+        unix_micros($"ts".cast("timestamp")).as("ts_us"),
         $"event_id", $"event_type")
       .withWatermark("ts", watermark)
       .as[Ev]

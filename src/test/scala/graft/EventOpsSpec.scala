@@ -59,11 +59,11 @@ class EventOpsSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     import spark.implicits._
     val got = graft.ops.EventOps.windowedTopTypes(spark, TestSpark.sfDir).collect()
-      .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .map(r => (TestSpark.rowTs(r, 0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
     // driver recount from raw events: day-truncate, count, rank
     val events = Tables.events(spark, TestSpark.sfDir)
       .select($"ts", $"event_type").collect()
-      .map(r => (r.getTimestamp(0), r.getString(1)))
+      .map(r => (TestSpark.rowTs(r, 0), r.getString(1)))
     val perDay = events.groupBy { case (ts, _) =>
       val c = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
       c.setTime(ts); c.set(java.util.Calendar.HOUR_OF_DAY, 0)

@@ -138,7 +138,8 @@ class InvariantSpec extends AnyFunSuite {
   test("e11 funnel equals a driver-side recomputation and is monotone") {
     val spark = TestSpark.spark
     val ev = graft.Tables.events(spark, TestSpark.sfDir)
-      .selectExpr("user_id", "event_type", "unix_micros(ts) as us")
+      .selectExpr("user_id", "event_type",
+        "unix_micros(cast(ts as timestamp)) as us")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     def firstAfter(tpe: String, bound: Map[Long, Long]): Map[Long, Long] =
       ev.filter(e => e._2 == tpe && bound.get(e._1).exists(e._3 > _))
@@ -198,7 +199,7 @@ class InvariantSpec extends AnyFunSuite {
     val hourly = graft.Tables.events(spark, TestSpark.sfDir)
       .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
       .agg(count(lit(1)).as("c")).collect()
-      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      .map(r => (r.getString(0), TestSpark.rowTs(r, 1), r.getLong(2)))
     val byType = hourly.groupBy(_._1)
     val expected = hourly.map { case (t, h, c) =>
       val cs = byType(t).map(_._3)
@@ -207,7 +208,7 @@ class InvariantSpec extends AnyFunSuite {
       ((t, h), dev * dev > 4L * (n * q - sSum * sSum))
     }.toMap
     val got = graft.ops.EventOps.hourlyAnomalies(spark, TestSpark.sfDir).collect()
-      .map(r => ((r.getString(0), r.getTimestamp(1)), r.getBoolean(3))).toMap
+      .map(r => ((r.getString(0), TestSpark.rowTs(r, 1)), r.getBoolean(3))).toMap
     assert(got.size == expected.size && got == expected)
   }
 
@@ -452,7 +453,7 @@ class InvariantSpec extends AnyFunSuite {
     val ev = graft.Tables.events(spark, TestSpark.sfDir)
       .select($"user_id", $"ts", $"event_id", $"event_type").collect()
       .map { r =>
-        val t = r.getTimestamp(1)
+        val t = TestSpark.rowTs(r, 1)
         // full-precision key: epoch seconds + nanos (getTime alone
         // truncates to millis and could reorder sub-ms ties)
         (r.getLong(0), (t.getTime / 1000, t.getNanos), r.getLong(2), r.getString(3))

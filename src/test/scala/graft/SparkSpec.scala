@@ -22,4 +22,17 @@ object TestSpark {
     s
   }
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Timestamp from a Row column that may be TIMESTAMP
+    * (java.sql.Timestamp) or TIMESTAMP_NTZ (java.time.LocalDateTime —
+    * how Spark 4 reads the generator's unadjusted `timestamp[us]`
+    * parquet). Sessions here are UTC, so the NTZ wall-clock IS the
+    * instant.
+    */
+  def rowTs(r: org.apache.spark.sql.Row, i: Int): java.sql.Timestamp =
+    r.get(i) match {
+      case t: java.sql.Timestamp => t
+      case l: java.time.LocalDateTime =>
+        java.sql.Timestamp.from(l.toInstant(java.time.ZoneOffset.UTC))
+    }
 }

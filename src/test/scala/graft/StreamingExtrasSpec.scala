@@ -673,7 +673,8 @@ class StreamingExtrasSpec extends AnyFunSuite {
     // users' timelines, and the per-batch flatMapGroupsWithState pairs
     // must aggregate to the batch lead()-window result bit for bit.
     val evs = Tables.events(spark, TestSpark.sfDir)
-      .select($"user_id", $"ts", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .select($"user_id", $"ts".cast("timestamp").as("ts"), $"event_id",
+        $"event_type", unix_micros($"ts".cast("timestamp")).as("us"))
       .as[(Long, java.sql.Timestamp, Long, String, Long)]
       .collect().sortBy(e => (e._5, e._3))
       .map(e => (e._1, e._2, e._3, e._4))
