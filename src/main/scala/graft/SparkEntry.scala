@@ -145,6 +145,10 @@ object SparkEntry {
     // provably d25's, and the probed_* flags carry the measured
     // probe reduction.
     "d26_staged_admission"   -> ((s, d) => Dedup.stagedAdmission(s, d)),
+    // d27 = the dedup DECISION table: per implicated doc the keep/drop
+    // verdict with the quality-argmax canonical survivor (tie → min
+    // doc_id) — the apply-step artifact downstream filters join on.
+    "d27_canonical_keep"     -> ((s, d) => Dedup.canonicalSelection(s, d)),
     // d24 = cross-modal disagreement report: d11 text clusters joined
     // with m12 image clusters per doc; flags text-dups whose images
     // differ and image-dups whose texts differ — the review queue
@@ -234,8 +238,19 @@ object SparkEntry {
     // broadcast approx-quantile cutpoints (no per-source rank window);
     // emits the exact manifest + a sketch-agreement gate (t07 pattern).
     "t31_curriculum_sketch"  -> (TextOps.curriculumSketch _),
+    // t33 = PII detect + redact (email/phone/IPv4) — counts on the
+    // original text, typed-placeholder redaction, all codegen regex;
+    // runs over the deterministic planted-PII fixture (WavCodec
+    // discipline: the corpus itself is digit-free) so the oracle
+    // certifies counts and redacted bytes.
+    "t33_pii_scan"           -> (TextOps.piiScanQuery _),
     "t15_length_hist"        -> (TextOps.lengthHistogram _),
     "t16_contamination"      -> (TextOps.contamination _),
+    // t34 = t16 at span granularity: per contaminated doc the hit
+    // POSITIONS (posexplode through the same broadcast gram probe) and
+    // the covered-token scrub budget via gaps-and-islands — the cut
+    // plan, not just the flag.
+    "t34_span_decontam"      -> (TextOps.spanDecontamination _),
     "t17_repetition"         -> (TextOps.repetitionFilters _),
     // ---- multimodal binary columns (decode stubbed, plumbing real) ----
     "m01_media_meta"         -> (Multimodal.mediaMeta _),
@@ -1701,6 +1716,53 @@ object SparkEntry {
           (quality >= 0.8 AND exact_match IS NULL AND near_match IS NULL
              AND sim_match IS NULL AND NOT is_dirty) AS admit
         FROM staged ORDER BY doc_id""",
+      // d27: d11's cluster walk joined with the t02 quality expression
+      // (evaluated in the t02 order, bit-reproducible), canonical =
+      // first_value over (quality DESC, doc_id ASC) per cluster.
+      "d27_canonical_keep" -> """
+        WITH RECURSIVE
+        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+               FROM documents),
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        small AS (SELECT j, bkey FROM bands GROUP BY j, bkey
+                  HAVING count(*) <= 64 AND count(*) > 1),
+        inb AS (SELECT b.* FROM bands b JOIN small s ON b.j = s.j AND b.bkey = s.bkey),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+        lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+                FROM walk GROUP BY node),
+        q AS (SELECT doc_id,
+                0.4 * (1.0 - CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t))
+                  + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+                  + 0.3 * least(len(t) / 50.0, 1.0) AS quality
+              FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+                    FROM documents) x),
+        j AS (SELECT lab.doc_id, lab.cluster_id, q.quality
+              FROM lab JOIN q ON lab.doc_id = q.doc_id)
+        SELECT doc_id, cluster_id,
+          first_value(doc_id) OVER (PARTITION BY cluster_id
+            ORDER BY quality DESC, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS canonical_id,
+          doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
+            ORDER BY quality DESC, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS kept,
+          quality
+        FROM j ORDER BY doc_id""",
       // d24: the d11 text-cluster walk + the m12 image-cluster walk
       // (aHash recomputed from the generator formula), joined per doc
       // with singleton defaults, then the two cross-modal
@@ -2541,6 +2603,41 @@ object SparkEntry {
         SELECT cand.doc_id, count(*) AS n_hits
         FROM cand JOIN bg ON cand.g = bg.g
         GROUP BY cand.doc_id ORDER BY doc_id""",
+      // t34: t16's gram pipeline with POSITIONS (struct list + recursive
+      // unnest = posexplode); covered_tokens = interval-union length via
+      // lag gaps-and-islands (first hit charges 4, later hits
+      // min(gap, 4)).
+      "t34_span_decontam" -> """
+        WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+                    FROM documents),
+        grams AS (SELECT doc_id, list_transform(
+                    generate_series(1, len(th) - 3),
+                    i -> struct_pack(pos := CAST(i - 1 AS BIGINT),
+                      g := ((((((th[i]) * 31 + th[i+1]) % 2147483647) * 31 + th[i+2]) % 2147483647) * 31 + th[i+3]) % 2147483647)) AS gs
+                  FROM tk WHERE len(th) >= 4),
+        bg AS (SELECT DISTINCT u.g FROM
+                 (SELECT unnest(gs, recursive := true) FROM grams
+                  WHERE doc_id % 97 = 0) u),
+        hit AS (SELECT c.doc_id, c.pos
+                FROM (SELECT doc_id, unnest(gs, recursive := true) FROM grams
+                      WHERE doc_id % 97 <> 0) c
+                JOIN bg ON c.g = bg.g),
+        isl AS (SELECT doc_id, pos,
+                  pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+                FROM hit),
+        agg AS (SELECT doc_id, count(*) AS n_hit_positions,
+                  min(pos) AS first_pos, max(pos) AS last_pos,
+                  CAST(sum(CASE WHEN gap IS NULL THEN 4
+                                WHEN gap > 4 THEN 4 ELSE gap END) AS BIGINT)
+                    AS covered_tokens
+                FROM isl GROUP BY doc_id),
+        nt AS (SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+                 AS n_tokens FROM documents)
+        SELECT agg.doc_id, n_hit_positions, first_pos, last_pos,
+          covered_tokens, n_tokens,
+          CAST(covered_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS frac_covered
+        FROM agg JOIN nt ON agg.doc_id = nt.doc_id ORDER BY agg.doc_id""",
       // Gopher-style repetition filters: integer-exact thresholds
       // (count*k <= total), max_run via gaps-and-islands, bigrams via
       // lead() — identical constructs in both engines.
@@ -2854,6 +2951,34 @@ object SparkEntry {
         SELECT source, CAST(phase AS BIGINT) AS phase, count(*) AS n_docs,
           CAST(sum(n_tokens) AS BIGINT) AS phase_tokens, TRUE AS agree_ok
         FROM ph GROUP BY source, phase ORDER BY source, phase""",
+      // t33: rebuild the planted-PII fixture from the doc_id formula,
+      // then the same three RE2-safe regexes — counts via
+      // regexp_extract_all on the original, redaction in the same
+      // email -> phone -> IPv4 order with the 'g' flag.
+      "t33_pii_scan" -> """
+        WITH f AS (SELECT doc_id,
+          text || repeat(' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@mail.example.com', CAST(doc_id % 3 AS INTEGER))
+               || repeat(' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                         CAST(doc_id % 2 AS INTEGER))
+               || ' from ' || CAST(doc_id % 223 + 1 AS VARCHAR)
+               || '.' || CAST(doc_id % 256 AS VARCHAR)
+               || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
+               || '.' || CAST(doc_id % 254 + 1 AS VARCHAR) AS text
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(text,
+            '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+          CAST(len(regexp_extract_all(text,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+        FROM f ORDER BY doc_id""",
       "t25_curriculum" -> """
         WITH x AS (SELECT source, doc_id, regexp_split_to_array(text, '\s+') AS t
                    FROM documents),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -194,6 +195,42 @@ object Dedup {
            (count(lit(1)) - 1).as("n_dropped"),
            sum(when($"doc_id" =!= $"cluster_id", $"n_chars").otherwise(0L)).as("chars_dropped"))
       .orderBy($"cluster_id")
+  }
+
+  /** d27 — QUALITY-AWARE canonical selection: the dedup DECISION table.
+    * d11 labels the duplicate clusters and d19 charges the savings to
+    * the min-id representative; a real curation run keeps the BEST
+    * member instead — per cluster the survivor is the member with the
+    * highest t02 quality score (tie → lowest doc_id), and every
+    * implicated document gets an explicit (keep | drop, canonical)
+    * verdict row. This is the artifact downstream jobs join against to
+    * filter the corpus — the *apply* step the cluster labeling alone
+    * doesn't give you.
+    *
+    * Determinism: the quality double is the t02 expression evaluated in
+    * the t02 order (bit-reproducible across engines — the oracle hashes
+    * t02's doubles verbatim), and ties break on doc_id, so the argmax
+    * is engine-exact.
+    *
+    * Scale shape: the d11 label sidecar joined once against the narrow
+    * (doc_id, quality) scan, then ONE window partitioned by cluster_id
+    * — clusters are the connected components of the capped-LSH graph,
+    * so partitions are component-sized (no corpus-scale window), and
+    * only implicated docs (those with ≥1 near-dup edge) enter the
+    * window at all.
+    */
+  def canonicalSelection(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"quality".desc, $"doc_id".asc)
+    dupClusterLabels(s, dir, cap)
+      .join(TextOps.qualityScored(s, dir).select($"doc_id", $"quality"),
+        Seq("doc_id"))
+      .withColumn("canonical_id", first($"doc_id").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select($"doc_id", $"cluster_id", $"canonical_id",
+        ($"doc_id" === $"canonical_id").as("kept"), $"quality")
+      .orderBy($"doc_id")
   }
 
   /** Multi-signal duplicate clustering — what a production pipeline

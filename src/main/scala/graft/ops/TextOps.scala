@@ -622,6 +622,48 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** t34 — SPAN-level decontamination: where t16 says WHICH documents
+    * collide with the benchmark gram set, this says WHERE and HOW MUCH
+    * — per contaminated doc every hit gram POSITION (multiplicity, not
+    * t16's distinct-gram count), the first/last hit, and the
+    * covered-token budget: the length of the union of the [pos, pos+3]
+    * intervals a scrubber must cut to remove every benchmark 4-gram.
+    * The interval union is gaps-and-islands over the hit positions
+    * (first hit charges 4 tokens, each later hit charges
+    * min(gap, 4)), so the scrub plan is integer-exact.
+    *
+    * Scale shape: the t16 broadcast semi-join with posexplode instead
+    * of explode; the lag window partitions by doc_id over HIT rows
+    * only (sparse by construction — a heavily-hit doc is being cut
+    * anyway), never over the corpus gram stream.
+    */
+  def spanDecontamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextHashes.ngram_hashes
+    val docs = documents(s, dir)
+    val benchGrams = docs.filter($"doc_id" % 97 === 0)
+      .select(explode(ngram_hashes($"text", 4)).as("g")).distinct()
+    val hits = docs.filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", posexplode(ngram_hashes($"text", 4)))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("g"))
+      .join(benchGrams, "g")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val agg = hits
+      .withColumn("gap", $"pos" - lag($"pos", 1).over(w))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hit_positions"),
+        min($"pos").as("first_pos"), max($"pos").as("last_pos"),
+        sum(when($"gap".isNull, lit(4L))
+          .otherwise(least($"gap", lit(4L)))).as("covered_tokens"))
+    agg.join(docs.select($"doc_id",
+        size(toks($"text")).cast("long").as("n_tokens")), Seq("doc_id"))
+      .withColumn("frac_covered",
+        $"covered_tokens".cast("double") / $"n_tokens".cast("double"))
+      .select($"doc_id", $"n_hit_positions", $"first_pos", $"last_pos",
+        $"covered_tokens", $"n_tokens", $"frac_covered")
+      .orderBy($"doc_id")
+  }
+
   /** Approximate distinct terms per source (HyperLogLog++) next to the
     * exact count — the 100 TB path is the approx one (constant memory,
     * one pass); exact is there to bound the sketch.
@@ -925,9 +967,10 @@ object TextOps {
   }
 
   /** (source, doc_id, quality, n_tokens) — the t02 quality scoring
-    * shared by the two curriculum forms (t25 exact ntile, t31 sketch).
+    * shared by the two curriculum forms (t25 exact ntile, t31 sketch)
+    * and the d27 canonical-survivor selection.
     */
-  private def qualityScored(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def qualityScored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val t = toks($"text")
     val nTok = size(t).cast("double")
@@ -1051,6 +1094,74 @@ object TextOps {
         sum($"clean_ok".cast("long")).as("n_clean"),
         sum(when($"clean_ok", $"n_tokens").otherwise(0L)).as("tokens_kept"))
       .orderBy($"source")
+  }
+
+  /** PII pattern surface shared by [[piiScan]] and its oracle: plain
+    * ASCII regexes chosen to parse identically under Java regex (Spark
+    * codegen) and RE2 (DuckDB) — character classes, bounded repeats and
+    * `\b` only; no lookaround (RE2 has none).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** t33 — PII detection + redaction over ANY text column: per row the
+    * match counts for the three standard scrub classes (email, NANP
+    * phone, IPv4) and the redacted text with each match replaced by a
+    * typed placeholder. The compliance gate every shipped training
+    * corpus passes before tokenization — detection feeds the audit
+    * report, redaction feeds the corpus that ships.
+    *
+    * Counts are computed on the ORIGINAL text (non-overlapping
+    * leftmost-first in both engines), so redaction order cannot mask a
+    * class; redaction applies email → phone → IPv4, deterministic
+    * because the three patterns cannot overlap (emails require `@`,
+    * the other two are digit-runs with different separators).
+    *
+    * Scale shape: a pure per-row projection — four codegen'd regex
+    * passes, no shuffle, no UDF; at 100 TB this pipelines inside
+    * whatever scan stage feeds it.
+    */
+  def piiScan(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", regexp_count(t, lit(EmailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(t, lit(PhoneRe)).cast("long"))
+      .withColumn("n_ipv4", regexp_count(t, lit(Ipv4Re)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "[EMAIL]"),
+            PhoneRe, "[PHONE]"),
+          Ipv4Re, "[IP]"))
+  }
+
+  /** The t33 fixture: the corpus text with PII planted
+    * DETERMINISTICALLY from doc_id (the WavCodec discipline — the
+    * corpus itself is digit-free word salad, so a scan over it alone
+    * would be vacuous). doc_id % 3 emails, doc_id % 2 phones, exactly
+    * one IPv4 per document; the DuckDB oracle rebuilds the same string
+    * from the same formula, so the hash check certifies detection
+    * counts AND the redacted output byte for byte.
+    */
+  private[graft] def piiFixture(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).selectExpr("doc_id",
+      """text
+         || repeat(' contact user' || CAST(doc_id AS STRING)
+                   || '@mail.example.com', CAST(doc_id % 3 AS INT))
+         || repeat(' call 555-' || lpad(CAST(doc_id % 1000 AS STRING), 3, '0')
+                   || '-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0'),
+                   CAST(doc_id % 2 AS INT))
+         || ' from ' || CAST(doc_id % 223 + 1 AS STRING)
+         || '.' || CAST(doc_id % 256 AS STRING)
+         || '.' || CAST((doc_id div 7) % 256 AS STRING)
+         || '.' || CAST(doc_id % 254 + 1 AS STRING) AS text""")
+
+  /** The registered t33 query: [[piiScan]] over [[piiFixture]]. */
+  def piiScanQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    piiScan(piiFixture(s, dir), "text")
+      .select($"doc_id", $"n_emails", $"n_phones", $"n_ipv4", $"redacted")
+      .orderBy($"doc_id")
   }
 
   /** Per-source sketch-vs-exact agreement counts — the test seam for

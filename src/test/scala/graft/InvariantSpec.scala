@@ -871,4 +871,80 @@ class InvariantSpec extends AnyFunSuite {
       assert(nc <= math.min(na, nb) && j > 0.0 && j <= 1.0)
     }
   }
+
+  test("d27 canonical selection: quality argmax per cluster, one survivor each") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = graft.ops.Dedup.canonicalSelection(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // decision rows cover exactly the d11 labeling
+    val labels = graft.ops.Dedup.dupClusters(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == labels)
+    rows.groupBy(_._2).foreach { case (cluster, members) =>
+      // exactly one kept member, and it is the canonical of every row
+      val kept = members.filter(_._4)
+      assert(kept.length == 1)
+      val canon = kept.head._1
+      assert(members.forall(_._3 == canon))
+      // argmax by (quality desc, doc_id asc)
+      val best = members.minBy(m => (-m._5, m._1))
+      assert(canon == best._1, s"cluster $cluster kept $canon, expected ${best._1}")
+    }
+  }
+
+  test("t33 piiScan: counts and redaction over a literal frame, clean text untouched") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at jo.doe+x@corp.example.org or 555-123-4567 now"),
+      (2L, "two mails a@b.io c.d@e.f.co one ip 192.168.0.1"),
+      (3L, "no pii here just words and 12345 and 1.2 decimals"),
+      (4L, "call 555-000-1111 or 555-222-3333 from 10.0.0.7")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.piiScan(df, "text")
+      .select($"doc_id", $"n_emails", $"n_phones", $"n_ipv4", $"redacted")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(_._1)
+    assert(got(0) == ((1L, 1L, 1L, 0L,
+      "reach me at [EMAIL] or [PHONE] now")))
+    assert(got(1) == ((2L, 2L, 0L, 1L, "two mails [EMAIL] [EMAIL] one ip [IP]")))
+    assert(got(2) == ((3L, 0L, 0L, 0L,
+      "no pii here just words and 12345 and 1.2 decimals")))
+    assert(got(3) == ((4L, 0L, 2L, 1L, "call [PHONE] or [PHONE] from [IP]")))
+  }
+
+  test("t33 fixture plants doc_id%3 emails, doc_id%2 phones, one ip per doc") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = graft.ops.TextOps.piiScanQuery(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, ne, np, ni) =>
+      assert(ne == id % 3 && np == id % 2 && ni == 1L, s"doc $id: $ne $np $ni")
+    }
+  }
+
+  test("t34 span decontamination: interval union recomputed driver-side") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = graft.ops.TextOps.spanDecontamination(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    // same doc set as t16, at span granularity
+    val t16Docs = graft.ops.TextOps.contamination(spark, TestSpark.sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet == t16Docs)
+    got.foreach { case (id, nHits, first, last, covered, nToks, frac) =>
+      assert(nHits >= 1 && first <= last)
+      // union of [pos, pos+3] intervals: between 4 and min(4*nHits, span+4)
+      assert(covered >= 4 && covered <= 4 * nHits)
+      assert(covered <= last - first + 4)
+      assert(covered <= nToks)
+      assert(frac == covered.toDouble / nToks.toDouble, s"doc $id frac")
+    }
+  }
 }
