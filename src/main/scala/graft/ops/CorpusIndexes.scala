@@ -183,6 +183,46 @@ private[graft] object CorpusIndexes {
     s.table(tbl)
   }
 
+  /** Rewrite a bucketed sidecar table back to ONE file per bucket —
+    * the maintenance pass a durable index needs after incremental
+    * appends (each [[writeBucketedTable]] append lands a new file per
+    * bucket; a daily-refresh campaign accumulates hundreds, and
+    * per-file open/footer cost starts to dominate the probe reads).
+    * Read-then-swap, never in-place: the compacted form is written to
+    * a sibling `__compact` path while the original files are still
+    * being read, then a filesystem rename replaces the directory and
+    * the catalog entry is refreshed. Rows, schema, bucket function and
+    * within-bucket sort are IDENTICAL — consumers cannot observe the
+    * compaction except through file counts (asserted in
+    * SidecarDiskSpec).
+    */
+  private[graft] def compactBucketedTable(s: SparkSession, path: String,
+      tbl: String, lay: Layout): Unit = {
+    val tmpPath = path + "__compact"
+    val tmpTbl = tbl + "__compact"
+    s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+    // Read the files as PLAIN parquet, not through the registered
+    // bucketed table: the bucketed read advertises the target
+    // partitioning and the planner then elides the repartition, leaving
+    // size-packed read tasks that each spray files into several buckets
+    // (measured: a 2-generation table "compacted" into MORE files).
+    // With an unknown-partitioning scan the shuffle really runs, its
+    // hash IS the bucket function, and each task writes exactly one
+    // bucket file.
+    s.read.parquet(path)
+      .repartition(lay.nBuckets, col(lay.bucketCol))
+      .write.mode("overwrite").option("path", tmpPath)
+      .bucketBy(lay.nBuckets, lay.bucketCol)
+      .sortBy(lay.sortCols.head, lay.sortCols.tail: _*)
+      .format("parquet").saveAsTable(tmpTbl)
+    val (fs, p) = hadoopPath(s, path)
+    val (_, tp) = hadoopPath(s, tmpPath)
+    require(fs.delete(p, true), s"compact: could not remove $path")
+    require(fs.rename(tp, p), s"compact: could not swap $tmpPath into place")
+    s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+    s.catalog.refreshTable(tbl)
+  }
+
   private def readDisk(s: SparkSession, dir: String, key: String): Option[DataFrame] =
     for {
       root <- s.conf.getOption(SidecarDirKey)

@@ -577,6 +577,23 @@ object Dedup {
     }
   }
 
+  /** COMPACT the durable probe index: rewrite each of the three probe
+    * tables to one file per bucket. Every [[refreshTextProbeIndex]]
+    * append adds a file per bucket per day; after a quarter of daily
+    * crawls each probe join opens ~90 files per bucket, and the
+    * per-file footer reads dwarf the row reads for 20-byte band rows.
+    * Compaction restores the one-file-per-bucket layout without
+    * changing a row — probe verdicts before and after are
+    * bit-identical (asserted in SidecarDiskSpec), so a campaign runs
+    * it on any cadence, concurrently with readers of the OLD files
+    * (read-then-swap, never in-place).
+    */
+  def compactTextProbeIndex(s: SparkSession, outDir: String): Unit =
+    probeLayouts.foreach { case (key, lay) =>
+      CorpusIndexes.compactBucketedTable(s, s"$outDir/$key",
+        CorpusIndexes.tableName(outDir, key), lay)
+    }
+
   /** Read the probe index persisted by [[persistTextProbeIndex]] (and
     * any [[refreshTextProbeIndex]] appends) — what StreamingDedup/
     * StreamingAdmission pass per micro-batch when given an index dir:

@@ -191,6 +191,46 @@ class SidecarDiskSpec extends AnyFunSuite {
     assert(after.md5s.count() == 70, "md5 store keeps appending")
   }
 
+  test("probe-index compaction: one file per bucket again, verdicts bit-identical") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val docs = Tables.documents(s, TestSpark.sfDir).select($"doc_id", $"text")
+    val hist = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val day1 = hist.filter($"doc_id" % 3 === 1)
+    val day2 = hist.filter($"doc_id" % 3 === 2)
+    val day3 = hist.filter($"doc_id" % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-probe-compact").toString
+    graft.ops.Dedup.persistTextProbeIndex(day1, dir)
+    graft.ops.Dedup.refreshTextProbeIndex(day2, dir)
+    graft.ops.Dedup.refreshTextProbeIndex(day3, dir)
+
+    def bucketFiles(key: String): Int =
+      new java.io.File(s"$dir/$key").listFiles()
+        .count(f => f.getName.startsWith("part-"))
+
+    // three append generations: more than one file per bucket
+    assert(bucketFiles("probe_raw_bands") > 8,
+      "fixture must accumulate multiple files per bucket before compaction")
+    val before = graft.ops.Dedup.loadTextProbeIndex(s, dir)
+    val beforeVerdicts = rows(
+      graft.ops.Dedup.multiSignalProbeIndexed(batch, before).orderBy($"doc_id"))
+    val beforeBands = before.cappedBands.count()
+
+    graft.ops.Dedup.compactTextProbeIndex(s, dir)
+
+    Seq("probe_md5s", "probe_raw_bands", "probe_sim_bands").foreach { key =>
+      assert(bucketFiles(key) == 8,
+        s"$key: compaction must restore one file per bucket")
+    }
+    val after = graft.ops.Dedup.loadTextProbeIndex(s, dir)
+    assert(after.cappedBands.count() == beforeBands)
+    val afterVerdicts = rows(
+      graft.ops.Dedup.multiSignalProbeIndexed(batch, after).orderBy($"doc_id"))
+    assert(afterVerdicts == beforeVerdicts && afterVerdicts.nonEmpty,
+      "compaction must not change a single probe verdict")
+  }
+
   test("streaming probe index round-trips through disk with identical verdicts") {
     val s = TestSpark.spark
     import s.implicits._
