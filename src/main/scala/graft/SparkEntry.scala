@@ -78,6 +78,11 @@ object SparkEntry {
     // e15 = dwell-time profile per transition (integer-µs gaps, exact
     // mean) — e14's latency companion, the funnel's timing surface.
     "e15_dwell"              -> (EventOps.transitionDwell _),
+    // e17 = e15's tail view: exact p50/p90/p99 dwell per transition
+    // (q14 percentile discipline) + an approx_percentile 5%-gate
+    // (t07 pattern) — the certificate arm over the sketch the 100 TB
+    // path runs.
+    "e17_dwell_percentiles"  -> (EventOps.transitionDwellPercentiles _),
     // ---- text analysis (LLM-pipeline extensions) ----
     "t01_token_stats"        -> (TextOps.tokenStats _),
     "t02_quality_score"      -> (TextOps.qualityScore _),
@@ -612,6 +617,23 @@ object SparkEntry {
           min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
           CAST(CAST(sum(gap_us) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
             AS mean_gap_us
+        FROM nx WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type ORDER BY from_type, to_type""",
+      // e17: the same transition frame, tail percentiles — quantile_cont
+      // shares Spark percentile's linear interpolation; the approx gate
+      // surfaces as all-true (t07 discipline).
+      "e17_dwell_percentiles" -> """
+        WITH nx AS (SELECT event_type AS from_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS to_type,
+                      epoch_us(lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id)) - epoch_us(ts) AS gap_us
+                    FROM events)
+        SELECT from_type, to_type, count(*) AS n,
+          quantile_cont(gap_us, 0.5) AS p50_us,
+          quantile_cont(gap_us, 0.9) AS p90_us,
+          quantile_cont(gap_us, 0.99) AS p99_us,
+          TRUE AS approx_ok
         FROM nx WHERE to_type IS NOT NULL
         GROUP BY from_type, to_type ORDER BY from_type, to_type""",
       "e09_user_sim_bucketed" -> {

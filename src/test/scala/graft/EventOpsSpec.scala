@@ -79,4 +79,33 @@ class EventOpsSpec extends AnyFunSuite {
     }
     assert(got.toSeq == expected)
   }
+
+  test("e17 dwell percentiles equal a driver-side interpolation; rank gate holds") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = graft.ops.EventOps.transitionDwellPercentiles(spark, TestSpark.sfDir)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(got.nonEmpty)
+    val gaps = graft.ops.EventOps.transitionGaps(spark, TestSpark.sfDir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    // linear interpolation at rank p*(n-1), the percentile/quantile_cont convention
+    // Spark's Percentile form: lower*(1-d) + higher*d (NOT
+    // lower + d*(higher-lower) — they differ by ULPs)
+    def q(xs: Array[Long], p: Double): Double = {
+      val pos = p * (xs.length - 1)
+      val lo = pos.toInt
+      if (lo == xs.length - 1) xs(lo).toDouble
+      else xs(lo) * (1.0 - (pos - lo)) + xs(lo + 1) * (pos - lo)
+    }
+    assert(got.keySet == gaps.keySet)
+    got.foreach { case (k, (n, p50, p90, p99, ok)) =>
+      val xs = gaps(k)
+      assert(n == xs.length)
+      assert(p50 == q(xs, 0.5) && p90 == q(xs, 0.9) && p99 == q(xs, 0.99), s"$k")
+      assert(p50 <= p90 && p90 <= p99)
+      assert(ok, s"$k: approx rank gate must hold")
+    }
+  }
 }
