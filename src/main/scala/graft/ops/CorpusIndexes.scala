@@ -278,6 +278,20 @@ private[graft] object CorpusIndexes {
     writeMarker(s, outDir, dir)
   }
 
+  /** Compact every sidecar table under a [[persistSidecars]] root back
+    * to one file per bucket — the snapshot-maintenance twin of
+    * [[graft.ops.Dedup.compactTextProbeIndex]] for roots that have seen
+    * incremental appends. The `_graft_source` marker is untouched:
+    * compaction changes layout, never provenance.
+    */
+  def compactSidecars(s: SparkSession, root: String,
+                      keys: Seq[String] = null): Unit =
+    Option(keys).getOrElse(persistableKeys).foreach { key =>
+      val path = s"$root/$key"
+      if (pathExists(s, path))
+        compactBucketedTable(s, path, tableName(root, key), layouts(key))
+    }
+
   /** The same memoize-and-checkpoint discipline for sidecars owned by
     * other ops objects (the image aHash table, the CC label tables) —
     * one shared cache so every per-session sidecar lives in one place.

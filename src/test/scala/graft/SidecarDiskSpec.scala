@@ -248,4 +248,18 @@ class SidecarDiskSpec extends AnyFunSuite {
     assert(a == b, "disk probe index diverged from built probe index")
     assert(a.nonEmpty)
   }
+
+  test("compactSidecars leaves every consumer result unchanged, one file per bucket") {
+    val base = TestSpark.spark
+    val before = rows(SparkEntry.queries("d04_shingle_jaccard")(diskSession(), TestSpark.sfDir))
+    CorpusIndexes.compactSidecars(base, root)
+    Seq("shingles", "bands").foreach { key =>
+      val n = new java.io.File(s"$root/$key").listFiles()
+        .count(_.getName.startsWith("part-"))
+      assert(n == 8, s"$key: expected one file per bucket after compaction, got $n")
+    }
+    val after = rows(SparkEntry.queries("d04_shingle_jaccard")(diskSession(), TestSpark.sfDir))
+    assert(after == before && after.nonEmpty,
+      "sidecar compaction must be invisible to consumers")
+  }
 }
