@@ -64,7 +64,8 @@ private[graft] object CorpusIndexes {
     "text_labels_64" -> Layout(8, "doc_id", Seq("doc_id")),
     "image_labels"   -> Layout(8, "doc_id", Seq("doc_id")),
     "ivf_assigned"   -> Layout(8, "cell_id", Seq("cell_id", "vec_id")),
-    "pq_codes"       -> Layout(8, "vec_id", Seq("vec_id")))
+    "pq_codes"       -> Layout(8, "vec_id", Seq("vec_id")),
+    "bench_grams"    -> Layout(8, "g", Seq("g")))
 
   /** One-slot lazy holder: `computeIfAbsent` only ever constructs the
     * holder (cheap, no callback into the cache), and the build itself
@@ -244,11 +245,13 @@ private[graft] object CorpusIndexes {
     "text_labels_64" -> (() => Dedup.dupClusterLabels(s, dir)),
     "image_labels"   -> (() => Multimodal.imageClusterLabels(s, dir)),
     "ivf_assigned"   -> (() => Similarity.ivfAssigned(s, dir)),
-    "pq_codes"       -> (() => Similarity.pqCodesFrame(s, dir)))
+    "pq_codes"       -> (() => Similarity.pqCodesFrame(s, dir)),
+    "bench_grams"    -> (() => benchGrams(s, dir)))
 
   /** All sidecar keys [[persistSidecars]] writes by default. */
   val persistableKeys: Seq[String] = Seq("shingles", "tokens", "bands",
-    "png_ahash", "text_labels_64", "image_labels", "ivf_assigned", "pq_codes")
+    "png_ahash", "text_labels_64", "image_labels", "ivf_assigned", "pq_codes",
+    "bench_grams")
 
   /** Read ONE persisted sidecar table from a root, registered with its
     * bucket layout — for consumers that take the index as an explicit
@@ -303,6 +306,20 @@ private[graft] object CorpusIndexes {
   /** (doc_id, nsh, shash): the exploded word-3-gram shingle inverted
     * index — one codegen'd `shingle_hashes` pass over the corpus.
     */
+  /** (g): the distinct benchmark 4-gram hash set — the decontamination
+    * fingerprint five consumers probe (t16, t32, t34, d25, d26). Tiny
+    * by nature (~1 % of docs' distinct grams), so every consumer
+    * broadcasts it; as a persisted sidecar it is exactly the artifact
+    * a decontamination service ships next to the eval suite.
+    */
+  def benchGrams(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "bench_grams") {
+      import s.implicits._
+      documents(s, dir).filter($"doc_id" % 97 === 0)
+        .select(explode(ngram_hashes($"text", 4)).as("g"))
+        .distinct()
+    }
+
   def shingles(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "shingles") {
       import s.implicits._

@@ -695,11 +695,8 @@ object Dedup {
   def ingestAdmission(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
     import s.implicits._
     val docs = documents(s, dir).select($"doc_id", $"text")
-    val benchGrams = documents(s, dir).filter($"doc_id" % 97 === 0)
-      .select(explode(graft.functions.TextHashes.ngram_hashes($"text", 4)).as("g"))
-      .distinct()
     admissionProbeIndexed(docs.filter($"doc_id" % 5 === 0),
-        textProbeSidecar(s, dir, cap), benchGrams)
+        textProbeSidecar(s, dir, cap), CorpusIndexes.benchGrams(s, dir))
       .orderBy($"doc_id")
   }
 
@@ -785,11 +782,8 @@ object Dedup {
   def stagedAdmission(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
     import s.implicits._
     val docs = documents(s, dir).select($"doc_id", $"text")
-    val benchGrams = documents(s, dir).filter($"doc_id" % 97 === 0)
-      .select(explode(graft.functions.TextHashes.ngram_hashes($"text", 4)).as("g"))
-      .distinct()
     stagedAdmissionProbeIndexed(docs.filter($"doc_id" % 5 === 0),
-        textProbeSidecar(s, dir, cap), benchGrams)
+        textProbeSidecar(s, dir, cap), CorpusIndexes.benchGrams(s, dir))
       .orderBy($"doc_id")
   }
 

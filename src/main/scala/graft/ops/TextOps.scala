@@ -613,11 +613,9 @@ object TextOps {
     import s.implicits._
     import graft.functions.TextHashes.ngram_hashes
     val docs = documents(s, dir)
-    val benchGrams = docs.filter($"doc_id" % 97 === 0)
-      .select(explode(ngram_hashes($"text", 4)).as("g")).distinct()
     docs.filter($"doc_id" % 97 =!= 0)
       .select($"doc_id", explode(ngram_hashes($"text", 4)).as("g"))
-      .join(benchGrams, "g")
+      .join(CorpusIndexes.benchGrams(s, dir), "g")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
       .orderBy($"doc_id")
   }
@@ -641,12 +639,10 @@ object TextOps {
     import s.implicits._
     import graft.functions.TextHashes.ngram_hashes
     val docs = documents(s, dir)
-    val benchGrams = docs.filter($"doc_id" % 97 === 0)
-      .select(explode(ngram_hashes($"text", 4)).as("g")).distinct()
     val hits = docs.filter($"doc_id" % 97 =!= 0)
       .select($"doc_id", posexplode(ngram_hashes($"text", 4)))
       .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("g"))
-      .join(benchGrams, "g")
+      .join(CorpusIndexes.benchGrams(s, dir), "g")
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
     val agg = hits
       .withColumn("gap", $"pos" - lag($"pos", 1).over(w))
@@ -1068,11 +1064,9 @@ object TextOps {
     val canonical = fingerprints(s, dir).select($"min_doc_id".as("doc_id"))
     val juniors = graft.ops.Dedup.shingleJaccardPairs(s, dir)
       .select($"doc_b".as("doc_id")).distinct()
-    val benchDocs = documents(s, dir).filter($"doc_id" % 97 === 0)
-    val benchGrams = benchDocs.select(explode(ngram_hashes($"text", 4)).as("g")).distinct()
     val contaminated = documents(s, dir).filter($"doc_id" % 97 =!= 0)
       .select($"doc_id", explode(ngram_hashes($"text", 4)).as("g"))
-      .join(benchGrams, "g")
+      .join(CorpusIndexes.benchGrams(s, dir), "g")
       .select($"doc_id").distinct()
 
     // Every gate is a boolean COLUMN (left joins, no filtering), so one
