@@ -324,6 +324,10 @@ object SparkEntry {
     // adapted centroids, probe the query's cell — train → serve,
     // the production loop closed under the oracle.
     "s19_trained_ivf"        -> ((s, d) => Similarity.ivfTrainedKnn(s, d)),
+    // s20 = filtered vector search: same-label top-5 through a 2-probe
+    // IVF (probe widened BEFORE the label filter, never post-filtered)
+    // — deterministic, oracle replays the whole probe.
+    "s20_filtered_knn"       -> ((s, d) => Similarity.filteredIvfKnn(s, d)),
     "m14_audio_nn"           -> (Multimodal.audioNearestNeighbor _),
     // m15 = video frame-level dedup: per-frame aHash over the real GIF
     // decode, digest-keyed repeated-scene report across videos (the
@@ -1158,6 +1162,35 @@ object SparkEntry {
           FROM q JOIN assigned a ON a.cell_id = q.q_cell AND a.vec_id <> q.q_id) t
         WHERE r <= 5
         ORDER BY q_id, rank""",
+      // s20: the s04 assignment CTE + labels; queries take their TWO
+      // nearest cells (arank <= 2), label filter inside the probe.
+      "s20_filtered_knn" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings),
+        cb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        assigned AS (SELECT vec_id, v, nrm, cell_id FROM (
+          SELECT e.vec_id, e.v, e.nrm, cb.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) DESC, cb.cell_id) AS arank
+          FROM e CROSS JOIN cb) t WHERE arank = 1),
+        corp AS (SELECT a.vec_id, a.v, a.nrm, a.cell_id, l.label
+                 FROM assigned a JOIN embeddings l ON a.vec_id = l.vec_id),
+        qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, label AS q_label,
+                 cell_id AS probe_cell FROM (
+          SELECT e.vec_id, e.v, e.nrm, l.label, cb.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) DESC, cb.cell_id) AS arank
+          FROM e JOIN embeddings l ON e.vec_id = l.vec_id CROSS JOIN cb
+          WHERE e.vec_id < 5) t WHERE arank <= 2)
+        SELECT q_id, q_label, rank, vec_id, cos FROM (
+          SELECT q.q_id, q.q_label, a.vec_id,
+            list_dot_product(q.qv, a.v) / (q.qnrm * a.nrm) AS cos,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY list_dot_product(q.qv, a.v) / (q.qnrm * a.nrm) DESC, a.vec_id) AS rank
+          FROM qp q JOIN corp a ON a.cell_id = q.probe_cell
+            AND a.label = q.q_label AND a.vec_id <> q.q_id) t
+        WHERE rank <= 5 ORDER BY q_id, rank""",
       // m15: per-frame aHash recomputed from the GIF generator formula
       // (the m11 cell-sum chain with the frame dimension added), then
       // the digest-keyed two-level aggregate; a hash match proves the

@@ -130,6 +130,56 @@ object Similarity {
         .select($"vec_id", $"embedding", $"nrm", $"cell_id")
     }
 
+  /** s20 — FILTERED vector search: top-k restricted to candidates
+    * sharing the query's label (the tenant/class/language predicate
+    * every production retrieval stack composes with ANN — "nearest
+    * neighbors OF THIS KIND"). Filtered IVF loses recall in a way
+    * unfiltered IVF doesn't: the target label's vectors may live
+    * mostly OUTSIDE the query's own cell, so the standard mitigation
+    * is widening the probe — each query probes its `nprobe` nearest
+    * cells (by centroid cosine, id tie-break), then the label filter
+    * applies INSIDE the probed cells, never as a post-filter of an
+    * unfiltered top-k (post-filtering returns < k results whenever the
+    * unfiltered list is label-skewed).
+    *
+    * Deterministic by construction (comparisons + id tie-breaks all
+    * the way down), so the oracle replays the full probe: assignment,
+    * the query's 2-cell probe set, the label-constrained rank.
+    *
+    * Scale shape: the probe set is queries × nprobe rows broadcast;
+    * candidates stream from the probed cells only (nprobe/K of the
+    * corpus in expectation); the label predicate prunes inside the
+    * scan. At campaign scale the label column travels WITH the
+    * persisted IVF sidecar (a narrow vec_id join here), so filtered
+    * search reads one table.
+    */
+  def filteredIvfKnn(s: SparkSession, dir: String, k: Int = 5,
+                     nprobe: Int = 2): DataFrame = {
+    import s.implicits._
+    val labels = embeddings(s, dir).select($"vec_id", $"label")
+    val corp = ivfAssigned(s, dir).join(labels, "vec_id")
+    val e = withNorm(embeddings(s, dir))
+    val cb = e.filter($"vec_id" < 16).toDF("cell_id", "c_emb", "c_nrm")
+    val qw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cell_id")
+    val q = e.filter($"vec_id" < 5)
+      .join(labels.toDF("vec_id", "q_label"), "vec_id")
+      .crossJoin(broadcast(cb))
+      .withColumn("ccos", cosinePrenormed(vec_dot($"embedding", $"c_emb"), $"nrm", $"c_nrm"))
+      .withColumn("arank", row_number().over(qw))
+      .filter($"arank" <= nprobe)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        $"nrm".as("q_nrm"), $"q_label", $"cell_id".as("probe_cell"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    corp.join(broadcast(q),
+        $"cell_id" === $"probe_cell" && $"label" === $"q_label" &&
+          $"vec_id" =!= $"q_id")
+      .withColumn("cos", cosinePrenormed(vec_dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"q_id", $"q_label", $"rank", $"vec_id", $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
   def ivfKnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val assigned = ivfAssigned(s, dir)

@@ -457,4 +457,41 @@ class RecallSpec extends AnyFunSuite {
     assert(r.getAs[Double]("containment") == 1.0)
     assert(r.getAs[Double]("jaccard") < 0.3)
   }
+
+  test("s20 filtered search: label-pure, 2-probe dominates 1-probe vs filtered exact") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    val labels = graft.Tables.embeddings(spark0, dir)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(3)))
+        .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+    val two = graft.ops.Similarity.filteredIvfKnn(spark0, dir)
+    // every emitted neighbor carries the query's label
+    two.collect().foreach { r =>
+      assert(labels(r.getLong(3)) == r.getInt(1),
+        s"q${r.getLong(0)}: neighbor ${r.getLong(3)} has the wrong label")
+    }
+    // filtered exact reference: brute-force top-5 among same-label vecs
+    val e = graft.Tables.embeddings(spark0, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = e.filter(_._1 < 5).map { case (qid, qv, ql) =>
+      qid -> e.filter(x => x._3 == ql && x._1 != qid)
+        .map(x => (x._1, cos(qv, x._2))).sortBy(x => (-x._2, x._1))
+        .take(5).map(_._1).toSet
+    }.toMap
+    val one = top5(graft.ops.Similarity.filteredIvfKnn(spark0, dir, nprobe = 1))
+    val twoIds = top5(two)
+    val rec1 = exact.keys.toSeq.map(q => (one.getOrElse(q, Set.empty) & exact(q)).size).sum
+    val rec2 = exact.keys.toSeq.map(q => (twoIds.getOrElse(q, Set.empty) & exact(q)).size).sum
+    assert(rec2 >= rec1, s"2-probe recall $rec2 must dominate 1-probe $rec1")
+    assert(rec2 > 0, "the widened probe must recover real filtered neighbors")
+  }
 }
