@@ -577,6 +577,40 @@ object Dedup {
     }
   }
 
+  /** d28 — the admission cascade COMPLETED with the compliance gate:
+    * the d26 stages (quality → exact → MinHash → SimHash →
+    * decontamination) and then, for the surviving docs ONLY, the t33
+    * PII scan — a doc with detectable emails or phone numbers is
+    * rejected at stage 'pii'; IPv4 hits are carried as a count but do
+    * not reject (redaction, not rejection, is the IP remedy — the
+    * counts feed the redact step that runs on admit). The scan runs on
+    * the planted-PII fixture text (the t33 discipline — the raw corpus
+    * is digit-free), and `probed_pii` records the cascade honesty:
+    * only docs that cleared every cheaper gate paid for the regex
+    * pass.
+    *
+    * Scale shape: the PII stage is a pure codegen projection over the
+    * survivor slice — by far the cheapest probe in the cascade, placed
+    * last only because its verdict (unlike dedup's) cannot be
+    * pre-indexed; nothing new shuffles.
+    */
+  def piiAdmission(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import s.implicits._
+    val staged = stagedAdmission(s, dir, cap)
+    val survivors = staged.filter($"admit").select($"doc_id")
+    val pii = TextOps.piiScan(
+        TextOps.piiFixture(s, dir).join(survivors, "doc_id"), "text")
+      .select($"doc_id", $"n_emails", $"n_phones", $"n_ipv4")
+    staged.join(pii, Seq("doc_id"), "left")
+      .withColumn("probed_pii", $"n_emails".isNotNull)
+      .select($"doc_id",
+        coalesce($"reject_stage",
+          when($"n_emails" + $"n_phones" > 0, "pii")).as("reject_stage"),
+        $"n_emails", $"n_phones", $"n_ipv4", $"probed_pii",
+        ($"probed_pii" && ($"n_emails" + $"n_phones" === 0)).as("admit"))
+      .orderBy($"doc_id")
+  }
+
   /** COMPACT the durable probe index: rewrite each of the three probe
     * tables to one file per bucket. Every [[refreshTextProbeIndex]]
     * append adds a file per bucket per day; after a quarter of daily

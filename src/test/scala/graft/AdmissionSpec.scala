@@ -51,4 +51,36 @@ class AdmissionSpec extends AnyFunSuite {
     assert(nSim <= nNear && nDecon <= nSim, "cascade must be monotone")
     info(s"probe funnel: $n arrivals -> $nNear minhash -> $nSim simhash -> $nDecon decontam")
   }
+
+  test("d28 extends d26 with a survivors-only pii stage") {
+    val spark = TestSpark.spark
+    val d26 = Dedup.stagedAdmission(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (Option(if (r.isNullAt(1)) null else r.getString(1)), r.getBoolean(6))).toMap
+    val d28 = Dedup.piiAdmission(spark, TestSpark.sfDir).collect()
+    assert(d28.length == d26.size)
+    var nPii = 0
+    d28.foreach { r =>
+      val id = r.getLong(0)
+      val stage = Option(if (r.isNullAt(1)) null else r.getString(1))
+      val (probedPii, admit) = (r.getBoolean(5), r.getBoolean(6))
+      val (stage26, admit26) = d26(id)
+      // only d26 survivors pay for the regex pass
+      assert(probedPii == admit26, s"doc $id: probed_pii")
+      if (admit26) {
+        // counts present, stage is either clean or 'pii'
+        val (ne, np) = (r.getLong(2), r.getLong(3))
+        assert(ne == id % 3 && np == id % 2, s"doc $id: planted counts")
+        assert(stage == (if (ne + np > 0) Some("pii") else None), s"doc $id: stage")
+        assert(admit == (ne + np == 0), s"doc $id: admit")
+        if (stage.contains("pii")) nPii += 1
+      } else {
+        // earlier-stage verdicts pass through untouched, counts null
+        assert(stage == stage26 && !admit, s"doc $id: pass-through")
+        assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4), s"doc $id: nulls")
+      }
+    }
+    assert(nPii > 0, "the fixture must exercise the pii rejection arm")
+    info(s"pii stage rejected $nPii of ${d26.count(_._2._2)} survivors")
+  }
 }
