@@ -247,6 +247,10 @@ object SparkEntry {
     // broadcast approx-quantile cutpoints (no per-source rank window);
     // emits the exact manifest + a sketch-agreement gate (t07 pattern).
     "t31_curriculum_sketch"  -> (TextOps.curriculumSketch _),
+    // t35 = quality-score calibration: per (source, quality quartile)
+    // the median t20 NLL — the audit a mixing planner reads before
+    // trusting quality-gated selection; all stats order-free.
+    "t35_quality_calibration" -> (TextOps.qualityCalibration _),
     // t33 = PII detect + redact (email/phone/IPv4) — counts on the
     // original text, typed-placeholder redaction, all codegen regex;
     // runs over the deterministic planted-PII fixture (WavCodec
@@ -3109,6 +3113,37 @@ object SparkEntry {
         SELECT source, CAST(phase AS BIGINT) AS phase, count(*) AS n_docs,
           CAST(sum(n_tokens) AS BIGINT) AS phase_tokens, TRUE AS agree_ok
         FROM ph GROUP BY source, phase ORDER BY source, phase""",
+      // t35: t20's NLL CTEs verbatim + t25's per-source quartile; the
+      // median is quantile_cont (the q14 convention).
+      "t35_quality_calibration" -> """
+        WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+                     FROM documents),
+        tf AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM tf),
+        dt AS (SELECT doc_id, term, count(*) AS n_dt FROM tok GROUP BY doc_id, term),
+        c AS (SELECT dt.doc_id, dt.term, dt.n_dt,
+                -CAST(dt.n_dt AS DOUBLE) * ln(CAST(tf.cnt AS DOUBLE) / tot.total_tokens)
+                  AS contrib
+              FROM dt JOIN tf ON dt.term = tf.term CROSS JOIN tot),
+        nll AS (SELECT doc_id,
+                  list_reduce(list(contrib ORDER BY term), (a, b) -> a + b)
+                    / CAST(sum(n_dt) AS BIGINT) AS avg_nll
+                FROM c GROUP BY doc_id),
+        q AS (SELECT source, doc_id,
+                0.4 * (1.0 - CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t))
+                  + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+                  + 0.3 * least(len(t) / 50.0, 1.0) AS quality
+              FROM (SELECT source, doc_id, regexp_split_to_array(text, '\s+') AS t
+                    FROM documents) x),
+        ph AS (SELECT source, doc_id, quality,
+                 ntile(4) OVER (PARTITION BY source
+                   ORDER BY quality, doc_id) AS quartile
+               FROM q)
+        SELECT ph.source, CAST(quartile AS BIGINT) AS quartile,
+          count(*) AS n_docs, min(quality) AS q_min, max(quality) AS q_max,
+          quantile_cont(avg_nll, 0.5) AS med_nll
+        FROM ph JOIN nll ON ph.doc_id = nll.doc_id
+        GROUP BY ph.source, quartile ORDER BY ph.source, quartile""",
       // t33: rebuild the planted-PII fixture from the doc_id formula,
       // then the same three RE2-safe regexes — counts via
       // regexp_extract_all on the original, redaction in the same

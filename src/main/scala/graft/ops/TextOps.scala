@@ -339,6 +339,39 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** t35 — quality-score CALIBRATION: does the cheap t02 heuristic
+    * actually order documents by language-model score? Per source and
+    * per t25-style quality quartile, the doc count, the quartile's
+    * quality range, and the MEDIAN t20 unigram NLL. A mixing planner
+    * reads this before trusting quality-gated selection (t11/t32): a
+    * source whose NLL medians do not fall as quality rises is a source
+    * where the heuristic is mis-calibrated (boilerplate scores "high
+    * quality", or the stopword table misfits the language) and its
+    * quality bar needs retuning.
+    *
+    * Exactness: every emitted statistic is order-free — counts,
+    * min/max, and a median that is order-statistic SELECTION (the q14
+    * interpolation convention), never a float sum over a shuffle.
+    *
+    * Scale shape: the NLL side is t20's vocabulary-bounded pipeline;
+    * the quartile window is per source (t25's documented bound — t31
+    * shows the sketch-cutpoint path when one source is web-scale); the
+    * final aggregate is 4·|sources| rows.
+    */
+  def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nll = unigramLogProb(s, dir).select($"doc_id", $"avg_nll")
+    val w = Window.partitionBy($"source").orderBy($"quality", $"doc_id")
+    qualityScored(s, dir).select($"source", $"doc_id", $"quality")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .join(nll, "doc_id")
+      .groupBy($"source", $"quartile")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"quality").as("q_min"), max($"quality").as("q_max"),
+        expr("percentile(avg_nll, 0.5D)").as("med_nll"))
+      .orderBy($"source", $"quartile")
+  }
+
   /** Bigram language-model score with add-one smoothing — t20's
     * unigram NLL upgraded to first-order context: each doc's mean
     * negative log-probability of its bigrams under the corpus's own

@@ -928,6 +928,32 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("t35 calibration: quartiles partition each source with ordered quality ranges") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = graft.ops.TextOps.qualityCalibration(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_._1)
+    val srcCounts = graft.Tables.documents(spark, TestSpark.sfDir)
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, qs) =>
+      assert(qs.map(_._2).sorted.toSeq == (1L to qs.length), s"$src quartile ids")
+      assert(qs.map(_._3).sum == srcCounts(src), s"$src: quartiles must partition")
+      val ordered = qs.sortBy(_._2)
+      ordered.foreach { case (_, _, _, qmin, qmax, med) =>
+        assert(qmin <= qmax && !med.isNaN)
+      }
+      // quality ranges are non-overlapping in quartile order
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 <= b._4, s"$src: ranges overlap")
+        case _ =>
+      }
+    }
+  }
+
   test("t34 span decontamination: interval union recomputed driver-side") {
     val spark = TestSpark.spark
     import spark.implicits._
