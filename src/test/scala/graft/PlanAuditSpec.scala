@@ -31,13 +31,16 @@ class PlanAuditSpec extends AnyFunSuite {
   //  - s15_kmeans_step: same 16-row codebook (assignment + seed join)
   //  - s20_filtered_knn: same 16-row codebook (the queries' 2-probe
   //    cell ranking crosses 5 query rows with the broadcast codebook)
+  //  - t35_quality_calibration: t20's one-row corpus-total aggregate
+  //    (the NLL side reuses unigramLogProb verbatim)
   private val boundedCrossJoins =
     Set("q16_above_avg", "s04_knn_ivf", "d16_semantic_prune", "s08_knn_ivfpq",
         "t13_tfidf", "t20_unigram_nll", "t22_source_divergence",
         "t23_temp_resample", "s09_centroid_reps", "t26_bigram_nll",
         "t27_mixture_plan", "s11_recall_audit", "s12_cell_rebalance",
         "s13_sq_rerank", "t28_vocab_growth", "s14_knn_graph",
-        "s15_kmeans_step", "s16_mutual_knn", "s20_filtered_knn")
+        "s15_kmeans_step", "s16_mutual_knn", "s20_filtered_knn",
+        "t35_quality_calibration")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark
