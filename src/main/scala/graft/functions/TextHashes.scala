@@ -189,6 +189,31 @@ object GraftHash {
     new GenericArrayData(out)
   }
 
+  /** EVERY n-gram hash in positional order (no dedup) — index k in the
+    * output IS token position k. [[ngramHashes]]' LinkedHashSet form is
+    * right for membership probes, but its insertion order equals
+    * positional order only for docs with no repeated gram — posexplode
+    * over it silently shifts positions one past the first duplicate
+    * (caught by the sf0.1 t34 sweep: 2 of 727 docs).
+    */
+  def ngramHashesAll(text: UTF8String, n: Int): ArrayData = {
+    val ts = tokens(text)
+    if (ts.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](ts.length)
+    var i = 0
+    while (i < ts.length) { hs(i) = h32(ts(i)); i += 1 }
+    val out = new Array[Long](ts.length - n + 1)
+    var k = 0
+    while (k + n <= ts.length) {
+      var acc = 0L
+      var j = 0
+      while (j < n) { acc = (acc * 31 + hs(k + j)) % M; j += 1 }
+      out(k) = acc
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def rollingHash(text: UTF8String): Long = {
     val ts = tokens(text)
     var acc = 0L
@@ -255,6 +280,15 @@ case class NGramHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class NGramHashesAll(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    GraftHash.ngramHashesAll(t.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.ngramHashesAll($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class RollingHash(child: Expression) extends GraftHashExpr {
   override def dataType: DataType = LongType
   override protected def staticCall: String = "rollingHash"
@@ -271,4 +305,5 @@ object TextHashes {
   def token_hashes(c: Column): Column = col(TokenHashes(GraftBridge.expression(c)))
   def rolling_hash(c: Column): Column = col(RollingHash(GraftBridge.expression(c)))
   def ngram_hashes(c: Column, n: Int): Column = col(NGramHashes(GraftBridge.expression(c), n))
+  def ngram_hashes_all(c: Column, n: Int): Column = col(NGramHashesAll(GraftBridge.expression(c), n))
 }

@@ -670,10 +670,13 @@ object TextOps {
     */
   def spanDecontamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.functions.TextHashes.ngram_hashes
+    import graft.functions.TextHashes.ngram_hashes_all
     val docs = documents(s, dir)
+    // ngram_hashes_all, NOT ngram_hashes: the membership form dedups
+    // grams, so posexplode over it shifts positions one past a doc's
+    // first repeated gram (the sf0.1 sweep caught 2 such docs).
     val hits = docs.filter($"doc_id" % 97 =!= 0)
-      .select($"doc_id", posexplode(ngram_hashes($"text", 4)))
+      .select($"doc_id", posexplode(ngram_hashes_all($"text", 4)))
       .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("g"))
       .join(CorpusIndexes.benchGrams(s, dir), "g")
     val w = Window.partitionBy($"doc_id").orderBy($"pos")

@@ -194,4 +194,22 @@ class GraftFunctionsSpec extends AnyFunSuite {
     val bad = diff.collect()
     assert(bad.isEmpty, bad.take(3).mkString("\n"))
   }
+
+  test("ngram_hashes_all is positional; the distinct form loses positions past a dup") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.functions.TextHashes.{ngram_hashes, ngram_hashes_all}
+    // "a b a b a b c" has repeated 2-grams: distinct list is shorter
+    // and its insertion order diverges from positions after the dup
+    val df = Seq((1L, "a b a b a b c")).toDF("doc_id", "text")
+    val r = df.select(ngram_hashes_all($"text", 2).as("all"),
+        ngram_hashes($"text", 2).as("dist"))
+      .collect().head
+    val all = r.getSeq[Long](0)
+    val dist = r.getSeq[Long](1)
+    assert(all.length == 6, "7 tokens -> 6 positional 2-grams")
+    assert(dist.length == 3, "only 3 distinct 2-grams (ab, ba, bc)")
+    assert(all.toSet == dist.toSet, "same gram value set")
+    assert(all(0) == all(2) && all(1) == all(3), "positional form keeps dups")
+  }
 }
