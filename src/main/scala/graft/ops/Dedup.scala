@@ -596,10 +596,36 @@ object Dedup {
     */
   def piiAdmission(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
     import s.implicits._
-    val staged = stagedAdmission(s, dir, cap)
-    val survivors = staged.filter($"admit").select($"doc_id")
-    val pii = TextOps.piiScan(
-        TextOps.piiFixture(s, dir).join(survivors, "doc_id"), "text")
+    assemblePiiVerdict(stagedAdmission(s, dir, cap),
+        survivors => TextOps.piiScan(
+          TextOps.piiFixture(s, dir).join(survivors, "doc_id"), "text"))
+      .orderBy($"doc_id")
+  }
+
+  /** The frame-level d28 core — the staged cascade plus the PII gate
+    * over ONE (doc_id, text) frame, against a prebuilt index: the form
+    * the streaming door runs per micro-batch (every verdict depends
+    * only on its own doc vs the static sidecars, so per-batch runs
+    * compose to this batch form bit for bit). Unsorted.
+    */
+  def piiAdmissionProbeIndexed(newDocs: DataFrame, idx: TextProbeIndex,
+                               benchGrams: DataFrame): DataFrame = {
+    val s = newDocs.sparkSession
+    import s.implicits._
+    assemblePiiVerdict(stagedAdmissionProbeIndexed(newDocs, idx, benchGrams),
+      survivors => TextOps.piiScan(newDocs.join(survivors, "doc_id"), "text"))
+  }
+
+  /** Shared d28 verdict assembly: run `scanSurvivors` on the staged
+    * cascade's admits only (cascade honesty — the regex pass is paid
+    * by documents that cleared every cheaper gate), then extend the
+    * verdict with the 'pii' stage.
+    */
+  private def assemblePiiVerdict(staged: DataFrame,
+      scanSurvivors: DataFrame => DataFrame): DataFrame = {
+    val s = staged.sparkSession
+    import s.implicits._
+    val pii = scanSurvivors(staged.filter($"admit").select($"doc_id"))
       .select($"doc_id", $"n_emails", $"n_phones", $"n_ipv4")
     staged.join(pii, Seq("doc_id"), "left")
       .withColumn("probed_pii", $"n_emails".isNotNull)
@@ -608,7 +634,6 @@ object Dedup {
           when($"n_emails" + $"n_phones" > 0, "pii")).as("reject_stage"),
         $"n_emails", $"n_phones", $"n_ipv4", $"probed_pii",
         ($"probed_pii" && ($"n_emails" + $"n_phones" === 0)).as("admit"))
-      .orderBy($"doc_id")
   }
 
   /** COMPACT the durable probe index: rewrite each of the three probe

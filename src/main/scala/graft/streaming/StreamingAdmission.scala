@@ -64,4 +64,28 @@ object StreamingAdmission {
       .option("checkpointLocation", checkpointDir)
       .start()
   }
+
+  /** The d28 form of the door: the staged cascade PLUS the
+    * survivors-only PII gate per micro-batch (email/phone hits reject
+    * at stage 'pii'; IPv4 counts carry to the redact step). Same
+    * composition and exactly-once conventions as [[run]] — every
+    * verdict depends only on its own document versus the static
+    * sidecars, so streamed batches union to the batch
+    * `Dedup.piiAdmissionProbeIndexed` bit for bit.
+    */
+  def runPii(docs: DataFrame, histDocs: DataFrame, benchGrams: DataFrame,
+             outDir: String, checkpointDir: String,
+             indexDir: Option[String] = None): StreamingQuery = {
+    val idx = indexDir
+      .map(d => graft.ops.Dedup.loadTextProbeIndex(docs.sparkSession, d))
+      .getOrElse(graft.ops.Dedup.buildTextProbeIndex(histDocs, materialize = true))
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Dedup.piiAdmissionProbeIndexed(batch, idx, benchGrams)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
 }

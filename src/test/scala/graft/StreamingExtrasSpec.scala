@@ -256,6 +256,62 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(batchRun.except(streamed).count() == 0)
   }
 
+  test("StreamingAdmission.runPii composes to batch d28 and replays exactly-once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // Arriving docs carry the planted-PII fixture text (the t33
+    // discipline); the history stays the original corpus slice.
+    val docs = Tables.documents(spark, TestSpark.sfDir).select($"doc_id", $"text")
+    val hist = docs.filter($"doc_id" % 5 =!= 0).localCheckpoint()
+    val benchGrams = Tables.documents(spark, TestSpark.sfDir)
+      .filter($"doc_id" % 97 === 0)
+      .select(explode(
+        graft.functions.TextHashes.ngram_hashes($"text", 4)).as("g"))
+      .distinct().localCheckpoint()
+    val arriving = graft.ops.TextOps.piiFixture(spark, TestSpark.sfDir)
+      .filter($"doc_id" % 5 === 0)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val batches = Seq(
+      arriving.take(arriving.length / 3),
+      arriving.slice(arriving.length / 3, arriving.length / 2),
+      arriving.drop(arriving.length / 2))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_spii_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_spii_out").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    def start() = graft.streaming.StreamingAdmission
+      .runPii(stream, hist, benchGrams, out, ckpt)
+
+    val q1 = start()
+    try {
+      input.addData(batches(0).toSeq); q1.processAllAvailable()
+      input.addData(batches(1).toSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    // force an at-least-once replay of the last batch
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.1.crc")
+    if (crc.exists()) assert(crc.delete())
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      input.addData(batches(2).toSeq); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val newDocsDF = graft.ops.TextOps.piiFixture(spark, TestSpark.sfDir)
+      .filter($"doc_id" % 5 === 0).localCheckpoint()
+    val batchRun = graft.ops.Dedup.piiAdmissionProbeIndexed(newDocsDF,
+      graft.ops.Dedup.buildTextProbeIndex(hist), benchGrams)
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    assert(streamed.count() == batchRun.count())
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+    // the pii arm must really fire on streamed verdicts
+    assert(streamed.filter($"reject_stage" === "pii").count() > 0)
+  }
+
   test("streaming image dedup: foreachBatch probes compose to the batch m13 result") {
     val spark = TestSpark.spark
     import spark.implicits._
