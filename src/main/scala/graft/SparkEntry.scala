@@ -78,6 +78,11 @@ object SparkEntry {
     // e15 = dwell-time profile per transition (integer-µs gaps, exact
     // mean) — e14's latency companion, the funnel's timing surface.
     "e15_dwell"              -> (EventOps.transitionDwell _),
+    // e18 = session features: per (user, gap-session) the count,
+    // integer-µs duration, type count (collect_set, no Expand),
+    // conversion flag, exact decimal value sum — the model-facing
+    // feature table from e03's one pass.
+    "e18_session_features"   -> (EventOps.sessionFeatures _),
     // e17 = e15's tail view: exact p50/p90/p99 dwell per transition
     // (q14 percentile discipline) + an approx_percentile 5%-gate
     // (t07 pattern) — the certificate arm over the sketch the 100 TB
@@ -530,6 +535,27 @@ object SparkEntry {
             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
           FROM marked)
         SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start, count(*) AS n
+        FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start""",
+      // e18: e03's gaps-and-islands sessionization carrying type/value
+      // through; decimal sum -> VARCHAR -> DOUBLE per the q01/DuckDB
+      // rounding discipline.
+      "e18_session_features" -> """
+        WITH marked AS (
+          SELECT user_id, ts, event_type, value,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '10 minutes'
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        numbered AS (
+          SELECT user_id, ts, event_type, value,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked)
+        SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+          count(*) AS n_events,
+          epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+          CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS has_purchase,
+          CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start""",
       "e04_json_stats" -> """
         SELECT event_type, count(*) AS n,

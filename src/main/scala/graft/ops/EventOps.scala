@@ -428,6 +428,39 @@ object EventOps {
       .orderBy($"from_type", $"to_type")
   }
 
+  /** e18 — session FEATURES: e03 counts sessions; models consume
+    * session-level feature rows — per (user, 10-minute-gap session)
+    * the event count, wall-clock duration in integer µs, distinct
+    * event-type count, a conversion flag, and the exact value sum.
+    * The churn/propensity feature table, derived in the one pass e03
+    * already pays.
+    *
+    * Exactness: duration is integer µs (the micros discipline), the
+    * type count is `size(collect_set(...))` — bounded by |types|, and
+    * NO Expand: mixing countDistinct with other aggregates doubles
+    * every input row through an Expand node (the t07 lesson) — and the
+    * value sum runs in DECIMAL(18,4) before one final double cast
+    * (the q01 discipline), so every column is shuffle-order-exact.
+    *
+    * Scale shape: one shuffle on user_id into the session window, the
+    * same as e03; all features are per-group aggregates of that one
+    * pass.
+    */
+  def sessionFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(session_window($"ts", "10 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (micros(max($"ts")) - micros(min($"ts"))).as("duration_us"),
+        size(collect_set($"event_type")).cast("long").as("n_types"),
+        (sum(when($"event_type" === "purchase", 1L).otherwise(0L)) > 0L)
+          .as("has_purchase"),
+        sum(dec($"value")).cast("double").as("sum_value"))
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"n_events", $"duration_us", $"n_types", $"has_purchase", $"sum_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
   /** e16 — windowed top-k ("trending"): per tumbling day, the top-3
     * event types by count with their share of the day's volume. The
     * leaderboard shape every monitoring surface wants from an event

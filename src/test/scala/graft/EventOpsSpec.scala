@@ -80,6 +80,25 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got.toSeq == expected)
   }
 
+  test("e18 session features agree with e03's sessionization and bound sanely") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val feat = graft.ops.EventOps.sessionFeatures(spark, TestSpark.sfDir).collect()
+      .map(r => ((r.getLong(0), r.get(1).toString),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    val e03 = graft.ops.EventOps.sessions(spark, TestSpark.sfDir).collect()
+      .map(r => ((r.getLong(0), r.get(1).toString), r.getLong(2))).toMap
+    // same sessions, same event counts
+    assert(feat.keySet == e03.keySet && feat.nonEmpty)
+    feat.foreach { case (k, (n, dur, nTypes, _)) =>
+      assert(n == e03(k), s"$k: n_events")
+      assert(dur >= 0 && (n > 1 || dur == 0), s"$k: duration")
+      assert(nTypes >= 1 && nTypes <= math.min(n, 5), s"$k: n_types")
+    }
+    assert(feat.values.exists(_._4) && feat.values.exists(!_._4),
+      "both conversion outcomes must occur")
+  }
+
   test("e17 dwell percentiles equal a driver-side interpolation; rank gate holds") {
     val spark = TestSpark.spark
     import spark.implicits._
