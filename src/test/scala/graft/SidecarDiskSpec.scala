@@ -249,6 +249,30 @@ class SidecarDiskSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("probe-index lifecycle: refresh and compact interleave without drift") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val docs = Tables.documents(s, TestSpark.sfDir).select($"doc_id", $"text")
+    val hist = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val days = (0 to 3).map(k => hist.filter($"doc_id" % 4 === k))
+    val dir = java.nio.file.Files.createTempDirectory("graft-probe-life").toString
+    // day 0 snapshot, then: refresh, compact, refresh, compact —
+    // the cadence a quarter of daily crawls actually runs
+    graft.ops.Dedup.persistTextProbeIndex(days(0), dir)
+    graft.ops.Dedup.refreshTextProbeIndex(days(1), dir)
+    graft.ops.Dedup.compactTextProbeIndex(s, dir)
+    graft.ops.Dedup.refreshTextProbeIndex(days(2), dir)
+    graft.ops.Dedup.compactTextProbeIndex(s, dir)
+    graft.ops.Dedup.refreshTextProbeIndex(days(3), dir)
+    val lived = rows(graft.ops.Dedup.multiSignalProbeIndexed(batch,
+      graft.ops.Dedup.loadTextProbeIndex(s, dir)).orderBy($"doc_id"))
+    val scratch = rows(graft.ops.Dedup.multiSignalProbeIndexed(batch,
+      graft.ops.Dedup.buildTextProbeIndex(hist)).orderBy($"doc_id"))
+    assert(lived == scratch && lived.nonEmpty,
+      "interleaved refresh/compact must equal a from-scratch build")
+  }
+
   test("compactSidecars leaves every consumer result unchanged, one file per bucket") {
     val base = TestSpark.spark
     val before = rows(SparkEntry.queries("d04_shingle_jaccard")(diskSession(), TestSpark.sfDir))
