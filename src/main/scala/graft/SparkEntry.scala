@@ -128,6 +128,10 @@ object SparkEntry {
     // d18 = sketch-accuracy audit: MinHash-estimated vs true token
     // Jaccard on the d08 candidate pairs.
     "d18_mh_accuracy"        -> ((s, d) => Dedup.minhashAccuracy(s, d)),
+    // d29 = LSH threshold calibration over the d18 pair audit: per τ
+    // the estimator's pass count, true count, precision, and the
+    // theoretical (r=3, b=4) S-curve — the index-tuning read.
+    "d29_lsh_calibration"    -> ((s, d) => Dedup.lshThresholdCalibration(s, d)),
     // d19 = the dedup outcome: per cluster, kept representative +
     // members collapsed + characters removed from the corpus.
     "d19_dedup_report"       -> ((s, d) => Dedup.dedupMaterialize(s, d)),
@@ -2070,6 +2074,49 @@ object SparkEntry {
         JOIN tok ta ON ta.doc_id = p.doc_a
         JOIN tok tb ON tb.doc_id = p.doc_b
         ORDER BY doc_a, doc_b""",
+      // d29: the d18 pair CTEs + a 9-point tau grid; the S-curve is
+      // explicit products (pow is not correctly-rounded in either
+      // engine), written with the same association as the Spark expr.
+      "d29_lsh_calibration" -> """
+        WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+                    FROM documents),
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        small AS (SELECT j, bkey FROM bands GROUP BY j, bkey
+                  HAVING count(*) <= 64 AND count(*) > 1),
+        inb AS (SELECT b.* FROM bands b JOIN small s ON b.j = s.j AND b.bkey = s.bkey),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        tok AS (SELECT doc_id, list_distinct(th) AS tok FROM tk),
+        pj AS (SELECT p.doc_a, p.doc_b,
+                 CAST(len(list_filter(generate_series(1, 12), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 12
+                   AS est_jaccard,
+                 CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE) /
+                   (len(ta.tok) + len(tb.tok) - len(list_intersect(ta.tok, tb.tok))) AS true_jaccard
+               FROM pairs p
+               JOIN sig sa ON sa.doc_id = p.doc_a
+               JOIN sig sb ON sb.doc_id = p.doc_b
+               JOIN tok ta ON ta.doc_id = p.doc_a
+               JOIN tok tb ON tb.doc_id = p.doc_b),
+        grid AS (SELECT CAST(i AS DOUBLE) / 10.0 AS tau
+                 FROM (SELECT unnest(generate_series(1, 9)) AS i) g)
+        SELECT tau, count(*) AS n_candidates,
+          CAST(sum(CASE WHEN est_jaccard >= tau THEN 1 ELSE 0 END) AS BIGINT) AS n_est_ge,
+          CAST(sum(CASE WHEN true_jaccard >= tau THEN 1 ELSE 0 END) AS BIGINT) AS n_true_ge,
+          CAST(sum(CASE WHEN est_jaccard >= tau AND true_jaccard >= tau THEN 1 ELSE 0 END) AS BIGINT) AS n_both_ge,
+          CASE WHEN sum(CASE WHEN est_jaccard >= tau THEN 1 ELSE 0 END) > 0
+               THEN CAST(CAST(sum(CASE WHEN est_jaccard >= tau AND true_jaccard >= tau THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+                    / CAST(CAST(sum(CASE WHEN est_jaccard >= tau THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) END AS precision,
+          1.0 - ((1.0 - tau*tau*tau) * (1.0 - tau*tau*tau)) *
+                ((1.0 - tau*tau*tau) * (1.0 - tau*tau*tau)) AS collision_prob
+        FROM pj CROSS JOIN grid
+        GROUP BY tau ORDER BY tau""",
       "d04_shingle_jaccard" -> """
         WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
                       t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th

@@ -1311,6 +1311,49 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** d29 — LSH THRESHOLD calibration: the tuning read before a dedup
+    * campaign picks its Jaccard bar. Over the d18 pair audit, for each
+    * τ in 0.1 … 0.9: how many candidates the estimator would pass
+    * (est ≥ τ), how many are truly ≥ τ, the precision of the
+    * estimator's cut, and the THEORETICAL banded-LSH collision
+    * probability 1 − (1 − τ^r)^b at this index's (r=3, b=4) — the
+    * S-curve whose inflection tells you which τ this banding actually
+    * selects for. Reading precision against the S-curve is how the
+    * signature width / band shape gets chosen ("measure, don't
+    * guess" applied to the index's own operating point).
+    *
+    * Exactness: counts + one divide per row; the S-curve is plain
+    * literal multiplication (τ·τ·τ, squared twice) — `pow` is not
+    * correctly-rounded in either engine, explicit products are.
+    *
+    * Scale shape: the pair table is the capped candidate set; the τ
+    * grid is a 9-element per-row explode (no join), and the output is
+    * 9 rows at any corpus size.
+    */
+  def lshThresholdCalibration(s: SparkSession, dir: String,
+                              cap: Int = 64): DataFrame = {
+    import s.implicits._
+    minhashAccuracy(s, dir, cap)
+      .select($"est_jaccard", $"true_jaccard",
+        explode(expr("sequence(1, 9)")).as("i"))
+      .withColumn("tau", $"i".cast("double") / 10.0)
+      .groupBy($"i", $"tau")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(($"est_jaccard" >= $"tau").cast("long")).as("n_est_ge"),
+        sum(($"true_jaccard" >= $"tau").cast("long")).as("n_true_ge"),
+        sum(($"est_jaccard" >= $"tau" && $"true_jaccard" >= $"tau")
+          .cast("long")).as("n_both_ge"))
+      .withColumn("precision",
+        when($"n_est_ge" > 0,
+          $"n_both_ge".cast("double") / $"n_est_ge".cast("double")))
+      .withColumn("collision_prob", expr(
+        "1.0 - ((1.0 - tau*tau*tau) * (1.0 - tau*tau*tau)) * " +
+          "((1.0 - tau*tau*tau) * (1.0 - tau*tau*tau))"))
+      .select($"tau", $"n_candidates", $"n_est_ge", $"n_true_ge",
+        $"n_both_ge", $"precision", $"collision_prob")
+      .orderBy($"tau")
+  }
+
   /** d23 — cluster-tightness audit: the methodological check on the
     * d11/d19 clustering family. Connected components is SINGLE-LINKAGE
     * clustering, and single linkage chains: A≈B and B≈C put A and C in

@@ -928,6 +928,31 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("d29 lsh calibration: monotone counts, S-curve, and a driver recount") {
+    val spark = TestSpark.spark
+    val rows = graft.ops.Dedup.lshThresholdCalibration(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) Double.NaN else r.getDouble(5), r.getDouble(6)))
+      .sortBy(_._1)
+    assert(rows.length == 9)
+    val pairs = graft.ops.Dedup.minhashAccuracy(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    rows.foreach { case (tau, n, ne, nt, nb, prec, coll) =>
+      assert(n == pairs.length)
+      assert(ne == pairs.count(_._1 >= tau) && nt == pairs.count(_._2 >= tau))
+      assert(nb == pairs.count(p => p._1 >= tau && p._2 >= tau))
+      assert(nb <= math.min(ne, nt))
+      if (ne > 0) assert(prec == nb.toDouble / ne.toDouble)
+      val t3 = tau * tau * tau
+      assert(coll == 1.0 - ((1.0 - t3) * (1.0 - t3)) * ((1.0 - t3) * (1.0 - t3)))
+    }
+    // thresholds only tighten: pass counts fall, collision prob rises
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 >= b._3 && a._4 >= b._4 && a._7 <= b._7)
+    case _ => }
+  }
+
   test("t35 calibration: quartiles partition each source with ordered quality ranges") {
     val spark = TestSpark.spark
     import spark.implicits._
