@@ -636,6 +636,29 @@ object Dedup {
         ($"probed_pii" && ($"n_emails" + $"n_phones" === 0)).as("admit"))
   }
 
+  /** SHIP the deduplicated corpus: apply the d27 decision table and
+    * write the surviving documents as source-partitioned parquet under
+    * `outDir` — the artifact a training run actually reads. Documents
+    * never implicated in a near-dup cluster pass through; implicated
+    * documents survive only as their cluster's quality-argmax
+    * canonical. Partitioning by `source` makes the downstream mixing
+    * reads (t27's per-source budgets, t18's stratified sampling)
+    * partition-pruned scans instead of full passes.
+    *
+    * Scale shape: one anti-join of the corpus against the d27 drop set
+    * (label-sidecar-sized, broadcastable), then a partitioned write —
+    * nothing shuffles but the drop list.
+    */
+  def writeCuratedCorpus(s: SparkSession, dir: String, outDir: String,
+                         cap: Int = 64): Unit = {
+    import s.implicits._
+    val dropped = canonicalSelection(s, dir, cap)
+      .filter(!$"kept").select($"doc_id")
+    documents(s, dir)
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("source").parquet(outDir)
+  }
+
   /** COMPACT the durable probe index: rewrite each of the three probe
     * tables to one file per bucket. Every [[refreshTextProbeIndex]]
     * append adds a file per bucket per day; after a quarter of daily

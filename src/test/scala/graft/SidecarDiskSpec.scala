@@ -273,6 +273,32 @@ class SidecarDiskSpec extends AnyFunSuite {
       "interleaved refresh/compact must equal a from-scratch build")
   }
 
+  test("writeCuratedCorpus ships exactly the d27 survivors, partition-pruned by source") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-curated").toString
+    graft.ops.Dedup.writeCuratedCorpus(s, TestSpark.sfDir, out)
+    val decision = graft.ops.Dedup.canonicalSelection(s, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val allIds = Tables.documents(s, TestSpark.sfDir)
+      .select($"doc_id").as[Long].collect().toSet
+    val expect = allIds.filter(id => decision.getOrElse(id, true))
+    val shipped = s.read.parquet(out)
+    assert(shipped.select($"doc_id").as[Long].collect().toSet == expect)
+    assert(expect.size < allIds.size, "some documents must actually drop")
+    // source partitioning really prunes: a one-source read scans a
+    // strict subset of the files
+    val one = s.read.parquet(out).filter($"source" === "src0")
+    one.collect()
+    val scanned = scans(one.queryExecution.executedPlan)
+    assert(scanned.nonEmpty && scanned.forall(_.metadata("Location").contains(out)))
+    val total = new java.io.File(out).listFiles().count(_.getName.startsWith("source="))
+    assert(total > 1, "multiple source partitions must exist")
+    assert(one.queryExecution.executedPlan.toString.contains("source=") ||
+      scanned.exists(_.partitionFilters.nonEmpty),
+      "the source predicate must reach the scan as a partition filter")
+  }
+
   test("compactSidecars leaves every consumer result unchanged, one file per bucket") {
     val base = TestSpark.spark
     val before = rows(SparkEntry.queries("d04_shingle_jaccard")(diskSession(), TestSpark.sfDir))
