@@ -163,6 +163,9 @@ object SparkEntry {
     // the t33 PII scan over SURVIVORS only — email/phone hits reject
     // at stage 'pii', IPv4 counts carry to the redact step.
     "d28_pii_admission"      -> ((s, d) => Dedup.piiAdmission(s, d)),
+    // d30 = d27 rolled up per source in TOKENS — the dedup savings in
+    // the mixture planner's currency; |sources| rows out.
+    "d30_savings_by_source"  -> ((s, d) => Dedup.dedupSavingsBySource(s, d)),
     // d27 = the dedup DECISION table: per implicated doc the keep/drop
     // verdict with the quality-argmax canonical survivor (tie → min
     // doc_id) — the apply-step artifact downstream filters join on.
@@ -1908,6 +1911,57 @@ object SparkEntry {
           (p.doc_id IS NOT NULL AND p.n_emails + p.n_phones = 0) AS admit
         FROM staged s LEFT JOIN pii p ON s.doc_id = p.doc_id
         ORDER BY s.doc_id""",
+      // d30: the d27 decision CTEs rolled up per source in tokens;
+      // unimplicated docs have NULL kept, which the CASE treats as
+      // kept (null <> false), matching the Spark left join.
+      "d30_savings_by_source" -> """
+        WITH RECURSIVE
+        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+               FROM documents),
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        small AS (SELECT j, bkey FROM bands GROUP BY j, bkey
+                  HAVING count(*) <= 64 AND count(*) > 1),
+        inb AS (SELECT b.* FROM bands b JOIN small s ON b.j = s.j AND b.bkey = s.bkey),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+        lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+                FROM walk GROUP BY node),
+        q AS (SELECT doc_id,
+                0.4 * (1.0 - CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t))
+                  + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+                  + 0.3 * least(len(t) / 50.0, 1.0) AS quality
+              FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+                    FROM documents) x),
+        j AS (SELECT lab.doc_id, lab.cluster_id, q.quality
+              FROM lab JOIN q ON lab.doc_id = q.doc_id),
+        dec AS (SELECT doc_id,
+                  doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
+                    ORDER BY quality DESC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                    AS kept
+                FROM j),
+        tokc AS (SELECT source, doc_id,
+                   CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+                 FROM documents)
+        SELECT t.source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN d.kept = false THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+          CAST(sum(CASE WHEN d.kept = false THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_dropped,
+          CAST(sum(CASE WHEN d.kept = false THEN 0 ELSE n_tokens END) AS BIGINT) AS tokens_kept
+        FROM tokc t LEFT JOIN dec d ON t.doc_id = d.doc_id
+        GROUP BY t.source ORDER BY t.source""",
       // d27: d11's cluster walk joined with the t02 quality expression
       // (evaluated in the t02 order, bit-reproducible), canonical =
       // first_value over (quality DESC, doc_id ASC) per cluster.

@@ -636,6 +636,35 @@ object Dedup {
         ($"probed_pii" && ($"n_emails" + $"n_phones" === 0)).as("admit"))
   }
 
+  /** d30 — dedup savings BY SOURCE, in tokens: the d27 decision table
+    * rolled up into the currency the mixture planner (t27) budgets in.
+    * Per source: total docs, docs dropped as non-canonical cluster
+    * members, tokens dropped with them, tokens remaining. d19 reports
+    * savings per CLUSTER in characters; a campaign negotiates with its
+    * feeds per SOURCE in tokens — a source whose tokens_dropped share
+    * is high is a feed being paid for twice.
+    *
+    * Scale shape: the drop set is label-sidecar-sized (broadcast); one
+    * narrow corpus scan with a left join against it, |sources| rows
+    * out.
+    */
+  def dedupSavingsBySource(s: SparkSession, dir: String,
+                           cap: Int = 64): DataFrame = {
+    import s.implicits._
+    val dropped = canonicalSelection(s, dir, cap)
+      .filter(!$"kept").select($"doc_id").withColumn("is_dropped", lit(true))
+    documents(s, dir)
+      .select($"source", $"doc_id",
+        size(split($"text", "\\s+")).cast("long").as("n_tokens"))
+      .join(broadcast(dropped), Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"is_dropped", 1L).otherwise(0L)).as("n_dropped"),
+        sum(when($"is_dropped", $"n_tokens").otherwise(0L)).as("tokens_dropped"),
+        sum(when($"is_dropped", 0L).otherwise($"n_tokens")).as("tokens_kept"))
+      .orderBy($"source")
+  }
+
   /** SHIP the deduplicated corpus: apply the d27 decision table and
     * write the surviving documents as source-partitioned parquet under
     * `outDir` — the artifact a training run actually reads. Documents

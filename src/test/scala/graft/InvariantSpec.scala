@@ -928,6 +928,27 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("d30 savings by source: conserves docs and tokens against d27") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = graft.ops.Dedup.dedupSavingsBySource(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val nDropped27 = graft.ops.Dedup.canonicalSelection(spark, TestSpark.sfDir)
+      .filter(!$"kept").count()
+    assert(rows.map(_._3).sum == nDropped27, "drop counts must match d27")
+    val totals = graft.Tables.documents(spark, TestSpark.sfDir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum(size(split($"text", "\\s+")).cast("long")).as("tok"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { case (src, n, nd, td, tkKept) =>
+      val (nAll, tokAll) = totals(src)
+      assert(n == nAll && nd <= n)
+      assert(td + tkKept == tokAll, s"$src: token conservation")
+    }
+  }
+
   test("d29 lsh calibration: monotone counts, S-curve, and a driver recount") {
     val spark = TestSpark.spark
     val rows = graft.ops.Dedup.lshThresholdCalibration(spark, TestSpark.sfDir)
