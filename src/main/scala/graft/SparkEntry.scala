@@ -78,6 +78,9 @@ object SparkEntry {
     // e15 = dwell-time profile per transition (integer-µs gaps, exact
     // mean) — e14's latency companion, the funnel's timing surface.
     "e15_dwell"              -> (EventOps.transitionDwell _),
+    // e19 = e11's distribution view: per funnel transition the exact
+    // p50/p90 per-user conversion lag in integer µs (q14 discipline).
+    "e19_funnel_lags"        -> (EventOps.funnelLagPercentiles _),
     // e18 = session features: per (user, gap-session) the count,
     // integer-µs duration, type count (collect_set, no Expand),
     // conversion flag, exact decimal value sum — the model-facing
@@ -344,6 +347,10 @@ object SparkEntry {
     // adapted centroids, probe the query's cell — train → serve,
     // the production loop closed under the oracle.
     "s19_trained_ivf"        -> ((s, d) => Similarity.ivfTrainedKnn(s, d)),
+    // s21 = tombstone-aware serving: the s04 probe with the deletion
+    // slice anti-joined BEFORE the rank window — deleted vectors never
+    // resurface and ranks close up from the same cell.
+    "s21_tombstone_knn"      -> ((s, d) => Similarity.tombstoneIvfKnn(s, d)),
     // s20 = filtered vector search: same-label top-5 through a 2-probe
     // IVF (probe widened BEFORE the label filter, never post-filtered)
     // — deterministic, oracle replays the whole probe.
@@ -615,6 +622,28 @@ object SparkEntry {
             AS sum_click_to_purchase_us
         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
                 LEFT JOIN s3 ON s1.user_id = s3.user_id""",
+      // e19: e11's stage CTEs, per-user lags, quantile_cont (the q14
+      // convention).
+      "e19_funnel_lags" -> """
+        WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+               JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+               JOIN s2 ON e.user_id = s2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+        lags AS (SELECT 'view_to_click' AS stage,
+                   epoch_us(s2.t2) - epoch_us(s1.t1) AS lag_us
+                 FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+                 UNION ALL
+                 SELECT 'click_to_purchase' AS stage,
+                   epoch_us(s3.t3) - epoch_us(s2.t2) AS lag_us
+                 FROM s2 JOIN s3 ON s2.user_id = s3.user_id)
+        SELECT stage, count(*) AS n_users,
+          quantile_cont(lag_us, 0.5) AS p50_us,
+          quantile_cont(lag_us, 0.9) AS p90_us
+        FROM lags GROUP BY stage ORDER BY stage""",
       "e12_retention" -> """
         WITH first AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
                        FROM events GROUP BY user_id),
@@ -1203,6 +1232,28 @@ object SparkEntry {
           FROM q JOIN assigned a ON a.cell_id = q.q_cell AND a.vec_id <> q.q_id) t
         WHERE r <= 5
         ORDER BY q_id, rank""",
+      // s21: the s04 CTEs with the tombstone slice excluded inside the
+      // probe (vec_id % 11 <> 3), before the rank window.
+      "s21_tombstone_knn" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings),
+        cb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        assigned AS (SELECT vec_id, v, nrm, cell_id FROM (
+          SELECT e.vec_id, e.v, e.nrm, cb.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) DESC, cb.cell_id) AS arank
+          FROM e CROSS JOIN cb) t WHERE arank = 1),
+        q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cell_id AS q_cell
+              FROM assigned WHERE vec_id < 5)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q.q_id, a.vec_id,
+            list_dot_product(q.qv, a.v) / (q.qnrm * a.nrm) AS cos,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY list_dot_product(q.qv, a.v) / (q.qnrm * a.nrm) DESC, a.vec_id) AS rank
+          FROM q JOIN assigned a ON a.cell_id = q.q_cell AND a.vec_id <> q.q_id
+          WHERE a.vec_id % 11 <> 3) t
+        WHERE rank <= 5 ORDER BY q_id, rank""",
       // s20: the s04 assignment CTE + labels; queries take their TWO
       // nearest cells (arank <= 2), label filter inside the probe.
       "s20_filtered_knn" -> """

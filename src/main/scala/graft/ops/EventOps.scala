@@ -428,6 +428,41 @@ object EventOps {
       .orderBy($"from_type", $"to_type")
   }
 
+  /** e19 — funnel LAG percentiles: e11 reports stage populations and
+    * lag SUMS; product analytics reads the distribution — per funnel
+    * stage transition (view→click, click→purchase) the exact
+    * interpolated p50/p90 of per-user conversion lag in integer µs,
+    * plus the population. Same stage frames as e11 (first view, first
+    * qualifying click strictly after it, first qualifying purchase),
+    * so the stage semantics provably match the funnel's.
+    *
+    * Scale shape: e11's co-partitioned user_id chain down to per-user
+    * lag rows, then a 2-group exact percentile — the q14 certificate
+    * arm over the sketch a 100 TB run would use.
+    */
+  def funnelLagPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select($"user_id", $"event_type", $"ts")
+    val s1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val s2 = ev.filter($"event_type" === "click")
+      .join(s1, Seq("user_id")).filter($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val s3 = ev.filter($"event_type" === "purchase")
+      .join(s2, Seq("user_id")).filter($"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    val lags =
+      s1.join(s2, Seq("user_id")).select(lit("view_to_click").as("stage"),
+          (micros($"t2") - micros($"t1")).as("lag_us"))
+        .union(s2.join(s3, Seq("user_id")).select(lit("click_to_purchase").as("stage"),
+          (micros($"t3") - micros($"t2")).as("lag_us")))
+    lags.groupBy($"stage")
+      .agg(count(lit(1)).as("n_users"),
+        expr("percentile(lag_us, 0.5D)").as("p50_us"),
+        expr("percentile(lag_us, 0.9D)").as("p90_us"))
+      .orderBy($"stage")
+  }
+
   /** e18 — session FEATURES: e03 counts sessions; models consume
     * session-level feature rows — per (user, 10-minute-gap session)
     * the event count, wall-clock duration in integer µs, distinct

@@ -180,6 +180,36 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** s21 — TOMBSTONE-aware serving: a production index absorbs
+    * deletions between rebuilds as a tombstone set; until the next
+    * compaction every query must exclude tombstoned vectors AND the
+    * ranks must close up behind them (a deleted vector silently
+    * re-surfacing is a correctness incident, a short result list is an
+    * SLA one). Here the tombstone set is a deterministic slice
+    * (vec_id % 11 = 3 — "one in eleven deleted since the snapshot")
+    * anti-joined INSIDE the probe before the rank window, so top-k
+    * backfills from the same cell; deterministic end to end, the
+    * oracle replays it.
+    *
+    * Scale shape: s04's probe with one broadcast anti-join against the
+    * tombstone list (tiny by nature — deletions since the last rebuild);
+    * nothing else changes, which is precisely the point: tombstoning
+    * composes onto any of the index family's probes.
+    */
+  def tombstoneIvfKnn(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val assigned = ivfAssigned(s, dir)
+    val live = assigned.filter($"vec_id" % 11 =!= 3)
+    val q = assigned.filter($"vec_id" < 5).toDF("q_id", "q_emb", "q_nrm", "q_cell")
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    live.join(q.hint("merge"), $"cell_id" === $"q_cell" && $"vec_id" =!= $"q_id")
+      .withColumn("cos", cosinePrenormed(vec_dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
   def ivfKnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val assigned = ivfAssigned(s, dir)

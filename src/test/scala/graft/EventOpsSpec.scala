@@ -80,6 +80,20 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got.toSeq == expected)
   }
 
+  test("e19 funnel lag populations equal e11's stage counts") {
+    val spark = TestSpark.spark
+    val lags = graft.ops.EventOps.funnelLagPercentiles(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val f = graft.ops.EventOps.funnel(spark, TestSpark.sfDir).collect().head
+    val (clickUsers, purchaseUsers) = (f.getLong(1), f.getLong(2))
+    assert(lags("view_to_click")._1 == clickUsers)
+    assert(lags("click_to_purchase")._1 == purchaseUsers)
+    lags.values.foreach { case (n, p50, p90) =>
+      assert(n > 0 && p50 <= p90 && p50 >= 0.0)
+    }
+  }
+
   test("e18 session features agree with e03's sessionization and bound sanely") {
     val spark = TestSpark.spark
     import spark.implicits._

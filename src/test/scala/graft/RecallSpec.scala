@@ -458,6 +458,25 @@ class RecallSpec extends AnyFunSuite {
     assert(r.getAs[Double]("jaccard") < 0.3)
   }
 
+  test("s21 tombstone serving: deleted ids never surface, ranks close up over s04") {
+    val spark0 = spark
+    val s21 = graft.ops.Similarity.tombstoneIvfKnn(spark0, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(s21.nonEmpty)
+    assert(s21.forall(_._3 % 11 != 3), "a tombstoned vector resurfaced")
+    val s04 = graft.ops.Similarity.ivfKnn(spark0, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byQ21 = s21.groupBy(_._1).map { case (q, v) => q -> v.sortBy(_._2).map(_._3) }
+    val byQ04 = s04.groupBy(_._1).map { case (q, v) => q -> v.sortBy(_._2).map(_._3) }
+    assert(byQ21.keySet == byQ04.keySet)
+    byQ04.foreach { case (q, ids04) =>
+      val expect = ids04.filter(_ % 11 != 3)
+      // the live prefix of s04's ranking must survive as s21's prefix
+      assert(byQ21(q).take(expect.length).sameElements(expect),
+        s"q$q: live s04 order must be preserved with ranks closed up")
+    }
+  }
+
   test("s20 filtered search: label-pure, 2-probe dominates 1-probe vs filtered exact") {
     val spark0 = spark
     import spark0.implicits._
