@@ -56,7 +56,7 @@ private[graft] object CorpusIndexes {
   /** Every persistable sidecar, keyed as in the session cache, with
     * the join/probe column each consumer family hits as bucket key.
     */
-  private val layouts: Map[String, Layout] = Map(
+  private[ops] val layouts: Map[String, Layout] = Map(
     "shingles"       -> Layout(8, "shash", Seq("shash")),
     "tokens"         -> Layout(8, "th", Seq("th")),
     "bands"          -> Layout(8, "bkey", Seq("bkey")),
@@ -65,7 +65,12 @@ private[graft] object CorpusIndexes {
     "image_labels"   -> Layout(8, "doc_id", Seq("doc_id")),
     "ivf_assigned"   -> Layout(8, "cell_id", Seq("cell_id", "vec_id")),
     "pq_codes"       -> Layout(8, "vec_id", Seq("vec_id")),
-    "bench_grams"    -> Layout(8, "g", Seq("g")))
+    "bench_grams"    -> Layout(8, "g", Seq("g")),
+    // bucketed on the digest half every consumer keys on: m15/m17 and
+    // the streaming probe aggregate/join by (ahash_hi, ahash_lo), and
+    // HashPartitioning(ahash_hi) satisfies a clustered distribution on
+    // the pair — the digest groupBys run with zero exchanges
+    "gif_frames"     -> Layout(8, "ahash_hi", Seq("ahash_hi", "ahash_lo")))
 
   /** One-slot lazy holder: `computeIfAbsent` only ever constructs the
     * holder (cheap, no callback into the cache), and the build itself
@@ -191,11 +196,19 @@ private[graft] object CorpusIndexes {
     * per-file open/footer cost starts to dominate the probe reads).
     * Read-then-swap, never in-place: the compacted form is written to
     * a sibling `__compact` path while the original files are still
-    * being read, then a filesystem rename replaces the directory and
-    * the catalog entry is refreshed. Rows, schema, bucket function and
-    * within-bucket sort are IDENTICAL — consumers cannot observe the
-    * compaction except through file counts (asserted in
-    * SidecarDiskSpec).
+    * being read, then swapped into place by TWO renames — the live
+    * directory aside to `__old`, the compacted one in — so there is
+    * no instant at which `path` has been deleted but nothing renamed
+    * in yet (a crash between the renames leaves the full old
+    * generation at `__old`, restorable by hand; a failure of the
+    * second rename restores the original automatically). Readers that
+    * resolved file paths before the swap keep reading the old
+    * generation's bytes; a reader LISTING the directory in the
+    * sub-millisecond rename window can observe the swap — campaigns
+    * that need stronger isolation rotate roots instead. Rows, schema,
+    * bucket function and within-bucket sort are IDENTICAL — consumers
+    * cannot observe the compaction except through file counts
+    * (asserted in SidecarDiskSpec).
     */
   private[graft] def compactBucketedTable(s: SparkSession, path: String,
       tbl: String, lay: Layout): Unit = {
@@ -218,10 +231,21 @@ private[graft] object CorpusIndexes {
       .format("parquet").saveAsTable(tmpTbl)
     val (fs, p) = hadoopPath(s, path)
     val (_, tp) = hadoopPath(s, tmpPath)
-    require(fs.delete(p, true), s"compact: could not remove $path")
-    require(fs.rename(tp, p), s"compact: could not swap $tmpPath into place")
+    val (_, op) = hadoopPath(s, path + "__old")
+    if (fs.exists(op)) fs.delete(op, true)
+    require(fs.rename(p, op), s"compact: could not set aside $path")
+    if (!fs.rename(tp, p)) {
+      // restore the original before failing: the live path must never
+      // be left empty
+      fs.rename(op, p)
+      sys.error(s"compact: could not swap $tmpPath into place")
+    }
+    fs.delete(op, true)
     s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
-    s.catalog.refreshTable(tbl)
+    // A fresh session may compact a root it never registered — the
+    // files are authoritative, the catalog entry (if any) just needs
+    // its cached listing dropped.
+    if (s.catalog.tableExists(tbl)) s.catalog.refreshTable(tbl)
   }
 
   private def readDisk(s: SparkSession, dir: String, key: String): Option[DataFrame] =
@@ -246,12 +270,13 @@ private[graft] object CorpusIndexes {
     "image_labels"   -> (() => Multimodal.imageClusterLabels(s, dir)),
     "ivf_assigned"   -> (() => Similarity.ivfAssigned(s, dir)),
     "pq_codes"       -> (() => Similarity.pqCodesFrame(s, dir)),
-    "bench_grams"    -> (() => benchGrams(s, dir)))
+    "bench_grams"    -> (() => benchGrams(s, dir)),
+    "gif_frames"     -> (() => Multimodal.gifFramesSidecar(s, dir)))
 
   /** All sidecar keys [[persistSidecars]] writes by default. */
   val persistableKeys: Seq[String] = Seq("shingles", "tokens", "bands",
     "png_ahash", "text_labels_64", "image_labels", "ivf_assigned", "pq_codes",
-    "bench_grams")
+    "bench_grams", "gif_frames")
 
   /** Read ONE persisted sidecar table from a root, registered with its
     * bucket layout — for consumers that take the index as an explicit
@@ -271,10 +296,9 @@ private[graft] object CorpusIndexes {
     * streaming jobs alike — reads the disk form transparently.
     */
   def persistSidecars(s: SparkSession, dir: String, outDir: String,
-                      keys: Seq[String] = null): Unit = {
-    val ks = Option(keys).getOrElse(persistableKeys)
+                      keys: Seq[String] = persistableKeys): Unit = {
     val bs = builders(s, dir)
-    ks.foreach { key =>
+    keys.foreach { key =>
       writeBucketedTable(bs(key)(), s"$outDir/$key",
         tableName(outDir, key), layouts(key))
     }
@@ -288,8 +312,8 @@ private[graft] object CorpusIndexes {
     * compaction changes layout, never provenance.
     */
   def compactSidecars(s: SparkSession, root: String,
-                      keys: Seq[String] = null): Unit =
-    Option(keys).getOrElse(persistableKeys).foreach { key =>
+                      keys: Seq[String] = persistableKeys): Unit =
+    keys.foreach { key =>
       val path = s"$root/$key"
       if (pathExists(s, path))
         compactBucketedTable(s, path, tableName(root, key), layouts(key))

@@ -696,8 +696,12 @@ object Dedup {
     * Compaction restores the one-file-per-bucket layout without
     * changing a row — probe verdicts before and after are
     * bit-identical (asserted in SidecarDiskSpec), so a campaign runs
-    * it on any cadence, concurrently with readers of the OLD files
-    * (read-then-swap, never in-place).
+    * it on any cadence. Readers that resolved file paths before the
+    * swap keep reading the old generation; the rename-aside swap
+    * (CorpusIndexes.compactBucketedTable) leaves no window with the
+    * live path missing, though a directory LISTING during the
+    * sub-millisecond two-rename window can observe the swap — rotate
+    * roots when stronger isolation is needed.
     */
   def compactTextProbeIndex(s: SparkSession, outDir: String): Unit =
     probeLayouts.foreach { case (key, lay) =>

@@ -189,7 +189,12 @@ object Similarity {
     * (vec_id % 11 = 3 — "one in eleven deleted since the snapshot")
     * anti-joined INSIDE the probe before the rank window, so top-k
     * backfills from the same cell; deterministic end to end, the
-    * oracle replays it.
+    * oracle replays it. The QUERY slice is deliberately NOT
+    * tombstone-filtered: query vectors model external serving
+    * requests (an embedding arriving from a caller), not index
+    * residents — a tombstoned id may still QUERY, it just never
+    * appears as a RESULT ("never resurfaces" is a claim about the
+    * candidate side).
     *
     * Scale shape: s04's probe with one broadcast anti-join against the
     * tombstone list (tiny by nature — deletions since the last rebuild);
