@@ -1115,8 +1115,20 @@ object Multimodal {
     */
   private def histFrameIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    gifFramesSidecar(s, dir).filter($"doc_id" % 5 =!= 0)
-      .groupBy($"ahash_hi", $"ahash_lo").agg(min($"doc_id").as("hist_doc"))
+    frameIndexOf(gifFramesSidecar(s, dir).filter($"doc_id" % 5 =!= 0))
+  }
+
+  /** The earliest-carrier digest aggregate over any (doc_id, frame_no,
+    * ahash_hi, ahash_lo) frame table — shared by the session-sidecar
+    * path above and the durable-index load below. Over the persisted
+    * `gif_frames` layout (bucketed on ahash_hi) this groupBy runs with
+    * ZERO exchanges: HashPartitioning(ahash_hi) satisfies the clustered
+    * distribution on (ahash_hi, ahash_lo).
+    */
+  def frameIndexOf(frames: DataFrame): DataFrame = {
+    val s = frames.sparkSession
+    import s.implicits._
+    frames.groupBy($"ahash_hi", $"ahash_lo").agg(min($"doc_id").as("hist_doc"))
   }
 
   /** The frame-digest probe shared by the m17 batch query and the
@@ -1187,6 +1199,84 @@ object Multimodal {
     */
   def videoFrameIndex(s: SparkSession, dir: String): DataFrame =
     histFrameIndex(s, dir).localCheckpoint()
+
+  // ---- durable image/video probe indexes --------------------------
+  //
+  // The text-probe discipline (Dedup.persistTextProbeIndex /
+  // refreshTextProbeIndex / compactTextProbeIndex) on the other two
+  // modalities: a campaign decodes+hashes each arrival slice ONCE, in
+  // the codec slot, and appends the hash rows to a bucketed disk
+  // table; every stored row depends only on its own media, so appends
+  // need no history re-decode and the merged table equals a
+  // from-scratch build structurally (asserted in SidecarDiskSpec).
+  // The streaming doors (`StreamingImageDedup`/`StreamingVideoDedup`)
+  // take the index dir and start with NO decode pass at all.
+
+  private def writeModalityPart(rows: DataFrame, outDir: String, key: String,
+                                append: Boolean): Unit =
+    CorpusIndexes.writeBucketedTable(rows, s"$outDir/$key",
+      CorpusIndexes.tableName(outDir, key), CorpusIndexes.layouts(key),
+      append = append)
+
+  /** Build the durable image probe index: decode+hash `media` (one
+    * codec pass, rasters never leave the map) and write the
+    * (doc_id, ahash_hi, ahash_lo, n_px) rows bucketed under
+    * `outDir/png_ahash`.
+    */
+  def persistImageIndex(media: Dataset[PngRow], outDir: String): Unit =
+    writeModalityPart(ahashRows(media).toDF(), outDir, "png_ahash",
+      append = false)
+
+  /** INCREMENTAL refresh: hash a new arrival slice and append — no
+    * history pixel is ever re-decoded (hash rows are per-image).
+    */
+  def refreshImageIndex(media: Dataset[PngRow], outDir: String): Unit =
+    writeModalityPart(ahashRows(media).toDF(), outDir, "png_ahash",
+      append = true)
+
+  /** Rewrite the image index to one file per bucket after appends. */
+  def compactImageIndex(s: SparkSession, outDir: String): Unit =
+    CorpusIndexes.compactBucketedTable(s, s"$outDir/png_ahash",
+      CorpusIndexes.tableName(outDir, "png_ahash"),
+      CorpusIndexes.layouts("png_ahash"))
+
+  /** Read the persisted image index — the static side
+    * [[imageProbeBatch]] and the streaming image door probe.
+    */
+  def loadImageIndex(s: SparkSession, outDir: String): DataFrame =
+    CorpusIndexes.readSidecar(s, outDir, "png_ahash")
+
+  /** Build the durable video frame-hash index: decode each GIF frame
+    * by frame in the codec slot and write the (doc_id, frame_no,
+    * ahash_hi, ahash_lo) rows bucketed on the digest under
+    * `outDir/gif_frames`.
+    */
+  def persistVideoIndex(media: Dataset[GifRow], outDir: String): Unit =
+    writeModalityPart(gifFrameAHashes(media).toDF(), outDir, "gif_frames",
+      append = false)
+
+  /** INCREMENTAL refresh: frame-hash a new clip slice and append. */
+  def refreshVideoIndex(media: Dataset[GifRow], outDir: String): Unit =
+    writeModalityPart(gifFrameAHashes(media).toDF(), outDir, "gif_frames",
+      append = true)
+
+  /** Rewrite the video index to one file per bucket after appends. */
+  def compactVideoIndex(s: SparkSession, outDir: String): Unit =
+    CorpusIndexes.compactBucketedTable(s, s"$outDir/gif_frames",
+      CorpusIndexes.tableName(outDir, "gif_frames"),
+      CorpusIndexes.layouts("gif_frames"))
+
+  /** The raw persisted frame-hash rows. */
+  def loadVideoFrames(s: SparkSession, outDir: String): DataFrame =
+    CorpusIndexes.readSidecar(s, outDir, "gif_frames")
+
+  /** The earliest-carrier probe index from the persisted frame table —
+    * what the streaming video door probes when given an index dir: a
+    * zero-exchange digest aggregate over the bucketed rows, never a
+    * decode.
+    */
+  def loadVideoFrameIndex(s: SparkSession, outDir: String): DataFrame =
+    frameIndexOf(loadVideoFrames(s, outDir))
 
   /** The media table: documents' text bytes standing in as payloads,
     * with a deterministic modality assignment.

@@ -39,15 +39,28 @@ object StreamingImageDedup {
   /** Start the job: `newMedia` is any streaming frame bearing
     * (doc_id, payload); `index` the static (doc_id, ahash_hi, ahash_lo)
     * sidecar; flagged rows land under `outDir/batch_id=<n>/`.
+    *
+    * Durable-index path: an `indexDir` written by
+    * `Multimodal.persistImageIndex` (plus any `refreshImageIndex`
+    * appends) replaces `index` — the job starts with NO decode pass,
+    * reading the hash rows straight from the bucketed disk table (the
+    * snapshot-rotation shape at 100 TB).
     */
   def run(newMedia: DataFrame, index: DataFrame, outDir: String,
-          checkpointDir: String, maxHamming: Int = 2): StreamingQuery =
+          checkpointDir: String, maxHamming: Int = 2,
+          indexDir: Option[String] = None): StreamingQuery = {
+    val idx = indexDir
+      .map(d => graft.ops.Multimodal
+        .loadImageIndex(newMedia.sparkSession, d)
+        .select("doc_id", "ahash_hi", "ahash_lo"))
+      .getOrElse(index)
     newMedia.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        probeBatch(batch, index, maxHamming)
+        probeBatch(batch, idx, maxHamming)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+  }
 }

@@ -39,15 +39,29 @@ object StreamingVideoDedup {
     * (ahash_hi, ahash_lo, hist_doc) earliest-carrier table
     * (`Multimodal.videoFrameIndex`); verdict rows land under
     * `outDir/batch_id=<n>/`.
+    *
+    * Durable-index path: an `indexDir` written by
+    * `Multimodal.persistVideoIndex` (plus any `refreshVideoIndex`
+    * appends) replaces `index` entirely — the job starts with NO
+    * decode pass, aggregating the earliest-carrier probe table
+    * straight from the bucketed frame-hash rows on disk (the
+    * snapshot-rotation shape at 100 TB; a zero-exchange digest
+    * aggregate, materialized once per run).
     */
   def run(newMedia: DataFrame, index: DataFrame, outDir: String,
-          checkpointDir: String): StreamingQuery =
+          checkpointDir: String,
+          indexDir: Option[String] = None): StreamingQuery = {
+    val idx = indexDir
+      .map(d => graft.ops.Multimodal
+        .loadVideoFrameIndex(newMedia.sparkSession, d).localCheckpoint())
+      .getOrElse(index)
     newMedia.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        probeBatch(batch, index)
+        probeBatch(batch, idx)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+  }
 }

@@ -299,6 +299,149 @@ class SidecarDiskSpec extends AnyFunSuite {
       "the source predicate must reach the scan as a partition filter")
   }
 
+  test("video frame sidecar serves m15/m17 from disk: identical results, scan under the root, no GIF decode") {
+    val base = TestSpark.spark
+    val s2 = diskSession()
+    Seq("m15_video_frame_dedup", "m17_incremental_video").foreach { q =>
+      val expect = rows(SparkEntry.queries(q)(base, TestSpark.sfDir))
+      assert(rows(SparkEntry.queries(q)(s2, TestSpark.sfDir)) == expect,
+        s"$q: disk form diverged from session form")
+    }
+    assert(s2.catalog.tableExists(CorpusIndexes.tableName(root, "gif_frames")))
+    // the disk path is really taken AND no decode pass runs: the plan
+    // scans gif_frames under the root and never touches documents
+    // (the GIF encode source)
+    val vd = graft.ops.Multimodal.videoFrameDedup(s2, TestSpark.sfDir)
+    vd.collect()
+    val scanned = scans(vd.queryExecution.executedPlan)
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(scanned.exists(_.contains(s"$root/gif_frames")),
+      s"expected a gif_frames scan under $root, got $scanned")
+    assert(!scanned.exists(_.contains("documents")),
+      "disk-form video dedup must not re-read (and re-encode) the corpus")
+  }
+
+  test("StreamingVideoDedup run from a durable index dir equals batch m17 with no run-start decode") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.ops.Multimodal
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-vidx").toString
+    Multimodal.persistVideoIndex(
+      Multimodal.gifTable(spark, TestSpark.sfDir).filter($"doc_id" % 5 =!= 0),
+      idxDir)
+    val newRows = Tables.documents(spark, TestSpark.sfDir).select($"doc_id")
+      .filter($"doc_id" % 5 === 0).as[Long].collect().sorted
+      .map(id => (id, Multimodal.GifCodec.encode(id)))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vidx-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-vidx-out").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Byte])]
+    val stream = input.toDF().toDF("doc_id", "payload")
+    // index is NOT passed: the run must stand entirely on the disk form
+    val q = graft.streaming.StreamingVideoDedup.run(stream, index = null,
+      out, ckpt, indexDir = Some(idxDir))
+    try {
+      input.addData(newRows.take(newRows.length / 2).toSeq)
+      q.processAllAvailable()
+      input.addData(newRows.drop(newRows.length / 2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batchRun = Multimodal.incrementalVideoDedup(spark, TestSpark.sfDir)
+    assert(streamed.count() == batchRun.count())
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+  }
+
+  test("StreamingImageDedup run from a durable index dir equals batch m13") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.ops.Multimodal
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-iidx").toString
+    Multimodal.persistImageIndex(
+      Multimodal.pngTable(spark, TestSpark.sfDir).filter($"doc_id" % 5 =!= 0),
+      idxDir)
+    val newRows = Tables.documents(spark, TestSpark.sfDir).select($"doc_id")
+      .filter($"doc_id" % 5 === 0).as[Long].collect().sorted
+      .map(id => (id, Multimodal.PngCodec.encode(id)))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-iidx-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-iidx-out").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Byte])]
+    val stream = input.toDF().toDF("doc_id", "payload")
+    val q = graft.streaming.StreamingImageDedup.run(stream, index = null,
+      out, ckpt, indexDir = Some(idxDir))
+    try {
+      input.addData(newRows.take(newRows.length / 2).toSeq)
+      q.processAllAvailable()
+      input.addData(newRows.drop(newRows.length / 2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batchRun = Multimodal.incrementalImageDedup(spark, TestSpark.sfDir)
+    assert(streamed.count() == batchRun.count())
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+  }
+
+  test("image index lifecycle: refresh equals from-scratch, compaction restores one file per bucket, verdicts identical") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import graft.ops.Multimodal
+    val pngs = Multimodal.pngTable(s, TestSpark.sfDir)
+    val hist = pngs.filter($"doc_id" % 5 =!= 0)
+    val batch = pngs.filter($"doc_id" % 5 === 0).toDF()
+    val dir = java.nio.file.Files.createTempDirectory("graft-iidx-life").toString
+    // day 0 persist, then two refresh days — the text-probe cadence
+    Multimodal.persistImageIndex(hist.filter($"doc_id" % 3 === 0), dir)
+    Multimodal.refreshImageIndex(hist.filter($"doc_id" % 3 === 1), dir)
+    Multimodal.refreshImageIndex(hist.filter($"doc_id" % 3 === 2), dir)
+    def idx(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"ahash_hi", $"ahash_lo")
+    val scratch = rows(Multimodal.imageProbeBatch(batch,
+      idx(Multimodal.historicalAHashIndex(s, TestSpark.sfDir))).orderBy($"doc_id"))
+    val refreshed = rows(Multimodal.imageProbeBatch(batch,
+      idx(Multimodal.loadImageIndex(s, dir))).orderBy($"doc_id"))
+    assert(refreshed == scratch && refreshed.nonEmpty,
+      "refreshed image index must probe identically to the from-scratch sidecar")
+    def files() = new java.io.File(s"$dir/png_ahash").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(files() > 8, "three generations must leave more than one file per bucket")
+    Multimodal.compactImageIndex(s, dir)
+    assert(files() == 8, "compaction must restore one file per bucket")
+    val compacted = rows(Multimodal.imageProbeBatch(batch,
+      idx(Multimodal.loadImageIndex(s, dir))).orderBy($"doc_id"))
+    assert(compacted == refreshed,
+      "image index compaction must not change a single verdict")
+  }
+
+  test("video index lifecycle: refresh equals from-scratch, compaction restores one file per bucket, verdicts identical") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import graft.ops.Multimodal
+    val gifs = Multimodal.gifTable(s, TestSpark.sfDir)
+    val hist = gifs.filter($"doc_id" % 5 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vidx-life").toString
+    Multimodal.persistVideoIndex(hist.filter($"doc_id" % 3 === 0), dir)
+    Multimodal.refreshVideoIndex(hist.filter($"doc_id" % 3 === 1), dir)
+    Multimodal.refreshVideoIndex(hist.filter($"doc_id" % 3 === 2), dir)
+    val newSlice = gifs.filter($"doc_id" % 5 === 0).toDF()
+    val scratch = rows(Multimodal.incrementalVideoDedup(s, TestSpark.sfDir))
+    val refreshed = rows(Multimodal.videoProbeBatch(newSlice,
+      Multimodal.loadVideoFrameIndex(s, dir)).orderBy($"doc_id"))
+    assert(refreshed == scratch && refreshed.nonEmpty,
+      "refreshed video index must probe identically to the session sidecar")
+    def files() = new java.io.File(s"$dir/gif_frames").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(files() > 8, "three generations must leave more than one file per bucket")
+    Multimodal.compactVideoIndex(s, dir)
+    assert(files() == 8, "compaction must restore one file per bucket")
+    val compacted = rows(Multimodal.videoProbeBatch(newSlice,
+      Multimodal.loadVideoFrameIndex(s, dir)).orderBy($"doc_id"))
+    assert(compacted == refreshed,
+      "video index compaction must not change a single verdict")
+  }
+
   test("compactSidecars leaves every consumer result unchanged, one file per bucket") {
     val base = TestSpark.spark
     val before = rows(SparkEntry.queries("d04_shingle_jaccard")(diskSession(), TestSpark.sfDir))
