@@ -169,6 +169,10 @@ object SparkEntry {
     // d30 = d27 rolled up per source in TOKENS — the dedup savings in
     // the mixture planner's currency; |sources| rows out.
     "d30_savings_by_source"  -> ((s, d) => Dedup.dedupSavingsBySource(s, d)),
+    // d31 = the SHIPPED curated corpus read back: writeCuratedCorpus
+    // runs, then per-source doc count + token sum recomputed from the
+    // written artifact itself — the write path under the hash oracle.
+    "d31_curated_readback"   -> ((s, d) => Dedup.curatedReadback(s, d)),
     // d27 = the dedup DECISION table: per implicated doc the keep/drop
     // verdict with the quality-argmax canonical survivor (tie → min
     // doc_id) — the apply-step artifact downstream filters join on.
@@ -355,6 +359,11 @@ object SparkEntry {
     // IVF (probe widened BEFORE the label filter, never post-filtered)
     // — deterministic, oracle replays the whole probe.
     "s20_filtered_knn"       -> ((s, d) => Similarity.filteredIvfKnn(s, d)),
+    // s22 = ANN index upsert (s21's missing half): arrivals between
+    // rebuilds (vec_id ≡ 2 mod 7) cell-assigned by the exact s04
+    // argmax over the FROZEN historical codebook, each served its
+    // first query — top-5 within its cell from the historical index.
+    "s22_ivf_upsert"         -> ((s, d) => Similarity.ivfUpsertServe(s, d)),
     "m14_audio_nn"           -> (Multimodal.audioNearestNeighbor _),
     // m15 = video frame-level dedup: per-frame aHash over the real GIF
     // decode, digest-keyed repeated-scene report across videos (the
@@ -1254,6 +1263,34 @@ object SparkEntry {
           FROM q JOIN assigned a ON a.cell_id = q.q_cell AND a.vec_id <> q.q_id
           WHERE a.vec_id % 11 <> 3) t
         WHERE rank <= 5 ORDER BY q_id, rank""",
+      // s22: the s04 argmax replayed twice over the HISTORICAL slice —
+      // history assigned over the frozen historical codebook (cells
+      // seed from vec_id < 16 within the slice), then arrivals
+      // (vec_id ≡ 2 mod 7) assigned over the same codebook and ranked
+      // within their assigned cell.
+      "s22_ivf_upsert" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings),
+        hcb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e
+                WHERE vec_id < 16 AND vec_id % 7 <> 2),
+        hassigned AS (SELECT vec_id, v, nrm, cell_id FROM (
+          SELECT e.vec_id, e.v, e.nrm, hcb.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, hcb.cv) / (e.nrm * hcb.cnrm) DESC, hcb.cell_id) AS arank
+          FROM e CROSS JOIN hcb WHERE e.vec_id % 7 <> 2) t WHERE arank = 1),
+        arr AS (SELECT q_id, qv, qnrm, q_cell FROM (
+          SELECT e.vec_id AS q_id, e.v AS qv, e.nrm AS qnrm, hcb.cell_id AS q_cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, hcb.cv) / (e.nrm * hcb.cnrm) DESC, hcb.cell_id) AS arank
+          FROM e CROSS JOIN hcb WHERE e.vec_id % 7 = 2) t WHERE arank = 1)
+        SELECT q_id, cell_id, rank, vec_id, cos FROM (
+          SELECT arr.q_id, arr.q_cell AS cell_id, h.vec_id,
+            list_dot_product(arr.qv, h.v) / (arr.qnrm * h.nrm) AS cos,
+            row_number() OVER (PARTITION BY arr.q_id
+              ORDER BY list_dot_product(arr.qv, h.v) / (arr.qnrm * h.nrm) DESC, h.vec_id) AS rank
+          FROM arr JOIN hassigned h ON h.cell_id = arr.q_cell) t
+        WHERE rank <= 5 ORDER BY q_id, rank""",
       // s20: the s04 assignment CTE + labels; queries take their TWO
       // nearest cells (arank <= 2), label filter inside the probe.
       "s20_filtered_knn" -> """
@@ -1965,6 +2002,56 @@ object SparkEntry {
       // d30: the d27 decision CTEs rolled up per source in tokens;
       // unimplicated docs have NULL kept, which the CASE treats as
       // kept (null <> false), matching the Spark left join.
+      // d31: the d27/d30 decision CTE, kept rows only — recomputed
+      // from the ORIGINAL documents table while the Spark side reads
+      // the written artifact; a hash match certifies the shipped bytes.
+      "d31_curated_readback" -> """
+        WITH RECURSIVE
+        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+               FROM documents),
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        small AS (SELECT j, bkey FROM bands GROUP BY j, bkey
+                  HAVING count(*) <= 64 AND count(*) > 1),
+        inb AS (SELECT b.* FROM bands b JOIN small s ON b.j = s.j AND b.bkey = s.bkey),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+        lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+                FROM walk GROUP BY node),
+        q AS (SELECT doc_id,
+                0.4 * (1.0 - CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t))
+                  + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+                  + 0.3 * least(len(t) / 50.0, 1.0) AS quality
+              FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+                    FROM documents) x),
+        j AS (SELECT lab.doc_id, lab.cluster_id, q.quality
+              FROM lab JOIN q ON lab.doc_id = q.doc_id),
+        dec AS (SELECT doc_id,
+                  doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
+                    ORDER BY quality DESC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                    AS kept
+                FROM j),
+        tokc AS (SELECT source, doc_id,
+                   CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+                 FROM documents)
+        SELECT t.source, count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+        FROM tokc t LEFT JOIN dec d ON t.doc_id = d.doc_id
+        WHERE COALESCE(d.kept, true)
+        GROUP BY t.source ORDER BY t.source""",
       "d30_savings_by_source" -> """
         WITH RECURSIVE
         tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),

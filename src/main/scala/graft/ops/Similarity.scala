@@ -113,22 +113,51 @@ object Similarity {
     */
   private[ops] def ivfAssigned(s: SparkSession, dir: String): DataFrame =
     CorpusIndexes.memo(s, dir, "ivf_assigned") {
-      import s.implicits._
-      val e = withNorm(embeddings(s, dir))
-      val cb = e.filter($"vec_id" < 16)
-        .toDF("cell_id", "c_emb", "c_nrm")
-      val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cell_id")
       // A SESSION sidecar (CorpusIndexes discipline): eight consumers
       // (s04/s08/s11/s12/s14/s15/s16/d16) and the streaming ANN index
       // all read this assignment — at 100 TB it IS the persisted
       // sidecar every scaladoc in this family points to; locally the
       // argmax runs once per (session, dir).
-      e.crossJoin(broadcast(cb))
-        .withColumn("ccos", cosinePrenormed(vec_dot($"embedding", $"c_emb"), $"nrm", $"c_nrm"))
-        .withColumn("arank", row_number().over(aw))
-        .filter($"arank" === 1)
-        .select($"vec_id", $"embedding", $"nrm", $"cell_id")
+      val e = withNorm(embeddings(s, dir))
+      assignByCodebook(e, codebookOf(e))
     }
+
+  /** The coarse codebook rows of any (vec_id, embedding, nrm, ...)
+    * frame: cells seed from vec_id < 16 — over a HISTORICAL index this
+    * is whatever cells the last rebuild had (centroids are FROZEN
+    * between rebuilds; that is what makes upsert assignment
+    * reproducible).
+    */
+  private[graft] def codebookOf(vecs: DataFrame): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    vecs.filter($"vec_id" < 16)
+      .select($"vec_id".as("cell_id"), $"embedding".as("c_emb"),
+        $"nrm".as("c_nrm"))
+  }
+
+  /** The exact s04 cell assignment of `vecs` over an explicit codebook:
+    * broadcast nested argmax (rank-1 window by cosine, id tiebreak), NO
+    * corpus shuffle — shared by the full build ([[ivfAssigned]]), the
+    * s22 upsert path, and the durable-index refresh.
+    */
+  private[graft] def assignByCodebook(vecs: DataFrame, cb: DataFrame): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cell_id")
+    vecs.crossJoin(broadcast(cb))
+      .withColumn("ccos", cosinePrenormed(vec_dot($"embedding", $"c_emb"), $"nrm", $"c_nrm"))
+      .withColumn("arank", row_number().over(aw))
+      .filter($"arank" === 1)
+      .select($"vec_id", $"embedding", $"nrm", $"cell_id")
+  }
+
+  /** (vec_id, embedding, nrm) with the norm precomputed — the raw
+    * vector form [[assignByCodebook]] consumes, for callers outside
+    * this object (the upsert specs).
+    */
+  private[graft] def normedVectors(s: SparkSession, dir: String): DataFrame =
+    withNorm(embeddings(s, dir))
 
   /** s20 — FILTERED vector search: top-k restricted to candidates
     * sharing the query's label (the tenant/class/language predicate
@@ -550,7 +579,15 @@ object Similarity {
     * that vector as a candidate.
     */
   def ivfProbeBatch(batch: DataFrame, index: DataFrame,
-                    excludeSelf: Boolean = true): DataFrame = {
+                    excludeSelf: Boolean = true): DataFrame =
+    ivfProbeBatchWithCell(batch, index, excludeSelf).drop("q_cell")
+
+  /** [[ivfProbeBatch]] keeping the query's assigned cell in the output
+    * — the upsert specs partition served results by cell to compare
+    * append-vs-rebuild on unaffected cells.
+    */
+  private[graft] def ivfProbeBatchWithCell(batch: DataFrame, index: DataFrame,
+                                           excludeSelf: Boolean = true): DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
     val cb = index.filter($"vec_id" < 16)
@@ -569,13 +606,119 @@ object Similarity {
       .withColumn("cos", cosinePrenormed(vec_dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 5)
-      .select($"q_id", $"rank", $"vec_id", $"cos")
+      .select($"q_id", $"rank", $"vec_id", $"cos", $"q_cell")
   }
 
   /** The persisted IVF assignment sidecar for [[ivfProbeBatch]] — the
     * corpus side of the serving index, exposed for the streaming job.
     */
   def ivfIndex(s: SparkSession, dir: String): DataFrame = ivfAssigned(s, dir)
+
+  /** The HISTORICAL IVF index under the upsert slice convention
+    * (vec_id % 7 ≠ 2 is the last rebuild's corpus): assignment of the
+    * historical vectors over the historical codebook — note cells 2
+    * and 9 do not exist in it (their seed vectors are arrivals), the
+    * honest shape of a frozen codebook. A session sidecar: s22 and the
+    * upsert specs read the same memoized frame.
+    */
+  private[graft] def ivfHistAssigned(s: SparkSession, dir: String): DataFrame =
+    CorpusIndexes.memo(s, dir, "ivf_hist") {
+      import s.implicits._
+      val hist = withNorm(embeddings(s, dir)).filter($"vec_id" % 7 =!= 2)
+      assignByCodebook(hist, codebookOf(hist))
+    }
+
+  /** s22 — ANN index UPSERT: the d14 slice convention on the embedding
+    * modality, the missing half of s21's delete story. Vectors arriving
+    * between index rebuilds (vec_id ≡ 2 mod 7) are cell-assigned with
+    * the EXACT s04 argmax over the FROZEN historical codebook (centroids
+    * do not move between rebuilds — that is what makes the upsert
+    * reproducible and appendable), and each arrival is served its first
+    * query on arrival: top-k within its assigned cell from the
+    * HISTORICAL index. Output per (arrival, rank): the assigned cell —
+    * the row that APPENDS to the serving index — and the neighbor list
+    * a retrieval stack returns for the new vector (the dup-check /
+    * attach-to-cluster read every ingest does).
+    *
+    * The durable twin ([[refreshIvfIndex]]) appends exactly these
+    * assignment rows to the persisted `ivf_assigned` table, and
+    * serve-after-append == serve-after-rebuild under the frozen
+    * codebook, bit for bit (SidecarDiskSpec).
+    *
+    * Scale shape: assignment is the broadcast-codebook narrow argmax
+    * (no corpus shuffle); the serve is one equi-join on cell_id — the
+    * arrival side broadcasts (a delta is small by definition), the
+    * historical index streams through its own cell only. Nothing here
+    * is corpus², and nothing re-touches history: the whole upsert cost
+    * scales with the delta.
+    */
+  def ivfUpsertServe(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val hist = ivfHistAssigned(s, dir)
+    val arrivals = withNorm(embeddings(s, dir)).filter($"vec_id" % 7 === 2)
+    val cbHist = codebookOf(hist.select($"vec_id", $"embedding", $"nrm"))
+    val assigned = assignByCodebook(arrivals, cbHist)
+      .toDF("q_id", "q_emb", "q_nrm", "q_cell")
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    hist.join(broadcast(assigned), $"cell_id" === $"q_cell")
+      .withColumn("cos", cosinePrenormed(vec_dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"q_id", $"q_cell".as("cell_id"), $"rank", $"vec_id", $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
+  // ---- durable IVF serving index: persist / upsert / compact --------
+  //
+  // The text/image/video probe-index discipline on the embedding
+  // modality: the index is a bucketed disk table of per-vector rows,
+  // arrivals append without touching history, compaction restores the
+  // one-file-per-bucket layout, and the streaming server
+  // (StreamingAnn.runFromSidecar) reads [index ∪ delta] with no
+  // rebuild. Assignment rows are per-vector AND the codebook is frozen
+  // in the stored rows themselves (cells seed from vec_id < 16), so an
+  // append equals a frozen-codebook rebuild structurally.
+
+  private def ivfLayoutParts(outDir: String) =
+    (s"$outDir/ivf_assigned", CorpusIndexes.tableName(outDir, "ivf_assigned"),
+      CorpusIndexes.layouts("ivf_assigned"))
+
+  /** Write an assignment frame (vec_id, embedding, nrm, cell_id) as
+    * the durable serving index under `outDir/ivf_assigned`, bucketed
+    * on cell_id — the probe join's key.
+    */
+  def persistIvfIndex(index: DataFrame, outDir: String): Unit = {
+    val (path, tbl, lay) = ivfLayoutParts(outDir)
+    CorpusIndexes.writeBucketedTable(index, path, tbl, lay)
+  }
+
+  /** UPSERT arrivals (vec_id, embedding) into the persisted index:
+    * each arrival is assigned with the exact s04 argmax over the
+    * codebook READ FROM THE INDEX ITSELF (frozen centroids), and the
+    * assignment rows append as new bucket files. History is never
+    * read beyond the ≤16 codebook rows, never rewritten.
+    */
+  def refreshIvfIndex(arrivals: DataFrame, outDir: String): Unit = {
+    val s = arrivals.sparkSession
+    val (path, tbl, lay) = ivfLayoutParts(outDir)
+    val idx = CorpusIndexes.readBucketedTable(s, path, tbl, lay)
+    val rows = assignByCodebook(withNorm(arrivals), codebookOf(idx))
+    CorpusIndexes.writeBucketedTable(rows, path, tbl, lay, append = true)
+  }
+
+  /** Rewrite the serving index to one file per bucket after upserts. */
+  def compactIvfIndex(s: SparkSession, outDir: String): Unit = {
+    val (path, tbl, lay) = ivfLayoutParts(outDir)
+    CorpusIndexes.compactBucketedTable(s, path, tbl, lay)
+  }
+
+  /** Read the persisted serving index (including any upserted rows) —
+    * what [[ivfProbeBatch]] and StreamingAnn probe.
+    */
+  def loadIvfIndex(s: SparkSession, outDir: String): DataFrame = {
+    val (path, tbl, lay) = ivfLayoutParts(outDir)
+    CorpusIndexes.readBucketedTable(s, path, tbl, lay)
+  }
 
   /** s13 — scalar-quantized (SQ8) two-stage retrieval: the per-dimension
     *-resolution compression path between s07's PQ (64× compression,

@@ -31,6 +31,9 @@ class PlanAuditSpec extends AnyFunSuite {
   //  - s15_kmeans_step: same 16-row codebook (assignment + seed join)
   //  - s20_filtered_knn: same 16-row codebook (the queries' 2-probe
   //    cell ranking crosses 5 query rows with the broadcast codebook)
+  //  - s22_ivf_upsert: the FROZEN 14-row historical codebook crossed
+  //    with history (index build) and with the arrival delta (upsert
+  //    assignment) — both broadcast, K-bounded
   //  - t35_quality_calibration: t20's one-row corpus-total aggregate
   //    (the NLL side reuses unigramLogProb verbatim)
   private val boundedCrossJoins =
@@ -40,7 +43,7 @@ class PlanAuditSpec extends AnyFunSuite {
         "t27_mixture_plan", "s11_recall_audit", "s12_cell_rebalance",
         "s13_sq_rerank", "t28_vocab_growth", "s14_knn_graph",
         "s15_kmeans_step", "s16_mutual_knn", "s20_filtered_knn",
-        "t35_quality_calibration")
+        "t35_quality_calibration", "s22_ivf_upsert")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark

@@ -442,6 +442,112 @@ class SidecarDiskSpec extends AnyFunSuite {
       "video index compaction must not change a single verdict")
   }
 
+  test("IVF index upsert: serve-after-append equals serve-after-rebuild; retrained rebuild agrees on unaffected cells") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import graft.ops.Similarity
+    val all = Similarity.normedVectors(s, TestSpark.sfDir)
+    val hist = all.filter($"vec_id" % 7 =!= 2)
+    val arrivals = Tables.embeddings(s, TestSpark.sfDir)
+      .filter($"vec_id" % 7 === 2).select($"vec_id", $"embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-upsert").toString
+    val histIdx = Similarity.assignByCodebook(hist, Similarity.codebookOf(hist))
+    Similarity.persistIvfIndex(histIdx, dir)
+    Similarity.refreshIvfIndex(arrivals, dir)
+
+    // (a) appended index == frozen-codebook rebuild over the union,
+    // row for row (assignment depends only on the frozen codebook)
+    val appended = Similarity.loadIvfIndex(s, dir)
+      .select($"vec_id", $"cell_id")
+    val frozenRebuild = Similarity.assignByCodebook(all, Similarity.codebookOf(hist))
+      .select($"vec_id", $"cell_id")
+    assert(appended.except(frozenRebuild).count() == 0)
+    assert(frozenRebuild.except(appended).count() == 0)
+    assert(appended.count() == all.count())
+
+    // (b) the serve path sees [index ∪ delta]: probing the loaded
+    // index equals probing the frozen rebuild, bit for bit
+    val queries = Tables.embeddings(s, TestSpark.sfDir)
+      .filter($"vec_id" % 13 === 1)
+      .select($"vec_id".as("q_id"), $"embedding")
+    def serve(idx: org.apache.spark.sql.DataFrame) =
+      rows(Similarity.ivfProbeBatch(queries, idx, excludeSelf = false)
+        .orderBy($"q_id", $"rank"))
+    val servedAppend = serve(Similarity.loadIvfIndex(s, dir))
+    assert(servedAppend == serve(frozenRebuild
+      .join(all, "vec_id").select($"vec_id", $"embedding", $"nrm", $"cell_id")),
+      "serving the appended index must equal serving a frozen-codebook rebuild")
+    assert(servedAppend.nonEmpty)
+
+    // (c) vs the RETRAINED full rebuild (16-cell codebook): for query
+    // cells no retrained-vs-frozen assignment change touches, results
+    // are identical
+    val retrained = Similarity.ivfIndex(s, TestSpark.sfDir)
+    val moved = Similarity.loadIvfIndex(s, dir).select($"vec_id", $"cell_id")
+      .join(retrained.select($"vec_id", $"cell_id".as("r_cell")), "vec_id")
+      .filter($"cell_id" =!= $"r_cell")
+    val touched = moved.select($"cell_id").union(moved.select($"r_cell"))
+      .distinct().as[Long].collect().toSet
+    def servedByCell(idx: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfProbeBatchWithCell(queries, idx, excludeSelf = false)
+    val fromAppend = servedByCell(Similarity.loadIvfIndex(s, dir))
+      .filter(!$"q_cell".isin(touched.toSeq: _*)).drop("q_cell")
+    val fromRetrain = servedByCell(retrained)
+      .filter(!$"q_cell".isin(touched.toSeq: _*)).drop("q_cell")
+    assert(rows(fromAppend.orderBy($"q_id", $"rank")) ==
+      rows(fromRetrain.orderBy($"q_id", $"rank")),
+      "unaffected cells must serve identically under append and retrain")
+
+    // compaction after the upsert: file count restored, serving unchanged
+    def files() = new java.io.File(s"$dir/ivf_assigned").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(files() > 8)
+    Similarity.compactIvfIndex(s, dir)
+    // at most one file per bucket — cell_id has only ~16 distinct
+    // values, so a hash bucket can be empty and write no file
+    assert(files() <= 8, "compaction must restore at most one file per bucket")
+    assert(serve(Similarity.loadIvfIndex(s, dir)) == servedAppend,
+      "compaction must not change a single served neighbor")
+  }
+
+  test("StreamingAnn serves the upserted sidecar without a rebuild, equal to the batch probe") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.ops.Similarity
+    val all = Similarity.normedVectors(spark, TestSpark.sfDir)
+    val hist = all.filter($"vec_id" % 7 =!= 2)
+    val arrivals = Tables.embeddings(spark, TestSpark.sfDir)
+      .filter($"vec_id" % 7 === 2).select($"vec_id", $"embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-upsert").toString
+    Similarity.persistIvfIndex(
+      Similarity.assignByCodebook(hist, Similarity.codebookOf(hist)), root)
+    Similarity.refreshIvfIndex(arrivals, root)
+    val queries = Tables.embeddings(spark, TestSpark.sfDir)
+      .filter($"vec_id" % 13 === 1)
+      .select($"vec_id".as("q_id"), $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ann-up-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ann-up-out").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val stream = input.toDF().toDF("q_id", "embedding")
+    val q = graft.streaming.StreamingAnn.runFromSidecar(stream, root, out, ckpt)
+    try {
+      input.addData(queries.take(queries.length / 2).toSeq)
+      q.processAllAvailable()
+      input.addData(queries.drop(queries.length / 2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batchRun = Similarity.ivfProbeBatch(
+      Tables.embeddings(spark, TestSpark.sfDir).filter($"vec_id" % 13 === 1)
+        .select($"vec_id".as("q_id"), $"embedding"),
+      Similarity.loadIvfIndex(spark, root))
+    assert(streamed.count() == batchRun.count() && streamed.count() > 0)
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+  }
+
   test("compactSidecars leaves every consumer result unchanged, one file per bucket") {
     val base = TestSpark.spark
     val before = rows(SparkEntry.queries("d04_shingle_jaccard")(diskSession(), TestSpark.sfDir))

@@ -719,6 +719,93 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(batchRun.except(streamed).count() == 0)
   }
 
+  test("streaming session features: closed sessions compose to the batch e18 result") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // Events arrive in event-time order across uneven micro-batches;
+    // as the watermark passes each session's close, its finalized
+    // feature row emits. A sentinel event 3 days past the log's end
+    // closes every real session (its own session stays open and never
+    // emits), so the union over batches must equal batch e18.
+    val evs = Tables.events(spark, TestSpark.sfDir)
+      .select($"ts", $"user_id", $"event_type", $"value")
+      .as[(java.sql.Timestamp, Long, String, Double)].collect().sortBy(_._1.getTime)
+    val batches = Seq(
+      evs.take(evs.length / 3),
+      evs.slice(evs.length / 3, 2 * evs.length / 3),
+      evs.drop(2 * evs.length / 3))
+    val sentinel = new java.sql.Timestamp(
+      evs.map(_._1.getTime).max + 3L * 24 * 3600 * 1000)
+    val out = java.nio.file.Files.createTempDirectory("graft_ssn_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssn_ckpt").toString
+    val input = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val q = graft.streaming.StreamingSessions.run(
+      input.toDF().toDF("ts", "user_id", "event_type", "value"), out, ckpt)
+    try {
+      batches.foreach { b =>
+        input.addData(b.toSeq)
+        q.processAllAvailable()
+      }
+      input.addData(Seq((sentinel, -1L, "view", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batchRun = graft.ops.EventOps.sessionFeatures(spark, TestSpark.sfDir)
+    assert(streamed.count() > 0, "fixture must close at least one session")
+    assert(streamed.count() == batchRun.count())
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+  }
+
+  test("StreamingSessions restart replays the uncommitted batch exactly-once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val evs = Tables.events(spark, TestSpark.sfDir)
+      .select($"ts", $"user_id", $"event_type", $"value")
+      .as[(java.sql.Timestamp, Long, String, Double)].collect().sortBy(_._1.getTime)
+    val batches = Seq(
+      evs.take(evs.length / 2),
+      evs.drop(evs.length / 2))
+    val sentinel = new java.sql.Timestamp(
+      evs.map(_._1.getTime).max + 3L * 24 * 3600 * 1000)
+    val out = java.nio.file.Files.createTempDirectory("graft_ssnr_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssnr_ckpt").toString
+    val input = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val stream = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    def start() = graft.streaming.StreamingSessions.run(stream, out, ckpt)
+
+    val q1 = start()
+    try {
+      input.addData(batches(0).toSeq); q1.processAllAvailable()
+      input.addData(batches(1).toSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    // Crash between offset log and commit: drop the LAST commit marker,
+    // forcing a replay of that batch — with its restored session state
+    // — under the same batch id on restart.
+    val commitDir = new java.io.File(s"$ckpt/commits")
+    val commits = commitDir.listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    val lastId = commits.last.getName.toLong
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.$lastId.crc")
+    if (crc.exists()) assert(crc.delete())
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays the dropped batch
+      input.addData(Seq((sentinel, -1L, "view", 0.0))); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batchRun = graft.ops.EventOps.sessionFeatures(spark, TestSpark.sfDir)
+    assert(streamed.count() == batchRun.count())
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+  }
+
   test("streamed transitions compose to the batch transitionStats on the same slice") {
     val spark = TestSpark.spark
     import spark.implicits._
