@@ -86,6 +86,10 @@ object SparkEntry {
     // conversion flag, exact decimal value sum — the model-facing
     // feature table from e03's one pass.
     "e18_session_features"   -> (EventOps.sessionFeatures _),
+    // e20 = per-user engagement profile: e18's sessions rolled up per
+    // user (session count, events, total µs, purchase sessions, exact
+    // BIGINT/BIGINT conversion rate) — rides the same session pass.
+    "e20_user_engagement"    -> (EventOps.userEngagement _),
     // e17 = e15's tail view: exact p50/p90/p99 dwell per transition
     // (q14 percentile discipline) + an approx_percentile 5%-gate
     // (t07 pattern) — the certificate arm over the sketch the 100 TB
@@ -562,6 +566,31 @@ object SparkEntry {
       // e18: e03's gaps-and-islands sessionization carrying type/value
       // through; decimal sum -> VARCHAR -> DOUBLE per the q01/DuckDB
       // rounding discipline.
+      // e20: the e18 gaps-and-islands session CTE, aggregated once
+      // more per user; the conversion rate is an exact BIGINT/BIGINT
+      // divide on both sides.
+      "e20_user_engagement" -> """
+        WITH marked AS (
+          SELECT user_id, ts, event_type,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '10 minutes'
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        numbered AS (
+          SELECT user_id, ts, event_type,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked),
+        sess AS (
+          SELECT user_id, sid, count(*) AS n_events,
+            epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hp
+          FROM numbered GROUP BY user_id, sid)
+        SELECT user_id, count(*) AS n_sessions,
+          CAST(sum(n_events) AS BIGINT) AS n_events,
+          CAST(sum(duration_us) AS BIGINT) AS total_duration_us,
+          CAST(sum(hp) AS BIGINT) AS n_purchase_sessions,
+          CAST(CAST(sum(hp) AS BIGINT) AS DOUBLE) / count(*) AS conv_rate
+        FROM sess GROUP BY user_id ORDER BY user_id""",
       "e18_session_features" -> """
         WITH marked AS (
           SELECT user_id, ts, event_type, value,

@@ -487,6 +487,30 @@ object EventOps {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** e20 — per-user ENGAGEMENT profile: e18's session rows rolled up
+    * one level to the unit models score — per user the session count,
+    * total events, total session-time in integer µs, purchase-session
+    * count, and the session-level conversion rate (the churn /
+    * propensity label side of e18's feature table). The rate is the
+    * e-family's one exact BIGINT÷BIGINT divide, emitted as double.
+    *
+    * Scale shape: rides the SAME session-window pass e03/e18 pay, then
+    * one user-keyed aggregate over session-sized rows (already a tiny
+    * fraction of events); nothing re-reads the log.
+    */
+  def userEngagement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sessionFeatureFrame(events(s, dir))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum($"n_events").as("n_events"),
+        sum($"duration_us").as("total_duration_us"),
+        sum(when($"has_purchase", 1L).otherwise(0L)).as("n_purchase_sessions"))
+      .withColumn("conv_rate",
+        $"n_purchase_sessions".cast("double") / $"n_sessions".cast("double"))
+      .orderBy($"user_id")
+  }
+
   /** The e18 aggregation over ANY (ts, user_id, event_type, value)
     * frame, batch or streaming — one session-window pass, unsorted.
     * The streaming job (`graft.streaming.StreamingSessions`) runs this

@@ -692,6 +692,16 @@ object Similarity {
     CorpusIndexes.writeBucketedTable(index, path, tbl, lay)
   }
 
+  /** Assign arriving (vec_id, embedding) rows over the FROZEN codebook
+    * of an existing index — the one upsert transform, shared by the
+    * durable append ([[refreshIvfIndex]]) and the streaming ingest
+    * door (`graft.streaming.StreamingAnnIngest`). Output rows have the
+    * index's own schema (vec_id, embedding, nrm, cell_id), so they
+    * append/union directly.
+    */
+  def ivfUpsertAssign(arrivals: DataFrame, index: DataFrame): DataFrame =
+    assignByCodebook(withNorm(arrivals), codebookOf(index))
+
   /** UPSERT arrivals (vec_id, embedding) into the persisted index:
     * each arrival is assigned with the exact s04 argmax over the
     * codebook READ FROM THE INDEX ITSELF (frozen centroids), and the
@@ -702,7 +712,7 @@ object Similarity {
     val s = arrivals.sparkSession
     val (path, tbl, lay) = ivfLayoutParts(outDir)
     val idx = CorpusIndexes.readBucketedTable(s, path, tbl, lay)
-    val rows = assignByCodebook(withNorm(arrivals), codebookOf(idx))
+    val rows = ivfUpsertAssign(arrivals, idx)
     CorpusIndexes.writeBucketedTable(rows, path, tbl, lay, append = true)
   }
 

@@ -806,6 +806,72 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(batchRun.except(streamed).count() == 0)
   }
 
+  test("StreamingAnnIngest: streamed upsert deltas compose to the batch assignment; replay exactly-once; serving sees index ∪ delta") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.ops.Similarity
+    val all = Similarity.normedVectors(spark, TestSpark.sfDir)
+    val hist = all.filter($"vec_id" % 7 =!= 2)
+    val histIdx = Similarity.assignByCodebook(hist, Similarity.codebookOf(hist))
+    val root = java.nio.file.Files.createTempDirectory("graft-anni-idx").toString
+    Similarity.persistIvfIndex(histIdx, root)
+    val arrivals = Tables.embeddings(spark, TestSpark.sfDir)
+      .filter($"vec_id" % 7 === 2).select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val delta = java.nio.file.Files.createTempDirectory("graft-anni-delta").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-anni-ckpt").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    def start() = graft.streaming.StreamingAnnIngest.run(stream, root, delta, ckpt)
+
+    val q1 = start()
+    try {
+      input.addData(arrivals.take(arrivals.length / 2).toSeq); q1.processAllAvailable()
+      input.addData(arrivals.drop(arrivals.length / 2).toSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    // crash between offset log and commit: replay the last batch
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.map(_.getName.toLong).toSeq == Seq(0L, 1L))
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.1.crc")
+    if (crc.exists()) assert(crc.delete())
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the replayed batch overwrote its own delta partition: the union
+    // of deltas equals ONE batch assignment over all arrivals
+    val dirs = new java.io.File(delta).listFiles().map(_.getName)
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirs == Seq("batch_id=0", "batch_id=1"))
+    val streamed = spark.read.parquet(delta)
+      .select($"vec_id", $"cell_id")
+    val batchAssign = Similarity.ivfUpsertAssign(
+      Tables.embeddings(spark, TestSpark.sfDir)
+        .filter($"vec_id" % 7 === 2).select($"vec_id", $"embedding"),
+      Similarity.loadIvfIndex(spark, root))
+      .select($"vec_id", $"cell_id")
+    assert(streamed.count() == batchAssign.count() && streamed.count() > 0)
+    assert(streamed.except(batchAssign).count() == 0)
+    assert(batchAssign.except(streamed).count() == 0)
+
+    // serving [index ∪ delta] equals serving the frozen-codebook
+    // rebuild over the union — no rebuild ever ran
+    val queries = Tables.embeddings(spark, TestSpark.sfDir)
+      .filter($"vec_id" % 13 === 1).select($"vec_id".as("q_id"), $"embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"q_id", $"rank").collect().toSeq.map(_.toString)
+    val served = rows(Similarity.ivfProbeBatch(queries,
+      graft.streaming.StreamingAnnIngest.servingIndex(spark, root, delta),
+      excludeSelf = false))
+    val frozenRebuild = Similarity.assignByCodebook(all, Similarity.codebookOf(hist))
+    val rebuilt = rows(Similarity.ivfProbeBatch(queries, frozenRebuild,
+      excludeSelf = false))
+    assert(served == rebuilt && served.nonEmpty,
+      "serving the streamed deltas must equal serving a frozen-codebook rebuild")
+  }
+
   test("streamed transitions compose to the batch transitionStats on the same slice") {
     val spark = TestSpark.spark
     import spark.implicits._
