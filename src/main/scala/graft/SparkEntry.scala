@@ -369,6 +369,11 @@ object SparkEntry {
     // first query — top-5 within its cell from the historical index.
     "s22_ivf_upsert"         -> ((s, d) => Similarity.ivfUpsertServe(s, d)),
     "m14_audio_nn"           -> (Multimodal.audioNearestNeighbor _),
+    // m18 = incremental audio dedup: arriving clips (d14 slice) probe
+    // the historical frame-energy fingerprint index by duration class,
+    // integer-L1 nearest match — completes the incremental-probe
+    // family across all four media modalities.
+    "m18_incremental_audio"  -> (Multimodal.incrementalAudioDedup _),
     // m15 = video frame-level dedup: per-frame aHash over the real GIF
     // decode, digest-keyed repeated-scene report across videos (the
     // d20 span discipline on the third modality; no pair join).
@@ -1495,6 +1500,33 @@ object SparkEntry {
         FROM nf2 JOIN ndc ON ndc.doc_id = nf2.doc_id
         LEFT JOIN mt ON mt.doc_id = nf2.doc_id
         ORDER BY nf2.doc_id""",
+      // m18: the m14 energy CTE restricted to arrivals-probe-history
+      // (doc_id % 5 split), rank-1 by (L1, candidate id), LEFT join so
+      // every arrival appears.
+      "m18_incremental_audio" -> """
+        WITH f AS (SELECT doc_id, CAST(200 + doc_id % 400 AS BIGINT) AS n FROM documents),
+        e AS (SELECT doc_id, (n + 63) // 64 AS n_frames, fr,
+                CAST(list_sum(list_transform(
+                  generate_series(CAST(fr * 64 AS INTEGER),
+                                  CAST(least(n, fr * 64 + 64) AS INTEGER) - 1),
+                  i -> ((doc_id * 7919 + i * 104729) % 65536 - 32768) *
+                       ((doc_id * 7919 + i * 104729) % 65536 - 32768))) AS BIGINT) AS energy
+              FROM f, LATERAL unnest(generate_series(0, CAST((n + 63) // 64 AS INTEGER) - 1))
+                      AS t(fr)),
+        pairs AS (SELECT q.doc_id, c.doc_id AS c_id,
+                    CAST(sum(abs(q.energy - c.energy)) AS BIGINT) AS l1
+                  FROM e q JOIN e c ON c.n_frames = q.n_frames AND c.fr = q.fr
+                  WHERE q.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+                  GROUP BY q.doc_id, c.doc_id),
+        best AS (SELECT doc_id, c_id AS nn_id, l1 AS l1_dist FROM (
+                   SELECT doc_id, c_id, l1,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY l1 ASC, c_id) AS r
+                   FROM pairs) t WHERE r = 1)
+        SELECT a.doc_id, a.n_frames, b.nn_id, b.l1_dist
+        FROM (SELECT doc_id, (n + 63) // 64 AS n_frames FROM f
+              WHERE doc_id % 5 = 0) a
+        LEFT JOIN best b ON a.doc_id = b.doc_id
+        ORDER BY a.doc_id""",
       "m14_audio_nn" -> """
         WITH f AS (SELECT doc_id, CAST(200 + doc_id % 400 AS BIGINT) AS n FROM documents),
         e AS (SELECT doc_id, (n + 63) // 64 AS n_frames, fr,

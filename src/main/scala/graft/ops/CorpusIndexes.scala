@@ -70,7 +70,10 @@ private[graft] object CorpusIndexes {
     // the streaming probe aggregate/join by (ahash_hi, ahash_lo), and
     // HashPartitioning(ahash_hi) satisfies a clustered distribution on
     // the pair — the digest groupBys run with zero exchanges
-    "gif_frames"     -> Layout(8, "ahash_hi", Seq("ahash_hi", "ahash_lo")))
+    "gif_frames"     -> Layout(8, "ahash_hi", Seq("ahash_hi", "ahash_lo")),
+    // the duration class is the m14/m18 join key; low-cardinality
+    // (7 classes), so compaction restores AT MOST one file per bucket
+    "wav_fp"         -> Layout(8, "n_frames", Seq("n_frames", "doc_id")))
 
   /** One-slot lazy holder: `computeIfAbsent` only ever constructs the
     * holder (cheap, no callback into the cache), and the build itself
@@ -271,12 +274,13 @@ private[graft] object CorpusIndexes {
     "ivf_assigned"   -> (() => Similarity.ivfAssigned(s, dir)),
     "pq_codes"       -> (() => Similarity.pqCodesFrame(s, dir)),
     "bench_grams"    -> (() => benchGrams(s, dir)),
-    "gif_frames"     -> (() => Multimodal.gifFramesSidecar(s, dir)))
+    "gif_frames"     -> (() => Multimodal.gifFramesSidecar(s, dir)),
+    "wav_fp"         -> (() => Multimodal.wavFpSidecar(s, dir)))
 
   /** All sidecar keys [[persistSidecars]] writes by default. */
   val persistableKeys: Seq[String] = Seq("shingles", "tokens", "bands",
     "png_ahash", "text_labels_64", "image_labels", "ivf_assigned", "pq_codes",
-    "bench_grams", "gif_frames")
+    "bench_grams", "gif_frames", "wav_fp")
 
   /** Read ONE persisted sidecar table from a root, registered with its
     * bucket layout — for consumers that take the index as an explicit

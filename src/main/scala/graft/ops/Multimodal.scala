@@ -746,26 +746,40 @@ object Multimodal {
   def audioFingerprintsFor(ids: Dataset[Long], frame: Int = 64): Dataset[AudioFp] = {
     import ids.sparkSession.implicits._
     ids.mapPartitions { it =>
-      it.map { id =>
-        val payload = WavCodec.encode(id)
-        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
-        val en: Array[Long] =
-          try {
-            val bytes = ais.readAllBytes()
-            val nS = bytes.length / 2
-            val nF = (nS + frame - 1) / frame
-            val e = new Array[Long](nF)
-            var i = 0
-            while (i < nS) {
-              val sm = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toLong
-              e(i / frame) += sm * sm
-              i += 1
-            }
-            e
-          } finally ais.close()
-        AudioFp(id, en.length.toLong, en)
-      }
+      it.map(id => fingerprintOf(id, WavCodec.encode(id), frame))
     }
+  }
+
+  /** Fingerprints over a frame of REAL payloads — the form the
+    * streaming audio door runs per micro-batch (arriving WAV bytes
+    * decode inside this map; payloads never leave it) and the durable
+    * index build consumes.
+    */
+  def audioFingerprintRows(media: Dataset[WavRow], frame: Int = 64): Dataset[AudioFp] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map(r => fingerprintOf(r.doc_id, r.payload, frame))
+    }
+  }
+
+  /** The one decode+frame-energy loop both fingerprint forms share. */
+  private def fingerprintOf(id: Long, payload: Array[Byte], frame: Int): AudioFp = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val en: Array[Long] =
+      try {
+        val bytes = ais.readAllBytes()
+        val nS = bytes.length / 2
+        val nF = (nS + frame - 1) / frame
+        val e = new Array[Long](nF)
+        var i = 0
+        while (i < nS) {
+          val sm = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toLong
+          e(i / frame) += sm * sm
+          i += 1
+        }
+        e
+      } finally ais.close()
+    AudioFp(id, en.length.toLong, en)
   }
 
   /** m14 — audio nearest-neighbor by frame-energy fingerprint: for each
@@ -788,13 +802,23 @@ object Multimodal {
     * energy-profile bits instead (the m11 recipe); the generator's
     * natural 7-way duration key plays that role here.
     */
+  /** The (doc_id, n_frames, energies) fingerprint table as a SESSION
+    * sidecar (CorpusIndexes discipline): the WAV corpus decodes ONCE
+    * per (session, dir) and both audio consumers (m14 nearest-neighbor,
+    * m18 incremental dedup) read the checkpointed table — at 100 TB
+    * this is the persisted audio-signature sidecar a campaign keeps
+    * next to the clips, like png_ahash and gif_frames.
+    */
+  private[ops] def wavFpSidecar(s: SparkSession, dir: String): DataFrame =
+    CorpusIndexes.memo(s, dir, "wav_fp")(audioFingerprints(s, dir).toDF())
+
   def audioNearestNeighbor(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // The corpus decodes ONCE; the probe branch filters BELOW the codec
     // (the m13 discipline — a filter above the opaque map cannot push
     // down, and would re-decode every clip to keep 50), so total codec
     // work is corpus + probes, not 2x corpus.
-    val fp = audioFingerprints(s, dir).toDF()
+    val fp = wavFpSidecar(s, dir)
     val probes = audioFingerprintsFor(documents(s, dir)
         .select($"doc_id").filter($"doc_id" < 50).as[Long]).toDF()
       .toDF("q_id", "q_n", "q_en")
@@ -808,6 +832,113 @@ object Multimodal {
         $"q_n".as("n_frames"), $"l1".as("l1_dist"))
       .orderBy($"doc_id")
   }
+
+  /** The audio probe shared by the m18 batch query and the streaming
+    * audio door: per probing clip (already fingerprinted — the caller
+    * owns the codec slot), its nearest HISTORICAL clip in the same
+    * duration class by integer L1, with the duration class and
+    * distance; an arrival whose class history never saw carries nulls
+    * (the admission-verdict shape — every arrival appears). Every
+    * output row depends only on its own clip versus the index, so
+    * per-batch probes compose to the batch query bit for bit.
+    */
+  private def audioProbe(newFp: DataFrame, histFp: DataFrame): DataFrame = {
+    val s = newFp.sparkSession
+    import s.implicits._
+    val arr = newFp.toDF("doc_id", "n_frames", "q_en")
+    val hist = histFp.toDF("c_id", "c_n", "c_en")
+    val w = Window.partitionBy($"doc_id").orderBy($"l1".asc, $"c_id")
+    val best = hist.join(broadcast(arr), $"c_n" === $"n_frames")
+      .withColumn("l1", expr(
+        "aggregate(zip_with(q_en, c_en, (x, y) -> abs(x - y)), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("r", row_number().over(w))
+      .filter($"r" === 1)
+      .select($"doc_id", $"c_id".as("nn_id"), $"l1".as("l1_dist"))
+    arr.select($"doc_id", $"n_frames")
+      .join(best, Seq("doc_id"), "left")
+  }
+
+  /** m18 — INCREMENTAL audio dedup: the d14 slice convention on the
+    * audio modality, completing the incremental-probe family across
+    * ALL FOUR media types (text d14/d15, image m13, video m17, audio
+    * m18). Arriving clips (doc_id ≡ 0 mod 5) probe the HISTORICAL
+    * fingerprint index: per arrival its nearest historical clip in the
+    * same duration class by integer L1 over the m09 frame-energy
+    * vectors — the re-encode/re-post signal for audio, where a copied
+    * clip keeps its energy profile even when container bytes differ.
+    * One row per arrival (nulls for an unseen duration class) — the
+    * admission-verdict shape.
+    *
+    * Exactness: all arithmetic is 64-bit integer (energies ≤ 2³⁶, L1
+    * sums ≤ 2⁴⁰), rank tiebreak is the candidate id — the DuckDB
+    * oracle recomputes every distance from the WAV generator formula.
+    *
+    * Scale shape: both sides read the shared fingerprint sidecar (ONE
+    * decode pass per session feeds m14 and m18); the probe is a
+    * duration-class equi-join with the BATCH side broadcast
+    * (micro-batches are small by definition), so cost scales with the
+    * batch; the only array on any exchange is the ≤10-long
+    * fingerprint. The streaming form
+    * (`graft.streaming.StreamingAudioDedup`) runs the identical probe
+    * per micro-batch.
+    */
+  def incrementalAudioDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = wavFpSidecar(s, dir)
+    audioProbe(fp.filter($"doc_id" % 5 === 0),
+        fp.filter($"doc_id" % 5 =!= 0))
+      .orderBy($"doc_id")
+  }
+
+  /** One micro-batch audio probe for the streaming job: arriving
+    * (doc_id, payload: WAV bytes) decode and fingerprint INSIDE the
+    * batch's codec slot (payloads never cross an exchange), then
+    * probe the static fingerprint index by duration class.
+    */
+  def audioProbeBatch(batch: DataFrame, histFp: DataFrame): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    audioProbe(
+      audioFingerprintRows(batch.select($"doc_id", $"payload").as[WavRow]).toDF(),
+      histFp)
+  }
+
+  /** The historical fingerprint index, materialized — what the
+    * streaming audio job passes per micro-batch.
+    */
+  def audioFpIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    wavFpSidecar(s, dir).filter($"doc_id" % 5 =!= 0).localCheckpoint()
+  }
+
+  /** Build the durable audio probe index: decode+fingerprint `media`
+    * (one codec pass) and write the (doc_id, n_frames, energies) rows
+    * bucketed on the duration class under `outDir/wav_fp`.
+    */
+  def persistAudioIndex(media: Dataset[WavRow], outDir: String): Unit =
+    writeModalityPart(audioFingerprintRows(media).toDF(), outDir, "wav_fp",
+      append = false)
+
+  /** INCREMENTAL refresh: fingerprint a new clip slice and append. */
+  def refreshAudioIndex(media: Dataset[WavRow], outDir: String): Unit =
+    writeModalityPart(audioFingerprintRows(media).toDF(), outDir, "wav_fp",
+      append = true)
+
+  /** Rewrite the audio index to one file per bucket after appends
+    * (like ivf_assigned, the duration-class bucket column is
+    * low-cardinality — an empty hash bucket writes no file, so the
+    * restored count is AT MOST one per bucket).
+    */
+  def compactAudioIndex(s: SparkSession, outDir: String): Unit =
+    CorpusIndexes.compactBucketedTable(s, s"$outDir/wav_fp",
+      CorpusIndexes.tableName(outDir, "wav_fp"),
+      CorpusIndexes.layouts("wav_fp"))
+
+  /** Read the persisted audio index — the static side
+    * [[audioProbeBatch]] and the streaming audio door probe.
+    */
+  def loadAudioIndex(s: SparkSession, outDir: String): DataFrame =
+    CorpusIndexes.readSidecar(s, outDir, "wav_fp")
 
   final case class GifRow(doc_id: Long, payload: Array[Byte])
   final case class GifMeta(doc_id: Long, n_frames: Long, width: Long, height: Long,

@@ -442,6 +442,34 @@ class SidecarDiskSpec extends AnyFunSuite {
       "video index compaction must not change a single verdict")
   }
 
+  test("audio index lifecycle: refresh equals from-scratch, compaction restores at most one file per bucket, verdicts identical") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import graft.ops.Multimodal
+    val wavs = Multimodal.wavTable(s, TestSpark.sfDir)
+    val hist = wavs.filter($"doc_id" % 5 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-aidx-life").toString
+    Multimodal.persistAudioIndex(hist.filter($"doc_id" % 3 === 0), dir)
+    Multimodal.refreshAudioIndex(hist.filter($"doc_id" % 3 === 1), dir)
+    Multimodal.refreshAudioIndex(hist.filter($"doc_id" % 3 === 2), dir)
+    val newSlice = wavs.filter($"doc_id" % 5 === 0).toDF()
+    val scratch = rows(Multimodal.incrementalAudioDedup(s, TestSpark.sfDir))
+    def probe() = rows(Multimodal.audioProbeBatch(newSlice,
+      Multimodal.loadAudioIndex(s, dir)).orderBy($"doc_id"))
+    val refreshed = probe()
+    assert(refreshed == scratch && refreshed.nonEmpty,
+      "refreshed audio index must probe identically to the session sidecar")
+    def files() = new java.io.File(s"$dir/wav_fp").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(files() > 8, "three generations must leave more than one file per bucket")
+    Multimodal.compactAudioIndex(s, dir)
+    // n_frames has only 7 distinct values over 8 buckets — an empty
+    // hash bucket writes no file
+    assert(files() <= 8, "compaction must restore at most one file per bucket")
+    assert(probe() == refreshed,
+      "audio index compaction must not change a single verdict")
+  }
+
   test("IVF index upsert: serve-after-append equals serve-after-rebuild; retrained rebuild agrees on unaffected cells") {
     val s = TestSpark.spark
     import s.implicits._

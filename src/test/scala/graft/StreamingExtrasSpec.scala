@@ -872,6 +872,57 @@ class StreamingExtrasSpec extends AnyFunSuite {
       "serving the streamed deltas must equal serving a frozen-codebook rebuild")
   }
 
+  test("StreamingAudioDedup restart replays the uncommitted batch exactly-once; union equals batch m18; disk index form agrees") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.ops.Multimodal
+    val index = Multimodal.audioFpIndex(spark, TestSpark.sfDir)
+    val newRows = Tables.documents(spark, TestSpark.sfDir).select($"doc_id")
+      .filter($"doc_id" % 5 === 0).as[Long].collect().sorted
+      .map(id => (id, Multimodal.WavCodec.encode(id)))
+    val batches = Seq(
+      newRows.take(newRows.length / 2),
+      newRows.drop(newRows.length / 2))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sad_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sad_out").toString
+    val input = MemoryStream[(Long, Array[Byte])]
+    val stream = input.toDF().toDF("doc_id", "payload")
+    def start() = graft.streaming.StreamingAudioDedup.run(stream, index, out, ckpt)
+
+    val q1 = start()
+    try {
+      input.addData(batches(0).toSeq); q1.processAllAvailable()
+      input.addData(batches(1).toSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.map(_.getName.toLong).toSeq == Seq(0L, 1L))
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.1.crc")
+    if (crc.exists()) assert(crc.delete())
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batchRun = Multimodal.incrementalAudioDedup(spark, TestSpark.sfDir)
+    assert(streamed.count() == batchRun.count() && streamed.count() > 0)
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+
+    // the durable-index form probes identically with no decode pass
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_sad_idx").toString
+    Multimodal.persistAudioIndex(
+      Multimodal.wavTable(spark, TestSpark.sfDir).filter($"doc_id" % 5 =!= 0),
+      idxDir)
+    val fromDisk = graft.streaming.StreamingAudioDedup.probeBatch(
+      newRows.toSeq.toDF("doc_id", "payload"),
+      Multimodal.loadAudioIndex(spark, idxDir))
+    assert(fromDisk.count() == batchRun.count())
+    assert(fromDisk.except(batchRun).count() == 0)
+    assert(batchRun.except(fromDisk).count() == 0)
+  }
+
   test("streamed transitions compose to the batch transitionStats on the same slice") {
     val spark = TestSpark.spark
     import spark.implicits._
