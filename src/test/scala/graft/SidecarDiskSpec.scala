@@ -442,6 +442,25 @@ class SidecarDiskSpec extends AnyFunSuite {
       "video index compaction must not change a single verdict")
   }
 
+  test("audio fingerprint sidecar serves m14/m18 from disk: identical results, scan under the root, no WAV decode of the corpus") {
+    val base = TestSpark.spark
+    val s2 = diskSession()
+    Seq("m14_audio_nn", "m18_incremental_audio").foreach { q =>
+      val expect = rows(SparkEntry.queries(q)(base, TestSpark.sfDir))
+      assert(rows(SparkEntry.queries(q)(s2, TestSpark.sfDir)) == expect,
+        s"$q: disk form diverged from session form")
+    }
+    assert(s2.catalog.tableExists(CorpusIndexes.tableName(root, "wav_fp")))
+    val ad = graft.ops.Multimodal.incrementalAudioDedup(s2, TestSpark.sfDir)
+    ad.collect()
+    val scanned = scans(ad.queryExecution.executedPlan)
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(scanned.exists(_.contains(s"$root/wav_fp")),
+      s"expected a wav_fp scan under $root, got $scanned")
+    assert(!scanned.exists(_.contains("documents")),
+      "disk-form audio dedup must not re-read (and re-encode) the corpus")
+  }
+
   test("audio index lifecycle: refresh equals from-scratch, compaction restores at most one file per bucket, verdicts identical") {
     val s = TestSpark.spark
     import s.implicits._
