@@ -368,6 +368,10 @@ object SparkEntry {
     // argmax over the FROZEN historical codebook, each served its
     // first query — top-5 within its cell from the historical index.
     "s22_ivf_upsert"         -> ((s, d) => Similarity.ivfUpsertServe(s, d)),
+    // s23 = PQ upsert serve (s22 on the codes half of IVF-PQ):
+    // arrivals ADC-probe the historical code table via distance
+    // tables over the frozen (gapped) historical subspace codebook.
+    "s23_pq_upsert"          -> ((s, d) => Similarity.pqUpsertServe(s, d)),
     "m14_audio_nn"           -> (Multimodal.audioNearestNeighbor _),
     // m18 = incremental audio dedup: arriving clips (d14 slice) probe
     // the historical frame-energy fingerprint index by duration class,
@@ -1297,6 +1301,34 @@ object SparkEntry {
           FROM q JOIN assigned a ON a.cell_id = q.q_cell AND a.vec_id <> q.q_id
           WHERE a.vec_id % 11 <> 3) t
         WHERE rank <= 5 ORDER BY q_id, rank""",
+      // s23: the s06/s08 PQ CTEs with the historical slice — codebook
+      // and codes from vec_id % 7 <> 2, arrivals' distance tables
+      // joined to the codes by (m, k), rank by (adc2, vec_id).
+      "s23_pq_upsert" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sub AS (SELECT vec_id, m, v[16*m+1 : 16*m+16] AS sv
+                FROM e, (SELECT unnest(generate_series(0, 3)) AS m) mm),
+        cb AS (SELECT m, vec_id AS k, sv AS cv FROM sub
+               WHERE vec_id < 16 AND vec_id % 7 <> 2),
+        dists AS (SELECT s.vec_id, s.m, cb.k,
+                    list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, cb.cv)
+                      + list_dot_product(cb.cv, cb.cv) AS d
+                  FROM sub s JOIN cb ON s.m = cb.m),
+        enc AS (SELECT vec_id, m, k AS code FROM (
+                  SELECT vec_id, m, k,
+                    row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k) AS rnk
+                  FROM dists WHERE vec_id % 7 <> 2) t WHERE rnk = 1),
+        adc AS (SELECT qd.vec_id AS q_id, enc.vec_id AS vec_id,
+                  max(CASE WHEN enc.m = 0 THEN qd.d END) + max(CASE WHEN enc.m = 1 THEN qd.d END)
+                  + max(CASE WHEN enc.m = 2 THEN qd.d END) + max(CASE WHEN enc.m = 3 THEN qd.d END) AS adc2
+                FROM enc JOIN dists qd ON qd.m = enc.m AND qd.k = enc.code
+                WHERE qd.vec_id % 7 = 2
+                GROUP BY qd.vec_id, enc.vec_id)
+        SELECT q_id, srank, vec_id, adc2 FROM (
+          SELECT q_id, vec_id, adc2,
+            row_number() OVER (PARTITION BY q_id ORDER BY adc2 ASC, vec_id) AS srank
+          FROM adc) t
+        WHERE srank <= 5 ORDER BY q_id, srank""",
       // s22: the s04 argmax replayed twice over the HISTORICAL slice —
       // history assigned over the frozen historical codebook (cells
       // seed from vec_id < 16 within the slice), then arrivals

@@ -73,7 +73,11 @@ private[graft] object CorpusIndexes {
     "gif_frames"     -> Layout(8, "ahash_hi", Seq("ahash_hi", "ahash_lo")),
     // the duration class is the m14/m18 join key; low-cardinality
     // (7 classes), so compaction restores AT MOST one file per bucket
-    "wav_fp"         -> Layout(8, "n_frames", Seq("n_frames", "doc_id")))
+    "wav_fp"         -> Layout(8, "n_frames", Seq("n_frames", "doc_id")),
+    // the 64-row frozen subspace codebook shipped NEXT TO pq_codes by
+    // the durable PQ index (not a persistSidecars key — it derives
+    // from the corpus; the index-dir form owns it)
+    "pq_codebook"    -> Layout(4, "m", Seq("m", "k")))
 
   /** One-slot lazy holder: `computeIfAbsent` only ever constructs the
     * holder (cheap, no callback into the cache), and the build itself

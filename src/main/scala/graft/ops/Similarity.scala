@@ -292,11 +292,37 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
-  private def pqSub(s: SparkSession, dir: String): DataFrame = {
+  private def pqSub(s: SparkSession, dir: String): DataFrame =
+    pqSubOf(embeddings(s, dir))
+
+  /** (vec_id, m, sv): the 4×16-dim subvector explode of any
+    * (vec_id, embedding) frame — shared by the corpus encode, the
+    * query tables, and the upsert path.
+    */
+  private def pqSubOf(vectors: DataFrame): DataFrame = {
+    val s = vectors.sparkSession
     import s.implicits._
-    embeddings(s, dir)
+    vectors
       .select($"vec_id", explode(expr("sequence(0, 3)")).as("m"), $"embedding")
       .select($"vec_id", $"m", expr("slice(embedding, 16 * m + 1, 16)").as("sv"))
+  }
+
+  /** Encode any (vec_id, embedding) frame against an EXPLICIT subspace
+    * codebook (k, m, cv) — the one PQ encode, shared by the session
+    * sidecar build and the durable-index refresh (where the codebook is
+    * read back from disk, frozen since the last rebuild).
+    */
+  private[graft] def pqEncodeWith(vectors: DataFrame, cb: DataFrame): DataFrame = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val aw = Window.partitionBy($"vec_id", $"m").orderBy($"dist".asc, $"k")
+    pqSubOf(vectors).join(broadcast(cb), Seq("m"))
+      .withColumn("dist", pqL2("sv", "cv"))
+      .withColumn("arank", row_number().over(aw))
+      .filter($"arank" === 1)
+      .groupBy($"vec_id")
+      .agg(max(when($"m" === 0, $"k")).as("c0"), max(when($"m" === 1, $"k")).as("c1"),
+           max(when($"m" === 2, $"k")).as("c2"), max(when($"m" === 3, $"k")).as("c3"))
   }
 
   private def pqL2(x: String, c: String) =
@@ -314,16 +340,8 @@ object Similarity {
   private def pqEncoded(s: SparkSession, dir: String): DataFrame =
     CorpusIndexes.memo(s, dir, "pq_codes") {
       import s.implicits._
-      val sub = pqSub(s, dir)
-      val cb = sub.filter($"vec_id" < 16).toDF("k", "m", "cv")
-      val aw = Window.partitionBy($"vec_id", $"m").orderBy($"dist".asc, $"k")
-      sub.join(broadcast(cb), Seq("m"))
-        .withColumn("dist", pqL2("sv", "cv"))
-        .withColumn("arank", row_number().over(aw))
-        .filter($"arank" === 1)
-        .groupBy($"vec_id")
-        .agg(max(when($"m" === 0, $"k")).as("c0"), max(when($"m" === 1, $"k")).as("c1"),
-             max(when($"m" === 2, $"k")).as("c2"), max(when($"m" === 3, $"k")).as("c3"))
+      val cb = pqSub(s, dir).filter($"vec_id" < 16).toDF("k", "m", "cv")
+      pqEncodeWith(embeddings(s, dir), cb)
     }
 
   /** (q_id, d0..d3): per query the 4×16 centroid-distance tables,
@@ -728,6 +746,129 @@ object Similarity {
   def loadIvfIndex(s: SparkSession, outDir: String): DataFrame = {
     val (path, tbl, lay) = ivfLayoutParts(outDir)
     CorpusIndexes.readBucketedTable(s, path, tbl, lay)
+  }
+
+  // ---- durable PQ index: the codes half of IVF-PQ, upsertable ------
+  //
+  // s22/refreshIvfIndex cover the COARSE half of the production IVF-PQ
+  // index (cell assignment); the codes half upserts the same way —
+  // with one honest difference: the PQ codebook cannot be re-derived
+  // from the stored codes (codes are centroid IDS; the codebook is the
+  // centroid SUBVECTORS), so the durable index persists the codebook
+  // TABLE next to the codes, exactly what a production index ships.
+  // Arrivals then encode against the frozen persisted codebook and
+  // append — encode-after-append == frozen rebuild, ADC serving over
+  // [index ∪ delta] identical (SidecarDiskSpec).
+
+  private def pqParts(outDir: String, key: String) =
+    (s"$outDir/$key", CorpusIndexes.tableName(outDir, key),
+      CorpusIndexes.layouts(key))
+
+  /** Write the PQ index for `vectors` (vec_id, embedding): the 4-byte
+    * code rows under `outDir/pq_codes` AND the 64-row subspace
+    * codebook (k, m, cv) under `outDir/pq_codebook` — codebooks ship
+    * with the index; they are what makes the codes decodable and the
+    * upsert reproducible.
+    */
+  def persistPqIndex(vectors: DataFrame, outDir: String): Unit = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val cb = pqSubOf(vectors).filter($"vec_id" < 16).toDF("k", "m", "cv")
+    val (cp, ct, cl) = pqParts(outDir, "pq_codes")
+    CorpusIndexes.writeBucketedTable(pqEncodeWith(vectors, cb), cp, ct, cl)
+    val (bp, bt, bl) = pqParts(outDir, "pq_codebook")
+    CorpusIndexes.writeBucketedTable(cb.select($"k", $"m", $"cv"), bp, bt, bl)
+  }
+
+  /** UPSERT arrivals (vec_id, embedding): encode against the PERSISTED
+    * (frozen) codebook and append the code rows. History is never
+    * re-encoded; the codebook is never touched.
+    */
+  def refreshPqIndex(arrivals: DataFrame, outDir: String): Unit = {
+    val s = arrivals.sparkSession
+    val (cp, ct, cl) = pqParts(outDir, "pq_codes")
+    CorpusIndexes.writeBucketedTable(
+      pqEncodeWith(arrivals, loadPqCodebook(s, outDir)), cp, ct, cl,
+      append = true)
+  }
+
+  /** Rewrite the code table to one file per bucket after upserts. */
+  def compactPqIndex(s: SparkSession, outDir: String): Unit = {
+    val (cp, ct, cl) = pqParts(outDir, "pq_codes")
+    CorpusIndexes.compactBucketedTable(s, cp, ct, cl)
+  }
+
+  /** The persisted code rows (including any upserted arrivals). */
+  def loadPqIndex(s: SparkSession, outDir: String): DataFrame = {
+    val (cp, ct, cl) = pqParts(outDir, "pq_codes")
+    CorpusIndexes.readBucketedTable(s, cp, ct, cl)
+  }
+
+  /** The persisted frozen codebook. */
+  def loadPqCodebook(s: SparkSession, outDir: String): DataFrame = {
+    val (bp, bt, bl) = pqParts(outDir, "pq_codebook")
+    CorpusIndexes.readBucketedTable(s, bp, bt, bl)
+  }
+
+  /** s23 — PQ index upsert SERVE: the s22 story on the codes half of
+    * IVF-PQ. Arrivals (vec_id ≡ 2 mod 7) build their ADC distance
+    * tables against the FROZEN historical subspace codebook (the one
+    * [[persistPqIndex]] ships next to the codes — note subspace
+    * centroids 2 and 9 don't exist, the honest gapped-codebook shape)
+    * and take their top-5 historical neighbors by quantized distance —
+    * the 4-lookups-per-row serving read the durable PQ index answers
+    * for a newly ingested vector. The emitted adc2 doubles are a
+    * fixed-order 4-term sum of id-keyed table lookups, so the oracle
+    * replays them exactly.
+    *
+    * Scale shape: one encode pass over the delta (broadcast 56-row
+    * codebook), ADC against the historical code table (4 bytes/vector,
+    * the arrival side broadcast) — history's floats are never read.
+    */
+  def pqUpsertServe(s: SparkSession, dir: String, width: Int = 5): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir).select($"vec_id", $"embedding")
+    val hist = e.filter($"vec_id" % 7 =!= 2)
+    val cbHist = pqSubOf(hist).filter($"vec_id" < 16).toDF("k", "m", "cv")
+    val histCodes = CorpusIndexes.memo(s, dir, "pq_hist")(
+      pqEncodeWith(hist, cbHist))
+    pqServeShortlist(e.filter($"vec_id" % 7 === 2), histCodes, cbHist, width)
+      .orderBy($"q_id", $"srank")
+  }
+
+  /** ADC top-`width` shortlist of `queries` (q_id, embedding) against
+    * an explicit (codes, codebook) pair — the serving read of the
+    * durable PQ index, exposed for the upsert specs: the query
+    * distance tables build from the SAME frozen codebook, so serving
+    * [index ∪ delta] is well-defined.
+    */
+  private[graft] def pqServeShortlist(queries: DataFrame, codes: DataFrame,
+      cb: DataFrame, width: Int = 25): DataFrame = {
+    val s = queries.sparkSession
+    import s.implicits._
+    // Distance tables as MAPS keyed by centroid id, not position-
+    // indexed arrays: a historical codebook can have GAPS in its id
+    // space (cells whose seed vectors are arrivals don't exist), and
+    // a positional lookup silently misaligns after the first gap.
+    val qt = pqSubOf(queries.toDF("vec_id", "embedding"))
+      .toDF("q_id", "m", "qv")
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d", pqL2("qv", "cv"))
+      .groupBy($"q_id", $"m")
+      .agg(expr("map_from_entries(collect_list(struct(k, d)))").as("dmap"))
+      .groupBy($"q_id")
+      .agg(first(when($"m" === 0, $"dmap"), ignoreNulls = true).as("d0"),
+           first(when($"m" === 1, $"dmap"), ignoreNulls = true).as("d1"),
+           first(when($"m" === 2, $"dmap"), ignoreNulls = true).as("d2"),
+           first(when($"m" === 3, $"dmap"), ignoreNulls = true).as("d3"))
+    val ws = Window.partitionBy($"q_id").orderBy($"adc2".asc, $"vec_id")
+    codes.join(broadcast(qt), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        (element_at($"d0", $"c0") + element_at($"d1", $"c1") +
+         element_at($"d2", $"c2") + element_at($"d3", $"c3")).as("adc2"))
+      .withColumn("srank", row_number().over(ws))
+      .filter($"srank" <= width)
+      .select($"q_id", $"srank", $"vec_id", $"adc2")
   }
 
   /** s13 — scalar-quantized (SQ8) two-stage retrieval: the per-dimension

@@ -557,6 +557,43 @@ class SidecarDiskSpec extends AnyFunSuite {
       "compaction must not change a single served neighbor")
   }
 
+  test("PQ index upsert: encode-after-append equals frozen rebuild; ADC serving over index ∪ delta identical; compaction invisible") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import graft.ops.Similarity
+    val all = Tables.embeddings(s, TestSpark.sfDir).select($"vec_id", $"embedding")
+    val hist = all.filter($"vec_id" % 7 =!= 2)
+    val arrivals = all.filter($"vec_id" % 7 === 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-upsert").toString
+    Similarity.persistPqIndex(hist, dir)
+    Similarity.refreshPqIndex(arrivals, dir)
+
+    // the persisted codebook is the historical one, frozen
+    val cbHist = Similarity.loadPqCodebook(s, dir)
+    val appended = Similarity.loadPqIndex(s, dir)
+    val frozenRebuild = Similarity.pqEncodeWith(all, cbHist)
+    assert(appended.count() == all.count())
+    assert(appended.except(frozenRebuild).count() == 0)
+    assert(frozenRebuild.except(appended).count() == 0)
+
+    // ADC serving over [index ∪ delta] through the LOAD path equals
+    // serving the frozen rebuild — and survives compaction untouched
+    val queries = all.filter($"vec_id" % 13 === 1)
+    def serve(codes: org.apache.spark.sql.DataFrame) =
+      rows(Similarity.pqServeShortlist(queries, codes, cbHist)
+        .orderBy($"q_id", $"srank"))
+    val served = serve(Similarity.loadPqIndex(s, dir))
+    assert(served == serve(frozenRebuild) && served.nonEmpty,
+      "serving the appended PQ index must equal serving a frozen-codebook rebuild")
+    def files() = new java.io.File(s"$dir/pq_codes").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(files() > 8)
+    Similarity.compactPqIndex(s, dir)
+    assert(files() == 8, "compaction must restore one file per bucket")
+    assert(serve(Similarity.loadPqIndex(s, dir)) == served,
+      "PQ compaction must not change a single shortlist row")
+  }
+
   test("StreamingAnn serves the upserted sidecar without a rebuild, equal to the batch probe") {
     val spark = TestSpark.spark
     import spark.implicits._
