@@ -51,6 +51,23 @@ object SparkEntry {
     // q23 = the constant-memory approx-percentile scale path for q14,
     // gated t07-style (oracle asserts the sketch lands in tolerance).
     "q23_approx_percentiles" -> (Relational2.approxPercentileAudit _),
+    // q24 = Deequ-style column profiler: per-column row/null/exact-
+    // distinct counts + typed extrema, each column through its own
+    // narrow pruned scan, distincts via two-level aggregates (no
+    // multi-count-distinct Expand).
+    "q24_column_profile"     -> (Relational2.columnProfile _),
+    // e21 = hourly unique users (DAU/HAU): exact via one two-level
+    // aggregate (no count-distinct Expand), HLL arm audited t07-style
+    // over the same pre-aggregated rows.
+    "e21_hourly_uniques"     -> (EventOps.hourlyUniques _),
+    // m19 = EXECUTED audio decimation through the real WAV codec
+    // (decode → drop odd samples → re-encode at 4 kHz → decode);
+    // position-weighted sums pin sample order across the chain.
+    "m19_wav_decimate"       -> (Multimodal.wavDecimate _),
+    // q25 = constraint validation: PK uniqueness on (orderkey,
+    // linenumber) + lineitem→orders referential integrity, one
+    // gate-able verdict row.
+    "q25_integrity_audit"    -> (Relational2.integrityAudit _),
     // ---- event-time surface (ST3/ST4/ST7 batch-checkable analogs) ----
     "e01_tumbling"           -> (EventOps.tumbling _),
     "e02_sliding"            -> (EventOps.sliding _),
@@ -177,6 +194,11 @@ object SparkEntry {
     // runs, then per-source doc count + token sum recomputed from the
     // written artifact itself — the write path under the hash oracle.
     "d31_curated_readback"   -> ((s, d) => Dedup.curatedReadback(s, d)),
+    // d32 = incremental LABEL maintenance: arriving batch's probe
+    // edges folded into the historical cluster labeling by component
+    // contraction — CC runs over a probe-edge-sized graph, untouched
+    // components never shuffle; the verdict rows are the sidecar delta.
+    "d32_incremental_clusters" -> ((s, d) => Dedup.incrementalClusters(s, d)),
     // d27 = the dedup DECISION table: per implicated doc the keep/drop
     // verdict with the quality-argmax canonical survivor (tie → min
     // doc_id) — the apply-step artifact downstream filters join on.
@@ -274,6 +296,10 @@ object SparkEntry {
     // the median t20 NLL — the audit a mixing planner reads before
     // trusting quality-gated selection; all stats order-free.
     "t35_quality_calibration" -> (TextOps.qualityCalibration _),
+    // t36 = PMI collocations: top word pairs by exact-rational PMI
+    // ranking (BIGINT products, one IEEE divide — no log), c_ab ≥ 5
+    // floor pruning before the vocabulary joins.
+    "t36_pmi_collocations"   -> ((s, d) => TextOps.pmiCollocations(s, d)),
     // t33 = PII detect + redact (email/phone/IPv4) — counts on the
     // original text, typed-placeholder redaction, all codegen regex;
     // runs over the deterministic planted-PII fixture (WavCodec
@@ -372,6 +398,10 @@ object SparkEntry {
     // arrivals ADC-probe the historical code table via distance
     // tables over the frozen (gapped) historical subspace codebook.
     "s23_pq_upsert"          -> ((s, d) => Similarity.pqUpsertServe(s, d)),
+    // s24 = radius (range) search: ALL neighbors with cosine ≥ τ from
+    // the query's two probed cells — the ANN query shape top-k serving
+    // doesn't cover; τ filters inside the probe, before the rank.
+    "s24_radius_search"      -> ((s, d) => Similarity.radiusSearch(s, d)),
     "m14_audio_nn"           -> (Multimodal.audioNearestNeighbor _),
     // m18 = incremental audio dedup: arriving clips (d14 slice) probe
     // the historical frame-energy fingerprint index by duration class,
@@ -534,6 +564,16 @@ object SparkEntry {
           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
         FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+      // e21: exact hourly uniques via the same two-level rewrite; the
+      // sketch arm is engine-specific, so the checked surface is the
+      // exact counts + the tolerance flag (the t07 convention).
+      "e21_hourly_uniques" -> """
+        WITH p AS (SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP)
+                     AS window_start, user_id, count(*) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT window_start, count(*) AS n_users,
+          CAST(sum(n) AS BIGINT) AS n_events, TRUE AS within_tol
+        FROM p GROUP BY window_start ORDER BY window_start""",
       "e01_tumbling" -> """
         SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start, event_type,
           count(*) AS n,
@@ -953,6 +993,23 @@ object SparkEntry {
       // these numbers by DECODING real WAV bytes; the position-weighted
       // sum pins the decoded sample ORDER, so a hash match certifies the
       // codec end to end.
+      // m19: the decimated-stream stats recomputed from the generator
+      // formula at the EVEN sample indices (out sample j = s_{2j},
+      // n_out = ⌈n/2⌉) — a hash match certifies decode → decimate →
+      // re-encode → decode with order preserved.
+      "m19_wav_decimate" -> """
+        WITH d AS (SELECT doc_id, CAST(200 + doc_id % 400 AS BIGINT) AS n_in
+                   FROM documents)
+        SELECT doc_id, n_in, (n_in + 1) // 2 AS n_out,
+          CAST(list_sum(list_transform(
+            generate_series(0, CAST((n_in + 1) // 2 AS INTEGER) - 1),
+            j -> (doc_id * 7919 + (2 * j) * 104729) % 65536 - 32768)) AS BIGINT)
+            AS amp_sum,
+          CAST(list_sum(list_transform(
+            generate_series(0, CAST((n_in + 1) // 2 AS INTEGER) - 1),
+            j -> ((doc_id * 7919 + (2 * j) * 104729) % 65536 - 32768) * (j + 1))) AS BIGINT)
+            AS amp_wsum
+        FROM d ORDER BY doc_id""",
       "m06_wav_decode" -> """
         SELECT doc_id,
           200 + doc_id % 400 AS n_samples,
@@ -1301,6 +1358,34 @@ object SparkEntry {
           FROM q JOIN assigned a ON a.cell_id = q.q_cell AND a.vec_id <> q.q_id
           WHERE a.vec_id % 11 <> 3) t
         WHERE rank <= 5 ORDER BY q_id, rank""",
+      // s24: the s20 probe CTEs minus the label, τ = 0.25 applied in
+      // the WHERE (before the window, matching the Spark filter→rank
+      // order); cosine is the same pinned dot/(nrm·nrm) double.
+      "s24_radius_search" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings),
+        cb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        assigned AS (SELECT vec_id, v, nrm, cell_id FROM (
+          SELECT e.vec_id, e.v, e.nrm, cb.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) DESC, cb.cell_id) AS arank
+          FROM e CROSS JOIN cb) t WHERE arank = 1),
+        qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm,
+                 cell_id AS probe_cell FROM (
+          SELECT e.vec_id, e.v, e.nrm, cb.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) DESC, cb.cell_id) AS arank
+          FROM e CROSS JOIN cb WHERE e.vec_id < 5) t WHERE arank <= 2)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q.q_id, a.vec_id,
+            list_dot_product(q.qv, a.v) / (q.qnrm * a.nrm) AS cos,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY list_dot_product(q.qv, a.v) / (q.qnrm * a.nrm) DESC, a.vec_id) AS rank
+          FROM qp q JOIN assigned a
+            ON a.cell_id = q.probe_cell AND a.vec_id <> q.q_id
+          WHERE list_dot_product(q.qv, a.v) / (q.qnrm * a.nrm) >= 0.25) t
+        ORDER BY q_id, rank""",
       // s23: the s06/s08 PQ CTEs with the historical slice — codebook
       // and codes from vec_id % 7 <> 2, arrivals' distance tables
       // joined to the codes by (m, k), rank by (adc2, vec_id).
@@ -2092,6 +2177,68 @@ object SparkEntry {
           (p.doc_id IS NOT NULL AND p.n_emails + p.n_phones = 0) AS admit
         FROM staged s LEFT JOIN pii p ON s.doc_id = p.doc_id
         ORDER BY s.doc_id""",
+      // d32: the contraction replayed as the FULL union graph — two
+      // recursive CTEs (historical labeling, union labeling), affected
+      // set = matched arrivals ∪ members of probe-touched components;
+      // the hash match certifies the component contraction.
+      "d32_incremental_clusters" -> """
+        WITH RECURSIVE
+        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+               FROM documents),
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        hb AS (SELECT j, bkey, doc_id FROM bands WHERE doc_id % 5 <> 0),
+        hn AS (SELECT j, bkey, count(*) AS n FROM hb GROUP BY j, bkey),
+        hsmall AS (SELECT j, bkey FROM hn WHERE n <= 64 AND n > 1),
+        hinb AS (SELECT hb.* FROM hb JOIN hsmall s ON hb.j = s.j AND hb.bkey = s.bkey),
+        hpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM hinb a JOIN hinb b
+                     ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        psmall AS (SELECT j, bkey FROM hn WHERE n <= 64),
+        probe AS (SELECT DISTINCT nb.doc_id AS new_doc, hb.doc_id AS hist_doc
+                  FROM bands nb JOIN hb ON nb.j = hb.j AND nb.bkey = hb.bkey
+                  JOIN psmall p ON hb.j = p.j AND hb.bkey = p.bkey
+                  WHERE nb.doc_id % 5 = 0),
+        hedges AS (SELECT doc_a AS src, doc_b AS dst FROM hpairs
+                   UNION ALL SELECT doc_b, doc_a FROM hpairs),
+        hwalk(node, lbl) AS (
+          SELECT src, src FROM hedges
+          UNION
+          SELECT e.dst, w.lbl FROM hwalk w JOIN hedges e ON e.src = w.node),
+        hlbl AS (SELECT node AS doc_id, min(lbl) AS lbl FROM hwalk GROUP BY node),
+        uedges AS (SELECT src, dst FROM hedges
+                   UNION ALL SELECT new_doc, hist_doc FROM probe
+                   UNION ALL SELECT hist_doc, new_doc FROM probe),
+        uwalk(node, lbl) AS (
+          SELECT src, src FROM uedges
+          UNION
+          SELECT e.dst, w.lbl FROM uwalk w JOIN uedges e ON e.src = w.node),
+        ulbl AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+                 FROM uwalk GROUP BY node),
+        touched AS (SELECT DISTINCT COALESCE(h.lbl, p.hist_doc) AS tl
+                    FROM probe p LEFT JOIN hlbl h ON h.doc_id = p.hist_doc),
+        hd AS (SELECT DISTINCT doc_id FROM hb),
+        hist_rows AS (
+          SELECT d.doc_id, COALESCE(h.lbl, d.doc_id) AS prev_cluster, u.cluster_id
+          FROM hd d
+          LEFT JOIN hlbl h ON h.doc_id = d.doc_id
+          JOIN touched t ON COALESCE(h.lbl, d.doc_id) = t.tl
+          JOIN ulbl u ON u.doc_id = d.doc_id),
+        new_rows AS (
+          SELECT nd.new_doc AS doc_id, CAST(NULL AS BIGINT) AS prev_cluster,
+            u.cluster_id
+          FROM (SELECT DISTINCT new_doc FROM probe) nd
+          JOIN ulbl u ON u.doc_id = nd.new_doc)
+        SELECT doc_id, prev_cluster, cluster_id,
+          (prev_cluster IS NULL OR prev_cluster <> cluster_id) AS changed
+        FROM (SELECT * FROM hist_rows UNION ALL SELECT * FROM new_rows) z
+        ORDER BY doc_id""",
       // d30: the d27 decision CTEs rolled up per source in tokens;
       // unimplicated docs have NULL kept, which the CASE treats as
       // kept (null <> false), matching the Spark left join.
@@ -2620,6 +2767,68 @@ object SparkEntry {
           quantile_cont(l_extendedprice, 0.9) AS exact_p90_price,
           TRUE AS qty_within_tol, TRUE AS price_within_tol
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      // q24: per-column profile rows — the oracle recomputes each
+      // column's stats straight from the table and UNION ALLs them;
+      // numerics as double (int64/epoch-µs < 2^53, casts exact).
+      "q24_column_profile" -> """
+        SELECT * FROM (
+          SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+            count(*) - count(l_orderkey) AS n_nulls,
+            count(DISTINCT l_orderkey) AS n_distinct,
+            CAST(min(l_orderkey) AS DOUBLE) AS min_num,
+            CAST(max(l_orderkey) AS DOUBLE) AS max_num,
+            CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+            count(DISTINCT l_quantity),
+            min(l_quantity), max(l_quantity), NULL, NULL
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+            count(DISTINCT l_extendedprice),
+            min(l_extendedprice), max(l_extendedprice), NULL, NULL
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_discount', count(*), count(*) - count(l_discount),
+            count(DISTINCT l_discount),
+            min(l_discount), max(l_discount), NULL, NULL
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_shipdate_us', count(*), count(*) - count(l_shipdate),
+            count(DISTINCT l_shipdate),
+            CAST(min(epoch_us(l_shipdate)) AS DOUBLE),
+            CAST(max(epoch_us(l_shipdate)) AS DOUBLE), NULL, NULL
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+            count(DISTINCT l_returnflag),
+            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            min(l_returnflag), max(l_returnflag)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+            count(DISTINCT l_linestatus),
+            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            min(l_linestatus), max(l_linestatus)
+          FROM lineitem) p
+        ORDER BY col_name""",
+      "q25_integrity_audit" -> """
+        WITH k AS (SELECT l_orderkey, l_linenumber, count(*) AS cnt
+                   FROM lineitem GROUP BY 1, 2),
+        ks AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                 count(*) AS n_keys,
+                 CAST(coalesce(sum(CASE WHEN cnt > 1 THEN 1 END), 0) AS BIGINT)
+                   AS n_dup_keys,
+                 max(cnt) AS max_key_multiplicity
+               FROM k),
+        o AS (SELECT count(*) AS fk_orphans
+              FROM lineitem l LEFT JOIN orders ord
+                ON l.l_orderkey = ord.o_orderkey
+              WHERE ord.o_orderkey IS NULL)
+        SELECT n_rows, n_keys, n_dup_keys, max_key_multiplicity, fk_orphans,
+          (n_dup_keys = 0 AND fk_orphans = 0) AS clean
+        FROM ks, o""",
       "q20_salted_agg" -> """
         SELECT l_returnflag,
           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
@@ -3473,6 +3682,25 @@ object SparkEntry {
         FROM ph GROUP BY source, phase ORDER BY source, phase""",
       // t35: t20's NLL CTEs verbatim + t25's per-source quartile; the
       // median is quantile_cont (the q14 convention).
+      // t36: PMI ranking without log — both products in BIGINT, one
+      // exact double divide; the c_ab ≥ 5 floor in HAVING matches the
+      // Spark-side pre-join filter.
+      "t36_pmi_collocations" -> """
+        WITH tk AS (SELECT regexp_split_to_array(text, '\s+') AS t FROM documents),
+        uc AS (SELECT term, count(*) AS c FROM (
+                 SELECT unnest(t) AS term FROM tk) u GROUP BY term),
+        bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+               FROM tk, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)),
+        bc AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY w1, w2
+               HAVING count(*) >= 5),
+        n AS (SELECT CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS n_big FROM tk)
+        SELECT b.w1 || ' ' || b.w2 AS bigram, b.c_ab, a.c AS c_a, d.c AS c_b,
+          CAST(b.c_ab * n.n_big AS DOUBLE) / CAST(a.c * d.c AS DOUBLE) AS pmi_ratio
+        FROM bc b
+        JOIN uc a ON b.w1 = a.term
+        JOIN uc d ON b.w2 = d.term
+        CROSS JOIN n
+        ORDER BY pmi_ratio DESC, bigram LIMIT 20""",
       "t35_quality_calibration" -> """
         WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
                      FROM documents),

@@ -436,6 +436,114 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** d32 — INCREMENTAL cluster-label maintenance: the d14 slice
+    * convention applied to the d11 LABELING itself. A dedup service
+    * doesn't just flag arriving duplicates — it maintains the persisted
+    * cluster-label sidecar as batches land, and recomputing CC over the
+    * whole corpus per batch is exactly the cost incremental ingest
+    * exists to avoid. The historical corpus (doc_id ≢ 0 mod 5) carries
+    * its own capped-LSH labeling (the persisted label table); the
+    * arriving batch probes the historical band index d14-style, and the
+    * resulting (arrival, historical) edges are folded in by COMPONENT
+    * CONTRACTION: every touched historical component collapses to its
+    * label node, CC runs over the contracted graph only — sized by the
+    * probe edges, NOT the corpus — and the merged labels fan back out
+    * to members of touched components. Untouched components never
+    * enter any join, shuffle, or relabel: maintenance work scales with
+    * the batch (IncrementalClusterSpec proves their labels are already
+    * the full-graph fixpoint).
+    *
+    * Correctness of the contraction: hist–hist connectivity inside a
+    * component is exactly what the label node represents, and labels
+    * are component MINIMA, so min-label over the contracted graph
+    * equals min-label over the full union graph (arrival↔arrival
+    * connectivity arises only through shared historical docs — true in
+    * both forms by construction, since the batch never self-joins).
+    * The oracle replays the full union graph with two recursive CTEs
+    * and the hash match certifies the contraction.
+    *
+    * Output: one verdict row per AFFECTED doc — every matched arrival
+    * (prev_cluster NULL) and every historical member of a touched
+    * component (prev_cluster = its pre-batch label), with the merged
+    * cluster_id and a changed flag. This IS the sidecar delta a
+    * maintenance run writes back.
+    */
+  /** The two edge sets d32 maintains over — (hist–hist capped pairs,
+    * batch→hist probe edges) — exposed so IncrementalClusterSpec can
+    * recompute the FULL union-graph labeling from the identical edges
+    * and prove the contraction exact.
+    */
+  private[graft] def incrementalClusterGraph(
+      s: SparkSession, dir: String, cap: Int = 64): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val bands = bandKeys(s, dir)
+    val isNewBand = $"doc_id" % 5 === 0
+    val newBands = bands.filter(isNewBand)
+    val histBands = bands.filter(!isNewBand)
+    val histCounts = histBands.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("n"))
+    // The historical world's OWN pair graph (hist-only bucket caps —
+    // the index as it stood before the batch arrived).
+    val histSmall = histCounts.filter($"n" <= cap && $"n" > 1)
+      .select($"band", $"bkey")
+    val inSmall = histBands.join(histSmall, Seq("band", "bkey"))
+    val ha = inSmall.toDF("band_a", "bkey_a", "doc_a")
+    val hb = inSmall.toDF("band_b", "bkey_b", "doc_b")
+    val histPairs = ha.join(hb,
+        $"band_a" === $"band_b" && $"bkey_a" <=> $"bkey_b" && $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    // Probe edges: the d14 near-probe shape (batch bands vs capped
+    // historical buckets), kept as the full edge list instead of
+    // min-aggregated to one match per arrival.
+    val probeSmall = histCounts.filter($"n" <= cap).select($"band", $"bkey")
+    val probeEdges = newBands
+      .join(histBands.select($"band", $"bkey", $"doc_id".as("hist_doc"))
+        .join(probeSmall.hint("merge"), Seq("band", "bkey")), Seq("band", "bkey"))
+      .select($"doc_id".as("new_doc"), $"hist_doc").distinct()
+    (histPairs, probeEdges)
+  }
+
+  def incrementalClusters(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import s.implicits._
+    val (histPairs, probeEdges) = incrementalClusterGraph(s, dir, cap)
+    val histLabels = CorpusIndexes.memo(s, dir, s"hist_labels_$cap") {
+      connectedComponents(s, histPairs)
+    }
+    // Contract: each probed historical doc stands in for its component
+    // label (itself, if it was an edgeless singleton).
+    val attach = probeEdges
+      .join(histLabels.toDF("hist_doc", "hist_lbl"), Seq("hist_doc"), "left")
+      .select($"new_doc".as("doc_a"),
+        coalesce($"hist_lbl", $"hist_doc").as("doc_b"))
+      .distinct()
+    // CC over the contracted graph — probe-edge-sized, so the measured
+    // driver fast path in connectedComponentsWithRounds applies at any
+    // corpus scale where the BATCH is small (the incremental premise).
+    val merged = connectedComponents(s, attach)
+    // Node ids disambiguate themselves: contracted label nodes are
+    // historical doc ids (≢ 0 mod 5), arrival nodes are batch ids.
+    val relabel = merged.filter($"doc_id" % 5 =!= 0)
+      .toDF("hist_lbl", "new_lbl")
+    val histRows = histLabels.toDF("m_doc", "m_lbl")
+      .join(relabel, $"m_lbl" === $"hist_lbl")
+      .select($"m_doc".as("doc_id"), $"m_lbl".as("prev_cluster"),
+        $"new_lbl".as("cluster_id"))
+      .union(
+        // Probed edgeless singletons: their pre-batch "cluster" is
+        // themselves and they appear in the contracted graph directly.
+        relabel.join(histLabels.select($"doc_id"),
+            relabel("hist_lbl") === histLabels("doc_id"), "left_anti")
+          .select($"hist_lbl".as("doc_id"), $"hist_lbl".as("prev_cluster"),
+            $"new_lbl".as("cluster_id")))
+    val newRows = merged.filter($"doc_id" % 5 === 0)
+      .select($"doc_id", lit(null).cast("long").as("prev_cluster"),
+        $"cluster_id")
+    histRows.union(newRows)
+      .withColumn("changed",
+        $"prev_cluster".isNull || $"prev_cluster" =!= $"cluster_id")
+      .orderBy($"doc_id")
+  }
+
   /** Multi-signal incremental dedup — [[incrementalDedup]] composing ALL
     * THREE signals at ingest the way [[dupClustersMulti]] composes them
     * for clustering: the new batch (doc_id ≡ 0 mod 5) probes (1) the

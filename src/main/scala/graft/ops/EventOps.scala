@@ -575,4 +575,32 @@ object EventOps {
       .withColumn("share", $"n".cast("double") / $"day_total".cast("double"))
       .select($"day", $"rnk", $"event_type", $"n", $"share")
   }
+
+  /** e21 — hourly UNIQUE USERS: the DAU/HAU counter, with the t07
+    * sketch-audit convention applied to event-time windows. Exact
+    * distincts come from ONE two-level aggregate — (window, user) →
+    * count, then window → count — never `count(distinct …)` (its
+    * Expand doubles the scan) and never a second raw-events pass: the
+    * HLL arm (`approx_count_distinct`, rsd 0.01 — the production
+    * counter at 100 TB, where per-window user sets don't fit anywhere)
+    * feeds on the SAME pre-aggregated rows, because HLL is multiplicity-
+    * insensitive — the estimate over distinct (window, user) rows is
+    * definitionally the estimate over the raw stream. The oracle pins
+    * the exact counts and asserts the within-5% flag the Spark side
+    * computed against its own sketch.
+    */
+  def hourlyUniques(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(window($"ts", "1 hour").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_per_user"))
+      .groupBy($"w")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"n_per_user").as("n_events"),
+        approx_count_distinct($"user_id", 0.01).as("a_users"))
+      .select($"w.start".as("window_start"), $"n_users", $"n_events",
+        (abs($"a_users" - $"n_users") <=
+          greatest(lit(1L), $"n_users" * 5 / 100)).as("within_tol"))
+      .orderBy($"window_start")
+  }
 }

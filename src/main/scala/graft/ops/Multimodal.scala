@@ -668,6 +668,69 @@ object Multimodal {
     decodeWavs(wavTable(s, dir)).toDF().orderBy($"doc_id")
   }
 
+  final case class WavDecimated(doc_id: Long, n_in: Long, n_out: Long,
+      amp_sum: Long, amp_wsum: Long)
+
+  /** m19 — an EXECUTED audio transform over the real codec: the audio
+    * twin of m10's executed resize, completing the decode → transform →
+    * encode → decode story on the second real-codec modality. Each clip
+    * decodes (8 kHz WAV), DECIMATES by 2 (keep every even-index sample
+    * — the 8 kHz → 4 kHz export step an audio-curation pipeline runs
+    * before a sample-rate-standardized training set), RE-ENCODES the
+    * result as a real 4 kHz WAV through `javax.sound.sampled`, and
+    * decodes THAT to emit the output sample count, amplitude sum, and
+    * position-weighted amplitude sum. The weighted sum pins sample
+    * ORDER through the whole chain — a pass-through or multiset-
+    * preserving fake cannot match it; the oracle recomputes all three
+    * from the generator formula at the decimated indices.
+    *
+    * (Decimation without a low-pass filter aliases on real audio; on
+    * the synthetic corpus the contract is the index arithmetic, which
+    * is what the oracle can certify. A production resampler swaps the
+    * kernel inside the same codec slot.)
+    *
+    * Scale shape: one mapPartitions pass (codec init per partition, the
+    * U3 pattern), payloads never shuffle, output is 4 longs per clip.
+    */
+  def wavDecimate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    wavTable(s, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.payload))
+        val bytes = try ais.readAllBytes() finally ais.close()
+        val nIn = bytes.length / 2
+        val nOut = (nIn + 1) / 2
+        val pcm = new Array[Byte](nOut * 2)
+        var j = 0
+        while (j < nOut) {
+          pcm(2 * j) = bytes(4 * j)
+          pcm(2 * j + 1) = bytes(4 * j + 1)
+          j += 1
+        }
+        val outFormat = new AudioFormat(4000f, 16, 1, /*signed=*/ true,
+          /*bigEndian=*/ false)
+        val outAis = new AudioInputStream(new ByteArrayInputStream(pcm),
+          outFormat, nOut.toLong)
+        val bos = new ByteArrayOutputStream()
+        AudioSystem.write(outAis, AudioFileFormat.Type.WAVE, bos)
+        val back = AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(bos.toByteArray))
+        val outBytes = try back.readAllBytes() finally back.close()
+        val n = outBytes.length / 2
+        var sum = 0L
+        var wsum = 0L
+        var i = 0
+        while (i < n) {
+          val sm = (outBytes(2 * i + 1) << 8) | (outBytes(2 * i) & 0xff)
+          sum += sm
+          wsum += sm.toLong * (i + 1)
+          i += 1
+        }
+        WavDecimated(r.doc_id, nIn.toLong, n.toLong, sum, wsum)
+      }
+    }.toDF().orderBy($"doc_id")
+  }
+
   final case class WavFrames(doc_id: Long, n_frames: Long, peak_frame: Long,
       peak_energy: Long, total_energy: Long, n_active: Long)
 

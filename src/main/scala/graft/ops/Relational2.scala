@@ -177,4 +177,92 @@ object Relational2 {
         (abs($"a_p" - $"exact_p90_price") <= $"exact_p90_price" * 0.02).as("price_within_tol"))
       .orderBy($"l_returnflag")
   }
+
+  /** q24 — COLUMN PROFILER: per-column row/null/exact-distinct counts
+    * plus typed extrema over lineitem — the Deequ-style data-quality
+    * pass every ingest runs before a table is trusted, and a surface
+    * family (profiling/validation) the relational tranche lacked.
+    *
+    * Scale shape — the part that matters at 100 TB: each column
+    * profiles through its OWN narrow scan (parquet column pruning
+    * means a 16-column table costs one column's IO per profile row,
+    * and the scans parallelize independently), and exact distinct
+    * counts come from a two-level aggregate (groupBy value → count
+    * rows), NOT `count(distinct …)` — mixing several distinct
+    * aggregates in one pass plans an Expand that multiplies the scan
+    * by the aggregate count. Extrema are order-free; numerics emit as
+    * double (int64/epoch-µs values here are < 2⁵³, so the cast is
+    * exact), strings as strings — both engines compare bytes.
+    */
+  def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, dir)
+    def base(v: org.apache.spark.sql.Column) =
+      li.select(v.as("v")).groupBy($"v").agg(count(lit(1)).as("cnt"))
+    def num(name: String, v: org.apache.spark.sql.Column): DataFrame =
+      base(v).agg(
+          sum($"cnt").as("n_rows"),
+          coalesce(sum(when($"v".isNull, $"cnt")), lit(0L)).as("n_nulls"),
+          count(when($"v".isNotNull, lit(1))).as("n_distinct"),
+          min($"v").as("min_num"), max($"v").as("max_num"))
+        .select(lit(name).as("col_name"), $"n_rows", $"n_nulls", $"n_distinct",
+          $"min_num", $"max_num",
+          lit(null).cast("string").as("min_str"),
+          lit(null).cast("string").as("max_str"))
+    def str(name: String, v: org.apache.spark.sql.Column): DataFrame =
+      base(v).agg(
+          sum($"cnt").as("n_rows"),
+          coalesce(sum(when($"v".isNull, $"cnt")), lit(0L)).as("n_nulls"),
+          count(when($"v".isNotNull, lit(1))).as("n_distinct"),
+          min($"v").as("min_str"), max($"v").as("max_str"))
+        .select(lit(name).as("col_name"), $"n_rows", $"n_nulls", $"n_distinct",
+          lit(null).cast("double").as("min_num"),
+          lit(null).cast("double").as("max_num"),
+          $"min_str", $"max_str")
+    Seq(
+      num("l_orderkey", $"l_orderkey".cast("double")),
+      num("l_quantity", $"l_quantity"),
+      num("l_extendedprice", $"l_extendedprice"),
+      num("l_discount", $"l_discount"),
+      // µs-since-epoch: the e11/e14 integer-time convention (the cast
+      // is a no-op on instant timestamps, required on NTZ reads).
+      num("l_shipdate_us",
+        unix_micros($"l_shipdate".cast("timestamp")).cast("double")),
+      str("l_returnflag", $"l_returnflag"),
+      str("l_linestatus", $"l_linestatus"))
+      .reduce(_.union(_))
+      .orderBy($"col_name")
+  }
+
+  /** q25 — INTEGRITY AUDIT: the constraint-validation half of the q24
+    * profiler — primary-key uniqueness on (l_orderkey, l_linenumber)
+    * and referential integrity lineitem→orders, reported as ONE
+    * verdict row a pipeline gates on.
+    *
+    * Scale shape: uniqueness is the same two-level aggregate as q24
+    * (groupBy the key → per-key multiplicities → 4 scalars; no
+    * count-distinct Expand, no window); the FK orphan count is a
+    * LEFT ANTI join on the orderkey — at scale both sides shuffle on
+    * the join key once, and the audit output is a single row whatever
+    * the table size. The two one-row frames compose with a broadcast
+    * cross join (the t35 corpus-total convention).
+    */
+  def integrityAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, dir)
+    val keyStats = li.groupBy($"l_orderkey", $"l_linenumber")
+      .agg(count(lit(1)).as("cnt"))
+      .agg(sum($"cnt").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        coalesce(sum(when($"cnt" > 1, lit(1L))), lit(0L)).as("n_dup_keys"),
+        max($"cnt").as("max_key_multiplicity"))
+    val orphans = li.select($"l_orderkey")
+      .join(orders(s, dir).select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_anti")
+      .agg(count(lit(1)).as("fk_orphans"))
+    keyStats.crossJoin(broadcast(orphans))
+      .select($"n_rows", $"n_keys", $"n_dup_keys", $"max_key_multiplicity",
+        $"fk_orphans",
+        ($"n_dup_keys" === 0 && $"fk_orphans" === 0).as("clean"))
+  }
 }

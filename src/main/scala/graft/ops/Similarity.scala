@@ -1508,6 +1508,55 @@ object Similarity {
     * no shuffle of the corpus. Output is dimension-count rows
     * regardless of corpus size.
     */
+  /** s24 — RADIUS (range) vector search: every in-index neighbor with
+    * cosine ≥ τ, not a fixed top-k — the query type dedup sweeps and
+    * "find everything at least this similar" compliance scans issue,
+    * and the one ANN query SHAPE the serving family (top-k s04,
+    * filtered s20, tombstone s21, upsert s22/s23) didn't cover. A
+    * radius query under-returns WORSE than top-k under a single-cell
+    * probe — qualifying mass has no reason to concentrate in the
+    * query's own cell — so each query probes its TWO nearest cells by
+    * centroid cosine (the s20 probe discipline) and the threshold
+    * applies INSIDE the probed cells, never as a post-filter of a
+    * fixed-k list (which silently truncates whenever > k qualify).
+    *
+    * Deterministic: the cosine is the family's pinned dot/(nrm·nrm)
+    * double (both sides prenormed once), so the τ comparison and the
+    * presentation rank (cos desc, id) replay exactly in the oracle;
+    * τ = 0.25 is exactly representable, so the boundary is too.
+    *
+    * Scale shape: identical to s20 minus the label column — broadcast
+    * probe set (queries × nprobe rows), candidates stream from the
+    * probed cells only (nprobe/K of the corpus in expectation), the τ
+    * filter prunes inside the scan BEFORE the per-query rank window,
+    * so the window sorts qualifiers only. Output size is whatever
+    * qualifies — which is the point of the query type; capacity
+    * planning bounds it with τ, not k.
+    */
+  def radiusSearch(s: SparkSession, dir: String, tau: Double = 0.25,
+                   nprobe: Int = 2): DataFrame = {
+    import s.implicits._
+    val corp = ivfAssigned(s, dir)
+    val e = withNorm(embeddings(s, dir))
+    val cb = e.filter($"vec_id" < 16).toDF("cell_id", "c_emb", "c_nrm")
+    val qw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cell_id")
+    val q = e.filter($"vec_id" < 5)
+      .crossJoin(broadcast(cb))
+      .withColumn("ccos", cosinePrenormed(vec_dot($"embedding", $"c_emb"), $"nrm", $"c_nrm"))
+      .withColumn("arank", row_number().over(qw))
+      .filter($"arank" <= nprobe)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        $"nrm".as("q_nrm"), $"cell_id".as("probe_cell"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    corp.join(broadcast(q),
+        $"cell_id" === $"probe_cell" && $"vec_id" =!= $"q_id")
+      .withColumn("cos", cosinePrenormed(vec_dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
+      .filter($"cos" >= tau)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
   def quantizationAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val el = embeddings(s, dir)

@@ -137,6 +137,55 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** t36 — PMI collocation mining: the corpus's most-associated word
+    * pairs, ranked by pointwise mutual information — the phrase/
+    * collocation extraction step tokenizer-vocabulary and
+    * phrase-merging pipelines (word2vec-phrases style) run over a
+    * training corpus. PMI = log(c_ab·N / (c_a·c_b)); log is monotone,
+    * so the RANKING needs only the ratio — emitted as the family's one
+    * exact operation: both products stay in BIGINT (exact — counts
+    * here are far under 2⁵³), each casts to double exactly, and ONE
+    * IEEE divide produces the score, so ordering and emitted doubles
+    * replay bit for bit in the oracle without touching `ln` (pow/log
+    * are not correctly-rounded in either engine — the d29 lesson).
+    * A min-count floor (c_ab ≥ 5) applies first: PMI's known failure
+    * mode is hapax pairs scoring arbitrarily high.
+    *
+    * Scale shape: one tokenized scan feeds both the unigram and the
+    * adjacent-pair aggregate (map-side combined, vocabulary-sized
+    * results); the floor prunes the bigram table BEFORE the two
+    * vocabulary equi-joins; N is a one-row broadcast (the t35
+    * corpus-total convention). Top-20 is a single-reducer
+    * TakeOrderedAndProject over the floored survivors.
+    */
+  def pmiCollocations(s: SparkSession, dir: String, minCount: Long = 5L): DataFrame = {
+    import s.implicits._
+    val tk = documents(s, dir)
+      .select($"doc_id", toks($"text").as("t"))
+      .repartition($"doc_id")
+    val uni = tk.select(explode($"t").as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("c"))
+    val big = tk.select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("bg"))
+      .select($"bg.w1", $"bg.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c_ab"))
+      .filter($"c_ab" >= minCount)
+    // N = Σ (tokens−1): the adjacent-pair total without a second
+    // explode pass (integer arithmetic on the already-projected array).
+    val nTotal = tk.agg(
+      sum(greatest(size($"t") - 1, lit(0)).cast("long")).as("n_big"))
+    big
+      .join(uni.toDF("w1", "c_a"), Seq("w1"))
+      .join(uni.toDF("w2", "c_b"), Seq("w2"))
+      .crossJoin(broadcast(nTotal))
+      .select(concat_ws(" ", $"w1", $"w2").as("bigram"),
+        $"c_ab", $"c_a", $"c_b",
+        (($"c_ab" * $"n_big").cast("double") /
+          ($"c_a" * $"c_b").cast("double")).as("pmi_ratio"))
+      .orderBy($"pmi_ratio".desc, $"bigram")
+      .limit(20)
+  }
+
   /** Order-sensitive document fingerprint: polynomial rolling hash over
     * the per-token md5 hashes, via the codegen'd
     * [[graft.functions.RollingHash]] (one static call per row — see

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Relational2, TextOps}
+
+/** The q24 profiler / q25 integrity audit / t36 PMI surface: each is
+  * re-derived driver-side from the raw tables and compared exactly —
+  * the oracle pins them against DuckDB per round; these specs pin the
+  * semantics (not just values) at build time.
+  */
+class DataQualitySpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private def dir = TestSpark.sfDir
+
+  test("q24 profile: consistent row counts, exact distincts, typed extrema") {
+    val s = spark
+    import s.implicits._
+    val prof = Relational2.columnProfile(s, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.size == 7)
+    val li = graft.Tables.lineitem(s, dir)
+    val n = li.count()
+    assert(prof.values.forall(_.getLong(1) == n),
+      "every profile row must see the full table")
+    assert(prof.values.forall(_.getLong(2) == 0L),
+      "the generator writes no nulls")
+    // spot-check one numeric and one string column driver-side
+    val qty = li.select($"l_quantity").collect().map(_.getDouble(0))
+    assert(prof("l_quantity").getLong(3) == qty.distinct.length)
+    assert(prof("l_quantity").getDouble(4) == qty.min)
+    assert(prof("l_quantity").getDouble(5) == qty.max)
+    val rf = li.select($"l_returnflag").collect().map(_.getString(0))
+    assert(prof("l_returnflag").getLong(3) == rf.distinct.length)
+    assert(prof("l_returnflag").getString(6) == rf.min)
+    assert(prof("l_returnflag").getString(7) == rf.max)
+    // string rows carry null numerics and vice versa
+    assert(prof("l_returnflag").isNullAt(4) && prof("l_returnflag").isNullAt(5))
+    assert(prof("l_quantity").isNullAt(6) && prof("l_quantity").isNullAt(7))
+  }
+
+  test("q25 integrity audit: every count recomputed driver-side") {
+    val s = spark
+    import s.implicits._
+    val r = Relational2.integrityAudit(s, dir).head()
+    val li = graft.Tables.lineitem(s, dir)
+    val keys = li.select($"l_orderkey", $"l_linenumber").collect()
+      .map(row => (row.getLong(0), row.getInt(1)))
+    val mult = keys.groupBy(identity).map(_._2.size)
+    assert(r.getLong(0) == keys.length)
+    assert(r.getLong(1) == mult.size)
+    // The generator REUSES line numbers within an order (the TPC-H
+    // linenumber cycles), so the audit legitimately reports dup keys —
+    // which is exactly what a validation op exists to surface. Pin the
+    // recomputed count rather than assuming cleanliness.
+    assert(r.getLong(2) == mult.count(_ > 1).toLong)
+    assert(r.getLong(3) == mult.max.toLong)
+    val orderKeys = graft.Tables.orders(s, dir)
+      .select($"o_orderkey").collect().map(_.getLong(0)).toSet
+    val orphans = keys.count(k => !orderKeys.contains(k._1)).toLong
+    assert(r.getLong(4) == orphans)
+    assert(r.getBoolean(5) == (r.getLong(2) == 0L && orphans == 0L))
+  }
+
+  test("t36 PMI: top-20 equals a driver-side recomputation, floor honored") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.Tables.documents(s, dir)
+      .select($"text").collect().map(_.getString(0).split("\\s+").toSeq)
+    val uni = docs.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val big = docs.flatMap(t => t.zip(t.tail))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val nBig = docs.map(t => math.max(t.size - 1, 0).toLong).sum
+    val expected = big.toSeq.filter(_._2 >= 5L)
+      .map { case ((w1, w2), cab) =>
+        val ratio = (cab * nBig).toDouble / (uni(w1) * uni(w2)).toDouble
+        (s"$w1 $w2", cab, uni(w1), uni(w2), ratio)
+      }
+      .sortBy { case (bg, _, _, _, ratio) => (-ratio, bg) }
+      .take(20)
+    val got = TextOps.pmiCollocations(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .toSeq
+    assert(got == expected, "PMI top-20 diverges from the driver recomputation")
+    assert(got.forall(_._2 >= 5L), "a hapax-floored pair leaked through")
+  }
+}

@@ -141,4 +141,24 @@ class EventOpsSpec extends AnyFunSuite {
       assert(ok, s"$k: approx rank gate must hold")
     }
   }
+
+  test("e21 hourly uniques: exact counts recomputed, sketch inside tolerance") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = graft.ops.EventOps.hourlyUniques(spark, TestSpark.sfDir).collect()
+    val raw = graft.Tables.events(spark, TestSpark.sfDir)
+      .select($"ts".cast("timestamp"), $"user_id").collect()
+      .map(r => (TestSpark.rowTs(r, 0).getTime / 3600000L, r.getLong(1)))
+    val byHour = raw.groupBy(_._1)
+    assert(rows.length == byHour.size)
+    rows.foreach { r =>
+      val hour = TestSpark.rowTs(r, 0).getTime / 3600000L
+      val evs = byHour(hour)
+      assert(r.getLong(1) == evs.map(_._2).distinct.length.toLong,
+        s"hour $hour exact uniques")
+      assert(r.getLong(2) == evs.length.toLong, s"hour $hour event count")
+      assert(r.getBoolean(3), s"hour $hour: sketch must sit inside 5%")
+      assert(r.getLong(1) <= r.getLong(2))
+    }
+  }
 }

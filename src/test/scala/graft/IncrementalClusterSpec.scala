@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+/** d32's contraction proof: incremental label maintenance must produce
+  * EXACTLY the labels a from-scratch connected-components run over the
+  * full union graph (hist–hist capped pairs ∪ batch→hist probe edges)
+  * would — on the affected docs it relabels, AND by omission: every
+  * historical doc it does NOT touch must already hold the union-graph
+  * fixpoint label. The second half is the scale claim (work ∝ batch,
+  * untouched components never enter a shuffle) proven as a correctness
+  * statement rather than a plan assertion.
+  */
+class IncrementalClusterSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private def dir = TestSpark.sfDir
+
+  test("d32 contraction equals full union-graph CC on every emitted doc") {
+    val s = spark
+    import s.implicits._
+    val (histPairs, probeEdges) = Dedup.incrementalClusterGraph(s, dir)
+    val union = histPairs.union(probeEdges.toDF("doc_a", "doc_b"))
+    val full = Dedup.connectedComponentsWithRounds(s, union)._1
+      .toDF("doc_id", "full_lbl")
+    val inc = Dedup.incrementalClusters(s, dir)
+    assert(inc.count() > 0, "the sf0.001 corpus must produce probe matches")
+    val joined = inc.join(full, Seq("doc_id"), "left")
+    assert(joined.filter($"full_lbl".isNull).count() == 0,
+      "an emitted doc is missing from the union graph entirely")
+    val mismatch = joined.filter($"cluster_id" =!= $"full_lbl")
+    assert(mismatch.count() == 0,
+      s"contracted labels diverge from the full CC: ${mismatch.head(3).mkString(", ")}")
+  }
+
+  test("d32 omission is sound: untouched historical labels are already the fixpoint") {
+    val s = spark
+    import s.implicits._
+    val (histPairs, probeEdges) = Dedup.incrementalClusterGraph(s, dir)
+    val histLabels = Dedup.connectedComponentsWithRounds(s, histPairs)._1
+      .toDF("doc_id", "hist_lbl")
+    val full = Dedup.connectedComponentsWithRounds(
+        s, histPairs.union(probeEdges.toDF("doc_a", "doc_b")))._1
+      .toDF("doc_id", "full_lbl")
+    val inc = Dedup.incrementalClusters(s, dir)
+    val untouched = histLabels
+      .join(inc.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .join(full, Seq("doc_id"))
+      .filter($"hist_lbl" =!= $"full_lbl")
+    assert(untouched.count() == 0,
+      "a doc the maintenance skipped actually needed relabeling")
+  }
+
+  test("d32 verdict shape: arrival rows, prev labels, changed flag") {
+    val s = spark
+    import s.implicits._
+    val inc = Dedup.incrementalClusters(s, dir)
+    assert(inc.filter($"doc_id" % 5 === 0 && $"prev_cluster".isNotNull).count() == 0,
+      "an arrival carries a pre-batch label")
+    assert(inc.filter($"doc_id" % 5 =!= 0 && $"prev_cluster".isNull).count() == 0,
+      "a historical doc lost its pre-batch label")
+    assert(inc.filter($"changed" =!=
+        ($"prev_cluster".isNull || $"prev_cluster" =!= $"cluster_id")).count() == 0,
+      "changed flag inconsistent with the label delta")
+    // the arrival rows are exactly the probe-matched batch docs
+    val (_, probeEdges) = Dedup.incrementalClusterGraph(s, dir)
+    val matched = probeEdges.select($"new_doc".as("doc_id")).distinct()
+    val arrivals = inc.filter($"doc_id" % 5 === 0).select($"doc_id")
+    assert(arrivals.exceptAll(matched).count() == 0 &&
+           matched.exceptAll(arrivals).count() == 0,
+      "arrival verdicts must cover the probe-matched batch exactly")
+  }
+}

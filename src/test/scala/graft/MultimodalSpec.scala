@@ -400,6 +400,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m19 decimation equals the generator formula at even indices, through real codecs") {
+    val spark = TestSpark.spark
+    val rows = Multimodal.wavDecimate(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val nIn = Multimodal.WavCodec.nSamples(id)
+      val nOut = (nIn + 1) / 2
+      assert(r.getLong(1) == nIn.toLong)
+      assert(r.getLong(2) == nOut.toLong, s"clip $id output length")
+      var sum = 0L
+      var wsum = 0L
+      var j = 0
+      while (j < nOut) {
+        val sm = Multimodal.WavCodec.sample(id, 2 * j).toLong
+        sum += sm
+        wsum += sm * (j + 1)
+        j += 1
+      }
+      assert(r.getLong(3) == sum, s"clip $id decimated amplitude sum")
+      assert(r.getLong(4) == wsum, s"clip $id order-pinning weighted sum")
+    }
+  }
+
   test("m14 audio 1-NN equals a driver-side fingerprint recount, PCM never shuffles") {
     val spark = TestSpark.spark
     val df = Multimodal.audioNearestNeighbor(spark, TestSpark.sfDir)

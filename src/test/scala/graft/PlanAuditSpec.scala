@@ -36,6 +36,11 @@ class PlanAuditSpec extends AnyFunSuite {
   //    assignment) — both broadcast, K-bounded
   //  - t35_quality_calibration: t20's one-row corpus-total aggregate
   //    (the NLL side reuses unigramLogProb verbatim)
+  //  - s24_radius_search: same 16-row codebook as s20 (the queries'
+  //    2-probe cell ranking)
+  //  - t36_pmi_collocations: one-row total-bigram-count aggregate
+  //  - q25_integrity_audit: one-row FK-orphan-count aggregate crossed
+  //    with the one-row key-stats aggregate
   private val boundedCrossJoins =
     Set("q16_above_avg", "s04_knn_ivf", "d16_semantic_prune", "s08_knn_ivfpq",
         "t13_tfidf", "t20_unigram_nll", "t22_source_divergence",
@@ -43,7 +48,8 @@ class PlanAuditSpec extends AnyFunSuite {
         "t27_mixture_plan", "s11_recall_audit", "s12_cell_rebalance",
         "s13_sq_rerank", "t28_vocab_growth", "s14_knn_graph",
         "s15_kmeans_step", "s16_mutual_knn", "s20_filtered_knn",
-        "t35_quality_calibration", "s22_ivf_upsert")
+        "t35_quality_calibration", "s22_ivf_upsert",
+        "s24_radius_search", "t36_pmi_collocations", "q25_integrity_audit")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark

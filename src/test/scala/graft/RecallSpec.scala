@@ -513,4 +513,40 @@ class RecallSpec extends AnyFunSuite {
     assert(rec2 >= rec1, s"2-probe recall $rec2 must dominate 1-probe $rec1")
     assert(rec2 > 0, "the widened probe must recover real filtered neighbors")
   }
+
+  test("s24 radius search: τ honored, subset of the exact radius set, 2-probe dominates") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    val tau = 0.25
+    val rows = graft.ops.Similarity.radiusSearch(spark0, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // τ honored and (q, v) unique: a vector lives in exactly one cell,
+    // so distinct probe cells can never emit the same candidate twice
+    assert(rows.forall(_._3 >= tau), "a row below τ leaked through the filter")
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length,
+      "duplicate (query, neighbor) rows")
+    // exact radius reference: brute-force cosine over the full corpus
+    val e = graft.Tables.embeddings(spark0, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = e.filter(_._1 < 5).flatMap { case (qid, qv) =>
+      e.filter(_._1 != qid).map(x => ((qid, x._1), cos(qv, x._2)))
+        .filter(_._2 >= tau - 1e-9)
+    }.toMap
+    rows.foreach { case (q, v, _) =>
+      assert(exact.contains((q, v)),
+        s"q$q neighbor $v is not in the exact radius set")
+    }
+    // widening the probe can only add qualifiers (per query)
+    val one = graft.ops.Similarity.radiusSearch(spark0, dir, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val two = rows.map(t => (t._1, t._2)).toSet
+    assert(one.subsetOf(two), "1-probe results must be contained in 2-probe")
+    assert(two.nonEmpty, "the radius query must return qualifiers at τ = 0.25")
+  }
 }
