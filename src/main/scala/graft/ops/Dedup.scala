@@ -503,25 +503,46 @@ object Dedup {
     (histPairs, probeEdges)
   }
 
-  def incrementalClusters(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
-    import s.implicits._
-    val (histPairs, probeEdges) = incrementalClusterGraph(s, dir, cap)
-    val histLabels = CorpusIndexes.memo(s, dir, s"hist_labels_$cap") {
-      connectedComponents(s, histPairs)
+  /** The historical labeling d32 maintains — a session sidecar, shared
+    * with the streaming maintenance door.
+    */
+  private[graft] def histClusterLabels(s: SparkSession, dir: String,
+                                       cap: Int = 64): DataFrame =
+    CorpusIndexes.memo(s, dir, s"hist_labels_$cap") {
+      connectedComponents(s, incrementalClusterGraph(s, dir, cap)._1)
     }
-    // Contract: each probed historical doc stands in for its component
-    // label (itself, if it was an edgeless singleton).
-    val attach = probeEdges
-      .join(histLabels.toDF("hist_doc", "hist_lbl"), Seq("hist_doc"), "left")
-      .select($"new_doc".as("doc_a"),
-        coalesce($"hist_lbl", $"hist_doc").as("doc_b"))
-      .distinct()
-    // CC over the contracted graph — probe-edge-sized, so the measured
-    // driver fast path in connectedComponentsWithRounds applies at any
-    // corpus scale where the BATCH is small (the incremental premise).
-    val merged = connectedComponents(s, attach)
-    // Node ids disambiguate themselves: contracted label nodes are
-    // historical doc ids (≢ 0 mod 5), arrival nodes are batch ids.
+
+  /** The capped historical BAND index the maintenance probes — (band,
+    * bkey, hist_doc) with the d14 bucket cap applied at build, so a
+    * per-batch probe is one equi-join sized by the batch. Materialized:
+    * the streaming door probes it every trigger.
+    */
+  private[graft] def clusterMaintenanceBands(s: SparkSession, dir: String,
+                                             cap: Int = 64): DataFrame = {
+    import s.implicits._
+    CorpusIndexes.memo(s, dir, s"maint_bands_$cap") {
+      val histBands = CorpusIndexes.minhashBands(s, dir)
+        .filter($"doc_id" % 5 =!= 0)
+      val probeSmall = histBands.groupBy($"band", $"bkey")
+        .agg(count(lit(1)).as("n")).filter($"n" <= cap)
+        .select($"band", $"bkey")
+      histBands.select($"band", $"bkey", $"doc_id".as("hist_doc"))
+        .join(probeSmall.hint("merge"), Seq("band", "bkey"))
+    }
+  }
+
+  /** The d32 verdict rows from a MERGED contracted labeling (node →
+    * merged label over arrival nodes and historical label nodes) —
+    * shared by the batch op and the streaming maintenance door, so the
+    * streamed state composes to the batch answer through the identical
+    * frame transform. Node ids disambiguate themselves: contracted
+    * label nodes are historical doc ids (≢ 0 mod 5), arrival nodes are
+    * batch ids.
+    */
+  private[graft] def maintenanceVerdicts(merged: DataFrame,
+                                         histLabels: DataFrame): DataFrame = {
+    val s = merged.sparkSession
+    import s.implicits._
     val relabel = merged.filter($"doc_id" % 5 =!= 0)
       .toDF("hist_lbl", "new_lbl")
     val histRows = histLabels.toDF("m_doc", "m_lbl")
@@ -541,7 +562,24 @@ object Dedup {
     histRows.union(newRows)
       .withColumn("changed",
         $"prev_cluster".isNull || $"prev_cluster" =!= $"cluster_id")
-      .orderBy($"doc_id")
+  }
+
+  def incrementalClusters(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import s.implicits._
+    val (_, probeEdges) = incrementalClusterGraph(s, dir, cap)
+    val histLabels = histClusterLabels(s, dir, cap)
+    // Contract: each probed historical doc stands in for its component
+    // label (itself, if it was an edgeless singleton).
+    val attach = probeEdges
+      .join(histLabels.toDF("hist_doc", "hist_lbl"), Seq("hist_doc"), "left")
+      .select($"new_doc".as("doc_a"),
+        coalesce($"hist_lbl", $"hist_doc").as("doc_b"))
+      .distinct()
+    // CC over the contracted graph — probe-edge-sized, so the measured
+    // driver fast path in connectedComponentsWithRounds applies at any
+    // corpus scale where the BATCH is small (the incremental premise).
+    val merged = connectedComponents(s, attach)
+    maintenanceVerdicts(merged, histLabels).orderBy($"doc_id")
   }
 
   /** Multi-signal incremental dedup — [[incrementalDedup]] composing ALL

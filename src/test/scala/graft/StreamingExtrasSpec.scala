@@ -1077,6 +1077,89 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("StreamingClusterMaintenance: streamed union-find state composes to batch d32") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val arrivals = Tables.documents(spark, TestSpark.sfDir)
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val slices = Seq(arrivals.take(arrivals.length / 3),
+      arrivals.slice(arrivals.length / 3, 2 * arrivals.length / 3),
+      arrivals.drop(2 * arrivals.length / 3))
+    val out = java.nio.file.Files.createTempDirectory("graft-scm-out").toString
+    val st = java.nio.file.Files.createTempDirectory("graft-scm-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scm-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StreamingClusterMaintenance.run(
+      stream, TestSpark.sfDir, out, st, ckpt)
+    try {
+      slices.foreach { sl => input.addData(sl.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    def verdictRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getBoolean(3)))
+        .sortBy(_._1).toSeq
+    val labels = graft.ops.Dedup.histClusterLabels(spark, TestSpark.sfDir)
+    val state = spark.read.parquet(s"$st/batch_id=2")
+    val streamed = verdictRows(
+      graft.ops.Dedup.maintenanceVerdicts(state, labels))
+    val batch = verdictRows(
+      graft.ops.Dedup.incrementalClusters(spark, TestSpark.sfDir))
+    assert(streamed.nonEmpty && streamed == batch,
+      "the streamed parent table must compose to the batch d32 verdicts")
+  }
+
+  test("StreamingClusterMaintenance restart replays the uncommitted batch exactly-once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val arrivals = Tables.documents(spark, TestSpark.sfDir)
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val slices = Seq(arrivals.take(arrivals.length / 3),
+      arrivals.slice(arrivals.length / 3, 2 * arrivals.length / 3),
+      arrivals.drop(2 * arrivals.length / 3))
+    val out = java.nio.file.Files.createTempDirectory("graft-scm2-out").toString
+    val st = java.nio.file.Files.createTempDirectory("graft-scm2-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scm2-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    def start() = graft.streaming.StreamingClusterMaintenance.run(
+      stream, TestSpark.sfDir, out, st, ckpt)
+    val q1 = start()
+    try {
+      input.addData(slices(0).toSeq); q1.processAllAvailable()
+      input.addData(slices(1).toSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    // crash between offset log and commit: batch 1 replays against the
+    // UNCHANGED batch-0 snapshot and must rewrite identical state
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.map(_.getName.toLong).toSeq == Seq(0L, 1L))
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.1.crc")
+    if (crc.exists()) assert(crc.delete())
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays batch 1
+      input.addData(slices(2).toSeq); q2.processAllAvailable()
+    } finally q2.stop()
+    def verdictRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getBoolean(3)))
+        .sortBy(_._1).toSeq
+    val labels = graft.ops.Dedup.histClusterLabels(spark, TestSpark.sfDir)
+    val streamed = verdictRows(graft.ops.Dedup.maintenanceVerdicts(
+      spark.read.parquet(s"$st/batch_id=2"), labels))
+    val batch = verdictRows(
+      graft.ops.Dedup.incrementalClusters(spark, TestSpark.sfDir))
+    assert(streamed == batch)
+  }
+
   test("flatMapGroupsWithState keeps custom per-key state across triggers") {
     val spark = TestSpark.spark
     import spark.implicits._
