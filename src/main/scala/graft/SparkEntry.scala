@@ -68,6 +68,14 @@ object SparkEntry {
     // linenumber) + lineitem→orders referential integrity, one
     // gate-able verdict row.
     "q25_integrity_audit"    -> (Relational2.integrityAudit _),
+    // q26 = rolling 7-day revenue: trailing time-RANGE frame over the
+    // per-day pre-aggregate (RANGE bounds by VALUE, correct over
+    // calendar gaps where ROWS frames over-reach).
+    "q26_rolling_revenue"    -> (Relational2.rollingRevenue _),
+    // m20 = scene-change detection over the shared gif_frames sidecar:
+    // per video the cut/scene/longest-run report via gaps-and-islands
+    // on consecutive frame-hash equality.
+    "m20_scene_changes"      -> (Multimodal.sceneChanges _),
     // ---- event-time surface (ST3/ST4/ST7 batch-checkable analogs) ----
     "e01_tumbling"           -> (EventOps.tumbling _),
     "e02_sliding"            -> (EventOps.sliding _),
@@ -1475,6 +1483,57 @@ object SparkEntry {
       // (the m11 cell-sum chain with the frame dimension added), then
       // the digest-keyed two-level aggregate; a hash match proves the
       // Spark side decoded real frame sequences through a real codec.
+      // m20: the m15 per-frame hash CTEs (generator formula through
+      // the aHash quantization), then the same gaps-and-islands
+      // rewrite — lag over frame order, running new-scene sum, scene
+      // lengths, per-video rollup.
+      "m20_scene_changes" -> """
+        WITH d AS (SELECT doc_id, 6 + doc_id % 10 AS w, 6 + (doc_id // 10) % 10 AS h,
+                          2 + doc_id % 4 AS nf FROM documents),
+        fr AS (SELECT doc_id, f, w, h,
+                 CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                   list_transform(generate_series(0, w - 1), x ->
+                     (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256)))) AS BIGINT) AS total
+               FROM d, LATERAL unnest(generate_series(0, CAST(nf - 1 AS INTEGER))) AS t(f)),
+        cells AS (SELECT doc_id, f, w, h, total, i, j,
+                    (i * w) // 8 AS x0, ((i + 1) * w) // 8 AS x1,
+                    (j * h) // 8 AS y0, ((j + 1) * h) // 8 AS y1
+                  FROM fr,
+                    (SELECT unnest(generate_series(0, 7)) AS i) ii,
+                    (SELECT unnest(generate_series(0, 7)) AS j) jj),
+        cs AS (SELECT doc_id, f, w, h, total, i, j,
+                 (x1 - x0) * (y1 - y0) AS np,
+                 CAST(list_sum(flatten(list_transform(generate_series(y0, y1 - 1), y ->
+                   list_transform(generate_series(x0, x1 - 1), x ->
+                     (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256)))) AS BIGINT) AS csum
+               FROM cells),
+        bits AS (SELECT doc_id, f, 8 * j + i AS b,
+                   CASE WHEN csum * w * h > total * np THEN 1 ELSE 0 END AS bit
+                 FROM cs),
+        hx AS (SELECT doc_id, f,
+                 CAST(sum(CASE WHEN b >= 32 AND bit = 1
+                               THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(sum(CASE WHEN b < 32 AND bit = 1
+                               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
+               FROM bits GROUP BY doc_id, f),
+        sc AS (SELECT doc_id, f, hi, lo,
+                 lag(hi) OVER (PARTITION BY doc_id ORDER BY f) AS phi,
+                 lag(lo) OVER (PARTITION BY doc_id ORDER BY f) AS plo
+               FROM hx),
+        flags AS (SELECT doc_id, f,
+                    CASE WHEN phi IS NULL OR phi <> hi OR plo <> lo
+                         THEN 1 ELSE 0 END AS new_scene
+                  FROM sc),
+        scenes AS (SELECT doc_id, f,
+                     CAST(sum(new_scene) OVER (PARTITION BY doc_id ORDER BY f)
+                       AS BIGINT) AS scene_id
+                   FROM flags),
+        lens AS (SELECT doc_id, scene_id, count(*) AS len
+                 FROM scenes GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_frames,
+          count(*) AS n_scenes, count(*) - 1 AS n_cuts,
+          max(len) AS longest_scene
+        FROM lens GROUP BY doc_id ORDER BY doc_id""",
       "m15_video_frame_dedup" -> """
         WITH d AS (SELECT doc_id, 6 + doc_id % 10 AS w, 6 + (doc_id // 10) % 10 AS h,
                           2 + doc_id % 4 AS nf FROM documents),
@@ -2813,6 +2872,25 @@ object SparkEntry {
             min(l_linestatus), max(l_linestatus)
           FROM lineitem) p
         ORDER BY col_name""",
+      // q26: the same daily DECIMAL pre-aggregate with DuckDB's RANGE
+      // frame over the epoch-day key; sums cast to double via VARCHAR
+      // (DuckDB's direct decimal→double is not correctly rounded).
+      "q26_rolling_revenue" -> """
+        WITH daily AS (
+          SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+            sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+          FROM orders GROUP BY 1),
+        d AS (SELECT day, rev,
+                CAST(day - DATE '1970-01-01' AS BIGINT) AS day_n
+              FROM daily)
+        SELECT day,
+          CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+          CAST(CAST(sum(rev) OVER (ORDER BY day_n
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+            AS rev7,
+          CAST(count(*) OVER (ORDER BY day_n
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7_days
+        FROM d ORDER BY day""",
       "q25_integrity_audit" -> """
         WITH k AS (SELECT l_orderkey, l_linenumber, count(*) AS cnt
                    FROM lineitem GROUP BY 1, 2),

@@ -1239,6 +1239,40 @@ object Multimodal {
       .orderBy($"ahash_hi", $"ahash_lo")
   }
 
+  /** m20 — SCENE-CHANGE detection over the shared frame-hash sidecar:
+    * a cut is a consecutive frame pair whose perceptual hash differs,
+    * and the per-video report (frame count, scene count, cut count,
+    * longest scene in frames) is the segmentation summary a video
+    * curation pipeline filters on — static-image GIFs (1 scene),
+    * slideshows (every frame a cut), real motion in between. Rides the
+    * ONE decode pass m15/m16/m17 already share: input is the
+    * `gif_frames` sidecar (16 bytes/frame), pixels long gone.
+    *
+    * Scale shape: a lag window + running sum partitioned per video —
+    * partitions are clip-length-bounded (never corpus-scale), then a
+    * two-level scene aggregate. Exact integer equality on the 64-bit
+    * hash; the oracle replays frames from the generator formula
+    * through the same gaps-and-islands rewrite.
+    */
+  def sceneChanges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"frame_no")
+    val flags = gifFramesSidecar(s, dir)
+      .select($"doc_id", $"frame_no", $"ahash_hi", $"ahash_lo")
+      .withColumn("phi", lag($"ahash_hi", 1).over(w))
+      .withColumn("plo", lag($"ahash_lo", 1).over(w))
+      .withColumn("new_scene",
+        when($"phi".isNull || $"phi" =!= $"ahash_hi" || $"plo" =!= $"ahash_lo",
+          1L).otherwise(0L))
+    flags
+      .withColumn("scene_id", sum($"new_scene").over(w))
+      .groupBy($"doc_id", $"scene_id").agg(count(lit(1)).as("len"))
+      .groupBy($"doc_id")
+      .agg(sum($"len").as("n_frames"), count(lit(1)).as("n_scenes"),
+        (count(lit(1)) - 1).as("n_cuts"), max($"len").as("longest_scene"))
+      .orderBy($"doc_id")
+  }
+
   /** m16 — SEQUENCE-aware video near-duplicates: m15's frame hashes
     * through the shingle discipline. Each video's ordered frame-hash
     * sequence is a document; its word-2-grams (consecutive frame-hash

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -176,6 +177,34 @@ object Relational2 {
         (abs($"a_q" - $"exact_med_qty") <= lit(1.0)).as("qty_within_tol"),
         (abs($"a_p" - $"exact_p90_price") <= $"exact_p90_price" * 0.02).as("price_within_tol"))
       .orderBy($"l_returnflag")
+  }
+
+  /** q26 — rolling 7-day revenue: the trailing time-RANGE window frame
+    * (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW over an epoch-day
+    * key), the one windowing capability the tranche's ROWS-frame
+    * running sums don't exercise — a RANGE frame widens correctly over
+    * calendar GAPS (a missing day still bounds the trailing week by
+    * VALUE, where a ROWS frame would silently reach further back).
+    *
+    * Scale shape: revenue pre-aggregates per day FIRST (map-side
+    * combined, |days| rows out), so the unpartitioned window — global
+    * by nature, like any corpus-wide time series — sorts day-count
+    * rows, never orders. Sums stay DECIMAL through the window and cast
+    * to double once at the end (exact in both engines).
+    */
+  def rollingRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = orders(s, dir)
+      .groupBy(to_date($"o_orderdate".cast("timestamp")).as("day"))
+      .agg(sum(dec($"o_totalprice")).as("rev"))
+      .withColumn("day_n",
+        datediff($"day", lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.orderBy($"day_n").rangeBetween(-6, 0)
+    daily.select($"day",
+        $"rev".cast("double").as("revenue"),
+        sum($"rev").over(w).cast("double").as("rev7"),
+        count(lit(1)).over(w).as("n7_days"))
+      .orderBy($"day")
   }
 
   /** q24 — COLUMN PROFILER: per-column row/null/exact-distinct counts

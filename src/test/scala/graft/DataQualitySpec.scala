@@ -63,6 +63,34 @@ class DataQualitySpec extends AnyFunSuite {
     assert(r.getBoolean(5) == (r.getLong(2) == 0L && orphans == 0L))
   }
 
+  test("q26 rolling revenue: the RANGE frame equals a driver-side trailing-week sum") {
+    val s = spark
+    import s.implicits._
+    val rows = Relational2.rollingRevenue(s, dir).collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    // recompute in exact DECIMAL from the raw orders (a double-fold
+    // recomposition of the emitted doubles would drift): HALF_UP at
+    // scale 4 is Spark's double→DECIMAL(18,4) cast, BigDecimal sums
+    // are exact, and toDouble is the same correctly-rounded cast the
+    // engine applies once at the end.
+    val daily = graft.Tables.orders(s, dir)
+      .selectExpr("cast(cast(o_orderdate as timestamp) as date) as day",
+        "o_totalprice")
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        BigDecimal(r.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).map { case (d, v) => d -> v.map(_._2).sum }
+    assert(rows.length == daily.size)
+    rows.foreach { case (d, rev, rev7, n7) =>
+      val win = (d - 6 to d).flatMap(daily.get)
+      assert(rev == daily(d).toDouble, s"day $d daily revenue")
+      assert(rev7 == win.sum.toDouble, s"day $d trailing sum")
+      assert(n7 == win.size.toLong, s"day $d trailing day count")
+      assert(n7 >= 1L && n7 <= 7L)
+    }
+  }
+
   test("t36 PMI: top-20 equals a driver-side recomputation, floor honored") {
     val s = spark
     import s.implicits._

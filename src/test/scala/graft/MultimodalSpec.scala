@@ -400,6 +400,24 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m20 scene report is internally consistent with the generator's frame counts") {
+    val spark = TestSpark.spark
+    val rows = Multimodal.sceneChanges(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nFrames, nScenes, nCuts, longest) =>
+      assert(nFrames == 2 + id % 4, s"video $id frame count")
+      assert(nScenes == nCuts + 1)
+      assert(nScenes >= 1 && nScenes <= nFrames)
+      assert(longest >= 1 && longest <= nFrames)
+      // scenes partition the frames, so the longest is at least the mean
+      assert(longest * nScenes >= nFrames)
+    }
+    // the generator varies every frame (f*17 in each pixel), so real
+    // motion must dominate: some video must have >1 scene
+    assert(rows.exists(_._3 > 1))
+  }
+
   test("m19 decimation equals the generator formula at even indices, through real codecs") {
     val spark = TestSpark.spark
     val rows = Multimodal.wavDecimate(spark, TestSpark.sfDir).collect()
