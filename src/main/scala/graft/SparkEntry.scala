@@ -72,6 +72,10 @@ object SparkEntry {
     // per-day pre-aggregate (RANGE bounds by VALUE, correct over
     // calendar gaps where ROWS frames over-reach).
     "q26_rolling_revenue"    -> (Relational2.rollingRevenue _),
+    // q27 = big spenders (TPC-H Q18 shape): HAVING-filtered quantity
+    // aggregate becomes the semi-join build side; only survivors join
+    // orders/customer; top-20 via TakeOrderedAndProject.
+    "q27_big_spenders"       -> (Relational2.bigSpenders _),
     // m20 = scene-change detection over the shared gif_frames sidecar:
     // per video the cut/scene/longest-run report via gaps-and-islands
     // on consecutive frame-hash equality.
@@ -308,6 +312,10 @@ object SparkEntry {
     // ranking (BIGINT products, one IEEE divide — no log), c_ab ≥ 5
     // floor pruning before the vocabulary joins.
     "t36_pmi_collocations"   -> ((s, d) => TextOps.pmiCollocations(s, d)),
+    // t37 = BM25 ranking for a fixed query — tf saturation + length
+    // normalization over one corpus scan (no explode/shuffle for the
+    // tfs; corpus constants are a one-row broadcast).
+    "t37_bm25"               -> (TextOps.bm25Rank _),
     // t33 = PII detect + redact (email/phone/IPv4) — counts on the
     // original text, typed-placeholder redaction, all codegen regex;
     // runs over the deterministic planted-PII fixture (WavCodec
@@ -410,6 +418,11 @@ object SparkEntry {
     // the query's two probed cells — the ANN query shape top-k serving
     // doesn't cover; τ filters inside the probe, before the rank.
     "s24_radius_search"      -> ((s, d) => Similarity.radiusSearch(s, d)),
+    // s25 = signed-random-projection LSH: md5-seeded ±1 planes over
+    // integer-quantized coordinates → 16-bit signatures, Hamming-
+    // ranked top-8 (exact int arithmetic end to end, no trained
+    // index to ship).
+    "s25_srp_hamming"        -> ((s, d) => Similarity.srpHammingKnn(s, d)),
     "m14_audio_nn"           -> (Multimodal.audioNearestNeighbor _),
     // m18 = incremental audio dedup: arriving clips (d14 slice) probe
     // the historical frame-energy fingerprint index by duration class,
@@ -1369,6 +1382,42 @@ object SparkEntry {
       // s24: the s20 probe CTEs minus the label, τ = 0.25 applied in
       // the WHERE (before the window, matching the Spark filter→rank
       // order); cosine is the same pinned dot/(nrm·nrm) double.
+      // s25: replays the md5-seeded ±1 planes, the floor(x·10⁴)
+      // integer quantization, the sign bits and the Hamming ranking —
+      // all integer arithmetic, so the hash check is order-free.
+      "s25_srp_hamming" -> """
+        WITH p AS (
+          SELECT j.j, i.i,
+            CASE WHEN CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':'
+                            || CAST(i.i AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+                 THEN 1 ELSE -1 END AS r
+          FROM (SELECT unnest(generate_series(0, 15)) AS j) j,
+               (SELECT unnest(generate_series(0, 63)) AS i) i),
+        e AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+          FROM embeddings),
+        dots AS (
+          SELECT e.vec_id, p.j, sum(p.r * e.qv[p.i + 1]) AS dot
+          FROM e, p GROUP BY e.vec_id, p.j),
+        sigs AS (
+          SELECT vec_id,
+            CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << j
+                          ELSE 0 END) AS BIGINT) AS sig
+          FROM dots GROUP BY vec_id),
+        ranked AS (
+          SELECT q.vec_id AS q_id, s.vec_id,
+            CAST(bit_count(xor(s.sig, q.sig)) AS BIGINT) AS hamming
+          FROM sigs s JOIN sigs q
+            ON q.vec_id < 5 AND s.vec_id <> q.vec_id)
+        SELECT * FROM (
+          SELECT q_id,
+            row_number() OVER (PARTITION BY q_id
+                               ORDER BY hamming, vec_id) AS rank,
+            vec_id, hamming
+          FROM ranked) t
+        WHERE rank <= 8 ORDER BY q_id, rank""",
       "s24_radius_search" -> """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
@@ -2891,6 +2940,19 @@ object SparkEntry {
           CAST(count(*) OVER (ORDER BY day_n
             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7_days
         FROM d ORDER BY day""",
+      // q27: decimal-exact quantity sums; the kept qty casts to
+      // double via VARCHAR (the q26 decimal→double convention).
+      "q27_big_spenders" -> """
+        WITH big AS (
+          SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty_dec
+          FROM lineitem GROUP BY 1
+          HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 150)
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+          CAST(CAST(qty_dec AS VARCHAR) AS DOUBLE) AS total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
       "q25_integrity_audit" -> """
         WITH k AS (SELECT l_orderkey, l_linenumber, count(*) AS cnt
                    FROM lineitem GROUP BY 1, 2),
@@ -3763,6 +3825,51 @@ object SparkEntry {
       // t36: PMI ranking without log — both products in BIGINT, one
       // exact double divide; the c_ab ≥ 5 floor in HAVING matches the
       // Spark-side pre-join filter.
+      // t37: mirrors bm25Rank expression for expression — exact long
+      // sums for dl/df, one avgdl divide, literal 2.2/1.2/0.75, and
+      // the three contributions added in fixed order (ln is libm on
+      // both sides — the platform_ln contract).
+      "t37_bm25" -> """
+        WITH base AS (
+          SELECT doc_id,
+            len(regexp_split_to_array(text, '\s+')) AS dl,
+            len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'hash')) AS tf_hash,
+            len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'join')) AS tf_join,
+            len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'stream')) AS tf_stream
+          FROM documents),
+        st AS (
+          SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+            sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+            sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+            sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS df_stream
+          FROM base),
+        sc AS (
+          SELECT b.doc_id, b.tf_hash, b.tf_join, b.tf_stream, b.dl,
+            ln((CAST(n_docs AS DOUBLE) - CAST(df_hash AS DOUBLE) + 0.5)
+               / (CAST(df_hash AS DOUBLE) + 0.5) + 1.0)
+              * CAST(b.tf_hash AS DOUBLE) * 2.2
+              / (CAST(b.tf_hash AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75
+                 * (CAST(b.dl AS DOUBLE)
+                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+            + ln((CAST(n_docs AS DOUBLE) - CAST(df_join AS DOUBLE) + 0.5)
+               / (CAST(df_join AS DOUBLE) + 0.5) + 1.0)
+              * CAST(b.tf_join AS DOUBLE) * 2.2
+              / (CAST(b.tf_join AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75
+                 * (CAST(b.dl AS DOUBLE)
+                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+            + ln((CAST(n_docs AS DOUBLE) - CAST(df_stream AS DOUBLE) + 0.5)
+               / (CAST(df_stream AS DOUBLE) + 0.5) + 1.0)
+              * CAST(b.tf_stream AS DOUBLE) * 2.2
+              / (CAST(b.tf_stream AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75
+                 * (CAST(b.dl AS DOUBLE)
+                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+            AS score
+          FROM base b CROSS JOIN st)
+        SELECT * FROM (
+          SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+            doc_id, tf_hash, tf_join, tf_stream, dl, score
+          FROM sc) t
+        WHERE rank <= 10 ORDER BY rank""",
       "t36_pmi_collocations" -> """
         WITH tk AS (SELECT regexp_split_to_array(text, '\s+') AS t FROM documents),
         uc AS (SELECT term, count(*) AS c FROM (

@@ -294,4 +294,35 @@ object Relational2 {
         $"fk_orphans",
         ($"n_dup_keys" === 0 && $"fk_orphans" === 0).as("clean"))
   }
+
+  /** q27 — BIG SPENDERS (TPC-H Q18 shape, adapted to the available
+    * columns): orders whose total line quantity exceeds 150, joined
+    * back to their order and customer rows, top-20 by order value.
+    * The distinct relational shape here is the aggregated-subquery
+    * semi-join: a HAVING-filtered aggregate becomes the JOIN's build
+    * side rather than an IN-subquery re-evaluated per row.
+    *
+    * Scale shape: lineitem aggregates on l_orderkey (the one big
+    * shuffle); the HAVING cut then drops ~80 % of orders, and the
+    * SURVIVOR SET — not lineitem — joins orders and customer. At
+    * 100 TB the filtered aggregate is orders-of-magnitude smaller
+    * than lineitem, so both joins shuffle only orders-sized inputs
+    * on their natural keys, and the top-20 is a
+    * TakeOrderedAndProject (no global sort materializes). Quantity
+    * sums are decimal-exact (order-free), cast to double only at
+    * presentation.
+    */
+  def bigSpenders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum(dec($"l_quantity")).as("qty_dec"))
+      .filter($"qty_dec" > 150)
+    big.join(orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(customer(s, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey", $"o_totalprice",
+        $"qty_dec".cast("double").as("total_qty"))
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(20)
+  }
 }

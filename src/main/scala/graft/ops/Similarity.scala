@@ -1557,6 +1557,63 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** s25 — SIGNED-RANDOM-PROJECTION LSH (true SRP, not the
+    * axis-aligned planes of s02/s05): 16 hash-seeded ±1 hyperplanes
+    * in the full 64-dim space give every vector a 16-bit signature;
+    * candidates rank by Hamming distance between signatures (top-8
+    * per query, cosine-free serving — the SimHash idea applied to
+    * dense embeddings). Complements the IVF family: no trained
+    * codebook, the "index" is 1024 signs derived from md5, so any
+    * worker (or any other engine) can re-derive it from the seed
+    * alone — nothing to ship, version, or refresh.
+    *
+    * Determinism is the point of the construction: coordinates
+    * quantize to integers (`floor(x * 10⁴)`) BEFORE the projection,
+    * so every dot product is exact int arithmetic — order-free,
+    * engine-free — and the sign/bit/Hamming pipeline never touches a
+    * float. The oracle replays it bit for bit from the same md5
+    * parities (a float dot product's sign could flip between
+    * summation orders near 0; an integer one cannot).
+    *
+    * Scale shape: signatures are one narrow codegen'd pass over the
+    * corpus (the 16×64 plane matrix is a one-row broadcast built
+    * once from md5 — 1024 hashes total, not per row); serving
+    * broadcasts the query batch and scans signatures (8 bytes/vector
+    * — RAM-resident at 10⁹ vectors), never the embeddings; the only
+    * per-candidate work is one xor+popcount. Banding the 16 bits
+    * (the d08 discipline) is the standard escape when even the
+    * signature scan is too much.
+    */
+  def srpHammingKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 16
+    val D = 64
+    val planes = s.range(1).select(expr(
+      s"""transform(sequence(0, ${B - 1}), j ->
+            transform(sequence(0, ${D - 1}), i ->
+              CASE WHEN CAST(conv(substring(md5(concat(CAST(j AS STRING), ':',
+                          CAST(i AS STRING))), 1, 1), 16, 10) AS BIGINT) % 2 = 0
+                   THEN 1L ELSE -1L END))""").as("planes"))
+    val sigs = embeddings(s, dir)
+      .crossJoin(broadcast(planes))
+      .withColumn("qv",
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0D) AS BIGINT))"))
+      .withColumn("sig", expr(
+        s"""aggregate(sequence(0, ${B - 1}), 0L, (acc, j) ->
+              acc + CASE WHEN aggregate(sequence(0, ${D - 1}), 0L,
+                             (a2, i) -> a2 + planes[j][i] * qv[i]) >= 0L
+                         THEN shiftleft(1L, j) ELSE 0L END)"""))
+      .select($"vec_id", $"sig")
+    val q = sigs.filter($"vec_id" < 5).toDF("q_id", "q_sig")
+    val w = Window.partitionBy($"q_id").orderBy($"hamming", $"vec_id")
+    sigs.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .withColumn("hamming", expr("CAST(bit_count(sig ^ q_sig) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 8)
+      .select($"q_id", $"rank", $"vec_id", $"hamming")
+      .orderBy($"q_id", $"rank")
+  }
+
   def quantizationAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val el = embeddings(s, dir)

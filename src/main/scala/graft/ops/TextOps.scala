@@ -1243,6 +1243,61 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** t37 — BM25 RANKING: the classic retrieval score (Robertson/
+    * Lucene form) for a fixed three-term query ("hash join stream")
+    * over the corpus, top-10 documents. TF-IDF (t13) profiles terms
+    * per source; BM25 is the other direction — scoring DOCUMENTS for
+    * a query — with the two extra ingredients t13 lacks: tf
+    * saturation (k1) and document-length normalization (b).
+    *
+    *   idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)      [always > 0]
+    *   c(t, d) = idf(t) * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl/avgdl))
+    *   score   = c(hash, d) + c(join, d) + c(stream, d)   [fixed order]
+    *
+    * Scale shape: per-document tf for a FIXED query needs no explode
+    * and no (doc, term) shuffle at all — each tf is a codegen'd
+    * `size(filter(tokens, = term))` inside the scan projection, so
+    * the corpus is read exactly once, however many documents. The
+    * corpus constants (N, Σdl, per-term df) reduce to ONE row and
+    * return as a broadcast scalar cross join (the t13/t20
+    * convention); the top-10 is a TakeOrderedAndProject. Double
+    * determinism: avgdl is an exact long sum divided once (never
+    * `avg`), idf goes through platform_ln, the three contributions
+    * add in fixed literal order, and `2.2` is a literal on both
+    * sides (computing k1+1 would differ from the literal by an ULP).
+    */
+  def bm25Rank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("hash", "join", "stream")
+    val t = toks($"text")
+    val base = documents(s, dir).select(
+      $"doc_id" +: size(t).cast("long").as("dl") +:
+        terms.map(q => size(filter(t, c => c === q)).cast("long").as(s"tf_$q")): _*)
+    val statCols = count(lit(1)).as("n_docs") +: sum($"dl").as("sum_dl") +:
+      terms.map(q => sum(when(col(s"tf_$q") > 0, 1L).otherwise(0L)).as(s"df_$q"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val avgdl = $"sum_dl".cast("double") / $"n_docs".cast("double")
+    def contrib(q: String): Column = {
+      val idf = graft.functions.VectorFunctions.platform_ln(
+        ($"n_docs".cast("double") - col(s"df_$q").cast("double") + lit(0.5)) /
+          (col(s"df_$q").cast("double") + lit(0.5)) + lit(1.0))
+      idf * col(s"tf_$q").cast("double") * lit(2.2) /
+        (col(s"tf_$q").cast("double") +
+          lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * ($"dl".cast("double") / avgdl)))
+    }
+    val scored = base.crossJoin(broadcast(stats))
+      .withColumn("score", contrib("hash") + contrib("join") + contrib("stream"))
+    // Cut to 10 rows FIRST (TakeOrderedAndProject — per-partition
+    // top-k, no global sort), then rank the survivors; the
+    // single-task window only ever sees 10 rows.
+    val top = scored.orderBy($"score".desc, $"doc_id").limit(10)
+    val w = Window.orderBy($"score".desc, $"doc_id")
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select($"rank", $"doc_id", $"tf_hash", $"tf_join", $"tf_stream", $"dl", $"score")
+      .orderBy($"rank")
+  }
+
   /** Per-source sketch-vs-exact agreement counts — the test seam for
     * t31's floor (InvariantSpec reads the real fraction).
     */

@@ -40,6 +40,39 @@ class DataQualitySpec extends AnyFunSuite {
     assert(prof("l_quantity").isNullAt(6) && prof("l_quantity").isNullAt(7))
   }
 
+  test("q27 big spenders: threshold, joins, and top-20 order recomputed driver-side") {
+    val s = spark
+    import s.implicits._
+    val got = Relational2.bigSpenders(s, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.length == 20)
+    // recompute: decimal-exact per-order quantity sums, HAVING > 150
+    val qty = new scala.collection.mutable.HashMap[Long, BigDecimal]()
+    graft.Tables.lineitem(s, dir).select($"l_orderkey", $"l_quantity").collect()
+      .foreach { r =>
+        val k = r.getLong(0)
+        val d = BigDecimal(r.getDouble(1))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        qty(k) = qty.getOrElse(k, BigDecimal(0)) + d
+      }
+    val big = qty.filter(_._2 > 150)
+    val ords = graft.Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val names = graft.Tables.customer(s, dir)
+      .select($"c_custkey", $"c_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = big.toSeq.map { case (ok, q) =>
+      val (ck, tp) = ords(ok)
+      (ck, names(ck), ok, tp, q.toDouble)
+    }.sortBy { case (_, _, ok, tp, _) => (-tp, ok) }.take(20)
+    assert(got.toSeq == expected)
+    // every returned order really exceeds the cut; orders at or below
+    // the cut are excluded by construction of `big`
+    assert(got.forall(_._5 > 150.0))
+  }
+
   test("q25 integrity audit: every count recomputed driver-side") {
     val s = spark
     import s.implicits._

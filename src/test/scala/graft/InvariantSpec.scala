@@ -1000,6 +1000,46 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("t37 BM25: scores and ranking recomputed driver-side") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = graft.ops.TextOps.bm25Rank(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.length == 10)
+    assert(got.map(_._1).toSeq == (1L to 10L))
+    val terms = Seq("hash", "join", "stream")
+    val toks = graft.Tables.documents(spark, TestSpark.sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+")))
+    val n = toks.length.toDouble
+    val avgdl = toks.map(_._2.length.toLong).sum.toDouble / n
+    val dfm = terms.map(q => q -> toks.count(_._2.contains(q)).toDouble).toMap
+    val scores = toks.map { case (id, arr) =>
+      val dl = arr.length.toDouble
+      id -> terms.map { q =>
+        val t = arr.count(_ == q).toDouble
+        val idf = math.log((n - dfm(q) + 0.5) / (dfm(q) + 0.5) + 1.0)
+        idf * t * 2.2 / (t + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))
+      }.sum
+    }.toMap
+    val expected = scores.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(10)
+    got.zip(expected).foreach { case ((_, id, th, tj, ts, dl, sc), (eid, esc)) =>
+      assert(id == eid, s"ranking diverges at doc $id vs $eid")
+      assert(math.abs(sc - esc) < 1e-9, s"doc $id score $sc vs $esc")
+      val arr = toks.find(_._1 == id).get._2
+      assert(th == arr.count(_ == "hash") && tj == arr.count(_ == "join") &&
+        ts == arr.count(_ == "stream") && dl == arr.length.toLong)
+    }
+    // tf saturation: the marginal contribution of the (t+1)-th
+    // occurrence shrinks — the property that separates BM25 from the
+    // linear tf of t13 (checked on the formula with corpus constants)
+    val idfH = math.log((n - dfm("hash") + 0.5) / (dfm("hash") + 0.5) + 1.0)
+    def c(t: Double) = idfH * t * 2.2 / (t + 1.2 * (1.0 - 0.75 + 0.75 * 1.0))
+    val gains = (1 to 5).map(t => c(t.toDouble) - c(t.toDouble - 1.0))
+    assert(gains.sliding(2).forall { case Seq(a, b) => b < a }, "tf must saturate")
+  }
+
   test("t34 span decontamination: interval union recomputed driver-side") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -549,4 +549,59 @@ class RecallSpec extends AnyFunSuite {
     assert(one.subsetOf(two), "1-probe results must be contained in 2-probe")
     assert(two.nonEmpty, "the radius query must return qualifiers at τ = 0.25")
   }
+
+  test("s25 SRP: signatures re-derived from md5 parities, Hamming ranking exact, recall > 0") {
+    val spark0 = spark
+    import spark0.implicits._
+    val e = graft.Tables.embeddings(spark0, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val planes = Array.tabulate(16, 64) { (j, i) =>
+      if (Integer.parseInt(md5hex(s"$j:$i").substring(0, 1), 16) % 2 == 0) 1L
+      else -1L
+    }
+    def sigOf(v: Array[Float]): Long = {
+      val qv = v.map(x => math.floor(x.toDouble * 10000.0).toLong)
+      (0 until 16).map { j =>
+        val dot = (0 until 64).map(i => planes(j)(i) * qv(i)).sum
+        if (dot >= 0L) 1L << j else 0L
+      }.sum
+    }
+    val sigs = e.map { case (id, v) => id -> sigOf(v) }.toMap
+    val got = graft.ops.Similarity.srpHammingKnn(spark0, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).distinct.sorted.toSeq == (0L to 4L))
+    val queries = e.map(_._1).filter(_ < 5)
+    queries.foreach { q =>
+      val exp = sigs.toSeq.filter(_._1 != q)
+        .map { case (id, sg) =>
+          (id, java.lang.Long.bitCount(sigs(q) ^ sg).toLong)
+        }
+        .sortBy { case (id, h) => (h, id) }.take(8)
+      val g = got.filter(_._1 == q).sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      assert(g == exp, s"query $q Hamming ranking diverges from recompute")
+    }
+    // the projection is similarity-preserving, not arbitrary: summed
+    // over queries, SRP top-8 must intersect the exact cosine top-8
+    // (deterministic on this fixed corpus)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val overlap = queries.map { q =>
+      val qv = e.find(_._1 == q).get._2
+      val exact = e.filter(_._1 != q)
+        .map(x => (x._1, cos(qv, x._2)))
+        .sortBy { case (id, c) => (-c, id) }.take(8).map(_._1).toSet
+      val srp = got.filter(_._1 == q).map(_._3).toSet
+      (exact & srp).size
+    }.sum
+    assert(overlap > 0, "SRP top-8 never meets exact cosine top-8 — projection broken")
+  }
 }
