@@ -60,6 +60,10 @@ object SparkEntry {
     // aggregate (no count-distinct Expand), HLL arm audited t07-style
     // over the same pre-aggregated rows.
     "e21_hourly_uniques"     -> (EventOps.hourlyUniques _),
+    // e22 = hourly concurrency: sessions (e03 frame) exploded to their
+    // covered hours — the interval-overlap shape; fan-out bounded by
+    // session duration, never a sweep-line global sort.
+    "e22_concurrency"        -> (EventOps.hourlyConcurrency _),
     // m19 = EXECUTED audio decimation through the real WAV codec
     // (decode → drop odd samples → re-encode at 4 kHz → decode);
     // position-weighted sums pin sample order across the chain.
@@ -76,6 +80,9 @@ object SparkEntry {
     // aggregate becomes the semi-join build side; only survivors join
     // orders/customer; top-20 via TakeOrderedAndProject.
     "q27_big_spenders"       -> (Relational2.bigSpenders _),
+    // q28 = nation market share: decimal-exact revenue, share of the
+    // window total, percent_rank relative standing over |nations| rows.
+    "q28_market_share"       -> (Relational2.nationMarketShare _),
     // m20 = scene-change detection over the shared gif_frames sidecar:
     // per video the cut/scene/longest-run report via gaps-and-islands
     // on consecutive frame-hash equality.
@@ -316,6 +323,10 @@ object SparkEntry {
     // normalization over one corpus scan (no explode/shuffle for the
     // tfs; corpus constants are a one-row broadcast).
     "t37_bm25"               -> (TextOps.bm25Rank _),
+    // t38 = Zipf OLS fit over the top-50 term frequencies — the sums
+    // fold left-to-right over ONE rank-sorted array so the doubles are
+    // bit-identical to the oracle's list_reduce replay.
+    "t38_zipf_slope"         -> (TextOps.zipfSlope _),
     // t33 = PII detect + redact (email/phone/IPv4) — counts on the
     // original text, typed-placeholder redaction, all codegen regex;
     // runs over the deterministic planted-PII fixture (WavCodec
@@ -588,6 +599,31 @@ object SparkEntry {
       // e21: exact hourly uniques via the same two-level rewrite; the
       // sketch arm is engine-specific, so the checked surface is the
       // exact counts + the tolerance flag (the t07 convention).
+      // e22: e03's gaps-and-islands session rewrite, then each session
+      // densifies to its covered hours via generate_series.
+      "e22_concurrency" -> """
+        WITH marked AS (
+          SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '10 minutes'
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        numbered AS (
+          SELECT user_id, ts,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked),
+        sess AS (
+          SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+          FROM numbered GROUP BY user_id, sid),
+        hrs AS (
+          SELECT user_id,
+            unnest(generate_series(date_trunc('hour', s_start),
+                                   date_trunc('hour', s_end),
+                                   INTERVAL 1 hour)) AS hour
+          FROM sess)
+        SELECT CAST(hour AS TIMESTAMP) AS hour, count(*) AS n_sessions,
+          count(DISTINCT user_id) AS n_users
+        FROM hrs GROUP BY hour ORDER BY hour""",
       "e21_hourly_uniques" -> """
         WITH p AS (SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP)
                      AS window_start, user_id, count(*) AS n
@@ -2953,6 +2989,25 @@ object SparkEntry {
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+      // q28: decimal sums, VARCHAR-bridged double casts, identical
+      // window orderings; percent_rank is (rank-1)/(n-1) in both.
+      "q28_market_share" -> """
+        WITH rev AS (
+          SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name),
+        t AS (SELECT n_name, rev_dec, sum(rev_dec) OVER () AS total_dec
+              FROM rev)
+        SELECT n_name,
+          CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+          CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(total_dec AS VARCHAR) AS DOUBLE) AS share,
+          CAST(row_number() OVER (ORDER BY rev_dec DESC, n_name) AS BIGINT)
+            AS rev_rank,
+          percent_rank() OVER (ORDER BY rev_dec DESC, n_name) AS pct_rank
+        FROM t ORDER BY rev_rank""",
       "q25_integrity_audit" -> """
         WITH k AS (SELECT l_orderkey, l_linenumber, count(*) AS cnt
                    FROM lineitem GROUP BY 1, 2),
@@ -3825,6 +3880,34 @@ object SparkEntry {
       // t36: PMI ranking without log — both products in BIGINT, one
       // exact double divide; the c_ab ≥ 5 floor in HAVING matches the
       // Spark-side pre-join filter.
+      // t38: list_reduce replays the left fold over the rank-ordered
+      // point list; a seedless fold equals Spark's 0.0-seeded one
+      // because 0.0 + x == x exactly.
+      "t38_zipf_slope" -> """
+        WITH tc AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS term
+                    FROM documents),
+        tn AS (SELECT term, count(*) AS n FROM tc GROUP BY term),
+        top AS (SELECT term, n FROM tn ORDER BY n DESC, term LIMIT 50),
+        ranked AS (SELECT n, row_number() OVER (ORDER BY n DESC, term) AS r
+                   FROM top),
+        f AS (
+          SELECT CAST(count(*) AS DOUBLE) AS np,
+            list_reduce(list(ln(CAST(r AS DOUBLE)) ORDER BY r),
+                        (a, b) -> a + b) AS sx,
+            list_reduce(list(ln(CAST(n AS DOUBLE)) ORDER BY r),
+                        (a, b) -> a + b) AS sy,
+            list_reduce(list(ln(CAST(r AS DOUBLE)) * ln(CAST(n AS DOUBLE))
+                             ORDER BY r),
+                        (a, b) -> a + b) AS sxy,
+            list_reduce(list(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))
+                             ORDER BY r),
+                        (a, b) -> a + b) AS sxx
+          FROM ranked)
+        SELECT CAST(np AS BIGINT) AS n_pts,
+          (np * sxy - sx * sy) / (np * sxx - sx * sx) AS slope,
+          (sy - (np * sxy - sx * sy) / (np * sxx - sx * sx) * sx) / np
+            AS intercept
+        FROM f""",
       // t37: mirrors bm25Rank expression for expression — exact long
       // sums for dl/df, one avgdl divide, literal 2.2/1.2/0.75, and
       // the three contributions added in fixed order (ln is libm on

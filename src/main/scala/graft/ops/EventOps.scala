@@ -603,4 +603,34 @@ object EventOps {
           greatest(lit(1L), $"n_users" * 5 / 100)).as("within_tol"))
       .orderBy($"window_start")
   }
+
+  /** e22 — HOURLY CONCURRENCY CURVE: how many user sessions (the e03
+    * 10-minute-gap definition) are ACTIVE in each clock hour, plus the
+    * distinct users behind them — the interval-overlap shape (capacity
+    * planning, peak sizing) none of the point-in-time windows cover: a
+    * session spanning three hours must count in all three.
+    *
+    * Scale shape: the same one session_window shuffle e03/e18 pay,
+    * then each session explodes to its covered hours — fan-out bounded
+    * by session DURATION (hours per session), not corpus size, and the
+    * final aggregate is |hours| wide. No event-level self-join, no
+    * global sweep-line sort: the +1/−1 sweep would need a single
+    * ordered pass, while this densification stays embarrassingly
+    * parallel at any scale.
+    */
+  def hourlyConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(session_window($"ts", "10 minutes"), $"user_id")
+      .agg(min($"ts").as("s_start"), max($"ts").as("s_end"))
+      .select($"user_id",
+        explode(sequence(
+          date_trunc("hour", $"s_start"),
+          date_trunc("hour", $"s_end"),
+          expr("interval 1 hour"))).as("hour"))
+      .groupBy($"hour")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"hour")
+  }
 }

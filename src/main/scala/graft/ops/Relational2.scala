@@ -325,4 +325,37 @@ object Relational2 {
       .orderBy($"o_totalprice".desc, $"o_orderkey")
       .limit(20)
   }
+
+  /** q28 — NATION MARKET SHARE: per-nation revenue, its share of the
+    * world total, and `percent_rank` across nations — the relative-
+    * standing window function (0 = top nation, 1 = smallest) the q-family
+    * didn't exercise (q05/q13 rank with row_number; percent_rank is
+    * the normalized form that survives a changing nation count).
+    *
+    * Scale shape: orders shuffles once on custkey to meet customer;
+    * nation is a broadcast; the aggregate collapses to |nations| rows,
+    * so the unpartitioned share/percent_rank windows run over ~25 rows
+    * regardless of fact-table size. Revenue sums are decimal-exact;
+    * the one double division (share) happens after the window total,
+    * on correctly-rounded casts.
+    */
+  def nationMarketShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = orders(s, dir)
+      .join(customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum(dec($"o_totalprice")).as("rev_dec"))
+    val wAll = Window.partitionBy(lit(1))
+    val wRank = Window.orderBy($"rev_dec".desc, $"n_name")
+    rev
+      .withColumn("total_dec", sum($"rev_dec").over(wAll))
+      .withColumn("revenue", $"rev_dec".cast("double"))
+      .withColumn("share",
+        $"rev_dec".cast("double") / $"total_dec".cast("double"))
+      .withColumn("rev_rank", row_number().over(wRank).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(wRank))
+      .select($"n_name", $"revenue", $"share", $"rev_rank", $"pct_rank")
+      .orderBy($"rev_rank")
+  }
 }

@@ -1298,6 +1298,52 @@ object TextOps {
       .orderBy($"rank")
   }
 
+  /** t38 — ZIPF FIT: ordinary-least-squares fit of ln(freq) against
+    * ln(rank) over the top-50 terms — the standard corpus-health
+    * check (natural text slopes ≈ −1; generator/spam corpora bend).
+    * t30 profiles the raw frequency spectrum; this fits the law to it
+    * and emits the three numbers a monitoring gate thresholds on.
+    *
+    * Determinism is the interesting part: OLS needs Σx, Σy, Σxy, Σx²
+    * over doubles, and a plain `sum()` re-associates across
+    * partitions. The 50 (rank, freq) points instead collect into ONE
+    * array sorted by rank and fold LEFT-TO-RIGHT with the
+    * `aggregate` higher-order function — the oracle replays the same
+    * fold with `list_reduce` in the same order, so every partial sum
+    * is bit-identical (`0.0 + x₁ ≡ x₁` makes the seeded and
+    * seedless folds agree). ln is platform_ln (libm) throughout.
+    *
+    * Scale shape: one vocab-sized count shuffle (shared with t05),
+    * a TakeOrderedAndProject top-50, and a 50-element driverless
+    * fold — corpus size only ever touches the first aggregate.
+    */
+  def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val top = documents(s, dir)
+      .select(explode(toks($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"term")
+      .limit(50)
+    val w = Window.orderBy($"n".desc, $"term")
+    val pts = top
+      .withColumn("r", row_number().over(w))
+      .agg(array_sort(collect_list(struct($"r", $"n"))).as("pts"))
+    def ln(c: Column) = graft.functions.VectorFunctions.platform_ln(c)
+    def fold(f: Column => Column): Column =
+      aggregate(transform($"pts", p => f(p)), lit(0.0), (a, x) => a + x)
+    val folded = pts.select(
+      size($"pts").cast("double").as("np"),
+      fold(p => ln(p("r").cast("double"))).as("sx"),
+      fold(p => ln(p("n").cast("double"))).as("sy"),
+      fold(p => ln(p("r").cast("double")) * ln(p("n").cast("double"))).as("sxy"),
+      fold(p => ln(p("r").cast("double")) * ln(p("r").cast("double"))).as("sxx"))
+    val slope = ($"np" * $"sxy" - $"sx" * $"sy") / ($"np" * $"sxx" - $"sx" * $"sx")
+    folded.select(
+      $"np".cast("long").as("n_pts"),
+      slope.as("slope"),
+      (($"sy" - slope * $"sx") / $"np").as("intercept"))
+  }
+
   /** Per-source sketch-vs-exact agreement counts — the test seam for
     * t31's floor (InvariantSpec reads the real fraction).
     */

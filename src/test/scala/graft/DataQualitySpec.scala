@@ -73,6 +73,46 @@ class DataQualitySpec extends AnyFunSuite {
     assert(got.forall(_._5 > 150.0))
   }
 
+  test("q28 market share: shares sum to 1, percent_rank formula, revenue recomputed") {
+    val s = spark
+    import s.implicits._
+    val got = Relational2.nationMarketShare(s, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.nonEmpty)
+    // revenue recomputed decimal-exact driver-side
+    val cn = graft.Tables.customer(s, dir)
+      .select($"c_custkey", $"c_nationkey").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue)
+      .toMap
+    val nn = graft.Tables.nation(s, dir)
+      .select($"n_nationkey", $"n_name").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    val rev = new scala.collection.mutable.HashMap[String, BigDecimal]()
+    graft.Tables.orders(s, dir).select($"o_custkey", $"o_totalprice").collect()
+      .foreach { r =>
+        val name = nn(cn(r.getLong(0)))
+        val d = BigDecimal(r.getDouble(1))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        rev(name) = rev.getOrElse(name, BigDecimal(0)) + d
+      }
+    assert(got.map(_._1).toSet == rev.keySet)
+    got.foreach { case (name, revenue, _, _, _) =>
+      assert(revenue == rev(name).toDouble, s"$name revenue")
+    }
+    // ordering, share and percent_rank structure
+    val n = got.length
+    assert(got.map(_._4).toSeq == (1L to n))
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2, "descending revenue")
+    case _ => }
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-9, "shares must sum to 1")
+    got.foreach { case (_, _, share, rk, pr) =>
+      assert(share > 0.0 && share < 1.0)
+      assert(pr == (rk - 1).toDouble / (n - 1).toDouble, "percent_rank formula")
+    }
+  }
+
   test("q25 integrity audit: every count recomputed driver-side") {
     val s = spark
     import s.implicits._

@@ -161,4 +161,40 @@ class EventOpsSpec extends AnyFunSuite {
       assert(r.getLong(1) <= r.getLong(2))
     }
   }
+
+  test("e22 concurrency: interval counts recomputed from e03's session definition") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = graft.ops.EventOps.hourlyConcurrency(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (TestSpark.rowTs(r, 0).getTime / 3600000L,
+        r.getLong(1), r.getLong(2)))
+    // driver-side sessionization with the same 10-minute gap
+    val raw = graft.Tables.events(spark, TestSpark.sfDir)
+      .select($"ts".cast("timestamp"), $"user_id").collect()
+      .map(r => (r.getLong(1), TestSpark.rowTs(r, 0).getTime))
+    val gapMs = 10L * 60000L
+    val sessions = raw.groupBy(_._1).toSeq.flatMap { case (uid, evs) =>
+      val ts = evs.map(_._2).sorted
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var start = ts.head; var last = ts.head
+      ts.tail.foreach { t =>
+        if (t - last >= gapMs) { out += ((uid, start, last)); start = t }
+        last = t
+      }
+      out += ((uid, start, last))
+      out
+    }
+    val expected = sessions
+      .flatMap { case (uid, s0, s1) =>
+        (s0 / 3600000L to s1 / 3600000L).map(h => (h, uid))
+      }
+      .groupBy(_._1)
+      .map { case (h, xs) => (h, xs.size.toLong, xs.map(_._2).distinct.size.toLong) }
+      .toSeq.sortBy(_._1)
+    assert(got.toSeq == expected)
+    // a session can span hours: total session-hours must be >= session count
+    assert(got.map(_._2).sum >= sessions.length.toLong)
+    got.foreach { case (h, ns, nu) => assert(nu <= ns, s"hour $h") }
+  }
 }

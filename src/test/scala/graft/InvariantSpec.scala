@@ -1040,6 +1040,34 @@ class InvariantSpec extends AnyFunSuite {
     assert(gains.sliding(2).forall { case Seq(a, b) => b < a }, "tf must saturate")
   }
 
+  test("t38 Zipf fit: OLS recomputed driver-side; slope negative on a ranked law") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val Array(row) = graft.ops.TextOps.zipfSlope(spark, TestSpark.sfDir).collect()
+    val (nPts, slope, intercept) =
+      (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    val counts = graft.Tables.documents(spark, TestSpark.sfDir)
+      .select($"text").collect()
+      .flatMap(_.getString(0).split("\\s+"))
+      .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+      .toSeq.sortBy { case (t, n) => (-n, t) }.take(50)
+    // the corpus vocabulary is smaller than the 50-term cap — the fit
+    // uses every term there is (and would cap at 50 on a larger one)
+    assert(nPts == counts.length.toLong && nPts <= 50)
+    val pts = counts.zipWithIndex.map { case ((_, n), i) =>
+      (math.log((i + 1).toDouble), math.log(n.toDouble))
+    }
+    val np = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val eSlope = (np * sxy - sx * sy) / (np * sxx - sx * sx)
+    assert(math.abs(slope - eSlope) < 1e-9, s"slope $slope vs $eSlope")
+    assert(math.abs(intercept - (sy - eSlope * sx) / np) < 1e-9)
+    // frequencies decay with rank, so the fitted slope must be negative
+    assert(slope < 0.0)
+  }
+
   test("t34 span decontamination: interval union recomputed driver-side") {
     val spark = TestSpark.spark
     import spark.implicits._

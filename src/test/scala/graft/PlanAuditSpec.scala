@@ -151,7 +151,13 @@ class PlanAuditSpec extends AnyFunSuite {
             a.groupingExpressions.size >= 2 ||
               a.groupingExpressions.flatMap(_.references.toSeq.map(_.name))
                 .exists(itemKeys.contains)
-          if (unbounded.nonEmpty && !boundedGroup)
+          // A collect whose input subtree passes through a Limit is
+          // bounded by that limit whatever the grouping (t38's
+          // top-50 OLS fold).
+          val limitBounded = a.child.collectFirst {
+            case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
+          }.isDefined
+          if (unbounded.nonEmpty && !boundedGroup && !limitBounded)
             Some(s"$name: grouping=${a.groupingExpressions.map(_.sql).mkString(",")}")
           else None
       }.flatten
