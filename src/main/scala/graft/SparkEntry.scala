@@ -83,6 +83,10 @@ object SparkEntry {
     // q28 = nation market share: decimal-exact revenue, share of the
     // window total, percent_rank relative standing over |nations| rows.
     "q28_market_share"       -> (Relational2.nationMarketShare _),
+    // q29 = TPC-H Q17 shape: per-row comparison against the row's own
+    // group aggregate, algebraized to exact decimal-integer products
+    // (5·qty·count < sum) so no engine-specific division rounding.
+    "q29_small_qty_revenue"  -> (Relational2.smallQuantityRevenue _),
     // m20 = scene-change detection over the shared gif_frames sidecar:
     // per video the cut/scene/longest-run report via gaps-and-islands
     // on consecutive frame-hash equality.
@@ -2989,6 +2993,20 @@ object SparkEntry {
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+      // q29: same algebraized predicate (5·qty·count < sum), decimal
+      // revenue cast via VARCHAR.
+      "q29_small_qty_revenue" -> """
+        WITH pa AS (
+          SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS s_qty,
+            count(*) AS n_li
+          FROM lineitem GROUP BY 1)
+        SELECT count(*) AS n_small,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR)
+            AS DOUBLE) AS revenue,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR)
+            AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+        WHERE CAST(l.l_quantity AS DECIMAL(18,4)) * 5 * pa.n_li < pa.s_qty""",
       // q28: decimal sums, VARCHAR-bridged double casts, identical
       // window orderings; percent_rank is (rank-1)/(n-1) in both.
       "q28_market_share" -> """

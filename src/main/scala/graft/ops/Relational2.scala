@@ -339,6 +339,36 @@ object Relational2 {
     * the one double division (share) happens after the window total,
     * on correctly-rounded casts.
     */
+  /** q29 — SMALL-QUANTITY REVENUE (TPC-H Q17 shape): revenue locked
+    * in lineitems whose quantity is below 20 % of their part's
+    * average — the correlated-aggregate pattern (each row compared
+    * against ITS group's statistic).
+    *
+    * The naive form divides (avg = sum/count) and compares doubles;
+    * engines round decimal division differently, so the predicate is
+    * algebraized to exact integers instead: qty < s/(5c) ⟺
+    * 5·qty·c < s — decimal·int products on both sides, no division,
+    * bit-identical in any engine.
+    *
+    * Scale shape: the per-part aggregate and the fact table shuffle
+    * on the SAME key (l_partkey), so the join is co-partitioned —
+    * no broadcast needed however many parts; the verdict is one row.
+    */
+  def smallQuantityRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pa = lineitem(s, dir)
+      .groupBy($"l_partkey")
+      .agg(sum(dec($"l_quantity")).as("s_qty"), count(lit(1)).as("n_li"))
+    lineitem(s, dir)
+      .join(pa, "l_partkey")
+      .filter(dec($"l_quantity") * lit(5) * $"n_li" < $"s_qty")
+      .agg(count(lit(1)).as("n_small"),
+        sum(dec($"l_extendedprice")).as("rev_dec"))
+      .select($"n_small",
+        $"rev_dec".cast("double").as("revenue"),
+        ($"rev_dec".cast("double") / lit(7.0)).as("avg_yearly"))
+  }
+
   def nationMarketShare(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rev = orders(s, dir)

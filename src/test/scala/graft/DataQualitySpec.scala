@@ -113,6 +113,31 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q29 small-quantity revenue: exact predicate recomputed driver-side") {
+    val s = spark
+    import s.implicits._
+    val Array(row) = Relational2.smallQuantityRevenue(s, dir).collect()
+    val li = graft.Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice").collect()
+      .map(r => (r.getLong(0),
+        BigDecimal(r.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+    val byPart = li.groupBy(_._1).map { case (k, xs) =>
+      k -> (xs.map(_._2).sum, xs.length)
+    }
+    val small = li.filter { case (pk, q, _) =>
+      val (sq, c) = byPart(pk); q * 5 * c < sq
+    }
+    assert(row.getLong(0) == small.length.toLong)
+    assert(row.getDouble(1) == small.map(_._3).sum.toDouble)
+    assert(row.getDouble(2) == row.getDouble(1) / 7.0)
+    // the algebraized predicate equals the divided form on exact rationals
+    small.foreach { case (pk, q, _) =>
+      val (sq, c) = byPart(pk)
+      assert(q < sq / (BigDecimal(5) * c))
+    }
+  }
+
   test("q25 integrity audit: every count recomputed driver-side") {
     val s = spark
     import s.implicits._
