@@ -438,6 +438,10 @@ object SparkEntry {
     // ranked top-8 (exact int arithmetic end to end, no trained
     // index to ship).
     "s25_srp_hamming"        -> ((s, d) => Similarity.srpHammingKnn(s, d)),
+    // s26 = SRP index upsert: arrivals (vec_id ≡ 2 mod 7) hash under
+    // the frozen md5 seed and Hamming-serve against history only —
+    // append == rebuild exactly, no stored model.
+    "s26_srp_upsert"         -> ((s, d) => Similarity.srpUpsertServe(s, d)),
     "m14_audio_nn"           -> (Multimodal.audioNearestNeighbor _),
     // m18 = incremental audio dedup: arriving clips (d14 slice) probe
     // the historical frame-energy fingerprint index by duration class,
@@ -1422,6 +1426,42 @@ object SparkEntry {
       // s24: the s20 probe CTEs minus the label, τ = 0.25 applied in
       // the WHERE (before the window, matching the Spark filter→rank
       // order); cosine is the same pinned dot/(nrm·nrm) double.
+      // s26: the s25 signature CTE with the upsert slice split —
+      // arrivals (vec_id ≡ 2 mod 7) query, history serves.
+      "s26_srp_upsert" -> """
+        WITH p AS (
+          SELECT j.j, i.i,
+            CASE WHEN CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':'
+                            || CAST(i.i AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+                 THEN 1 ELSE -1 END AS r
+          FROM (SELECT unnest(generate_series(0, 15)) AS j) j,
+               (SELECT unnest(generate_series(0, 63)) AS i) i),
+        e AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+          FROM embeddings),
+        dots AS (
+          SELECT e.vec_id, p.j, sum(p.r * e.qv[p.i + 1]) AS dot
+          FROM e, p GROUP BY e.vec_id, p.j),
+        sigs AS (
+          SELECT vec_id,
+            CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << j
+                          ELSE 0 END) AS BIGINT) AS sig
+          FROM dots GROUP BY vec_id),
+        ranked AS (
+          SELECT q.vec_id AS q_id, s.vec_id,
+            CAST(bit_count(xor(s.sig, q.sig)) AS BIGINT) AS hamming
+          FROM sigs s JOIN sigs q
+            ON q.vec_id % 7 = 2 AND s.vec_id % 7 <> 2
+               AND s.vec_id <> q.vec_id)
+        SELECT * FROM (
+          SELECT q_id,
+            row_number() OVER (PARTITION BY q_id
+                               ORDER BY hamming, vec_id) AS rank,
+            vec_id, hamming
+          FROM ranked) t
+        WHERE rank <= 8 ORDER BY q_id, rank""",
       // s25: replays the md5-seeded ±1 planes, the floor(x·10⁴)
       // integer quantization, the sign bits and the Hamming ranking —
       // all integer arithmetic, so the hash check is order-free.

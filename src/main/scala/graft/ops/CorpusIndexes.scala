@@ -65,6 +65,9 @@ private[graft] object CorpusIndexes {
     "image_labels"   -> Layout(8, "doc_id", Seq("doc_id")),
     "ivf_assigned"   -> Layout(8, "cell_id", Seq("cell_id", "vec_id")),
     "pq_codes"       -> Layout(8, "vec_id", Seq("vec_id")),
+    // no probe join key — serving scans the 8-byte signatures; vec_id
+    // bucketing spreads appends and keeps compaction deterministic
+    "srp_sigs"       -> Layout(8, "vec_id", Seq("vec_id")),
     "bench_grams"    -> Layout(8, "g", Seq("g")),
     // bucketed on the digest half every consumer keys on: m15/m17 and
     // the streaming probe aggregate/join by (ahash_hi, ahash_lo), and
@@ -277,6 +280,7 @@ private[graft] object CorpusIndexes {
     "image_labels"   -> (() => Multimodal.imageClusterLabels(s, dir)),
     "ivf_assigned"   -> (() => Similarity.ivfAssigned(s, dir)),
     "pq_codes"       -> (() => Similarity.pqCodesFrame(s, dir)),
+    "srp_sigs"       -> (() => Similarity.srpSigsFrame(s, dir)),
     "bench_grams"    -> (() => benchGrams(s, dir)),
     "gif_frames"     -> (() => Multimodal.gifFramesSidecar(s, dir)),
     "wav_fp"         -> (() => Multimodal.wavFpSidecar(s, dir)))
@@ -284,7 +288,7 @@ private[graft] object CorpusIndexes {
   /** All sidecar keys [[persistSidecars]] writes by default. */
   val persistableKeys: Seq[String] = Seq("shingles", "tokens", "bands",
     "png_ahash", "text_labels_64", "image_labels", "ivf_assigned", "pq_codes",
-    "bench_grams", "gif_frames", "wav_fp")
+    "bench_grams", "gif_frames", "wav_fp", "srp_sigs")
 
   /** Read ONE persisted sidecar table from a root, registered with its
     * bucket layout — for consumers that take the index as an explicit

@@ -1584,17 +1584,23 @@ object Similarity {
     * (the d08 discipline) is the standard escape when even the
     * signature scan is too much.
     */
-  def srpHammingKnn(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** SRP signature transform: (vec_id, embedding) → (vec_id, sig).
+    * Pure content hashing under a frozen md5 seed — the same rows come
+    * out whether history and arrivals are hashed together or apart,
+    * which is what makes the durable signature index appendable with
+    * NO stored model at all (cf. the frozen codebook s22/s23 must
+    * carry).
+    */
+  private[graft] def srpSignatures(vecs: DataFrame): DataFrame = {
     val B = 16
     val D = 64
-    val planes = s.range(1).select(expr(
+    val planes = vecs.sparkSession.range(1).select(expr(
       s"""transform(sequence(0, ${B - 1}), j ->
             transform(sequence(0, ${D - 1}), i ->
               CASE WHEN CAST(conv(substring(md5(concat(CAST(j AS STRING), ':',
                           CAST(i AS STRING))), 1, 1), 16, 10) AS BIGINT) % 2 = 0
                    THEN 1L ELSE -1L END))""").as("planes"))
-    val sigs = embeddings(s, dir)
+    vecs
       .crossJoin(broadcast(planes))
       .withColumn("qv",
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0D) AS BIGINT))"))
@@ -1603,15 +1609,95 @@ object Similarity {
               acc + CASE WHEN aggregate(sequence(0, ${D - 1}), 0L,
                              (a2, i) -> a2 + planes[j][i] * qv[i]) >= 0L
                          THEN shiftleft(1L, j) ELSE 0L END)"""))
-      .select($"vec_id", $"sig")
-    val q = sigs.filter($"vec_id" < 5).toDF("q_id", "q_sig")
-    val w = Window.partitionBy($"q_id").orderBy($"hamming", $"vec_id")
-    sigs.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select(col("vec_id"), col("sig"))
+  }
+
+  /** The corpus SRP signature table, session-memoized — s25/s26 and
+    * the durable `srp_sigs` sidecar all read this one frame.
+    */
+  private[graft] def srpSigsFrame(s: SparkSession, dir: String): DataFrame =
+    CorpusIndexes.memo(s, dir, "srp_sigs")(srpSignatures(embeddings(s, dir)))
+
+  /** Hamming top-k serve: each (q_id, q_sig) query row ranks `index`
+    * rows (vec_id, sig) by popcount(xor). The query batch broadcasts;
+    * the index is only ever scanned, 8 bytes a row.
+    */
+  private[graft] def srpProbe(index: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("hamming"), col("vec_id"))
+    index.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .withColumn("hamming", expr("CAST(bit_count(sig ^ q_sig) AS BIGINT)"))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 8)
-      .select($"q_id", $"rank", $"vec_id", $"hamming")
-      .orderBy($"q_id", $"rank")
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("hamming"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def srpHammingKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = srpSigsFrame(s, dir)
+    srpProbe(sigs, sigs.filter($"vec_id" < 5).toDF("q_id", "q_sig"), k = 8)
+  }
+
+  /** s26 — SRP INDEX UPSERT: the s22 arrival convention (vec_id ≡ 2
+    * mod 7 lands between rebuilds) on the signature index. Arrivals
+    * hash under the frozen md5 seed and take their first Hamming
+    * top-8 against the HISTORICAL signatures only — the read every
+    * ingest does before its rows append to the durable `srp_sigs`
+    * table ([[refreshSrpIndex]]). Because the planes are seed-derived
+    * rather than trained, append-then-serve equals
+    * rebuild-then-serve EXACTLY for all queries, not just unaffected
+    * cells — the property s22 can only claim per-cell.
+    *
+    * Scale shape: the delta hashes in one narrow pass, broadcasts as
+    * the query batch, and scans history's 8-byte signatures once;
+    * history is never re-hashed and never rewritten.
+    */
+  def srpUpsertServe(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import s.implicits._
+    val sigs = srpSigsFrame(s, dir)
+    val hist = sigs.filter($"vec_id" % 7 =!= 2)
+    val arrivals = sigs.filter($"vec_id" % 7 === 2).toDF("q_id", "q_sig")
+    srpProbe(hist, arrivals, k)
+  }
+
+  // ---- durable SRP signature index: persist via CorpusIndexes.
+  // persistSidecars ("srp_sigs"); append/compact below. No model
+  // tables: the md5 seed IS the model.
+
+  private def srpParts(outDir: String) =
+    (s"$outDir/srp_sigs", CorpusIndexes.tableName(outDir, "srp_sigs"),
+      CorpusIndexes.layouts("srp_sigs"))
+
+  /** Write a (vec_id, embedding) frame's signatures as the durable
+    * index under `outDir/srp_sigs` — the initial build; later crawls
+    * go through [[refreshSrpIndex]].
+    */
+  def persistSrpIndex(vecs: DataFrame, outDir: String): Unit = {
+    val (path, tbl, lay) = srpParts(outDir)
+    CorpusIndexes.writeBucketedTable(srpSignatures(vecs), path, tbl, lay)
+  }
+
+  /** Append arriving (vec_id, embedding) rows' signatures to the
+    * persisted table — no history read AT ALL (the s22 refresh still
+    * reads the stored codebook; SRP needs nothing).
+    */
+  def refreshSrpIndex(arrivals: DataFrame, outDir: String): Unit = {
+    val (path, tbl, lay) = srpParts(outDir)
+    CorpusIndexes.writeBucketedTable(srpSignatures(arrivals), path, tbl, lay,
+      append = true)
+  }
+
+  /** Rewrite to one file per bucket after upserts. */
+  def compactSrpIndex(s: SparkSession, outDir: String): Unit = {
+    val (path, tbl, lay) = srpParts(outDir)
+    CorpusIndexes.compactBucketedTable(s, path, tbl, lay)
+  }
+
+  /** Read the persisted signature index (including upserted rows). */
+  def loadSrpIndex(s: SparkSession, outDir: String): DataFrame = {
+    val (path, tbl, lay) = srpParts(outDir)
+    CorpusIndexes.readBucketedTable(s, path, tbl, lay)
   }
 
   def quantizationAudit(s: SparkSession, dir: String): DataFrame = {

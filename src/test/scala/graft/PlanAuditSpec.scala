@@ -42,8 +42,8 @@ class PlanAuditSpec extends AnyFunSuite {
   //  - q25_integrity_audit: one-row FK-orphan-count aggregate crossed
   //    with the one-row key-stats aggregate
   //  - t37_bm25: one-row corpus-stats aggregate (N, Σdl, per-term df)
-  //  - s25_srp_hamming: the one-row 16×64 ±1 plane matrix (a literal
-  //    derived from md5, built once and broadcast)
+  //  - s25_srp_hamming / s26_srp_upsert: the one-row 16×64 ±1 plane
+  //    matrix (a literal derived from md5, built once and broadcast)
   private val boundedCrossJoins =
     Set("q16_above_avg", "s04_knn_ivf", "d16_semantic_prune", "s08_knn_ivfpq",
         "t13_tfidf", "t20_unigram_nll", "t22_source_divergence",
@@ -53,7 +53,7 @@ class PlanAuditSpec extends AnyFunSuite {
         "s15_kmeans_step", "s16_mutual_knn", "s20_filtered_knn",
         "t35_quality_calibration", "s22_ivf_upsert",
         "s24_radius_search", "t36_pmi_collocations", "q25_integrity_audit",
-        "t37_bm25", "s25_srp_hamming")
+        "t37_bm25", "s25_srp_hamming", "s26_srp_upsert")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark

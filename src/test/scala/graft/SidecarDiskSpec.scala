@@ -557,6 +557,54 @@ class SidecarDiskSpec extends AnyFunSuite {
       "compaction must not change a single served neighbor")
   }
 
+  test("SRP index upsert: append equals from-scratch for ALL queries; compaction invisible; nothing but the delta hashed") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import graft.ops.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft-srp-upsert").toString
+    val emb = Tables.embeddings(s, TestSpark.sfDir).select($"vec_id", $"embedding")
+    val hist = emb.filter($"vec_id" % 7 =!= 2)
+    val arrivals = emb.filter($"vec_id" % 7 === 2)
+    Similarity.persistSrpIndex(hist, dir)
+    Similarity.refreshSrpIndex(arrivals, dir)
+
+    // (a) appended == from-scratch signatures of the union, row for row
+    // — the frozen md5 seed makes this exact for EVERY row, with no
+    // codebook/model table read anywhere in the refresh
+    val appended = Similarity.loadSrpIndex(s, dir)
+    val scratch = Similarity.srpSignatures(emb)
+    assert(appended.except(scratch).count() == 0)
+    assert(scratch.except(appended).count() == 0)
+    assert(appended.count() == emb.count())
+
+    // (b) Hamming serving over the loaded index equals serving over
+    // the from-scratch signatures, bit for bit, for every query
+    val queries = Similarity.srpSignatures(emb.filter($"vec_id" % 13 === 1))
+      .toDF("q_id", "q_sig")
+    def serve(idx: DataFrame) =
+      rows(Similarity.srpProbe(idx, queries, k = 8))
+    val servedAppend = serve(Similarity.loadSrpIndex(s, dir))
+    assert(servedAppend == serve(scratch))
+    assert(servedAppend.nonEmpty)
+
+    // (c) compaction: bucket layout restored, serving unchanged
+    def files() = new java.io.File(s"$dir/srp_sigs").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(files() > 8)
+    Similarity.compactSrpIndex(s, dir)
+    assert(files() <= 8, "compaction must restore at most one file per bucket")
+    assert(serve(Similarity.loadSrpIndex(s, dir)) == servedAppend,
+      "compaction must not change a single served neighbor")
+
+    // (d) the registered s26 equals probing the persisted historical
+    // slice with the arrival signatures — the disk form of the query
+    val histDisk = java.nio.file.Files.createTempDirectory("graft-srp-hist").toString
+    Similarity.persistSrpIndex(hist, histDisk)
+    val arrSigs = Similarity.srpSignatures(arrivals).toDF("q_id", "q_sig")
+    assert(rows(Similarity.srpProbe(Similarity.loadSrpIndex(s, histDisk), arrSigs, k = 8))
+      == rows(Similarity.srpUpsertServe(s, TestSpark.sfDir)))
+  }
+
   test("PQ index upsert: encode-after-append equals frozen rebuild; ADC serving over index ∪ delta identical; compaction invisible") {
     val s = TestSpark.spark
     import s.implicits._
