@@ -872,6 +872,64 @@ class StreamingExtrasSpec extends AnyFunSuite {
       "serving the streamed deltas must equal serving a frozen-codebook rebuild")
   }
 
+  test("StreamingSrpIngest: streamed signature deltas compose to one batch hash; replay exactly-once; serving sees index ∪ delta") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+      .select($"vec_id", $"embedding")
+    val hist = emb.filter($"vec_id" % 7 =!= 2)
+    val root = java.nio.file.Files.createTempDirectory("graft-srpi-idx").toString
+    Similarity.persistSrpIndex(hist, root)
+    val arrivals = emb.filter($"vec_id" % 7 === 2)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val delta = java.nio.file.Files.createTempDirectory("graft-srpi-delta").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-srpi-ckpt").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    def start() = graft.streaming.StreamingSrpIngest.run(stream, delta, ckpt)
+
+    val q1 = start()
+    try {
+      input.addData(arrivals.take(arrivals.length / 2).toSeq); q1.processAllAvailable()
+      input.addData(arrivals.drop(arrivals.length / 2).toSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    // crash between offset log and commit: replay the last batch
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.map(_.getName.toLong).toSeq == Seq(0L, 1L))
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.1.crc")
+    if (crc.exists()) assert(crc.delete())
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the replayed batch overwrote its own delta partition: the union
+    // of deltas equals ONE batch srpSignatures over all arrivals
+    val dirs = new java.io.File(delta).listFiles().map(_.getName)
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirs == Seq("batch_id=0", "batch_id=1"))
+    val streamed = spark.read.parquet(delta).select($"vec_id", $"sig")
+    val batchHash = Similarity.srpSignatures(emb.filter($"vec_id" % 7 === 2))
+    assert(streamed.count() == batchHash.count() && streamed.count() > 0)
+    assert(streamed.except(batchHash).count() == 0)
+    assert(batchHash.except(streamed).count() == 0)
+
+    // Hamming serving over [index ∪ delta] equals serving the
+    // from-scratch signatures of the union — no rebuild ever ran
+    val queries = Similarity.srpSignatures(emb.filter($"vec_id" % 13 === 1))
+      .toDF("q_id", "q_sig")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(_.toString)
+    val served = rows(Similarity.srpProbe(
+      graft.streaming.StreamingSrpIngest.servingIndex(spark, root, delta),
+      queries, k = 8))
+    assert(served == rows(Similarity.srpProbe(Similarity.srpSignatures(emb),
+      queries, k = 8)) && served.nonEmpty,
+      "serving the streamed deltas must equal serving from-scratch signatures")
+  }
+
   test("StreamingAudioDedup restart replays the uncommitted batch exactly-once; union equals batch m18; disk index form agrees") {
     val spark = TestSpark.spark
     import spark.implicits._
