@@ -331,6 +331,9 @@ object SparkEntry {
     // fold left-to-right over ONE rank-sorted array so the doubles are
     // bit-identical to the oracle's list_reduce replay.
     "t38_zipf_slope"         -> (TextOps.zipfSlope _),
+    // t39 = Heaps-law fit over t28's decile growth curve — the
+    // closed-vocabulary detector (β near 0 flags templated corpora).
+    "t39_heaps_fit"          -> (TextOps.heapsFit _),
     // t33 = PII detect + redact (email/phone/IPv4) — counts on the
     // original text, typed-placeholder redaction, all codegen regex;
     // runs over the deterministic planted-PII fixture (WavCodec
@@ -442,6 +445,9 @@ object SparkEntry {
     // the frozen md5 seed and Hamming-serve against history only —
     // append == rebuild exactly, no stored model.
     "s26_srp_upsert"         -> ((s, d) => Similarity.srpUpsertServe(s, d)),
+    // s27 = banded SRP: 4×4-bit bands turn candidate generation into
+    // an equi-join on (band, value) — the scale path past s25's scan.
+    "s27_srp_banded"         -> ((s, d) => Similarity.srpBandedKnn(s, d)),
     "m14_audio_nn"           -> (Multimodal.audioNearestNeighbor _),
     // m18 = incremental audio dedup: arriving clips (d14 slice) probe
     // the historical frame-energy fingerprint index by duration class,
@@ -1426,6 +1432,47 @@ object SparkEntry {
       // s24: the s20 probe CTEs minus the label, τ = 0.25 applied in
       // the WHERE (before the window, matching the Spark filter→rank
       // order); cosine is the same pinned dot/(nrm·nrm) double.
+      // s27: the s25 signature CTE + 4×4-bit banding — candidates
+      // share ≥1 band value, dedup via DISTINCT, full-Hamming rank.
+      "s27_srp_banded" -> """
+        WITH p AS (
+          SELECT j.j, i.i,
+            CASE WHEN CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':'
+                            || CAST(i.i AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+                 THEN 1 ELSE -1 END AS r
+          FROM (SELECT unnest(generate_series(0, 15)) AS j) j,
+               (SELECT unnest(generate_series(0, 63)) AS i) i),
+        e AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+          FROM embeddings),
+        dots AS (
+          SELECT e.vec_id, p.j, sum(p.r * e.qv[p.i + 1]) AS dot
+          FROM e, p GROUP BY e.vec_id, p.j),
+        sigs AS (
+          SELECT vec_id,
+            CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << j
+                          ELSE 0 END) AS BIGINT) AS sig
+          FROM dots GROUP BY vec_id),
+        bands AS (
+          SELECT vec_id, sig, b.b AS band, (sig >> (4 * b.b)) & 15 AS bval
+          FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) b),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS q_id, q.sig AS q_sig,
+            s.vec_id, s.sig
+          FROM bands s JOIN bands q
+            ON s.band = q.band AND s.bval = q.bval
+               AND q.vec_id < 5 AND s.vec_id <> q.vec_id)
+        SELECT * FROM (
+          SELECT q_id,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY CAST(bit_count(xor(sig, q_sig)) AS BIGINT), vec_id)
+              AS rank,
+            vec_id,
+            CAST(bit_count(xor(sig, q_sig)) AS BIGINT) AS hamming
+          FROM cand) t
+        WHERE rank <= 8 ORDER BY q_id, rank""",
       // s26: the s25 signature CTE with the upsert slice split —
       // arrivals (vec_id ≡ 2 mod 7) query, history serves.
       "s26_srp_upsert" -> """
@@ -3938,6 +3985,39 @@ object SparkEntry {
       // t36: PMI ranking without log — both products in BIGINT, one
       // exact double divide; the c_ab ≥ 5 floor in HAVING matches the
       // Spark-side pre-join filter.
+      // t39: t28's decile CTE feeding the same list_reduce fold as t38.
+      "t39_heaps_fit" -> """
+        WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        dd AS (SELECT (d.doc_id * 10) // n.n_docs AS b, count(*) AS nd,
+                 CAST(sum(len(regexp_split_to_array(d.text, '\s+'))) AS BIGINT) AS nt
+               FROM documents d, n GROUP BY 1),
+        fo AS (SELECT term, min(doc_id) AS first_doc FROM (
+                 SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+                 FROM documents) t GROUP BY term),
+        td AS (SELECT (fo.first_doc * 10) // n.n_docs AS b, count(*) AS nv
+               FROM fo, n GROUP BY 1),
+        g AS (SELECT dd.b + 1 AS decile,
+                CAST(sum(dd.nt) OVER (ORDER BY dd.b) AS BIGINT) AS cum_tokens,
+                CAST(sum(coalesce(td.nv, 0)) OVER (ORDER BY dd.b) AS BIGINT) AS cum_vocab
+              FROM dd LEFT JOIN td ON td.b = dd.b),
+        f AS (
+          SELECT CAST(count(*) AS DOUBLE) AS np,
+            list_reduce(list(ln(CAST(cum_tokens AS DOUBLE)) ORDER BY decile),
+                        (a, b) -> a + b) AS sx,
+            list_reduce(list(ln(CAST(cum_vocab AS DOUBLE)) ORDER BY decile),
+                        (a, b) -> a + b) AS sy,
+            list_reduce(list(ln(CAST(cum_tokens AS DOUBLE))
+                             * ln(CAST(cum_vocab AS DOUBLE)) ORDER BY decile),
+                        (a, b) -> a + b) AS sxy,
+            list_reduce(list(ln(CAST(cum_tokens AS DOUBLE))
+                             * ln(CAST(cum_tokens AS DOUBLE)) ORDER BY decile),
+                        (a, b) -> a + b) AS sxx
+          FROM g)
+        SELECT CAST(np AS BIGINT) AS n_pts,
+          (np * sxy - sx * sy) / (np * sxx - sx * sx) AS slope,
+          (sy - (np * sxy - sx * sy) / (np * sxx - sx * sx) * sx) / np
+            AS intercept
+        FROM f""",
       // t38: list_reduce replays the left fold over the rank-ordered
       // point list; a seedless fold equals Spark's 0.0-seeded one
       // because 0.0 + x == x exactly.

@@ -1661,6 +1661,43 @@ object Similarity {
     srpProbe(hist, arrivals, k)
   }
 
+  /** s27 — BANDED SRP: the d08 banding discipline on the signature
+    * index — the scale path past s25's full signature scan. The
+    * 16-bit signature splits into 4 bands of 4 bits; a vector is a
+    * candidate iff it shares AT LEAST ONE band value with the query
+    * (the OR-of-ANDs LSH amplification), and only candidates pay the
+    * full Hamming compare. Recall is traded exactly as in MinHash
+    * banding: a near neighbor differing by ≤1 bit per band always
+    * survives; production tunes band count/width to the corpus.
+    *
+    * Scale shape: candidate generation becomes an EQUI-JOIN on
+    * (band, band_value) instead of a corpus scan per query — at 10⁹
+    * vectors the signature table shuffles once on its band keys (or
+    * serves bucketed), and each query touches only its 4 buckets.
+    * The multi-band dedup (`distinct` on the candidate pair) is
+    * bounded by 4× the bucket fan-in, never corpus².
+    */
+  def srpBandedKnn(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import s.implicits._
+    val bands = srpSigsFrame(s, dir)
+      .select($"vec_id", $"sig",
+        posexplode(expr("transform(sequence(0, 3), b -> shiftright(sig, 4 * b) & 15L)")))
+      .select($"vec_id", $"sig", $"pos".as("band"), $"col".as("bval"))
+    val q = bands.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"sig".as("q_sig"), $"band", $"bval")
+    val cands = bands.join(broadcast(q), Seq("band", "bval"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"q_sig", $"vec_id", $"sig")
+      .distinct()
+    val w = Window.partitionBy($"q_id").orderBy($"hamming", $"vec_id")
+    cands
+      .withColumn("hamming", expr("CAST(bit_count(sig ^ q_sig) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"q_id", $"rank", $"vec_id", $"hamming")
+      .orderBy($"q_id", $"rank")
+  }
+
   // ---- durable SRP signature index: persist via CorpusIndexes.
   // persistSidecars ("srp_sigs"); append/compact below. No model
   // tables: the md5 seed IS the model.

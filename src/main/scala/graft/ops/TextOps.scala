@@ -1317,6 +1317,34 @@ object TextOps {
     * a TakeOrderedAndProject top-50, and a 50-element driverless
     * fold — corpus size only ever touches the first aggregate.
     */
+  /** Deterministic OLS over a ONE-ROW frame holding a sorted
+    * `pts: array<struct<...>>` column: Σx/Σy/Σxy/Σx² fold
+    * left-to-right with the `aggregate` HOF (bit-identical to the
+    * oracle's `list_reduce` — 0.0+x ≡ x makes the seeded and seedless
+    * folds agree), then the closed-form slope/intercept. Shared by
+    * t38 (Zipf) and t39 (Heaps).
+    */
+  private def olsFromPts(pts: DataFrame,
+      fx: Column => Column, fy: Column => Column): DataFrame = {
+    def fold(f: Column => Column): Column =
+      aggregate(transform(col("pts"), p => f(p)), lit(0.0), (a, x) => a + x)
+    val folded = pts.select(
+      size(col("pts")).cast("double").as("np"),
+      fold(fx).as("sx"),
+      fold(fy).as("sy"),
+      fold(p => fx(p) * fy(p)).as("sxy"),
+      fold(p => fx(p) * fx(p)).as("sxx"))
+    val slope = (col("np") * col("sxy") - col("sx") * col("sy")) /
+      (col("np") * col("sxx") - col("sx") * col("sx"))
+    folded.select(
+      col("np").cast("long").as("n_pts"),
+      slope.as("slope"),
+      ((col("sy") - slope * col("sx")) / col("np")).as("intercept"))
+  }
+
+  private def ln(c: Column): Column =
+    graft.functions.VectorFunctions.platform_ln(c)
+
   def zipfSlope(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val top = documents(s, dir)
@@ -1328,20 +1356,35 @@ object TextOps {
     val pts = top
       .withColumn("r", row_number().over(w))
       .agg(array_sort(collect_list(struct($"r", $"n"))).as("pts"))
-    def ln(c: Column) = graft.functions.VectorFunctions.platform_ln(c)
-    def fold(f: Column => Column): Column =
-      aggregate(transform($"pts", p => f(p)), lit(0.0), (a, x) => a + x)
-    val folded = pts.select(
-      size($"pts").cast("double").as("np"),
-      fold(p => ln(p("r").cast("double"))).as("sx"),
-      fold(p => ln(p("n").cast("double"))).as("sy"),
-      fold(p => ln(p("r").cast("double")) * ln(p("n").cast("double"))).as("sxy"),
-      fold(p => ln(p("r").cast("double")) * ln(p("r").cast("double"))).as("sxx"))
-    val slope = ($"np" * $"sxy" - $"sx" * $"sy") / ($"np" * $"sxx" - $"sx" * $"sx")
-    folded.select(
-      $"np".cast("long").as("n_pts"),
-      slope.as("slope"),
-      (($"sy" - slope * $"sx") / $"np").as("intercept"))
+    olsFromPts(pts,
+      p => ln(p("r").cast("double")),
+      p => ln(p("n").cast("double")))
+  }
+
+  /** t39 — HEAPS-LAW FIT: OLS of ln(cum_vocab) against ln(cum_tokens)
+    * over t28's ten decile points — fitting V = k·Nᵝ to the measured
+    * vocabulary-growth curve (β ≈ 0.4-0.6 for natural text; a
+    * saturating β near 0 is the closed-vocabulary signature, which is
+    * exactly what this generator corpus shows and what the fit is FOR:
+    * detecting synthetic/templated corpora by their growth curve).
+    * Reuses t28's frame (the decile aggregates) and t38's
+    * deterministic fold — the explicit `limit(10)` bound is what the
+    * collect_list plan gate keys on.
+    *
+    * Scale shape: everything corpus-sized happens inside t28's two
+    * aggregates (shared via the session memo when both run); the fit
+    * itself folds 10 points.
+    */
+  def heapsFit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = vocabGrowth(s, dir)
+      .select(struct($"decile", $"cum_tokens", $"cum_vocab").as("p"))
+      .orderBy($"p.decile")
+      .limit(10)
+      .agg(array_sort(collect_list($"p")).as("pts"))
+    olsFromPts(pts,
+      p => ln(p("cum_tokens").cast("double")),
+      p => ln(p("cum_vocab").cast("double")))
   }
 
   /** Per-source sketch-vs-exact agreement counts — the test seam for

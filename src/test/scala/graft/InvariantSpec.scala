@@ -1068,6 +1068,31 @@ class InvariantSpec extends AnyFunSuite {
     assert(slope < 0.0)
   }
 
+  test("t39 Heaps fit: OLS over t28's curve recomputed; saturation shows as β << 1") {
+    val spark = TestSpark.spark
+    val Array(row) = graft.ops.TextOps.heapsFit(spark, TestSpark.sfDir).collect()
+    val (nPts, slope, intercept) =
+      (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    val growth = graft.ops.TextOps.vocabGrowth(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(nPts == growth.length.toLong && nPts == 10)
+    val pts = growth.map { case (_, tok, voc) =>
+      (math.log(tok.toDouble), math.log(voc.toDouble))
+    }
+    val np = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val eSlope = (np * sxy - sx * sy) / (np * sxx - sx * sx)
+    assert(math.abs(slope - eSlope) < 1e-9)
+    assert(math.abs(intercept - (sy - eSlope * sx) / np) < 1e-9)
+    // vocab can only grow, so β ≥ 0; the generator's closed vocabulary
+    // saturates in decile 1, so β is far below natural text's ~0.5 —
+    // the detector firing exactly as designed
+    assert(slope >= 0.0 && slope < 0.1, s"expected saturating beta, got $slope")
+  }
+
   test("t34 span decontamination: interval union recomputed driver-side") {
     val spark = TestSpark.spark
     import spark.implicits._

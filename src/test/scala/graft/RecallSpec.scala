@@ -604,4 +604,63 @@ class RecallSpec extends AnyFunSuite {
     }.sum
     assert(overlap > 0, "SRP top-8 never meets exact cosine top-8 — projection broken")
   }
+
+  test("s27 banded SRP: candidates share a band; ranking equals recompute over band-sharers; subset of s25's candidate space") {
+    val spark0 = spark
+    import spark0.implicits._
+    // re-derive signatures exactly as the s25 test does
+    val e = graft.Tables.embeddings(spark0, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val planes = Array.tabulate(16, 64) { (j, i) =>
+      if (Integer.parseInt(md5hex(s"$j:$i").substring(0, 1), 16) % 2 == 0) 1L
+      else -1L
+    }
+    def sigOf(v: Array[Float]): Long = {
+      val qv = v.map(x => math.floor(x.toDouble * 10000.0).toLong)
+      (0 until 16).map { j =>
+        val dot = (0 until 64).map(i => planes(j)(i) * qv(i)).sum
+        if (dot >= 0L) 1L << j else 0L
+      }.sum
+    }
+    val sigs = e.map { case (id, v) => id -> sigOf(v) }.toMap
+    def bandsOf(sig: Long): Seq[Long] =
+      (0 until 4).map(b => (sig >> (4 * b)) & 15L)
+    val got = graft.ops.Similarity.srpBandedKnn(spark0, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val queries = e.map(_._1).filter(_ < 5)
+    queries.foreach { q =>
+      val qb = bandsOf(sigs(q))
+      val sharers = sigs.toSeq.filter { case (id, sg) =>
+        id != q && bandsOf(sg).zip(qb).exists { case (a, b) => a == b }
+      }
+      val exp = sharers
+        .map { case (id, sg) =>
+          (id, java.lang.Long.bitCount(sigs(q) ^ sg).toLong)
+        }
+        .sortBy { case (id, h) => (h, id) }.take(8)
+      val g = got.filter(_._1 == q).sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      assert(g == exp, s"query $q banded ranking diverges from recompute")
+      // every returned neighbor really shares a band (no leakage past
+      // the candidate filter)
+      g.foreach { case (id, _) =>
+        assert(bandsOf(sigs(id)).zip(qb).exists { case (a, b) => a == b })
+      }
+    }
+    // banding only restricts the candidate space: each banded Hamming
+    // distance also appears in the s25 full-scan result or is ≥ its k-th
+    val full = graft.ops.Similarity.srpHammingKnn(spark0, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    queries.foreach { q =>
+      val fullSet = full.filter(_._1 == q).map(_._2).toSet
+      val fullWorst = full.filter(_._1 == q).map(_._3).max
+      got.filter(_._1 == q).foreach { case (_, _, id, h) =>
+        assert(fullSet.contains(id) || h >= fullWorst,
+          s"banded neighbor $id of q$q beats the full scan's worst but is absent from it")
+      }
+    }
+  }
 }
