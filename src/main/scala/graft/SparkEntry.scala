@@ -87,6 +87,10 @@ object SparkEntry {
     // group aggregate, algebraized to exact decimal-integer products
     // (5·qty·count < sum) so no engine-specific division rounding.
     "q29_small_qty_revenue"  -> (Relational2.smallQuantityRevenue _),
+    // q30 = TPC-H Q22 shape: scalar-subquery balance threshold
+    // (algebraized to exact decimals) + per-customer order history +
+    // nation rollup.
+    "q30_idle_rich"          -> (Relational2.idleRichCustomers _),
     // m20 = scene-change detection over the shared gif_frames sidecar:
     // per video the cut/scene/longest-run report via gaps-and-islands
     // on consecutive frame-hash equality.
@@ -3080,6 +3084,28 @@ object SparkEntry {
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+      // q30: the q29 algebraized threshold on balances; LEFT JOIN +
+      // coalesce(0) keeps order-less customers in scope by principle
+      // even though this generator produces none.
+      "q30_idle_rich" -> """
+        WITH thr AS (
+          SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) AS sum_pos,
+            count(*) AS n_pos
+          FROM customer WHERE c_acctbal > 0.0),
+        cnt AS (SELECT o_custkey, count(*) AS n_ord FROM orders GROUP BY 1),
+        cc AS (
+          SELECT c.c_custkey, c.c_acctbal, c.c_nationkey,
+            coalesce(cnt.n_ord, 0) AS n_orders
+          FROM customer c LEFT JOIN cnt ON c.c_custkey = cnt.o_custkey)
+        SELECT n_name, count(*) AS n_custs,
+          CAST(sum(n_orders) AS BIGINT) AS sum_orders,
+          CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR)
+            AS DOUBLE) AS total_acctbal
+        FROM cc CROSS JOIN thr
+        JOIN nation ON cc.c_nationkey = n_nationkey
+        WHERE n_orders < 8
+          AND CAST(c_acctbal AS DECIMAL(18,4)) * n_pos > sum_pos
+        GROUP BY n_name ORDER BY n_name""",
       // q29: same algebraized predicate (5·qty·count < sum), decimal
       // revenue cast via VARCHAR.
       "q29_small_qty_revenue" -> """

@@ -369,6 +369,41 @@ object Relational2 {
         ($"rev_dec".cast("double") / lit(7.0)).as("avg_yearly"))
   }
 
+  /** q30 — HIGH-BALANCE LOW-ENGAGEMENT CUSTOMERS (TPC-H Q22 shape,
+    * adapted: this generator gives every customer orders, so "never
+    * ordered" is the empty set and the engagement cut is an order
+    * count < 8 instead): customers whose balance beats the positive-
+    * balance average but who order rarely, rolled up by nation — the
+    * scalar-subquery-threshold + per-row-history + small-dim rollup
+    * combination. The average comparison is algebraized to exact
+    * decimals (bal·n_pos > sum_pos, the q29 discipline).
+    *
+    * Scale shape: the order count aggregates on custkey and joins
+    * customer CO-PARTITIONED on the same key; the threshold is a
+    * one-row broadcast; nation broadcasts; output is |nations| rows.
+    */
+  def idleRichCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = customer(s, dir)
+    val thr = c.filter($"c_acctbal" > 0.0)
+      .agg(sum(dec($"c_acctbal")).as("sum_pos"), count(lit(1)).as("n_pos"))
+    val cnt = orders(s, dir).groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_ord"))
+    c.join(cnt, $"c_custkey" === $"o_custkey", "left")
+      .withColumn("n_orders", coalesce($"n_ord", lit(0L)))
+      .filter($"n_orders" < 8)
+      .crossJoin(broadcast(thr))
+      .filter(dec($"c_acctbal") * $"n_pos" > $"sum_pos")
+      .join(broadcast(nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_custs"),
+        sum($"n_orders").as("sum_orders"),
+        sum(dec($"c_acctbal")).as("bal_dec"))
+      .select($"n_name", $"n_custs", $"sum_orders",
+        $"bal_dec".cast("double").as("total_acctbal"))
+      .orderBy($"n_name")
+  }
+
   def nationMarketShare(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rev = orders(s, dir)

@@ -138,6 +138,40 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q30 idle rich customers: threshold, engagement cut, and rollup recomputed") {
+    val s = spark
+    import s.implicits._
+    val got = Relational2.idleRichCustomers(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val custs = graft.Tables.customer(s, dir)
+      .select($"c_custkey", $"c_acctbal", $"c_nationkey").collect()
+      .map(r => (r.getLong(0),
+        BigDecimal(r.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP),
+        r.getAs[Number](2).longValue))
+    val pos = custs.filter(_._2 > 0)
+    val sumPos = pos.map(_._2).sum; val nPos = pos.length
+    val ordCnt = graft.Tables.orders(s, dir).select($"o_custkey").collect()
+      .map(_.getLong(0)).groupBy(identity).map { case (k, xs) => k -> xs.length }
+    val nn = graft.Tables.nation(s, dir)
+      .select($"n_nationkey", $"n_name").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    val qual = custs.filter { case (ck, bal, _) =>
+      ordCnt.getOrElse(ck, 0) < 8 && bal * nPos > sumPos
+    }
+    val expected = qual.groupBy(c => nn(c._3)).map { case (name, xs) =>
+      (name, xs.length.toLong,
+        xs.map(c => ordCnt.getOrElse(c._1, 0).toLong).sum,
+        xs.map(_._2).sum.toDouble)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expected)
+    // every qualifier beats the positive-balance average in the
+    // divided form too (exact rationals agree with the product form)
+    qual.foreach { case (_, bal, _) =>
+      assert(bal > sumPos / nPos)
+    }
+  }
+
   test("q25 integrity audit: every count recomputed driver-side") {
     val s = spark
     import s.implicits._
