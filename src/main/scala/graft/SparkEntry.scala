@@ -364,6 +364,10 @@ object SparkEntry {
     // m08 = perceptual hash (8x8 integer-exact aHash) computed from the
     // decoded PNG raster — image near-dup fingerprinting on real bytes.
     "m08_ahash"              -> (Multimodal.pngAHash _),
+    // m21 = dHash (gradient hash) over the real decoded PNGs — the
+    // brightness-invariant complement to m08's aHash; adjacent-cell
+    // means compared via integer cross-multiplication.
+    "m21_dhash"              -> (Multimodal.pngDHash _),
     // m09 = audio feature extraction: per-frame energy over the real
     // WAV decode (64-sample frames, integer-exact activity detection).
     "m09_wav_frames"         -> ((s, d) => Multimodal.wavFrameEnergy(s, d)),
@@ -1034,6 +1038,36 @@ object SparkEntry {
               list_transform(generate_series(0, 8 + doc_id % 25 - 1), x ->
                 (doc_id * 31 + 7 * x + 13 * y) % 256)))) AS BIGINT) AS pix_sum
         FROM documents ORDER BY doc_id""",
+      // m21: the m08 replay with a 9×8 grid and ADJACENT-cell
+      // cross-multiplied comparisons; empty cells (w = 8 < 9 columns)
+      // pinned to (0, 0) via coalesce — false on both sides, exactly
+      // as the JVM loop computes them.
+      "m21_dhash" -> """
+        WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w, 8 + (doc_id // 25) % 25 AS h
+                   FROM documents),
+        cells AS (SELECT doc_id, w, h, i, j,
+                    (i * w) // 9 AS x0, ((i + 1) * w) // 9 AS x1,
+                    (j * h) // 8 AS y0, ((j + 1) * h) // 8 AS y1
+                  FROM d,
+                    (SELECT unnest(generate_series(0, 8)) AS i) ii,
+                    (SELECT unnest(generate_series(0, 7)) AS j) jj),
+        cs AS (SELECT doc_id, i, j,
+                 (x1 - x0) * (y1 - y0) AS np,
+                 CAST(coalesce(list_sum(flatten(list_transform(generate_series(y0, y1 - 1), y ->
+                   list_transform(generate_series(x0, x1 - 1), x ->
+                     (doc_id * 31 + 7 * x + 13 * y) % 256)))), 0) AS BIGINT) AS csum
+               FROM cells),
+        bits AS (SELECT a.doc_id, 8 * a.j + a.i AS b,
+                   CASE WHEN a.csum * n.np > n.csum * a.np THEN 1 ELSE 0 END AS bit
+                 FROM cs a JOIN cs n
+                   ON a.doc_id = n.doc_id AND a.j = n.j AND n.i = a.i + 1
+                 WHERE a.i < 8)
+        SELECT doc_id,
+          CAST(sum(CASE WHEN b >= 32 AND bit = 1
+                        THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+          CAST(sum(CASE WHEN b < 32 AND bit = 1
+                        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS dhash_lo
+        FROM bits GROUP BY doc_id ORDER BY doc_id""",
       "m08_ahash" -> """
         WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w, 8 + (doc_id // 25) % 25 AS h
                    FROM documents),

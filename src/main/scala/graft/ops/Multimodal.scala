@@ -296,6 +296,72 @@ object Multimodal {
     (hi, lo)
   }
 
+  /** 64-bit dHash (gradient hash) of a decoded raster: a 9×8 grid of
+    * integer-boundary cells; bit (8j + i) is set iff row j's cell i
+    * mean exceeds cell i+1's — cross-multiplied
+    * (csumᵢ·npᵢ₊₁ > csumᵢ₊₁·npᵢ) so the comparison is integer-exact
+    * and the oracle can replay it with no division. Where the grid is
+    * wider than the image (w = 8 < 9 columns) the empty cells carry
+    * (csum, np) = (0, 0) and the comparison is false on both sides —
+    * pinned by the oracle's coalesce. aHash (m08) encodes deviation
+    * from the GLOBAL mean; dHash encodes LOCAL gradients between
+    * adjacent cells — orthogonal failure modes, which is why a
+    * production image-dedup stack runs both and ANDs the verdicts.
+    */
+  private[graft] def dhashOf(img: BufferedImage): (Long, Long) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var hi = 0L
+    var lo = 0L
+    val csums = new Array[Long](9)
+    val nps = new Array[Long](9)
+    var j = 0
+    while (j < 8) {
+      val y0 = j * h / 8; val y1 = (j + 1) * h / 8
+      var i = 0
+      while (i < 9) {
+        val x0 = i * w / 9; val x1 = (i + 1) * w / 9
+        var csum = 0L
+        var yy = y0
+        while (yy < y1) {
+          var xx = x0
+          while (xx < x1) { csum += (img.getRGB(xx, yy) & 0xff).toLong; xx += 1 }
+          yy += 1
+        }
+        csums(i) = csum
+        nps(i) = (x1 - x0).toLong * (y1 - y0).toLong
+        i += 1
+      }
+      var k = 0
+      while (k < 8) {
+        if (csums(k) * nps(k + 1) > csums(k + 1) * nps(k)) {
+          val b = 8 * j + k
+          if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+        }
+        k += 1
+      }
+      j += 1
+    }
+    (hi, lo)
+  }
+
+  /** m21 — dHash over the REAL decoded PNGs: the m08 pipeline with
+    * the gradient hash. Same scale shape: payloads die inside the
+    * narrow mapPartitions; 16 bytes/image leave it.
+    */
+  def pngDHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pngTable(s, dir).mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        val (hi, lo) = dhashOf(img)
+        (r.doc_id, hi, lo)
+      }
+    }.toDF("doc_id", "dhash_hi", "dhash_lo")
+      .orderBy($"doc_id")
+  }
+
   /** Perceptual hashing over REAL decoded PNGs: encode distributed,
     * decode per partition, hash the raster — payloads never shuffle
     * (the narrow m05 pipeline with a hash instead of a checksum). At

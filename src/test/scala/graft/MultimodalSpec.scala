@@ -593,4 +593,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.exists(_._4) || got.exists(_._5),
       "fixture produced no cross-modal disagreement")
   }
+
+  test("m21 dHash: brightness-shift invariant, recomputed from the generator formula") {
+    import java.awt.image.BufferedImage
+    // build two rasters differing by a constant brightness shift
+    // TYPE_INT_RGB with v replicated to all channels: getRGB & 0xff
+    // returns v exactly (TYPE_BYTE_GRAY would gamma-convert in getRGB)
+    def img(w: Int, h: Int, shift: Int): BufferedImage = {
+      val b = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((x * 7 + y * 13 + (x * y) % 5) % 200 + shift).min(255)
+        b.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      b
+    }
+    val base = img(20, 17, 0)
+    val bright = img(20, 17, 40)
+    assert(Multimodal.dhashOf(base) == Multimodal.dhashOf(bright),
+      "dHash must survive a global brightness shift (cross-multiplied " +
+        "adjacent-cell compares cancel the constant exactly)")
+    // the registered query equals a driver-side recompute from the
+    // generator formula for a sample of docs (incl. a w = 8 one whose
+    // 9-column grid has an empty cell)
+    val spark = TestSpark.spark
+    val got = Multimodal.pngDHash(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sample = got.keySet.filter(id => id % 25 == 0 || id % 97 == 3).take(30)
+    assert(sample.exists(_ % 25 == 0), "need a w = 8 doc to pin the empty-cell case")
+    sample.foreach { id =>
+      val w = (8 + id % 25).toInt; val h = (8 + (id / 25) % 25).toInt
+      val b = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((id * 31 + 7 * x + 13 * y) % 256).toInt
+        b.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      assert(got(id) == Multimodal.dhashOf(b), s"doc $id")
+    }
+  }
 }
