@@ -368,6 +368,9 @@ object SparkEntry {
     // brightness-invariant complement to m08's aHash; adjacent-cell
     // means compared via integer cross-multiplication.
     "m21_dhash"              -> (Multimodal.pngDHash _),
+    // m22 = consensus near-dups: m11's aHash-banded pairs re-judged by
+    // the dHash — both orthogonal signals must agree before a drop.
+    "m22_consensus_dups"     -> ((s, d) => Multimodal.consensusDupPairs(s, d)),
     // m09 = audio feature extraction: per-frame energy over the real
     // WAV decode (64-sample frames, integer-exact activity detection).
     "m09_wav_frames"         -> ((s, d) => Multimodal.wavFrameEnergy(s, d)),
@@ -1038,6 +1041,78 @@ object SparkEntry {
               list_transform(generate_series(0, 8 + doc_id % 25 - 1), x ->
                 (doc_id * 31 + 7 * x + 13 * y) % 256)))) AS BIGINT) AS pix_sum
         FROM documents ORDER BY doc_id""",
+      // m22: m11's aHash band-pair chain joined with m21's dHash
+      // replay — the consensus verdict recomputed end to end.
+      "m22_consensus_dups" -> """
+        WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w, 8 + (doc_id // 25) % 25 AS h
+                   FROM documents),
+        t AS (SELECT doc_id, w, h,
+                CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                  list_transform(generate_series(0, w - 1), x ->
+                    (doc_id * 31 + 7 * x + 13 * y) % 256)))) AS BIGINT) AS total
+              FROM d),
+        cells AS (SELECT doc_id, w, h, total, i, j,
+                    (i * w) // 8 AS x0, ((i + 1) * w) // 8 AS x1,
+                    (j * h) // 8 AS y0, ((j + 1) * h) // 8 AS y1
+                  FROM t,
+                    (SELECT unnest(generate_series(0, 7)) AS i) ii,
+                    (SELECT unnest(generate_series(0, 7)) AS j) jj),
+        cs AS (SELECT doc_id, w, h, total, i, j,
+                 (x1 - x0) * (y1 - y0) AS np,
+                 CAST(list_sum(flatten(list_transform(generate_series(y0, y1 - 1), y ->
+                   list_transform(generate_series(x0, x1 - 1), x ->
+                     (doc_id * 31 + 7 * x + 13 * y) % 256)))) AS BIGINT) AS csum
+               FROM cells),
+        bits AS (SELECT doc_id, 8 * j + i AS b,
+                   CASE WHEN csum * w * h > total * np THEN 1 ELSE 0 END AS bit
+                 FROM cs),
+        hx AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN b >= 32 AND bit = 1
+                               THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(sum(CASE WHEN b < 32 AND bit = 1
+                               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
+               FROM bits GROUP BY doc_id),
+        bd AS (SELECT doc_id, hi, lo, bb.band,
+                 CASE bb.band WHEN 0 THEN lo & 65535
+                              WHEN 1 THEN (lo >> 16) & 65535
+                              WHEN 2 THEN hi & 65535
+                              ELSE (hi >> 16) & 65535 END AS bval
+               FROM hx, (SELECT unnest(generate_series(0, 3)) AS band) bb),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS a_hamming
+          FROM bd a JOIN bd b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2),
+        dcells AS (SELECT doc_id, i, j,
+                     ((i * w) // 9) AS x0, (((i + 1) * w) // 9) AS x1,
+                     ((j * h) // 8) AS y0, (((j + 1) * h) // 8) AS y1
+                   FROM d,
+                     (SELECT unnest(generate_series(0, 8)) AS i) ii,
+                     (SELECT unnest(generate_series(0, 7)) AS j) jj),
+        dcs AS (SELECT doc_id, i, j,
+                  (x1 - x0) * (y1 - y0) AS np,
+                  CAST(coalesce(list_sum(flatten(list_transform(generate_series(y0, y1 - 1), y ->
+                    list_transform(generate_series(x0, x1 - 1), x ->
+                      (doc_id * 31 + 7 * x + 13 * y) % 256)))), 0) AS BIGINT) AS csum
+                FROM dcells),
+        dbits AS (SELECT a.doc_id, 8 * a.j + a.i AS b,
+                    CASE WHEN a.csum * n.np > n.csum * a.np THEN 1 ELSE 0 END AS bit
+                  FROM dcs a JOIN dcs n
+                    ON a.doc_id = n.doc_id AND a.j = n.j AND n.i = a.i + 1
+                  WHERE a.i < 8),
+        dhx AS (SELECT doc_id,
+                  CAST(sum(CASE WHEN b >= 32 AND bit = 1
+                                THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS dhi,
+                  CAST(sum(CASE WHEN b < 32 AND bit = 1
+                                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS dlo
+                FROM dbits GROUP BY doc_id)
+        SELECT p.doc_a, p.doc_b, p.a_hamming,
+          CAST(bit_count(xor(da.dhi, db.dhi)) + bit_count(xor(da.dlo, db.dlo)) AS BIGINT) AS d_hamming,
+          (bit_count(xor(da.dhi, db.dhi)) + bit_count(xor(da.dlo, db.dlo)) <= 2) AS consensus
+        FROM pairs p
+        JOIN dhx da ON p.doc_a = da.doc_id
+        JOIN dhx db ON p.doc_b = db.doc_id
+        ORDER BY doc_a, doc_b""",
       // m21: the m08 replay with a 9×8 grid and ADJACENT-cell
       // cross-multiplied comparisons; empty cells (w = 8 < 9 columns)
       // pinned to (0, 0) via coalesce — false on both sides, exactly

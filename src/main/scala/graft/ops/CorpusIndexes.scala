@@ -61,6 +61,7 @@ private[graft] object CorpusIndexes {
     "tokens"         -> Layout(8, "th", Seq("th")),
     "bands"          -> Layout(8, "bkey", Seq("bkey")),
     "png_ahash"      -> Layout(8, "doc_id", Seq("doc_id")),
+    "png_dhash"      -> Layout(8, "doc_id", Seq("doc_id")),
     "text_labels_64" -> Layout(8, "doc_id", Seq("doc_id")),
     "image_labels"   -> Layout(8, "doc_id", Seq("doc_id")),
     "ivf_assigned"   -> Layout(8, "cell_id", Seq("cell_id", "vec_id")),
@@ -276,6 +277,7 @@ private[graft] object CorpusIndexes {
     "tokens"         -> (() => tokens(s, dir)),
     "bands"          -> (() => minhashBands(s, dir)),
     "png_ahash"      -> (() => Multimodal.ahashSidecarFrame(s, dir)),
+    "png_dhash"      -> (() => Multimodal.dhashSidecarFrame(s, dir)),
     "text_labels_64" -> (() => Dedup.dupClusterLabels(s, dir)),
     "image_labels"   -> (() => Multimodal.imageClusterLabels(s, dir)),
     "ivf_assigned"   -> (() => Similarity.ivfAssigned(s, dir)),
@@ -288,7 +290,7 @@ private[graft] object CorpusIndexes {
   /** All sidecar keys [[persistSidecars]] writes by default. */
   val persistableKeys: Seq[String] = Seq("shingles", "tokens", "bands",
     "png_ahash", "text_labels_64", "image_labels", "ivf_assigned", "pq_codes",
-    "bench_grams", "gif_frames", "wav_fp", "srp_sigs")
+    "bench_grams", "gif_frames", "wav_fp", "srp_sigs", "png_dhash")
 
   /** Read ONE persisted sidecar table from a root, registered with its
     * bucket layout — for consumers that take the index as an explicit

@@ -345,21 +345,61 @@ object Multimodal {
     (hi, lo)
   }
 
+  /** The (doc_id, dhash_hi, dhash_lo) table as a SESSION sidecar —
+    * m21 and m22 share one decode+hash pass per (session, dir).
+    */
+  private def dhashSidecar(s: SparkSession, dir: String): DataFrame =
+    CorpusIndexes.memo(s, dir, "png_dhash") {
+      import s.implicits._
+      pngTable(s, dir).mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+          val (hi, lo) = dhashOf(img)
+          (r.doc_id, hi, lo)
+        }
+      }.toDF("doc_id", "dhash_hi", "dhash_lo")
+    }
+
+  /** The dHash sidecar for the durable-sidecar writer. */
+  private[ops] def dhashSidecarFrame(s: SparkSession, dir: String): DataFrame =
+    dhashSidecar(s, dir)
+
   /** m21 — dHash over the REAL decoded PNGs: the m08 pipeline with
     * the gradient hash. Same scale shape: payloads die inside the
     * narrow mapPartitions; 16 bytes/image leave it.
     */
   def pngDHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    pngTable(s, dir).mapPartitions { rows =>
-      ImageIO.setUseCache(false)
-      rows.map { r =>
-        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
-        val (hi, lo) = dhashOf(img)
-        (r.doc_id, hi, lo)
-      }
-    }.toDF("doc_id", "dhash_hi", "dhash_lo")
-      .orderBy($"doc_id")
+    dhashSidecar(s, dir).orderBy($"doc_id")
+  }
+
+  /** m22 — CONSENSUS NEAR-DUPS: m11's aHash-banded verified pairs
+    * re-judged by the dHash — the AND-of-orthogonal-signals pattern a
+    * production image-dedup stack ships (global-mean deviation AND
+    * local gradients must both agree before an image is dropped).
+    * Emits every m11 pair with both Hamming distances and the
+    * consensus verdict, so the report shows what the second signal
+    * VETOES, not just what survives.
+    *
+    * Scale shape: the pair list is m11's (banded equi-join, hash
+    * table only); the dHash attaches by two doc_id equi-joins on the
+    * 16-byte sidecar — rasters decode once per session for BOTH
+    * hashes combined.
+    */
+  def consensusDupPairs(s: SparkSession, dir: String,
+      maxAHamming: Int = 2, maxDHamming: Int = 2): DataFrame = {
+    import s.implicits._
+    val dh = dhashSidecar(s, dir)
+    imageDupPairsUnsorted(s, dir, maxAHamming)
+      .withColumnRenamed("hamming", "a_hamming")
+      .join(dh.toDF("doc_a", "a_dhi", "a_dlo"), "doc_a")
+      .join(dh.toDF("doc_b", "b_dhi", "b_dlo"), "doc_b")
+      .withColumn("d_hamming",
+        expr("cast(bit_count(a_dhi ^ b_dhi) + bit_count(a_dlo ^ b_dlo) as bigint)"))
+      .withColumn("consensus", $"d_hamming" <= maxDHamming)
+      .select($"doc_a", $"doc_b", $"a_hamming", $"d_hamming", $"consensus")
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** Perceptual hashing over REAL decoded PNGs: encode distributed,

@@ -594,6 +594,39 @@ class MultimodalSpec extends AnyFunSuite {
       "fixture produced no cross-modal disagreement")
   }
 
+  test("m22 consensus: candidate set equals m11, dHash verdicts recomputed, veto really fires") {
+    import java.awt.image.BufferedImage
+    val spark = TestSpark.spark
+    val got = Multimodal.consensusDupPairs(spark, TestSpark.sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    val m11 = Multimodal.imageDupPairs(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == m11.keySet, "m22 must re-judge exactly m11's pairs")
+    got.foreach { case (k, (aH, _, _)) => assert(aH == m11(k)) }
+    // dHash distances recomputed from the generator formula
+    def raster(id: Long): BufferedImage = {
+      val w = (8 + id % 25).toInt; val h = (8 + (id / 25) % 25).toInt
+      val b = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((id * 31 + 7 * x + 13 * y) % 256).toInt
+        b.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      b
+    }
+    got.foreach { case ((a, b), (_, dH, cons)) =>
+      val (ahi, alo) = Multimodal.dhashOf(raster(a))
+      val (bhi, blo) = Multimodal.dhashOf(raster(b))
+      val expected = java.lang.Long.bitCount(ahi ^ bhi).toLong +
+        java.lang.Long.bitCount(alo ^ blo).toLong
+      assert(dH == expected, s"pair ($a,$b)")
+      assert(cons == (dH <= 2))
+    }
+    // both verdict classes must occur or the consensus column is vacuous
+    assert(got.values.exists(_._3) && got.values.exists(!_._3),
+      "fixture must produce both consensus and vetoed pairs")
+  }
+
   test("m21 dHash: brightness-shift invariant, recomputed from the generator formula") {
     import java.awt.image.BufferedImage
     // build two rasters differing by a constant brightness shift
