@@ -338,6 +338,9 @@ object SparkEntry {
     // t39 = Heaps-law fit over t28's decile growth curve — the
     // closed-vocabulary detector (β near 0 flags templated corpora).
     "t39_heaps_fit"          -> (TextOps.heapsFit _),
+    // t40 = lang-id confusion matrix: t03's predictions vs declared
+    // labels — the evaluation-harness reduction (counts + row shares).
+    "t40_langid_confusion"   -> (TextOps.langIdConfusion _),
     // t33 = PII detect + redact (email/phone/IPv4) — counts on the
     // original text, typed-placeholder redaction, all codegen regex;
     // runs over the deterministic planted-PII fixture (WavCodec
@@ -4120,6 +4123,24 @@ object SparkEntry {
       // t36: PMI ranking without log — both products in BIGINT, one
       // exact double divide; the c_ab ≥ 5 floor in HAVING matches the
       // Spark-side pre-join filter.
+      // t40: t03's prediction CTE reduced to the confusion matrix.
+      "t40_langid_confusion" -> """
+        WITH x AS (SELECT lang, regexp_split_to_array(text, '\s+') AS t
+                   FROM documents),
+        p AS (SELECT lang AS declared_lang,
+                CASE WHEN CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE)
+                       / len(t) >= 0.04
+                     THEN 'en' ELSE 'unk' END AS pred_lang
+              FROM x),
+        m AS (SELECT declared_lang, pred_lang, count(*) AS n_docs
+              FROM p GROUP BY 1, 2)
+        SELECT declared_lang, pred_lang, n_docs,
+          CAST(sum(n_docs) OVER (PARTITION BY declared_lang) AS BIGINT)
+            AS declared_total,
+          CAST(n_docs AS DOUBLE)
+            / CAST(sum(n_docs) OVER (PARTITION BY declared_lang) AS DOUBLE)
+            AS row_share
+        FROM m ORDER BY declared_lang, pred_lang""",
       // t39: t28's decile CTE feeding the same list_reduce fold as t38.
       "t39_heaps_fit" -> """
         WITH n AS (SELECT count(*) AS n_docs FROM documents),

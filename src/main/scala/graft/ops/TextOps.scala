@@ -1298,6 +1298,29 @@ object TextOps {
       .orderBy($"rank")
   }
 
+  /** t40 — LANG-ID CONFUSION MATRIX: t03's predictions evaluated
+    * against the declared labels — the (declared, predicted) count
+    * matrix with per-row shares, i.e. the recall diagonal a language
+    * classifier ships with. The evaluation-harness shape: ANY
+    * predictor column vs ANY label column reduces the same way.
+    *
+    * Scale shape: one narrow scan scores every document (t03's
+    * codegen'd predicate), the matrix aggregate is |langs|·|classes|
+    * keys, and the row-share window runs over that tiny matrix —
+    * corpus size never reaches a window.
+    */
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"declared_lang")
+    langId(s, dir)
+      .groupBy($"declared_lang", $"pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("declared_total", sum($"n_docs").over(w))
+      .withColumn("row_share",
+        $"n_docs".cast("double") / $"declared_total".cast("double"))
+      .orderBy($"declared_lang", $"pred_lang")
+  }
+
   /** t38 — ZIPF FIT: ordinary-least-squares fit of ln(freq) against
     * ln(rank) over the top-50 terms — the standard corpus-health
     * check (natural text slopes ≈ −1; generator/spam corpora bend).

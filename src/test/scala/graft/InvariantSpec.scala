@@ -1093,6 +1093,29 @@ class InvariantSpec extends AnyFunSuite {
     assert(slope >= 0.0 && slope < 0.1, s"expected saturating beta, got $slope")
   }
 
+  test("t40 lang-id confusion: matrix conserves t03's predictions, shares sum to 1") {
+    val spark = TestSpark.spark
+    val preds = graft.ops.TextOps.langId(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(1), r.getString(3)))
+    val got = graft.ops.TextOps.langIdConfusion(spark, TestSpark.sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val expected = preds.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (n, tot, share)) =>
+      assert(n == expected(k))
+      assert(tot == preds.count(_._1 == k._1).toLong)
+      assert(share == n.toDouble / tot.toDouble)
+    }
+    // per declared language, shares sum to 1 exactly enough
+    preds.map(_._1).distinct.foreach { lang =>
+      val s = got.filter(_._1._1 == lang).values.map(_._3).sum
+      assert(math.abs(s - 1.0) < 1e-12, s"$lang shares")
+    }
+    // every cell's count conserves the corpus
+    assert(got.values.map(_._1).sum == preds.length.toLong)
+  }
+
   test("t34 span decontamination: interval union recomputed driver-side") {
     val spark = TestSpark.spark
     import spark.implicits._
