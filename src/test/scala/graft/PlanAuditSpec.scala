@@ -171,6 +171,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unbounded collect_list buffers in: ${offenders.mkString("; ")}")
   }
 
+  test("wide-table scans prune columns: no registered query reads a full wide schema") {
+    // The 100 TB IO gate made mechanical: a parquet scan of a wide
+    // table (≥5 columns) that reads EVERY column is either a bug or a
+    // query that genuinely consumes the whole row — and none here
+    // does. Checked on the physical plan's requiredSchema, per scan,
+    // across all registered queries.
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = scans(fn(spark, TestSpark.sfDir).queryExecution.executedPlan)
+        .filter { s =>
+          val full = s.relation.dataSchema.fields.length
+          full >= 5 && s.requiredSchema.fields.length >= full
+        }
+      if (bad.nonEmpty)
+        Some(s"$name reads full ${bad.map(_.requiredSchema.fieldNames.mkString("(", ",", ")")).mkString("; ")}")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unpruned wide scans:\n${offenders.mkString("\n")}")
+  }
+
   test("executed plans of the pair generators use hash or merge joins only") {
     val spark = TestSpark.spark
     // (d16/s08 are absent: their bounded 16-row codebook broadcast is
