@@ -64,6 +64,9 @@ object SparkEntry {
     // covered hours — the interval-overlap shape; fan-out bounded by
     // session duration, never a sweep-line global sort.
     "e22_concurrency"        -> (EventOps.hourlyConcurrency _),
+    // e23 = hour-of-day seasonal profile: |types|×24 traffic
+    // fingerprint (counts, shares, ranks) — the seasonality baseline.
+    "e23_hourly_profile"     -> (EventOps.hourOfDayProfile _),
     // m19 = EXECUTED audio decimation through the real WAV codec
     // (decode → drop odd samples → re-encode at 4 kHz → decode);
     // position-weighted sums pin sample order across the chain.
@@ -627,6 +630,20 @@ object SparkEntry {
       // e21: exact hourly uniques via the same two-level rewrite; the
       // sketch arm is engine-specific, so the checked surface is the
       // exact counts + the tolerance flag (the t07 convention).
+      // e23: hour-of-day matrix with identical window orderings.
+      "e23_hourly_profile" -> """
+        WITH m AS (
+          SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+            count(*) AS n_events
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, hod, n_events,
+          CAST(n_events AS DOUBLE)
+            / CAST(sum(n_events) OVER (PARTITION BY event_type) AS DOUBLE)
+            AS share,
+          CAST(row_number() OVER (PARTITION BY event_type
+                                  ORDER BY n_events DESC, hod) AS BIGINT)
+            AS hod_rank
+        FROM m ORDER BY event_type, hod""",
       // e22: e03's gaps-and-islands session rewrite, then each session
       // densifies to its covered hours via generate_series.
       "e22_concurrency" -> """

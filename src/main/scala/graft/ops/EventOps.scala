@@ -618,6 +618,32 @@ object EventOps {
     * ordered pass, while this densification stays embarrassingly
     * parallel at any scale.
     */
+  /** e23 — HOUR-OF-DAY SEASONAL PROFILE: each event type's traffic
+    * fingerprint across the 24 clock hours (counts, share of the
+    * type's total, rank) — the seasonality baseline that turns e13's
+    * flat 2-sigma anomaly test into a seasonal one (compare an hour
+    * against its OWN hour-of-day cell, not the global mean). e21
+    * profiles absolute hours; this folds all days onto the clock.
+    *
+    * Scale shape: one |types|·24-key aggregate over the stream, then
+    * windows over that tiny matrix — corpus size never reaches a
+    * window or a second shuffle.
+    */
+  def hourOfDayProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type")
+    val wr = Window.partitionBy($"event_type").orderBy($"n_events".desc, $"hod")
+    events(s, dir)
+      .groupBy($"event_type", hour($"ts").cast("long").as("hod"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("type_total", sum($"n_events").over(w))
+      .withColumn("share",
+        $"n_events".cast("double") / $"type_total".cast("double"))
+      .withColumn("hod_rank", row_number().over(wr).cast("long"))
+      .select($"event_type", $"hod", $"n_events", $"share", $"hod_rank")
+      .orderBy($"event_type", $"hod")
+  }
+
   def hourlyConcurrency(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     events(s, dir)

@@ -162,6 +162,41 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e23 hour-of-day profile: matrix recomputed, shares and ranks consistent") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = graft.ops.EventOps.hourOfDayProfile(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val raw = graft.Tables.events(spark, TestSpark.sfDir)
+      .select($"event_type", $"ts".cast("timestamp")).collect()
+      .map { r =>
+        val cal = java.util.Calendar.getInstance(
+          java.util.TimeZone.getTimeZone("UTC"))
+        cal.setTime(TestSpark.rowTs(r, 1))
+        (r.getString(0), cal.get(java.util.Calendar.HOUR_OF_DAY).toLong)
+      }
+    val expected = raw.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    assert(got.keySet == expected.keySet)
+    val byType = raw.groupBy(_._1).map { case (t, xs) => t -> xs.length.toLong }
+    got.foreach { case ((t, hod), (n, share, _)) =>
+      assert(n == expected((t, hod)), s"($t,$hod)")
+      assert(share == n.toDouble / byType(t).toDouble)
+    }
+    // ranks are a permutation of 1..cells per type, ordered by count desc
+    got.keys.map(_._1).toSeq.distinct.foreach { t =>
+      val cells = got.filter(_._1._1 == t).values.toSeq
+      assert(cells.map(_._3).sorted == (1L to cells.length))
+      val byRank = cells.sortBy(_._3).map(_._1)
+      byRank.sliding(2).foreach {
+        case Seq(a, b) => assert(a >= b, s"$t ranks not count-ordered")
+        case _ =>
+      }
+      assert(math.abs(cells.map(_._2).sum - 1.0) < 1e-12)
+    }
+  }
+
   test("e22 concurrency: interval counts recomputed from e03's session definition") {
     val spark = TestSpark.spark
     import spark.implicits._
