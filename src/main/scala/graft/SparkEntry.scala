@@ -465,6 +465,9 @@ object SparkEntry {
     // s27 = banded SRP: 4×4-bit bands turn candidate generation into
     // an equi-join on (band, value) — the scale path past s25's scan.
     "s27_srp_banded"         -> ((s, d) => Similarity.srpBandedKnn(s, d)),
+    // s28 = SQ upsert: frozen-range encode with CLIPPED out-of-range
+    // arrivals and an n_clipped drift meter; integer code-dot serving.
+    "s28_sq_upsert"          -> ((s, d) => Similarity.sqUpsertServe(s, d)),
     "m14_audio_nn"           -> (Multimodal.audioNearestNeighbor _),
     // m18 = incremental audio dedup: arriving clips (d14 slice) probe
     // the historical frame-energy fingerprint index by duration class,
@@ -1565,6 +1568,38 @@ object SparkEntry {
       // s24: the s20 probe CTEs minus the label, τ = 0.25 applied in
       // the WHERE (before the window, matching the Spark filter→rank
       // order); cosine is the same pinned dot/(nrm·nrm) double.
+      // s28: frozen HISTORY range, clipped arrival codes, exact
+      // integer dot ranking — all replayed in SQL.
+      "s28_sq_upsert" -> """
+        WITH hist AS (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id % 7 <> 2),
+        st AS (SELECT min(CAST(u.x AS DOUBLE)) AS gmin,
+                 max(CAST(u.x AS DOUBLE)) AS gmax
+               FROM (SELECT unnest(embedding) AS x FROM hist) u),
+        hc AS (SELECT vec_id,
+                 list_transform(embedding, e -> CAST(CASE WHEN gmax = gmin THEN 0.0
+                   ELSE least(greatest(floor((CAST(e AS DOUBLE) - gmin) * 255.0
+                          / (gmax - gmin)), 0.0), 255.0) END AS BIGINT)) AS cv
+               FROM hist, st),
+        ac AS (SELECT vec_id AS q_id,
+                 list_transform(embedding, e -> CAST(CASE WHEN gmax = gmin THEN 0.0
+                   ELSE least(greatest(floor((CAST(e AS DOUBLE) - gmin) * 255.0
+                          / (gmax - gmin)), 0.0), 255.0) END AS BIGINT)) AS q_cv,
+                 CAST(len(list_filter(embedding, e -> CAST(e AS DOUBLE) < gmin
+                      OR CAST(e AS DOUBLE) > gmax)) AS BIGINT) AS n_clipped
+               FROM embeddings, st WHERE vec_id % 7 = 2),
+        dots AS (
+          SELECT a.q_id, h.vec_id, a.n_clipped,
+            CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> h.cv[i] * a.q_cv[i])) AS BIGINT) AS dot
+          FROM hc h, ac a WHERE h.vec_id <> a.q_id)
+        SELECT * FROM (
+          SELECT q_id,
+            row_number() OVER (PARTITION BY q_id
+                               ORDER BY dot DESC, vec_id) AS rank,
+            vec_id, dot, n_clipped
+          FROM dots) t
+        WHERE rank <= 5 ORDER BY q_id, rank""",
       // s27: the s25 signature CTE + 4×4-bit banding — candidates
       // share ≥1 band value, dedup via DISTINCT, full-Hamming rank.
       "s27_srp_banded" -> """

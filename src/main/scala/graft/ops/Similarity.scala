@@ -1698,6 +1698,58 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** s28 — SQ INDEX UPSERT (frozen-range encode): the s22/s23/s26
+    * arrival convention on the scalar-quantized codes of s13 — with
+    * the quantization family's OWN honest twist: the stored model is
+    * the global (gmin, gmax) export range, and arrivals between
+    * rebuilds may fall OUTSIDE it. A frozen-range encoder must CLIP
+    * (saturate to code 0/255) — re-deriving the range would silently
+    * re-encode history. Each arrival therefore carries `n_clipped`,
+    * the count of saturated dimensions: the quantization-drift meter
+    * that tells the maintenance cadence when the range (and with it
+    * the whole code table) is due for a retrain — exactly the
+    * accounting a production SQ index ships. Serving ranks history by
+    * the exact INTEGER code dot (codes ≤ 255, 64 dims → every sum
+    * < 2²⁵ — order-free), the cheap first stage of s13's two-stage
+    * retrieval.
+    *
+    * Durable form: follows s23's persisted-model pattern with a
+    * 2-value range table next to the codes; the registered query
+    * pins the frozen-range semantics the durable twin would serve.
+    *
+    * Scale shape: the range is one broadcast row; encoding is a
+    * narrow per-row map (no shuffle); arrivals broadcast as the
+    * query batch and scan history's 64-byte code rows once.
+    */
+  def sqUpsertServe(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val hist = embeddings(s, dir).filter($"vec_id" % 7 =!= 2)
+    val st = hist.select(explode($"embedding").as("xf"))
+      .select($"xf".cast("double").as("x"))
+      .agg(min($"x").as("gmin"), max($"x").as("gmax"))
+      .localCheckpoint()
+    val codeExpr =
+      """transform(embedding, e -> CAST(CASE WHEN gmax = gmin THEN 0.0D
+         ELSE least(greatest(floor((CAST(e AS DOUBLE) - gmin) * 255.0D
+                / (gmax - gmin)), 0.0D), 255.0D) END AS BIGINT))"""
+    def codes(df: DataFrame) =
+      df.crossJoin(broadcast(st)).withColumn("cv", expr(codeExpr))
+    val histC = codes(hist).select($"vec_id", $"cv")
+    val arr = codes(embeddings(s, dir).filter($"vec_id" % 7 === 2))
+      .withColumn("n_clipped", expr(
+        """CAST(size(filter(embedding, e -> CAST(e AS DOUBLE) < gmin
+           OR CAST(e AS DOUBLE) > gmax)) AS BIGINT)"""))
+      .select($"vec_id".as("q_id"), $"cv".as("q_cv"), $"n_clipped")
+    val w = Window.partitionBy($"q_id").orderBy($"dot".desc, $"vec_id")
+    histC.join(broadcast(arr), $"vec_id" =!= $"q_id")
+      .withColumn("dot", expr(
+        "aggregate(sequence(0, 63), 0L, (acc, i) -> acc + cv[i] * q_cv[i])"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"q_id", $"rank", $"vec_id", $"dot", $"n_clipped")
+      .orderBy($"q_id", $"rank")
+  }
+
   // ---- durable SRP signature index: persist via CorpusIndexes.
   // persistSidecars ("srp_sigs"); append/compact below. No model
   // tables: the md5 seed IS the model.

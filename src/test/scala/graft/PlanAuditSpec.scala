@@ -43,6 +43,7 @@ class PlanAuditSpec extends AnyFunSuite {
   //    with the one-row key-stats aggregate
   //  - t37_bm25: one-row corpus-stats aggregate (N, Σdl, per-term df)
   //  - q30_idle_rich: the one-row positive-balance threshold aggregate
+  //  - s28_sq_upsert: the one-row frozen (gmin, gmax) export range
   //  - t39_heaps_fit: t28's one-row doc-count aggregate, inherited via
   //    the shared vocabGrowth frame (t28_vocab_growth is whitelisted
   //    above for the same join)
@@ -58,7 +59,7 @@ class PlanAuditSpec extends AnyFunSuite {
         "t35_quality_calibration", "s22_ivf_upsert",
         "s24_radius_search", "t36_pmi_collocations", "q25_integrity_audit",
         "t37_bm25", "s25_srp_hamming", "s26_srp_upsert", "s27_srp_banded",
-        "t39_heaps_fit", "q30_idle_rich")
+        "t39_heaps_fit", "q30_idle_rich", "s28_sq_upsert")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark

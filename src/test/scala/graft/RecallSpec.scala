@@ -605,6 +605,50 @@ class RecallSpec extends AnyFunSuite {
     assert(overlap > 0, "SRP top-8 never meets exact cosine top-8 — projection broken")
   }
 
+  test("s28 SQ upsert: frozen-range codes, clipping, and integer-dot ranking recomputed") {
+    val spark0 = spark
+    import spark0.implicits._
+    val e = graft.Tables.embeddings(spark0, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val hist = e.filter(_._1 % 7 != 2)
+    val arr = e.filter(_._1 % 7 == 2)
+    // the export range must come from HISTORY alone (frozen semantics)
+    val vals = hist.flatMap(_._2.map(_.toDouble))
+    val gmin = vals.min; val gmax = vals.max
+    def code(v: Array[Float]): Array[Long] = v.map { x =>
+      val d = x.toDouble
+      if (gmax == gmin) 0L
+      else math.floor((d - gmin) * 255.0 / (gmax - gmin)).max(0.0).min(255.0).toLong
+    }
+    def clipped(v: Array[Float]): Long =
+      v.count(x => x.toDouble < gmin || x.toDouble > gmax).toLong
+    val histC = hist.map { case (id, v) => id -> code(v) }
+    val got = graft.ops.Similarity.sqUpsertServe(spark0, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    arr.foreach { case (q, qv) =>
+      val qc = code(qv)
+      val exp = histC.filter(_._1 != q)
+        .map { case (id, cv) =>
+          (id, cv.zip(qc).map { case (a, b) => a * b }.sum)
+        }
+        .sortBy { case (id, d) => (-d, id) }.take(5)
+      val g = got.filter(_._1 == q).sortBy(_._2)
+      assert(g.map(t => (t._3, t._4)).toSeq == exp.toSeq, s"arrival $q ranking")
+      g.foreach { t => assert(t._5 == clipped(qv), s"arrival $q n_clipped") }
+      // every code really saturates inside [0, 255]
+      assert(qc.forall(c => c >= 0L && c <= 255L))
+    }
+    // an arrival with a value outside the historical range must report
+    // a nonzero clip count — and codes at the saturation boundary
+    val anyOutside = arr.exists { case (_, v) =>
+      v.exists(x => x.toDouble < gmin || x.toDouble > gmax)
+    }
+    if (anyOutside)
+      assert(got.exists(_._5 > 0L), "drift meter failed to fire")
+  }
+
   test("s27 banded SRP: candidates share a band; ranking equals recompute over band-sharers; subset of s25's candidate space") {
     val spark0 = spark
     import spark0.implicits._
