@@ -605,6 +605,44 @@ class RecallSpec extends AnyFunSuite {
     assert(overlap > 0, "SRP top-8 never meets exact cosine top-8 — projection broken")
   }
 
+  test("SRP signature boundary cases: zero-dot ties, negative floors, adversarial floats") {
+    val spark0 = spark
+    import spark0.implicits._
+    // all-zero vector: every plane dot is exactly 0, and the >= 0 rule
+    // must set EVERY bit — the tie case a float pipeline could break
+    val zero = Array.fill(64)(0.0f)
+    // negative values: floor(-0.00005 * 1e4) = floor(-0.5) = -1, not 0 —
+    // pins floor-vs-truncate
+    val tiny = Array.tabulate(64)(i => if (i % 2 == 0) -0.00005f else 0.00005f)
+    val rnd = new scala.util.Random(13)
+    val fuzz = (0 until 20).map(_ => Array.fill(64)(
+      (rnd.nextFloat() - 0.5f) * (if (rnd.nextBoolean()) 1e-4f else 10f)))
+    val vecs = (Seq(zero, tiny) ++ fuzz).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = vecs.toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val got = graft.ops.Similarity.srpSignatures(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val planes = Array.tabulate(16, 64) { (j, i) =>
+      if (Integer.parseInt(md5hex(s"$j:$i").substring(0, 1), 16) % 2 == 0) 1L
+      else -1L
+    }
+    vecs.foreach { case (id, v) =>
+      val qv = v.map(x => math.floor(x.toDouble * 10000.0).toLong)
+      val exp = (0 until 16).map { j =>
+        val dot = (0 until 64).map(i => planes(j)(i) * qv(i)).sum
+        if (dot >= 0L) 1L << j else 0L
+      }.sum
+      assert(got(id) == exp, s"vec $id")
+    }
+    assert(got(0L) == 0xFFFFL, "all-zero vector must set every bit (dot == 0 → bit 1)")
+    // the tiny vector really exercises negative quantized coordinates
+    assert(tiny.map(x => math.floor(x.toDouble * 10000.0).toLong).exists(_ < 0L))
+  }
+
   test("s28 SQ upsert: frozen-range codes, clipping, and integer-dot ranking recomputed") {
     val spark0 = spark
     import spark0.implicits._
