@@ -344,6 +344,9 @@ object SparkEntry {
     // t40 = lang-id confusion matrix: t03's predictions vs declared
     // labels — the evaluation-harness reduction (counts + row shares).
     "t40_langid_confusion"   -> (TextOps.langIdConfusion _),
+    // t41 = multi-suite decontamination with attribution: candidates
+    // probe the UNION of labeled suite fingerprints in one pass.
+    "t41_multi_suite_decontam" -> (TextOps.multiSuiteContamination _),
     // t33 = PII detect + redact (email/phone/IPv4) — counts on the
     // original text, typed-placeholder redaction, all codegen regex;
     // runs over the deterministic planted-PII fixture (WavCodec
@@ -3810,6 +3813,29 @@ object SparkEntry {
           CAST(sum(CASE WHEN nbr_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_top1_match,
           CAST(CAST(sum(CASE WHEN nbr_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / count(*) AS purity
         FROM top1 GROUP BY q_label ORDER BY label""",
+      // t41: t16's gram CTE probed against TWO labeled suites,
+      // full-outer composed with coalesce(0) counts.
+      "t41_multi_suite_decontam" -> """
+        WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+                    FROM documents),
+        grams AS (SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, len(th) - 3), i -> ((((((th[i]) * 31 + th[i+1]) % 2147483647) * 31 + th[i+2]) % 2147483647) * 31 + th[i+3]) % 2147483647)) AS gs
+                  FROM tk WHERE len(th) >= 4),
+        bga AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0),
+        bgb AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 89 = 0),
+        cand AS (SELECT doc_id, unnest(gs) AS g FROM grams
+                 WHERE doc_id % 97 <> 0 AND doc_id % 89 <> 0),
+        a AS (SELECT doc_id, count(*) AS n FROM cand JOIN bga USING (g) GROUP BY 1),
+        b AS (SELECT doc_id, count(*) AS n FROM cand JOIN bgb USING (g) GROUP BY 1)
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+          CAST(coalesce(a.n, 0) AS BIGINT) AS n_hits_a,
+          CAST(coalesce(b.n, 0) AS BIGINT) AS n_hits_b,
+          CASE WHEN coalesce(a.n, 0) > 0 AND coalesce(b.n, 0) > 0 THEN 'both'
+               WHEN coalesce(a.n, 0) > 0 THEN 'suite_a'
+               ELSE 'suite_b' END AS verdict
+        FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        ORDER BY doc_id""",
       "t16_contamination" -> """
         WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
                       t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th

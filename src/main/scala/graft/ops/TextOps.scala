@@ -1298,6 +1298,42 @@ object TextOps {
       .orderBy($"rank")
   }
 
+  /** t41 — MULTI-SUITE DECONTAMINATION with attribution: t16 probes
+    * ONE benchmark's grams; a real curation pipeline screens against
+    * MANY eval suites at once and must report WHICH suite fired (the
+    * attribution decides whether a doc is dropped, masked, or
+    * escalated — suites have different licensing/severity). Two
+    * fingerprint sets here (the t16 suite, doc_id ≡ 0 mod 97, and a
+    * second at mod 89); candidates outside both suites probe the
+    * UNION of labeled gram sets in ONE pass and aggregate per-suite
+    * hit counts conditionally — adding a suite adds label rows, not
+    * corpus passes.
+    *
+    * Scale shape: both fingerprints are suite-sized broadcasts (the
+    * bench_grams discipline); the candidate side explodes once,
+    * joins once, and aggregates by doc — per-doc output bounded by
+    * docs with ≥1 hit in any suite.
+    */
+  def multiSuiteContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextHashes.ngram_hashes
+    val docs = documents(s, dir)
+    def suiteGrams(mod: Int) = docs.filter($"doc_id" % mod === 0)
+      .select(explode(ngram_hashes($"text", 4)).as("g")).distinct()
+    val suites = suiteGrams(97).withColumn("suite", lit("a"))
+      .unionByName(suiteGrams(89).withColumn("suite", lit("b")))
+    docs.filter($"doc_id" % 97 =!= 0 && $"doc_id" % 89 =!= 0)
+      .select($"doc_id", explode(ngram_hashes($"text", 4)).as("g"))
+      .join(broadcast(suites), "g")
+      .groupBy($"doc_id")
+      .agg(sum(when($"suite" === "a", 1L).otherwise(0L)).as("n_hits_a"),
+        sum(when($"suite" === "b", 1L).otherwise(0L)).as("n_hits_b"))
+      .withColumn("verdict",
+        when($"n_hits_a" > 0 && $"n_hits_b" > 0, "both")
+          .when($"n_hits_a" > 0, "suite_a").otherwise("suite_b"))
+      .orderBy($"doc_id")
+  }
+
   /** t40 — LANG-ID CONFUSION MATRIX: t03's predictions evaluated
     * against the declared labels — the (declared, predicted) count
     * matrix with per-row shares, i.e. the recall diagonal a language

@@ -1116,6 +1116,31 @@ class InvariantSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum == preds.length.toLong)
   }
 
+  test("t41 multi-suite decontam: agrees with t16 on suite A, verdicts exhaustive") {
+    val spark = TestSpark.spark
+    val got = graft.ops.TextOps.multiSuiteContamination(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got.nonEmpty)
+    // suite-A hit counts equal t16's on the shared candidate set
+    // (t41 additionally excludes suite-B members from candidacy)
+    val t16 = graft.ops.TextOps.contamination(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, (a, b, v)) =>
+      assert(id % 97 != 0 && id % 89 != 0, s"suite member $id leaked into candidates")
+      assert(a > 0 || b > 0, s"doc $id emitted with zero hits")
+      if (a > 0) assert(t16(id) == a, s"doc $id suite-A count diverges from t16")
+      assert(v == (if (a > 0 && b > 0) "both" else if (a > 0) "suite_a" else "suite_b"))
+    }
+    // t16 hits on docs outside suite B must all reappear
+    t16.keys.filter(_ % 89 != 0).foreach { id =>
+      assert(got.contains(id), s"t16 hit $id missing from the multi-suite report")
+    }
+    // the fixture exercises every verdict class at this SF
+    assert(got.values.map(_._3).toSet == Set("both", "suite_a", "suite_b"))
+  }
+
   test("t34 span decontamination: interval union recomputed driver-side") {
     val spark = TestSpark.spark
     import spark.implicits._
