@@ -229,6 +229,10 @@ object SparkEntry {
     // contraction — CC runs over a probe-edge-sized graph, untouched
     // components never shuffle; the verdict rows are the sidecar delta.
     "d32_incremental_clusters" -> ((s, d) => Dedup.incrementalClusters(s, d)),
+    // d33 = threshold ablation: exact-Jaccard clusters at τ=0.3 vs
+    // τ=0.95, diffed per cluster — names the clusters held together
+    // only by weak edges; one scored pair list, two CC passes.
+    "d33_threshold_ablation" -> ((s, d) => Dedup.thresholdAblation(s, d)),
     // d27 = the dedup DECISION table: per implicated doc the keep/drop
     // verdict with the quality-argmax canonical survivor (tie → min
     // doc_id) — the apply-step artifact downstream filters join on.
@@ -2587,6 +2591,42 @@ object SparkEntry {
       // recursive CTEs (historical labeling, union labeling), affected
       // set = matched arrivals ∪ members of probe-touched components;
       // the hash match certifies the component contraction.
+      // d33: d04's scored pairs, two recursive reachability walks
+      // (τ ≥ 0.3 and τ ≥ 0.95), per-lo-cluster strict-group counts
+      // with singletons as their own group.
+      "d33_threshold_ablation" -> """
+        WITH RECURSIVE
+        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+               FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(th) - 2),
+                 i -> ((th[i] * 31 + th[i+1]) % 2147483647 * 31 + th[i+2]) % 2147483647)) AS s
+               FROM tk),
+        e AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shash FROM sh),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS DOUBLE) / (any_value(a.ns) + any_value(b.ns) - count(*)) AS j
+               FROM e a JOIN e b ON a.shash = b.shash AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id
+               HAVING CAST(count(*) AS DOUBLE) / (any_value(a.ns) + any_value(b.ns) - count(*)) >= 0.3),
+        elo AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+                UNION ALL SELECT doc_b, doc_a FROM pr),
+        wlo(node, lbl) AS (
+          SELECT src, src FROM elo
+          UNION
+          SELECT x.dst, w.lbl FROM wlo w JOIN elo x ON x.src = w.node),
+        lo AS (SELECT node AS doc_id, min(lbl) AS lo_cluster FROM wlo GROUP BY node),
+        ehi AS (SELECT doc_a AS src, doc_b AS dst FROM pr WHERE j >= 0.95
+                UNION ALL SELECT doc_b, doc_a FROM pr WHERE j >= 0.95),
+        whi(node, lbl) AS (
+          SELECT src, src FROM ehi
+          UNION
+          SELECT x.dst, w.lbl FROM whi w JOIN ehi x ON x.src = w.node),
+        hi AS (SELECT node AS doc_id, min(lbl) AS hi_cluster FROM whi GROUP BY node)
+        SELECT lo_cluster, count(*) AS n_docs,
+          count(DISTINCT coalesce(hi_cluster, lo.doc_id)) AS n_hi_groups,
+          (count(DISTINCT coalesce(hi_cluster, lo.doc_id)) > 1) AS splits_at_hi
+        FROM lo LEFT JOIN hi USING (doc_id)
+        GROUP BY lo_cluster ORDER BY lo_cluster""",
       "d32_incremental_clusters" -> """
         WITH RECURSIVE
         tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),

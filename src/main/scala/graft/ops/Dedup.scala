@@ -172,6 +172,46 @@ object Dedup {
       connectedComponents(s, cappedPairsUnsorted(s, dir, cap))
     }
 
+  /** d33 — THRESHOLD ABLATION on the near-dup clustering: the same
+    * exact-Jaccard pair scores clustered at a permissive τ (0.3, the
+    * d04 setting) and at a strict τ (0.95), then diffed per cluster —
+    * for each permissive cluster, how many strict groups it fragments
+    * into (docs outside the strict clustering count as their own
+    * singleton group). The review a τ choice actually gets: clusters
+    * held together only by weak edges are where a lower threshold
+    * over-merges, and this table names them.
+    *
+    * Scale shape: the scored pair list is computed ONCE (checkpointed)
+    * and filtered twice — the ablation costs one extra CC pass over
+    * the STRICT edge subset (≤ the permissive one), never a second
+    * corpus scan; the diff is a labels-only join + cluster-sized
+    * aggregate.
+    */
+  def thresholdAblation(s: SparkSession, dir: String,
+      tauLo: Double = 0.3, tauHi: Double = 0.95): DataFrame = {
+    import s.implicits._
+    val sh = CorpusIndexes.shingles(s, dir)
+    val a = sh.toDF("doc_a", "na", "sh_a")
+    val b = sh.toDF("doc_b", "nb", "sh_b")
+    val scored = a.join(b.hint("merge"), $"sh_a" <=> $"sh_b" && $"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b", $"na", $"nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+      .filter($"jaccard" >= tauLo)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .localCheckpoint()
+    val lo = connectedComponents(s, scored).toDF("doc_id", "lo_cluster")
+    val hi = connectedComponents(s, scored.filter($"jaccard" >= tauHi))
+      .toDF("doc_id", "hi_cluster")
+    lo.join(hi, Seq("doc_id"), "left")
+      .withColumn("hi_group", coalesce($"hi_cluster", $"doc_id"))
+      .groupBy($"lo_cluster")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"hi_group").as("n_hi_groups"))
+      .withColumn("splits_at_hi", $"n_hi_groups" > 1)
+      .orderBy($"lo_cluster")
+  }
+
   /** The dedup OUTCOME materialized — what a curation run reports and
     * ships: per duplicate cluster (d11's connected components over the
     * capped-LSH graph), the kept representative (the cluster label,

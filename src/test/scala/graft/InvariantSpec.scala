@@ -1141,6 +1141,61 @@ class InvariantSpec extends AnyFunSuite {
     assert(got.values.map(_._3).toSet == Set("both", "suite_a", "suite_b"))
   }
 
+  test("d33 threshold ablation: both clusterings recomputed driver-side, splits real") {
+    val spark = TestSpark.spark
+    val got = graft.ops.Dedup.thresholdAblation(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // exact-Jaccard pairs recomputed from the raw corpus
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def h32(t: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4).map(b => "%02x".format(b & 0xff))
+        .mkString, 16)
+    val shingles = docs.map { case (id, t) =>
+      val th = t.split("\\s+").map(h32)
+      id -> th.sliding(3).filter(_.length == 3)
+        .map(w => ((w(0) * 31 + w(1)) % 2147483647L * 31 + w(2)) % 2147483647L)
+        .toSet
+    }.toMap
+    val ids = docs.map(_._1)
+    val pairs = for {
+      i <- ids; jd <- ids if i < jd
+      inter = (shingles(i) & shingles(jd)).size
+      if inter > 0
+      jac = inter.toDouble / (shingles(i).size + shingles(jd).size - inter)
+      if jac >= 0.3
+    } yield (i, jd, jac)
+    def cluster(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val m = ra.min(rb); parent(ra.max(rb)) = m }
+      }
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      // min-label convention: the root IS the component minimum under
+      // union-by-min
+      nodes.map(n => n -> find(n)).toMap
+    }
+    val lo = cluster(pairs.map(p => (p._1, p._2)))
+    val hi = cluster(pairs.filter(_._3 >= 0.95).map(p => (p._1, p._2)))
+    val expected = lo.groupBy(_._2).map { case (c, members) =>
+      val groups = members.keys.map(d => hi.getOrElse(d, d)).toSet
+      c -> (members.size.toLong, groups.size.toLong, groups.size > 1)
+    }
+    assert(got == expected)
+    // the ablation must catch a real weak-edge merge on this corpus
+    assert(got.values.exists(_._3), "no cluster splits at the strict threshold")
+    assert(got.values.exists(!_._3), "every cluster splits — thresholds degenerate")
+  }
+
   test("t34 span decontamination: interval union recomputed driver-side") {
     val spark = TestSpark.spark
     import spark.implicits._
