@@ -1728,10 +1728,15 @@ object Similarity {
       .select($"xf".cast("double").as("x"))
       .agg(min($"x").as("gmin"), max($"x").as("gmax"))
       .localCheckpoint()
+    // Codes as exact small-integer DOUBLES (the s13 trick): every code
+    // ≤ 255, every pair product ≤ 65025, every partial sum ≤ 64·65025
+    // < 2²⁴ — exact in double at ANY summation order, so the codegen'd
+    // vec_dot IS an integer dot (22 M interpreted lambda evaluations
+    // replaced by one whole-stage loop — measured 5.8 s → sub-second).
     val codeExpr =
-      """transform(embedding, e -> CAST(CASE WHEN gmax = gmin THEN 0.0D
+      """transform(embedding, e -> CASE WHEN gmax = gmin THEN 0.0D
          ELSE least(greatest(floor((CAST(e AS DOUBLE) - gmin) * 255.0D
-                / (gmax - gmin)), 0.0D), 255.0D) END AS BIGINT))"""
+                / (gmax - gmin)), 0.0D), 255.0D) END)"""
     def codes(df: DataFrame) =
       df.crossJoin(broadcast(st)).withColumn("cv", expr(codeExpr))
     val histC = codes(hist).select($"vec_id", $"cv")
@@ -1742,8 +1747,7 @@ object Similarity {
       .select($"vec_id".as("q_id"), $"cv".as("q_cv"), $"n_clipped")
     val w = Window.partitionBy($"q_id").orderBy($"dot".desc, $"vec_id")
     histC.join(broadcast(arr), $"vec_id" =!= $"q_id")
-      .withColumn("dot", expr(
-        "aggregate(sequence(0, 63), 0L, (acc, i) -> acc + cv[i] * q_cv[i])"))
+      .withColumn("dot", vec_dot($"cv", $"q_cv").cast("long"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= k)
       .select($"q_id", $"rank", $"vec_id", $"dot", $"n_clipped")
