@@ -94,6 +94,9 @@ object SparkEntry {
     // (algebraized to exact decimals) + per-customer order history +
     // nation rollup.
     "q30_idle_rich"          -> (Relational2.idleRichCustomers _),
+    // q31 = Pareto concentration: the decimal-exact cumulative-share
+    // crossing (cum·100 ≥ total·80) over the customer spend ranking.
+    "q31_pareto"             -> (Relational2.paretoConcentration _),
     // m20 = scene-change detection over the shared gif_frames sidecar:
     // per video the cut/scene/longest-run report via gaps-and-islands
     // on consecutive frame-hash equality.
@@ -3291,6 +3294,27 @@ object SparkEntry {
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+      // q31: decimal cumsum with the exact crossing predicate; shares
+      // cast to double via the VARCHAR bridge.
+      "q31_pareto" -> """
+        WITH spend AS (
+          SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend_dec
+          FROM orders GROUP BY 1),
+        t AS (
+          SELECT spend_dec,
+            row_number() OVER (ORDER BY spend_dec DESC, o_custkey) AS rk,
+            sum(spend_dec) OVER (ORDER BY spend_dec DESC, o_custkey
+                                 ROWS UNBOUNDED PRECEDING) AS cum_dec,
+            sum(spend_dec) OVER () AS total_dec,
+            count(*) OVER () AS n_custs
+          FROM spend)
+        SELECT CAST(rk AS BIGINT) AS head_customers,
+          CAST(n_custs AS BIGINT) AS n_custs,
+          CAST(rk AS DOUBLE) / CAST(n_custs AS DOUBLE) AS head_frac,
+          CAST(CAST(cum_dec AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(total_dec AS VARCHAR) AS DOUBLE) AS head_rev_share
+        FROM t WHERE cum_dec * 100 >= total_dec * 80
+        ORDER BY rk LIMIT 1""",
       // q30: the q29 algebraized threshold on balances; LEFT JOIN +
       // coalesce(0) keeps order-less customers in scope by principle
       // even though this generator produces none.

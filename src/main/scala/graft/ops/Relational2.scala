@@ -404,6 +404,43 @@ object Relational2 {
       .orderBy($"n_name")
   }
 
+  /** q31 — PARETO CONCENTRATION: how few customers carry 80 % of
+    * revenue. Customers rank by decimal-exact spend; a running
+    * decimal cumsum finds the 80 %-crossing rank; the verdict row
+    * reports that head count, its share of the customer base, and
+    * the head's exact revenue share. The threshold compare is
+    * decimal-integer algebra (cum·100 ≥ total·80 — the q29
+    * discipline), so the crossing rank is engine-exact.
+    *
+    * Scale shape: one custkey aggregate (the only corpus-sized
+    * shuffle), then the rank/cumsum windows run over |customers| —
+    * already the reduced table, but still a single-task sort when
+    * the reduction is itself huge; at that point the crossing moves
+    * to a range-partitioned cumsum (per-partition totals broadcast
+    * as offsets), the standard distributed CDF rewrite. Here the
+    * deliberate simple form matches the oracle frame for frame.
+    */
+  def paretoConcentration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spend = orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(dec($"o_totalprice")).as("spend_dec"))
+    val wOrd = Window.orderBy($"spend_dec".desc, $"o_custkey")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    spend
+      .withColumn("rk", row_number().over(wOrd).cast("long"))
+      .withColumn("cum_dec", sum($"spend_dec").over(wCum))
+      .withColumn("total_dec", sum($"spend_dec").over(wAll))
+      .withColumn("n_custs", count(lit(1)).over(wAll))
+      .filter($"cum_dec" * 100 >= $"total_dec" * 80)
+      .orderBy($"rk")
+      .limit(1)
+      .select($"rk".as("head_customers"), $"n_custs",
+        ($"rk".cast("double") / $"n_custs".cast("double")).as("head_frac"),
+        ($"cum_dec".cast("double") / $"total_dec".cast("double")).as("head_rev_share"))
+  }
+
   def nationMarketShare(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rev = orders(s, dir)

@@ -172,6 +172,39 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q31 Pareto crossing: exact rank recomputed, crossing minimal") {
+    val s = spark
+    import s.implicits._
+    val Array(row) = Relational2.paretoConcentration(s, dir).collect()
+    val (head, n, frac, share) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+    val spend = new scala.collection.mutable.HashMap[Long, BigDecimal]()
+    graft.Tables.orders(s, dir).select($"o_custkey", $"o_totalprice").collect()
+      .foreach { r =>
+        val d = BigDecimal(r.getDouble(1))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        spend(r.getLong(0)) = spend.getOrElse(r.getLong(0), BigDecimal(0)) + d
+      }
+    val ranked = spend.toSeq.sortBy { case (ck, sd) => (-sd, ck) }
+    val total = ranked.map(_._2).sum
+    var cum = BigDecimal(0); var rk = 0L; var crossing = 0L
+    ranked.foreach { case (_, sd) =>
+      cum += sd; rk += 1
+      if (crossing == 0L && cum * 100 >= total * 80) crossing = rk
+    }
+    assert(head == crossing, "crossing rank diverges from recompute")
+    assert(n == ranked.length.toLong)
+    assert(frac == head.toDouble / n.toDouble)
+    // the crossing is MINIMAL: one fewer head customer is below 80 %
+    val cumAt = ranked.take(head.toInt).map(_._2).sum
+    assert(cumAt * 100 >= total * 80)
+    if (head > 1)
+      assert(ranked.take(head.toInt - 1).map(_._2).sum * 100 < total * 80)
+    assert(share >= 0.8 && share <= 1.0)
+    // concentration is real: the head is a strict minority of customers
+    assert(frac < 1.0)
+  }
+
   test("q25 integrity audit: every count recomputed driver-side") {
     val s = spark
     import s.implicits._
