@@ -387,6 +387,10 @@ object SparkEntry {
     // m22 = consensus near-dups: m11's aHash-banded pairs re-judged by
     // the dHash — both orthogonal signals must agree before a drop.
     "m22_consensus_dups"     -> ((s, d) => Multimodal.consensusDupPairs(s, d)),
+    // m23 = zero-crossing rate over real decoded WAVs — order-exact
+    // integer statistic; a reordered stream passes m06's plain sum but
+    // fails this.
+    "m23_zero_crossings"     -> (Multimodal.wavZeroCrossingRate _),
     // m09 = audio feature extraction: per-frame energy over the real
     // WAV decode (64-sample frames, integer-exact activity detection).
     "m09_wav_frames"         -> ((s, d) => Multimodal.wavFrameEnergy(s, d)),
@@ -1214,6 +1218,21 @@ object SparkEntry {
       // formula at the EVEN sample indices (out sample j = s_{2j},
       // n_out = ⌈n/2⌉) — a hash match certifies decode → decimate →
       // re-encode → decode with order preserved.
+      // m23: sign flips between consecutive generator samples — the
+      // 0-counts-as-non-negative rule mirrored exactly.
+      "m23_zero_crossings" -> """
+        WITH d AS (SELECT doc_id, CAST(200 + doc_id % 400 AS BIGINT) AS n
+                   FROM documents),
+        ch AS (SELECT doc_id, n,
+                 CAST(list_sum(list_transform(
+                   generate_series(1, CAST(n AS INT) - 1), i ->
+                     CASE WHEN ((doc_id * 7919 + (i - 1) * 104729) % 65536 - 32768 < 0)
+                            <> ((doc_id * 7919 + i * 104729) % 65536 - 32768 < 0)
+                          THEN 1 ELSE 0 END)) AS BIGINT) AS n_changes
+               FROM d)
+        SELECT doc_id, n AS n_samples, n_changes,
+          CAST(n_changes AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS zcr
+        FROM ch ORDER BY doc_id""",
       "m19_wav_decimate" -> """
         WITH d AS (SELECT doc_id, CAST(200 + doc_id % 400 AS BIGINT) AS n_in
                    FROM documents)

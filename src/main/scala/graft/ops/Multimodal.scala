@@ -720,6 +720,29 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Sample count and sign-change count over the decoded PCM
+      * stream — the zero-crossing statistic (m23). A crossing is a
+      * strict sign flip between consecutive samples (0 counts as
+      * non-negative), so the count is integer-exact and pins sample
+      * ORDER as hard as the position-weighted sum does.
+      */
+    def zeroCrossings(payload: Array[Byte]): (Long, Long) = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var changes = 0L
+        var i = 1
+        while (i < n) {
+          val prev = (bytes(2 * (i - 1) + 1) << 8) | (bytes(2 * (i - 1)) & 0xff)
+          val cur = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+          if ((prev < 0) != (cur < 0)) changes += 1
+          i += 1
+        }
+        (n.toLong, changes)
+      } finally ais.close()
+    }
+
     /** Decode sample count, Σ sᵢ, and Σ sᵢ·(i+1) over the PCM frames. */
     def decode(payload: Array[Byte]): (Long, Long, Long) = {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
@@ -772,6 +795,29 @@ object Multimodal {
   def wavDecodeMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     decodeWavs(wavTable(s, dir)).toDF().orderBy($"doc_id")
+  }
+
+  /** m23 — ZERO-CROSSING RATE over the REAL decoded WAVs: the classic
+    * cheap audio feature (speech/music/noise discrimination, silence
+    * detection) as an executed decode → per-sample statistic chain.
+    * The crossing count is order-sensitive and integer-exact, so the
+    * oracle's generator-formula replay certifies the decoded stream
+    * sample for sample — a different certificate from m06's sums (a
+    * reordered stream with the same amplitude multiset would pass the
+    * plain sum but fail both the weighted sum AND this).
+    *
+    * Scale shape: the m06 pipeline — payloads die inside the codec
+    * mapPartitions; three longs and a double leave it.
+    */
+  def wavZeroCrossingRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    wavTable(s, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val (n, changes) = WavCodec.zeroCrossings(r.payload)
+        (r.doc_id, n, changes, changes.toDouble / (n - 1).toDouble)
+      }
+    }.toDF("doc_id", "n_samples", "n_changes", "zcr")
+      .orderBy($"doc_id")
   }
 
   final case class WavDecimated(doc_id: Long, n_in: Long, n_out: Long,

@@ -627,6 +627,37 @@ class MultimodalSpec extends AnyFunSuite {
       "fixture must produce both consensus and vetoed pairs")
   }
 
+  test("m23 zero crossings: order-sensitivity proven — a reversed stream changes the count") {
+    val spark = TestSpark.spark
+    val got = Multimodal.wavZeroCrossingRate(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, n, ch, zcr) =>
+      // recompute from the generator formula
+      val samples = (0 until n.toInt).map(i => Multimodal.WavCodec.sample(id, i))
+      val expected = samples.sliding(2).count {
+        case Seq(a, b) => (a < 0) != (b < 0)
+        case _ => false
+      }.toLong
+      assert(ch == expected, s"doc $id")
+      assert(zcr == ch.toDouble / (n - 1).toDouble)
+      assert(n == Multimodal.WavCodec.nSamples(id).toLong)
+    }
+    // the statistic is genuinely ORDER-sensitive on this corpus: for at
+    // least one clip, sorting the samples (same amplitude multiset)
+    // yields a different crossing count — the certificate m06's plain
+    // sum cannot give
+    val orderMatters = got.exists { case (id, n, ch, _) =>
+      val sorted = (0 until n.toInt).map(i => Multimodal.WavCodec.sample(id, i)).sorted
+      val chSorted = sorted.sliding(2).count {
+        case Seq(a, b) => (a < 0) != (b < 0)
+        case _ => false
+      }.toLong
+      chSorted != ch
+    }
+    assert(orderMatters, "every clip's crossings survive a sort — statistic vacuous")
+  }
+
   test("m21 dHash: brightness-shift invariant, recomputed from the generator formula") {
     import java.awt.image.BufferedImage
     // build two rasters differing by a constant brightness shift
