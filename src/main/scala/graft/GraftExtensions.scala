@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, Coalesce, Expression, ExpressionInfo, In, LambdaFunction, Literal, NamedLambdaVariable, Or, RLike, StringSplit}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{FloatVectorDot, MinHashBands, MinHashSig, PlatformLn, RollingHash, ShingleHashes, SimHash60}
+import graft.functions.{FloatVectorDot, MinHashBands, MinHashSig, PlatformExp, PlatformLn, RollingHash, ShingleHashes, SimHash60}
 import graft.ner.RuleNer
 
 /** SQL-surface registration for the engine's custom functions, so SQL
@@ -55,7 +55,8 @@ object GraftFunctions {
     // platform-libm ln (vs the builtin ln's StrictMath) — what the
     // t22/t24/t26 oracle-exact float folds use; SQL-callable so SQL
     // text can reproduce them bit-for-bit too.
-    "platform_ln" -> (exprs => PlatformLn(exprs.head)))
+    "platform_ln" -> (exprs => PlatformLn(exprs.head)),
+    "platform_exp" -> (exprs => PlatformExp(exprs.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -354,6 +354,9 @@ object SparkEntry {
     // t41 = multi-suite decontamination with attribution: candidates
     // probe the UNION of labeled suite fingerprints in one pass.
     "t41_multi_suite_decontam" -> (TextOps.multiSuiteContamination _),
+    // t42 = effective vocabulary exp(H) per source via the new
+    // PlatformExp codegen expression (libm, DuckDB-exact).
+    "t42_effective_vocab"    -> (TextOps.effectiveVocab _),
     // t33 = PII detect + redact (email/phone/IPv4) — counts on the
     // original text, typed-placeholder redaction, all codegen regex;
     // runs over the deterministic planted-PII fixture (WavCodec
@@ -4134,6 +4137,27 @@ object SparkEntry {
         FROM d JOIN r ON d.source = r.source
         WHERE CAST(d.bucket AS DOUBLE) < r.rate * 1000000.0
         ORDER BY d.doc_id""",
+      // t42: t24's segmented entropy fold, then libm exp.
+      "t42_effective_vocab" -> """
+        WITH tok AS (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS term
+                     FROM documents),
+        st AS (SELECT source, term, count(*) AS c_st FROM tok GROUP BY 1, 2),
+        ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+        c AS (SELECT st.source, st.term, st.c_st,
+                CAST(('0x' || substr(md5(st.term), 1, 2)) AS BIGINT) AS seg,
+                -((CAST(st.c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE)) *
+                  ln(CAST(st.c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE))) AS contrib
+              FROM st JOIN ns ON st.source = ns.source),
+        segs AS (SELECT source, seg, count(*) AS n_terms_seg,
+                   list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS f_seg
+                 FROM c GROUP BY source, seg),
+        f AS (SELECT source, CAST(sum(n_terms_seg) AS BIGINT) AS vocab,
+                list_reduce(list(f_seg ORDER BY seg), (a, b) -> a + b) AS entropy
+              FROM segs GROUP BY source)
+        SELECT source, vocab, entropy,
+          exp(entropy) AS eff_vocab,
+          exp(entropy) / CAST(vocab AS DOUBLE) AS eff_frac
+        FROM f ORDER BY source""",
       "t24_source_entropy" -> """
         WITH tok AS (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS term
                      FROM documents),

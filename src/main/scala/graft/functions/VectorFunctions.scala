@@ -44,6 +44,25 @@ case class PlatformLn(child: Expression)
     copy(child = c)
 }
 
+/** `Math.exp` as a codegen'd expression — the [[PlatformLn]] contract
+  * for the inverse direction (Spark's builtin `exp` routes through
+  * StrictMath; DuckDB's libm exp matches java.lang.Math bit for bit —
+  * verified over a value sweep in GraftFunctionsSpec).
+  */
+case class PlatformExp(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(x: Any): Any = Math.exp(x.asInstanceOf[Double])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"java.lang.Math.exp($x)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -120,4 +139,8 @@ object VectorFunctions {
   /** Platform-libm natural log — see [[PlatformLn]]. */
   def platform_ln(x: Column): Column =
     GraftBridge.column(PlatformLn(GraftBridge.expression(x)))
+
+  /** Platform-libm exponential — see [[PlatformExp]]. */
+  def platform_exp(x: Column): Column =
+    GraftBridge.column(PlatformExp(GraftBridge.expression(x)))
 }

@@ -1334,6 +1334,31 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** t42 — EFFECTIVE VOCABULARY (perplexity of the source unigram
+    * distribution): exp(H) — the number of equally-likely types that
+    * would produce the same entropy — and its fraction of the actual
+    * vocabulary. The interpretable form of t24's entropy: a source
+    * whose eff_frac collapses is template/boilerplate-dominated even
+    * when its raw vocabulary looks large — the corpus-mix diagnostic
+    * read next to t27's mixture plan. exp goes through the new
+    * [[graft.functions.PlatformExp]] (libm, matches DuckDB bit for
+    * bit — Spark's builtin exp is StrictMath, one ULP off on this
+    * data).
+    *
+    * Scale shape: t24's segmented exact fold does all corpus-sized
+    * work (shared via the same frame); this is a projection over
+    * |sources| rows.
+    */
+  def effectiveVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.platform_exp
+    sourceEntropy(s, dir)
+      .select($"source", $"vocab", $"entropy",
+        platform_exp($"entropy").as("eff_vocab"),
+        (platform_exp($"entropy") / $"vocab".cast("double")).as("eff_frac"))
+      .orderBy($"source")
+  }
+
   /** t40 — LANG-ID CONFUSION MATRIX: t03's predictions evaluated
     * against the declared labels — the (declared, predicted) count
     * matrix with per-row shares, i.e. the recall diagonal a language

@@ -143,6 +143,34 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("platform_exp matches Math.exp bit-for-bit over the corpus entropy range") {
+    // The t42 oracle contract: eff_vocab = exp(entropy) must be the
+    // platform libm exp (DuckDB's), not StrictMath. Swept over the
+    // data-dependent argument set (per-source entropies) plus a seeded
+    // range sweep; SQL registration checked too.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val hs = graft.ops.TextOps.sourceEntropy(spark, TestSpark.sfDir).collect()
+      .map(_.getDouble(3))
+    val rnd = new scala.util.Random(11)
+    val args = hs ++ (0 until 500).map(_ => rnd.nextDouble() * 20.0 - 10.0)
+    val rows = args.zipWithIndex.toSeq.map { case (x, i) => (i.toLong, x) }
+      .toDF("id", "x")
+      .select($"x",
+        graft.functions.VectorFunctions.platform_exp($"x").as("pe"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(Math.exp(r.getDouble(0))),
+        s"platform_exp(${r.getDouble(0)}) != Math.exp — t42's oracle is at risk")
+    }
+    graft.GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT platform_exp(CAST(1.5 AS DOUBLE)) AS e")
+      .head().getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(viaSql) ==
+      java.lang.Double.doubleToLongBits(Math.exp(1.5)))
+  }
+
   test("native hash expressions match the folds on adversarial random strings") {
     val spark = TestSpark.spark
     import spark.implicits._

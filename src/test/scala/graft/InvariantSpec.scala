@@ -1196,6 +1196,25 @@ class InvariantSpec extends AnyFunSuite {
     assert(got.values.exists(!_._3), "every cluster splits — thresholds degenerate")
   }
 
+  test("t42 effective vocab: exp(t24 entropy) bit-exact, bounds hold") {
+    val spark = TestSpark.spark
+    val t24 = graft.ops.TextOps.sourceEntropy(spark, TestSpark.sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val got = graft.ops.TextOps.effectiveVocab(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.map(_._1).toSet == t24.keySet)
+    got.foreach { case (src, vocab, h, eff, frac) =>
+      val (v24, h24) = t24(src)
+      assert(vocab == v24 && h == h24, s"$src entropy diverges from t24")
+      assert(eff == math.exp(h), s"$src: platform_exp must be Math.exp")
+      assert(frac == eff / vocab.toDouble)
+      // exp(H) ≤ |support| (equality iff uniform), and ≥ 1
+      assert(eff >= 1.0 && eff <= vocab.toDouble * (1 + 1e-12), s"$src bounds")
+      assert(frac > 0.0 && frac <= 1.0 + 1e-12)
+    }
+  }
+
   test("t34 span decontamination: interval union recomputed driver-side") {
     val spark = TestSpark.spark
     import spark.implicits._
