@@ -65,6 +65,10 @@ private[graft] object CorpusIndexes {
     "text_labels_64" -> Layout(8, "doc_id", Seq("doc_id")),
     "image_labels"   -> Layout(8, "doc_id", Seq("doc_id")),
     "ivf_assigned"   -> Layout(8, "cell_id", Seq("cell_id", "vec_id")),
+    // the FROZEN coarse codebook persisted next to ivf_assigned — the
+    // codebook cannot be re-derived from an upserted index (appended
+    // arrivals with vec_id < 16 would silently join it)
+    "ivf_codebook"   -> Layout(4, "cell_id", Seq("cell_id")),
     "pq_codes"       -> Layout(8, "vec_id", Seq("vec_id")),
     // no probe join key — serving scans the 8-byte signatures; vec_id
     // bucketing spreads appends and keeps compaction deterministic
@@ -128,6 +132,12 @@ private[graft] object CorpusIndexes {
     val (fs, path) = hadoopPath(s, p)
     fs.exists(path)
   }
+
+  /** Existence probe for sidecar tables owned by other ops objects
+    * (the IVF codebook's back-compat branch).
+    */
+  private[ops] def sidecarPathExists(s: SparkSession, p: String): Boolean =
+    pathExists(s, p)
 
   /** The marker file binding a sidecar root to its source corpus dir —
     * the guard against serving one corpus's indexes to another. Plain
@@ -212,11 +222,15 @@ private[graft] object CorpusIndexes {
     * no instant at which `path` has been deleted but nothing renamed
     * in yet (a crash between the renames leaves the full old
     * generation at `__old`, restorable by hand; a failure of the
-    * second rename restores the original automatically). Readers that
-    * resolved file paths before the swap keep reading the old
-    * generation's bytes; a reader LISTING the directory in the
-    * sub-millisecond rename window can observe the swap — campaigns
-    * that need stronger isolation rotate roots instead. Rows, schema,
+    * second rename restores the original automatically). Concurrency
+    * caveat: `__old` is deleted IMMEDIATELY after the swap, so only
+    * readers with already-OPEN handles on the old part files are safe;
+    * a concurrent reader that resolved paths but has not yet opened
+    * them races the delete (FileNotFound on HDFS/object stores, and
+    * locally for not-yet-opened files), and a LISTING during the
+    * rename window can observe the swap. Compaction therefore assumes
+    * a maintenance window, or root rotation where true
+    * reader-concurrent compaction is needed. Rows, schema,
     * bucket function and within-bucket sort are IDENTICAL — consumers
     * cannot observe the compaction except through file counts
     * (asserted in SidecarDiskSpec).

@@ -190,16 +190,7 @@ object Dedup {
   def thresholdAblation(s: SparkSession, dir: String,
       tauLo: Double = 0.3, tauHi: Double = 0.95): DataFrame = {
     import s.implicits._
-    val sh = CorpusIndexes.shingles(s, dir)
-    val a = sh.toDF("doc_a", "na", "sh_a")
-    val b = sh.toDF("doc_b", "nb", "sh_b")
-    val scored = a.join(b.hint("merge"), $"sh_a" <=> $"sh_b" && $"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b", $"na", $"nb")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
-      .filter($"jaccard" >= tauLo)
-      .select($"doc_a", $"doc_b", $"jaccard")
-      .localCheckpoint()
+    val scored = scoredJaccardPairs(s, dir, tauLo).localCheckpoint()
     val lo = connectedComponents(s, scored).toDF("doc_id", "lo_cluster")
     val hi = connectedComponents(s, scored.filter($"jaccard" >= tauHi))
       .toDF("doc_id", "hi_cluster")
@@ -891,11 +882,14 @@ object Dedup {
     */
   def curatedReadback(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
     import s.implicits._
-    val out = curatedOutDir(dir)
-    // one write per (session, dir): the memoized one-row frame's eager
-    // checkpoint runs the write exactly once; repeats (bench) reuse
-    // the artifact
-    CorpusIndexes.memo(s, dir, "curated_write") {
+    val out = curatedOutDir(dir, cap)
+    // one write per (session, dir, cap): the memoized one-row frame's
+    // eager checkpoint runs the write exactly once; repeats (bench)
+    // reuse the artifact. cap is part of BOTH the memo key and the
+    // artifact path (the histClusterLabels convention) — a second cap
+    // in the same session must not silently read the first cap's
+    // artifact.
+    CorpusIndexes.memo(s, dir, s"curated_write_$cap") {
       writeCuratedCorpus(s, dir, out, cap)
       s.range(1).toDF("done")
     }
@@ -906,14 +900,15 @@ object Dedup {
       .orderBy($"source")
   }
 
-  /** Deterministic per-corpus artifact path for [[curatedReadback]] —
-    * session-independent so verify and bench reuse the location, keyed
-    * by the data dir so scale factors never collide.
+  /** Deterministic per-(corpus, cap) artifact path for
+    * [[curatedReadback]] — session-independent so verify and bench
+    * reuse the location; keyed by the data dir AND the cap so neither
+    * scale factors nor cap settings collide.
     */
-  private def curatedOutDir(dir: String): String = {
+  private def curatedOutDir(dir: String, cap: Int): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    s"${sys.props("java.io.tmpdir")}/graft_curated_$h"
+    s"${sys.props("java.io.tmpdir")}/graft_curated_${h}_$cap"
   }
 
   /** COMPACT the durable probe index: rewrite each of the three probe
@@ -924,12 +919,11 @@ object Dedup {
     * Compaction restores the one-file-per-bucket layout without
     * changing a row — probe verdicts before and after are
     * bit-identical (asserted in SidecarDiskSpec), so a campaign runs
-    * it on any cadence. Readers that resolved file paths before the
-    * swap keep reading the old generation; the rename-aside swap
-    * (CorpusIndexes.compactBucketedTable) leaves no window with the
-    * live path missing, though a directory LISTING during the
-    * sub-millisecond two-rename window can observe the swap — rotate
-    * roots when stronger isolation is needed.
+    * it on any cadence — in a maintenance window: the rename-aside
+    * swap (CorpusIndexes.compactBucketedTable) leaves no instant with
+    * the live path missing, but the old generation is deleted right
+    * after the swap, so only already-open read handles survive it;
+    * rotate roots where reader-concurrent compaction is needed.
     */
   def compactTextProbeIndex(s: SparkSession, outDir: String): Unit =
     probeLayouts.foreach { case (key, lay) =>
@@ -1204,7 +1198,13 @@ object Dedup {
     * shingles together — identically in the oracle, which hashes the
     * same way.)
     */
-  def shingleJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_a, doc_b, jaccard ≥ tau): the exact-Jaccard scored-pair core
+    * shared by d04 ([[shingleJaccardPairs]], tau = 0.3) and d33's
+    * threshold ablation — one definition, so a scoring change can
+    * never silently diverge between the query and its ablation.
+    */
+  private[graft] def scoredJaccardPairs(s: SparkSession, dir: String,
+      tau: Double): DataFrame = {
     import s.implicits._
     val sh = CorpusIndexes.shingles(s, dir)
     val a = sh.toDF("doc_a", "na", "sh_a")
@@ -1215,9 +1215,13 @@ object Dedup {
       .groupBy($"doc_a", $"doc_b", $"na", $"nb")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
-      .filter($"jaccard" >= 0.3)
+      .filter($"jaccard" >= tau)
       .select($"doc_a", $"doc_b", $"jaccard")
-      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def shingleJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    scoredJaccardPairs(s, dir, 0.3).orderBy($"doc_a", $"doc_b")
   }
 
   /** The skew-bounded form of [[shingleJaccardPairs]]: shingles whose

@@ -597,19 +597,25 @@ object Similarity {
     * that vector as a candidate.
     */
   def ivfProbeBatch(batch: DataFrame, index: DataFrame,
-                    excludeSelf: Boolean = true): DataFrame =
-    ivfProbeBatchWithCell(batch, index, excludeSelf).drop("q_cell")
+                    excludeSelf: Boolean = true,
+                    codebook: Option[DataFrame] = None): DataFrame =
+    ivfProbeBatchWithCell(batch, index, excludeSelf, codebook).drop("q_cell")
 
   /** [[ivfProbeBatch]] keeping the query's assigned cell in the output
     * — the upsert specs partition served results by cell to compare
     * append-vs-rebuild on unaffected cells.
     */
   private[graft] def ivfProbeBatchWithCell(batch: DataFrame, index: DataFrame,
-                                           excludeSelf: Boolean = true): DataFrame = {
+                                           excludeSelf: Boolean = true,
+                                           codebook: Option[DataFrame] = None): DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
-    val cb = index.filter($"vec_id" < 16)
-      .select($"vec_id".as("cell_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+    // Default codebook derivation is only sound over a REBUILD index;
+    // serving over an upserted [index ∪ delta] must pass the persisted
+    // frozen codebook (an appended vec_id < 16 row would otherwise
+    // join the derivation and create phantom cells).
+    val cb = codebook.getOrElse(index.filter($"vec_id" < 16)
+      .select($"vec_id".as("cell_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm")))
     val qn = batch.select($"q_id", $"embedding".as("q_emb"),
       vec_norm($"embedding").as("q_nrm"))
     val aw = Window.partitionBy($"q_id").orderBy($"ccos".desc, $"cell_id")
@@ -701,13 +707,39 @@ object Similarity {
     (s"$outDir/ivf_assigned", CorpusIndexes.tableName(outDir, "ivf_assigned"),
       CorpusIndexes.layouts("ivf_assigned"))
 
+  private def ivfCodebookParts(outDir: String) =
+    (s"$outDir/ivf_codebook", CorpusIndexes.tableName(outDir, "ivf_codebook"),
+      CorpusIndexes.layouts("ivf_codebook"))
+
   /** Write an assignment frame (vec_id, embedding, nrm, cell_id) as
     * the durable serving index under `outDir/ivf_assigned`, bucketed
-    * on cell_id — the probe join's key.
+    * on cell_id — the probe join's key — PLUS the coarse codebook as
+    * its own ≤16-row table under `outDir/ivf_codebook`. The codebook
+    * must ship separately because it CANNOT be re-derived from an
+    * upserted index: an appended arrival with vec_id < 16 would
+    * silently join a `vec_id < 16` re-derivation, unfreezing the
+    * centroids (and a query arg-maxed onto such a phantom cell would
+    * join no index row and vanish from serving).
     */
   def persistIvfIndex(index: DataFrame, outDir: String): Unit = {
     val (path, tbl, lay) = ivfLayoutParts(outDir)
     CorpusIndexes.writeBucketedTable(index, path, tbl, lay)
+    val (cp, ct, cl) = ivfCodebookParts(outDir)
+    CorpusIndexes.writeBucketedTable(codebookOf(index), cp, ct, cl)
+  }
+
+  /** The FROZEN persisted codebook of a durable index root. Falls back
+    * to deriving from the index for roots persisted before the
+    * codebook table existed (e.g. the generic `persistSidecars`
+    * ivf_assigned) — sound there because those tables are full
+    * rebuilds; [[refreshIvfIndex]] materializes the codebook before
+    * its first append so the fallback never sees an upserted table.
+    */
+  def loadIvfCodebook(s: SparkSession, outDir: String): DataFrame = {
+    val (cp, ct, cl) = ivfCodebookParts(outDir)
+    if (CorpusIndexes.sidecarPathExists(s, cp))
+      CorpusIndexes.readBucketedTable(s, cp, ct, cl)
+    else codebookOf(loadIvfIndex(s, outDir))
   }
 
   /** Assign arriving (vec_id, embedding) rows over the FROZEN codebook
@@ -715,22 +747,35 @@ object Similarity {
     * durable append ([[refreshIvfIndex]]) and the streaming ingest
     * door (`graft.streaming.StreamingAnnIngest`). Output rows have the
     * index's own schema (vec_id, embedding, nrm, cell_id), so they
-    * append/union directly.
+    * append/union directly. Only valid when `index` is a REBUILD
+    * (no appended rows) — durable paths use [[ivfAssignOverCodebook]]
+    * with the persisted codebook instead.
     */
   def ivfUpsertAssign(arrivals: DataFrame, index: DataFrame): DataFrame =
     assignByCodebook(withNorm(arrivals), codebookOf(index))
 
+  /** [[ivfUpsertAssign]] against an explicit (persisted) codebook. */
+  def ivfAssignOverCodebook(arrivals: DataFrame, cb: DataFrame): DataFrame =
+    assignByCodebook(withNorm(arrivals), cb)
+
   /** UPSERT arrivals (vec_id, embedding) into the persisted index:
     * each arrival is assigned with the exact s04 argmax over the
-    * codebook READ FROM THE INDEX ITSELF (frozen centroids), and the
-    * assignment rows append as new bucket files. History is never
-    * read beyond the ≤16 codebook rows, never rewritten.
+    * FROZEN persisted codebook, and the assignment rows append as new
+    * bucket files. History is never read beyond the ≤16 codebook
+    * rows, never rewritten. On a root persisted before the codebook
+    * table existed, the codebook is derived ONCE from the (still
+    * append-free) index and materialized before the first append —
+    * after that every refresh reads the frozen table.
     */
   def refreshIvfIndex(arrivals: DataFrame, outDir: String): Unit = {
     val s = arrivals.sparkSession
     val (path, tbl, lay) = ivfLayoutParts(outDir)
-    val idx = CorpusIndexes.readBucketedTable(s, path, tbl, lay)
-    val rows = ivfUpsertAssign(arrivals, idx)
+    val (cp, ct, cl) = ivfCodebookParts(outDir)
+    if (!CorpusIndexes.sidecarPathExists(s, cp)) {
+      val idx = CorpusIndexes.readBucketedTable(s, path, tbl, lay)
+      CorpusIndexes.writeBucketedTable(codebookOf(idx), cp, ct, cl)
+    }
+    val rows = ivfAssignOverCodebook(arrivals, loadIvfCodebook(s, outDir))
     CorpusIndexes.writeBucketedTable(rows, path, tbl, lay, append = true)
   }
 

@@ -50,13 +50,14 @@ object StreamingAnnIngest {
   def run(arrivals: DataFrame, indexDir: String, deltaDir: String,
           checkpointDir: String): StreamingQuery = {
     val s = arrivals.sparkSession
-    // the codebook is the only part of the index the assignment needs;
-    // materialize it once per run (≤16 rows)
-    val idx = graft.ops.Similarity.loadIvfIndex(s, indexDir)
-      .filter("vec_id < 16").localCheckpoint()
+    // the FROZEN persisted codebook is the only part of the index the
+    // assignment needs; materialize it once per run (≤16 rows).
+    // (Never re-derive from index rows: a prior upsert may have
+    // appended arrivals with vec_id < 16.)
+    val cb = graft.ops.Similarity.loadIvfCodebook(s, indexDir).localCheckpoint()
     arrivals.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        assignBatch(batch, idx)
+        graft.ops.Similarity.ivfAssignOverCodebook(batch, cb)
           .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
         ()
       }
@@ -66,13 +67,33 @@ object StreamingAnnIngest {
 
   /** The serving view over a durable index plus its accumulated
     * streamed deltas — what [[StreamingAnn]] (or any batch probe)
-    * reads to serve [index ∪ delta] without a rebuild.
+    * reads to serve [index ∪ delta] without a rebuild. Before the
+    * first micro-batch commits the delta directory holds no parquet;
+    * serving then falls back to the index alone instead of dying on
+    * schema inference (the deploy order IS index → ingest → serve).
     */
   def servingIndex(s: SparkSession, indexDir: String,
                    deltaDir: String): DataFrame = {
     val idx = graft.ops.Similarity.loadIvfIndex(s, indexDir)
-    val delta = s.read.parquet(deltaDir)
-      .select("vec_id", "embedding", "nrm", "cell_id")
-    idx.unionByName(delta)
+    if (!hasParquet(s, deltaDir)) idx
+    else idx.unionByName(s.read.parquet(deltaDir)
+      .select("vec_id", "embedding", "nrm", "cell_id"))
+  }
+
+  /** True iff `dir` already holds at least one parquet part file
+    * (batch_id partition dirs included) — shared with the SRP door.
+    * Hadoop-FS IO so delta roots can live on any filesystem Spark
+    * reads, like the sidecar roots.
+    */
+  private[streaming] def hasParquet(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
   }
 }

@@ -55,10 +55,13 @@ object StreamingSrpIngest {
 
   /** The serving view over a durable index plus its accumulated
     * streamed deltas — what any Hamming probe reads to serve
-    * [index ∪ delta] without a rebuild.
+    * [index ∪ delta] without a rebuild. Falls back to the index alone
+    * while the delta directory is still empty (pre-first-commit).
     */
   def servingIndex(s: SparkSession, indexDir: String,
-                   deltaDir: String): DataFrame =
-    graft.ops.Similarity.loadSrpIndex(s, indexDir)
-      .unionByName(s.read.parquet(deltaDir).select("vec_id", "sig"))
+                   deltaDir: String): DataFrame = {
+    val idx = graft.ops.Similarity.loadSrpIndex(s, indexDir)
+    if (!StreamingAnnIngest.hasParquet(s, deltaDir)) idx
+    else idx.unionByName(s.read.parquet(deltaDir).select("vec_id", "sig"))
+  }
 }

@@ -500,7 +500,16 @@ class SidecarDiskSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-upsert").toString
     val histIdx = Similarity.assignByCodebook(hist, Similarity.codebookOf(hist))
     Similarity.persistIvfIndex(histIdx, dir)
-    Similarity.refreshIvfIndex(arrivals, dir)
+    // TWO refreshes, and the FIRST one appends arrivals with
+    // vec_id < 16 (vecs 2 and 9) — the codebook-pollution trap: the
+    // second refresh must still assign over the FROZEN 14-cell
+    // codebook, not a re-derivation that now sees 16 rows
+    Similarity.refreshIvfIndex(arrivals.filter($"vec_id" < 250), dir)
+    Similarity.refreshIvfIndex(arrivals.filter($"vec_id" >= 250), dir)
+    // the persisted codebook is the historical one, bit for bit, and
+    // is NOT polluted by the appended vec 2/9 rows
+    assert(rows(Similarity.loadIvfCodebook(s, dir).orderBy($"cell_id")) ==
+      rows(Similarity.codebookOf(hist).orderBy($"cell_id")))
 
     // (a) appended index == frozen-codebook rebuild over the union,
     // row for row (assignment depends only on the frozen codebook)
@@ -517,14 +526,23 @@ class SidecarDiskSpec extends AnyFunSuite {
     val queries = Tables.embeddings(s, TestSpark.sfDir)
       .filter($"vec_id" % 13 === 1)
       .select($"vec_id".as("q_id"), $"embedding")
+    val frozenCb = Similarity.codebookOf(hist).localCheckpoint()
     def serve(idx: org.apache.spark.sql.DataFrame) =
-      rows(Similarity.ivfProbeBatch(queries, idx, excludeSelf = false)
-        .orderBy($"q_id", $"rank"))
+      rows(Similarity.ivfProbeBatch(queries, idx, excludeSelf = false,
+        codebook = Some(frozenCb)).orderBy($"q_id", $"rank"))
     val servedAppend = serve(Similarity.loadIvfIndex(s, dir))
     assert(servedAppend == serve(frozenRebuild
       .join(all, "vec_id").select($"vec_id", $"embedding", $"nrm", $"cell_id")),
       "serving the appended index must equal serving a frozen-codebook rebuild")
     assert(servedAppend.nonEmpty)
+    // EVERY query is served under the frozen codebook — with a
+    // polluted (re-derived) codebook a query arg-maxed onto phantom
+    // cell 2/9 would join no index row and silently vanish
+    val nQueries = queries.count()
+    assert(Similarity.ivfProbeBatch(queries, Similarity.loadIvfIndex(s, dir),
+        excludeSelf = false, codebook = Some(Similarity.loadIvfCodebook(s, dir)))
+      .select($"q_id").distinct().count() == nQueries,
+      "a query vanished from serving — codebook not frozen")
 
     // (c) vs the RETRAINED full rebuild (16-cell codebook): for query
     // cells no retrained-vs-frozen assignment change touches, results
@@ -535,11 +553,12 @@ class SidecarDiskSpec extends AnyFunSuite {
       .filter($"cell_id" =!= $"r_cell")
     val touched = moved.select($"cell_id").union(moved.select($"r_cell"))
       .distinct().as[Long].collect().toSet
-    def servedByCell(idx: org.apache.spark.sql.DataFrame) =
-      Similarity.ivfProbeBatchWithCell(queries, idx, excludeSelf = false)
-    val fromAppend = servedByCell(Similarity.loadIvfIndex(s, dir))
+    val fromAppend = Similarity.ivfProbeBatchWithCell(queries,
+        Similarity.loadIvfIndex(s, dir), excludeSelf = false,
+        codebook = Some(frozenCb))
       .filter(!$"q_cell".isin(touched.toSeq: _*)).drop("q_cell")
-    val fromRetrain = servedByCell(retrained)
+    val fromRetrain = Similarity.ivfProbeBatchWithCell(queries, retrained,
+        excludeSelf = false)
       .filter(!$"q_cell".isin(touched.toSeq: _*)).drop("q_cell")
     assert(rows(fromAppend.orderBy($"q_id", $"rank")) ==
       rows(fromRetrain.orderBy($"q_id", $"rank")),

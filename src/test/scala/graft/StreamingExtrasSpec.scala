@@ -872,6 +872,35 @@ class StreamingExtrasSpec extends AnyFunSuite {
       "serving the streamed deltas must equal serving a frozen-codebook rebuild")
   }
 
+  test("ingest doors: servingIndex before the first delta commit serves the index alone") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+      .select($"vec_id", $"embedding")
+    val hist = emb.filter($"vec_id" % 7 =!= 2)
+    // IVF door
+    val ivfRoot = java.nio.file.Files.createTempDirectory("graft-empty-ivf").toString
+    val ivfDelta = java.nio.file.Files.createTempDirectory("graft-empty-ivfd").toString
+    val histN = Similarity.normedVectors(spark, TestSpark.sfDir)
+      .filter($"vec_id" % 7 =!= 2)
+    Similarity.persistIvfIndex(
+      Similarity.assignByCodebook(histN, Similarity.codebookOf(histN)), ivfRoot)
+    val ivfServe = graft.streaming.StreamingAnnIngest
+      .servingIndex(spark, ivfRoot, ivfDelta)
+    assert(ivfServe.count() == histN.count(),
+      "empty delta must fall back to the index alone, not die on schema inference")
+    // SRP door
+    val srpRoot = java.nio.file.Files.createTempDirectory("graft-empty-srp").toString
+    val srpDelta = java.nio.file.Files.createTempDirectory("graft-empty-srpd").toString
+    Similarity.persistSrpIndex(hist, srpRoot)
+    assert(graft.streaming.StreamingSrpIngest
+      .servingIndex(spark, srpRoot, srpDelta).count() == hist.count())
+    // a nonexistent delta dir (job not even started) also serves
+    assert(graft.streaming.StreamingSrpIngest
+      .servingIndex(spark, srpRoot, s"$srpDelta/never_created").count() == hist.count())
+  }
+
   test("StreamingSrpIngest: streamed signature deltas compose to one batch hash; replay exactly-once; serving sees index ∪ delta") {
     val spark = TestSpark.spark
     import spark.implicits._
