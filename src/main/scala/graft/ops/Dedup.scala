@@ -348,7 +348,16 @@ object Dedup {
     // Materialize the pair list ONCE before the symmetrizing
     // self-union — unioning the lazy frame with itself would run the
     // whole candidate pipeline twice.
-    val (pairs, pairsRdds) = tracked(pairsDf)
+    // Normalize to the leading (src-id, dst-id) pair FIRST: callers
+    // legitimately hand over scored frames (d33 passes
+    // (doc_a, doc_b, jaccard)), and the symmetrizing union below is
+    // positional — a 3-vs-2-column union throws on the distributed
+    // path even though the driver fast path reads positionally. The
+    // projection also prunes the payload column out of the
+    // checkpointed edge blocks.
+    val (pairs, pairsRdds) = tracked(
+      pairsDf.select(pairsDf.columns(0), pairsDf.columns(1))
+        .toDF("doc_a", "doc_b"))
     // Deployments tune the gate without a code change; the parameter
     // default stays the documented ~16 MB edge bound.
     val maxEdges = s.conf.getOption("spark.graft.cc.driverMaxEdges")

@@ -412,33 +412,75 @@ object Relational2 {
     * decimal-integer algebra (cum·100 ≥ total·80 — the q29
     * discipline), so the crossing rank is engine-exact.
     *
-    * Scale shape: one custkey aggregate (the only corpus-sized
-    * shuffle), then the rank/cumsum windows run over |customers| —
-    * already the reduced table, but still a single-task sort when
-    * the reduction is itself huge; at that point the crossing moves
-    * to a range-partitioned cumsum (per-partition totals broadcast
-    * as offsets), the standard distributed CDF rewrite. Here the
-    * deliberate simple form matches the oracle frame for frame.
+    * Scale shape — the range-partitioned distributed CDF (the
+    * round-15 verdict's rewrite of the original single-task global
+    * window): after the custkey aggregate (the only corpus-sized
+    * shuffle), the spend table range-partitions on the global rank
+    * order; pass 1 reduces each range to (sum, count) — ONE row per
+    * partition, an AQE-stats-sized driver readback — whose prefix
+    * sums are exact decimal offsets and locate the single partition
+    * containing the 80 %-crossing; pass 2 runs the rank/cumsum window
+    * INSIDE that one range (partitionBy the range id, never a global
+    * sort), shifted by the broadcast offsets. Every window is
+    * range-bounded, the crossing range is the only one that sorts,
+    * and all arithmetic stays in exact decimals, so the crossing rank
+    * is bit-identical to the oracle's single global cumsum. Spend is
+    * strictly positive, so the global cumsum is monotone and the
+    * first crossing range found from the prefix sums IS the range
+    * holding the first crossing row.
     */
   def paretoConcentration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val spend = orders(s, dir)
       .groupBy($"o_custkey")
       .agg(sum(dec($"o_totalprice")).as("spend_dec"))
-    val wOrd = Window.orderBy($"spend_dec".desc, $"o_custkey")
-    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(lit(1))
-    spend
-      .withColumn("rk", row_number().over(wOrd).cast("long"))
-      .withColumn("cum_dec", sum($"spend_dec").over(wCum))
-      .withColumn("total_dec", sum($"spend_dec").over(wAll))
-      .withColumn("n_custs", count(lit(1)).over(wAll))
-      .filter($"cum_dec" * 100 >= $"total_dec" * 80)
+    // Range count: deployments tune it like shuffle.partitions (each
+    // range must fit one task's sort); the session default is right at
+    // test scale and is NOT a correctness knob.
+    val nRanges = s.conf.getOption("spark.graft.pareto.ranges")
+      .map(_.toInt).getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    // Pin the range layout: pass 1 (stats) and pass 2 (window) must
+    // observe the SAME partitioning, and the range boundaries come
+    // from a sampling pass that a re-execution could redraw.
+    val ranged = spend
+      .repartitionByRange(nRanges, $"spend_dec".desc, $"o_custkey".asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    // Pass 1: one (sum, count) row per range — driver state is
+    // |ranges| rows (the AQE-stats scale), never customer rows.
+    val stats = ranged.groupBy($"pid")
+      .agg(sum($"spend_dec").as("psum"), count(lit(1)).as("pcnt"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDecimal(1), r.getLong(2)))
+      .sortBy(_._1)
+    val total = stats.map(_._2).reduce(_ add _)
+    val nCusts = stats.map(_._3).sum
+    val eighty = total.multiply(new java.math.BigDecimal(80))
+    // First range whose inclusive prefix crosses 80 % of total, plus
+    // the exact decimal/rank offsets of everything BEFORE it.
+    var acc = java.math.BigDecimal.ZERO
+    var rkOff = 0L
+    var cross = stats.head
+    var found = false
+    for (st <- stats if !found) {
+      if (acc.add(st._2).multiply(new java.math.BigDecimal(100))
+            .compareTo(eighty) >= 0) { cross = st; found = true }
+      else { acc = acc.add(st._2); rkOff += st._3 }
+    }
+    // Pass 2: rank + cumsum inside the crossing range only, shifted
+    // by the broadcast offsets — a range-sized sort, not a global one.
+    val w = Window.partitionBy($"pid")
+      .orderBy($"spend_dec".desc, $"o_custkey")
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.filter($"pid" === cross._1)
+      .withColumn("rk", row_number().over(w).cast("long") + lit(rkOff))
+      .withColumn("cum_dec", sum($"spend_dec").over(wCum) + lit(acc))
+      .filter($"cum_dec" * 100 >= lit(total) * 80)
       .orderBy($"rk")
       .limit(1)
-      .select($"rk".as("head_customers"), $"n_custs",
-        ($"rk".cast("double") / $"n_custs".cast("double")).as("head_frac"),
-        ($"cum_dec".cast("double") / $"total_dec".cast("double")).as("head_rev_share"))
+      .select($"rk".as("head_customers"), lit(nCusts).as("n_custs"),
+        ($"rk".cast("double") / lit(nCusts).cast("double")).as("head_frac"),
+        ($"cum_dec".cast("double") / lit(total).cast("double")).as("head_rev_share"))
   }
 
   def nationMarketShare(s: SparkSession, dir: String): DataFrame = {

@@ -731,15 +731,35 @@ object Similarity {
   /** The FROZEN persisted codebook of a durable index root. Falls back
     * to deriving from the index for roots persisted before the
     * codebook table existed (e.g. the generic `persistSidecars`
-    * ivf_assigned) — sound there because those tables are full
-    * rebuilds; [[refreshIvfIndex]] materializes the codebook before
-    * its first append so the fallback never sees an upserted table.
+    * ivf_assigned) — sound for full rebuilds, and [[refreshIvfIndex]]
+    * materializes the codebook before its first append so any root
+    * whose first upsert runs under current code never reaches the
+    * fallback with appended rows. A root that already took upserts
+    * under PRE-codebook code is exactly the pollution this table
+    * guards against, so the fallback refuses it when it can prove it:
+    * an appended arrival reusing a seed id leaves >1 row per
+    * `vec_id < 16`, and a multi-generation low-id slice fails loudly
+    * here instead of silently unfreezing the centroids. (An arrival
+    * under a FRESH id < 16 on a corpus that never had that id is
+    * indistinguishable from a small initial corpus — that residual
+    * case still derives; the testdata corpora always carry ids 0-15,
+    * so there it collides and trips the guard.)
     */
   def loadIvfCodebook(s: SparkSession, outDir: String): DataFrame = {
     val (cp, ct, cl) = ivfCodebookParts(outDir)
     if (CorpusIndexes.sidecarPathExists(s, cp))
       CorpusIndexes.readBucketedTable(s, cp, ct, cl)
-    else codebookOf(loadIvfIndex(s, outDir))
+    else {
+      val idx = loadIvfIndex(s, outDir)
+      val dupSeedIds = idx.filter(col("vec_id") < 16)
+        .groupBy("vec_id").count().filter(col("count") > 1).count()
+      require(dupSeedIds == 0L,
+        s"IVF root $outDir has no persisted codebook but its vec_id<16 " +
+          "slice is multi-generation (a pre-codebook upsert landed seed " +
+          "ids); deriving a codebook from it would unfreeze the " +
+          "centroids. Rebuild the index with persistIvfIndex.")
+      codebookOf(idx)
+    }
   }
 
   /** Assign arriving (vec_id, embedding) rows over the FROZEN codebook

@@ -113,8 +113,23 @@ object StreamingClusterMaintenance {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val prev =
           if (batchId == 0L) Array.empty[(Long, Long)]
-          else session.read.parquet(s"$stateDir/batch_id=${batchId - 1}")
-            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          else {
+            val snap = s"$stateDir/batch_id=${batchId - 1}"
+            // A missing prior snapshot means the checkpoint and the
+            // state root disagree (stateDir cleaned while the
+            // checkpoint survived, or a reused checkpoint pointed at a
+            // fresh stateDir). Silently proceeding would fold batch n
+            // onto EMPTY state — wrong labels with no error — and the
+            // raw parquet path error the reader throws otherwise is
+            // undiagnosable. Fail with the actual operator story.
+            require(StreamingAnnIngest.hasParquet(session, snap),
+              s"state snapshot for batch ${batchId - 1} missing at $snap: " +
+                "checkpoint and stateDir are out of sync (stateDir cleaned, " +
+                "or a reused checkpoint against a fresh stateDir); restore " +
+                "the snapshot or clear the checkpoint to restart from batch 0")
+            session.read.parquet(snap)
+              .collect().map(r => (r.getLong(0), r.getLong(1)))
+          }
         val state = step(batch, labels, bands, prev)
         val sf = stateFrame(session, state).coalesce(1)
         sf.write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")

@@ -116,6 +116,24 @@ class ConvergenceSpec extends AnyFunSuite {
       .map(_ -> 3000000L).toMap)
   }
 
+  test("a scored 3-column edge frame survives the distributed loop (d33 shape)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // d33 hands connectedComponents the (doc_a, doc_b, jaccard) scored
+    // frame. The driver fast path always read positionally and worked;
+    // the distributed loop's symmetrizing self-union was positional and
+    // 3-vs-2 columns — this pins the normalization that fixed it, on
+    // BOTH sides of the gate.
+    val scored = Seq((10L, 11L, 0.97), (11L, 12L, 0.31), (20L, 21L, 0.99))
+      .toDF("doc_a", "doc_b", "jaccard")
+    def labelsOf(threshold: Long): Map[Long, Long] =
+      Dedup.connectedComponentsWithRounds(spark, scored, driverMaxEdges = threshold)
+        ._1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(labelsOf(0L) == expected, "distributed loop over a scored frame")
+    assert(labelsOf(Long.MaxValue) == expected, "driver fast path over a scored frame")
+  }
+
   test("several disjoint chains converge together, each to its own minimum") {
     val spark = TestSpark.spark
     import spark.implicits._

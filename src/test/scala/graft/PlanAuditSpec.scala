@@ -157,12 +157,21 @@ class PlanAuditSpec extends AnyFunSuite {
             a.groupingExpressions.size >= 2 ||
               a.groupingExpressions.flatMap(_.references.toSeq.map(_.name))
                 .exists(itemKeys.contains)
-          // A collect whose input subtree passes through a Limit is
-          // bounded by that limit whatever the grouping (t38's
-          // top-50 OLS fold).
-          val limitBounded = a.child.collectFirst {
-            case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
-          }.isDefined
+          // A collect whose input passes through a Limit is bounded by
+          // that limit whatever the grouping (t38's top-50 OLS fold) —
+          // but ONLY when the Limit sits on the aggregate's DIRECT
+          // input lineage (walk unary nodes only): a Limit buried in
+          // one join branch must not exempt an unbounded collect fed
+          // by the other branch.
+          def limitOnLineage(
+              p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+            p match {
+              case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true
+              case u: org.apache.spark.sql.catalyst.plans.logical.UnaryNode =>
+                limitOnLineage(u.child)
+              case _ => false
+            }
+          val limitBounded = limitOnLineage(a.child)
           if (unbounded.nonEmpty && !boundedGroup && !limitBounded)
             Some(s"$name: grouping=${a.groupingExpressions.map(_.sql).mkString(",")}")
           else None
@@ -170,6 +179,52 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"unbounded collect_list buffers in: ${offenders.mkString("; ")}")
+  }
+
+  test("no registered query runs an unpartitioned window over unbounded input") {
+    // The round-15 q31 lesson made mechanical: a logical Window whose
+    // partitionSpec is empty or all-foldable (partitionBy(lit(1)) is
+    // the same single task) moves its WHOLE input into one task.
+    // Allowed only when (a) a GlobalLimit sits on the window's direct
+    // input lineage — walking unary nodes only, the t37/t38
+    // top-k-then-rank shape, same lineage rule as the collect_list
+    // gate — or (b) the query claims a by-construction input bound BY
+    // NAME below. This gate would have caught the original q31 global
+    // cumsum (now the range-partitioned two-pass CDF).
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LogicalPlan, UnaryNode, Window => LogicalWindow}
+    val boundedByConstruction: Map[String, String] = Map(
+      "q26_rolling_revenue" -> ("RANGE-frame input is one row per calendar " +
+        "day: |days| is bounded by the corpus time span, not its size"),
+      "q28_market_share" -> "input is the nation-level aggregate: |nations| = 25 rows",
+      "t28_vocab_growth" -> ("input is the decile table: grouping key " +
+        "b = doc_id*10 div n_docs has 10 values"),
+      "t30_freq_spectrum" -> ("input is the count-of-counts spectrum: " +
+        "|distinct frequencies| = O(sqrt(total tokens)), sub-linear in corpus size"),
+      "e07_type_shares" -> ("input is the event-type aggregate: " +
+        "|event types| is a fixed small domain (6 here)"),
+      "t39_heaps_fit" -> ("inlines t28's decile windows: same 10-row " +
+        "decile table, under t39's own limit(10) fold"))
+    def limitOnLineage(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit => true
+      case u: UnaryNode => limitOnLineage(u.child)
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => boundedByConstruction.contains(name) }
+      .flatMap { case (name, fn) =>
+        fn(spark, TestSpark.sfDir).queryExecution.optimizedPlan.collect {
+          case wnd: LogicalWindow
+              if wnd.partitionSpec.forall(_.foldable) && !limitOnLineage(wnd.child) =>
+            s"$name: window(${wnd.windowExpressions.map(_.name).mkString(",")})"
+        }
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over unbounded input:\n${offenders.mkString("\n")}")
+    // The whitelist must stay live: a renamed/retired query must not
+    // leave a stale claim behind.
+    boundedByConstruction.keys.foreach(k =>
+      assert(SparkEntry.queries.contains(k), s"stale whitelist entry $k"))
   }
 
   test("wide-table scans prune columns: no registered query reads a full wide schema") {
