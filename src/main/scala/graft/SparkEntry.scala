@@ -25,6 +25,10 @@ object SparkEntry {
     // table below the explode, capitalized-word PER fallback — the
     // PER/ORG/LOC/MISC surface contract of the reference's model.
     "p02_typed_entities"     -> (graft.pipeline.EntityPipeline.typedEntityCounts _),
+    // p03 = multi-token entity spans: consecutive same-type entity
+    // tokens merge into ONE surface (grouped_entities analog), typed
+    // with the p02 precedence via gaps-and-islands on token position.
+    "p03_entity_spans"       -> (graft.pipeline.EntityPipeline.entitySpans _),
     // ---- relational surface ----
     "q01_pricing_summary"    -> (Relational.pricingSummary _),
     "q02_top_orders"         -> (Relational.topOrders _),
@@ -517,6 +521,7 @@ object SparkEntry {
     Map(
       "p01_entity_count" -> graft.pipeline.EntityPipeline.oracle,
       "p02_typed_entities" -> graft.pipeline.EntityPipeline.typedOracle,
+      "p03_entity_spans" -> graft.pipeline.EntityPipeline.spansOracle,
       "q01_pricing_summary" -> s"""
         SELECT l_returnflag, l_linestatus,
           count(*) AS n_rows,

@@ -100,6 +100,99 @@ object EntityPipeline {
       .orderBy($"n".desc, $"entity")
   }
 
+  /** p03 — MULTI-TOKEN ENTITY SPANS: the grouped-entities analog of
+    * the reference's NER (spark_entity_counter.py:56
+    * `grouped_entities=True`, aggregation_strategy="simple"): maximal
+    * runs of CONSECUTIVE same-type entity tokens emit as ONE surface
+    * ("New York", not ["New","York"]), typed with the p02 precedence
+    * (gazetteer hit wins; capitalized-word heuristic is the PER
+    * fallback). This closes the last reproducible fidelity gap to the
+    * transformer pipeline's output contract: the model's "simple"
+    * aggregation merges adjacent tokens of one entity_group exactly
+    * like the positional run-merge here.
+    *
+    * Mechanics: positional tokenize (posexplode), per-token typing
+    * below a broadcast gazetteer, then gaps-and-islands — run id =
+    * pos − row_number() over (doc, type) ordered by pos, so two
+    * same-type tokens are one island iff their positions are adjacent
+    * — and the span surface rebuilds in position order via a sorted
+    * per-island fold.
+    *
+    * Scale shape: the gazetteer broadcast sits below the explode
+    * (tokens never shuffle untyped); the islands window partitions by
+    * (doc_id, entity_type) — document-sized partitions, never global —
+    * and the island aggregate reuses that exchange (its grouping
+    * extends the window's partition keys). The per-island collect is
+    * bounded by the span length (a few tokens). The only other
+    * shuffle is the final surface-keyed count with map-side combine.
+    */
+  def entitySpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    spanRows(Tables.documents(s, dir).select($"doc_id", $"text"))
+      .groupBy($"entity", $"entity_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"entity", $"entity_type")
+  }
+
+  /** One row per entity span: (doc_id, entity, entity_type) — the
+    * contract seam RuleNerSpec tests against tiny literal corpora.
+    */
+  private[graft] def spanRows(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gaz = RuleNer.TypedGazetteer.toDF("surface", "entity_type")
+    val typed = docs
+      .select(col("doc_id"),
+        posexplode(split(coalesce($"text", lit("")), "\\s+")).as(Seq("pos", "tok")))
+      .filter($"tok" =!= "")
+      .join(broadcast(gaz), $"tok" === $"surface", "left")
+      .withColumn("entity_type",
+        coalesce($"entity_type",
+          when($"tok".rlike(RuleNer.CapitalizedRe), "PER")))
+      .filter($"entity_type".isNotNull)
+    val w = Window.partitionBy($"doc_id", $"entity_type").orderBy($"pos")
+    typed
+      .withColumn("grp", $"pos" - row_number().over(w))
+      .groupBy($"doc_id", $"entity_type", $"grp")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"pos", $"tok"))),
+          x => x("tok")), " ").as("entity"))
+      .select($"doc_id", $"entity", $"entity_type")
+  }
+
+  /** DuckDB oracle for [[entitySpans]] — parallel unnest zips (tok,
+    * pos), the same islands window, string_agg ordered by pos. The
+    * engines' pos bases differ (0- vs 1-based) but the island id only
+    * ever serves as a group key, never an output.
+    */
+  val spansOracle: String = {
+    val gazRows = RuleNer.TypedGazetteer
+      .map { case (sf, ty) => s"('$sf', '$ty')" }.mkString(", ")
+    s"""
+    WITH gaz(surface, entity_type) AS (VALUES $gazRows),
+    d AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+          FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok,
+              unnest(range(1, len(toks) + 1)) AS pos FROM d),
+    typed AS (SELECT t.doc_id, t.pos, t.tok,
+                COALESCE(g.entity_type,
+                  CASE WHEN regexp_full_match(t.tok, '[A-Z][A-Za-z]+')
+                       THEN 'PER' END) AS entity_type
+              FROM tok t LEFT JOIN gaz g ON t.tok = g.surface
+              WHERE t.tok <> ''),
+    runs AS (SELECT doc_id, entity_type, pos, tok,
+               pos - row_number() OVER (PARTITION BY doc_id, entity_type
+                                        ORDER BY pos) AS grp
+             FROM typed WHERE entity_type IS NOT NULL),
+    spans AS (SELECT doc_id, entity_type,
+                string_agg(tok, ' ' ORDER BY pos) AS entity
+              FROM runs GROUP BY doc_id, entity_type, grp)
+    SELECT entity, entity_type, count(*) AS n FROM spans
+    GROUP BY entity, entity_type
+    ORDER BY n DESC, entity, entity_type"""
+  }
+
   /** DuckDB oracle for [[typedEntityCounts]] — the gazetteer modeled
     * directly as a VALUES relation, same left join + PER fallback.
     */

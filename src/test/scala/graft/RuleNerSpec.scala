@@ -84,4 +84,43 @@ class RuleNerSpec extends AnyFunSuite {
         s"${r.getString(0)}: typed count ${r.getLong(2)} != p01 ${p01(r.getString(0))}")
     }
   }
+
+  test("p03 span contract: consecutive same-type tokens merge, boundaries split") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // The grouped-entities analog, pinned on literal corpora:
+    //  - adjacent capitalized tokens are ONE surface ("New York");
+    //  - a type boundary splits even when positions are adjacent
+    //    ("spark stream" = ORG then MISC, two spans);
+    //  - a non-entity token splits a run ("Alice met Bob");
+    //  - same-type gazetteer runs merge ("hash join merge" is one MISC
+    //    span, exactly HF simple-aggregation's same-group merge);
+    //  - null/empty text emits nothing;
+    //  - duplicates count per occurrence across docs.
+    val docs = Seq(
+      (1L, "Alice met Bob in New York"),
+      (2L, "the spark stream runs"),
+      (3L, "hash join merge wins"),
+      (4L, null.asInstanceOf[String]),
+      (5L, ""),
+      (6L, "New York New York")).toDF("doc_id", "text")
+    val spans = graft.pipeline.EntityPipeline.spanRows(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(spans == Set(
+      (1L, "Alice", "PER"), (1L, "Bob", "PER"), (1L, "New York", "PER"),
+      (2L, "spark", "ORG"), (2L, "stream", "MISC"),
+      (3L, "hash join merge", "MISC"),
+      // doc 6: four adjacent PER tokens are one maximal run — the
+      // HF simple strategy would merge them identically.
+      (6L, "New York New York", "PER")))
+    // And the registered aggregate counts surfaces per occurrence.
+    val counted = graft.pipeline.EntityPipeline.entitySpans(spark, TestSpark.sfDir)
+    val rows = counted.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set("PER", "ORG", "LOC", "MISC").contains(r.getString(1))))
+    // Multi-token spans actually occur on the shipped corpus (the
+    // whole point of p03 over p02) — at least one surface has a space.
+    assert(rows.exists(_.getString(0).contains(" ")),
+      "expected at least one multi-token span on the test corpus")
+  }
 }
