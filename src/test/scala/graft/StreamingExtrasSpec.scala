@@ -1247,6 +1247,102 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  // ---- StreamingAttribution: the stream-stream interval join ------
+
+  /** The e10 fixture split into its two event-time-ordered streams. */
+  private def attributionFeeds(spark: org.apache.spark.sql.SparkSession) = {
+    import spark.implicits._
+    val e = Tables.events(spark, TestSpark.sfDir)
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+      .as[(Long, Long, java.sql.Timestamp, String)].collect().sortBy(_._3.getTime)
+    val purchases = e.filter(_._4 == "purchase").map(r => (r._1, r._2, r._3))
+    val signups = e.filter(_._4 == "signup").map(r => (r._1, r._2, r._3))
+    (purchases, signups)
+  }
+
+  private def attributionBatch(spark: org.apache.spark.sql.SparkSession) =
+    graft.ops.EventOps.purchaseSignupRange(spark, TestSpark.sfDir)
+      .select("purchase_id", "user_id", "signup_id")
+
+  test("StreamingAttribution: two watermarked streams compose to batch e10") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val (purchases, signups) = attributionFeeds(spark)
+    assert(purchases.nonEmpty && signups.nonEmpty)
+    val out = java.nio.file.Files.createTempDirectory("graft_attr_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_attr_ckpt").toString
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val sIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = graft.streaming.StreamingAttribution.run(
+      pIn.toDF().toDF("purchase_id", "user_id", "p_ts"),
+      sIn.toDF().toDF("signup_id", "s_user_id", "s_ts"), out, ckpt)
+    try {
+      // Three uneven event-time-ordered slices per stream: a purchase
+      // may match a signup from an EARLIER slice (the 7-day reach-back
+      // the state store must hold) or from the same one.
+      for (i <- 0 until 3) {
+        val ps = purchases.slice(i * purchases.length / 3,
+          (i + 1) * purchases.length / 3)
+        val ss = signups.slice(i * signups.length / 3,
+          (i + 1) * signups.length / 3)
+        pIn.addData(ps.toSeq); sIn.addData(ss.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batchRun = attributionBatch(spark)
+    assert(streamed.count() > 0, "fixture must produce matches")
+    assert(streamed.count() == batchRun.count())
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+  }
+
+  test("StreamingAttribution restart replays the uncommitted batch exactly-once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val (purchases, signups) = attributionFeeds(spark)
+    val out = java.nio.file.Files.createTempDirectory("graft_attrr_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_attrr_ckpt").toString
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val sIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def start() = graft.streaming.StreamingAttribution.run(
+      pIn.toDF().toDF("purchase_id", "user_id", "p_ts"),
+      sIn.toDF().toDF("signup_id", "s_user_id", "s_ts"), out, ckpt)
+
+    val q1 = start()
+    try {
+      pIn.addData(purchases.take(purchases.length / 2).toSeq)
+      sIn.addData(signups.take(signups.length / 2).toSeq)
+      q1.processAllAvailable()
+      pIn.addData(purchases.drop(purchases.length / 2).toSeq)
+      sIn.addData(signups.drop(signups.length / 2).toSeq)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // Crash between offset log and commit: drop the LAST commit marker
+    // (and its stale .crc), forcing a replay of that batch — with the
+    // join state restored from the checkpoint — under the same id.
+    val commitDir = new java.io.File(s"$ckpt/commits")
+    val commits = commitDir.listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    val lastId = commits.last.getName.toLong
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.$lastId.crc")
+    if (crc.exists()) assert(crc.delete())
+
+    val q2 = start()
+    try q2.processAllAvailable() // replays the dropped batch
+    finally q2.stop()
+
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batchRun = attributionBatch(spark)
+    assert(streamed.count() == batchRun.count())
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+  }
+
   test("flatMapGroupsWithState keeps custom per-key state across triggers") {
     val spark = TestSpark.spark
     import spark.implicits._
