@@ -85,7 +85,12 @@ private[graft] object CorpusIndexes {
     // the 64-row frozen subspace codebook shipped NEXT TO pq_codes by
     // the durable PQ index (not a persistSidecars key — it derives
     // from the corpus; the index-dir form owns it)
-    "pq_codebook"    -> Layout(4, "m", Seq("m", "k")))
+    "pq_codebook"    -> Layout(4, "m", Seq("m", "k")),
+    // the streaming cluster-maintenance door's durable label table
+    // (fold target, owned by Dedup.persistMaintLabels — not a
+    // persistSidecars key: it accretes from folds, not from a corpus
+    // rebuild); bucketed on the consumer join column like text_labels
+    "maint_labels"   -> Layout(8, "doc_id", Seq("doc_id")))
 
   /** One-slot lazy holder: `computeIfAbsent` only ever constructs the
     * holder (cheap, no callback into the cache), and the build itself

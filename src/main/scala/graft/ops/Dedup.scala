@@ -604,6 +604,62 @@ object Dedup {
         $"prev_cluster".isNull || $"prev_cluster" =!= $"cluster_id")
   }
 
+  /** FOLD a maintained contracted labeling into the label table itself
+    * — the durable-sidecar half of the streaming maintenance door's
+    * lifecycle (every other index family's refresh discipline): the
+    * folded table carries one (doc_id, cluster_id) row for every doc
+    * the labeling knows — historical rows relabeled where a merge
+    * touched their component, plus the probed singletons and arrival
+    * docs the verdicts introduce. Docs absent from both inputs stay
+    * absent (absence = own singleton cluster, the label-table
+    * convention throughout the d11/d32 family).
+    *
+    * Composition: union-by-min labels depend only on the UNION of
+    * edges, so folding generation n's contracted labels and then
+    * contracting generation n+1 against the FOLDED table equals one
+    * CC over all edges — the same edge-order-freedom argument as the
+    * streaming door's batch-equivalence, applied across folds.
+    *
+    * Scale shape: one left join of the label sidecar against the
+    * batch-sized verdict rows plus an anti-join for the new rows —
+    * the corpus-sized side shuffles once on doc_id, which is the
+    * folded table's own bucket column, so at scale both sides read
+    * co-located.
+    */
+  private[graft] def foldMaintenanceLabels(merged: DataFrame,
+                                           histLabels: DataFrame): DataFrame = {
+    val s = merged.sparkSession
+    import s.implicits._
+    val verdicts = maintenanceVerdicts(merged, histLabels)
+      .select($"doc_id", $"cluster_id")
+    val overrides = verdicts.toDF("v_doc", "v_lbl")
+    histLabels.join(overrides, $"doc_id" === $"v_doc", "left")
+      .select($"doc_id", coalesce($"v_lbl", $"cluster_id").as("cluster_id"))
+      .union(verdicts.join(histLabels.select($"doc_id"), Seq("doc_id"), "left_anti"))
+  }
+
+  private def maintLabelParts(root: String) =
+    (s"$root/maint_labels", CorpusIndexes.tableName(root, "maint_labels"),
+      CorpusIndexes.layouts("maint_labels"))
+
+  /** Write a folded label table as the door's durable sidecar under
+    * `root/maint_labels` (bucketed on doc_id). Callers that fold INTO
+    * an existing root must materialize the folded frame first — the
+    * overwrite would otherwise read its own target.
+    */
+  private[graft] def persistMaintLabels(labels: DataFrame, root: String): Unit = {
+    val (p, t, l) = maintLabelParts(root)
+    CorpusIndexes.writeBucketedTable(labels, p, t, l)
+  }
+
+  private[graft] def hasMaintLabels(s: SparkSession, root: String): Boolean =
+    CorpusIndexes.sidecarPathExists(s, s"$root/maint_labels")
+
+  private[graft] def loadMaintLabels(s: SparkSession, root: String): DataFrame = {
+    val (p, t, l) = maintLabelParts(root)
+    CorpusIndexes.readBucketedTable(s, p, t, l)
+  }
+
   def incrementalClusters(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
     import s.implicits._
     val (_, probeEdges) = incrementalClusterGraph(s, dir, cap)

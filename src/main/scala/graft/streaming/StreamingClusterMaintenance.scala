@@ -103,12 +103,23 @@ object StreamingClusterMaintenance {
     * `stateDir/batch_id=<n>` (keyed overwrite — replay rewrites the
     * same bytes) and the same rows under `outDir/batch_id=<n>` as the
     * tick's published label table.
+    *
+    * `labelsRoot`: when set AND a prior [[foldIntoSidecar]] persisted
+    * a table there, the historical labeling is served from that
+    * durable folded sidecar instead of being re-derived from the
+    * corpus — the post-fold generation's serve path (contraction
+    * against CURRENT labels is what makes folds compose, see
+    * `Dedup.foldMaintenanceLabels`).
     */
   def run(newDocs: DataFrame, dir: String, outDir: String, stateDir: String,
-          checkpointDir: String, cap: Int = 64): StreamingQuery = {
+          checkpointDir: String, cap: Int = 64,
+          labelsRoot: Option[String] = None): StreamingQuery = {
     val session = newDocs.sparkSession
     val bands = graft.ops.Dedup.clusterMaintenanceBands(session, dir, cap)
-    val labels = graft.ops.Dedup.histClusterLabels(session, dir, cap)
+    val labels = labelsRoot
+      .filter(r => graft.ops.Dedup.hasMaintLabels(session, r))
+      .map(r => graft.ops.Dedup.loadMaintLabels(session, r))
+      .getOrElse(graft.ops.Dedup.histClusterLabels(session, dir, cap))
     newDocs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val prev =
@@ -138,5 +149,43 @@ object StreamingClusterMaintenance {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+  }
+
+  /** FOLD the accumulated per-batch state into the durable label
+    * sidecar and reset the snapshots — the maintenance pass that
+    * bounds the door's driver-held state by the fold CADENCE instead
+    * of the stream lifetime (every other index family's
+    * persist→refresh→compact lifecycle, applied to the label table).
+    * Reads the LATEST `stateDir/batch_id=<n>` snapshot, folds it into
+    * the historical labeling (served from `labelsRoot` if a prior
+    * fold persisted one, else derived from the corpus), overwrites
+    * `labelsRoot/maint_labels`, and deletes every per-batch snapshot.
+    * A subsequent [[run]] against a FRESH checkpoint starts from
+    * batch 0 with empty state, contracting new arrivals against the
+    * folded table — the generation handoff.
+    *
+    * Must run between streams (the door stopped): it deletes the
+    * snapshots a live run's next batch would read.
+    */
+  def foldIntoSidecar(s: SparkSession, dir: String, stateDir: String,
+                      labelsRoot: String, cap: Int = 64): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val snaps = fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+    require(snaps.nonEmpty,
+      s"foldIntoSidecar: no batch_id=<n> snapshots under $stateDir")
+    val last = snaps.map(_.getPath.getName.stripPrefix("batch_id=").toLong).max
+    val state = s.read.parquet(s"$stateDir/batch_id=$last")
+    val hist =
+      if (graft.ops.Dedup.hasMaintLabels(s, labelsRoot))
+        graft.ops.Dedup.loadMaintLabels(s, labelsRoot)
+      else graft.ops.Dedup.histClusterLabels(s, dir, cap)
+    // Materialize BEFORE the overwrite: on a second-generation fold the
+    // folded frame reads the very table persistMaintLabels rewrites.
+    val folded = graft.ops.Dedup.foldMaintenanceLabels(state, hist)
+      .localCheckpoint()
+    graft.ops.Dedup.persistMaintLabels(folded, labelsRoot)
+    snaps.foreach(st => fs.delete(st.getPath, true))
   }
 }

@@ -699,6 +699,73 @@ class SidecarDiskSpec extends AnyFunSuite {
     assert(batchRun.except(streamed).count() == 0)
   }
 
+  test("cluster-maintenance label lifecycle: fold equals from-scratch d32 labels, snapshots reset, folded table serves generation two") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.ops.Dedup
+    val arrivals = Tables.documents(spark, TestSpark.sfDir)
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val slices = Seq(arrivals.take(arrivals.length / 2),
+      arrivals.drop(arrivals.length / 2))
+    val out = java.nio.file.Files.createTempDirectory("graft-fold-out").toString
+    val st = java.nio.file.Files.createTempDirectory("graft-fold-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fold-ckpt").toString
+    val lblRoot = java.nio.file.Files.createTempDirectory("graft-fold-lbl").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingClusterMaintenance.run(
+      input.toDF().toDF("doc_id", "text"), TestSpark.sfDir, out, st, ckpt)
+    try slices.foreach { sl => input.addData(sl.toSeq); q.processAllAvailable() }
+    finally q.stop()
+
+    graft.streaming.StreamingClusterMaintenance.foldIntoSidecar(
+      spark, TestSpark.sfDir, st, lblRoot)
+
+    // (a) fold == from-scratch d32: the folded table must equal the
+    // label table derived from the BATCH d32 verdicts (the
+    // oracle-checked incrementalClusters output) applied over the
+    // historical labeling — built here independently of the fold code
+    // path's input (streamed state).
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hist = Dedup.histClusterLabels(spark, TestSpark.sfDir)
+    val verdicts = Dedup.incrementalClusters(spark, TestSpark.sfDir)
+      .select($"doc_id", $"cluster_id")
+    val expected = labelMap(hist) ++ labelMap(verdicts)
+    val folded = Dedup.loadMaintLabels(spark, lblRoot)
+    assert(labelMap(folded) == expected,
+      "folded sidecar must equal from-scratch d32 labels over history")
+    assert(expected.nonEmpty)
+
+    // (b) snapshots reset: per-tick driver state is now bounded by the
+    // fold cadence — nothing left to accrete under stateDir.
+    val leftover = new java.io.File(st).listFiles()
+      .filter(_.getName.startsWith("batch_id="))
+    assert(leftover.isEmpty, s"snapshots survive the fold: ${leftover.mkString(",")}")
+
+    // (c) generation handoff: a fresh run served from the folded
+    // sidecar starts at batch 0 with empty state; re-feeding the same
+    // arrivals must label every arrival with its FOLDED cluster id
+    // (gen-2 contraction against current labels composes — the
+    // foldMaintenanceLabels edge-union argument, observed end to end).
+    val st2 = java.nio.file.Files.createTempDirectory("graft-fold-st2").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft-fold-out2").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-fold-ck2").toString
+    val input2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q2 = graft.streaming.StreamingClusterMaintenance.run(
+      input2.toDF().toDF("doc_id", "text"), TestSpark.sfDir, out2, st2, ckpt2,
+      labelsRoot = Some(lblRoot))
+    try { input2.addData(arrivals.toSeq); q2.processAllAvailable() }
+    finally q2.stop()
+    val gen2 = labelMap(spark.read.parquet(s"$st2/batch_id=0"))
+    val foldedMap = labelMap(folded)
+    arrivals.map(_._1).foreach { d =>
+      assert(gen2.get(d) == foldedMap.get(d),
+        s"arrival $d: gen-2 label ${gen2.get(d)} != folded ${foldedMap.get(d)}")
+    }
+  }
+
   test("compactSidecars leaves every consumer result unchanged, one file per bucket") {
     val base = TestSpark.spark
     val before = rows(SparkEntry.queries("d04_shingle_jaccard")(diskSession(), TestSpark.sfDir))
