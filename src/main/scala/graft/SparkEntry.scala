@@ -240,6 +240,12 @@ object SparkEntry {
     // τ=0.95, diffed per cluster — names the clusters held together
     // only by weak edges; one scored pair list, two CC passes.
     "d33_threshold_ablation" -> ((s, d) => Dedup.thresholdAblation(s, d)),
+    // d34 = exact repeated substrings at ARBITRARY length (the
+    // Lee-et-al. training-dedup standard): positional L-gram hashes,
+    // cross-doc repeated grams, maximal consecutive runs = maximal
+    // duplicated regions — catches spans d20 (alignment) and d22
+    // (boundary-free) both miss.
+    "d34_repeated_spans"     -> ((s, d) => Dedup.maximalRepeatedSpans(s, d)),
     // d27 = the dedup DECISION table: per implicated doc the keep/drop
     // verdict with the quality-argmax canonical survivor (tie → min
     // doc_id) — the apply-step artifact downstream filters join on.
@@ -2657,6 +2663,36 @@ object SparkEntry {
           (count(DISTINCT coalesce(hi_cluster, lo.doc_id)) > 1) AS splits_at_hi
         FROM lo LEFT JOIN hi USING (doc_id)
         GROUP BY lo_cluster ORDER BY lo_cluster""",
+      // d34: positional 20-gram polynomial hashes via list_reduce
+      // (length-agnostic — a nested literal polynomial trips DuckDB's
+      // 128-deep binder recursion cap at this L), cross-doc repeated
+      // grams, gaps-and-islands maximal runs, span text sliced back
+      // out of the token array.
+      "d34_repeated_spans" -> """
+        WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks,
+                      list_transform(regexp_split_to_array(text, '\s+'),
+                        t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+                    FROM documents),
+        grams AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(th) - 19),
+                    i -> struct_pack(pos := CAST(i - 1 AS BIGINT),
+                      g := list_reduce(th[i:i+19],
+                             (acc, x) -> (acc * 31 + x) % 2147483647))),
+                    recursive := true)
+                  FROM tk WHERE len(th) >= 20),
+        pg AS (SELECT g, doc_id FROM grams GROUP BY g, doc_id),
+        rep AS (SELECT g FROM pg GROUP BY g HAVING count(*) >= 2),
+        hit AS (SELECT grams.doc_id, grams.pos FROM grams JOIN rep USING (g)),
+        isl AS (SELECT doc_id, pos,
+                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM hit),
+        spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+                    CAST(max(pos) - min(pos) + 20 AS BIGINT) AS span_tokens
+                  FROM isl GROUP BY doc_id, grp)
+        SELECT s.doc_id, s.start_pos, s.span_tokens,
+          array_to_string(tk.toks[s.start_pos + 1 : s.start_pos + s.span_tokens], ' ')
+            AS span_text
+        FROM spans s JOIN tk ON s.doc_id = tk.doc_id
+        ORDER BY s.doc_id, s.start_pos""",
       "d32_incremental_clusters" -> """
         WITH RECURSIVE
         tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),

@@ -1542,9 +1542,16 @@ object Dedup {
     * computed Expand-free by aggregating (hash, doc) first and
     * re-aggregating, per the countDistinct rule.
     */
-  def chunkDedup(s: SparkSession, dir: String, window: Int = 10): DataFrame = {
+  def chunkDedup(s: SparkSession, dir: String, window: Int = 10): DataFrame =
+    chunkDedupFrame(documents(s, dir).select(col("doc_id"), col("text")), window)
+
+  /** [[chunkDedup]] over an explicit (doc_id, text) frame — the seam
+    * the d34 blind-spot spec feeds literal corpora through.
+    */
+  private[graft] def chunkDedupFrame(docs: DataFrame, window: Int): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val words = documents(s, dir)
+    val words = docs
       .select($"doc_id", posexplode(split($"text", "\\s+")).as(Seq("pos", "word")))
     val chunks = words
       .groupBy($"doc_id", ($"pos" / window).cast("int").as("chunk_no"))
@@ -1575,14 +1582,21 @@ object Dedup {
     * (bounded by document length, never a global sort), then the same
     * digest-keyed report as d20 — documents never shuffle whole.
     */
-  def chunkDedupCdc(s: SparkSession, dir: String, minLen: Int = 5): DataFrame = {
+  def chunkDedupCdc(s: SparkSession, dir: String, minLen: Int = 5): DataFrame =
+    chunkDedupCdcFrame(documents(s, dir).select(col("doc_id"), col("text")), minLen)
+
+  /** [[chunkDedupCdc]] over an explicit (doc_id, text) frame — the
+    * seam the d34 blind-spot spec feeds literal corpora through.
+    */
+  private[graft] def chunkDedupCdcFrame(docs: DataFrame, minLen: Int): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val boundary =
       expr("cast(conv(substring(md5(word), 1, 8), 16, 10) as bigint) % 8 = 0")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"pos")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val chunks = documents(s, dir)
+    val chunks = docs
       .select($"doc_id", posexplode(split($"text", "\\s+")).as(Seq("pos", "word")))
       .withColumn("chunk_no", sum(boundary.cast("long")).over(w))
       .groupBy($"doc_id", $"chunk_no")
@@ -1608,6 +1622,66 @@ object Dedup {
         sum($"n_occ").as("n_occ"), min($"doc_id").as("min_doc_id"))
       .filter($"n_docs" >= 2)
       .orderBy($"chunk_hash")
+  }
+
+  /** d34 — EXACT repeated substrings at ARBITRARY length: the
+    * training-data-dedup literature standard (repeated spans of ≥ L
+    * tokens shared across documents — Lee et al.'s "Deduplicating
+    * Training Data Makes Language Models Better" uses exactly this
+    * criterion) that d20 and d22 only approximate. d20's fixed
+    * windows need BOTH carriers to place the span at the same offset
+    * mod 10; d22's content-defined chunks need ≥ 2 boundary tokens
+    * minLen apart INSIDE the span — a shared span that is
+    * misaligned for d20 and boundary-free for d22 escapes both
+    * (proven constructively in InvariantSpec). The
+    * alignment-independent exact construction: every position's
+    * L-gram polynomial hash (the positional gram index, shared
+    * machinery with t34), a gram repeated across ≥ 2 distinct docs
+    * marks its position, and maximal runs of consecutive marked
+    * positions are the maximal duplicated regions — every L-window
+    * inside a reported span occurs verbatim elsewhere in the corpus,
+    * and any cross-doc repeated substring of ≥ L tokens is covered at
+    * every alignment by construction.
+    *
+    * Scale shape: one posexplode over the codegen'd positional gram
+    * expression (8-byte keys, text never shuffles), an Expand-free
+    * two-level distinct-doc count on the gram key, one semi-join of
+    * grams against the repeated-gram set (gram-keyed equi-join — at
+    * campaign scale this is the bucketed gram sidecar), a per-DOC
+    * islands window (document-sized partitions), and one final join
+    * back to (doc_id, text) restricted to span-carrying docs to slice
+    * the span text out.
+    */
+  def maximalRepeatedSpans(s: SparkSession, dir: String,
+                           minTokens: Int = 20): DataFrame =
+    repeatedSpanRows(documents(s, dir).select(col("doc_id"), col("text")),
+      minTokens)
+
+  /** [[maximalRepeatedSpans]] over an explicit (doc_id, text) frame —
+    * the blind-spot spec's seam.
+    */
+  private[graft] def repeatedSpanRows(docs: DataFrame, l: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val grams = docs
+      .select($"doc_id", posexplode(ngram_hashes_all($"text", l)).as(Seq("pos", "g")))
+    // Expand-free df ≥ 2 on the gram key: (g, doc) first, then g.
+    val rep = grams.groupBy($"g", $"doc_id").agg(count(lit(1)).as("n"))
+      .groupBy($"g").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 2)
+      .select($"g")
+    val hits = grams.join(rep, Seq("g"), "left_semi")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val spans = hits
+      .withColumn("grp", $"pos" - row_number().over(w))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"pos").cast("long").as("start_pos"),
+        (max($"pos") - min($"pos") + l).cast("long").as("span_tokens"))
+    spans.join(docs, Seq("doc_id"))
+      .select($"doc_id", $"start_pos", $"span_tokens",
+        array_join(slice(split($"text", "\\s+"), ($"start_pos" + 1).cast("int"),
+          $"span_tokens".cast("int")), " ").as("span_text"))
+      .orderBy($"doc_id", $"start_pos")
   }
 
   /** Estimator-quality audit for the MinHash index: on every d08

@@ -1234,4 +1234,45 @@ class InvariantSpec extends AnyFunSuite {
       assert(frac == covered.toDouble / nToks.toDouble, s"doc $id frac")
     }
   }
+
+  test("d34 catches a shared span that d20 (alignment) and d22 (boundaries) both miss") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.ops.Dedup
+    // Build the adversarial shared span CONSTRUCTIVELY: 20 words none
+    // of which is a CDC boundary token (md5 bucket % 8 == 0 opens a
+    // d22 chunk), selected by the very predicate d22 runs — the spec
+    // derives the blind spot from the operator's own definition
+    // instead of hardcoding md5 facts.
+    val pool = (1 to 80).map(i => f"span$i%02dword")
+    val nonBoundary = pool.toDF("word")
+      .filter(expr(
+        "cast(conv(substring(md5(word), 1, 8), 16, 10) as bigint) % 8 != 0"))
+      .as[String].collect()
+    assert(nonBoundary.length >= 20, "candidate pool too boundary-rich")
+    val span = nonBoundary.take(20)
+    // Prefix lengths 3 vs 6: the span sits at offsets 3 and 6 — different
+    // classes mod 10, so no d20 window pair can align; unique context
+    // tokens on both sides keep every chunk that leaks past the span
+    // carrier-specific.
+    val doc1 = (Seq("alphaone", "alphatwo", "alphathree") ++ span ++
+      Seq("omegaone", "omegatwo")).mkString(" ")
+    val doc2 = (Seq("betaone", "betatwo", "betathree", "betafour",
+      "betafive", "betasix") ++ span ++ Seq("psione")).mkString(" ")
+    val docs = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    // d20: fixed 10-token windows are phase-locked to the document —
+    // misaligned carriers share no full window.
+    assert(Dedup.chunkDedupFrame(docs, 10).count() == 0,
+      "d20 must miss the misaligned span")
+    // d22: zero boundary tokens inside the span means every chunk
+    // touching it extends into differing context — no shared chunk.
+    assert(Dedup.chunkDedupCdcFrame(docs, 5).count() == 0,
+      "d22 must miss the boundary-free span")
+    // d34: the span surfaces in BOTH carriers, maximal, verbatim, at
+    // each carrier's own alignment.
+    val got = Dedup.repeatedSpanRows(docs, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val spanText = span.mkString(" ")
+    assert(got == Set((1L, 3L, 20L, spanText), (2L, 6L, 20L, spanText)))
+  }
 }
