@@ -367,6 +367,11 @@ object SparkEntry {
     // t42 = effective vocabulary exp(H) per source via the new
     // PlatformExp codegen expression (libm, DuckDB-exact).
     "t42_effective_vocab"    -> (TextOps.effectiveVocab _),
+    // t43 = true BPE merge-table training: 20 deterministic greedy
+    // merge rounds over the word vocabulary (ties lexicographic),
+    // greedy left-to-right rewrite per round — the learned tokenizer
+    // artifact, replayed by the oracle as chained MATERIALIZED CTEs.
+    "t43_bpe_merges"         -> ((s, d) => TextOps.bpeMergeTable(s, d)),
     // t33 = PII detect + redact (email/phone/IPv4) — counts on the
     // original text, typed-placeholder redaction, all codegen regex;
     // runs over the deterministic planted-PII fixture (WavCodec
@@ -4199,6 +4204,7 @@ object SparkEntry {
           exp(entropy) AS eff_vocab,
           exp(entropy) / CAST(vocab AS DOUBLE) AS eff_frac
         FROM f ORDER BY source""",
+      "t43_bpe_merges" -> TextOps.bpeOracle(20),
       "t24_source_entropy" -> """
         WITH tok AS (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS term
                      FROM documents),

@@ -1491,4 +1491,140 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(($"sketch_phase" === $"phase").cast("long")).as("n_agree"))
   }
+
+  /** t43 — TRUE BPE MERGE-TABLE TRAINING: the learned artifact an LLM
+    * tokenizer pipeline actually ships (t08's "BPE-ish" subtokens
+    * apply a FIXED segmentation; this trains the merge list). Classic
+    * Sennrich BPE over the word vocabulary: symbols start as
+    * characters, each round counts adjacent symbol pairs weighted by
+    * word frequency (overlapping occurrences counted, the reference
+    * implementations' convention), merges the most frequent pair —
+    * ties broken lexicographically on (left, right), so the loop is
+    * fully deterministic — and rewrites the vocabulary by greedy
+    * LEFT-TO-RIGHT non-overlapping replacement ("aaa" + merge (a,a) →
+    * [aa, a]; the fold's just-merged symbol can never re-match its
+    * own left half).
+    *
+    * Scale shape: ONE corpus-sized shuffle (the word-count aggregate);
+    * every training round then runs over the VOCABULARY table —
+    * sub-linear in corpus size and the reason real BPE trainers
+    * pre-aggregate words — with the driver holding only the N-row
+    * merge table (one ≤1-row collect per round, the CC-loop
+    * discipline; superseded checkpoints freed as they die). The
+    * rewrite is a codegen'd `aggregate` fold per word.
+    *
+    * The DuckDB oracle replays the identical loop as N chained
+    * MATERIALIZED CTE stages (inlining would re-evaluate each stage's
+    * multi-referenced frames exponentially); greedy left-to-right
+    * selection is expressed positionally — in each maximal run of
+    * consecutive pair-occurrence positions keep the odd-ranked ones
+    * (overlaps only occur when left = right) — which the spec pins
+    * against the fold on adversarial runs.
+    */
+  def bpeMergeTable(s: SparkSession, dir: String, nMerges: Int = 20): DataFrame =
+    // Session sidecar (the dupClusterLabels discipline): the merge
+    // table is a per-corpus-snapshot ARTIFACT — train once, read
+    // everywhere (t21 packing / t27 mixtures tokenize with it).
+    CorpusIndexes.memo(s, dir, s"bpe_merges_$nMerges") {
+      bpeMergesFrame(s, documents(s, dir).select(col("text")), nMerges)
+    }
+
+  /** [[bpeMergeTable]] over an explicit (text) frame — the spec seam. */
+  private[graft] def bpeMergesFrame(s: SparkSession, docs: DataFrame,
+                                    nMerges: Int): DataFrame = {
+    import s.implicits._
+    val sc = s.sparkContext
+    def tracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, (sc.getPersistentRDDs -- before).values.toSeq)
+    }
+    // coalesce(8): every training round schedules 2 jobs over this
+    // table; at vocabulary scale 8 tasks/job keeps 20 rounds of
+    // scheduling overhead bounded without an extra shuffle.
+    var (words, wordsRdds) = tracked(
+      docs.select(explode(split($"text", "\\s+")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"word").agg(count(lit(1)).as("n"))
+        .withColumn("syms",
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .coalesce(8))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    for (k <- 1 to nMerges if !done) {
+      val top = words
+        .select($"n", explode(expr(
+          "transform(slice(syms, 1, size(syms)-1), (x, i) -> struct(x AS a, syms[i+1] AS b))")).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b")).agg(sum($"n").as("cnt"))
+        .orderBy($"cnt".desc, $"a", $"b").limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k, a, b, cnt))
+        // Greedy left-to-right rewrite: merge iff the accumulator's
+        // LAST symbol is exactly `a` — a symbol produced by this very
+        // merge is `a+b`, never `a`, so overlapping re-merges are
+        // structurally impossible.
+        val applied = aggregate($"syms", array().cast("array<string>"),
+          (acc, x) => when(size(acc) > 0 &&
+              get(acc, size(acc) - 1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+        val (next, nextRdds) = tracked(words.select($"word", $"n", applied.as("syms")))
+        wordsRdds.foreach(_.unpersist(blocking = false))
+        words = next
+        wordsRdds = nextRdds
+      }
+    }
+    wordsRdds.foreach(_.unpersist(blocking = false))
+    sc.parallelize(merges.toSeq, 1)
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .orderBy($"merge_rank")
+  }
+
+  /** The DuckDB replay of [[bpeMergeTable]]: `n` chained MATERIALIZED
+    * CTE stages — per stage the pair count, the (cnt desc, a, b)
+    * argmax, the occurrence positions, the greedy odd-rank selection
+    * inside consecutive-position runs, and the rewritten vocabulary.
+    */
+  private[graft] def bpeOracle(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS n,
+        list_transform(range(1, len(word)+1), i -> word[i:i]) AS syms
+      FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word)"""
+    for (k <- 1 to n) {
+      val p = s"w${k - 1}"
+      sb ++= s""",
+      e$k AS MATERIALIZED (SELECT word, n, unnest(syms) AS sym,
+               unnest(range(1, len(syms)+1)) AS pos FROM $p),
+      pc$k AS MATERIALIZED (SELECT x.sym AS a, y.sym AS b,
+               CAST(sum(x.n) AS BIGINT) AS cnt
+             FROM e$k x JOIN e$k y ON x.word = y.word AND y.pos = x.pos + 1
+             GROUP BY x.sym, y.sym),
+      t$k AS MATERIALIZED (SELECT a, b, cnt FROM pc$k ORDER BY cnt DESC, a, b LIMIT 1),
+      o$k AS MATERIALIZED (SELECT x.word AS word, x.pos AS pos
+             FROM e$k x JOIN e$k y ON x.word = y.word AND y.pos = x.pos + 1
+             CROSS JOIN t$k WHERE x.sym = t$k.a AND y.sym = t$k.b),
+      k$k AS MATERIALIZED (SELECT word, pos FROM (
+               SELECT word, pos, row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+               FROM (SELECT word, pos,
+                       pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+                     FROM o$k)) WHERE rn % 2 = 1),
+      w$k AS MATERIALIZED (SELECT e.word, any_value(e.n) AS n,
+               list(CASE WHEN kp.pos IS NOT NULL
+                         THEN (SELECT a FROM t$k) || (SELECT b FROM t$k)
+                         ELSE e.sym END ORDER BY e.pos)
+                 FILTER (WHERE kd.pos IS NULL) AS syms
+             FROM e$k e
+             LEFT JOIN k$k kp ON e.word = kp.word AND e.pos = kp.pos
+             LEFT JOIN k$k kd ON e.word = kd.word AND e.pos = kd.pos + 1
+             GROUP BY e.word)"""
+    }
+    sb ++= (1 to n)
+      .map(k => s"SELECT $k AS merge_rank, a AS left_sym, b AS right_sym, cnt AS pair_count FROM t$k")
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY merge_rank")
+    sb.toString
+  }
 }

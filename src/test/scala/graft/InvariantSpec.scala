@@ -1275,4 +1275,23 @@ class InvariantSpec extends AnyFunSuite {
     val spanText = span.mkString(" ")
     assert(got == Set((1L, 3L, 20L, spanText), (2L, 6L, 20L, spanText)))
   }
+
+  test("t43 BPE training: greedy overlap, frequency weighting, lexicographic ties") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Hand-checkable corpus. Word counts: aaa x2, abab, low x3, lower,
+    // lowest, newer, newest. Expected trace:
+    //  1. (l,o) 5  — ties (o,w) 5; 'l' < 'o' breaks it
+    //  2. (lo,w) 5
+    //  3. (a,a) 4  — OVERLAPPING pairs both counted per 'aaa'
+    //  4. (a,b) 2  — ties (aa,a), (e,r), (e,s); 'a','b' smallest
+    //  5. (aa,a) 2 — greedy left-to-right made 'aaa' -> [aa, a]
+    //  6. (e,r) 2  — 'r' < 's'
+    val docs = Seq("aaa aaa abab low lower lowest", "low low newer newest")
+      .toDF("text")
+    val got = graft.ops.TextOps.bpeMergesFrame(spark, docs, 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "a", "a", 4L),
+      (4, "a", "b", 2L), (5, "aa", "a", 2L), (6, "e", "r", 2L)))
+  }
 }
