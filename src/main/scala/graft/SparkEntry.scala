@@ -101,6 +101,10 @@ object SparkEntry {
     // q31 = Pareto concentration: the decimal-exact cumulative-share
     // crossing (cum·100 ≥ total·80) over the customer spend ranking.
     "q31_pareto"             -> (Relational2.paretoConcentration _),
+    // q32 = TPC-H Q21 shape (sole-blame late suppliers): the double
+    // correlated EXISTS rewritten as one (order, supplier) aggregate
+    // plus an order-level rollup — three integer facts decide blame.
+    "q32_blame_suppliers"    -> (Relational2.blameSuppliers _),
     // m20 = scene-change detection over the shared gif_frames sidecar:
     // per video the cut/scene/longest-run report via gaps-and-islands
     // on consecutive frame-hash equality.
@@ -246,6 +250,10 @@ object SparkEntry {
     // duplicated regions — catches spans d20 (alignment) and d22
     // (boundary-free) both miss.
     "d34_repeated_spans"     -> ((s, d) => Dedup.maximalRepeatedSpans(s, d)),
+    // d35 = the d34 APPLY step (ExactSubstr cut pass): duplicated
+    // regions removed from every non-canonical carrier, cleaned text
+    // shipped — the hash match certifies the exact cleaned bytes.
+    "d35_span_dedup_apply"   -> ((s, d) => Dedup.spanDedupApply(s, d)),
     // d27 = the dedup DECISION table: per implicated doc the keep/drop
     // verdict with the quality-argmax canonical survivor (tie → min
     // doc_id) — the apply-step artifact downstream filters join on.
@@ -2698,6 +2706,41 @@ object SparkEntry {
             AS span_text
         FROM spans s JOIN tk ON s.doc_id = tk.doc_id
         ORDER BY s.doc_id, s.start_pos""",
+      // d35: the d34 cut pass — positions covered by a non-canonical
+      // repeated-gram window materialize as DISTINCT covered positions
+      // (interval union handled relationally), kept tokens re-join in
+      // position order; coalesce('') for a fully-cut doc.
+      "d35_span_dedup_apply" -> """
+        WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks,
+                      list_transform(regexp_split_to_array(text, '\s+'),
+                        t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+                    FROM documents),
+        grams AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(th) - 19),
+                    i -> struct_pack(pos := CAST(i - 1 AS BIGINT),
+                      g := list_reduce(th[i:i+19],
+                             (acc, x) -> (acc * 31 + x) % 2147483647))),
+                    recursive := true)
+                  FROM tk WHERE len(th) >= 20),
+        pg AS (SELECT g, doc_id FROM grams GROUP BY g, doc_id),
+        rep AS (SELECT g, min(doc_id) AS canon_doc FROM pg
+                GROUP BY g HAVING count(*) >= 2),
+        cut AS (SELECT grams.doc_id, grams.pos FROM grams JOIN rep USING (g)
+                WHERE grams.doc_id <> rep.canon_doc),
+        isl AS (SELECT doc_id, pos,
+                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM cut),
+        iv AS (SELECT doc_id, min(pos) AS a, max(pos) + 19 AS b
+               FROM isl GROUP BY doc_id, grp),
+        cov AS (SELECT DISTINCT doc_id, unnest(range(a, b + 1)) AS pos FROM iv),
+        tok AS (SELECT doc_id, unnest(toks) AS tok,
+                  unnest(range(0, len(toks))) AS pos FROM tk
+                WHERE doc_id IN (SELECT DISTINCT doc_id FROM cut))
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(count(c.pos) AS BIGINT) AS n_removed,
+          coalesce(string_agg(t.tok, ' ' ORDER BY t.pos)
+            FILTER (WHERE c.pos IS NULL), '') AS text_clean
+        FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        GROUP BY t.doc_id ORDER BY t.doc_id""",
       "d32_incremental_clusters" -> """
         WITH RECURSIVE
         tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
@@ -3383,6 +3426,26 @@ object SparkEntry {
             / CAST(CAST(total_dec AS VARCHAR) AS DOUBLE) AS head_rev_share
         FROM t WHERE cum_dec * 100 >= total_dec * 80
         ORDER BY rk LIMIT 1""",
+      // q32: the Q21 rewrite — per-(order, supplier) lateness, an
+      // order rollup, blame = late AND n_supps >= 2 AND n_late = 1.
+      "q32_blame_suppliers" -> """
+        WITH lo AS (
+          SELECT l_orderkey, l_suppkey,
+            (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'),
+        ps AS (SELECT l_orderkey, l_suppkey,
+                 max(CASE WHEN late THEN 1 ELSE 0 END) AS supp_late
+               FROM lo GROUP BY 1, 2),
+        po AS (SELECT l_orderkey, count(*) AS n_supps,
+                 CAST(sum(supp_late) AS BIGINT) AS n_late
+               FROM ps GROUP BY 1)
+        SELECT s_suppkey, s_name, count(*) AS numwait
+        FROM ps JOIN po USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE supp_late = 1 AND n_supps >= 2 AND n_late = 1
+        GROUP BY s_suppkey, s_name
+        ORDER BY numwait DESC, s_name, s_suppkey LIMIT 20""",
       // q30: the q29 algebraized threshold on balances; LEFT JOIN +
       // coalesce(0) keeps order-less customers in scope by principle
       // even though this generator produces none.

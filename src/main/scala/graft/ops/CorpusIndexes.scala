@@ -90,7 +90,11 @@ private[graft] object CorpusIndexes {
     // (fold target, owned by Dedup.persistMaintLabels — not a
     // persistSidecars key: it accretes from folds, not from a corpus
     // rebuild); bucketed on the consumer join column like text_labels
-    "maint_labels"   -> Layout(8, "doc_id", Seq("doc_id")))
+    "maint_labels"   -> Layout(8, "doc_id", Seq("doc_id")),
+    // the IVF index's DELETE log (owned by Similarity.deleteFromIvfIndex
+    // — accretes from deletes, folded away by compaction, never a
+    // persistSidecars key); tiny, bucketed on the anti-join key
+    "ivf_tombstones" -> Layout(4, "vec_id", Seq("vec_id")))
 
   /** One-slot lazy holder: `computeIfAbsent` only ever constructs the
     * holder (cheap, no callback into the cache), and the build itself
@@ -240,8 +244,16 @@ private[graft] object CorpusIndexes {
     * cannot observe the compaction except through file counts
     * (asserted in SidecarDiskSpec).
     */
+  /** `transform` filters/rewrites the rows on their way into the
+    * compacted generation (identity by default) — the seam index
+    * compaction uses to FOLD a delete log in: tombstoned rows are
+    * physically absent from the new files, not masked at read time.
+    * The transform must not read from `path` itself (the rewrite
+    * swaps it out from under a lazy reader).
+    */
   private[graft] def compactBucketedTable(s: SparkSession, path: String,
-      tbl: String, lay: Layout): Unit = {
+      tbl: String, lay: Layout,
+      transform: DataFrame => DataFrame = identity): Unit = {
     val tmpPath = path + "__compact"
     val tmpTbl = tbl + "__compact"
     s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
@@ -253,7 +265,7 @@ private[graft] object CorpusIndexes {
     // With an unknown-partitioning scan the shuffle really runs, its
     // hash IS the bucket function, and each task writes exactly one
     // bucket file.
-    s.read.parquet(path)
+    transform(s.read.parquet(path))
       .repartition(lay.nBuckets, col(lay.bucketCol))
       .write.mode("overwrite").option("path", tmpPath)
       .bucketBy(lay.nBuckets, lay.bucketCol)
@@ -276,6 +288,18 @@ private[graft] object CorpusIndexes {
     // files are authoritative, the catalog entry (if any) just needs
     // its cached listing dropped.
     if (s.catalog.tableExists(tbl)) s.catalog.refreshTable(tbl)
+  }
+
+  /** Remove a sidecar table's files AND its catalog entry — the
+    * delete-log clear after compaction folds the log into the data
+    * files (a stale catalog entry would otherwise serve a dangling
+    * location to the next session).
+    */
+  private[graft] def dropBucketedTable(s: SparkSession, path: String,
+                                       tbl: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val (fs, p) = hadoopPath(s, path)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 
   private def readDisk(s: SparkSession, dir: String, key: String): Option[DataFrame] =

@@ -1684,6 +1684,69 @@ object Dedup {
       .orderBy($"doc_id", $"start_pos")
   }
 
+  /** d35 — the APPLY step for d34 (the ExactSubstr-dedup cut pass):
+    * every duplicated region is REMOVED from every carrier except the
+    * gram's canonical one (min doc_id — matching the d11/d19/d27
+    * earliest-carrier convention), and the cleaned text ships. A
+    * token is cut iff some cross-doc-repeated L-gram window covers it
+    * in a doc that is not that gram's canonical carrier; a doc can
+    * keep one region (canonical there) while losing an overlapping
+    * one (non-canonical), which is exactly the per-substring
+    * cut-all-but-one semantics of the literature's exact-substring
+    * dedup. Intra-doc repeats with no second carrier are NOT cut
+    * (they are d20/t17's business, not cross-doc dedup's).
+    *
+    * Output: one row per AFFECTED doc with before/after token counts
+    * and the cleaned text — the artifact a curation run writes back;
+    * the hash match against the oracle certifies the exact bytes of
+    * every cleaned document.
+    *
+    * Scale shape: d34's gram/df machinery unchanged (text never
+    * shuffles into the gram index), cut positions fold to intervals
+    * per doc (islands window, document-sized partitions), the
+    * interval list collects per DOC (bounded by doc length), and the
+    * token-filter HOF runs inside the scan projection of the one
+    * join back to affected docs' text.
+    */
+  def spanDedupApply(s: SparkSession, dir: String, l: Int = 20): DataFrame =
+    spanDedupApplyRows(documents(s, dir).select(col("doc_id"), col("text")), l)
+
+  /** [[spanDedupApply]] over an explicit (doc_id, text) frame — the
+    * canonical-carrier spec's seam.
+    */
+  private[graft] def spanDedupApplyRows(docs: DataFrame, l: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val grams = docs
+      .select($"doc_id", posexplode(ngram_hashes_all($"text", l)).as(Seq("pos", "g")))
+    val rep = grams.groupBy($"g", $"doc_id").agg(count(lit(1)).as("n"))
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("canon_doc"))
+      .filter($"n_docs" >= 2)
+      .select($"g", $"canon_doc")
+    // (doc, pos) is unique in grams and each pos carries ONE gram, so
+    // the join emits at most one cut row per position.
+    val cut = grams.join(rep, Seq("g"))
+      .filter($"doc_id" =!= $"canon_doc")
+      .select($"doc_id", $"pos")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val ivs = cut.withColumn("grp", $"pos" - row_number().over(w))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"pos").as("a"), (max($"pos") + l - 1).as("b"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"a", $"b"))).as("ivs"))
+    ivs.join(docs, Seq("doc_id"))
+      .withColumn("toks", split($"text", "\\s+"))
+      .withColumn("kept", expr(
+        "filter(transform(toks, (t, i) -> struct(i AS i, t AS t)), " +
+          "s -> !exists(ivs, v -> s.i >= v.a AND s.i <= v.b))"))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        (size($"toks") - size($"kept")).cast("long").as("n_removed"),
+        expr("array_join(transform(kept, s -> s.t), ' ')").as("text_clean"))
+      .orderBy($"doc_id")
+  }
+
   /** Estimator-quality audit for the MinHash index: on every d08
     * candidate pair, the Jaccard ESTIMATE from 12-component signature
     * agreement next to the TRUE distinct-token Jaccard. This is the

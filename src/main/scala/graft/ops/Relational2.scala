@@ -483,6 +483,46 @@ object Relational2 {
         ($"cum_dec".cast("double") / lit(total).cast("double")).as("head_rev_share"))
   }
 
+  /** q32 — SUPPLIERS WHO KEPT ORDERS WAITING (the TPC-H Q21 shape on
+    * this schema: no commit/receipt dates here, so "late" = shipped
+    * more than 60 days after the order date): for finalized orders
+    * ('F'), count per supplier the orders where THIS supplier shipped
+    * late, at least one other supplier participated, and NO other
+    * supplier was late — the sole-blame report. Q21's textbook form
+    * is a double correlated EXISTS / NOT EXISTS self-join; the
+    * scalable rewrite used here replaces both with ONE (order,
+    * supplier) aggregate and ONE order-level rollup of it: blame =
+    * supplier late ∧ n_supps ≥ 2 ∧ n_late_supps = 1 — three integer
+    * facts, no per-row re-probing of lineitem.
+    *
+    * Scale shape: lineitem joins orders on the order key once (the
+    * only fact-sized shuffle); everything after runs over the
+    * (order, supplier)-reduced table; supplier names broadcast; top-20
+    * via TakeOrdered, no global sort.
+    */
+  def blameSuppliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lo = lineitem(s, dir)
+      .join(orders(s, dir).filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")).as("late"))
+    val perSupp = lo.groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max($"late".cast("int")).as("supp_late"))
+    val perOrder = perSupp.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_supps"), sum($"supp_late").as("n_late"))
+    perSupp.filter($"supp_late" === 1)
+      .join(perOrder, Seq("l_orderkey"))
+      .filter($"n_supps" >= 2 && $"n_late" === 1)
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier(s, dir).select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"numwait")
+      .orderBy($"numwait".desc, $"s_name", $"s_suppkey")
+      .limit(20)
+  }
+
   def nationMarketShare(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rev = orders(s, dir)

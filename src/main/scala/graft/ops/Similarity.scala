@@ -795,14 +795,91 @@ object Similarity {
       val idx = CorpusIndexes.readBucketedTable(s, path, tbl, lay)
       CorpusIndexes.writeBucketedTable(codebookOf(idx), cp, ct, cl)
     }
+    // Tombstoned ids are terminal until compaction folds the log (see
+    // the delete section): silently appending one would strand a row
+    // the serving mask hides forever.
+    loadIvfTombstones(s, outDir).foreach { ts =>
+      val clash = arrivals.join(ts, Seq("vec_id"), "left_semi").count()
+      require(clash == 0L,
+        s"refreshIvfIndex: $clash arrival id(s) are tombstoned in " +
+          s"$outDir; run compactIvfIndex to fold the delete log before " +
+          "re-adding deleted ids")
+    }
     val rows = ivfAssignOverCodebook(arrivals, loadIvfCodebook(s, outDir))
     CorpusIndexes.writeBucketedTable(rows, path, tbl, lay, append = true)
   }
 
-  /** Rewrite the serving index to one file per bucket after upserts. */
+  // ---- deletes: tombstone log, masked serving, physical fold -------
+  //
+  // The missing third verb of the index lifecycle (persist/refresh/
+  // compact covered writes; this covers UNwrites): a delete appends
+  // (vec_id) rows to a tiny tombstone log next to the index — history
+  // is never rewritten at delete time, the exact discipline appends
+  // follow — serving masks tombstoned rows with one anti-join, and
+  // the next compaction folds the log into the data files (deleted
+  // rows physically absent) and clears it. Deletes are terminal for
+  // an id until that fold: refresh REJECTS a tombstoned arrival
+  // (silently accepting it would strand a masked row that outlives
+  // the re-add — the classic tombstone/upsert race — so re-adding an
+  // id requires compacting first, which is cheap and explicit).
+
+  private def ivfTombstoneParts(outDir: String) =
+    (s"$outDir/ivf_tombstones", CorpusIndexes.tableName(outDir, "ivf_tombstones"),
+      CorpusIndexes.layouts("ivf_tombstones"))
+
+  /** Append `ids` (vec_id) to the index root's delete log. */
+  def deleteFromIvfIndex(ids: DataFrame, outDir: String): Unit = {
+    val s = ids.sparkSession
+    val (tp, tt, tl) = ivfTombstoneParts(outDir)
+    val rows = ids.select(col("vec_id")).distinct()
+    CorpusIndexes.writeBucketedTable(rows, tp, tt, tl,
+      append = CorpusIndexes.sidecarPathExists(s, tp))
+  }
+
+  /** The root's delete log, if any delete ever ran. */
+  def loadIvfTombstones(s: SparkSession, outDir: String): Option[DataFrame] = {
+    val (tp, tt, tl) = ivfTombstoneParts(outDir)
+    if (CorpusIndexes.sidecarPathExists(s, tp))
+      Some(CorpusIndexes.readBucketedTable(s, tp, tt, tl))
+    else None
+  }
+
+  /** Mask a serving frame against the root's delete log (no-op when
+    * no deletes exist) — applied AFTER any index ∪ delta union so
+    * deletes hit upserted rows too.
+    */
+  def maskIvfDeletes(frame: DataFrame, outDir: String): DataFrame =
+    loadIvfTombstones(frame.sparkSession, outDir)
+      .map(ts => frame.join(ts, Seq("vec_id"), "left_anti"))
+      .getOrElse(frame)
+
+  /** The persisted index as consumers should SERVE it: rows minus the
+    * delete log. [[loadIvfIndex]] stays the raw-files read (the
+    * compaction specs diff physical generations through it).
+    */
+  def loadIvfIndexServing(s: SparkSession, outDir: String): DataFrame =
+    maskIvfDeletes(loadIvfIndex(s, outDir), outDir)
+
+  /** Rewrite the serving index to one file per bucket after upserts.
+    * When a delete log exists it is FOLDED IN: tombstoned rows are
+    * physically absent from the new generation's files and the log is
+    * cleared — serving results are bit-identical before and after
+    * (the mask just became the data).
+    */
   def compactIvfIndex(s: SparkSession, outDir: String): Unit = {
     val (path, tbl, lay) = ivfLayoutParts(outDir)
-    CorpusIndexes.compactBucketedTable(s, path, tbl, lay)
+    loadIvfTombstones(s, outDir) match {
+      case None => CorpusIndexes.compactBucketedTable(s, path, tbl, lay)
+      case Some(ts) =>
+        // Materialize the log before the rewrite: the swap must not
+        // race a lazy reader, and the cleared log must be exactly the
+        // one that was folded.
+        val pinned = ts.localCheckpoint()
+        CorpusIndexes.compactBucketedTable(s, path, tbl, lay,
+          df => df.join(pinned, Seq("vec_id"), "left_anti"))
+        val (tp, tt, _) = ivfTombstoneParts(outDir)
+        CorpusIndexes.dropBucketedTable(s, tp, tt)
+    }
   }
 
   /** Read the persisted serving index (including any upserted rows) —

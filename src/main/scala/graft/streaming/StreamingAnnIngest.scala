@@ -75,9 +75,13 @@ object StreamingAnnIngest {
   def servingIndex(s: SparkSession, indexDir: String,
                    deltaDir: String): DataFrame = {
     val idx = graft.ops.Similarity.loadIvfIndex(s, indexDir)
-    if (!hasParquet(s, deltaDir)) idx
-    else idx.unionByName(s.read.parquet(deltaDir)
-      .select("vec_id", "embedding", "nrm", "cell_id"))
+    val unioned =
+      if (!hasParquet(s, deltaDir)) idx
+      else idx.unionByName(s.read.parquet(deltaDir)
+        .select("vec_id", "embedding", "nrm", "cell_id"))
+    // Deletes mask AFTER the union so a tombstone hits upserted rows
+    // too (no-op when the root has no delete log).
+    graft.ops.Similarity.maskIvfDeletes(unioned, indexDir)
   }
 
   /** True iff `dir` already holds at least one parquet part file

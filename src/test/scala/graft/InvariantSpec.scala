@@ -1276,6 +1276,35 @@ class InvariantSpec extends AnyFunSuite {
     assert(got == Set((1L, 3L, 20L, spanText), (2L, 6L, 20L, spanText)))
   }
 
+  test("d35 cut pass: canonical carrier keeps the span, every other carrier loses exactly it") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.ops.Dedup
+    // Three carriers of one 20-token span (reusing the d34 blind-spot
+    // construction); min doc_id is canonical and must NOT appear in
+    // the output at all, the other two lose exactly the span tokens.
+    val pool = (1 to 80).map(i => f"span$i%02dword")
+    val span = pool.toDF("word")
+      .filter(expr(
+        "cast(conv(substring(md5(word), 1, 8), 16, 10) as bigint) % 8 != 0"))
+      .as[String].collect().take(20)
+    val pre1 = Seq("alphaone", "alphatwo")
+    val pre2 = Seq("betaone", "betatwo", "betathree")
+    val pre3 = Seq("gammaone")
+    val docs = Seq(
+      (7L, (pre1 ++ span ++ Seq("omegaone")).mkString(" ")),
+      (9L, (pre2 ++ span ++ Seq("psione", "psitwo")).mkString(" ")),
+      (4L, (pre3 ++ span ++ Seq("zetaone")).mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.spanDedupApplyRows(docs, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 4 (min id) is canonical: untouched, absent from the report.
+    assert(out.map(_._1).toSeq == Seq(7L, 9L))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(7L) == ((7L, 23L, 20L, (pre1 :+ "omegaone").mkString(" "))))
+    assert(byId(9L) == ((9L, 25L, 20L,
+      (pre2 ++ Seq("psione", "psitwo")).mkString(" "))))
+  }
+
   test("t43 BPE training: greedy overlap, frequency weighting, lexicographic ties") {
     val spark = TestSpark.spark
     import spark.implicits._

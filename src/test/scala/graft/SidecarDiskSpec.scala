@@ -576,6 +576,80 @@ class SidecarDiskSpec extends AnyFunSuite {
       "compaction must not change a single served neighbor")
   }
 
+  test("IVF index deletes: masked serving equals rebuild-minus-deleted; compaction folds physically; re-add guarded until the fold") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import graft.ops.Similarity
+    val all = Similarity.normedVectors(s, TestSpark.sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
+    val idx0 = Similarity.assignByCodebook(all, Similarity.codebookOf(all))
+      .localCheckpoint()
+    Similarity.persistIvfIndex(idx0, dir)
+    val cb = Similarity.loadIvfCodebook(s, dir).localCheckpoint()
+    val queries = Tables.embeddings(s, TestSpark.sfDir)
+      .filter($"vec_id" % 13 === 1)
+      .select($"vec_id".as("q_id"), $"embedding")
+    def serve(idx: org.apache.spark.sql.DataFrame) =
+      rows(Similarity.ivfProbeBatch(queries, idx, excludeSelf = false,
+        codebook = Some(cb)).orderBy($"q_id", $"rank"))
+    val before = serve(Similarity.loadIvfIndexServing(s, dir))
+
+    // Two delete waves (the log APPENDS like the index it shadows).
+    val dead = all.filter($"vec_id" % 11 === 3)
+    Similarity.deleteFromIvfIndex(
+      dead.filter($"vec_id" < 250).select($"vec_id"), dir)
+    Similarity.deleteFromIvfIndex(
+      dead.filter($"vec_id" >= 250).select($"vec_id"), dir)
+
+    // (a) masked serving == serving a rebuild WITHOUT the deleted rows,
+    // bit for bit — and the deletes really changed some neighbor.
+    val after = serve(Similarity.loadIvfIndexServing(s, dir))
+    assert(after == serve(idx0.filter($"vec_id" % 11 =!= 3)))
+    assert(after != before, "delete slice never served — fixture too weak")
+
+    // (b) the streaming serve path masks too (empty delta root).
+    val emptyDelta = java.nio.file.Files.createTempDirectory("graft-ivf-del-d").toString
+    assert(serve(graft.streaming.StreamingAnnIngest.servingIndex(s, dir, emptyDelta))
+      == after)
+
+    // (c) a tombstoned id cannot come back through refresh until the
+    // log folds — the mask would strand the re-added row forever.
+    val deadOne = idx0.filter($"vec_id" % 11 === 3)
+      .orderBy($"vec_id").limit(1).select($"vec_id", $"embedding")
+      .localCheckpoint()
+    intercept[IllegalArgumentException] {
+      Similarity.refreshIvfIndex(deadOne, dir)
+    }
+    // ...but a fresh arrival appends fine with the log live.
+    val fresh = Tables.embeddings(s, TestSpark.sfDir).filter($"vec_id" === 1)
+      .select(org.apache.spark.sql.functions.lit(100001L).as("vec_id"), $"embedding")
+    Similarity.refreshIvfIndex(fresh, dir)
+    val served2 = serve(Similarity.loadIvfIndexServing(s, dir))
+    val ids2 = Similarity.loadIvfIndexServing(s, dir)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(ids2.contains(100001L))
+    assert(!ids2.exists(id => id % 11 == 3 && id < 100000L))
+
+    // (d) compaction folds the log: deleted rows physically absent
+    // from the raw files, the log cleared, serving bit-identical.
+    Similarity.compactIvfIndex(s, dir)
+    assert(!new java.io.File(s"$dir/ivf_tombstones").exists(),
+      "compaction must clear the folded delete log")
+    val physical = s.read.parquet(s"$dir/ivf_assigned")
+    assert(physical.filter($"vec_id" % 11 === 3 && $"vec_id" < 100000L).count() == 0,
+      "tombstoned rows must be physically absent after the fold")
+    assert(physical.filter($"vec_id" === 100001L).count() == 1)
+    assert(serve(Similarity.loadIvfIndexServing(s, dir)) == served2,
+      "folding the delete log must not change a single served neighbor")
+
+    // (e) after the fold the id is free again — the re-add that was
+    // rejected in (c) now lands and serves.
+    Similarity.refreshIvfIndex(deadOne, dir)
+    val deadId = deadOne.select($"vec_id").as[Long].head()
+    assert(Similarity.loadIvfIndexServing(s, dir)
+      .filter($"vec_id" === deadId).count() == 1)
+  }
+
   test("SRP index upsert: append equals from-scratch for ALL queries; compaction invisible; nothing but the delta hashed") {
     val s = TestSpark.spark
     import s.implicits._
