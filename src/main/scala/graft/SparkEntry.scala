@@ -254,6 +254,10 @@ object SparkEntry {
     // regions removed from every non-canonical carrier, cleaned text
     // shipped — the hash match certifies the exact cleaned bytes.
     "d35_span_dedup_apply"   -> ((s, d) => Dedup.spanDedupApply(s, d)),
+    // d36 = d34 at ingest: arrivals probe the HISTORICAL gram set
+    // alone (never each other) and report maximal already-in-corpus
+    // regions — the pre-admission leakage report.
+    "d36_incremental_spans"  -> ((s, d) => Dedup.incrementalSpanProbe(s, d)),
     // d27 = the dedup DECISION table: per implicated doc the keep/drop
     // verdict with the quality-argmax canonical survivor (tie → min
     // doc_id) — the apply-step artifact downstream filters join on.
@@ -2741,6 +2745,33 @@ object SparkEntry {
             FILTER (WHERE c.pos IS NULL), '') AS text_clean
         FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
         GROUP BY t.doc_id ORDER BY t.doc_id""",
+      // d36: the d34 islands over arrival docs probing the DISTINCT
+      // historical gram set only.
+      "d36_incremental_spans" -> """
+        WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks,
+                      list_transform(regexp_split_to_array(text, '\s+'),
+                        t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+                    FROM documents),
+        grams AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(th) - 19),
+                    i -> struct_pack(pos := CAST(i - 1 AS BIGINT),
+                      g := list_reduce(th[i:i+19],
+                             (acc, x) -> (acc * 31 + x) % 2147483647))),
+                    recursive := true)
+                  FROM tk WHERE len(th) >= 20),
+        hist AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 <> 0),
+        hit AS (SELECT grams.doc_id, grams.pos FROM grams JOIN hist USING (g)
+                WHERE grams.doc_id % 5 = 0),
+        isl AS (SELECT doc_id, pos,
+                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM hit),
+        spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+                    CAST(max(pos) - min(pos) + 20 AS BIGINT) AS span_tokens
+                  FROM isl GROUP BY doc_id, grp)
+        SELECT s.doc_id, s.start_pos, s.span_tokens,
+          array_to_string(tk.toks[s.start_pos + 1 : s.start_pos + s.span_tokens], ' ')
+            AS span_text
+        FROM spans s JOIN tk ON s.doc_id = tk.doc_id
+        ORDER BY s.doc_id, s.start_pos""",
       "d32_incremental_clusters" -> """
         WITH RECURSIVE
         tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),

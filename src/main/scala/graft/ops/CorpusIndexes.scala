@@ -94,7 +94,11 @@ private[graft] object CorpusIndexes {
     // the IVF index's DELETE log (owned by Similarity.deleteFromIvfIndex
     // — accretes from deletes, folded away by compaction, never a
     // persistSidecars key); tiny, bucketed on the anti-join key
-    "ivf_tombstones" -> Layout(4, "vec_id", Seq("vec_id")))
+    "ivf_tombstones" -> Layout(4, "vec_id", Seq("vec_id")),
+    // the historical positional-gram SET the span probes hit (d36 /
+    // StreamingSpanDedup; owned by Dedup.persistSpanGramIndex) —
+    // bucketed on the probe's equi-join key
+    "span_grams"     -> Layout(8, "g", Seq("g")))
 
   /** One-slot lazy holder: `computeIfAbsent` only ever constructs the
     * holder (cheap, no callback into the cache), and the build itself

@@ -1747,6 +1747,85 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** The historical POSITIONAL-GRAM set the incremental span probes
+    * hit — distinct L-gram hashes of the history slice (doc_id ≢ 0
+    * mod 5, the family's arrival convention). A session sidecar; at
+    * campaign scale this is the persisted g-bucketed table
+    * [[persistSpanGramIndex]] writes once per corpus snapshot.
+    */
+  private[graft] def spanGramIndex(s: SparkSession, dir: String,
+                                   l: Int = 20): DataFrame = {
+    import s.implicits._
+    CorpusIndexes.memo(s, dir, s"span_grams_$l") {
+      documents(s, dir).filter($"doc_id" % 5 =!= 0)
+        .select(explode(ngram_hashes_all($"text", l)).as("g"))
+        .distinct()
+    }
+  }
+
+  /** Write the historical gram set as a durable g-bucketed sidecar
+    * under `root/span_grams` — the disk form the streaming span door
+    * probes (one equi-join per batch on the bucket column).
+    */
+  def persistSpanGramIndex(s: SparkSession, dir: String, root: String,
+                           l: Int = 20): Unit =
+    CorpusIndexes.writeBucketedTable(spanGramIndex(s, dir, l),
+      s"$root/span_grams", CorpusIndexes.tableName(root, "span_grams"),
+      CorpusIndexes.layouts("span_grams"))
+
+  /** Read the durable gram sidecar written by [[persistSpanGramIndex]]. */
+  def loadSpanGramIndex(s: SparkSession, root: String): DataFrame =
+    CorpusIndexes.readBucketedTable(s, s"$root/span_grams",
+      CorpusIndexes.tableName(root, "span_grams"),
+      CorpusIndexes.layouts("span_grams"))
+
+  /** d36 — INCREMENTAL repeated-span probe: d34 at ingest time. Each
+    * arriving document (doc_id ≡ 0 mod 5) probes the HISTORICAL gram
+    * set alone — never other arrivals, the incremental premise every
+    * d14/d15/d32 probe shares — and reports its maximal regions whose
+    * every L-window already exists in history: the leakage report a
+    * crawl day gets against the training corpus BEFORE admission,
+    * where d34 is the full-corpus retrospective.
+    *
+    * Scale shape: only the BATCH hashes text; the probe is one
+    * semi-join of batch gram rows against the pre-built gram set
+    * (g-bucketed on disk at scale — co-located), islands per arrival
+    * doc, and one join back to arrival text for the span slice.
+    */
+  def incrementalSpanProbe(s: SparkSession, dir: String,
+                           l: Int = 20): DataFrame = {
+    import s.implicits._
+    incrementalSpanRows(
+      documents(s, dir).filter($"doc_id" % 5 === 0).select($"doc_id", $"text"),
+      spanGramIndex(s, dir, l), l)
+  }
+
+  /** [[incrementalSpanProbe]]'s per-batch transform — shared verbatim
+    * with the streaming door (`graft.streaming.StreamingSpanDedup`),
+    * so the streamed union composes to batch d36 structurally: every
+    * output row is a function of its own document and the static
+    * index only.
+    */
+  private[graft] def incrementalSpanRows(batch: DataFrame, gramIdx: DataFrame,
+                                         l: Int): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val grams = batch
+      .select($"doc_id", posexplode(ngram_hashes_all($"text", l)).as(Seq("pos", "g")))
+    val hits = grams.join(gramIdx, Seq("g"), "left_semi")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    hits
+      .withColumn("grp", $"pos" - row_number().over(w))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"pos").cast("long").as("start_pos"),
+        (max($"pos") - min($"pos") + l).cast("long").as("span_tokens"))
+      .join(batch, Seq("doc_id"))
+      .select($"doc_id", $"start_pos", $"span_tokens",
+        array_join(slice(split($"text", "\\s+"), ($"start_pos" + 1).cast("int"),
+          $"span_tokens".cast("int")), " ").as("span_text"))
+      .orderBy($"doc_id", $"start_pos")
+  }
+
   /** Estimator-quality audit for the MinHash index: on every d08
     * candidate pair, the Jaccard ESTIMATE from 12-component signature
     * agreement next to the TRUE distinct-token Jaccard. This is the

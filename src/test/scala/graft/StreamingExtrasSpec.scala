@@ -1247,6 +1247,50 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("StreamingSpanDedup: streamed spans compose to batch d36 from the disk index; replay exactly-once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val arrivals = Tables.documents(spark, TestSpark.sfDir)
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    // Durable gram sidecar — the run must stand on the disk form alone.
+    val root = java.nio.file.Files.createTempDirectory("graft-span-idx").toString
+    graft.ops.Dedup.persistSpanGramIndex(spark, TestSpark.sfDir, root)
+    val out = java.nio.file.Files.createTempDirectory("graft-span-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-span-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    def start() = graft.streaming.StreamingSpanDedup.run(
+      stream, index = null, out, ckpt, indexDir = Some(root))
+    val q1 = start()
+    try {
+      input.addData(arrivals.take(arrivals.length / 2).toSeq)
+      q1.processAllAvailable()
+      input.addData(arrivals.drop(arrivals.length / 2).toSeq)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // Crash between offset log and commit: drop the LAST commit marker
+    // (and its stale .crc) — the stateless door must rewrite identical
+    // bytes for the replayed batch.
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    val lastId = commits.last.getName.toLong
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.$lastId.crc")
+    if (crc.exists()) assert(crc.delete())
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batchRun = graft.ops.Dedup.incrementalSpanProbe(spark, TestSpark.sfDir)
+    assert(streamed.count() > 0, "fixture must carry historical spans into arrivals")
+    assert(streamed.count() == batchRun.count())
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+  }
+
   // ---- StreamingAttribution: the stream-stream interval join ------
 
   /** The e10 fixture split into its two event-time-ordered streams. */
