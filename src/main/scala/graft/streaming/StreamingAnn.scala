@@ -65,8 +65,13 @@ object StreamingAnn {
   def runFromSidecar(queries: DataFrame, sidecarRoot: String, outDir: String,
                      checkpointDir: String): StreamingQuery =
     runWith(queries,
-      graft.ops.CorpusIndexes.readSidecar(queries.sparkSession, sidecarRoot,
-        "ivf_assigned"),
+      // Serve, don't read raw: a root that has taken deletes carries a
+      // tombstone log, and a probe server must never return a deleted
+      // neighbor (no-op mask on delete-free roots).
+      graft.ops.Similarity.maskIvfDeletes(
+        graft.ops.CorpusIndexes.readSidecar(queries.sparkSession, sidecarRoot,
+          "ivf_assigned"),
+        sidecarRoot),
       outDir, checkpointDir)
 
   private def runWith(queries: DataFrame, idx: DataFrame, outDir: String,

@@ -171,6 +171,7 @@ object StreamingClusterMaintenance {
                       labelsRoot: String, cap: Int = 64): Unit = {
     val p = new org.apache.hadoop.fs.Path(stateDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"foldIntoSidecar: state dir $stateDir does not exist")
     val snaps = fs.listStatus(p)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
     require(snaps.nonEmpty,
