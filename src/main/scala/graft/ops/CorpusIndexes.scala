@@ -98,7 +98,11 @@ private[graft] object CorpusIndexes {
     // the historical positional-gram SET the span probes hit (d36 /
     // StreamingSpanDedup; owned by Dedup.persistSpanGramIndex) —
     // bucketed on the probe's equi-join key
-    "span_grams"     -> Layout(8, "g", Seq("g")))
+    "span_grams"     -> Layout(8, "g", Seq("g")),
+    // the PQ / SRP families' delete logs — same contract as
+    // ivf_tombstones (append-only, folded by compaction)
+    "pq_tombstones"  -> Layout(4, "vec_id", Seq("vec_id")),
+    "srp_tombstones" -> Layout(4, "vec_id", Seq("vec_id")))
 
   /** One-slot lazy holder: `computeIfAbsent` only ever constructs the
     * holder (cheap, no callback into the cache), and the build itself

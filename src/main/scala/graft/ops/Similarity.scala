@@ -798,13 +798,7 @@ object Similarity {
     // Tombstoned ids are terminal until compaction folds the log (see
     // the delete section): silently appending one would strand a row
     // the serving mask hides forever.
-    loadIvfTombstones(s, outDir).foreach { ts =>
-      val clash = arrivals.join(ts, Seq("vec_id"), "left_semi").count()
-      require(clash == 0L,
-        s"refreshIvfIndex: $clash arrival id(s) are tombstoned in " +
-          s"$outDir; run compactIvfIndex to fold the delete log before " +
-          "re-adding deleted ids")
-    }
+    guardTombstonedArrivals(arrivals, outDir, "ivf_tombstones", "refreshIvfIndex")
     val rows = ivfAssignOverCodebook(arrivals, loadIvfCodebook(s, outDir))
     CorpusIndexes.writeBucketedTable(rows, path, tbl, lay, append = true)
   }
@@ -823,35 +817,78 @@ object Similarity {
   // the re-add — the classic tombstone/upsert race — so re-adding an
   // id requires compacting first, which is cheap and explicit).
 
-  private def ivfTombstoneParts(outDir: String) =
-    (s"$outDir/ivf_tombstones", CorpusIndexes.tableName(outDir, "ivf_tombstones"),
-      CorpusIndexes.layouts("ivf_tombstones"))
+  // Generic tombstone core shared by the three durable families (IVF
+  // coarse rows, PQ codes, SRP signatures) — one delete-log contract,
+  // three logs, so every family's semantics stay identical.
 
-  /** Append `ids` (vec_id) to the index root's delete log. */
-  def deleteFromIvfIndex(ids: DataFrame, outDir: String): Unit = {
+  private def tombParts(outDir: String, key: String) =
+    (s"$outDir/$key", CorpusIndexes.tableName(outDir, key),
+      CorpusIndexes.layouts(key))
+
+  private def appendTombstones(ids: DataFrame, outDir: String,
+                               key: String): Unit = {
     val s = ids.sparkSession
-    val (tp, tt, tl) = ivfTombstoneParts(outDir)
-    val rows = ids.select(col("vec_id")).distinct()
-    CorpusIndexes.writeBucketedTable(rows, tp, tt, tl,
-      append = CorpusIndexes.sidecarPathExists(s, tp))
+    val (tp, tt, tl) = tombParts(outDir, key)
+    CorpusIndexes.writeBucketedTable(ids.select(col("vec_id")).distinct(),
+      tp, tt, tl, append = CorpusIndexes.sidecarPathExists(s, tp))
   }
 
-  /** The root's delete log, if any delete ever ran. */
-  def loadIvfTombstones(s: SparkSession, outDir: String): Option[DataFrame] = {
-    val (tp, tt, tl) = ivfTombstoneParts(outDir)
+  private def loadTombstonesFor(s: SparkSession, outDir: String,
+                                key: String): Option[DataFrame] = {
+    val (tp, tt, tl) = tombParts(outDir, key)
     if (CorpusIndexes.sidecarPathExists(s, tp))
       Some(CorpusIndexes.readBucketedTable(s, tp, tt, tl))
     else None
   }
+
+  private def maskDeletesFor(frame: DataFrame, outDir: String,
+                             key: String): DataFrame =
+    loadTombstonesFor(frame.sparkSession, outDir, key)
+      .map(ts => frame.join(ts, Seq("vec_id"), "left_anti"))
+      .getOrElse(frame)
+
+  private def guardTombstonedArrivals(arrivals: DataFrame, outDir: String,
+                                      key: String, op: String): Unit =
+    loadTombstonesFor(arrivals.sparkSession, outDir, key).foreach { ts =>
+      val clash = arrivals.join(ts, Seq("vec_id"), "left_semi").count()
+      require(clash == 0L,
+        s"$op: $clash arrival id(s) are tombstoned in $outDir; compact " +
+          "to fold the delete log before re-adding deleted ids")
+    }
+
+  /** Compact a data table, folding its delete log in (physical
+    * removal + log clear) when one exists.
+    */
+  private def compactWithFold(s: SparkSession, dataPath: String,
+                              dataTbl: String, dataLay: CorpusIndexes.Layout,
+                              outDir: String, tombKey: String): Unit =
+    loadTombstonesFor(s, outDir, tombKey) match {
+      case None => CorpusIndexes.compactBucketedTable(s, dataPath, dataTbl, dataLay)
+      case Some(ts) =>
+        // Materialize the log before the rewrite: the swap must not
+        // race a lazy reader, and the cleared log must be exactly the
+        // one that was folded.
+        val pinned = ts.localCheckpoint()
+        CorpusIndexes.compactBucketedTable(s, dataPath, dataTbl, dataLay,
+          df => df.join(pinned, Seq("vec_id"), "left_anti"))
+        val (tp, tt, _) = tombParts(outDir, tombKey)
+        CorpusIndexes.dropBucketedTable(s, tp, tt)
+    }
+
+  /** Append `ids` (vec_id) to the IVF root's delete log. */
+  def deleteFromIvfIndex(ids: DataFrame, outDir: String): Unit =
+    appendTombstones(ids, outDir, "ivf_tombstones")
+
+  /** The root's delete log, if any delete ever ran. */
+  def loadIvfTombstones(s: SparkSession, outDir: String): Option[DataFrame] =
+    loadTombstonesFor(s, outDir, "ivf_tombstones")
 
   /** Mask a serving frame against the root's delete log (no-op when
     * no deletes exist) — applied AFTER any index ∪ delta union so
     * deletes hit upserted rows too.
     */
   def maskIvfDeletes(frame: DataFrame, outDir: String): DataFrame =
-    loadIvfTombstones(frame.sparkSession, outDir)
-      .map(ts => frame.join(ts, Seq("vec_id"), "left_anti"))
-      .getOrElse(frame)
+    maskDeletesFor(frame, outDir, "ivf_tombstones")
 
   /** The persisted index as consumers should SERVE it: rows minus the
     * delete log. [[loadIvfIndex]] stays the raw-files read (the
@@ -868,18 +905,7 @@ object Similarity {
     */
   def compactIvfIndex(s: SparkSession, outDir: String): Unit = {
     val (path, tbl, lay) = ivfLayoutParts(outDir)
-    loadIvfTombstones(s, outDir) match {
-      case None => CorpusIndexes.compactBucketedTable(s, path, tbl, lay)
-      case Some(ts) =>
-        // Materialize the log before the rewrite: the swap must not
-        // race a lazy reader, and the cleared log must be exactly the
-        // one that was folded.
-        val pinned = ts.localCheckpoint()
-        CorpusIndexes.compactBucketedTable(s, path, tbl, lay,
-          df => df.join(pinned, Seq("vec_id"), "left_anti"))
-        val (tp, tt, _) = ivfTombstoneParts(outDir)
-        CorpusIndexes.dropBucketedTable(s, tp, tt)
-    }
+    compactWithFold(s, path, tbl, lay, outDir, "ivf_tombstones")
   }
 
   /** Read the persisted serving index (including any upserted rows) —
@@ -928,16 +954,29 @@ object Similarity {
     */
   def refreshPqIndex(arrivals: DataFrame, outDir: String): Unit = {
     val s = arrivals.sparkSession
+    guardTombstonedArrivals(arrivals, outDir, "pq_tombstones", "refreshPqIndex")
     val (cp, ct, cl) = pqParts(outDir, "pq_codes")
     CorpusIndexes.writeBucketedTable(
       pqEncodeWith(arrivals, loadPqCodebook(s, outDir)), cp, ct, cl,
       append = true)
   }
 
-  /** Rewrite the code table to one file per bucket after upserts. */
+  /** Append `ids` (vec_id) to the PQ root's delete log — the IVF
+    * delete contract on the codes half (see the delete section).
+    */
+  def deleteFromPqIndex(ids: DataFrame, outDir: String): Unit =
+    appendTombstones(ids, outDir, "pq_tombstones")
+
+  /** The code rows as consumers should SERVE them: minus the log. */
+  def loadPqIndexServing(s: SparkSession, outDir: String): DataFrame =
+    maskDeletesFor(loadPqIndex(s, outDir), outDir, "pq_tombstones")
+
+  /** Rewrite the code table to one file per bucket after upserts,
+    * folding any delete log in (physical removal + log clear).
+    */
   def compactPqIndex(s: SparkSession, outDir: String): Unit = {
     val (cp, ct, cl) = pqParts(outDir, "pq_codes")
-    CorpusIndexes.compactBucketedTable(s, cp, ct, cl)
+    compactWithFold(s, cp, ct, cl, outDir, "pq_tombstones")
   }
 
   /** The persisted code rows (including any upserted arrivals). */
@@ -1918,15 +1957,28 @@ object Similarity {
     * reads the stored codebook; SRP needs nothing).
     */
   def refreshSrpIndex(arrivals: DataFrame, outDir: String): Unit = {
+    guardTombstonedArrivals(arrivals, outDir, "srp_tombstones", "refreshSrpIndex")
     val (path, tbl, lay) = srpParts(outDir)
     CorpusIndexes.writeBucketedTable(srpSignatures(arrivals), path, tbl, lay,
       append = true)
   }
 
-  /** Rewrite to one file per bucket after upserts. */
+  /** Append `ids` (vec_id) to the SRP root's delete log — the IVF
+    * delete contract on the signature index (see the delete section).
+    */
+  def deleteFromSrpIndex(ids: DataFrame, outDir: String): Unit =
+    appendTombstones(ids, outDir, "srp_tombstones")
+
+  /** The signature rows as consumers should SERVE them: minus the log. */
+  def loadSrpIndexServing(s: SparkSession, outDir: String): DataFrame =
+    maskDeletesFor(loadSrpIndex(s, outDir), outDir, "srp_tombstones")
+
+  /** Rewrite to one file per bucket after upserts, folding any delete
+    * log in (physical removal + log clear).
+    */
   def compactSrpIndex(s: SparkSession, outDir: String): Unit = {
     val (path, tbl, lay) = srpParts(outDir)
-    CorpusIndexes.compactBucketedTable(s, path, tbl, lay)
+    compactWithFold(s, path, tbl, lay, outDir, "srp_tombstones")
   }
 
   /** Read the persisted signature index (including upserted rows). */

@@ -650,6 +650,55 @@ class SidecarDiskSpec extends AnyFunSuite {
       .filter($"vec_id" === deadId).count() == 1)
   }
 
+  test("PQ and SRP delete logs: masked serving, physical fold at compaction, re-add guarded until the fold") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.DataFrame
+    import graft.ops.Similarity
+    val vecs = Tables.embeddings(s, TestSpark.sfDir)
+      .select($"vec_id", $"embedding").localCheckpoint()
+    // One delete-log contract, three logs: the IVF test above proves
+    // the serving semantics in depth; this drives the SAME lifecycle
+    // through the other two durable families.
+    case class Fam(name: String, persist: String => Unit,
+                   del: (DataFrame, String) => Unit,
+                   serve: String => DataFrame,
+                   refresh: (DataFrame, String) => Unit,
+                   compact: String => Unit, dataSub: String, tombSub: String)
+    val fams = Seq(
+      Fam("pq", d => Similarity.persistPqIndex(vecs, d),
+        Similarity.deleteFromPqIndex, d => Similarity.loadPqIndexServing(s, d),
+        Similarity.refreshPqIndex, d => Similarity.compactPqIndex(s, d),
+        "pq_codes", "pq_tombstones"),
+      Fam("srp", d => Similarity.persistSrpIndex(vecs, d),
+        Similarity.deleteFromSrpIndex, d => Similarity.loadSrpIndexServing(s, d),
+        Similarity.refreshSrpIndex, d => Similarity.compactSrpIndex(s, d),
+        "srp_sigs", "srp_tombstones"))
+    fams.foreach { f =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-${f.name}-del").toString
+      f.persist(dir)
+      val dead = vecs.filter($"vec_id" % 11 === 3).select($"vec_id")
+      f.del(dead.filter($"vec_id" < 250), dir)
+      f.del(dead.filter($"vec_id" >= 250), dir)
+      val ids = f.serve(dir).select($"vec_id").as[Long].collect().toSet
+      assert(ids.nonEmpty && !ids.exists(_ % 11 == 3),
+        s"${f.name}: tombstoned ids still served")
+      val deadOne = vecs.filter($"vec_id" % 11 === 3)
+        .orderBy($"vec_id").limit(1).localCheckpoint()
+      intercept[IllegalArgumentException] { f.refresh(deadOne, dir) }
+      f.compact(dir)
+      assert(!new java.io.File(s"$dir/${f.tombSub}").exists(),
+        s"${f.name}: compaction must clear the folded log")
+      val phys = s.read.parquet(s"$dir/${f.dataSub}")
+        .select($"vec_id").as[Long].collect().toSet
+      assert(phys == ids, s"${f.name}: fold must leave exactly the served rows")
+      f.refresh(deadOne, dir)
+      val deadId = deadOne.select($"vec_id").as[Long].head()
+      assert(f.serve(dir).filter($"vec_id" === deadId).count() == 1,
+        s"${f.name}: re-add after the fold must serve")
+    }
+  }
+
   test("SRP index upsert: append equals from-scratch for ALL queries; compaction invisible; nothing but the delta hashed") {
     val s = TestSpark.spark
     import s.implicits._
