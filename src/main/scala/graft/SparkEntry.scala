@@ -384,6 +384,9 @@ object SparkEntry {
     // greedy left-to-right rewrite per round — the learned tokenizer
     // artifact, replayed by the oracle as chained MATERIALIZED CTEs.
     "t43_bpe_merges"         -> ((s, d) => TextOps.bpeMergeTable(s, d)),
+    // t44 = the trained segmentation applied: per-word subword split
+    // + frequency + subtoken count from the SAME loop's final state.
+    "t44_bpe_segmentation"   -> ((s, d) => TextOps.bpeSegmentation(s, d)),
     // t33 = PII detect + redact (email/phone/IPv4) — counts on the
     // original text, typed-placeholder redaction, all codegen regex;
     // runs over the deterministic planted-PII fixture (WavCodec
@@ -4299,6 +4302,7 @@ object SparkEntry {
           exp(entropy) / CAST(vocab AS DOUBLE) AS eff_frac
         FROM f ORDER BY source""",
       "t43_bpe_merges" -> TextOps.bpeOracle(20),
+      "t44_bpe_segmentation" -> TextOps.bpeSegOracle(20),
       "t24_source_entropy" -> """
         WITH tok AS (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS term
                      FROM documents),

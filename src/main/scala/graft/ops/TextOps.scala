@@ -1529,9 +1529,49 @@ object TextOps {
       bpeMergesFrame(s, documents(s, dir).select(col("text")), nMerges)
     }
 
+  /** t44 — the trained segmentation APPLIED: the per-word subword
+    * split the t43 merge table produces, with its frequency and
+    * subtoken count — the train→apply pair every tokenizer pipeline
+    * ships together (t43 is the artifact, this is what running it
+    * over the vocabulary yields; the loop's final vocabulary state IS
+    * the application, no second apply pass exists to diverge from
+    * training). Top-200 by frequency for a bounded, stable report —
+    * on this corpus's deliberately small template vocabulary that is
+    * the whole table.
+    */
+  def bpeSegmentation(s: SparkSession, dir: String, nMerges: Int = 20): DataFrame =
+    CorpusIndexes.memo(s, dir, s"bpe_seg_$nMerges") {
+      import s.implicits._
+      val (_, words, rdds) = bpeTrain(s,
+        documents(s, dir).select(col("text")), nMerges)
+      val out = words.select($"word", $"n",
+          size($"syms").cast("long").as("n_syms"),
+          array_join($"syms", "|").as("seg"))
+        .orderBy($"n".desc, $"word").limit(200)
+        .localCheckpoint()
+      rdds.foreach(_.unpersist(blocking = false))
+      out
+    }
+
   /** [[bpeMergeTable]] over an explicit (text) frame — the spec seam. */
   private[graft] def bpeMergesFrame(s: SparkSession, docs: DataFrame,
                                     nMerges: Int): DataFrame = {
+    import s.implicits._
+    val (merges, _, rdds) = bpeTrain(s, docs, nMerges)
+    rdds.foreach(_.unpersist(blocking = false))
+    s.sparkContext.parallelize(merges, 1)
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .orderBy($"merge_rank")
+  }
+
+  /** The shared training loop: returns the merge list, the FINAL
+    * vocabulary state (word, n, syms — checkpointed; its pinned RDDs
+    * are returned so the caller frees them after taking what it
+    * needs), and those RDDs.
+    */
+  private def bpeTrain(s: SparkSession, docs: DataFrame, nMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame,
+         Seq[org.apache.spark.rdd.RDD[_]]) = {
     import s.implicits._
     val sc = s.sparkContext
     def tracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
@@ -1576,10 +1616,7 @@ object TextOps {
         wordsRdds = nextRdds
       }
     }
-    wordsRdds.foreach(_.unpersist(blocking = false))
-    sc.parallelize(merges.toSeq, 1)
-      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
-      .orderBy($"merge_rank")
+    (merges.toSeq, words, wordsRdds)
   }
 
   /** The DuckDB replay of [[bpeMergeTable]]: `n` chained MATERIALIZED
@@ -1587,7 +1624,22 @@ object TextOps {
     * argmax, the occurrence positions, the greedy odd-rank selection
     * inside consecutive-position runs, and the rewritten vocabulary.
     */
-  private[graft] def bpeOracle(n: Int): String = {
+  private[graft] def bpeOracle(n: Int): String =
+    bpeOracleStages(n) + (1 to n)
+      .map(k => s"SELECT $k AS merge_rank, a AS left_sym, b AS right_sym, cnt AS pair_count FROM t$k")
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY merge_rank")
+
+  /** The DuckDB replay of [[bpeSegmentation]]: the same `n` chained
+    * stages, reading the FINAL vocabulary state instead of the merge
+    * rows.
+    */
+  private[graft] def bpeSegOracle(n: Int): String =
+    bpeOracleStages(n) + s"""
+      SELECT word, n, CAST(len(syms) AS BIGINT) AS n_syms,
+        array_to_string(syms, '|') AS seg
+      FROM w$n ORDER BY n DESC, word LIMIT 200"""
+
+  private def bpeOracleStages(n: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH w0 AS MATERIALIZED (
       SELECT word, CAST(count(*) AS BIGINT) AS n,
@@ -1622,9 +1674,6 @@ object TextOps {
              LEFT JOIN k$k kd ON e.word = kd.word AND e.pos = kd.pos + 1
              GROUP BY e.word)"""
     }
-    sb ++= (1 to n)
-      .map(k => s"SELECT $k AS merge_rank, a AS left_sym, b AS right_sym, cnt AS pair_count FROM t$k")
-      .mkString("\n", "\nUNION ALL ", "\nORDER BY merge_rank")
     sb.toString
   }
 }
