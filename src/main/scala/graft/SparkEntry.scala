@@ -515,6 +515,10 @@ object SparkEntry {
     // s28 = SQ upsert: frozen-range encode with CLIPPED out-of-range
     // arrivals and an n_clipped drift meter; integer code-dot serving.
     "s28_sq_upsert"          -> ((s, d) => Similarity.sqUpsertServe(s, d)),
+    // s29 = k-center greedy coreset: farthest-point sampling on cosine
+    // distance — the diversity-selection op (dedup's complement); the
+    // selection trace reports coverage at each pick.
+    "s29_kcenter_coreset"    -> ((s, d) => Similarity.kcenterCoreset(s, d)),
     "m14_audio_nn"           -> (Multimodal.audioNearestNeighbor _),
     // m18 = incremental audio dedup: arriving clips (d14 slice) probe
     // the historical frame-energy fingerprint index by duration class,
@@ -1633,6 +1637,7 @@ object SparkEntry {
       // order); cosine is the same pinned dot/(nrm·nrm) double.
       // s28: frozen HISTORY range, clipped arrival codes, exact
       // integer dot ranking — all replayed in SQL.
+      "s29_kcenter_coreset" -> Similarity.kcenterOracle(10),
       "s28_sq_upsert" -> """
         WITH hist AS (SELECT vec_id, embedding FROM embeddings
                       WHERE vec_id % 7 <> 2),

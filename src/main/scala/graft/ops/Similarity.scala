@@ -159,6 +159,83 @@ object Similarity {
   private[graft] def normedVectors(s: SparkSession, dir: String): DataFrame =
     withNorm(embeddings(s, dir))
 
+  /** s29 — K-CENTER GREEDY CORESET (farthest-point sampling on cosine
+    * distance): the diversity-sampling op a training pipeline runs to
+    * pick k maximally-spread exemplars — dedup's complement (dedup
+    * removes redundancy; this SELECTS for coverage; the greedy sweep
+    * is the classic 2-approximation for the k-center objective). Seed
+    * = vec_id 0 by convention; each round selects the vector whose
+    * best similarity to any selected center is LOWEST (ties → min
+    * vec_id) and reports that coverage value — the selection trace a
+    * curator reads to decide when coverage saturates.
+    *
+    * Deterministic end to end: cosines are the vec_dot left-to-right
+    * double folds the s-family shares with DuckDB's list_dot_product,
+    * max-over-≤k-centers is order-free, and every argmin tie-breaks
+    * on id — so the oracle replays the full greedy loop as k chained
+    * MATERIALIZED CTE stages.
+    *
+    * Scale shape: k passes over the embedding table, each one a
+    * ≤k-row broadcast, a codegen'd dot per (vector, center), and a
+    * map-side-combined max aggregate; the driver holds k rows. At
+    * 100 TB the same loop runs over IVF-cell representatives or a
+    * uniform sample — the greedy's approximation bound composes with
+    * sampling, and the per-pass shape is unchanged.
+    */
+  def kcenterCoreset(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    CorpusIndexes.memo(s, dir, s"kcenter_$k") {
+      import s.implicits._
+      val e = normedVectors(s, dir).localCheckpoint()
+      var selected = Vector((1, 0L, 1.0)) // the seed covers itself
+      for (i <- 2 to k) {
+        val ids = selected.map(_._2)
+        val cents = e.filter($"vec_id".isin(ids: _*))
+          .select($"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+        val top = e.filter(!$"vec_id".isin(ids: _*))
+          .crossJoin(broadcast(cents))
+          .withColumn("cos",
+            cosinePrenormed(vec_dot($"embedding", $"c_emb"), $"nrm", $"c_nrm"))
+          .groupBy($"vec_id").agg(max($"cos").as("cov"))
+          .orderBy($"cov".asc, $"vec_id".asc).limit(1)
+          .collect().head
+        selected :+= ((i, top.getLong(0), top.getDouble(1)))
+      }
+      s.sparkContext.parallelize(selected, 1)
+        .toDF("sel_rank", "vec_id", "cov")
+        .orderBy($"sel_rank")
+    }
+
+  /** The DuckDB replay of [[kcenterCoreset]]: k chained MATERIALIZED
+    * stages — coverage against the accumulated center set, argmin with
+    * id tie-break, center list grown by union.
+    */
+  private[graft] def kcenterOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+          CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    c1 AS (SELECT 1 AS sel_rank, CAST(0 AS BIGINT) AS vec_id,
+             CAST(1.0 AS DOUBLE) AS cov),
+    cents1 AS (SELECT vec_id FROM c1)"""
+    for (i <- 2 to k) {
+      sb ++= s""",
+    s$i AS MATERIALIZED (
+      SELECT x.vec_id, max(list_dot_product(x.v, ce.v) / (x.nrm * ce.nrm)) AS cov
+      FROM e x JOIN e ce ON ce.vec_id IN (SELECT vec_id FROM cents${i - 1})
+      WHERE x.vec_id NOT IN (SELECT vec_id FROM cents${i - 1})
+      GROUP BY x.vec_id),
+    c$i AS MATERIALIZED (SELECT $i AS sel_rank, vec_id, cov FROM s$i
+           ORDER BY cov ASC, vec_id LIMIT 1),
+    cents$i AS MATERIALIZED (SELECT vec_id FROM cents${i - 1}
+             UNION ALL SELECT vec_id FROM c$i)"""
+    }
+    sb ++= (1 to k).map(i => s"SELECT sel_rank, vec_id, cov FROM c$i")
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY sel_rank")
+    sb.toString
+  }
+
   /** s20 — FILTERED vector search: top-k restricted to candidates
     * sharing the query's label (the tenant/class/language predicate
     * every production retrieval stack composes with ANN — "nearest
