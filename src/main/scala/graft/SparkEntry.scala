@@ -258,6 +258,10 @@ object SparkEntry {
     // alone (never each other) and report maximal already-in-corpus
     // regions — the pre-admission leakage report.
     "d36_incremental_spans"  -> ((s, d) => Dedup.incrementalSpanProbe(s, d)),
+    // d37 = curation impact: KL(post-dedup || pre-dedup) per source
+    // over unigram distributions — does the kept corpus still read
+    // like the source? (t22's fold discipline on the d27 keep set.)
+    "d37_curation_shift"     -> ((s, d) => TextOps.curationShift(s, d)),
     // d27 = the dedup DECISION table: per implicated doc the keep/drop
     // verdict with the quality-argmax canonical survivor (tie → min
     // doc_id) — the apply-step artifact downstream filters join on.
@@ -2780,6 +2784,71 @@ object SparkEntry {
             AS span_text
         FROM spans s JOIN tk ON s.doc_id = tk.doc_id
         ORDER BY s.doc_id, s.start_pos""",
+      // d37: the d27 decision chain -> drop set -> one pre/post token
+      // aggregate -> the t22 segmented KL fold (list_reduce's
+      // first-element seed == Spark's 0D seed because 0.0 + x = x).
+      "d37_curation_shift" -> """
+        WITH RECURSIVE
+        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+               FROM documents),
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        small AS (SELECT j, bkey FROM bands GROUP BY j, bkey
+                  HAVING count(*) <= 64 AND count(*) > 1),
+        inb AS (SELECT b.* FROM bands b JOIN small s ON b.j = s.j AND b.bkey = s.bkey),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+        lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+                FROM walk GROUP BY node),
+        q AS (SELECT doc_id,
+                0.4 * (1.0 - CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t))
+                  + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+                  + 0.3 * least(len(t) / 50.0, 1.0) AS quality
+              FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+                    FROM documents) x),
+        verd AS (SELECT lab.doc_id,
+                   lab.doc_id = first_value(lab.doc_id) OVER (
+                     PARTITION BY lab.cluster_id
+                     ORDER BY q.quality DESC, lab.doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                     AS kept
+                 FROM lab JOIN q ON lab.doc_id = q.doc_id),
+        dropped AS (SELECT doc_id FROM verd WHERE NOT kept),
+        tok AS (SELECT d.source, (dr.doc_id IS NOT NULL) AS is_dropped,
+                  unnest(regexp_split_to_array(d.text, '\s+')) AS term
+                FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id),
+        st AS (SELECT source, term, count(*) AS c_pre,
+                 CAST(sum(CASE WHEN is_dropped THEN 0 ELSE 1 END) AS BIGINT) AS c_post
+               FROM tok GROUP BY 1, 2),
+        ns AS (SELECT source, CAST(sum(c_pre) AS BIGINT) AS n_pre,
+                 CAST(sum(c_post) AS BIGINT) AS n_post
+               FROM st GROUP BY source),
+        c AS (SELECT st.source, st.term, st.c_post,
+                CAST(('0x' || substr(md5(st.term), 1, 2)) AS BIGINT) AS seg,
+                (CAST(st.c_post AS DOUBLE) / CAST(ns.n_post AS DOUBLE)) *
+                  ln((CAST(st.c_post AS DOUBLE) * CAST(ns.n_pre AS DOUBLE)) /
+                     (CAST(ns.n_post AS DOUBLE) * CAST(st.c_pre AS DOUBLE))) AS contrib
+              FROM st JOIN ns ON st.source = ns.source WHERE st.c_post > 0),
+        segs AS (SELECT source, seg, count(*) AS n_terms_seg,
+                   CAST(sum(c_post) AS BIGINT) AS n_tok_seg,
+                   list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS f_seg
+                 FROM c GROUP BY source, seg)
+        SELECT source, CAST(sum(n_terms_seg) AS BIGINT) AS n_terms_post,
+          CAST(sum(n_tok_seg) AS BIGINT) AS n_tokens_post,
+          list_reduce(list(f_seg ORDER BY seg), (a, b) -> a + b) AS kl_shift
+        FROM segs GROUP BY source ORDER BY source""",
       "d32_incremental_clusters" -> """
         WITH RECURSIVE
         tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),

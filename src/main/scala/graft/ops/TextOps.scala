@@ -550,6 +550,58 @@ object TextOps {
       .orderBy($"source")
   }
 
+  /** d37 — CURATION IMPACT: KL(post-dedup ‖ pre-dedup) of each
+    * source's unigram distribution, where post = the corpus after
+    * applying d27's decision table (the exact keep set
+    * `writeCuratedCorpus` ships). The before/after audit a curation
+    * run publishes next to its savings report: d30 says how many
+    * tokens left; this says whether what remains still READS like the
+    * source (near-zero = dedup removed redundancy without skewing the
+    * language; a spike = the drop set was concentrated in one kind of
+    * text). Well-defined without smoothing: the kept corpus is a
+    * subset, so every post-distribution term has pre-mass.
+    *
+    * Float discipline: the t22 segmented fixed-order fold with
+    * [[PlatformLn]] — bit-identical across engines at any
+    * parallelism, buffers segment-bounded.
+    *
+    * Scale shape: ONE token explode with the broadcast drop flag
+    * joined per document BEFORE the explode, one (source, term)
+    * aggregate carrying both counts, per-source totals re-aggregated
+    * — the drop list is the only extra input vs t22, and it is
+    * label-sidecar-sized.
+    */
+  def curationShift(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import s.implicits._
+    val dropped = graft.ops.Dedup.canonicalSelection(s, dir, cap)
+      .filter(!$"kept").select($"doc_id").withColumn("is_dropped", lit(true))
+    val tok = documents(s, dir)
+      .join(broadcast(dropped), Seq("doc_id"), "left")
+      .select($"source", coalesce($"is_dropped", lit(false)).as("dropped"),
+        explode(toks($"text")).as("term"))
+    val st = tok.groupBy($"source", $"term")
+      .agg(count(lit(1)).as("c_pre"),
+        sum(when($"dropped", 0L).otherwise(1L)).as("c_post"))
+    val ns = st.groupBy($"source")
+      .agg(sum($"c_pre").as("n_pre"), sum($"c_post").as("n_post"))
+    st.filter($"c_post" > 0)
+      .join(ns, Seq("source"))
+      .withColumn("contrib",
+        ($"c_post".cast("double") / $"n_post".cast("double")) *
+          graft.functions.VectorFunctions.platform_ln(
+            ($"c_post".cast("double") * $"n_pre".cast("double")) /
+              ($"n_post".cast("double") * $"c_pre".cast("double"))))
+      .withColumn("seg", segOf($"term"))
+      .groupBy($"source", $"seg")
+      .agg(count(lit(1)).as("n_terms_seg"), sum($"c_post").as("n_tok_seg"),
+        expr(segFold).as("f_seg"))
+      .groupBy($"source")
+      .agg(sum($"n_terms_seg").as("n_terms_post"),
+        sum($"n_tok_seg").as("n_tokens_post"),
+        expr(outerFold).as("kl_shift"))
+      .orderBy($"source")
+  }
+
   /** 256-way md5 term segmentation + the two-level deterministic fold
     * shared by t22/t24 (applies to a column named `term`): within a
     * segment contributions fold in term order, segment sums fold in
