@@ -71,6 +71,13 @@ object SparkEntry {
     // e23 = hour-of-day seasonal profile: |types|×24 traffic
     // fingerprint (counts, shares, ranks) — the seasonality baseline.
     "e23_hourly_profile"     -> (EventOps.hourOfDayProfile _),
+    // e24 = inter-arrival burstiness by activity band: CV >= 1 as
+    // exact BIGINT algebra (n·Σg² >= 2·(Σg)²), gaps from floored
+    // microsecond epochs — no doubles anywhere.
+    "e24_interarrival"       -> (EventOps.interArrivalProfile _),
+    // e25 = session co-occurrence lift over the e03 session windows;
+    // lift > 1 as exact integer cross-multiplication.
+    "e25_session_lift"       -> (EventOps.sessionTypeLift _),
     // m19 = EXECUTED audio decimation through the real WAV codec
     // (decode → drop odd samples → re-encode at 4 kHz → decode);
     // position-weighted sums pin sample order across the chain.
@@ -105,6 +112,10 @@ object SparkEntry {
     // correlated EXISTS rewritten as one (order, supplier) aggregate
     // plus an order-level rollup — three integer facts decide blame.
     "q32_blame_suppliers"    -> (Relational2.blameSuppliers _),
+    // q33 = TPC-H Q7 shape (cross-border nation-to-nation trade by
+    // ship-year): the two nation legs are constant broadcasts, so the
+    // second dimension costs no extra shuffle.
+    "q33_nation_trade"       -> (Relational2.nationTrade _),
     // m20 = scene-change detection over the shared gif_frames sidecar:
     // per video the cut/scene/longest-run report via gaps-and-islands
     // on consecutive frame-hash equality.
@@ -690,6 +701,69 @@ object SparkEntry {
       // sketch arm is engine-specific, so the checked surface is the
       // exact counts + the tolerance flag (the t07 convention).
       // e23: hour-of-day matrix with identical window orderings.
+      // e24: gaps from exact µs epochs, integer-divided to seconds
+      // (both engines truncate nonnegative division); the bursty flag
+      // and every rollup column are pure BIGINT algebra.
+      "e24_interarrival" -> """
+        WITH g AS (
+          SELECT user_id,
+            (epoch_us(ts)
+             - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)) // 1000000
+              AS gap_s
+          FROM events),
+        pu AS (
+          SELECT user_id, count(*) AS n_gaps, sum(gap_s) AS s_gap,
+            sum(gap_s * gap_s) AS ss_gap, max(gap_s) AS max_gap
+          FROM g WHERE gap_s IS NOT NULL GROUP BY 1),
+        pb AS (
+          SELECT n_gaps, s_gap, max_gap,
+            CASE WHEN n_gaps * ss_gap >= 2 * s_gap * s_gap
+                 THEN 1 ELSE 0 END AS bursty,
+            CASE WHEN n_gaps < 16 THEN 'lt16'
+                 WHEN n_gaps < 64 THEN '16to63'
+                 WHEN n_gaps < 256 THEN '64to255'
+                 ELSE 'ge256' END AS band
+          FROM pu)
+        SELECT band, count(*) AS n_users,
+          CAST(sum(bursty) AS BIGINT) AS n_bursty,
+          CAST(sum(n_gaps) AS BIGINT) AS total_gaps,
+          CAST(sum(s_gap) AS BIGINT) AS total_gap_s,
+          max(max_gap) AS max_gap_s
+        FROM pb GROUP BY band ORDER BY band""",
+      // e25: e03's islands CTE reduced to per-session DISTINCT types;
+      // the pair join fans out at most |types|^2 per session.
+      "e25_session_lift" -> """
+        WITH marked AS (
+          SELECT user_id, ts, event_type,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '10 minutes'
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        numbered AS (
+          SELECT user_id, ts, event_type,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked),
+        st AS (
+          SELECT DISTINCT user_id, sid, event_type FROM numbered),
+        ns AS (
+          SELECT count(*) AS n_sessions
+          FROM (SELECT DISTINCT user_id, sid FROM st)),
+        pt AS (
+          SELECT event_type, count(*) AS n_type FROM st GROUP BY 1)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+          count(*) AS n_both,
+          min(pa.n_type) AS n_a, min(pb.n_type) AS n_b,
+          min(ns.n_sessions) AS n_sessions,
+          (count(*) * min(ns.n_sessions) > min(pa.n_type) * min(pb.n_type))
+            AS positive
+        FROM st a
+        JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid
+                  AND a.event_type < b.event_type
+        JOIN pt pa ON pa.event_type = a.event_type
+        JOIN pt pb ON pb.event_type = b.event_type
+        CROSS JOIN ns
+        GROUP BY 1, 2 ORDER BY type_a, type_b""",
       "e23_hourly_profile" -> """
         WITH m AS (
           SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hod,
@@ -3554,6 +3628,21 @@ object SparkEntry {
         WHERE supp_late = 1 AND n_supps >= 2 AND n_late = 1
         GROUP BY s_suppkey, s_name
         ORDER BY numwait DESC, s_name, s_suppkey LIMIT 20""",
+      // q33: Q7 shape — both nation joins and the cross-border filter
+      // are integer-key algebra; revenue folds in exact decimal.
+      "q33_nation_trade" -> s"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+          count(*) AS n_items,
+          CAST(CAST(sum($disc) AS VARCHAR) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN supplier ON l_suppkey  = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE s_nationkey <> c_nationkey
+        GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, ship_year""",
       // q30: the q29 algebraized threshold on balances; LEFT JOIN +
       // coalesce(0) keeps order-less customers in scope by principle
       // even though this generator produces none.

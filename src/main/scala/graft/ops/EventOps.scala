@@ -659,4 +659,109 @@ object EventOps {
         countDistinct($"user_id").as("n_users"))
       .orderBy($"hour")
   }
+
+  /** e24 — INTER-ARRIVAL BURSTINESS: per-user gap statistics between
+    * consecutive events, rolled up by activity band, with a bursty
+    * flag per user (coefficient of variation ≥ 1 — the memoryless/
+    * Poisson boundary: CV > 1 means clumped traffic, CV < 1 means
+    * pacemaker-regular). The traffic-shape profile behind retention
+    * and rate-limit models; none of the window/session queries expose
+    * gap dispersion.
+    *
+    * Float discipline: everything is BIGINT algebra. Gaps come from
+    * exact microsecond epochs floored to seconds (both engines floor
+    * nonnegative integer division); CV ≥ 1 rewrites to
+    * n·ΣgΣg² ≥ 2·(Σg)² — integers well under 2⁶³ (per-user Σg ≤
+    * month-seconds ≈ 2.6e6, squared 7e12). No division, no sqrt, no
+    * doubles anywhere.
+    *
+    * Scale shape: ONE shuffle on user_id (the lag window partitions
+    * by user — never global), then a user-sized aggregate and a
+    * constant |bands|-sized rollup. 100 TB: user cardinality bounds
+    * state; no skew beyond the busiest single user's event list,
+    * which the generator (and real telemetry after per-user rate
+    * caps) keeps task-sized.
+    */
+  def interArrivalProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gaps = events(s, dir)
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("cur_us", micros($"ts"))
+      .withColumn("prev_us", lag($"cur_us", 1).over(w))
+      .filter($"prev_us".isNotNull)
+      // `div` = exact BIGINT division (a double divide would round
+      // across second boundaries for large microsecond gaps).
+      .select($"user_id", expr("(cur_us - prev_us) div 1000000").as("gap_s"))
+    val perUser = gaps.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum($"gap_s").as("s_gap"),
+        sum($"gap_s" * $"gap_s").as("ss_gap"),
+        max($"gap_s").as("max_gap"))
+      .withColumn("bursty",
+        ($"n_gaps" * $"ss_gap" >= lit(2L) * $"s_gap" * $"s_gap").cast("int"))
+      .withColumn("band",
+        when($"n_gaps" < 16, lit("lt16"))
+          .when($"n_gaps" < 64, lit("16to63"))
+          .when($"n_gaps" < 256, lit("64to255"))
+          .otherwise(lit("ge256")))
+    perUser.groupBy($"band")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"bursty").cast("long").as("n_bursty"),
+        sum($"n_gaps").as("total_gaps"),
+        sum($"s_gap").as("total_gap_s"),
+        max($"max_gap").as("max_gap_s"))
+      .orderBy($"band")
+  }
+
+  /** e25 — SESSION CO-OCCURRENCE LIFT: for every ordered pair of
+    * event types, in how many user sessions (the e03 10-minute-gap
+    * windows) both types appear, against how often independence would
+    * predict — the market-basket association signal over behavioral
+    * sessions. `positive` is the exact integer form of lift > 1:
+    * n_both · n_sessions > n_a · n_b (no division, engine-exact).
+    *
+    * Scale shape: the session_window shuffle (shared family shape),
+    * then sessions reduce to DISTINCT (session, type) rows — the
+    * per-session type set is ≤ |types| = 5, so the self-join on
+    * session_id fans out at most |types|² per session, bounded by a
+    * constant, never by session length. The final aggregate is
+    * |types|² rows; the totals join is a one-row broadcast (the
+    * boundedCrossJoins pattern).
+    */
+  def sessionTypeLift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Sessions must merge over ALL of a user's events (a session_window
+    // groupBy with event_type as a key would sessionize per TYPE), so
+    // events get their session label via gaps-and-islands: new session
+    // when the user gap is >= 10 minutes — exactly the e03 boundary.
+    val w = Window.partitionBy($"user_id").orderBy($"ts")
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = events(s, dir)
+      .select($"user_id", $"ts", $"event_type")
+      .withColumn("prev_us", lag(micros($"ts"), 1).over(w))
+      .withColumn("new_s",
+        when($"prev_us".isNull ||
+          micros($"ts") - $"prev_us" >= lit(600L * 1000000L), 1L)
+          .otherwise(0L))
+      .withColumn("s_start", sum($"new_s").over(wc))
+      .select($"user_id", $"s_start", $"event_type")
+      .distinct()
+    val nSessions = st.select($"user_id", $"s_start").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val perType = st.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_type"))
+    val a = st.select($"user_id", $"s_start", $"event_type".as("type_a"))
+    val b = st.select($"user_id", $"s_start", $"event_type".as("type_b"))
+    a.join(b, Seq("user_id", "s_start"))
+      .filter($"type_a" < $"type_b")
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(perType.select($"event_type".as("type_a"), $"n_type".as("n_a"))), Seq("type_a"))
+      .join(broadcast(perType.select($"event_type".as("type_b"), $"n_type".as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nSessions))
+      .select($"type_a", $"type_b", $"n_both", $"n_a", $"n_b", $"n_sessions",
+        ($"n_both" * $"n_sessions" > $"n_a" * $"n_b").as("positive"))
+      .orderBy($"type_a", $"type_b")
+  }
 }

@@ -542,4 +542,42 @@ object Relational2 {
       .select($"n_name", $"revenue", $"share", $"rev_rank", $"pct_rank")
       .orderBy($"rev_rank")
   }
+
+  /** q33 — TPC-H Q7-shaped NATION TRADE: revenue flowing from supplier
+    * nation to customer nation per ship-year, cross-border pairs only
+    * (spark_entity_counter.py has no relational surface — this extends
+    * the q03/q28 join family per SURVEY §7.3's TPC-H track).
+    *
+    * Scale shape: lineitem joins orders and the custkey/suppkey
+    * dimensions on their keys (AQE picks broadcast at small SF,
+    * shuffled hash at 100 TB — the q03 discipline); both nation maps
+    * are CONSTANT 25-row broadcasts, so adding the second nation leg
+    * costs no shuffle. The aggregate output is ≤ |nations|²·|years|
+    * rows. Revenue sums in exact decimal; the cross-border filter
+    * compares integer nationkeys.
+    */
+  def nationTrade(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = dec($"l_extendedprice") *
+      (lit(1).cast(DecimalType(3, 2)) - $"l_discount".cast(DecimalType(4, 3)))
+    val n1 = broadcast(nation(s, dir)
+      .select($"n_nationkey".as("sk"), $"n_name".as("supp_nation")))
+    val n2 = broadcast(nation(s, dir)
+      .select($"n_nationkey".as("ck"), $"n_name".as("cust_nation")))
+    lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate",
+        $"l_extendedprice", $"l_discount")
+      .join(orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(customer(s, dir).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(supplier(s, dir).select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .filter($"s_nationkey" =!= $"c_nationkey")
+      .join(n1, $"s_nationkey" === $"sk")
+      .join(n2, $"c_nationkey" === $"ck")
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").cast("long").as("ship_year"))
+      .agg(count(lit(1)).as("n_items"), sum(rev).cast("double").as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"ship_year")
+  }
 }

@@ -232,4 +232,57 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got.map(_._2).sum >= sessions.length.toLong)
     got.foreach { case (h, ns, nu) => assert(nu <= ns, s"hour $h") }
   }
+
+  test("e24 inter-arrival bands: driver recompute of the BIGINT algebra") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = SparkEntry.queries("e24_interarrival")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val raw = spark.read.parquet(TestSpark.sfDir + "/events.parquet")
+      .selectExpr("user_id", "unix_micros(cast(ts as timestamp)) AS us", "event_id")
+      .as[(Long, Long, Long)].collect()
+    val expected = raw.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val us = evs.sortBy(e => (e._2, e._3)).map(_._2)
+      val gaps = us.zip(us.tail).map { case (a, b) => (b - a) / 1000000L }
+      if (gaps.isEmpty) None
+      else {
+        val n = gaps.length.toLong
+        val sg = gaps.sum; val ss = gaps.map(g => g * g).sum
+        val band =
+          if (n < 16) "lt16" else if (n < 64) "16to63"
+          else if (n < 256) "64to255" else "ge256"
+        Some((band, n * ss >= 2 * sg * sg, n, sg, gaps.max))
+      }
+    }
+    val byBand = expected.groupBy(_._1).map { case (b, xs) =>
+      b -> (xs.size.toLong, xs.count(_._2).toLong,
+        xs.map(_._3).sum, xs.map(_._4).sum, xs.map(_._5).max)
+    }
+    assert(got == byBand)
+    // every event beyond a user's first contributes exactly one gap
+    val nEvents = raw.length.toLong
+    val nUsers = raw.map(_._1).distinct.length.toLong
+    assert(got.values.map(_._3).sum == nEvents - nUsers)
+  }
+
+  test("e25 session lift: pair counts bounded by marginals, sessions match e03") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("e25_session_lift")(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    // ONE session universe: every pair row carries the same n_sessions,
+    // and it equals e03's session count (same islands boundary).
+    val nSessions = rows.map(_.getLong(5)).distinct
+    assert(nSessions.length == 1)
+    val e03 = SparkEntry.queries("e03_sessions")(spark, TestSpark.sfDir).count()
+    assert(nSessions.head == e03)
+    rows.foreach { r =>
+      val (both, na, nb, ns) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(r.getString(0) < r.getString(1))
+      assert(both <= math.min(na, nb) && math.max(na, nb) <= ns)
+      assert(r.getBoolean(6) == (both * ns > na * nb))
+    }
+  }
 }

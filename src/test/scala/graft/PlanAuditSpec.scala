@@ -59,7 +59,10 @@ class PlanAuditSpec extends AnyFunSuite {
         "t35_quality_calibration", "s22_ivf_upsert",
         "s24_radius_search", "t36_pmi_collocations", "q25_integrity_audit",
         "t37_bm25", "s25_srp_hamming", "s26_srp_upsert", "s27_srp_banded",
-        "t39_heaps_fit", "q30_idle_rich", "s28_sq_upsert")
+        "t39_heaps_fit", "q30_idle_rich", "s28_sq_upsert",
+        // e25: the only cross join is the ONE-ROW broadcast session
+        // total joined onto the |types|^2 pair aggregate.
+        "e25_session_lift")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark
