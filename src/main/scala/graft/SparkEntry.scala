@@ -534,6 +534,12 @@ object SparkEntry {
     // distance — the diversity-selection op (dedup's complement); the
     // selection trace reports coverage at each pick.
     "s29_kcenter_coreset"    -> ((s, d) => Similarity.kcenterCoreset(s, d)),
+    // s30 = MMR diversified rerank: relevance minus redundancy over a
+    // constant ANN shortlist, driver greedy (the s29 pattern).
+    "s30_mmr_rerank"         -> ((s, d) => Similarity.mmrRerank(s, d)),
+    // s31 = nprobe recall sweep: the coarse-probe tuning curve
+    // (s11 sweeps shortlist width; this sweeps probed cells).
+    "s31_nprobe_sweep"       -> (Similarity.ivfNprobeSweep _),
     "m14_audio_nn"           -> (Multimodal.audioNearestNeighbor _),
     // m18 = incremental audio dedup: arriving clips (d14 slice) probe
     // the historical frame-energy fingerprint index by duration class,
@@ -1716,6 +1722,47 @@ object SparkEntry {
       // s28: frozen HISTORY range, clipped arrival codes, exact
       // integer dot ranking — all replayed in SQL.
       "s29_kcenter_coreset" -> Similarity.kcenterOracle(10),
+      "s30_mmr_rerank" -> Similarity.mmrOracle(5, 12),
+      // s31: the s11 assignment CTEs, a per-query cell ranking, and
+      // the nprobe unnest — every rank breaks ties on ids.
+      "s31_nprobe_sweep" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings),
+        ccb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        cells AS (SELECT vec_id, cell_id FROM (
+          SELECT e.vec_id, ccb.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, ccb.cv) / (e.nrm * ccb.cnrm) DESC, ccb.cell_id) AS arank
+          FROM e CROSS JOIN ccb) t WHERE arank = 1),
+        qc AS (SELECT q_id, cell_id, crank FROM (
+          SELECT q.vec_id AS q_id, ccb.cell_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_dot_product(q.v, ccb.cv) / (q.nrm * ccb.cnrm) DESC, ccb.cell_id) AS crank
+          FROM e q CROSS JOIN ccb WHERE q.vec_id < 5) t WHERE crank <= 4),
+        cand AS (
+          SELECT qc.q_id, np.nprobe, a.vec_id,
+            row_number() OVER (PARTITION BY qc.q_id, np.nprobe
+              ORDER BY list_dot_product(q.v, a.v) / (q.nrm * a.nrm) DESC, a.vec_id) AS rnk
+          FROM qc
+          JOIN cells c ON c.cell_id = qc.cell_id
+          JOIN e a ON a.vec_id = c.vec_id
+          JOIN e q ON q.vec_id = qc.q_id
+          CROSS JOIN (SELECT unnest([1, 2, 4]) AS nprobe) np
+          WHERE qc.crank <= np.nprobe AND a.vec_id <> qc.q_id),
+        top5 AS (SELECT q_id, nprobe, vec_id FROM cand WHERE rnk <= 5),
+        exact5 AS (SELECT q_id, vec_id FROM (
+          SELECT q.vec_id AS q_id, a.vec_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_dot_product(q.v, a.v) / (q.nrm * a.nrm) DESC, a.vec_id) AS rnk
+          FROM e q JOIN e a ON a.vec_id <> q.vec_id
+          WHERE q.vec_id < 5) t WHERE rnk <= 5)
+        SELECT t.q_id, CAST(t.nprobe AS BIGINT) AS nprobe,
+          count(*) AS n_returned,
+          CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+          CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS recall_at_5
+        FROM top5 t LEFT JOIN exact5 ex ON ex.q_id = t.q_id AND ex.vec_id = t.vec_id
+        GROUP BY t.q_id, t.nprobe ORDER BY t.q_id, t.nprobe""",
       "s28_sq_upsert" -> """
         WITH hist AS (SELECT vec_id, embedding FROM embeddings
                       WHERE vec_id % 7 <> 2),

@@ -62,7 +62,10 @@ class PlanAuditSpec extends AnyFunSuite {
         "t39_heaps_fit", "q30_idle_rich", "s28_sq_upsert",
         // e25: the only cross join is the ONE-ROW broadcast session
         // total joined onto the |types|^2 pair aggregate.
-        "e25_session_lift")
+        "e25_session_lift",
+        // s31: query×codebook cell ranking (5 × 16 broadcast) and the
+        // 5-query exact-arm broadcast — the s11/s20 audit shapes.
+        "s31_nprobe_sweep")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark

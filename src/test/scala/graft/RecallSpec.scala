@@ -745,4 +745,40 @@ class RecallSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("s30 MMR: first pick is max-relevance, scores non-increasing, picks distinct") {
+    val spark0 = TestSpark.spark
+    val rows = SparkEntry.queries("s30_mmr_rerank")(spark0, TestSpark.sfDir).collect()
+    assert(rows.length == 5)
+    val ids = rows.map(_.getLong(1))
+    assert(ids.distinct.length == ids.length)
+    // pick 1 maximizes bare relevance (maxsim over the empty set is 0)
+    val rels = rows.map(_.getDouble(2))
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.head == 0.7 * rels.head - 0.3 * 0.0)
+    val s01top = SparkEntry.queries("s01_knn_brute")(spark0, TestSpark.sfDir)
+      .collect().filter(_.getLong(0) == 0L).minBy(_.getLong(1))
+    assert(ids.head == s01top.getLong(2), "MMR pick 1 must be the brute-force top-1")
+    // each candidate's marginal score only decays as the set grows, so
+    // the selection trace is non-increasing
+    scores.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
+  }
+
+  test("s31 nprobe sweep: recall and candidate counts monotone in probed cells") {
+    val spark0 = TestSpark.spark
+    val rows = SparkEntry.queries("s31_nprobe_sweep")(spark0, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.length == 15)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byNp = rs.sortBy(_._2)
+      assert(byNp.map(_._2).toSeq == Seq(1L, 2L, 4L))
+      byNp.foreach { case (_, _, nRet, nMatch, rec) =>
+        assert(nRet <= 5 && nMatch <= nRet)
+        assert(rec == nMatch.toDouble / 5)
+      }
+      // a superset of probed cells can only add candidates and matches
+      assert(byNp(0)._3 <= byNp(1)._3 && byNp(1)._3 <= byNp(2)._3, s"q$q returned")
+      assert(byNp(0)._4 <= byNp(1)._4 && byNp(1)._4 <= byNp(2)._4, s"q$q matched")
+    }
+  }
 }
