@@ -273,6 +273,10 @@ object SparkEntry {
     // over unigram distributions — does the kept corpus still read
     // like the source? (t22's fold discipline on the d27 keep set.)
     "d37_curation_shift"     -> ((s, d) => TextOps.curationShift(s, d)),
+    // d38 = Bloom-filter exact-dup prescreen: constant-memory gate in
+    // front of the md5 join, fp arm gated t07-style (the fp COUNT is
+    // filter-layout-specific; the no-false-negative arm is exact).
+    "d38_bloom_prescreen"    -> ((s, d) => Dedup.bloomPrescreen(s, d)),
     // d27 = the dedup DECISION table: per implicated doc the keep/drop
     // verdict with the quality-argmax canonical survivor (tie → min
     // doc_id) — the apply-step artifact downstream filters join on.
@@ -402,6 +406,9 @@ object SparkEntry {
     // t44 = the trained segmentation applied: per-word subword split
     // + frequency + subtoken count from the SAME loop's final state.
     "t44_bpe_segmentation"   -> ((s, d) => TextOps.bpeSegmentation(s, d)),
+    // t45 = per-doc character entropy (sub-token gibberish filter),
+    // the t24 segmented platform-ln fold applied per document.
+    "t45_char_entropy"       -> (TextOps.charEntropy _),
     // t33 = PII detect + redact (email/phone/IPv4) — counts on the
     // original text, typed-placeholder redaction, all codegen regex;
     // runs over the deterministic planted-PII fixture (WavCodec
@@ -2908,6 +2915,17 @@ object SparkEntry {
       // d37: the d27 decision chain -> drop set -> one pre/post token
       // aggregate -> the t22 segmented KL fold (list_reduce's
       // first-element seed == Spark's 0D seed because 0.0 + x = x).
+      // d38: counts replay exactly; the two filter-property booleans
+      // are pinned verdicts (no-false-negative is structural, the fp
+      // budget is the 3x-expectation gate).
+      "d38_bloom_prescreen" -> """
+        WITH b AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0),
+        hh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0)
+        SELECT count(*) AS n_batch,
+          CAST(sum(CASE WHEN hh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+          TRUE AS no_false_negatives,
+          TRUE AS fp_rate_ok
+        FROM b LEFT JOIN hh ON b.h = hh.h""",
       "d37_curation_shift" -> """
         WITH RECURSIVE
         tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
@@ -4513,6 +4531,34 @@ object SparkEntry {
         FROM f ORDER BY source""",
       "t43_bpe_merges" -> TextOps.bpeOracle(20),
       "t44_bpe_segmentation" -> TextOps.bpeSegOracle(20),
+      // t45: integer-log decomposition H = ln n - (sum c*ln c)/n —
+      // logs take INTEGER counts only (verified divergence-free for
+      // this corpus; the p=c/n fraction form hits a Java-vs-libm 1-ulp
+      // input). Empty-string filter pins both engines' split.
+      "t45_char_entropy" -> """
+        WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS term
+                     FROM documents),
+        st AS (SELECT doc_id, term, count(*) AS c_st FROM tok
+               WHERE term <> '' GROUP BY 1, 2),
+        c AS (SELECT doc_id, term, c_st,
+                CAST(('0x' || substr(md5(term), 1, 2)) AS BIGINT) AS seg,
+                CAST(c_st AS DOUBLE) * ln(CAST(c_st AS DOUBLE)) AS contrib
+              FROM st),
+        segs AS (SELECT doc_id, seg, count(*) AS n_chars_seg,
+                   CAST(sum(c_st) AS BIGINT) AS n_total_seg,
+                   list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS f_seg
+                 FROM c GROUP BY doc_id, seg),
+        agg AS (SELECT doc_id, CAST(sum(n_chars_seg) AS BIGINT) AS charset,
+                  CAST(sum(n_total_seg) AS BIGINT) AS n_chars,
+                  list_reduce(list(f_seg ORDER BY seg), (a, b) -> a + b) AS s_clnc
+                FROM segs GROUP BY doc_id)
+        SELECT doc_id, charset, n_chars,
+          ln(CAST(n_chars AS DOUBLE)) - s_clnc / CAST(n_chars AS DOUBLE) AS entropy,
+          CASE WHEN charset > 1
+               THEN (ln(CAST(n_chars AS DOUBLE)) - s_clnc / CAST(n_chars AS DOUBLE))
+                 / ln(CAST(charset AS DOUBLE))
+               ELSE 0.0 END AS norm_entropy
+        FROM agg ORDER BY doc_id""",
       "t24_source_entropy" -> """
         WITH tok AS (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS term
                      FROM documents),

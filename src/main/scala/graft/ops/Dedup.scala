@@ -1253,6 +1253,57 @@ object Dedup {
         $"probed_sim", $"probed_decontam", $"admit")
   }
 
+  /** d38 — BLOOM-FILTER EXACT-DUP PRESCREEN: the constant-memory gate
+    * production puts IN FRONT of d25's md5 equi-join — a Bloom filter
+    * over the historical digest set answers "definitely new" without
+    * touching the index, so only bloom-positive arrivals (true dups +
+    * the fp fraction) ever reach the join; at 3 % fpp a mostly-novel
+    * crawl batch shrinks the join input ~30×. Guarantees: NO false
+    * negatives by construction (every true dup is bloom-positive —
+    * audited here, not assumed), false positives only cost a wasted
+    * probe. The audit runs BOTH arms over the d25 batch slice
+    * (doc_id ≡ 0 mod 5 arrivals vs the rest as history) and emits one
+    * verdict row the oracle can pin: batch/dup counts exactly, the
+    * no-false-negative invariant, and the fp count inside 3× its
+    * expectation (integer algebra: 100·fp ≤ 9·n_new + 1600) — the
+    * t07/q23 sketch-gating pattern, since the fp COUNT itself is a
+    * property of the filter's hash layout, not of the data.
+    *
+    * Determinism: Spark's BloomFilterImpl is seed-fixed Murmur3 over
+    * the UTF-8 digest strings; the bit array is an OR of per-item
+    * masks, so build parallelism and insertion order cannot change it.
+    *
+    * Scale shape: the build is one distributed treeAggregate over
+    * history digests (`stat.bloomFilter`); the probe is a NARROW map
+    * under a broadcast of the filter. At 100 TB a single filter over
+    * billions of keys is GB-scale — production shards it by digest
+    * range (per-shard blooms behind the same narrow probe; the
+    * no-false-negative property composes across shards) or scopes it
+    * to the hot-history window, exactly like the d14 probe sidecars.
+    */
+  def bloomPrescreen(s: SparkSession, dir: String, fpp: Double = 0.03): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir).select($"doc_id", md5($"text").as("h"))
+    val hist = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val nHist = hist.count()
+    val bloom = hist.stat.bloomFilter("h", math.max(nHist, 1L), fpp)
+    val bc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: String) => bc.value.mightContain(h))
+    val exact = hist.select($"h").distinct().withColumn("is_dup", lit(true))
+    batch.withColumn("bloom_pos", mightContain($"h"))
+      .join(exact, Seq("h"), "left")
+      .agg(
+        count(lit(1)).as("n_batch"),
+        sum(when($"is_dup".isNotNull, 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when($"is_dup".isNotNull && !$"bloom_pos", 1L).otherwise(0L)).as("fn"),
+        sum(when($"is_dup".isNull && $"bloom_pos", 1L).otherwise(0L)).as("fp"),
+        sum(when($"is_dup".isNull, 1L).otherwise(0L)).as("n_new"))
+      .select($"n_batch", $"n_exact_dup",
+        ($"fn" === 0L).as("no_false_negatives"),
+        ($"fp" * 100L <= $"n_new" * 9L + 1600L).as("fp_rate_ok"))
+  }
+
   /** Word-3-gram Jaccard similarity over candidate pairs generated by a
     * shared-shingle equi-join (inverted-index style — only docs sharing
     * at least one shingle are ever paired, so sparsity bounds the work).

@@ -919,6 +919,56 @@ object TextOps {
       .orderBy($"source")
   }
 
+  /** t45 — PER-DOCUMENT CHARACTER ENTROPY: Shannon entropy of each
+    * doc's character distribution plus the charset-normalized form —
+    * the gibberish/boilerplate detector that works BELOW the token
+    * level (t24 scores sources by token entropy; a base64 blob or a
+    * run of one repeated character has normal token shape but
+    * degenerate char entropy, the classic pretraining-quality fast
+    * filter alongside t05's ratio heuristics).
+    *
+    * Float discipline: H = ln n − (Σ_c c·ln c)/n — the INTEGER-LOG
+    * decomposition, not −Σ p·ln p. `Math.log` and DuckDB's libm log
+    * disagree by 1 ulp on ~3·10⁻⁵ of inputs, and the fraction form
+    * hit one (ln(24/325) at sf0.1); logs of the corpus's integer
+    * counts are verified divergence-free (all 567 distinct c/n/k
+    * values across the three SFs, bit-compared Java-vs-glibc), and
+    * the remaining float ops (c·ln c product, the segmented pinned-
+    * order fold, ONE divide by n, one subtract) are IEEE-identical
+    * in both engines. `norm_entropy` guards the one-char charset
+    * (ln 1 = 0) to 0.0 instead of NaN.
+    *
+    * Scale shape: one char explode (fan-out = n_chars, the same order
+    * as tokenization) → (doc, char) aggregate, map-side combined; the
+    * per-doc total re-joins co-partitioned on doc_id; folds buffer at
+    * most one doc's ≤|charset| chars per segment. Output is doc-sized.
+    */
+  def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.platform_ln
+    val st = documents(s, dir)
+      .select($"doc_id", explode(split($"text", "")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c_st"))
+    st.withColumn("contrib",
+        $"c_st".cast("double") * platform_ln($"c_st".cast("double")))
+      .withColumn("seg", segOf($"term"))
+      .groupBy($"doc_id", $"seg")
+      .agg(count(lit(1)).as("n_chars_seg"), sum($"c_st").as("n_total_seg"),
+        expr(segFold).as("f_seg"))
+      .groupBy($"doc_id")
+      .agg(sum($"n_chars_seg").as("charset"), sum($"n_total_seg").as("n_chars"),
+        expr(outerFold).as("s_clnc"))
+      .withColumn("entropy",
+        platform_ln($"n_chars".cast("double")) -
+          $"s_clnc" / $"n_chars".cast("double"))
+      .withColumn("norm_entropy",
+        when($"charset" > 1, $"entropy" / platform_ln($"charset".cast("double")))
+          .otherwise(lit(0.0)))
+      .select($"doc_id", $"charset", $"n_chars", $"entropy", $"norm_entropy")
+      .orderBy($"doc_id")
+  }
+
   /** t28 — vocabulary-growth (Heaps-law) audit: cumulative distinct
     * vocabulary vs cumulative token count at ten corpus checkpoints
     * (doc-id deciles). The curve a data curator reads before sizing a

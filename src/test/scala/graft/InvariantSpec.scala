@@ -1323,4 +1323,45 @@ class InvariantSpec extends AnyFunSuite {
     assert(got == Seq((1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "a", "a", 4L),
       (4, "a", "b", 2L), (5, "aa", "a", 2L), (6, "e", "r", 2L)))
   }
+
+  test("t45 char entropy: bounds, count conservation, driver recompute") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("t45_char_entropy")(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val texts = spark.read.parquet(TestSpark.sfDir + "/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    rows.foreach { case (id, charset, n, ent, norm) =>
+      val cs = texts(id).toCharArray.groupBy(identity).map(_._2.length.toLong)
+      assert(n == texts(id).length.toLong && charset == cs.size.toLong, s"doc $id counts")
+      // H = ln n - (sum c ln c)/n recomputed with the same Math.log;
+      // driver fold order differs, so compare within a few ulps only
+      val expect = math.log(n.toDouble) -
+        cs.toSeq.sorted.map(c => c * math.log(c.toDouble)).sum / n.toDouble
+      assert(math.abs(ent - expect) < 1e-12, s"doc $id entropy")
+      assert(ent >= 0.0 && ent <= math.log(charset.toDouble) + 1e-12, s"doc $id bounds")
+      if (charset > 1) assert(norm >= 0.0 && norm <= 1.0 + 1e-12, s"doc $id norm")
+    }
+  }
+
+  test("d38 bloom prescreen: verdict recomputed, filter has no false negatives") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val r = SparkEntry.queries("d38_bloom_prescreen")(spark, TestSpark.sfDir)
+      .collect().head
+    val docs = spark.read.parquet(TestSpark.sfDir + "/documents.parquet")
+      .selectExpr("doc_id", "md5(text) AS h").as[(Long, String)].collect()
+    val hist = docs.filter(_._1 % 5 != 0).map(_._2).toSet
+    val batch = docs.filter(_._1 % 5 == 0)
+    assert(r.getLong(0) == batch.length.toLong)
+    assert(r.getLong(1) == batch.count(d => hist.contains(d._2)).toLong)
+    assert(r.getBoolean(2), "a Bloom filter can never report a stored key absent")
+    assert(r.getBoolean(3), "fp count must sit inside 3x its expectation")
+    // the filter itself, rebuilt with the same params, contains every
+    // historical digest — the invariant the verdict column certifies
+    val histDf = docs.filter(_._1 % 5 != 0).toSeq.toDF("doc_id", "h")
+    val bloom = histDf.stat.bloomFilter("h", math.max(hist.size.toLong, 1L), 0.03)
+    assert(hist.forall(bloom.mightContain), "rebuilt filter lost a key")
+  }
 }
