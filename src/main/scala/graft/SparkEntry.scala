@@ -116,6 +116,9 @@ object SparkEntry {
     // ship-year): the two nation legs are constant broadcasts, so the
     // second dimension costs no extra shuffle.
     "q33_nation_trade"       -> (Relational2.nationTrade _),
+    // q34 = TPC-H Q9 shape (profit by supplier nation and order year,
+    // filtered part probe side); money stays decimal to the last cast.
+    "q34_profit_by_nation"   -> (Relational2.profitByNation _),
     // m20 = scene-change detection over the shared gif_frames sidecar:
     // per video the cut/scene/longest-run report via gaps-and-islands
     // on consecutive frame-hash equality.
@@ -3708,6 +3711,22 @@ object SparkEntry {
         JOIN nation n2 ON c_nationkey = n2.n_nationkey
         WHERE s_nationkey <> c_nationkey
         GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, ship_year""",
+      // q34: Q9 shape — cost rides narrow decimals so the triple
+      // product never hits the precision-38 scale clip.
+      "q34_profit_by_nation" -> s"""
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          count(*) AS n_items,
+          CAST(CAST(sum($disc) AS VARCHAR) AS DOUBLE) AS revenue,
+          CAST(CAST(sum((CAST(l_quantity AS DECIMAL(9,4)) * CAST(0.60 AS DECIMAL(3,2)))
+            * CAST(p_retailprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS cost,
+          CAST(CAST(sum($disc - (CAST(l_quantity AS DECIMAL(9,4)) * CAST(0.60 AS DECIMAL(3,2)))
+            * CAST(p_retailprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY 1, 2 ORDER BY nation, o_year""",
       // q30: the q29 algebraized threshold on balances; LEFT JOIN +
       // coalesce(0) keeps order-less customers in scope by principle
       // even though this generator produces none.

@@ -1283,25 +1283,58 @@ object Dedup {
     */
   def bloomPrescreen(s: SparkSession, dir: String, fpp: Double = 0.03): DataFrame = {
     import s.implicits._
-    val docs = documents(s, dir).select($"doc_id", md5($"text").as("h"))
-    val hist = docs.filter($"doc_id" % 5 =!= 0)
-    val batch = docs.filter($"doc_id" % 5 === 0)
-    val nHist = hist.count()
-    val bloom = hist.stat.bloomFilter("h", math.max(nHist, 1L), fpp)
-    val bc = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: String) => bc.value.mightContain(h))
-    val exact = hist.select($"h").distinct().withColumn("is_dup", lit(true))
-    batch.withColumn("bloom_pos", mightContain($"h"))
-      .join(exact, Seq("h"), "left")
+    val docs = documents(s, dir).select($"doc_id", $"text")
+    val (bloom, digests) = bloomIndex(docs.filter($"doc_id" % 5 =!= 0), fpp)
+    bloomProbeBatch(docs.filter($"doc_id" % 5 === 0), bloom, digests)
       .agg(
         count(lit(1)).as("n_batch"),
-        sum(when($"is_dup".isNotNull, 1L).otherwise(0L)).as("n_exact_dup"),
-        sum(when($"is_dup".isNotNull && !$"bloom_pos", 1L).otherwise(0L)).as("fn"),
-        sum(when($"is_dup".isNull && $"bloom_pos", 1L).otherwise(0L)).as("fp"),
-        sum(when($"is_dup".isNull, 1L).otherwise(0L)).as("n_new"))
+        sum(when($"exact_dup", 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when($"exact_dup" && !$"bloom_pos", 1L).otherwise(0L)).as("fn"),
+        sum(when(!$"exact_dup" && $"bloom_pos", 1L).otherwise(0L)).as("fp"),
+        sum(when(!$"exact_dup", 1L).otherwise(0L)).as("n_new"))
       .select($"n_batch", $"n_exact_dup",
         ($"fn" === 0L).as("no_false_negatives"),
         ($"fp" * 100L <= $"n_new" * 9L + 1600L).as("fp_rate_ok"))
+  }
+
+  /** The Bloom prescreen's static index: the filter plus the exact
+    * digest table it fronts, built ONCE per run from the historical
+    * slice (the streaming door holds both across micro-batches). The
+    * digest table is distinct'd and materialized so the filter build
+    * and every later exact arm read one small store.
+    */
+  def bloomIndex(histDocs: DataFrame, fpp: Double = 0.03)
+      : (org.apache.spark.util.sketch.BloomFilter, DataFrame) = {
+    val s = histDocs.sparkSession
+    import s.implicits._
+    val digests = histDocs.select(md5($"text").as("h")).distinct().localCheckpoint()
+    val bloom = digests.stat.bloomFilter("h", math.max(digests.count(), 1L), fpp)
+    (bloom, digests)
+  }
+
+  /** One prescreen pass over an arriving batch: per-doc
+    * (doc_id, bloom_pos, exact_dup, definite_new). Every row depends
+    * only on its own document versus the STATIC filter + digest
+    * store, so per-batch probes compose to the whole-slice probe bit
+    * for bit — the StreamingAdmission composition contract. The
+    * filter broadcast is the only non-equi structure; `definite_new`
+    * rows are the ones production admits WITHOUT touching the digest
+    * join at all (the audit here still joins everything so the fp/fn
+    * columns exist to be audited).
+    */
+  def bloomProbeBatch(batch: DataFrame,
+                      bloom: org.apache.spark.util.sketch.BloomFilter,
+                      histDigests: DataFrame): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: String) => bc.value.mightContain(h))
+    batch.select($"doc_id", md5($"text").as("h"))
+      .withColumn("bloom_pos", mightContain($"h"))
+      .join(histDigests.withColumn("is_dup", lit(true)), Seq("h"), "left")
+      .select($"doc_id", $"bloom_pos",
+        $"is_dup".isNotNull.as("exact_dup"),
+        (!$"bloom_pos").as("definite_new"))
   }
 
   /** Word-3-gram Jaccard similarity over candidate pairs generated by a

@@ -580,4 +580,49 @@ object Relational2 {
       .agg(count(lit(1)).as("n_items"), sum(rev).cast("double").as("revenue"))
       .orderBy($"supp_nation", $"cust_nation", $"ship_year")
   }
+
+  /** q34 — TPC-H Q9-shaped PROFIT BY NATION-YEAR: per supplier-nation
+    * and order-year, profit = revenue − cost where cost proxies as
+    * 60 % of the part's retail price per unit (the generator ships no
+    * partsupp/supplycost table; the JOIN SHAPE — fact × part ×
+    * supplier × nation × orders with a part-name predicate — is the
+    * Q9 plan, which is what this query pins). Parts filter on
+    * p_type = 'PROMO' BEFORE the join, so the probe side
+    * prunes at the scan.
+    *
+    * Scale shape: lineitem joins the FILTERED part projection (AQE
+    * broadcasts it while it fits, shuffles beyond), then orders and
+    * supplier on their keys; nation is the constant broadcast. All
+    * money stays decimal until the final cast; the 0.60 cost factor
+    * is a DECIMAL(3,2) literal so cost = qty·price·0.60 is exact.
+    */
+  def profitByNation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = dec($"l_extendedprice") *
+      (lit(1).cast(DecimalType(3, 2)) - $"l_discount".cast(DecimalType(4, 3)))
+    // Narrow casts keep every product inside DECIMAL(38): (9,4)·(3,2)
+    // = (13,6), ·(12,4) = (26,10) — wide (18,4) operands would push
+    // the triple product past precision 38, where Spark CLIPS scale
+    // (rounding) and engines stop agreeing.
+    val cost = $"l_quantity".cast(DecimalType(9, 4)) *
+      lit("0.60").cast(DecimalType(3, 2)) *
+      $"p_retailprice".cast(DecimalType(12, 4))
+    val p = part(s, dir).filter($"p_type" === "PROMO")
+      .select($"p_partkey", $"p_retailprice")
+    lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        $"l_quantity", $"l_extendedprice", $"l_discount")
+      .join(p, $"l_partkey" === $"p_partkey")
+      .join(orders(s, dir).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(supplier(s, dir).select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"), year($"o_orderdate").cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(rev).cast("double").as("revenue"),
+        sum(cost).cast("double").as("cost"),
+        sum(rev - cost).cast("double").as("profit"))
+      .orderBy($"nation", $"o_year")
+  }
 }

@@ -201,6 +201,69 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(admits > 0 && admits < batchRun.count())
   }
 
+  test("StreamingBloomPrescreen: batches compose to the whole-slice probe; replay exactly-once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sfDir).select($"doc_id", $"text")
+    val hist = docs.filter($"doc_id" % 5 =!= 0).localCheckpoint()
+    // this corpus slice pair has NO cross-slice exact dups at sf0.001,
+    // so re-arrivals of five historical docs are injected (fresh ids)
+    // to exercise the dup arm end to end
+    val reArrivals = hist.as[(Long, String)].collect().sortBy(_._1).take(5)
+      .map { case (id, t) => (1000000L + id, t) }
+    val newDocs = (docs.filter($"doc_id" % 5 === 0)
+      .as[(Long, String)].collect() ++ reArrivals).sortBy(_._1)
+    val batches = Seq(
+      newDocs.take(newDocs.length / 3),
+      newDocs.slice(newDocs.length / 3, newDocs.length / 2),
+      newDocs.drop(newDocs.length / 2))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sbloom_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sbloom_out").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    def start() = graft.streaming.StreamingBloomPrescreen.run(stream, hist, out, ckpt)
+
+    val q1 = start()
+    try {
+      input.addData(batches(0).toSeq); q1.processAllAvailable()
+      input.addData(batches(1).toSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    // crash before the commit marker: batch 1 must rewrite, not append
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.map(_.getName.toLong).toSeq == Seq(0L, 1L))
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.1.crc")
+    if (crc.exists()) assert(crc.delete())
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      input.addData(batches(2).toSeq); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirs == Seq("batch_id=0", "batch_id=1", "batch_id=2"))
+    // a fresh filter over the same history is bit-identical (build
+    // parallelism and order cannot move the OR'd bit masks), so the
+    // streamed union must equal the one-shot whole-slice probe
+    val (bloom, digests) = graft.ops.Dedup.bloomIndex(hist)
+    val oneShot = graft.ops.Dedup.bloomProbeBatch(
+      newDocs.toSeq.toDF("doc_id", "text"), bloom, digests)
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    assert(streamed.count() == oneShot.count())
+    assert(streamed.except(oneShot).count() == 0)
+    assert(oneShot.except(streamed).count() == 0)
+    // the fixture exercises both outcomes and the no-false-negative law
+    val rows = oneShot.collect()
+    assert(rows.exists(_.getBoolean(2)) && rows.exists(r => !r.getBoolean(2)))
+    rows.foreach(r => assert(!r.getBoolean(2) || r.getBoolean(1),
+      s"false negative on doc ${r.getLong(0)}"))
+    // the door's decision column is exactly the filter's complement
+    rows.foreach(r => assert(r.getBoolean(3) == !r.getBoolean(1)))
+  }
+
   test("StreamingAdmission restart replays the uncommitted batch exactly-once") {
     val spark = TestSpark.spark
     import spark.implicits._
