@@ -449,6 +449,9 @@ object SparkEntry {
     // integer statistic; a reordered stream passes m06's plain sum but
     // fails this.
     "m23_zero_crossings"     -> (Multimodal.wavZeroCrossingRate _),
+    // m24 = executed peak normalization through the real WAV codec —
+    // the amplitude-domain chain (m19 is the time-domain one).
+    "m24_wav_normalize"      -> ((s, d) => Multimodal.wavNormalize(s, d)),
     // m09 = audio feature extraction: per-frame energy over the real
     // WAV decode (64-sample frames, integer-exact activity detection).
     "m09_wav_frames"         -> ((s, d) => Multimodal.wavFrameEnergy(s, d)),
@@ -1352,6 +1355,32 @@ object SparkEntry {
       // re-encode → decode with order preserved.
       // m23: sign flips between consecutive generator samples — the
       // 0-counts-as-non-negative rule mirrored exactly.
+      // m24: generator replay of the peak-normalize chain — integer
+      // floor division on non-negative operands only, lists 1-indexed
+      // for the weighted sum.
+      "m24_wav_normalize" -> """
+        WITH d AS (SELECT doc_id, CAST(200 + doc_id % 400 AS BIGINT) AS n
+                   FROM documents),
+        g AS (SELECT doc_id, n,
+                generate_series(0, CAST(n AS INTEGER) - 1) AS gs FROM d),
+        p AS (SELECT doc_id, n, gs,
+                list_max(list_transform(gs,
+                  i -> abs((doc_id * 7919 + i * 104729) % 65536 - 32768))) AS peak_in
+              FROM g),
+        ns AS (SELECT doc_id, n, peak_in,
+                list_transform(gs, i ->
+                  CASE WHEN ((doc_id * 7919 + i * 104729) % 65536 - 32768) >= 0
+                       THEN (((doc_id * 7919 + i * 104729) % 65536 - 32768) * 30000)
+                            // greatest(peak_in, 1)
+                       ELSE -(((-((doc_id * 7919 + i * 104729) % 65536 - 32768)) * 30000)
+                            // greatest(peak_in, 1)) END) AS nl
+               FROM p)
+        SELECT doc_id, n AS n_samples, CAST(peak_in AS BIGINT) AS peak_in,
+          CAST(list_max(list_transform(nl, x -> abs(x))) AS BIGINT) AS peak_out,
+          CAST(list_sum(nl) AS BIGINT) AS amp_sum,
+          CAST(list_sum(list_transform(generate_series(1, CAST(n AS INTEGER)),
+            k -> nl[k] * k)) AS BIGINT) AS amp_wsum
+        FROM ns ORDER BY doc_id""",
       "m23_zero_crossings" -> """
         WITH d AS (SELECT doc_id, CAST(200 + doc_id % 400 AS BIGINT) AS n
                    FROM documents),

@@ -883,6 +883,82 @@ object Multimodal {
     }.toDF().orderBy($"doc_id")
   }
 
+  final case class WavNormalized(doc_id: Long, n_samples: Long, peak_in: Long,
+      peak_out: Long, amp_sum: Long, amp_wsum: Long)
+
+  /** m24 — EXECUTED PEAK NORMALIZATION through the real WAV codec: the
+    * AMPLITUDE-domain transform completing the audio chain family
+    * (m19 transforms the TIME axis; this rescales the value axis — the
+    * per-clip loudness standardization an audio-curation pipeline runs
+    * so training batches don't mix whisper- and clip-level signals).
+    * Each clip decodes, measures its integer peak P = max |sᵢ|, maps
+    * every sample to sign(s)·((|s|·30000) div P) — all-integer
+    * arithmetic, truncation on NON-NEGATIVE operands only, so both
+    * engines floor identically and no sample can exceed the 30000
+    * target (|s| ≤ P ⇒ scaled ≤ 30000 < 2¹⁵) — re-encodes through
+    * `javax.sound.sampled` at the original rate, and decodes THAT.
+    * The emitted peak_out, amplitude sum, and position-weighted sum
+    * come from the SECOND decode; the oracle recomputes them from the
+    * generator formula, so a chain that skips the encode or reorders
+    * samples cannot match.
+    *
+    * Scale shape: one mapPartitions pass (U3 per-partition codec
+    * init), payloads never shuffle, 5 longs out per clip.
+    */
+  def wavNormalize(s: SparkSession, dir: String, target: Int = 30000): DataFrame = {
+    import s.implicits._
+    wavTable(s, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.payload))
+        val bytes = try ais.readAllBytes() finally ais.close()
+        val n = bytes.length / 2
+        var peakIn = 0L
+        var i = 0
+        while (i < n) {
+          val sm = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+          val a = math.abs(sm.toLong)
+          if (a > peakIn) peakIn = a
+          i += 1
+        }
+        val p = math.max(peakIn, 1L)
+        val pcm = new Array[Byte](n * 2)
+        i = 0
+        while (i < n) {
+          val sm = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+          val scaled =
+            if (sm >= 0) ((sm.toLong * target) / p).toInt
+            else (-((-sm.toLong) * target / p)).toInt
+          pcm(2 * i) = (scaled & 0xff).toByte
+          pcm(2 * i + 1) = ((scaled >> 8) & 0xff).toByte
+          i += 1
+        }
+        val outFormat = new AudioFormat(8000f, 16, 1, /*signed=*/ true,
+          /*bigEndian=*/ false)
+        val outAis = new AudioInputStream(new ByteArrayInputStream(pcm),
+          outFormat, n.toLong)
+        val bos = new ByteArrayOutputStream()
+        AudioSystem.write(outAis, AudioFileFormat.Type.WAVE, bos)
+        val back = AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(bos.toByteArray))
+        val outBytes = try back.readAllBytes() finally back.close()
+        val m = outBytes.length / 2
+        var peakOut = 0L
+        var sum = 0L
+        var wsum = 0L
+        i = 0
+        while (i < m) {
+          val sm = (outBytes(2 * i + 1) << 8) | (outBytes(2 * i) & 0xff)
+          val a = math.abs(sm.toLong)
+          if (a > peakOut) peakOut = a
+          sum += sm
+          wsum += sm.toLong * (i + 1)
+          i += 1
+        }
+        WavNormalized(r.doc_id, m.toLong, peakIn, peakOut, sum, wsum)
+      }
+    }.toDF().orderBy($"doc_id")
+  }
+
   final case class WavFrames(doc_id: Long, n_frames: Long, peak_frame: Long,
       peak_energy: Long, total_energy: Long, n_active: Long)
 

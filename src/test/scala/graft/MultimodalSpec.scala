@@ -694,4 +694,36 @@ class MultimodalSpec extends AnyFunSuite {
       assert(got(id) == Multimodal.dhashOf(b), s"doc $id")
     }
   }
+
+  test("m24 normalize: every clip lands exactly on the target peak, order preserved") {
+    val spark = TestSpark.spark
+    val rows = Multimodal.wavNormalize(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, peakIn, peakOut, sum, wsum) =>
+      assert(n == 200 + id % 400, s"doc $id sample count changed through the chain")
+      // the generator always produces at least one nonzero sample, and
+      // scaling by 30000/peak maps the peak sample exactly onto 30000
+      assert(peakIn >= 1, s"doc $id silent clip unexpected")
+      assert(peakOut == 30000L, s"doc $id peak_out")
+      // driver recompute from the generator formula through the same
+      // integer scaling — pins the decode→scale→encode→decode chain
+      var eSum = 0L; var eW = 0L; var eP = 0L
+      var i = 0L
+      while (i < n) {
+        val s = (id * 7919 + i * 104729) % 65536 - 32768
+        if (math.abs(s) > eP) eP = math.abs(s)
+        i += 1
+      }
+      i = 0
+      while (i < n) {
+        val s = (id * 7919 + i * 104729) % 65536 - 32768
+        val sc = if (s >= 0) s * 30000 / eP else -(-s * 30000 / eP)
+        eSum += sc; eW += sc * (i + 1)
+        i += 1
+      }
+      assert(sum == eSum && wsum == eW, s"doc $id sums")
+    }
+  }
 }
