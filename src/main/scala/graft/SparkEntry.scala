@@ -119,6 +119,9 @@ object SparkEntry {
     // q34 = TPC-H Q9 shape (profit by supplier nation and order year,
     // filtered part probe side); money stays decimal to the last cast.
     "q34_profit_by_nation"   -> (Relational2.profitByNation _),
+    // q35 = TPC-H Q16 shape: distinct-supplier counts per part class
+    // behind a blacklist anti-join; two-level distinct, no Expand.
+    "q35_supplier_variety"   -> (Relational2.partSupplierVariety _),
     // m20 = scene-change detection over the shared gif_frames sidecar:
     // per video the cut/scene/longest-run report via gaps-and-islands
     // on consecutive frame-hash equality.
@@ -3756,6 +3759,17 @@ object SparkEntry {
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
         GROUP BY 1, 2 ORDER BY nation, o_year""",
+      // q35: Q16 shape — anti-join blacklist then two-level distinct.
+      "q35_supplier_variety" -> """
+        WITH ok AS (
+          SELECT l_partkey, l_suppkey FROM lineitem
+          WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)),
+        pd AS (
+          SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+          FROM ok JOIN part ON l_partkey = p_partkey)
+        SELECT p_brand, p_type, p_size, count(*) AS supplier_cnt
+        FROM pd GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
       // q30: the q29 algebraized threshold on balances; LEFT JOIN +
       // coalesce(0) keeps order-less customers in scope by principle
       // even though this generator produces none.

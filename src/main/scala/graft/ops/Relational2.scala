@@ -625,4 +625,35 @@ object Relational2 {
         sum(rev - cost).cast("double").as("profit"))
       .orderBy($"nation", $"o_year")
   }
+
+  /** q35 — TPC-H Q16-shaped SUPPLIER VARIETY: how many distinct
+    * suppliers have shipped each (brand, type, size) part class,
+    * excluding blacklisted suppliers (negative account balance — the
+    * generator has no comment column for Q16's complaint predicate;
+    * the anti-join SHAPE is the point). The assortment-breadth query
+    * a buyer runs; relationally it pins the one aggregate form the
+    * q-family still lacked: COUNT(DISTINCT fact-side key) per
+    * dimension group over a join.
+    *
+    * Scale shape: the blacklist is a filtered-dimension anti-join
+    * (broadcast at any realistic scale — suppliers in arrears are a
+    * slice of a linear-size table; AQE decides); part broadcasts per
+    * the q04 argument. The distinct runs as TWO-LEVEL aggregates —
+    * first (brand, type, size, suppkey) distinct (map-side combined,
+    * fact-sized shuffle ONCE), then the group count — never a
+    * count-distinct Expand, the q24 discipline.
+    */
+  def partSupplierVariety(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bad = supplier(s, dir).filter($"s_acctbal" < 0.0).select($"s_suppkey")
+    lineitem(s, dir).select($"l_partkey", $"l_suppkey")
+      .join(bad, $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(broadcast(part(s, dir).select($"p_partkey", $"p_brand", $"p_type", $"p_size")),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_brand", $"p_type", $"p_size", $"l_suppkey")
+      .distinct()
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(count(lit(1)).as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
 }
