@@ -78,6 +78,9 @@ object SparkEntry {
     // e25 = session co-occurrence lift over the e03 session windows;
     // lift > 1 as exact integer cross-multiplication.
     "e25_session_lift"       -> (EventOps.sessionTypeLift _),
+    // e26 = watermark lateness audit: the q31 range-partition
+    // discipline as a prefix MAX — no global window anywhere.
+    "e26_watermark_audit"    -> (EventOps.watermarkLatenessAudit _),
     // m19 = EXECUTED audio decimation through the real WAV codec
     // (decode → drop odd samples → re-encode at 4 kHz → decode);
     // position-weighted sums pin sample order across the chain.
@@ -455,6 +458,9 @@ object SparkEntry {
     // m24 = executed peak normalization through the real WAV codec —
     // the amplitude-domain chain (m19 is the time-domain one).
     "m24_wav_normalize"      -> ((s, d) => Multimodal.wavNormalize(s, d)),
+    // m25 = keyframe manifest: one row per m20 scene with its first
+    // frame and the run's (single) perceptual hash.
+    "m25_keyframes"          -> (Multimodal.keyframes _),
     // m09 = audio feature extraction: per-frame energy over the real
     // WAV decode (64-sample frames, integer-exact activity detection).
     "m09_wav_frames"         -> ((s, d) => Multimodal.wavFrameEnergy(s, d)),
@@ -723,6 +729,19 @@ object SparkEntry {
       // sketch arm is engine-specific, so the checked surface is the
       // exact counts + the tolerance flag (the t07 convention).
       // e23: hour-of-day matrix with identical window orderings.
+      // e26: the oracle's single global running max replays the
+      // range-composed prefix max exactly (max is order-free).
+      "e26_watermark_audit" -> """
+        WITH l AS (SELECT event_id, epoch_us(ts) AS us,
+            max(epoch_us(ts)) OVER (ORDER BY event_id
+                                    ROWS UNBOUNDED PRECEDING) AS runmax
+          FROM events)
+        SELECT count(*) AS n_events,
+          CAST(sum(CASE WHEN runmax - us > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_1m,
+          CAST(sum(CASE WHEN runmax - us > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_10m,
+          CAST(sum(CASE WHEN runmax - us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_1h,
+          CAST(max(runmax - us) // 1000000 AS BIGINT) AS max_late_s
+        FROM l""",
       // e24: gaps from exact µs epochs, integer-divided to seconds
       // (both engines truncate nonnegative division); the bursty flag
       // and every rollup column are pure BIGINT algebra.
@@ -2066,6 +2085,49 @@ object SparkEntry {
       // the aHash quantization), then the same gaps-and-islands
       // rewrite — lag over frame order, running new-scene sum, scene
       // lengths, per-video rollup.
+      // m25: m20's frame/hash/scene CTEs carried one step further to
+      // per-scene keyframe rows (a scene is a run of one hash value).
+      "m25_keyframes" -> """
+        WITH d AS (SELECT doc_id, 6 + doc_id % 10 AS w, 6 + (doc_id // 10) % 10 AS h,
+                          2 + doc_id % 4 AS nf FROM documents),
+        fr AS (SELECT doc_id, f, w, h,
+                 CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                   list_transform(generate_series(0, w - 1), x ->
+                     (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256)))) AS BIGINT) AS total
+               FROM d, LATERAL unnest(generate_series(0, CAST(nf - 1 AS INTEGER))) AS t(f)),
+        cells AS (SELECT doc_id, f, w, h, total, i, j,
+                    (i * w) // 8 AS x0, ((i + 1) * w) // 8 AS x1,
+                    (j * h) // 8 AS y0, ((j + 1) * h) // 8 AS y1
+                  FROM fr,
+                    (SELECT unnest(generate_series(0, 7)) AS i) ii,
+                    (SELECT unnest(generate_series(0, 7)) AS j) jj),
+        cs AS (SELECT doc_id, f, w, h, total, i, j,
+                 (x1 - x0) * (y1 - y0) AS np,
+                 CAST(list_sum(flatten(list_transform(generate_series(y0, y1 - 1), y ->
+                   list_transform(generate_series(x0, x1 - 1), x ->
+                     (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256)))) AS BIGINT) AS csum
+               FROM cells),
+        bits AS (SELECT doc_id, f, 8 * j + i AS b,
+                   CASE WHEN csum * w * h > total * np THEN 1 ELSE 0 END AS bit
+                 FROM cs),
+        hx AS (SELECT doc_id, f,
+                 CAST(sum(CASE WHEN b >= 32 AND bit = 1
+                               THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(sum(CASE WHEN b < 32 AND bit = 1
+                               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
+               FROM bits GROUP BY doc_id, f),
+        sc AS (SELECT doc_id, f, hi, lo,
+                 lag(hi) OVER (PARTITION BY doc_id ORDER BY f) AS phi,
+                 lag(lo) OVER (PARTITION BY doc_id ORDER BY f) AS plo
+               FROM hx),
+        scenes AS (SELECT doc_id, f, hi, lo,
+                     CAST(sum(CASE WHEN phi IS NULL OR phi <> hi OR plo <> lo
+                                   THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY f) AS BIGINT) AS scene_id
+                   FROM sc)
+        SELECT doc_id, scene_id, CAST(min(f) AS BIGINT) AS keyframe_no,
+          count(*) AS scene_len, min(hi) AS ahash_hi, min(lo) AS ahash_lo
+        FROM scenes GROUP BY doc_id, scene_id ORDER BY doc_id, scene_id""",
       "m20_scene_changes" -> """
         WITH d AS (SELECT doc_id, 6 + doc_id % 10 AS w, 6 + (doc_id // 10) % 10 AS h,
                           2 + doc_id % 4 AS nf FROM documents),

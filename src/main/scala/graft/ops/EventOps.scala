@@ -764,4 +764,63 @@ object EventOps {
         ($"n_both" * $"n_sessions" > $"n_a" * $"n_b").as("positive"))
       .orderBy($"type_a", $"type_b")
   }
+
+  /** e26 — WATERMARK LATENESS AUDIT: how out-of-order the stream
+    * actually is, the measurement that SETS the ST3 watermark delay
+    * instead of guessing it. Treating event_id as arrival sequence,
+    * each event's lateness = (max event-time seen so far) − its own
+    * event time; the verdict row counts events a 1 min / 10 min / 1 h
+    * watermark would drop and the worst lateness observed. All BIGINT
+    * (exact µs epochs, floored-second report).
+    *
+    * Scale shape — the q31 range-partition discipline applied to a
+    * PREFIX MAX instead of a prefix sum: events range-partition on
+    * arrival order (layout pinned by localCheckpoint), pass 1 reduces
+    * each range to its max event-time (one row per range, driver
+    * reads |ranges| rows), whose exclusive running max broadcasts
+    * back as per-range offsets; pass 2 runs the running-max window
+    * INSIDE each range (partitionBy the range id — never a global
+    * window) and combines with the offset via greatest(). Max is
+    * associative and order-free, so the composition is exact and the
+    * oracle's single global window replays it bit for bit.
+    */
+  def watermarkLatenessAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    latenessAuditFrame(events(s, dir).select($"event_id", micros($"ts").as("us")))
+  }
+
+  /** The frame core of [[watermarkLatenessAudit]] over any
+    * (event_id, us) arrival log — split out so the spec can exercise
+    * the late arms on a constructed out-of-order fixture (the driver
+    * corpus arrives in order: its audit row is all-zeros, which is
+    * the AUDIT WORKING — max_late_s = 0 is the licence to run a tight
+    * watermark).
+    */
+  def latenessAuditFrame(log: DataFrame): DataFrame = {
+    val s = log.sparkSession
+    import s.implicits._
+    val nRanges = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = log
+      .repartitionByRange(nRanges, $"event_id".asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val stats = ranged.groupBy($"pid").agg(max($"us").as("pmax"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = Long.MinValue
+    val offsets = stats.map { case (pid, pmax) =>
+      val off = acc; acc = math.max(acc, pmax); (pid, off)
+    }
+    val offDf = broadcast(s.createDataFrame(offsets.toSeq).toDF("pid", "prefix_max"))
+    val w = Window.partitionBy($"pid").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("runmax_local", max($"us").over(w))
+      .join(offDf, Seq("pid"))
+      .withColumn("lateness", greatest($"runmax_local", $"prefix_max") - $"us")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"lateness" > 60L * 1000000L, 1L).otherwise(0L)).as("late_1m"),
+        sum(when($"lateness" > 600L * 1000000L, 1L).otherwise(0L)).as("late_10m"),
+        sum(when($"lateness" > 3600L * 1000000L, 1L).otherwise(0L)).as("late_1h"),
+        expr("max(lateness) div 1000000").as("max_late_s"))
+  }
 }

@@ -1501,6 +1501,38 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** m25 — KEYFRAME EXTRACTION: the artifact m20 only counts. One row
+    * per scene: its first frame index (the keyframe a thumbnailer or
+    * a frame-sampled vision pipeline ships), the scene length, and the
+    * scene's perceptual hash — under m20's cut definition a scene is a
+    * maximal run of IDENTICAL frame hashes, so the run's single hash
+    * value IS the scene signature (min == max over the run; the
+    * aggregate takes min and the spec asserts the equality). The
+    * keyframe manifest per video is what the m03 frame-sampling plan
+    * becomes once cuts are known: sample one frame per SCENE instead
+    * of every k-th frame.
+    *
+    * Scale shape: rides the shared `gif_frames` sidecar (16
+    * bytes/frame, one decode pass per session); one doc-partitioned
+    * lag window + a (doc, scene) aggregate; output is scene-sized.
+    */
+  def keyframes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"frame_no")
+    gifFramesSidecar(s, dir)
+      .select($"doc_id", $"frame_no", $"ahash_hi", $"ahash_lo")
+      .withColumn("phi", lag($"ahash_hi", 1).over(w))
+      .withColumn("plo", lag($"ahash_lo", 1).over(w))
+      .withColumn("new_scene",
+        when($"phi".isNull || $"phi" =!= $"ahash_hi" || $"plo" =!= $"ahash_lo",
+          1L).otherwise(0L))
+      .withColumn("scene_id", sum($"new_scene").over(w))
+      .groupBy($"doc_id", $"scene_id")
+      .agg(min($"frame_no").as("keyframe_no"), count(lit(1)).as("scene_len"),
+        min($"ahash_hi").as("ahash_hi"), min($"ahash_lo").as("ahash_lo"))
+      .orderBy($"doc_id", $"scene_id")
+  }
+
   /** m16 — SEQUENCE-aware video near-duplicates: m15's frame hashes
     * through the shingle discipline. Each video's ordered frame-hash
     * sequence is a document; its word-2-grams (consecutive frame-hash

@@ -268,6 +268,36 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._3).sum == nEvents - nUsers)
   }
 
+  test("e26 lateness audit: constructed out-of-order log hits every arm; corpus is in-order") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // arrival sequence with three disorder magnitudes: an event 2 min
+    // late, one 15 min late, one 2 h late — each must land in exactly
+    // the arms its lateness exceeds
+    val M = 1000000L
+    val log = Seq(
+      (1L, 0L), (2L, 3600L * M), (3L, 3600L * M - 120L * M), // 2 min late
+      (4L, 7200L * M), (5L, 7200L * M - 900L * M),           // 15 min late
+      (6L, 20000L * M), (7L, 20000L * M - 7200L * M),        // 2 h late
+      (8L, 20001L * M))
+    val got = graft.ops.EventOps.latenessAuditFrame(log.toDF("event_id", "us"))
+      .collect().head
+    assert(got.getLong(0) == 8L)
+    assert(got.getLong(1) == 3L, "late_1m counts all three stragglers")
+    assert(got.getLong(2) == 2L, "late_10m counts the 15min and 2h ones")
+    assert(got.getLong(3) == 1L, "late_1h counts only the 2h one")
+    assert(got.getLong(4) == 7200L)
+    // the driver corpus arrives in event-id order: the audit must
+    // report ZERO lateness (that all-zero row is the watermark
+    // licence, not a vacuous fixture — this constructed case carries
+    // the late arms)
+    val corpus = SparkEntry.queries("e26_watermark_audit")(spark, TestSpark.sfDir)
+      .collect().head
+    assert(corpus.getLong(1) == 0L && corpus.getLong(4) == 0L)
+    assert(corpus.getLong(0) == spark.read
+      .parquet(TestSpark.sfDir + "/events.parquet").count())
+  }
+
   test("e25 session lift: pair counts bounded by marginals, sessions match e03") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("e25_session_lift")(spark, TestSpark.sfDir).collect()

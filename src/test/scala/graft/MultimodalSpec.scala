@@ -695,6 +695,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m25 keyframes agree with m20 scene counts; adjacent scenes change hash") {
+    val spark = TestSpark.spark
+    val kf = Multimodal.keyframes(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        (r.getLong(4), r.getLong(5))))
+    val m20 = Multimodal.sceneChanges(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    kf.groupBy(_._1).foreach { case (doc, scenes) =>
+      val (nFrames, nScenes) = m20(doc)
+      assert(scenes.length.toLong == nScenes, s"doc $doc scene count")
+      assert(scenes.map(_._4).sum == nFrames, s"doc $doc frame conservation")
+      val byId = scenes.sortBy(_._2)
+      assert(byId.map(_._2).toSeq == (1L to nScenes).toSeq, s"doc $doc scene ids")
+      // keyframe = first frame after the previous scene's span
+      byId.foldLeft(0L) { case (expectStart, (_, _, kfNo, len, _)) =>
+        assert(kfNo == expectStart, s"doc $doc keyframe index"); expectStart + len
+      }
+      // a cut by definition changes the hash: adjacent scenes differ
+      byId.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 != b._5, s"doc $doc adjacent scenes")
+        case _ =>
+      }
+    }
+  }
+
   test("m24 normalize: every clip lands exactly on the target peak, order preserved") {
     val spark = TestSpark.spark
     val rows = Multimodal.wavNormalize(spark, TestSpark.sfDir).collect()
