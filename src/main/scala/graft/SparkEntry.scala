@@ -418,6 +418,9 @@ object SparkEntry {
     // t45 = per-doc character entropy (sub-token gibberish filter),
     // the t24 segmented platform-ln fold applied per document.
     "t45_char_entropy"       -> (TextOps.charEntropy _),
+    // t46 = trained-tokenizer budget efficiency per source (fertility
+    // + compression) — the first downstream consumer of t43's BPE.
+    "t46_bpe_efficiency"     -> ((s, d) => TextOps.bpeEfficiency(s, d)),
     // t33 = PII detect + redact (email/phone/IPv4) — counts on the
     // original text, typed-placeholder redaction, all codegen regex;
     // runs over the deterministic planted-PII fixture (WavCodec
@@ -4655,6 +4658,7 @@ object SparkEntry {
         FROM f ORDER BY source""",
       "t43_bpe_merges" -> TextOps.bpeOracle(20),
       "t44_bpe_segmentation" -> TextOps.bpeSegOracle(20),
+      "t46_bpe_efficiency" -> TextOps.bpeEffOracle(20),
       // t45: integer-log decomposition H = ln n - (sum c*ln c)/n —
       // logs take INTEGER counts only (verified divergence-free for
       // this corpus; the p=c/n fraction form hits a Java-vs-libm 1-ulp

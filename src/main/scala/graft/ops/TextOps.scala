@@ -1655,6 +1655,69 @@ object TextOps {
       out
     }
 
+  /** t46 — TOKEN-BUDGET EFFICIENCY of the trained tokenizer, per
+    * source: words, subtokens under the t43 merge table's final
+    * segmentation, characters, and the two ratios a mixing planner
+    * actually budgets with — subtokens/word (fertility) and
+    * chars/subtoken (compression). The question t27's mixture math
+    * needs answered per SOURCE: a source whose fertility is high
+    * inflates its token bill relative to its document share, so ppm
+    * targets set on documents mis-state the training mix. Composes
+    * t43/t44's trained artifact with the corpus-side frequency table
+    * — the first consumer of the trained BPE beyond the vocabulary
+    * dump itself.
+    *
+    * Determinism: counts and products are BIGINT; each ratio is ONE
+    * IEEE divide of exact integers. Scale shape: the segmentation is
+    * VOCABULARY-sized (broadcast — a production BPE vocab is ~10⁵
+    * rows); one (source, word) aggregate over the token explode,
+    * map-side combined; output is |sources| rows. The training loop
+    * itself is the t43 session memo, so this query never retrains.
+    */
+  def bpeEfficiency(s: SparkSession, dir: String, nMerges: Int = 20): DataFrame =
+    CorpusIndexes.memo(s, dir, s"bpe_eff_$nMerges") {
+      import s.implicits._
+      val (_, words, rdds) = bpeTrain(s,
+        documents(s, dir).select(col("text")), nMerges)
+      val vocab = words.select($"word", size($"syms").cast("long").as("n_syms"))
+        .localCheckpoint()
+      rdds.foreach(_.unpersist(blocking = false))
+      documents(s, dir)
+        .select($"source", explode(split($"text", "\\s+")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"source", $"word").agg(count(lit(1)).as("c"))
+        .join(broadcast(vocab), Seq("word"))
+        .groupBy($"source")
+        .agg(sum($"c").as("n_words"),
+          sum($"c" * $"n_syms").as("n_subtokens"),
+          sum($"c" * length($"word")).as("n_chars"))
+        .withColumn("subtok_per_word",
+          $"n_subtokens".cast("double") / $"n_words".cast("double"))
+        .withColumn("chars_per_subtok",
+          $"n_chars".cast("double") / $"n_subtokens".cast("double"))
+        .orderBy($"source")
+    }
+
+  /** The DuckDB replay of [[bpeEfficiency]]: the t43/t44 stage chain
+    * to the final vocabulary state, joined to a (source, word) count.
+    */
+  private[graft] def bpeEffOracle(n: Int): String =
+    bpeOracleStages(n) + s""",
+      sw AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c FROM (
+               SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS word
+               FROM documents) t
+             WHERE word <> '' GROUP BY 1, 2)
+      SELECT source,
+        CAST(sum(c) AS BIGINT) AS n_words,
+        CAST(sum(c * len(w.syms)) AS BIGINT) AS n_subtokens,
+        CAST(sum(c * len(word)) AS BIGINT) AS n_chars,
+        CAST(sum(c * len(w.syms)) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+          AS subtok_per_word,
+        CAST(sum(c * len(word)) AS DOUBLE) / CAST(sum(c * len(w.syms)) AS DOUBLE)
+          AS chars_per_subtok
+      FROM sw JOIN w$n w USING (word)
+      GROUP BY source ORDER BY source"""
+
   /** [[bpeMergeTable]] over an explicit (text) frame — the spec seam. */
   private[graft] def bpeMergesFrame(s: SparkSession, docs: DataFrame,
                                     nMerges: Int): DataFrame = {

@@ -1345,6 +1345,25 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("t46 BPE efficiency: zero merges degenerate to chars; 20 merges strictly compress") {
+    val spark = TestSpark.spark
+    val eff20 = SparkEntry.queries("t46_bpe_efficiency")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // with NO merges every symbol is one character, so the subtoken
+    // budget IS the character budget — the untrained baseline
+    val eff0 = graft.ops.TextOps.bpeEfficiency(spark, TestSpark.sfDir, 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(eff0.forall { case (_, _, subtok, chars) => subtok == chars })
+    // same word/char totals under both tokenizers; training only
+    // changes the segmentation
+    assert(eff0.map(t => (t._1, t._2, t._4)).toSeq ==
+      eff20.map(t => (t._1, t._2, t._4)).toSeq)
+    eff20.foreach { case (src, words, subtok, chars) =>
+      assert(words <= subtok, s"$src: a word is at least one subtoken")
+      assert(subtok < chars, s"$src: 20 merges must beat the char baseline")
+    }
+  }
+
   test("d38 bloom prescreen: verdict recomputed, filter has no false negatives") {
     val spark = TestSpark.spark
     import spark.implicits._
