@@ -796,7 +796,20 @@ object EventOps {
     * the AUDIT WORKING — max_late_s = 0 is the licence to run a tight
     * watermark).
     */
-  def latenessAuditFrame(log: DataFrame): DataFrame = {
+  def latenessAuditFrame(log: DataFrame): DataFrame =
+    latenessBatchAudit(log, Long.MinValue).drop("batch_max_us")
+
+  /** [[latenessAuditFrame]] with an inherited arrival-prefix max —
+    * the micro-batch form: `prefix` is the max event-time of every
+    * EARLIER arrival (the StreamingLatenessAudit state snapshot), so
+    * per-batch audits over an in-order feed compose to the one-shot
+    * audit (lateness per event depends only on its arrival prefix,
+    * and max composes associatively across the batch boundary). The
+    * extra `batch_max_us` column is what the door folds into the next
+    * snapshot; coalesces keep the one-row verdict total on an empty
+    * batch.
+    */
+  def latenessBatchAudit(log: DataFrame, prefix: Long): DataFrame = {
     val s = log.sparkSession
     import s.implicits._
     val nRanges = s.conf.get("spark.sql.shuffle.partitions").toInt
@@ -806,11 +819,12 @@ object EventOps {
       .localCheckpoint()
     val stats = ranged.groupBy($"pid").agg(max($"us").as("pmax"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = Long.MinValue
+    var acc = prefix
     val offsets = stats.map { case (pid, pmax) =>
       val off = acc; acc = math.max(acc, pmax); (pid, off)
     }
-    val offDf = broadcast(s.createDataFrame(offsets.toSeq).toDF("pid", "prefix_max"))
+    val offsetSeq = if (offsets.nonEmpty) offsets.toSeq else Seq((0, prefix))
+    val offDf = broadcast(s.createDataFrame(offsetSeq).toDF("pid", "prefix_max"))
     val w = Window.partitionBy($"pid").orderBy($"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged
@@ -818,9 +832,10 @@ object EventOps {
       .join(offDf, Seq("pid"))
       .withColumn("lateness", greatest($"runmax_local", $"prefix_max") - $"us")
       .agg(count(lit(1)).as("n_events"),
-        sum(when($"lateness" > 60L * 1000000L, 1L).otherwise(0L)).as("late_1m"),
-        sum(when($"lateness" > 600L * 1000000L, 1L).otherwise(0L)).as("late_10m"),
-        sum(when($"lateness" > 3600L * 1000000L, 1L).otherwise(0L)).as("late_1h"),
-        expr("max(lateness) div 1000000").as("max_late_s"))
+        coalesce(sum(when($"lateness" > 60L * 1000000L, 1L).otherwise(0L)), lit(0L)).as("late_1m"),
+        coalesce(sum(when($"lateness" > 600L * 1000000L, 1L).otherwise(0L)), lit(0L)).as("late_10m"),
+        coalesce(sum(when($"lateness" > 3600L * 1000000L, 1L).otherwise(0L)), lit(0L)).as("late_1h"),
+        coalesce(expr("max(lateness) div 1000000"), lit(0L)).as("max_late_s"),
+        coalesce(max($"us"), lit(prefix)).as("batch_max_us"))
   }
 }

@@ -201,6 +201,64 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(admits > 0 && admits < batchRun.count())
   }
 
+  test("StreamingLatenessAudit: per-batch audits sum to batch e26; replay exactly-once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // the EventOpsSpec out-of-order fixture, split so the 15min and 2h
+    // stragglers arrive in LATER batches than the maxes they trail —
+    // the cross-batch prefix is what carries their lateness
+    val M = 1000000L
+    val log = Seq(
+      (1L, 0L), (2L, 3600L * M), (3L, 3600L * M - 120L * M),
+      (4L, 7200L * M), (5L, 7200L * M - 900L * M),
+      (6L, 20000L * M), (7L, 20000L * M - 7200L * M), (8L, 20001L * M))
+    val batches = Seq(log.take(4), log.slice(4, 6), log.drop(6))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_slate_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_slate_out").toString
+    val st = java.nio.file.Files.createTempDirectory("graft_slate_state").toString
+    val input = MemoryStream[(Long, Long)]
+    val stream = input.toDF().toDF("event_id", "us")
+    def start() = graft.streaming.StreamingLatenessAudit.run(stream, out, st, ckpt)
+
+    val q1 = start()
+    try {
+      input.addData(batches(0)); q1.processAllAvailable()
+      input.addData(batches(1)); q1.processAllAvailable()
+    } finally q1.stop()
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.map(_.getName.toLong).toSeq == Seq(0L, 1L))
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.1.crc")
+    if (crc.exists()) assert(crc.delete())
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays batch 1 against snapshot 0
+      input.addData(batches(2)); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val streamed = spark.read.parquet(out)
+    assert(streamed.count() == 3)
+    val sums = streamed.agg(
+      org.apache.spark.sql.functions.sum($"n_events"),
+      org.apache.spark.sql.functions.sum($"late_1m"),
+      org.apache.spark.sql.functions.sum($"late_10m"),
+      org.apache.spark.sql.functions.sum($"late_1h"),
+      org.apache.spark.sql.functions.max($"max_late_s")).collect().head
+    val batchRun = graft.ops.EventOps.latenessAuditFrame(log.toDF("event_id", "us"))
+      .collect().head
+    assert(sums.getLong(0) == batchRun.getLong(0))
+    assert(sums.getLong(1) == batchRun.getLong(1) && batchRun.getLong(1) == 3L)
+    assert(sums.getLong(2) == batchRun.getLong(2) && batchRun.getLong(2) == 2L)
+    assert(sums.getLong(3) == batchRun.getLong(3) && batchRun.getLong(3) == 1L)
+    assert(sums.getLong(4) == batchRun.getLong(4) && batchRun.getLong(4) == 7200L)
+    // the 2h straggler arrived in batch 2 but trails batch 1's max —
+    // only the carried snapshot can have caught it
+    val b2 = streamed.where("late_1h = 1").count()
+    assert(b2 == 1L, "the cross-batch prefix must carry the 2h lateness")
+  }
+
   test("StreamingBloomPrescreen: batches compose to the whole-slice probe; replay exactly-once") {
     val spark = TestSpark.spark
     import spark.implicits._
