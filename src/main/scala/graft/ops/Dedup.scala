@@ -575,16 +575,30 @@ object Dedup {
     * merged label over arrival nodes and historical label nodes) —
     * shared by the batch op and the streaming maintenance door, so the
     * streamed state composes to the batch answer through the identical
-    * frame transform. Node ids disambiguate themselves: contracted
-    * label nodes are historical doc ids (≢ 0 mod 5), arrival nodes are
-    * batch ids.
+    * frame transform. Node classification is by MEMBERSHIP in the
+    * labeling (cluster ids + probed unlabeled singletons are label
+    * nodes; the rest are arrivals) — see the inline note on why the
+    * `% 5` shortcut breaks after a fold.
     */
   private[graft] def maintenanceVerdicts(merged: DataFrame,
                                          histLabels: DataFrame): DataFrame = {
     val s = merged.sparkSession
     import s.implicits._
-    val relabel = merged.filter($"doc_id" % 5 =!= 0)
-      .toDF("hist_lbl", "new_lbl")
+    // Classify contracted nodes by MEMBERSHIP, not id arithmetic: a node
+    // is a label node iff it IS a cluster id in the labeling, or it is an
+    // unlabeled historical doc probed directly (edgeless singleton). The
+    // obvious `% 5` shortcut is wrong in generation 2+: union-by-min can
+    // fold an ARRIVAL id in as a cluster label (arrival 5 merges into
+    // {6,7} → label 5), and a later merge through that label must relabel
+    // the folded rows — misclassifying it as an arrival would split one
+    // connected component across two labels.
+    val labelByCid = merged.join(
+      histLabels.select($"cluster_id".as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val labelBySingleton = merged.filter($"doc_id" % 5 =!= 0)
+      .join(histLabels.select($"doc_id").distinct(), Seq("doc_id"), "left_anti")
+    val labelNodes = labelByCid.union(labelBySingleton).distinct()
+    val relabel = labelNodes.toDF("hist_lbl", "new_lbl")
     val histRows = histLabels.toDF("m_doc", "m_lbl")
       .join(relabel, $"m_lbl" === $"hist_lbl")
       .select($"m_doc".as("doc_id"), $"m_lbl".as("prev_cluster"),
@@ -596,7 +610,8 @@ object Dedup {
             relabel("hist_lbl") === histLabels("doc_id"), "left_anti")
           .select($"hist_lbl".as("doc_id"), $"hist_lbl".as("prev_cluster"),
             $"new_lbl".as("cluster_id")))
-    val newRows = merged.filter($"doc_id" % 5 === 0)
+    val newRows = merged
+      .join(labelNodes.select($"doc_id"), Seq("doc_id"), "left_anti")
       .select($"doc_id", lit(null).cast("long").as("prev_cluster"),
         $"cluster_id")
     histRows.union(newRows)
@@ -1324,10 +1339,28 @@ object Dedup {
     */
   def bloomProbeBatch(batch: DataFrame,
                       bloom: org.apache.spark.util.sketch.BloomFilter,
+                      histDigests: DataFrame): DataFrame =
+    // One broadcast per CALL — fine for the one-shot batch query (d38),
+    // where the broadcast dies with the query. Repeated callers (the
+    // streaming door, once per trigger) MUST use the Broadcast overload
+    // below instead, or every trigger pins a fresh live copy of a
+    // GB-scale filter in the block manager until driver GC notices.
+    bloomProbeBatch(batch,
+      batch.sparkSession.sparkContext.broadcast(bloom), histDigests)
+
+  /** Per-batch probe against an ALREADY-BROADCAST filter — the form a
+    * long-running stream must use: broadcasting inside the per-batch
+    * call would pin one live filter copy in the block manager per
+    * trigger (GB-scale at production filter sizes) with nothing ever
+    * destroying them. The door broadcasts once at run start and passes
+    * the handle in.
+    */
+  def bloomProbeBatch(batch: DataFrame,
+                      bc: org.apache.spark.broadcast.Broadcast[
+                        org.apache.spark.util.sketch.BloomFilter],
                       histDigests: DataFrame): DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
-    val bc = s.sparkContext.broadcast(bloom)
     val mightContain = udf((h: String) => bc.value.mightContain(h))
     batch.select($"doc_id", md5($"text").as("h"))
       .withColumn("bloom_pos", mightContain($"h"))
@@ -1741,31 +1774,53 @@ object Dedup {
     repeatedSpanRows(documents(s, dir).select(col("doc_id"), col("text")),
       minTokens)
 
+  /** Every position's L-gram hash for each doc — (doc_id, pos, g), the
+    * positional gram index all three span ops (d34/d35/d36) explode
+    * once and share, so a change to the gram construction can never
+    * diverge them.
+    */
+  private def positionalGrams(docs: DataFrame, l: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id",
+      posexplode(ngram_hashes_all($"text", l)).as(Seq("pos", "g")))
+  }
+
+  /** The shared span TAIL: marked gram positions → maximal islands →
+    * (start_pos, span_tokens) → slice the span text back out of the
+    * carrier doc. Used identically by d34 (hits = corpus-repeated
+    * grams) and d36 (hits = grams present in the historical index) —
+    * one definition of the islands/slice arithmetic for both.
+    */
+  private def spanSlices(hits: DataFrame, docs: DataFrame, l: Int): DataFrame = {
+    val s = hits.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    hits
+      .withColumn("grp", $"pos" - row_number().over(w))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"pos").cast("long").as("start_pos"),
+        (max($"pos") - min($"pos") + l).cast("long").as("span_tokens"))
+      .join(docs, Seq("doc_id"))
+      .select($"doc_id", $"start_pos", $"span_tokens",
+        array_join(slice(split($"text", "\\s+"), ($"start_pos" + 1).cast("int"),
+          $"span_tokens".cast("int")), " ").as("span_text"))
+      .orderBy($"doc_id", $"start_pos")
+  }
+
   /** [[maximalRepeatedSpans]] over an explicit (doc_id, text) frame —
     * the blind-spot spec's seam.
     */
   private[graft] def repeatedSpanRows(docs: DataFrame, l: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val grams = docs
-      .select($"doc_id", posexplode(ngram_hashes_all($"text", l)).as(Seq("pos", "g")))
+    val grams = positionalGrams(docs, l)
     // Expand-free df ≥ 2 on the gram key: (g, doc) first, then g.
     val rep = grams.groupBy($"g", $"doc_id").agg(count(lit(1)).as("n"))
       .groupBy($"g").agg(count(lit(1)).as("n_docs"))
       .filter($"n_docs" >= 2)
       .select($"g")
-    val hits = grams.join(rep, Seq("g"), "left_semi")
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val spans = hits
-      .withColumn("grp", $"pos" - row_number().over(w))
-      .groupBy($"doc_id", $"grp")
-      .agg(min($"pos").cast("long").as("start_pos"),
-        (max($"pos") - min($"pos") + l).cast("long").as("span_tokens"))
-    spans.join(docs, Seq("doc_id"))
-      .select($"doc_id", $"start_pos", $"span_tokens",
-        array_join(slice(split($"text", "\\s+"), ($"start_pos" + 1).cast("int"),
-          $"span_tokens".cast("int")), " ").as("span_text"))
-      .orderBy($"doc_id", $"start_pos")
+    spanSlices(grams.join(rep, Seq("g"), "left_semi"), docs, l)
   }
 
   /** d35 — the APPLY step for d34 (the ExactSubstr-dedup cut pass):
@@ -1801,8 +1856,7 @@ object Dedup {
   private[graft] def spanDedupApplyRows(docs: DataFrame, l: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val grams = docs
-      .select($"doc_id", posexplode(ngram_hashes_all($"text", l)).as(Seq("pos", "g")))
+    val grams = positionalGrams(docs, l)
     val rep = grams.groupBy($"g", $"doc_id").agg(count(lit(1)).as("n"))
       .groupBy($"g")
       .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("canon_doc"))
@@ -1894,20 +1948,8 @@ object Dedup {
                                          l: Int): DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
-    val grams = batch
-      .select($"doc_id", posexplode(ngram_hashes_all($"text", l)).as(Seq("pos", "g")))
-    val hits = grams.join(gramIdx, Seq("g"), "left_semi")
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    hits
-      .withColumn("grp", $"pos" - row_number().over(w))
-      .groupBy($"doc_id", $"grp")
-      .agg(min($"pos").cast("long").as("start_pos"),
-        (max($"pos") - min($"pos") + l).cast("long").as("span_tokens"))
-      .join(batch, Seq("doc_id"))
-      .select($"doc_id", $"start_pos", $"span_tokens",
-        array_join(slice(split($"text", "\\s+"), ($"start_pos" + 1).cast("int"),
-          $"span_tokens".cast("int")), " ").as("span_text"))
-      .orderBy($"doc_id", $"start_pos")
+    val hits = positionalGrams(batch, l).join(gramIdx, Seq("g"), "left_semi")
+    spanSlices(hits, batch, l)
   }
 
   /** Estimator-quality audit for the MinHash index: on every d08

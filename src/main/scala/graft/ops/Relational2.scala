@@ -453,6 +453,13 @@ object Relational2 {
       .collect()
       .map(r => (r.getInt(0), r.getDecimal(1), r.getLong(2)))
       .sortBy(_._1)
+    // Empty spend table (empty/filtered-out orders): the pre-rewrite
+    // global-window form returned an empty frame; preserve that instead
+    // of letting reduce/head throw on the empty stats array.
+    if (stats.isEmpty)
+      return ranged.limit(0)
+        .select(lit(0L).as("head_customers"), lit(0L).as("n_custs"),
+          lit(0.0).as("head_frac"), lit(0.0).as("head_rev_share"))
     val total = stats.map(_._2).reduce(_ add _)
     val nCusts = stats.map(_._3).sum
     val eighty = total.multiply(new java.math.BigDecimal(80))

@@ -187,7 +187,8 @@ object Similarity {
       import s.implicits._
       val e = normedVectors(s, dir).localCheckpoint()
       var selected = Vector((1, 0L, 1.0)) // the seed covers itself
-      for (i <- 2 to k) {
+      var exhausted = false
+      for (i <- 2 to k if !exhausted) {
         val ids = selected.map(_._2)
         val cents = e.filter($"vec_id".isin(ids: _*))
           .select($"embedding".as("c_emb"), $"nrm".as("c_nrm"))
@@ -197,8 +198,12 @@ object Similarity {
             cosinePrenormed(vec_dot($"embedding", $"c_emb"), $"nrm", $"c_nrm"))
           .groupBy($"vec_id").agg(max($"cos").as("cov"))
           .orderBy($"cov".asc, $"vec_id".asc).limit(1)
-          .collect().head
-        selected :+= ((i, top.getLong(0), top.getDouble(1)))
+          .collect()
+        // Fewer than k vectors in the table: the candidate set exhausts
+        // mid-loop — emit the shorter trace (the oracle's empty chained
+        // stages degrade identically) instead of throwing on .head.
+        if (top.isEmpty) exhausted = true
+        else selected :+= ((i, top.head.getLong(0), top.head.getDouble(1)))
       }
       s.sparkContext.parallelize(selected, 1)
         .toDF("sel_rank", "vec_id", "cov")

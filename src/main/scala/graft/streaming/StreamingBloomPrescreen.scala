@@ -38,9 +38,12 @@ object StreamingBloomPrescreen {
           outDir: String, checkpointDir: String,
           fpp: Double = 0.03): StreamingQuery = {
     val (bloom, digests) = graft.ops.Dedup.bloomIndex(histDocs, fpp)
+    // Broadcast ONCE for the stream's lifetime: broadcasting inside the
+    // per-batch call would pin one live GB-scale filter copy per trigger.
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Dedup.bloomProbeBatch(batch, bloom, digests)
+        graft.ops.Dedup.bloomProbeBatch(batch, bc, digests)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }

@@ -72,4 +72,33 @@ class IncrementalClusterSpec extends AnyFunSuite {
            matched.exceptAll(arrivals).count() == 0,
       "arrival verdicts must cover the probe-matched batch exactly")
   }
+
+  test("gen-2 fold relabels through an arrival-id cluster label (membership, not % 5)") {
+    // The fold-composition trap: union-by-min can fold an ARRIVAL id in
+    // as a cluster label (5 ≡ 0 mod 5). A later merge through that label
+    // node must still relabel the folded rows — an id-arithmetic node
+    // classification would misread node 5 as an arrival and split one
+    // connected component across two labels.
+    val s = spark
+    import s.implicits._
+    // Gen-1 folded sidecar: docs 5,6,7 all labeled by ex-arrival 5.
+    val folded1 = Seq((5L, 5L), (6L, 5L), (7L, 5L)).toDF("doc_id", "cluster_id")
+    // Gen-2 contracted CC: arrival 10 bridged label-node 5 and the
+    // unseen singleton hist doc 3 — all three nodes now label 3.
+    val merged = Seq((3L, 3L), (5L, 3L), (10L, 3L)).toDF("doc_id", "cluster_id")
+    val v = Dedup.maintenanceVerdicts(merged, folded1)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2))).toSet
+    assert(v == Set(
+      (3L, Some(3L), 3L),          // probed edgeless singleton
+      (5L, Some(5L), 3L),          // the folded label node RELABELS
+      (6L, Some(5L), 3L),          // …and carries its historical members
+      (7L, Some(5L), 3L),
+      (10L, None, 3L)),            // the genuine arrival
+      s"verdicts mis-classified the arrival-id label node: $v")
+    val folded2 = Dedup.foldMaintenanceLabels(merged, folded1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(folded2 == Map(3L -> 3L, 5L -> 3L, 6L -> 3L, 7L -> 3L, 10L -> 3L),
+      s"gen-2 fold split one component across labels: $folded2")
+  }
 }
