@@ -81,6 +81,10 @@ object SparkEntry {
     // e26 = watermark lateness audit: the q31 range-partition
     // discipline as a prefix MAX — no global window anywhere.
     "e26_watermark_audit"    -> (EventOps.watermarkLatenessAudit _),
+    // e27 = DAU/WAU stickiness: the sliding-exact-distinct shape via a
+    // ×7 coverage explode of (day, user) rows — no sliding frame, no
+    // per-day raw rescan; ratio = one exact BIGINT÷BIGINT divide.
+    "e27_stickiness"         -> (EventOps.stickiness _),
     // m19 = EXECUTED audio decimation through the real WAV codec
     // (decode → drop odd samples → re-encode at 4 kHz → decode);
     // position-weighted sums pin sample order across the chain.
@@ -555,6 +559,10 @@ object SparkEntry {
     // s28 = SQ upsert: frozen-range encode with CLIPPED out-of-range
     // arrivals and an n_clipped drift meter; integer code-dot serving.
     "s28_sq_upsert"          -> ((s, d) => Similarity.sqUpsertServe(s, d)),
+    // s32 = reciprocal-rank fusion of the IVF and SRP arms: the
+    // hybrid-search combiner — rank-only scoring needs no cross-arm
+    // score calibration; fixed-order two-term IEEE sum, id tie-breaks.
+    "s32_rrf_fusion"         -> ((s, d) => Similarity.rrfFusion(s, d)),
     // s29 = k-center greedy coreset: farthest-point sampling on cosine
     // distance — the diversity-selection op (dedup's complement); the
     // selection trace reports coverage at each pick.
@@ -745,6 +753,24 @@ object SparkEntry {
           CAST(sum(CASE WHEN runmax - us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_1h,
           CAST(max(runmax - us) // 1000000 AS BIGINT) AS max_late_s
         FROM l""",
+      // e27: the same ×7 coverage explode — a (day, user) activity row
+      // covers report days [day, day+6]; WAU at d = distinct covering
+      // users; report days restricted to active days (inner join).
+      "e27_stickiness" -> """
+        WITH du AS (
+          SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_i,
+            user_id
+          FROM events),
+        dau AS (SELECT day_i, count(*) AS dau FROM du GROUP BY 1),
+        cov AS (
+          SELECT DISTINCT du.day_i + o.off AS day_i, du.user_id
+          FROM du, (SELECT unnest(generate_series(0, 6)) AS off) o),
+        wau AS (SELECT day_i, count(*) AS wau FROM cov GROUP BY 1)
+        SELECT DATE '1970-01-01' + CAST(dau.day_i AS INTEGER) AS day,
+          dau.dau, wau.wau,
+          CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+        FROM dau JOIN wau ON dau.day_i = wau.day_i
+        ORDER BY day""",
       // e24: gaps from exact µs epochs, integer-divided to seconds
       // (both engines truncate nonnegative division); the bursty flag
       // and every rollup column are pure BIGINT algebra.
@@ -1937,6 +1963,71 @@ object SparkEntry {
       // s25: replays the md5-seeded ±1 planes, the floor(x·10⁴)
       // integer quantization, the sign bits and the Hamming ranking —
       // all integer arithmetic, so the hash check is order-free.
+      // s32: the s04 and s25 chains verbatim, full-outer-joined per
+      // (q_id, vec_id); each RRF term one IEEE divide of exact ints,
+      // summed in the same fixed ivf+srp order as the Spark column.
+      "s32_rrf_fusion" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings),
+        cb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        assigned AS (SELECT vec_id, v, nrm, cell_id FROM (
+          SELECT e.vec_id, e.v, e.nrm, cb.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) DESC, cb.cell_id) AS arank
+          FROM e CROSS JOIN cb) t WHERE arank = 1),
+        q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cell_id AS q_cell
+              FROM assigned WHERE vec_id < 5),
+        ivf AS (SELECT q_id, vec_id, rank AS ivf_rank FROM (
+          SELECT q.q_id, a.vec_id,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY list_dot_product(q.qv, a.v) / (q.qnrm * a.nrm) DESC, a.vec_id) AS rank
+          FROM q JOIN assigned a ON a.cell_id = q.q_cell AND a.vec_id <> q.q_id) t
+          WHERE rank <= 5),
+        p AS (
+          SELECT j.j, i.i,
+            CASE WHEN CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':'
+                            || CAST(i.i AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+                 THEN 1 ELSE -1 END AS r
+          FROM (SELECT unnest(generate_series(0, 15)) AS j) j,
+               (SELECT unnest(generate_series(0, 63)) AS i) i),
+        eq AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+          FROM embeddings),
+        dots AS (
+          SELECT eq.vec_id, p.j, sum(p.r * eq.qv[p.i + 1]) AS dot
+          FROM eq, p GROUP BY eq.vec_id, p.j),
+        sigs AS (
+          SELECT vec_id,
+            CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << j
+                          ELSE 0 END) AS BIGINT) AS sig
+          FROM dots GROUP BY vec_id),
+        srp AS (SELECT q_id, vec_id, rank AS srp_rank FROM (
+          SELECT q_id, vec_id,
+            row_number() OVER (PARTITION BY q_id
+                               ORDER BY hamming, vec_id) AS rank
+          FROM (SELECT q.vec_id AS q_id, s.vec_id,
+                  CAST(bit_count(xor(s.sig, q.sig)) AS BIGINT) AS hamming
+                FROM sigs s JOIN sigs q
+                  ON q.vec_id < 5 AND s.vec_id <> q.vec_id) r) t
+          WHERE rank <= 8),
+        f AS (
+          SELECT COALESCE(i.q_id, s.q_id) AS q_id,
+            COALESCE(i.vec_id, s.vec_id) AS vec_id,
+            i.ivf_rank, s.srp_rank,
+            COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(i.ivf_rank AS DOUBLE)),
+                     CAST(0 AS DOUBLE))
+            + COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(s.srp_rank AS DOUBLE)),
+                       CAST(0 AS DOUBLE)) AS rrf
+          FROM ivf i FULL OUTER JOIN srp s
+            ON i.q_id = s.q_id AND i.vec_id = s.vec_id)
+        SELECT q_id, fused_rank, vec_id, ivf_rank, srp_rank, rrf FROM (
+          SELECT q_id, vec_id, ivf_rank, srp_rank, rrf,
+            row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, vec_id) AS fused_rank
+          FROM f) t
+        WHERE fused_rank <= 8 ORDER BY q_id, fused_rank""",
       "s25_srp_hamming" -> """
         WITH p AS (
           SELECT j.j, i.i,

@@ -838,4 +838,46 @@ object EventOps {
         coalesce(expr("max(lateness) div 1000000"), lit(0L)).as("max_late_s"),
         coalesce(max($"us"), lit(prefix)).as("batch_max_us"))
   }
+
+  /** e27 — DAU/WAU STICKINESS: per active day the daily active users,
+    * the trailing-7-day active users, and their ratio — the product
+    * health metric every growth dashboard leads with, and the one
+    * sliding-DISTINCT shape the window family avoids on purpose: an
+    * exact distinct over a sliding window cannot ride a window frame
+    * (distinct doesn't decompose over frame slides) and the naive form
+    * re-scans 7 days of raw events per day.
+    *
+    * Construction: ONE corpus-sized distinct to (day, user) activity
+    * rows; each activity row then COVERS the 7 report days
+    * [day, day+6] via a 7-element `sequence` explode — so "users
+    * active in [d−6, d]" is an ordinary exact distinct per report
+    * day, fan-out exactly 7, no sliding frame, no per-day rescan.
+    * Report days are the ACTIVE days (inner join with the DAU side);
+    * the first 6 days of a corpus carry partial trailing windows by
+    * construction (standard WAU semantics). All day arithmetic is
+    * integer epoch-days; the stickiness ratio is the family's exact
+    * BIGINT÷BIGINT single IEEE divide.
+    *
+    * Scale shape: the (day, user) reduction is the only pass over raw
+    * events; everything after is |active days × users| sized with a
+    * bounded ×7 fan-out, shuffled on the same day key it aggregates
+    * on. At 100 TB the (day, user) table is the persisted activity
+    * sidecar every engagement metric shares.
+    */
+  def stickiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayUser = events(s, dir)
+      .select(expr("unix_date(to_date(ts))").cast("long").as("day_i"), $"user_id")
+      .distinct()
+    val dau = dayUser.groupBy($"day_i").agg(count(lit(1)).as("dau"))
+    val wau = dayUser
+      .select(explode(expr("sequence(day_i, day_i + 6)")).as("day_i"), $"user_id")
+      .distinct()
+      .groupBy($"day_i").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day_i"))
+      .select(date_add(to_date(lit("1970-01-01")), $"day_i".cast("int")).as("day"),
+        $"dau", $"wau",
+        ($"dau".cast("double") / $"wau".cast("double")).as("stickiness"))
+      .orderBy($"day")
+  }
 }

@@ -415,6 +415,43 @@ object Similarity {
       .orderBy($"q_id", $"nprobe")
   }
 
+  /** s32 — RECIPROCAL-RANK FUSION of two retrieval arms: the hybrid-
+    * search combiner (RRF, Cormack et al. — the standard way production
+    * stacks merge a dense-ANN list with a second ranking (lexical
+    * BM25, or here the SRP sketch arm) WITHOUT comparable scores:
+    * score(c) = Σ_lists 1/(60 + rank_list(c)) uses only ranks, so
+    * cosine and Hamming never need calibrating against each other).
+    * Fuses s04's IVF top-5 (cosine ranks) with s25's SRP top-8
+    * (integer Hamming ranks) per query; candidates missing from a
+    * list contribute nothing from it.
+    *
+    * Determinism: each RRF term is ONE IEEE divide of exact small
+    * integers, the two terms add in a FIXED order (ivf + srp — a
+    * full-outer join keeps both terms as columns, so there is no
+    * aggregation order to vary), and rank ties break on vec_id. Both
+    * engines therefore emit bit-identical doubles and identical
+    * fused orderings.
+    *
+    * Scale shape: both input lists are top-k-per-query sized
+    * (|queries|·k rows) whatever the corpus size — fusion never
+    * touches the corpus; the join keys on (q_id, vec_id) and the rank
+    * window partitions per query over ≤ 13 rows.
+    */
+  def rrfFusion(s: SparkSession, dir: String, kOut: Int = 8): DataFrame = {
+    import s.implicits._
+    val ivf = ivfKnn(s, dir).select($"q_id", $"vec_id", $"rank".as("ivf_rank"))
+    val srp = srpHammingKnn(s, dir).select($"q_id", $"vec_id", $"rank".as("srp_rank"))
+    val w = Window.partitionBy($"q_id").orderBy($"rrf".desc, $"vec_id")
+    ivf.join(srp, Seq("q_id", "vec_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + $"ivf_rank".cast("double")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + $"srp_rank".cast("double")), lit(0.0)))
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter($"fused_rank" <= kOut)
+      .select($"q_id", $"fused_rank", $"vec_id", $"ivf_rank", $"srp_rank", $"rrf")
+      .orderBy($"q_id", $"fused_rank")
+  }
+
   /** s20 — FILTERED vector search: top-k restricted to candidates
     * sharing the query's label (the tenant/class/language predicate
     * every production retrieval stack composes with ANN — "nearest

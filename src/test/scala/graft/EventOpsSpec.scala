@@ -315,4 +315,32 @@ class EventOpsSpec extends AnyFunSuite {
       assert(r.getBoolean(6) == (both * ns > na * nb))
     }
   }
+
+  test("e27 stickiness: driver recompute of the trailing-7-day distinct; DAU ≤ WAU") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = SparkEntry.queries("e27_stickiness")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getDate(0).toLocalDate.toEpochDay ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val dayUser = spark.read.parquet(TestSpark.sfDir + "/events.parquet")
+      .selectExpr("unix_date(to_date(ts)) AS d", "user_id")
+      .as[(Int, Long)].collect().map(t => (t._1.toLong, t._2)).distinct
+    val activeDays = dayUser.map(_._1).distinct.sorted
+    val expected = activeDays.map { d =>
+      val dau = dayUser.count(_._1 == d).toLong
+      val wau = dayUser.filter(x => x._1 >= d - 6 && x._1 <= d)
+        .map(_._2).distinct.length.toLong
+      d -> (dau, wau, dau.toDouble / wau.toDouble)
+    }.toMap
+    assert(got == expected)
+    // invariants: every active day reported; DAU ≤ WAU (day d's actives
+    // are inside [d−6, d]); stickiness in (0, 1]
+    assert(got.keySet == activeDays.toSet)
+    got.values.foreach { case (dau, wau, st) =>
+      assert(dau >= 1L && dau <= wau)
+      assert(st > 0.0 && st <= 1.0)
+    }
+  }
 }

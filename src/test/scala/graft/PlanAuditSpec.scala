@@ -65,7 +65,11 @@ class PlanAuditSpec extends AnyFunSuite {
         "e25_session_lift",
         // s31: query×codebook cell ranking (5 × 16 broadcast) and the
         // 5-query exact-arm broadcast — the s11/s20 audit shapes.
-        "s31_nprobe_sweep")
+        "s31_nprobe_sweep",
+        // s32: inherits s04's corpus×codebook broadcast assignment and
+        // s25's 5-query signature broadcast; the fusion itself joins
+        // two top-k lists on (q_id, vec_id) — no new cross join.
+        "s32_rrf_fusion")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark

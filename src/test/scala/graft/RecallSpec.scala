@@ -781,4 +781,44 @@ class RecallSpec extends AnyFunSuite {
       assert(byNp(0)._4 <= byNp(1)._4 && byNp(1)._4 <= byNp(2)._4, s"q$q matched")
     }
   }
+
+  test("s32 RRF: scores recomputed, ordering honored, dual-listed candidates dominate") {
+    val spark0 = TestSpark.spark
+    val ivf = SparkEntry.queries("s04_knn_ivf")(spark0, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val srp = SparkEntry.queries("s25_srp_hamming")(spark0, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val fused = SparkEntry.queries("s32_rrf_fusion")(spark0, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getDouble(5)))
+    assert(fused.nonEmpty)
+    // every fused row's ranks are the source lists' ranks, and the
+    // score is exactly the fixed-order two-term IEEE sum
+    fused.foreach { case (q, _, v, ir, sr, rrf) =>
+      assert(ir == ivf.get((q, v)) && sr == srp.get((q, v)))
+      assert(ir.isDefined || sr.isDefined)
+      val expected = ir.map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        sr.map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      assert(rrf == expected, s"q$q cand $v")
+    }
+    fused.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1L to byRank.length).toSeq)
+      // rrf non-increasing down the fused list, vec_id breaks ties
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._6 < a._6 || (b._6 == a._6 && b._3 > a._3), s"q$q order")
+        case _ =>
+      }
+      // worst dual score 1/65 + 1/68 still beats best single 1/61, so
+      // every candidate on BOTH lists must outrank every single-list one
+      val worstDual = byRank.filter(r => r._4.isDefined && r._5.isDefined)
+        .map(_._2).maxOption
+      val bestSingle = byRank.filter(r => r._4.isEmpty || r._5.isEmpty)
+        .map(_._2).minOption
+      for (wd <- worstDual; bs <- bestSingle)
+        assert(wd < bs, s"q$q: a dual-listed candidate ranked below a single-listed one")
+    }
+  }
 }
