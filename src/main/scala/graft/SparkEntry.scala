@@ -468,6 +468,10 @@ object SparkEntry {
     // m25 = keyframe manifest: one row per m20 scene with its first
     // frame and the run's (single) perceptual hash.
     "m25_keyframes"          -> (Multimodal.keyframes _),
+    // m26 = ViT patch manifest: real-codec decode tiled into the 4×4
+    // patch grid a vision transformer tokenizes; per-patch integer
+    // sums with row-major position weights pin content AND order.
+    "m26_vit_patches"        -> ((s, d) => Multimodal.vitPatches(s, d)),
     // m09 = audio feature extraction: per-frame energy over the real
     // WAV decode (64-sample frames, integer-exact activity detection).
     "m09_wav_frames"         -> ((s, d) => Multimodal.wavFrameEnergy(s, d)),
@@ -1409,6 +1413,25 @@ object SparkEntry {
       // m24: generator replay of the peak-normalize chain — integer
       // floor division on non-negative operands only, lists 1-indexed
       // for the weighted sum.
+      // m26: the generator raster replayed per patch cell — pixel
+      // (i, j) = (id·31 + 7i + 13j) mod 256; k enumerates the patch
+      // row-major (dx = k mod 4, dy = k div 4), weight k+1 matches the
+      // Spark loop's dy·4+dx+1.
+      "m26_vit_patches" -> """
+        WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w,
+                     8 + (doc_id // 25) % 25 AS h
+                   FROM documents),
+        g AS (SELECT doc_id, w, py, px FROM d,
+                LATERAL (SELECT unnest(generate_series(0, h // 4 - 1)) AS py) a,
+                LATERAL (SELECT unnest(generate_series(0, w // 4 - 1)) AS px) b)
+        SELECT doc_id, CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px,
+          CAST(list_sum(list_transform(generate_series(0, 15),
+            k -> (doc_id * 31 + 7 * (px * 4 + k % 4)
+                  + 13 * (py * 4 + k // 4)) % 256)) AS BIGINT) AS p_sum,
+          CAST(list_sum(list_transform(generate_series(0, 15),
+            k -> ((doc_id * 31 + 7 * (px * 4 + k % 4)
+                   + 13 * (py * 4 + k // 4)) % 256) * (k + 1))) AS BIGINT) AS p_wsum
+        FROM g ORDER BY doc_id, py, px""",
       "m24_wav_normalize" -> """
         WITH d AS (SELECT doc_id, CAST(200 + doc_id % 400 AS BIGINT) AS n
                    FROM documents),

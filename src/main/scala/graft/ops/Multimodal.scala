@@ -1878,4 +1878,55 @@ object Multimodal {
            min($"height").as("min_height"))
       .orderBy($"media_type")
   }
+
+  final case class PatchRow(doc_id: Long, py: Long, px: Long,
+                            p_sum: Long, p_wsum: Long)
+
+  /** m26 — ViT PATCH MANIFEST: each image tiled into the P×P patch
+    * grid a vision transformer ingests (patchify — the first layer of
+    * every ViT-family encoder flattens non-overlapping P×P patches
+    * into tokens), with per-patch integer pixel sums. Complete patches
+    * only (⌊w/P⌋×⌊h/P⌋ — the standard crop-to-multiple preprocessing);
+    * `p_wsum` weights each pixel by its row-major position INSIDE the
+    * patch, so the manifest pins patch content and pixel ORDER, not
+    * just a multiset (the m19 discipline: a reordering fake cannot
+    * match).
+    *
+    * Executed end to end over the real codec: payloads encode and
+    * decode through javax.imageio in one mapPartitions slot; the
+    * oracle replays the generator raster arithmetic per patch cell.
+    *
+    * Scale shape: decode happens once per image in the codec slot and
+    * emits (w·h)/P² integer rows — pixels never cross a shuffle; the
+    * manifest is the artifact the training loader reads, so at 100 TB
+    * it persists next to the media like the other sidecars and the
+    * decode never re-runs.
+    */
+  def vitPatches(s: SparkSession, dir: String, p: Int = 4): DataFrame = {
+    import s.implicits._
+    pngTable(s, dir).mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        val nx = img.getWidth / p
+        val ny = img.getHeight / p
+        for { py <- 0 until ny; px <- 0 until nx } yield {
+          var sum = 0L
+          var wsum = 0L
+          var dy = 0
+          while (dy < p) {
+            var dx = 0
+            while (dx < p) {
+              val v = (img.getRGB(px * p + dx, py * p + dy) & 0xff).toLong
+              sum += v
+              wsum += v * (dy * p + dx + 1)
+              dx += 1
+            }
+            dy += 1
+          }
+          PatchRow(r.doc_id, py.toLong, px.toLong, sum, wsum)
+        }
+      }
+    }.toDF().orderBy($"doc_id", $"py", $"px")
+  }
 }

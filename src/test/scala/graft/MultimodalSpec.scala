@@ -751,4 +751,32 @@ class MultimodalSpec extends AnyFunSuite {
       assert(sum == eSum && wsum == eW, s"doc $id sums")
     }
   }
+
+  test("m26 ViT patches: grid dims, per-patch sums and order weights recomputed") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("m26_vit_patches")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    def pix(id: Long, i: Long, j: Long): Long = (id * 31 + 7 * i + 13 * j) % 256
+    rows.groupBy(_._1).foreach { case (id, ps) =>
+      val w = 8 + id % 25
+      val h = 8 + (id / 25) % 25
+      // complete-patch grid only: exactly ⌊w/4⌋×⌊h/4⌋ patches per image
+      assert(ps.length == ((w / 4) * (h / 4)).toInt, s"doc $id grid")
+      ps.foreach { case (_, py, px, sum, wsum) =>
+        var eS = 0L; var eW = 0L
+        var k = 0
+        while (k < 16) {
+          val v = pix(id, px * 4 + k % 4, py * 4 + k / 4)
+          eS += v; eW += v * (k + 1); k += 1
+        }
+        assert(sum == eS && wsum == eW, s"doc $id patch ($py,$px)")
+      }
+    }
+    // order sensitivity: some patch must have p_wsum ≠ the constant-
+    // content value 8.5·p_sum (i.e. the weights see non-uniform pixels)
+    assert(rows.exists { case (_, _, _, s, ws) => 2L * ws != 17L * s },
+      "every patch looked constant — the order weight is not discriminating")
+  }
 }
