@@ -425,6 +425,9 @@ object SparkEntry {
     // t46 = trained-tokenizer budget efficiency per source (fertility
     // + compression) — the first downstream consumer of t43's BPE.
     "t46_bpe_efficiency"     -> ((s, d) => TextOps.bpeEfficiency(s, d)),
+    // t47 = Flesch reading ease: vowel-group syllable heuristic, exact
+    // BIGINT counts in the scan projection, one fixed IEEE expression.
+    "t47_readability"        -> (TextOps.readability _),
     // t33 = PII detect + redact (email/phone/IPv4) — counts on the
     // original text, typed-placeholder redaction, all codegen regex;
     // runs over the deterministic planted-PII fixture (WavCodec
@@ -4777,6 +4780,25 @@ object SparkEntry {
       // logs take INTEGER counts only (verified divergence-free for
       // this corpus; the p=c/n fraction form hits a Java-vs-libm 1-ulp
       // input). Empty-string filter pins both engines' split.
+      // t47: same counts, same left-associated double expression; the
+      // literals cast to DOUBLE explicitly (DuckDB parses bare 1.015
+      // as DECIMAL, whose arithmetic rounds differently).
+      "t47_readability" -> """
+        WITH c AS (
+          SELECT doc_id,
+            greatest(1, length(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+            length(regexp_split_to_array(text, '\s+')) AS n_words,
+            list_sum(list_transform(regexp_split_to_array(lower(text), '\s+'),
+              w -> greatest(1, length(regexp_extract_all(w, '[aeiouy]+'))))) AS n_syllables
+          FROM documents)
+        SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+          CAST(n_words AS BIGINT) AS n_words,
+          CAST(n_syllables AS BIGINT) AS n_syllables,
+          CAST(206.835 AS DOUBLE)
+            - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+            - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+            AS flesch
+        FROM c ORDER BY doc_id""",
       "t45_char_entropy" -> """
         WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS term
                      FROM documents),

@@ -1841,4 +1841,40 @@ object TextOps {
     }
     sb.toString
   }
+
+  /** t47 — READABILITY (Flesch reading ease): the classic
+    * grade-level filter a curation pipeline runs beside t02's ratio
+    * gates — 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    * words), with syllables approximated as vowel-group runs per word
+    * (min 1 — the standard heuristic; exact syllabification needs a
+    * dictionary). Sentences count [.!?]+ runs, clamped to ≥ 1 (this
+    * corpus is punctuation-free, so every doc is one sentence — the
+    * column stays honest and the score varies through the
+    * syllables-per-word arm).
+    *
+    * Determinism: all three counts are exact BIGINTs from regex
+    * counting inside the scan projection (no explode, no shuffle
+    * before the one orderBy); the score is a FIXED left-associated
+    * IEEE expression over exact-integer-valued doubles — two divides,
+    * two multiplies, two subtracts — identical ops in both engines.
+    *
+    * Scale shape: a narrow per-row projection (codegen regex), no
+    * join, no aggregate — embarrassingly parallel at any corpus size.
+    */
+  def readability(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"doc_id",
+        greatest(lit(1L),
+          expr("CAST(regexp_count(text, '[.!?]+') AS BIGINT)")).as("n_sentences"),
+        expr("CAST(size(split(text, '\\\\s+')) AS BIGINT)").as("n_words"),
+        expr("aggregate(transform(split(lower(text), '\\\\s+'), " +
+          "w -> greatest(1L, CAST(regexp_count(w, '[aeiouy]+') AS BIGINT))), " +
+          "0L, (a, x) -> a + x)").as("n_syllables"))
+      .withColumn("flesch",
+        lit(206.835)
+          - lit(1.015) * ($"n_words".cast("double") / $"n_sentences".cast("double"))
+          - lit(84.6) * ($"n_syllables".cast("double") / $"n_words".cast("double")))
+      .orderBy($"doc_id")
+  }
 }

@@ -1383,4 +1383,31 @@ class InvariantSpec extends AnyFunSuite {
     val bloom = histDf.stat.bloomFilter("h", math.max(hist.size.toLong, 1L), 0.03)
     assert(hist.forall(bloom.mightContain), "rebuilt filter lost a key")
   }
+
+  test("t47 readability: counts and score recomputed; vowel-group heuristic and clamps hold") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("t47_readability")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val texts = spark.read.parquet(TestSpark.sfDir + "/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    val vg = "[aeiouy]+".r
+    rows.foreach { case (id, sents, words, syls, flesch) =>
+      val t = texts(id)
+      val eSents = math.max(1L, "[.!?]+".r.findAllIn(t).length.toLong)
+      val ws = t.toLowerCase.split("\\s+")
+      val eSyls = ws.map(w => math.max(1L, vg.findAllIn(w).length.toLong)).sum
+      assert(sents == eSents && words == ws.length.toLong && syls == eSyls,
+        s"doc $id counts")
+      // exact same left-associated IEEE expression — bit equality
+      val expect = 206.835 - 1.015 * (words.toDouble / sents.toDouble) -
+        84.6 * (syls.toDouble / words.toDouble)
+      assert(flesch == expect, s"doc $id score")
+      assert(syls >= words, "every word carries at least one syllable")
+    }
+    // the heuristic must discriminate: not every doc shares one score
+    assert(rows.map(_._5).distinct.length > 1)
+  }
 }
