@@ -864,11 +864,28 @@ object EventOps {
     * on. At 100 TB the (day, user) table is the persisted activity
     * sidecar every engagement metric shares.
     */
-  def stickiness(s: SparkSession, dir: String): DataFrame = {
+  def stickiness(s: SparkSession, dir: String): DataFrame =
+    stickinessOver(dayUserActivity(events(s, dir)))
+
+  /** The (day_i, user_id) DISTINCT activity reduction e27 and its
+    * streaming door share — the only pass over raw events, and the
+    * persisted activity sidecar of the scaladoc above. Distinct is
+    * union- and order-free, so per-batch activity folds compose to
+    * the whole-stream reduction under any batch split.
+    */
+  def dayUserActivity(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
     import s.implicits._
-    val dayUser = events(s, dir)
-      .select(expr("unix_date(to_date(ts))").cast("long").as("day_i"), $"user_id")
+    ev.select(expr("unix_date(to_date(ts))").cast("long").as("day_i"), $"user_id")
       .distinct()
+  }
+
+  /** [[stickiness]] from an already-reduced (day_i, user_id) activity
+    * table — the frame core the streaming door emits per tick.
+    */
+  def stickinessOver(dayUser: DataFrame): DataFrame = {
+    val s = dayUser.sparkSession
+    import s.implicits._
     val dau = dayUser.groupBy($"day_i").agg(count(lit(1)).as("dau"))
     val wau = dayUser
       .select(explode(expr("sequence(day_i, day_i + 6)")).as("day_i"), $"user_id")

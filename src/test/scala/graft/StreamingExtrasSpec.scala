@@ -1537,4 +1537,60 @@ class StreamingExtrasSpec extends AnyFunSuite {
       assert(out.contains((2L, 1.0)) && out.contains((2L, 9.0)))
     } finally q.stop()
   }
+
+  test("StreamingStickiness: final tick equals batch e27 under an out-of-order split; replay exactly-once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // corpus events split by REVERSED day: the oldest days arrive in
+    // the LAST batch, so every trailing window that the early ticks
+    // emitted was provisional — only state-folding (not arrival
+    // order) can make the final tick exact
+    val ev = graft.Tables.events(spark, TestSpark.sfDir)
+      .selectExpr("ts", "user_id")
+      .as[(java.sql.Timestamp, Long)].collect()
+      .sortBy { case (ts, u) => (-ts.getTime, u) }
+    val batches = Seq(ev.take(ev.length / 3),
+      ev.slice(ev.length / 3, 2 * ev.length / 3),
+      ev.drop(2 * ev.length / 3))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stick_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_stick_out").toString
+    val st = java.nio.file.Files.createTempDirectory("graft_stick_state").toString
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val stream = input.toDF().toDF("ts", "user_id")
+    def start() = graft.streaming.StreamingStickiness.run(stream, out, st, ckpt)
+
+    val q1 = start()
+    try {
+      input.addData(batches(0).toSeq); q1.processAllAvailable()
+      input.addData(batches(1).toSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    // crash before the commit marker: batch 1 must refold from
+    // snapshot 0 and rewrite identical bytes, never double-fold
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.map(_.getName.toLong).toSeq == Seq(0L, 1L))
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.1.crc")
+    if (crc.exists()) assert(crc.delete())
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays batch 1 against snapshot 0
+      input.addData(batches(2).toSeq); q2.processAllAvailable()
+    } finally q2.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val finalTick = rows(spark.read.parquet(s"$out/batch_id=2"))
+    val batchRun = rows(SparkEntry.queries("e27_stickiness")(spark, TestSpark.sfDir))
+    assert(finalTick == batchRun,
+      "the final tick must equal batch e27 over the same arrivals")
+    // provisional ticks are honest over their own prefix: tick 0 equals
+    // e27 over batch-0 arrivals alone
+    val tick0 = rows(spark.read.parquet(s"$out/batch_id=0"))
+    val prefix = rows(graft.ops.EventOps.stickinessOver(
+      graft.ops.EventOps.dayUserActivity(batches(0).toSeq.toDF("ts", "user_id"))))
+    assert(tick0 == prefix)
+  }
 }
