@@ -290,6 +290,10 @@ object SparkEntry {
     // front of the md5 join, fp arm gated t07-style (the fp COUNT is
     // filter-layout-specific; the no-false-negative arm is exact).
     "d38_bloom_prescreen"    -> ((s, d) => Dedup.bloomPrescreen(s, d)),
+    // d39 = b-bit minwise (b=1) audit: the 64x signature compression's
+    // accuracy cost read per candidate next to the full estimate and
+    // the exact recount; unclamped so variance stays visible.
+    "d39_bbit_minwise"       -> ((s, d) => Dedup.bbitMinwiseAudit(s, d)),
     // d27 = the dedup DECISION table: per implicated doc the keep/drop
     // verdict with the quality-argmax canonical survivor (tie → min
     // doc_id) — the apply-step artifact downstream filters join on.
@@ -3502,6 +3506,40 @@ object SparkEntry {
         FROM jn JOIN tc ON tc.text_cluster = jn.text_cluster
                 JOIN ic ON ic.image_cluster = jn.image_cluster
         ORDER BY jn.doc_id""",
+      // d39: the d18 CTEs with the low-bit agreement beside the full
+      // one; sig values are nonnegative so m % 2 IS the low bit.
+      "d39_bbit_minwise" -> """
+        WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+                    FROM documents),
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        small AS (SELECT j, bkey FROM bands GROUP BY j, bkey
+                  HAVING count(*) <= 64 AND count(*) > 1),
+        inb AS (SELECT b.* FROM bands b JOIN small s ON b.j = s.j AND b.bkey = s.bkey),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        tok AS (SELECT doc_id, list_distinct(th) AS tok FROM tk)
+        SELECT p.doc_a, p.doc_b,
+          CAST(len(list_filter(generate_series(1, 12),
+            i -> sa.sig[i] % 2 = sb.sig[i] % 2)) AS BIGINT) AS agree_bits,
+          CAST(len(list_filter(generate_series(1, 12),
+            i -> sa.sig[i] % 2 = sb.sig[i] % 2)) * 2 - 12 AS DOUBLE) / 12 AS est_b1,
+          CAST(len(list_filter(generate_series(1, 12), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 12
+            AS est_full,
+          CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE) /
+            (len(ta.tok) + len(tb.tok) - len(list_intersect(ta.tok, tb.tok))) AS true_jaccard
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b
+        JOIN tok ta ON ta.doc_id = p.doc_a
+        JOIN tok tb ON tb.doc_id = p.doc_b
+        ORDER BY doc_a, doc_b""",
       "d18_mh_accuracy" -> """
         WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
                       t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th

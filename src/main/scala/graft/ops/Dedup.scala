@@ -1975,6 +1975,20 @@ object Dedup {
     */
   def minhashAccuracy(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
     import s.implicits._
+    pairSketchRows(s, dir, cap)
+      .withColumn("agree", expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))"))
+      .select($"doc_a", $"doc_b",
+        ($"agree".cast("double") / 12).as("est_jaccard"),
+        ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("true_jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The d18/d39 shared core: per d08 candidate pair the exact token
+    * intersection plus both docs' signatures and token counts —
+    * everything any sketch-estimator audit derives from.
+    */
+  private def pairSketchRows(s: SparkSession, dir: String, cap: Int): DataFrame = {
+    import s.implicits._
     val docs = documents(s, dir)
     // (doc_id, th): the token inverted index — 8-byte keys, no arrays;
     // shared via the session sidecar cache (d23 probes the same index).
@@ -1994,14 +2008,43 @@ object Dedup {
       .groupBy($"doc_a", $"doc_b").agg(sum(coalesce($"hit", lit(0L))).as("inter"))
     // Per-doc metadata re-joins AFTER the aggregate, onto candidate-count
     // rows: the 12-int signatures are the only arrays anywhere.
-    val meta = docs.select($"doc_id", minhash_sig($"text").as("sig"),
+    val meta = documents(s, dir).select($"doc_id", minhash_sig($"text").as("sig"),
       size(token_hashes($"text")).cast("long").as("ntok"))
     pairCounts
       .join(meta.toDF("doc_a", "sig_a", "na"), Seq("doc_a"))
       .join(meta.toDF("doc_b", "sig_b", "nb"), Seq("doc_b"))
-      .withColumn("agree", expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))"))
+  }
+
+  /** d39 — b-BIT MINWISE audit (b = 1, Li & König): store only the
+    * LOWEST BIT of each minhash component — a 64× compression of the
+    * 12-int signature (the difference between a signature store that
+    * fits in RAM at 10¹⁰ docs and one that doesn't) — and estimate
+    * Jaccard from bit agreement: E[bit match] = j + (1−j)/2, so
+    * ĵ₁ = 2·A/k − 1 with A the agreeing components. Emitted per d08
+    * candidate next to the full-signature estimate and the exact
+    * token Jaccard, so the audit reads the accuracy COST of the 64×
+    * compression directly (raw ĵ₁ is reported unclamped — negative
+    * values are how the estimator says "below the random baseline",
+    * and clamping would hide the variance the audit exists to
+    * measure).
+    *
+    * Determinism: bit agreement is integer; both estimates are single
+    * divides of exact integers; true Jaccard is the d18 recount.
+    *
+    * Scale shape: identical to d18 — candidates only, three-long pair
+    * rows, signatures join after the aggregate.
+    */
+  def bbitMinwiseAudit(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import s.implicits._
+    pairSketchRows(s, dir, cap)
+      .withColumn("agree_full", expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))"))
+      .withColumn("agree_bits", expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> (x % 2) = (y % 2)), b -> b))"))
       .select($"doc_a", $"doc_b",
-        ($"agree".cast("double") / 12).as("est_jaccard"),
+        $"agree_bits".cast("long").as("agree_bits"),
+        (($"agree_bits" * 2 - 12).cast("double") / 12).as("est_b1"),
+        ($"agree_full".cast("double") / 12).as("est_full"),
         ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("true_jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }

@@ -1384,6 +1384,32 @@ class InvariantSpec extends AnyFunSuite {
     assert(hist.forall(bloom.mightContain), "rebuilt filter lost a key")
   }
 
+  test("d39 b-bit minwise: bits recomputed from d02 sigs, dominance over full agreement, same pairs as d18") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("d39_bbit_minwise")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+    assert(rows.nonEmpty)
+    val d18 = SparkEntry.queries("d18_mh_accuracy")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows.map(_._1).toSet == d18.keySet, "d39 must audit exactly d18's candidate set")
+    val sigs = SparkEntry.queries("d02_minhash_sigs")(spark, TestSpark.sfDir)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.sortBy(_.getLong(1)).map(_.getLong(2)) }
+    rows.foreach { case ((a, b), (bits, e1, eF, _)) =>
+      val expBits = sigs(a).zip(sigs(b)).count { case (x, y) => x % 2 == y % 2 }.toLong
+      assert(bits == expBits, s"pair ($a,$b) bit agreement")
+      assert(e1 == (2 * bits - 12).toDouble / 12, s"pair ($a,$b) estimator")
+      assert(eF == d18((a, b)), s"pair ($a,$b) full estimate must match d18")
+      // a fully-agreeing component always agrees on its low bit, so the
+      // bit count dominates: est_b1's extra matches are the NOISE the
+      // audit measures
+      assert(bits >= math.round(eF * 12), s"pair ($a,$b) dominance")
+      assert(e1 >= -1.0 && e1 <= 1.0)
+    }
+  }
+
   test("t47 readability: counts and score recomputed; vowel-group heuristic and clamps hold") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("t47_readability")(spark, TestSpark.sfDir)
