@@ -479,6 +479,10 @@ object SparkEntry {
     // patch grid a vision transformer tokenizes; per-patch integer
     // sums with row-major position weights pin content AND order.
     "m26_vit_patches"        -> ((s, d) => Multimodal.vitPatches(s, d)),
+    // m27 = video tubelets: m26 extended along time — 2×3×3 blocks
+    // over the real GIF decode; position weights pin pixel AND frame
+    // order inside each block.
+    "m27_video_tubelets"     -> ((s, d) => Multimodal.videoTubelets(s, d)),
     // m09 = audio feature extraction: per-frame energy over the real
     // WAV decode (64-sample frames, integer-exact activity detection).
     "m09_wav_frames"         -> ((s, d) => Multimodal.wavFrameEnergy(s, d)),
@@ -1420,6 +1424,30 @@ object SparkEntry {
       // m24: generator replay of the peak-normalize chain — integer
       // floor division on non-negative operands only, lists 1-indexed
       // for the weighted sum.
+      // m27: the GIF generator replayed per tubelet cell — pixel
+      // (f, x, y) = (id·31 + 17f + 7x + 13y) mod 256; k enumerates the
+      // 2×3×3 block (dt = k div 9, dy = (k div 3) mod 3, dx = k mod 3),
+      // weight k+1 matches the Spark loop's dt·9+dy·3+dx+1.
+      "m27_video_tubelets" -> """
+        WITH d AS (SELECT doc_id, 6 + doc_id % 10 AS w,
+                     6 + (doc_id // 10) % 10 AS h,
+                     2 + doc_id % 4 AS nf
+                   FROM documents),
+        g AS (SELECT doc_id, w, h, tt, py, px FROM d,
+                LATERAL (SELECT unnest(generate_series(0, CAST(nf // 2 - 1 AS INTEGER))) AS tt) a,
+                LATERAL (SELECT unnest(generate_series(0, CAST(h // 3 - 1 AS INTEGER))) AS py) b,
+                LATERAL (SELECT unnest(generate_series(0, CAST(w // 3 - 1 AS INTEGER))) AS px) c)
+        SELECT doc_id, CAST(tt AS BIGINT) AS tt, CAST(py AS BIGINT) AS py,
+          CAST(px AS BIGINT) AS px,
+          CAST(list_sum(list_transform(generate_series(0, 17),
+            k -> (doc_id * 31 + (tt * 2 + k // 9) * 17
+                  + (px * 3 + k % 3) * 7
+                  + (py * 3 + (k // 3) % 3) * 13) % 256)) AS BIGINT) AS t_sum,
+          CAST(list_sum(list_transform(generate_series(0, 17),
+            k -> ((doc_id * 31 + (tt * 2 + k // 9) * 17
+                   + (px * 3 + k % 3) * 7
+                   + (py * 3 + (k // 3) % 3) * 13) % 256) * (k + 1))) AS BIGINT) AS t_wsum
+        FROM g ORDER BY doc_id, tt, py, px""",
       // m26: the generator raster replayed per patch cell — pixel
       // (i, j) = (id·31 + 7i + 13j) mod 256; k enumerates the patch
       // row-major (dx = k mod 4, dy = k div 4), weight k+1 matches the

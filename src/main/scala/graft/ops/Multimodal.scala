@@ -1882,6 +1882,72 @@ object Multimodal {
   final case class PatchRow(doc_id: Long, py: Long, px: Long,
                             p_sum: Long, p_wsum: Long)
 
+  final case class TubeletRow(doc_id: Long, tt: Long, py: Long, px: Long,
+                              t_sum: Long, t_wsum: Long)
+
+  /** m27 — VIDEO TUBELET MANIFEST: m26's patchify extended along the
+    * TIME axis — each clip tiles into T×P×P spatio-temporal blocks
+    * (tubelets, the VideoMAE/ViViT tokenization: T=2 consecutive
+    * frames × 3×3 pixels here), complete tubelets only, with per-
+    * tubelet integer pixel sums and (dt, dy, dx) row-major position
+    * weights — so the manifest pins content, pixel order AND frame
+    * order inside every block (a clip with two frames swapped matches
+    * m26's per-frame sums but not this).
+    *
+    * Executed over the real GIF codec: all frames of a clip decode
+    * once inside the codec slot; the oracle replays the generator
+    * raster per tubelet cell.
+    *
+    * Scale shape: one mapPartitions decode per clip emitting
+    * (nf/T)·(w·h)/P² integer rows; frames never cross a shuffle, and
+    * the manifest persists beside the media like every other decode
+    * sidecar.
+    */
+  def videoTubelets(s: SparkSession, dir: String,
+                    t: Int = 2, p: Int = 3): DataFrame = {
+    import s.implicits._
+    gifTable(s, dir).mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.payload))
+        val reader = ImageIO.getImageReadersByFormatName("gif").next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          val frames = (0 until n).map(reader.read)
+          val w = frames.head.getWidth
+          val h = frames.head.getHeight
+          for { tt <- 0 until n / t; py <- 0 until h / p; px <- 0 until w / p } yield {
+            var sum = 0L
+            var wsum = 0L
+            var k = 0
+            var dt = 0
+            while (dt < t) {
+              var dy = 0
+              while (dy < p) {
+                var dx = 0
+                while (dx < p) {
+                  val v = (frames(tt * t + dt)
+                    .getRGB(px * p + dx, py * p + dy) & 0xff).toLong
+                  sum += v
+                  wsum += v * (k + 1)
+                  k += 1
+                  dx += 1
+                }
+                dy += 1
+              }
+              dt += 1
+            }
+            TubeletRow(r.doc_id, tt.toLong, py.toLong, px.toLong, sum, wsum)
+          }
+        } finally {
+          reader.dispose()
+          iis.close()
+        }
+      }
+    }.toDF().orderBy($"doc_id", $"tt", $"py", $"px")
+  }
+
   /** m26 — ViT PATCH MANIFEST: each image tiled into the P×P patch
     * grid a vision transformer ingests (patchify — the first layer of
     * every ViT-family encoder flattens non-overlapping P×P patches
