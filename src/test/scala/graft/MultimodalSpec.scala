@@ -779,4 +779,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.exists { case (_, _, _, s, ws) => 2L * ws != 17L * s },
       "every patch looked constant — the order weight is not discriminating")
   }
+
+  test("m27 tubelets: grid dims, sums and weights recomputed; frame order pinned") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("m27_video_tubelets")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    import graft.ops.Multimodal.GifCodec
+    var orderWitness = false
+    rows.groupBy(_._1).foreach { case (id, ts) =>
+      val (w, h) = GifCodec.dims(id)
+      val nf = GifCodec.nFrames(id)
+      assert(ts.length == (nf / 2) * (h / 3) * (w / 3), s"doc $id grid")
+      ts.foreach { case (_, tt, py, px, sum, wsum) =>
+        var eS = 0L; var eW = 0L; var eWswap = 0L
+        var k = 0
+        while (k < 18) {
+          val dt = k / 9; val dy = (k / 3) % 3; val dx = k % 3
+          val v = GifCodec.pixel(id, (tt * 2 + dt).toInt,
+            (px * 3 + dx).toInt, (py * 3 + dy).toInt).toLong
+          val vSwap = GifCodec.pixel(id, (tt * 2 + (1 - dt)).toInt,
+            (px * 3 + dx).toInt, (py * 3 + dy).toInt).toLong
+          eS += v; eW += v * (k + 1); eWswap += vSwap * (k + 1); k += 1
+        }
+        assert(sum == eS && wsum == eW, s"doc $id tubelet ($tt,$py,$px)")
+        if (eW != eWswap) orderWitness = true
+      }
+    }
+    // the weight must DISCRIMINATE frame order: swapping the two frames
+    // of some tubelet changes its weighted sum (f enters the generator
+    // with coefficient 17, so consecutive frames always differ)
+    assert(orderWitness, "no tubelet distinguished its frame order")
+  }
 }
