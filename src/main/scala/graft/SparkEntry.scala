@@ -85,6 +85,10 @@ object SparkEntry {
     // ×7 coverage explode of (day, user) rows — no sliding frame, no
     // per-day raw rescan; ratio = one exact BIGINT÷BIGINT divide.
     "e27_stickiness"         -> (EventOps.stickiness _),
+    // e28 = per-user transition entropy: behavior-side bot detection
+    // (e24 reads timing); t45's integer-log decomposition + the
+    // t22/t24 segmented fold keep every float engine-exact.
+    "e28_transition_entropy" -> (EventOps.userTransitionEntropy _),
     // m19 = EXECUTED audio decimation through the real WAV codec
     // (decode → drop odd samples → re-encode at 4 kHz → decode);
     // position-weighted sums pin sample order across the chain.
@@ -768,6 +772,35 @@ object SparkEntry {
           CAST(sum(CASE WHEN runmax - us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_1h,
           CAST(max(runmax - us) // 1000000 AS BIGINT) AS max_late_s
         FROM l""",
+      // e28: lead over (ts, event_id) like e14/e24; the t45 entropy
+      // CTE shape with segment folds in (term-within-seg, seg) order.
+      "e28_transition_entropy" -> """
+        WITH tr AS (
+          SELECT user_id,
+            event_type || '>' || lead(event_type)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS term
+          FROM events),
+        ct AS (SELECT user_id, term, count(*) AS c FROM tr
+               WHERE term IS NOT NULL GROUP BY 1, 2),
+        c2 AS (SELECT user_id, term, c,
+                 CAST(('0x' || substr(md5(term), 1, 2)) AS BIGINT) AS seg,
+                 CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS contrib
+               FROM ct),
+        segs AS (SELECT user_id, seg, count(*) AS n_keys_seg,
+                   CAST(sum(c) AS BIGINT) AS n_seg,
+                   list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS f_seg
+                 FROM c2 GROUP BY 1, 2),
+        agg AS (SELECT user_id, CAST(sum(n_keys_seg) AS BIGINT) AS n_distinct,
+                  CAST(sum(n_seg) AS BIGINT) AS n_trans,
+                  list_reduce(list(f_seg ORDER BY seg), (a, b) -> a + b) AS s_clnc
+                FROM segs GROUP BY 1)
+        SELECT user_id, n_distinct, n_trans,
+          ln(CAST(n_trans AS DOUBLE)) - s_clnc / CAST(n_trans AS DOUBLE) AS entropy,
+          CASE WHEN n_distinct > 1
+               THEN (ln(CAST(n_trans AS DOUBLE)) - s_clnc / CAST(n_trans AS DOUBLE))
+                 / ln(CAST(n_distinct AS DOUBLE))
+               ELSE 0.0 END AS norm_entropy
+        FROM agg ORDER BY user_id""",
       // e27: the same ×7 coverage explode — a (day, user) activity row
       // covers report days [day, day+6]; WAU at d = distinct covering
       // users; report days restricted to active days (inner join).

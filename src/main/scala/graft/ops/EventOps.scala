@@ -880,6 +880,58 @@ object EventOps {
       .distinct()
   }
 
+  /** e28 — PER-USER TRANSITION ENTROPY: the Shannon entropy of each
+    * user's (from → to) action-transition distribution — the bot/
+    * scripted-traffic detector e24's burstiness reads from TIMING,
+    * read from BEHAVIOR instead: a crawler cycling one loop scores
+    * near 0 whatever its speed; organic users spread over the
+    * transition alphabet. Reported with the distinct-transition count
+    * and normalized entropy (÷ ln n_distinct), the t45 convention.
+    *
+    * Determinism: the t45 integer-log decomposition — H = ln n −
+    * (Σ c·ln c)/n with ln only ever over INTEGER counts (platform_ln
+    * = libm bit-for-bit, and integer inputs are the divergence-swept
+    * class) — and the t22/t24 two-level segmented fold, so every
+    * float folds in a fixed order with segment-bounded buffers.
+    *
+    * Scale shape: one user_id shuffle for the lead window (shared
+    * shape with e14/e15), a (user, transition)-keyed count, and
+    * per-user aggregates whose buffers are bounded by the segment
+    * width; output is |users| rows.
+    */
+  def userTransitionEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.platform_ln
+    import TextOps.{segOf, segFold, outerFold}
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val counts = events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .select($"user_id",
+        concat($"event_type", lit(">"), $"next_type").as("term"))
+      .groupBy($"user_id", $"term").agg(count(lit(1)).as("c"))
+    counts
+      .withColumn("contrib",
+        $"c".cast("double") * platform_ln($"c".cast("double")))
+      .withColumn("seg", segOf($"term"))
+      .groupBy($"user_id", $"seg")
+      .agg(count(lit(1)).as("n_keys_seg"), sum($"c").as("n_seg"),
+        expr(segFold).as("f_seg"))
+      .groupBy($"user_id")
+      .agg(sum($"n_keys_seg").as("n_distinct"), sum($"n_seg").as("n_trans"),
+        expr(outerFold).as("s_clnc"))
+      .withColumn("entropy",
+        platform_ln($"n_trans".cast("double")) -
+          $"s_clnc" / $"n_trans".cast("double"))
+      .withColumn("norm_entropy",
+        when($"n_distinct" > 1,
+          $"entropy" / platform_ln($"n_distinct".cast("double")))
+          .otherwise(lit(0.0)))
+      .select($"user_id", $"n_distinct", $"n_trans", $"entropy", $"norm_entropy")
+      .orderBy($"user_id")
+  }
+
   /** [[stickiness]] from an already-reduced (day_i, user_id) activity
     * table — the frame core the streaming door emits per tick.
     */

@@ -609,13 +609,13 @@ object TextOps {
     * t20, so the association order is fixed and engine-exact while
     * every buffer is segment-bounded.
     */
-  private def segOf(term: Column): Column =
+  private[ops] def segOf(term: Column): Column =
     expr("cast(conv(substring(md5(term), 1, 2), 16, 10) as bigint)")
 
-  private val segFold =
+  private[ops] val segFold =
     "aggregate(transform(sort_array(collect_list(struct(term, contrib))), x -> x.contrib), 0D, (a, x) -> a + x)"
 
-  private val outerFold =
+  private[ops] val outerFold =
     "aggregate(transform(sort_array(collect_list(struct(seg, f_seg))), x -> x.f_seg), 0D, (a, x) -> a + x)"
 
   /** Temperature-scaled source resampling — the multinomial α-rebalance

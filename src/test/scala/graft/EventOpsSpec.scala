@@ -316,6 +316,39 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e28 transition entropy: driver recompute, bounds, population ties to event counts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = SparkEntry.queries("e28_transition_entropy")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val raw = spark.read.parquet(TestSpark.sfDir + "/events.parquet")
+      .selectExpr("user_id", "unix_micros(cast(ts as timestamp)) AS us",
+        "event_id", "event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val expected = raw.groupBy(_._1).map { case (u, evs) =>
+      val types = evs.sortBy(e => (e._2, e._3)).map(_._4)
+      val keys = types.zip(types.tail).map { case (a, b) => s"$a>$b" }
+      val cs = keys.groupBy(identity).map(_._2.length.toLong).toSeq
+      val n = cs.sum
+      val h = math.log(n.toDouble) -
+        cs.sorted.map(c => c * math.log(c.toDouble)).sum / n.toDouble
+      u -> (cs.size.toLong, n, h)
+    }
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (u, (nd, nt, h)) =>
+      val (gNd, gNt, gH, gNorm) = got(u)
+      assert(gNd == nd && gNt == nt, s"user $u counts")
+      // driver fold order differs from the segmented fold — ulp slack
+      assert(math.abs(gH - h) < 1e-12, s"user $u entropy")
+      assert(gH >= -1e-12 && gH <= math.log(nd.toDouble) + 1e-12, s"user $u bounds")
+      if (nd > 1) assert(gNorm >= 0.0 && gNorm <= 1.0 + 1e-12) else assert(gNorm == 0.0)
+      // every event beyond the user's first contributes one transition
+      assert(nt == raw.count(_._1 == u).toLong - 1L, s"user $u population")
+    }
+  }
+
   test("e27 stickiness: driver recompute of the trailing-7-day distinct; DAU ≤ WAU") {
     val spark = TestSpark.spark
     import spark.implicits._
