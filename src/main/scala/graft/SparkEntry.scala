@@ -582,6 +582,10 @@ object SparkEntry {
     // hybrid-search combiner — rank-only scoring needs no cross-arm
     // score calibration; fixed-order two-term IEEE sum, id tie-breaks.
     "s32_rrf_fusion"         -> ((s, d) => Similarity.rrfFusion(s, d)),
+    // s33 = cross-family serving-cost audit: candidates scanned vs
+    // recall@5 for brute/IVF/banded-SRP — the index-choice table
+    // (s11/s31 sweep within a family; this compares between them).
+    "s33_serving_cost"       -> (Similarity.servingCostAudit _),
     // s29 = k-center greedy coreset: farthest-point sampling on cosine
     // distance — the diversity-selection op (dedup's complement); the
     // selection trace reports coverage at each pick.
@@ -2054,6 +2058,86 @@ object SparkEntry {
       // s25: replays the md5-seeded ±1 planes, the floor(x·10⁴)
       // integer quantization, the sign bits and the Hamming ranking —
       // all integer arithmetic, so the hash check is order-free.
+      // s33: the s04 assignment, s27 band, and s01 brute chains
+      // reduced to per-query candidate counts + top-5 intersections.
+      "s33_serving_cost" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings),
+        cb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        assigned AS (SELECT vec_id, v, nrm, cell_id FROM (
+          SELECT e.vec_id, e.v, e.nrm, cb.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) DESC, cb.cell_id) AS arank
+          FROM e CROSS JOIN cb) t WHERE arank = 1),
+        q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cell_id AS q_cell
+              FROM assigned WHERE vec_id < 5),
+        nivf AS (SELECT q.q_id, count(*) AS n_cand_ivf
+                 FROM q JOIN assigned a
+                   ON a.cell_id = q.q_cell AND a.vec_id <> q.q_id
+                 GROUP BY 1),
+        ivf5 AS (SELECT q_id, vec_id FROM (
+          SELECT q.q_id, a.vec_id,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY list_dot_product(q.qv, a.v) / (q.qnrm * a.nrm) DESC, a.vec_id) AS rank
+          FROM q JOIN assigned a ON a.cell_id = q.q_cell AND a.vec_id <> q.q_id) t
+          WHERE rank <= 5),
+        p AS (
+          SELECT j.j, i.i,
+            CASE WHEN CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':'
+                            || CAST(i.i AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+                 THEN 1 ELSE -1 END AS r
+          FROM (SELECT unnest(generate_series(0, 15)) AS j) j,
+               (SELECT unnest(generate_series(0, 63)) AS i) i),
+        eq AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+          FROM embeddings),
+        dots AS (
+          SELECT eq.vec_id, p.j, sum(p.r * eq.qv[p.i + 1]) AS dot
+          FROM eq, p GROUP BY eq.vec_id, p.j),
+        sigs AS (
+          SELECT vec_id,
+            CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << j
+                          ELSE 0 END) AS BIGINT) AS sig
+          FROM dots GROUP BY vec_id),
+        bands AS (
+          SELECT vec_id, sig, b.b AS band, (sig >> (4 * b.b)) & 15 AS bval
+          FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) b),
+        scand AS (
+          SELECT DISTINCT bq.vec_id AS q_id, bs.vec_id, bq.sig AS q_sig, bs.sig
+          FROM bands bs JOIN bands bq
+            ON bs.band = bq.band AND bs.bval = bq.bval
+               AND bq.vec_id < 5 AND bs.vec_id <> bq.vec_id),
+        nsrp AS (SELECT q_id, count(*) AS n_cand_srp FROM scand GROUP BY 1),
+        srp5 AS (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY CAST(bit_count(xor(sig, q_sig)) AS BIGINT), vec_id) AS rank
+          FROM scand) t WHERE rank <= 5),
+        b5 AS (SELECT q_id, vec_id FROM (
+          SELECT q.q_id, a.vec_id,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY list_dot_product(q.qv, a.v) / (q.qnrm * a.nrm) DESC, a.vec_id) AS rank
+          FROM q JOIN e a ON a.vec_id <> q.q_id) t WHERE rank <= 5),
+        tot AS (SELECT count(*) AS n_total FROM embeddings),
+        rivf AS (SELECT i.q_id,
+                   CAST(count(b.vec_id) AS DOUBLE) / 5 AS recall_ivf
+                 FROM ivf5 i LEFT JOIN b5 b
+                   ON i.q_id = b.q_id AND i.vec_id = b.vec_id GROUP BY 1),
+        rsrp AS (SELECT s.q_id,
+                   CAST(count(b.vec_id) AS DOUBLE) / 5 AS recall_srp
+                 FROM srp5 s LEFT JOIN b5 b
+                   ON s.q_id = b.q_id AND s.vec_id = b.vec_id GROUP BY 1)
+        SELECT nivf.q_id, tot.n_total - 1 AS n_cand_brute,
+          nivf.n_cand_ivf, nsrp.n_cand_srp, rivf.recall_ivf, rsrp.recall_srp
+        FROM nivf
+        JOIN nsrp ON nivf.q_id = nsrp.q_id
+        JOIN rivf ON nivf.q_id = rivf.q_id
+        JOIN rsrp ON nivf.q_id = rsrp.q_id
+        CROSS JOIN tot
+        ORDER BY nivf.q_id""",
       // s32: the s04 and s25 chains verbatim, full-outer-joined per
       // (q_id, vec_id); each RRF term one IEEE divide of exact ints,
       // summed in the same fixed ivf+srp order as the Spark column.

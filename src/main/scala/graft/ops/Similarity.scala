@@ -452,6 +452,56 @@ object Similarity {
       .orderBy($"q_id", $"fused_rank")
   }
 
+  /** s33 — SERVING-COST AUDIT across index families: for each query,
+    * how many candidates each serving path actually SCANS (brute =
+    * the whole index, IVF = the query's cell, banded SRP = its band
+    * buckets) next to the recall@5 each buys against the brute-force
+    * truth — the latency/recall table an operator reads when choosing
+    * the index family for a workload ("measure, don't guess" applied
+    * across families; s11/s31 sweep within one family, this compares
+    * between them).
+    *
+    * Determinism: candidate counts are exact integers from the same
+    * joins the serving queries run; recalls are |top5 ∩ brute-top5|/5
+    * — set intersections of deterministic lists, one divide each.
+    *
+    * Scale shape: the count arms reuse the families' own probe joins
+    * reduced per query (|queries| rows out); the one-row corpus count
+    * broadcasts onto five rows (whitelisted one-row cross join, the
+    * q25/t13 class).
+    */
+  def servingCostAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assigned = ivfAssigned(s, dir).select($"vec_id", $"cell_id")
+    val q = assigned.toDF("q_id", "q_cell").filter($"q_id" < 5)
+    val total = embeddings(s, dir).agg(count(lit(1)).as("n_total"))
+    val ivfCand = assigned
+      .join(q, $"cell_id" === $"q_cell" && $"vec_id" =!= $"q_id")
+      .groupBy($"q_id").agg(count(lit(1)).as("n_cand_ivf"))
+    val bands = srpBands(s, dir).select($"vec_id", $"band", $"bval")
+    val srpCand = bands
+      .join(bands.toDF("q_id", "band", "bval").filter($"q_id" < 5),
+        Seq("band", "bval"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id").distinct()
+      .groupBy($"q_id").agg(count(lit(1)).as("n_cand_srp"))
+    val brute5 = bruteForceKnn(s, dir).filter($"rank" <= 5)
+      .select($"q_id", $"vec_id").withColumn("hit", lit(1L))
+    def recallOf(top: DataFrame, name: String): DataFrame =
+      top.join(brute5, Seq("q_id", "vec_id"), "left")
+        .groupBy($"q_id")
+        .agg((sum(coalesce($"hit", lit(0L))).cast("double") / 5).as(name))
+    val rIvf = recallOf(ivfKnn(s, dir).select($"q_id", $"vec_id"), "recall_ivf")
+    val rSrp = recallOf(srpBandedKnn(s, dir).filter($"rank" <= 5)
+      .select($"q_id", $"vec_id"), "recall_srp")
+    ivfCand.join(srpCand, Seq("q_id"))
+      .join(rIvf, Seq("q_id")).join(rSrp, Seq("q_id"))
+      .crossJoin(broadcast(total))
+      .select($"q_id", ($"n_total" - 1).as("n_cand_brute"),
+        $"n_cand_ivf", $"n_cand_srp", $"recall_ivf", $"recall_srp")
+      .orderBy($"q_id")
+  }
+
   /** s20 — FILTERED vector search: top-k restricted to candidates
     * sharing the query's label (the tenant/class/language predicate
     * every production retrieval stack composes with ANN — "nearest
@@ -2151,12 +2201,20 @@ object Similarity {
     * The multi-band dedup (`distinct` on the candidate pair) is
     * bounded by 4× the bucket fan-in, never corpus².
     */
-  def srpBandedKnn(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+  /** The 4×4-bit band explode of the SRP signature table — shared by
+    * s27's candidate join and s33's cost audit.
+    */
+  private def srpBands(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bands = srpSigsFrame(s, dir)
+    srpSigsFrame(s, dir)
       .select($"vec_id", $"sig",
         posexplode(expr("transform(sequence(0, 3), b -> shiftright(sig, 4 * b) & 15L)")))
       .select($"vec_id", $"sig", $"pos".as("band"), $"col".as("bval"))
+  }
+
+  def srpBandedKnn(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import s.implicits._
+    val bands = srpBands(s, dir)
     val q = bands.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"sig".as("q_sig"), $"band", $"bval")
     val cands = bands.join(broadcast(q), Seq("band", "bval"))

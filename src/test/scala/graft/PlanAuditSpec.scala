@@ -69,7 +69,10 @@ class PlanAuditSpec extends AnyFunSuite {
         // s32: inherits s04's corpus×codebook broadcast assignment and
         // s25's 5-query signature broadcast; the fusion itself joins
         // two top-k lists on (q_id, vec_id) — no new cross join.
-        "s32_rrf_fusion")
+        "s32_rrf_fusion",
+        // s33: s04's assignment cross join plus the one-row corpus
+        // total broadcast onto five audit rows (the q25/t13 class).
+        "s33_serving_cost")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark

@@ -782,6 +782,33 @@ class RecallSpec extends AnyFunSuite {
     }
   }
 
+  test("s33 serving cost: counts bounded by brute, recalls recomputed from the family lists") {
+    val spark0 = TestSpark.spark
+    val rows = SparkEntry.queries("s33_serving_cost")(spark0, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 5)
+    val brute5 = SparkEntry.queries("s01_knn_brute")(spark0, TestSpark.sfDir)
+      .collect().filter(_.getLong(1) <= 5)
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val ivf5 = SparkEntry.queries("s04_knn_ivf")(spark0, TestSpark.sfDir)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val srp5 = SparkEntry.queries("s27_srp_banded")(spark0, TestSpark.sfDir)
+      .collect().filter(_.getLong(1) <= 5)
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    rows.foreach { case (q, nb, ni, ns, ri, rs) =>
+      // each family scans a strict subset of the brute sweep — the
+      // point of having an index at all
+      assert(ni < nb && ns < nb, s"q$q: an index scanned the whole corpus")
+      assert(ri == ivf5(q).intersect(brute5(q)).size.toDouble / 5, s"q$q ivf recall")
+      assert(rs == srp5.getOrElse(q, Set.empty[Long]).intersect(brute5(q)).size.toDouble / 5,
+        s"q$q srp recall")
+      assert(ri >= 0.0 && ri <= 1.0 && rs >= 0.0 && rs <= 1.0)
+    }
+  }
+
   test("s32 RRF: scores recomputed, ordering honored, dual-listed candidates dominate") {
     val spark0 = TestSpark.spark
     val ivf = SparkEntry.queries("s04_knn_ivf")(spark0, TestSpark.sfDir).collect()
