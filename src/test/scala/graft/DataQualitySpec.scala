@@ -205,6 +205,17 @@ class DataQualitySpec extends AnyFunSuite {
     assert(frac < 1.0)
   }
 
+  test("q31 over an empty orders table returns an empty frame, not a crash") {
+    // the pre-CDF form returned empty via its limit(1)-over-empty
+    // window; the range-partitioned rewrite must preserve that instead
+    // of throwing on reduce-over-empty pass-1 stats
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q31-empty").toString
+    graft.Tables.orders(s, dir).limit(0)
+      .write.parquet(s"$tmp/orders.parquet")
+    assert(Relational2.paretoConcentration(s, tmp).collect().isEmpty)
+  }
+
   test("q25 integrity audit: every count recomputed driver-side") {
     val s = spark
     import s.implicits._

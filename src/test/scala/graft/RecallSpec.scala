@@ -782,6 +782,17 @@ class RecallSpec extends AnyFunSuite {
     }
   }
 
+  test("s29 with fewer vectors than k emits the shorter trace, not a crash") {
+    val spark0 = TestSpark.spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s29-small").toString
+    // three vectors incl. the vec_id-0 seed; k = 10 exhausts after them
+    spark0.read.parquet(TestSpark.sfDir + "/embeddings.parquet")
+      .where("vec_id < 3").write.parquet(s"$tmp/embeddings.parquet")
+    val trace = graft.ops.Similarity.kcenterCoreset(spark0, tmp).collect()
+    assert(trace.length == 3, s"expected the 3-row trace, got ${trace.length}")
+    assert(trace.map(_.getLong(1)).toSet == Set(0L, 1L, 2L))
+  }
+
   test("s33 serving cost: counts bounded by brute, recalls recomputed from the family lists") {
     val spark0 = TestSpark.spark
     val rows = SparkEntry.queries("s33_serving_cost")(spark0, TestSpark.sfDir)
