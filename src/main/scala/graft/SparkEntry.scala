@@ -436,6 +436,10 @@ object SparkEntry {
     // t47 = Flesch reading ease: vowel-group syllable heuristic, exact
     // BIGINT counts in the scan projection, one fixed IEEE expression.
     "t47_readability"        -> (TextOps.readability _),
+    // t48 = split-leakage audit: d04 near-dup pairs crossing the t14
+    // train/val/test hash split — near-dups of training docs in eval
+    // inflate scores like verbatim contamination.
+    "t48_split_leakage"      -> ((s, d) => TextOps.splitLeakage(s, d)),
     // t33 = PII detect + redact (email/phone/IPv4) — counts on the
     // original text, typed-placeholder redaction, all codegen regex;
     // runs over the deterministic planted-PII fixture (WavCodec
@@ -4963,6 +4967,41 @@ object SparkEntry {
       // logs take INTEGER counts only (verified divergence-free for
       // this corpus; the p=c/n fraction form hits a Java-vs-libm 1-ulp
       // input). Empty-string filter pins both engines' split.
+      // t48: the d04 pair CTEs + the t14 bucket rule; pair sides
+      // ordered by split precedence (train < val < test).
+      "t48_split_leakage" -> """
+        WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+                    FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(th) - 2),
+                 i -> ((th[i] * 31 + th[i+1]) % 2147483647 * 31 + th[i+2]) % 2147483647)) AS s
+               FROM tk),
+        e AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shash FROM sh),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM e a JOIN e b ON a.shash = b.shash AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id
+               HAVING CAST(count(*) AS DOUBLE)
+                 / (any_value(a.ns) + any_value(b.ns) - count(*)) >= 0.3),
+        sp AS (SELECT doc_id,
+                 CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                      WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split,
+                 CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 0
+                      WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 1
+                      ELSE 2 END AS rk
+               FROM documents),
+        lab AS (SELECT
+                  CASE WHEN sa.rk <= sb.rk THEN sa.split ELSE sb.split END AS split_lo,
+                  CASE WHEN sa.rk <= sb.rk THEN sb.split ELSE sa.split END AS split_hi,
+                  CASE WHEN sa.rk <= sb.rk THEN pr.doc_a ELSE pr.doc_b END AS doc_lo,
+                  CASE WHEN sa.rk <= sb.rk THEN pr.doc_b ELSE pr.doc_a END AS doc_hi
+                FROM pr
+                JOIN sp sa ON sa.doc_id = pr.doc_a
+                JOIN sp sb ON sb.doc_id = pr.doc_b)
+        SELECT split_lo, split_hi, count(*) AS n_pairs,
+          count(DISTINCT doc_lo) AS n_docs_lo,
+          count(DISTINCT doc_hi) AS n_docs_hi
+        FROM lab GROUP BY 1, 2 ORDER BY split_lo, split_hi""",
       // t47: same counts, same left-associated double expression; the
       // literals cast to DOUBLE explicitly (DuckDB parses bare 1.015
       // as DECIMAL, whose arithmetic rounds differently).

@@ -1861,6 +1861,57 @@ object TextOps {
     * Scale shape: a narrow per-row projection (codegen regex), no
     * join, no aggregate — embarrassingly parallel at any corpus size.
     */
+  /** t48 — SPLIT-LEAKAGE audit: near-duplicate pairs that CROSS the
+    * t14 train/val/test assignment — the hygiene check every
+    * pre-training pipeline runs after hashing its split, because a
+    * deterministic doc-id split is only leak-free at EXACT-duplicate
+    * granularity: a near-dup of a training document sitting in test
+    * inflates eval scores exactly like verbatim contamination (the
+    * within-split pairs are reported too — they are ordinary d04
+    * dedup work, the cross-split rows are the leaks). Per ordered
+    * split pair: pair count and the distinct docs implicated on each
+    * side.
+    *
+    * Scale shape: rides the d04 scored-pair core (banded candidate
+    * generation, df caps — pairs never come from a corpus self-join)
+    * plus two narrow split-label joins on doc_id and a 6-row
+    * aggregate; the split label costs one md5 per doc inside the scan
+    * projection.
+    */
+  def splitLeakage(s: SparkSession, dir: String, tau: Double = 0.3): DataFrame = {
+    import s.implicits._
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
+    val splits = documents(s, dir)
+      .select($"doc_id", bucket.as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val").otherwise("test"))
+      .withColumn("rk",
+        when($"bucket" < 80, 0).when($"bucket" < 90, 1).otherwise(2))
+      .select($"doc_id", $"split", $"rk")
+    val pairs = graft.ops.Dedup.scoredJaccardPairs(s, dir, tau)
+      .select($"doc_a", $"doc_b")
+      .join(splits.toDF("doc_a", "split_a", "rk_a"), Seq("doc_a"))
+      .join(splits.toDF("doc_b", "split_b", "rk_b"), Seq("doc_b"))
+      .select(
+        when($"rk_a" <= $"rk_b", $"split_a").otherwise($"split_b").as("split_lo"),
+        when($"rk_a" <= $"rk_b", $"split_b").otherwise($"split_a").as("split_hi"),
+        when($"rk_a" <= $"rk_b", $"doc_a").otherwise($"doc_b").as("doc_lo"),
+        when($"rk_a" <= $"rk_b", $"doc_b").otherwise($"doc_a").as("doc_hi"))
+    // Materialize the pair list once (the banded pipeline is the
+    // expensive branch), then TWO single-distinct aggregates — one
+    // countDistinct each plans as the ordinary two-phase distinct; two
+    // in one aggregate would plan an Expand (the q24 discipline).
+    val p = pairs.localCheckpoint()
+    val counts = p.groupBy($"split_lo", $"split_hi")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"doc_lo").as("n_docs_lo"))
+    val hi = p.groupBy($"split_lo", $"split_hi")
+      .agg(countDistinct($"doc_hi").as("n_docs_hi"))
+    counts.join(hi, Seq("split_lo", "split_hi"))
+      .orderBy($"split_lo", $"split_hi")
+  }
+
   def readability(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     documents(s, dir)

@@ -1384,6 +1384,32 @@ class InvariantSpec extends AnyFunSuite {
     assert(hist.forall(bloom.mightContain), "rebuilt filter lost a key")
   }
 
+  test("t48 split leakage: recomposed from d04 pairs and t14 splits; totals conserve") {
+    val spark = TestSpark.spark
+    val got = SparkEntry.queries("t48_split_leakage")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val split = SparkEntry.queries("t14_hash_split")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val rk = Map("train" -> 0, "val" -> 1, "test" -> 2)
+    val pairs = SparkEntry.queries("d04_shingle_jaccard")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.map { case (a, b) =>
+      val (sa, sb) = (split(a), split(b))
+      if (rk(sa) <= rk(sb)) (sa, sb, a, b) else (sb, sa, b, a)
+    }.groupBy(t => (t._1, t._2)).map { case (k, xs) =>
+      k -> (xs.length.toLong,
+        xs.map(_._3).distinct.length.toLong, xs.map(_._4).distinct.length.toLong)
+    }
+    assert(got == expected)
+    // conservation: every d04 pair lands in exactly one split cell
+    assert(got.values.map(_._1).sum == pairs.length.toLong)
+    // the audit's reason to exist: this corpus leaks across the split
+    assert(got.keys.exists { case (lo, hi) => lo != hi },
+      "no cross-split near-dup found — fixture no longer exercises the leak arm")
+  }
+
   test("d39 b-bit minwise: bits recomputed from d02 sigs, dominance over full agreement, same pairs as d18") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("d39_bbit_minwise")(spark, TestSpark.sfDir)
