@@ -907,7 +907,11 @@ object EventOps {
     val counts = events(s, dir)
       .select($"user_id", $"ts", $"event_id", $"event_type")
       .withColumn("next_type", lead($"event_type", 1).over(w))
-      .filter($"next_type".isNotNull)
+      // Both endpoints non-null, not just next_type: concat is
+      // null-propagating, and the oracle filters `term IS NOT NULL` —
+      // a nullable event_type column must not yield a NULL-keyed
+      // transition group here that the oracle drops.
+      .filter($"next_type".isNotNull && $"event_type".isNotNull)
       .select($"user_id",
         concat($"event_type", lit(">"), $"next_type").as("term"))
       .groupBy($"user_id", $"term").agg(count(lit(1)).as("c"))

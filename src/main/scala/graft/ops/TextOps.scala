@@ -1842,25 +1842,6 @@ object TextOps {
     sb.toString
   }
 
-  /** t47 — READABILITY (Flesch reading ease): the classic
-    * grade-level filter a curation pipeline runs beside t02's ratio
-    * gates — 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
-    * words), with syllables approximated as vowel-group runs per word
-    * (min 1 — the standard heuristic; exact syllabification needs a
-    * dictionary). Sentences count [.!?]+ runs, clamped to ≥ 1 (this
-    * corpus is punctuation-free, so every doc is one sentence — the
-    * column stays honest and the score varies through the
-    * syllables-per-word arm).
-    *
-    * Determinism: all three counts are exact BIGINTs from regex
-    * counting inside the scan projection (no explode, no shuffle
-    * before the one orderBy); the score is a FIXED left-associated
-    * IEEE expression over exact-integer-valued doubles — two divides,
-    * two multiplies, two subtracts — identical ops in both engines.
-    *
-    * Scale shape: a narrow per-row projection (codegen regex), no
-    * join, no aggregate — embarrassingly parallel at any corpus size.
-    */
   /** t48 — SPLIT-LEAKAGE audit: near-duplicate pairs that CROSS the
     * t14 train/val/test assignment — the hygiene check every
     * pre-training pipeline runs after hashing its split, because a
@@ -1872,9 +1853,12 @@ object TextOps {
     * split pair: pair count and the distinct docs implicated on each
     * side.
     *
-    * Scale shape: rides the d04 scored-pair core (banded candidate
-    * generation, df caps — pairs never come from a corpus self-join)
-    * plus two narrow split-label joins on doc_id and a 6-row
+    * Scale shape: rides the d04 scored-pair core — a shared-shingle
+    * inverted-index equi-join, so pairs never come from a corpus
+    * self-join, but NOTE it carries no df cap or minhash banding
+    * (those live in d12/d08); a 100 TB run with hot boilerplate
+    * shingles should swap in the capped d12 pair source before this
+    * audit — plus two narrow split-label joins on doc_id and a 6-row
     * aggregate; the split label costs one md5 per doc inside the scan
     * projection.
     */
@@ -1912,6 +1896,25 @@ object TextOps {
       .orderBy($"split_lo", $"split_hi")
   }
 
+  /** t47 — READABILITY (Flesch reading ease): the classic
+    * grade-level filter a curation pipeline runs beside t02's ratio
+    * gates — 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    * words), with syllables approximated as vowel-group runs per word
+    * (min 1 — the standard heuristic; exact syllabification needs a
+    * dictionary). Sentences count [.!?]+ runs, clamped to ≥ 1 (this
+    * corpus is punctuation-free, so every doc is one sentence — the
+    * column stays honest and the score varies through the
+    * syllables-per-word arm).
+    *
+    * Determinism: all three counts are exact BIGINTs from regex
+    * counting inside the scan projection (no explode, no shuffle
+    * before the one orderBy); the score is a FIXED left-associated
+    * IEEE expression over exact-integer-valued doubles — two divides,
+    * two multiplies, two subtracts — identical ops in both engines.
+    *
+    * Scale shape: a narrow per-row projection (codegen regex), no
+    * join, no aggregate — embarrassingly parallel at any corpus size.
+    */
   def readability(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     documents(s, dir)

@@ -349,6 +349,31 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e28 drops transitions touching a NULL event_type (oracle's term IS NOT NULL)") {
+    // concat is null-propagating, so the oracle's `WHERE term IS NOT
+    // NULL` removes any transition with a NULL endpoint; the Spark
+    // side must filter BOTH endpoints, not just next_type — this pins
+    // the parity for a future corpus with a nullable event_type (the
+    // generator's column is never null, so the sf oracles can't).
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e28-null").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, Option("view"), 0.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 7L, Option.empty[String], 0.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 7L, Option("click"), 0.0, "{}"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 7L, Option("view"), 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val rows = EventOps.userTransitionEntropy(spark, tmp).collect()
+    // of the three adjacent pairs only click>view survives: view>NULL
+    // and NULL>click both carry a NULL endpoint
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == 7L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0)
+  }
+
   test("e27 stickiness: driver recompute of the trailing-7-day distinct; DAU ≤ WAU") {
     val spark = TestSpark.spark
     import spark.implicits._
