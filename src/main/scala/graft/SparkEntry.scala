@@ -89,6 +89,13 @@ object SparkEntry {
     // (e24 reads timing); t45's integer-log decomposition + the
     // t22/t24 segmented fold keep every float engine-exact.
     "e28_transition_entropy" -> (EventOps.userTransitionEntropy _),
+    // e29 = e10's left-outer twin: every purchase, NULL signup_id
+    // where no signup sits in the 7-day reach-back — the batch ground
+    // truth for the StreamingAttributionOuter door.
+    "e29_attribution_outer"  -> (EventOps.purchaseSignupOuter _),
+    // e30 = hourly autocorrelation periodicity: R(L)=Σ c(h)·c(h+L)
+    // at lags 1/23/24/25, all-BIGINT; daily_peak = local max at 24.
+    "e30_periodicity"        -> (EventOps.hourlyPeriodicity _),
     // m19 = EXECUTED audio decimation through the real WAV codec
     // (decode → drop odd samples → re-encode at 4 kHz → decode);
     // position-weighted sums pin sample order across the chain.
@@ -133,6 +140,13 @@ object SparkEntry {
     // q35 = TPC-H Q16 shape: distinct-supplier counts per part class
     // behind a blacklist anti-join; two-level distinct, no Expand.
     "q35_supplier_variety"   -> (Relational2.partSupplierVariety _),
+    // q36 = z-order layout audit: per-file footer stats + 2-D
+    // predicate prunability for interleaved vs single-key layouts.
+    "q36_zorder_layout"      -> (Relational2.zorderLayout _),
+    // q37 = TPC-H Q20 shape: suppliers shipping >half a PROMO part's
+    // total volume (exact-decimal cross-multiply), rolled up by
+    // nation.
+    "q37_dominant_suppliers" -> (Relational2.dominantSuppliers _),
     // m20 = scene-change detection over the shared gif_frames sidecar:
     // per video the cut/scene/longest-run report via gaps-and-islands
     // on consecutive frame-hash equality.
@@ -298,6 +312,10 @@ object SparkEntry {
     // accuracy cost read per candidate next to the full estimate and
     // the exact recount; unclamped so variance stays visible.
     "d39_bbit_minwise"       -> ((s, d) => Dedup.bbitMinwiseAudit(s, d)),
+    // d40 = SemDeDup: within-IVF-cell cos >= 0.4 near-dup groups via
+    // CC; keep the member FARTHEST from its centroid (the paper's
+    // rule), ties by lowest vec_id.
+    "d40_semdedup"           -> ((s, d) => Dedup.semDedup(s, d)),
     // d27 = the dedup DECISION table: per implicated doc the keep/drop
     // verdict with the quality-argmax canonical survivor (tie → min
     // doc_id) — the apply-step artifact downstream filters join on.
@@ -440,6 +458,14 @@ object SparkEntry {
     // train/val/test hash split — near-dups of training docs in eval
     // inflate scores like verbatim contamination.
     "t48_split_leakage"      -> ((s, d) => TextOps.splitLeakage(s, d)),
+    // t49 = DSIR importance weights: hashed-bigram log-likelihood
+    // ratio of the English-slice target vs the raw corpus, add-one
+    // smoothed; selected = more target-like than corpus-average.
+    "t49_dsir_weights"       -> (TextOps.dsirWeights _),
+    // t50 = memorization rate: per val/test doc, the fraction of its
+    // distinct shingles already in the TRAIN slice (t48's
+    // gram-granular companion).
+    "t50_memorization_rate"  -> (TextOps.memorizationRate _),
     // t33 = PII detect + redact (email/phone/IPv4) — counts on the
     // original text, typed-placeholder redaction, all codegen regex;
     // runs over the deterministic planted-PII fixture (WavCodec
@@ -1042,6 +1068,42 @@ object SparkEntry {
         SELECT event_type, count(*) AS n,
           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
         FROM events GROUP BY event_type ORDER BY event_type""",
+      // e30: all-BIGINT lag products off the sparse (type, hour)
+      // aggregate (zero hours vanish as 0·x); one exact-int divide.
+      "e30_periodicity" -> """
+        WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                     count(*) AS c
+                   FROM events GROUP BY 1, 2),
+        lag1 AS (SELECT a.event_type,
+                   CAST(sum(CASE WHEN b.h = a.h + 1 THEN a.c * b.c ELSE 0 END) AS BIGINT) AS r1,
+                   CAST(sum(CASE WHEN b.h = a.h + 23 THEN a.c * b.c ELSE 0 END) AS BIGINT) AS r23,
+                   CAST(sum(CASE WHEN b.h = a.h + 24 THEN a.c * b.c ELSE 0 END) AS BIGINT) AS r24,
+                   CAST(sum(CASE WHEN b.h = a.h + 25 THEN a.c * b.c ELSE 0 END) AS BIGINT) AS r25
+                 FROM c a JOIN c b ON a.event_type = b.event_type
+                   AND b.h BETWEEN a.h + 1 AND a.h + 25
+                 GROUP BY a.event_type),
+        base AS (SELECT event_type, count(*) AS n_hours,
+                   CAST(sum(c) AS BIGINT) AS n_events,
+                   CAST(sum(c * c) AS BIGINT) AS r0
+                 FROM c GROUP BY event_type)
+        SELECT base.event_type, n_hours, n_events, r0,
+          COALESCE(r1, 0) AS r1, COALESCE(r23, 0) AS r23,
+          COALESCE(r24, 0) AS r24, COALESCE(r25, 0) AS r25,
+          CAST(COALESCE(r24, 0) AS DOUBLE) / CAST(r0 AS DOUBLE) AS score24,
+          (COALESCE(r24, 0) > COALESCE(r23, 0) AND
+           COALESCE(r24, 0) > COALESCE(r25, 0)) AS daily_peak
+        FROM base LEFT JOIN lag1 ON base.event_type = lag1.event_type
+        ORDER BY base.event_type""",
+      // e29: NULLS FIRST pins DuckDB's ASC sort to Spark's default.
+      "e29_attribution_outer" -> """
+        WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+        su AS (SELECT user_id AS s_user_id, ts AS s_ts, event_id AS signup_id
+               FROM events WHERE event_type = 'signup')
+        SELECT p.purchase_id, p.user_id, su.signup_id
+        FROM p LEFT JOIN su ON p.user_id = su.s_user_id
+          AND su.s_ts <= p.p_ts AND su.s_ts > p.p_ts - INTERVAL 7 DAY
+        ORDER BY purchase_id, signup_id NULLS FIRST""",
       "e10_range_join" -> """
         WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
                    FROM events WHERE event_type = 'purchase'),
@@ -3657,6 +3719,37 @@ object SparkEntry {
         ORDER BY jn.doc_id""",
       // d39: the d18 CTEs with the low-bit agreement beside the full
       // one; sig values are nonnegative so m % 2 IS the low bit.
+      // d40: the s04 assignment CTE, within-cell pairs, d11's CC walk,
+      // keep = row 1 by (cos_c ASC, vec_id) per duplicate group.
+      "d40_semdedup" -> """
+        WITH RECURSIVE
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+              FROM embeddings),
+        cb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        assigned AS (SELECT vec_id, v, nrm, cell_id, ccos AS cos_c FROM (
+          SELECT e.vec_id, e.v, e.nrm, cb.cell_id,
+            list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) AS ccos,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) DESC, cb.cell_id) AS arank
+          FROM e CROSS JOIN cb) t WHERE arank = 1),
+        pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+                  FROM assigned a JOIN assigned b
+                    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+                  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e2.dst, w.lbl FROM walk w JOIN edges e2 ON e2.src = w.node),
+        lab AS (SELECT node AS vec_id, min(lbl) AS cluster_id
+                FROM walk GROUP BY node)
+        SELECT a.vec_id, a.cell_id, lab.cluster_id, a.cos_c,
+          row_number() OVER (PARTITION BY lab.cluster_id
+            ORDER BY a.cos_c ASC, a.vec_id) = 1 AS keep
+        FROM assigned a JOIN lab ON lab.vec_id = a.vec_id
+        ORDER BY a.vec_id""",
       "d39_bbit_minwise" -> """
         WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
                       t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
@@ -4129,6 +4222,61 @@ object SparkEntry {
         JOIN nation   ON s_nationkey = n_nationkey
         GROUP BY 1, 2 ORDER BY nation, o_year""",
       // q35: Q16 shape — anti-join blacklist then two-level distinct.
+      // q37: sums stay DECIMAL through the dominance compare (exact
+      // cross-multiply); one final correctly-rounded double cast via
+      // VARCHAR (the decimal-sum convention).
+      "q37_dominant_suppliers" -> """
+        WITH promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+        ps AS (SELECT l_partkey, l_suppkey,
+                 sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty_s
+               FROM lineitem JOIN promo ON l_partkey = p_partkey
+               GROUP BY l_partkey, l_suppkey),
+        tot AS (SELECT l_partkey, sum(qty_s) AS qty_total,
+                  count(*) AS n_supp FROM ps GROUP BY l_partkey),
+        dom AS (SELECT ps.l_partkey, ps.l_suppkey, ps.qty_s
+                FROM ps JOIN tot ON ps.l_partkey = tot.l_partkey
+                WHERE ps.qty_s * n_supp > tot.qty_total * 2)
+        SELECT n.n_name AS nation,
+          count(*) AS n_dominated_parts,
+          count(DISTINCT s.s_suppkey) AS n_suppliers,
+          CAST(CAST(sum(dom.qty_s) AS VARCHAR) AS DOUBLE) AS dominated_qty
+        FROM dom
+        JOIN supplier s ON dom.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY nation""",
+      // q36: identical integer derivations (// = div for positive
+      // ints); the interleave is the same shift/mask sum.
+      "q36_zorder_layout" -> """
+        WITH st AS (SELECT CAST(min(l_partkey) AS BIGINT) AS pk_min,
+                           CAST(max(l_partkey) AS BIGINT) AS pk_max,
+                           CAST(min(l_suppkey) AS BIGINT) AS sk_min,
+                           CAST(max(l_suppkey) AS BIGINT) AS sk_max
+                    FROM lineitem),
+        f AS (SELECT CAST(l_partkey AS BIGINT) AS pk, CAST(l_suppkey AS BIGINT) AS sk,
+                (CAST(l_partkey AS BIGINT) - pk_min) * 16 // (pk_max - pk_min + 1) AS xp,
+                (CAST(l_suppkey AS BIGINT) - sk_min) * 16 // (sk_max - sk_min + 1) AS yp
+              FROM lineitem CROSS JOIN st),
+        fz AS (SELECT pk, sk, xp AS file_lin,
+                 ((((xp >> 0) & 1) << 0) + (((yp >> 0) & 1) << 1) +
+                  (((xp >> 1) & 1) << 2) + (((yp >> 1) & 1) << 3) +
+                  (((xp >> 2) & 1) << 4) + (((yp >> 2) & 1) << 5) +
+                  (((xp >> 3) & 1) << 6) + (((yp >> 3) & 1) << 7)) // 16 AS file_z
+               FROM f),
+        armlin AS (SELECT 'linear' AS layout, file_lin AS file_id, count(*) AS n_rows,
+                     min(pk) AS min_pk, max(pk) AS max_pk,
+                     min(sk) AS min_sk, max(sk) AS max_sk
+                   FROM fz GROUP BY file_lin),
+        armz AS (SELECT 'zorder' AS layout, file_z AS file_id, count(*) AS n_rows,
+                   min(pk) AS min_pk, max(pk) AS max_pk,
+                   min(sk) AS min_sk, max(sk) AS max_sk
+                 FROM fz GROUP BY file_z),
+        u AS (SELECT * FROM armlin UNION ALL SELECT * FROM armz)
+        SELECT layout, file_id, n_rows, min_pk, max_pk, min_sk, max_sk,
+          (max_pk < pk_min + (pk_max - pk_min + 1) * 4 // 16 OR
+           min_pk > pk_min + (pk_max - pk_min + 1) * 8 // 16 - 1 OR
+           max_sk < sk_min + (sk_max - sk_min + 1) * 12 // 16 OR
+           min_sk > sk_max) AS prunable
+        FROM u CROSS JOIN st ORDER BY layout, file_id""",
       "q35_supplier_variety" -> """
         WITH ok AS (
           SELECT l_partkey, l_suppkey FROM lineitem
@@ -5002,6 +5150,68 @@ object SparkEntry {
           count(DISTINCT doc_lo) AS n_docs_lo,
           count(DISTINCT doc_hi) AS n_docs_hi
         FROM lab GROUP BY 1, 2 ORDER BY split_lo, split_hi""",
+      // t50: t48's gram CTE + the t14 split; seen via LEFT JOIN
+      // against the distinct train gram set; one exact-int divide.
+      "t50_memorization_rate" -> """
+        WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+                    FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(th) - 2),
+                 i -> ((th[i] * 31 + th[i+1]) % 2147483647 * 31 + th[i+2]) % 2147483647))) AS shash
+               FROM tk),
+        sp AS (SELECT doc_id,
+                 CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                      WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+               FROM documents),
+        ws AS (SELECT sh.doc_id, sh.shash, sp.split FROM sh JOIN sp ON sh.doc_id = sp.doc_id),
+        tg AS (SELECT DISTINCT shash, 1 AS seen FROM ws WHERE split = 'train')
+        SELECT ws.doc_id, ws.split,
+          count(*) AS n_grams,
+          CAST(sum(COALESCE(tg.seen, 0)) AS BIGINT) AS n_seen,
+          CAST(CAST(sum(COALESCE(tg.seen, 0)) AS BIGINT) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS seen_frac
+        FROM ws LEFT JOIN tg ON ws.shash = tg.shash
+        WHERE ws.split <> 'train'
+        GROUP BY ws.doc_id, ws.split ORDER BY ws.doc_id""",
+      // t49: every ln argument is an integer-valued double; the
+      // per-doc fold runs in bucket order (list ORDER BY bucket); the
+      // totals correction is the same sub/mul/add chain as Spark's.
+      "t49_dsir_weights" -> """
+        WITH tk AS (SELECT doc_id, lang, regexp_split_to_array(text, '\s+') AS t
+                    FROM documents),
+        bg AS (SELECT doc_id, lang,
+                 unnest(list_transform(generate_series(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1])) AS bigram
+               FROM tk),
+        bk AS (SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(bigram), 1, 8)) AS BIGINT) % 64 AS bucket
+               FROM bg),
+        dbl AS (SELECT doc_id, lang, bucket, count(*) AS n_db
+                FROM bk GROUP BY doc_id, lang, bucket),
+        raw AS (SELECT bucket, CAST(sum(n_db) AS BIGINT) AS c_raw
+                FROM dbl GROUP BY bucket),
+        tgt AS (SELECT bucket, CAST(sum(n_db) AS BIGINT) AS c_tgt
+                FROM dbl WHERE lang = 'en' GROUP BY bucket),
+        tots AS (SELECT (SELECT CAST(sum(c_raw) AS BIGINT) FROM raw) AS n_raw,
+                        (SELECT CAST(sum(c_tgt) AS BIGINT) FROM tgt) AS n_tgt),
+        c AS (SELECT dbl.doc_id, dbl.bucket, dbl.n_db,
+                CAST(dbl.n_db AS DOUBLE) *
+                  (ln(CAST(COALESCE(tgt.c_tgt, 0) + 1 AS DOUBLE)) -
+                   ln(CAST(raw.c_raw + 1 AS DOUBLE))) AS contrib
+              FROM dbl JOIN raw ON dbl.bucket = raw.bucket
+                       LEFT JOIN tgt ON dbl.bucket = tgt.bucket),
+        f AS (SELECT doc_id, CAST(sum(n_db) AS BIGINT) AS n_grams,
+                list_reduce(list(contrib ORDER BY bucket), (a, b) -> a + b) AS feat_term
+              FROM c GROUP BY doc_id)
+        SELECT doc_id, n_grams,
+          feat_term + CAST(n_grams AS DOUBLE) *
+            (ln(CAST(tots.n_raw + 64 AS DOUBLE)) - ln(CAST(tots.n_tgt + 64 AS DOUBLE)))
+            AS logw,
+          (feat_term + CAST(n_grams AS DOUBLE) *
+            (ln(CAST(tots.n_raw + 64 AS DOUBLE)) - ln(CAST(tots.n_tgt + 64 AS DOUBLE))))
+            > 0.0 AS selected
+        FROM f CROSS JOIN tots ORDER BY doc_id""",
       // t47: same counts, same left-associated double expression; the
       // literals cast to DOUBLE explicitly (DuckDB parses bare 1.015
       // as DECIMAL, whose arithmetic rounds differently).

@@ -1641,6 +1641,65 @@ object Dedup {
       .orderBy($"vec_id")
   }
 
+  /** d40 — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): the
+    * k-means-clustered form of embedding dedup a frontier-corpus
+    * pipeline actually ships — the FULL form of what d16's greedy
+    * prune approximates. Both share the trained s04 IVF cells (the
+    * session/disk sidecar eight other consumers already read) and
+    * within-cell cos ≥ τ candidate pairs; d16 then drops each vector
+    * against its best LOWER-ID neighbor (one pass, no transitivity),
+    * while this op builds the paper's actual semantics: near-dup
+    * GROUPS by connected components (a paraphrase chain is ONE
+    * group), and per group keeps the member FARTHEST from its
+    * centroid (the paper's keep rule: the least prototypical exemplar
+    * carries the most marginal information), ties by lowest vec_id —
+    * a keep decision d16's id-ordered greedy cannot express. Output:
+    * every implicated vector with its cell, duplicate group,
+    * cosine-to-centroid, and the keep verdict.
+    *
+    * Determinism: cell assignment is the s04 broadcast argmax (cosine
+    * desc, id tiebreak); every cosine is the codegen sequential-fold
+    * vec_dot (bit-identical to DuckDB's list_dot_product); the keep
+    * window orders by (cos_c asc, vec_id) — double compares over
+    * bit-identical values, never arithmetic.
+    *
+    * Scale shape: candidates come from a cell-equi self-join — cells
+    * are the trained partitioning, so pair volume is Σ|cell|², the
+    * quantity SemDeDup's clustering exists to bound (vs the corpus²
+    * naive form); the codebook joins are 16-row broadcasts; CC is the
+    * d11 pointer-jumping loop; the keep window partitions by duplicate
+    * group (bounded by the largest within-cell dup chain). At 100 TB
+    * the assignment is the persisted IVF sidecar, so SemDeDup costs
+    * one co-located self-join per cell plus a group-sized window —
+    * no new corpus pass.
+    */
+  def semDedup(s: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+    import s.implicits._
+    val assigned = Similarity.ivfAssigned(s, dir)
+    val cb = Similarity.codebookOf(Similarity.normedVectors(s, dir))
+    val withC = assigned.join(broadcast(cb), Seq("cell_id"))
+      .withColumn("cos_c",
+        cosinePrenormed(vec_dot($"embedding", $"c_emb"), $"nrm", $"c_nrm"))
+      .select($"vec_id", $"embedding", $"nrm", $"cell_id", $"cos_c")
+    val a = withC.select($"vec_id".as("id_a"), $"embedding".as("emb_a"),
+      $"nrm".as("nrm_a"), $"cell_id")
+    val b = withC.select($"vec_id".as("id_b"), $"embedding".as("emb_b"),
+      $"nrm".as("nrm_b"), $"cell_id")
+    val pairs = a.join(b, Seq("cell_id"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("cos", cosinePrenormed(vec_dot($"emb_a", $"emb_b"), $"nrm_a", $"nrm_b"))
+      .filter($"cos" >= tau)
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"))
+    val labels = connectedComponents(s, pairs)
+      .select($"doc_id".as("vec_id"), $"cluster_id")
+    val kw = Window.partitionBy($"cluster_id").orderBy($"cos_c".asc, $"vec_id")
+    withC.join(labels, Seq("vec_id"))
+      .withColumn("keep", row_number().over(kw) === 1)
+      .select($"vec_id", $"cell_id", $"cluster_id", $"cos_c", $"keep")
+      .orderBy($"vec_id")
+  }
+
   /** Chunk-level exact substring dedup — the fixed-window form of the
     * suffix-dedup every LLM corpus pipeline runs (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"):

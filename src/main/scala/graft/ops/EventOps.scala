@@ -204,6 +204,35 @@ object EventOps {
       .orderBy($"purchase_id", $"signup_id")
   }
 
+  /** e29 — attribution COVERAGE (e10's left-outer twin): every
+    * purchase, with its in-window signups where they exist and an
+    * explicit NULL row where none do — the form a funnel dashboard
+    * actually consumes, because "how many purchases have NO
+    * attributable signup" is the number e10's inner join structurally
+    * cannot report. Also the batch ground truth for the
+    * StreamingAttributionOuter door: a streaming LEFT OUTER interval
+    * join must emit exactly these rows, null-extended ones only once
+    * the watermark proves no matching signup can still arrive.
+    *
+    * Scale shape: identical to e10 — one user_id equi-shuffle with
+    * the range predicate as a post-join filter that Spark folds into
+    * the join condition; the outer side adds no pass.
+    */
+  def purchaseSignupOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("p_ts"))
+    val signups = e.filter($"event_type" === "signup")
+      .select($"user_id".as("s_user_id"), $"ts".as("s_ts"), $"event_id".as("signup_id"))
+    purchases.join(signups,
+        $"user_id" === $"s_user_id" &&
+          $"s_ts" <= $"p_ts" && $"s_ts" > $"p_ts" - expr("INTERVAL 7 DAYS"),
+        "left_outer")
+      .select($"purchase_id", $"user_id", $"signup_id")
+      .orderBy($"purchase_id", $"signup_id")
+  }
+
   /** Event-type distribution: grouped counts + share of total. The
     * global total comes from an empty-frame window over the (tiny)
     * aggregated result, not from a second scan.
@@ -934,6 +963,55 @@ object EventOps {
           .otherwise(lit(0.0)))
       .select($"user_id", $"n_distinct", $"n_trans", $"entropy", $"norm_entropy")
       .orderBy($"user_id")
+  }
+
+  /** e30 — HOURLY PERIODICITY via raw autocorrelation: per event
+    * type, the un-centered autocorrelation R(L) = Σ_h c(h)·c(h+L) of
+    * the hourly count series at lags 1, 23, 24, 25 (and R(0), the
+    * energy) — the seasonality/bot detector on the SERIES level,
+    * complementing e24 (per-user inter-arrival timing) and e28
+    * (per-user transition structure): human traffic peaks R at lag 24
+    * (a LOCAL max vs 23/25 — the `daily_peak` verdict), scripted
+    * uniform traffic is flat across lags. score24 = R(24)/R(0).
+    *
+    * Determinism: counts are exact BIGINTs, every product and sum is
+    * BIGINT (hours-of-days × count² stays far under 2⁶³), lags with
+    * no overlap contribute empty sums → 0 via coalesce; score24 is
+    * ONE IEEE divide of exact ints. Zero hours need no densify pass:
+    * 0·x terms vanish, so the SPARSE (type, hour) aggregate IS the
+    * sum.
+    *
+    * Scale shape: the raw stream reduces to a (type, hour) count
+    * table in its first aggregate (map-side combined — the only pass
+    * over events); the lag products are a self-equi-join of that
+    * TINY aggregate on (type, h+L) fanned out by 4 lags; output is
+    * |types| rows. At 100 TB the hourly count table for a year is
+    * |types|·8760 rows — the series analytics cost nothing after the
+    * one reduction.
+    */
+  def hourlyPeriodicity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = events(s, dir)
+      .select($"event_type", micros($"ts").as("us"))
+      // integer division — Column./ on longs is DOUBLE division
+      .withColumn("h", expr("us div 3600000000"))
+      .groupBy($"event_type", $"h").agg(count(lit(1)).as("c"))
+    val probe = c.select($"event_type".as("t2"), $"h".as("h2"), $"c".as("c2"))
+    val lagged = c.withColumn("lag", explode(lit(Array(1L, 23L, 24L, 25L))))
+      .join(probe, $"event_type" === $"t2" && $"h2" === $"h" + $"lag")
+      .groupBy($"event_type")
+      .pivot("lag", Seq(1L, 23L, 24L, 25L))
+      .agg(sum($"c" * $"c2"))
+    val base = c.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_hours"), sum($"c").as("n_events"),
+        sum($"c" * $"c").as("r0"))
+    base.join(lagged, Seq("event_type"), "left")
+      .select($"event_type", $"n_hours", $"n_events", $"r0",
+        coalesce($"1", lit(0L)).as("r1"), coalesce($"23", lit(0L)).as("r23"),
+        coalesce($"24", lit(0L)).as("r24"), coalesce($"25", lit(0L)).as("r25"))
+      .withColumn("score24", $"r24".cast("double") / $"r0".cast("double"))
+      .withColumn("daily_peak", $"r24" > $"r23" && $"r24" > $"r25")
+      .orderBy($"event_type")
   }
 
   /** [[stickiness]] from an already-reduced (day_i, user_id) activity

@@ -650,6 +650,112 @@ object Relational2 {
     * fact-sized shuffle ONCE), then the group count — never a
     * count-distinct Expand, the q24 discipline.
     */
+  /** q37 — DOMINANT-SUPPLIER AUDIT (TPC-H Q20 shape, adapted — this
+    * schema ships no partsupp, so availability becomes shipped
+    * volume): for PROMO parts, the suppliers who shipped MORE THAN
+    * TWICE a part's fair per-supplier share (qty_s·n_supp >
+    * 2·qty_total — this generator spreads parts over ~30 suppliers,
+    * so an absolute >50% bar is empty at every scale; the
+    * concentration-vs-peers bar is the form that survives any
+    * supplier fan-out) — the single-source-risk list a procurement
+    * review reads, and relationally the Q20 nesting the q-family
+    * still lacked: an aggregate-derived per-group threshold (part
+    * total + supplier count) gating a semi-join back to the entity
+    * list (supplier), rolled up by nation. The share compare is
+    * algebraized to exact decimal·integer products (the q29
+    * discipline; no division anywhere), so the verdict is
+    * engine-exact.
+    *
+    * Scale shape: both aggregates shuffle lineitem ONCE on partkey
+    * (the per-(part, supplier) rollup re-aggregates to the part
+    * total — identical subtree, one scan); the PROMO part slice
+    * broadcasts (q04 argument); supplier and nation broadcast;
+    * output is |nations| rows + a bounded top list per nation via
+    * count/max aggregates, never a per-row re-probe of lineitem.
+    */
+  def dominantSuppliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val promo = part(s, dir).filter($"p_type" === "PROMO").select($"p_partkey")
+    val ps = lineitem(s, dir)
+      .join(broadcast(promo), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_suppkey", $"l_quantity")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum(dec($"l_quantity")).as("qty_s"))
+    val tot = ps.groupBy($"l_partkey")
+      .agg(sum($"qty_s").as("qty_total"), count(lit(1)).as("n_supp"))
+    val dominant = ps.join(tot, Seq("l_partkey"))
+      .filter($"qty_s" * $"n_supp" > $"qty_total" * lit(2))
+    dominant
+      .join(broadcast(supplier(s, dir).select($"s_suppkey", $"s_name", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(nation(s, dir).select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"))
+      .agg(count(lit(1)).as("n_dominated_parts"),
+        countDistinct($"s_suppkey").as("n_suppliers"),
+        sum($"qty_s").cast("double").as("dominated_qty"))
+      .orderBy($"nation")
+  }
+
+  /** q36 — Z-ORDER LAYOUT AUDIT: the data-skipping planner's
+    * comparison of two physical layouts of the same fact table. At
+    * 100 TB, which rows share a parquet file decides how many files a
+    * rectangular predicate can SKIP from footer min/max stats alone —
+    * the single biggest scan lever after partition pruning (Delta/
+    * Iceberg `OPTIMIZE ZORDER BY` exists for exactly this). Both keys
+    * are range-normalized to 4 bits ((v − min)·16 div span — the
+    * planner's equi-width histogram), then:
+    * `zorder` files = top-4-bits of the bit-interleaved z-value (a
+    * 4×4 grid over BOTH dims), `linear` files = the partkey sixteenth
+    * (single-dim sort layout). Per (layout, file): row count, true
+    * min/max footer stats of both keys, and whether the fixed 2-D
+    * predicate (middle partkey quarter × top suppkey quarter) can
+    * prune the file from its stats. Linear layout prunes only on the
+    * sort key (suppkey stats span everything); z-order prunes on both
+    * — the audit MEASURES that from the stats it computes.
+    *
+    * Determinism: every derivation is integer arithmetic (div/shift/
+    * mask) from exact min/max aggregates — no floats anywhere.
+    *
+    * Scale shape: one narrow two-column scan; the stats row is a
+    * one-row broadcast (q16 class); each arm is a 16-group map-side-
+    * combined aggregate. The audit itself is what you run BEFORE
+    * paying the real layout rewrite's global sort.
+    */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val st = lineitem(s, dir).agg(
+      min($"l_partkey").cast("long").as("pk_min"),
+      max($"l_partkey").cast("long").as("pk_max"),
+      min($"l_suppkey").cast("long").as("sk_min"),
+      max($"l_suppkey").cast("long").as("sk_max"))
+    val zExpr = (0 until 4).map(i =>
+      s"(shiftleft(shiftright(xp, $i) & 1, ${2 * i}) + shiftleft(shiftright(yp, $i) & 1, ${2 * i + 1}))")
+      .mkString(" + ")
+    val files = lineitem(s, dir)
+      .select($"l_partkey".cast("long").as("pk"), $"l_suppkey".cast("long").as("sk"))
+      .crossJoin(broadcast(st))
+      .withColumn("xp", expr("(pk - pk_min) * 16 div (pk_max - pk_min + 1)"))
+      .withColumn("yp", expr("(sk - sk_min) * 16 div (sk_max - sk_min + 1)"))
+      .withColumn("file_z", expr(s"($zExpr) div 16"))
+      .withColumn("file_lin", $"xp")
+    def arm(layout: String, fcol: String) =
+      files.groupBy(col(fcol).as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min($"pk").as("min_pk"), max($"pk").as("max_pk"),
+          min($"sk").as("min_sk"), max($"sk").as("max_sk"))
+        .crossJoin(broadcast(st))
+        .withColumn("prunable",
+          expr("max_pk < pk_min + (pk_max - pk_min + 1) * 4 div 16 OR " +
+               "min_pk > pk_min + (pk_max - pk_min + 1) * 8 div 16 - 1 OR " +
+               "max_sk < sk_min + (sk_max - sk_min + 1) * 12 div 16 OR " +
+               "min_sk > sk_max"))
+        .select(lit(layout).as("layout"), $"file_id", $"n_rows",
+          $"min_pk", $"max_pk", $"min_sk", $"max_sk", $"prunable")
+    arm("linear", "file_lin").unionAll(arm("zorder", "file_z"))
+      .orderBy($"layout", $"file_id")
+  }
+
   def partSupplierVariety(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bad = supplier(s, dir).filter($"s_acctbal" < 0.0).select($"s_suppkey")

@@ -1896,6 +1896,105 @@ object TextOps {
       .orderBy($"split_lo", $"split_hi")
   }
 
+  /** t49 — DSIR importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every document by how much
+    * more likely its hashed-n-gram features are under a TARGET
+    * distribution than under the raw-corpus distribution — the
+    * standard cheap way to select "looks like the domain I want" data
+    * from a 100 TB crawl without running a model. Features are word
+    * bigrams hashed into 64 buckets (the paper's hashed n-gram
+    * featurization, t14's md5 bucket primitive); the target here is
+    * the English slice (`lang = 'en'`), the raw distribution the whole
+    * corpus; both get add-one smoothing. Per doc:
+    * log w = Σ_b n_db·[ln(c_tgt(b)+1) − ln(c_raw(b)+1)]
+    *         + n_grams·[ln(N_raw+64) − ln(N_tgt+64)],
+    * and `selected` = log w > 0 (more target-like than corpus-average;
+    * the deterministic stand-in for the paper's Gumbel resample).
+    *
+    * Determinism: every ln argument is an INTEGER-valued double (the
+    * t45 discipline — smoothed counts and totals, never a fraction),
+    * bucket contributions fold per doc in BUCKET ORDER (t20's
+    * sort_array + aggregate), and the two-total correction is one
+    * fixed sub/mul/add chain — identical IEEE ops in both engines.
+    *
+    * Scale shape: ONE tokenize+explode scan feeds the doc features,
+    * the raw histogram, and the target histogram (identical subtrees →
+    * ReusedExchange); the histograms are 64-row broadcasts, the totals
+    * a one-row broadcast (whitelisted), and the per-doc fold is
+    * bounded at 64 entries by construction — no join ever carries the
+    * corpus on both sides, and adding a second target re-uses the same
+    * gram pass.
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.platform_ln
+    val tk = documents(s, dir).select($"doc_id", $"lang", toks($"text").as("t"))
+    val bg = tk.select($"doc_id", $"lang", explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bigram"))
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(bigram), 1, 8), 16, 10) as bigint) % 64"))
+    val dbl = bg.groupBy($"doc_id", $"lang", $"bucket").agg(count(lit(1)).as("n_db"))
+    val raw = dbl.groupBy($"bucket").agg(sum($"n_db").as("c_raw"))
+    val tgt = dbl.filter($"lang" === "en")
+      .groupBy($"bucket").agg(sum($"n_db").as("c_tgt"))
+    val tots = raw.agg(sum($"c_raw").as("n_raw"))
+      .crossJoin(tgt.agg(sum($"c_tgt").as("n_tgt")))
+    dbl.join(broadcast(raw), Seq("bucket"))
+      .join(broadcast(tgt), Seq("bucket"), "left")
+      .withColumn("contrib", $"n_db".cast("double") *
+        (platform_ln((coalesce($"c_tgt", lit(0L)) + lit(1L)).cast("double")) -
+         platform_ln(($"c_raw" + lit(1L)).cast("double"))))
+      .groupBy($"doc_id")
+      .agg(sum($"n_db").as("n_grams"),
+        expr("aggregate(transform(sort_array(collect_list(struct(bucket, contrib))), x -> x.contrib), 0D, (a, x) -> a + x)").as("feat_term"))
+      .crossJoin(broadcast(tots))
+      .withColumn("logw", $"feat_term" + $"n_grams".cast("double") *
+        (platform_ln(($"n_raw" + lit(64L)).cast("double")) -
+         platform_ln(($"n_tgt" + lit(64L)).cast("double"))))
+      .withColumn("selected", $"logw" > lit(0.0))
+      .select($"doc_id", $"n_grams", $"logw", $"selected")
+      .orderBy($"doc_id")
+  }
+
+  /** t50 — MEMORIZATION-RATE audit: for every val/test document, the
+    * fraction of its distinct shingles already present in the TRAIN
+    * slice — the gram-granular companion to t48. t48 counts near-dup
+    * PAIRS that cross the split (document-level leakage); this scores
+    * every eval doc's n-gram overlap with train (the memorization
+    * prior: an eval doc whose grams are 95% train-covered measures
+    * recall, not generalization, even with no single near-dup
+    * partner). The number an eval-suite curator thresholds before
+    * trusting a held-out score.
+    *
+    * Determinism: counts are exact BIGINTs off the shared shingle
+    * sidecar; seen_frac is ONE IEEE divide of two exact ints.
+    *
+    * Scale shape: rides the d04/t19 shingle sidecar (no new corpus
+    * pass); the train gram set is one distinct aggregate and the
+    * probe is a gram-keyed equi-join — train never joins eval at doc
+    * granularity, and output is |eval docs| rows.
+    */
+  def memorizationRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
+    val splits = documents(s, dir).select($"doc_id", bucket.as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val").otherwise("test"))
+      .select($"doc_id", $"split")
+    val sh = graft.ops.CorpusIndexes.shingles(s, dir).select($"doc_id", $"shash")
+    val withSplit = sh.join(splits, Seq("doc_id"))
+    val trainGrams = withSplit.filter($"split" === "train")
+      .select($"shash").distinct().withColumn("seen", lit(1L))
+    withSplit.filter($"split" =!= "train")
+      .join(trainGrams, Seq("shash"), "left")
+      .groupBy($"doc_id", $"split")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"seen", lit(0L))).as("n_seen"))
+      .withColumn("seen_frac", $"n_seen".cast("double") / $"n_grams".cast("double"))
+      .orderBy($"doc_id")
+  }
+
   /** t47 — READABILITY (Flesch reading ease): the classic
     * grade-level filter a curation pipeline runs beside t02's ratio
     * gates — 206.835 − 1.015·(words/sentences) − 84.6·(syllables/

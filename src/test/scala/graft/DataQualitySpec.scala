@@ -290,4 +290,91 @@ class DataQualitySpec extends AnyFunSuite {
     assert(got == expected, "PMI top-20 diverges from the driver recomputation")
     assert(got.forall(_._2 >= 5L), "a hapax-floored pair leaked through")
   }
+
+  test("q36 z-order layout: files recomputed driver-side, z-order out-prunes linear") {
+    val s = spark
+    import s.implicits._
+    val rows = SparkEntry.queries("q36_zorder_layout")(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+      .toMap
+    val keys = graft.Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_suppkey").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    val (pkMin, pkMax) = (keys.map(_._1).min, keys.map(_._1).max)
+    val (skMin, skMax) = (keys.map(_._2).min, keys.map(_._2).max)
+    def norm(v: Long, lo: Long, hi: Long) = (v - lo) * 16 / (hi - lo + 1)
+    def z(xp: Long, yp: Long) = (0 until 4).map(i =>
+      (((xp >> i) & 1) << (2 * i)) + (((yp >> i) & 1) << (2 * i + 1))).sum
+    val assigned = keys.map { case (pk, sk) =>
+      val (xp, yp) = (norm(pk, pkMin, pkMax), norm(sk, skMin, skMax))
+      (pk, sk, xp, z(xp, yp) / 16)
+    }
+    val (plo, phi) = (pkMin + (pkMax - pkMin + 1) * 4 / 16,
+      pkMin + (pkMax - pkMin + 1) * 8 / 16 - 1)
+    val slo = skMin + (skMax - skMin + 1) * 12 / 16
+    for ((layout, sel) <- Seq(
+        ("linear", (a: (Long, Long, Long, Long)) => a._3),
+        ("zorder", (a: (Long, Long, Long, Long)) => a._4))) {
+      val byFile = assigned.groupBy(sel)
+      // exactly the nonempty files, every stat the true min/max, and
+      // prunability follows from the stats and the fixed rectangle
+      assert(rows.keys.filter(_._1 == layout).map(_._2).toSet == byFile.keySet)
+      byFile.foreach { case (fid, ms) =>
+        val (n, mnp, mxp, mns, mxs, pr) = rows((layout, fid))
+        assert(n == ms.length.toLong)
+        assert(mnp == ms.map(_._1).min && mxp == ms.map(_._1).max)
+        assert(mns == ms.map(_._2).min && mxs == ms.map(_._2).max)
+        assert(pr == (mxp < plo || mnp > phi || mxs < slo || mns > skMax))
+      }
+      // conservation: the layout never loses rows
+      assert(byFile.values.map(_.length).sum == keys.length)
+    }
+    def skipped(layout: String) =
+      rows.collect { case ((l, _), v) if l == layout && v._6 => 1 }.sum
+    // the point of the op: interleaving prunes MORE files for the 2-D
+    // predicate than the single-key sort layout
+    assert(skipped("zorder") > skipped("linear"),
+      s"zorder ${skipped("zorder")} vs linear ${skipped("linear")}")
+  }
+
+  test("q37 dominant suppliers: the 2x-fair-share verdict recomputed driver-side") {
+    val s = spark
+    import s.implicits._
+    val rows = SparkEntry.queries("q37_dominant_suppliers")(s, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.nonEmpty)
+    val promo = graft.Tables.part(s, dir).filter($"p_type" === "PROMO")
+      .select($"p_partkey").as[Long].collect().toSet
+    val li = graft.Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_suppkey", $"l_quantity").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        BigDecimal(java.math.BigDecimal.valueOf(r.getAs[Number](2).doubleValue)
+          .setScale(4, java.math.RoundingMode.HALF_UP))))
+      .filter(t => promo.contains(t._1))
+    val ps = li.groupBy(t => (t._1, t._2)).map { case (k, g) => k -> g.map(_._3).sum }
+    val tot = ps.groupBy(_._1._1).map { case (p, g) =>
+      p -> (g.map(_._2).sum, g.size)
+    }
+    val dom = ps.filter { case ((p, _), q) =>
+      val (t, n) = tot(p); q * n > t * 2
+    }.toSeq
+    assert(dom.nonEmpty, "fixture must contain concentrated suppliers")
+    val supNation = graft.Tables.supplier(s, dir)
+      .join(graft.Tables.nation(s, dir), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    val expected = dom.groupBy { case ((_, sk), _) => supNation(sk) }
+      .map { case (nat, g) =>
+        nat -> (g.size.toLong, g.map(_._1._2).distinct.size.toLong,
+          g.map(_._2).sum.toDouble)
+      }
+    assert(rows.keySet == expected.keySet)
+    expected.foreach { case (nat, (np, nsup, q)) =>
+      val (gp, gs, gq) = rows(nat)
+      assert(gp == np && gs == nsup, s"$nat counts")
+      assert(math.abs(gq - q) < 1e-6, s"$nat qty")
+    }
+  }
 }

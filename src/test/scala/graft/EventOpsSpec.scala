@@ -374,6 +374,35 @@ class EventOpsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0)
   }
 
+  test("e30 periodicity: lag products recomputed driver-side, Cauchy-Schwarz bound holds") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = SparkEntry.queries("e30_periodicity")(spark, TestSpark.sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getDouble(8), r.getBoolean(9)))
+      .toMap
+    val raw = spark.read.parquet(TestSpark.sfDir + "/events.parquet")
+      .selectExpr("event_type", "unix_micros(cast(ts as timestamp)) div 3600000000 as h")
+      .as[(String, Long)].collect()
+    val byType = raw.groupBy(_._1)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (t, es) =>
+      val c = es.groupBy(_._2).map { case (h, g) => h -> g.size.toLong }
+      def r(lag: Long) = c.map { case (h, v) =>
+        v * c.getOrElse(h + lag, 0L)
+      }.sum
+      val (nh, ne, r0, r1, r23, r24, r25, score, peak) = got(t)
+      assert(nh == c.size.toLong && ne == es.length.toLong, s"$t counts")
+      assert(r0 == r(0) && r1 == r(1) && r23 == r(23) && r24 == r(24) && r25 == r(25),
+        s"$t lag products")
+      // Cauchy-Schwarz: no shifted product exceeds the energy
+      Seq(r1, r23, r24, r25).foreach(x => assert(x <= r0, s"$t CS bound"))
+      assert(score == r24.toDouble / r0.toDouble)
+      assert(peak == (r24 > r23 && r24 > r25))
+    }
+  }
+
   test("e27 stickiness: driver recompute of the trailing-7-day distinct; DAU ≤ WAU") {
     val spark = TestSpark.spark
     import spark.implicits._

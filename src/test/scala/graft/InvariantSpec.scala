@@ -1462,4 +1462,151 @@ class InvariantSpec extends AnyFunSuite {
     // the heuristic must discriminate: not every doc shares one score
     assert(rows.map(_._5).distinct.length > 1)
   }
+
+  test("d40 SemDeDup: driver recompute of cells, groups, and the farthest-from-centroid keep") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = SparkEntry.queries("d40_semdedup")(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val embs = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cell = embs.keys.map { id =>
+      id -> (0L until 16L).minBy(c => (-cos(embs(id), embs(c)), c))
+    }.toMap
+    // within-cell tau-pairs, then min-label connected components
+    val ids = embs.keys.toSeq.sorted
+    val pairs = for {
+      a <- ids; b <- ids
+      if a < b && cell(a) == cell(b) && cos(embs(a), embs(b)) >= 0.4
+    } yield (a, b)
+    val label = scala.collection.mutable.Map(
+      pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(x => x -> x): _*)
+    var changed = true
+    while (changed) {
+      changed = false
+      pairs.foreach { case (a, b) =>
+        val m = math.min(label(a), label(b))
+        if (label(a) != m || label(b) != m) { label(a) = m; label(b) = m; changed = true }
+      }
+    }
+    // exactly the implicated set, with the recomputed cell and group
+    assert(rows.map(_._1).toSet == label.keySet)
+    rows.foreach { case (id, c, grp, cc, _) =>
+      assert(c == cell(id), s"vec $id cell")
+      assert(grp == label(id), s"vec $id group")
+      assert(math.abs(cc - cos(embs(id), embs(cell(id)))) < 1e-12, s"vec $id cos_c")
+    }
+    // one keep per group, and it is the FARTHEST-from-centroid member
+    // (lowest cos_c; ties by id) — the SemDeDup keep rule
+    rows.groupBy(_._3).foreach { case (grp, ms) =>
+      assert(ms.length >= 2, s"group $grp is a real duplicate group")
+      assert(ms.count(_._5) == 1, s"group $grp keeps exactly one")
+      val kept = ms.filter(_._5).head
+      val best = ms.minBy(m => (m._4, m._1))
+      assert(kept._1 == best._1, s"group $grp keep rule")
+      assert(ms.map(_._2).distinct.length == 1, s"group $grp spans one cell")
+    }
+  }
+
+  test("t50 memorization rate: splits, gram sets, and fractions recomputed driver-side") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = SparkEntry.queries("t50_memorization_rate")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    val docs = spark.read.parquet(TestSpark.sfDir + "/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5bucket(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    def split(id: Long): String = {
+      val b = md5bucket(id.toString) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    def grams(text: String): Set[Long] = {
+      val th = text.split("\\s+").map(t => md5bucket(t))
+      th.sliding(3).filter(_.length == 3)
+        .map(w => ((w(0) * 31 + w(1)) % 2147483647L * 31 + w(2)) % 2147483647L)
+        .toSet
+    }
+    val trainSet = docs.collect { case (id, t) if split(id) == "train" => grams(t) }
+      .foldLeft(Set.empty[Long])(_ ++ _)
+    val evalDocs = docs.filter { case (id, t) =>
+      split(id) != "train" && grams(t).nonEmpty
+    }
+    assert(rows.keySet == evalDocs.keySet)
+    evalDocs.foreach { case (id, t) =>
+      val g = grams(t)
+      val seen = g.count(trainSet.contains).toLong
+      val (sp, ng, ns, fr) = rows(id)
+      assert(sp == split(id), s"doc $id split")
+      assert(ng == g.size.toLong && ns == seen, s"doc $id counts")
+      assert(fr == seen.toDouble / g.size.toDouble, s"doc $id frac")
+      assert(fr >= 0.0 && fr <= 1.0)
+    }
+    // the audit must discriminate: not all eval docs equally covered
+    assert(rows.values.map(_._4).toSet.size > 1)
+  }
+
+  test("t49 DSIR weights: driver recompute, target slice scores higher, gram conservation") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("t49_dsir_weights")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val docs = spark.read.parquet(TestSpark.sfDir + "/documents.parquet")
+      .selectExpr("doc_id", "lang", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows.length == docs.size)
+    // n_grams = tokens - 1 for every doc (word bigrams over one doc)
+    rows.foreach { case (id, ng, _, _) =>
+      assert(ng == docs(id)._2.split("\\s+").length.toLong - 1L, s"doc $id grams")
+    }
+    // driver recompute of the full scoring chain (any-order double sums
+    // under a tolerance; the bit-exact claim is the DuckDB oracle's job)
+    val grams = docs.toSeq.flatMap { case (id, (lang, text)) =>
+      val t = text.split("\\s+")
+      t.dropRight(1).zip(t.drop(1)).map { case (a, b) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest((a + " " + b).getBytes("UTF-8"))
+        val bucket = java.lang.Long.parseLong(
+          md.take(4).map(x => f"${x & 0xff}%02x").mkString, 16) % 64
+        (id, lang, bucket)
+      }
+    }
+    val raw = grams.groupBy(_._3).map { case (b, g) => b -> g.size.toLong }
+    val tgt = grams.filter(_._2 == "en").groupBy(_._3)
+      .map { case (b, g) => b -> g.size.toLong }
+    val nRaw = raw.values.sum; val nTgt = tgt.values.sum
+    val expected = grams.groupBy(_._1).map { case (id, g) =>
+      val f = g.groupBy(_._3).map { case (b, x) => b -> x.size.toLong }
+      val feat = f.toSeq.sortBy(_._1).map { case (b, n) =>
+        n.toDouble * (math.log(tgt.getOrElse(b, 0L).toDouble + 1.0) -
+          math.log(raw(b).toDouble + 1.0))
+      }.sum
+      id -> (feat + g.size.toDouble *
+        (math.log(nRaw.toDouble + 64.0) - math.log(nTgt.toDouble + 64.0)))
+    }
+    rows.foreach { case (id, _, logw, sel) =>
+      assert(math.abs(logw - expected(id)) < 1e-9, s"doc $id logw")
+      assert(sel == (logw > 0.0))
+    }
+    // the weights must do their job: the target slice scores higher on
+    // average than the rest, and not everything is selected
+    val (en, other) = rows.partition(r => docs(r._1)._1 == "en")
+    val meanEn = en.map(_._3).sum / en.length
+    val meanOther = other.map(_._3).sum / other.length
+    assert(meanEn > meanOther, s"en $meanEn vs other $meanOther")
+    assert(rows.exists(_._4) && rows.exists(!_._4))
+  }
 }

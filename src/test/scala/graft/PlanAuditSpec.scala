@@ -72,7 +72,17 @@ class PlanAuditSpec extends AnyFunSuite {
         "s32_rrf_fusion",
         // s33: s04's assignment cross join plus the one-row corpus
         // total broadcast onto five audit rows (the q25/t13 class).
-        "s33_serving_cost")
+        "s33_serving_cost",
+        // t49: the one-row (n_raw, n_tgt) totals broadcast onto the
+        // per-doc aggregate — the t20/t26 corpus-total class.
+        "t49_dsir_weights",
+        // d40: s04's 16-row codebook broadcast (assignment + the
+        // cos-to-centroid rejoin); candidate pairs are a cell-equi
+        // join, never a cross join.
+        "d40_semdedup",
+        // q36: the one-row key-range stats broadcast onto the scan and
+        // onto each 16-row arm (the q16 corpus-stats class).
+        "q36_zorder_layout")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark

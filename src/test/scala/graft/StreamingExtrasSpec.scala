@@ -1508,6 +1508,127 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(batchRun.except(streamed).count() == 0)
   }
 
+  // ---- StreamingAttributionOuter: the LEFT OUTER interval join ----
+
+  /** Far-future sentinel rows (user −1, matches nothing real): push
+    * both side's watermarks past every real purchase's 7-day window so
+    * the final tick flushes all pending NULL-extended rows.
+    */
+  private def outerSentinel(maxTs: Long) = {
+    val t = new java.sql.Timestamp(maxTs + 40L * 24 * 3600 * 1000)
+    (-1L, -1L, t)
+  }
+
+  private def outerBatch(spark: org.apache.spark.sql.SparkSession) =
+    graft.ops.EventOps.purchaseSignupOuter(spark, TestSpark.sfDir)
+      .select("purchase_id", "user_id", "signup_id")
+
+  test("StreamingAttributionOuter: NULL rows flush at the watermark; union equals batch e29") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val (purchases, signups) = attributionFeeds(spark)
+    val maxTs = (purchases ++ signups).map(_._3.getTime).max
+    val out = java.nio.file.Files.createTempDirectory("graft_attro_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_attro_ckpt").toString
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val sIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = graft.streaming.StreamingAttributionOuter.run(
+      pIn.toDF().toDF("purchase_id", "user_id", "p_ts"),
+      sIn.toDF().toDF("signup_id", "s_user_id", "s_ts"), out, ckpt)
+    try {
+      for (i <- 0 until 3) {
+        val ps = purchases.slice(i * purchases.length / 3,
+          (i + 1) * purchases.length / 3)
+        val ss = signups.slice(i * signups.length / 3,
+          (i + 1) * signups.length / 3)
+        pIn.addData(ps.toSeq); sIn.addData(ss.toSeq)
+        q.processAllAvailable()
+      }
+      // Absence is provable only BEHIND the watermark: every
+      // null-extended row emitted so far must belong to a purchase the
+      // global watermark (min of both sides' max event time, minus the
+      // 1h delay) has already passed — a null row for a fresher
+      // purchase would be an eager absence claim a late signup could
+      // still contradict. (The slices advance event time as they
+      // stream, so most windows close before the sentinel; the
+      // assertion pins WHICH may.)
+      val earlyNull = spark.read.parquet(out).drop("batch_id")
+        .filter($"purchase_id" >= 0 && $"signup_id".isNull)
+        .select($"purchase_id").as[Long].collect().toSet
+      val wm = math.min(purchases.map(_._3.getTime).max,
+        signups.map(_._3.getTime).max) - 3600L * 1000
+      val pts = purchases.map(r => r._1 -> r._3.getTime).toMap
+      assert(earlyNull.forall(id => pts(id) < wm),
+        "null-extended rows must trail the watermark")
+      // Close every window: sentinel through BOTH streams, two ticks
+      // (one to advance the watermark from the new max event time, one
+      // to evict and emit against it).
+      val sent = outerSentinel(maxTs)
+      pIn.addData(sent); sIn.addData(sent)
+      q.processAllAvailable()
+      pIn.addData(outerSentinel(maxTs + 1)); sIn.addData(outerSentinel(maxTs + 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .filter($"purchase_id" >= 0)
+    val batchRun = outerBatch(spark)
+    assert(batchRun.filter($"signup_id".isNull).count() > 0,
+      "fixture must contain unattributed purchases")
+    assert(streamed.filter($"signup_id".isNull).count() ==
+      batchRun.filter($"signup_id".isNull).count())
+    assert(streamed.count() == batchRun.count())
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+  }
+
+  test("StreamingAttributionOuter restart replays the uncommitted batch exactly-once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val (purchases, signups) = attributionFeeds(spark)
+    val maxTs = (purchases ++ signups).map(_._3.getTime).max
+    val out = java.nio.file.Files.createTempDirectory("graft_attror_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_attror_ckpt").toString
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val sIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def start() = graft.streaming.StreamingAttributionOuter.run(
+      pIn.toDF().toDF("purchase_id", "user_id", "p_ts"),
+      sIn.toDF().toDF("signup_id", "s_user_id", "s_ts"), out, ckpt)
+
+    val q1 = start()
+    try {
+      pIn.addData(purchases.toSeq); sIn.addData(signups.toSeq)
+      q1.processAllAvailable()
+      pIn.addData(outerSentinel(maxTs)); sIn.addData(outerSentinel(maxTs))
+      q1.processAllAvailable()
+      pIn.addData(outerSentinel(maxTs + 1)); sIn.addData(outerSentinel(maxTs + 1))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // Crash between offset log and commit: drop the LAST commit marker,
+    // forcing a replay of the watermark-flush batch — the one carrying
+    // the outer join's null-extended evictions.
+    val commitDir = new java.io.File(s"$ckpt/commits")
+    val commits = commitDir.listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    val lastId = commits.last.getName.toLong
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.$lastId.crc")
+    if (crc.exists()) assert(crc.delete())
+
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .filter($"purchase_id" >= 0)
+    val batchRun = outerBatch(spark)
+    assert(streamed.count() == batchRun.count())
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+  }
+
   test("flatMapGroupsWithState keeps custom per-key state across triggers") {
     val spark = TestSpark.spark
     import spark.implicits._
