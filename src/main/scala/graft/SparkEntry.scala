@@ -147,6 +147,12 @@ object SparkEntry {
     // total volume (exact-decimal cross-multiply), rolled up by
     // nation.
     "q37_dominant_suppliers" -> (Relational2.dominantSuppliers _),
+    // q38 = incremental view maintenance: delta partial aggregate
+    // merged into base == full recompute, exactly (decimal state).
+    "q38_incremental_agg"    -> (Relational2.incrementalAggMaintenance _),
+    // s34 = linearized silhouette: per-vector clustering quality in
+    // n·k dots against the cells' normalized-sum vectors (never n²).
+    "s34_silhouette"         -> (Similarity.silhouetteAudit _),
     // m20 = scene-change detection over the shared gif_frames sidecar:
     // per video the cut/scene/longest-run report via gaps-and-islands
     // on consecutive frame-hash equality.
@@ -517,6 +523,9 @@ object SparkEntry {
     // over the real GIF decode; position weights pin pixel AND frame
     // order inside each block.
     "m27_video_tubelets"     -> ((s, d) => Multimodal.videoTubelets(s, d)),
+    // m28 = repeated patches: 4x4 patch content keys recurring in >=2
+    // distinct images — sub-image boilerplate (the visual d20).
+    "m28_repeated_patches"   -> ((s, d) => Multimodal.repeatedPatches(s, d)),
     // m09 = audio feature extraction: per-frame energy over the real
     // WAV decode (64-sample frames, integer-exact activity detection).
     "m09_wav_frames"         -> ((s, d) => Multimodal.wavFrameEnergy(s, d)),
@@ -1531,6 +1540,28 @@ object SparkEntry {
       // (f, x, y) = (id·31 + 17f + 7x + 13y) mod 256; k enumerates the
       // 2×3×3 block (dt = k div 9, dy = (k div 3) mod 3, dx = k mod 3),
       // weight k+1 matches the Spark loop's dt·9+dy·3+dx+1.
+      // m28: the generator raster replayed per patch cell; the
+      // polynomial fold runs k = (k*257 + v) mod 2147483647 in
+      // row-major pixel order (seedless list_reduce == 0-seeded fold
+      // because the first step is 0*257 + v).
+      "m28_repeated_patches" -> """
+        WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w,
+                     8 + (doc_id // 25) % 25 AS h
+                   FROM documents),
+        g AS (SELECT doc_id, w, py, px FROM d,
+                LATERAL (SELECT unnest(generate_series(0, h // 4 - 1)) AS py) a,
+                LATERAL (SELECT unnest(generate_series(0, w // 4 - 1)) AS px) b),
+        pk AS (SELECT doc_id, py, px,
+                 list_reduce(list_transform(generate_series(0, 15),
+                   k -> CAST((doc_id * 31 + 7 * (px * 4 + k % 4)
+                        + 13 * (py * 4 + k // 4)) % 256 AS BIGINT)),
+                   (acc, v) -> (acc * 257 + v) % 2147483647) AS pkey
+               FROM g)
+        SELECT pkey, count(*) AS n_patches,
+          count(DISTINCT doc_id) AS n_docs,
+          min(doc_id) AS first_doc
+        FROM pk GROUP BY pkey HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY pkey""",
       "m27_video_tubelets" -> """
         WITH d AS (SELECT doc_id, 6 + doc_id % 10 AS w,
                      6 + (doc_id // 10) % 10 AS h,
@@ -2126,6 +2157,54 @@ object SparkEntry {
       // all integer arithmetic, so the hash check is order-free.
       // s33: the s04 assignment, s27 band, and s01 brute chains
       // reduced to per-query candidate counts + top-5 intersections.
+      // s34: the s04 assignment CTE; normalized sums fold (vec_id
+      // within %256 segment, segment across), dots are
+      // list_dot_product == vec_dot; a/b/s the same IEEE chains.
+      "s34_silhouette" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings),
+        cb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        assigned AS (SELECT vec_id, v, nrm, cell_id FROM (
+          SELECT e.vec_id, e.v, e.nrm, cb.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) DESC, cb.cell_id) AS arank
+          FROM e CROSS JOIN cb) t WHERE arank = 1),
+        comp AS (SELECT cell_id, vec_id, vec_id % 256 AS seg, i, v[i] / nrm AS nv
+                 FROM assigned, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) ii),
+        segs AS (SELECT cell_id, i, seg,
+                   list_reduce(list(nv ORDER BY vec_id), (a, b) -> a + b) AS s_seg
+                 FROM comp GROUP BY cell_id, i, seg),
+        sums AS (SELECT cell_id, i,
+                   list_reduce(list(s_seg ORDER BY seg), (a, b) -> a + b) AS s_cd
+                 FROM segs GROUP BY cell_id, i),
+        svec AS (SELECT cell_id, list(s_cd ORDER BY i) AS s_vec FROM sums GROUP BY cell_id),
+        nc AS (SELECT cell_id, count(*) AS n_c FROM assigned GROUP BY cell_id),
+        cells AS (SELECT svec.cell_id AS c2, s_vec, n_c
+                  FROM svec JOIN nc ON svec.cell_id = nc.cell_id),
+        mc AS (SELECT a.vec_id, a.cell_id, c.c2, c.n_c,
+                 list_dot_product(a.v, c.s_vec) / a.nrm AS dots,
+                 list_dot_product(a.v, a.v) / (a.nrm * a.nrm) AS own
+               FROM assigned a CROSS JOIN cells c),
+        m2 AS (SELECT vec_id, cell_id, c2, n_c,
+                 CASE WHEN c2 = cell_id THEN (dots - own) / CAST(n_c - 1 AS DOUBLE)
+                      ELSE dots / CAST(n_c AS DOUBLE) END AS meanc
+               FROM mc),
+        g AS (SELECT vec_id, cell_id,
+                max(CASE WHEN c2 = cell_id THEN meanc END) AS a_sim,
+                max(CASE WHEN c2 <> cell_id THEN meanc END) AS b_sim,
+                max(CASE WHEN c2 = cell_id THEN n_c END) AS n_own
+              FROM m2 GROUP BY vec_id, cell_id)
+        SELECT vec_id, cell_id,
+          CAST(1.0 AS DOUBLE) - a_sim AS a_dist,
+          CAST(1.0 AS DOUBLE) - b_sim AS b_dist,
+          CASE WHEN n_own = 1 OR
+                 greatest(CAST(1.0 AS DOUBLE) - a_sim, CAST(1.0 AS DOUBLE) - b_sim) = 0.0
+               THEN 0.0
+               ELSE ((CAST(1.0 AS DOUBLE) - b_sim) - (CAST(1.0 AS DOUBLE) - a_sim))
+                    / greatest(CAST(1.0 AS DOUBLE) - a_sim, CAST(1.0 AS DOUBLE) - b_sim)
+          END AS sil
+        FROM g ORDER BY vec_id""",
       "s33_serving_cost" -> """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
@@ -4222,6 +4301,35 @@ object SparkEntry {
         JOIN nation   ON s_nationkey = n_nationkey
         GROUP BY 1, 2 ORDER BY nation, o_year""",
       // q35: Q16 shape — anti-join blacklist then two-level distinct.
+      // q38: decimal aggregate states merge exactly — the oracle
+      // recomputes both arms and the same bit-exact verdict.
+      "q38_incremental_agg" -> """
+        WITH li AS (SELECT l_returnflag, l_orderkey,
+                      CAST(l_quantity AS DECIMAL(18,4)) AS qty,
+                      CAST(l_extendedprice AS DECIMAL(18,4)) AS price
+                    FROM lineitem),
+        b AS (SELECT l_returnflag, count(*) AS n_b, sum(qty) AS sq_b,
+                sum(price) AS sp_b
+              FROM li WHERE l_orderkey % 10 <> 0 GROUP BY 1),
+        d AS (SELECT l_returnflag, count(*) AS n_d, sum(qty) AS sq_d,
+                sum(price) AS sp_d
+              FROM li WHERE l_orderkey % 10 = 0 GROUP BY 1),
+        f AS (SELECT l_returnflag, count(*) AS n, sum(qty) AS sq,
+                sum(price) AS sp
+              FROM li GROUP BY 1),
+        m AS (SELECT l_returnflag,
+                COALESCE(n_b, 0) + COALESCE(n_d, 0) AS n_merged,
+                COALESCE(sq_b, 0) + COALESCE(sq_d, 0) AS sq_merged,
+                COALESCE(sp_b, 0) + COALESCE(sp_d, 0) AS sp_merged,
+                COALESCE(n_d, 0) AS n_delta
+              FROM b FULL JOIN d USING (l_returnflag))
+        SELECT m.l_returnflag, n_delta, n_merged, f.n AS n_full,
+          CAST(CAST(sq_merged AS VARCHAR) AS DOUBLE) AS sum_qty_merged,
+          CAST(CAST(f.sq AS VARCHAR) AS DOUBLE) AS sum_qty_full,
+          CAST(CAST(sp_merged AS VARCHAR) AS DOUBLE) AS sum_price_merged,
+          CAST(CAST(f.sp AS VARCHAR) AS DOUBLE) AS sum_price_full,
+          (n_merged = f.n AND sq_merged = f.sq AND sp_merged = f.sp) AS matches
+        FROM m JOIN f USING (l_returnflag) ORDER BY m.l_returnflag""",
       // q37: sums stay DECIMAL through the dominance compare (exact
       // cross-multiply); one final correctly-rounded double cast via
       // VARCHAR (the decimal-sum convention).

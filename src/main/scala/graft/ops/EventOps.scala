@@ -991,11 +991,30 @@ object EventOps {
     */
   def hourlyPeriodicity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val c = events(s, dir)
-      .select($"event_type", micros($"ts").as("us"))
+    periodicityOver(hourlyCounts(
+      events(s, dir).select($"event_type", $"ts")))
+  }
+
+  /** The (event_type, h, c) hourly count reduction of any
+    * (event_type, ts) frame — the series table e30 and its streaming
+    * door both aggregate; counts are additive, so per-batch
+    * reductions fold into a running state order-free.
+    */
+  def hourlyCounts(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    ev.select($"event_type", micros($"ts").as("us"))
       // integer division — Column./ on longs is DOUBLE division
       .withColumn("h", expr("us div 3600000000"))
       .groupBy($"event_type", $"h").agg(count(lit(1)).as("c"))
+  }
+
+  /** The e30 audit from an already-reduced (event_type, h, c) table —
+    * the frame core the streaming door re-runs per tick.
+    */
+  def periodicityOver(c: DataFrame): DataFrame = {
+    val s = c.sparkSession
+    import s.implicits._
     val probe = c.select($"event_type".as("t2"), $"h".as("h2"), $"c".as("c2"))
     val lagged = c.withColumn("lag", explode(lit(Array(1L, 23L, 24L, 25L))))
       .join(probe, $"event_type" === $"t2" && $"h2" === $"h" + $"lag")

@@ -1948,6 +1948,67 @@ object Multimodal {
     }.toDF().orderBy($"doc_id", $"tt", $"py", $"px")
   }
 
+  final case class PatchKey(doc_id: Long, py: Long, px: Long, pkey: Long)
+
+  /** m28 — REPEATED-PATCH detector: patch-granular image dedup, the
+    * visual analog of d20's chunk dedup — 4×4 patch CONTENT (a
+    * polynomial hash over the 16 pixel values in row-major order)
+    * grouped across the whole image corpus, keeping keys that recur
+    * in ≥ 2 DISTINCT images. On a real corpus the survivors are
+    * watermarks, logos, letterboxing bars, UI chrome — sub-image
+    * boilerplate that whole-image hashes (m08/m21) structurally
+    * cannot see because the surrounding pixels differ. Honest
+    * synthetic-corpus note: the generator raster is an affine
+    * gradient (pix = (31·id + 7x + 13y) mod 256), so patch content is
+    * fully determined by its base offset mod 256 and the patch space
+    * COLLAPSES to ≤ 256 classes — the spec proves exactly that
+    * collapse from the formula, and the op reports the true
+    * recurrence table either way.
+    *
+    * Executed over the real codec (decode in the mapPartitions slot,
+    * pixels never shuffle — only (doc, py, px, key) longs leave);
+    * determinism is pure integer arithmetic: the polynomial fold
+    * (k·257 + v) mod 2147483647 in pixel order, counts, min-id
+    * exemplar.
+    *
+    * Scale shape: the patch-key aggregate is the d20 shape — keys
+    * shuffle as 8-byte values with map-side combine, n_docs is a
+    * single-distinct two-phase aggregate, and output is bounded by
+    * the number of RECURRING keys. At 100 TB this runs off the m26
+    * patch manifest sidecar (one decode, two consumers).
+    */
+  def repeatedPatches(s: SparkSession, dir: String, p: Int = 4): DataFrame = {
+    import s.implicits._
+    val keys = pngTable(s, dir).mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        val nx = img.getWidth / p
+        val ny = img.getHeight / p
+        for { py <- 0 until ny; px <- 0 until nx } yield {
+          var k = 0L
+          var dy = 0
+          while (dy < p) {
+            var dx = 0
+            while (dx < p) {
+              val v = (img.getRGB(px * p + dx, py * p + dy) & 0xff).toLong
+              k = (k * 257 + v) % 2147483647L
+              dx += 1
+            }
+            dy += 1
+          }
+          PatchKey(r.doc_id, py.toLong, px.toLong, k)
+        }
+      }
+    }.toDF()
+    keys.groupBy($"pkey")
+      .agg(count(lit(1)).as("n_patches"),
+        countDistinct($"doc_id").as("n_docs"),
+        min($"doc_id").as("first_doc"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"pkey")
+  }
+
   /** m26 — ViT PATCH MANIFEST: each image tiled into the P×P patch
     * grid a vision transformer ingests (patchify — the first layer of
     * every ViT-family encoder flattens non-overlapping P×P patches

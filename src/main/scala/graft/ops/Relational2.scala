@@ -697,6 +697,58 @@ object Relational2 {
       .orderBy($"nation")
   }
 
+  /** q38 — INCREMENTAL AGGREGATE MAINTENANCE: the materialized-view
+    * delta-fold a 100 TB pipeline runs nightly instead of ever
+    * rescanning history. The fact table splits into a BASE (history)
+    * and a DELTA (the day's arrivals — here the l_orderkey % 10 = 0
+    * slice); a q01-style pricing summary is maintained by MERGING the
+    * delta's partial aggregate into the base's (sums add, counts add
+    * — every state is decomposable), and the op emits both the merged
+    * and the directly-recomputed aggregate per group with a `matches`
+    * verdict. The point the audit certifies: because the aggregation
+    * state is DECIMAL/BIGINT (exactly associative), merge == full
+    * recompute BIT FOR BIT — which is precisely why the engine keeps
+    * money in decimal through every aggregate (a float sum would make
+    * the nightly fold drift from the quarterly recompute).
+    *
+    * Scale shape: at scale the base aggregate is the STORED view
+    * (groups-sized, not fact-sized) — only the delta is scanned and
+    * shuffled; here both arms derive from one lineitem scan (identical
+    * subtrees under ReusedExchange) and the merge is a groups-sized
+    * outer join. No window, no cross join; output is |returnflag|
+    * rows.
+    */
+  def incrementalAggMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, dir)
+      .select($"l_returnflag", $"l_orderkey", dec($"l_quantity").as("qty"),
+        dec($"l_extendedprice").as("price"))
+    def aggOf(df: DataFrame) = df.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"qty").as("sq"), sum($"price").as("sp"))
+    val base = aggOf(li.filter($"l_orderkey" % 10 =!= 0))
+      .select($"l_returnflag", $"n".as("n_b"), $"sq".as("sq_b"), $"sp".as("sp_b"))
+    val delta = aggOf(li.filter($"l_orderkey" % 10 === 0))
+      .select($"l_returnflag", $"n".as("n_d"), $"sq".as("sq_d"), $"sp".as("sp_d"))
+    val full = aggOf(li)
+    val zeroDec = lit("0.0000").cast(DecimalType(28, 4))
+    base.join(delta, Seq("l_returnflag"), "full_outer")
+      .select($"l_returnflag",
+        (coalesce($"n_b", lit(0L)) + coalesce($"n_d", lit(0L))).as("n_merged"),
+        (coalesce($"sq_b", zeroDec) + coalesce($"sq_d", zeroDec)).as("sq_merged"),
+        (coalesce($"sp_b", zeroDec) + coalesce($"sp_d", zeroDec)).as("sp_merged"),
+        coalesce($"n_d", lit(0L)).as("n_delta"))
+      .join(full, Seq("l_returnflag"))
+      .withColumn("matches",
+        $"n_merged" === $"n" && $"sq_merged" === $"sq" && $"sp_merged" === $"sp")
+      .select($"l_returnflag", $"n_delta", $"n_merged", $"n".as("n_full"),
+        $"sq_merged".cast("double").as("sum_qty_merged"),
+        $"sq".cast("double").as("sum_qty_full"),
+        $"sp_merged".cast("double").as("sum_price_merged"),
+        $"sp".cast("double").as("sum_price_full"),
+        $"matches")
+      .orderBy($"l_returnflag")
+  }
+
   /** q36 — Z-ORDER LAYOUT AUDIT: the data-skipping planner's
     * comparison of two physical layouts of the same fact table. At
     * 100 TB, which rows share a parquet file decides how many files a

@@ -573,6 +573,74 @@ object Similarity {
     * nothing else changes, which is precisely the point: tombstoning
     * composes onto any of the index family's probes.
     */
+  /** s34 — SILHOUETTE AUDIT of the IVF clustering, linearized: the
+    * standard clustering-quality score (a = mean distance to own
+    * cluster, b = mean distance to the nearest other cluster,
+    * s = (b−a)/max(a,b) on cosine distance 1−cos) WITHOUT the O(n²)
+    * pairwise pass that makes textbook silhouette unrunnable at
+    * corpus scale. The linearization: mean cos(x, cell) =
+    * x·(Σ_{y∈cell} ŷ) / (|x|·n_cell) — one dot with the cell's
+    * NORMALIZED-SUM vector — so the whole audit is n·k dots against a
+    * 16-row broadcast instead of n² pairs; the own-cell mean excludes
+    * self by subtracting the own term (x·x)/|x|² after the fold, the
+    * same expression in both engines. Singleton cells take the
+    * sklearn convention s = 0. This is the quality gate a team reads
+    * before trusting the s04/s12/d40 cell structure: low per-vector
+    * silhouette marks vectors the coarse quantizer splits badly.
+    *
+    * Determinism: the per-(cell, dim) normalized sums use the s15
+    * two-level segmented fold (vec_id order within %256 segments,
+    * segment order across), every dot is the sequential-fold
+    * vec_dot == list_dot_product, and a/b/s are fixed chains of
+    * divides/subtracts/max over bit-identical doubles.
+    *
+    * Scale shape: one posexplode pass builds the 16×64 sum matrix
+    * (map-side combined, segment-bounded buffers), the scoring pass
+    * is a 16-row broadcast cross join (s04 class) with a 16-row
+    * per-vector aggregate — linear in the corpus, constant in memory.
+    */
+  def silhouetteAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assigned = ivfAssigned(s, dir)
+    val el = assigned
+      .select($"cell_id", $"vec_id", $"nrm", posexplode($"embedding"))
+      .select($"cell_id", $"vec_id", $"pos".cast("long").as("dim"),
+        ($"col".cast("double") / $"nrm").as("nv"))
+      .withColumn("seg", $"vec_id" % 256)
+    val segSums = el.groupBy($"cell_id", $"dim", $"seg")
+      .agg(expr("aggregate(transform(sort_array(collect_list(struct(vec_id, nv))), v -> v.nv), 0D, (a, v) -> a + v)").as("s_seg"))
+    val sums = segSums.groupBy($"cell_id", $"dim")
+      .agg(expr("aggregate(transform(sort_array(collect_list(struct(seg, s_seg))), v -> v.s_seg), 0D, (a, v) -> a + v)").as("s_cd"))
+    val sVec = sums.groupBy($"cell_id")
+      .agg(expr("transform(sort_array(collect_list(struct(dim, s_cd))), v -> v.s_cd)").as("s_vec"))
+    val nC = assigned.groupBy($"cell_id").agg(count(lit(1)).as("n_c"))
+    val cells = sVec.join(nC, Seq("cell_id"))
+      .select($"cell_id".as("c2"), $"s_vec", $"n_c")
+    assigned
+      // vec_dot's accessor follows the LEFT side's element type, so
+      // the float embedding must widen to double before dotting the
+      // double-array cell sums (float→double widening is exact)
+      .withColumn("ve", expr("transform(embedding, y -> cast(y as double))"))
+      .crossJoin(broadcast(cells))
+      .withColumn("dots", vec_dot($"ve", $"s_vec") / $"nrm")
+      .withColumn("own", vec_dot($"ve", $"ve") / ($"nrm" * $"nrm"))
+      .withColumn("meanc",
+        when($"c2" === $"cell_id",
+          ($"dots" - $"own") / ($"n_c" - lit(1L)).cast("double"))
+          .otherwise($"dots" / $"n_c".cast("double")))
+      .groupBy($"vec_id", $"cell_id")
+      .agg(max(when($"c2" === $"cell_id", $"meanc")).as("a_sim"),
+        max(when($"c2" =!= $"cell_id", $"meanc")).as("b_sim"),
+        max(when($"c2" === $"cell_id", $"n_c")).as("n_own"))
+      .withColumn("a_dist", lit(1.0) - $"a_sim")
+      .withColumn("b_dist", lit(1.0) - $"b_sim")
+      .withColumn("sil",
+        when($"n_own" === 1L || greatest($"a_dist", $"b_dist") === 0.0, lit(0.0))
+          .otherwise(($"b_dist" - $"a_dist") / greatest($"a_dist", $"b_dist")))
+      .select($"vec_id", $"cell_id", $"a_dist", $"b_dist", $"sil")
+      .orderBy($"vec_id")
+  }
+
   def tombstoneIvfKnn(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import s.implicits._
     val assigned = ivfAssigned(s, dir)

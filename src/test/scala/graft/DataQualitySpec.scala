@@ -338,6 +338,37 @@ class DataQualitySpec extends AnyFunSuite {
       s"zorder ${skipped("zorder")} vs linear ${skipped("linear")}")
   }
 
+  test("q38 incremental agg maintenance: merge recomputed driver-side, exact equality certified") {
+    val s = spark
+    import s.implicits._
+    val rows = SparkEntry.queries("q38_incremental_agg")(s, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getBoolean(8)))
+      .toMap
+    assert(rows.nonEmpty)
+    def toDec(v: Double) = BigDecimal(java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP))
+    val li = graft.Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_orderkey", $"l_quantity", $"l_extendedprice")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        toDec(r.getAs[Number](2).doubleValue), toDec(r.getAs[Number](3).doubleValue)))
+    val byFlag = li.groupBy(_._1)
+    assert(rows.keySet == byFlag.keySet)
+    byFlag.foreach { case (flag, g) =>
+      val delta = g.filter(_._2 % 10 == 0)
+      val (nd, nm, nf, sqm, sqf, spm, spf, ok) = rows(flag)
+      assert(nd == delta.length.toLong)
+      assert(nm == g.length.toLong && nf == g.length.toLong)
+      // base-partial + delta-partial == full, recomputed in exact
+      // BigDecimal — and the emitted doubles agree between arms
+      val sq = g.map(_._3).sum; val sp = g.map(_._4).sum
+      assert(sqm == sq.toDouble && sqf == sq.toDouble, s"$flag qty")
+      assert(spm == sp.toDouble && spf == sp.toDouble, s"$flag price")
+      assert(ok, s"$flag must certify merge == full")
+    }
+  }
+
   test("q37 dominant suppliers: the 2x-fair-share verdict recomputed driver-side") {
     val s = spark
     import s.implicits._

@@ -1515,6 +1515,50 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("s34 silhouette: linearized scores equal the O(n^2) textbook definition") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = SparkEntry.queries("s34_silhouette")(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val embs = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cell = embs.keys.map { id =>
+      id -> (0L until 16L).minBy(c => (-cos(embs(id), embs(c)), c))
+    }.toMap
+    val byCell = embs.keys.toSeq.groupBy(cell)
+    assert(got.keySet == embs.keySet)
+    embs.keys.foreach { id =>
+      val (gc, aD, bD, sil) = got(id)
+      assert(gc == cell(id), s"vec $id cell")
+      // textbook silhouette: a = mean pairwise distance to OWN cell
+      // (self excluded), b = min over other cells of mean distance —
+      // the op computes the same quantities via one dot per cell
+      // against the normalized-sum vector, so they agree to float
+      // noise, never by construction of the same code path
+      val ownOthers = byCell(cell(id)).filter(_ != id)
+      if (ownOthers.nonEmpty) {
+        val a = ownOthers.map(o => 1.0 - cos(embs(id), embs(o))).sum / ownOthers.size
+        val b = byCell.collect { case (c, ms) if c != cell(id) =>
+          ms.map(o => 1.0 - cos(embs(id), embs(o))).sum / ms.size
+        }.min
+        val sTrue = (b - a) / math.max(a, b)
+        assert(math.abs(aD - a) < 1e-9, s"vec $id a: $aD vs $a")
+        assert(math.abs(bD - b) < 1e-9, s"vec $id b: $bD vs $b")
+        assert(math.abs(sil - sTrue) < 1e-9, s"vec $id sil")
+      } else assert(sil == 0.0, s"singleton vec $id takes s = 0")
+      assert(sil >= -1.0 - 1e-12 && sil <= 1.0 + 1e-12)
+    }
+    // the audit discriminates: both well- and badly-quantized vectors
+    assert(got.values.exists(_._4 > 0) && got.values.exists(_._4 < 0))
+  }
+
   test("t50 memorization rate: splits, gram sets, and fractions recomputed driver-side") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -813,4 +813,42 @@ class MultimodalSpec extends AnyFunSuite {
     // with coefficient 17, so consecutive frames always differ)
     assert(orderWitness, "no tubelet distinguished its frame order")
   }
+
+  test("m28 repeated patches: keys recomputed from the raster, gradient collapse proven") {
+    val spark = TestSpark.spark
+    val got = SparkEntry.queries("m28_repeated_patches")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.nonEmpty)
+    val ids = spark.read.parquet(TestSpark.sfDir + "/documents.parquet")
+      .selectExpr("doc_id").collect().map(_.getLong(0))
+    // driver replay of the generator raster per patch
+    def patches(id: Long): Seq[(Long, Long, Long, Long)] = {
+      val w = (8 + id % 25).toInt; val h = (8 + (id / 25) % 25).toInt
+      for { py <- 0 until h / 4; px <- 0 until w / 4 } yield {
+        var k = 0L
+        for (dy <- 0 until 4; dx <- 0 until 4) {
+          val v = (id * 31 + 7 * (px * 4 + dx) + 13 * (py * 4 + dy)) % 256
+          k = (k * 257 + v) % 2147483647L
+        }
+        // the collapse claim: the key is a FUNCTION of the patch's
+        // base offset mod 256 alone (affine gradient ⇒ content is
+        // base + fixed pattern), so key classes number ≤ 256
+        val base = (id * 31 + 7 * (px * 4) + 13 * (py * 4)) % 256
+        (py.toLong, px.toLong, k, base)
+      }
+    }
+    val all = ids.flatMap(id => patches(id).map(p => (id, p._1, p._2, p._3, p._4)))
+    val keyByBase = all.groupBy(_._5).map { case (b, g) => b -> g.map(_._4).distinct }
+    assert(keyByBase.values.forall(_.size == 1),
+      "same base offset must always yield the same patch key")
+    assert(all.map(_._4).distinct.length <= 256)
+    // recount the recurrence table
+    val expected = all.groupBy(_._4).collect {
+      case (k, g) if g.map(_._1).distinct.length >= 2 =>
+        k -> (g.length.toLong, g.map(_._1).distinct.length.toLong, g.map(_._1).min)
+    }
+    assert(got == expected)
+  }
 }

@@ -82,7 +82,11 @@ class PlanAuditSpec extends AnyFunSuite {
         "d40_semdedup",
         // q36: the one-row key-range stats broadcast onto the scan and
         // onto each 16-row arm (the q16 corpus-stats class).
-        "q36_zorder_layout")
+        "q36_zorder_layout",
+        // s34: s04's codebook assignment cross join plus the 16-row
+        // (cell sum-vector, count) broadcast the linearized scoring
+        // pass dots against.
+        "s34_silhouette")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark
@@ -173,9 +177,14 @@ class PlanAuditSpec extends AnyFunSuite {
           })
           // A collect over the 256 segment sums (references the `seg`
           // key) is domain-bounded even under a single grouping key —
-          // that IS the outer level of the segmented fold.
+          // that IS the outer level of the segmented fold. Same for
+          // `dim` (the 64-wide embedding dimension, s34's per-cell
+          // sum-vector assembly): both keys range over a fixed domain
+          // by construction, so the buffer cannot grow with the
+          // corpus.
+          val domainKeys = Set("seg", "dim")
           val unbounded = lists.filterNot(
-            _.child.references.toSeq.map(_.name).contains("seg"))
+            _.child.references.toSeq.map(_.name).exists(domainKeys.contains))
           val boundedGroup =
             a.groupingExpressions.size >= 2 ||
               a.groupingExpressions.flatMap(_.references.toSeq.map(_.name))

@@ -1714,4 +1714,60 @@ class StreamingExtrasSpec extends AnyFunSuite {
       graft.ops.EventOps.dayUserActivity(batches(0).toSeq.toDF("ts", "user_id"))))
     assert(tick0 == prefix)
   }
+
+  test("StreamingPeriodicity: final tick equals batch e30 under an out-of-order split; replay exactly-once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // reversed-time split: the oldest hours arrive LAST, so only the
+    // additive state fold (never arrival order) makes the final
+    // autocorrelation exact
+    val ev = graft.Tables.events(spark, TestSpark.sfDir)
+      .selectExpr("event_type", "ts")
+      .as[(String, java.sql.Timestamp)].collect()
+      .sortBy { case (t, ts) => (-ts.getTime, t) }
+    val batches = Seq(ev.take(ev.length / 3),
+      ev.slice(ev.length / 3, 2 * ev.length / 3),
+      ev.drop(2 * ev.length / 3))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_per_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_per_out").toString
+    val st = java.nio.file.Files.createTempDirectory("graft_per_state").toString
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("event_type", "ts")
+    def start() = graft.streaming.StreamingPeriodicity.run(stream, out, st, ckpt)
+
+    val q1 = start()
+    try {
+      input.addData(batches(0).toSeq); q1.processAllAvailable()
+      input.addData(batches(1).toSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    // crash before the commit marker: batch 1 must refold from
+    // snapshot 0 and rewrite identical bytes, never double-count
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.map(_.getName.toLong).toSeq == Seq(0L, 1L))
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.1.crc")
+    if (crc.exists()) assert(crc.delete())
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays batch 1 against snapshot 0
+      input.addData(batches(2).toSeq); q2.processAllAvailable()
+    } finally q2.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getDouble(8), r.getBoolean(9)))
+      .sortBy(_._1).toSeq
+    val finalTick = rows(spark.read.parquet(s"$out/batch_id=2"))
+    val batchRun = rows(SparkEntry.queries("e30_periodicity")(spark, TestSpark.sfDir))
+    assert(finalTick == batchRun,
+      "the final tick must equal batch e30 over the same arrivals")
+    // provisional ticks are honest over their own prefix
+    val tick0 = rows(spark.read.parquet(s"$out/batch_id=0"))
+    val prefix = rows(graft.ops.EventOps.periodicityOver(
+      graft.ops.EventOps.hourlyCounts(batches(0).toSeq.toDF("event_type", "ts"))))
+    assert(tick0 == prefix)
+  }
 }
