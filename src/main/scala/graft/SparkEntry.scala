@@ -96,6 +96,9 @@ object SparkEntry {
     // e30 = hourly autocorrelation periodicity: R(L)=Σ c(h)·c(h+L)
     // at lags 1/23/24/25, all-BIGINT; daily_peak = local max at 24.
     "e30_periodicity"        -> (EventOps.hourlyPeriodicity _),
+    // e31 = CUSUM changepoint on daily volume, mean cross-multiplied
+    // away so the whole op is exact BIGINTs; ties -> earliest day.
+    "e31_changepoints"       -> (EventOps.changepoints _),
     // m19 = EXECUTED audio decimation through the real WAV codec
     // (decode → drop odd samples → re-encode at 4 kHz → decode);
     // position-weighted sums pin sample order across the chain.
@@ -526,6 +529,10 @@ object SparkEntry {
     // m28 = repeated patches: 4x4 patch content keys recurring in >=2
     // distinct images — sub-image boilerplate (the visual d20).
     "m28_repeated_patches"   -> ((s, d) => Multimodal.repeatedPatches(s, d)),
+    // m29 = executed 2x linear upsample: decode -> interpolate ->
+    // re-encode 16 kHz WAV -> decode; order pinned by the weighted
+    // sum, truncating midpoints match DuckDB's // on negatives.
+    "m29_wav_upsample"       -> (Multimodal.wavUpsample _),
     // m09 = audio feature extraction: per-frame energy over the real
     // WAV decode (64-sample frames, integer-exact activity detection).
     "m09_wav_frames"         -> ((s, d) => Multimodal.wavFrameEnergy(s, d)),
@@ -1077,6 +1084,29 @@ object SparkEntry {
         SELECT event_type, count(*) AS n,
           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
         FROM events GROUP BY event_type ORDER BY event_type""",
+      // e31: the same all-integer CUSUM chain; argmax ties break to
+      // the earliest day in both engines.
+      "e31_changepoints" -> """
+        WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+                         count(*) AS c
+                       FROM events GROUP BY 1, 2),
+        tot AS (SELECT event_type, count(*) AS n_days,
+                  CAST(sum(c) AS BIGINT) AS n_events
+                FROM daily GROUP BY 1),
+        cu AS (SELECT daily.event_type, d, n_days, n_events,
+                 CAST(sum(c) OVER (PARTITION BY daily.event_type ORDER BY d)
+                   AS BIGINT) AS pref,
+                 CAST(row_number() OVER (PARTITION BY daily.event_type ORDER BY d)
+                   AS BIGINT) AS t_idx
+               FROM daily JOIN tot ON daily.event_type = tot.event_type),
+        sx AS (SELECT *, n_days * pref - t_idx * n_events AS s_t,
+                 abs(n_days * pref - t_idx * n_events) AS abs_s FROM cu),
+        r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY abs_s DESC, d) AS rk FROM sx)
+        SELECT event_type, n_days, n_events, d AS peak_day, t_idx AS peak_t,
+          s_t AS peak_s, abs_s AS peak_abs,
+          (20 * abs_s > n_days * n_events) AS shifted
+        FROM r WHERE rk = 1 ORDER BY event_type""",
       // e30: all-BIGINT lag products off the sparse (type, hour)
       // aggregate (zero hours vanish as 0·x); one exact-int divide.
       "e30_periodicity" -> """
@@ -1540,6 +1570,26 @@ object SparkEntry {
       // (f, x, y) = (id·31 + 17f + 7x + 13y) mod 256; k enumerates the
       // 2×3×3 block (dt = k div 9, dy = (k div 3) mod 3, dx = k mod 3),
       // weight k+1 matches the Spark loop's dt·9+dy·3+dx+1.
+      // m29: the generator PCM replayed at output indices — even j
+      // copies s[j/2], odd j the TRUNCATED midpoint (// and Java /
+      // both round toward zero on negatives; a shift would floor).
+      "m29_wav_upsample" -> """
+        WITH d AS (SELECT doc_id, CAST(200 + doc_id % 400 AS BIGINT) AS n
+                   FROM documents),
+        o AS (SELECT doc_id, n,
+                unnest(generate_series(0, CAST(2 * n - 2 AS INTEGER))) AS j
+              FROM d),
+        v AS (SELECT doc_id, n, j,
+                CASE WHEN j % 2 = 0
+                  THEN (doc_id * 7919 + (j // 2) * 104729) % 65536 - 32768
+                  ELSE (((doc_id * 7919 + (j // 2) * 104729) % 65536 - 32768)
+                      + ((doc_id * 7919 + (j // 2 + 1) * 104729) % 65536 - 32768)) // 2
+                END AS s
+              FROM o)
+        SELECT doc_id, n AS n_in, CAST(2 * n - 1 AS BIGINT) AS n_out,
+          CAST(sum(s) AS BIGINT) AS amp_sum,
+          CAST(sum(s * (j + 1)) AS BIGINT) AS amp_wsum
+        FROM v GROUP BY doc_id, n ORDER BY doc_id""",
       // m28: the generator raster replayed per patch cell; the
       // polynomial fold runs k = (k*257 + v) mod 2147483647 in
       // row-major pixel order (seedless list_reduce == 0-seeded fold

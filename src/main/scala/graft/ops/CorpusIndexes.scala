@@ -62,6 +62,10 @@ private[graft] object CorpusIndexes {
     "bands"          -> Layout(8, "bkey", Seq("bkey")),
     "png_ahash"      -> Layout(8, "doc_id", Seq("doc_id")),
     "png_dhash"      -> Layout(8, "doc_id", Seq("doc_id")),
+    // bucketed on the patch content key: m28's recurrence aggregate
+    // groups by pkey, so the disk form aggregates without an exchange;
+    // m26's manifest projection is bucket-agnostic
+    "png_patches"    -> Layout(8, "pkey", Seq("pkey")),
     "text_labels_64" -> Layout(8, "doc_id", Seq("doc_id")),
     "image_labels"   -> Layout(8, "doc_id", Seq("doc_id")),
     "ivf_assigned"   -> Layout(8, "cell_id", Seq("cell_id", "vec_id")),
@@ -329,6 +333,7 @@ private[graft] object CorpusIndexes {
     "bands"          -> (() => minhashBands(s, dir)),
     "png_ahash"      -> (() => Multimodal.ahashSidecarFrame(s, dir)),
     "png_dhash"      -> (() => Multimodal.dhashSidecarFrame(s, dir)),
+    "png_patches"    -> (() => Multimodal.patchTable(s, dir)),
     "text_labels_64" -> (() => Dedup.dupClusterLabels(s, dir)),
     "image_labels"   -> (() => Multimodal.imageClusterLabels(s, dir)),
     "ivf_assigned"   -> (() => Similarity.ivfAssigned(s, dir)),
@@ -341,7 +346,8 @@ private[graft] object CorpusIndexes {
   /** All sidecar keys [[persistSidecars]] writes by default. */
   val persistableKeys: Seq[String] = Seq("shingles", "tokens", "bands",
     "png_ahash", "text_labels_64", "image_labels", "ivf_assigned", "pq_codes",
-    "bench_grams", "gif_frames", "wav_fp", "srp_sigs", "png_dhash")
+    "bench_grams", "gif_frames", "wav_fp", "srp_sigs", "png_dhash",
+    "png_patches")
 
   /** Read ONE persisted sidecar table from a root, registered with its
     * bucket layout — for consumers that take the index as an explicit

@@ -1033,6 +1033,53 @@ object EventOps {
       .orderBy($"event_type")
   }
 
+  /** e31 — CUSUM CHANGEPOINT detection on daily volume: per event
+    * type, the day where cumulative deviation from the overall daily
+    * mean peaks — "did traffic structurally shift, and when", the
+    * level-shift complement to e13 (pointwise outliers), e24 (user
+    * timing), e30 (periodicity). The classic CUSUM S_t = Σ_{i≤t}
+    * (c_i − μ) is kept ALL-INTEGER by cross-multiplying the mean
+    * away: S'_t = n·Σ_{i≤t} c_i − t'·T (n = #days, T = total events,
+    * t' = #days up to t) = n²·(S_t/n scaled) — argmax |S'_t| is
+    * argmax |S_t| because n > 0. The changepoint is the argmax day
+    * (ties → earliest), reported with the peak magnitude and a
+    * `shifted` flag (peak > n·T/20 — a 5% mass imbalance, also
+    * cross-multiplied: 20·|S'| > n·T).
+    *
+    * Determinism: counts, prefix sums, and every compare are exact
+    * BIGINTs — no float exists anywhere in the op.
+    *
+    * Scale shape: events reduce to (type, day) counts in one
+    * map-side-combined aggregate; the prefix sum is a window
+    * partitioned BY TYPE over |days| rows (bounded by the calendar,
+    * never the log); the argmax is one more |days|-row aggregate per
+    * type. Output is |types| rows.
+    */
+  def changepoints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, dir)
+      .select($"event_type", micros($"ts").as("us"))
+      .withColumn("d", expr("us div 86400000000"))
+      .groupBy($"event_type", $"d").agg(count(lit(1)).as("c"))
+    val tot = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"c").as("n_events"))
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+    val cusum = daily.join(tot, Seq("event_type"))
+      .withColumn("pref", sum($"c").over(w))
+      .withColumn("t_idx", row_number().over(w).cast("long"))
+      .withColumn("s_t", $"n_days" * $"pref" - $"t_idx" * $"n_events")
+      .withColumn("abs_s", abs($"s_t"))
+    val kw = Window.partitionBy($"event_type").orderBy($"abs_s".desc, $"d")
+    cusum
+      .withColumn("rk", row_number().over(kw))
+      .filter($"rk" === 1)
+      .select($"event_type", $"n_days", $"n_events",
+        $"d".as("peak_day"), $"t_idx".as("peak_t"), $"s_t".as("peak_s"),
+        $"abs_s".as("peak_abs"),
+        (lit(20L) * $"abs_s" > $"n_days" * $"n_events").as("shifted"))
+      .orderBy($"event_type")
+  }
+
   /** [[stickiness]] from an already-reduced (day_i, user_id) activity
     * table — the frame core the streaming door emits per tick.
     */

@@ -883,6 +883,79 @@ object Multimodal {
     }.toDF().orderBy($"doc_id")
   }
 
+  final case class WavUpsampled(doc_id: Long, n_in: Long, n_out: Long,
+      amp_sum: Long, amp_wsum: Long)
+
+  /** m29 — executed 2× UPSAMPLE (linear interpolation), the inverse
+    * direction of m19's decimation and the last arrow in the
+    * sample-rate story: decode (8 kHz) → interpolate (out[2i] = s[i],
+    * out[2i+1] = (s[i]+s[i+1])/2 with TRUNCATING division — Java `/`
+    * and DuckDB `//` both round toward zero on negatives, where an
+    * arithmetic shift would floor and drift one low on odd negative
+    * sums; the spec witnesses the corner) → RE-ENCODE as a real
+    * 16 kHz WAV → decode THAT and report count,
+    * amplitude sum, and the position-weighted sum that pins sample
+    * order through the chain (the m19 discipline: a multiset-
+    * preserving fake cannot match). n_out = 2n−1 — the interpolator
+    * emits between pairs, so nothing is invented past the last
+    * sample.
+    *
+    * (A production resampler uses a windowed-sinc kernel; the linear
+    * kernel keeps every value integer-exact so the oracle can replay
+    * the chain from the generator formula. Same codec slot either
+    * way.)
+    *
+    * Scale shape: one mapPartitions pass, payloads never shuffle,
+    * 4 longs out per clip.
+    */
+  def wavUpsample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    wavTable(s, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.payload))
+        val bytes = try ais.readAllBytes() finally ais.close()
+        val nIn = bytes.length / 2
+        val in = new Array[Int](nIn)
+        var i = 0
+        while (i < nIn) {
+          in(i) = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+          i += 1
+        }
+        val nOut = if (nIn == 0) 0 else 2 * nIn - 1
+        val pcm = new Array[Byte](nOut * 2)
+        var j = 0
+        while (j < nOut) {
+          val v =
+            if (j % 2 == 0) in(j / 2)
+            else (in(j / 2) + in(j / 2 + 1)) / 2
+          pcm(2 * j) = (v & 0xff).toByte
+          pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+          j += 1
+        }
+        val outFormat = new AudioFormat(16000f, 16, 1, /*signed=*/ true,
+          /*bigEndian=*/ false)
+        val outAis = new AudioInputStream(new ByteArrayInputStream(pcm),
+          outFormat, nOut.toLong)
+        val bos = new ByteArrayOutputStream()
+        AudioSystem.write(outAis, AudioFileFormat.Type.WAVE, bos)
+        val back = AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(bos.toByteArray))
+        val outBytes = try back.readAllBytes() finally back.close()
+        val n = outBytes.length / 2
+        var sum = 0L
+        var wsum = 0L
+        var k = 0
+        while (k < n) {
+          val sm = (outBytes(2 * k + 1) << 8) | (outBytes(2 * k) & 0xff)
+          sum += sm
+          wsum += sm.toLong * (k + 1)
+          k += 1
+        }
+        WavUpsampled(r.doc_id, nIn.toLong, n.toLong, sum, wsum)
+      }
+    }.toDF().orderBy($"doc_id")
+  }
+
   final case class WavNormalized(doc_id: Long, n_samples: Long, peak_in: Long,
       peak_out: Long, amp_sum: Long, amp_wsum: Long)
 
@@ -1879,8 +1952,6 @@ object Multimodal {
       .orderBy($"media_type")
   }
 
-  final case class PatchRow(doc_id: Long, py: Long, px: Long,
-                            p_sum: Long, p_wsum: Long)
 
   final case class TubeletRow(doc_id: Long, tt: Long, py: Long, px: Long,
                               t_sum: Long, t_wsum: Long)
@@ -1948,7 +2019,6 @@ object Multimodal {
     }.toDF().orderBy($"doc_id", $"tt", $"py", $"px")
   }
 
-  final case class PatchKey(doc_id: Long, py: Long, px: Long, pkey: Long)
 
   /** m28 — REPEATED-PATCH detector: patch-granular image dedup, the
     * visual analog of d20's chunk dedup — 4×4 patch CONTENT (a
@@ -1974,40 +2044,59 @@ object Multimodal {
     * Scale shape: the patch-key aggregate is the d20 shape — keys
     * shuffle as 8-byte values with map-side combine, n_docs is a
     * single-distinct two-phase aggregate, and output is bounded by
-    * the number of RECURRING keys. At 100 TB this runs off the m26
-    * patch manifest sidecar (one decode, two consumers).
+    * the number of RECURRING keys. Shares [[patchTable]] with m26 —
+    * one decode pass, two consumers, locally AND at 100 TB.
     */
-  def repeatedPatches(s: SparkSession, dir: String, p: Int = 4): DataFrame = {
+  def repeatedPatches(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val keys = pngTable(s, dir).mapPartitions { rows =>
-      ImageIO.setUseCache(false)
-      rows.flatMap { r =>
-        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
-        val nx = img.getWidth / p
-        val ny = img.getHeight / p
-        for { py <- 0 until ny; px <- 0 until nx } yield {
-          var k = 0L
-          var dy = 0
-          while (dy < p) {
-            var dx = 0
-            while (dx < p) {
-              val v = (img.getRGB(px * p + dx, py * p + dy) & 0xff).toLong
-              k = (k * 257 + v) % 2147483647L
-              dx += 1
-            }
-            dy += 1
-          }
-          PatchKey(r.doc_id, py.toLong, px.toLong, k)
-        }
-      }
-    }.toDF()
-    keys.groupBy($"pkey")
+    patchTable(s, dir)
+      .groupBy($"pkey")
       .agg(count(lit(1)).as("n_patches"),
         countDistinct($"doc_id").as("n_docs"),
         min($"doc_id").as("first_doc"))
       .filter($"n_docs" >= 2)
       .orderBy($"pkey")
   }
+
+  /** The unified 4×4 patch table — ONE decode pass emitting
+    * (doc_id, py, px, p_sum, p_wsum, pkey) rows, session-memoized
+    * (CorpusIndexes discipline) so the m26 manifest and the m28
+    * recurrence audit share the codec work; at 100 TB this IS the
+    * persisted patch sidecar both consumers read.
+    */
+  private[ops] def patchTable(s: SparkSession, dir: String, p: Int = 4): DataFrame =
+    graft.ops.CorpusIndexes.memo(s, dir, "png_patches") {
+      import s.implicits._
+      pngTable(s, dir).mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+          val nx = img.getWidth / p
+          val ny = img.getHeight / p
+          for { py <- 0 until ny; px <- 0 until nx } yield {
+            var sum = 0L
+            var wsum = 0L
+            var k = 0L
+            var dy = 0
+            while (dy < p) {
+              var dx = 0
+              while (dx < p) {
+                val v = (img.getRGB(px * p + dx, py * p + dy) & 0xff).toLong
+                sum += v
+                wsum += v * (dy * p + dx + 1)
+                k = (k * 257 + v) % 2147483647L
+                dx += 1
+              }
+              dy += 1
+            }
+            PatchFull(r.doc_id, py.toLong, px.toLong, sum, wsum, k)
+          }
+        }
+      }.toDF()
+    }
+
+  final case class PatchFull(doc_id: Long, py: Long, px: Long,
+      p_sum: Long, p_wsum: Long, pkey: Long)
 
   /** m26 — ViT PATCH MANIFEST: each image tiled into the P×P patch
     * grid a vision transformer ingests (patchify — the first layer of
@@ -2029,31 +2118,10 @@ object Multimodal {
     * it persists next to the media like the other sidecars and the
     * decode never re-runs.
     */
-  def vitPatches(s: SparkSession, dir: String, p: Int = 4): DataFrame = {
+  def vitPatches(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    pngTable(s, dir).mapPartitions { rows =>
-      ImageIO.setUseCache(false)
-      rows.flatMap { r =>
-        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
-        val nx = img.getWidth / p
-        val ny = img.getHeight / p
-        for { py <- 0 until ny; px <- 0 until nx } yield {
-          var sum = 0L
-          var wsum = 0L
-          var dy = 0
-          while (dy < p) {
-            var dx = 0
-            while (dx < p) {
-              val v = (img.getRGB(px * p + dx, py * p + dy) & 0xff).toLong
-              sum += v
-              wsum += v * (dy * p + dx + 1)
-              dx += 1
-            }
-            dy += 1
-          }
-          PatchRow(r.doc_id, py.toLong, px.toLong, sum, wsum)
-        }
-      }
-    }.toDF().orderBy($"doc_id", $"py", $"px")
+    patchTable(s, dir)
+      .select($"doc_id", $"py", $"px", $"p_sum", $"p_wsum")
+      .orderBy($"doc_id", $"py", $"px")
   }
 }

@@ -403,6 +403,39 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e31 changepoints: the all-integer CUSUM recomputed driver-side") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = SparkEntry.queries("e31_changepoints")(spark, TestSpark.sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+      .toMap
+    val raw = spark.read.parquet(TestSpark.sfDir + "/events.parquet")
+      .selectExpr("event_type", "unix_micros(cast(ts as timestamp)) div 86400000000 as d")
+      .as[(String, Long)].collect()
+    val byType = raw.groupBy(_._1)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (t, es) =>
+      val daily = es.groupBy(_._2).map { case (d, g) => d -> g.size.toLong }
+        .toSeq.sortBy(_._1)
+      val n = daily.size.toLong
+      val total = daily.map(_._2).sum
+      val curve = daily.zipWithIndex.map { case ((d, _), i) =>
+        val pref = daily.take(i + 1).map(_._2).sum
+        (d, i + 1L, n * pref - (i + 1L) * total)
+      }
+      val peak = curve.minBy { case (d, _, s) => (-math.abs(s), d) }
+      val (nd, ne, pd, pt, ps, pa, sh) = got(t)
+      assert(nd == n && ne == total, s"$t totals")
+      assert(pd == peak._1 && pt == peak._2 && ps == peak._3, s"$t peak")
+      assert(pa == math.abs(peak._3))
+      assert(sh == (20L * math.abs(peak._3) > n * total), s"$t shift flag")
+      // the last prefix is exactly the total, so S'_n == 0 always —
+      // a peak at t_idx == n would mean a flat curve
+      assert(curve.last._3 == 0L)
+    }
+  }
+
   test("e27 stickiness: driver recompute of the trailing-7-day distinct; DAU ≤ WAU") {
     val spark = TestSpark.spark
     import spark.implicits._

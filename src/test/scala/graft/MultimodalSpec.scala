@@ -814,6 +814,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(orderWitness, "no tubelet distinguished its frame order")
   }
 
+  test("m29 upsample: chain recomputed from the PCM formula; floor midpoints exercised") {
+    val spark = TestSpark.spark
+    val got = SparkEntry.queries("m29_wav_upsample")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val ids = spark.read.parquet(TestSpark.sfDir + "/documents.parquet")
+      .selectExpr("doc_id").collect().map(_.getLong(0))
+    assert(got.keySet == ids.toSet)
+    var floorWitness = false
+    ids.foreach { id =>
+      val n = (200 + id % 400).toInt
+      def s(i: Int): Long = (id * 7919 + i.toLong * 104729) % 65536 - 32768
+      val out = (0 until 2 * n - 1).map { j =>
+        if (j % 2 == 0) s(j / 2)
+        else {
+          val a = s(j / 2) + s(j / 2 + 1)
+          // the semantics under test: TRUNCATING division (Java / and
+          // DuckDB // both round toward zero) — a floor/shift would
+          // sit one lower on exactly these odd negative sums
+          if (a < 0 && a % 2 != 0) floorWitness = true
+          a / 2
+        }
+      }
+      val (ni, no, sum, wsum) = got(id)
+      assert(ni == n.toLong && no == (2 * n - 1).toLong, s"doc $id counts")
+      assert(sum == out.sum, s"doc $id sum")
+      assert(wsum == out.zipWithIndex.map { case (v, k) => v * (k + 1) }.sum,
+        s"doc $id wsum")
+    }
+    // the corpus must actually exercise the floor-vs-truncate corner
+    assert(floorWitness, "no odd negative midpoint in the corpus")
+  }
+
   test("m28 repeated patches: keys recomputed from the raster, gradient collapse proven") {
     val spark = TestSpark.spark
     val got = SparkEntry.queries("m28_repeated_patches")(spark, TestSpark.sfDir)

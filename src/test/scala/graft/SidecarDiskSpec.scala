@@ -321,6 +321,29 @@ class SidecarDiskSpec extends AnyFunSuite {
       "disk-form video dedup must not re-read (and re-encode) the corpus")
   }
 
+  test("patch sidecar serves m26/m28 from disk: identical results, scan under the root, no PNG decode") {
+    val base = TestSpark.spark
+    val s2 = diskSession()
+    Seq("m26_vit_patches", "m28_repeated_patches").foreach { q =>
+      val expect = rows(SparkEntry.queries(q)(base, TestSpark.sfDir))
+      assert(rows(SparkEntry.queries(q)(s2, TestSpark.sfDir)) == expect,
+        s"$q: disk form diverged from session form")
+    }
+    assert(s2.catalog.tableExists(CorpusIndexes.tableName(root, "png_patches")))
+    // the disk path is really taken AND no decode runs: the m28 plan
+    // scans png_patches under the root, never documents (the PNG
+    // encode source), and its pkey aggregate needs no exchange before
+    // the aggregate itself (bucketed on pkey)
+    val rp = graft.ops.Multimodal.repeatedPatches(s2, TestSpark.sfDir)
+    rp.collect()
+    val scanned = scans(rp.queryExecution.executedPlan)
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(scanned.exists(_.contains(s"$root/png_patches")),
+      s"expected a png_patches scan under $root, got $scanned")
+    assert(!scanned.exists(_.contains("documents")),
+      "disk-form patch audit must not re-read (and re-decode) the corpus")
+  }
+
   test("StreamingVideoDedup run from a durable index dir equals batch m17 with no run-start decode") {
     val spark = TestSpark.spark
     import spark.implicits._
