@@ -99,6 +99,9 @@ object SparkEntry {
     // e31 = CUSUM changepoint on daily volume, mean cross-multiplied
     // away so the whole op is exact BIGINTs; ties -> earliest day.
     "e31_changepoints"       -> (EventOps.changepoints _),
+    // e32 = retention-decay OLS over e12's pooled fully-observed
+    // cohorts; integer-log rates, fixed literal closed form.
+    "e32_retention_decay"    -> (EventOps.retentionDecay _),
     // m19 = EXECUTED audio decimation through the real WAV codec
     // (decode → drop odd samples → re-encode at 4 kHz → decode);
     // position-weighted sums pin sample order across the chain.
@@ -325,6 +328,9 @@ object SparkEntry {
     // CC; keep the member FARTHEST from its centroid (the paper's
     // rule), ties by lowest vec_id.
     "d40_semdedup"           -> ((s, d) => Dedup.semDedup(s, d)),
+    // d41 = lexical (d27) vs semantic (d40) decision agreement: one
+    // row per verdict pair keep/drop/uninvolved with doc counts.
+    "d41_signal_agreement"   -> ((s, d) => Dedup.dedupSignalAgreement(s, d)),
     // d27 = the dedup DECISION table: per implicated doc the keep/drop
     // verdict with the quality-argmax canonical survivor (tie → min
     // doc_id) — the apply-step artifact downstream filters join on.
@@ -1084,6 +1090,43 @@ object SparkEntry {
         SELECT event_type, count(*) AS n,
           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
         FROM events GROUP BY event_type ORDER BY event_type""",
+      // e32: daily cohort CTE pooled over fully-observed cohorts;
+      // every ln argument an integer count, OLS a fixed literal form.
+      "e32_retention_decay" -> """
+        WITH first AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+                       FROM events GROUP BY user_id),
+        active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                   FROM events),
+        ret AS (SELECT f.cohort_day,
+                  CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS age,
+                  count(DISTINCT a.user_id) AS n_users
+                FROM active a JOIN first f ON a.user_id = f.user_id
+                GROUP BY f.cohort_day, age),
+        full_c AS (SELECT cohort_day FROM ret GROUP BY cohort_day
+                   HAVING max(age) >= 3),
+        pooled AS (SELECT age, CAST(sum(n_users) AS BIGINT) AS num
+                   FROM ret JOIN full_c USING (cohort_day)
+                   WHERE age <= 3 GROUP BY age),
+        row_w AS (SELECT
+                    max(CASE WHEN age = 0 THEN num END) AS den,
+                    max(CASE WHEN age = 1 THEN num END) AS n1,
+                    max(CASE WHEN age = 2 THEN num END) AS n2,
+                    max(CASE WHEN age = 3 THEN num END) AS n3
+                  FROM pooled),
+        ys AS (SELECT den, n1, n2, n3,
+                 ln(CAST(n1 AS DOUBLE)) - ln(CAST(den AS DOUBLE)) AS y1,
+                 ln(CAST(n2 AS DOUBLE)) - ln(CAST(den AS DOUBLE)) AS y2,
+                 ln(CAST(n3 AS DOUBLE)) - ln(CAST(den AS DOUBLE)) AS y3
+               FROM row_w),
+        fit AS (SELECT *,
+                  (CAST(3.0 AS DOUBLE) * (y1 + CAST(2.0 AS DOUBLE) * y2 + CAST(3.0 AS DOUBLE) * y3)
+                   - CAST(6.0 AS DOUBLE) * (y1 + y2 + y3)) / CAST(6.0 AS DOUBLE) AS slope
+                FROM ys)
+        SELECT den, n1, n2, n3, y1, y2, y3, slope,
+          ((y1 + y2 + y3) - slope * CAST(6.0 AS DOUBLE)) / CAST(3.0 AS DOUBLE) AS intercept,
+          CASE WHEN slope < 0.0
+            THEN -ln(CAST(2.0 AS DOUBLE)) / slope END AS half_life_days
+        FROM fit ORDER BY den""",
       // e31: the same all-integer CUSUM chain; argmax ties break to
       // the earliest day in both engines.
       "e31_changepoints" -> """
@@ -3848,6 +3891,79 @@ object SparkEntry {
         ORDER BY jn.doc_id""",
       // d39: the d18 CTEs with the low-bit agreement beside the full
       // one; sig values are nonnegative so m % 2 IS the low bit.
+      // d41: the d27 chain and the d40 chain composed verbatim (the
+      // d24 two-recursive-walk precedent), full-outer on doc_id.
+      "d41_signal_agreement" -> """
+        WITH RECURSIVE
+        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+               FROM documents),
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        small AS (SELECT j, bkey FROM bands GROUP BY j, bkey
+                  HAVING count(*) <= 64 AND count(*) > 1),
+        inb AS (SELECT b.* FROM bands b JOIN small s ON b.j = s.j AND b.bkey = s.bkey),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+        lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+                FROM walk GROUP BY node),
+        q AS (SELECT doc_id,
+                0.4 * (1.0 - CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t))
+                  + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+                  + 0.3 * least(len(t) / 50.0, 1.0) AS quality
+              FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+                    FROM documents) x),
+        lex AS (SELECT j2.doc_id,
+                  CASE WHEN j2.doc_id = first_value(j2.doc_id) OVER (
+                    PARTITION BY j2.cluster_id ORDER BY j2.quality DESC, j2.doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                  THEN 'keep' ELSE 'drop' END AS lex
+                FROM (SELECT lab.doc_id, lab.cluster_id, q.quality
+                      FROM lab JOIN q ON lab.doc_id = q.doc_id) j2),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+              FROM embeddings),
+        cb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        assigned AS (SELECT vec_id, v, nrm, cell_id, ccos AS cos_c FROM (
+          SELECT e.vec_id, e.v, e.nrm, cb.cell_id,
+            list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) AS ccos,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) DESC, cb.cell_id) AS arank
+          FROM e CROSS JOIN cb) t WHERE arank = 1),
+        epairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+                   FROM assigned a JOIN assigned b
+                     ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+                   WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+        eedges AS (SELECT doc_a AS src, doc_b AS dst FROM epairs
+                   UNION ALL SELECT doc_b, doc_a FROM epairs),
+        ewalk(node, lbl) AS (
+          SELECT src, src FROM eedges
+          UNION
+          SELECT e2.dst, w.lbl FROM ewalk w JOIN eedges e2 ON e2.src = w.node),
+        elab AS (SELECT node AS vec_id, min(lbl) AS cluster_id
+                 FROM ewalk GROUP BY node),
+        sem AS (SELECT a.vec_id AS doc_id,
+                  CASE WHEN row_number() OVER (PARTITION BY elab.cluster_id
+                         ORDER BY a.cos_c ASC, a.vec_id) = 1
+                  THEN 'keep' ELSE 'drop' END AS sem
+                FROM assigned a JOIN elab ON elab.vec_id = a.vec_id)
+        SELECT COALESCE(lex.lex, 'uninvolved') AS lex,
+          COALESCE(sem.sem, 'uninvolved') AS sem,
+          count(*) AS n_docs,
+          min(COALESCE(lex.doc_id, sem.doc_id)) AS first_doc
+        FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+        GROUP BY 1, 2 ORDER BY lex, sem""",
       // d40: the s04 assignment CTE, within-cell pairs, d11's CC walk,
       // keep = row 1 by (cos_c ASC, vec_id) per duplicate group.
       "d40_semdedup" -> """

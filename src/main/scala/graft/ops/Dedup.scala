@@ -1700,6 +1700,41 @@ object Dedup {
       .orderBy($"vec_id")
   }
 
+  /** d41 — SIGNAL-AGREEMENT audit: the d27 lexical keep/drop decision
+    * against the d40 semantic (SemDeDup) keep/drop decision, per
+    * document — the review table a curation owner reads before
+    * composing dedup signals, because the two families disagree by
+    * construction (lexical near-dups share surface text, semantic
+    * near-dups share meaning) and a doc DROPPED by one but UNTOUCHED
+    * by the other is exactly the marginal-information question d24
+    * asks across modalities, here asked across DECISION FAMILIES.
+    * Output: one row per (lex, sem) verdict pair — keep / drop /
+    * uninvolved — with doc counts and the lowest implicated id.
+    * Docs without an embedding row are semantically `uninvolved`
+    * (no vector ⇒ no semantic signal; at this corpus the embedding
+    * table covers an id-aligned prefix, and a deployment joins
+    * through its doc→vec mapping column the same way).
+    *
+    * Scale shape: both inputs are decision tables (implicated-doc-
+    * sized, orders under the corpus), the join is a full outer on
+    * doc_id, and the output is ≤ 9 rows — composition costs nothing
+    * beyond the two family passes it audits, both of which serve from
+    * session/disk sidecars.
+    */
+  def dedupSignalAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lex = canonicalSelection(s, dir)
+      .select($"doc_id", when($"kept", "keep").otherwise("drop").as("lex"))
+    val sem = semDedup(s, dir)
+      .select($"vec_id".as("doc_id"), when($"keep", "keep").otherwise("drop").as("sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select($"doc_id", coalesce($"lex", lit("uninvolved")).as("lex"),
+        coalesce($"sem", lit("uninvolved")).as("sem"))
+      .groupBy($"lex", $"sem")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+      .orderBy($"lex", $"sem")
+  }
+
   /** Chunk-level exact substring dedup — the fixed-window form of the
     * suffix-dedup every LLM corpus pipeline runs (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"):

@@ -1033,6 +1033,67 @@ object EventOps {
       .orderBy($"event_type")
   }
 
+  /** e32 — RETENTION-DECAY FIT: the exponential-churn constant read
+    * off the DAILY cohort matrix — ln r_a = α + β·a fitted by OLS
+    * over pooled day-ages 1..3, with half-life −ln 2/β: the single
+    * number a growth team quotes from the whole retention surface
+    * (t38/t39's model-fit discipline applied to the event side).
+    * Daily, not e12's weekly, granularity — this corpus's users all
+    * return every week (weekly retention is uniformly 1.0 and the fit
+    * degenerates to slope 0; the day-level matrix has real decay).
+    * Pooling is restricted to FULLY-OBSERVED cohorts (max observable
+    * age ≥ 3) so every age's denominator is the same age-0 population
+    * and no partially-observed cohort biases the tail.
+    *
+    * Determinism: r_a = num_a/den enters ONLY through ln num_a −
+    * ln den (the t45 integer-log discipline — platform_ln over exact
+    * BIGINT counts, never a fraction); the OLS closed form over the
+    * three (a, y_a) points is a FIXED literal expression (Σa = 6,
+    * Σa² = 14 constants), identical in both engines; half-life is one
+    * divide by the fitted slope, emitted only when the slope is
+    * genuinely negative.
+    *
+    * Scale shape: the (user, day) distinct and the first-day
+    * aggregate each shuffle on user_id once (co-partitioned); the
+    * cohort×age matrix is days²-sized whatever the log size, and
+    * everything after is a ≤4-row pivot in one reduce. Output is ONE
+    * row.
+    */
+  def retentionDecay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.platform_ln
+    val ev = events(s, dir).select($"user_id", to_date($"ts").as("day"))
+    val first = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    val active = ev.distinct()
+    val ret = active.join(first, Seq("user_id"))
+      .groupBy($"cohort_day", datediff($"day", $"cohort_day").cast("long").as("age"))
+      .agg(countDistinct($"user_id").as("n_users"))
+    val full = ret.groupBy($"cohort_day").agg(max($"age").as("max_age"))
+      .filter($"max_age" >= 3).select($"cohort_day")
+    val pooled = ret.join(full, Seq("cohort_day"))
+      .filter($"age" <= 3)
+      .groupBy($"age").agg(sum($"n_users").as("num"))
+    val row = pooled.agg(
+      max(when($"age" === 0, $"num")).as("den"),
+      max(when($"age" === 1, $"num")).as("n1"),
+      max(when($"age" === 2, $"num")).as("n2"),
+      max(when($"age" === 3, $"num")).as("n3"))
+    val y = (c: org.apache.spark.sql.Column) =>
+      platform_ln(c.cast("double")) - platform_ln($"den".cast("double"))
+    row
+      .withColumn("y1", y($"n1")).withColumn("y2", y($"n2")).withColumn("y3", y($"n3"))
+      .withColumn("slope",
+        (lit(3.0) * ($"y1" + lit(2.0) * $"y2" + lit(3.0) * $"y3") -
+          lit(6.0) * ($"y1" + $"y2" + $"y3")) / lit(6.0))
+      .withColumn("intercept",
+        (($"y1" + $"y2" + $"y3") - $"slope" * lit(6.0)) / lit(3.0))
+      .withColumn("half_life_days",
+        when($"slope" < 0.0, -platform_ln(lit(2.0)) / $"slope"))
+      .select($"den", $"n1", $"n2", $"n3", $"y1", $"y2", $"y3",
+        $"slope", $"intercept", $"half_life_days")
+      .orderBy($"den")
+  }
+
   /** e31 — CUSUM CHANGEPOINT detection on daily volume: per event
     * type, the day where cumulative deviation from the overall daily
     * mean peaks — "did traffic structurally shift, and when", the

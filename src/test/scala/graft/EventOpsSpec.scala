@@ -436,6 +436,34 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e32 retention decay: pooled rates and the OLS closed form recomputed driver-side") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val r = SparkEntry.queries("e32_retention_decay")(spark, TestSpark.sfDir).head()
+    val raw = spark.read.parquet(TestSpark.sfDir + "/events.parquet")
+      .selectExpr("user_id", "cast(cast(ts as timestamp) as date) as day")
+      .distinct().as[(Long, java.sql.Date)].collect()
+      .map { case (u, d) => (u, d.toLocalDate.toEpochDay) }
+    val first = raw.groupBy(_._1).map { case (u, g) => u -> g.map(_._2).min }
+    val ages = raw.map { case (u, d) => (first(u), d - first(u)) }
+    val fullCohorts = ages.groupBy(_._1)
+      .collect { case (c, g) if g.map(_._2).max >= 3 => c }.toSet
+    def num(a: Long) = ages.count(x => fullCohorts.contains(x._1) && x._2 == a).toLong
+    val (den, n1, n2, n3) = (num(0), num(1), num(2), num(3))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((den, n1, n2, n3)), "pooled counts")
+    val y = Seq(n1, n2, n3).map(n => math.log(n.toDouble) - math.log(den.toDouble))
+    val slope = (3.0 * (y(0) + 2.0 * y(1) + 3.0 * y(2)) - 6.0 * y.sum) / 6.0
+    val intercept = (y.sum - slope * 6.0) / 3.0
+    assert(math.abs(r.getDouble(7) - slope) < 1e-12 &&
+      math.abs(r.getDouble(8) - intercept) < 1e-12, "fit")
+    if (slope < 0.0)
+      assert(math.abs(r.getDouble(9) - (-math.log(2.0) / slope)) < 1e-9, "half-life")
+    else assert(r.isNullAt(9), "no half-life on a non-decaying fit")
+    // retention is a probability: every pooled rate is <= 1 so y <= 0
+    assert(y.forall(_ <= 1e-12))
+  }
+
   test("e27 stickiness: driver recompute of the trailing-7-day distinct; DAU ≤ WAU") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -1559,6 +1559,31 @@ class InvariantSpec extends AnyFunSuite {
     assert(got.values.exists(_._4 > 0) && got.values.exists(_._4 < 0))
   }
 
+  test("d41 signal agreement: composes exactly from the d27 and d40 decision tables") {
+    val spark = TestSpark.spark
+    val got = SparkEntry.queries("d41_signal_agreement")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val lex = SparkEntry.queries("d27_canonical_keep")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val sem = SparkEntry.queries("d40_semdedup")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    def verdict(m: Map[Long, Boolean], id: Long) =
+      m.get(id).map(k => if (k) "keep" else "drop").getOrElse("uninvolved")
+    val expected = (lex.keySet ++ sem.keySet).toSeq
+      .map(id => (verdict(lex, id), verdict(sem, id), id))
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, g) => k -> (g.size.toLong, g.map(_._3).min) }
+    assert(got == expected)
+    // the table must witness real cross-family disagreement: at least
+    // one doc dropped by one family while the other keeps or ignores it
+    val disagree = got.collect {
+      case ((l, s2), (n, _)) if l != s2 && (l == "drop" || s2 == "drop") => n
+    }.sum
+    assert(disagree > 0, "no cross-family disagreement to audit")
+  }
+
   test("t50 memorization rate: splits, gram sets, and fractions recomputed driver-side") {
     val spark = TestSpark.spark
     import spark.implicits._

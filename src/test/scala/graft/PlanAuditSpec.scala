@@ -86,7 +86,10 @@ class PlanAuditSpec extends AnyFunSuite {
         // s34: s04's codebook assignment cross join plus the 16-row
         // (cell sum-vector, count) broadcast the linearized scoring
         // pass dots against.
-        "s34_silhouette")
+        "s34_silhouette",
+        // d41: inherits d40's codebook cross join through the
+        // semantic decision arm; nothing else crosses.
+        "d41_signal_agreement")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark
