@@ -99,7 +99,7 @@ object SparkEntry {
     // e31 = CUSUM changepoint on daily volume, mean cross-multiplied
     // away so the whole op is exact BIGINTs; ties -> earliest day.
     "e31_changepoints"       -> (EventOps.changepoints _),
-    // e32 = retention-decay OLS over e12's pooled fully-observed
+    // e32 = retention-decay OLS over pooled calendar-observable
     // cohorts; integer-log rates, fixed literal closed form.
     "e32_retention_decay"    -> (EventOps.retentionDecay _),
     // m19 = EXECUTED audio decimation through the real WAV codec
@@ -1090,7 +1090,7 @@ object SparkEntry {
         SELECT event_type, count(*) AS n,
           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
         FROM events GROUP BY event_type ORDER BY event_type""",
-      // e32: daily cohort CTE pooled over fully-observed cohorts;
+      // e32: daily cohort CTE pooled over calendar-observable cohorts;
       // every ln argument an integer count, OLS a fixed literal form.
       "e32_retention_decay" -> """
         WITH first AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
@@ -1102,11 +1102,11 @@ object SparkEntry {
                   count(DISTINCT a.user_id) AS n_users
                 FROM active a JOIN first f ON a.user_id = f.user_id
                 GROUP BY f.cohort_day, age),
-        full_c AS (SELECT cohort_day FROM ret GROUP BY cohort_day
-                   HAVING max(age) >= 3),
+        horizon AS (SELECT max(day) AS last_day FROM active),
         pooled AS (SELECT age, CAST(sum(n_users) AS BIGINT) AS num
-                   FROM ret JOIN full_c USING (cohort_day)
-                   WHERE age <= 3 GROUP BY age),
+                   FROM ret, horizon
+                   WHERE date_diff('day', cohort_day, last_day) >= 3
+                     AND age <= 3 GROUP BY age),
         row_w AS (SELECT
                     max(CASE WHEN age = 0 THEN num END) AS den,
                     max(CASE WHEN age = 1 THEN num END) AS n1,

@@ -1041,9 +1041,14 @@ object EventOps {
     * Daily, not e12's weekly, granularity — this corpus's users all
     * return every week (weekly retention is uniformly 1.0 and the fit
     * degenerates to slope 0; the day-level matrix has real decay).
-    * Pooling is restricted to FULLY-OBSERVED cohorts (max observable
-    * age ≥ 3) so every age's denominator is the same age-0 population
-    * and no partially-observed cohort biases the tail.
+    * Pooling is restricted to CALENDAR-observable cohorts — cohorts
+    * born at least 3 days before the log's last active day — so every
+    * age's denominator is the same age-0 population and no
+    * partially-observed cohort biases the tail. Observability is by
+    * CALENDAR, not by observed activity (a max(age)-based gate would
+    * silently drop cohorts whose users all churned before day 3 —
+    * survivorship bias that conditions r_a on survival and flattens
+    * the fitted slope).
     *
     * Determinism: r_a = num_a/den enters ONLY through ln num_a −
     * ln den (the t45 integer-log discipline — platform_ln over exact
@@ -1068,9 +1073,13 @@ object EventOps {
     val ret = active.join(first, Seq("user_id"))
       .groupBy($"cohort_day", datediff($"day", $"cohort_day").cast("long").as("age"))
       .agg(countDistinct($"user_id").as("n_users"))
-    val full = ret.groupBy($"cohort_day").agg(max($"age").as("max_age"))
-      .filter($"max_age" >= 3).select($"cohort_day")
-    val pooled = ret.join(full, Seq("cohort_day"))
+    // Calendar observability: the log's last active day is a one-row
+    // broadcast; a cohort is pooled iff ages 0..3 were OBSERVABLE
+    // (cohort_day <= last_day - 3), regardless of whether anyone
+    // actually returned.
+    val horizon = active.agg(max($"day").as("last_day"))
+    val pooled = ret.crossJoin(broadcast(horizon))
+      .filter(datediff($"last_day", $"cohort_day") >= 3)
       .filter($"age" <= 3)
       .groupBy($"age").agg(sum($"n_users").as("num"))
     val row = pooled.agg(

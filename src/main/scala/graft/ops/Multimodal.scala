@@ -2063,10 +2063,19 @@ object Multimodal {
     * (CorpusIndexes discipline) so the m26 manifest and the m28
     * recurrence audit share the codec work; at 100 TB this IS the
     * persisted patch sidecar both consumers read.
+    *
+    * The patch size is a CONSTANT, not a parameter: the memo key and
+    * the persisted sidecar are both the fixed string "png_patches", so
+    * a size parameter would be silently ignored after the first
+    * materialization (and could poison the sidecar for every later
+    * reader). A variant grid must come with its own memo/sidecar key.
     */
-  private[ops] def patchTable(s: SparkSession, dir: String, p: Int = 4): DataFrame =
+  private val PatchP = 4
+
+  private[ops] def patchTable(s: SparkSession, dir: String): DataFrame =
     graft.ops.CorpusIndexes.memo(s, dir, "png_patches") {
       import s.implicits._
+      val p = PatchP
       pngTable(s, dir).mapPartitions { rows =>
         ImageIO.setUseCache(false)
         rows.flatMap { r =>

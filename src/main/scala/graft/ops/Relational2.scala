@@ -670,8 +670,8 @@ object Relational2 {
     * (the per-(part, supplier) rollup re-aggregates to the part
     * total — identical subtree, one scan); the PROMO part slice
     * broadcasts (q04 argument); supplier and nation broadcast;
-    * output is |nations| rows + a bounded top list per nation via
-    * count/max aggregates, never a per-row re-probe of lineitem.
+    * output is |nations| rows of count/countDistinct/sum rollups,
+    * never a per-row re-probe of lineitem.
     */
   def dominantSuppliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -686,7 +686,7 @@ object Relational2 {
     val dominant = ps.join(tot, Seq("l_partkey"))
       .filter($"qty_s" * $"n_supp" > $"qty_total" * lit(2))
     dominant
-      .join(broadcast(supplier(s, dir).select($"s_suppkey", $"s_name", $"s_nationkey")),
+      .join(broadcast(supplier(s, dir).select($"s_suppkey", $"s_nationkey")),
         $"l_suppkey" === $"s_suppkey")
       .join(broadcast(nation(s, dir).select($"n_nationkey", $"n_name")),
         $"s_nationkey" === $"n_nationkey")
@@ -713,23 +713,28 @@ object Relational2 {
     *
     * Scale shape: at scale the base aggregate is the STORED view
     * (groups-sized, not fact-sized) — only the delta is scanned and
-    * shuffled; here both arms derive from one lineitem scan (identical
-    * subtrees under ReusedExchange) and the merge is a groups-sized
-    * outer join. No window, no cross join; output is |returnflag|
-    * rows.
+    * shuffled; here base and delta slice ONE
+    * (returnflag, is_delta)-grouped aggregate (the shuffle subtree is
+    * identical, so ReusedExchange evaluates the scan + partial
+    * aggregate once), while `full` deliberately pays its own second
+    * scan — an INDEPENDENT recompute is the whole point of the audit
+    * (deriving it from the same partials would certify nothing). The
+    * merge is a groups-sized outer join. No window, no cross join;
+    * output is |returnflag| rows.
     */
   def incrementalAggMaintenance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = lineitem(s, dir)
       .select($"l_returnflag", $"l_orderkey", dec($"l_quantity").as("qty"),
         dec($"l_extendedprice").as("price"))
-    def aggOf(df: DataFrame) = df.groupBy($"l_returnflag")
+    val split = li.groupBy($"l_returnflag", ($"l_orderkey" % 10 === 0).as("is_delta"))
       .agg(count(lit(1)).as("n"), sum($"qty").as("sq"), sum($"price").as("sp"))
-    val base = aggOf(li.filter($"l_orderkey" % 10 =!= 0))
+    val base = split.filter(!$"is_delta")
       .select($"l_returnflag", $"n".as("n_b"), $"sq".as("sq_b"), $"sp".as("sp_b"))
-    val delta = aggOf(li.filter($"l_orderkey" % 10 === 0))
+    val delta = split.filter($"is_delta")
       .select($"l_returnflag", $"n".as("n_d"), $"sq".as("sq_d"), $"sp".as("sp_d"))
-    val full = aggOf(li)
+    val full = li.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"qty").as("sq"), sum($"price").as("sp"))
     val zeroDec = lit("0.0000").cast(DecimalType(28, 4))
     base.join(delta, Seq("l_returnflag"), "full_outer")
       .select($"l_returnflag",
@@ -769,10 +774,16 @@ object Relational2 {
     * Determinism: every derivation is integer arithmetic (div/shift/
     * mask) from exact min/max aggregates — no floats anywhere.
     *
-    * Scale shape: one narrow two-column scan; the stats row is a
-    * one-row broadcast (q16 class); each arm is a 16-group map-side-
-    * combined aggregate. The audit itself is what you run BEFORE
-    * paying the real layout rewrite's global sort.
+    * Scale shape: TWO narrow two-column scans total — one for the
+    * key-range stats row (a one-row broadcast, q16 class) and ONE
+    * data pass that serves BOTH layouts: each row explodes into its
+    * two (layout, file_id) tags before the partial aggregate, so
+    * map-side combine collapses the fan-out to ≤32 groups per task
+    * and the shuffle carries 32 rows. The stats constants ride
+    * through the aggregate (min of a broadcast constant), so the
+    * prune verdict needs no second stats join. The audit itself is
+    * what you run BEFORE paying the real layout rewrite's global
+    * sort.
     */
   def zorderLayout(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -791,20 +802,24 @@ object Relational2 {
       .withColumn("yp", expr("(sk - sk_min) * 16 div (sk_max - sk_min + 1)"))
       .withColumn("file_z", expr(s"($zExpr) div 16"))
       .withColumn("file_lin", $"xp")
-    def arm(layout: String, fcol: String) =
-      files.groupBy(col(fcol).as("file_id"))
-        .agg(count(lit(1)).as("n_rows"),
-          min($"pk").as("min_pk"), max($"pk").as("max_pk"),
-          min($"sk").as("min_sk"), max($"sk").as("max_sk"))
-        .crossJoin(broadcast(st))
-        .withColumn("prunable",
-          expr("max_pk < pk_min + (pk_max - pk_min + 1) * 4 div 16 OR " +
-               "min_pk > pk_min + (pk_max - pk_min + 1) * 8 div 16 - 1 OR " +
-               "max_sk < sk_min + (sk_max - sk_min + 1) * 12 div 16 OR " +
-               "min_sk > sk_max"))
-        .select(lit(layout).as("layout"), $"file_id", $"n_rows",
-          $"min_pk", $"max_pk", $"min_sk", $"max_sk", $"prunable")
-    arm("linear", "file_lin").unionAll(arm("zorder", "file_z"))
+    files
+      .select(explode(array(
+          struct(lit("linear").as("layout"), $"file_lin".as("file_id")),
+          struct(lit("zorder").as("layout"), $"file_z".as("file_id")))).as("lf"),
+        $"pk", $"sk", $"pk_min", $"pk_max", $"sk_min", $"sk_max")
+      .groupBy($"lf.layout".as("layout"), $"lf.file_id".as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min($"pk").as("min_pk"), max($"pk").as("max_pk"),
+        min($"sk").as("min_sk"), max($"sk").as("max_sk"),
+        min($"pk_min").as("pk_min"), min($"pk_max").as("pk_max"),
+        min($"sk_min").as("sk_min"), min($"sk_max").as("sk_max"))
+      .withColumn("prunable",
+        expr("max_pk < pk_min + (pk_max - pk_min + 1) * 4 div 16 OR " +
+             "min_pk > pk_min + (pk_max - pk_min + 1) * 8 div 16 - 1 OR " +
+             "max_sk < sk_min + (sk_max - sk_min + 1) * 12 div 16 OR " +
+             "min_sk > sk_max"))
+      .select($"layout", $"file_id", $"n_rows",
+        $"min_pk", $"max_pk", $"min_sk", $"max_sk", $"prunable")
       .orderBy($"layout", $"file_id")
   }
 

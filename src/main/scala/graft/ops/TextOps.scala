@@ -443,7 +443,12 @@ object TextOps {
     import s.implicits._
     import graft.functions.VectorFunctions.platform_ln
     val tk = documents(s, dir).select($"doc_id", toks($"text").as("t"))
-    val bg = tk.select($"doc_id", explode(expr(
+    // Guard the descending-sequence trap: Spark's sequence(1, 0) yields
+    // [1, 0] (implicit step -1) so a 1-token doc would evaluate
+    // element_at(t, 0) and throw; DuckDB's generate_series(1, 0) is
+    // empty and just omits the doc. Filtering to >=2 tokens matches
+    // the oracle exactly (a bigram-less doc appears in neither).
+    val bg = tk.filter(size($"t") >= 2).select($"doc_id", explode(expr(
       "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bigram"))
     // ONE explode scan feeds every bigram table: corpus counts and
     // first-token totals RE-AGGREGATE the per-(doc, bigram) table
@@ -1929,7 +1934,9 @@ object TextOps {
     import s.implicits._
     import graft.functions.VectorFunctions.platform_ln
     val tk = documents(s, dir).select($"doc_id", $"lang", toks($"text").as("t"))
-    val bg = tk.select($"doc_id", $"lang", explode(expr(
+    // size >= 2 guard: see bigramLogProb — Spark's sequence(1, 0)
+    // descends and would throw on a 1-token doc; DuckDB omits it.
+    val bg = tk.filter(size($"t") >= 2).select($"doc_id", $"lang", explode(expr(
         "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bigram"))
       .withColumn("bucket", expr(
         "cast(conv(substring(md5(bigram), 1, 8), 16, 10) as bigint) % 64"))

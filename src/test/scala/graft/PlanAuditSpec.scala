@@ -89,7 +89,11 @@ class PlanAuditSpec extends AnyFunSuite {
         "s34_silhouette",
         // d41: inherits d40's codebook cross join through the
         // semantic decision arm; nothing else crosses.
-        "d41_signal_agreement")
+        "d41_signal_agreement",
+        // e32: the one-row last-active-day broadcast onto the
+        // days²-sized cohort matrix — the calendar-observability
+        // gate (the q16/t49 corpus-stats class).
+        "e32_retention_decay")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark
