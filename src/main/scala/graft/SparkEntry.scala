@@ -102,6 +102,9 @@ object SparkEntry {
     // e32 = retention-decay OLS over pooled calendar-observable
     // cohorts; integer-log rates, fixed literal closed form.
     "e32_retention_decay"    -> (EventOps.retentionDecay _),
+    // e33 = activity Gini: engagement inequality via the q31
+    // range-partitioned global rank; exact-integer numerator.
+    "e33_activity_gini"      -> (EventOps.activityGini _),
     // m19 = EXECUTED audio decimation through the real WAV codec
     // (decode → drop odd samples → re-encode at 4 kHz → decode);
     // position-weighted sums pin sample order across the chain.
@@ -156,6 +159,9 @@ object SparkEntry {
     // q38 = incremental view maintenance: delta partial aggregate
     // merged into base == full recompute, exactly (decimal state).
     "q38_incremental_agg"    -> (Relational2.incrementalAggMaintenance _),
+    // q39 = join-cardinality estimation audit: naive and 16-bucket
+    // histogram estimates vs the exact size from per-date counts.
+    "q39_join_estimate"      -> (Relational2.joinEstimate _),
     // s34 = linearized silhouette: per-vector clustering quality in
     // n·k dots against the cells' normalized-sum vectors (never n²).
     "s34_silhouette"         -> (Similarity.silhouetteAudit _),
@@ -481,6 +487,9 @@ object SparkEntry {
     // distinct shingles already in the TRAIN slice (t48's
     // gram-granular companion).
     "t50_memorization_rate"  -> (TextOps.memorizationRate _),
+    // t51 = Gopher duplicate-n-gram char fractions (2/3/4-grams),
+    // verdict cross-multiplied on exact ints.
+    "t51_gopher_rules"       -> (TextOps.gopherRules _),
     // t33 = PII detect + redact (email/phone/IPv4) — counts on the
     // original text, typed-placeholder redaction, all codegen regex;
     // runs over the deterministic planted-PII fixture (WavCodec
@@ -539,6 +548,9 @@ object SparkEntry {
     // re-encode 16 kHz WAV -> decode; order pinned by the weighted
     // sum, truncating midpoints match DuckDB's // on negatives.
     "m29_wav_upsample"       -> (Multimodal.wavUpsample _),
+    // m30 = pixel-histogram entropy computed INSIDE the decode slot
+    // (integer-log fold in bin order; pixels never leave the codec).
+    "m30_pixel_entropy"      -> (Multimodal.pixelEntropy _),
     // m09 = audio feature extraction: per-frame energy over the real
     // WAV decode (64-sample frames, integer-exact activity detection).
     "m09_wav_frames"         -> ((s, d) => Multimodal.wavFrameEnergy(s, d)),
@@ -1127,6 +1139,20 @@ object SparkEntry {
           CASE WHEN slope < 0.0
             THEN -ln(CAST(2.0 AS DOUBLE)) / slope END AS half_life_days
         FROM fit ORDER BY den""",
+      // e33: global rank by (count, user_id); exact-integer Gini
+      // numerator, one final IEEE divide.
+      "e33_activity_gini" -> """
+        WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+        r AS (SELECT c, CAST(row_number() OVER (ORDER BY c, user_id) AS BIGINT) AS rk
+              FROM c),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(c) AS BIGINT) AS n_events,
+                CAST(sum((2 * rk - (SELECT count(*) + 1 FROM c)) * c) AS BIGINT)
+                  AS gini_num
+              FROM r)
+        SELECT n_users, n_events, gini_num,
+          CAST(gini_num AS DOUBLE) / CAST(n_users * n_events AS DOUBLE) AS gini
+        FROM t""",
       // e31: the same all-integer CUSUM chain; argmax ties break to
       // the earliest day in both engines.
       "e31_changepoints" -> """
@@ -1616,6 +1642,27 @@ object SparkEntry {
       // m29: the generator PCM replayed at output indices — even j
       // copies s[j/2], odd j the TRUNCATED midpoint (// and Java /
       // both round toward zero on negatives; a shift would floor).
+      // m30: histogram entropy replayed from the generator raster;
+      // c·ln(c) terms fold in bin order (t45 integer-log discipline).
+      "m30_pixel_entropy" -> """
+        WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w, 8 + (doc_id // 25) % 25 AS h
+                   FROM documents),
+        px AS (SELECT doc_id, w, h, (doc_id * 31 + 7 * x + 13 * y) % 256 AS v
+               FROM d,
+                 LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) a,
+                 LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) b),
+        vc AS (SELECT doc_id, v, count(*) AS c FROM px GROUP BY doc_id, v),
+        e AS (SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_vals,
+                list_reduce(list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY v),
+                  (a, x) -> a + x) AS s
+              FROM vc GROUP BY doc_id)
+        SELECT d.doc_id, CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+          CAST(d.w * d.h AS BIGINT) AS n_pix, e.n_vals,
+          ln(CAST(d.w * d.h AS DOUBLE)) - e.s / CAST(d.w * d.h AS DOUBLE) AS entropy,
+          e.n_vals <= 16 AS flat
+        FROM d JOIN e ON d.doc_id = e.doc_id
+        ORDER BY d.doc_id""",
       "m29_wav_upsample" -> """
         WITH d AS (SELECT doc_id, CAST(200 + doc_id % 400 AS BIGINT) AS n
                    FROM documents),
@@ -4469,6 +4516,36 @@ object SparkEntry {
       // q35: Q16 shape — anti-join blacklist then two-level distinct.
       // q38: decimal aggregate states merge exactly — the oracle
       // recomputes both arms and the same bit-exact verdict.
+      // q39: estimates from per-date count tables; est_hist folds its
+      // 16 per-bucket divides in bucket order (seedless list_reduce ==
+      // Spark's 0D-seeded fold).
+      "q39_join_estimate" -> """
+        WITH od AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS oc
+                    FROM orders GROUP BY 1),
+        ld AS (SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS lc
+               FROM lineitem GROUP BY 1),
+        t_o AS (SELECT CAST(sum(oc) AS BIGINT) AS n_orders,
+                  CAST(count(*) AS BIGINT) AS ndv_dates_o FROM od),
+        t_l AS (SELECT CAST(sum(lc) AS BIGINT) AS n_lineitems,
+                  CAST(count(*) AS BIGINT) AS ndv_dates_l FROM ld),
+        act AS (SELECT CAST(coalesce(sum(oc * lc), 0) AS BIGINT) AS actual_pairs
+                FROM od JOIN ld USING (d)),
+        bo AS (SELECT date_diff('day', DATE '1992-01-01', d) % 16 AS b,
+                 CAST(sum(oc) AS BIGINT) AS no_b,
+                 CAST(count(*) AS BIGINT) AS ndvo_b FROM od GROUP BY 1),
+        bl AS (SELECT date_diff('day', DATE '1992-01-01', d) % 16 AS b,
+                 CAST(sum(lc) AS BIGINT) AS nl_b,
+                 CAST(count(*) AS BIGINT) AS ndvl_b FROM ld GROUP BY 1),
+        hist AS (SELECT coalesce(list_reduce(
+                   list(CAST(no_b * nl_b AS DOUBLE) /
+                        CAST(greatest(ndvo_b, ndvl_b) AS DOUBLE) ORDER BY b),
+                   (a, x) -> a + x), 0.0) AS est_hist
+                 FROM bo JOIN bl USING (b))
+        SELECT n_orders, n_lineitems, ndv_dates_o, ndv_dates_l, actual_pairs,
+          CAST(n_orders * n_lineitems AS DOUBLE) /
+            CAST(greatest(ndv_dates_o, ndv_dates_l) AS DOUBLE) AS est_naive,
+          est_hist
+        FROM t_o, t_l, act, hist""",
       "q38_incremental_agg" -> """
         WITH li AS (SELECT l_returnflag, l_orderkey,
                       CAST(l_quantity AS DECIMAL(18,4)) AS qty,
@@ -5426,6 +5503,46 @@ object SparkEntry {
         FROM lab GROUP BY 1, 2 ORDER BY split_lo, split_hi""",
       // t50: t48's gram CTE + the t14 split; seen via LEFT JOIN
       // against the distinct train gram set; one exact-int divide.
+      // t51: Gopher dup-n-gram char fractions; the three gram sizes
+      // come from one lead() window, duplicate chars are exact ints,
+      // verdict cross-multiplied (0.20 = 1/5, 0.18 = 9/50, 0.16 = 4/25).
+      "t51_gopher_rules" -> """
+        WITH arr AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS a
+                     FROM documents),
+        tok AS (SELECT doc_id, pos, a[pos] AS tok
+                FROM arr, LATERAL (SELECT unnest(generate_series(1, len(a))) AS pos) p),
+        tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(sum(length(tok)) + count(*) - 1 AS BIGINT) AS total_chars
+                FROM tok GROUP BY doc_id),
+        led AS (SELECT doc_id, tok,
+                  lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+                  lead(tok, 3) OVER w AS t3
+                FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        grams AS (
+          SELECT doc_id, 2 AS n, tok || ' ' || t1 AS g FROM led WHERE t1 IS NOT NULL
+          UNION ALL
+          SELECT doc_id, 3, tok || ' ' || t1 || ' ' || t2 FROM led WHERE t2 IS NOT NULL
+          UNION ALL
+          SELECT doc_id, 4, tok || ' ' || t1 || ' ' || t2 || ' ' || t3 FROM led
+          WHERE t3 IS NOT NULL),
+        gc AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY doc_id, n, g),
+        dup AS (SELECT doc_id,
+                  CAST(coalesce(sum(CASE WHEN n = 2 AND c >= 2 THEN c * length(g) END), 0) AS BIGINT) AS dup2_chars,
+                  CAST(coalesce(sum(CASE WHEN n = 3 AND c >= 2 THEN c * length(g) END), 0) AS BIGINT) AS dup3_chars,
+                  CAST(coalesce(sum(CASE WHEN n = 4 AND c >= 2 THEN c * length(g) END), 0) AS BIGINT) AS dup4_chars
+                FROM gc GROUP BY doc_id)
+        SELECT t.doc_id, t.n_tokens, t.total_chars,
+          coalesce(d.dup2_chars, 0) AS dup2_chars,
+          coalesce(d.dup3_chars, 0) AS dup3_chars,
+          coalesce(d.dup4_chars, 0) AS dup4_chars,
+          CASE WHEN t.total_chars > 0 THEN CAST(coalesce(d.dup2_chars, 0) AS DOUBLE) / CAST(t.total_chars AS DOUBLE) END AS frac2,
+          CASE WHEN t.total_chars > 0 THEN CAST(coalesce(d.dup3_chars, 0) AS DOUBLE) / CAST(t.total_chars AS DOUBLE) END AS frac3,
+          CASE WHEN t.total_chars > 0 THEN CAST(coalesce(d.dup4_chars, 0) AS DOUBLE) / CAST(t.total_chars AS DOUBLE) END AS frac4,
+          (coalesce(d.dup2_chars, 0) * 5 <= t.total_chars
+           AND coalesce(d.dup3_chars, 0) * 50 <= t.total_chars * 9
+           AND coalesce(d.dup4_chars, 0) * 25 <= t.total_chars * 4) AS gopher_ok
+        FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
+        ORDER BY t.doc_id""",
       "t50_memorization_rate" -> """
         WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
                       t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th

@@ -1150,6 +1150,59 @@ object EventOps {
       .orderBy($"event_type")
   }
 
+  /** e33 — ACTIVITY GINI: the inequality coefficient of per-user
+    * event counts — "is engagement spread across the base or carried
+    * by a whale tail", the one-number companion to q31's Pareto head
+    * (q31 asks how many customers carry 80 % of SPEND; this is the
+    * full-distribution Gini on the EVENT side). Rank form over counts
+    * sorted ascending with id tiebreak:
+    * G = (2·Σ rk·c_rk − (U+1)·ΣC) / (U·ΣC).
+    *
+    * Determinism: the numerator is exact BIGINT arithmetic over exact
+    * counts and ranks; G is ONE IEEE divide of two exact ints (both
+    * < 2⁵³ at any bench scale — U·ΣC at sf0.1 is ~10¹¹).
+    *
+    * Scale shape: the global rank is the q31 two-pass range-partitioned
+    * CDF, not a single-task window — pass 1 collects one row PER RANGE
+    * (the AQE-stats scale), pass 2 ranks inside each range under a
+    * pid-partitioned window shifted by the broadcast offsets, and the
+    * whole thing reduces to ONE row. Events reduce to (user, count)
+    * in one map-side-combined aggregate before any sort. PlanAudit
+    * note: runs its stats pass at plan time (the q31/t43 driver-loop
+    * convention).
+    */
+  def activityGini(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = events(s, dir).groupBy($"user_id").agg(count(lit(1)).as("c"))
+    val nRanges = s.conf.getOption("spark.graft.pareto.ranges")
+      .map(_.toInt).getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    // Pin the range layout across both passes (the q31 rationale: the
+    // boundary sample must not redraw between stats and rank).
+    val ranged = counts
+      .repartitionByRange(nRanges, $"c".asc, $"user_id".asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val stats = ranged.groupBy($"pid").agg(count(lit(1)).as("pcnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    if (stats.isEmpty)
+      return ranged.limit(0)
+        .select(lit(0L).as("n_users"), lit(0L).as("n_events"),
+          lit(0L).as("gini_num"), lit(0.0).as("gini"))
+    val offsets = stats.toList.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
+      (pid, acc + n)
+    }.sliding(2).collect { case List((_, off), (pid, _)) => (pid, off) }.toList
+    val nUsers = stats.map(_._2).sum
+    val off = offsets.toDF("pid", "rk_off")
+    val w = Window.partitionBy($"pid").orderBy($"c".asc, $"user_id".asc)
+    ranged.join(broadcast(off), Seq("pid"))
+      .withColumn("rk", row_number().over(w).cast("long") + $"rk_off")
+      .agg(count(lit(1)).as("n_users"), sum($"c").as("n_events"),
+        sum(($"rk" * 2 - lit(nUsers + 1L)) * $"c").as("gini_num"))
+      .select($"n_users", $"n_events", $"gini_num",
+        ($"gini_num".cast("double") /
+          (lit(nUsers) * $"n_events").cast("double")).as("gini"))
+  }
+
   /** [[stickiness]] from an already-reduced (day_i, user_id) activity
     * table — the frame core the streaming door emits per tick.
     */

@@ -2133,4 +2133,58 @@ object Multimodal {
       .select($"doc_id", $"py", $"px", $"p_sum", $"p_wsum")
       .orderBy($"doc_id", $"py", $"px")
   }
+
+  final case class PixelEntropy(doc_id: Long, width: Long, height: Long,
+      n_pix: Long, n_vals: Long, entropy: Double, flat: Boolean)
+
+  /** m30 — PIXEL-HISTOGRAM ENTROPY: per image, the Shannon entropy of
+    * its gray-value distribution — the standard flat-image /
+    * compressibility screen a media-curation pass runs before paying
+    * for model-based scoring (a near-constant raster carries no
+    * training signal; low entropy ⇒ drop). H = ln n − (Σ c·ln c)/n
+    * over the 256-bin value histogram (t45's integer-log
+    * decomposition: ln only ever sees exact integer counts), plus a
+    * `flat` verdict (≤ 16 distinct values — an all-integer bar).
+    *
+    * Executed over the real PNG codec; the whole histogram AND the
+    * entropy fold run INSIDE the decode slot in fixed value order
+    * (bins ascending — the same pinned-fold discipline as t20, here
+    * enforced by the loop itself), so determinism needs no
+    * plan-level sort.
+    *
+    * Scale shape: the strongest in the m-family — pixels never leave
+    * the codec slot at all; per image, exactly 5 longs + 1 double + 1
+    * boolean are emitted, and the only downstream op is the
+    * presentation sort. At 100 TB this is one embarrassingly parallel
+    * pass over the media store.
+    */
+  def pixelEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pngTable(s, dir).mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        val w = img.getWidth
+        val h = img.getHeight
+        val counts = new Array[Long](256)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { counts(img.getRGB(x, y) & 0xff) += 1; x += 1 }
+          y += 1
+        }
+        val n = w.toLong * h
+        var sum = 0.0
+        var nVals = 0L
+        var v = 0
+        while (v < 256) {
+          val c = counts(v)
+          if (c > 0) { nVals += 1; sum += c.toDouble * Math.log(c.toDouble) }
+          v += 1
+        }
+        PixelEntropy(r.doc_id, w.toLong, h.toLong, n, nVals,
+          Math.log(n.toDouble) - sum / n.toDouble, nVals <= 16)
+      }
+    }.toDF().orderBy($"doc_id")
+  }
 }

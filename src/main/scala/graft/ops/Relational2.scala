@@ -823,6 +823,63 @@ object Relational2 {
       .orderBy($"layout", $"file_id")
   }
 
+  /** q39 — JOIN-CARDINALITY ESTIMATION AUDIT: the optimizer's own
+    * question — how big would `orders ⋈ lineitem ON order date =
+    * ship date` be? — answered three ways: (a) the textbook
+    * independence estimate |O|·|L| / max(ndv_O, ndv_L), (b) a
+    * 16-bucket hashed-histogram estimate Σ_b n_O(b)·n_L(b) /
+    * max(ndv_O(b), ndv_L(b)) — the per-bucket refinement every
+    * cost-based optimizer keeps, and (c) the EXACT size
+    * Σ_d c_O(d)·c_L(d) computed from the per-date count tables
+    * (never by materializing the fact-sized join itself). A
+    * date-equi join is chosen deliberately: BOTH sides carry real
+    * multiplicity, so the estimators genuinely diverge — on a
+    * key/foreign-key join the audit is vacuous. This is the stats
+    * infrastructure a 100 TB engine consults before picking
+    * broadcast-vs-shuffle; the audit measures how wrong each
+    * granularity is on real data.
+    *
+    * Determinism: all counts/ndvs/products are exact BIGINTs (< 2⁵³
+    * at any bench scale); est_naive is ONE IEEE divide; est_hist's 16
+    * per-bucket divides fold in BUCKET ORDER (the t20 sorted-fold
+    * discipline).
+    *
+    * Scale shape: each side reduces to a |dates|-sized count table in
+    * one map-side-combined aggregate (dates are calendar-bounded —
+    * thousands of rows at ANY corpus size); every join and fold after
+    * that is date- or bucket-sized. The one-row arms assemble by
+    * broadcast cross join (whitelisted, q16 class).
+    */
+  def joinEstimate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val epoch = to_date(lit("1992-01-01"))
+    val od = orders(s, dir).select(to_date($"o_orderdate").as("d"))
+      .groupBy($"d").agg(count(lit(1)).as("oc"))
+    val ld = lineitem(s, dir).select(to_date($"l_shipdate").as("d"))
+      .groupBy($"d").agg(count(lit(1)).as("lc"))
+    val totO = od.agg(sum($"oc").as("n_orders"), count(lit(1)).as("ndv_dates_o"))
+    val totL = ld.agg(sum($"lc").as("n_lineitems"), count(lit(1)).as("ndv_dates_l"))
+    val actual = od.join(ld, Seq("d"))
+      .agg(coalesce(sum($"oc" * $"lc"), lit(0L)).as("actual_pairs"))
+    val bo = od.withColumn("hb16", datediff($"d", epoch) % 16)
+      .groupBy($"hb16").agg(sum($"oc").as("no_b"), count(lit(1)).as("ndvo_b"))
+    val bl = ld.withColumn("hb16", datediff($"d", epoch) % 16)
+      .groupBy($"hb16").agg(sum($"lc").as("nl_b"), count(lit(1)).as("ndvl_b"))
+    val hist = bo.join(bl, Seq("hb16"))
+      .withColumn("contrib", ($"no_b" * $"nl_b").cast("double") /
+        greatest($"ndvo_b", $"ndvl_b").cast("double"))
+      .agg(expr("aggregate(transform(sort_array(collect_list(struct(hb16, contrib))), " +
+        "x -> x.contrib), 0D, (a, x) -> a + x)").as("est_hist"))
+    totO.crossJoin(broadcast(totL))
+      .crossJoin(broadcast(actual))
+      .crossJoin(broadcast(hist))
+      .select($"n_orders", $"n_lineitems", $"ndv_dates_o", $"ndv_dates_l",
+        $"actual_pairs",
+        (($"n_orders" * $"n_lineitems").cast("double") /
+          greatest($"ndv_dates_o", $"ndv_dates_l").cast("double")).as("est_naive"),
+        $"est_hist")
+  }
+
   def partSupplierVariety(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bad = supplier(s, dir).filter($"s_acctbal" < 0.0).select($"s_suppkey")

@@ -2037,4 +2037,82 @@ object TextOps {
           - lit(84.6) * ($"n_syllables".cast("double") / $"n_words".cast("double")))
       .orderBy($"doc_id")
   }
+
+  /** t51 — GOPHER DUPLICATE-N-GRAM RULES (Rae et al. 2021 §A1.1, the
+    * repetition rule set Dolma/RedPajama reimplement): per doc, the
+    * fraction of characters contained in duplicate 2-/3-/4-grams —
+    * Σ_{grams with count ≥ 2} count·len(gram) over the doc's
+    * whitespace-joined char length. This complements t17, which gates
+    * on the single TOP token/bigram and the longest run: the Gopher
+    * form charges EVERY repeated gram, so a doc padded with many
+    * distinct-but-repeated phrases fails here while sliding under
+    * t17's top-1 bars. Overlapping occurrences are counted per
+    * occurrence (fractions can exceed 1 — the standard
+    * implementation's behavior, kept deliberately). Verdict bars are
+    * the paper's: dup2 ≤ 0.20, dup3 ≤ 0.18, dup4 ≤ 0.16, compared
+    * cross-multiplied on exact integers (·5 ≤ tc, ·50 ≤ 9·tc,
+    * ·25 ≤ 4·tc) so the verdict never touches a float.
+    *
+    * Determinism: counts and char sums are exact BIGINTs (gram length
+    * = length() of the space-joined gram string — identical in both
+    * engines); each reported fraction is ONE IEEE divide of two exact
+    * ints.
+    *
+    * Scale shape: ONE tokenize scan; the three gram sizes come from
+    * one doc-partitioned window (lead ×3 — no self-join, no second
+    * scan) and explode 3× per position before the (doc, n, gram)
+    * aggregate map-side combines; the rule table is a per-doc
+    * conditional aggregate. Nothing ever shuffles at corpus-char
+    * granularity except the gram rows themselves, exactly like
+    * t06/t17.
+    */
+  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = documents(s, dir)
+      .select($"doc_id", posexplode(toks($"text")))
+      .select($"doc_id", $"pos", $"col".as("tok"))
+    val tot = tok.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(length($"tok")) + count(lit(1)) - 1).as("total_chars"))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val led = tok
+      .withColumn("t1", lead($"tok", 1).over(w))
+      .withColumn("t2", lead($"tok", 2).over(w))
+      .withColumn("t3", lead($"tok", 3).over(w))
+    val grams = led.select($"doc_id", explode(array(
+        struct(lit(2L).as("n"),
+          when($"t1".isNotNull, concat_ws(" ", $"tok", $"t1")).as("g")),
+        struct(lit(3L).as("n"),
+          when($"t2".isNotNull, concat_ws(" ", $"tok", $"t1", $"t2")).as("g")),
+        struct(lit(4L).as("n"),
+          when($"t3".isNotNull, concat_ws(" ", $"tok", $"t1", $"t2", $"t3")).as("g"))))
+        .as("ng"))
+      .select($"doc_id", $"ng.n".as("n"), $"ng.g".as("g"))
+      .filter($"g".isNotNull)
+    val dup = grams.groupBy($"doc_id", $"n", $"g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(
+        coalesce(sum(when($"n" === 2 && $"c" >= 2, $"c" * length($"g"))), lit(0L))
+          .as("dup2_chars"),
+        coalesce(sum(when($"n" === 3 && $"c" >= 2, $"c" * length($"g"))), lit(0L))
+          .as("dup3_chars"),
+        coalesce(sum(when($"n" === 4 && $"c" >= 2, $"c" * length($"g"))), lit(0L))
+          .as("dup4_chars"))
+    val frac = (d: Column) =>
+      when($"total_chars" > 0, d.cast("double") / $"total_chars".cast("double"))
+    tot.join(dup, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens", $"total_chars",
+        coalesce($"dup2_chars", lit(0L)).as("dup2_chars"),
+        coalesce($"dup3_chars", lit(0L)).as("dup3_chars"),
+        coalesce($"dup4_chars", lit(0L)).as("dup4_chars"))
+      .withColumn("frac2", frac($"dup2_chars"))
+      .withColumn("frac3", frac($"dup3_chars"))
+      .withColumn("frac4", frac($"dup4_chars"))
+      .withColumn("gopher_ok",
+        $"dup2_chars" * 5 <= $"total_chars" &&
+        $"dup3_chars" * 50 <= $"total_chars" * 9 &&
+        $"dup4_chars" * 25 <= $"total_chars" * 4)
+      .orderBy($"doc_id")
+  }
 }

@@ -408,4 +408,47 @@ class DataQualitySpec extends AnyFunSuite {
       assert(math.abs(gq - q) < 1e-6, s"$nat qty")
     }
   }
+
+  test("q39 join estimate: exact size and both estimators recomputed driver-side") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = SparkEntry.queries("q39_join_estimate")(spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val od = spark.read.parquet(TestSpark.sfDir + "/orders.parquet")
+      .selectExpr("CAST(o_orderdate AS DATE) AS d").as[java.sql.Date].collect()
+      .map(_.toLocalDate.toEpochDay).groupBy(identity)
+      .map { case (d, g) => d -> g.size.toLong }
+    val ld = spark.read.parquet(TestSpark.sfDir + "/lineitem.parquet")
+      .selectExpr("CAST(l_shipdate AS DATE) AS d").as[java.sql.Date].collect()
+      .map(_.toLocalDate.toEpochDay).groupBy(identity)
+      .map { case (d, g) => d -> g.size.toLong }
+    val nO = od.values.sum; val nL = ld.values.sum
+    assert(r.getLong(0) == nO && r.getLong(1) == nL)
+    assert(r.getLong(2) == od.size.toLong && r.getLong(3) == ld.size.toLong)
+    // exact join size from the per-date counts — the ground truth the
+    // estimators are graded against
+    val actual = od.keysIterator.map(d => od(d) * ld.getOrElse(d, 0L)).sum
+    assert(r.getLong(4) == actual)
+    val naive = (nO * nL).toDouble / math.max(od.size, ld.size).toDouble
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(5)) ==
+      java.lang.Double.doubleToLongBits(naive))
+    // histogram estimate: same buckets, divides folded in bucket order
+    val epoch = java.time.LocalDate.parse("1992-01-01").toEpochDay
+    def bucketed(m: Map[Long, Long]) = m.toSeq
+      .groupBy { case (d, _) => (d - epoch) % 16 }
+      .map { case (b, g) => b -> (g.map(_._2).sum, g.size.toLong) }
+    val bo = bucketed(od); val bl = bucketed(ld)
+    var hist = 0.0
+    bo.keySet.intersect(bl.keySet).toSeq.sorted.foreach { b =>
+      val (no, ndvo) = bo(b); val (nl, ndvl) = bl(b)
+      hist += (no * nl).toDouble / math.max(ndvo, ndvl).toDouble
+    }
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(6)) ==
+      java.lang.Double.doubleToLongBits(hist))
+    // the exact arm must sit below the independence estimate here:
+    // matched-date mass is thinner than uniform spreading assumes
+    assert(actual.toDouble <= naive)
+  }
 }

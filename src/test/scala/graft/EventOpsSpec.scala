@@ -464,6 +464,36 @@ class EventOpsSpec extends AnyFunSuite {
     assert(y.forall(_ <= 1e-12))
   }
 
+  test("e33 activity gini: driver recompute, bit-exact, invariant to the range count") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def run() = SparkEntry.queries("e33_activity_gini")(spark, TestSpark.sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val got = run()
+    assert(got.length == 1)
+    val (nUsers, nEvents, num, gini) = got.head
+    // driver recompute: global rank by (count, user_id) ascending
+    val counts = spark.read.parquet(TestSpark.sfDir + "/events.parquet")
+      .groupBy($"user_id").count().as[(Long, Long)].collect()
+      .sortBy(t => (t._2, t._1))
+    val u = counts.length.toLong
+    val tot = counts.map(_._2).sum
+    val expNum = counts.zipWithIndex.map { case ((_, c), i) =>
+      (2L * (i + 1) - (u + 1)) * c
+    }.sum
+    assert(nUsers == u && nEvents == tot && num == expNum)
+    assert(java.lang.Double.doubleToLongBits(gini) ==
+      java.lang.Double.doubleToLongBits(expNum.toDouble / (u * tot).toDouble))
+    assert(gini >= 0.0 && gini < 1.0)
+    // the two-pass rank must not depend on how many ranges the layout
+    // uses: force a different range count and demand the same row
+    val key = "spark.graft.pareto.ranges"
+    spark.conf.set(key, "3")
+    try assert(run() == got, "result changed with the range count")
+    finally spark.conf.unset(key)
+  }
+
   test("e27 stickiness: driver recompute of the trailing-7-day distinct; DAU ≤ WAU") {
     val spark = TestSpark.spark
     import spark.implicits._

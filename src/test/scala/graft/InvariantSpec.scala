@@ -1678,4 +1678,40 @@ class InvariantSpec extends AnyFunSuite {
     assert(meanEn > meanOther, s"en $meanEn vs other $meanOther")
     assert(rows.exists(_._4) && rows.exists(!_._4))
   }
+
+  test("t51 Gopher rules: dup-n-gram chars recomputed driver-side, verdict cross-multiplied") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("t51_gopher_rules")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8), r.getBoolean(9)))
+      .toMap
+    val docs = spark.read.parquet(TestSpark.sfDir + "/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == docs.size)
+    docs.foreach { case (id, text) =>
+      val t = text.split("\\s+")
+      val totalChars = t.map(_.length.toLong).sum + t.length - 1L
+      def dupChars(n: Int): Long =
+        t.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+          .groupBy(identity).valuesIterator
+          .collect { case g if g.size >= 2 => g.size.toLong * g.head.length }
+          .sum
+      val (nTok, tc, d2, d3, d4, f2, f3, f4, ok) = rows(id)
+      assert(nTok == t.length.toLong && tc == totalChars, s"doc $id totals")
+      assert(d2 == dupChars(2) && d3 == dupChars(3) && d4 == dupChars(4),
+        s"doc $id dup chars")
+      // fractions are the same single IEEE divide the engine ran
+      assert(f2 == d2.toDouble / tc.toDouble && f3 == d3.toDouble / tc.toDouble &&
+        f4 == d4.toDouble / tc.toDouble, s"doc $id fracs")
+      assert(ok == (d2 * 5 <= tc && d3 * 50 <= tc * 9 && d4 * 25 <= tc * 4),
+        s"doc $id verdict")
+    }
+    // the rule set must discriminate on this corpus (tiny template
+    // vocabulary → many repeated phrases): both verdicts appear
+    val verdicts = rows.values.map(_._9).toSet
+    assert(verdicts == Set(true, false), s"verdicts $verdicts")
+  }
 }

@@ -885,4 +885,38 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(got == expected)
   }
+
+  test("m30 pixel entropy: histogram and fold replayed from the raster, bit-exact") {
+    val spark = TestSpark.spark
+    val got = SparkEntry.queries("m30_pixel_entropy")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+      .toMap
+    val ids = spark.read.parquet(TestSpark.sfDir + "/documents.parquet")
+      .selectExpr("doc_id").collect().map(_.getLong(0))
+    assert(got.size == ids.length)
+    ids.foreach { id =>
+      val w = (8 + id % 25).toInt; val h = (8 + (id / 25) % 25).toInt
+      val counts = new Array[Long](256)
+      for (y <- 0 until h; x <- 0 until w)
+        counts(((id * 31 + 7 * x + 13 * y) % 256).toInt) += 1
+      val n = w.toLong * h
+      // the same fold the codec slot runs: bins ascending, c·ln c
+      var s = 0.0; var nv = 0L
+      for (v <- 0 until 256) {
+        val c = counts(v)
+        if (c > 0) { nv += 1; s += c.toDouble * Math.log(c.toDouble) }
+      }
+      val ent = Math.log(n.toDouble) - s / n.toDouble
+      val (gw, gh, gn, gnv, gent, gflat) = got(id)
+      assert(gw == w && gh == h && gn == n && gnv == nv, s"doc $id dims")
+      assert(java.lang.Double.doubleToLongBits(gent) ==
+        java.lang.Double.doubleToLongBits(ent), s"doc $id entropy")
+      assert(gflat == (nv <= 16), s"doc $id flat")
+      // entropy bounds: 0 (constant raster) .. ln(min(256, n)) (uniform)
+      assert(ent >= 0.0 && ent <= Math.log(Math.min(256L, n).toDouble) + 1e-12,
+        s"doc $id bounds")
+    }
+  }
 }

@@ -93,7 +93,11 @@ class PlanAuditSpec extends AnyFunSuite {
         // e32: the one-row last-active-day broadcast onto the
         // days²-sized cohort matrix — the calendar-observability
         // gate (the q16/t49 corpus-stats class).
-        "e32_retention_decay")
+        "e32_retention_decay",
+        // q39: four one-row stat arms (side totals, exact pair count,
+        // 16-bucket histogram fold) assembled into the single audit
+        // row — the q16/t13 corpus-stats class.
+        "q39_join_estimate")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark
@@ -188,8 +192,9 @@ class PlanAuditSpec extends AnyFunSuite {
           // `dim` (the 64-wide embedding dimension, s34's per-cell
           // sum-vector assembly): both keys range over a fixed domain
           // by construction, so the buffer cannot grow with the
-          // corpus.
-          val domainKeys = Set("seg", "dim")
+          // corpus. `hb16` is q39's hashed-histogram bucket
+          // (`datediff % 16` — a fixed 16-value domain).
+          val domainKeys = Set("seg", "dim", "hb16")
           val unbounded = lists.filterNot(
             _.child.references.toSeq.map(_.name).exists(domainKeys.contains))
           val boundedGroup =
