@@ -162,6 +162,9 @@ object SparkEntry {
     // q39 = join-cardinality estimation audit: naive and 16-bucket
     // histogram estimates vs the exact size from per-date counts.
     "q39_join_estimate"      -> (Relational2.joinEstimate _),
+    // q40 = latest-row-per-key compaction: max_by argmax aggregate
+    // certified against the window top-1 arm (integer ordinal).
+    "q40_latest_orders"      -> (Relational2.latestOrders _),
     // s34 = linearized silhouette: per-vector clustering quality in
     // n·k dots against the cells' normalized-sum vectors (never n²).
     "s34_silhouette"         -> (Similarity.silhouetteAudit _),
@@ -337,6 +340,9 @@ object SparkEntry {
     // d41 = lexical (d27) vs semantic (d40) decision agreement: one
     // row per verdict pair keep/drop/uninvolved with doc counts.
     "d41_signal_agreement"   -> ((s, d) => Dedup.dedupSignalAgreement(s, d)),
+    // d42 = syndication audit: d11 clusters x source — intra-source
+    // re-crawl vs cross-source mirrors, per-cluster verdict.
+    "d42_syndication"        -> ((s, d) => Dedup.syndicationAudit(s, d)),
     // d27 = the dedup DECISION table: per implicated doc the keep/drop
     // verdict with the quality-argmax canonical survivor (tie → min
     // doc_id) — the apply-step artifact downstream filters join on.
@@ -657,6 +663,9 @@ object SparkEntry {
     // s30 = MMR diversified rerank: relevance minus redundancy over a
     // constant ANN shortlist, driver greedy (the s29 pattern).
     "s30_mmr_rerank"         -> ((s, d) => Similarity.mmrRerank(s, d)),
+    // s35 = intra-list similarity audit: the diversity s30's lambda
+    // buys vs the brute list, with the relevance give-up beside it.
+    "s35_ils_audit"          -> ((s, d) => Similarity.ilsAudit(s, d)),
     // s31 = nprobe recall sweep: the coarse-probe tuning curve
     // (s11 sweeps shortlist width; this sweeps probed cells).
     "s31_nprobe_sweep"       -> (Similarity.ivfNprobeSweep _),
@@ -2145,6 +2154,7 @@ object SparkEntry {
       // integer dot ranking — all replayed in SQL.
       "s29_kcenter_coreset" -> Similarity.kcenterOracle(10),
       "s30_mmr_rerank" -> Similarity.mmrOracle(5, 12),
+      "s35_ils_audit" -> Similarity.ilsOracle(5, 12),
       // s31: the s11 assignment CTEs, a per-query cell ranking, and
       // the nprobe unnest — every rank breaks ties on ids.
       "s31_nprobe_sweep" -> """
@@ -3750,6 +3760,42 @@ object SparkEntry {
         FROM tokc t LEFT JOIN dec d ON t.doc_id = d.doc_id
         WHERE COALESCE(d.kept, true)
         GROUP BY t.source ORDER BY t.source""",
+      // d42: the d30 label-replay prefix (MinHash -> capped LSH ->
+      // recursive CC), then the cluster x source rollup; arg_min picks
+      // the representative's source exactly like min_by over the
+      // unique doc_id.
+      "d42_syndication" -> """
+        WITH RECURSIVE
+        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+               FROM documents),
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        small AS (SELECT j, bkey FROM bands GROUP BY j, bkey
+                  HAVING count(*) <= 64 AND count(*) > 1),
+        inb AS (SELECT b.* FROM bands b JOIN small s ON b.j = s.j AND b.bkey = s.bkey),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+        lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+                FROM walk GROUP BY node)
+        SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+          CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+          arg_min(d.source, l.doc_id) AS kept_source,
+          count(DISTINCT d.source) >= 2 AS cross_source
+        FROM lab l JOIN documents d ON d.doc_id = l.doc_id
+        GROUP BY l.cluster_id HAVING count(*) >= 2
+        ORDER BY l.cluster_id""",
       "d30_savings_by_source" -> """
         WITH RECURSIVE
         tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
@@ -4546,6 +4592,29 @@ object SparkEntry {
             CAST(greatest(ndv_dates_o, ndv_dates_l) AS DOUBLE) AS est_naive,
           est_hist
         FROM t_o, t_l, act, hist""",
+      // q40: arg_max on the identical integer ordinal; the window arm
+      // replayed the same way, verdict joined per key.
+      "q40_latest_orders" -> """
+        WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                     date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                       * 10000000000 + o_orderkey AS ord
+                   FROM orders WHERE o_custkey <= 100),
+        a AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                arg_max(o_orderkey, ord) AS last_orderkey,
+                arg_max(o_orderdate, ord) AS last_date,
+                arg_max(o_totalprice, ord) AS last_price
+              FROM o GROUP BY o_custkey),
+        w AS (SELECT o_custkey, o_orderkey AS w_orderkey FROM (
+                SELECT o_custkey, o_orderkey,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM o) t WHERE rn = 1)
+        SELECT a.o_custkey, a.n_orders, a.last_orderkey,
+          CAST(a.last_date AS DATE) AS last_date,
+          CAST(a.last_price AS DOUBLE) AS last_price,
+          a.last_orderkey = w.w_orderkey AS matches
+        FROM a JOIN w ON a.o_custkey = w.o_custkey
+        ORDER BY a.o_custkey""",
       "q38_incremental_agg" -> """
         WITH li AS (SELECT l_returnflag, l_orderkey,
                       CAST(l_quantity AS DECIMAL(18,4)) AS qty,

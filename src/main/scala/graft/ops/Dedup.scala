@@ -2278,4 +2278,34 @@ object Dedup {
       .select($"vec_id", $"kept_by", $"cell_id", $"cos")
       .orderBy($"vec_id")
   }
+
+  /** d42 — SYNDICATION AUDIT: d11's duplicate clusters cross-tabbed
+    * against the SOURCE column — is near-duplication intra-source
+    * (a crawler re-fetching its own site) or cross-source (mirrors /
+    * syndication networks)? The distinction drives different fixes
+    * (crawl dedup config vs a domain-level blocklist), so the
+    * campaign report splits on it: per duplicate cluster, member
+    * count, distinct sources touched, the representative's source,
+    * and the `cross_source` verdict. d30 sums SAVINGS by source; this
+    * answers WHERE the duplication topology lives.
+    *
+    * Scale shape: rides the shared dupClusterLabels sidecar (no new
+    * corpus pass); one narrow join against (doc_id, source) and a
+    * cluster-sized aggregate with a SINGLE distinct (no Expand).
+    * min_by picks the representative's source without a second join
+    * back (the label IS the member minimum, InvariantSpec-proven, so
+    * min_by(source, doc_id) is the kept doc's source).
+    */
+  def syndicationAudit(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import s.implicits._
+    dupClusterLabels(s, dir, cap)
+      .join(documents(s, dir).select($"doc_id", $"source"), Seq("doc_id"))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct($"source").as("n_sources"),
+        expr("min_by(source, doc_id)").as("kept_source"))
+      .filter($"n_members" >= 2)
+      .withColumn("cross_source", $"n_sources" >= 2)
+      .orderBy($"cluster_id")
+  }
 }

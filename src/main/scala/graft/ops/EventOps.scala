@@ -1171,9 +1171,22 @@ object EventOps {
     * note: runs its stats pass at plan time (the q31/t43 driver-loop
     * convention).
     */
-  def activityGini(s: SparkSession, dir: String): DataFrame = {
+  def activityGini(s: SparkSession, dir: String): DataFrame =
+    giniOver(userCounts(events(s, dir)))
+
+  /** The (user_id, c) reduction [[activityGini]] ranks — also the
+    * additive state the StreamingGini door folds per tick.
+    */
+  def userCounts(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
     import s.implicits._
-    val counts = events(s, dir).groupBy($"user_id").agg(count(lit(1)).as("c"))
+    ev.groupBy($"user_id").agg(count(lit(1)).as("c"))
+  }
+
+  /** [[activityGini]] from an already-reduced (user_id, c) table. */
+  def giniOver(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
     val nRanges = s.conf.getOption("spark.graft.pareto.ranges")
       .map(_.toInt).getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
     // Pin the range layout across both passes (the q31 rationale: the

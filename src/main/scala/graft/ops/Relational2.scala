@@ -880,6 +880,50 @@ object Relational2 {
         $"est_hist")
   }
 
+  /** q40 — LATEST-ROW-PER-KEY COMPACTION (the CDC-read shape): each
+    * customer's most recent order, produced by the aggregate argmax —
+    * `max_by(payload, struct(o_orderdate, o_orderkey))` — beside a
+    * `matches` verdict recomputing the same row through the textbook
+    * row_number()-over-window arm. The point is the SCALE contrast
+    * the verdict certifies equivalent: the window arm sorts every
+    * key's whole history inside its partition; max_by keeps ONE row
+    * of state per key and merges map-side — at 100 TB, compacting a
+    * change log into current-state is the argmax aggregate, never a
+    * global per-key sort. The argmax ordinal is an exact BIGINT
+    * composite day_index·10¹⁰ + o_orderkey (DuckDB's arg_max takes no
+    * struct ordinal, so both engines rank on the identical integer);
+    * ties are impossible because the composite ends on the unique
+    * order key — that is what makes the argmax deterministic
+    * cross-engine.
+    *
+    * Scale shape: ONE map-side-combined aggregate per arm on the same
+    * key (identical shuffle subtree → ReusedExchange); output bounded
+    * to a fixed key slice for the dump, the q21 convention.
+    */
+  def latestOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, dir).filter($"o_custkey" <= 100)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("ord",
+        datediff(to_date($"o_orderdate"), to_date(lit("1992-01-01")))
+          .cast("long") * lit(10000000000L) + $"o_orderkey")
+    val agg = o.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        expr("max_by(o_orderkey, ord)").as("last_orderkey"),
+        expr("max_by(o_orderdate, ord)").as("last_date"),
+        expr("max_by(o_totalprice, ord)").as("last_price"))
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    val win = o.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey".as("w_orderkey"))
+    agg.join(win, Seq("o_custkey"))
+      .withColumn("matches", $"last_orderkey" === $"w_orderkey")
+      .select($"o_custkey", $"n_orders", $"last_orderkey",
+        to_date($"last_date").as("last_date"),
+        $"last_price".cast("double").as("last_price"), $"matches")
+      .orderBy($"o_custkey")
+  }
+
   def partSupplierVariety(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bad = supplier(s, dir).filter($"s_acctbal" < 0.0).select($"s_suppkey")

@@ -265,29 +265,41 @@ object Similarity {
     * the s29 precedent (the judge-endorsed plan-time driver loop over
     * a provably bounded set).
     */
+  /** The shared candidate-shortlist core of s30/s35: the query's
+    * nCand-deep relevance list and its pairwise cosine table, both
+    * collected (shortlist-sized — tens of rows) for the driver-side
+    * selection loops.
+    */
+  private def mmrCandSims(s: SparkSession, dir: String, nCand: Int)
+      : (Map[Long, Double], Map[(Long, Long), Double]) = {
+    import s.implicits._
+    val e = normedVectors(s, dir).localCheckpoint()
+    val q = e.filter($"vec_id" === 0L).toDF("q_id", "q_emb", "q_nrm")
+    val wq = Window.partitionBy($"q_id").orderBy($"rel".desc, $"vec_id")
+    val cand = e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"q_id")
+      .withColumn("rel",
+        cosinePrenormed(vec_dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
+      .withColumn("crank", row_number().over(wq))
+      .filter($"crank" <= nCand)
+      .select($"vec_id", $"embedding", $"nrm", $"rel")
+      .localCheckpoint()
+    val rels = cand.select($"vec_id", $"rel").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = cand.toDF("id_a", "emb_a", "nrm_a", "rel_a")
+    val b = cand.toDF("id_b", "emb_b", "nrm_b", "rel_b")
+    val sims = a.join(b, $"id_a" =!= $"id_b")
+      .withColumn("sim",
+        cosinePrenormed(vec_dot($"emb_a", $"emb_b"), $"nrm_a", $"nrm_b"))
+      .select($"id_a", $"id_b", $"sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    (rels, sims)
+  }
+
   def mmrRerank(s: SparkSession, dir: String, k: Int = 5,
                 nCand: Int = 12): DataFrame =
     CorpusIndexes.memo(s, dir, s"mmr_${k}_$nCand") {
       import s.implicits._
-      val e = normedVectors(s, dir).localCheckpoint()
-      val q = e.filter($"vec_id" === 0L).toDF("q_id", "q_emb", "q_nrm")
-      val wq = Window.partitionBy($"q_id").orderBy($"rel".desc, $"vec_id")
-      val cand = e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"q_id")
-        .withColumn("rel",
-          cosinePrenormed(vec_dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
-        .withColumn("crank", row_number().over(wq))
-        .filter($"crank" <= nCand)
-        .select($"vec_id", $"embedding", $"nrm", $"rel")
-        .localCheckpoint()
-      val rels = cand.select($"vec_id", $"rel").collect()
-        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      val a = cand.toDF("id_a", "emb_a", "nrm_a", "rel_a")
-      val b = cand.toDF("id_b", "emb_b", "nrm_b", "rel_b")
-      val sims = a.join(b, $"id_a" =!= $"id_b")
-        .withColumn("sim",
-          cosinePrenormed(vec_dot($"emb_a", $"emb_b"), $"nrm_a", $"nrm_b"))
-        .select($"id_a", $"id_b", $"sim").collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val (rels, sims) = mmrCandSims(s, dir, nCand)
       var selected = Vector.empty[(Int, Long, Double, Double)]
       for (i <- 1 to k) {
         val sel = selected.map(_._2).toSet
@@ -311,11 +323,63 @@ object Similarity {
         .orderBy($"sel_rank")
     }
 
+  /** s35 — INTRA-LIST SIMILARITY audit: what s30's MMR λ actually
+    * BUYS, measured — for the same query, the mean pairwise cosine
+    * INSIDE the brute top-k list vs inside the MMR-selected list,
+    * beside each list's mean relevance. The two numbers are the
+    * diversity/relevance trade a retrieval-augmentation curator reads
+    * before picking λ: MMR must show lower ILS (that's the point) at
+    * a bounded relevance give-up. s30 produces the reranked list;
+    * this is the evaluation harness that certifies it did something.
+    *
+    * Determinism: both lists are exact id sets (s30's argmax loop,
+    * the brute rank); each ILS is a (id_a, id_b)-ordered fold of the
+    * SAME pairwise cosines the MMR loop used, each mean ONE IEEE
+    * divide by a literal.
+    *
+    * Scale shape: rides [[mmrCandSims]] — everything after the
+    * shortlist is driver arithmetic over ≤ nCand² doubles (runs at
+    * plan time, memoized; the q31/t43 driver-loop convention). At
+    * 100 TB the shortlist is still nCand rows per query.
+    */
+  def ilsAudit(s: SparkSession, dir: String, k: Int = 5,
+               nCand: Int = 12): DataFrame =
+    CorpusIndexes.memo(s, dir, s"ils_${k}_$nCand") {
+      import s.implicits._
+      val (rels, sims) = mmrCandSims(s, dir, nCand)
+      val brute = rels.toSeq
+        .sortWith((x, y) => x._2 > y._2 || (x._2 == y._2 && x._1 < y._1))
+        .take(k).map(_._1)
+      val mmr = mmrRerank(s, dir, k, nCand)
+        .select($"vec_id").collect().map(_.getLong(0)).toSeq
+      def ils(ids: Seq[Long]): Double = {
+        val sorted = ids.sorted
+        val terms = for { a <- sorted; b <- sorted if a < b } yield sims((a, b))
+        terms.foldLeft(0.0)(_ + _) / (k * (k - 1) / 2).toDouble
+      }
+      def meanRel(ids: Seq[Long]): Double =
+        ids.sorted.map(rels).foldLeft(0.0)(_ + _) / k.toDouble
+      s.sparkContext.parallelize(Seq(
+          ("brute", ils(brute), meanRel(brute)),
+          ("mmr", ils(mmr), meanRel(mmr))), 1)
+        .toDF("method", "ils", "mean_rel")
+        .orderBy($"method")
+    }
+
   /** The DuckDB replay of [[mmrRerank]]: candidate shortlist + pairwise
     * sims as MATERIALIZED CTEs, then k chained argmax stages over the
     * literal `0.7*rel - 0.3*maxsim` score.
     */
-  private[graft] def mmrOracle(k: Int, nCand: Int): String = {
+  private[graft] def mmrOracle(k: Int, nCand: Int): String =
+    mmrOracleStages(k, nCand) +
+      (1 to k).map(i => s"SELECT sel_rank, vec_id, rel, score FROM sel$i")
+        .mkString("\n", "\nUNION ALL ", "\nORDER BY sel_rank")
+
+  /** The shared DuckDB prefix of [[mmrOracle]] and the s35 ILS oracle:
+    * candidate shortlist, pairwise sims, and the k chained MMR argmax
+    * stages, ending with `ids<k>` = the selected id set.
+    */
+  private def mmrOracleStages(k: Int, nCand: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH e AS MATERIALIZED (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -355,9 +419,38 @@ object Similarity {
     ids$i AS MATERIALIZED (SELECT vec_id FROM ids${i - 1}
            UNION ALL SELECT vec_id FROM sel$i)"""
     }
-    sb ++= (1 to k).map(i => s"SELECT sel_rank, vec_id, rel, score FROM sel$i")
-      .mkString("\n", "\nUNION ALL ", "\nORDER BY sel_rank")
     sb.toString
+  }
+
+  /** The DuckDB replay of [[ilsAudit]]: the shared MMR stages, a brute
+    * top-k CTE, then per-method intra-list similarity and mean
+    * relevance with every double fold pinned (pair order (id_a, id_b),
+    * rel order vec_id; seedless list_reduce == the 0.0-seeded driver
+    * fold).
+    */
+  private[graft] def ilsOracle(k: Int, nCand: Int): String = {
+    val nPairs = k * (k - 1) / 2
+    mmrOracleStages(k, nCand) + s""",
+    brute AS (SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY rel DESC, vec_id) AS rk
+        FROM cand) t WHERE rk <= $k),
+    lists AS (SELECT 'brute' AS method, vec_id FROM brute
+              UNION ALL SELECT 'mmr', vec_id FROM ids$k),
+    pr AS (SELECT a.method, s.id_a, s.id_b, s.sim
+           FROM lists a JOIN lists b
+             ON a.method = b.method AND a.vec_id < b.vec_id
+           JOIN sims s ON s.id_a = a.vec_id AND s.id_b = b.vec_id),
+    i AS (SELECT method,
+            list_reduce(list(sim ORDER BY id_a, id_b), (x, y) -> x + y)
+              / CAST($nPairs AS DOUBLE) AS ils
+          FROM pr GROUP BY method),
+    mr AS (SELECT l.method,
+             list_reduce(list(c.rel ORDER BY l.vec_id), (x, y) -> x + y)
+               / CAST($k AS DOUBLE) AS mean_rel
+           FROM lists l JOIN cand c ON c.vec_id = l.vec_id
+           GROUP BY l.method)
+    SELECT i.method, i.ils, mr.mean_rel
+    FROM i JOIN mr ON i.method = mr.method ORDER BY i.method"""
   }
 
   /** s31 — IVF NPROBE RECALL SWEEP: recall@5 at nprobe ∈ {1, 2, 4}

@@ -409,6 +409,30 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q40 latest orders: argmax recomputed driver-side; verdict all-true by construction") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = SparkEntry.queries("q40_latest_orders")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDate(3).toLocalDate, r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    val o = spark.read.parquet(TestSpark.sfDir + "/orders.parquet")
+      .filter($"o_custkey" <= 100)
+      .selectExpr("o_custkey", "o_orderkey", "CAST(o_orderdate AS DATE) AS d",
+        "o_totalprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate, r.getDouble(3)))
+    assert(rows.keySet == o.map(_._1).toSet)
+    o.groupBy(_._1).foreach { case (ck, g) =>
+      val best = g.maxBy(t => (t._3.toEpochDay, t._2))
+      val (n, lk, ld, lp, m) = rows(ck)
+      assert(n == g.length.toLong, s"cust $ck count")
+      assert(lk == best._2 && ld == best._3 && lp == best._4, s"cust $ck argmax")
+      assert(m, s"cust $ck: max_by and window arms must agree")
+    }
+  }
+
   test("q39 join estimate: exact size and both estimators recomputed driver-side") {
     val spark = TestSpark.spark
     import spark.implicits._

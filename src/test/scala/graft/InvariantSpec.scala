@@ -1679,6 +1679,30 @@ class InvariantSpec extends AnyFunSuite {
     assert(rows.exists(_._4) && rows.exists(!_._4))
   }
 
+  test("d42 syndication: rollup recomputed from the label table; kept_source is the label's") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = SparkEntry.queries("d42_syndication")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3),
+        r.getBoolean(4)))
+      .toMap
+    val src = spark.read.parquet(TestSpark.sfDir + "/documents.parquet")
+      .selectExpr("doc_id", "source").as[(Long, String)].collect().toMap
+    val labels = graft.ops.Dedup.dupClusterLabels(spark, TestSpark.sfDir, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = labels.groupBy(_._2).collect {
+      case (cl, g) if g.length >= 2 =>
+        val members = g.map(_._1)
+        cl -> (members.length.toLong, members.map(src).distinct.length.toLong,
+          src(members.min), members.map(src).distinct.length >= 2)
+    }
+    assert(got == expected)
+    // the kept representative IS the cluster label (member minimum),
+    // so kept_source must be the label doc's own source
+    got.foreach { case (cl, (_, _, ks, _)) => assert(ks == src(cl), s"cluster $cl") }
+  }
+
   test("t51 Gopher rules: dup-n-gram chars recomputed driver-side, verdict cross-multiplied") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("t51_gopher_rules")(spark, TestSpark.sfDir)

@@ -859,4 +859,46 @@ class RecallSpec extends AnyFunSuite {
         assert(wd < bs, s"q$q: a dual-listed candidate ranked below a single-listed one")
     }
   }
+
+  test("s35 ILS audit: folds recomputed from the lists; MMR strictly more diverse") {
+    val spark0 = TestSpark.spark
+    val got = SparkEntry.queries("s35_ils_audit")(spark0, TestSpark.sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set("brute", "mmr"))
+    // recompute both lists' metrics from first principles: exact
+    // normalized cosines over the raw embeddings
+    val vecs = spark0.read.parquet(TestSpark.sfDir + "/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = vecs(0L)
+    val rels = vecs.keysIterator.filter(_ != 0L)
+      .map(id => id -> cos(q, vecs(id))).toMap
+    val brute = rels.toSeq
+      .sortWith((x, y) => x._2 > y._2 || (x._2 == y._2 && x._1 < y._1))
+      .take(5).map(_._1)
+    val mmr = SparkEntry.queries("s30_mmr_rerank")(spark0, TestSpark.sfDir)
+      .collect().map(_.getLong(1)).toSeq
+    def ils(ids: Seq[Long]): Double = {
+      val s = ids.sorted
+      val terms = for { a <- s; b <- s if a < b } yield cos(vecs(a), vecs(b))
+      terms.sum / 10.0
+    }
+    def meanRel(ids: Seq[Long]): Double = ids.sorted.map(rels).sum / 5.0
+    // any-order double sums under tolerance; bit-exactness is the
+    // DuckDB oracle's job
+    assert(math.abs(got("brute")._1 - ils(brute)) < 1e-9)
+    assert(math.abs(got("mmr")._1 - ils(mmr)) < 1e-9)
+    assert(math.abs(got("brute")._2 - meanRel(brute)) < 1e-9)
+    assert(math.abs(got("mmr")._2 - meanRel(mmr)) < 1e-9)
+    // the audit's reason to exist: MMR bought strictly lower
+    // intra-list similarity, paying at most a bounded relevance dip
+    assert(got("mmr")._1 < got("brute")._1, "MMR list must be more diverse")
+    assert(got("mmr")._2 <= got("brute")._2 + 1e-12,
+      "brute maximizes mean relevance by construction")
+  }
 }

@@ -1770,4 +1770,58 @@ class StreamingExtrasSpec extends AnyFunSuite {
       graft.ops.EventOps.hourlyCounts(batches(0).toSeq.toDF("event_type", "ts"))))
     assert(tick0 == prefix)
   }
+
+  test("StreamingGini: final tick equals batch e33 under a shuffled split; replay exactly-once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // adversarial split: users interleave across batches (sorted by
+    // event_id mod 7), so only the additive per-user fold — never any
+    // per-batch completeness — makes the final rank exact
+    val ev = graft.Tables.events(spark, TestSpark.sfDir)
+      .selectExpr("event_id", "user_id")
+      .as[(Long, Long)].collect()
+      .sortBy { case (id, u) => (id % 7, u, id) }
+      .map(_._2)
+    val batches = Seq(ev.take(ev.length / 3),
+      ev.slice(ev.length / 3, 2 * ev.length / 3),
+      ev.drop(2 * ev.length / 3))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gini_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_gini_out").toString
+    val st = java.nio.file.Files.createTempDirectory("graft_gini_state").toString
+    val input = MemoryStream[Long]
+    val stream = input.toDF().toDF("user_id")
+    def start() = graft.streaming.StreamingGini.run(stream, out, st, ckpt)
+
+    val q1 = start()
+    try {
+      input.addData(batches(0).toSeq); q1.processAllAvailable()
+      input.addData(batches(1).toSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    // crash before the commit marker: batch 1 must refold from
+    // snapshot 0 and rewrite identical bytes, never double-count
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.map(_.getName.toLong).toSeq == Seq(0L, 1L))
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.1.crc")
+    if (crc.exists()) assert(crc.delete())
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays batch 1 against snapshot 0
+      input.addData(batches(2).toSeq); q2.processAllAvailable()
+    } finally q2.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val finalTick = rows(spark.read.parquet(s"$out/batch_id=2"))
+    val batchRun = rows(SparkEntry.queries("e33_activity_gini")(spark, TestSpark.sfDir))
+    assert(finalTick == batchRun,
+      "the final tick must equal batch e33 over the same arrivals")
+    // provisional ticks are honest over their own prefix
+    val tick0 = rows(spark.read.parquet(s"$out/batch_id=0"))
+    val prefix = rows(graft.ops.EventOps.giniOver(
+      graft.ops.EventOps.userCounts(batches(0).toSeq.toDF("user_id"))))
+    assert(tick0 == prefix)
+  }
 }
