@@ -105,6 +105,9 @@ object SparkEntry {
     // e33 = activity Gini: engagement inequality via the q31
     // range-partitioned global rank; exact-integer numerator.
     "e33_activity_gini"      -> (EventOps.activityGini _),
+    // e34 = count-min heavy hitters: exact top-10 probed against the
+    // 4x64 sketch, one-sided error pinned; all-integer.
+    "e34_heavy_hitters"      -> (EventOps.heavyHitters _),
     // m19 = EXECUTED audio decimation through the real WAV codec
     // (decode → drop odd samples → re-encode at 4 kHz → decode);
     // position-weighted sums pin sample order across the chain.
@@ -557,6 +560,9 @@ object SparkEntry {
     // m30 = pixel-histogram entropy computed INSIDE the decode slot
     // (integer-log fold in bin order; pixels never leave the codec).
     "m30_pixel_entropy"      -> (Multimodal.pixelEntropy _),
+    // m31 = executed 90-degree rotation round-trip; pos_wsum pins
+    // orientation where any multiset stat cannot.
+    "m31_png_rotate"         -> (Multimodal.pngRotate _),
     // m09 = audio feature extraction: per-frame energy over the real
     // WAV decode (64-sample frames, integer-exact activity detection).
     "m09_wav_frames"         -> ((s, d) => Multimodal.wavFrameEnergy(s, d)),
@@ -1148,6 +1154,24 @@ object SparkEntry {
           CASE WHEN slope < 0.0
             THEN -ln(CAST(2.0 AS DOUBLE)) / slope END AS half_life_days
         FROM fit ORDER BY den""",
+      // e34: md5-bucketed 4x64 CMS replayed; min over the four
+      // counters, everything exact BIGINTs.
+      "e34_heavy_hitters" -> """
+        WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+                   FROM events GROUP BY user_id),
+        e AS (SELECT user_id, c, i,
+                CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                  CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS j
+              FROM c, (SELECT unnest(generate_series(0, 3)) AS i) ii),
+        cms AS (SELECT i, j, CAST(sum(c) AS BIGINT) AS cnt FROM e GROUP BY i, j),
+        top AS (SELECT user_id, c AS exact FROM c ORDER BY c DESC, user_id LIMIT 10)
+        SELECT t.user_id, t.exact, CAST(min(cms.cnt) AS BIGINT) AS est,
+          CAST(min(cms.cnt) - t.exact AS BIGINT) AS over_est
+        FROM top t
+        JOIN e ON e.user_id = t.user_id
+        JOIN cms ON cms.i = e.i AND cms.j = e.j
+        GROUP BY t.user_id, t.exact
+        ORDER BY t.exact DESC, t.user_id""",
       // e33: global rank by (count, user_id); exact-integer Gini
       // numerator, one final IEEE divide.
       "e33_activity_gini" -> """
@@ -1651,6 +1675,20 @@ object SparkEntry {
       // m29: the generator PCM replayed at output indices — even j
       // copies s[j/2], odd j the TRUNCATED midpoint (// and Java /
       // both round toward zero on negatives; a shift would floor).
+      // m31: the rotated raster replayed cell by cell — O(y',x') =
+      // I(h-1-x', y'), dims swapped, weights in rotated row-major.
+      "m31_png_rotate" -> """
+        WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w, 8 + (doc_id // 25) % 25 AS h
+                   FROM documents),
+        g AS (SELECT doc_id, w, h, y2, x2,
+                (doc_id * 31 + 7 * y2 + 13 * (h - 1 - x2)) % 256 AS v
+              FROM d,
+                LATERAL (SELECT unnest(generate_series(0, w - 1)) AS y2) a,
+                LATERAL (SELECT unnest(generate_series(0, h - 1)) AS x2) b)
+        SELECT doc_id, CAST(min(h) AS BIGINT) AS width, CAST(min(w) AS BIGINT) AS height,
+          CAST(sum(v) AS BIGINT) AS pix_sum,
+          CAST(sum(v * (y2 * h + x2 + 1)) AS BIGINT) AS pos_wsum
+        FROM g GROUP BY doc_id ORDER BY doc_id""",
       // m30: histogram entropy replayed from the generator raster;
       // c·ln(c) terms fold in bin order (t45 integer-log discipline).
       "m30_pixel_entropy" -> """

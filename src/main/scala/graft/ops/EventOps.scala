@@ -1216,6 +1216,62 @@ object EventOps {
           (lit(nUsers) * $"n_events").cast("double")).as("gini"))
   }
 
+  /** The 4×64 COUNT-MIN SKETCH counter table over a (user_id, c)
+    * reduction — e34's serving structure and the StreamingCms door's
+    * whole state. Four md5-derived hash rows of 64 counters; every
+    * counter is an exact BIGINT sum, so per-batch tables fold by
+    * ADDITION (CMS(A ∪ B) = CMS(A) + CMS(B) counter-wise).
+    */
+  def cmsOver(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    counts
+      .select($"user_id", $"c",
+        explode(array((0 until 4).map(i => lit(i.toLong)): _*)).as("i"))
+      .withColumn("j", cmsBucket)
+      .groupBy($"i", $"j").agg(sum($"c").as("cnt"))
+  }
+
+  /** Bucket hash over the in-scope (i, user_id) columns. */
+  private def cmsBucket =
+    expr("cast(conv(substring(md5(concat(cast(i as string), ':', " +
+      "cast(user_id as string))), 1, 8), 16, 10) as bigint) % 64")
+
+  /** e34 — COUNT-MIN HEAVY HITTERS: the top-10 most active users by
+    * EXACT count, each probed against a 4×64 count-min sketch — the
+    * constant-memory structure a 100 TB stream actually serves
+    * heavy-hitter queries from (t07 audits HLL for distincts, q23
+    * audits t-digest for quantiles; this closes the classic-sketch
+    * trio with frequency). The audit emits exact beside the CMS
+    * estimate and the overestimate — CMS can only err HIGH (every
+    * counter is a supserset sum), and the spec + the `over_est ≥ 0`
+    * column pin that one-sided guarantee on real data.
+    *
+    * Determinism: md5-derived bucket hashes (the t14/t49 primitive),
+    * exact BIGINT counters, min over the four counters — no float
+    * exists anywhere in the op.
+    *
+    * Scale shape: ONE user reduction feeds both arms (identical
+    * subtree → ReusedExchange); the sketch is 256 rows whatever the
+    * corpus (broadcast), the probe explodes 10 rows ×4. At 100 TB
+    * the exact arm is the audit; the sketch alone is the shipped
+    * path, maintained additively by the StreamingCms door.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = userCounts(events(s, dir))
+    val cms = cmsOver(counts)
+    counts.orderBy($"c".desc, $"user_id").limit(10)
+      .select($"user_id", $"c".as("exact"))
+      .select($"user_id", $"exact",
+        explode(array((0 until 4).map(i => lit(i.toLong)): _*)).as("i"))
+      .withColumn("j", cmsBucket)
+      .join(broadcast(cms), Seq("i", "j"))
+      .groupBy($"user_id", $"exact").agg(min($"cnt").as("est"))
+      .withColumn("over_est", $"est" - $"exact")
+      .orderBy($"exact".desc, $"user_id")
+  }
+
   /** [[stickiness]] from an already-reduced (day_i, user_id) activity
     * table — the frame core the streaming door emits per tick.
     */

@@ -2134,6 +2134,64 @@ object Multimodal {
       .orderBy($"doc_id", $"py", $"px")
   }
 
+  final case class PngRotated(doc_id: Long, width: Long, height: Long,
+      pix_sum: Long, pos_wsum: Long)
+
+  /** m31 — EXECUTED 90° ROTATION round-trip: decode → rotate
+    * clockwise (O(y', x') = I(h−1−x', y'), dims swap to h×w) →
+    * re-encode PNG → decode → integer pixel sum AND the row-major
+    * position-weighted sum in the ROTATED orientation. Rotation is
+    * the augmentation whose bug class is invisible to m05/m02-style
+    * multiset stats — any rotation/flip/transpose preserves pix_sum
+    * exactly — so the manifest pins ORIENTATION through pos_wsum (the
+    * m19/m26 discipline: only a position-weighted sum can tell CW
+    * from CCW from transpose; MultimodalSpec proves all four
+    * orientations differ on a witness raster).
+    *
+    * Scale shape: one mapPartitions codec pass, pixels never leave
+    * the slot, 4 longs out per image — embarrassingly parallel at any
+    * corpus size, like every executed-transform op in the family.
+    */
+  def pngRotate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pngTable(s, dir).mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new BufferedImage(h, w, BufferedImage.TYPE_INT_RGB)
+        var y2 = 0
+        while (y2 < w) {
+          var x2 = 0
+          while (x2 < h) {
+            val v = img.getRGB(y2, h - 1 - x2) & 0xff
+            out.setRGB(x2, y2, (v << 16) | (v << 8) | v)
+            x2 += 1
+          }
+          y2 += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", bos)
+        val back = ImageIO.read(new ByteArrayInputStream(bos.toByteArray))
+        var sum = 0L
+        var wsum = 0L
+        var y = 0
+        while (y < back.getHeight) {
+          var x = 0
+          while (x < back.getWidth) {
+            val p = (back.getRGB(x, y) & 0xff).toLong
+            sum += p
+            wsum += p * (y * back.getWidth + x + 1)
+            x += 1
+          }
+          y += 1
+        }
+        PngRotated(r.doc_id, back.getWidth.toLong, back.getHeight.toLong, sum, wsum)
+      }
+    }.toDF().orderBy($"doc_id")
+  }
+
   final case class PixelEntropy(doc_id: Long, width: Long, height: Long,
       n_pix: Long, n_vals: Long, entropy: Double, flat: Boolean)
 

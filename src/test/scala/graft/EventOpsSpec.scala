@@ -494,6 +494,40 @@ class EventOpsSpec extends AnyFunSuite {
     finally spark.conf.unset(key)
   }
 
+  test("e34 heavy hitters: CMS recomputed driver-side; estimate never under-counts ANY user") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = SparkEntry.queries("e34_heavy_hitters")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val counts = spark.read.parquet(TestSpark.sfDir + "/events.parquet")
+      .groupBy($"user_id").count().as[(Long, Long)].collect().toMap
+    def bucket(i: Int, u: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$u".getBytes("UTF-8"))
+      (java.lang.Long.parseLong(
+        md.take(4).map(x => f"${x & 0xff}%02x").mkString, 16) % 64).toInt
+    }
+    val cms = Array.ofDim[Long](4, 64)
+    counts.foreach { case (u, c) =>
+      for (i <- 0 until 4) cms(i)(bucket(i, u)) += c
+    }
+    def est(u: Long): Long = (0 until 4).map(i => cms(i)(bucket(i, u))).min
+    val top = counts.toSeq.sortWith((a, b) => a._2 > b._2 ||
+      (a._2 == b._2 && a._1 < b._1)).take(10)
+    assert(got.keySet == top.map(_._1).toSet, "top-10 selection")
+    top.foreach { case (u, c) =>
+      val (exact, e, over) = got(u)
+      assert(exact == c && e == est(u) && over == e - c, s"user $u")
+    }
+    // the one-sided CMS guarantee, checked over EVERY user, not just
+    // the reported ten
+    counts.foreach { case (u, c) =>
+      assert(est(u) >= c, s"CMS under-counted user $u")
+    }
+  }
+
   test("e27 stickiness: driver recompute of the trailing-7-day distinct; DAU ≤ WAU") {
     val spark = TestSpark.spark
     import spark.implicits._

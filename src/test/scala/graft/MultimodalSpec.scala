@@ -886,6 +886,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("m31 rotation: replayed from the raster; pos_wsum separates all four orientations") {
+    val spark = TestSpark.spark
+    val got = SparkEntry.queries("m31_png_rotate")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val ids = spark.read.parquet(TestSpark.sfDir + "/documents.parquet")
+      .selectExpr("doc_id").collect().map(_.getLong(0))
+    assert(got.size == ids.length)
+    def pix(id: Long, x: Int, y: Int): Long = (id * 31 + 7 * x + 13 * y) % 256
+    // weighted sum of a w2-wide, h2-tall raster given a pixel lookup
+    def wsum(w2: Int, h2: Int, f: (Int, Int) => Long): (Long, Long) = {
+      var s = 0L; var ws = 0L
+      for (y <- 0 until h2; x <- 0 until w2) {
+        val v = f(x, y); s += v; ws += v * (y * w2 + x + 1)
+      }
+      (s, ws)
+    }
+    ids.foreach { id =>
+      val w = (8 + id % 25).toInt; val h = (8 + (id / 25) % 25).toInt
+      val (s, ws) = wsum(h, w, (x2, y2) => pix(id, y2, h - 1 - x2))
+      val (gw, gh, gs, gws) = got(id)
+      assert(gw == h && gh == w && gs == s && gws == ws, s"doc $id")
+    }
+    // orientation discrimination: on a witness image, identity / CW /
+    // CCW / transpose all share pix_sum but give four DISTINCT
+    // position-weighted sums — the column the manifest exists for
+    val id = ids.head
+    val w = (8 + id % 25).toInt; val h = (8 + (id / 25) % 25).toInt
+    val ident = wsum(w, h, (x, y) => pix(id, x, y))
+    val cw = wsum(h, w, (x2, y2) => pix(id, y2, h - 1 - x2))
+    val ccw = wsum(h, w, (x2, y2) => pix(id, w - 1 - y2, x2))
+    val tr = wsum(h, w, (x2, y2) => pix(id, y2, x2))
+    val all = Seq(ident, cw, ccw, tr)
+    assert(all.map(_._1).distinct.length == 1, "rotations must preserve pix_sum")
+    assert(all.map(_._2).distinct.length == 4,
+      s"pos_wsum must separate orientations: ${all.map(_._2)}")
+  }
+
   test("m30 pixel entropy: histogram and fold replayed from the raster, bit-exact") {
     val spark = TestSpark.spark
     val got = SparkEntry.queries("m30_pixel_entropy")(spark, TestSpark.sfDir)

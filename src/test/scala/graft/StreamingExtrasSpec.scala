@@ -1824,4 +1824,56 @@ class StreamingExtrasSpec extends AnyFunSuite {
       graft.ops.EventOps.userCounts(batches(0).toSeq.toDF("user_id"))))
     assert(tick0 == prefix)
   }
+
+  test("StreamingCms: final sketch equals batch CMS; state constant-size; replay exactly-once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ev = graft.Tables.events(spark, TestSpark.sfDir)
+      .selectExpr("event_id", "user_id")
+      .as[(Long, Long)].collect()
+      .sortBy { case (id, u) => (id % 5, u, id) }
+      .map(_._2)
+    val batches = Seq(ev.take(ev.length / 3),
+      ev.slice(ev.length / 3, 2 * ev.length / 3),
+      ev.drop(2 * ev.length / 3))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cms_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cms_out").toString
+    val st = java.nio.file.Files.createTempDirectory("graft_cms_state").toString
+    val input = MemoryStream[Long]
+    val stream = input.toDF().toDF("user_id")
+    def start() = graft.streaming.StreamingCms.run(stream, out, st, ckpt)
+
+    val q1 = start()
+    try {
+      input.addData(batches(0).toSeq); q1.processAllAvailable()
+      input.addData(batches(1).toSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.map(_.getName.toLong).toSeq == Seq(0L, 1L))
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.1.crc")
+    if (crc.exists()) assert(crc.delete())
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      input.addData(batches(2).toSeq); q2.processAllAvailable()
+    } finally q2.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val finalTick = rows(spark.read.parquet(s"$out/batch_id=2"))
+    val batchCms = rows(graft.ops.EventOps.cmsOver(graft.ops.EventOps.userCounts(
+      graft.Tables.events(spark, TestSpark.sfDir).select($"user_id"))))
+    assert(finalTick == batchCms,
+      "the final sketch must equal the batch CMS over the same arrivals")
+    // the whole point of the door: state is ≤ 4×64 counters at EVERY
+    // tick, whatever arrived
+    for (b <- 0 to 2) {
+      val n = spark.read.parquet(s"$st/batch_id=$b").count()
+      assert(n <= 256L, s"tick $b state has $n rows")
+    }
+  }
 }
