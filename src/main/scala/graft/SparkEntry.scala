@@ -168,6 +168,9 @@ object SparkEntry {
     // q40 = latest-row-per-key compaction: max_by argmax aggregate
     // certified against the window top-1 arm (integer ordinal).
     "q40_latest_orders"      -> (Relational2.latestOrders _),
+    // q41 = whole-schema FK audit: orphan counts for all 7 edges in
+    // one 7-row contract report.
+    "q41_fk_audit"           -> (Relational2.fkAudit _),
     // s34 = linearized silhouette: per-vector clustering quality in
     // n·k dots against the cells' normalized-sum vectors (never n²).
     "s34_silhouette"         -> (Similarity.silhouetteAudit _),
@@ -499,6 +502,9 @@ object SparkEntry {
     // t51 = Gopher duplicate-n-gram char fractions (2/3/4-grams),
     // verdict cross-multiplied on exact ints.
     "t51_gopher_rules"       -> (TextOps.gopherRules _),
+    // t52 = lang x source chi-square: algebraized cell terms, pinned
+    // fold, df integer — the stratification audit beside t22.
+    "t52_lang_source_chi2"   -> (TextOps.langSourceChi2 _),
     // t33 = PII detect + redact (email/phone/IPv4) — counts on the
     // original text, typed-placeholder redaction, all codegen regex;
     // runs over the deterministic planted-PII fixture (WavCodec
@@ -672,6 +678,9 @@ object SparkEntry {
     // s35 = intra-list similarity audit: the diversity s30's lambda
     // buys vs the brute list, with the relevance give-up beside it.
     "s35_ils_audit"          -> ((s, d) => Similarity.ilsAudit(s, d)),
+    // s36 = embedding health: per-dim moments on floor(x*1e4) ints,
+    // variance numerator exact, two final divides.
+    "s36_embedding_health"   -> (Similarity.embeddingHealth _),
     // s31 = nprobe recall sweep: the coarse-probe tuning curve
     // (s11 sweeps shortlist width; this sweeps probed cells).
     "s31_nprobe_sweep"       -> (Similarity.ivfNprobeSweep _),
@@ -2193,6 +2202,20 @@ object SparkEntry {
       "s29_kcenter_coreset" -> Similarity.kcenterOracle(10),
       "s30_mmr_rerank" -> Similarity.mmrOracle(5, 12),
       "s35_ils_audit" -> Similarity.ilsOracle(5, 12),
+      // s36: identical quantization chain — CAST(float AS DOUBLE) *
+      // 10000.0 then floor, every aggregate an exact integer.
+      "s36_embedding_health" -> """
+        WITH g AS (SELECT vec_id, i,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0) AS BIGINT) AS q
+                   FROM embeddings,
+                     LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) ii)
+        SELECT CAST(i - 1 AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(q) AS BIGINT) AS sum_q, CAST(sum(q * q) AS BIGINT) AS ssq_q,
+          CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q,
+          CAST(count(*) * sum(q * q) - sum(q) * sum(q) AS BIGINT) AS var_num,
+          CAST(count(*) * sum(q * q) - sum(q) * sum(q) AS DOUBLE)
+            / CAST(count(*) * count(*) AS DOUBLE) AS var_q
+        FROM g GROUP BY i ORDER BY dim""",
       // s31: the s11 assignment CTEs, a per-query cell ranking, and
       // the nprobe unnest — every rank breaks ties on ids.
       "s31_nprobe_sweep" -> """
@@ -4630,6 +4653,59 @@ object SparkEntry {
             CAST(greatest(ndv_dates_o, ndv_dates_l) AS DOUBLE) AS est_naive,
           est_hist
         FROM t_o, t_l, act, hist""",
+      // q41: each FK edge replayed as a LEFT JOIN against the distinct
+      // parent keys; null child keys orphan by the same join miss.
+      "q41_fk_audit" -> """
+        SELECT * FROM (
+          SELECT 'customer.c_nationkey->nation' AS fk,
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(*) FILTER (WHERE p.k IS NULL) AS BIGINT) AS n_orphans,
+            count(*) FILTER (WHERE p.k IS NULL) = 0 AS ok
+          FROM customer ch LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
+            ON ch.c_nationkey = p.k
+          UNION ALL
+          SELECT 'lineitem.l_orderkey->orders',
+            CAST(count(*) AS BIGINT),
+            CAST(count(*) FILTER (WHERE p.k IS NULL) AS BIGINT),
+            count(*) FILTER (WHERE p.k IS NULL) = 0
+          FROM lineitem ch LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+            ON ch.l_orderkey = p.k
+          UNION ALL
+          SELECT 'lineitem.l_partkey->part',
+            CAST(count(*) AS BIGINT),
+            CAST(count(*) FILTER (WHERE p.k IS NULL) AS BIGINT),
+            count(*) FILTER (WHERE p.k IS NULL) = 0
+          FROM lineitem ch LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+            ON ch.l_partkey = p.k
+          UNION ALL
+          SELECT 'lineitem.l_suppkey->supplier',
+            CAST(count(*) AS BIGINT),
+            CAST(count(*) FILTER (WHERE p.k IS NULL) AS BIGINT),
+            count(*) FILTER (WHERE p.k IS NULL) = 0
+          FROM lineitem ch LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) p
+            ON ch.l_suppkey = p.k
+          UNION ALL
+          SELECT 'nation.n_regionkey->region',
+            CAST(count(*) AS BIGINT),
+            CAST(count(*) FILTER (WHERE p.k IS NULL) AS BIGINT),
+            count(*) FILTER (WHERE p.k IS NULL) = 0
+          FROM nation ch LEFT JOIN (SELECT DISTINCT r_regionkey AS k FROM region) p
+            ON ch.n_regionkey = p.k
+          UNION ALL
+          SELECT 'orders.o_custkey->customer',
+            CAST(count(*) AS BIGINT),
+            CAST(count(*) FILTER (WHERE p.k IS NULL) AS BIGINT),
+            count(*) FILTER (WHERE p.k IS NULL) = 0
+          FROM orders ch LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+            ON ch.o_custkey = p.k
+          UNION ALL
+          SELECT 'supplier.s_nationkey->nation',
+            CAST(count(*) AS BIGINT),
+            CAST(count(*) FILTER (WHERE p.k IS NULL) AS BIGINT),
+            count(*) FILTER (WHERE p.k IS NULL) = 0
+          FROM supplier ch LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
+            ON ch.s_nationkey = p.k
+        ) t ORDER BY fk""",
       // q40: arg_max on the identical integer ordinal; the window arm
       // replayed the same way, verdict joined per key.
       "q40_latest_orders" -> """
@@ -5610,6 +5686,28 @@ object SparkEntry {
         FROM lab GROUP BY 1, 2 ORDER BY split_lo, split_hi""",
       // t50: t48's gram CTE + the t14 split; seen via LEFT JOIN
       // against the distinct train gram set; one exact-int divide.
+      // t52: chi-square with every cell term (N·O−R·C)²/(N·R·C) on
+      // exact ints, folded in (lang, source) order.
+      "t52_lang_source_chi2" -> """
+        WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+                       FROM documents GROUP BY lang, source),
+        r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY lang),
+        c AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY source),
+        t AS (SELECT (SELECT CAST(sum(o) AS BIGINT) FROM cells) AS n_docs,
+                (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_langs,
+                (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_sources),
+        terms AS (SELECT cells.lang, cells.source,
+                    CAST((t.n_docs * cells.o - r.r * c.c)
+                         * (t.n_docs * cells.o - r.r * c.c) AS DOUBLE)
+                      / CAST(t.n_docs * r.r * c.c AS DOUBLE) AS term
+                  FROM cells JOIN r USING (lang) JOIN c USING (source)
+                  CROSS JOIN t)
+        SELECT t.n_docs, t.n_langs, t.n_sources,
+          (SELECT CAST(count(*) AS BIGINT) FROM terms) AS n_cells,
+          (SELECT list_reduce(list(term ORDER BY lang, source), (a, x) -> a + x)
+           FROM terms) AS chi2,
+          (t.n_langs - 1) * (t.n_sources - 1) AS df
+        FROM t""",
       // t51: Gopher dup-n-gram char fractions; the three gram sizes
       // come from one lead() window, duplicate chars are exact ints,
       // verdict cross-multiplied (0.20 = 1/5, 0.18 = 9/50, 0.16 = 4/25).

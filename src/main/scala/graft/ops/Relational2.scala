@@ -924,6 +924,55 @@ object Relational2 {
       .orderBy($"o_custkey")
   }
 
+  /** q41 — FULL-SCHEMA FOREIGN-KEY AUDIT: every FK edge of the
+    * schema checked in one report — child row count, orphan count
+    * (child keys with no parent), and an `ok` verdict per edge. q25
+    * audits ONE relationship deeply (plus PK uniqueness); this is the
+    * breadth pass a data contract runs nightly across the whole
+    * schema graph, the table whose single failing row tells you which
+    * ingest job broke.
+    *
+    * Scale shape: each edge is one left join + one aggregate; dims
+    * (nation, region, customer, supplier, part) broadcast, the two
+    * fact-side edges shuffle lineitem/orders once each on the join
+    * key (AQE picks broadcast when the parent fits — at this schema's
+    * shape every parent is the smaller side). The 7 one-row arms
+    * union into a 7-row report; null child keys count as orphans
+    * (a null FK violates the contract too).
+    */
+  def fkAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def edge(name: String, child: DataFrame, ck: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val p = parent.select(col(pk).as("__pk")).distinct()
+        .withColumn("__present", lit(1))
+      child.select(col(ck).as("__ck"))
+        .join(broadcast(p), $"__ck" === $"__pk", "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when($"__present".isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("fk"), $"n_rows", $"n_orphans",
+          ($"n_orphans" === 0L).as("ok"))
+    }
+    val li = lineitem(s, dir)
+    Seq(
+      edge("customer.c_nationkey->nation", customer(s, dir), "c_nationkey",
+        nation(s, dir), "n_nationkey"),
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+        orders(s, dir), "o_orderkey"),
+      edge("lineitem.l_partkey->part", li, "l_partkey",
+        part(s, dir), "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        supplier(s, dir), "s_suppkey"),
+      edge("nation.n_regionkey->region", nation(s, dir), "n_regionkey",
+        region(s, dir), "r_regionkey"),
+      edge("orders.o_custkey->customer", orders(s, dir), "o_custkey",
+        customer(s, dir), "c_custkey"),
+      edge("supplier.s_nationkey->nation", supplier(s, dir), "s_nationkey",
+        nation(s, dir), "n_nationkey"))
+      .reduce(_ unionAll _)
+      .orderBy($"fk")
+  }
+
   def partSupplierVariety(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bad = supplier(s, dir).filter($"s_acctbal" < 0.0).select($"s_suppkey")

@@ -323,6 +323,42 @@ object Similarity {
         .orderBy($"sel_rank")
     }
 
+  /** s36 — EMBEDDING HEALTH audit: per-dimension first/second moments
+    * of the whole embedding table — the preflight a pipeline runs
+    * BEFORE building any index (a dead dimension, a runaway variance,
+    * or a shifted mean each break cosine geometry silently; every
+    * IVF/PQ/SRP consumer downstream assumes this table looks sane).
+    * Per dimension: count, quantized sum and sum-of-squares, the mean,
+    * and the variance — with the variance numerator n·Σq² − (Σq)²
+    * kept as an exact BIGINT (the q29 algebraization) so the only
+    * floats in the op are two final divides.
+    *
+    * Determinism: values quantize to floor(x·10⁴) BIGINTs FIRST (the
+    * SRP discipline — double(float)·10⁴ is one IEEE multiply, floor
+    * identical cross-engine), so every aggregate is an exact integer
+    * sum in any order; mean and var are each ONE divide of exact ints.
+    *
+    * Scale shape: one posexplode scan, one 64-group map-side-combined
+    * aggregate — dimension arity bounds everything; no join, no
+    * window. Output is |dims| rows at any corpus size.
+    */
+  def embeddingHealth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, dir)
+      .select($"vec_id", posexplode($"embedding"))
+      .select($"pos".cast("long").as("dim"),
+        floor($"col".cast("double") * lit(10000.0)).cast("long").as("q"))
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"), sum($"q").as("sum_q"),
+        sum($"q" * $"q").as("ssq_q"))
+      .withColumn("mean_q", $"sum_q".cast("double") / $"n".cast("double"))
+      .withColumn("var_num", $"n" * $"ssq_q" - $"sum_q" * $"sum_q")
+      .withColumn("var_q",
+        $"var_num".cast("double") / ($"n" * $"n").cast("double"))
+      .select($"dim", $"n", $"sum_q", $"ssq_q", $"mean_q", $"var_num", $"var_q")
+      .orderBy($"dim")
+  }
+
   /** s35 — INTRA-LIST SIMILARITY audit: what s30's MMR λ actually
     * BUYS, measured — for the same query, the mean pairwise cosine
     * INSIDE the brute top-k list vs inside the MMR-selected list,

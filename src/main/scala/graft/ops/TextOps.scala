@@ -2038,6 +2038,52 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** t52 — LANGUAGE × SOURCE INDEPENDENCE (Pearson chi-square): is
+    * the language mix the same across sources, or does some source
+    * skew the corpus? The one-number stratification audit a mixture
+    * designer reads next to t22's per-source KL — KL scores each
+    * source against the corpus unigram mix; this tests the whole
+    * lang×source contingency table at once and ships the χ² statistic
+    * with its degrees of freedom. Each cell's term is algebraized to
+    * (N·O − R·C)² / (N·R·C) — numerator and denominator both exact
+    * BIGINT products — so the only floats are one divide per cell and
+    * the pinned-order fold that sums them.
+    *
+    * Determinism: counts/marginals are exact BIGINTs; per-cell terms
+    * fold in (lang, source) order via the t20 sorted-fold (the
+    * source key rides as `src_seg`, a domain-bounded fold key —
+    * |langs|·|sources| cells whatever the corpus); χ² is that one
+    * fold, df an integer.
+    *
+    * Scale shape: ONE (lang, source) aggregate feeds cells, both
+    * marginals, and the total (re-aggregations → ReusedExchange); the
+    * marginal joins are |langs|- and |sources|-row broadcasts and the
+    * total a one-row broadcast (whitelisted). Output is ONE row.
+    */
+  def langSourceChi2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = documents(s, dir).groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("o"))
+    val rMarg = cells.groupBy($"lang").agg(sum($"o").as("r"))
+    val cMarg = cells.groupBy($"source").agg(sum($"o").as("c"))
+    val tot = rMarg.agg(sum($"r").as("n_docs"), count(lit(1)).as("n_langs"))
+      .crossJoin(cMarg.agg(count(lit(1)).as("n_sources")))
+    cells
+      .join(broadcast(rMarg), Seq("lang"))
+      .join(broadcast(cMarg), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("src_seg", $"source")
+      .withColumn("dnum", $"n_docs" * $"o" - $"r" * $"c")
+      .withColumn("term", ($"dnum" * $"dnum").cast("double") /
+        ($"n_docs" * $"r" * $"c").cast("double"))
+      .groupBy($"n_docs", $"n_langs", $"n_sources")
+      .agg(count(lit(1)).as("n_cells"),
+        expr("aggregate(transform(sort_array(collect_list(struct(lang, src_seg, term))), " +
+          "x -> x.term), 0D, (a, x) -> a + x)").as("chi2"))
+      .withColumn("df", ($"n_langs" - 1) * ($"n_sources" - 1))
+      .select($"n_docs", $"n_langs", $"n_sources", $"n_cells", $"chi2", $"df")
+  }
+
   /** t51 — GOPHER DUPLICATE-N-GRAM RULES (Rae et al. 2021 §A1.1, the
     * repetition rule set Dolma/RedPajama reimplement): per doc, the
     * fraction of characters contained in duplicate 2-/3-/4-grams —

@@ -409,6 +409,34 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q41 FK audit: every edge's orphan count recomputed driver-side") {
+    val spark = TestSpark.spark
+    val got = SparkEntry.queries("q41_fk_audit")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    def keys(table: String, col: String): Array[Long] =
+      spark.read.parquet(s"${TestSpark.sfDir}/$table.parquet")
+        .selectExpr(col).collect().map(r => r.getAs[Number](0).longValue())
+    val edges = Seq(
+      ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+    assert(got.keySet == edges.map(_._1).toSet)
+    edges.foreach { case (name, ct, ck, pt, pk) =>
+      val child = keys(ct, ck)
+      val parent = keys(pt, pk).toSet
+      val orphans = child.count(k => !parent.contains(k)).toLong
+      val (n, o, ok) = got(name)
+      assert(n == child.length.toLong, s"$name rows")
+      assert(o == orphans && ok == (orphans == 0L), s"$name orphans")
+    }
+  }
+
   test("q40 latest orders: argmax recomputed driver-side; verdict all-true by construction") {
     val spark = TestSpark.spark
     import spark.implicits._

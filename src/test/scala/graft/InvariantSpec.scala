@@ -1703,6 +1703,33 @@ class InvariantSpec extends AnyFunSuite {
     got.foreach { case (cl, (_, _, ks, _)) => assert(ks == src(cl), s"cluster $cl") }
   }
 
+  test("t52 chi-square: statistic recomputed driver-side; marginals conserve; df correct") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = SparkEntry.queries("t52_lang_source_chi2")(spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val docs = spark.read.parquet(TestSpark.sfDir + "/documents.parquet")
+      .selectExpr("lang", "source").as[(String, String)].collect()
+    val cells = docs.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val rm = docs.groupBy(_._1).map { case (l, g) => l -> g.length.toLong }
+    val cm = docs.groupBy(_._2).map { case (sr, g) => sr -> g.length.toLong }
+    val n = docs.length.toLong
+    assert(r.getLong(0) == n && r.getLong(1) == rm.size.toLong &&
+      r.getLong(2) == cm.size.toLong && r.getLong(3) == cells.size.toLong)
+    // same algebraized terms, same (lang, source) fold order
+    val chi2 = cells.toSeq.sortBy(_._1).foldLeft(0.0) {
+      case (acc, ((l, sr), o)) =>
+        val d = n * o - rm(l) * cm(sr)
+        acc + (d * d).toDouble / (n * rm(l) * cm(sr)).toDouble
+    }
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ==
+      java.lang.Double.doubleToLongBits(chi2))
+    assert(r.getLong(5) == (rm.size.toLong - 1) * (cm.size.toLong - 1))
+    assert(chi2 >= 0.0)
+  }
+
   test("t51 Gopher rules: dup-n-gram chars recomputed driver-side, verdict cross-multiplied") {
     val spark = TestSpark.spark
     val rows = SparkEntry.queries("t51_gopher_rules")(spark, TestSpark.sfDir)

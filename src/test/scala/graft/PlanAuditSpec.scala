@@ -97,7 +97,11 @@ class PlanAuditSpec extends AnyFunSuite {
         // q39: four one-row stat arms (side totals, exact pair count,
         // 16-bucket histogram fold) assembled into the single audit
         // row — the q16/t13 corpus-stats class.
-        "q39_join_estimate")
+        "q39_join_estimate",
+        // t52: the one-row (n_docs, n_langs, n_sources) totals
+        // broadcast onto the |langs|x|sources| cell table — the
+        // q16/t49 corpus-stats class.
+        "t52_lang_source_chi2")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark

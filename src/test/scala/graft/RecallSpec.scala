@@ -860,6 +860,33 @@ class RecallSpec extends AnyFunSuite {
     }
   }
 
+  test("s36 embedding health: quantized moments recomputed; variance identity holds") {
+    val spark0 = TestSpark.spark
+    val rows = SparkEntry.queries("s36_embedding_health")(spark0, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6)))
+      .toMap
+    val vecs = spark0.read.parquet(TestSpark.sfDir + "/embeddings.parquet")
+      .selectExpr("CAST(embedding AS ARRAY<FLOAT>) AS v").collect()
+      .map(_.getSeq[Float](0).toArray)
+    assert(rows.keySet == vecs.head.indices.map(_.toLong).toSet)
+    vecs.head.indices.foreach { d =>
+      val qs = vecs.map(v => math.floor(v(d).toDouble * 10000.0).toLong)
+      val n = qs.length.toLong
+      val sum = qs.sum
+      val ssq = qs.map(q => q * q).sum
+      val (gn, gsum, gssq, gmean, gvnum, gvar) = rows(d.toLong)
+      assert(gn == n && gsum == sum && gssq == ssq, s"dim $d ints")
+      assert(gmean == sum.toDouble / n.toDouble, s"dim $d mean")
+      assert(gvnum == n * ssq - sum * sum, s"dim $d var_num")
+      assert(gvar == (n * ssq - sum * sum).toDouble / (n * n).toDouble, s"dim $d var")
+      // variance of real data is strictly positive (a dead dim would
+      // be the audit's alarm; this corpus has none)
+      assert(gvnum > 0L, s"dim $d dead")
+    }
+  }
+
   test("s35 ILS audit: folds recomputed from the lists; MMR strictly more diverse") {
     val spark0 = TestSpark.spark
     val got = SparkEntry.queries("s35_ils_audit")(spark0, TestSpark.sfDir).collect()
