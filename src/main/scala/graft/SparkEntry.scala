@@ -29,6 +29,9 @@ object SparkEntry {
     // tokens merge into ONE surface (grouped_entities analog), typed
     // with the p02 precedence via gaps-and-islands on token position.
     "p03_entity_spans"       -> (graft.pipeline.EntityPipeline.entitySpans _),
+    // p04 = entity co-occurrence pairs over the p03 spans: the
+    // knowledge-graph layer the counting pipeline grows into.
+    "p04_entity_cooccur"     -> (graft.pipeline.EntityPipeline.entityCooccurrence _),
     // ---- relational surface ----
     "q01_pricing_summary"    -> (Relational.pricingSummary _),
     "q02_top_orders"         -> (Relational.topOrders _),
@@ -569,6 +572,9 @@ object SparkEntry {
     // m31 = executed 90-degree rotation round-trip; pos_wsum pins
     // orientation where any multiset stat cannot.
     "m31_png_rotate"         -> (Multimodal.pngRotate _),
+    // m32 = cross-modal Pearson r on exact-integer features off the
+    // real codecs; numerators/denominators exact, r one IEEE chain.
+    "m32_modality_corr"      -> (Multimodal.modalityCorrelation _),
     // m09 = audio feature extraction: per-frame energy over the real
     // WAV decode (64-sample frames, integer-exact activity detection).
     "m09_wav_frames"         -> ((s, d) => Multimodal.wavFrameEnergy(s, d)),
@@ -717,6 +723,7 @@ object SparkEntry {
       "p01_entity_count" -> graft.pipeline.EntityPipeline.oracle,
       "p02_typed_entities" -> graft.pipeline.EntityPipeline.typedOracle,
       "p03_entity_spans" -> graft.pipeline.EntityPipeline.spansOracle,
+      "p04_entity_cooccur" -> graft.pipeline.EntityPipeline.cooccurOracle,
       "q01_pricing_summary" -> s"""
         SELECT l_returnflag, l_linestatus,
           count(*) AS n_rows,
@@ -1684,6 +1691,39 @@ object SparkEntry {
       // m29: the generator PCM replayed at output indices — even j
       // copies s[j/2], odd j the TRUNCATED midpoint (// and Java /
       // both round toward zero on negatives; a shift would floor).
+      // m32: features replayed from the generator formulas (pix_sum
+      // raster, WAV n = 200 + id % 400), identical sum algebra and
+      // the same sqrt/multiply/divide chain.
+      "m32_modality_corr" -> """
+        WITH f AS (SELECT doc_id,
+                     CAST(n_chars AS BIGINT) AS x,
+                     CAST(list_sum(flatten(list_transform(
+                       generate_series(0, 8 + (doc_id // 25) % 25 - 1), y ->
+                         list_transform(generate_series(0, 8 + doc_id % 25 - 1), xx ->
+                           (doc_id * 31 + 7 * xx + 13 * y) % 256)))) AS BIGINT) AS y,
+                     CAST(200 + doc_id % 400 AS BIGINT) AS z
+                   FROM documents),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(z) AS BIGINT) AS sz,
+                CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+                CAST(sum(z*z) AS BIGINT) AS szz,
+                CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*z) AS BIGINT) AS sxz,
+                CAST(sum(y*z) AS BIGINT) AS syz
+              FROM f),
+        p AS (SELECT 'chars_pixsum' AS pair, n,
+                n*sxy - sx*sy AS num, n*sxx - sx*sx AS den_a, n*syy - sy*sy AS den_b
+              FROM a
+              UNION ALL
+              SELECT 'chars_samples', n, n*sxz - sx*sz, n*sxx - sx*sx, n*szz - sz*sz
+              FROM a
+              UNION ALL
+              SELECT 'pixsum_samples', n, n*syz - sy*sz, n*syy - sy*sy, n*szz - sz*sz
+              FROM a)
+        SELECT pair, n, CAST(num AS BIGINT) AS num, CAST(den_a AS BIGINT) AS den_a,
+          CAST(den_b AS BIGINT) AS den_b,
+          CAST(num AS DOUBLE) / (sqrt(CAST(den_a AS DOUBLE)) * sqrt(CAST(den_b AS DOUBLE))) AS r
+        FROM p ORDER BY pair""",
       // m31: the rotated raster replayed cell by cell — O(y',x') =
       // I(h-1-x', y'), dims swapped, weights in rotated row-major.
       "m31_png_rotate" -> """

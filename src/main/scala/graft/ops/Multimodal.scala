@@ -2134,6 +2134,63 @@ object Multimodal {
       .orderBy($"doc_id", $"py", $"px")
   }
 
+  /** m32 — CROSS-MODAL FEATURE CORRELATION: Pearson r between the
+    * per-document feature of each modality pair — text length
+    * (n_chars), decoded image mass (m05's pix_sum), decoded audio
+    * length (m06's n_samples) — the screen a multimodal curator runs
+    * to catch degenerate pairings (a caption column perfectly
+    * correlated with image size usually means templated captions;
+    * near-zero everywhere means the pairing metadata is broken). d24
+    * checks crossmodal consistency by HASH; this quantifies the
+    * feature-level association.
+    *
+    * Determinism: every feature is an exact BIGINT off the REAL
+    * codecs (the m05/m06 decode paths are reused verbatim), so all
+    * five sums per pair are exact integers in any order; r =
+    * num / (sqrt(den_a)·sqrt(den_b)) is a fixed three-op IEEE chain
+    * over exact-int-valued doubles, identical in both engines. Bounds
+    * documented: n·Σ(pix_sum²) at sf0.1 is ~2·10¹⁸ — inside int64 at
+    * every bench scale, re-derive before lifting to larger corpora.
+    *
+    * Scale shape: two codec passes (shared with m05/m06 if their
+    * results are cached) + one narrow parquet scan, one doc-keyed
+    * 3-way join, ONE global aggregate of nine integer sums, three
+    * output rows assembled by an explode over the aggregate row.
+    */
+  def modalityCorrelation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = documents(s, dir).select($"doc_id", $"n_chars".cast("long").as("x"))
+    val y = pngDecodeMeta(s, dir).select($"doc_id", $"pix_sum".as("y"))
+    val z = wavDecodeMeta(s, dir).select($"doc_id", $"n_samples".as("z"))
+    val joined = x.join(y, Seq("doc_id")).join(z, Seq("doc_id"))
+    val agg = joined.agg(
+      count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"), sum($"z").as("sz"),
+      sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+      sum($"z" * $"z").as("szz"),
+      sum($"x" * $"y").as("sxy"), sum($"x" * $"z").as("sxz"),
+      sum($"y" * $"z").as("syz"))
+    agg.select(explode(array(
+        struct(lit("chars_pixsum").as("pair"),
+          ($"n" * $"sxy" - $"sx" * $"sy").as("num"),
+          ($"n" * $"sxx" - $"sx" * $"sx").as("den_a"),
+          ($"n" * $"syy" - $"sy" * $"sy").as("den_b")),
+        struct(lit("chars_samples").as("pair"),
+          ($"n" * $"sxz" - $"sx" * $"sz").as("num"),
+          ($"n" * $"sxx" - $"sx" * $"sx").as("den_a"),
+          ($"n" * $"szz" - $"sz" * $"sz").as("den_b")),
+        struct(lit("pixsum_samples").as("pair"),
+          ($"n" * $"syz" - $"sy" * $"sz").as("num"),
+          ($"n" * $"syy" - $"sy" * $"sy").as("den_a"),
+          ($"n" * $"szz" - $"sz" * $"sz").as("den_b")))).as("p"),
+      $"n")
+      .select($"p.pair".as("pair"), $"n", $"p.num".as("num"),
+        $"p.den_a".as("den_a"), $"p.den_b".as("den_b"))
+      .withColumn("r", $"num".cast("double") /
+        (sqrt($"den_a".cast("double")) * sqrt($"den_b".cast("double"))))
+      .orderBy($"pair")
+  }
+
   final case class PngRotated(doc_id: Long, width: Long, height: Long,
       pix_sum: Long, pos_wsum: Long)
 

@@ -161,12 +161,12 @@ object EntityPipeline {
       .select($"doc_id", $"entity", $"entity_type")
   }
 
-  /** DuckDB oracle for [[entitySpans]] — parallel unnest zips (tok,
-    * pos), the same islands window, string_agg ordered by pos. The
-    * engines' pos bases differ (0- vs 1-based) but the island id only
-    * ever serves as a group key, never an output.
+  /** The shared DuckDB span-replay prefix of [[spansOracle]] and
+    * [[cooccurOracle]]: gazetteer VALUES, positional tokenize, typing,
+    * islands, per-island surfaces — ending with `spans(doc_id,
+    * entity_type, entity)`.
     */
-  val spansOracle: String = {
+  private val spansOraclePrefix: String = {
     val gazRows = RuleNer.TypedGazetteer
       .map { case (sf, ty) => s"('$sf', '$ty')" }.mkString(", ")
     s"""
@@ -187,11 +187,56 @@ object EntityPipeline {
              FROM typed WHERE entity_type IS NOT NULL),
     spans AS (SELECT doc_id, entity_type,
                 string_agg(tok, ' ' ORDER BY pos) AS entity
-              FROM runs GROUP BY doc_id, entity_type, grp)
+              FROM runs GROUP BY doc_id, entity_type, grp)"""
+  }
+
+  /** DuckDB oracle for [[entitySpans]] — parallel unnest zips (tok,
+    * pos), the same islands window, string_agg ordered by pos. The
+    * engines' pos bases differ (0- vs 1-based) but the island id only
+    * ever serves as a group key, never an output.
+    */
+  val spansOracle: String = spansOraclePrefix + """
     SELECT entity, entity_type, count(*) AS n FROM spans
     GROUP BY entity, entity_type
     ORDER BY n DESC, entity, entity_type"""
+
+  /** p04 — ENTITY CO-OCCURRENCE: the graph layer over the NER output —
+    * for every pair of distinct entity surfaces appearing in the SAME
+    * document, in how many documents they co-occur. This is what an
+    * entity-counting pipeline grows into next (the reference counts
+    * surfaces in isolation; any downstream knowledge-graph/trend
+    * product needs the pair table), and it reuses the p03 span
+    * machinery unchanged.
+    *
+    * Scale shape: spans reduce to DISTINCT (doc, entity) rows first
+    * (per-doc entity vocabulary, tiny vs tokens), the pair join is
+    * doc-keyed (per-doc fan-out bounded by that vocabulary squared,
+    * never corpus²), and the pair count map-side combines; top-100
+    * with full tiebreak bounds the dump.
+    */
+  def entityCooccurrence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ents = spanRows(Tables.documents(s, dir).select($"doc_id", $"text"))
+      .select($"doc_id", $"entity").distinct()
+    val a = ents.toDF("doc_id", "ent_a")
+    val b = ents.toDF("doc_id", "ent_b")
+    a.join(b, Seq("doc_id"))
+      .filter($"ent_a" < $"ent_b")
+      .groupBy($"ent_a", $"ent_b")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"n_docs".desc, $"ent_a", $"ent_b")
+      .limit(100)
   }
+
+  /** DuckDB oracle for [[entityCooccurrence]] — the span prefix, a
+    * distinct (doc, entity) reduction, the same doc-keyed pair join.
+    */
+  val cooccurOracle: String = spansOraclePrefix + """,
+    ents AS (SELECT DISTINCT doc_id, entity FROM spans)
+    SELECT a.entity AS ent_a, b.entity AS ent_b, count(*) AS n_docs
+    FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.entity < b.entity
+    GROUP BY ent_a, ent_b
+    ORDER BY n_docs DESC, ent_a, ent_b LIMIT 100"""
 
   /** DuckDB oracle for [[typedEntityCounts]] — the gazetteer modeled
     * directly as a VALUES relation, same left join + PER fallback.

@@ -886,6 +886,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("m32 modality correlation: sums recomputed from decoded features; |r| bounded") {
+    val spark = TestSpark.spark
+    val got = SparkEntry.queries("m32_modality_corr")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(got.keySet == Set("chars_pixsum", "chars_samples", "pixsum_samples"))
+    val chars = spark.read.parquet(TestSpark.sfDir + "/documents.parquet")
+      .selectExpr("doc_id", "CAST(n_chars AS BIGINT) AS x").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // features off the same decode paths the op uses
+    val pix = graft.ops.Multimodal.pngDecodeMeta(spark, TestSpark.sfDir)
+      .selectExpr("doc_id", "pix_sum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val samp = graft.ops.Multimodal.wavDecodeMeta(spark, TestSpark.sfDir)
+      .selectExpr("doc_id", "n_samples").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = chars.keySet.intersect(pix.keySet).intersect(samp.keySet).toSeq
+    val n = ids.length.toLong
+    def corr(f: Map[Long, Long], g: Map[Long, Long]): (Long, Long, Long, Double) = {
+      val sa = ids.map(f).sum; val sb = ids.map(g).sum
+      val saa = ids.map(i => f(i) * f(i)).sum
+      val sbb = ids.map(i => g(i) * g(i)).sum
+      val sab = ids.map(i => f(i) * g(i)).sum
+      val num = n * sab - sa * sb
+      val da = n * saa - sa * sa
+      val db = n * sbb - sb * sb
+      (num, da, db,
+        num.toDouble / (math.sqrt(da.toDouble) * math.sqrt(db.toDouble)))
+    }
+    val exp = Map("chars_pixsum" -> corr(chars, pix),
+      "chars_samples" -> corr(chars, samp), "pixsum_samples" -> corr(pix, samp))
+    got.foreach { case (k, (gn, num, da, db, r)) =>
+      val (en, eda, edb, er) = exp(k)
+      assert(gn == n, s"$k n")
+      assert(num == en && da == eda && db == edb, s"$k integer sums")
+      assert(java.lang.Double.doubleToLongBits(r) ==
+        java.lang.Double.doubleToLongBits(er), s"$k r")
+      assert(r >= -1.0 - 1e-12 && r <= 1.0 + 1e-12, s"$k bound")
+    }
+  }
+
   test("m31 rotation: replayed from the raster; pos_wsum separates all four orientations") {
     val spark = TestSpark.spark
     val got = SparkEntry.queries("m31_png_rotate")(spark, TestSpark.sfDir)

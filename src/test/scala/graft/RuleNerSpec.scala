@@ -123,4 +123,30 @@ class RuleNerSpec extends AnyFunSuite {
     assert(rows.exists(_.getString(0).contains(" ")),
       "expected at least one multi-token span on the test corpus")
   }
+
+  test("p04 co-occurrence: pairs recomputed from the span rows; per-doc dedup honored") {
+    val spark = TestSpark.spark
+    val got = SparkEntry.queries("p04_entity_cooccur")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // driver recompute from the same span seam
+    val spans = graft.pipeline.EntityPipeline.spanRows(
+      graft.Tables.documents(spark, TestSpark.sfDir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .distinct
+    val byDoc: Map[Long, List[String]] =
+      spans.toList.groupBy(_._1).map { case (d, g) => d -> g.map(_._2).sorted }
+    val pairCounts: Map[(String, String), Long] = byDoc.values.toList.flatMap { es =>
+      for { a <- es; b <- es if a < b } yield (a, b)
+    }.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val expected = pairCounts.toSeq
+      .map { case ((a, b), n) => (a, b, n) }
+      .sortBy { case (a, b, n) => (-n, a, b) }
+      .take(100)
+    assert(got.toSeq == expected)
+    // a pair appearing twice in one doc counts that doc ONCE — implied
+    // by equality above, and the top pair co-occurs in many docs
+    assert(got.head._3 >= 2L)
+  }
 }
