@@ -111,6 +111,9 @@ object SparkEntry {
     // e34 = count-min heavy hitters: exact top-10 probed against the
     // 4x64 sketch, one-sided error pinned; all-integer.
     "e34_heavy_hitters"      -> (EventOps.heavyHitters _),
+    // e35 = spike attribution: who drove the peak day — integer
+    // excess vs each user's overall share, one divide for lift.
+    "e35_spike_attribution"  -> (EventOps.spikeAttribution _),
     // m19 = EXECUTED audio decimation through the real WAV codec
     // (decode → drop odd samples → re-encode at 4 kHz → decode);
     // position-weighted sums pin sample order across the chain.
@@ -174,6 +177,9 @@ object SparkEntry {
     // q41 = whole-schema FK audit: orphan counts for all 7 edges in
     // one 7-row contract report.
     "q41_fk_audit"           -> (Relational2.fkAudit _),
+    // q42 = unpivot/melt round-trip of q17's matrix, zero-fill cells
+    // certified against the direct aggregate.
+    "q42_priority_melt"      -> (Relational2.priorityMelt _),
     // s34 = linearized silhouette: per-vector clustering quality in
     // n·k dots against the cells' normalized-sum vectors (never n²).
     "s34_silhouette"         -> (Similarity.silhouetteAudit _),
@@ -1170,6 +1176,26 @@ object SparkEntry {
           CASE WHEN slope < 0.0
             THEN -ln(CAST(2.0 AS DOUBLE)) / slope END AS half_life_days
         FROM fit ORDER BY den""",
+      // e35: peak day by (volume desc, day), integer excess, one
+      // divide for lift; top-10 with full tiebreak.
+      "e35_spike_attribution" -> """
+        WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        daily AS (SELECT day, CAST(count(*) AS BIGINT) AS t_day
+                  FROM ev GROUP BY day),
+        tot AS (SELECT CAST(sum(t_day) AS BIGINT) AS n_total FROM daily),
+        peak AS (SELECT day, t_day FROM daily ORDER BY t_day DESC, day LIMIT 1),
+        ut AS (SELECT user_id, CAST(count(*) AS BIGINT) AS u_total
+               FROM ev GROUP BY user_id),
+        dayc AS (SELECT p.day, p.t_day, e.user_id,
+                   CAST(count(*) AS BIGINT) AS n_day
+                 FROM ev e JOIN peak p ON e.day = p.day
+                 GROUP BY p.day, p.t_day, e.user_id)
+        SELECT d.day, d.user_id, d.n_day, u.u_total, d.t_day, t.n_total,
+          CAST(d.n_day * t.n_total - u.u_total * d.t_day AS BIGINT) AS excess_num,
+          CAST(d.n_day * t.n_total AS DOUBLE)
+            / CAST(u.u_total * d.t_day AS DOUBLE) AS lift
+        FROM dayc d JOIN ut u ON d.user_id = u.user_id CROSS JOIN tot t
+        ORDER BY excess_num DESC, d.user_id LIMIT 10""",
       // e34: md5-bucketed 4x64 CMS replayed; min over the four
       // counters, everything exact BIGINTs.
       "e34_heavy_hitters" -> """
@@ -4693,6 +4719,27 @@ object SparkEntry {
             CAST(greatest(ndv_dates_o, ndv_dates_l) AS DOUBLE) AS est_naive,
           est_hist
         FROM t_o, t_l, act, hist""",
+      // q42: the melted matrix IS the direct aggregate zero-filled;
+      // the oracle emits it directly with a literal TRUE verdict, so
+      // any round-trip loss fails the hash compare.
+      "q42_priority_melt" -> """
+        WITH direct AS (SELECT o_orderstatus,
+                          CASE o_orderpriority
+                            WHEN '1-URGENT' THEN 'urgent'
+                            WHEN '2-HIGH' THEN 'high'
+                            WHEN '3-MEDIUM' THEN 'medium'
+                            WHEN '4-NOT SPECIFIED' THEN 'unspecified'
+                            ELSE 'low' END AS priority,
+                          CAST(count(*) AS BIGINT) AS n
+                        FROM orders GROUP BY 1, 2),
+        grid AS (SELECT s.o_orderstatus, p.priority
+                 FROM (SELECT DISTINCT o_orderstatus FROM orders) s,
+                   (VALUES ('urgent'), ('high'), ('medium'),
+                           ('unspecified'), ('low')) p(priority))
+        SELECT g.o_orderstatus, g.priority, coalesce(d.n, 0) AS n, TRUE AS matches
+        FROM grid g LEFT JOIN direct d
+          ON g.o_orderstatus = d.o_orderstatus AND g.priority = d.priority
+        ORDER BY g.o_orderstatus, g.priority""",
       // q41: each FK edge replayed as a LEFT JOIN against the distinct
       // parent keys; null child keys orphan by the same join miss.
       "q41_fk_audit" -> """

@@ -1216,6 +1216,43 @@ object EventOps {
           (lit(nUsers) * $"n_events").cast("double")).as("gini"))
   }
 
+  /** e35 — SPIKE ATTRIBUTION: the incident-response query behind
+    * e13/e31 — those detect THAT a day is anomalous; this decomposes
+    * WHO drove the peak day. For the highest-volume day (ties →
+    * earliest), each user's observed count beside the count expected
+    * from their overall share (total_u · T_day / N), with the excess
+    * algebraized to the exact integer c_u·N − total_u·T_day and the
+    * lift left as ONE IEEE divide of exact products. Top-10 by
+    * excess, full tiebreak.
+    *
+    * Scale shape: day totals are a calendar-bounded aggregate; the
+    * peak day is an orderBy-limit-1 of that table (never a global
+    * sort of events); the peak day's user counts come from a
+    * FILTERED scan (predicate pushed to parquet) joined against the
+    * user-total aggregate on user_id (co-partitioned); the one-row
+    * day/corpus totals broadcast (whitelisted). Output is 10 rows.
+    */
+  def spikeAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select($"user_id", to_date($"ts").as("day"))
+    val daily = ev.groupBy($"day").agg(count(lit(1)).as("t_day"))
+    val tot = daily.agg(sum($"t_day").as("n_total"))
+    val peak = daily.orderBy($"t_day".desc, $"day").limit(1)
+    val userTot = ev.groupBy($"user_id").agg(count(lit(1)).as("u_total"))
+    ev.join(broadcast(peak), Seq("day"))
+      .groupBy($"day", $"t_day", $"user_id")
+      .agg(count(lit(1)).as("n_day"))
+      .join(userTot, Seq("user_id"))
+      .crossJoin(broadcast(tot))
+      .withColumn("excess_num", $"n_day" * $"n_total" - $"u_total" * $"t_day")
+      .withColumn("lift", ($"n_day" * $"n_total").cast("double") /
+        ($"u_total" * $"t_day").cast("double"))
+      .select($"day", $"user_id", $"n_day", $"u_total", $"t_day",
+        $"n_total", $"excess_num", $"lift")
+      .orderBy($"excess_num".desc, $"user_id")
+      .limit(10)
+  }
+
   /** The 4×64 COUNT-MIN SKETCH counter table over a (user_id, c)
     * reduction — e34's serving structure and the StreamingCms door's
     * whole state. Four md5-derived hash rows of 64 counters; every

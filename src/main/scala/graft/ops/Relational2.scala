@@ -973,6 +973,43 @@ object Relational2 {
       .orderBy($"fk")
   }
 
+  /** q42 — UNPIVOT (melt) round-trip: q17's wide status×priority
+    * matrix melted back to long form with the DataFrame `unpivot`
+    * operator (Spark 3.4+'s melt — the one reshaping primitive the
+    * q-family had not yet exercised), with a `matches` verdict
+    * joining each melted cell against the direct (status, priority)
+    * aggregate. Wide→long is what a feature store runs before any
+    * per-(entity, feature) treatment; the verdict certifies the
+    * pivot/unpivot pair is lossless including the zero-fill cells
+    * (absent combinations melt to 0 and must match a 0-count left
+    * join, not disappear).
+    *
+    * Scale shape: one aggregate feeds the pivot (|statuses| rows
+    * wide); unpivot is a per-row Expand over 5 literals; the verdict
+    * join is against the same aggregate re-grouped (tiny). Nothing
+    * here scales with the fact table except the first aggregate.
+    */
+  def priorityMelt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wide = statusPriorityPivot(s, dir)
+    val long = wide.unpivot(
+      Array($"o_orderstatus"),
+      Array($"urgent", $"high", $"medium", $"unspecified", $"low"),
+      "priority", "n")
+    val direct = orders(s, dir)
+      .groupBy($"o_orderstatus",
+        when($"o_orderpriority" === "1-URGENT", "urgent")
+          .when($"o_orderpriority" === "2-HIGH", "high")
+          .when($"o_orderpriority" === "3-MEDIUM", "medium")
+          .when($"o_orderpriority" === "4-NOT SPECIFIED", "unspecified")
+          .otherwise("low").as("priority"))
+      .agg(count(lit(1)).as("n_direct"))
+    long.join(direct, Seq("o_orderstatus", "priority"), "left")
+      .withColumn("matches", $"n" === coalesce($"n_direct", lit(0L)))
+      .select($"o_orderstatus", $"priority", $"n", $"matches")
+      .orderBy($"o_orderstatus", $"priority")
+  }
+
   def partSupplierVariety(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bad = supplier(s, dir).filter($"s_acctbal" < 0.0).select($"s_suppkey")

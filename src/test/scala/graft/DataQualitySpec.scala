@@ -409,6 +409,31 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q42 melt: the long table equals the direct aggregate zero-filled; grid complete") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = SparkEntry.queries("q42_priority_melt")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val labels = Map("1-URGENT" -> "urgent", "2-HIGH" -> "high",
+      "3-MEDIUM" -> "medium", "4-NOT SPECIFIED" -> "unspecified", "5-LOW" -> "low")
+    val orders = spark.read.parquet(TestSpark.sfDir + "/orders.parquet")
+      .selectExpr("o_orderstatus", "o_orderpriority")
+      .as[(String, String)].collect()
+    val direct = orders.groupBy { case (st, pr) => (st, labels(pr)) }
+      .map { case (k, g) => k -> g.length.toLong }
+    val statuses = orders.map(_._1).distinct
+    // the melted grid is the FULL cross product, zero-filled
+    val grid = for { st <- statuses; pr <- labels.values.toSeq } yield (st, pr)
+    assert(got.keySet == grid.toSet)
+    grid.foreach { cell =>
+      val (n, m) = got(cell)
+      assert(n == direct.getOrElse(cell, 0L), s"$cell count")
+      assert(m, s"$cell round-trip mismatch")
+    }
+  }
+
   test("q41 FK audit: every edge's orphan count recomputed driver-side") {
     val spark = TestSpark.spark
     val got = SparkEntry.queries("q41_fk_audit")(spark, TestSpark.sfDir)

@@ -494,6 +494,36 @@ class EventOpsSpec extends AnyFunSuite {
     finally spark.conf.unset(key)
   }
 
+  test("e35 spike attribution: peak day, excesses, and lift recomputed driver-side") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = SparkEntry.queries("e35_spike_attribution")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    val ev = spark.read.parquet(TestSpark.sfDir + "/events.parquet")
+      .selectExpr("user_id", "CAST(ts AS DATE) AS day")
+      .as[(Long, java.sql.Date)].collect()
+      .map(t => (t._1, t._2.toLocalDate))
+    val n = ev.length.toLong
+    val daily = ev.groupBy(_._2).map { case (d, g) => d -> g.length.toLong }
+    val (peakDay, tDay) = daily.toSeq
+      .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1.isBefore(b._1))).head
+    val uTot = ev.groupBy(_._1).map { case (u, g) => u -> g.length.toLong }
+    val dayCounts = ev.filter(_._2 == peakDay).groupBy(_._1)
+      .map { case (u, g) => u -> g.length.toLong }
+    val expected = dayCounts.toSeq.map { case (u, c) =>
+      (peakDay, u, c, uTot(u), tDay, n, c * n - uTot(u) * tDay,
+        (c * n).toDouble / (uTot(u) * tDay).toDouble)
+    }.sortWith((a, b) => a._7 > b._7 || (a._7 == b._7 && a._2 < b._2)).take(10)
+    assert(got.toSeq == expected)
+    // excesses must sum to zero over ALL the day's users (shares are
+    // relative) — so the reported head is genuinely above-share
+    val allExcess = dayCounts.map { case (u, c) => c * n - uTot(u) * tDay }.sum
+    assert(allExcess == 0L, s"excess decomposition must conserve, got $allExcess")
+    assert(got.head._7 > 0L)
+  }
+
   test("e34 heavy hitters: CMS recomputed driver-side; estimate never under-counts ANY user") {
     val spark = TestSpark.spark
     import spark.implicits._

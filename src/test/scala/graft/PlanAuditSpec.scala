@@ -101,7 +101,10 @@ class PlanAuditSpec extends AnyFunSuite {
         // t52: the one-row (n_docs, n_langs, n_sources) totals
         // broadcast onto the |langs|x|sources| cell table — the
         // q16/t49 corpus-stats class.
-        "t52_lang_source_chi2")
+        "t52_lang_source_chi2",
+        // e35: the one-row corpus total broadcast onto the peak day's
+        // user rows — the q16/t49 corpus-stats class.
+        "e35_spike_attribution")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark
