@@ -114,6 +114,9 @@ object SparkEntry {
     // e35 = spike attribution: who drove the peak day — integer
     // excess vs each user's overall share, one divide for lift.
     "e35_spike_attribution"  -> (EventOps.spikeAttribution _),
+    // e36 = Markov next-event baseline trained and scored in-engine;
+    // argmax a rank-1 window over the tiny transition matrix.
+    "e36_markov_accuracy"    -> (EventOps.markovAccuracy _),
     // m19 = EXECUTED audio decimation through the real WAV codec
     // (decode → drop odd samples → re-encode at 4 kHz → decode);
     // position-weighted sums pin sample order across the chain.
@@ -358,6 +361,9 @@ object SparkEntry {
     // d42 = syndication audit: d11 clusters x source — intra-source
     // re-crawl vs cross-source mirrors, per-cluster verdict.
     "d42_syndication"        -> ((s, d) => Dedup.syndicationAudit(s, d)),
+    // d43 = bucket-cap ablation: the d33 shape on the LSH cap knob;
+    // per cap-64 cluster, the cap-16 fragmentation.
+    "d43_cap_ablation"       -> ((s, d) => Dedup.capAblation(s, d)),
     // d27 = the dedup DECISION table: per implicated doc the keep/drop
     // verdict with the quality-argmax canonical survivor (tie → min
     // doc_id) — the apply-step artifact downstream filters join on.
@@ -1361,6 +1367,29 @@ object SparkEntry {
             > 4 * (st.n_hours * st.q - st.s * st.s) AS is_anomaly
         FROM hourly h JOIN stats st ON h.event_type = st.event_type
         ORDER BY h.event_type, h.hour_start""",
+      // e36: e14's transition matrix, rank-1 argmax per from_type
+      // (count desc, to_type), scored in place; one divide per row.
+      "e36_markov_accuracy" -> """
+        WITH nx AS (SELECT event_type AS from_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS to_type
+                    FROM events),
+        m AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM nx
+              WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        pred AS (SELECT from_type, to_type AS predicted_next FROM (
+                   SELECT from_type, to_type,
+                     row_number() OVER (PARTITION BY from_type
+                       ORDER BY n DESC, to_type) AS rk FROM m) t
+                 WHERE rk = 1)
+        SELECT m.from_type, p.predicted_next,
+          CAST(sum(m.n) AS BIGINT) AS n_transitions,
+          CAST(sum(CASE WHEN m.to_type = p.predicted_next THEN m.n ELSE 0 END)
+            AS BIGINT) AS n_correct,
+          CAST(sum(CASE WHEN m.to_type = p.predicted_next THEN m.n ELSE 0 END)
+            AS DOUBLE) / CAST(sum(m.n) AS DOUBLE) AS accuracy
+        FROM m JOIN pred p ON m.from_type = p.from_type
+        GROUP BY m.from_type, p.predicted_next
+        ORDER BY m.from_type""",
       "e14_transitions" -> """
         WITH nx AS (SELECT event_type AS from_type,
                       lead(event_type) OVER (PARTITION BY user_id
@@ -3887,6 +3916,7 @@ object SparkEntry {
         FROM tokc t LEFT JOIN dec d ON t.doc_id = d.doc_id
         WHERE COALESCE(d.kept, true)
         GROUP BY t.source ORDER BY t.source""",
+      "d43_cap_ablation" -> graft.ops.Dedup.capAblationOracle,
       // d42: the d30 label-replay prefix (MinHash -> capped LSH ->
       // recursive CC), then the cluster x source rollup; arg_min picks
       // the representative's source exactly like min_by over the

@@ -2279,6 +2279,78 @@ object Dedup {
       .orderBy($"vec_id")
   }
 
+  /** d43 — BUCKET-CAP ABLATION: the d33 shape applied to the OTHER
+    * dedup knob — the LSH bucket cap. cap=64 is the campaign setting
+    * (bands with ≤64 members generate pairs); cap=16 is the
+    * aggressive-skew setting a 100 TB run might pick to bound join
+    * fan-out. Since the cap-16 pair set is a subset of cap-64's,
+    * every cap-16 cluster nests inside a cap-64 cluster; the audit
+    * reports, per cap-64 cluster, how many cap-16 groups it
+    * fragments into (docs that only pair under the looser cap count
+    * as their own singleton) — the recall you BUY by accepting
+    * bigger buckets, measured before committing the fan-out.
+    *
+    * Scale shape: both labelings ride the shared band sidecar (the
+    * cap filter re-derives from the same raw band rows); the diff is
+    * a labels-only join + cluster-sized aggregate, exactly d33's
+    * cost shape with cap in place of τ.
+    */
+  def capAblation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hi = dupClusterLabels(s, dir, 64).toDF("doc_id", "c64")
+    val lo = dupClusterLabels(s, dir, 16).toDF("doc_id", "c16")
+    hi.join(lo, Seq("doc_id"), "left")
+      .withColumn("lo_group", coalesce($"c16", $"doc_id"))
+      .groupBy($"c64")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"lo_group").as("n_lo_groups"))
+      .withColumn("splits_at_cap16", $"n_lo_groups" > 1)
+      .orderBy($"c64")
+  }
+
+  /** DuckDB replay of [[capAblation]]: one shared MinHash/band prefix,
+    * two capped pair→CC chains (the d30 walk, parameterized by cap),
+    * the same labels-only rollup.
+    */
+  private[graft] val capAblationOracle: String = {
+    def chain(tag: String, cap: Int): String = s"""
+        small$tag AS (SELECT j, bkey FROM bands GROUP BY j, bkey
+                  HAVING count(*) <= $cap AND count(*) > 1),
+        inb$tag AS (SELECT b.* FROM bands b
+                JOIN small$tag s ON b.j = s.j AND b.bkey = s.bkey),
+        pairs$tag AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM inb$tag a JOIN inb$tag b
+                  ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        edges$tag AS (SELECT doc_a AS src, doc_b AS dst FROM pairs$tag
+                  UNION ALL SELECT doc_b, doc_a FROM pairs$tag),
+        walk$tag(node, lbl) AS (
+          SELECT src, src FROM edges$tag
+          UNION
+          SELECT e.dst, w.lbl FROM walk$tag w JOIN edges$tag e ON e.src = w.node),
+        lab$tag AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+                FROM walk$tag GROUP BY node)"""
+    s"""
+        WITH RECURSIVE
+        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+               FROM documents),
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        ${chain("64", 64)},
+        ${chain("16", 16)}
+        SELECT h.cluster_id AS c64, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(DISTINCT coalesce(l.cluster_id, h.doc_id)) AS BIGINT)
+            AS n_lo_groups,
+          count(DISTINCT coalesce(l.cluster_id, h.doc_id)) > 1 AS splits_at_cap16
+        FROM lab64 h LEFT JOIN lab16 l ON h.doc_id = l.doc_id
+        GROUP BY h.cluster_id ORDER BY c64"""
+  }
+
   /** d42 — SYNDICATION AUDIT: d11's duplicate clusters cross-tabbed
     * against the SOURCE column — is near-duplication intra-source
     * (a crawler re-fetching its own site) or cross-source (mirrors /

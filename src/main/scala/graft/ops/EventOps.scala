@@ -395,6 +395,42 @@ object EventOps {
       .orderBy($"from_type", $"to_type")
   }
 
+  /** e36 — MARKOV NEXT-EVENT ACCURACY: the simplest next-action
+    * model trained AND evaluated inside the engine — per current
+    * event type, predict the most frequent next type (ties → first
+    * alphabetically), then score that prediction over every observed
+    * transition. The baseline number any sequence model must beat,
+    * and the train/apply/score shape (model = a tiny table derived
+    * from the same aggregate it is scored on) that e14's raw matrix
+    * doesn't exercise. In-sample by construction — the honest
+    * framing for a one-pass baseline; t48/t50 handle split hygiene.
+    *
+    * Determinism: counts are exact BIGINTs off e14's shared
+    * transition aggregate; the argmax is a rank-1 window over
+    * (count desc, to_type) — a total order; accuracy is ONE IEEE
+    * divide per row.
+    *
+    * Scale shape: rides the (from, to) transition aggregate
+    * (|types|² rows whatever the log); the prediction window
+    * partitions by from_type over those tiny partitions; the score
+    * join is matrix-sized. Output is |types| rows.
+    */
+  def markovAccuracy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = transitionStats(s, dir).select($"from_type", $"to_type", $"n")
+    val w = Window.partitionBy($"from_type").orderBy($"n".desc, $"to_type")
+    val pred = m.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"from_type", $"to_type".as("predicted_next"))
+    m.join(pred, Seq("from_type"))
+      .groupBy($"from_type", $"predicted_next")
+      .agg(sum($"n").as("n_transitions"),
+        sum(when($"to_type" === $"predicted_next", $"n").otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        $"n_correct".cast("double") / $"n_transitions".cast("double"))
+      .orderBy($"from_type")
+  }
+
   /** Dwell-time profile per transition — [[transitions]]' timing
     * companion: for each consecutive (from → to) event pair, the
     * count, total/min/max/mean gap in integer microseconds. The latency

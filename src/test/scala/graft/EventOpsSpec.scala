@@ -494,6 +494,40 @@ class EventOpsSpec extends AnyFunSuite {
     finally spark.conf.unset(key)
   }
 
+  test("e36 markov accuracy: prediction is the per-type argmax; score recomputed") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = SparkEntry.queries("e36_markov_accuracy")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .toMap
+    // driver recompute of the transition matrix
+    val ev = spark.read.parquet(TestSpark.sfDir + "/events.parquet")
+      .selectExpr("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+    val trans = ev.groupBy(_._1).values.toSeq.flatMap { g =>
+      val s = g.sortBy(t => (t._2.getTime, t._3)).map(_._4)
+      s.dropRight(1).zip(s.drop(1))
+    }
+    val m = trans.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val froms = m.keySet.map(_._1)
+    assert(got.keySet == froms)
+    froms.foreach { f =>
+      val row = m.collect { case ((`f`, t), n) => (t, n) }.toSeq
+      val pred = row.sortWith((a, b) => a._2 > b._2 ||
+        (a._2 == b._2 && a._1 < b._1)).head._1
+      val total = row.map(_._2).sum
+      val correct = row.collect { case (`pred`, n) => n }.sum
+      val (gp, gt, gc, ga) = got(f)
+      assert(gp == pred && gt == total && gc == correct, s"from $f")
+      assert(java.lang.Double.doubleToLongBits(ga) ==
+        java.lang.Double.doubleToLongBits(correct.toDouble / total.toDouble))
+      // the argmax prediction beats (or ties) every other single guess
+      assert(row.forall { case (_, n) => n <= correct }, s"from $f argmax")
+    }
+  }
+
   test("e35 spike attribution: peak day, excesses, and lift recomputed driver-side") {
     val spark = TestSpark.spark
     import spark.implicits._

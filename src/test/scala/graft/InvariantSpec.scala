@@ -1679,6 +1679,31 @@ class InvariantSpec extends AnyFunSuite {
     assert(rows.exists(_._4) && rows.exists(!_._4))
   }
 
+  test("d43 cap ablation: cap-16 clusters nest inside cap-64; rollup recomputed") {
+    val spark = TestSpark.spark
+    val got = SparkEntry.queries("d43_cap_ablation")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val hi = graft.ops.Dedup.dupClusterLabels(spark, TestSpark.sfDir, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val lo = graft.ops.Dedup.dupClusterLabels(spark, TestSpark.sfDir, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // nesting: the cap-16 pair set is a subset of cap-64's, so every
+    // cap-16 cluster maps into exactly ONE cap-64 cluster
+    assert(lo.keySet.subsetOf(hi.keySet), "cap-16 labels docs cap-64 misses")
+    lo.groupBy(_._2).foreach { case (c16, members) =>
+      val parents = members.keys.map(hi).toSet
+      assert(parents.size == 1, s"cap-16 cluster $c16 spans cap-64 clusters $parents")
+    }
+    // rollup recompute
+    val expected = hi.groupBy(_._2).map { case (c64, members) =>
+      val groups = members.keys.map(d => lo.getOrElse(d, d)).toSet
+      c64 -> (members.size.toLong, groups.size.toLong, groups.size > 1)
+    }
+    assert(got == expected)
+  }
+
   test("d42 syndication: rollup recomputed from the label table; kept_source is the label's") {
     val spark = TestSpark.spark
     import spark.implicits._
