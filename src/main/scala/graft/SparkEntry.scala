@@ -117,6 +117,9 @@ object SparkEntry {
     // e36 = Markov next-event baseline trained and scored in-engine;
     // argmax a rank-1 window over the tiny transition matrix.
     "e36_markov_accuracy"    -> (EventOps.markovAccuracy _),
+    // e37 = bot-signal composite: burst/breadth/self-loop verdict
+    // table, every compare cross-multiplied on BIGINTs.
+    "e37_bot_signals"        -> (EventOps.botSignals _),
     // m19 = EXECUTED audio decimation through the real WAV codec
     // (decode → drop odd samples → re-encode at 4 kHz → decode);
     // position-weighted sums pin sample order across the chain.
@@ -699,6 +702,9 @@ object SparkEntry {
     // s36 = embedding health: per-dim moments on floor(x*1e4) ints,
     // variance numerator exact, two final divides.
     "s36_embedding_health"   -> (Similarity.embeddingHealth _),
+    // s37 = IVF cell-imbalance audit: the skew number that triggers
+    // s12's rebalance; max*K vs 2*N cross-multiplied.
+    "s37_cell_imbalance"     -> (Similarity.cellImbalance _),
     // s31 = nprobe recall sweep: the coarse-probe tuning curve
     // (s11 sweeps shortlist width; this sweeps probed cells).
     "s31_nprobe_sweep"       -> (Similarity.ivfNprobeSweep _),
@@ -1367,6 +1373,34 @@ object SparkEntry {
             > 4 * (st.n_hours * st.q - st.s * st.s) AS is_anomaly
         FROM hourly h JOIN stats st ON h.event_type = st.event_type
         ORDER BY h.event_type, h.hour_start""",
+      // e37: three user-keyed integer signals joined; verdict
+      // cross-multiplied, null transition rows coalesce to 0.
+      "e37_bot_signals" -> """
+        WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events),
+        mb AS (SELECT user_id, date_trunc('minute', ts) AS minute, count(*) AS c
+               FROM ev GROUP BY 1, 2),
+        burst AS (SELECT user_id, CAST(max(c) AS BIGINT) AS burst,
+                    CAST(sum(c) AS BIGINT) AS n_events FROM mb GROUP BY user_id),
+        breadth AS (SELECT user_id,
+                      CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+                    FROM ev GROUP BY user_id),
+        nx AS (SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS next_type
+               FROM ev),
+        loops AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_transitions,
+                    CAST(sum(CASE WHEN event_type = next_type THEN 1 ELSE 0 END)
+                      AS BIGINT) AS self_loops
+                  FROM nx WHERE next_type IS NOT NULL GROUP BY user_id)
+        SELECT b.user_id, b.n_events, b.burst, d.n_types,
+          coalesce(l.n_transitions, 0) AS n_transitions,
+          coalesce(l.self_loops, 0) AS self_loops,
+          (b.burst >= 5 OR (d.n_types <= 2 AND b.n_events >= 20)
+           OR coalesce(l.self_loops, 0) * 3 > coalesce(l.n_transitions, 0) * 2)
+            AS bot_flag
+        FROM burst b JOIN breadth d ON b.user_id = d.user_id
+        LEFT JOIN loops l ON b.user_id = l.user_id
+        ORDER BY b.user_id""",
       // e36: e14's transition matrix, rank-1 argmax per from_type
       // (count desc, to_type), scored in place; one divide per row.
       "e36_markov_accuracy" -> """
@@ -5014,6 +5048,25 @@ object SparkEntry {
           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
           count(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      // s37: the s04 assignment replay reduced to cell sizes; verdict
+      // cross-multiplied, imbalance one divide.
+      "s37_cell_imbalance" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings),
+        cb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        assigned AS (SELECT vec_id, cell_id FROM (
+          SELECT e.vec_id, cb.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) DESC, cb.cell_id) AS arank
+          FROM e CROSS JOIN cb) t WHERE arank = 1),
+        cells AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n
+                  FROM assigned GROUP BY cell_id)
+        SELECT CAST(count(*) AS BIGINT) AS k_cells, CAST(sum(n) AS BIGINT) AS n_vecs,
+          CAST(max(n) AS BIGINT) AS max_cell, CAST(min(n) AS BIGINT) AS min_cell,
+          CAST(max(n) * count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS imbalance,
+          max(n) * count(*) <= sum(n) * 2 AS balanced
+        FROM cells""",
       "s04_knn_ivf" -> """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm

@@ -395,6 +395,61 @@ object EventOps {
       .orderBy($"from_type", $"to_type")
   }
 
+  /** e37 — BOT-SIGNAL COMPOSITE: the per-user decision table that
+    * combines three cheap orthogonal tells into one verdict — the
+    * d27-style composition applied to abuse detection (e24 scores
+    * timing dispersion, e28 behavioral entropy; this is the table an
+    * enforcement queue actually consumes). Signals, all exact
+    * integers off one event scan: `burst` = max events in any single
+    * minute (machine cadence), `n_types` = distinct event types used
+    * (scripts are narrow), and the self-loop transition count beside
+    * total transitions (scripts repeat one action). Verdict:
+    * bot_flag = burst ≥ 5 ∨ (n_types ≤ 2 ∧ n_events ≥ 20) ∨
+    * 3·self_loops > 2·n_transitions — every compare cross-multiplied
+    * on BIGINTs, no float anywhere.
+    *
+    * Scale shape: the minute rollup and the per-user lead() window
+    * both partition by user (never global); everything reduces to
+    * |users| rows before the three-way join of user-keyed aggregates
+    * (co-partitioned). Output is |users| rows.
+    */
+  def botSignals(s: SparkSession, dir: String): DataFrame =
+    botSignalsOver(events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+
+  /** [[botSignals]] over any (user_id, ts, event_id, event_type)
+    * frame — the seam the spec's planted-bot fixtures drive.
+    */
+  private[graft] def botSignalsOver(evIn: DataFrame): DataFrame = {
+    val s = evIn.sparkSession
+    import s.implicits._
+    val ev = evIn
+    val burst = ev
+      .groupBy($"user_id", date_trunc("minute", $"ts").as("minute"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"user_id")
+      .agg(max($"c").as("burst"), sum($"c").as("n_events"))
+    val breadth = ev.groupBy($"user_id")
+      .agg(countDistinct($"event_type").as("n_types"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val loops = ev
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(when($"event_type" === $"next_type", 1L).otherwise(0L))
+          .as("self_loops"))
+    burst.join(breadth, Seq("user_id"))
+      .join(loops, Seq("user_id"), "left")
+      .select($"user_id", $"n_events", $"burst", $"n_types",
+        coalesce($"n_transitions", lit(0L)).as("n_transitions"),
+        coalesce($"self_loops", lit(0L)).as("self_loops"))
+      .withColumn("bot_flag",
+        $"burst" >= 5 || ($"n_types" <= 2 && $"n_events" >= 20) ||
+          $"self_loops" * 3 > $"n_transitions" * 2)
+      .orderBy($"user_id")
+  }
+
   /** e36 — MARKOV NEXT-EVENT ACCURACY: the simplest next-action
     * model trained AND evaluated inside the engine — per current
     * event type, predict the most frequent next type (ties → first

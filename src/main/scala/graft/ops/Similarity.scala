@@ -111,7 +111,7 @@ object Similarity {
     * index of [[ivfKnn]] and `Dedup.semanticPrune`. A KB-sized codebook
     * broadcast and a narrow argmax map over the corpus; NO shuffle.
     */
-  private[ops] def ivfAssigned(s: SparkSession, dir: String): DataFrame =
+  private[graft] def ivfAssigned(s: SparkSession, dir: String): DataFrame =
     CorpusIndexes.memo(s, dir, "ivf_assigned") {
       // A SESSION sidecar (CorpusIndexes discipline): eight consumers
       // (s04/s08/s11/s12/s14/s15/s16/d16) and the streaming ANN index
@@ -357,6 +357,34 @@ object Similarity {
         $"var_num".cast("double") / ($"n" * $"n").cast("double"))
       .select($"dim", $"n", $"sum_q", $"ssq_q", $"mean_q", $"var_num", $"var_q")
       .orderBy($"dim")
+  }
+
+  /** s37 — IVF CELL-IMBALANCE audit: the index-health number behind
+    * s12's rebalance — how skewed the coarse cells actually are.
+    * Cell-size skew IS the IVF tail latency (a probe landing in a
+    * cell holding 30 % of the corpus scans 5× the average), so the
+    * serving team tracks max/min/imbalance continuously and triggers
+    * s12 when the bar trips. One summary row: cell count, vector
+    * count, the largest/smallest cell, the imbalance factor
+    * max·K/N (ONE IEEE divide), and a `balanced` verdict
+    * cross-multiplied on exact ints (max·K ≤ 2·N — the classic
+    * "no cell over 2× average" bar).
+    *
+    * Scale shape: rides the shared ivf_assigned sidecar — a 16-group
+    * count, a one-row rollup. Nothing scales with the corpus but the
+    * sidecar read itself.
+    */
+  def cellImbalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ivfAssigned(s, dir)
+      .groupBy($"cell_id").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("k_cells"), sum($"n").as("n_vecs"),
+        max($"n").as("max_cell"), min($"n").as("min_cell"))
+      .withColumn("imbalance",
+        ($"max_cell" * $"k_cells").cast("double") / $"n_vecs".cast("double"))
+      .withColumn("balanced", $"max_cell" * $"k_cells" <= $"n_vecs" * 2)
+      .select($"k_cells", $"n_vecs", $"max_cell", $"min_cell",
+        $"imbalance", $"balanced")
   }
 
   /** s35 — INTRA-LIST SIMILARITY audit: what s30's MMR λ actually

@@ -494,6 +494,45 @@ class EventOpsSpec extends AnyFunSuite {
     finally spark.conf.unset(key)
   }
 
+  test("e37 bot signals: recomputed driver-side; each disjunct fires on a planted bot") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = SparkEntry.queries("e37_bot_signals")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .toMap
+    // corpus recompute
+    val ev = spark.read.parquet(TestSpark.sfDir + "/events.parquet")
+      .selectExpr("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+    val byUser = ev.groupBy(_._1)
+    assert(got.keySet == byUser.keySet)
+    byUser.foreach { case (u, g) =>
+      val nEvents = g.length.toLong
+      val burst = g.groupBy(t => t._2.getTime / 60000L).values.map(_.size).max.toLong
+      val nTypes = g.map(_._4).distinct.length.toLong
+      val seq0 = g.sortBy(t => (t._2.getTime, t._3)).map(_._4)
+      val pairs = seq0.dropRight(1).zip(seq0.drop(1))
+      val nTr = pairs.length.toLong
+      val loops = pairs.count(p => p._1 == p._2).toLong
+      val flag = burst >= 5 || (nTypes <= 2 && nEvents >= 20) || loops * 3 > nTr * 2
+      assert(got(u) == ((nEvents, burst, nTypes, nTr, loops, flag)), s"user $u")
+    }
+    // planted fixtures: one bot per disjunct plus a clean human — the
+    // rules must separate them
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val fixture = Seq.newBuilder[(Long, java.sql.Timestamp, Long, String)]
+    for (i <- 0 until 10) fixture += ((1L, ts(i), i.toLong, s"t${i % 5}"))          // burst bot
+    for (i <- 0 until 25) fixture += ((2L, ts(i * 120L), 100L + i, s"t${i % 2}"))   // narrow bot
+    for (i <- 0 until 10) fixture += ((3L, ts(i * 120L), 200L + i, "click"))        // self-loop bot
+    for (i <- 0 until 10) fixture += ((4L, ts(i * 120L), 300L + i, s"t${i % 5}"))   // human
+    val out = graft.ops.EventOps.botSignalsOver(
+        fixture.result().toDF("user_id", "ts", "event_id", "event_type"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false), s"$out")
+  }
+
   test("e36 markov accuracy: prediction is the per-type argmax; score recomputed") {
     val spark = TestSpark.spark
     import spark.implicits._

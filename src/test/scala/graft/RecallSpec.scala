@@ -860,6 +860,25 @@ class RecallSpec extends AnyFunSuite {
     }
   }
 
+  test("s37 cell imbalance: recomputed from the shared assignment; bounds hold") {
+    val spark0 = TestSpark.spark
+    val rows = SparkEntry.queries("s37_cell_imbalance")(spark0, TestSpark.sfDir)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val sizes = graft.ops.Similarity.ivfAssigned(spark0, TestSpark.sfDir)
+      .groupBy("cell_id").count().collect().map(_.getLong(1))
+    val k = sizes.length.toLong; val n = sizes.sum
+    assert(r.getLong(0) == k && r.getLong(1) == n)
+    assert(r.getLong(2) == sizes.max && r.getLong(3) == sizes.min)
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ==
+      java.lang.Double.doubleToLongBits((sizes.max * k).toDouble / n.toDouble))
+    assert(r.getBoolean(5) == (sizes.max * k <= n * 2))
+    // imbalance is >= 1 by definition (max >= avg) and the verdict
+    // matches the cross-multiplied bar
+    assert(r.getDouble(4) >= 1.0)
+  }
+
   test("s36 embedding health: quantized moments recomputed; variance identity holds") {
     val spark0 = TestSpark.spark
     val rows = SparkEntry.queries("s36_embedding_health")(spark0, TestSpark.sfDir)
