@@ -590,6 +590,9 @@ object SparkEntry {
     // m32 = cross-modal Pearson r on exact-integer features off the
     // real codecs; numerators/denominators exact, r one IEEE chain.
     "m32_modality_corr"      -> (Multimodal.modalityCorrelation _),
+    // m33 = decode-free magic-byte validation of every payload; the
+    // oracle's literal contract row gates any malformed byte.
+    "m33_payload_validation" -> (Multimodal.payloadValidation _),
     // m09 = audio feature extraction: per-frame energy over the real
     // WAV decode (64-sample frames, integer-exact activity detection).
     "m09_wav_frames"         -> ((s, d) => Multimodal.wavFrameEnergy(s, d)),
@@ -1780,6 +1783,19 @@ object SparkEntry {
       // m29: the generator PCM replayed at output indices — even j
       // copies s[j/2], odd j the TRUNCATED midpoint (// and Java /
       // both round toward zero on negatives; a shift would floor).
+      // m33: the contract row — every generated payload carries its
+      // container signature; Spark COMPUTES the checks, the oracle
+      // states the contract, hash compare gates any deviation.
+      "m33_payload_validation" -> """
+        SELECT 'gif' AS modality, CAST(count(*) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS n_valid, TRUE AS all_valid FROM documents
+        UNION ALL
+        SELECT 'png', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT), TRUE
+        FROM documents
+        UNION ALL
+        SELECT 'wav', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT), TRUE
+        FROM documents
+        ORDER BY modality""",
       // m32: features replayed from the generator formulas (pix_sum
       // raster, WAV n = 200 + id % 400), identical sum algebra and
       // the same sqrt/multiply/divide chain.

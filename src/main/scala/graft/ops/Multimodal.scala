@@ -2134,6 +2134,43 @@ object Multimodal {
       .orderBy($"doc_id", $"py", $"px")
   }
 
+  /** m33 — PAYLOAD FORMAT VALIDATION: every media payload's magic
+    * bytes checked against its declared container signature — PNG's
+    * 8-byte header, RIFF/WAVE's two 4-byte tags, GIF's "GIF8" prefix
+    * — entirely WITHOUT decoding (a `substring`+`hex` projection over
+    * the binary column). This is the cheap first gate of a media
+    * ingest contract: a corrupted or mislabeled object fails here for
+    * the cost of reading 12 bytes, long before a codec slot wastes a
+    * decode attempt on it. The oracle emits the contract's expected
+    * row (all payloads valid), so ANY malformed byte in ANY payload
+    * fails the hash compare — the t07/q23 literal-verdict gate
+    * applied to binary columns.
+    *
+    * Scale shape: three narrow projections (codegen substring/hex
+    * over the payload column — at 100 TB with parquet this reads only
+    * the payload column's pages) and three 1-row aggregates unioned.
+    * No decode, no join, no shuffle beyond the final count.
+    */
+  def payloadValidation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def arm(name: String, payloads: DataFrame, okCol: Column): DataFrame =
+      payloads
+        .agg(count(lit(1)).as("n"),
+          sum(when(okCol, 1L).otherwise(0L)).as("n_valid"))
+        .select(lit(name).as("modality"), $"n", $"n_valid",
+          ($"n" === $"n_valid").as("all_valid"))
+    val png = pngTable(s, dir).toDF()
+    val wav = wavTable(s, dir).toDF()
+    val gif = gifTable(s, dir).toDF()
+    arm("gif", gif, hex(expr("substring(payload, 1, 4)")) === lit("47494638"))
+      .unionAll(arm("png", png,
+        hex(expr("substring(payload, 1, 8)")) === lit("89504E470D0A1A0A")))
+      .unionAll(arm("wav", wav,
+        hex(expr("substring(payload, 1, 4)")) === lit("52494646") &&
+          hex(expr("substring(payload, 9, 4)")) === lit("57415645")))
+      .orderBy($"modality")
+  }
+
   /** m32 — CROSS-MODAL FEATURE CORRELATION: Pearson r between the
     * per-document feature of each modality pair — text length
     * (n_chars), decoded image mass (m05's pix_sum), decoded audio

@@ -886,6 +886,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("m33 payload validation: real headers pass; a corrupted byte is caught") {
+    val spark = TestSpark.spark
+    val got = SparkEntry.queries("m33_payload_validation")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    val nDocs = spark.read.parquet(TestSpark.sfDir + "/documents.parquet").count()
+    assert(got.keySet == Set("gif", "png", "wav"))
+    got.foreach { case (m, (n, v, ok)) =>
+      assert(n == nDocs && v == nDocs && ok, s"$m")
+    }
+    // negative control: the check actually READS the bytes — flip one
+    // signature byte and the verdict must flip
+    import spark.implicits._
+    val goodPng = graft.ops.Multimodal.PngCodec.encode(7L)
+    val badPng = goodPng.clone(); badPng(0) = 0x00.toByte
+    val df = Seq((1L, goodPng), (2L, badPng)).toDF("doc_id", "payload")
+    val checked = df.select($"doc_id",
+      (org.apache.spark.sql.functions.hex(
+        org.apache.spark.sql.functions.expr("substring(payload, 1, 8)")) ===
+        "89504E470D0A1A0A").as("ok"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(checked == Map(1L -> true, 2L -> false))
+  }
+
   test("m32 modality correlation: sums recomputed from decoded features; |r| bounded") {
     val spark = TestSpark.spark
     val got = SparkEntry.queries("m32_modality_corr")(spark, TestSpark.sfDir)
