@@ -120,6 +120,9 @@ object SparkEntry {
     // e37 = bot-signal composite: burst/breadth/self-loop verdict
     // table, every compare cross-multiplied on BIGINTs.
     "e37_bot_signals"        -> (EventOps.botSignals _),
+    // e38 = bounce rate by entry event over the e03 islands; opener
+    // rank-1 by (ts, event_id), one divide per row.
+    "e38_bounce_rate"        -> (EventOps.bounceRate _),
     // m19 = EXECUTED audio decimation through the real WAV codec
     // (decode → drop odd samples → re-encode at 4 kHz → decode);
     // position-weighted sums pin sample order across the chain.
@@ -186,6 +189,9 @@ object SparkEntry {
     // q42 = unpivot/melt round-trip of q17's matrix, zero-fill cells
     // certified against the direct aggregate.
     "q42_priority_melt"      -> (Relational2.priorityMelt _),
+    // q43 = Q15 shape: quarter revenue view, equality-to-max on exact
+    // decimals (the multi-row argmax set, not top-k).
+    "q43_top_supplier"       -> (Relational2.topQuarterSupplier _),
     // s34 = linearized silhouette: per-vector clustering quality in
     // n·k dots against the cells' normalized-sum vectors (never n²).
     "s34_silhouette"         -> (Similarity.silhouetteAudit _),
@@ -1376,6 +1382,36 @@ object SparkEntry {
             > 4 * (st.n_hours * st.q - st.s * st.s) AS is_anomaly
         FROM hourly h JOIN stats st ON h.event_type = st.event_type
         ORDER BY h.event_type, h.hour_start""",
+      // e38: the e03 islands with the (ts, event_id) tiebreak on both
+      // engines; micros difference >= 600000000 is the 10-min gap.
+      "e38_bounce_rate" -> """
+        WITH marked AS (
+          SELECT user_id, ts, event_id, event_type,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+          SELECT user_id, ts, event_id, event_type,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked),
+        ranked AS (
+          SELECT user_id, sid, event_type,
+            row_number() OVER (PARTITION BY user_id, sid
+                               ORDER BY ts, event_id) AS rn
+          FROM numbered),
+        sess AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n
+                 FROM numbered GROUP BY user_id, sid)
+        SELECT r.event_type AS first_type,
+          CAST(count(*) AS BIGINT) AS n_sessions,
+          CAST(sum(CASE WHEN s.n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+          CAST(sum(CASE WHEN s.n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS bounce_rate
+        FROM ranked r JOIN sess s ON r.user_id = s.user_id AND r.sid = s.sid
+        WHERE r.rn = 1
+        GROUP BY r.event_type ORDER BY first_type""",
       // e37: three user-keyed integer signals joined; verdict
       // cross-multiplied, null transition rows coalesce to 0.
       "e37_bot_signals" -> """
@@ -4799,6 +4835,22 @@ object SparkEntry {
             CAST(greatest(ndv_dates_o, ndv_dates_l) AS DOUBLE) AS est_naive,
           est_hist
         FROM t_o, t_l, act, hist""",
+      // q43: exact-decimal equality to the view max; only the report
+      // column casts to double (via varchar, the decimal rule).
+      "q43_top_supplier" -> """
+        WITH v AS (SELECT l_suppkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,3))))
+                       AS total_dec
+                   FROM lineitem
+                   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                     AND l_shipdate <  TIMESTAMP '1996-04-01'
+                   GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name,
+          CAST(CAST(v.total_dec AS VARCHAR) AS DOUBLE) AS total_revenue
+        FROM v JOIN supplier s ON v.l_suppkey = s.s_suppkey
+        WHERE v.total_dec = (SELECT max(total_dec) FROM v)
+        ORDER BY s.s_suppkey""",
       // q42: the melted matrix IS the direct aggregate zero-filled;
       // the oracle emits it directly with a literal TRUE verdict, so
       // any round-trip loss fails the hash compare.

@@ -395,6 +395,46 @@ object EventOps {
       .orderBy($"from_type", $"to_type")
   }
 
+  /** e38 — BOUNCE RATE BY ENTRY EVENT: per session-opening event
+    * type, how many sessions end after that single event — the
+    * landing-page quality metric beside e18's session features and
+    * e25's co-occurrence lift. Sessions are the family's 10-minute
+    * gaps-and-islands (the e03 semantics, lag + running sum — the
+    * BATCH form, where session_window and islands agree; islands give
+    * the per-EVENT session id this op needs to rank the opener);
+    * the opener is rank-1 by (ts, event_id) inside the session, the
+    * bounce verdict is an exact count compare, and the rate is ONE
+    * IEEE divide per row.
+    *
+    * Scale shape: two user-partitioned windows (lag/cumsum) and one
+    * (user, sid)-partitioned rank — never a global sort; sessions
+    * reduce to |sessions| rows before the |types|-row rollup.
+    */
+  def bounceRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val numbered = events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev", lag($"ts", 1).over(w))
+      .withColumn("new_s",
+        when($"prev".isNull ||
+          micros($"ts") - micros($"prev") >= 600000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum($"new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy($"user_id", $"sid").orderBy($"ts", $"event_id")
+    val ranked = numbered.withColumn("rn", row_number().over(ws))
+    val sess = numbered.groupBy($"user_id", $"sid").agg(count(lit(1)).as("n"))
+    ranked.filter($"rn" === 1)
+      .select($"user_id", $"sid", $"event_type".as("first_type"))
+      .join(sess, Seq("user_id", "sid"))
+      .groupBy($"first_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when($"n" === 1L, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_rate",
+        $"n_bounces".cast("double") / $"n_sessions".cast("double"))
+      .orderBy($"first_type")
+  }
+
   /** e37 — BOT-SIGNAL COMPOSITE: the per-user decision table that
     * combines three cheap orthogonal tells into one verdict — the
     * d27-style composition applied to abuse detection (e24 scores

@@ -1010,6 +1010,38 @@ object Relational2 {
       .orderBy($"o_orderstatus", $"priority")
   }
 
+  /** q43 — TOP SUPPLIER BY QUARTER REVENUE (TPC-H Q15 shape): the
+    * revenue view over one quarter, then the suppliers whose total
+    * EQUALS the view's maximum — the classic "create view + where
+    * total = (select max from view)" nesting, which q02/q06's top-k
+    * forms don't exercise (equality-to-aggregate can return several
+    * rows and must not break ties). The equality compares DECIMALS —
+    * exact, engine-independent — and only the reported revenue casts
+    * to double at the very end.
+    *
+    * Scale shape: ONE filtered lineitem aggregate (predicate pushed
+    * to the scan) referenced twice — the max is a one-row broadcast
+    * onto the supplier-cardinality view (whitelisted, q16 class);
+    * supplier names broadcast. Output is the argmax set.
+    */
+  def topQuarterSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = dec($"l_extendedprice") *
+      (lit(1).cast(DecimalType(3, 2)) - $"l_discount".cast(DecimalType(4, 3)))
+    val view = lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum(rev).as("total_dec"))
+    val mx = view.agg(max($"total_dec").as("max_dec"))
+    view.crossJoin(broadcast(mx))
+      .filter($"total_dec" === $"max_dec")
+      .join(broadcast(supplier(s, dir).select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_dec".cast("double").as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+
   def partSupplierVariety(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bad = supplier(s, dir).filter($"s_acctbal" < 0.0).select($"s_suppkey")

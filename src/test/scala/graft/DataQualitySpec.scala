@@ -409,6 +409,30 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q43 top supplier: decimal revenue view recomputed; the full argmax SET reported") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = SparkEntry.queries("q43_top_supplier")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val li = spark.read.parquet(TestSpark.sfDir + "/lineitem.parquet")
+      .filter($"l_shipdate" >= org.apache.spark.sql.functions.lit("1996-01-01").cast("timestamp") &&
+              $"l_shipdate" < org.apache.spark.sql.functions.lit("1996-04-01").cast("timestamp"))
+      .selectExpr("l_suppkey", "l_extendedprice", "l_discount")
+      .as[(Long, Double, Double)].collect()
+    // exact decimal replay: 4-dp price, 3-dp rate — the engine's types
+    def d4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    def d3(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val view = li.groupBy(_._1).map { case (k, g) =>
+      k -> g.map(t => d4(t._2) * (BigDecimal(1) - d3(t._3))).sum
+    }
+    val mx = view.values.max
+    val winners = view.filter(_._2 == mx)
+    assert(got.keySet == winners.keySet, s"argmax set ${got.keySet} vs ${winners.keySet}")
+    got.foreach { case (k, rev) =>
+      assert(math.abs(rev - winners(k).toDouble) < 1e-6, s"supp $k revenue")
+    }
+  }
+
   test("q42 melt: the long table equals the direct aggregate zero-filled; grid complete") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -494,6 +494,44 @@ class EventOpsSpec extends AnyFunSuite {
     finally spark.conf.unset(key)
   }
 
+  test("e38 bounce rate: sessions, openers, and rates recomputed driver-side; totals conserve") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = SparkEntry.queries("e38_bounce_rate")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val ev = spark.read.parquet(TestSpark.sfDir + "/events.parquet")
+      .selectExpr("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+    // driver gaps-and-islands: 10-minute gap in exact MICROseconds
+    // (getTime alone truncates to ms — boundary gaps would misfile)
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val sessions = ev.groupBy(_._1).values.toSeq.flatMap { g =>
+      val sorted = g.sortBy(t => (us(t._2), t._3))
+      val out = scala.collection.mutable.ArrayBuffer.empty[List[(Long, java.sql.Timestamp, Long, String)]]
+      var cur = List.empty[(Long, java.sql.Timestamp, Long, String)]
+      var prev: Option[Long] = None
+      sorted.foreach { e =>
+        if (prev.exists(p => us(e._2) - p < 600000000L)) cur :+= e
+        else { if (cur.nonEmpty) out += cur; cur = List(e) }
+        prev = Some(us(e._2))
+      }
+      if (cur.nonEmpty) out += cur
+      out.toSeq
+    }
+    val expected = sessions.groupBy(_.head._4).map { case (ft, ss) =>
+      val n = ss.length.toLong
+      val b = ss.count(_.length == 1).toLong
+      ft -> (n, b, b.toDouble / n.toDouble)
+    }
+    assert(got == expected)
+    // conservation: session counts over entry types sum to all sessions
+    assert(got.values.map(_._1).sum == sessions.length.toLong)
+    got.values.foreach { case (n, b, r) => assert(b <= n && r >= 0.0 && r <= 1.0) }
+  }
+
   test("e37 bot signals: recomputed driver-side; each disjunct fires on a planted bot") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -104,7 +104,10 @@ class PlanAuditSpec extends AnyFunSuite {
         "t52_lang_source_chi2",
         // e35: the one-row corpus total broadcast onto the peak day's
         // user rows — the q16/t49 corpus-stats class.
-        "e35_spike_attribution")
+        "e35_spike_attribution",
+        // q43: the one-row view max broadcast onto the supplier-
+        // cardinality revenue view — the q16 scalar-subquery class.
+        "q43_top_supplier")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark
