@@ -3829,31 +3829,9 @@ object SparkEntry {
           TRUE AS no_false_negatives,
           TRUE AS fp_rate_ok
         FROM b LEFT JOIN hh ON b.h = hh.h""",
-      "d37_curation_shift" -> """
+      "d37_curation_shift" -> ("""
         WITH RECURSIVE
-        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
-                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
-               FROM documents),
-        mh AS (SELECT doc_id, i,
-                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
-               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
-        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
-        bands AS (SELECT doc_id, j,
-                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
-                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
-        small AS (SELECT j, bkey FROM bands GROUP BY j, bkey
-                  HAVING count(*) <= 64 AND count(*) > 1),
-        inb AS (SELECT b.* FROM bands b JOIN small s ON b.j = s.j AND b.bkey = s.bkey),
-        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        walk(node, lbl) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
-        lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
-                FROM walk GROUP BY node),
+        """ + graft.ops.Dedup.ccLabelReplaySql + """,
         q AS (SELECT doc_id,
                 0.4 * (1.0 - CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t))
                   + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
@@ -3890,7 +3868,7 @@ object SparkEntry {
         SELECT source, CAST(sum(n_terms_seg) AS BIGINT) AS n_terms_post,
           CAST(sum(n_tok_seg) AS BIGINT) AS n_tokens_post,
           list_reduce(list(f_seg ORDER BY seg), (a, b) -> a + b) AS kl_shift
-        FROM segs GROUP BY source ORDER BY source""",
+        FROM segs GROUP BY source ORDER BY source"""),
       "d32_incremental_clusters" -> """
         WITH RECURSIVE
         tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
@@ -3955,31 +3933,9 @@ object SparkEntry {
       // d31: the d27/d30 decision CTE, kept rows only — recomputed
       // from the ORIGINAL documents table while the Spark side reads
       // the written artifact; a hash match certifies the shipped bytes.
-      "d31_curated_readback" -> """
+      "d31_curated_readback" -> ("""
         WITH RECURSIVE
-        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
-                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
-               FROM documents),
-        mh AS (SELECT doc_id, i,
-                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
-               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
-        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
-        bands AS (SELECT doc_id, j,
-                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
-                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
-        small AS (SELECT j, bkey FROM bands GROUP BY j, bkey
-                  HAVING count(*) <= 64 AND count(*) > 1),
-        inb AS (SELECT b.* FROM bands b JOIN small s ON b.j = s.j AND b.bkey = s.bkey),
-        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        walk(node, lbl) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
-        lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
-                FROM walk GROUP BY node),
+        """ + graft.ops.Dedup.ccLabelReplaySql + """,
         q AS (SELECT doc_id,
                 0.4 * (1.0 - CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t))
                   + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
@@ -4001,69 +3957,25 @@ object SparkEntry {
           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
         FROM tokc t LEFT JOIN dec d ON t.doc_id = d.doc_id
         WHERE COALESCE(d.kept, true)
-        GROUP BY t.source ORDER BY t.source""",
+        GROUP BY t.source ORDER BY t.source"""),
       "d43_cap_ablation" -> graft.ops.Dedup.capAblationOracle,
       // d42: the d30 label-replay prefix (MinHash -> capped LSH ->
       // recursive CC), then the cluster x source rollup; arg_min picks
       // the representative's source exactly like min_by over the
       // unique doc_id.
-      "d42_syndication" -> """
+      "d42_syndication" -> ("""
         WITH RECURSIVE
-        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
-                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
-               FROM documents),
-        mh AS (SELECT doc_id, i,
-                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
-               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
-        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
-        bands AS (SELECT doc_id, j,
-                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
-                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
-        small AS (SELECT j, bkey FROM bands GROUP BY j, bkey
-                  HAVING count(*) <= 64 AND count(*) > 1),
-        inb AS (SELECT b.* FROM bands b JOIN small s ON b.j = s.j AND b.bkey = s.bkey),
-        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        walk(node, lbl) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
-        lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
-                FROM walk GROUP BY node)
+        """ + graft.ops.Dedup.ccLabelReplaySql + """
         SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_members,
           CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
           arg_min(d.source, l.doc_id) AS kept_source,
           count(DISTINCT d.source) >= 2 AS cross_source
         FROM lab l JOIN documents d ON d.doc_id = l.doc_id
         GROUP BY l.cluster_id HAVING count(*) >= 2
-        ORDER BY l.cluster_id""",
-      "d30_savings_by_source" -> """
+        ORDER BY l.cluster_id"""),
+      "d30_savings_by_source" -> ("""
         WITH RECURSIVE
-        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
-                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
-               FROM documents),
-        mh AS (SELECT doc_id, i,
-                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
-               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
-        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
-        bands AS (SELECT doc_id, j,
-                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
-                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
-        small AS (SELECT j, bkey FROM bands GROUP BY j, bkey
-                  HAVING count(*) <= 64 AND count(*) > 1),
-        inb AS (SELECT b.* FROM bands b JOIN small s ON b.j = s.j AND b.bkey = s.bkey),
-        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        walk(node, lbl) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
-        lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
-                FROM walk GROUP BY node),
+        """ + graft.ops.Dedup.ccLabelReplaySql + """,
         q AS (SELECT doc_id,
                 0.4 * (1.0 - CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t))
                   + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
@@ -4086,35 +3998,13 @@ object SparkEntry {
           CAST(sum(CASE WHEN d.kept = false THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_dropped,
           CAST(sum(CASE WHEN d.kept = false THEN 0 ELSE n_tokens END) AS BIGINT) AS tokens_kept
         FROM tokc t LEFT JOIN dec d ON t.doc_id = d.doc_id
-        GROUP BY t.source ORDER BY t.source""",
+        GROUP BY t.source ORDER BY t.source"""),
       // d27: d11's cluster walk joined with the t02 quality expression
       // (evaluated in the t02 order, bit-reproducible), canonical =
       // first_value over (quality DESC, doc_id ASC) per cluster.
-      "d27_canonical_keep" -> """
+      "d27_canonical_keep" -> ("""
         WITH RECURSIVE
-        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
-                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
-               FROM documents),
-        mh AS (SELECT doc_id, i,
-                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
-               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
-        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
-        bands AS (SELECT doc_id, j,
-                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
-                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
-        small AS (SELECT j, bkey FROM bands GROUP BY j, bkey
-                  HAVING count(*) <= 64 AND count(*) > 1),
-        inb AS (SELECT b.* FROM bands b JOIN small s ON b.j = s.j AND b.bkey = s.bkey),
-        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        walk(node, lbl) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
-        lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
-                FROM walk GROUP BY node),
+        """ + graft.ops.Dedup.ccLabelReplaySql + """,
         q AS (SELECT doc_id,
                 0.4 * (1.0 - CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t))
                   + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
@@ -4133,7 +4023,7 @@ object SparkEntry {
             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
             AS kept,
           quality
-        FROM j ORDER BY doc_id""",
+        FROM j ORDER BY doc_id"""),
       // d24: the d11 text-cluster walk + the m12 image-cluster walk
       // (aHash recomputed from the generator formula), joined per doc
       // with singleton defaults, then the two cross-modal
@@ -4229,31 +4119,9 @@ object SparkEntry {
       // one; sig values are nonnegative so m % 2 IS the low bit.
       // d41: the d27 chain and the d40 chain composed verbatim (the
       // d24 two-recursive-walk precedent), full-outer on doc_id.
-      "d41_signal_agreement" -> """
+      "d41_signal_agreement" -> ("""
         WITH RECURSIVE
-        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
-                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
-               FROM documents),
-        mh AS (SELECT doc_id, i,
-                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
-               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
-        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
-        bands AS (SELECT doc_id, j,
-                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
-                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
-        small AS (SELECT j, bkey FROM bands GROUP BY j, bkey
-                  HAVING count(*) <= 64 AND count(*) > 1),
-        inb AS (SELECT b.* FROM bands b JOIN small s ON b.j = s.j AND b.bkey = s.bkey),
-        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM inb a JOIN inb b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        walk(node, lbl) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
-        lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
-                FROM walk GROUP BY node),
+        """ + graft.ops.Dedup.ccLabelReplaySql + """,
         q AS (SELECT doc_id,
                 0.4 * (1.0 - CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t))
                   + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
@@ -4299,7 +4167,7 @@ object SparkEntry {
           count(*) AS n_docs,
           min(COALESCE(lex.doc_id, sem.doc_id)) AS first_doc
         FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
-        GROUP BY 1, 2 ORDER BY lex, sem""",
+        GROUP BY 1, 2 ORDER BY lex, sem"""),
       // d40: the s04 assignment CTE, within-cell pairs, d11's CC walk,
       // keep = row 1 by (cos_c ASC, vec_id) per duplicate group.
       "d40_semdedup" -> """

@@ -2308,12 +2308,27 @@ object Dedup {
       .orderBy($"c64")
   }
 
-  /** DuckDB replay of [[capAblation]]: one shared MinHash/band prefix,
-    * two capped pair→CC chains (the d30 walk, parameterized by cap),
-    * the same labels-only rollup.
+  /** The shared DuckDB MinHash/band prefix (tk/mh/sig/bands) every
+    * label-replay oracle composes — ONE copy, so a hash-constant
+    * tweak cannot diverge the d30/d42/d43 replays.
     */
-  private[graft] val capAblationOracle: String = {
-    def chain(tag: String, cap: Int): String = s"""
+  private val minhashBandsSql: String = s"""
+        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+               FROM documents),
+        mh AS (SELECT doc_id, i,
+                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
+               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id, j,
+                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
+                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj)"""
+
+  /** One capped pair→CC chain over `bands` (small/inb/pairs/edges/
+    * walk/lab, CTE names suffixed by `tag`) — the d30 walk,
+    * parameterized by the bucket cap.
+    */
+  private def ccChainSql(tag: String, cap: Int): String = s"""
         small$tag AS (SELECT j, bkey FROM bands GROUP BY j, bkey
                   HAVING count(*) <= $cap AND count(*) > 1),
         inb$tag AS (SELECT b.* FROM bands b
@@ -2329,27 +2344,29 @@ object Dedup {
           SELECT e.dst, w.lbl FROM walk$tag w JOIN edges$tag e ON e.src = w.node),
         lab$tag AS (SELECT node AS doc_id, min(lbl) AS cluster_id
                 FROM walk$tag GROUP BY node)"""
-    s"""
+
+  /** `WITH RECURSIVE` body reproducing [[dupClusterLabels]] at the
+    * campaign cap (unsuffixed CTE names, ending with `lab`) — the
+    * single shared prefix of the d30/d42 oracles.
+    */
+  private[graft] val ccLabelReplaySql: String =
+    minhashBandsSql + "," + ccChainSql("", 64)
+
+  /** DuckDB replay of [[capAblation]]: one shared MinHash/band prefix,
+    * two capped pair→CC chains (the d30 walk, parameterized by cap),
+    * the same labels-only rollup.
+    */
+  private[graft] val capAblationOracle: String = s"""
         WITH RECURSIVE
-        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\\s+'),
-                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
-               FROM documents),
-        mh AS (SELECT doc_id, i,
-                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
-               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
-        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
-        bands AS (SELECT doc_id, j,
-                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
-                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
-        ${chain("64", 64)},
-        ${chain("16", 16)}
+        $minhashBandsSql,
+        ${ccChainSql("64", 64)},
+        ${ccChainSql("16", 16)}
         SELECT h.cluster_id AS c64, CAST(count(*) AS BIGINT) AS n_docs,
           CAST(count(DISTINCT coalesce(l.cluster_id, h.doc_id)) AS BIGINT)
             AS n_lo_groups,
           count(DISTINCT coalesce(l.cluster_id, h.doc_id)) > 1 AS splits_at_cap16
         FROM lab64 h LEFT JOIN lab16 l ON h.doc_id = l.doc_id
         GROUP BY h.cluster_id ORDER BY c64"""
-  }
 
   /** d42 — SYNDICATION AUDIT: d11's duplicate clusters cross-tabbed
     * against the SOURCE column — is near-duplication intra-source

@@ -1328,10 +1328,14 @@ object EventOps {
       .localCheckpoint()
     val stats = ranged.groupBy($"pid").agg(count(lit(1)).as("pcnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // Empty input: emit the ONE row the DuckDB oracle (and the
+    // StreamingGini one-row-per-tick contract) produces — count 0,
+    // NULL sums, NULL gini. A limit(0) frame here would write an
+    // EMPTY tick and hash-mismatch the oracle's single NULL row.
     if (stats.isEmpty)
-      return ranged.limit(0)
-        .select(lit(0L).as("n_users"), lit(0L).as("n_events"),
-          lit(0L).as("gini_num"), lit(0.0).as("gini"))
+      return counts.agg(count(lit(1)).as("n_users"),
+          sum($"c").as("n_events"), sum($"c").as("gini_num"))
+        .withColumn("gini", lit(null).cast("double"))
     val offsets = stats.toList.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
       (pid, acc + n)
     }.sliding(2).collect { case List((_, off), (pid, _)) => (pid, off) }.toList

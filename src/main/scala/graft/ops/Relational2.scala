@@ -942,12 +942,19 @@ object Relational2 {
     */
   def fkAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // `hint`: broadcast only the PROVABLY small parents (nation,
+    // region, part, supplier — linear-size dims). The orders and
+    // customer parent key sets grow with the fact data, so forcing a
+    // broadcast hint there would override AQE's size-based choice and
+    // collect a fact-scale key set to the driver at the design point;
+    // those edges leave the decision to AQE.
     def edge(name: String, child: DataFrame, ck: String,
-             parent: DataFrame, pk: String): DataFrame = {
-      val p = parent.select(col(pk).as("__pk")).distinct()
+             parent: DataFrame, pk: String, hint: Boolean): DataFrame = {
+      val keys = parent.select(col(pk).as("__pk")).distinct()
         .withColumn("__present", lit(1))
+      val p = if (hint) broadcast(keys) else keys
       child.select(col(ck).as("__ck"))
-        .join(broadcast(p), $"__ck" === $"__pk", "left")
+        .join(p, $"__ck" === $"__pk", "left")
         .agg(count(lit(1)).as("n_rows"),
           sum(when($"__present".isNull, 1L).otherwise(0L)).as("n_orphans"))
         .select(lit(name).as("fk"), $"n_rows", $"n_orphans",
@@ -956,19 +963,19 @@ object Relational2 {
     val li = lineitem(s, dir)
     Seq(
       edge("customer.c_nationkey->nation", customer(s, dir), "c_nationkey",
-        nation(s, dir), "n_nationkey"),
+        nation(s, dir), "n_nationkey", hint = true),
       edge("lineitem.l_orderkey->orders", li, "l_orderkey",
-        orders(s, dir), "o_orderkey"),
+        orders(s, dir), "o_orderkey", hint = false),
       edge("lineitem.l_partkey->part", li, "l_partkey",
-        part(s, dir), "p_partkey"),
+        part(s, dir), "p_partkey", hint = true),
       edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
-        supplier(s, dir), "s_suppkey"),
+        supplier(s, dir), "s_suppkey", hint = true),
       edge("nation.n_regionkey->region", nation(s, dir), "n_regionkey",
-        region(s, dir), "r_regionkey"),
+        region(s, dir), "r_regionkey", hint = true),
       edge("orders.o_custkey->customer", orders(s, dir), "o_custkey",
-        customer(s, dir), "c_custkey"),
+        customer(s, dir), "c_custkey", hint = false),
       edge("supplier.s_nationkey->nation", supplier(s, dir), "s_nationkey",
-        nation(s, dir), "n_nationkey"))
+        nation(s, dir), "n_nationkey", hint = true))
       .reduce(_ unionAll _)
       .orderBy($"fk")
   }

@@ -268,9 +268,21 @@ object Similarity {
   /** The shared candidate-shortlist core of s30/s35: the query's
     * nCand-deep relevance list and its pairwise cosine table, both
     * collected (shortlist-sized — tens of rows) for the driver-side
-    * selection loops.
+    * selection loops. Memoized per (session, dir, nCand) — the s30
+    * and s35 memo bodies would otherwise each run the identical
+    * shortlist + pairwise-cosine jobs (two corpus scans for
+    * byte-identical driver maps); plain driver maps, so a session
+    * cache entry costs KBs.
     */
+  private val candSimsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), (Map[Long, Double], Map[(Long, Long), Double])]()
+
   private def mmrCandSims(s: SparkSession, dir: String, nCand: Int)
+      : (Map[Long, Double], Map[(Long, Long), Double]) =
+    candSimsCache.computeIfAbsent((s, dir, nCand),
+      _ => mmrCandSimsBuild(s, dir, nCand))
+
+  private def mmrCandSimsBuild(s: SparkSession, dir: String, nCand: Int)
       : (Map[Long, Double], Map[(Long, Long), Double]) = {
     import s.implicits._
     val e = normedVectors(s, dir).localCheckpoint()

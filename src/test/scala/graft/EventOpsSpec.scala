@@ -571,6 +571,16 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false), s"$out")
   }
 
+  test("e33 empty input emits ONE null-sum row (the oracle's shape), not an empty frame") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("user_id", "c")
+    val rows = graft.ops.EventOps.giniOver(empty).collect()
+    assert(rows.length == 1, "one audit row per tick even when nothing arrived")
+    val r = rows.head
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
   test("e36 markov accuracy: prediction is the per-type argmax; score recomputed") {
     val spark = TestSpark.spark
     import spark.implicits._
