@@ -123,6 +123,9 @@ object SparkEntry {
     // e38 = bounce rate by entry event over the e03 islands; opener
     // rank-1 by (ts, event_id), one divide per row.
     "e38_bounce_rate"        -> (EventOps.bounceRate _),
+    // e39 = weekday ANOVA eta^2 on exact daily counts; divides are
+    // single fixed-order IEEE ops, fold by weekday.
+    "e39_dow_seasonality"    -> (EventOps.dowSeasonality _),
     // m19 = EXECUTED audio decimation through the real WAV codec
     // (decode → drop odd samples → re-encode at 4 kHz → decode);
     // position-weighted sums pin sample order across the chain.
@@ -529,6 +532,9 @@ object SparkEntry {
     // t52 = lang x source chi-square: algebraized cell terms, pinned
     // fold, df integer — the stratification audit beside t22.
     "t52_lang_source_chi2"   -> (TextOps.langSourceChi2 _),
+    // t53 = MATTR lexical diversity: complete 50-token windows, mean
+    // algebraized to one exact-int divide per doc.
+    "t53_mattr"              -> (TextOps.mattr _),
     // t33 = PII detect + redact (email/phone/IPv4) — counts on the
     // original text, typed-placeholder redaction, all codegen regex;
     // runs over the deterministic planted-PII fixture (WavCodec
@@ -1382,6 +1388,35 @@ object SparkEntry {
             > 4 * (st.n_hours * st.q - st.s * st.s) AS is_anomaly
         FROM hourly h JOIN stats st ON h.event_type = st.event_type
         ORDER BY h.event_type, h.hour_start""",
+      // e39: the same SS identities on exact counts; t_g folds in
+      // weekday order, S^2/N computed once and subtracted from both.
+      "e39_dow_seasonality" -> """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                         CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY day),
+        dows AS (SELECT dayofweek(day) AS dow,
+                   CAST(sum(c) AS BIGINT) AS s_g,
+                   CAST(count(*) AS BIGINT) AS n_g
+                 FROM daily GROUP BY dow),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(sum(c) AS BIGINT) AS n_events,
+                  CAST(sum(c * c) AS BIGINT) AS sum_sq
+                FROM daily),
+        agg AS (SELECT
+                  list_reduce(list(CAST(s_g * s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+                              ORDER BY dow), (a, x) -> a + x) AS between_raw,
+                  CAST(count(*) AS BIGINT) AS n_dows
+                FROM dows)
+        SELECT t.n_days, t.n_events, a.n_dows,
+          a.between_raw - CAST(t.n_events * t.n_events AS DOUBLE)
+            / CAST(t.n_days AS DOUBLE) AS ss_between,
+          CAST(t.sum_sq AS DOUBLE) - CAST(t.n_events * t.n_events AS DOUBLE)
+            / CAST(t.n_days AS DOUBLE) AS ss_total,
+          (a.between_raw - CAST(t.n_events * t.n_events AS DOUBLE)
+            / CAST(t.n_days AS DOUBLE))
+          / (CAST(t.sum_sq AS DOUBLE) - CAST(t.n_events * t.n_events AS DOUBLE)
+            / CAST(t.n_days AS DOUBLE)) AS eta2
+        FROM agg a CROSS JOIN tot t""",
       // e38: the e03 islands with the (ts, event_id) tiebreak on both
       // engines; micros difference >= 600000000 is the 10-min gap.
       "e38_bounce_rate" -> """
@@ -5792,6 +5827,21 @@ object SparkEntry {
         FROM lab GROUP BY 1, 2 ORDER BY split_lo, split_hi""",
       // t50: t48's gram CTE + the t14 split; seen via LEFT JOIN
       // against the distinct train gram set; one exact-int divide.
+      // t53: complete 50-token windows; the window mean algebraizes
+      // to sum_distinct / (50 * n_windows) — one exact-int divide.
+      "t53_mattr" -> """
+        WITH arr AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS a
+                     FROM documents),
+        tok AS (SELECT doc_id, (pos - 1) // 50 AS win, a[pos] AS tok
+                FROM arr, LATERAL (SELECT unnest(generate_series(1, len(a))) AS pos) p),
+        wins AS (SELECT doc_id, win, count(*) AS n_in_win,
+                   CAST(count(DISTINCT tok) AS BIGINT) AS d_w
+                 FROM tok GROUP BY doc_id, win
+                 HAVING count(*) = 50)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+          CAST(sum(d_w) AS BIGINT) AS sum_distinct,
+          CAST(sum(d_w) AS DOUBLE) / CAST(count(*) * 50 AS DOUBLE) AS mattr
+        FROM wins GROUP BY doc_id ORDER BY doc_id""",
       // t52: chi-square with every cell term (N·O−R·C)²/(N·R·C) on
       // exact ints, folded in (lang, source) order.
       "t52_lang_source_chi2" -> """

@@ -435,6 +435,47 @@ object EventOps {
       .orderBy($"first_type")
   }
 
+  /** e39 — DAY-OF-WEEK SEASONALITY STRENGTH: how much of the daily
+    * volume variance the weekday explains — the one-number ANOVA
+    * (η² = SS_between / SS_total over day-of-week groups) that says
+    * whether e23's weekday profile is signal or noise, and the
+    * variance-decomposition companion to e30's autocorrelation (e30
+    * finds the period; this quantifies its explanatory power).
+    * Identities used: SS_between = Σ_g S_g²/n_g − S²/N and
+    * SS_total = Σc² − S²/N over exact BIGINT daily counts, so the
+    * only floats are the seven per-group divides (folded in weekday
+    * order), the two S²/N divides, and the final ratio — every one a
+    * single IEEE op in a fixed order, identical in both engines.
+    *
+    * Scale shape: events reduce to calendar-bounded daily counts in
+    * one map-side-combined aggregate; the weekday rollup is ≤7 rows;
+    * output is ONE row.
+    */
+  def dowSeasonality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // dayofweek − 1 aligns Spark (1=Sunday..7) with DuckDB (0=Sunday..6)
+    val daily = events(s, dir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dow", (dayofweek($"day") - 1).cast("long"))
+    val dows = daily.groupBy($"dow")
+      .agg(sum($"c").as("s_g"), count(lit(1)).as("n_g"))
+      .withColumn("t_g", ($"s_g" * $"s_g").cast("double") / $"n_g".cast("double"))
+    val tot = daily.agg(count(lit(1)).as("n_days"), sum($"c").as("n_events"),
+      sum($"c" * $"c").as("sum_sq"))
+    dows
+      .agg(expr("aggregate(transform(sort_array(collect_list(struct(dow, t_g))), " +
+        "x -> x.t_g), 0D, (a, x) -> a + x)").as("between_raw"),
+        count(lit(1)).as("n_dows"))
+      .crossJoin(broadcast(tot))
+      .withColumn("mean_term",
+        ($"n_events" * $"n_events").cast("double") / $"n_days".cast("double"))
+      .withColumn("ss_between", $"between_raw" - $"mean_term")
+      .withColumn("ss_total", $"sum_sq".cast("double") - $"mean_term")
+      .withColumn("eta2", $"ss_between" / $"ss_total")
+      .select($"n_days", $"n_events", $"n_dows", $"ss_between", $"ss_total", $"eta2")
+  }
+
   /** e37 — BOT-SIGNAL COMPOSITE: the per-user decision table that
     * combines three cheap orthogonal tells into one verdict — the
     * d27-style composition applied to abuse detection (e24 scores

@@ -2038,6 +2038,38 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** t53 — MATTR lexical diversity (Covington & McFall's moving-
+    * average type-token ratio): mean distinct-token ratio over
+    * consecutive COMPLETE 50-token windows — the length-robust form
+    * of TTR (raw TTR falls with doc length, so it cannot rank docs
+    * of different sizes; t42's effective vocab measures the corpus,
+    * this scores each DOC). The window mean algebraizes completely:
+    * every window has the same denominator, so
+    * mattr = Σ distinct_w / (50·n_windows) — exact BIGINTs into ONE
+    * IEEE divide, no per-window float ever exists. Docs shorter than
+    * one full window are excluded (the standard definition), matching
+    * the oracle exactly.
+    *
+    * Scale shape: one posexplode scan; windows key on (doc, pos/50)
+    * — a per-doc integer, so the distinct runs as a map-side-combined
+    * two-level aggregate; everything after is doc-cardinality.
+    */
+  def mattr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = documents(s, dir)
+      .select($"doc_id", posexplode(toks($"text")))
+      .select($"doc_id", expr("CAST(pos AS BIGINT) div 50").as("win"),
+        $"col".as("tok"))
+    val wins = tok.groupBy($"doc_id", $"win")
+      .agg(count(lit(1)).as("n_in_win"), countDistinct($"tok").as("d_w"))
+      .filter($"n_in_win" === 50L)
+    wins.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"), sum($"d_w").as("sum_distinct"))
+      .withColumn("mattr", $"sum_distinct".cast("double") /
+        ($"n_windows" * 50L).cast("double"))
+      .orderBy($"doc_id")
+  }
+
   /** t52 — LANGUAGE × SOURCE INDEPENDENCE (Pearson chi-square): is
     * the language mix the same across sources, or does some source
     * skew the corpus? The one-number stratification audit a mixture

@@ -494,6 +494,37 @@ class EventOpsSpec extends AnyFunSuite {
     finally spark.conf.unset(key)
   }
 
+  test("e39 weekday ANOVA: SS identities recomputed driver-side; eta2 in [0, 1]") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = SparkEntry.queries("e39_dow_seasonality")(spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val daily = spark.read.parquet(TestSpark.sfDir + "/events.parquet")
+      .selectExpr("CAST(ts AS DATE) AS day").as[java.sql.Date].collect()
+      .map(_.toLocalDate).groupBy(identity)
+      .map { case (d, g) => d -> g.size.toLong }
+    val n = daily.size.toLong
+    val s = daily.values.sum
+    val q = daily.values.map(c => c * c).sum
+    // DuckDB/op weekday numbering: Sunday = 0
+    val byDow = daily.toSeq.groupBy(_._1.getDayOfWeek.getValue % 7)
+      .map { case (dw, g) => dw -> (g.map(_._2).sum, g.size.toLong) }
+    val betweenRaw = byDow.toSeq.sortBy(_._1).foldLeft(0.0) {
+      case (acc, (_, (sg, ng))) => acc + (sg * sg).toDouble / ng.toDouble
+    }
+    val meanTerm = (s * s).toDouble / n.toDouble
+    assert(r.getLong(0) == n && r.getLong(1) == s && r.getLong(2) == byDow.size.toLong)
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(3)) ==
+      java.lang.Double.doubleToLongBits(betweenRaw - meanTerm))
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ==
+      java.lang.Double.doubleToLongBits(q.toDouble - meanTerm))
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(5)) ==
+      java.lang.Double.doubleToLongBits((betweenRaw - meanTerm) / (q.toDouble - meanTerm)))
+    assert(r.getDouble(5) >= -1e-12 && r.getDouble(5) <= 1.0 + 1e-12)
+  }
+
   test("e38 bounce rate: sessions, openers, and rates recomputed driver-side; totals conserve") {
     val spark = TestSpark.spark
     import spark.implicits._

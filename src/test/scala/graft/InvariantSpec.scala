@@ -1728,6 +1728,32 @@ class InvariantSpec extends AnyFunSuite {
     got.foreach { case (cl, (_, _, ks, _)) => assert(ks == src(cl), s"cluster $cl") }
   }
 
+  test("t53 MATTR: windows recomputed driver-side; short docs excluded; bounds hold") {
+    val spark = TestSpark.spark
+    val got = SparkEntry.queries("t53_mattr")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val docs = spark.read.parquet(TestSpark.sfDir + "/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.flatMap { case (id, text) =>
+      val t = text.split("\\s+")
+      val wins = t.grouped(50).filter(_.length == 50).toSeq
+      if (wins.isEmpty) None
+      else {
+        val sd = wins.map(_.distinct.length.toLong).sum
+        Some(id -> ((wins.length.toLong, sd,
+          sd.toDouble / (wins.length * 50L).toDouble)))
+      }
+    }.toMap
+    assert(got == expected)
+    // docs shorter than one full window are absent by definition
+    val short = docs.filter(_._2.split("\\s+").length < 50).map(_._1)
+    short.foreach(id => assert(!got.contains(id), s"short doc $id reported"))
+    got.values.foreach { case (_, _, m) => assert(m > 0.0 && m <= 1.0) }
+  }
+
   test("t52 chi-square: statistic recomputed driver-side; marginals conserve; df correct") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -107,7 +107,10 @@ class PlanAuditSpec extends AnyFunSuite {
         "e35_spike_attribution",
         // q43: the one-row view max broadcast onto the supplier-
         // cardinality revenue view — the q16 scalar-subquery class.
-        "q43_top_supplier")
+        "q43_top_supplier",
+        // e39: the one-row daily-count totals broadcast onto the
+        // <=7-row weekday fold — the q16/t49 corpus-stats class.
+        "e39_dow_seasonality")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark
@@ -203,8 +206,9 @@ class PlanAuditSpec extends AnyFunSuite {
           // sum-vector assembly): both keys range over a fixed domain
           // by construction, so the buffer cannot grow with the
           // corpus. `hb16` is q39's hashed-histogram bucket
-          // (`datediff % 16` — a fixed 16-value domain).
-          val domainKeys = Set("seg", "dim", "hb16")
+          // (`datediff % 16` — a fixed 16-value domain); `dow` is
+          // e39's weekday (a fixed 7-value domain).
+          val domainKeys = Set("seg", "dim", "hb16", "dow")
           val unbounded = lists.filterNot(
             _.child.references.toSeq.map(_.name).exists(domainKeys.contains))
           val boundedGroup =
