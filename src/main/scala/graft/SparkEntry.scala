@@ -321,6 +321,11 @@ object SparkEntry {
     // the t33 PII scan over SURVIVORS only — email/phone hits reject
     // at stage 'pii', IPv4 counts carry to the redact step.
     "d28_pii_admission"      -> ((s, d) => Dedup.piiAdmission(s, d)),
+    // c01 = the END-TO-END curation campaign: t51 Gopher gate → d27
+    // dedup decisions → t41 decontamination → d35 span cuts → shipped
+    // artifact + ledger → t27 mixture plan + t21 packing recomputed
+    // from the written bytes; ONE oracle replays the whole chain.
+    "c01_curation_campaign"  -> ((s, d) => Curation.curationCampaign(s, d)),
     // d30 = d27 rolled up per source in TOKENS — the dedup savings in
     // the mixture planner's currency; |sources| rows out.
     "d30_savings_by_source"  -> ((s, d) => Dedup.dedupSavingsBySource(s, d)),
@@ -3968,6 +3973,9 @@ object SparkEntry {
       // d31: the d27/d30 decision CTE, kept rows only — recomputed
       // from the ORIGINAL documents table while the Spark side reads
       // the written artifact; a hash match certifies the shipped bytes.
+      // c01: the full campaign replay — see Curation.campaignOracle's
+      // scaladoc for the CTE chain.
+      "c01_curation_campaign" -> graft.ops.Curation.campaignOracle,
       "d31_curated_readback" -> ("""
         WITH RECURSIVE
         """ + graft.ops.Dedup.ccLabelReplaySql + """,

@@ -910,10 +910,14 @@ object Dedup {
     import s.implicits._
     val dropped = canonicalSelection(s, dir, cap)
       .filter(!$"kept").select($"doc_id").withColumn("is_dropped", lit(true))
+    // No broadcast hint: the dropped set scales with the corpus's
+    // duplicate fraction (often most of raw web data at 100 TB) — the
+    // doc_id equi-join must stay a shuffle join, with AQE free to
+    // broadcast when a given run's drop set happens to be small.
     documents(s, dir)
       .select($"source", $"doc_id",
         size(split($"text", "\\s+")).cast("long").as("n_tokens"))
-      .join(broadcast(dropped), Seq("doc_id"), "left")
+      .join(dropped, Seq("doc_id"), "left")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when($"is_dropped", 1L).otherwise(0L)).as("n_dropped"),
@@ -1312,58 +1316,60 @@ object Dedup {
         ($"fp" * 100L <= $"n_new" * 9L + 1600L).as("fp_rate_ok"))
   }
 
-  /** The Bloom prescreen's static index: the filter plus the exact
-    * digest table it fronts, built ONCE per run from the historical
-    * slice (the streaming door holds both across micro-batches). The
+  /** The Bloom prescreen's static index: the SERIALIZED filter bytes
+    * plus the exact digest table they front, built ONCE per run from
+    * the historical slice (the streaming door holds both across
+    * micro-batches). The filter is built by Spark's own
+    * `BloomFilterAggregate` over `xxhash64(h)` — the identical
+    * machinery `InjectRuntimeFilter` uses — in one distributed
+    * aggregate (at 100 TB: the same treeAggregate shape, or
+    * per-digest-range shard filters unioned by `mergeInPlace`). The
     * digest table is distinct'd and materialized so the filter build
     * and every later exact arm read one small store.
     */
   def bloomIndex(histDocs: DataFrame, fpp: Double = 0.03)
-      : (org.apache.spark.util.sketch.BloomFilter, DataFrame) = {
+      : (Array[Byte], DataFrame) = {
     val s = histDocs.sparkSession
     import s.implicits._
     val digests = histDocs.select(md5($"text").as("h")).distinct().localCheckpoint()
-    val bloom = digests.stat.bloomFilter("h", math.max(digests.count(), 1L), fpp)
-    (bloom, digests)
+    val n = math.max(digests.count(), 1L)
+    val numBits =
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = org.apache.spark.sql.GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        org.apache.spark.sql.GraftBridge.expression(xxhash64($"h")),
+        Literal(n), Literal(numBits)).toAggregateExpression())
+    val bytes = digests.agg(agg.as("bf")).head().getAs[Array[Byte]](0)
+    (bytes, digests)
   }
 
   /** One prescreen pass over an arriving batch: per-doc
     * (doc_id, bloom_pos, exact_dup, definite_new). Every row depends
     * only on its own document versus the STATIC filter + digest
     * store, so per-batch probes compose to the whole-slice probe bit
-    * for bit — the StreamingAdmission composition contract. The
-    * filter broadcast is the only non-equi structure; `definite_new`
-    * rows are the ones production admits WITHOUT touching the digest
-    * join at all (the audit here still joins everything so the fp/fn
-    * columns exist to be audited).
+    * for bit — the StreamingAdmission composition contract. The probe
+    * is PLAN-NATIVE: `BloomFilterMightContain(<filter literal>,
+    * xxhash64(h))` — the codegen'd expression Spark's injected
+    * runtime filters execute, so no scalar UDF boxes rows and no
+    * broadcast handle exists to leak across triggers; the filter
+    * bytes ride the (torrent-broadcast) task binary like any foldable
+    * literal. `definite_new` rows are the ones production admits
+    * WITHOUT touching the digest join at all (the audit here still
+    * joins everything so the fp/fn columns exist to be audited).
     */
   def bloomProbeBatch(batch: DataFrame,
-                      bloom: org.apache.spark.util.sketch.BloomFilter,
-                      histDigests: DataFrame): DataFrame =
-    // One broadcast per CALL — fine for the one-shot batch query (d38),
-    // where the broadcast dies with the query. Repeated callers (the
-    // streaming door, once per trigger) MUST use the Broadcast overload
-    // below instead, or every trigger pins a fresh live copy of a
-    // GB-scale filter in the block manager until driver GC notices.
-    bloomProbeBatch(batch,
-      batch.sparkSession.sparkContext.broadcast(bloom), histDigests)
-
-  /** Per-batch probe against an ALREADY-BROADCAST filter — the form a
-    * long-running stream must use: broadcasting inside the per-batch
-    * call would pin one live filter copy in the block manager per
-    * trigger (GB-scale at production filter sizes) with nothing ever
-    * destroying them. The door broadcasts once at run start and passes
-    * the handle in.
-    */
-  def bloomProbeBatch(batch: DataFrame,
-                      bc: org.apache.spark.broadcast.Broadcast[
-                        org.apache.spark.util.sketch.BloomFilter],
+                      filterBytes: Array[Byte],
                       histDigests: DataFrame): DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
-    val mightContain = udf((h: String) => bc.value.mightContain(h))
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val pos = org.apache.spark.sql.GraftBridge.column(
+      BloomFilterMightContain(
+        Literal(filterBytes, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.GraftBridge.expression(xxhash64($"h"))))
     batch.select($"doc_id", md5($"text").as("h"))
-      .withColumn("bloom_pos", mightContain($"h"))
+      .withColumn("bloom_pos", pos)
       .join(histDigests.withColumn("is_dup", lit(true)), Seq("h"), "left")
       .select($"doc_id", $"bloom_pos",
         $"is_dup".isNotNull.as("exact_dup"),

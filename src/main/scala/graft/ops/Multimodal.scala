@@ -2163,9 +2163,9 @@ object Multimodal {
     val wav = wavTable(s, dir).toDF()
     val gif = gifTable(s, dir).toDF()
     arm("gif", gif, hex(expr("substring(payload, 1, 4)")) === lit("47494638"))
-      .unionAll(arm("png", png,
+      .union(arm("png", png,
         hex(expr("substring(payload, 1, 8)")) === lit("89504E470D0A1A0A")))
-      .unionAll(arm("wav", wav,
+      .union(arm("wav", wav,
         hex(expr("substring(payload, 1, 4)")) === lit("52494646") &&
           hex(expr("substring(payload, 9, 4)")) === lit("57415645")))
       .orderBy($"modality")

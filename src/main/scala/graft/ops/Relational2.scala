@@ -976,7 +976,7 @@ object Relational2 {
         customer(s, dir), "c_custkey", hint = false),
       edge("supplier.s_nationkey->nation", supplier(s, dir), "s_nationkey",
         nation(s, dir), "n_nationkey", hint = true))
-      .reduce(_ unionAll _)
+      .reduce(_ union _)
       .orderBy($"fk")
   }
 

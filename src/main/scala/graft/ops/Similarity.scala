@@ -277,10 +277,21 @@ object Similarity {
   private val candSimsCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int), (Map[Long, Double], Map[(Long, Long), Double])]()
 
+  /** Mirror of CorpusIndexes.purgeStopped for this driver-map cache:
+    * drop entries whose session is gone so a long-lived JVM that
+    * cycles sessions never pins dead SparkSession references.
+    */
+  private def purgeStoppedCandSims(): Unit = {
+    val it = candSimsCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+  }
+
   private def mmrCandSims(s: SparkSession, dir: String, nCand: Int)
-      : (Map[Long, Double], Map[(Long, Long), Double]) =
+      : (Map[Long, Double], Map[(Long, Long), Double]) = {
+    purgeStoppedCandSims()
     candSimsCache.computeIfAbsent((s, dir, nCand),
       _ => mmrCandSimsBuild(s, dir, nCand))
+  }
 
   private def mmrCandSimsBuild(s: SparkSession, dir: String, nCand: Int)
       : (Map[Long, Double], Map[(Long, Long), Double]) = {
@@ -313,7 +324,11 @@ object Similarity {
       import s.implicits._
       val (rels, sims) = mmrCandSims(s, dir, nCand)
       var selected = Vector.empty[(Int, Long, Double, Double)]
-      for (i <- 1 to k) {
+      // Shortlist can hold fewer than k candidates (corpus <= k
+      // embeddings): stop when exhausted and emit the shorter trace,
+      // like kcenterCoreset's guard — reduceLeft on an empty iterator
+      // would throw.
+      for (i <- 1 to math.min(k, rels.size)) {
         val sel = selected.map(_._2).toSet
         val best = rels.keysIterator.filterNot(sel.contains)
           .map { c =>

@@ -37,13 +37,15 @@ object StreamingBloomPrescreen {
   def run(docs: DataFrame, histDocs: DataFrame,
           outDir: String, checkpointDir: String,
           fpp: Double = 0.03): StreamingQuery = {
-    val (bloom, digests) = graft.ops.Dedup.bloomIndex(histDocs, fpp)
-    // Broadcast ONCE for the stream's lifetime: broadcasting inside the
-    // per-batch call would pin one live GB-scale filter copy per trigger.
-    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    // Built ONCE per run; the serialized bytes are embedded as a
+    // foldable literal in each batch's probe plan (the plan-native
+    // BloomFilterMightContain path), so nothing is pinned in the
+    // block manager and there is no broadcast to destroy when the
+    // query stops.
+    val (filterBytes, digests) = graft.ops.Dedup.bloomIndex(histDocs, fpp)
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Dedup.bloomProbeBatch(batch, bc, digests)
+        graft.ops.Dedup.bloomProbeBatch(batch, filterBytes, digests)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }

@@ -110,7 +110,11 @@ class PlanAuditSpec extends AnyFunSuite {
         "q43_top_supplier",
         // e39: the one-row daily-count totals broadcast onto the
         // <=7-row weekday fold — the q16/t49 corpus-stats class.
-        "e39_dow_seasonality")
+        "e39_dow_seasonality",
+        // c01: the one-row t_budget minimum broadcast onto the
+        // |sources| mixture rows — t27's whitelisted shape, inherited
+        // by the campaign's mixture stage.
+        "c01_curation_campaign")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark
@@ -312,6 +316,112 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"unpruned wide scans:\n${offenders.mkString("\n")}")
+  }
+
+  test("no broadcast hint pins an unbounded fact-scale frame") {
+    // The round-16 review lesson (fe50b6a: unconditional broadcast()
+    // on fact-scale FK parents) made mechanical, like the q31 window
+    // gate: an explicit broadcast hint whose subtree reaches a
+    // FACT-table parquet scan would materialize that table on the
+    // driver at 100 TB. A hint is structurally safe only when every
+    // fact scan under it passes through a cardinality-bounding node
+    // first — a GlobalLimit, or an Aggregate whose grouping keys are
+    // NOT per-item identities (a one-row corpus total, a by-source /
+    // by-day / by-cell rollup are all domain-bounded; grouping by
+    // doc_id/vec_id keeps corpus cardinality and bounds nothing).
+    // Known limitation: memoized sidecars are localCheckpoint-backed
+    // (LogicalRDD), so their upstream scans are invisible here — those
+    // frames are vocabulary/codebook-sized by the sidecar contract and
+    // covered by SidecarDiskSpec instead.
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
+    // Per-item identity keys: an Aggregate grouped on one of these has
+    // the cardinality of the fact table itself and bounds nothing.
+    val itemKeys = Set("doc_id", "vec_id", "q_id", "event_id",
+      "l_orderkey", "o_orderkey")
+    def factNames(r: LogicalRelation): Seq[String] = r.relation match {
+      case f: HadoopFsRelation =>
+        f.location.rootPaths.map(_.getName.stripSuffix(".parquet"))
+          .filter(factTables.contains).toSeq
+      case _ => Seq.empty
+    }
+    def boundingAgg(a: Aggregate): Boolean =
+      a.groupingExpressions.flatMap(_.references.toSeq.map(_.name))
+        .forall(!itemKeys.contains(_))
+    // A Filter pinning an item key DIRECTLY against a literal
+    // (vec_id < 16, doc_id < 50, doc_id = k, key IN (...)) bounds the
+    // frame at the literal's magnitude whatever the corpus size — the
+    // s-family query/codebook sets and the m13/m14 probe sets. A key
+    // wrapped in arithmetic (doc_id % 97 = 0) deliberately does NOT
+    // qualify: a modulo slice keeps corpus cardinality.
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, Cast, EqualTo, Expression, In, LessThan, LessThanOrEqual}
+    // The analyzer wraps comparison operands in implicit Casts; strip
+    // them, but ONLY casts — a key inside arithmetic stays unbounded.
+    def keyAttr(e: Expression): Boolean = e match {
+      case a: AttributeReference => itemKeys.contains(a.name)
+      case c: Cast => keyAttr(c.child)
+      case _ => false
+    }
+    def literalBound(e: Expression): Boolean = e match {
+      case CAnd(l, r) => literalBound(l) || literalBound(r)
+      case LessThan(l, r) if r.foldable => keyAttr(l)
+      case LessThanOrEqual(l, r) if r.foldable => keyAttr(l)
+      case EqualTo(l, r) if r.foldable => keyAttr(l)
+      case EqualTo(l, r) if l.foldable => keyAttr(r)
+      case In(v, vs) if vs.forall(_.foldable) => keyAttr(v)
+      case _ => false
+    }
+    def unboundedFacts(p: LogicalPlan): Seq[String] = p match {
+      case _: GlobalLimit => Seq.empty
+      case a: Aggregate if boundingAgg(a) => Seq.empty
+      case f: Filter if literalBound(f.condition) => Seq.empty
+      case r: LogicalRelation => factNames(r)
+      case other => other.children.flatMap(unboundedFacts)
+        .map(t => s"${other.nodeName}>$t")
+    }
+    // Justified exceptions, each pinned by name like the cross-join
+    // whitelist:
+    val justified: Map[String, String] = Map(
+      // t41 broadcasts the union of suite fingerprints; the fixture
+      // carves suites out of the corpus (doc_id % 97 / % 89), but in
+      // production the fingerprints come from FIXED external eval
+      // suites whose size is set by the benchmark, not the corpus —
+      // the same bounded-artifact contract as the benchGrams sidecar
+      // its five single-suite consumers broadcast.
+      "t41_multi_suite_decontam" -> "suite fingerprints are eval-suite-sized",
+      // Arrival-delta broadcasts: the fixture slices arrivals by
+      // modulo (vec_id % 7 = 2 / doc_id % 5 = 0), which this gate
+      // correctly reads as corpus-cardinality — but the slice STANDS
+      // IN for one ingest batch, bounded by intake cadence, never by
+      // corpus size (the s22/s28 frozen-model upsert convention; the
+      // streaming doors process the same deltas one trigger at a
+      // time).
+      "s22_ivf_upsert" -> "arrival-delta broadcast (ingest-batch-sized)",
+      "s23_pq_upsert" -> "arrival-delta broadcast (ingest-batch-sized)",
+      "s28_sq_upsert" -> "arrival-delta broadcast (ingest-batch-sized)",
+      "m13_incremental_image" -> "arrival-delta broadcast (ingest-batch-sized)",
+      // Rank-filtered shortlists over literal-bounded query sets: the
+      // broadcast payload is Filter(row_number <= K) partitioned by
+      // q_id, where q_id takes <= 5 literal-bounded values — <= 5·K
+      // rows whatever the corpus. The full scan the gate sees under
+      // the hint feeds the DISTRIBUTED equi-join that computes the
+      // shortlist; it is never part of the broadcast payload itself.
+      "s13_sq_rerank" -> "rank<=25 per <=5 queries: <=125-row broadcast",
+      "s20_filtered_knn" -> "rank<=nprobe per <=5 queries: probe-set broadcast")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => justified.contains(name) }
+      .flatMap { case (name, fn) =>
+        fn(spark, TestSpark.sfDir).queryExecution.analyzed.collect {
+          case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+            unboundedFacts(h.child).map(t => s"$name: broadcast over $t")
+        }.flatten
+      }
+    assert(offenders.isEmpty,
+      s"fact-scale broadcast hints:\n${offenders.distinct.mkString("\n")}")
+    justified.keys.foreach(k =>
+      assert(SparkEntry.queries.contains(k), s"stale whitelist entry $k"))
   }
 
   test("executed plans of the pair generators use hash or merge joins only") {
