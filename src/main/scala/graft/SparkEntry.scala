@@ -540,6 +540,10 @@ object SparkEntry {
     // t53 = MATTR lexical diversity: complete 50-token windows, mean
     // algebraized to one exact-int divide per doc.
     "t53_mattr"              -> (TextOps.mattr _),
+    // t54 = Jelinek-Mercer interpolated bigram LM perplexity filter
+    // (the CCNet gate): reference-slice model, '<unk>' OOV mapping,
+    // every ln argument an exact integer, median keep/drop.
+    "t54_jm_quality_filter"  -> (TextOps.jmQualityFilter _),
     // t33 = PII detect + redact (email/phone/IPv4) — counts on the
     // original text, typed-placeholder redaction, all codegen regex;
     // runs over the deterministic planted-PII fixture (WavCodec
@@ -5912,6 +5916,61 @@ object SparkEntry {
            AND coalesce(d.dup4_chars, 0) * 25 <= t.total_chars * 4) AS gopher_ok
         FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
         ORDER BY t.doc_id""",
+      // t54: the JM replay — the same integer num/den decomposition
+      // per bigram (ln over exact-integer doubles only), the (w1, w2)
+      // fold, quantile_cont for the median (the q14/t35 convention).
+      "t54_jm_quality_filter" -> """
+        WITH rtk AS (SELECT regexp_split_to_array(text, '\s+') AS t
+                     FROM documents WHERE lang = 'en'),
+        runi AS MATERIALIZED (SELECT term, CAST(count(*) AS BIGINT) AS c_uni
+                FROM (SELECT unnest(t) AS term FROM rtk) q GROUP BY term),
+        rstats AS (SELECT CAST(sum(c_uni) AS BIGINT) AS n_ref,
+                     CAST(count(*) AS BIGINT) AS v_ref FROM runi),
+        rbg AS MATERIALIZED (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg FROM (
+                SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                  i -> struct_pack(w1 := t[i], w2 := t[i+1])), recursive := true)
+                FROM rtk) q
+              GROUP BY w1, w2),
+        ctx AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_w1 FROM rbg GROUP BY w1),
+        atk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        db0 AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n_db FROM (
+                SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                  i -> struct_pack(w1 := t[i], w2 := t[i+1])), recursive := true)
+                FROM atk) q
+              GROUP BY doc_id, w1, w2),
+        db AS MATERIALIZED (SELECT doc_id,
+                CASE WHEN u1.term IS NULL THEN '<unk>' ELSE d.w1 END AS w1,
+                CASE WHEN u2.term IS NULL THEN '<unk>' ELSE d.w2 END AS w2,
+                CAST(sum(d.n_db) AS BIGINT) AS n_db
+              FROM db0 d LEFT JOIN runi u1 ON d.w1 = u1.term
+                         LEFT JOIN runi u2 ON d.w2 = u2.term
+              GROUP BY 1, 2, 3),
+        sc AS (SELECT d.doc_id, d.w1, d.w2, d.n_db,
+                (d.w1 = '<unk>' OR d.w2 = '<unk>') AS is_oov,
+                CASE WHEN coalesce(c.c_w1, 0) > 0
+                  THEN 7 * coalesce(b.c_bg, 0) * (s.n_ref + s.v_ref + 1)
+                       + 3 * (coalesce(u.c_uni, 0) + 1) * c.c_w1
+                  ELSE 3 * (coalesce(u.c_uni, 0) + 1) END AS num,
+                CASE WHEN coalesce(c.c_w1, 0) > 0
+                  THEN 10 * c.c_w1 * (s.n_ref + s.v_ref + 1)
+                  ELSE 10 * (s.n_ref + s.v_ref + 1) END AS den
+              FROM db d LEFT JOIN rbg b ON d.w1 = b.w1 AND d.w2 = b.w2
+                        LEFT JOIN ctx c ON d.w1 = c.w1
+                        LEFT JOIN runi u ON d.w2 = u.term
+                        CROSS JOIN rstats s),
+        pd AS MATERIALIZED (SELECT doc_id,
+                CAST(sum(n_db) AS BIGINT) AS n_bigrams,
+                CAST(sum(CASE WHEN is_oov THEN n_db ELSE 0 END) AS BIGINT) AS n_oov,
+                list_reduce(list(CAST(n_db AS DOUBLE) *
+                    (ln(CAST(den AS DOUBLE)) - ln(CAST(num AS DOUBLE)))
+                  ORDER BY w1, w2), (a, b) -> a + b) AS nll
+              FROM sc GROUP BY doc_id),
+        md AS (SELECT quantile_cont(nll / CAST(n_bigrams AS DOUBLE), 0.5) AS med FROM pd)
+        SELECT doc_id, n_bigrams, n_oov,
+          nll / CAST(n_bigrams AS DOUBLE) AS avg_nll,
+          (nll / CAST(n_bigrams AS DOUBLE)) <= md.med AS keep
+        FROM pd CROSS JOIN md
+        ORDER BY doc_id""",
       "t50_memorization_rate" -> """
         WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
                       t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th

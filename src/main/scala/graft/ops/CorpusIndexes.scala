@@ -106,7 +106,11 @@ private[graft] object CorpusIndexes {
     // the PQ / SRP families' delete logs — same contract as
     // ivf_tombstones (append-only, folded by compaction)
     "pq_tombstones"  -> Layout(4, "vec_id", Seq("vec_id")),
-    "srp_tombstones" -> Layout(4, "vec_id", Seq("vec_id")))
+    "srp_tombstones" -> Layout(4, "vec_id", Seq("vec_id")),
+    // the FROZEN 64-row DSIR histogram model (owned by
+    // TextOps.persistDsirModel; the StreamingDsir door's probe joins
+    // on bucket)
+    "dsir_model"     -> Layout(4, "bucket", Seq("bucket")))
 
   /** One-slot lazy holder: `computeIfAbsent` only ever constructs the
     * holder (cheap, no callback into the cache), and the build itself

@@ -1988,6 +1988,179 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** The FROZEN DSIR selection model: the 64-bucket raw and target
+    * hashed-bigram histograms as ONE total table (missing target
+    * buckets materialized as c_tgt = 0, so the disk schema carries
+    * the smoothing's zero explicitly). The totals the t49 correction
+    * term needs re-derive by summing the 64 rows at load — the model
+    * is self-contained, the s22/s28 frozen-artifact convention
+    * applied to the selection family.
+    */
+  private[graft] def dsirModel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tk = documents(s, dir).select($"doc_id", $"lang", toks($"text").as("t"))
+    val bg = tk.filter(size($"t") >= 2).select($"lang", explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bigram"))
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(bigram), 1, 8), 16, 10) as bigint) % 64"))
+    bg.groupBy($"bucket")
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("c_tgt"))
+      .select($"bucket", $"c_raw", $"c_tgt")
+  }
+
+  /** Score one batch of (doc_id, text) arrivals against a FROZEN
+    * [[dsirModel]] frame — t49's exact per-doc formula (same fold
+    * order, same platform_ln calls), with the model's absent buckets
+    * smoothing to ln(0+1): scoring the full corpus against its own
+    * model is bit-identical to [[dsirWeights]] (StreamingExtrasSpec
+    * pins it), and per-batch scores depend only on the batch and the
+    * frozen histograms, so batch unions compose.
+    */
+  private[graft] def dsirScoreBatch(batch: DataFrame, model: DataFrame): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    import graft.functions.VectorFunctions.platform_ln
+    val tots = model.agg(sum($"c_raw").as("n_raw"), sum($"c_tgt").as("n_tgt"))
+    val tk = batch.select($"doc_id", toks($"text").as("t"))
+    val dbl = tk.filter(size($"t") >= 2).select($"doc_id", explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bigram"))
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(bigram), 1, 8), 16, 10) as bigint) % 64"))
+      .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("n_db"))
+    dbl.join(broadcast(model), Seq("bucket"), "left")
+      .withColumn("contrib", $"n_db".cast("double") *
+        (platform_ln((coalesce($"c_tgt", lit(0L)) + lit(1L)).cast("double")) -
+         platform_ln((coalesce($"c_raw", lit(0L)) + lit(1L)).cast("double"))))
+      .groupBy($"doc_id")
+      .agg(sum($"n_db").as("n_grams"),
+        expr("aggregate(transform(sort_array(collect_list(struct(bucket, contrib))), x -> x.contrib), 0D, (a, x) -> a + x)").as("feat_term"))
+      .crossJoin(broadcast(tots))
+      .withColumn("logw", $"feat_term" + $"n_grams".cast("double") *
+        (platform_ln(($"n_raw" + lit(64L)).cast("double")) -
+         platform_ln(($"n_tgt" + lit(64L)).cast("double"))))
+      .withColumn("selected", $"logw" > lit(0.0))
+      .select($"doc_id", $"n_grams", $"logw", $"selected")
+  }
+
+  /** t54 — INTERPOLATED BIGRAM LM QUALITY FILTER (the CCNet-standard
+    * gate): every document's perplexity under a Jelinek-Mercer
+    * interpolated bigram model trained on the REFERENCE slice
+    * (`lang = 'en'`, t49's target convention), with OOV handling —
+    * P(w₂|w₁) = 0.7·P_ML(w₂|w₁) + 0.3·P₁(w₂), where P_ML is the
+    * reference's maximum-likelihood bigram, P₁ the add-one-smoothed
+    * reference unigram over vocabulary V∪{'<unk>'}, and any scored
+    * token outside the reference vocabulary maps to '<unk>' (an
+    * unseen CONTEXT degrades to the unigram term alone — JM's
+    * graceful OOV, which t20/t26's point-NLL add-one models lack:
+    * they flatten every unseen transition to the same 1/(c+V) mass,
+    * while JM still ranks by the continuation word's frequency —
+    * JmFilterSpec separates the two on a witness corpus). `keep` =
+    * avg_nll at or below the corpus median (the CCNet keep/drop
+    * split, deterministic because both engines compute identical
+    * doubles).
+    *
+    * Float discipline: each bigram's probability algebraizes to ONE
+    * integer fraction — num/den = (7·c_bg·D + 3·(c_uni+1)·c_w1) /
+    * (10·c_w1·D) with D = N_ref+V_ref+1 (the unseen-context branch
+    * drops the ML term: 3·(c_uni+1) / (10·D)) — so every platform_ln
+    * argument is an INTEGER-valued double (the t45 discipline; at
+    * test scale products stay under 2⁵³, at 100 TB the float form
+    * replaces the exact-integer one), contributions fold per doc in
+    * (w1, w2) order, and the median is the q14/t35 percentile
+    * selection.
+    *
+    * Scale shape: the model tables (unigrams, bigrams, contexts) are
+    * reference-vocabulary-sized broadcasts (a curated target corpus,
+    * not the crawl); the scored side is ONE bigram explode reduced to
+    * per-(doc, w1, w2) counts before any join, and the per-doc fold
+    * is bounded by the doc's distinct bigrams. The median is a
+    * percentile aggregate (t31's sketch-cutpoint path stands in at
+    * web scale).
+    */
+  def jmQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tk = documents(s, dir).select($"doc_id", $"lang", toks($"text").as("t"))
+    val perDoc = jmScored(tk.filter($"lang" === "en").select($"t"),
+      tk.select($"doc_id", $"t"))
+    val med = perDoc.agg(expr("percentile(avg_nll, 0.5D)").as("med_nll"))
+    perDoc.crossJoin(broadcast(med))
+      .withColumn("keep", $"avg_nll" <= $"med_nll")
+      .select($"doc_id", $"n_bigrams", $"n_oov", $"avg_nll", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  /** [[jmQualityFilter]]'s scoring core over explicit frames — `ref`
+    * bears token arrays `t`, `docs` bears (doc_id, t). Returns
+    * (doc_id, n_bigrams, n_oov, nll, avg_nll); docs with fewer than
+    * two tokens are omitted (no bigrams — the t26 contract).
+    */
+  private[graft] def jmScored(ref: DataFrame, docs: DataFrame): DataFrame = {
+    val s = ref.sparkSession
+    import s.implicits._
+    import graft.functions.VectorFunctions.platform_ln
+    val runi = ref.select(explode($"t").as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("c_uni"))
+    val rstats = runi.agg(sum($"c_uni").as("n_ref"), count(lit(1)).as("v_ref"))
+    val bigrams = expr(
+      "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")
+    val rbg = ref.filter(size($"t") >= 2).select(explode(bigrams).as("b"))
+      .groupBy($"b.w1".as("w1"), $"b.w2".as("w2")).agg(count(lit(1)).as("c_bg"))
+    val ctx = rbg.groupBy($"w1").agg(sum($"c_bg").as("c_w1"))
+    // OOV sides fold to '<unk>' AFTER the per-(doc, bigram) aggregate
+    // (token mapping commutes with bigram construction), so the vocab
+    // joins touch distinct doc-bigrams, never the token stream.
+    val vocab = runi.select($"term")
+    val db = docs.filter(size($"t") >= 2)
+      .select($"doc_id", explode(bigrams).as("b"))
+      .groupBy($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+      .agg(count(lit(1)).as("n_db"))
+      .join(broadcast(vocab.toDF("w1").withColumn("in1", lit(true))),
+        Seq("w1"), "left")
+      .join(broadcast(vocab.toDF("w2").withColumn("in2", lit(true))),
+        Seq("w2"), "left")
+      .select($"doc_id",
+        when($"in1", $"w1").otherwise(lit("<unk>")).as("w1"),
+        when($"in2", $"w2").otherwise(lit("<unk>")).as("w2"),
+        $"n_db")
+      .groupBy($"doc_id", $"w1", $"w2").agg(sum($"n_db").as("n_db"))
+    db.join(broadcast(rbg), Seq("w1", "w2"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .join(broadcast(runi.toDF("w2", "c_uni")), Seq("w2"), "left")
+      .crossJoin(broadcast(rstats))
+      .withColumn("d_smooth", $"n_ref" + $"v_ref" + lit(1L))
+      .withColumn("num", when(coalesce($"c_w1", lit(0L)) > 0L,
+          lit(7L) * coalesce($"c_bg", lit(0L)) * $"d_smooth" +
+            lit(3L) * (coalesce($"c_uni", lit(0L)) + lit(1L)) * $"c_w1")
+        .otherwise(lit(3L) * (coalesce($"c_uni", lit(0L)) + lit(1L))))
+      .withColumn("den", when(coalesce($"c_w1", lit(0L)) > 0L,
+          lit(10L) * $"c_w1" * $"d_smooth")
+        .otherwise(lit(10L) * $"d_smooth"))
+      .withColumn("contrib", $"n_db".cast("double") *
+        (platform_ln($"den".cast("double")) - platform_ln($"num".cast("double"))))
+      .withColumn("is_oov", $"w1" === "<unk>" || $"w2" === "<unk>")
+      .groupBy($"doc_id")
+      .agg(sum($"n_db").as("n_bigrams"),
+        sum(when($"is_oov", $"n_db").otherwise(0L)).as("n_oov"),
+        expr("aggregate(transform(sort_array(collect_list(struct(w1, w2, contrib))), x -> x.contrib), 0D, (a, x) -> a + x)").as("nll"))
+      .withColumn("avg_nll", $"nll" / $"n_bigrams".cast("double"))
+  }
+
+  /** Ship the frozen model as a durable bucketed sidecar under
+    * `root/dsir_model` — what [[graft.streaming.StreamingDsir]] loads
+    * so a scoring run starts with NO corpus pass.
+    */
+  def persistDsirModel(s: SparkSession, dir: String, root: String): Unit =
+    CorpusIndexes.writeBucketedTable(dsirModel(s, dir),
+      s"$root/dsir_model", CorpusIndexes.tableName(root, "dsir_model"),
+      CorpusIndexes.layouts("dsir_model"))
+
+  /** Read the durable model written by [[persistDsirModel]]. */
+  def loadDsirModel(s: SparkSession, root: String): DataFrame =
+    CorpusIndexes.readBucketedTable(s, s"$root/dsir_model",
+      CorpusIndexes.tableName(root, "dsir_model"),
+      CorpusIndexes.layouts("dsir_model"))
+
   /** t50 — MEMORIZATION-RATE audit: for every val/test document, the
     * fraction of its distinct shingles already present in the TRAIN
     * slice — the gram-granular companion to t48. t48 counts near-dup

@@ -114,7 +114,11 @@ class PlanAuditSpec extends AnyFunSuite {
         // c01: the one-row t_budget minimum broadcast onto the
         // |sources| mixture rows — t27's whitelisted shape, inherited
         // by the campaign's mixture stage.
-        "c01_curation_campaign")
+        "c01_curation_campaign",
+        // t54: two one-row broadcasts — the (n_ref, v_ref) reference
+        // totals onto the scored-bigram rows (the t20/t49 corpus-stats
+        // class) and the median threshold onto the per-doc rows.
+        "t54_jm_quality_filter")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark

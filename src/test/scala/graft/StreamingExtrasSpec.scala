@@ -1368,6 +1368,56 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("StreamingDsir: streamed scores equal batch t49 from the frozen disk model; replay exactly-once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // Stream the WHOLE corpus: scoring it against its own frozen model
+    // must reproduce t49 bit for bit, which simultaneously pins
+    // batch-composition (three arbitrary splits) and the formula.
+    val arrivals = Tables.documents(spark, TestSpark.sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    // Durable frozen model — the run must stand on the disk form alone.
+    val root = java.nio.file.Files.createTempDirectory("graft-dsir-idx").toString
+    graft.ops.TextOps.persistDsirModel(spark, TestSpark.sfDir, root)
+    val out = java.nio.file.Files.createTempDirectory("graft-dsir-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dsir-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    def start() = graft.streaming.StreamingDsir.run(stream, root, out, ckpt)
+    val q1 = start()
+    try {
+      input.addData(arrivals.take(arrivals.length / 3).toSeq)
+      q1.processAllAvailable()
+      input.addData(arrivals.slice(arrivals.length / 3, arrivals.length / 2).toSeq)
+      q1.processAllAvailable()
+      input.addData(arrivals.drop(arrivals.length / 2).toSeq)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // Crash between offset log and commit: drop the LAST commit marker
+    // — the frozen-model door must rewrite identical bytes on replay.
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.map(_.getName.toLong).toSeq == Seq(0L, 1L, 2L))
+    val lastId = commits.last.getName.toLong
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.$lastId.crc")
+    if (crc.exists()) assert(crc.delete())
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batchRun = graft.ops.TextOps.dsirWeights(spark, TestSpark.sfDir)
+    assert(streamed.count() == batchRun.count())
+    assert(streamed.except(batchRun).count() == 0,
+      "streamed scores must be bit-identical to t49 (same folds, same platform_ln)")
+    assert(batchRun.except(streamed).count() == 0)
+    // the fixture must exercise both verdicts
+    val sel = streamed.groupBy($"selected").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(sel.keySet == Set(true, false), s"degenerate selection split: $sel")
+  }
+
   test("StreamingSpanDedup: streamed spans compose to batch d36 from the disk index; replay exactly-once") {
     val spark = TestSpark.spark
     import spark.implicits._
