@@ -26,6 +26,23 @@ object Bench {
     // otherwise lands on an arbitrary map-ordered query).
     spark.range(1000).selectExpr("sum(id)").collect()
     try { Tables.lineitem(spark, sfDir).limit(1).count() } catch { case _: Throwable => }
+    // Box-speed calibration (round 17, the q01/d04 triage): a FIXED
+    // data-independent CPU probe timed at session start, emitted next
+    // to the query medians. The r15->r16 "creep" on q01/d04/d17/d32
+    // turned out to be the MACHINE's floor moving (r17's isolated q01
+    // min exceeded r16's in-session median; see BASELINE.md), which
+    // per-query medians alone cannot distinguish from a plan
+    // regression. Dividing a round's medians by its calibration gives
+    // the box-normalized number cross-round comparisons need.
+    def calibrationProbe(): Double = {
+      val t0 = System.nanoTime()
+      // % bounds the summands: a raw sum of 5e7 full-range hashes
+      // overflows BIGINT under ANSI mode.
+      spark.range(50000000L).selectExpr("sum(xxhash64(id) % 1000000)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrationProbe() // warm the probe's own codegen path
+    val calibration = Seq.fill(3)(calibrationProbe()).sorted.apply(1)
     // Optional name filter for local iteration on a single query:
     //   SPARK_GRAFT_ONLY=d11_dup_clusters sbt "runMain graft.Bench"
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -196,7 +213,7 @@ object Bench {
     // map keys are the short unique ids (the prefix before the first
     // underscore: q01..q22, d01..d19, t01..t19, s01..s08, e01..e12,
     // m01..m08, p01) with compact 2-decimal values.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","failed":$failedJson,"queries":${jsonMap(median, _.toString)},"queries_min":${jsonMap(_.min, _.toString, pick = _.all)},"queries_median_all":${jsonMap(median, _.toString, pick = _.all)},"queries_overlapped_gc_ms":${jsonMap(median, _.toLong.toString, _.gcMs.toDouble)},"queries_peak_heap_mb":${jsonMap(median, _.toLong.toString, _.peakMb.toDouble)},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","failed":$failedJson,"calibration_sec":$calibration,"queries":${jsonMap(median, _.toString)},"queries_min":${jsonMap(_.min, _.toString, pick = _.all)},"queries_median_all":${jsonMap(median, _.toString, pick = _.all)},"queries_overlapped_gc_ms":${jsonMap(median, _.toLong.toString, _.gcMs.toDouble)},"queries_peak_heap_mb":${jsonMap(median, _.toLong.toString, _.peakMb.toDouble)},"sf":"$sfDir"}"""
     System.err.println(detail)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
     catch { case _: Throwable => () } // a read-only cwd must not kill the report
