@@ -195,6 +195,9 @@ object SparkEntry {
     // q43 = Q15 shape: quarter revenue view, equality-to-max on exact
     // decimals (the multi-row argmax set, not top-k).
     "q43_top_supplier"       -> (Relational2.topQuarterSupplier _),
+    // q44 = TPC-H Q2 shape: min-cost supplier per small part via a
+    // CORRELATED scalar subquery (the decorrelation rewrite surface).
+    "q44_min_cost_supplier"  -> (Relational2.minCostSupplier _),
     // s34 = linearized silhouette: per-vector clustering quality in
     // n·k dots against the cells' normalized-sum vectors (never n²).
     "s34_silhouette"         -> (Similarity.silhouetteAudit _),
@@ -329,6 +332,10 @@ object SparkEntry {
     // d30 = d27 rolled up per source in TOKENS — the dedup savings in
     // the mixture planner's currency; |sources| rows out.
     "d30_savings_by_source"  -> ((s, d) => Dedup.dedupSavingsBySource(s, d)),
+    // d44 = PageRank over the capped near-dup graph: 10 deterministic
+    // power iterations, source-ordered folds, degree bounded by
+    // cap x bands — cluster-connectivity centrality beyond CC labels.
+    "d44_dup_pagerank"       -> ((s, d) => Dedup.dupPagerank(s, d)),
     // d31 = the SHIPPED curated corpus read back: writeCuratedCorpus
     // runs, then per-source doc count + token sum recomputed from the
     // written artifact itself — the write path under the hash oracle.
@@ -614,6 +621,10 @@ object SparkEntry {
     // m33 = decode-free magic-byte validation of every payload; the
     // oracle's literal contract row gates any malformed byte.
     "m33_payload_validation" -> (Multimodal.payloadValidation _),
+    // m34 = temporal video alignment: modal frame offset per candidate
+    // pair over the df-capped frame-digest index — "same clip, re-cut"
+    // vs frame-set sharing, which m16's set Jaccard can't separate.
+    "m34_video_alignment"    -> ((s, d) => Multimodal.videoAlignment(s, d)),
     // m09 = audio feature extraction: per-frame energy over the real
     // WAV decode (64-sample frames, integer-exact activity detection).
     "m09_wav_frames"         -> ((s, d) => Multimodal.wavFrameEnergy(s, d)),
@@ -729,6 +740,10 @@ object SparkEntry {
     // s37 = IVF cell-imbalance audit: the skew number that triggers
     // s12's rebalance; max*K vs 2*N cross-multiplied.
     "s37_cell_imbalance"     -> (Similarity.cellImbalance _),
+    // s38 = PSI embedding drift: per dim the population stability
+    // index of arrivals vs history over 8 history-frozen bins — the
+    // distribution check behind the s22/s28 frozen-model assumption.
+    "s38_embedding_drift"    -> (Similarity.embeddingDrift _),
     // s31 = nprobe recall sweep: the coarse-probe tuning curve
     // (s11 sweeps shortlist width; this sweeps probed cells).
     "s31_nprobe_sweep"       -> (Similarity.ivfNprobeSweep _),
@@ -1866,6 +1881,33 @@ object SparkEntry {
       // m33: the contract row — every generated payload carries its
       // container signature; Spark COMPUTES the checks, the oracle
       // states the contract, hash compare gates any deviation.
+      // m34: the shared aHash prefix, df-capped digests, offset counts,
+      // modal offset by (support DESC, |off|, off).
+      "m34_video_alignment" -> ("""
+        WITH """ + graft.ops.Multimodal.gifAhashReplaySql + """,
+        rare AS (SELECT hi, lo FROM
+                   (SELECT hi, lo, doc_id FROM hx GROUP BY 1, 2, 3) q
+                 GROUP BY hi, lo HAVING count(*) <= 64),
+        hc AS (SELECT hx.* FROM hx
+               JOIN rare ON rare.hi = hx.hi AND rare.lo = hx.lo),
+        offs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(b.f - a.f AS BIGINT) AS off,
+                   CAST(count(*) AS BIGINT) AS support
+                 FROM hc a JOIN hc b
+                   ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2, 3),
+        rk AS (SELECT doc_a, doc_b, off, support,
+                 row_number() OVER (PARTITION BY doc_a, doc_b
+                   ORDER BY support DESC, abs(off), off) AS r
+               FROM offs),
+        tot AS (SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_offsets,
+                  CAST(sum(support) AS BIGINT) AS n_matches
+                FROM offs GROUP BY 1, 2)
+        SELECT r.doc_a, r.doc_b, r.off AS best_offset, r.support,
+          t.n_offsets, t.n_matches, r.support >= 2 AS aligned
+        FROM rk r JOIN tot t ON t.doc_a = r.doc_a AND t.doc_b = r.doc_b
+        WHERE r.r = 1
+        ORDER BY r.doc_a, r.doc_b"""),
       "m33_payload_validation" -> """
         SELECT 'gif' AS modality, CAST(count(*) AS BIGINT) AS n,
           CAST(count(*) AS BIGINT) AS n_valid, TRUE AS all_valid FROM documents
@@ -2937,35 +2979,8 @@ object SparkEntry {
       // lengths, per-video rollup.
       // m25: m20's frame/hash/scene CTEs carried one step further to
       // per-scene keyframe rows (a scene is a run of one hash value).
-      "m25_keyframes" -> """
-        WITH d AS (SELECT doc_id, 6 + doc_id % 10 AS w, 6 + (doc_id // 10) % 10 AS h,
-                          2 + doc_id % 4 AS nf FROM documents),
-        fr AS (SELECT doc_id, f, w, h,
-                 CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
-                   list_transform(generate_series(0, w - 1), x ->
-                     (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256)))) AS BIGINT) AS total
-               FROM d, LATERAL unnest(generate_series(0, CAST(nf - 1 AS INTEGER))) AS t(f)),
-        cells AS (SELECT doc_id, f, w, h, total, i, j,
-                    (i * w) // 8 AS x0, ((i + 1) * w) // 8 AS x1,
-                    (j * h) // 8 AS y0, ((j + 1) * h) // 8 AS y1
-                  FROM fr,
-                    (SELECT unnest(generate_series(0, 7)) AS i) ii,
-                    (SELECT unnest(generate_series(0, 7)) AS j) jj),
-        cs AS (SELECT doc_id, f, w, h, total, i, j,
-                 (x1 - x0) * (y1 - y0) AS np,
-                 CAST(list_sum(flatten(list_transform(generate_series(y0, y1 - 1), y ->
-                   list_transform(generate_series(x0, x1 - 1), x ->
-                     (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256)))) AS BIGINT) AS csum
-               FROM cells),
-        bits AS (SELECT doc_id, f, 8 * j + i AS b,
-                   CASE WHEN csum * w * h > total * np THEN 1 ELSE 0 END AS bit
-                 FROM cs),
-        hx AS (SELECT doc_id, f,
-                 CAST(sum(CASE WHEN b >= 32 AND bit = 1
-                               THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
-                 CAST(sum(CASE WHEN b < 32 AND bit = 1
-                               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
-               FROM bits GROUP BY doc_id, f),
+      "m25_keyframes" -> ("""
+        WITH """ + graft.ops.Multimodal.gifAhashReplaySql + """,
         sc AS (SELECT doc_id, f, hi, lo,
                  lag(hi) OVER (PARTITION BY doc_id ORDER BY f) AS phi,
                  lag(lo) OVER (PARTITION BY doc_id ORDER BY f) AS plo
@@ -2977,36 +2992,9 @@ object SparkEntry {
                    FROM sc)
         SELECT doc_id, scene_id, CAST(min(f) AS BIGINT) AS keyframe_no,
           count(*) AS scene_len, min(hi) AS ahash_hi, min(lo) AS ahash_lo
-        FROM scenes GROUP BY doc_id, scene_id ORDER BY doc_id, scene_id""",
-      "m20_scene_changes" -> """
-        WITH d AS (SELECT doc_id, 6 + doc_id % 10 AS w, 6 + (doc_id // 10) % 10 AS h,
-                          2 + doc_id % 4 AS nf FROM documents),
-        fr AS (SELECT doc_id, f, w, h,
-                 CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
-                   list_transform(generate_series(0, w - 1), x ->
-                     (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256)))) AS BIGINT) AS total
-               FROM d, LATERAL unnest(generate_series(0, CAST(nf - 1 AS INTEGER))) AS t(f)),
-        cells AS (SELECT doc_id, f, w, h, total, i, j,
-                    (i * w) // 8 AS x0, ((i + 1) * w) // 8 AS x1,
-                    (j * h) // 8 AS y0, ((j + 1) * h) // 8 AS y1
-                  FROM fr,
-                    (SELECT unnest(generate_series(0, 7)) AS i) ii,
-                    (SELECT unnest(generate_series(0, 7)) AS j) jj),
-        cs AS (SELECT doc_id, f, w, h, total, i, j,
-                 (x1 - x0) * (y1 - y0) AS np,
-                 CAST(list_sum(flatten(list_transform(generate_series(y0, y1 - 1), y ->
-                   list_transform(generate_series(x0, x1 - 1), x ->
-                     (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256)))) AS BIGINT) AS csum
-               FROM cells),
-        bits AS (SELECT doc_id, f, 8 * j + i AS b,
-                   CASE WHEN csum * w * h > total * np THEN 1 ELSE 0 END AS bit
-                 FROM cs),
-        hx AS (SELECT doc_id, f,
-                 CAST(sum(CASE WHEN b >= 32 AND bit = 1
-                               THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
-                 CAST(sum(CASE WHEN b < 32 AND bit = 1
-                               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
-               FROM bits GROUP BY doc_id, f),
+        FROM scenes GROUP BY doc_id, scene_id ORDER BY doc_id, scene_id"""),
+      "m20_scene_changes" -> ("""
+        WITH """ + graft.ops.Multimodal.gifAhashReplaySql + """,
         sc AS (SELECT doc_id, f, hi, lo,
                  lag(hi) OVER (PARTITION BY doc_id ORDER BY f) AS phi,
                  lag(lo) OVER (PARTITION BY doc_id ORDER BY f) AS plo
@@ -3024,36 +3012,9 @@ object SparkEntry {
         SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_frames,
           count(*) AS n_scenes, count(*) - 1 AS n_cuts,
           max(len) AS longest_scene
-        FROM lens GROUP BY doc_id ORDER BY doc_id""",
-      "m15_video_frame_dedup" -> """
-        WITH d AS (SELECT doc_id, 6 + doc_id % 10 AS w, 6 + (doc_id // 10) % 10 AS h,
-                          2 + doc_id % 4 AS nf FROM documents),
-        fr AS (SELECT doc_id, f, w, h,
-                 CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
-                   list_transform(generate_series(0, w - 1), x ->
-                     (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256)))) AS BIGINT) AS total
-               FROM d, LATERAL unnest(generate_series(0, CAST(nf - 1 AS INTEGER))) AS t(f)),
-        cells AS (SELECT doc_id, f, w, h, total, i, j,
-                    (i * w) // 8 AS x0, ((i + 1) * w) // 8 AS x1,
-                    (j * h) // 8 AS y0, ((j + 1) * h) // 8 AS y1
-                  FROM fr,
-                    (SELECT unnest(generate_series(0, 7)) AS i) ii,
-                    (SELECT unnest(generate_series(0, 7)) AS j) jj),
-        cs AS (SELECT doc_id, f, w, h, total, i, j,
-                 (x1 - x0) * (y1 - y0) AS np,
-                 CAST(list_sum(flatten(list_transform(generate_series(y0, y1 - 1), y ->
-                   list_transform(generate_series(x0, x1 - 1), x ->
-                     (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256)))) AS BIGINT) AS csum
-               FROM cells),
-        bits AS (SELECT doc_id, f, 8 * j + i AS b,
-                   CASE WHEN csum * w * h > total * np THEN 1 ELSE 0 END AS bit
-                 FROM cs),
-        hx AS (SELECT doc_id, f,
-                 CAST(sum(CASE WHEN b >= 32 AND bit = 1
-                               THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
-                 CAST(sum(CASE WHEN b < 32 AND bit = 1
-                               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
-               FROM bits GROUP BY doc_id, f),
+        FROM lens GROUP BY doc_id ORDER BY doc_id"""),
+      "m15_video_frame_dedup" -> ("""
+        WITH """ + graft.ops.Multimodal.gifAhashReplaySql + """,
         pv AS (SELECT hi, lo, doc_id, count(*) AS n_occ,
                  min(doc_id * 1024 + f) AS min_fid
                FROM hx GROUP BY hi, lo, doc_id)
@@ -3061,40 +3022,13 @@ object SparkEntry {
           CAST(sum(n_occ) AS BIGINT) AS n_frames,
           min(min_fid) // 1024 AS min_doc_id, min(min_fid) % 1024 AS min_frame
         FROM pv GROUP BY hi, lo HAVING count(*) >= 2
-        ORDER BY ahash_hi, ahash_lo""",
+        ORDER BY ahash_hi, ahash_lo"""),
       // m16: the m15 frame-hash CTE, then consecutive-frame 2-grams
       // (exact 128-bit keys), the d12 df cap, and pair Jaccard over
       // shared rare grams — intersections count capped grams only,
       // denominators keep full per-video gram counts.
-      "m16_video_seq_neardup" -> """
-        WITH d AS (SELECT doc_id, 6 + doc_id % 10 AS w, 6 + (doc_id // 10) % 10 AS h,
-                          2 + doc_id % 4 AS nf FROM documents),
-        fr AS (SELECT doc_id, f, w, h,
-                 CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
-                   list_transform(generate_series(0, w - 1), x ->
-                     (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256)))) AS BIGINT) AS total
-               FROM d, LATERAL unnest(generate_series(0, CAST(nf - 1 AS INTEGER))) AS t(f)),
-        cells AS (SELECT doc_id, f, w, h, total, i, j,
-                    (i * w) // 8 AS x0, ((i + 1) * w) // 8 AS x1,
-                    (j * h) // 8 AS y0, ((j + 1) * h) // 8 AS y1
-                  FROM fr,
-                    (SELECT unnest(generate_series(0, 7)) AS i) ii,
-                    (SELECT unnest(generate_series(0, 7)) AS j) jj),
-        cs AS (SELECT doc_id, f, w, h, total, i, j,
-                 (x1 - x0) * (y1 - y0) AS np,
-                 CAST(list_sum(flatten(list_transform(generate_series(y0, y1 - 1), y ->
-                   list_transform(generate_series(x0, x1 - 1), x ->
-                     (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256)))) AS BIGINT) AS csum
-               FROM cells),
-        bits AS (SELECT doc_id, f, 8 * j + i AS b,
-                   CASE WHEN csum * w * h > total * np THEN 1 ELSE 0 END AS bit
-                 FROM cs),
-        hx AS (SELECT doc_id, f,
-                 CAST(sum(CASE WHEN b >= 32 AND bit = 1
-                               THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
-                 CAST(sum(CASE WHEN b < 32 AND bit = 1
-                               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
-               FROM bits GROUP BY doc_id, f),
+      "m16_video_seq_neardup" -> ("""
+        WITH """ + graft.ops.Multimodal.gifAhashReplaySql + """,
         grams AS (SELECT DISTINCT a.doc_id, a.hi AS g1h, a.lo AS g1l,
                     b.hi AS g2h, b.lo AS g2l
                   FROM hx a JOIN hx b ON b.doc_id = a.doc_id AND b.f = a.f + 1),
@@ -3115,39 +3049,12 @@ object SparkEntry {
         FROM pairs p JOIN ng na ON na.doc_id = p.doc_a
                      JOIN ng nb ON nb.doc_id = p.doc_b
         WHERE CAST(p.inter AS DOUBLE) / (na.n + nb.n - p.inter) >= 0.5
-        ORDER BY doc_a, doc_b""",
+        ORDER BY doc_a, doc_b"""),
       // m17: the m15 frame-hash CTE, split new (doc_id%5=0) vs
       // history; per new video the distinct-hash match count against
       // the history's earliest-carrier digest index.
-      "m17_incremental_video" -> """
-        WITH d AS (SELECT doc_id, 6 + doc_id % 10 AS w, 6 + (doc_id // 10) % 10 AS h,
-                          2 + doc_id % 4 AS nf FROM documents),
-        fr AS (SELECT doc_id, f, w, h,
-                 CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
-                   list_transform(generate_series(0, w - 1), x ->
-                     (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256)))) AS BIGINT) AS total
-               FROM d, LATERAL unnest(generate_series(0, CAST(nf - 1 AS INTEGER))) AS t(f)),
-        cells AS (SELECT doc_id, f, w, h, total, i, j,
-                    (i * w) // 8 AS x0, ((i + 1) * w) // 8 AS x1,
-                    (j * h) // 8 AS y0, ((j + 1) * h) // 8 AS y1
-                  FROM fr,
-                    (SELECT unnest(generate_series(0, 7)) AS i) ii,
-                    (SELECT unnest(generate_series(0, 7)) AS j) jj),
-        cs AS (SELECT doc_id, f, w, h, total, i, j,
-                 (x1 - x0) * (y1 - y0) AS np,
-                 CAST(list_sum(flatten(list_transform(generate_series(y0, y1 - 1), y ->
-                   list_transform(generate_series(x0, x1 - 1), x ->
-                     (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256)))) AS BIGINT) AS csum
-               FROM cells),
-        bits AS (SELECT doc_id, f, 8 * j + i AS b,
-                   CASE WHEN csum * w * h > total * np THEN 1 ELSE 0 END AS bit
-                 FROM cs),
-        hx AS (SELECT doc_id, f,
-                 CAST(sum(CASE WHEN b >= 32 AND bit = 1
-                               THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
-                 CAST(sum(CASE WHEN b < 32 AND bit = 1
-                               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
-               FROM bits GROUP BY doc_id, f),
+      "m17_incremental_video" -> ("""
+        WITH """ + graft.ops.Multimodal.gifAhashReplaySql + """,
         nf2 AS (SELECT doc_id, count(*) AS n_frames FROM hx
                 WHERE doc_id % 5 = 0 GROUP BY doc_id),
         nd AS (SELECT doc_id, hi, lo FROM hx WHERE doc_id % 5 = 0
@@ -3166,7 +3073,7 @@ object SparkEntry {
           mt.first_hist
         FROM nf2 JOIN ndc ON ndc.doc_id = nf2.doc_id
         LEFT JOIN mt ON mt.doc_id = nf2.doc_id
-        ORDER BY nf2.doc_id""",
+        ORDER BY nf2.doc_id"""),
       // m18: the m14 energy CTE restricted to arrivals-probe-history
       // (doc_id % 5 split), rank-1 by (L1, candidate id), LEFT join so
       // every arrival appears.
@@ -4006,6 +3913,7 @@ object SparkEntry {
         WHERE COALESCE(d.kept, true)
         GROUP BY t.source ORDER BY t.source"""),
       "d43_cap_ablation" -> graft.ops.Dedup.capAblationOracle,
+      "d44_dup_pagerank" -> graft.ops.Dedup.pagerankOracle(10),
       // d42: the d30 label-replay prefix (MinHash -> capped LSH ->
       // recursive CC), then the cluster x source rollup; arg_min picks
       // the representative's source exactly like min_by over the
@@ -4752,6 +4660,19 @@ object SparkEntry {
         FROM t_o, t_l, act, hist""",
       // q43: exact-decimal equality to the view max; only the report
       // column casts to double (via varchar, the decimal rule).
+      "q44_min_cost_supplier" -> """
+        WITH ps AS (SELECT l_partkey, l_suppkey,
+                      sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS cost
+                    FROM lineitem GROUP BY l_partkey, l_suppkey)
+        SELECT p.p_partkey, p.p_brand, d.l_suppkey AS s_suppkey, s.s_name,
+          CAST(CAST(d.cost AS VARCHAR) AS DOUBLE) AS min_cost
+        FROM ps d
+        JOIN part p ON p.p_partkey = d.l_partkey
+        JOIN supplier s ON s.s_suppkey = d.l_suppkey
+        WHERE p.p_size <= 10
+          AND d.cost = (SELECT min(x.cost) FROM ps x
+                        WHERE x.l_partkey = d.l_partkey)
+        ORDER BY p.p_partkey, s_suppkey""",
       "q43_top_supplier" -> """
         WITH v AS (SELECT l_suppkey,
                      sum(CAST(l_extendedprice AS DECIMAL(18,4))
@@ -5033,6 +4954,48 @@ object SparkEntry {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
       // s37: the s04 assignment replay reduced to cell sizes; verdict
       // cross-multiplied, imbalance one divide.
+      // s38: the PSI replay — frozen history edges, one fixed binning
+      // chain, ln over integer products, bin-ordered fold.
+      "s38_embedding_drift" -> """
+        WITH ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+                      CAST(embedding[i] AS DOUBLE) AS x,
+                      vec_id % 7 = 2 AS is_arr
+                    FROM embeddings,
+                      LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) ii),
+        edges AS MATERIALIZED (SELECT dim, min(x) AS gmin, max(x) AS gmax
+                 FROM ex WHERE NOT is_arr GROUP BY dim),
+        binned AS (SELECT e.dim,
+                     CASE WHEN ed.gmax = ed.gmin THEN 0
+                          ELSE least(7, greatest(0,
+                            CAST(floor((e.x - ed.gmin) * 8.0 / (ed.gmax - ed.gmin)) AS BIGINT))) END AS bin,
+                     CAST(sum(CASE WHEN e.is_arr THEN 0 ELSE 1 END) AS BIGINT) AS c_hist,
+                     CAST(sum(CASE WHEN e.is_arr THEN 1 ELSE 0 END) AS BIGINT) AS c_arr
+                   FROM ex e JOIN edges ed ON ed.dim = e.dim
+                   GROUP BY 1, 2),
+        spine AS (SELECT dim, CAST(unnest(generate_series(0, 7)) AS BIGINT) AS bin
+                  FROM edges),
+        cells AS MATERIALIZED (SELECT s.dim, s.bin,
+                    coalesce(b.c_hist, 0) + 1 AS cp,
+                    coalesce(b.c_arr, 0) + 1 AS cq
+                  FROM spine s LEFT JOIN binned b
+                    ON b.dim = s.dim AND b.bin = s.bin),
+        tot AS (SELECT dim, CAST(sum(cp) AS BIGINT) AS np,
+                  CAST(sum(cq) AS BIGINT) AS nq FROM cells GROUP BY dim)
+        SELECT c.dim, CAST(t.np - 8 AS BIGINT) AS n_hist,
+          CAST(t.nq - 8 AS BIGINT) AS n_arr,
+          list_reduce(list(
+            (CAST(c.cp AS DOUBLE) / CAST(t.np AS DOUBLE)
+             - CAST(c.cq AS DOUBLE) / CAST(t.nq AS DOUBLE))
+            * (ln(CAST(c.cp * t.nq AS DOUBLE)) - ln(CAST(c.cq * t.np AS DOUBLE)))
+            ORDER BY c.bin), (a, b) -> a + b) AS psi,
+          list_reduce(list(
+            (CAST(c.cp AS DOUBLE) / CAST(t.np AS DOUBLE)
+             - CAST(c.cq AS DOUBLE) / CAST(t.nq AS DOUBLE))
+            * (ln(CAST(c.cp * t.nq AS DOUBLE)) - ln(CAST(c.cq * t.np AS DOUBLE)))
+            ORDER BY c.bin), (a, b) -> a + b) > 0.2 AS drifted
+        FROM cells c JOIN tot t ON t.dim = c.dim
+        GROUP BY c.dim, t.np, t.nq
+        ORDER BY c.dim""",
       "s37_cell_imbalance" -> """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm

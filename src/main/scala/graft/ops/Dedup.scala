@@ -2330,18 +2330,25 @@ object Dedup {
                     ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
                   FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj)"""
 
-  /** One capped pair→CC chain over `bands` (small/inb/pairs/edges/
-    * walk/lab, CTE names suffixed by `tag`) — the d30 walk,
-    * parameterized by the bucket cap.
+  /** The capped PAIR prefix of the chain (small/inb/pairs) — shared by
+    * the CC label replays and d44's PageRank replay so the candidate
+    * graph can never diverge between them.
     */
-  private def ccChainSql(tag: String, cap: Int): String = s"""
+  private def pairsChainSql(tag: String, cap: Int): String = s"""
         small$tag AS (SELECT j, bkey FROM bands GROUP BY j, bkey
                   HAVING count(*) <= $cap AND count(*) > 1),
         inb$tag AS (SELECT b.* FROM bands b
                 JOIN small$tag s ON b.j = s.j AND b.bkey = s.bkey),
         pairs$tag AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                   FROM inb$tag a JOIN inb$tag b
-                  ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+                  ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
+
+  /** One capped pair→CC chain over `bands` (small/inb/pairs/edges/
+    * walk/lab, CTE names suffixed by `tag`) — the d30 walk,
+    * parameterized by the bucket cap.
+    */
+  private def ccChainSql(tag: String, cap: Int): String =
+    pairsChainSql(tag, cap) + s""",
         edges$tag AS (SELECT doc_a AS src, doc_b AS dst FROM pairs$tag
                   UNION ALL SELECT doc_b, doc_a FROM pairs$tag),
         walk$tag(node, lbl) AS (
@@ -2357,6 +2364,102 @@ object Dedup {
     */
   private[graft] val ccLabelReplaySql: String =
     minhashBandsSql + "," + ccChainSql("", 64)
+
+  /** Plain-`WITH` body reproducing the capped candidate PAIR graph
+    * (ending with `pairs`, no recursive CTE) — d44's replay prefix.
+    */
+  private[graft] val pairsReplaySql: String =
+    minhashBandsSql + "," + pairsChainSql("", 64)
+
+  /** d44 — PAGERANK over the capped near-dup candidate graph: which
+    * implicated document is the most CENTRAL carrier of its duplicated
+    * content? CC (d11) answers membership; the quality argmax (d27)
+    * answers which member to keep; PageRank answers a third question
+    * the first two can't — how concentrated a cluster's connectivity
+    * is (a chain of pairwise-similar docs and a hub-and-spokes
+    * template farm have identical labels but opposite rank profiles),
+    * and it is THE canonical iterate-until-fixpoint graph workload a
+    * Spark engine must express beyond connected components. 10 fixed
+    * power iterations of r'(v) = 0.15/N + 0.85·Σ_{u→v} r(u)/deg(u)
+    * over the undirected pair graph (no dangling mass: every node of
+    * a pair graph has degree ≥ 1).
+    *
+    * Determinism: per-target contributions fold in SOURCE order (the
+    * t20 sorted-struct fold; (src, dst) pairs are DISTINCT so the key
+    * is unique), each contribution is ONE IEEE divide, the damping
+    * update is a fixed literal expression, and the driver-computed
+    * 1/N and 0.15/N literals are the same IEEE divides DuckDB replays.
+    *
+    * Scale shape: the edge list is the capped LSH candidate graph —
+    * per-node degree is STRUCTURALLY bounded by cap × bands (256), so
+    * every per-target fold buffer is ≤ 256 entries whatever the
+    * corpus, and each iteration is ONE shuffle of the edge list on
+    * dst joined to the rank table (AQE broadcasts the rank side when
+    * small). The edge list materializes once (localCheckpoint; at
+    * campaign scale: the persisted band sidecar's pair join) and all
+    * ten iterations reuse it. The oracle replays the identical ten
+    * stages as chained MATERIALIZED CTEs (the t43 loop convention).
+    */
+  def dupPagerank(s: SparkSession, dir: String, iters: Int = 10): DataFrame =
+    pagerankOverPairs(cappedPairsUnsorted(s, dir, 64), iters)
+
+  /** [[dupPagerank]] over an explicit DISTINCT (doc_a, doc_b) pair
+    * frame — the synthetic-graph spec seam.
+    */
+  private[graft] def pagerankOverPairs(pairs: DataFrame, iters: Int): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val edges0 = pairs.select($"doc_a".as("src"), $"doc_b".as("doc_id"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("doc_id")))
+    val deg = edges0.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val edges = edges0.join(deg, Seq("src")).localCheckpoint()
+    val n = edges.select($"src").distinct().count()
+    var r = edges.select($"src".as("node")).distinct()
+      .withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      r = edges.join(r, $"src" === $"node")
+        .select($"doc_id", $"src", ($"rank" / $"deg".cast("double")).as("contrib"))
+        .groupBy($"doc_id")
+        .agg(expr("aggregate(transform(sort_array(collect_list(struct(src, contrib))), x -> x.contrib), 0D, (a, x) -> a + x)").as("s"))
+        .select($"doc_id".as("node"), (lit(0.15 / n) + lit(0.85) * $"s").as("rank"))
+    }
+    r.join(deg, $"node" === $"src")
+      .select($"node".as("doc_id"), $"deg".cast("long").as("degree"), $"rank")
+      .orderBy($"doc_id")
+  }
+
+  /** The DuckDB replay of [[dupPagerank]]: the shared pair prefix,
+    * then `iters` chained MATERIALIZED rank stages with the identical
+    * source-ordered fold and damping literals.
+    */
+  private[graft] def pagerankOracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH\n" + pairsReplaySql + """,
+        pedges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        pdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                FROM pedges GROUP BY src),
+        pn AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM pedges),
+        pe AS MATERIALIZED (SELECT e.src, e.dst, d.deg
+              FROM pedges e JOIN pdeg d USING (src)),
+        pr0 AS (SELECT DISTINCT src AS node, 1.0 / CAST(pn.n AS DOUBLE) AS rank
+                FROM pedges CROSS JOIN pn)"""
+    for (k <- 1 to iters) {
+      sb ++= s""",
+        pr$k AS MATERIALIZED (
+          SELECT e.dst AS node,
+            0.15 / CAST(pn.n AS DOUBLE) + 0.85 * list_reduce(
+              list(r.rank / CAST(e.deg AS DOUBLE) ORDER BY e.src),
+              (a, b) -> a + b) AS rank
+          FROM pe e JOIN pr${k - 1} r ON r.node = e.src CROSS JOIN pn
+          GROUP BY e.dst, pn.n)"""
+    }
+    sb ++= s"""
+        SELECT r.node AS doc_id, d.deg AS degree, r.rank
+        FROM pr$iters r JOIN pdeg d ON d.src = r.node
+        ORDER BY doc_id"""
+    sb.toString
+  }
 
   /** DuckDB replay of [[capAblation]]: one shared MinHash/band prefix,
     * two capped pair→CC chains (the d30 walk, parameterized by cap),

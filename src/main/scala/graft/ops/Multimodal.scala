@@ -2339,4 +2339,87 @@ object Multimodal {
       }
     }.toDF().orderBy($"doc_id")
   }
+
+  /** The shared DuckDB GIF frame-aHash replay prefix (d/fr/cells/
+    * cs/bits/hx — per (doc_id, f) the 64-bit aHash as hi/lo 32-bit
+    * halves, from the generator formula) — ONE copy composed by the
+    * m15/m16/m17/m20/m25/m34 oracles, so a formula tweak cannot
+    * diverge them (the ccLabelReplaySql discipline).
+    */
+  private[graft] val gifAhashReplaySql: String = """
+        d AS (SELECT doc_id, 6 + doc_id % 10 AS w, 6 + (doc_id // 10) % 10 AS h,
+                          2 + doc_id % 4 AS nf FROM documents),
+        fr AS (SELECT doc_id, f, w, h,
+                 CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                   list_transform(generate_series(0, w - 1), x ->
+                     (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256)))) AS BIGINT) AS total
+               FROM d, LATERAL unnest(generate_series(0, CAST(nf - 1 AS INTEGER))) AS t(f)),
+        cells AS (SELECT doc_id, f, w, h, total, i, j,
+                    (i * w) // 8 AS x0, ((i + 1) * w) // 8 AS x1,
+                    (j * h) // 8 AS y0, ((j + 1) * h) // 8 AS y1
+                  FROM fr,
+                    (SELECT unnest(generate_series(0, 7)) AS i) ii,
+                    (SELECT unnest(generate_series(0, 7)) AS j) jj),
+        cs AS (SELECT doc_id, f, w, h, total, i, j,
+                 (x1 - x0) * (y1 - y0) AS np,
+                 CAST(list_sum(flatten(list_transform(generate_series(y0, y1 - 1), y ->
+                   list_transform(generate_series(x0, x1 - 1), x ->
+                     (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256)))) AS BIGINT) AS csum
+               FROM cells),
+        bits AS (SELECT doc_id, f, 8 * j + i AS b,
+                   CASE WHEN csum * w * h > total * np THEN 1 ELSE 0 END AS bit
+                 FROM cs),
+        hx AS (SELECT doc_id, f,
+                 CAST(sum(CASE WHEN b >= 32 AND bit = 1
+                               THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(sum(CASE WHEN b < 32 AND bit = 1
+                               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
+               FROM bits GROUP BY doc_id, f)"""
+
+  /** m34 — TEMPORAL ALIGNMENT of video pairs: for every pair of clips
+    * sharing at least one (df-capped) frame digest, the MODAL frame
+    * offset and its support — the detector for "same clip, trimmed
+    * intro / re-cut" that frame-SET similarity (m16's 2-gram Jaccard)
+    * cannot express: m16 asks WHETHER the frames match, this asks
+    * whether they match AT A CONSTANT SHIFT. A pair whose matches
+    * concentrate at one offset is a temporal re-cut; matches smeared
+    * over many offsets are a static template sharing frames. The
+    * modal offset tie-breaks (support DESC, |off|, off) — the
+    * smallest plausible shift wins a tie, exactly replayed.
+    *
+    * Scale shape: rides the ONE shared decode pass (the `gif_frames`
+    * sidecar; pixels long gone), digests df-capped at 64 carriers
+    * before pair generation (the d12 rule — a boilerplate intro frame
+    * must not explode the join), per-pair offset fan-out is bounded
+    * by nf_a x nf_b (<= 25 here; clip-length-bounded in general), and
+    * the rank window partitions per pair.
+    */
+  def videoAlignment(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import s.implicits._
+    val fh = gifFramesSidecar(s, dir)
+    val rare = fh.groupBy($"ahash_hi", $"ahash_lo", $"doc_id")
+      .agg(count(lit(1)).as("nocc"))
+      .groupBy($"ahash_hi", $"ahash_lo").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" <= cap)
+      .select($"ahash_hi", $"ahash_lo")
+    val hc = fh.join(rare, Seq("ahash_hi", "ahash_lo"))
+    val a = hc.select($"ahash_hi", $"ahash_lo",
+      $"doc_id".as("doc_a"), $"frame_no".as("f_a"))
+    val b = hc.select($"ahash_hi", $"ahash_lo",
+      $"doc_id".as("doc_b"), $"frame_no".as("f_b"))
+    val offs = a.join(b, Seq("ahash_hi", "ahash_lo"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b",
+        ($"f_b" - $"f_a").cast("long").as("off"))
+      .agg(count(lit(1)).as("support"))
+    val w = Window.partitionBy($"doc_a", $"doc_b")
+      .orderBy($"support".desc, abs($"off"), $"off")
+    val best = offs.withColumn("r", row_number().over(w)).filter($"r" === 1)
+      .select($"doc_a", $"doc_b", $"off".as("best_offset"), $"support")
+    val tot = offs.groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_offsets"), sum($"support").as("n_matches"))
+    best.join(tot, Seq("doc_a", "doc_b"))
+      .withColumn("aligned", $"support" >= 2L)
+      .orderBy($"doc_a", $"doc_b")
+  }
 }

@@ -1049,6 +1049,46 @@ object Relational2 {
       .orderBy($"s_suppkey")
   }
 
+  /** q44 — MIN-COST SUPPLIER (the TPC-H Q2 shape, adapted to this
+    * schema: lineitem is the supply-price fact since partsupp is not
+    * generated): for every small part (p_size <= 10), the supplier(s)
+    * whose total supply cost is that part's MINIMUM, found via a
+    * CORRELATED scalar subquery — the decorrelation surface
+    * (RewriteCorrelatedScalarSubquery) no other registered query
+    * exercises: Catalyst rewrites the per-row `= (SELECT min ...)`
+    * into a partkey-grouped aggregate equi-joined back, so the plan
+    * is two passes over the (part, supplier) rollup, never a
+    * per-row re-execution.
+    *
+    * Determinism: costs are exact DECIMAL sums compared exactly; the
+    * one double cast is Spark's correctly-rounded decimal→double (the
+    * oracle routes through VARCHAR per house rule). Ties keep both
+    * suppliers (Q2 semantics), output totally ordered.
+    *
+    * Scale shape: the rollup is (part × supplier)-cardinality — far
+    * below the fact table; the decorrelated min re-aggregates it and
+    * joins on p_partkey (shuffle equi-join, AQE free to broadcast the
+    * min side); p_size pushes into the part scan.
+    */
+  def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    part(s, dir).createOrReplaceTempView("v_part")
+    supplier(s, dir).createOrReplaceTempView("v_supplier")
+    s.sql("""
+      WITH ps AS (SELECT l_partkey, l_suppkey,
+                    sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS cost
+                  FROM v_lineitem GROUP BY l_partkey, l_suppkey)
+      SELECT p.p_partkey, p.p_brand, d.l_suppkey AS s_suppkey, s.s_name,
+        CAST(d.cost AS DOUBLE) AS min_cost
+      FROM ps d
+      JOIN v_part p ON p.p_partkey = d.l_partkey
+      JOIN v_supplier s ON s.s_suppkey = d.l_suppkey
+      WHERE p.p_size <= 10
+        AND d.cost = (SELECT min(x.cost) FROM ps x
+                      WHERE x.l_partkey = d.l_partkey)
+      ORDER BY p.p_partkey, s_suppkey""")
+  }
+
   def partSupplierVariety(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bad = supplier(s, dir).filter($"s_acctbal" < 0.0).select($"s_suppkey")

@@ -2607,4 +2607,78 @@ object Similarity {
         sum($"q").as("q_sum"), max($"err").as("max_abs_err"))
       .orderBy($"dim")
   }
+
+  /** s38 — EMBEDDING DRIFT (population stability index): per
+    * dimension, the PSI between the HISTORICAL slice and the arrival
+    * slice (the s22/s23 `vec_id % 7 = 2` convention) over 8 bins
+    * whose edges are FROZEN from history alone — the monitor an
+    * embedding pipeline runs before trusting an index refresh: s36
+    * audits one snapshot's geometry, s22/s28 assume arrivals share
+    * the training distribution, and THIS is the check of that
+    * assumption (a re-trained upstream encoder shifts dimensions
+    * silently; cosine geometry degrades with no error anywhere).
+    * PSI = Σ_bins (p−q)·ln(p/q) over add-one-smoothed bin shares;
+    * `drifted` = psi > 0.2, the classic action bar.
+    *
+    * Determinism: bin edges are min/max of exact float→double casts
+    * (order-free); binning is ONE fixed IEEE chain replayed verbatim
+    * ((x−gmin)·8/(gmax−gmin), floored, clamped, degenerate range →
+    * bin 0); the ln ratio algebraizes to ln(cp·Nq) − ln(cq·Np) —
+    * integer-valued doubles only (the t45 discipline; products
+    * < 2⁵³ at any test SF) — and the 8 bin terms fold in bin order.
+    *
+    * Scale shape: ONE posexplode pass map-combines straight to
+    * |dims|×8 cells; the frozen edges are a |dims|-row broadcast
+    * (grouping on `dim`, a fixed-domain key); the empty-bin spine is
+    * an explode of a literal sequence, never a cross join. At 100 TB
+    * both slices stream through the same aggregate — nothing holds
+    * more than the cell table.
+    */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ex = embeddings(s, dir)
+      .select($"vec_id", posexplode($"embedding"))
+      .select($"pos".cast("long").as("dim"), $"col".cast("double").as("x"),
+        ($"vec_id" % 7 === 2).as("is_arr"))
+    psiDrift(ex.filter(!$"is_arr").select($"dim", $"x"),
+      ex.filter($"is_arr").select($"dim", $"x"))
+  }
+
+  /** [[embeddingDrift]]'s core over explicit (dim, x) frames — the
+    * synthetic-shift spec seam. Bin edges freeze from `hist` alone.
+    */
+  private[graft] def psiDrift(hist: DataFrame, arr: DataFrame): DataFrame = {
+    val s = hist.sparkSession
+    import s.implicits._
+    import graft.functions.VectorFunctions.platform_ln
+    val ex = hist.withColumn("is_arr", lit(false))
+      .unionByName(arr.withColumn("is_arr", lit(true)))
+    val edges = ex.filter(!$"is_arr").groupBy($"dim")
+      .agg(min($"x").as("gmin"), max($"x").as("gmax"))
+    val binned = ex.join(broadcast(edges), Seq("dim"))
+      .withColumn("bin", when($"gmax" === $"gmin", lit(0L))
+        .otherwise(least(lit(7L), greatest(lit(0L),
+          floor(($"x" - $"gmin") * lit(8.0) / ($"gmax" - $"gmin")).cast("long")))))
+      .groupBy($"dim", $"bin")
+      .agg(sum(when(!$"is_arr", 1L).otherwise(0L)).as("c_hist"),
+        sum(when($"is_arr", 1L).otherwise(0L)).as("c_arr"))
+    val spine = edges.select($"dim", explode(expr("sequence(0L, 7L)")).as("bin"))
+    val cells = spine.join(binned, Seq("dim", "bin"), "left")
+      .select($"dim", $"bin",
+        (coalesce($"c_hist", lit(0L)) + lit(1L)).as("cp"),
+        (coalesce($"c_arr", lit(0L)) + lit(1L)).as("cq"))
+    val tot = cells.groupBy($"dim").agg(sum($"cp").as("np"), sum($"cq").as("nq"))
+    cells.join(tot, Seq("dim"))
+      .withColumn("term",
+        ($"cp".cast("double") / $"np".cast("double") -
+         $"cq".cast("double") / $"nq".cast("double")) *
+        (platform_ln(($"cp" * $"nq").cast("double")) -
+         platform_ln(($"cq" * $"np").cast("double"))))
+      .groupBy($"dim")
+      .agg(max($"np").as("np"), max($"nq").as("nq"),
+        expr("aggregate(transform(sort_array(collect_list(struct(bin, term))), x -> x.term), 0D, (a, x) -> a + x)").as("psi"))
+      .select($"dim", ($"np" - lit(8L)).as("n_hist"),
+        ($"nq" - lit(8L)).as("n_arr"), $"psi", ($"psi" > lit(0.2)).as("drifted"))
+      .orderBy($"dim")
+  }
 }

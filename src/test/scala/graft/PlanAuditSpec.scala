@@ -216,7 +216,8 @@ class PlanAuditSpec extends AnyFunSuite {
           // corpus. `hb16` is q39's hashed-histogram bucket
           // (`datediff % 16` — a fixed 16-value domain); `dow` is
           // e39's weekday (a fixed 7-value domain).
-          val domainKeys = Set("seg", "dim", "hb16", "dow")
+          // `bin` is s38's PSI histogram bin (a fixed 8-value domain).
+          val domainKeys = Set("seg", "dim", "hb16", "dow", "bin")
           val unbounded = lists.filterNot(
             _.child.references.toSeq.map(_.name).exists(domainKeys.contains))
           val boundedGroup =
