@@ -126,6 +126,10 @@ object SparkEntry {
     // e39 = weekday ANOVA eta^2 on exact daily counts; divides are
     // single fixed-order IEEE ops, fold by weekday.
     "e39_dow_seasonality"    -> (EventOps.dowSeasonality _),
+    // e40 = silent-hour gaps: the densified zero-activity report —
+    // e13 flags too-much, this flags too-little; gap picks on an
+    // exact BIGINT composite.
+    "e40_silent_gaps"        -> (EventOps.silentGaps _),
     // m19 = EXECUTED audio decimation through the real WAV codec
     // (decode → drop odd samples → re-encode at 4 kHz → decode);
     // position-weighted sums pin sample order across the chain.
@@ -551,6 +555,10 @@ object SparkEntry {
     // (the CCNet gate): reference-slice model, '<unk>' OOV mapping,
     // every ln argument an exact integer, median keep/drop.
     "t54_jm_quality_filter"  -> (TextOps.jmQualityFilter _),
+    // t55 = A-ES weighted sampling: per-source top-k by u^(1/w) in log
+    // space (integer ln args, md5-derived u, w = tokens) — the
+    // rerun-stable weighted draw that realizes t27's mixture.
+    "t55_weighted_sample"    -> ((s, d) => TextOps.weightedSample(s, d)),
     // t33 = PII detect + redact (email/phone/IPv4) — counts on the
     // original text, typed-placeholder redaction, all codegen regex;
     // runs over the deterministic planted-PII fixture (WavCodec
@@ -1414,6 +1422,36 @@ object SparkEntry {
         ORDER BY h.event_type, h.hour_start""",
       // e39: the same SS identities on exact counts; t_g folds in
       // weekday order, S^2/N computed once and subtracted from both.
+      // e40: densify via the span spine, anti-join to silent hours,
+      // gaps-and-islands, arg_max on the len·10^10 − g0 composite.
+      "e40_silent_gaps" -> """
+        WITH hc AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h
+                    FROM events GROUP BY event_type, epoch_us(ts) // 3600000000),
+        span AS (SELECT min(h) AS h0, max(h) AS h1 FROM hc),
+        types AS (SELECT DISTINCT event_type FROM hc),
+        spine AS (SELECT event_type, unnest(generate_series(s.h0, s.h1)) AS h
+                  FROM types CROSS JOIN span s),
+        silent AS (SELECT sp.event_type, sp.h FROM spine sp
+                   LEFT JOIN hc ON hc.event_type = sp.event_type AND hc.h = sp.h
+                   WHERE hc.h IS NULL),
+        isl AS (SELECT event_type, h,
+                  h - row_number() OVER (PARTITION BY event_type ORDER BY h) AS grp
+                FROM silent),
+        gaps AS (SELECT event_type, min(h) AS g0, CAST(count(*) AS BIGINT) AS len
+                 FROM isl GROUP BY event_type, grp),
+        agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+                  CAST(sum(len) AS BIGINT) AS n_silent_hours,
+                  CAST(max(len) AS BIGINT) AS longest_gap,
+                  arg_max(g0, len * 10000000000 - g0) AS longest_gap_start
+                FROM gaps GROUP BY event_type)
+        SELECT t.event_type, CAST(s.h1 - s.h0 + 1 AS BIGINT) AS n_hours,
+          coalesce(a.n_silent_hours, 0) AS n_silent_hours,
+          coalesce(a.n_gaps, 0) AS n_gaps,
+          coalesce(a.longest_gap, 0) AS longest_gap,
+          a.longest_gap_start
+        FROM types t CROSS JOIN span s
+        LEFT JOIN agg a ON a.event_type = t.event_type
+        ORDER BY t.event_type""",
       "e39_dow_seasonality" -> """
         WITH daily AS (SELECT CAST(ts AS DATE) AS day,
                          CAST(count(*) AS BIGINT) AS c
@@ -5882,6 +5920,24 @@ object SparkEntry {
       // t54: the JM replay — the same integer num/den decomposition
       // per bigram (ln over exact-integer doubles only), the (w1, w2)
       // fold, quantile_cont for the median (the q14/t35 convention).
+      // t55: the A-ES key in log space — ln over integers only,
+      // one divide, rank ties on doc_id.
+      "t55_weighted_sample" -> """
+        WITH d AS (SELECT source, doc_id,
+                     CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hseed
+                   FROM documents),
+        k AS (SELECT source, doc_id, n_tokens,
+                (ln(CAST(hseed + 1 AS DOUBLE)) - ln(4294967296.0))
+                  / CAST(n_tokens AS DOUBLE) AS es_key
+              FROM d),
+        r AS (SELECT source, doc_id, n_tokens, es_key,
+                CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY es_key DESC, doc_id) AS BIGINT) AS sel_rank
+              FROM k)
+        SELECT source, sel_rank, doc_id, n_tokens, es_key
+        FROM r WHERE sel_rank <= 20
+        ORDER BY source, sel_rank""",
       "t54_jm_quality_filter" -> """
         WITH rtk AS (SELECT regexp_split_to_array(text, '\s+') AS t
                      FROM documents WHERE lang = 'en'),

@@ -1502,4 +1502,48 @@ object EventOps {
         ($"dau".cast("double") / $"wau".cast("double")).as("stickiness"))
       .orderBy($"day")
   }
+
+  /** e40 — SILENT-HOUR GAPS: per event type the hours of the corpus's
+    * observed span with ZERO activity, folded to maximal gaps — the
+    * pipeline-outage / feed-gap report a monitoring stack reads next
+    * to e13's spike flags (e13 finds too-much, this finds
+    * too-little; e30 deliberately avoided densifying because zero
+    * hours vanish in products — HERE the zeros are the subject, so
+    * the densify is the op). Per type: observed hours, silent hours,
+    * gap count, the longest gap and its start hour (ties → earliest,
+    * picked on an exact BIGINT composite).
+    *
+    * Scale shape: rides the e30 `hourlyCounts` reduction (the raw
+    * stream reduces once; everything after is |types|×|hours|-sized);
+    * the hour spine is an explode of `sequence(h0, h1)` off the
+    * one-row span broadcast — calendar-bounded, never a fact-table
+    * cross join; the islands window partitions by type over silent
+    * hours only.
+    */
+  def silentGaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hc = hourlyCounts(events(s, dir).select($"event_type", $"ts"))
+      .localCheckpoint()
+    val span = hc.agg(min($"h").as("h0"), max($"h").as("h1"))
+    val types = hc.select($"event_type").distinct()
+    val spine = types.crossJoin(broadcast(span))
+      .select($"event_type", explode(expr("sequence(h0, h1)")).as("h"))
+    val silent = spine.join(hc, Seq("event_type", "h"), "left_anti")
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+    val gaps = silent.withColumn("grp", $"h" - row_number().over(w))
+      .groupBy($"event_type", $"grp")
+      .agg(min($"h").as("g0"), count(lit(1)).as("len"))
+    val agg = gaps.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum($"len").as("n_silent_hours"),
+        max($"len").as("longest_gap"),
+        expr("max_by(g0, len * 10000000000L - g0)").as("longest_gap_start"))
+    types.join(agg, Seq("event_type"), "left")
+      .crossJoin(broadcast(span))
+      .select($"event_type", ($"h1" - $"h0" + lit(1L)).as("n_hours"),
+        coalesce($"n_silent_hours", lit(0L)).as("n_silent_hours"),
+        coalesce($"n_gaps", lit(0L)).as("n_gaps"),
+        coalesce($"longest_gap", lit(0L)).as("longest_gap"),
+        $"longest_gap_start")
+      .orderBy($"event_type")
+  }
 }

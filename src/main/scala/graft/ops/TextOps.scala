@@ -2146,6 +2146,43 @@ object TextOps {
       .withColumn("avg_nll", $"nll" / $"n_bigrams".cast("double"))
   }
 
+  /** t55 — DETERMINISTIC WEIGHTED SAMPLING (Efraimidis–Spirakis A-ES):
+    * per source the top-k documents by the key u^(1/w) with w = token
+    * count and u an md5-derived uniform — weighted sampling WITHOUT
+    * replacement, the standard way to realize a token-weighted mixture
+    * draw (t27 plans token budgets; this picks the documents) while
+    * staying rerun-stable (the t14/t18 md5 discipline: no RNG state,
+    * any executor count, same sample).
+    *
+    * Determinism: the key is ranked in log space — ln(u)/w with
+    * u = (h+1)/2³² decomposed to (ln(h+1) − ln(2³²))/w, so every
+    * platform_ln argument is an INTEGER-valued double (the t45
+    * discipline; h+1 ≤ 2³² is exact), the divide is one IEEE op, and
+    * ties break on doc_id.
+    *
+    * Scale shape: one narrow scan computes the key inside the
+    * projection; the per-source rank window is the t25 class (bounded
+    * by source — for one web-scale source the key is monotone, so a
+    * bounded-heap top-k aggregate (the t10 Aggregator) replaces the
+    * partition sort).
+    */
+  def weightedSample(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.platform_ln
+    val d = documents(s, dir).select($"source", $"doc_id",
+        size(toks($"text")).cast("long").as("n_tokens"))
+      .withColumn("hseed", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"))
+      .withColumn("es_key",
+        (platform_ln(($"hseed" + lit(1L)).cast("double")) -
+         platform_ln(lit(4294967296.0))) / $"n_tokens".cast("double"))
+    val w = Window.partitionBy($"source").orderBy($"es_key".desc, $"doc_id")
+    d.withColumn("sel_rank", row_number().over(w).cast("long"))
+      .filter($"sel_rank" <= k)
+      .select($"source", $"sel_rank", $"doc_id", $"n_tokens", $"es_key")
+      .orderBy($"source", $"sel_rank")
+  }
+
   /** Ship the frozen model as a durable bucketed sidecar under
     * `root/dsir_model` — what [[graft.streaming.StreamingDsir]] loads
     * so a scoring run starts with NO corpus pass.

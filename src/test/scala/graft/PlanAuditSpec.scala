@@ -118,7 +118,11 @@ class PlanAuditSpec extends AnyFunSuite {
         // t54: two one-row broadcasts — the (n_ref, v_ref) reference
         // totals onto the scored-bigram rows (the t20/t49 corpus-stats
         // class) and the median threshold onto the per-doc rows.
-        "t54_jm_quality_filter")
+        "t54_jm_quality_filter",
+        // e40: the one-row observed-span broadcast, crossed twice —
+        // onto the |types| spine seeds and onto the |types| report
+        // rows (the q16 corpus-stats class).
+        "e40_silent_gaps")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark
