@@ -82,8 +82,7 @@ object Curation {
       .withColumn("stage",
         when(!$"gopher_ok", "quality")
           .when($"dedup_dropped", "dedup")
-          .when($"doc_id" % 97 === 0 || $"doc_id" % 89 === 0 ||
-            $"contaminated", "decontam")
+          .when(TextOps.suiteMember($"doc_id") || $"contaminated", "decontam")
           .when($"text_final" === "", "span_emptied")
           .otherwise("kept"))
       .select($"source", $"doc_id", $"stage",

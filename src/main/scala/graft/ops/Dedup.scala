@@ -1341,7 +1341,15 @@ object Dedup {
         org.apache.spark.sql.GraftBridge.expression(xxhash64($"h")),
         Literal(n), Literal(numBits)).toAggregateExpression())
     val bytes = digests.agg(agg.as("bf")).head().getAs[Array[Byte]](0)
-    (bytes, digests)
+    // BloomFilterAggregate evals to NULL over zero rows; an EMPTY
+    // filter (everything "definitely new") is the correct value for an
+    // empty history — a null literal would three-value every verdict.
+    val safe = Option(bytes).getOrElse {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.spark.util.sketch.BloomFilter.create(1L, fpp).writeTo(bos)
+      bos.toByteArray
+    }
+    (safe, digests)
   }
 
   /** One prescreen pass over an arriving batch: per-doc
@@ -1368,8 +1376,39 @@ object Dedup {
       BloomFilterMightContain(
         Literal(filterBytes, org.apache.spark.sql.types.BinaryType),
         org.apache.spark.sql.GraftBridge.expression(xxhash64($"h"))))
+    probeCore(batch, pos, histDigests)
+  }
+
+  /** The streaming door's probe form: the filter ships as a Broadcast
+    * handle ONCE for the run and the per-row probe is
+    * `mightContainLong(xxhash64(h))` — the hash stays codegen'd, the
+    * UDF boxes one long. Justification (the PlanAuditSpec whitelist
+    * convention): the plan-native literal form re-embeds the filter
+    * bytes in EVERY trigger's task binary — at production (GB-scale)
+    * filter sizes that is a per-trigger driver re-serialization and a
+    * lingering torrent copy per batch, strictly worse than per-row
+    * long boxing; the one-shot d38 query keeps the literal form, where
+    * the plan is built once and dies with the query. Bit-equivalent:
+    * BloomFilterAggregate inserts putLong(xxhash64) and
+    * BloomFilterMightContain probes mightContainLong on the same
+    * value, so both forms read identical bits.
+    */
+  def bloomProbeBatch(batch: DataFrame,
+                      bc: org.apache.spark.broadcast.Broadcast[
+                        org.apache.spark.util.sketch.BloomFilter],
+                      histDigests: DataFrame): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val probe = udf((h: Long) => bc.value.mightContainLong(h))
+    probeCore(batch, probe(xxhash64($"h")), histDigests)
+  }
+
+  private def probeCore(batch: DataFrame, bloomPos: org.apache.spark.sql.Column,
+                        histDigests: DataFrame): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
     batch.select($"doc_id", md5($"text").as("h"))
-      .withColumn("bloom_pos", pos)
+      .withColumn("bloom_pos", bloomPos)
       .join(histDigests.withColumn("is_dup", lit(true)), Seq("h"), "left")
       .select($"doc_id", $"bloom_pos",
         $"is_dup".isNotNull.as("exact_dup"),
@@ -2423,7 +2462,10 @@ object Dedup {
         .agg(expr("aggregate(transform(sort_array(collect_list(struct(src, contrib))), x -> x.contrib), 0D, (a, x) -> a + x)").as("s"))
         .select($"doc_id".as("node"), (lit(0.15 / n) + lit(0.85) * $"s").as("rank"))
     }
-    r.join(deg, $"node" === $"src")
+    // Final degree read from the CHECKPOINTED edge list (deg's own
+    // lineage would re-run the whole capped pair generation).
+    val degC = edges.groupBy($"src").agg(max($"deg").as("deg"))
+    r.join(degC, $"node" === $"src")
       .select($"node".as("doc_id"), $"deg".cast("long").as("degree"), $"rank")
       .orderBy($"doc_id")
   }

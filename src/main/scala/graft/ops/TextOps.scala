@@ -1423,6 +1423,16 @@ object TextOps {
     * joins once, and aggregates by doc — per-doc output bounded by
     * docs with ≥1 hit in any suite.
     */
+  /** ONE definition of eval-suite membership (the fixture's stand-in
+    * for "this doc belongs to a held-out benchmark"): suite a =
+    * doc_id ≡ 0 (mod 97), suite b = doc_id ≡ 0 (mod 89). Shared by
+    * t41 and the c01 campaign's decontam stage so the two can never
+    * silently diverge (in production this predicate is a membership
+    * join against the external suite tables).
+    */
+  private[graft] def suiteMember(docId: Column): Column =
+    docId % 97 === 0 || docId % 89 === 0
+
   def multiSuiteContamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.TextHashes.ngram_hashes
@@ -1431,7 +1441,7 @@ object TextOps {
       .select(explode(ngram_hashes($"text", 4)).as("g")).distinct()
     val suites = suiteGrams(97).withColumn("suite", lit("a"))
       .unionByName(suiteGrams(89).withColumn("suite", lit("b")))
-    docs.filter($"doc_id" % 97 =!= 0 && $"doc_id" % 89 =!= 0)
+    docs.filter(!suiteMember($"doc_id"))
       .select($"doc_id", explode(ngram_hashes($"text", 4)).as("g"))
       .join(broadcast(suites), "g")
       .groupBy($"doc_id")

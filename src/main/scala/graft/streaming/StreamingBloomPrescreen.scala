@@ -37,19 +37,34 @@ object StreamingBloomPrescreen {
   def run(docs: DataFrame, histDocs: DataFrame,
           outDir: String, checkpointDir: String,
           fpp: Double = 0.03): StreamingQuery = {
-    // Built ONCE per run; the serialized bytes are embedded as a
-    // foldable literal in each batch's probe plan (the plan-native
-    // BloomFilterMightContain path), so nothing is pinned in the
-    // block manager and there is no broadcast to destroy when the
-    // query stops.
+    val s = docs.sparkSession
+    // Broadcast ONCE for the stream's lifetime (a plan-native literal
+    // would re-embed the filter bytes in every trigger's task binary —
+    // see the Broadcast bloomProbeBatch overload's justification), and
+    // DESTROYED when this query terminates, so a session cycling many
+    // prescreen runs never accumulates live filter copies.
     val (filterBytes, digests) = graft.ops.Dedup.bloomIndex(histDocs, fpp)
-    docs.writeStream
+    val bc = s.sparkContext.broadcast(
+      org.apache.spark.util.sketch.BloomFilter.readFrom(filterBytes))
+    val q = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Dedup.bloomProbeBatch(batch, filterBytes, digests)
+        graft.ops.Dedup.bloomProbeBatch(batch, bc, digests)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+    val qid = q.id
+    s.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == qid) {
+          bc.destroy()
+          s.streams.removeListener(this)
+        }
+    })
+    q
   }
 }

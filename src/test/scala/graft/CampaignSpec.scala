@@ -34,8 +34,11 @@ class CampaignSpec extends AnyFunSuite {
     // docs surviving the first two gates.
     val dirty = TextOps.multiSuiteContamination(spark, dir)
       .select($"doc_id").as[Long].collect().toSet
+    val suiteIds = Tables.documents(spark, dir)
+      .filter(TextOps.suiteMember($"doc_id"))
+      .select($"doc_id").as[Long].collect().toSet
     val suiteOrDirty = staged.keySet.filter(id =>
-      id % 97 == 0 || id % 89 == 0 || dirty.contains(id))
+      suiteIds.contains(id) || dirty.contains(id))
     assert(staged.filter(_._2 == "decontam").keySet ==
       (suiteOrDirty -- qualityFail -- dedupDrop))
 
