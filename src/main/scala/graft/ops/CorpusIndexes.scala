@@ -110,7 +110,13 @@ private[graft] object CorpusIndexes {
     // the FROZEN 64-row DSIR histogram model (owned by
     // TextOps.persistDsirModel; the StreamingDsir door's probe joins
     // on bucket)
-    "dsir_model"     -> Layout(4, "bucket", Seq("bucket")))
+    "dsir_model"     -> Layout(4, "bucket", Seq("bucket")),
+    // the FROZEN JM bigram-LM model (owned by TextOps.persistJmModel;
+    // the StreamingJm door's vocabulary-sized probe tables) — each
+    // bucketed on its consumer join key
+    "jm_uni"         -> Layout(4, "term", Seq("term")),
+    "jm_bg"          -> Layout(4, "w1", Seq("w1", "w2")),
+    "jm_ctx"         -> Layout(4, "w1", Seq("w1")))
 
   /** One-slot lazy holder: `computeIfAbsent` only ever constructs the
     * holder (cheap, no callback into the cache), and the build itself

@@ -2106,17 +2106,42 @@ object TextOps {
     * two tokens are omitted (no bigrams — the t26 contract).
     */
   private[graft] def jmScored(ref: DataFrame, docs: DataFrame): DataFrame = {
+    val (runi, rbg, ctx) = jmModel(ref)
+    jmScoreAgainst(docs, runi, rbg, ctx)
+  }
+
+  /** The frozen JM model tables built from a reference frame bearing
+    * token arrays `t`: unigram counts (term, c_uni), bigram counts
+    * (w1, w2, c_bg), and context totals (w1, c_w1). All
+    * reference-vocabulary-sized; the smoothing stats (N_ref, V_ref)
+    * re-derive from the unigram table, so the three tables are
+    * self-contained (the dsir_model convention).
+    */
+  private[graft] def jmModel(ref: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val s = ref.sparkSession
     import s.implicits._
-    import graft.functions.VectorFunctions.platform_ln
     val runi = ref.select(explode($"t").as("term"))
       .groupBy($"term").agg(count(lit(1)).as("c_uni"))
-    val rstats = runi.agg(sum($"c_uni").as("n_ref"), count(lit(1)).as("v_ref"))
     val bigrams = expr(
       "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")
     val rbg = ref.filter(size($"t") >= 2).select(explode(bigrams).as("b"))
       .groupBy($"b.w1".as("w1"), $"b.w2".as("w2")).agg(count(lit(1)).as("c_bg"))
     val ctx = rbg.groupBy($"w1").agg(sum($"c_bg").as("c_w1"))
+    (runi, rbg, ctx)
+  }
+
+  /** Score (doc_id, t) rows against an explicit frozen JM model — the
+    * per-batch form [[graft.streaming.StreamingJm]] runs; bit-equal to
+    * [[jmScored]] for the same model (same folds, same platform_ln).
+    */
+  private[graft] def jmScoreAgainst(docs: DataFrame, runi: DataFrame,
+                                    rbg: DataFrame, ctx: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import graft.functions.VectorFunctions.platform_ln
+    val rstats = runi.agg(sum($"c_uni").as("n_ref"), count(lit(1)).as("v_ref"))
+    val bigrams = expr(
+      "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")
     // OOV sides fold to '<unk>' AFTER the per-(doc, bigram) aggregate
     // (token mapping commutes with bigram construction), so the vocab
     // joins touch distinct doc-bigrams, never the token stream.
@@ -2191,6 +2216,47 @@ object TextOps {
       .filter($"sel_rank" <= k)
       .select($"source", $"sel_rank", $"doc_id", $"n_tokens", $"es_key")
       .orderBy($"source", $"sel_rank")
+  }
+
+  /** Ship the frozen JM model (unigram / bigram / context tables,
+    * trained on the `lang = 'en'` reference slice) as durable bucketed
+    * sidecars under `root/jm_{uni,bg,ctx}` — what
+    * [[graft.streaming.StreamingJm]] loads so a scoring run starts
+    * with NO corpus pass.
+    */
+  def persistJmModel(s: SparkSession, dir: String, root: String): Unit = {
+    import s.implicits._
+    val ref = documents(s, dir).filter($"lang" === "en")
+      .select(toks($"text").as("t"))
+    val (runi, rbg, ctx) = jmModel(ref)
+    Seq(("jm_uni", runi), ("jm_bg", rbg), ("jm_ctx", ctx)).foreach {
+      case (key, df) =>
+        CorpusIndexes.writeBucketedTable(df, s"$root/$key",
+          CorpusIndexes.tableName(root, key), CorpusIndexes.layouts(key))
+    }
+  }
+
+  /** One scoring pass over an arriving (doc_id, text) batch against
+    * the frozen model tables plus a FROZEN keep threshold (the
+    * campaign ships the snapshot's t54 median in config; the door
+    * never recomputes it — a per-arrival-window median would make
+    * verdicts depend on batch boundaries).
+    */
+  def jmScoreDocs(batch: DataFrame, runi: DataFrame, rbg: DataFrame,
+                  ctx: DataFrame, threshold: Double): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    jmScoreAgainst(batch.select($"doc_id", toks($"text").as("t")),
+        runi, rbg, ctx)
+      .withColumn("keep", $"avg_nll" <= lit(threshold))
+  }
+
+  /** Read the durable model written by [[persistJmModel]]. */
+  def loadJmModel(s: SparkSession, root: String): (DataFrame, DataFrame, DataFrame) = {
+    val Seq(runi, rbg, ctx) = Seq("jm_uni", "jm_bg", "jm_ctx").map(key =>
+      CorpusIndexes.readBucketedTable(s, s"$root/$key",
+        CorpusIndexes.tableName(root, key), CorpusIndexes.layouts(key)))
+    (runi, rbg, ctx)
   }
 
   /** Ship the frozen model as a durable bucketed sidecar under

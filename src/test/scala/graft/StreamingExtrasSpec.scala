@@ -1418,6 +1418,58 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(sel.keySet == Set(true, false), s"degenerate selection split: $sel")
   }
 
+  test("StreamingJm: streamed scores equal batch t54 from the frozen disk model; replay exactly-once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // Stream the whole corpus against its own frozen model with the
+    // frozen threshold = the batch t54 median: the union must
+    // reproduce t54 bit for bit, including the keep verdicts.
+    val arrivals = Tables.documents(spark, TestSpark.sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val root = java.nio.file.Files.createTempDirectory("graft-jm-idx").toString
+    graft.ops.TextOps.persistJmModel(spark, TestSpark.sfDir, root)
+    val batchT54 = graft.ops.TextOps.jmQualityFilter(spark, TestSpark.sfDir)
+      .localCheckpoint()
+    // the snapshot's shipped threshold: the largest kept avg_nll (the
+    // exact value t54's median keep realizes)
+    val threshold = batchT54.filter($"keep").agg(max($"avg_nll"))
+      .head().getDouble(0)
+    val out = java.nio.file.Files.createTempDirectory("graft-jm-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-jm-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    def start() = graft.streaming.StreamingJm.run(stream, root, threshold, out, ckpt)
+    val q1 = start()
+    try {
+      input.addData(arrivals.take(arrivals.length / 2).toSeq)
+      q1.processAllAvailable()
+      input.addData(arrivals.drop(arrivals.length / 2).toSeq)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // forced replay of the last batch — identical bytes
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    val lastId = commits.last.getName.toLong
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.$lastId.crc")
+    if (crc.exists()) assert(crc.delete())
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .select($"doc_id", $"n_bigrams", $"n_oov", $"avg_nll", $"keep")
+    val expect = batchT54
+      .select($"doc_id", $"n_bigrams", $"n_oov", $"avg_nll", $"keep")
+    assert(streamed.count() == expect.count())
+    assert(streamed.except(expect).count() == 0,
+      "streamed JM scores must be bit-identical to batch t54")
+    assert(expect.except(streamed).count() == 0)
+    // both verdicts exercised
+    val kept = streamed.filter($"keep").count()
+    assert(kept > 0 && kept < streamed.count())
+  }
+
   test("StreamingSpanDedup: streamed spans compose to batch d36 from the disk index; replay exactly-once") {
     val spark = TestSpark.spark
     import spark.implicits._
