@@ -106,14 +106,17 @@ object Relational {
       .orderBy($"revenue".desc, $"n_name")
   }
 
-  /** Broadcast-join aggregate: fact ⋈ small dim. At 100 TB the part table
-    * for a brand-rollup is still MB-scale → broadcast avoids shuffling
-    * the fact side entirely; only the 25-brand aggregate shuffles.
+  /** Dim-join aggregate: fact ⋈ part. NO broadcast hint: part is an
+    * SF-SCALING table (TPC-H SF×200k rows — tens of billions at a
+    * 100 TB SF), so pinning it to the driver would be wrong at scale;
+    * AQE broadcasts it whenever it actually fits and falls back to a
+    * shuffle join when it doesn't. The 25-brand aggregate map-combines
+    * either way.
     */
   def brandVolume(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     lineitem(s, dir).select($"l_partkey", $"l_quantity", $"l_extendedprice")
-      .join(broadcast(part(s, dir).select($"p_partkey", $"p_brand")),
+      .join(part(s, dir).select($"p_partkey", $"p_brand"),
             $"l_partkey" === $"p_partkey")
       .groupBy($"p_brand")
       .agg(count(lit(1)).as("n_items"),

@@ -523,7 +523,9 @@ object Relational2 {
       .join(perOrder, Seq("l_orderkey"))
       .filter($"n_supps" >= 2 && $"n_late" === 1)
       .groupBy($"l_suppkey").agg(count(lit(1)).as("numwait"))
-      .join(broadcast(supplier(s, dir).select($"s_suppkey", $"s_name")),
+      // supplier is SF-scaling (SF×10k rows) — no broadcast hint; AQE
+      // broadcasts it when it fits, shuffle-joins when it doesn't.
+      .join(supplier(s, dir).select($"s_suppkey", $"s_name"),
         $"l_suppkey" === $"s_suppkey")
       .select($"s_suppkey", $"s_name", $"numwait")
       .orderBy($"numwait".desc, $"s_name", $"s_suppkey")
@@ -668,16 +670,18 @@ object Relational2 {
     *
     * Scale shape: both aggregates shuffle lineitem ONCE on partkey
     * (the per-(part, supplier) rollup re-aggregates to the part
-    * total — identical subtree, one scan); the PROMO part slice
-    * broadcasts (q04 argument); supplier and nation broadcast;
-    * output is |nations| rows of count/countDistinct/sum rollups,
-    * never a per-row re-probe of lineitem.
+    * total — identical subtree, one scan); the PROMO part slice and
+    * supplier are SF-SCALING, so neither carries a broadcast hint —
+    * AQE broadcasts them while they fit and shuffle-joins past that;
+    * nation (fixed 25 rows) broadcasts. Output is |nations| rows of
+    * count/countDistinct/sum rollups, never a per-row re-probe of
+    * lineitem.
     */
   def dominantSuppliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val promo = part(s, dir).filter($"p_type" === "PROMO").select($"p_partkey")
     val ps = lineitem(s, dir)
-      .join(broadcast(promo), $"l_partkey" === $"p_partkey")
+      .join(promo, $"l_partkey" === $"p_partkey")
       .select($"l_partkey", $"l_suppkey", $"l_quantity")
       .groupBy($"l_partkey", $"l_suppkey")
       .agg(sum(dec($"l_quantity")).as("qty_s"))
@@ -686,7 +690,7 @@ object Relational2 {
     val dominant = ps.join(tot, Seq("l_partkey"))
       .filter($"qty_s" * $"n_supp" > $"qty_total" * lit(2))
     dominant
-      .join(broadcast(supplier(s, dir).select($"s_suppkey", $"s_nationkey")),
+      .join(supplier(s, dir).select($"s_suppkey", $"s_nationkey"),
         $"l_suppkey" === $"s_suppkey")
       .join(broadcast(nation(s, dir).select($"n_nationkey", $"n_name")),
         $"s_nationkey" === $"n_nationkey")
@@ -932,22 +936,24 @@ object Relational2 {
     * schema graph, the table whose single failing row tells you which
     * ingest job broke.
     *
-    * Scale shape: each edge is one left join + one aggregate; dims
-    * (nation, region, customer, supplier, part) broadcast, the two
-    * fact-side edges shuffle lineitem/orders once each on the join
-    * key (AQE picks broadcast when the parent fits — at this schema's
-    * shape every parent is the smaller side). The 7 one-row arms
+    * Scale shape: each edge is one left join + one aggregate; the
+    * fixed dims (nation, region) broadcast by hint, every SF-scaling
+    * parent (customer, supplier, part, orders) is left to AQE, and
+    * the fact-side edges shuffle lineitem/orders once each on the
+    * join key (AQE picks broadcast when the parent fits — at this
+    * schema's shape every parent is the smaller side). The 7 one-row arms
     * union into a 7-row report; null child keys count as orphans
     * (a null FK violates the contract too).
     */
   def fkAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // `hint`: broadcast only the PROVABLY small parents (nation,
-    // region, part, supplier — linear-size dims). The orders and
-    // customer parent key sets grow with the fact data, so forcing a
-    // broadcast hint there would override AQE's size-based choice and
-    // collect a fact-scale key set to the driver at the design point;
-    // those edges leave the decision to AQE.
+    // `hint`: broadcast only the FIXED-cardinality parents (nation =
+    // 25 rows, region = 5 rows). Every other parent key set —
+    // orders, customer, AND part/supplier (TPC-H: SF×200k / SF×10k
+    // rows) — scales with SF, so forcing a broadcast hint there would
+    // override AQE's size-based choice and collect a fact-scale key
+    // set to the driver at the design point; those edges leave the
+    // decision to AQE.
     def edge(name: String, child: DataFrame, ck: String,
              parent: DataFrame, pk: String, hint: Boolean): DataFrame = {
       val keys = parent.select(col(pk).as("__pk")).distinct()
@@ -967,9 +973,9 @@ object Relational2 {
       edge("lineitem.l_orderkey->orders", li, "l_orderkey",
         orders(s, dir), "o_orderkey", hint = false),
       edge("lineitem.l_partkey->part", li, "l_partkey",
-        part(s, dir), "p_partkey", hint = true),
+        part(s, dir), "p_partkey", hint = false),
       edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
-        supplier(s, dir), "s_suppkey", hint = true),
+        supplier(s, dir), "s_suppkey", hint = false),
       edge("nation.n_regionkey->region", nation(s, dir), "n_regionkey",
         region(s, dir), "r_regionkey", hint = true),
       edge("orders.o_custkey->customer", orders(s, dir), "o_custkey",
@@ -1029,7 +1035,8 @@ object Relational2 {
     * Scale shape: ONE filtered lineitem aggregate (predicate pushed
     * to the scan) referenced twice — the max is a one-row broadcast
     * onto the supplier-cardinality view (whitelisted, q16 class);
-    * supplier names broadcast. Output is the argmax set.
+    * supplier is SF-scaling so its name join carries NO hint (AQE
+    * decides). Output is the argmax set.
     */
   def topQuarterSupplier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1043,7 +1050,7 @@ object Relational2 {
     val mx = view.agg(max($"total_dec").as("max_dec"))
     view.crossJoin(broadcast(mx))
       .filter($"total_dec" === $"max_dec")
-      .join(broadcast(supplier(s, dir).select($"s_suppkey", $"s_name")),
+      .join(supplier(s, dir).select($"s_suppkey", $"s_name"),
         $"l_suppkey" === $"s_suppkey")
       .select($"s_suppkey", $"s_name", $"total_dec".cast("double").as("total_revenue"))
       .orderBy($"s_suppkey")
@@ -1094,7 +1101,8 @@ object Relational2 {
     val bad = supplier(s, dir).filter($"s_acctbal" < 0.0).select($"s_suppkey")
     lineitem(s, dir).select($"l_partkey", $"l_suppkey")
       .join(bad, $"l_suppkey" === $"s_suppkey", "left_anti")
-      .join(broadcast(part(s, dir).select($"p_partkey", $"p_brand", $"p_type", $"p_size")),
+      // part is SF-scaling — no broadcast hint; AQE decides per-run.
+      .join(part(s, dir).select($"p_partkey", $"p_brand", $"p_type", $"p_size"),
         $"l_partkey" === $"p_partkey")
       .select($"p_brand", $"p_type", $"p_size", $"l_suppkey")
       .distinct()

@@ -345,7 +345,12 @@ class PlanAuditSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
+    // part/supplier/customer are SF-scaling too (TPC-H: SF×200k /
+    // SF×10k / SF×150k rows — tens of billions at a 100 TB SF), so a
+    // broadcast hint on them is as wrong as one on lineitem. Only
+    // nation (25) and region (5) are fixed-cardinality.
+    val factTables = Seq("lineitem", "orders", "events", "documents",
+      "embeddings", "part", "supplier", "customer")
     // Per-item identity keys: an Aggregate grouped on one of these has
     // the cardinality of the fact table itself and bounds nothing.
     val itemKeys = Set("doc_id", "vec_id", "q_id", "event_id",
@@ -382,10 +387,30 @@ class PlanAuditSpec extends AnyFunSuite {
       case In(v, vs) if vs.forall(_.foldable) => keyAttr(v)
       case _ => false
     }
+    // A literal-bound Filter exempts ONLY a plain scan-chain beneath it
+    // (Project/Filter/scan): `vec_id < 16` directly over the embeddings
+    // scan bounds that scan. A bounding predicate sitting ABOVE a join
+    // (say `q_id < 5` applied after joining a full embeddings scan)
+    // bounds the OUTPUT rows but not the work or the unrelated scans
+    // under it — keep recursing there so a future fact-scale broadcast
+    // can't hide beneath an incidental bound.
+    // Generate (posexplode of a vector's dims) is row-LOCAL fan-out —
+    // it preserves the bounded key column and multiplies rows only by
+    // the per-row array size, so a literal key bound above it still
+    // bounds the scan beneath it (the s-family query-set shape:
+    // Filter(vec_id < k) > Project > Generate > embeddings).
+    def scanChain(p: LogicalPlan): Boolean = p match {
+      case _: LogicalRelation => true
+      case pr: Project => scanChain(pr.child)
+      case f: Filter => scanChain(f.child)
+      case g: Generate => scanChain(g.child)
+      case _ => false
+    }
     def unboundedFacts(p: LogicalPlan): Seq[String] = p match {
       case _: GlobalLimit => Seq.empty
       case a: Aggregate if boundingAgg(a) => Seq.empty
-      case f: Filter if literalBound(f.condition) => Seq.empty
+      case f: Filter if literalBound(f.condition) && scanChain(f.child) =>
+        Seq.empty
       case r: LogicalRelation => factNames(r)
       case other => other.children.flatMap(unboundedFacts)
         .map(t => s"${other.nodeName}>$t")
