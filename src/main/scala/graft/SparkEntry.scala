@@ -5919,7 +5919,9 @@ object SparkEntry {
         ORDER BY t.doc_id""",
       // t54: the JM replay — the same integer num/den decomposition
       // per bigram (ln over exact-integer doubles only), the (w1, w2)
-      // fold, quantile_cont for the median (the q14/t35 convention).
+      // fold, and the quantized-cell lower median (rank ceil(n/2) via
+      // 2·cum ≥ n over the cell histogram — exact integers, matching
+      // the engine's bounded-histogram bar bit for bit).
       // t55: the A-ES key in log space — ln over integers only,
       // one divide, rank ties on doc_id.
       "t55_weighted_sample" -> """
@@ -5984,11 +5986,20 @@ object SparkEntry {
                     (ln(CAST(den AS DOUBLE)) - ln(CAST(num AS DOUBLE)))
                   ORDER BY w1, w2), (a, b) -> a + b) AS nll
               FROM sc GROUP BY doc_id),
-        md AS (SELECT quantile_cont(nll / CAST(n_bigrams AS DOUBLE), 0.5) AS med FROM pd)
-        SELECT doc_id, n_bigrams, n_oov,
-          nll / CAST(n_bigrams AS DOUBLE) AS avg_nll,
-          (nll / CAST(n_bigrams AS DOUBLE)) <= md.med AS keep
-        FROM pd CROSS JOIN md
+        qd AS (SELECT doc_id, n_bigrams, n_oov,
+                 nll / CAST(n_bigrams AS DOUBLE) AS avg_nll,
+                 CAST(floor((nll / CAST(n_bigrams AS DOUBLE)) * 1e4) AS BIGINT) AS q_nll
+               FROM pd),
+        hist AS (SELECT q_nll, CAST(count(*) AS BIGINT) AS n_cell
+                 FROM qd GROUP BY q_nll),
+        nall AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM qd),
+        md AS (SELECT min(q_nll) AS bar_cell FROM (
+                 SELECT q_nll, sum(n_cell) OVER (ORDER BY q_nll
+                   ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM hist) h CROSS JOIN nall WHERE cum * 2 >= n_all)
+        SELECT doc_id, n_bigrams, n_oov, avg_nll,
+          q_nll <= md.bar_cell AS keep
+        FROM qd CROSS JOIN md
         ORDER BY doc_id""",
       "t50_memorization_rate" -> """
         WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),

@@ -2455,12 +2455,19 @@ object Dedup {
     val n = edges.select($"src").distinct().count()
     var r = edges.select($"src".as("node")).distinct()
       .withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       r = edges.join(r, $"src" === $"node")
         .select($"doc_id", $"src", ($"rank" / $"deg".cast("double")).as("contrib"))
         .groupBy($"doc_id")
         .agg(expr("aggregate(transform(sort_array(collect_list(struct(src, contrib))), x -> x.contrib), 0D, (a, x) -> a + x)").as("s"))
         .select($"doc_id".as("node"), (lit(0.15 / n) + lit(0.85) * $"s").as("rank"))
+      // The d11 iterate-to-fixpoint convention: truncate the rank
+      // table's lineage every 5 rounds, else the nested join depth
+      // grows one per iteration and Catalyst analysis cost grows
+      // superlinearly with it (values are unchanged — the checkpoint
+      // materializes the same doubles). The final round skips it: the
+      // consumer below reads r once.
+      if (i % 5 == 0 && i < iters) r = r.localCheckpoint()
     }
     // Final degree read from the CHECKPOINTED edge list (deg's own
     // lineage would re-run the whole capped pair generation).

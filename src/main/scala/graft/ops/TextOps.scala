@@ -2084,18 +2084,37 @@ object TextOps {
     * reference-vocabulary-sized broadcasts (a curated target corpus,
     * not the crawl); the scored side is ONE bigram explode reduced to
     * per-(doc, w1, w2) counts before any join, and the per-doc fold
-    * is bounded by the doc's distinct bigrams. The median is a
-    * percentile aggregate (t31's sketch-cutpoint path stands in at
-    * web scale).
+    * is bounded by the doc's distinct bigrams.
+    *
+    * The keep bar is the EXACT LOWER MEDIAN OF THE 1e-4-QUANTIZED
+    * score — never an exact single-group `percentile` (whose buffer
+    * holds every per-doc score: unbounded at corpus scale) and never
+    * a GK sketch (whose selection depends on partition merge order —
+    * per-doc keep bits must stay engine-exact for the oracle). The
+    * scores reduce map-side to a CELL HISTOGRAM whose cardinality is
+    * bounded by the score's RANGE (avg_nll ∈ [0, ln(10·D²)] — set by
+    * the frozen model's smoothing constant D, not by the crawl), the
+    * cumulative window runs over those bounded cells only, and the
+    * bar is the first cell where 2·cum ≥ n (rank ceil(n/2), DuckDB's
+    * quantile_disc convention). A 1e-4-nat threshold resolution is
+    * far inside the noise of any CCNet-style percentile cut.
     */
   def jmQualityFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tk = documents(s, dir).select($"doc_id", $"lang", toks($"text").as("t"))
     val perDoc = jmScored(tk.filter($"lang" === "en").select($"t"),
       tk.select($"doc_id", $"t"))
-    val med = perDoc.agg(expr("percentile(avg_nll, 0.5D)").as("med_nll"))
-    perDoc.crossJoin(broadcast(med))
-      .withColumn("keep", $"avg_nll" <= $"med_nll")
+      .withColumn("q_nll", floor($"avg_nll" * lit(1e4)))
+    val hist = perDoc.groupBy($"q_nll").agg(count(lit(1)).as("n_cell"))
+    val nAll = perDoc.agg(count(lit(1)).as("n_all"))
+    val wc = Window.orderBy($"q_nll")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bar = hist.withColumn("cum", sum($"n_cell").over(wc))
+      .crossJoin(broadcast(nAll))
+      .filter($"cum" * 2 >= $"n_all")
+      .agg(min($"q_nll").as("bar_cell"))
+    perDoc.crossJoin(broadcast(bar))
+      .withColumn("keep", $"q_nll" <= $"bar_cell")
       .select($"doc_id", $"n_bigrams", $"n_oov", $"avg_nll", $"keep")
       .orderBy($"doc_id")
   }

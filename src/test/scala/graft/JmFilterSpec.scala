@@ -71,4 +71,24 @@ class JmFilterSpec extends AnyFunSuite {
       (Math.log(1440.0) - Math.log(576.0))
     assert(out(6L) == ((2L, 0L, nll / 2.0)))
   }
+
+  test("t54 keep bar is the quantized lower median: at least half keep, both verdicts realized") {
+    // The registered bar is the first 1e-4 cell where 2·cum >= n —
+    // rank ceil(n/2) over quantized scores, never an unbounded exact
+    // percentile buffer and never a merge-order-sensitive sketch.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val out = TextOps.jmQualityFilter(spark, TestSpark.sfDir)
+      .select($"avg_nll", $"keep").collect()
+    val n = out.length
+    val kept = out.count(_.getBoolean(1))
+    assert(kept * 2 >= n, s"lower median must keep >= half: $kept of $n")
+    assert(kept < n, "both verdicts must be realized on the corpus")
+    // keep is exactly the quantized-cell compare: every kept score's
+    // cell <= every dropped score's cell, with strict separation at
+    // the bar (no dropped doc shares a kept doc's cell).
+    val keptMax = out.filter(_.getBoolean(1)).map(r => math.floor(r.getDouble(0) * 1e4)).max
+    val dropMin = out.filterNot(_.getBoolean(1)).map(r => math.floor(r.getDouble(0) * 1e4)).min
+    assert(keptMax < dropMin)
+  }
 }

@@ -45,4 +45,25 @@ class PagerankSpec extends AnyFunSuite {
     assert(out(7L)._2 == out(8L)._2)
     assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-12)
   }
+
+  test("iters=30 stays analyzable: periodic checkpoint bounds plan depth") {
+    // Without the every-5-rounds localCheckpoint the 30-deep nested
+    // join/aggregate lineage makes Catalyst analysis cost superlinear
+    // in iteration count; with it each segment re-plans at most a
+    // 5-deep tree. The wall bound is deliberately loose (CI-safe) —
+    // the unbounded form took minutes at this depth.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("doc_a", "doc_b")
+    val t0 = System.nanoTime()
+    val out = Dedup.pagerankOverPairs(pairs, iters = 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 120.0, s"30-iteration PageRank took $sec s")
+    // Deeper iteration converges toward the same fixpoint: mass still
+    // conserves and the hub still dominates.
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+    assert((1L to 4L).forall(i => out(0L) > out(i)))
+  }
 }

@@ -115,9 +115,10 @@ class PlanAuditSpec extends AnyFunSuite {
         // |sources| mixture rows — t27's whitelisted shape, inherited
         // by the campaign's mixture stage.
         "c01_curation_campaign",
-        // t54: two one-row broadcasts — the (n_ref, v_ref) reference
+        // t54: three one-row broadcasts — the (n_ref, v_ref) reference
         // totals onto the scored-bigram rows (the t20/t49 corpus-stats
-        // class) and the median threshold onto the per-doc rows.
+        // class), the doc-count total onto the bounded cell histogram,
+        // and the quantized median bar onto the per-doc rows.
         "t54_jm_quality_filter",
         // e40: the one-row observed-span broadcast, crossed twice —
         // onto the |types| spine seeds and onto the |types| report
@@ -275,7 +276,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "e07_type_shares" -> ("input is the event-type aggregate: " +
         "|event types| is a fixed small domain (6 here)"),
       "t39_heaps_fit" -> ("inlines t28's decile windows: same 10-row " +
-        "decile table, under t39's own limit(10) fold"))
+        "decile table, under t39's own limit(10) fold"),
+      "t54_jm_quality_filter" -> ("input is the quantized-score cell " +
+        "histogram: |cells| <= 1e4 * ln(10*D^2) is set by the frozen " +
+        "model's smoothing constant, not by the corpus"))
     def limitOnLineage(p: LogicalPlan): Boolean = p match {
       case _: GlobalLimit => true
       case u: UnaryNode => limitOnLineage(u.child)
