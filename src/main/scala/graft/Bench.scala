@@ -41,11 +41,18 @@ object Bench {
       spark.range(50000000L).selectExpr("sum(xxhash64(id) % 1000000)").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    calibrationProbe() // warm the probe's own codegen path
-    val calibration = Seq.fill(3)(calibrationProbe()).sorted.apply(1)
     // Optional name filter for local iteration on a single query:
     //   SPARK_GRAFT_ONLY=d11_dup_clusters sbt "runMain graft.Bench"
     val only = sys.env.get("SPARK_GRAFT_ONLY")
+    // Single-query iteration doesn't compare across rounds, so it
+    // skips the ~2 s calibration probe and emits null for the field.
+    val calibration: Option[Double] =
+      if (only.isDefined) None
+      else {
+        calibrationProbe() // warm the probe's own codegen path
+        Some(Seq.fill(3)(calibrationProbe()).sorted.apply(1))
+      }
+    val calibrationJson = calibration.map(_.toString).getOrElse("null")
     val selected = only.fold(SparkEntry.queries)(re =>
       SparkEntry.queries.filter { case (k, _) => k.matches(re) })
     // Single-shot timings on this box swing 3-5x between identical-code
@@ -209,22 +216,29 @@ object Bench {
     // to bench_detail.json in the working directory and to stderr — for
     // humans, logs, and anyone reading the repo after a run. The driver
     // contract line on stdout must fit, WHOLE, inside the driver's
-    // 2000-char tail capture even as the query surface grows, so its
-    // map keys are the short unique ids (the prefix before the first
-    // underscore: q01..q22, d01..d19, t01..t19, s01..s08, e01..e12,
-    // m01..m08, p01) with compact 2-decimal values.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","failed":$failedJson,"calibration_sec":$calibration,"queries":${jsonMap(median, _.toString)},"queries_min":${jsonMap(_.min, _.toString, pick = _.all)},"queries_median_all":${jsonMap(median, _.toString, pick = _.all)},"queries_overlapped_gc_ms":${jsonMap(median, _.toLong.toString, _.gcMs.toDouble)},"queries_peak_heap_mb":${jsonMap(median, _.toLong.toString, _.peakMb.toDouble)},"sf":"$sfDir"}"""
+    // 2000-char tail capture: at 256+ queries even short-id per-query
+    // entries overflow it (the r17 truncation), so stdout carries
+    // total/failed/calibration plus per-FAMILY subtotals and counts
+    // (c/d/e/m/p/q/s/t — a dozen entries whatever the surface grows
+    // to), and per-query detail lives in bench_detail.json only.
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","failed":$failedJson,"calibration_sec":$calibrationJson,"queries":${jsonMap(median, _.toString)},"queries_min":${jsonMap(_.min, _.toString, pick = _.all)},"queries_median_all":${jsonMap(median, _.toString, pick = _.all)},"queries_overlapped_gc_ms":${jsonMap(median, _.toLong.toString, _.gcMs.toDouble)},"queries_peak_heap_mb":${jsonMap(median, _.toLong.toString, _.peakMb.toDouble)},"sf":"$sfDir"}"""
     System.err.println(detail)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
     catch { case _: Throwable => () } // a read-only cwd must not kill the report
     def shortId(k: String): String = k.takeWhile(_ != '_')
-    def jsonMapShort(f: Seq[Double] => Double): String = results
-      .filter(_.report.nonEmpty)
-      .map { r => s"\"" + shortId(r.name) + "\":" + compact(f(r.report.map(_.sec))) }
+    val byFamily = results.filter(_.report.nonEmpty).groupBy(_.name.take(1)).toSeq.sortBy(_._1)
+    val familiesJson = byFamily
+      .map { case (fam, rs) =>
+        s"\"$fam\":" + compact(rs.map(r => median(r.report.map(_.sec))).sum)
+      }
+      .mkString("{", ",", "}")
+    val familyCountsJson = byFamily
+      .map { case (fam, rs) => s"\"$fam\":${rs.size}" }
       .mkString("{", ",", "}")
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val failedField =
       if (failed.isEmpty) "" else s""","n_failed":${failed.length},"failed":${failed.map(k => "\"" + shortId(k) + "\"").mkString("[", ",", "]")}"""
-    println(s"""{"metric":"total","value":${compact(total)},"unit":"sec"$failedField,"queries":${jsonMapShort(median)},"sf":"$sfShort"}""")
+    val nTimed = results.count(_.report.nonEmpty)
+    println(s"""{"metric":"total","value":${compact(total)},"unit":"sec","n_queries":$nTimed$failedField,"calibration_sec":$calibrationJson,"queries":$familiesJson,"query_counts":$familyCountsJson,"sf":"$sfShort"}""")
   }
 }

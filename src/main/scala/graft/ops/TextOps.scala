@@ -1657,24 +1657,44 @@ object TextOps {
     * session — t43/t44/t46 all derive from this one entry, so the
     * 20-round training loop never reruns within a session. The final
     * vocabulary frame is vocabulary-sized (tens of rows on this
-    * corpus, ~10⁵ in production), so keeping its checkpoint pinned
-    * for the session costs KBs; the loop already frees every
-    * superseded intermediate. Purge-on-access keeps dead sessions out
-    * (the CorpusIndexes.purgeStopped discipline).
+    * corpus, ~10⁵ in production), so one pinned checkpoint costs KBs;
+    * the loop already frees every superseded intermediate. The cache
+    * is a 4-entry LRU: a long-lived session sweeping many corpora or
+    * nMerges values unpersists the eldest entry's checkpoint RDDs
+    * instead of growing block-manager residency without bound (every
+    * registered consumer materializes its own CorpusIndexes.memo
+    * checkpoint eagerly at first build, so an evicted entry has no
+    * live downstream lineage). Purge-on-access keeps dead sessions
+    * out (the CorpusIndexes.purgeStopped discipline).
     */
-  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int),
-    (Seq[(Int, String, String, Long)], DataFrame)]()
+  private type BpeEntry =
+    (Seq[(Int, String, String, Long)], DataFrame, Seq[org.apache.spark.rdd.RDD[_]])
+  private val bpeCacheMax = 4
+  private val bpeCache =
+    new java.util.LinkedHashMap[(SparkSession, String, Int), BpeEntry](
+      16, 0.75f, true) {
+      override protected def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, Int), BpeEntry]): Boolean =
+        if (size() > bpeCacheMax) {
+          if (!e.getKey._1.sparkContext.isStopped)
+            e.getValue._3.foreach(_.unpersist(false))
+          true
+        } else false
+    }
 
   private def bpeTrained(s: SparkSession, dir: String, nMerges: Int)
-      : (Seq[(Int, String, String, Long)], DataFrame) = {
+      : (Seq[(Int, String, String, Long)], DataFrame) = bpeCache.synchronized {
     val it = bpeCache.keySet.iterator()
     while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
-    bpeCache.computeIfAbsent((s, dir, nMerges), _ => {
-      val (merges, words, _) =
-        bpeTrain(s, documents(s, dir).select(col("text")), nMerges)
-      (merges, words)
-    })
+    val key = (s, dir, nMerges)
+    val hit = bpeCache.get(key)
+    val v = if (hit != null) hit
+    else {
+      val built = bpeTrain(s, documents(s, dir).select(col("text")), nMerges)
+      bpeCache.put(key, built)
+      built
+    }
+    (v._1, v._2)
   }
 
   /** t44 — the trained segmentation APPLIED: the per-word subword
