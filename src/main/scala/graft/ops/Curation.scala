@@ -172,6 +172,65 @@ object Curation {
       .orderBy($"source")
   }
 
+  /** The composed INGEST-TIME campaign verdict for one batch of
+    * (doc_id, text) arrivals against the frozen snapshot structures —
+    * c01's first-failing-gate discipline applied at the door, chaining
+    * every ingest gate the streaming family ships solo: the admission
+    * cascade (t02 quality bar, the d15 three-signal dedup probe
+    * against the historical index, benchmark decontamination — the
+    * StreamingAdmission core), then the two frozen-model gates (t54's
+    * JM perplexity against the campaign-shipped threshold — the
+    * StreamingJm core; t49's DSIR selection — the StreamingDsir core).
+    *
+    * Stage attribution is FIRST-FAILING-GATE in c01's order
+    * (quality → dedup → decontam → lm_quality → dsir → kept), so the
+    * stages partition the arrivals (the funnel conservation
+    * invariant). A sub-bigram document carries no LM evidence — the
+    * two model gates cannot fire on it (their scores are null and a
+    * null predicate falls through), the deterministic analog of t54's
+    * omit-the-doc contract.
+    *
+    * Every verdict depends only on its own document versus the frozen
+    * sidecars, so per-batch verdicts COMPOSE: the union over any
+    * batch partitioning equals this one-shot batch chain bit for bit,
+    * and both equal the solo doors' outputs composed by the same
+    * precedence (StreamingExtrasSpec pins all three, through a forced
+    * replay).
+    *
+    * Scale shape: each gate keeps its audited solo plan — batch-vs-
+    * bucketed-index equi-joins for the dedup signals, the broadcast
+    * gram set, vocabulary-sized model broadcasts; the compose step is
+    * three left equi-joins on doc_id at BATCH cardinality. Nothing
+    * touches the corpus beyond the frozen sidecars.
+    */
+  def campaignProbeBatch(batch: DataFrame, idx: Dedup.TextProbeIndex,
+                         benchGrams: DataFrame,
+                         runi: DataFrame, rbg: DataFrame, ctx: DataFrame,
+                         jmThreshold: Double,
+                         dsirModel: DataFrame): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val adm = Dedup.admissionProbeIndexed(batch, idx, benchGrams)
+    val jm = TextOps.jmScoreAgainst(
+        batch.select($"doc_id", TextOps.toks($"text").as("t")),
+        runi, rbg, ctx)
+      .select($"doc_id", $"avg_nll")
+    val ds = TextOps.dsirScoreBatch(batch, dsirModel)
+      .select($"doc_id", $"logw", $"selected")
+    adm.join(jm, Seq("doc_id"), "left")
+      .join(ds, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when($"low_quality", "quality")
+          .when($"exact_dup" || $"near_dup" || $"sim_dup", "dedup")
+          .when($"contaminated", "decontam")
+          .when($"avg_nll" > lit(jmThreshold), "lm_quality")
+          .when(!coalesce($"selected", lit(true)), "dsir")
+          .otherwise("kept"))
+      .select($"doc_id", $"exact_dup", $"near_dup", $"sim_dup",
+        $"low_quality", $"contaminated", $"avg_nll", $"logw",
+        $"stage", ($"stage" === "kept").as("admit"))
+  }
+
   /** The DuckDB replay of the WHOLE campaign: the d31 decision CTEs
     * (MinHash → capped LSH → recursive CC → quality argmax), the t51
     * Gopher-bar chain, the t41 multi-suite fingerprint probe, the d35

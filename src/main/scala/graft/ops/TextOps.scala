@@ -20,7 +20,7 @@ object TextOps {
     */
   val Stopwords: Seq[String] = Seq("a", "the")
 
-  private def toks(text: Column): Column = split(text, "\\s+")
+  private[ops] def toks(text: Column): Column = split(text, "\\s+")
 
   /** Per-document token statistics: counts, distinct counts, char
     * length, mean token length — single narrow scan, no shuffle at all.

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming CAMPAIGN door — the composed ingest pipeline: every
+  * per-document gate the streaming family ships solo
+  * ([[StreamingAdmission]]'s quality/dedup/decontam cascade,
+  * [[StreamingJm]]'s frozen-threshold perplexity gate,
+  * [[StreamingDsir]]'s frozen-histogram selection gate) chained under
+  * c01's first-failing-gate discipline over ONE shared `indexDir` —
+  * the door a 100 TB crawl intake actually runs: one verdict row per
+  * arriving document with the stage that killed it (or `kept`), so
+  * the per-batch outputs aggregate directly into the campaign funnel.
+  *
+  * The 23 solo doors are each certified batch-equivalent; this door
+  * certifies they COMPOSE: every gate depends only on its own
+  * document versus the frozen sidecars, so the union of per-batch
+  * composed verdicts is bit-identical to the one-shot batch chain
+  * ([[graft.ops.Curation.campaignProbeBatch]]) AND to the solo doors'
+  * outputs composed by the same precedence (StreamingExtrasSpec pins
+  * both, through a forced replay).
+  *
+  * Frozen-snapshot contract: all structures read from `indexDir` once
+  * at run start — the dedup probe index
+  * ([[graft.ops.Dedup.persistTextProbeIndex]]), the `bench_grams`
+  * sidecar, the JM model ([[graft.ops.TextOps.persistJmModel]]) with
+  * its campaign-shipped threshold, and the DSIR model
+  * ([[graft.ops.TextOps.persistDsirModel]]). Arrivals never update
+  * any of them; the run starts with NO corpus pass.
+  *
+  * Exactly-once: the family convention — per-batch `batch_id=<n>`
+  * overwrite, so an at-least-once replay rewrites identical bytes.
+  *
+  * Scale shape: per trigger each gate keeps its audited solo plan
+  * (batch-vs-bucketed-index equi-joins; broadcast gram set;
+  * vocabulary-sized model broadcasts) plus three batch-cardinality
+  * left joins on doc_id; history is never rescanned.
+  */
+object StreamingCampaign {
+
+  /** Start the job: `docs` is any streaming frame bearing
+    * (doc_id, text); `indexDir` the shared snapshot root;
+    * `jmThreshold` the frozen t54 keep bar the campaign shipped.
+    * Verdict rows (doc_id, gate flags, avg_nll, logw, stage, admit)
+    * land under `outDir/batch_id=<n>/`.
+    */
+  def run(docs: DataFrame, indexDir: String, jmThreshold: Double,
+          outDir: String, checkpointDir: String): StreamingQuery = {
+    val s = docs.sparkSession
+    // All frozen structures load ONCE at run start. The model tables
+    // are vocabulary-sized and pin as checkpoints; the dedup probe
+    // index reads as bucketed disk tables per trigger (batch-sized
+    // probe joins against them — pinning corpus-scale bands in memory
+    // would be wrong at 100 TB).
+    val idx = graft.ops.Dedup.loadTextProbeIndex(s, indexDir)
+    val grams = graft.ops.CorpusIndexes
+      .readSidecar(s, indexDir, "bench_grams").localCheckpoint()
+    val (runi, rbg, ctx) = graft.ops.TextOps.loadJmModel(s, indexDir)
+    val (u, b, c) =
+      (runi.localCheckpoint(), rbg.localCheckpoint(), ctx.localCheckpoint())
+    val dsir = graft.ops.TextOps.loadDsirModel(s, indexDir).localCheckpoint()
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Curation
+          .campaignProbeBatch(batch, idx, grams, u, b, c, jmThreshold, dsir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+}

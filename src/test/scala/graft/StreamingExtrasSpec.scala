@@ -1470,6 +1470,108 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(kept > 0 && kept < streamed.count())
   }
 
+  test("StreamingCampaign: composed door equals the batch chain AND the solo doors; replay exactly-once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    // History = the %5!=0 slice (the StreamingAdmission convention);
+    // arrivals = the %5==0 slice streamed in 3 batches. All frozen
+    // structures ship under ONE indexDir, the production snapshot
+    // shape.
+    val docs = Tables.documents(spark, TestSpark.sfDir).select($"doc_id", $"text")
+    val hist = docs.filter($"doc_id" % 5 =!= 0).localCheckpoint()
+    val arrivals = docs.filter($"doc_id" % 5 === 0)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val root = java.nio.file.Files.createTempDirectory("graft_camp_idx").toString
+    graft.ops.Dedup.persistTextProbeIndex(hist, root)
+    graft.ops.CorpusIndexes.persistSidecars(spark, TestSpark.sfDir, root,
+      Seq("bench_grams"))
+    graft.ops.TextOps.persistJmModel(spark, TestSpark.sfDir, root)
+    graft.ops.TextOps.persistDsirModel(spark, TestSpark.sfDir, root)
+    // The campaign-shipped JM threshold (the StreamingJm convention:
+    // the exact bar batch t54 realizes).
+    val batchT54 = graft.ops.TextOps.jmQualityFilter(spark, TestSpark.sfDir)
+      .localCheckpoint()
+    val threshold = batchT54.filter($"keep").agg(max($"avg_nll"))
+      .head().getDouble(0)
+    val batches = Seq(
+      arrivals.take(arrivals.length / 3),
+      arrivals.slice(arrivals.length / 3, 2 * arrivals.length / 3),
+      arrivals.drop(2 * arrivals.length / 3))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_camp_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_camp_out").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    def start() = graft.streaming.StreamingCampaign
+      .run(stream, root, threshold, out, ckpt)
+    val q1 = start()
+    try {
+      input.addData(batches(0).toSeq); q1.processAllAvailable()
+      input.addData(batches(1).toSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    // Forced replay of the last batch — identical bytes under the
+    // same batch id.
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.last.delete())
+    val crc = new java.io.File(
+      s"$ckpt/commits/.${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays the dropped batch
+      input.addData(batches(2).toSeq); q2.processAllAvailable()
+    } finally q2.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id").localCheckpoint()
+    assert(streamed.count() == arrivals.length.toLong)
+    // 1. The composed door == the ONE-SHOT batch chain on the same
+    //    arrivals against the same frozen sidecars, bit for bit.
+    val arrivalsDf = arrivals.toSeq.toDF("doc_id", "text").localCheckpoint()
+    val idx = graft.ops.Dedup.loadTextProbeIndex(spark, root)
+    val grams = graft.ops.CorpusIndexes.readSidecar(spark, root, "bench_grams")
+    val (runi, rbg, ctx) = graft.ops.TextOps.loadJmModel(spark, root)
+    val dsirModel = graft.ops.TextOps.loadDsirModel(spark, root)
+    val oneShot = graft.ops.Curation.campaignProbeBatch(
+      arrivalsDf, idx, grams, runi, rbg, ctx, threshold, dsirModel)
+      .localCheckpoint()
+    assert(streamed.except(oneShot).count() == 0)
+    assert(oneShot.except(streamed).count() == 0)
+    // Kept-set bit for bit (the round-17 verdict's Done criterion).
+    val keptStream = streamed.filter($"admit").select($"doc_id")
+    val keptBatch = oneShot.filter($"admit").select($"doc_id")
+    assert(keptStream.except(keptBatch).count() == 0)
+    assert(keptBatch.except(keptStream).count() == 0)
+    // 2. The composed stages == the SOLO doors' verdicts composed by
+    //    the same first-failing-gate precedence — nothing about
+    //    composition changed any gate's solo decision.
+    val adm = graft.ops.Dedup.admissionProbeIndexed(arrivalsDf, idx, grams)
+    val jm = graft.ops.TextOps.jmScoreDocs(arrivalsDf, runi, rbg, ctx, threshold)
+      .select($"doc_id", $"keep".as("jm_keep"))
+    val ds = graft.ops.TextOps.dsirScoreBatch(arrivalsDf, dsirModel)
+      .select($"doc_id", $"selected")
+    val derived = adm
+      .join(jm, Seq("doc_id"), "left")
+      .join(ds, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when($"low_quality", "quality")
+          .when($"exact_dup" || $"near_dup" || $"sim_dup", "dedup")
+          .when($"contaminated", "decontam")
+          .when(!coalesce($"jm_keep", lit(true)), "lm_quality")
+          .when(!coalesce($"selected", lit(true)), "dsir")
+          .otherwise("kept"))
+      .select($"doc_id", $"stage")
+    assert(streamed.select($"doc_id", $"stage").except(derived).count() == 0)
+    assert(derived.except(streamed.select($"doc_id", $"stage")).count() == 0)
+    // 3. Funnel conservation: the stages partition the arrivals, and
+    //    the chain actually exercises multiple gates on this corpus.
+    val byStage = streamed.groupBy($"stage").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage.values.sum == arrivals.length.toLong)
+    assert(byStage.getOrElse("kept", 0L) > 0, "some arrivals must survive")
+    assert(byStage.size >= 2, s"only one stage fired: $byStage")
+  }
+
   test("StreamingSpanDedup: streamed spans compose to batch d36 from the disk index; replay exactly-once") {
     val spark = TestSpark.spark
     import spark.implicits._
