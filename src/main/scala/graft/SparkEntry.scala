@@ -202,6 +202,9 @@ object SparkEntry {
     // q44 = TPC-H Q2 shape: min-cost supplier per small part via a
     // CORRELATED scalar subquery (the decorrelation rewrite surface).
     "q44_min_cost_supplier"  -> (Relational2.minCostSupplier _),
+    // q45 = TPC-H Q11 shape: GROUP BY + HAVING gated by scalar
+    // aggregate subqueries over the same relation (mean-share bar).
+    "q45_value_concentration" -> (Relational2.valueConcentration _),
     // s34 = linearized silhouette: per-vector clustering quality in
     // n·k dots against the cells' normalized-sum vectors (never n²).
     "s34_silhouette"         -> (Similarity.silhouetteAudit _),
@@ -340,6 +343,10 @@ object SparkEntry {
     // power iterations, source-ordered folds, degree bounded by
     // cap x bands — cluster-connectivity centrality beyond CC labels.
     "d44_dup_pagerank"       -> ((s, d) => Dedup.dupPagerank(s, d)),
+    // d45 = label-propagation communities over the same capped graph:
+    // 6 synchronous integer-only rounds (majority label, min-label
+    // ties) — cohesion splits that CC's reachability cannot see.
+    "d45_dup_communities"    -> ((s, d) => Dedup.dupCommunities(s, d)),
     // d31 = the SHIPPED curated corpus read back: writeCuratedCorpus
     // runs, then per-source doc count + token sum recomputed from the
     // written artifact itself — the write path under the hash oracle.
@@ -3952,6 +3959,9 @@ object SparkEntry {
         GROUP BY t.source ORDER BY t.source"""),
       "d43_cap_ablation" -> graft.ops.Dedup.capAblationOracle,
       "d44_dup_pagerank" -> graft.ops.Dedup.pagerankOracle(10),
+      // d45: the shared pair prefix, then 6 chained integer
+      // count->max->min LP rounds — exact in any engine.
+      "d45_dup_communities" -> graft.ops.Dedup.labelPropOracle(6),
       // d42: the d30 label-replay prefix (MinHash -> capped LSH ->
       // recursive CC), then the cluster x source rollup; arg_min picks
       // the representative's source exactly like min_by over the
@@ -4698,6 +4708,17 @@ object SparkEntry {
         FROM t_o, t_l, act, hist""",
       // q43: exact-decimal equality to the view max; only the report
       // column casts to double (via varchar, the decimal rule).
+      // q45: the same GROUP BY + HAVING with scalar subqueries; the
+      // bar compare is exact decimal*bigint; double via VARCHAR.
+      "q45_value_concentration" -> """
+        SELECT l_partkey,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS part_value
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))) *
+            (SELECT count(DISTINCT l_partkey) FROM lineitem)
+          > (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) FROM lineitem)
+        ORDER BY part_value DESC, l_partkey""",
       "q44_min_cost_supplier" -> """
         WITH ps AS (SELECT l_partkey, l_suppkey,
                       sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS cost

@@ -2510,6 +2510,97 @@ object Dedup {
     sb.toString
   }
 
+  /** d45 — LABEL-PROPAGATION COMMUNITIES over the capped near-dup
+    * candidate graph: d44's natural sibling and the third graph
+    * question — CC (d11) answers reachability, PageRank (d44) answers
+    * centrality, label propagation answers COHESION: a CC component
+    * that chains two template farms through one bridge pair is ONE
+    * cluster to d11 but TWO communities here, because each node adopts
+    * the label held by the MAJORITY of its neighbors and the bridge
+    * cannot outvote either side. GraphFrames-free: `iters` rounds of
+    * synchronous LP composed as plain joins/aggregates in one plan.
+    *
+    * Determinism (the known LP pitfall, closed): every tie — equal
+    * neighbor-label counts, and the init — resolves to the SMALLEST
+    * label, and the update is fully synchronous (labels(t+1) reads
+    * labels(t) only), so the result is a pure function of the edge
+    * set; a fixed iteration count makes oscillating structures (pure
+    * bipartite cores flip under synchronous LP) well-defined as the
+    * round-`iters` snapshot, the d44 fixed-depth convention. The
+    * whole computation is INTEGER-only: per-(node, label) counts, a
+    * max, a min — no floats anywhere, so the oracle replay is exact
+    * by construction.
+    *
+    * Scale shape: the edge list is the capped LSH candidate graph
+    * (degree structurally ≤ cap × bands), materialized once and
+    * reused by all rounds; each round is two key-local aggregates
+    * (count per (dst, label) → max per dst) plus one equi-join back —
+    * three shuffles on node keys, never a collect, never a window;
+    * the rank table localCheckpoints every 5 rounds (the d11/d44
+    * lineage discipline). The oracle replays the identical rounds as
+    * chained MATERIALIZED CTEs (the t43 loop convention).
+    */
+  def dupCommunities(s: SparkSession, dir: String, iters: Int = 6): DataFrame =
+    labelPropOverPairs(cappedPairsUnsorted(s, dir, 64), iters)
+
+  /** [[dupCommunities]] over an explicit DISTINCT (doc_a, doc_b) pair
+    * frame — the synthetic-graph spec seam.
+    */
+  private[graft] def labelPropOverPairs(pairs: DataFrame, iters: Int): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .localCheckpoint()
+    var lab = edges.select($"src".as("node")).distinct()
+      .withColumn("lbl", $"node")
+    for (i <- 1 to iters) {
+      val cnt = edges.join(lab, $"src" === $"node")
+        .groupBy($"dst", $"lbl").agg(count(lit(1)).as("c"))
+      val mx = cnt.groupBy($"dst").agg(max($"c").as("mc"))
+      lab = cnt.join(mx, Seq("dst"))
+        .filter($"c" === $"mc")
+        .groupBy($"dst").agg(min($"lbl").as("lbl"))
+        .select($"dst".as("node"), $"lbl")
+      if (i % 5 == 0 && i < iters) lab = lab.localCheckpoint()
+    }
+    val sizes = lab.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
+    lab.join(sizes, Seq("lbl"))
+      .select($"node".as("doc_id"), $"lbl".as("community"), $"n_members")
+      .orderBy($"doc_id")
+  }
+
+  /** The DuckDB replay of [[dupCommunities]]: the shared pair prefix,
+    * then `iters` chained MATERIALIZED count→max→min rounds — all
+    * integer aggregates, exact in any engine.
+    */
+  private[graft] def labelPropOracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH\n" + pairsReplaySql + """,
+        le AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        lp0 AS (SELECT DISTINCT src AS node, src AS lbl FROM le)"""
+    for (k <- 1 to iters) {
+      sb ++= s""",
+        cnt$k AS MATERIALIZED (
+          SELECT e.dst AS node, l.lbl, CAST(count(*) AS BIGINT) AS c
+          FROM le e JOIN lp${k - 1} l ON l.node = e.src
+          GROUP BY e.dst, l.lbl),
+        lp$k AS MATERIALIZED (
+          SELECT c.node, min(c.lbl) AS lbl
+          FROM cnt$k c JOIN (SELECT node, max(c) AS mc FROM cnt$k
+                             GROUP BY node) m
+            ON c.node = m.node AND c.c = m.mc
+          GROUP BY c.node)"""
+    }
+    sb ++= s"""
+        SELECT l.node AS doc_id, l.lbl AS community, z.n_members
+        FROM lp$iters l JOIN (SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
+                              FROM lp$iters GROUP BY lbl) z ON z.lbl = l.lbl
+        ORDER BY doc_id"""
+    sb.toString
+  }
+
   /** DuckDB replay of [[capAblation]]: one shared MinHash/band prefix,
     * two capped pair→CC chains (the d30 walk, parameterized by cap),
     * the same labels-only rollup.

@@ -1096,6 +1096,44 @@ object Relational2 {
       ORDER BY p.p_partkey, s_suppkey""")
   }
 
+  /** q45 — VALUE CONCENTRATION (the TPC-H Q11 shape): the parts whose
+    * total supplied value exceeds the MEAN part share — GROUP BY +
+    * HAVING gated by scalar aggregate subqueries over the SAME
+    * relation, the second decorrelation surface q44's correlated
+    * `= (SELECT min …)` does not cover: Catalyst plans each HAVING
+    * subquery as a one-row scalar-subquery stage joined into the
+    * aggregate's filter, never a per-group re-execution. Q11's
+    * fixed-fraction bar is replaced by the scale-free mean-share bar
+    * (v · n_parts > total) so both verdict outcomes are realized at
+    * every SF instead of the fraction silently passing everything at
+    * small scale.
+    *
+    * Determinism: value sums are exact DECIMAL; the bar compare is
+    * decimal·bigint > decimal — integer-cents arithmetic, exact in
+    * both engines; the one double cast is the final reported value
+    * (the oracle routes through VARCHAR per house rule); ORDER BY
+    * (part_value DESC, l_partkey) totally orders.
+    *
+    * Scale shape: one partkey-grouped aggregate over lineitem (shuffle
+    * once, map-combined); the two scalar subqueries are one-row
+    * aggregates whose identical scan subtrees the engine dedupes
+    * (ReusedExchange at the rollup's exchange) — and at worst they are
+    * two extra full-scan ROLLUPS, never per-part probes. Output is
+    * the above-mean part list.
+    */
+  def valueConcentration(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    s.sql("""
+      SELECT l_partkey,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+      FROM v_lineitem
+      GROUP BY l_partkey
+      HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))) *
+          (SELECT count(DISTINCT l_partkey) FROM v_lineitem) >
+        (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) FROM v_lineitem)
+      ORDER BY part_value DESC, l_partkey""")
+  }
+
   def partSupplierVariety(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bad = supplier(s, dir).filter($"s_acctbal" < 0.0).select($"s_suppkey")
