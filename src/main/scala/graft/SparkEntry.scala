@@ -205,6 +205,10 @@ object SparkEntry {
     // q45 = TPC-H Q11 shape: GROUP BY + HAVING gated by scalar
     // aggregate subqueries over the same relation (mean-share bar).
     "q45_value_concentration" -> (Relational2.valueConcentration _),
+    // q46 = TPC-H Q22 shape: correlated NOT EXISTS (the genuine
+    // RewritePredicateSubquery anti-join surface) + scalar avg bar
+    // algebraized to bal*n > sum, grouped by nation.
+    "q46_dormant_accounts"   -> (Relational2.dormantAccounts _),
     // s34 = linearized silhouette: per-vector clustering quality in
     // n·k dots against the cells' normalized-sum vectors (never n²).
     "s34_silhouette"         -> (Similarity.silhouetteAudit _),
@@ -336,6 +340,11 @@ object SparkEntry {
     // artifact + ledger → t27 mixture plan + t21 packing recomputed
     // from the written bytes; ONE oracle replays the whole chain.
     "c01_curation_campaign"  -> ((s, d) => Curation.curationCampaign(s, d)),
+    // c02 = the INGEST-TIME campaign: the composed door's five-gate
+    // chain (quality/dedup/decontam/JM/DSIR) as one oracle-checked
+    // batch over the d14 arrival convention — the StreamingCampaign
+    // door's batch twin.
+    "c02_ingest_campaign"    -> ((s, d) => Curation.ingestCampaign(s, d)),
     // d30 = d27 rolled up per source in TOKENS — the dedup savings in
     // the mixture planner's currency; |sources| rows out.
     "d30_savings_by_source"  -> ((s, d) => Dedup.dedupSavingsBySource(s, d)),
@@ -759,6 +768,10 @@ object SparkEntry {
     // index of arrivals vs history over 8 history-frozen bins — the
     // distribution check behind the s22/s28 frozen-model assumption.
     "s38_embedding_drift"    -> (Similarity.embeddingDrift _),
+    // s39 = IVF cell-balance audit off the frozen assignment sidecar:
+    // per-cell counts + ppm share + the 2x-fair-share hot flag — the
+    // retrain trigger s38's data-drift monitor doesn't cover.
+    "s39_ivf_balance"        -> (Similarity.ivfBalance _),
     // s31 = nprobe recall sweep: the coarse-probe tuning curve
     // (s11 sweeps shortlist width; this sweeps probed cells).
     "s31_nprobe_sweep"       -> (Similarity.ivfNprobeSweep _),
@@ -3427,63 +3440,10 @@ object SparkEntry {
         ORDER BY a.cluster_id""",
       // d25: the d15 probe CTEs + the t25 quality expression + the t16
       // gram sets, left-joined onto every arriving doc.
-      "d25_ingest_admission" -> """
-        WITH nh AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0),
-        hh AS (SELECT doc_id AS hist_doc, md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
-        exact AS (SELECT nh.doc_id, min(hh.hist_doc) AS exact_match
-                  FROM nh JOIN hh ON nh.h = hh.h GROUP BY nh.doc_id),
-        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
-                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
-               FROM documents),
-        mh AS (SELECT doc_id, i,
-                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
-               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
-        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
-        bands AS (SELECT doc_id, j,
-                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
-                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
-        hb AS (SELECT j, bkey, doc_id AS hist_doc FROM bands WHERE doc_id % 5 <> 0),
-        smallh AS (SELECT j, bkey FROM hb GROUP BY j, bkey HAVING count(*) <= 64),
-        near AS (SELECT nb.doc_id, min(hb.hist_doc) AS near_match
-                 FROM bands nb
-                 JOIN hb ON nb.j = hb.j AND nb.bkey = hb.bkey
-                 JOIN smallh sm ON hb.j = sm.j AND hb.bkey = sm.bkey
-                 WHERE nb.doc_id % 5 = 0 GROUP BY nb.doc_id),
-        tc AS (SELECT doc_id, tok, count(*) AS cnt FROM (
-                 SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
-                 FROM documents) x GROUP BY doc_id, tok),
-        sh0 AS (SELECT doc_id, cnt, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tc),
-        sb AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS w
-               FROM sh0, (SELECT unnest(generate_series(0, 59)) AS i) ii GROUP BY doc_id, i),
-        sh AS (SELECT doc_id, CAST(sum(CASE WHEN w >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
-               FROM sb GROUP BY doc_id),
-        sbands AS (SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767 AS bv
-                   FROM sh, (SELECT unnest(generate_series(0, 3)) AS j) jj),
-        simm AS (SELECT a.doc_id, min(b.doc_id) AS sim_match
-                 FROM sbands a JOIN sbands b ON a.j = b.j AND a.bv = b.bv
-                 WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-                   AND bit_count(xor(a.simhash, b.simhash)) <= 8
-                 GROUP BY a.doc_id),
-        merged AS (SELECT COALESCE(e.doc_id, n.doc_id, s.doc_id) AS doc_id,
-                     e.exact_match, n.near_match, s.sim_match
-                   FROM exact e
-                   FULL OUTER JOIN near n ON e.doc_id = n.doc_id
-                   FULL OUTER JOIN simm s ON COALESCE(e.doc_id, n.doc_id) = s.doc_id),
-        q AS (SELECT doc_id,
-                0.4 * (1.0 - CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t))
-                  + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
-                  + 0.3 * least(len(t) / 50.0, 1.0) AS quality
-              FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
-                    FROM documents WHERE doc_id % 5 = 0) b),
-        grams AS (SELECT doc_id, list_distinct(list_transform(
-                    generate_series(1, len(th) - 3),
-                    i -> ((((((th[i]) * 31 + th[i+1]) % 2147483647) * 31 + th[i+2]) % 2147483647) * 31 + th[i+3]) % 2147483647)) AS gs
-                  FROM tk WHERE len(th) >= 4),
-        bg AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0),
-        dirty AS (SELECT DISTINCT doc_id FROM
-                    (SELECT doc_id, unnest(gs) AS g FROM grams
-                     WHERE doc_id % 5 = 0) c
-                  JOIN bg ON c.g = bg.g)
+      // d25: the admission CTE chain is the shared
+      // Dedup.admissionReplaySql val (c02 composes the same chain).
+      "d25_ingest_admission" -> ("""
+        WITH """ + graft.ops.Dedup.admissionReplaySql + """
         SELECT q.doc_id,
           (m.exact_match IS NOT NULL) AS exact_dup,
           (m.near_match IS NOT NULL) AS near_dup,
@@ -3497,7 +3457,7 @@ object SparkEntry {
            AND q.quality >= 0.8 AND dt.doc_id IS NULL) AS admit
         FROM q LEFT JOIN merged m ON m.doc_id = q.doc_id
                LEFT JOIN dirty dt ON dt.doc_id = q.doc_id
-        ORDER BY q.doc_id""",
+        ORDER BY q.doc_id"""),
       // d26: the d25 signal CTEs verbatim, with the staged columns
       // derived by PRECEDENCE over the full signal set — legitimate
       // because every signal is per-doc independent of the probed
@@ -3932,6 +3892,9 @@ object SparkEntry {
       // c01: the full campaign replay — see Curation.campaignOracle's
       // scaladoc for the CTE chain.
       "c01_curation_campaign" -> graft.ops.Curation.campaignOracle,
+      // c02: the composed door-time replay — the shared admission,
+      // JM, and DSIR chains under the same first-failing-gate CASE.
+      "c02_ingest_campaign" -> graft.ops.Curation.ingestOracle,
       "d31_curated_readback" -> ("""
         WITH RECURSIVE
         """ + graft.ops.Dedup.ccLabelReplaySql + """,
@@ -4706,8 +4669,23 @@ object SparkEntry {
             CAST(greatest(ndv_dates_o, ndv_dates_l) AS DOUBLE) AS est_naive,
           est_hist
         FROM t_o, t_l, act, hist""",
-      // q43: exact-decimal equality to the view max; only the report
-      // column casts to double (via varchar, the decimal rule).
+      // q46: same NOT EXISTS + algebraized avg bar; DuckDB's
+      // o_orderdate is already timestamp, double via VARCHAR.
+      // (q43 below: exact-decimal equality to the view max; only the
+      // report column casts to double — via varchar, the decimal rule.)
+      "q46_dormant_accounts" -> """
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+          CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS totacctbal
+        FROM customer c
+        WHERE CAST(c_acctbal AS DECIMAL(18,4)) *
+            (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+          > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,4)))
+             FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey""",
       // q45: the same GROUP BY + HAVING with scalar subqueries; the
       // bar compare is exact decimal*bigint; double via VARCHAR.
       "q45_value_concentration" -> """
@@ -5015,6 +4993,27 @@ object SparkEntry {
       // cross-multiplied, imbalance one divide.
       // s38: the PSI replay — frozen history edges, one fixed binning
       // chain, ln over integer products, bin-ordered fold.
+      // s39: replay the IVF assignment (the s04 argmax over the
+      // vec_id<16 codebook), then exact integer cell accounting.
+      "s39_ivf_balance" -> """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings),
+        cb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        assigned AS (SELECT vec_id, cell_id FROM (
+          SELECT e.vec_id, cb.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) DESC, cb.cell_id) AS arank
+          FROM e CROSS JOIN cb) t WHERE arank = 1),
+        cells AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vecs
+                  FROM assigned GROUP BY cell_id),
+        tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
+                       CAST(count(*) AS BIGINT) AS n_cells FROM cells)
+        SELECT cell_id, n_vecs,
+          n_vecs * 1000000 // total AS ppm,
+          n_vecs * n_cells > total * 2 AS is_hot
+        FROM cells CROSS JOIN tot
+        ORDER BY cell_id""",
       "s38_embedding_drift" -> """
         WITH ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
                       CAST(embedding[i] AS DOUBLE) AS x,
@@ -5961,67 +5960,12 @@ object SparkEntry {
         SELECT source, sel_rank, doc_id, n_tokens, es_key
         FROM r WHERE sel_rank <= 20
         ORDER BY source, sel_rank""",
-      "t54_jm_quality_filter" -> """
-        WITH rtk AS (SELECT regexp_split_to_array(text, '\s+') AS t
-                     FROM documents WHERE lang = 'en'),
-        runi AS MATERIALIZED (SELECT term, CAST(count(*) AS BIGINT) AS c_uni
-                FROM (SELECT unnest(t) AS term FROM rtk) q GROUP BY term),
-        rstats AS (SELECT CAST(sum(c_uni) AS BIGINT) AS n_ref,
-                     CAST(count(*) AS BIGINT) AS v_ref FROM runi),
-        rbg AS MATERIALIZED (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg FROM (
-                SELECT unnest(list_transform(generate_series(1, len(t) - 1),
-                  i -> struct_pack(w1 := t[i], w2 := t[i+1])), recursive := true)
-                FROM rtk) q
-              GROUP BY w1, w2),
-        ctx AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_w1 FROM rbg GROUP BY w1),
-        atk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
-        db0 AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n_db FROM (
-                SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
-                  i -> struct_pack(w1 := t[i], w2 := t[i+1])), recursive := true)
-                FROM atk) q
-              GROUP BY doc_id, w1, w2),
-        db AS MATERIALIZED (SELECT doc_id,
-                CASE WHEN u1.term IS NULL THEN '<unk>' ELSE d.w1 END AS w1,
-                CASE WHEN u2.term IS NULL THEN '<unk>' ELSE d.w2 END AS w2,
-                CAST(sum(d.n_db) AS BIGINT) AS n_db
-              FROM db0 d LEFT JOIN runi u1 ON d.w1 = u1.term
-                         LEFT JOIN runi u2 ON d.w2 = u2.term
-              GROUP BY 1, 2, 3),
-        sc AS (SELECT d.doc_id, d.w1, d.w2, d.n_db,
-                (d.w1 = '<unk>' OR d.w2 = '<unk>') AS is_oov,
-                CASE WHEN coalesce(c.c_w1, 0) > 0
-                  THEN 7 * coalesce(b.c_bg, 0) * (s.n_ref + s.v_ref + 1)
-                       + 3 * (coalesce(u.c_uni, 0) + 1) * c.c_w1
-                  ELSE 3 * (coalesce(u.c_uni, 0) + 1) END AS num,
-                CASE WHEN coalesce(c.c_w1, 0) > 0
-                  THEN 10 * c.c_w1 * (s.n_ref + s.v_ref + 1)
-                  ELSE 10 * (s.n_ref + s.v_ref + 1) END AS den
-              FROM db d LEFT JOIN rbg b ON d.w1 = b.w1 AND d.w2 = b.w2
-                        LEFT JOIN ctx c ON d.w1 = c.w1
-                        LEFT JOIN runi u ON d.w2 = u.term
-                        CROSS JOIN rstats s),
-        pd AS MATERIALIZED (SELECT doc_id,
-                CAST(sum(n_db) AS BIGINT) AS n_bigrams,
-                CAST(sum(CASE WHEN is_oov THEN n_db ELSE 0 END) AS BIGINT) AS n_oov,
-                list_reduce(list(CAST(n_db AS DOUBLE) *
-                    (ln(CAST(den AS DOUBLE)) - ln(CAST(num AS DOUBLE)))
-                  ORDER BY w1, w2), (a, b) -> a + b) AS nll
-              FROM sc GROUP BY doc_id),
-        qd AS (SELECT doc_id, n_bigrams, n_oov,
-                 nll / CAST(n_bigrams AS DOUBLE) AS avg_nll,
-                 CAST(floor((nll / CAST(n_bigrams AS DOUBLE)) * 1e4) AS BIGINT) AS q_nll
-               FROM pd),
-        hist AS (SELECT q_nll, CAST(count(*) AS BIGINT) AS n_cell
-                 FROM qd GROUP BY q_nll),
-        nall AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM qd),
-        md AS (SELECT min(q_nll) AS bar_cell FROM (
-                 SELECT q_nll, sum(n_cell) OVER (ORDER BY q_nll
-                   ROWS UNBOUNDED PRECEDING) AS cum
-                 FROM hist) h CROSS JOIN nall WHERE cum * 2 >= n_all)
+      "t54_jm_quality_filter" -> ("""
+        WITH """ + graft.ops.TextOps.jmScoreReplaySql + """
         SELECT doc_id, n_bigrams, n_oov, avg_nll,
           q_nll <= md.bar_cell AS keep
         FROM qd CROSS JOIN md
-        ORDER BY doc_id""",
+        ORDER BY doc_id"""),
       "t50_memorization_rate" -> """
         WITH tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
                       t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
@@ -6047,41 +5991,18 @@ object SparkEntry {
       // t49: every ln argument is an integer-valued double; the
       // per-doc fold runs in bucket order (list ORDER BY bucket); the
       // totals correction is the same sub/mul/add chain as Spark's.
-      "t49_dsir_weights" -> """
-        WITH tk AS (SELECT doc_id, lang, regexp_split_to_array(text, '\s+') AS t
-                    FROM documents),
-        bg AS (SELECT doc_id, lang,
-                 unnest(list_transform(generate_series(1, len(t) - 1),
-                   i -> t[i] || ' ' || t[i+1])) AS bigram
-               FROM tk),
-        bk AS (SELECT doc_id, lang,
-                 CAST(('0x' || substr(md5(bigram), 1, 8)) AS BIGINT) % 64 AS bucket
-               FROM bg),
-        dbl AS (SELECT doc_id, lang, bucket, count(*) AS n_db
-                FROM bk GROUP BY doc_id, lang, bucket),
-        raw AS (SELECT bucket, CAST(sum(n_db) AS BIGINT) AS c_raw
-                FROM dbl GROUP BY bucket),
-        tgt AS (SELECT bucket, CAST(sum(n_db) AS BIGINT) AS c_tgt
-                FROM dbl WHERE lang = 'en' GROUP BY bucket),
-        tots AS (SELECT (SELECT CAST(sum(c_raw) AS BIGINT) FROM raw) AS n_raw,
-                        (SELECT CAST(sum(c_tgt) AS BIGINT) FROM tgt) AS n_tgt),
-        c AS (SELECT dbl.doc_id, dbl.bucket, dbl.n_db,
-                CAST(dbl.n_db AS DOUBLE) *
-                  (ln(CAST(COALESCE(tgt.c_tgt, 0) + 1 AS DOUBLE)) -
-                   ln(CAST(raw.c_raw + 1 AS DOUBLE))) AS contrib
-              FROM dbl JOIN raw ON dbl.bucket = raw.bucket
-                       LEFT JOIN tgt ON dbl.bucket = tgt.bucket),
-        f AS (SELECT doc_id, CAST(sum(n_db) AS BIGINT) AS n_grams,
-                list_reduce(list(contrib ORDER BY bucket), (a, b) -> a + b) AS feat_term
-              FROM c GROUP BY doc_id)
+      // t49: the DSIR chain is the shared TextOps.dsirReplaySql val
+      // (x-prefixed CTEs; c02 composes the same chain).
+      "t49_dsir_weights" -> ("""
+        WITH """ + graft.ops.TextOps.dsirReplaySql + """
         SELECT doc_id, n_grams,
           feat_term + CAST(n_grams AS DOUBLE) *
-            (ln(CAST(tots.n_raw + 64 AS DOUBLE)) - ln(CAST(tots.n_tgt + 64 AS DOUBLE)))
+            (ln(CAST(xtots.n_raw + 64 AS DOUBLE)) - ln(CAST(xtots.n_tgt + 64 AS DOUBLE)))
             AS logw,
           (feat_term + CAST(n_grams AS DOUBLE) *
-            (ln(CAST(tots.n_raw + 64 AS DOUBLE)) - ln(CAST(tots.n_tgt + 64 AS DOUBLE))))
+            (ln(CAST(xtots.n_raw + 64 AS DOUBLE)) - ln(CAST(xtots.n_tgt + 64 AS DOUBLE))))
             > 0.0 AS selected
-        FROM f CROSS JOIN tots ORDER BY doc_id""",
+        FROM xf CROSS JOIN xtots ORDER BY doc_id"""),
       // t47: same counts, same left-associated double expression; the
       // literals cast to DOUBLE explicitly (DuckDB parses bare 1.015
       // as DECIMAL, whose arithmetic rounds differently).

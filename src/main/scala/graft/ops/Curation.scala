@@ -231,6 +231,99 @@ object Curation {
         $"stage", ($"stage" === "kept").as("admit"))
   }
 
+  /** c02 — the INGEST-TIME campaign as a registered, oracle-checked
+    * query: [[campaignProbeBatch]]'s composed decision chain run as
+    * ONE batch over the d14 arrival convention (doc_id % 5 = 0
+    * arrivals vs the % 5 ≠ 0 historical index) — the batch twin the
+    * StreamingCampaign door composes to, with the whole five-gate
+    * chain certified by a single DuckDB replay (c01 certifies the
+    * SNAPSHOT-time chain — cross-document dedup, span surgery,
+    * mixture; this certifies the DOOR-time chain — per-arrival gates
+    * against frozen structures).
+    *
+    * The JM bar is the SNAPSHOT's t54 threshold computed by the same
+    * [[TextOps.jmScoredWithBar]] frames t54 registers (the campaign
+    * ships that bar frozen; the arrival gate compares the arrival's
+    * quantized score against it, exactly the t54 keep rule), so the
+    * gate can never diverge from the standalone query.
+    *
+    * Scale shape: every gate keeps its audited solo plan; the full
+    * corpus is scanned once for the JM scores (the bar needs the
+    * snapshot distribution — at 100 TB that's the persisted t54
+    * artifact, not a recompute), the arrival-side probes are
+    * batch-vs-bucketed-index equi-joins, and the compose step is
+    * left equi-joins on doc_id at arrival cardinality plus the
+    * one-row bar broadcast (whitelisted).
+    */
+  def ingestCampaign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val arrivals = documents(s, dir).select($"doc_id", $"text")
+      .filter($"doc_id" % 5 === 0)
+    val adm = Dedup.admissionProbeIndexed(arrivals,
+      Dedup.textProbeSidecar(s, dir, 64), CorpusIndexes.benchGrams(s, dir))
+    val (jmScoredAll, jmBar) = TextOps.jmScoredWithBar(s, dir)
+    val ds = TextOps.dsirScoreBatch(arrivals, TextOps.dsirModel(s, dir))
+    adm
+      .join(jmScoredAll.select($"doc_id", $"avg_nll", $"q_nll"),
+        Seq("doc_id"), "left")
+      .crossJoin(broadcast(jmBar))
+      .join(ds.select($"doc_id", $"logw", $"selected"), Seq("doc_id"), "left")
+      .withColumn("stage",
+        when($"low_quality", "quality")
+          .when($"exact_dup" || $"near_dup" || $"sim_dup", "dedup")
+          .when($"contaminated", "decontam")
+          .when($"q_nll" > $"bar_cell", "lm_quality")
+          .when(!coalesce($"selected", lit(true)), "dsir")
+          .otherwise("kept"))
+      .select($"doc_id", $"exact_dup", $"near_dup", $"sim_dup",
+        $"low_quality", $"contaminated", $"avg_nll", $"logw",
+        $"stage", ($"stage" === "kept").as("admit"))
+      .orderBy($"doc_id")
+  }
+
+  /** The DuckDB replay of [[ingestCampaign]]: the SHARED admission
+    * chain (Dedup.admissionReplaySql), the SHARED JM score+bar chain
+    * (TextOps.jmScoreReplaySql), and the SHARED DSIR chain
+    * (TextOps.dsirReplaySql), composed by the identical
+    * first-failing-gate CASE — a hash match certifies the whole
+    * five-gate door-time decision chain, and because every chain is
+    * the same val its solo oracle uses, the composed replay can never
+    * drift from the solo replays.
+    */
+  private[graft] val ingestOracle: String = ("""
+    WITH """ + Dedup.admissionReplaySql + """,
+        """ + TextOps.jmScoreReplaySql + """,
+        """ + TextOps.dsirReplaySql + """,
+        xsel AS (SELECT doc_id,
+            feat_term + CAST(n_grams AS DOUBLE) *
+              (ln(CAST(xtots.n_raw + 64 AS DOUBLE)) -
+               ln(CAST(xtots.n_tgt + 64 AS DOUBLE))) AS logw
+          FROM xf CROSS JOIN xtots),
+        cbase AS (SELECT q.doc_id,
+            (m.exact_match IS NOT NULL) AS exact_dup,
+            (m.near_match IS NOT NULL) AS near_dup,
+            (m.sim_match IS NOT NULL) AS sim_dup,
+            (q.quality < 0.8) AS low_quality,
+            (dt.doc_id IS NOT NULL) AS contaminated,
+            j.avg_nll,
+            x.logw,
+            CASE WHEN q.quality < 0.8 THEN 'quality'
+                 WHEN m.exact_match IS NOT NULL OR m.near_match IS NOT NULL
+                   OR m.sim_match IS NOT NULL THEN 'dedup'
+                 WHEN dt.doc_id IS NOT NULL THEN 'decontam'
+                 WHEN j.q_nll > md.bar_cell THEN 'lm_quality'
+                 WHEN NOT COALESCE(x.logw > 0.0, true) THEN 'dsir'
+                 ELSE 'kept' END AS stage
+          FROM q
+          LEFT JOIN merged m ON m.doc_id = q.doc_id
+          LEFT JOIN dirty dt ON dt.doc_id = q.doc_id
+          LEFT JOIN qd j ON j.doc_id = q.doc_id
+          LEFT JOIN xsel x ON x.doc_id = q.doc_id
+          CROSS JOIN md)
+    SELECT doc_id, exact_dup, near_dup, sim_dup, low_quality,
+      contaminated, avg_nll, logw, stage, (stage = 'kept') AS admit
+    FROM cbase ORDER BY doc_id""")
+
   /** The DuckDB replay of the WHOLE campaign: the d31 decision CTEs
     * (MinHash → capped LSH → recursive CC → quality argmax), the t51
     * Gopher-bar chain, the t41 multi-suite fingerprint probe, the d35

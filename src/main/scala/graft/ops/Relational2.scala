@@ -1134,6 +1134,48 @@ object Relational2 {
       ORDER BY part_value DESC, l_partkey""")
   }
 
+  /** q46 — DORMANT HIGH-BALANCE ACCOUNTS (the TPC-H Q22 shape): per
+    * nation the count and total balance of customers whose account
+    * balance beats the positive-balance AVERAGE but who placed NO
+    * order since the cutoff — a genuine `NOT EXISTS` correlated
+    * subquery (the RewritePredicateSubquery → left-anti surface no
+    * other registered query reaches through the SQL planner: q32
+    * hand-rewrote its EXISTS pair into aggregates) combined with
+    * scalar aggregate subqueries over the same relation. Q22's
+    * "never ordered" arm is structurally empty on this generator
+    * (every customer orders), so the cutoff is recency — ~40 % of
+    * customers are dormant-since-2001 at every SF, both subquery
+    * verdicts realized.
+    *
+    * Determinism: the average bar is algebraized to
+    * bal · n_pos > sum_pos (exact DECIMAL·BIGINT — avg's division
+    * never happens); balances sum as DECIMAL and cast to double once.
+    *
+    * Scale shape: customer scans feed one nationkey rollup plus two
+    * one-row scalar aggregates (identical scan subtrees — exchange
+    * reuse); the NOT EXISTS plans as a left-anti equi-join on
+    * custkey against orders WITH the date predicate pushed into the
+    * orders scan — at 100 TB the recent slice is the small side and
+    * AQE broadcasts it; the anti-join never materializes matches.
+    */
+  def dormantAccounts(s: SparkSession, dir: String): DataFrame = {
+    customer(s, dir).createOrReplaceTempView("v_customer")
+    orders(s, dir).createOrReplaceTempView("v_orders")
+    s.sql("""
+      SELECT c_nationkey, count(*) AS numcust,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+      FROM v_customer c
+      WHERE CAST(c_acctbal AS DECIMAL(18,4)) *
+          (SELECT count(*) FROM v_customer WHERE c_acctbal > 0.0)
+        > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,4)))
+           FROM v_customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM v_orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey""")
+  }
+
   def partSupplierVariety(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bad = supplier(s, dir).filter($"s_acctbal" < 0.0).select($"s_suppkey")

@@ -2121,6 +2121,20 @@ object TextOps {
     */
   def jmQualityFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val (perDoc, bar) = jmScoredWithBar(s, dir)
+    perDoc.crossJoin(broadcast(bar))
+      .withColumn("keep", $"q_nll" <= $"bar_cell")
+      .select($"doc_id", $"n_bigrams", $"n_oov", $"avg_nll", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  /** t54's two halves as explicit frames — the full-corpus scored
+    * table (with the 1e-4-quantized `q_nll`) and the one-row campaign
+    * bar — so the composed ingest campaign (c02) reuses the SNAPSHOT's
+    * threshold definition verbatim instead of restating it.
+    */
+  private[graft] def jmScoredWithBar(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
     val tk = documents(s, dir).select($"doc_id", $"lang", toks($"text").as("t"))
     val perDoc = jmScored(tk.filter($"lang" === "en").select($"t"),
       tk.select($"doc_id", $"t"))
@@ -2133,10 +2147,7 @@ object TextOps {
       .crossJoin(broadcast(nAll))
       .filter($"cum" * 2 >= $"n_all")
       .agg(min($"q_nll").as("bar_cell"))
-    perDoc.crossJoin(broadcast(bar))
-      .withColumn("keep", $"q_nll" <= $"bar_cell")
-      .select($"doc_id", $"n_bigrams", $"n_oov", $"avg_nll", $"keep")
-      .orderBy($"doc_id")
+    (perDoc, bar)
   }
 
   /** [[jmQualityFilter]]'s scoring core over explicit frames — `ref`
@@ -2219,6 +2230,103 @@ object TextOps {
         expr("aggregate(transform(sort_array(collect_list(struct(w1, w2, contrib))), x -> x.contrib), 0D, (a, x) -> a + x)").as("nll"))
       .withColumn("avg_nll", $"nll" / $"n_bigrams".cast("double"))
   }
+
+  /** Shared `WITH`-body of the t54 JM replay: model tables off the
+    * lang='en' reference, per-doc scores over ALL documents (`qd`:
+    * doc_id, n_bigrams, n_oov, avg_nll, q_nll) and the one-row
+    * quantized-median bar (`md`: bar_cell). t54's oracle and the c02
+    * ingest-campaign oracle compose it.
+    */
+  private[graft] val jmScoreReplaySql: String = """rtk AS (SELECT regexp_split_to_array(text, '\s+') AS t
+                     FROM documents WHERE lang = 'en'),
+        runi AS MATERIALIZED (SELECT term, CAST(count(*) AS BIGINT) AS c_uni
+                FROM (SELECT unnest(t) AS term FROM rtk) q GROUP BY term),
+        rstats AS (SELECT CAST(sum(c_uni) AS BIGINT) AS n_ref,
+                     CAST(count(*) AS BIGINT) AS v_ref FROM runi),
+        rbg AS MATERIALIZED (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg FROM (
+                SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                  i -> struct_pack(w1 := t[i], w2 := t[i+1])), recursive := true)
+                FROM rtk) q
+              GROUP BY w1, w2),
+        ctx AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_w1 FROM rbg GROUP BY w1),
+        atk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        db0 AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n_db FROM (
+                SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                  i -> struct_pack(w1 := t[i], w2 := t[i+1])), recursive := true)
+                FROM atk) q
+              GROUP BY doc_id, w1, w2),
+        db AS MATERIALIZED (SELECT doc_id,
+                CASE WHEN u1.term IS NULL THEN '<unk>' ELSE d.w1 END AS w1,
+                CASE WHEN u2.term IS NULL THEN '<unk>' ELSE d.w2 END AS w2,
+                CAST(sum(d.n_db) AS BIGINT) AS n_db
+              FROM db0 d LEFT JOIN runi u1 ON d.w1 = u1.term
+                         LEFT JOIN runi u2 ON d.w2 = u2.term
+              GROUP BY 1, 2, 3),
+        sc AS (SELECT d.doc_id, d.w1, d.w2, d.n_db,
+                (d.w1 = '<unk>' OR d.w2 = '<unk>') AS is_oov,
+                CASE WHEN coalesce(c.c_w1, 0) > 0
+                  THEN 7 * coalesce(b.c_bg, 0) * (s.n_ref + s.v_ref + 1)
+                       + 3 * (coalesce(u.c_uni, 0) + 1) * c.c_w1
+                  ELSE 3 * (coalesce(u.c_uni, 0) + 1) END AS num,
+                CASE WHEN coalesce(c.c_w1, 0) > 0
+                  THEN 10 * c.c_w1 * (s.n_ref + s.v_ref + 1)
+                  ELSE 10 * (s.n_ref + s.v_ref + 1) END AS den
+              FROM db d LEFT JOIN rbg b ON d.w1 = b.w1 AND d.w2 = b.w2
+                        LEFT JOIN ctx c ON d.w1 = c.w1
+                        LEFT JOIN runi u ON d.w2 = u.term
+                        CROSS JOIN rstats s),
+        pd AS MATERIALIZED (SELECT doc_id,
+                CAST(sum(n_db) AS BIGINT) AS n_bigrams,
+                CAST(sum(CASE WHEN is_oov THEN n_db ELSE 0 END) AS BIGINT) AS n_oov,
+                list_reduce(list(CAST(n_db AS DOUBLE) *
+                    (ln(CAST(den AS DOUBLE)) - ln(CAST(num AS DOUBLE)))
+                  ORDER BY w1, w2), (a, b) -> a + b) AS nll
+              FROM sc GROUP BY doc_id),
+        qd AS (SELECT doc_id, n_bigrams, n_oov,
+                 nll / CAST(n_bigrams AS DOUBLE) AS avg_nll,
+                 CAST(floor((nll / CAST(n_bigrams AS DOUBLE)) * 1e4) AS BIGINT) AS q_nll
+               FROM pd),
+        hist AS (SELECT q_nll, CAST(count(*) AS BIGINT) AS n_cell
+                 FROM qd GROUP BY q_nll),
+        nall AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM qd),
+        md AS (SELECT min(q_nll) AS bar_cell FROM (
+                 SELECT q_nll, sum(n_cell) OVER (ORDER BY q_nll
+                   ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM hist) h CROSS JOIN nall WHERE cum * 2 >= n_all)"""
+
+  /** Shared `WITH`-body of the t49 DSIR replay, CTE names prefixed
+    * `x` so it composes next to the admission chain (which owns
+    * `tk`/`bg`): per-doc weights over ALL documents against the
+    * full-corpus raw/target histograms (`xf`: doc_id, n_grams,
+    * feat_term; totals in `xtots`). t49's oracle and the c02
+    * ingest-campaign oracle compose it.
+    */
+  private[graft] val dsirReplaySql: String = """xtk AS (SELECT doc_id, lang, regexp_split_to_array(text, '\s+') AS t
+                    FROM documents),
+        xbg AS (SELECT doc_id, lang,
+                 unnest(list_transform(generate_series(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1])) AS bigram
+               FROM xtk),
+        xbk AS (SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(bigram), 1, 8)) AS BIGINT) % 64 AS bucket
+               FROM xbg),
+        xdbl AS (SELECT doc_id, lang, bucket, count(*) AS n_db
+                FROM xbk GROUP BY doc_id, lang, bucket),
+        xraw AS (SELECT bucket, CAST(sum(n_db) AS BIGINT) AS c_raw
+                FROM xdbl GROUP BY bucket),
+        xtgt AS (SELECT bucket, CAST(sum(n_db) AS BIGINT) AS c_tgt
+                FROM xdbl WHERE lang = 'en' GROUP BY bucket),
+        xtots AS (SELECT (SELECT CAST(sum(c_raw) AS BIGINT) FROM xraw) AS n_raw,
+                        (SELECT CAST(sum(c_tgt) AS BIGINT) FROM xtgt) AS n_tgt),
+        xc AS (SELECT xdbl.doc_id, xdbl.bucket, xdbl.n_db,
+                CAST(xdbl.n_db AS DOUBLE) *
+                  (ln(CAST(COALESCE(xtgt.c_tgt, 0) + 1 AS DOUBLE)) -
+                   ln(CAST(xraw.c_raw + 1 AS DOUBLE))) AS contrib
+              FROM xdbl JOIN xraw ON xdbl.bucket = xraw.bucket
+                       LEFT JOIN xtgt ON xdbl.bucket = xtgt.bucket),
+        xf AS (SELECT doc_id, CAST(sum(n_db) AS BIGINT) AS n_grams,
+                list_reduce(list(contrib ORDER BY bucket), (a, b) -> a + b) AS feat_term
+              FROM xc GROUP BY doc_id)"""
 
   /** t55 — DETERMINISTIC WEIGHTED SAMPLING (Efraimidis–Spirakis A-ES):
     * per source the top-k documents by the key u^(1/w) with w = token

@@ -98,4 +98,36 @@ class CampaignSpec extends AnyFunSuite {
       assert(text == staged(id), s"artifact bytes diverge for doc $id")
     }
   }
+
+  test("c02 equals the door's batch core under the shipped threshold") {
+    // The registered ingest campaign computes the JM bar in-plan (the
+    // snapshot's t54 bar); the door takes the bar as a frozen double.
+    // With threshold = the exact value the batch bar realizes (max
+    // kept avg_nll — the StreamingJm convention), the two compositions
+    // must be row-identical: quantized-cell compare vs double compare
+    // agree at exactly that threshold.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val c02 = graft.ops.Curation.ingestCampaign(spark, TestSpark.sfDir)
+      .localCheckpoint()
+    val threshold = graft.ops.TextOps.jmQualityFilter(spark, TestSpark.sfDir)
+      .filter($"keep").agg(max($"avg_nll")).head().getDouble(0)
+    val arrivals = Tables.documents(spark, TestSpark.sfDir)
+      .select($"doc_id", $"text").filter($"doc_id" % 5 === 0)
+    val idx = graft.ops.Dedup.textProbeSidecar(spark, TestSpark.sfDir, 64)
+    val grams = graft.ops.CorpusIndexes.benchGrams(spark, TestSpark.sfDir)
+    val ref = Tables.documents(spark, TestSpark.sfDir)
+      .filter($"lang" === "en").select(split($"text", "\\s+").as("t"))
+    val (runi, rbg, ctx) = graft.ops.TextOps.jmModel(ref)
+    val door = graft.ops.Curation.campaignProbeBatch(
+      arrivals, idx, grams, runi, rbg, ctx, threshold,
+      graft.ops.TextOps.dsirModel(spark, TestSpark.sfDir))
+      .select(c02.columns.map(col): _*)
+    assert(c02.except(door).count() == 0)
+    assert(door.except(c02).count() == 0)
+    // The composed chain exercises several gates on this corpus.
+    val stages = c02.select($"stage").distinct().collect().map(_.getString(0)).toSet
+    assert(stages.contains("kept") && stages.size >= 2, s"stages: $stages")
+  }
 }

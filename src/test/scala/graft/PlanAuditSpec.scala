@@ -123,7 +123,14 @@ class PlanAuditSpec extends AnyFunSuite {
         // e40: the one-row observed-span broadcast, crossed twice —
         // onto the |types| spine seeds and onto the |types| report
         // rows (the q16 corpus-stats class).
-        "e40_silent_gaps")
+        "e40_silent_gaps",
+        // c02: inherits t54's one-row crosses (reference totals, cell
+        // histogram total, quantized bar) plus t49's one-row model
+        // totals — every cross side is a one-row aggregate.
+        "c02_ingest_campaign",
+        // s39: the one-row (total, n_cells) aggregate broadcast onto
+        // the <=16-row cell table (the q16 corpus-stats class).
+        "s39_ivf_balance")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark
@@ -279,7 +286,9 @@ class PlanAuditSpec extends AnyFunSuite {
         "decile table, under t39's own limit(10) fold"),
       "t54_jm_quality_filter" -> ("input is the quantized-score cell " +
         "histogram: |cells| <= 1e4 * ln(10*D^2) is set by the frozen " +
-        "model's smoothing constant, not by the corpus"))
+        "model's smoothing constant, not by the corpus"),
+      "c02_ingest_campaign" -> ("inherits t54's bar computation: the " +
+        "same bounded quantized-score cell histogram"))
     def limitOnLineage(p: LogicalPlan): Boolean = p match {
       case _: GlobalLimit => true
       case u: UnaryNode => limitOnLineage(u.child)
