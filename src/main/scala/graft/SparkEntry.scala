@@ -3464,63 +3464,8 @@ object SparkEntry {
       // set, so the short-circuit can only skip probes whose outcome
       // cannot matter; the hash match against Spark's genuinely
       // staged plan IS the semantics proof.
-      "d26_staged_admission" -> """
-        WITH nh AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0),
-        hh AS (SELECT doc_id AS hist_doc, md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
-        exact AS (SELECT nh.doc_id, min(hh.hist_doc) AS exact_match
-                  FROM nh JOIN hh ON nh.h = hh.h GROUP BY nh.doc_id),
-        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
-                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
-               FROM documents),
-        mh AS (SELECT doc_id, i,
-                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
-               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
-        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
-        bands AS (SELECT doc_id, j,
-                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
-                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
-        hb AS (SELECT j, bkey, doc_id AS hist_doc FROM bands WHERE doc_id % 5 <> 0),
-        smallh AS (SELECT j, bkey FROM hb GROUP BY j, bkey HAVING count(*) <= 64),
-        near AS (SELECT nb.doc_id, min(hb.hist_doc) AS near_match
-                 FROM bands nb
-                 JOIN hb ON nb.j = hb.j AND nb.bkey = hb.bkey
-                 JOIN smallh sm ON hb.j = sm.j AND hb.bkey = sm.bkey
-                 WHERE nb.doc_id % 5 = 0 GROUP BY nb.doc_id),
-        tc AS (SELECT doc_id, tok, count(*) AS cnt FROM (
-                 SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
-                 FROM documents) x GROUP BY doc_id, tok),
-        sh0 AS (SELECT doc_id, cnt, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tc),
-        sb AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS w
-               FROM sh0, (SELECT unnest(generate_series(0, 59)) AS i) ii GROUP BY doc_id, i),
-        sh AS (SELECT doc_id, CAST(sum(CASE WHEN w >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
-               FROM sb GROUP BY doc_id),
-        sbands AS (SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767 AS bv
-                   FROM sh, (SELECT unnest(generate_series(0, 3)) AS j) jj),
-        simm AS (SELECT a.doc_id, min(b.doc_id) AS sim_match
-                 FROM sbands a JOIN sbands b ON a.j = b.j AND a.bv = b.bv
-                 WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-                   AND bit_count(xor(a.simhash, b.simhash)) <= 8
-                 GROUP BY a.doc_id),
-        merged AS (SELECT COALESCE(e.doc_id, n.doc_id, s.doc_id) AS doc_id,
-                     e.exact_match, n.near_match, s.sim_match
-                   FROM exact e
-                   FULL OUTER JOIN near n ON e.doc_id = n.doc_id
-                   FULL OUTER JOIN simm s ON COALESCE(e.doc_id, n.doc_id) = s.doc_id),
-        q AS (SELECT doc_id,
-                0.4 * (1.0 - CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t))
-                  + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
-                  + 0.3 * least(len(t) / 50.0, 1.0) AS quality
-              FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
-                    FROM documents WHERE doc_id % 5 = 0) b),
-        grams AS (SELECT doc_id, list_distinct(list_transform(
-                    generate_series(1, len(th) - 3),
-                    i -> ((((((th[i]) * 31 + th[i+1]) % 2147483647) * 31 + th[i+2]) % 2147483647) * 31 + th[i+3]) % 2147483647)) AS gs
-                  FROM tk WHERE len(th) >= 4),
-        bg AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0),
-        dirty AS (SELECT DISTINCT doc_id FROM
-                    (SELECT doc_id, unnest(gs) AS g FROM grams
-                     WHERE doc_id % 5 = 0) c
-                  JOIN bg ON c.g = bg.g),
+      "d26_staged_admission" -> ("""
+        WITH """ + graft.ops.Dedup.admissionReplaySql + """,
         staged AS (SELECT q.doc_id, q.quality, m.exact_match, m.near_match,
                      m.sim_match, (dt.doc_id IS NOT NULL) AS is_dirty
                    FROM q LEFT JOIN merged m ON m.doc_id = q.doc_id
@@ -3539,67 +3484,12 @@ object SparkEntry {
              AND sim_match IS NULL) AS probed_decontam,
           (quality >= 0.8 AND exact_match IS NULL AND near_match IS NULL
              AND sim_match IS NULL AND NOT is_dirty) AS admit
-        FROM staged ORDER BY doc_id""",
+        FROM staged ORDER BY doc_id"""),
       // d28: the d26 cascade CTEs verbatim, then the t33 planted-PII
       // fixture + regex counts for the SURVIVORS only; email/phone > 0
       // rejects at stage 'pii', IPv4 carries as a count.
-      "d28_pii_admission" -> """
-        WITH nh AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0),
-        hh AS (SELECT doc_id AS hist_doc, md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
-        exact AS (SELECT nh.doc_id, min(hh.hist_doc) AS exact_match
-                  FROM nh JOIN hh ON nh.h = hh.h GROUP BY nh.doc_id),
-        tk AS (SELECT doc_id, list_transform(regexp_split_to_array(text, '\s+'),
-                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
-               FROM documents),
-        mh AS (SELECT doc_id, i,
-                 list_min(list_transform(th, h -> ((2*i + 1) * h + 40503 * i) % 2147483647)) AS m
-               FROM tk, (SELECT unnest(generate_series(0, 11)) AS i) ii),
-        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
-        bands AS (SELECT doc_id, j,
-                    ((sig[3*j+1] * 31 + sig[3*j+2]) % 2147483647 * 31 + sig[3*j+3]) % 2147483647 AS bkey
-                  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) jj),
-        hb AS (SELECT j, bkey, doc_id AS hist_doc FROM bands WHERE doc_id % 5 <> 0),
-        smallh AS (SELECT j, bkey FROM hb GROUP BY j, bkey HAVING count(*) <= 64),
-        near AS (SELECT nb.doc_id, min(hb.hist_doc) AS near_match
-                 FROM bands nb
-                 JOIN hb ON nb.j = hb.j AND nb.bkey = hb.bkey
-                 JOIN smallh sm ON hb.j = sm.j AND hb.bkey = sm.bkey
-                 WHERE nb.doc_id % 5 = 0 GROUP BY nb.doc_id),
-        tc AS (SELECT doc_id, tok, count(*) AS cnt FROM (
-                 SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
-                 FROM documents) x GROUP BY doc_id, tok),
-        sh0 AS (SELECT doc_id, cnt, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tc),
-        sb AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS w
-               FROM sh0, (SELECT unnest(generate_series(0, 59)) AS i) ii GROUP BY doc_id, i),
-        sh AS (SELECT doc_id, CAST(sum(CASE WHEN w >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
-               FROM sb GROUP BY doc_id),
-        sbands AS (SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767 AS bv
-                   FROM sh, (SELECT unnest(generate_series(0, 3)) AS j) jj),
-        simm AS (SELECT a.doc_id, min(b.doc_id) AS sim_match
-                 FROM sbands a JOIN sbands b ON a.j = b.j AND a.bv = b.bv
-                 WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-                   AND bit_count(xor(a.simhash, b.simhash)) <= 8
-                 GROUP BY a.doc_id),
-        merged AS (SELECT COALESCE(e.doc_id, n.doc_id, s.doc_id) AS doc_id,
-                     e.exact_match, n.near_match, s.sim_match
-                   FROM exact e
-                   FULL OUTER JOIN near n ON e.doc_id = n.doc_id
-                   FULL OUTER JOIN simm s ON COALESCE(e.doc_id, n.doc_id) = s.doc_id),
-        q AS (SELECT doc_id,
-                0.4 * (1.0 - CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t))
-                  + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
-                  + 0.3 * least(len(t) / 50.0, 1.0) AS quality
-              FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
-                    FROM documents WHERE doc_id % 5 = 0) b),
-        grams AS (SELECT doc_id, list_distinct(list_transform(
-                    generate_series(1, len(th) - 3),
-                    i -> ((((((th[i]) * 31 + th[i+1]) % 2147483647) * 31 + th[i+2]) % 2147483647) * 31 + th[i+3]) % 2147483647)) AS gs
-                  FROM tk WHERE len(th) >= 4),
-        bg AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0),
-        dirty AS (SELECT DISTINCT doc_id FROM
-                    (SELECT doc_id, unnest(gs) AS g FROM grams
-                     WHERE doc_id % 5 = 0) c
-                  JOIN bg ON c.g = bg.g),
+      "d28_pii_admission" -> ("""
+        WITH """ + graft.ops.Dedup.admissionReplaySql + """,
         staged AS (SELECT q.doc_id, q.quality, m.exact_match, m.near_match,
                      m.sim_match, (dt.doc_id IS NOT NULL) AS is_dirty
                    FROM q LEFT JOIN merged m ON m.doc_id = q.doc_id
@@ -3638,7 +3528,7 @@ object SparkEntry {
           (p.doc_id IS NOT NULL) AS probed_pii,
           (p.doc_id IS NOT NULL AND p.n_emails + p.n_phones = 0) AS admit
         FROM staged s LEFT JOIN pii p ON s.doc_id = p.doc_id
-        ORDER BY s.doc_id""",
+        ORDER BY s.doc_id"""),
       // d32: the contraction replayed as the FULL union graph — two
       // recursive CTEs (historical labeling, union labeling), affected
       // set = matched arrivals ∪ members of probe-touched components;

@@ -281,6 +281,33 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Ship the composed door's WHOLE frozen snapshot under `root` —
+    * the dedup probe index over `histDocs`, the bench-gram
+    * decontamination set, the JM model, the DSIR model, and the
+    * campaign config (the shipped JM threshold: the exact bar the
+    * snapshot's t54 run realizes, i.e. the largest kept avg_nll) as a
+    * one-row table. After this, [[graft.streaming.StreamingCampaign
+    * .runFromSnapshot]] needs the root ALONE — the production
+    * snapshot-rotation shape: build once per snapshot, point every
+    * door session at the root.
+    */
+  def persistCampaignSnapshot(s: SparkSession, dir: String,
+                              histDocs: DataFrame, root: String): Unit = {
+    import s.implicits._
+    Dedup.persistTextProbeIndex(histDocs, root)
+    CorpusIndexes.persistSidecars(s, dir, root, Seq("bench_grams"))
+    TextOps.persistJmModel(s, dir, root)
+    TextOps.persistDsirModel(s, dir, root)
+    val thr = TextOps.jmQualityFilter(s, dir)
+      .filter($"keep").agg(max($"avg_nll")).head().getDouble(0)
+    Seq(thr).toDF("jm_threshold")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/campaign_config")
+  }
+
+  /** Read the frozen threshold [[persistCampaignSnapshot]] shipped. */
+  def loadCampaignThreshold(s: SparkSession, root: String): Double =
+    s.read.parquet(s"$root/campaign_config").head().getDouble(0)
+
   /** The DuckDB replay of [[ingestCampaign]]: the SHARED admission
     * chain (Dedup.admissionReplaySql), the SHARED JM score+bar chain
     * (TextOps.jmScoreReplaySql), and the SHARED DSIR chain

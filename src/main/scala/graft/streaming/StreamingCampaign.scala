@@ -39,6 +39,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingCampaign {
 
+  /** [[run]] with every frozen input — including the threshold — read
+    * from a [[graft.ops.Curation.persistCampaignSnapshot]] root: the
+    * zero-argument production form (snapshot rotation swaps roots
+    * between runs; nothing else changes).
+    */
+  def runFromSnapshot(docs: DataFrame, indexDir: String,
+                      outDir: String, checkpointDir: String): StreamingQuery =
+    run(docs, indexDir,
+      graft.ops.Curation.loadCampaignThreshold(docs.sparkSession, indexDir),
+      outDir, checkpointDir)
+
   /** Start the job: `docs` is any streaming frame bearing
     * (doc_id, text); `indexDir` the shared snapshot root;
     * `jmThreshold` the frozen t54 keep bar the campaign shipped.

@@ -1483,18 +1483,17 @@ class StreamingExtrasSpec extends AnyFunSuite {
     val hist = docs.filter($"doc_id" % 5 =!= 0).localCheckpoint()
     val arrivals = docs.filter($"doc_id" % 5 === 0)
       .as[(Long, String)].collect().sortBy(_._1)
+    // ONE persist call ships the whole frozen snapshot — probe index,
+    // bench grams, JM model + shipped threshold, DSIR model — and the
+    // door then runs from the root alone (the production rotation
+    // shape).
     val root = java.nio.file.Files.createTempDirectory("graft_camp_idx").toString
-    graft.ops.Dedup.persistTextProbeIndex(hist, root)
-    graft.ops.CorpusIndexes.persistSidecars(spark, TestSpark.sfDir, root,
-      Seq("bench_grams"))
-    graft.ops.TextOps.persistJmModel(spark, TestSpark.sfDir, root)
-    graft.ops.TextOps.persistDsirModel(spark, TestSpark.sfDir, root)
-    // The campaign-shipped JM threshold (the StreamingJm convention:
-    // the exact bar batch t54 realizes).
-    val batchT54 = graft.ops.TextOps.jmQualityFilter(spark, TestSpark.sfDir)
-      .localCheckpoint()
-    val threshold = batchT54.filter($"keep").agg(max($"avg_nll"))
-      .head().getDouble(0)
+    graft.ops.Curation.persistCampaignSnapshot(spark, TestSpark.sfDir, hist, root)
+    val threshold = graft.ops.Curation.loadCampaignThreshold(spark, root)
+    // the shipped threshold IS the exact bar batch t54 realizes
+    val expectThr = graft.ops.TextOps.jmQualityFilter(spark, TestSpark.sfDir)
+      .filter($"keep").agg(max($"avg_nll")).head().getDouble(0)
+    assert(threshold == expectThr)
     val batches = Seq(
       arrivals.take(arrivals.length / 3),
       arrivals.slice(arrivals.length / 3, 2 * arrivals.length / 3),
@@ -1504,7 +1503,7 @@ class StreamingExtrasSpec extends AnyFunSuite {
     val input = MemoryStream[(Long, String)]
     val stream = input.toDF().toDF("doc_id", "text")
     def start() = graft.streaming.StreamingCampaign
-      .run(stream, root, threshold, out, ckpt)
+      .runFromSnapshot(stream, root, out, ckpt)
     val q1 = start()
     try {
       input.addData(batches(0).toSeq); q1.processAllAvailable()
