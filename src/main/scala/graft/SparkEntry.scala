@@ -768,10 +768,6 @@ object SparkEntry {
     // index of arrivals vs history over 8 history-frozen bins — the
     // distribution check behind the s22/s28 frozen-model assumption.
     "s38_embedding_drift"    -> (Similarity.embeddingDrift _),
-    // s39 = IVF cell-balance audit off the frozen assignment sidecar:
-    // per-cell counts + ppm share + the 2x-fair-share hot flag — the
-    // retrain trigger s38's data-drift monitor doesn't cover.
-    "s39_ivf_balance"        -> (Similarity.ivfBalance _),
     // s31 = nprobe recall sweep: the coarse-probe tuning curve
     // (s11 sweeps shortlist width; this sweeps probed cells).
     "s31_nprobe_sweep"       -> (Similarity.ivfNprobeSweep _),
@@ -4883,27 +4879,6 @@ object SparkEntry {
       // cross-multiplied, imbalance one divide.
       // s38: the PSI replay — frozen history edges, one fixed binning
       // chain, ln over integer products, bin-ordered fold.
-      // s39: replay the IVF assignment (the s04 argmax over the
-      // vec_id<16 codebook), then exact integer cell accounting.
-      "s39_ivf_balance" -> """
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-                   FROM embeddings),
-        cb AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
-        assigned AS (SELECT vec_id, cell_id FROM (
-          SELECT e.vec_id, cb.cell_id,
-            row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY list_dot_product(e.v, cb.cv) / (e.nrm * cb.cnrm) DESC, cb.cell_id) AS arank
-          FROM e CROSS JOIN cb) t WHERE arank = 1),
-        cells AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vecs
-                  FROM assigned GROUP BY cell_id),
-        tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
-                       CAST(count(*) AS BIGINT) AS n_cells FROM cells)
-        SELECT cell_id, n_vecs,
-          n_vecs * 1000000 // total AS ppm,
-          n_vecs * n_cells > total * 2 AS is_hot
-        FROM cells CROSS JOIN tot
-        ORDER BY cell_id""",
       "s38_embedding_drift" -> """
         WITH ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
                       CAST(embedding[i] AS DOUBLE) AS x,

@@ -2682,34 +2682,4 @@ object Similarity {
       .orderBy($"dim")
   }
 
-  /** s39 — IVF CELL-BALANCE AUDIT: per coarse cell the assignment
-    * count, its parts-per-million share, and a `is_hot` flag at 2×
-    * fair share (the q37 bar, cross-multiplied to exact integers:
-    * n_vecs · n_cells > 2 · total) — the index-maintenance read that
-    * decides WHEN to retrain the coarse quantizer. IVF's probe cost
-    * model assumes cells near total/n_cells; a hot cell degrades
-    * every query routed to it toward brute force (its scan is the
-    * cell's size), and the skew is invisible to recall audits (s11
-    * measures quality, not cost). The s38 drift monitor says the DATA
-    * moved; this says the INDEX no longer fits it.
-    *
-    * Determinism: counts and the flag are exact integers; ppm is
-    * integer division. Scale shape: rides the frozen ivf_assigned
-    * sidecar (no corpus or vector pass — counting needs only the
-    * cell_id column, pruned at the scan), one map-combined aggregate
-    * to |cells| rows, the one-row totals broadcast back
-    * (whitelisted).
-    */
-  def ivfBalance(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val cells = ivfAssigned(s, dir)
-      .groupBy($"cell_id").agg(count(lit(1)).as("n_vecs"))
-    val tot = cells.agg(sum($"n_vecs").as("total"),
-      count(lit(1)).as("n_cells"))
-    cells.crossJoin(broadcast(tot))
-      .select($"cell_id", $"n_vecs",
-        expr("n_vecs * 1000000 div total").as("ppm"),
-        ($"n_vecs" * $"n_cells" > $"total" * 2).as("is_hot"))
-      .orderBy($"cell_id")
-  }
 }

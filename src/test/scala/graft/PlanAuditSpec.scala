@@ -127,10 +127,7 @@ class PlanAuditSpec extends AnyFunSuite {
         // c02: inherits t54's one-row crosses (reference totals, cell
         // histogram total, quantized bar) plus t49's one-row model
         // totals — every cross side is a one-row aggregate.
-        "c02_ingest_campaign",
-        // s39: the one-row (total, n_cells) aggregate broadcast onto
-        // the <=16-row cell table (the q16 corpus-stats class).
-        "s39_ivf_balance")
+        "c02_ingest_campaign")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark
