@@ -130,6 +130,9 @@ object SparkEntry {
     // e13 flags too-much, this flags too-little; gap picks on an
     // exact BIGINT composite.
     "e40_silent_gaps"        -> (EventOps.silentGaps _),
+    // e41 = depth-bounded recursive CTE (Spark 4's UnionLoop): k-step
+    // path counts over the transition support graph, exact BIGINTs.
+    "e41_path_counts"        -> (EventOps.pathCounts _),
     // m19 = EXECUTED audio decimation through the real WAV codec
     // (decode → drop odd samples → re-encode at 4 kHz → decode);
     // position-weighted sums pin sample order across the chain.
@@ -1440,6 +1443,25 @@ object SparkEntry {
       // weekday order, S^2/N computed once and subtracted from both.
       // e40: densify via the span spine, anti-join to silent hours,
       // gaps-and-islands, arg_max on the len·10^10 − g0 composite.
+      // e41: the identical depth-bounded recursion over the e14
+      // adjacency (support edges) — integer path counts.
+      "e41_path_counts" -> """
+        WITH RECURSIVE nx AS (SELECT event_type AS from_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS to_type
+                    FROM events),
+        adj AS (SELECT DISTINCT from_type, to_type FROM nx
+                WHERE to_type IS NOT NULL),
+        paths(lvl, src, dst) AS (
+          SELECT 1, from_type, to_type FROM adj
+          UNION ALL
+          SELECT p.lvl + 1, p.src, a.to_type
+          FROM paths p JOIN adj a ON a.from_type = p.dst
+          WHERE p.lvl < 4
+        )
+        SELECT lvl AS k, src, dst, CAST(count(*) AS BIGINT) AS n_paths
+        FROM paths GROUP BY lvl, src, dst
+        ORDER BY k, src, dst""",
       "e40_silent_gaps" -> """
         WITH hc AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h
                     FROM events GROUP BY event_type, epoch_us(ts) // 3600000000),

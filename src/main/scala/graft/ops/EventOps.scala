@@ -1546,4 +1546,47 @@ object EventOps {
         $"longest_gap_start")
       .orderBy($"event_type")
   }
+
+  /** e41 — K-STEP PATH ENUMERATION over the transition SUPPORT graph
+    * via Spark 4's RECURSIVE CTE executor (the UnionLoop node) — the
+    * one query-language capability the portfolio had not exercised:
+    * every prior iterate-to-fixpoint op (CC, PageRank, LP, BPE)
+    * composes Scala loops precisely because min-label fixpoints need
+    * UNION DISTINCT recursion, which Spark's recursive CTEs do not
+    * support; a DEPTH-BOUNDED UNION ALL walk is exactly the shape
+    * they do support, so it gets a registered query pinning the
+    * feature under the oracle. For every ordered type pair: how many
+    * distinct length-k chains of OBSERVED transitions lead src → dst,
+    * k = 1..4 — the reachability-multiplicity view of e14's matrix
+    * (e36 asks what's LIKELY next; this asks what's structurally
+    * reachable in k hops and through how many routes, the fan-out a
+    * funnel designer reads before trusting a k-step attribution).
+    *
+    * Determinism: the walk enumerates one row per path and counts
+    * exact BIGINTs — no floats anywhere; termination is the
+    * structural lvl < 4 guard, never a fixpoint test.
+    *
+    * Scale shape: the recursion runs over the |types|² SUPPORT edge
+    * list (the shared transitionStats aggregate — the event log
+    * reduces ONCE, before any recursion), so each iteration joins a
+    * ≤|types|^k-row frontier against a broadcastable edge list and
+    * path counts are bounded by |types|^(k-1) per pair whatever the
+    * log size. DuckDB replays the identical recursion.
+    */
+  def pathCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    transitionStats(s, dir).select($"from_type", $"to_type")
+      .createOrReplaceTempView("v_adj")
+    s.sql("""
+      WITH RECURSIVE paths(lvl, src, dst) AS (
+        SELECT 1, from_type, to_type FROM v_adj
+        UNION ALL
+        SELECT p.lvl + 1, p.src, a.to_type
+        FROM paths p JOIN v_adj a ON a.from_type = p.dst
+        WHERE p.lvl < 4
+      )
+      SELECT lvl AS k, src, dst, CAST(count(*) AS BIGINT) AS n_paths
+      FROM paths GROUP BY lvl, src, dst
+      ORDER BY k, src, dst""")
+  }
 }
