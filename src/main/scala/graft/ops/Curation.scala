@@ -206,7 +206,7 @@ object Curation {
   def campaignProbeBatch(batch: DataFrame, idx: Dedup.TextProbeIndex,
                          benchGrams: DataFrame,
                          runi: DataFrame, rbg: DataFrame, ctx: DataFrame,
-                         jmThreshold: Double,
+                         jmBarCell: Long,
                          dsirModel: DataFrame): DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
@@ -217,13 +217,33 @@ object Curation {
       .select($"doc_id", $"avg_nll")
     val ds = TextOps.dsirScoreBatch(batch, dsirModel)
       .select($"doc_id", $"logw", $"selected")
-    adm.join(jm, Seq("doc_id"), "left")
-      .join(ds, Seq("doc_id"), "left")
-      .withColumn("stage",
+    // The QUANTIZED-CELL compare (t54's registered keep rule) — a raw
+    // double threshold would diverge from the certified rule for a
+    // novel arrival scoring between the snapshot's largest kept
+    // double and the cell boundary.
+    stagedVerdict(adm.join(jm, Seq("doc_id"), "left")
+      .join(ds, Seq("doc_id"), "left"),
+      lmDrop = floor($"avg_nll" * lit(1e4)) > lit(jmBarCell))
+  }
+
+  /** The first-failing-gate composition shared by [[campaignProbeBatch]]
+    * and [[ingestCampaign]] — ONE restatement of the stage precedence
+    * (quality → dedup → decontam → lm_quality → dsir → kept) and the
+    * 10-column verdict contract, so a future gate insertion cannot
+    * silently change one composition's funnel attribution. `in` bears
+    * the admission flags plus (avg_nll, logw, selected); `lmDrop` is
+    * the caller's form of the quantized-bar compare (literal for the
+    * door, column for the registered query).
+    */
+  private def stagedVerdict(in: DataFrame,
+                            lmDrop: org.apache.spark.sql.Column): DataFrame = {
+    val s = in.sparkSession
+    import s.implicits._
+    in.withColumn("stage",
         when($"low_quality", "quality")
           .when($"exact_dup" || $"near_dup" || $"sim_dup", "dedup")
           .when($"contaminated", "decontam")
-          .when($"avg_nll" > lit(jmThreshold), "lm_quality")
+          .when(lmDrop, "lm_quality")
           .when(!coalesce($"selected", lit(true)), "dsir")
           .otherwise("kept"))
       .select($"doc_id", $"exact_dup", $"near_dup", $"sim_dup",
@@ -263,50 +283,39 @@ object Curation {
       Dedup.textProbeSidecar(s, dir, 64), CorpusIndexes.benchGrams(s, dir))
     val (jmScoredAll, jmBar) = TextOps.jmScoredWithBar(s, dir)
     val ds = TextOps.dsirScoreBatch(arrivals, TextOps.dsirModel(s, dir))
-    adm
+    stagedVerdict(adm
       .join(jmScoredAll.select($"doc_id", $"avg_nll", $"q_nll"),
         Seq("doc_id"), "left")
       .crossJoin(broadcast(jmBar))
-      .join(ds.select($"doc_id", $"logw", $"selected"), Seq("doc_id"), "left")
-      .withColumn("stage",
-        when($"low_quality", "quality")
-          .when($"exact_dup" || $"near_dup" || $"sim_dup", "dedup")
-          .when($"contaminated", "decontam")
-          .when($"q_nll" > $"bar_cell", "lm_quality")
-          .when(!coalesce($"selected", lit(true)), "dsir")
-          .otherwise("kept"))
-      .select($"doc_id", $"exact_dup", $"near_dup", $"sim_dup",
-        $"low_quality", $"contaminated", $"avg_nll", $"logw",
-        $"stage", ($"stage" === "kept").as("admit"))
+      .join(ds.select($"doc_id", $"logw", $"selected"), Seq("doc_id"), "left"),
+      lmDrop = $"q_nll" > $"bar_cell")
       .orderBy($"doc_id")
   }
 
   /** Ship the composed door's WHOLE frozen snapshot under `root` —
     * the dedup probe index over `histDocs`, the bench-gram
-    * decontamination set, the JM model, the DSIR model, and the
-    * campaign config (the shipped JM threshold: the exact bar the
-    * snapshot's t54 run realizes, i.e. the largest kept avg_nll) as a
-    * one-row table. After this, [[graft.streaming.StreamingCampaign
-    * .runFromSnapshot]] needs the root ALONE — the production
-    * snapshot-rotation shape: build once per snapshot, point every
-    * door session at the root.
+    * decontamination set, the JM model AND its campaign bar CELL in
+    * one model build (the sidecar write and the bar's scoring pass
+    * share the checkpointed model frames — no redundant reference
+    * pass), the DSIR model, and the config table carrying the bar.
+    * After this, [[graft.streaming.StreamingCampaign.runFromSnapshot]]
+    * needs the root ALONE — the production snapshot-rotation shape:
+    * build once per snapshot, point every door session at the root.
     */
   def persistCampaignSnapshot(s: SparkSession, dir: String,
                               histDocs: DataFrame, root: String): Unit = {
     import s.implicits._
     Dedup.persistTextProbeIndex(histDocs, root)
     CorpusIndexes.persistSidecars(s, dir, root, Seq("bench_grams"))
-    TextOps.persistJmModel(s, dir, root)
+    val barCell = TextOps.persistJmModelWithBar(s, dir, root)
     TextOps.persistDsirModel(s, dir, root)
-    val thr = TextOps.jmQualityFilter(s, dir)
-      .filter($"keep").agg(max($"avg_nll")).head().getDouble(0)
-    Seq(thr).toDF("jm_threshold")
+    Seq(barCell).toDF("jm_bar_cell")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/campaign_config")
   }
 
-  /** Read the frozen threshold [[persistCampaignSnapshot]] shipped. */
-  def loadCampaignThreshold(s: SparkSession, root: String): Double =
-    s.read.parquet(s"$root/campaign_config").head().getDouble(0)
+  /** Read the frozen bar cell [[persistCampaignSnapshot]] shipped. */
+  def loadCampaignBarCell(s: SparkSession, root: String): Long =
+    s.read.parquet(s"$root/campaign_config").head().getLong(0)
 
   /** The DuckDB replay of [[ingestCampaign]]: the SHARED admission
     * chain (Dedup.admissionReplaySql), the SHARED JM score+bar chain

@@ -1644,12 +1644,13 @@ object TextOps {
     // Session sidecar (the dupClusterLabels discipline): the merge
     // table is a per-corpus-snapshot ARTIFACT — train once, read
     // everywhere (t21 packing / t27 mixtures tokenize with it).
-    CorpusIndexes.memo(s, dir, s"bpe_merges_$nMerges") {
-      import s.implicits._
-      val (merges, _) = bpeTrained(s, dir, nMerges)
-      s.sparkContext.parallelize(merges, 1)
-        .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
-        .orderBy($"merge_rank")
+    withBpeTrained(s, dir, nMerges) { (merges, _) =>
+      CorpusIndexes.memo(s, dir, s"bpe_merges_$nMerges") {
+        import s.implicits._
+        s.sparkContext.parallelize(merges, 1)
+          .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+          .orderBy($"merge_rank")
+      }
     }
 
   /** Shared per-(session, dir, nMerges) trained-BPE artifact: the
@@ -1682,20 +1683,29 @@ object TextOps {
         } else false
     }
 
-  private def bpeTrained(s: SparkSession, dir: String, nMerges: Int)
-      : (Seq[(Int, String, String, Long)], DataFrame) = bpeCache.synchronized {
-    val it = bpeCache.keySet.iterator()
-    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
-    val key = (s, dir, nMerges)
-    val hit = bpeCache.get(key)
-    val v = if (hit != null) hit
-    else {
-      val built = bpeTrain(s, documents(s, dir).select(col("text")), nMerges)
-      bpeCache.put(key, built)
-      built
+  /** Consumers run their ENTIRE derivation (including the eager
+    * CorpusIndexes.memo checkpoint) inside `f`, UNDER the cache lock:
+    * eviction also runs under the lock, so an evicted entry's
+    * checkpoint RDDs can never be unpersisted while a concurrent
+    * consumer is still materializing from them (local checkpoints
+    * sever lineage — a dropped block is unrecoverable, so
+    * evict-during-use would fail that consumer's job, not slow it).
+    */
+  private def withBpeTrained[T](s: SparkSession, dir: String, nMerges: Int)
+      (f: (Seq[(Int, String, String, Long)], DataFrame) => T): T =
+    bpeCache.synchronized {
+      val it = bpeCache.keySet.iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+      val key = (s, dir, nMerges)
+      val hit = bpeCache.get(key)
+      val v = if (hit != null) hit
+      else {
+        val built = bpeTrain(s, documents(s, dir).select(col("text")), nMerges)
+        bpeCache.put(key, built)
+        built
+      }
+      f(v._1, v._2)
     }
-    (v._1, v._2)
-  }
 
   /** t44 — the trained segmentation APPLIED: the per-word subword
     * split the t43 merge table produces, with its frequency and
@@ -1708,13 +1718,14 @@ object TextOps {
     * the whole table.
     */
   def bpeSegmentation(s: SparkSession, dir: String, nMerges: Int = 20): DataFrame =
-    CorpusIndexes.memo(s, dir, s"bpe_seg_$nMerges") {
-      import s.implicits._
-      val (_, words) = bpeTrained(s, dir, nMerges)
-      words.select($"word", $"n",
-          size($"syms").cast("long").as("n_syms"),
-          array_join($"syms", "|").as("seg"))
-        .orderBy($"n".desc, $"word").limit(200)
+    withBpeTrained(s, dir, nMerges) { (_, words) =>
+      CorpusIndexes.memo(s, dir, s"bpe_seg_$nMerges") {
+        import s.implicits._
+        words.select($"word", $"n",
+            size($"syms").cast("long").as("n_syms"),
+            array_join($"syms", "|").as("seg"))
+          .orderBy($"n".desc, $"word").limit(200)
+      }
     }
 
   /** t46 — TOKEN-BUDGET EFFICIENCY of the trained tokenizer, per
@@ -1738,9 +1749,9 @@ object TextOps {
     * also read, so this query never retrains.
     */
   def bpeEfficiency(s: SparkSession, dir: String, nMerges: Int = 20): DataFrame =
-    CorpusIndexes.memo(s, dir, s"bpe_eff_$nMerges") {
+    withBpeTrained(s, dir, nMerges) { (_, words) =>
+      CorpusIndexes.memo(s, dir, s"bpe_eff_$nMerges") {
       import s.implicits._
-      val (_, words) = bpeTrained(s, dir, nMerges)
       val vocab = words.select($"word", size($"syms").cast("long").as("n_syms"))
       documents(s, dir)
         .select($"source", explode(split($"text", "\\s+")).as("word"))
@@ -1756,6 +1767,7 @@ object TextOps {
         .withColumn("chars_per_subtok",
           $"n_chars".cast("double") / $"n_subtokens".cast("double"))
         .orderBy($"source")
+      }
     }
 
   /** The DuckDB replay of [[bpeEfficiency]]: the t43/t44 stage chain
@@ -2139,15 +2151,26 @@ object TextOps {
     val perDoc = jmScored(tk.filter($"lang" === "en").select($"t"),
       tk.select($"doc_id", $"t"))
       .withColumn("q_nll", floor($"avg_nll" * lit(1e4)))
+    (perDoc, quantizedBar(perDoc))
+  }
+
+  /** The t54 keep bar over a scored frame bearing `q_nll`: the first
+    * quantized cell where 2·cum ≥ n (rank ceil(n/2) — the exact lower
+    * median of the quantized scores, computed over the BOUNDED cell
+    * histogram). One definition, three consumers: t54 itself, c02,
+    * and the snapshot persist step.
+    */
+  private[graft] def quantizedBar(perDoc: DataFrame): DataFrame = {
+    val s = perDoc.sparkSession
+    import s.implicits._
     val hist = perDoc.groupBy($"q_nll").agg(count(lit(1)).as("n_cell"))
     val nAll = perDoc.agg(count(lit(1)).as("n_all"))
     val wc = Window.orderBy($"q_nll")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bar = hist.withColumn("cum", sum($"n_cell").over(wc))
+    hist.withColumn("cum", sum($"n_cell").over(wc))
       .crossJoin(broadcast(nAll))
       .filter($"cum" * 2 >= $"n_all")
       .agg(min($"q_nll").as("bar_cell"))
-    (perDoc, bar)
   }
 
   /** [[jmQualityFilter]]'s scoring core over explicit frames — `ref`
@@ -2383,19 +2406,50 @@ object TextOps {
     }
   }
 
+  /** [[persistJmModel]] AND the campaign bar in ONE model build: the
+    * three model tables materialize once (vocabulary-sized
+    * checkpoints), the sidecar write and the full-corpus scoring pass
+    * both read those frames, and the returned value is the snapshot's
+    * t54 bar CELL — the config [[graft.ops.Curation
+    * .persistCampaignSnapshot]] ships. Building the model twice
+    * (persist, then a separate t54 run for the threshold) would pay a
+    * redundant reference-corpus pass at snapshot-build time.
+    */
+  private[graft] def persistJmModelWithBar(s: SparkSession, dir: String,
+                                           root: String): Long = {
+    import s.implicits._
+    val tk = documents(s, dir).select($"doc_id", $"lang", toks($"text").as("t"))
+    val (runi0, rbg0, ctx0) = jmModel(tk.filter($"lang" === "en").select($"t"))
+    val (runi, rbg, ctx) =
+      (runi0.localCheckpoint(), rbg0.localCheckpoint(), ctx0.localCheckpoint())
+    Seq(("jm_uni", runi), ("jm_bg", rbg), ("jm_ctx", ctx)).foreach {
+      case (key, df) =>
+        CorpusIndexes.writeBucketedTable(df, s"$root/$key",
+          CorpusIndexes.tableName(root, key), CorpusIndexes.layouts(key))
+    }
+    val perDoc = jmScoreAgainst(tk.select($"doc_id", $"t"), runi, rbg, ctx)
+      .withColumn("q_nll", floor($"avg_nll" * lit(1e4)))
+    quantizedBar(perDoc).head().getLong(0)
+  }
+
   /** One scoring pass over an arriving (doc_id, text) batch against
-    * the frozen model tables plus a FROZEN keep threshold (the
-    * campaign ships the snapshot's t54 median in config; the door
-    * never recomputes it — a per-arrival-window median would make
-    * verdicts depend on batch boundaries).
+    * the frozen model tables plus the FROZEN keep bar (the campaign
+    * ships the snapshot's t54 bar CELL in config; the door never
+    * recomputes it — a per-arrival-window median would make verdicts
+    * depend on batch boundaries). The gate is the QUANTIZED-CELL
+    * compare — exactly t54's registered keep rule — so a genuinely
+    * novel arrival whose score falls between the snapshot's largest
+    * kept double and the cell boundary gets the same verdict the
+    * certified batch rule would give it (a raw double threshold
+    * diverges there).
     */
   def jmScoreDocs(batch: DataFrame, runi: DataFrame, rbg: DataFrame,
-                  ctx: DataFrame, threshold: Double): DataFrame = {
+                  ctx: DataFrame, barCell: Long): DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
     jmScoreAgainst(batch.select($"doc_id", toks($"text").as("t")),
         runi, rbg, ctx)
-      .withColumn("keep", $"avg_nll" <= lit(threshold))
+      .withColumn("keep", floor($"avg_nll" * lit(1e4)) <= lit(barCell))
   }
 
   /** Read the durable model written by [[persistJmModel]]. */

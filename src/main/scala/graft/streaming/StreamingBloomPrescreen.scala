@@ -46,59 +46,18 @@ object StreamingBloomPrescreen {
     val (filterBytes, digests) = graft.ops.Dedup.bloomIndex(histDocs, fpp)
     val bc = s.sparkContext.broadcast(
       org.apache.spark.util.sketch.BloomFilter.readFrom(filterBytes))
-    // The listener registers BEFORE start() so a query that fails or
-    // terminates immediately still reaps the broadcast: termination
-    // events are buffered until the query id is known, and whichever
-    // side (listener thread or this thread) observes both facts first
-    // performs the one destroy. The public destroy() BLOCKS, so the
-    // listener path hands it to a daemon thread — cleanup must not
-    // stall the shared listener-bus thread.
-    val destroyed = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val qidRef =
-      new java.util.concurrent.atomic.AtomicReference[java.util.UUID](null)
-    val seenTerminated =
-      java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
-    def reapOnce(async: Boolean): Unit =
-      if (destroyed.compareAndSet(false, true)) {
-        if (async) {
-          val t = new Thread(() => bc.destroy(), "graft-bloom-bc-destroy")
-          t.setDaemon(true)
-          t.start()
-        } else bc.destroy()
-      }
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
-        seenTerminated.add(e.id)
-        if (e.id == qidRef.get) {
-          reapOnce(async = true)
-          s.streams.removeListener(this)
-        }
-      }
-    }
-    s.streams.addListener(listener)
-    val q =
-      try docs.writeStream
+    // Reaped exactly once at termination (or on a failed start) via
+    // the shared door lifecycle — see [[ReapOnTerminate]] for the
+    // registration-order and double-reap reasoning.
+    ReapOnTerminate.install(s,
+      start = () => docs.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           graft.ops.Dedup.bloomProbeBatch(batch, bc, digests)
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
           ()
         }
         .option("checkpointLocation", checkpointDir)
-        .start()
-      catch {
-        case t: Throwable =>
-          s.streams.removeListener(listener)
-          reapOnce(async = false)
-          throw t
-      }
-    qidRef.set(q.id)
-    if (seenTerminated.contains(q.id)) {
-      reapOnce(async = false)
-      s.streams.removeListener(listener)
-    }
-    q
+        .start(),
+      reap = () => bc.destroy())
   }
 }

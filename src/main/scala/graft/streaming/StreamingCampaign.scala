@@ -39,7 +39,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingCampaign {
 
-  /** [[run]] with every frozen input — including the threshold — read
+  /** [[run]] with every frozen input — including the keep bar — read
     * from a [[graft.ops.Curation.persistCampaignSnapshot]] root: the
     * zero-argument production form (snapshot rotation swaps roots
     * between runs; nothing else changes).
@@ -47,38 +47,44 @@ object StreamingCampaign {
   def runFromSnapshot(docs: DataFrame, indexDir: String,
                       outDir: String, checkpointDir: String): StreamingQuery =
     run(docs, indexDir,
-      graft.ops.Curation.loadCampaignThreshold(docs.sparkSession, indexDir),
+      graft.ops.Curation.loadCampaignBarCell(docs.sparkSession, indexDir),
       outDir, checkpointDir)
 
   /** Start the job: `docs` is any streaming frame bearing
-    * (doc_id, text); `indexDir` the shared snapshot root;
-    * `jmThreshold` the frozen t54 keep bar the campaign shipped.
-    * Verdict rows (doc_id, gate flags, avg_nll, logw, stage, admit)
-    * land under `outDir/batch_id=<n>/`.
+    * (doc_id, text); `indexDir` the shared snapshot root; `jmBarCell`
+    * the frozen t54 quantized keep bar the campaign shipped. Verdict
+    * rows (doc_id, gate flags, avg_nll, logw, stage, admit) land
+    * under `outDir/batch_id=<n>/`.
     */
-  def run(docs: DataFrame, indexDir: String, jmThreshold: Double,
+  def run(docs: DataFrame, indexDir: String, jmBarCell: Long,
           outDir: String, checkpointDir: String): StreamingQuery = {
     val s = docs.sparkSession
     // All frozen structures load ONCE at run start. The model tables
-    // are vocabulary-sized and pin as checkpoints; the dedup probe
-    // index reads as bucketed disk tables per trigger (batch-sized
-    // probe joins against them — pinning corpus-scale bands in memory
-    // would be wrong at 100 TB).
+    // are vocabulary-sized and pin as checkpoints FOR THIS RUN — the
+    // shared door lifecycle unpersists them when the query terminates,
+    // so a session rotating snapshots never accumulates dead blocks.
+    // The dedup probe index reads as bucketed disk tables per trigger
+    // (batch-sized probe joins against them — pinning corpus-scale
+    // bands in memory would be wrong at 100 TB).
     val idx = graft.ops.Dedup.loadTextProbeIndex(s, indexDir)
-    val grams = graft.ops.CorpusIndexes
-      .readSidecar(s, indexDir, "bench_grams").localCheckpoint()
-    val (runi, rbg, ctx) = graft.ops.TextOps.loadJmModel(s, indexDir)
-    val (u, b, c) =
-      (runi.localCheckpoint(), rbg.localCheckpoint(), ctx.localCheckpoint())
-    val dsir = graft.ops.TextOps.loadDsirModel(s, indexDir).localCheckpoint()
-    docs.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Curation
-          .campaignProbeBatch(batch, idx, grams, u, b, c, jmThreshold, dsir)
-          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .start()
+    val ((grams, u, b, c, dsir), reap) = ReapOnTerminate.tracked(s) {
+      val grams = graft.ops.CorpusIndexes
+        .readSidecar(s, indexDir, "bench_grams").localCheckpoint()
+      val (runi, rbg, ctx) = graft.ops.TextOps.loadJmModel(s, indexDir)
+      (grams, runi.localCheckpoint(), rbg.localCheckpoint(),
+        ctx.localCheckpoint(),
+        graft.ops.TextOps.loadDsirModel(s, indexDir).localCheckpoint())
+    }
+    ReapOnTerminate.install(s,
+      start = () => docs.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.ops.Curation
+            .campaignProbeBatch(batch, idx, grams, u, b, c, jmBarCell, dsir)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          ()
+        }
+        .option("checkpointLocation", checkpointDir)
+        .start(),
+      reap = reap)
   }
 }

@@ -40,16 +40,21 @@ object StreamingDsir {
   def run(docs: DataFrame, indexDir: String,
           outDir: String, checkpointDir: String): StreamingQuery = {
     val s = docs.sparkSession
-    // 64 rows, read from disk ONCE at run start and pinned for the
-    // stream's lifetime; nothing about the corpus is touched.
-    val model = graft.ops.TextOps.loadDsirModel(s, indexDir).localCheckpoint()
-    docs.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.TextOps.dsirScoreBatch(batch, model)
-          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .start()
+    // 64 rows, read from disk ONCE at run start and pinned FOR THIS
+    // RUN — unpersisted at termination by the shared door lifecycle;
+    // nothing about the corpus is touched.
+    val (model, reap) = ReapOnTerminate.tracked(s) {
+      graft.ops.TextOps.loadDsirModel(s, indexDir).localCheckpoint()
+    }
+    ReapOnTerminate.install(s,
+      start = () => docs.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.ops.TextOps.dsirScoreBatch(batch, model)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          ()
+        }
+        .option("checkpointLocation", checkpointDir)
+        .start(),
+      reap = reap)
   }
 }

@@ -31,25 +31,31 @@ object StreamingJm {
 
   /** Start the job: `docs` is any streaming frame bearing
     * (doc_id, text); `indexDir` holds the persisted model
-    * ([[graft.ops.TextOps.persistJmModel]]); `threshold` is the
-    * frozen keep bar. Verdict rows (doc_id, n_bigrams, n_oov, nll,
-    * avg_nll, keep) land under `outDir/batch_id=<n>/`.
+    * ([[graft.ops.TextOps.persistJmModel]]); `barCell` is the frozen
+    * quantized keep bar (t54's registered rule — a raw double
+    * threshold would diverge from the certified rule for novel
+    * arrivals at the cell boundary). Verdict rows (doc_id, n_bigrams,
+    * n_oov, nll, avg_nll, keep) land under `outDir/batch_id=<n>/`.
     */
-  def run(docs: DataFrame, indexDir: String, threshold: Double,
+  def run(docs: DataFrame, indexDir: String, barCell: Long,
           outDir: String, checkpointDir: String): StreamingQuery = {
     val s = docs.sparkSession
     // Vocabulary-sized tables, read from disk ONCE at run start and
-    // pinned for the stream's lifetime.
-    val (runi, rbg, ctx) = graft.ops.TextOps.loadJmModel(s, indexDir)
-    val (u, b, c) =
+    // pinned FOR THIS RUN — unpersisted at termination by the shared
+    // door lifecycle.
+    val ((u, b, c), reap) = ReapOnTerminate.tracked(s) {
+      val (runi, rbg, ctx) = graft.ops.TextOps.loadJmModel(s, indexDir)
       (runi.localCheckpoint(), rbg.localCheckpoint(), ctx.localCheckpoint())
-    docs.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.TextOps.jmScoreDocs(batch, u, b, c, threshold)
-          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .start()
+    }
+    ReapOnTerminate.install(s,
+      start = () => docs.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.ops.TextOps.jmScoreDocs(batch, u, b, c, barCell)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          ()
+        }
+        .option("checkpointLocation", checkpointDir)
+        .start(),
+      reap = reap)
   }
 }

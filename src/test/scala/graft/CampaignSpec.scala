@@ -99,20 +99,20 @@ class CampaignSpec extends AnyFunSuite {
     }
   }
 
-  test("c02 equals the door's batch core under the shipped threshold") {
+  test("c02 equals the door's batch core under the shipped bar") {
     // The registered ingest campaign computes the JM bar in-plan (the
-    // snapshot's t54 bar); the door takes the bar as a frozen double.
-    // With threshold = the exact value the batch bar realizes (max
-    // kept avg_nll — the StreamingJm convention), the two compositions
-    // must be row-identical: quantized-cell compare vs double compare
-    // agree at exactly that threshold.
+    // snapshot's t54 bar); the door takes the same bar CELL frozen in
+    // config — one quantized-cell rule on both paths, so the two
+    // compositions must be row-identical for EVERY input, including
+    // novel arrivals at the cell boundary (a raw double threshold
+    // would diverge there).
     val spark = TestSpark.spark
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val c02 = graft.ops.Curation.ingestCampaign(spark, TestSpark.sfDir)
       .localCheckpoint()
-    val threshold = graft.ops.TextOps.jmQualityFilter(spark, TestSpark.sfDir)
-      .filter($"keep").agg(max($"avg_nll")).head().getDouble(0)
+    val barCell = graft.ops.TextOps.jmScoredWithBar(spark, TestSpark.sfDir)
+      ._2.head().getLong(0)
     val arrivals = Tables.documents(spark, TestSpark.sfDir)
       .select($"doc_id", $"text").filter($"doc_id" % 5 === 0)
     val idx = graft.ops.Dedup.textProbeSidecar(spark, TestSpark.sfDir, 64)
@@ -121,7 +121,7 @@ class CampaignSpec extends AnyFunSuite {
       .filter($"lang" === "en").select(split($"text", "\\s+").as("t"))
     val (runi, rbg, ctx) = graft.ops.TextOps.jmModel(ref)
     val door = graft.ops.Curation.campaignProbeBatch(
-      arrivals, idx, grams, runi, rbg, ctx, threshold,
+      arrivals, idx, grams, runi, rbg, ctx, barCell,
       graft.ops.TextOps.dsirModel(spark, TestSpark.sfDir))
       .select(c02.columns.map(col): _*)
     assert(c02.except(door).count() == 0)

@@ -1431,15 +1431,15 @@ class StreamingExtrasSpec extends AnyFunSuite {
     graft.ops.TextOps.persistJmModel(spark, TestSpark.sfDir, root)
     val batchT54 = graft.ops.TextOps.jmQualityFilter(spark, TestSpark.sfDir)
       .localCheckpoint()
-    // the snapshot's shipped threshold: the largest kept avg_nll (the
-    // exact value t54's median keep realizes)
-    val threshold = batchT54.filter($"keep").agg(max($"avg_nll"))
-      .head().getDouble(0)
+    // the snapshot's shipped bar: t54's quantized median cell (the
+    // registered keep rule, exact for novel arrivals too)
+    val barCell = graft.ops.TextOps.jmScoredWithBar(spark, TestSpark.sfDir)
+      ._2.head().getLong(0)
     val out = java.nio.file.Files.createTempDirectory("graft-jm-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-jm-ckpt").toString
     val input = MemoryStream[(Long, String)]
     val stream = input.toDF().toDF("doc_id", "text")
-    def start() = graft.streaming.StreamingJm.run(stream, root, threshold, out, ckpt)
+    def start() = graft.streaming.StreamingJm.run(stream, root, barCell, out, ckpt)
     val q1 = start()
     try {
       input.addData(arrivals.take(arrivals.length / 2).toSeq)
@@ -1489,11 +1489,11 @@ class StreamingExtrasSpec extends AnyFunSuite {
     // shape).
     val root = java.nio.file.Files.createTempDirectory("graft_camp_idx").toString
     graft.ops.Curation.persistCampaignSnapshot(spark, TestSpark.sfDir, hist, root)
-    val threshold = graft.ops.Curation.loadCampaignThreshold(spark, root)
-    // the shipped threshold IS the exact bar batch t54 realizes
-    val expectThr = graft.ops.TextOps.jmQualityFilter(spark, TestSpark.sfDir)
-      .filter($"keep").agg(max($"avg_nll")).head().getDouble(0)
-    assert(threshold == expectThr)
+    val barCell = graft.ops.Curation.loadCampaignBarCell(spark, root)
+    // the shipped bar IS the quantized median cell batch t54 realizes
+    val expectBar = graft.ops.TextOps.jmScoredWithBar(spark, TestSpark.sfDir)
+      ._2.head().getLong(0)
+    assert(barCell == expectBar)
     val batches = Seq(
       arrivals.take(arrivals.length / 3),
       arrivals.slice(arrivals.length / 3, 2 * arrivals.length / 3),
@@ -1532,7 +1532,7 @@ class StreamingExtrasSpec extends AnyFunSuite {
     val (runi, rbg, ctx) = graft.ops.TextOps.loadJmModel(spark, root)
     val dsirModel = graft.ops.TextOps.loadDsirModel(spark, root)
     val oneShot = graft.ops.Curation.campaignProbeBatch(
-      arrivalsDf, idx, grams, runi, rbg, ctx, threshold, dsirModel)
+      arrivalsDf, idx, grams, runi, rbg, ctx, barCell, dsirModel)
       .localCheckpoint()
     assert(streamed.except(oneShot).count() == 0)
     assert(oneShot.except(streamed).count() == 0)
@@ -1545,7 +1545,7 @@ class StreamingExtrasSpec extends AnyFunSuite {
     //    the same first-failing-gate precedence — nothing about
     //    composition changed any gate's solo decision.
     val adm = graft.ops.Dedup.admissionProbeIndexed(arrivalsDf, idx, grams)
-    val jm = graft.ops.TextOps.jmScoreDocs(arrivalsDf, runi, rbg, ctx, threshold)
+    val jm = graft.ops.TextOps.jmScoreDocs(arrivalsDf, runi, rbg, ctx, barCell)
       .select($"doc_id", $"keep".as("jm_keep"))
     val ds = graft.ops.TextOps.dsirScoreBatch(arrivalsDf, dsirModel)
       .select($"doc_id", $"selected")
