@@ -2147,10 +2147,17 @@ object TextOps {
     */
   private[graft] def jmScoredWithBar(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
-    val tk = documents(s, dir).select($"doc_id", $"lang", toks($"text").as("t"))
-    val perDoc = jmScored(tk.filter($"lang" === "en").select($"t"),
-      tk.select($"doc_id", $"t"))
-      .withColumn("q_nll", floor($"avg_nll" * lit(1e4)))
+    // Session sidecar (the dupClusterLabels discipline): the per-doc
+    // score table is the campaign's persisted ARTIFACT — at 100 TB a
+    // snapshot scores once and every consumer (t54's report, c02's
+    // gate, the shipped bar) reads the artifact; locally the memo
+    // plays that role for the two registered consumers.
+    val perDoc = CorpusIndexes.memo(s, dir, "jm_scored") {
+      val tk = documents(s, dir).select($"doc_id", $"lang", toks($"text").as("t"))
+      jmScored(tk.filter($"lang" === "en").select($"t"),
+        tk.select($"doc_id", $"t"))
+        .withColumn("q_nll", floor($"avg_nll" * lit(1e4)))
+    }
     (perDoc, quantizedBar(perDoc))
   }
 
