@@ -1571,6 +1571,78 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(byStage.size >= 2, s"only one stage fired: $byStage")
   }
 
+  test("StreamingLru: transformWithState reproduces the reference producer's bounded dedup set; replay exactly-once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // Arrivals keyed by a title digest (the reference keys on
+    // url/title — the leading-characters digest is this corpus's
+    // analog: full texts are all distinct here, leading spans repeat),
+    // in doc_id order; maxsize 40 realizes all three behaviors on
+    // this fixture (measured: 6 in-window drops, 454 evictions, 17
+    // re-admitted keys).
+    val arrivals = Tables.documents(spark, TestSpark.sfDir)
+      .selectExpr("doc_id", "md5(substring(text, 1, 30)) AS key")
+      .as[(Long, String)].collect().sortBy(_._1)
+      .zipWithIndex.map { case ((id, k), i) => (i.toLong, id, k) }
+    val maxsize = 40
+    // Driver replay of news_producer.py's LRUSet usage (membership
+    // check WITHOUT recency refresh; insertion-order eviction).
+    val expected = {
+      val order = scala.collection.mutable.ArrayDeque.empty[String]
+      val members = scala.collection.mutable.HashSet.empty[String]
+      arrivals.map { case (seq, id, k) =>
+        if (members.contains(k)) (seq, id, k, false, null: String)
+        else {
+          order.append(k); members.add(k)
+          val ev = if (order.size > maxsize) {
+            val h = order.removeHead(); members.remove(h); h
+          } else null
+          (seq, id, k, true, ev)
+        }
+      }.toSeq
+    }
+    val emittedN = expected.count(_._4)
+    assert(emittedN < arrivals.length, "duplicates must be dropped")
+    assert(expected.exists(_._5 != null), "eviction must occur")
+    // re-admission: some key emitted twice (dup arriving after its
+    // first copy was evicted)
+    assert(expected.filter(_._4).groupBy(_._3).exists(_._2.size > 1),
+      "an evicted key must be re-admitted on this fixture")
+    val batches = Seq(
+      arrivals.take(arrivals.length / 3),
+      arrivals.slice(arrivals.length / 3, 2 * arrivals.length / 3),
+      arrivals.drop(2 * arrivals.length / 3))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lru_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_lru_out").toString
+    val input = MemoryStream[(Long, Long, String)]
+    val stream = input.toDF().toDF("seq", "doc_id", "key")
+    def start() = graft.streaming.StreamingLru.run(stream, maxsize, out, ckpt)
+    val q1 = start()
+    try {
+      input.addData(batches(0).toSeq); q1.processAllAvailable()
+      input.addData(batches(1).toSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    // Forced replay: drop the last commit; the state store reloads
+    // version n-1 and the batch_id overwrite rewrites identical bytes.
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      input.addData(batches(2).toSeq); q2.processAllAvailable()
+    } finally q2.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .select($"seq", $"doc_id", $"key", $"emitted", $"evicted")
+      .as[(Long, Long, String, Boolean, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(streamed == expected,
+      "streamed verdicts must replay the reference LRUSet exactly")
+  }
+
   test("StreamingSpanDedup: streamed spans compose to batch d36 from the disk index; replay exactly-once") {
     val spark = TestSpark.spark
     import spark.implicits._
