@@ -212,6 +212,9 @@ object SparkEntry {
     // RewritePredicateSubquery anti-join surface) + scalar avg bar
     // algebraized to bal*n > sum, grouped by nation.
     "q46_dormant_accounts"   -> (Relational2.dormantAccounts _),
+    // q47 = correlated LATERAL (ORDER BY + LIMIT 1): the top-1-per-
+    // outer-row decorrelation path, rewritten to a partitioned rank.
+    "q47_vip_latest_order"   -> (Relational2.vipLatestOrder _),
     // s34 = linearized silhouette: per-vector clustering quality in
     // n·k dots against the cells' normalized-sum vectors (never n²).
     "s34_silhouette"         -> (Similarity.silhouetteAudit _),
@@ -4577,6 +4580,18 @@ object SparkEntry {
             CAST(greatest(ndv_dates_o, ndv_dates_l) AS DOUBLE) AS est_naive,
           est_hist
         FROM t_o, t_l, act, hist""",
+      // q47: the identical LATERAL top-1; doubles pass through with
+      // no accumulation, so no casts are needed.
+      "q47_vip_latest_order" -> """
+        SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_orderdate,
+          o.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_orderdate, o_totalprice
+                 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o
+        WHERE c.c_acctbal > 8000.0
+        ORDER BY c.c_custkey""",
       // q46: same NOT EXISTS + algebraized avg bar; DuckDB's
       // o_orderdate is already timestamp, double via VARCHAR.
       // (q43 below: exact-decimal equality to the view max; only the

@@ -1176,6 +1176,42 @@ object Relational2 {
       ORDER BY c_nationkey""")
   }
 
+  /** q47 — LATEST ORDER PER VIP CUSTOMER via a correlated LATERAL
+    * subquery with ORDER BY + LIMIT 1 — the remaining decorrelation
+    * planner path (LateralJoin → DecorrelateInnerQuery with a
+    * correlated limit): q44 covered the correlated scalar `= (SELECT
+    * min)`, q46 the correlated NOT EXISTS, q45 the HAVING scalar;
+    * this is the "top-1 related row per outer row" form analysts
+    * actually write, which Catalyst must rewrite into a partitioned
+    * rank — never a per-row re-execution — for the plan to survive
+    * scale.
+    *
+    * Determinism: the lateral's (o_orderdate DESC, o_orderkey DESC)
+    * ordering is total (orderkey unique), values pass through with no
+    * accumulation, and the output is one row per qualifying customer
+    * ordered by the unique custkey.
+    *
+    * Scale shape: the acctbal predicate pushes into the customer scan
+    * (VIPs are a thin slice); the decorrelated form joins that slice
+    * to orders on custkey and ranks within the join's per-customer
+    * groups — the orders side shuffles once on o_custkey, top-1 via
+    * bounded per-group state, no driver loop, no cartesian.
+    */
+  def vipLatestOrder(s: SparkSession, dir: String): DataFrame = {
+    customer(s, dir).createOrReplaceTempView("v_customer")
+    orders(s, dir).createOrReplaceTempView("v_orders")
+    s.sql("""
+      SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_orderdate,
+        o.o_totalprice
+      FROM v_customer c,
+      LATERAL (SELECT o_orderkey, o_orderdate, o_totalprice
+               FROM v_orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o
+      WHERE c.c_acctbal > 8000.0
+      ORDER BY c.c_custkey""")
+  }
+
   def partSupplierVariety(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bad = supplier(s, dir).filter($"s_acctbal" < 0.0).select($"s_suppkey")
