@@ -133,6 +133,9 @@ object SparkEntry {
     // e41 = depth-bounded recursive CTE (Spark 4's UnionLoop): k-step
     // path counts over the transition support graph, exact BIGINTs.
     "e41_path_counts"        -> (EventOps.pathCounts _),
+    // e42 = Spark 4 VARIANT ingestion: parse_json once, typed
+    // variant_get extraction, exact integer rollup per type.
+    "e42_variant_rollup"     -> (EventOps.variantRollup _),
     // m19 = EXECUTED audio decimation through the real WAV codec
     // (decode → drop odd samples → re-encode at 4 kHz → decode);
     // position-weighted sums pin sample order across the chain.
@@ -1446,6 +1449,20 @@ object SparkEntry {
       // weekday order, S^2/N computed once and subtracted from both.
       // e40: densify via the span spine, anti-join to silent hours,
       // gaps-and-islands, arg_max on the len·10^10 − g0 composite.
+      // e42: DuckDB extracts the same typed path from the JSON text;
+      // all-integer rollup.
+      "e42_variant_rollup" -> """
+        SELECT event_type,
+          CAST(count(*) AS BIGINT) AS n_events,
+          CAST(count(k) AS BIGINT) AS n_with_k,
+          CAST(sum(k) AS BIGINT) AS sum_k,
+          CAST(min(k) AS BIGINT) AS min_k,
+          CAST(max(k) AS BIGINT) AS max_k
+        FROM (SELECT event_type,
+                CAST(json_extract(props, '$.k') AS BIGINT) AS k
+              FROM events)
+        GROUP BY event_type
+        ORDER BY event_type""",
       // e41: the identical depth-bounded recursion over the e14
       // adjacency (support edges) — integer path counts.
       "e41_path_counts" -> """

@@ -1573,6 +1573,39 @@ object EventOps {
     * path counts are bounded by |types|^(k-1) per pair whatever the
     * log size. DuckDB replays the identical recursion.
     */
+  /** e42 — VARIANT-typed payload rollup: the `props` JSON ingested
+    * through Spark 4's VARIANT type (parse_json → a binary
+    * semi-structured value, variant_get with a typed path extract) —
+    * the OTHER new-in-4.x data surface beside e41's recursion, and
+    * the production shape for schema-on-read payloads at 100 TB:
+    * VARIANT parses once at ingest and every consumer path-extracts
+    * from the binary encoding, where e04's from_json re-parses text
+    * per consumer against a FIXED schema that a payload evolution
+    * breaks. Per event type: event count, k-coverage, and exact
+    * integer extrema/sum of the extracted field.
+    *
+    * Determinism: the extraction is BIGINT-typed at the variant_get
+    * call; counts/sums/extrema are exact integers (VariantSpec pins
+    * the missing-path and type-mismatch null semantics on literal
+    * fixtures).
+    *
+    * Scale shape: one narrow (event_type, props) scan, parse+extract
+    * map-side, |types|-row aggregate — map-combined, one shuffle.
+    */
+  def variantRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .select($"event_type",
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count($"k").as("n_with_k"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
   def pathCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     transitionStats(s, dir).select($"from_type", $"to_type")
