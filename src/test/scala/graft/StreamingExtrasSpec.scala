@@ -1210,6 +1210,78 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(rows == Seq((1L, "click", "buy", 1000000L)))
   }
 
+  test("StreamTransitions2 (transformWithState port) equals the old door and the batch form; event-time timer evicts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val (pk, pv) = graft.streaming.StreamTransitions2.RequiredProvider
+    val prev = spark.conf.getOption(pk)
+    try {
+      spark.conf.set(pk, pv)
+      // 1. Migration certificate: the port's union over the same
+      //    3-batch ordered split equals batch transitionStats (and
+      //    therefore the old flatMapGroupsWithState door, whose own
+      //    test pins the same equality).
+      val evs = Tables.events(spark, TestSpark.sfDir)
+        .select($"user_id", $"ts".cast("timestamp").as("ts"), $"event_id",
+          $"event_type", unix_micros($"ts".cast("timestamp")).as("us"))
+        .as[(Long, java.sql.Timestamp, Long, String, Long)]
+        .collect().sortBy(e => (e._5, e._3))
+        .map(e => (e._1, e._2, e._3, e._4))
+      val batches = Seq(
+        evs.take(evs.length / 3),
+        evs.slice(evs.length / 3, 2 * evs.length / 3),
+        evs.drop(2 * evs.length / 3))
+      val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+      val stream = input.toDF().toDF("user_id", "ts", "event_id", "event_type")
+      val q = graft.streaming.StreamTransitions2
+        .transitions(stream, horizonMs = 90L * 24 * 3600 * 1000).toDF()
+        .writeStream.format("memory").queryName("st2_trans")
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      } finally q.stop()
+      val streamed = spark.table("st2_trans")
+        .groupBy($"from_type", $"to_type")
+        .agg(count(lit(1)).as("n"), sum($"gap_us").as("total_gap_us"),
+          min($"gap_us").as("min_gap_us"), max($"gap_us").as("max_gap_us"))
+      val batchRun = graft.ops.EventOps.transitionStats(spark, TestSpark.sfDir)
+      assert(streamed.count() == batchRun.count())
+      assert(streamed.except(batchRun).count() == 0)
+      assert(batchRun.except(streamed).count() == 0)
+      val nUsers = evs.map(_._1).distinct.length
+      assert(spark.table("st2_trans").count() == evs.length - nUsers)
+
+      // 2. The registered event-time TIMER actually evicts: same
+      //    fixture as the old door's eviction test — A idles past the
+      //    horizon, B's far-future event advances the watermark, A's
+      //    return must NOT pair across the eviction but must chain
+      //    its own fresh successor.
+      def ts(x: String) = java.sql.Timestamp.valueOf(x)
+      val input2 = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+      val stream2 = input2.toDF().toDF("user_id", "ts", "event_id", "event_type")
+      val q2 = graft.streaming.StreamTransitions2
+        .transitions(stream2, watermark = "1 minute", horizonMs = 60000L).toDF()
+        .writeStream.format("memory").queryName("st2_evict")
+        .outputMode("append").start()
+      try {
+        input2.addData((1L, ts("2024-01-01 00:00:00"), 1L, "view")); q2.processAllAvailable()
+        input2.addData((2L, ts("2024-01-02 00:00:00"), 2L, "view")); q2.processAllAvailable()
+        input2.addData((1L, ts("2024-01-03 00:00:00"), 3L, "click")); q2.processAllAvailable()
+        input2.addData((1L, ts("2024-01-03 00:00:01"), 4L, "buy")); q2.processAllAvailable()
+      } finally q2.stop()
+      val rows = spark.table("st2_evict")
+        .select($"user_id", $"from_type", $"to_type", $"gap_us").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(rows == Seq((1L, "click", "buy", 1000000L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(pk, v)
+        case None    => spark.conf.unset(pk)
+      }
+    }
+  }
+
   test("StreamingKmeans: in-order micro-batches compose bit-exactly to the batch s15 step") {
     val spark = TestSpark.spark
     import spark.implicits._
