@@ -1449,8 +1449,11 @@ object SparkEntry {
       // weekday order, S^2/N computed once and subtracted from both.
       // e40: densify via the span spine, anti-join to silent hours,
       // gaps-and-islands, arg_max on the len·10^10 − g0 composite.
-      // e42: DuckDB extracts the same typed path from the JSON text;
-      // all-integer rollup.
+      // e42: TRY_CAST of the JSON-typed extract mirrors
+      // try_variant_get on every probed class (VariantSpec): ints and
+      // "87" parse, fractional 2.5 TRUNCATES to 2 (the ANSI numeric
+      // cast, both engines), non-numeric strings -> NULL (a plain
+      // CAST would abort on them).
       "e42_variant_rollup" -> """
         SELECT event_type,
           CAST(count(*) AS BIGINT) AS n_events,
@@ -1459,7 +1462,7 @@ object SparkEntry {
           CAST(min(k) AS BIGINT) AS min_k,
           CAST(max(k) AS BIGINT) AS max_k
         FROM (SELECT event_type,
-                CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k
               FROM events)
         GROUP BY event_type
         ORDER BY event_type""",

@@ -1584,10 +1584,16 @@ object EventOps {
     * breaks. Per event type: event count, k-coverage, and exact
     * integer extrema/sum of the extracted field.
     *
-    * Determinism: the extraction is BIGINT-typed at the variant_get
-    * call; counts/sums/extrema are exact integers (VariantSpec pins
-    * the missing-path and type-mismatch null semantics on literal
-    * fixtures).
+    * Determinism: the extraction is BIGINT-typed via TRY_variant_get —
+    * a missing path or a non-castable value yields NULL instead of
+    * aborting the scan, which is the only admissible behavior for the
+    * payload-evolution case this op exists for (strict variant_get
+    * would kill the whole query on one bad row); counts/sums/extrema
+    * are exact integers. Oracle parity, probed class by class in
+    * VariantSpec: integers and numeric strings parse, fractional
+    * doubles TRUNCATE toward zero (the ANSI numeric cast — identical
+    * to DuckDB's TRY_CAST of the JSON-typed extract), non-numeric
+    * strings and missing paths are NULL on both engines.
     *
     * Scale shape: one narrow (event_type, props) scan, parse+extract
     * map-side, |types|-row aggregate — map-combined, one shuffle.
@@ -1596,7 +1602,7 @@ object EventOps {
     import s.implicits._
     events(s, dir)
       .select($"event_type",
-        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        expr("try_variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"),
         count($"k").as("n_with_k"),

@@ -79,18 +79,11 @@ object StreamTransitions2 {
     }
   }
 
-  /** The RocksDB state-store provider transformWithState requires.
-    * The provider binds when the QUERY starts, not when this Dataset
-    * is built — so the conf must be set by whoever calls
-    * `writeStream.start()` (conf-scoping inside this builder would
-    * silently un-set before the bind). [[StreamingLru.run]] shows the
-    * set-start-restore shape for a door that owns its start.
+  /** Same surface as [[StreamTransitions.transitions]]. NOTE: the
+    * caller must have [[RocksDbProvider]] set when it STARTS the
+    * query (conf-scoping inside this builder would silently un-set
+    * before the provider binds at start).
     */
-  val RequiredProvider: (String, String) =
-    ("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-
-  /** Same surface as [[StreamTransitions.transitions]]. */
   def transitions(events: DataFrame, watermark: String = "1 hour",
       horizonMs: Long = 3600000L): Dataset[Transition] = {
     val s = events.sparkSession

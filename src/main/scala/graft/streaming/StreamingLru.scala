@@ -77,10 +77,6 @@ private class LruSetProcessor(maxsize: Int)
   */
 object StreamingLru {
 
-  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
-  private val RocksDb =
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-
   /** Start the job: `docs` is any streaming frame bearing
     * (seq, doc_id, key). Verdict rows land under
     * `outDir/batch_id=<n>/`. transformWithState requires the RocksDB
@@ -91,8 +87,8 @@ object StreamingLru {
           outDir: String, checkpointDir: String): StreamingQuery = {
     val s = docs.sparkSession
     import s.implicits._
-    val prev = s.conf.getOption(ProviderKey)
-    s.conf.set(ProviderKey, RocksDb)
+    val prev = s.conf.getOption(RocksDbProvider.Key)
+    s.conf.set(RocksDbProvider.Key, RocksDbProvider.Value)
     try {
       docs.selectExpr("seq", "doc_id", "key").as[LruArrival]
         .groupByKey(_ => 0L)
@@ -108,8 +104,8 @@ object StreamingLru {
         .start()
     } finally {
       prev match {
-        case Some(v) => s.conf.set(ProviderKey, v)
-        case None    => s.conf.unset(ProviderKey)
+        case Some(v) => s.conf.set(RocksDbProvider.Key, v)
+        case None    => s.conf.unset(RocksDbProvider.Key)
       }
     }
   }

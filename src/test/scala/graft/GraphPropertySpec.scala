@@ -69,8 +69,12 @@ object GraphPropertySpec extends Properties("graph-ops") {
     lab
   }
 
+  // forAllNoShrink: the default List shrinker would walk a real
+  // counterexample toward the EMPTY edge list, where the
+  // mass-conservation arm fails vacuously (n = 0) — reporting List()
+  // instead of the failing graph and destroying the diagnostic.
   property("d44 pagerank == the driver replay bit for bit; mass conserves") =
-    Prop.forAll(genPairs) { pairs =>
+    Prop.forAllNoShrink(genPairs) { pairs =>
       val spark = TestSpark.spark
       import spark.implicits._
       val got = Dedup.pagerankOverPairs(pairs.toDF("doc_a", "doc_b"), iters = 10)
@@ -84,7 +88,7 @@ object GraphPropertySpec extends Properties("graph-ops") {
     }
 
   property("d45 label propagation == the driver replay; sizes partition the nodes") =
-    Prop.forAll(genPairs) { pairs =>
+    Prop.forAllNoShrink(genPairs) { pairs =>
       val spark = TestSpark.spark
       import spark.implicits._
       val got = Dedup.labelPropOverPairs(pairs.toDF("doc_a", "doc_b"), iters = 6)

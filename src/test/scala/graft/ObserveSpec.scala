@@ -39,12 +39,12 @@ class ObserveSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, TestSpark.sfDir).select($"doc_id")
     val observed = docs.observe("pre_filter", count(lit(1)).as("n"))
       .filter($"doc_id" % 2 === 0)
-    val kept = observed.count()
-    // count() elides columns but must not elide the observation:
-    // the metric still reports the PRE-filter cardinality.
-    observed.collect()
+    // ONE execution returns only the filtered rows yet reports the
+    // PRE-filter cardinality — the at-stage observation contract.
+    val keptRows = observed.collect()
     val m = observed.queryExecution.observedMetrics("pre_filter")
-    assert(m.getLong(0) > kept, s"observed ${m.getLong(0)} vs kept $kept")
+    assert(m.getLong(0) > keptRows.length,
+      s"observed ${m.getLong(0)} vs kept ${keptRows.length}")
     assert(m.getLong(0) == docs.count())
   }
 }

@@ -1214,7 +1214,8 @@ class StreamingExtrasSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     import spark.implicits._
     implicit val sql = spark.sqlContext
-    val (pk, pv) = graft.streaming.StreamTransitions2.RequiredProvider
+    val (pk, pv) = (graft.streaming.RocksDbProvider.Key,
+      graft.streaming.RocksDbProvider.Value)
     val prev = spark.conf.getOption(pk)
     try {
       spark.conf.set(pk, pv)

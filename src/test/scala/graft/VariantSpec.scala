@@ -27,11 +27,32 @@ class VariantSpec extends AnyFunSuite {
     assert(extract("""{"other": 1}""", "$.k", "bigint") == null)
   }
 
-  test("try_variant_get maps a type mismatch to NULL; variant_get numeric widening is exact") {
+  test("try_variant_get maps every non-castable value to NULL; integral doubles widen") {
     // a JSON string cannot cast to bigint -> null under try_
     assert(extract("""{"k": "abc"}""", "$.k", "bigint") == null)
-    // an integral double widens exactly
+    // an integral double widens exactly; a fractional one TRUNCATES
+    // toward zero (the ANSI numeric cast — DuckDB's TRY_CAST of the
+    // JSON-typed extract behaves identically, the e42 oracle parity);
+    // numeric STRINGS parse on both engines
     assert(extract("""{"k": 87.0}""", "$.k", "bigint") == 87L)
+    assert(extract("""{"k": 2.5}""", "$.k", "bigint") == 2L)
+    assert(extract("""{"k": "87"}""", "$.k", "bigint") == 87L)
+  }
+
+  test("STRICT variant_get agrees on the happy path and THROWS on a mismatch — why e42 uses try_") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ok = Seq("""{"k": 87}""").toDF("j")
+      .selectExpr("variant_get(parse_json(j), '$.k', 'bigint') AS v")
+      .head().getLong(0)
+    assert(ok == 87L)
+    // one bad row would abort a whole corpus scan under the strict
+    // form — the registered rollup must use try_variant_get
+    intercept[Exception] {
+      Seq("""{"k": "abc"}""").toDF("j")
+        .selectExpr("variant_get(parse_json(j), '$.k', 'bigint') AS v")
+        .collect()
+    }
   }
 
   test("nested paths address through objects and arrays") {
