@@ -2623,11 +2623,16 @@ object Dedup {
     for (i <- 1 to iters) {
       val cnt = edges.join(lab, $"src" === $"node")
         .groupBy($"dst", $"lbl").agg(count(lit(1)).as("c"))
-      val mx = cnt.groupBy($"dst").agg(max($"c").as("mc"))
-      lab = cnt.join(mx, Seq("dst"))
-        .filter($"c" === $"mc")
-        .groupBy($"dst").agg(min($"lbl").as("lbl"))
-        .select($"dst".as("node"), $"lbl")
+      // argmax-by-struct: max(struct(c, -lbl)) is lexicographic —
+      // highest count, then LOWEST label (labels are non-negative doc
+      // ids, so negation orders ties correctly) — the same verdict as
+      // a max-count filter + min-label re-aggregate, in ONE aggregate:
+      // two shuffles per round instead of three (no join-back), and
+      // the per-group state is one (c, lbl) pair. Integer-exact, so
+      // the oracle's equivalent max+min-join replay matches on values.
+      lab = cnt.groupBy($"dst")
+        .agg(max(struct($"c", (-$"lbl").as("nl"))).as("m"))
+        .select($"dst".as("node"), (-$"m.nl").as("lbl"))
       if (i % 5 == 0 && i < iters) lab = lab.localCheckpoint()
     }
     val sizes = lab.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
