@@ -1642,6 +1642,33 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(byStage.values.sum == arrivals.length.toLong)
     assert(byStage.getOrElse("kept", 0L) > 0, "some arrivals must survive")
     assert(byStage.size >= 2, s"only one stage fired: $byStage")
+    // 4. SNAPSHOT ROTATION (the second-generation discipline): build a
+    //    NEW snapshot whose history includes the arrivals themselves,
+    //    point a fresh run at the new root, and every arrival must now
+    //    die at the dedup gate (each is an exact dup of its own
+    //    historical copy) — proving a rotated root actually changes
+    //    the verdicts (no state bleeds across runs or roots).
+    val root2 = java.nio.file.Files.createTempDirectory("graft_camp_idx2").toString
+    graft.ops.Curation.persistCampaignSnapshot(spark, TestSpark.sfDir,
+      docs.localCheckpoint(), root2)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_camp_ckpt2").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft_camp_out2").toString
+    val input2 = MemoryStream[(Long, String)]
+    val stream2 = input2.toDF().toDF("doc_id", "text")
+    val q3 = graft.streaming.StreamingCampaign
+      .runFromSnapshot(stream2, root2, out2, ckpt2)
+    try {
+      input2.addData(arrivals.toSeq); q3.processAllAvailable()
+    } finally q3.stop()
+    val gen2 = spark.read.parquet(out2)
+    assert(gen2.count() == arrivals.length.toLong)
+    val nonDedup = gen2.filter($"stage" =!= "dedup" && $"stage" =!= "quality")
+      .count()
+    // quality fires BEFORE dedup in the precedence, so low-quality
+    // arrivals still die there; everything else must die at dedup.
+    assert(nonDedup == 0,
+      s"rotated-root arrivals must all fail quality or dedup; $nonDedup escaped")
+    assert(gen2.filter($"stage" === "dedup").count() > 0)
   }
 
   test("StreamingLru: transformWithState reproduces the reference producer's bounded dedup set; replay exactly-once") {
