@@ -511,8 +511,10 @@ object SparkEntry {
     // emits the exact manifest + a sketch-agreement gate (t07 pattern).
     "t31_curriculum_sketch"  -> (TextOps.curriculumSketch _),
     // t35 = quality-score calibration: per (source, quality quartile)
-    // the median t20 NLL — the audit a mixing planner reads before
-    // trusting quality-gated selection; all stats order-free.
+    // the quantized-cell median t20 NLL — the audit a mixing planner
+    // reads before trusting quality-gated selection; quartiles and the
+    // median both run the t54 bounded cell-histogram rank (no
+    // per-source sort window, no unbounded percentile buffer).
     "t35_quality_calibration" -> (TextOps.qualityCalibration _),
     // t36 = PMI collocations: top word pairs by exact-rational PMI
     // ranking (BIGINT products, one IEEE divide — no log), c_ab ≥ 5
@@ -6113,8 +6115,10 @@ object SparkEntry {
         SELECT source, CAST(phase AS BIGINT) AS phase, count(*) AS n_docs,
           CAST(sum(n_tokens) AS BIGINT) AS phase_tokens, TRUE AS agree_ok
         FROM ph GROUP BY source, phase ORDER BY source, phase""",
-      // t35: t20's NLL CTEs verbatim + t25's per-source quartile; the
-      // median is quantile_cont (the q14 convention).
+      // t35: t20's NLL CTEs verbatim + the quantized-cell quartile
+      // bars (4·cum ≥ k·n over the per-source quality-cell histogram)
+      // and the grouped quantized lower median (2·cum ≥ n), both the
+      // t54 convention — med ships as the bar CELL (BIGINT).
       // t36: PMI ranking without log — both products in BIGINT, one
       // exact double divide; the c_ab ≥ 5 floor in HAVING matches the
       // Spark-side pre-join filter.
@@ -6272,21 +6276,49 @@ object SparkEntry {
                   list_reduce(list(contrib ORDER BY term), (a, b) -> a + b)
                     / CAST(sum(n_dt) AS BIGINT) AS avg_nll
                 FROM c GROUP BY doc_id),
-        q AS (SELECT source, doc_id,
+        q AS MATERIALIZED (SELECT source, doc_id, quality,
+                CAST(floor(quality * 1e4) AS BIGINT) AS q_cell
+              FROM (SELECT source, doc_id,
                 0.4 * (1.0 - CAST(len(list_filter(t, c -> c = 'a' OR c = 'the')) AS DOUBLE) / len(t))
                   + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
                   + 0.3 * least(len(t) / 50.0, 1.0) AS quality
               FROM (SELECT source, doc_id, regexp_split_to_array(text, '\s+') AS t
-                    FROM documents) x),
-        ph AS (SELECT source, doc_id, quality,
-                 ntile(4) OVER (PARTITION BY source
-                   ORDER BY quality, doc_id) AS quartile
-               FROM q)
-        SELECT ph.source, CAST(quartile AS BIGINT) AS quartile,
-          count(*) AS n_docs, min(quality) AS q_min, max(quality) AS q_max,
-          quantile_cont(avg_nll, 0.5) AS med_nll
-        FROM ph JOIN nll ON ph.doc_id = nll.doc_id
-        GROUP BY ph.source, quartile ORDER BY ph.source, quartile""",
+                    FROM documents) x) y),
+        h AS (SELECT source, q_cell, count(*) AS n_cell FROM q GROUP BY 1, 2),
+        hc AS (SELECT source, q_cell,
+                 sum(n_cell) OVER (PARTITION BY source ORDER BY q_cell
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(n_cell) OVER (PARTITION BY source) AS n_src
+               FROM h),
+        bars AS (SELECT source,
+                   min(CASE WHEN 4 * cum >= n_src THEN q_cell END) AS b1,
+                   min(CASE WHEN 4 * cum >= 2 * n_src THEN q_cell END) AS b2,
+                   min(CASE WHEN 4 * cum >= 3 * n_src THEN q_cell END) AS b3
+                 FROM hc GROUP BY source),
+        dq AS MATERIALIZED (SELECT q.source, q.doc_id, q.quality,
+                 CAST(1 + CAST(q.q_cell > b1 AS INTEGER)
+                        + CAST(q.q_cell > b2 AS INTEGER)
+                        + CAST(q.q_cell > b3 AS INTEGER) AS BIGINT) AS quartile,
+                 CAST(floor(nll.avg_nll * 1e4) AS BIGINT) AS nll_cell
+               FROM q JOIN bars ON q.source = bars.source
+                      JOIN nll ON q.doc_id = nll.doc_id),
+        h2 AS (SELECT source, quartile, nll_cell, count(*) AS n_cell
+               FROM dq GROUP BY 1, 2, 3),
+        hc2 AS (SELECT source, quartile, nll_cell,
+                  sum(n_cell) OVER (PARTITION BY source, quartile
+                    ORDER BY nll_cell ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(n_cell) OVER (PARTITION BY source, quartile) AS n_grp
+                FROM h2),
+        med AS (SELECT source, quartile,
+                  min(CASE WHEN 2 * cum >= n_grp THEN nll_cell END) AS med_nll_cell
+                FROM hc2 GROUP BY 1, 2),
+        st AS (SELECT source, quartile, count(*) AS n_docs,
+                 min(quality) AS q_min, max(quality) AS q_max
+               FROM dq GROUP BY 1, 2)
+        SELECT st.source, st.quartile, st.n_docs, st.q_min, st.q_max,
+          med.med_nll_cell
+        FROM st JOIN med ON st.source = med.source AND st.quartile = med.quartile
+        ORDER BY st.source, st.quartile""",
       // t33: rebuild the planted-PII fixture from the doc_id formula,
       // then the same three RE2-safe regexes — counts via
       // regexp_extract_all on the original, redaction in the same

@@ -390,34 +390,84 @@ object TextOps {
 
   /** t35 — quality-score CALIBRATION: does the cheap t02 heuristic
     * actually order documents by language-model score? Per source and
-    * per t25-style quality quartile, the doc count, the quartile's
-    * quality range, and the MEDIAN t20 unigram NLL. A mixing planner
-    * reads this before trusting quality-gated selection (t11/t32): a
-    * source whose NLL medians do not fall as quality rises is a source
-    * where the heuristic is mis-calibrated (boilerplate scores "high
+    * per quality quartile, the doc count, the quartile's quality
+    * range, and the MEDIAN t20 unigram NLL. A mixing planner reads
+    * this before trusting quality-gated selection (t11/t32): a source
+    * whose NLL medians do not fall as quality rises is a source where
+    * the heuristic is mis-calibrated (boilerplate scores "high
     * quality", or the stopword table misfits the language) and its
     * quality bar needs retuning.
     *
-    * Exactness: every emitted statistic is order-free — counts,
-    * min/max, and a median that is order-statistic SELECTION (the q14
-    * interpolation convention), never a float sum over a shuffle.
+    * Both order statistics run the t54 quantized-cell discipline, so
+    * NO aggregation buffer or window partition grows with the corpus:
+    *  - quartile ASSIGNMENT: quality quantizes to a 1e-4 cell
+    *    (quality ∈ [0,1] → ≤ 10001 cells per source); the per-source
+    *    cell histogram's cumulative counts yield the three quartile
+    *    bars (first cells where 4·cum ≥ k·n, k=1..3), and a doc's
+    *    quartile is 1 + the number of bars strictly below its cell.
+    *    Unlike ntile, ties (same cell) land in ONE quartile — the
+    *    deterministic convention a frozen campaign wants, with no
+    *    doc_id tiebreak and no per-source sort window.
+    *  - median NLL: per (source, quartile) the exact lower median of
+    *    the 1e-4-quantized avg_nll (first cell where 2·cum ≥ n —
+    *    rank ceil(n/2)), emitted as the bar CELL (BIGINT), never a
+    *    realized double (the t54 freeze rule). avg_nll ≤ ln(total
+    *    tokens), so the cell domain is O(1e4·ln N) — logarithmic in
+    *    corpus size.
+    *
+    * Exactness: counts, min/max, integer cell ranks — every emitted
+    * statistic is order-free, and the quantization (floor(x·1e4)) is
+    * one IEEE multiply+floor both engines compute bit-identically.
     *
     * Scale shape: the NLL side is t20's vocabulary-bounded pipeline;
-    * the quartile window is per source (t25's documented bound — t31
-    * shows the sketch-cutpoint path when one source is web-scale); the
+    * every window partitions over a CELL HISTOGRAM (≤ 1e4-ish rows
+    * per source / per group, set by the grid, not the corpus); the
     * final aggregate is 4·|sources| rows.
     */
   def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nll = unigramLogProb(s, dir).select($"doc_id", $"avg_nll")
-    val w = Window.partitionBy($"source").orderBy($"quality", $"doc_id")
-    qualityScored(s, dir).select($"source", $"doc_id", $"quality")
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
+    val qc = qualityScored(s, dir)
+      .select($"source", $"doc_id", $"quality",
+        floor($"quality" * lit(1e4)).as("q_cell"))
+    // Per-source quality-cell histogram → cumulative counts → the
+    // three quartile bar cells. The window input is the histogram
+    // (≤ 10001 rows per source by the grid), never the doc table.
+    val hist = qc.groupBy($"source", $"q_cell").agg(count(lit(1)).as("n_cell"))
+    val wCum = Window.partitionBy($"source").orderBy($"q_cell")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bars = hist
+      .withColumn("cum", sum($"n_cell").over(wCum))
+      .withColumn("n_src", sum($"n_cell").over(wAll))
+      .groupBy($"source")
+      .agg(min(when($"cum" * 4 >= $"n_src", $"q_cell")).as("b1"),
+        min(when($"cum" * 4 >= $"n_src" * 2, $"q_cell")).as("b2"),
+        min(when($"cum" * 4 >= $"n_src" * 3, $"q_cell")).as("b3"))
+    val dq = qc.join(bars, "source")
+      .withColumn("quartile", (lit(1) + ($"q_cell" > $"b1").cast("int")
+        + ($"q_cell" > $"b2").cast("int")
+        + ($"q_cell" > $"b3").cast("int")).cast("long"))
       .join(nll, "doc_id")
-      .groupBy($"source", $"quartile")
+      .withColumn("nll_cell", floor($"avg_nll" * lit(1e4)))
+    // Doc-level stats and the grouped quantized median bar re-read the
+    // SAME labeled frame (identical subtrees → ReusedExchange).
+    val stats = dq.groupBy($"source", $"quartile")
       .agg(count(lit(1)).as("n_docs"),
-        min($"quality").as("q_min"), max($"quality").as("q_max"),
-        expr("percentile(avg_nll, 0.5D)").as("med_nll"))
+        min($"quality").as("q_min"), max($"quality").as("q_max"))
+    val h2 = dq.groupBy($"source", $"quartile", $"nll_cell")
+      .agg(count(lit(1)).as("n_cell"))
+    val wCum2 = Window.partitionBy($"source", $"quartile").orderBy($"nll_cell")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll2 = Window.partitionBy($"source", $"quartile")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val med = h2
+      .withColumn("cum", sum($"n_cell").over(wCum2))
+      .withColumn("n_grp", sum($"n_cell").over(wAll2))
+      .groupBy($"source", $"quartile")
+      .agg(min(when($"cum" * 2 >= $"n_grp", $"nll_cell")).as("med_nll_cell"))
+    stats.join(med, Seq("source", "quartile"))
       .orderBy($"source", $"quartile")
   }
 
@@ -1811,10 +1861,14 @@ object TextOps {
          Seq[org.apache.spark.rdd.RDD[_]]) = {
     import s.implicits._
     val sc = s.sparkContext
+    // The RDD is read EXPLICITLY off the checkpointed plan's LogicalRDD
+    // leaf (never a getPersistentRDDs diff, which would capture RDDs a
+    // CONCURRENT component pins and unpersist them out from under it).
     def tracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint()
-      (out, (sc.getPersistentRDDs -- before).values.toSeq)
+      (out, out.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      })
     }
     // coalesce(8): every training round schedules 2 jobs over this
     // table; at vocabulary scale 8 tasks/job keeps 20 rounds of

@@ -257,6 +257,49 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unbounded collect_list buffers in: ${offenders.mkString("; ")}")
   }
 
+  test("no registered query buffers an exact order statistic without a certificate covenant") {
+    // The t54→t35 recurrence made mechanical: an exact order-statistic
+    // aggregate (percentile / percentile_disc / mode) buffers its
+    // GROUP'S whole value multiset in one aggregation state — linear
+    // in corpus size whenever the grouping keys split the corpus into
+    // a bounded number of groups. Hand-auditing missed t35 for three
+    // rounds; this gate flags every registered plan containing one,
+    // and the whitelist below names the deliberate survivors — each an
+    // oracle-checkable CERTIFICATE arm whose 100 TB production path
+    // (a mergeable sketch or the quantized cell-histogram rank) is
+    // registered alongside. The house replacement for a new exact
+    // median is TextOps.quantizedBar (1e-4 cells + integer rank —
+    // exact, bounded, oracle-replayable); reach for this whitelist
+    // only when the query's PURPOSE is certifying a sketch.
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Mode, PercentileBase}
+    val certificateArms: Map[String, String] = Map(
+      "q14_percentiles" -> ("the exact PERCENTILE_CONT surface op, kept " +
+        "exact so the oracle checks values; q23 registers the t-digest scale path"),
+      "q23_approx_percentiles" -> ("the exact arm IS the query: it gates " +
+        "approx_percentile within tolerance, the t07 HLL audit design"),
+      "e17_dwell_percentiles" -> ("per-(from,to) exact tail certificate over " +
+        "|types|^2 groups; the gated approx sketch is the production path"),
+      "e19_funnel_lags" -> ("2-stage exact lag certificate (the q14 " +
+        "convention) over the sketch a 100 TB run would use"))
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => certificateArms.contains(name) }
+      .flatMap { case (name, fn) =>
+        fn(spark, TestSpark.sfDir).queryExecution.optimizedPlan.collect {
+          case a: Aggregate =>
+            a.aggregateExpressions.flatMap(_.collect {
+              case p: PercentileBase => s"$name: ${p.prettyName}"
+              case m: Mode => s"$name: ${m.prettyName}"
+            })
+        }.flatten
+      }
+    assert(offenders.isEmpty,
+      s"exact order-statistic buffers outside the certificate whitelist:\n${offenders.mkString("\n")}")
+    certificateArms.keys.foreach(k =>
+      assert(SparkEntry.queries.contains(k), s"stale whitelist entry $k"))
+  }
+
   test("no registered query runs an unpartitioned window over unbounded input") {
     // The round-15 q31 lesson made mechanical: a logical Window whose
     // partitionSpec is empty or all-foldable (partitionBy(lit(1)) is
