@@ -338,10 +338,14 @@ object Dedup {
     // persistent-RDD ids each checkpoint creates and free them
     // explicitly the moment they are superseded; only the FINAL label
     // table (which the returned plan references) stays pinned.
+    // The RDD is read EXPLICITLY off the checkpointed plan's LogicalRDD
+    // leaf (never a getPersistentRDDs diff, which would capture RDDs a
+    // CONCURRENT component pins and unpersist them out from under it).
     def tracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint()
-      (out, (sc.getPersistentRDDs -- before).values.toSeq)
+      (out, out.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      })
     }
     def free(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
       rdds.foreach(_.unpersist(blocking = false))

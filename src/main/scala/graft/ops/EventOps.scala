@@ -1547,32 +1547,6 @@ object EventOps {
       .orderBy($"event_type")
   }
 
-  /** e41 — K-STEP PATH ENUMERATION over the transition SUPPORT graph
-    * via Spark 4's RECURSIVE CTE executor (the UnionLoop node) — the
-    * one query-language capability the portfolio had not exercised:
-    * every prior iterate-to-fixpoint op (CC, PageRank, LP, BPE)
-    * composes Scala loops precisely because min-label fixpoints need
-    * UNION DISTINCT recursion, which Spark's recursive CTEs do not
-    * support; a DEPTH-BOUNDED UNION ALL walk is exactly the shape
-    * they do support, so it gets a registered query pinning the
-    * feature under the oracle. For every ordered type pair: how many
-    * distinct length-k chains of OBSERVED transitions lead src → dst,
-    * k = 1..4 — the reachability-multiplicity view of e14's matrix
-    * (e36 asks what's LIKELY next; this asks what's structurally
-    * reachable in k hops and through how many routes, the fan-out a
-    * funnel designer reads before trusting a k-step attribution).
-    *
-    * Determinism: the walk enumerates one row per path and counts
-    * exact BIGINTs — no floats anywhere; termination is the
-    * structural lvl < 4 guard, never a fixpoint test.
-    *
-    * Scale shape: the recursion runs over the |types|² SUPPORT edge
-    * list (the shared transitionStats aggregate — the event log
-    * reduces ONCE, before any recursion), so each iteration joins a
-    * ≤|types|^k-row frontier against a broadcastable edge list and
-    * path counts are bounded by |types|^(k-1) per pair whatever the
-    * log size. DuckDB replays the identical recursion.
-    */
   /** e42 — VARIANT-typed payload rollup: the `props` JSON ingested
     * through Spark 4's VARIANT type (parse_json → a binary
     * semi-structured value, variant_get with a typed path extract) —
@@ -1612,6 +1586,32 @@ object EventOps {
       .orderBy($"event_type")
   }
 
+  /** e41 — K-STEP PATH ENUMERATION over the transition SUPPORT graph
+    * via Spark 4's RECURSIVE CTE executor (the UnionLoop node) — the
+    * one query-language capability the portfolio had not exercised:
+    * every prior iterate-to-fixpoint op (CC, PageRank, LP, BPE)
+    * composes Scala loops precisely because min-label fixpoints need
+    * UNION DISTINCT recursion, which Spark's recursive CTEs do not
+    * support; a DEPTH-BOUNDED UNION ALL walk is exactly the shape
+    * they do support, so it gets a registered query pinning the
+    * feature under the oracle. For every ordered type pair: how many
+    * distinct length-k chains of OBSERVED transitions lead src → dst,
+    * k = 1..4 — the reachability-multiplicity view of e14's matrix
+    * (e36 asks what's LIKELY next; this asks what's structurally
+    * reachable in k hops and through how many routes, the fan-out a
+    * funnel designer reads before trusting a k-step attribution).
+    *
+    * Determinism: the walk enumerates one row per path and counts
+    * exact BIGINTs — no floats anywhere; termination is the
+    * structural lvl < 4 guard, never a fixpoint test.
+    *
+    * Scale shape: the recursion runs over the |types|² SUPPORT edge
+    * list (the shared transitionStats aggregate — the event log
+    * reduces ONCE, before any recursion), so each iteration joins a
+    * ≤|types|^k-row frontier against a broadcastable edge list and
+    * path counts are bounded by |types|^(k-1) per pair whatever the
+    * log size. DuckDB replays the identical recursion.
+    */
   def pathCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     transitionStats(s, dir).select($"from_type", $"to_type")

@@ -1720,42 +1720,80 @@ object TextOps {
     */
   private type BpeEntry =
     (Seq[(Int, String, String, Long)], DataFrame, Seq[org.apache.spark.rdd.RDD[_]])
+  /** One cache slot: the trained value (built lazily under THIS
+    * holder's monitor — never under the map lock), a refcount of
+    * in-flight consumers, and the eviction mark. An evicted entry's
+    * checkpoint RDDs unpersist when the LAST consumer releases (or
+    * immediately at eviction when none is in flight) — local
+    * checkpoints sever lineage, so evict-during-use would fail the
+    * consumer's job unrecoverably, not slow it.
+    */
+  private final class BpeHolder {
+    var value: BpeEntry = _ // guarded by this
+    val refs = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var evicted = false
+    def unpersistAll(): Unit = {
+      val v = value
+      if (v != null)
+        v._3.foreach(r => if (!r.sparkContext.isStopped) r.unpersist(false))
+    }
+  }
   private val bpeCacheMax = 4
   private val bpeCache =
-    new java.util.LinkedHashMap[(SparkSession, String, Int), BpeEntry](
-      16, 0.75f, true) {
-      override protected def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String, Int), BpeEntry]): Boolean =
-        if (size() > bpeCacheMax) {
-          if (!e.getKey._1.sparkContext.isStopped)
-            e.getValue._3.foreach(_.unpersist(false))
-          true
-        } else false
-    }
+    new java.util.LinkedHashMap[(SparkSession, String, Int), BpeHolder](
+      16, 0.75f, true)
 
-  /** Consumers run their ENTIRE derivation (including the eager
-    * CorpusIndexes.memo checkpoint) inside `f`, UNDER the cache lock:
-    * eviction also runs under the lock, so an evicted entry's
-    * checkpoint RDDs can never be unpersisted while a concurrent
-    * consumer is still materializing from them (local checkpoints
-    * sever lineage — a dropped block is unrecoverable, so
-    * evict-during-use would fail that consumer's job, not slow it).
+  /** Per-(session, dir, nMerges) serialization, GLOBAL map lock held
+    * only for map bookkeeping: an earlier version ran the whole
+    * 20-round training job AND the consumer's memo materialization
+    * under one JVM-wide monitor, so a slow training job on one corpus
+    * blocked unrelated sessions/directories indefinitely. Now the
+    * build runs under the entry's own monitor (same-key consumers
+    * wait, different keys proceed), `f` runs under no lock at all,
+    * and eviction safety is kept by the holder's refcount instead of
+    * a critical section.
     */
   private def withBpeTrained[T](s: SparkSession, dir: String, nMerges: Int)
-      (f: (Seq[(Int, String, String, Long)], DataFrame) => T): T =
-    bpeCache.synchronized {
-      val it = bpeCache.keySet.iterator()
-      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
-      val key = (s, dir, nMerges)
-      val hit = bpeCache.get(key)
-      val v = if (hit != null) hit
-      else {
-        val built = bpeTrain(s, documents(s, dir).select(col("text")), nMerges)
-        bpeCache.put(key, built)
-        built
+      (f: (Seq[(Int, String, String, Long)], DataFrame) => T): T = {
+    val key = (s, dir, nMerges)
+    val holder = bpeCache.synchronized {
+      // purge dead sessions (their contexts are stopped — nothing to
+      // unpersist; mark evicted so late releasers don't resurrect)
+      val it = bpeCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1.sparkContext.isStopped) {
+          e.getValue.evicted = true; it.remove()
+        }
+      }
+      var h = bpeCache.get(key)
+      if (h == null) {
+        h = new BpeHolder
+        bpeCache.put(key, h)
+        while (bpeCache.size() > bpeCacheMax) {
+          val eldest = bpeCache.entrySet().iterator().next()
+          bpeCache.remove(eldest.getKey)
+          val ev = eldest.getValue
+          ev.evicted = true
+          if (ev.refs.get() == 0) ev.unpersistAll()
+        }
+      }
+      h.refs.incrementAndGet()
+      h
+    }
+    try {
+      val v = holder.synchronized {
+        if (holder.value == null)
+          holder.value =
+            bpeTrain(s, documents(s, dir).select(col("text")), nMerges)
+        holder.value
       }
       f(v._1, v._2)
+    } finally {
+      if (holder.refs.decrementAndGet() == 0 && holder.evicted)
+        holder.unpersistAll()
     }
+  }
 
   /** t44 — the trained segmentation APPLIED: the per-word subword
     * split the t43 merge table produces, with its frequency and

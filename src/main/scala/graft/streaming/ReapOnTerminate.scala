@@ -80,13 +80,32 @@ object ReapOnTerminate {
 
   /** Run `body` (typically a batch of localCheckpoint loads) and
     * return its result plus a reap closure that unpersists exactly
-    * the RDDs `body` newly pinned — the bpeTrain tracking pattern,
-    * shared so doors can't forget one of their checkpoints.
+    * the RDDs `body` pinned through the `pin` callback it receives —
+    * `pin(df)` localCheckpoints the frame and records the RDD backing
+    * the checkpoint, read EXPLICITLY off the checkpointed plan's
+    * LogicalRDD leaf. An earlier version diffed the session-global
+    * `getPersistentRDDs` map around `body`; that diff captured RDDs
+    * pinned CONCURRENTLY by other components (a second door starting
+    * in parallel, a CorpusIndexes.memo build), and reaping those
+    * severed the other component's lineage-free checkpoints
+    * unrecoverably. Explicit collection has no such window.
     */
-  def tracked[T](s: SparkSession)(body: => T): (T, () => Unit) = {
-    val before = s.sparkContext.getPersistentRDDs.keySet
-    val out = body
-    val pinned = (s.sparkContext.getPersistentRDDs -- before).values.toSeq
-    (out, () => pinned.foreach(_.unpersist(false)))
+  def tracked[T](s: SparkSession)(
+      body: (org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) => T)
+      : (T, () => Unit) = {
+    val pinned =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    val pin: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = { df =>
+      val cp = df.localCheckpoint()
+      cp.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          pinned.synchronized { pinned += l.rdd }
+        case _ => ()
+      }
+      cp
+    }
+    val out = body(pin)
+    val rdds = pinned.synchronized(pinned.toList)
+    (out, () => rdds.foreach(_.unpersist(false)))
   }
 }

@@ -67,13 +67,12 @@ object StreamingCampaign {
     // (batch-sized probe joins against them — pinning corpus-scale
     // bands in memory would be wrong at 100 TB).
     val idx = graft.ops.Dedup.loadTextProbeIndex(s, indexDir)
-    val ((grams, u, b, c, dsir), reap) = ReapOnTerminate.tracked(s) {
-      val grams = graft.ops.CorpusIndexes
-        .readSidecar(s, indexDir, "bench_grams").localCheckpoint()
+    val ((grams, u, b, c, dsir), reap) = ReapOnTerminate.tracked(s) { pin =>
+      val grams = pin(graft.ops.CorpusIndexes
+        .readSidecar(s, indexDir, "bench_grams"))
       val (runi, rbg, ctx) = graft.ops.TextOps.loadJmModel(s, indexDir)
-      (grams, runi.localCheckpoint(), rbg.localCheckpoint(),
-        ctx.localCheckpoint(),
-        graft.ops.TextOps.loadDsirModel(s, indexDir).localCheckpoint())
+      (grams, pin(runi), pin(rbg), pin(ctx),
+        pin(graft.ops.TextOps.loadDsirModel(s, indexDir)))
     }
     ReapOnTerminate.install(s,
       start = () => docs.writeStream

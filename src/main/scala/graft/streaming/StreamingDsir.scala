@@ -43,8 +43,8 @@ object StreamingDsir {
     // 64 rows, read from disk ONCE at run start and pinned FOR THIS
     // RUN — unpersisted at termination by the shared door lifecycle;
     // nothing about the corpus is touched.
-    val (model, reap) = ReapOnTerminate.tracked(s) {
-      graft.ops.TextOps.loadDsirModel(s, indexDir).localCheckpoint()
+    val (model, reap) = ReapOnTerminate.tracked(s) { pin =>
+      pin(graft.ops.TextOps.loadDsirModel(s, indexDir))
     }
     ReapOnTerminate.install(s,
       start = () => docs.writeStream

@@ -43,9 +43,9 @@ object StreamingJm {
     // Vocabulary-sized tables, read from disk ONCE at run start and
     // pinned FOR THIS RUN — unpersisted at termination by the shared
     // door lifecycle.
-    val ((u, b, c), reap) = ReapOnTerminate.tracked(s) {
+    val ((u, b, c), reap) = ReapOnTerminate.tracked(s) { pin =>
       val (runi, rbg, ctx) = graft.ops.TextOps.loadJmModel(s, indexDir)
-      (runi.localCheckpoint(), rbg.localCheckpoint(), ctx.localCheckpoint())
+      (pin(runi), pin(rbg), pin(ctx))
     }
     ReapOnTerminate.install(s,
       start = () => docs.writeStream

@@ -18,7 +18,7 @@ final case class LruArrival(seq: Long, doc_id: Long, key: String)
 final case class LruVerdict(seq: Long, doc_id: Long, key: String,
                             emitted: Boolean, evicted: String)
 
-private final case class LruSetState(keys: Seq[String])
+private final case class LruSetState(keys: Seq[String], maxSeq: Long)
 
 /** The reference producer's dedup structure, exactly: an
   * INSERTION-ORDERED capacity-bounded SET (news_producer.py:29-45,
@@ -37,10 +37,25 @@ private class LruSetProcessor(maxsize: Int)
 
   override def handleInputRows(key: Long, rows: Iterator[LruArrival],
                                timerValues: TimerValues): Iterator[LruVerdict] = {
-    var keys = if (st.exists()) st.get().keys.toVector else Vector.empty[String]
+    val prior =
+      if (st.exists()) st.get() else LruSetState(Vector.empty, Long.MinValue)
+    var keys = prior.keys.toVector
     // Rows arrive in partition order; the verdict contract orders by
-    // the carried arrival ordinal (batch-sized sort).
-    val out = rows.toSeq.sortBy(_.seq).map { a =>
+    // the carried arrival ordinal (batch-sized sort). The sort only
+    // restores order WITHIN a batch, so the run() contract requires
+    // batches to partition the seq order — enforced here by carrying
+    // the max seen seq in state and failing LOUDLY on a violation
+    // (silently processing a late batch would make the state evolution
+    // diverge from the reference producer's strict arrival-order
+    // replay while every per-row verdict still looked plausible).
+    // Replay of a batch is NOT a violation: the state store restores
+    // the pre-batch version, so maxSeq rolls back with it.
+    val sorted = rows.toSeq.sortBy(_.seq)
+    if (sorted.nonEmpty && sorted.head.seq <= prior.maxSeq)
+      throw new IllegalStateException(
+        s"out-of-order arrival: seq ${sorted.head.seq} <= max seen " +
+          s"${prior.maxSeq}; batches must partition the seq order")
+    val out = sorted.map { a =>
       if (keys.contains(a.key))
         LruVerdict(a.seq, a.doc_id, a.key, emitted = false, evicted = null)
       else {
@@ -51,7 +66,8 @@ private class LruSetProcessor(maxsize: Int)
         LruVerdict(a.seq, a.doc_id, a.key, emitted = true, evicted = ev)
       }
     }
-    st.update(LruSetState(keys))
+    st.update(LruSetState(keys,
+      if (sorted.nonEmpty) sorted.last.seq else prior.maxSeq))
     out.iterator
   }
 }
@@ -82,6 +98,13 @@ object StreamingLru {
     * `outDir/batch_id=<n>/`. transformWithState requires the RocksDB
     * state store; the provider conf is set for the query's START and
     * restored after (the provider binds at query start).
+    *
+    * ORDER CONTRACT: batches must partition the seq order — batch n's
+    * max seq < batch n+1's min seq (any in-order source trivially
+    * satisfies this; the per-batch sort restores intra-batch order).
+    * A batch delivering a seq at or below the max already processed
+    * fails the query rather than silently diverging from the
+    * reference producer's strict arrival-order replay.
     */
   def run(docs: DataFrame, maxsize: Int,
           outDir: String, checkpointDir: String): StreamingQuery = {

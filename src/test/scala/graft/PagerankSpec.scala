@@ -49,18 +49,22 @@ class PagerankSpec extends AnyFunSuite {
   test("iters=30 stays analyzable: periodic checkpoint bounds plan depth") {
     // Without the every-5-rounds localCheckpoint the 30-deep nested
     // join/aggregate lineage makes Catalyst analysis cost superlinear
-    // in iteration count; with it each segment re-plans at most a
-    // 5-deep tree. The wall bound is deliberately loose (CI-safe) —
-    // the unbounded form took minutes at this depth.
+    // in iteration count (the unbounded form took minutes at this
+    // depth); with it each segment re-plans at most a 5-deep tree. The
+    // assertion is STRUCTURAL — the returned frame's analyzed plan
+    // sits on the last checkpoint, so its node count is set by the
+    // final <=5-round segment, independent of iters — because a
+    // wall-clock bound flakes on a loaded CI box without catching
+    // anything the plan size doesn't.
     val spark = TestSpark.spark
     import spark.implicits._
     val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
       (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("doc_a", "doc_b")
-    val t0 = System.nanoTime()
-    val out = Dedup.pagerankOverPairs(pairs, iters = 30)
-      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    val sec = (System.nanoTime() - t0) / 1e9
-    assert(sec < 120.0, s"30-iteration PageRank took $sec s")
+    val frame = Dedup.pagerankOverPairs(pairs, iters = 30)
+    val nodes = frame.queryExecution.analyzed.collect { case n => n }.size
+    assert(nodes < 120,
+      s"analyzed plan has $nodes nodes — checkpointing no longer truncates lineage")
+    val out = frame.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     // Deeper iteration converges toward the same fixpoint: mass still
     // conserves and the hub still dominates.
     assert(math.abs(out.values.sum - 1.0) < 1e-9)

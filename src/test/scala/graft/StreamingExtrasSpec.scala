@@ -1743,6 +1743,34 @@ class StreamingExtrasSpec extends AnyFunSuite {
       "streamed verdicts must replay the reference LRUSet exactly")
   }
 
+  test("StreamingLru: a batch violating the seq-order contract fails loudly") {
+    // The per-batch sort restores only intra-batch order, so a later
+    // batch delivering a smaller seq would silently diverge from the
+    // reference producer's strict arrival-order replay — the door's
+    // contract is batches partition the seq order, and the max-seen
+    // seq carried in state turns a violation into a query failure
+    // instead of a plausible-looking wrong verdict stream.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lruo_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_lruo_out").toString
+    val input = MemoryStream[(Long, Long, String)]
+    val stream = input.toDF().toDF("seq", "doc_id", "key")
+    val q = graft.streaming.StreamingLru.run(stream, 40, out, ckpt)
+    try {
+      input.addData(Seq((10L, 1L, "a"), (11L, 2L, "b")))
+      q.processAllAvailable()
+      // a LATE batch: seq 5 arrives after 11 was processed
+      input.addData(Seq((5L, 3L, "c")))
+      val ex = intercept[Exception](q.processAllAvailable())
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+      assert(chain(ex).exists(m => m != null && m.contains("out-of-order arrival")),
+        s"expected the seq-order guard, got: ${chain(ex).mkString(" | ")}")
+    } finally q.stop()
+  }
+
   test("StreamingSpanDedup: streamed spans compose to batch d36 from the disk index; replay exactly-once") {
     val spark = TestSpark.spark
     import spark.implicits._
