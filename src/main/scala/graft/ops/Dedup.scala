@@ -823,10 +823,60 @@ object Dedup {
     * from-scratch rebuild on the union STRUCTURALLY — including a
     * band key that crosses the cap only once the delta lands
     * (both forms drop it; asserted with a crossing witness in
-    * SidecarDiskSpec).
+    * SidecarDiskSpec). A tombstoned doc_id is REJECTED until the log
+    * folds (the IVF re-add contract: the serving mask would strand
+    * the re-added rows forever).
     */
-  def refreshTextProbeIndex(newDocs: DataFrame, outDir: String): Unit =
+  def refreshTextProbeIndex(newDocs: DataFrame, outDir: String): Unit = {
+    loadTextProbeTombstones(newDocs.sparkSession, outDir).foreach { ts =>
+      val clash = newDocs.select(col("doc_id").as("hist_doc"))
+        .join(ts, Seq("hist_doc"), "left_semi").count()
+      require(clash == 0L,
+        s"refreshTextProbeIndex: $clash arrival doc_id(s) are tombstoned " +
+          s"in $outDir; compact to fold the delete log before re-adding")
+    }
     writeProbeParts(newDocs, outDir, append = true)
+  }
+
+  // ---- delete/takedown for the durable text probe index ------------
+  //
+  // The IVF delete contract (Similarity.deleteFromIvfIndex) on the
+  // text modality: at 100 TB takedown (GDPR/DMCA) is a routine
+  // operation and an append-only dedup index otherwise lets a DELETED
+  // document keep vetoing arrivals as a phantom near-dup forever. The
+  // log is a doc-keyed tombstone table next to the three probe tables;
+  // serving masks (applied to the RAW band rows BEFORE the df cap
+  // re-derives, so masked serving == a rebuild without the deleted
+  // docs, including a band the deletions pull back under the cap);
+  // compaction folds the log into the files and clears it; a
+  // tombstoned id cannot re-enter through refresh until the fold.
+
+  private def probeTombParts(outDir: String) =
+    (s"$outDir/probe_tombstones",
+      CorpusIndexes.tableName(outDir, "probe_tombstones"),
+      CorpusIndexes.Layout(8, "hist_doc", Seq("hist_doc")))
+
+  /** Append `ids` (doc_id) to the probe root's delete log. */
+  def deleteFromTextProbeIndex(ids: DataFrame, outDir: String): Unit = {
+    val s = ids.sparkSession
+    val (tp, tt, tl) = probeTombParts(outDir)
+    CorpusIndexes.writeBucketedTable(
+      ids.select(col("doc_id").as("hist_doc")).distinct(), tp, tt, tl,
+      append = CorpusIndexes.sidecarPathExists(s, tp))
+  }
+
+  /** The probe root's delete log, if any delete ever ran. */
+  def loadTextProbeTombstones(s: SparkSession, outDir: String): Option[DataFrame] = {
+    val (tp, tt, tl) = probeTombParts(outDir)
+    if (CorpusIndexes.sidecarPathExists(s, tp))
+      Some(CorpusIndexes.readBucketedTable(s, tp, tt, tl))
+    else None
+  }
+
+  private def maskProbeDeletes(frame: DataFrame, outDir: String): DataFrame =
+    loadTextProbeTombstones(frame.sparkSession, outDir)
+      .map(ts => frame.join(ts, Seq("hist_doc"), "left_anti"))
+      .getOrElse(frame)
 
   private def writeProbeParts(docs: DataFrame, outDir: String,
                               append: Boolean): Unit = {
@@ -1014,25 +1064,46 @@ object Dedup {
     * rotate roots where reader-concurrent compaction is needed.
     */
   def compactTextProbeIndex(s: SparkSession, outDir: String): Unit =
-    probeLayouts.foreach { case (key, lay) =>
-      CorpusIndexes.compactBucketedTable(s, s"$outDir/$key",
-        CorpusIndexes.tableName(outDir, key), lay)
+    loadTextProbeTombstones(s, outDir) match {
+      case None =>
+        probeLayouts.foreach { case (key, lay) =>
+          CorpusIndexes.compactBucketedTable(s, s"$outDir/$key",
+            CorpusIndexes.tableName(outDir, key), lay)
+        }
+      case Some(ts) =>
+        // Fold the delete log in (the IVF contract): pin the log
+        // before the rewrites — the swap must not race a lazy reader,
+        // and the cleared log must be exactly the one folded into all
+        // THREE tables.
+        val pinned = ts.localCheckpoint()
+        probeLayouts.foreach { case (key, lay) =>
+          CorpusIndexes.compactBucketedTable(s, s"$outDir/$key",
+            CorpusIndexes.tableName(outDir, key), lay,
+            df => df.join(pinned, Seq("hist_doc"), "left_anti"))
+        }
+        val (tp, tt, _) = probeTombParts(outDir)
+        CorpusIndexes.dropBucketedTable(s, tp, tt)
     }
 
   /** Read the probe index persisted by [[persistTextProbeIndex]] (and
-    * any [[refreshTextProbeIndex]] appends) — what StreamingDedup/
-    * StreamingAdmission pass per micro-batch when given an index dir:
-    * no corpus pass at job start, the history reads straight from the
-    * bucketed disk tables. The df cap applies here, over whatever
-    * rows the tables hold; the cap's groupBy AND its join back both
-    * run co-located on the bkey bucketing — one zero-shuffle pass
-    * over 20-byte band rows per run, never a text re-hash.
+    * any [[refreshTextProbeIndex]] appends) AS SERVED — what
+    * StreamingDedup/StreamingAdmission pass per micro-batch when given
+    * an index dir: no corpus pass at job start, the history reads
+    * straight from the bucketed disk tables. The df cap applies here,
+    * over whatever rows the tables hold; the cap's groupBy AND its
+    * join back both run co-located on the bkey bucketing — one
+    * zero-shuffle pass over 20-byte band rows per run, never a text
+    * re-hash. When a delete log exists, every table masks against it
+    * BEFORE the cap re-derives, so the served index equals a rebuild
+    * without the deleted docs — a taken-down document stops vetoing
+    * arrivals as a phantom near-dup, and a band its deletions pull
+    * back under the cap re-enters exactly as a rebuild would admit it.
     */
   def loadTextProbeIndex(s: SparkSession, outDir: String,
                          cap: Int = 64): TextProbeIndex = {
     val Seq(md5s, raw, sim) = probeLayouts.map { case (key, lay) =>
-      CorpusIndexes.readBucketedTable(s, s"$outDir/$key",
-        CorpusIndexes.tableName(outDir, key), lay)
+      maskProbeDeletes(CorpusIndexes.readBucketedTable(s, s"$outDir/$key",
+        CorpusIndexes.tableName(outDir, key), lay), outDir)
     }
     TextProbeIndex(md5s, capBands(raw, cap), sim)
   }

@@ -1789,23 +1789,86 @@ object Multimodal {
       append = false)
 
   /** INCREMENTAL refresh: hash a new arrival slice and append — no
-    * history pixel is ever re-decoded (hash rows are per-image).
+    * history pixel is ever re-decoded (hash rows are per-image). A
+    * tombstoned doc_id is REJECTED until the log folds (the IVF
+    * re-add contract: the serving mask would strand the re-added
+    * row forever).
     */
-  def refreshImageIndex(media: Dataset[PngRow], outDir: String): Unit =
+  def refreshImageIndex(media: Dataset[PngRow], outDir: String): Unit = {
+    val s = media.sparkSession
+    loadImageTombstones(s, outDir).foreach { ts =>
+      val clash = media.toDF().select(col("doc_id"))
+        .join(ts, Seq("doc_id"), "left_semi").count()
+      require(clash == 0L,
+        s"refreshImageIndex: $clash arrival doc_id(s) are tombstoned in " +
+          s"$outDir; compact to fold the delete log before re-adding")
+    }
     writeModalityPart(ahashRows(media).toDF(), outDir, "png_ahash",
       append = true)
+  }
 
-  /** Rewrite the image index to one file per bucket after appends. */
+  /** Rewrite the image index to one file per bucket after appends.
+    * When a delete log exists it is FOLDED IN: tombstoned rows are
+    * physically absent from the new generation and the log is cleared
+    * — serving results are bit-identical before and after.
+    */
   def compactImageIndex(s: SparkSession, outDir: String): Unit =
-    CorpusIndexes.compactBucketedTable(s, s"$outDir/png_ahash",
-      CorpusIndexes.tableName(outDir, "png_ahash"),
-      CorpusIndexes.layouts("png_ahash"))
+    loadImageTombstones(s, outDir) match {
+      case None =>
+        CorpusIndexes.compactBucketedTable(s, s"$outDir/png_ahash",
+          CorpusIndexes.tableName(outDir, "png_ahash"),
+          CorpusIndexes.layouts("png_ahash"))
+      case Some(ts) =>
+        val pinned = ts.localCheckpoint()
+        CorpusIndexes.compactBucketedTable(s, s"$outDir/png_ahash",
+          CorpusIndexes.tableName(outDir, "png_ahash"),
+          CorpusIndexes.layouts("png_ahash"),
+          df => df.join(pinned, Seq("doc_id"), "left_anti"))
+        val (tp, tt, _) = imageTombParts(outDir)
+        CorpusIndexes.dropBucketedTable(s, tp, tt)
+    }
+
+  // ---- delete/takedown for the durable image index ------------------
+  //
+  // The IVF/text-probe delete contract on the image fingerprint
+  // sidecar: a taken-down image must stop matching arrivals as a
+  // phantom perceptual dup (GDPR/DMCA takedown is routine at 100 TB,
+  // and an append-only fingerprint index otherwise only grows). Log,
+  // masked serving, fold-at-compaction, re-add-guard — one contract
+  // across every durable index family.
+
+  private def imageTombParts(outDir: String) =
+    (s"$outDir/png_tombstones",
+      CorpusIndexes.tableName(outDir, "png_tombstones"),
+      CorpusIndexes.Layout(8, "doc_id", Seq("doc_id")))
+
+  /** Append `ids` (doc_id) to the image root's delete log. */
+  def deleteFromImageIndex(ids: DataFrame, outDir: String): Unit = {
+    val s = ids.sparkSession
+    val (tp, tt, tl) = imageTombParts(outDir)
+    CorpusIndexes.writeBucketedTable(ids.select(col("doc_id")).distinct(),
+      tp, tt, tl, append = CorpusIndexes.sidecarPathExists(s, tp))
+  }
+
+  /** The image root's delete log, if any delete ever ran. */
+  def loadImageTombstones(s: SparkSession, outDir: String): Option[DataFrame] = {
+    val (tp, tt, tl) = imageTombParts(outDir)
+    if (CorpusIndexes.sidecarPathExists(s, tp))
+      Some(CorpusIndexes.readBucketedTable(s, tp, tt, tl))
+    else None
+  }
 
   /** Read the persisted image index — the static side
-    * [[imageProbeBatch]] and the streaming image door probe.
+    * [[imageProbeBatch]] and the streaming image door probe. Serves
+    * rows minus the delete log (no-op when no deletes exist), so a
+    * masked read equals a rebuild without the deleted images.
     */
-  def loadImageIndex(s: SparkSession, outDir: String): DataFrame =
-    CorpusIndexes.readSidecar(s, outDir, "png_ahash")
+  def loadImageIndex(s: SparkSession, outDir: String): DataFrame = {
+    val raw = CorpusIndexes.readSidecar(s, outDir, "png_ahash")
+    loadImageTombstones(s, outDir)
+      .map(ts => raw.join(ts, Seq("doc_id"), "left_anti"))
+      .getOrElse(raw)
+  }
 
   /** Build the durable video frame-hash index: decode each GIF frame
     * by frame in the codec slot and write the (doc_id, frame_no,

@@ -51,13 +51,13 @@ object StreamingAdmission {
           indexDir: Option[String] = None): StreamingQuery = {
     // Durable-sidecar path (StreamingDedup discipline): a persisted
     // index dir replaces the run-start corpus pass with bucketed
-    // disk-table reads.
-    val idx = indexDir
-      .map(d => graft.ops.Dedup.loadTextProbeIndex(docs.sparkSession, d))
-      .getOrElse(graft.ops.Dedup.buildTextProbeIndex(histDocs, materialize = true))
+    // disk-table reads, RESOLVED PER BATCH so a takedown
+    // (Dedup.deleteFromTextProbeIndex) between triggers is honored by
+    // the next batch without a restart.
+    val resolve = resolver(docs, histDocs, indexDir)
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Dedup.admissionProbeIndexed(batch, idx, benchGrams)
+        graft.ops.Dedup.admissionProbeIndexed(batch, resolve(), benchGrams)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }
@@ -76,16 +76,29 @@ object StreamingAdmission {
   def runPii(docs: DataFrame, histDocs: DataFrame, benchGrams: DataFrame,
              outDir: String, checkpointDir: String,
              indexDir: Option[String] = None): StreamingQuery = {
-    val idx = indexDir
-      .map(d => graft.ops.Dedup.loadTextProbeIndex(docs.sparkSession, d))
-      .getOrElse(graft.ops.Dedup.buildTextProbeIndex(histDocs, materialize = true))
+    val resolve = resolver(docs, histDocs, indexDir)
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Dedup.piiAdmissionProbeIndexed(batch, idx, benchGrams)
+        graft.ops.Dedup.piiAdmissionProbeIndexed(batch, resolve(), benchGrams)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .start()
   }
+
+  /** Per-batch index resolution (shared by both door shapes): disk
+    * indexes re-resolve each trigger (delete-log appends are honored
+    * without restart — the StreamingDedup discipline); a corpus build
+    * materializes once and is served to every batch.
+    */
+  private def resolver(docs: DataFrame, histDocs: DataFrame,
+                       indexDir: Option[String]): () => graft.ops.Dedup.TextProbeIndex =
+    indexDir match {
+      case Some(d) =>
+        () => graft.ops.Dedup.loadTextProbeIndex(docs.sparkSession, d)
+      case None =>
+        val built = graft.ops.Dedup.buildTextProbeIndex(histDocs, materialize = true)
+        () => built
+    }
 }

@@ -60,13 +60,23 @@ object StreamingDedup {
     // Durable-sidecar path: an `indexDir` written by
     // Dedup.persistTextProbeIndex skips the run-start corpus pass
     // entirely — the history reads straight from the bucketed disk
-    // tables (the snapshot-rotation shape at 100 TB).
-    val idx = indexDir
-      .map(d => graft.ops.Dedup.loadTextProbeIndex(newDocs.sparkSession, d))
-      .getOrElse(graft.ops.Dedup.buildTextProbeIndex(hist, cap, materialize = true))
+    // tables (the snapshot-rotation shape at 100 TB). The index frames
+    // are RESOLVED PER BATCH, not pinned at run start: a delete-log
+    // append (Dedup.deleteFromTextProbeIndex) between triggers is
+    // honored by the very next batch without a restart — a run-start
+    // plan would keep the file listing (and so the pre-takedown index)
+    // frozen for the life of the query. The re-resolve costs a
+    // per-trigger table lookup, never a text re-hash.
+    val resolve: () => graft.ops.Dedup.TextProbeIndex = indexDir match {
+      case Some(d) =>
+        () => graft.ops.Dedup.loadTextProbeIndex(newDocs.sparkSession, d)
+      case None =>
+        val built = graft.ops.Dedup.buildTextProbeIndex(hist, cap, materialize = true)
+        () => built
+    }
     newDocs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Dedup.multiSignalProbeIndexed(batch, idx)
+        graft.ops.Dedup.multiSignalProbeIndexed(batch, resolve())
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }

@@ -49,14 +49,19 @@ object StreamingImageDedup {
   def run(newMedia: DataFrame, index: DataFrame, outDir: String,
           checkpointDir: String, maxHamming: Int = 2,
           indexDir: Option[String] = None): StreamingQuery = {
-    val idx = indexDir
-      .map(d => graft.ops.Multimodal
-        .loadImageIndex(newMedia.sparkSession, d)
-        .select("doc_id", "ahash_hi", "ahash_lo"))
-      .getOrElse(index)
+    // Disk indexes re-resolve PER BATCH (the StreamingDedup takedown
+    // discipline): a delete-log append (Multimodal.deleteFromImageIndex)
+    // between triggers is honored by the next batch without a restart.
+    val resolve: () => DataFrame = indexDir match {
+      case Some(d) =>
+        () => graft.ops.Multimodal
+          .loadImageIndex(newMedia.sparkSession, d)
+          .select("doc_id", "ahash_hi", "ahash_lo")
+      case None => () => index
+    }
     newMedia.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        probeBatch(batch, idx, maxHamming)
+        probeBatch(batch, resolve(), maxHamming)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }

@@ -273,6 +273,168 @@ class SidecarDiskSpec extends AnyFunSuite {
       "interleaved refresh/compact must equal a from-scratch build")
   }
 
+  test("text probe index deletes: masked serving equals rebuild-minus-deleted; compaction folds physically; re-add guarded until the fold") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.lit
+    import graft.ops.Dedup
+    val docs = Tables.documents(s, TestSpark.sfDir).select($"doc_id", $"text")
+    val hist = docs.filter($"doc_id" % 5 =!= 0).localCheckpoint()
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-probe-del").toString
+    Dedup.persistTextProbeIndex(hist, dir)
+    def serve(idx: Dedup.TextProbeIndex) =
+      rows(Dedup.multiSignalProbeIndexed(batch, idx).orderBy($"doc_id"))
+    val before = serve(Dedup.loadTextProbeIndex(s, dir))
+
+    // Take down EMITTED match carriers (half of them) — deleting an id
+    // that some verdict's best_match names guarantees the takedown is
+    // observable, the exact phantom-veto the delete log exists to end.
+    val matched = Dedup.multiSignalProbeIndexed(batch, Dedup.loadTextProbeIndex(s, dir))
+      .filter($"best_match".isNotNull).select($"best_match".as("doc_id"))
+      .distinct().as[Long].collect().sorted
+    assert(matched.nonEmpty, "fixture must emit matches")
+    val deadIds = matched.zipWithIndex.collect { case (id, i) if i % 2 == 0 => id }
+    val dead = deadIds.toSeq.toDF("doc_id")
+    // two waves: the log APPENDS like the index it shadows
+    val mid = deadIds(deadIds.length / 2)
+    Dedup.deleteFromTextProbeIndex(dead.filter($"doc_id" < mid), dir)
+    Dedup.deleteFromTextProbeIndex(dead.filter($"doc_id" >= mid), dir)
+
+    // (a) masked serving == probing a rebuild WITHOUT the deleted docs,
+    // bit for bit — including any band the deletions pull back under
+    // the df cap (the cap re-derives over masked rows).
+    val after = serve(Dedup.loadTextProbeIndex(s, dir))
+    assert(after == serve(Dedup.buildTextProbeIndex(
+      hist.join(dead, Seq("doc_id"), "left_anti"))))
+    assert(after != before, "deleted carrier never served — fixture too weak")
+
+    // (b) a tombstoned doc cannot re-enter through refresh until the
+    // log folds — the serving mask would strand it forever...
+    val deadOne = hist.filter($"doc_id" === deadIds.head).localCheckpoint()
+    intercept[IllegalArgumentException] {
+      Dedup.refreshTextProbeIndex(deadOne, dir)
+    }
+    // ...but a fresh arrival appends fine with the log live.
+    Dedup.refreshTextProbeIndex(
+      deadOne.select(lit(1000001L).as("doc_id"), $"text"), dir)
+    val served2 = serve(Dedup.loadTextProbeIndex(s, dir))
+
+    // (c) compaction folds the log into ALL THREE tables: the log is
+    // cleared, rows physically absent, serving bit-identical.
+    Dedup.compactTextProbeIndex(s, dir)
+    assert(!new java.io.File(s"$dir/probe_tombstones").exists(),
+      "compaction must clear the folded delete log")
+    Seq("probe_md5s", "probe_raw_bands", "probe_sim_bands").foreach { key =>
+      val kept = s.read.parquet(s"$dir/$key").select($"hist_doc").as[Long]
+        .collect().toSet
+      assert(kept.intersect(deadIds.toSet).isEmpty,
+        s"$key keeps tombstoned rows after the fold")
+      assert(kept.contains(1000001L) || key != "probe_md5s",
+        s"$key lost the live refresh row")
+    }
+    assert(serve(Dedup.loadTextProbeIndex(s, dir)) == served2,
+      "folding the delete log must not change a single probe verdict")
+
+    // (d) after the fold the id is free again — the re-add rejected in
+    // (b) now lands and serves.
+    Dedup.refreshTextProbeIndex(deadOne, dir)
+    assert(Dedup.loadTextProbeIndex(s, dir).md5s
+      .filter($"hist_doc" === deadIds.head).count() == 1)
+  }
+
+  test("StreamingDedup honors a takedown between triggers without restart") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, TestSpark.sfDir).select($"doc_id", $"text")
+    val hist = docs.filter($"doc_id" % 5 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-probe-del-live").toString
+    Dedup.persistTextProbeIndex(hist, dir)
+    val probeSlice = docs.filter($"doc_id" % 5 === 0)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pdl-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-pdl-out").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StreamingDedup.run(stream, hist = null, out, ckpt,
+      indexDir = Some(dir))
+    try {
+      input.addData(probeSlice.toSeq)
+      q.processAllAvailable()
+      val b0 = spark.read.parquet(s"$out/batch_id=0")
+      val carriers = b0.filter($"best_match".isNotNull)
+        .select($"best_match").distinct().as[Long].collect()
+      assert(carriers.nonEmpty, "fixture must emit matches in batch 0")
+      // takedown lands BETWEEN triggers — no restart
+      Dedup.deleteFromTextProbeIndex(carriers.toSeq.toDF("doc_id"), dir)
+      input.addData(probeSlice.toSeq) // the SAME docs re-probe
+      q.processAllAvailable()
+      val b1 = spark.read.parquet(s"$out/batch_id=1")
+      val still = b1.filter($"best_match".isin(carriers.toSeq: _*)).count()
+      assert(still == 0,
+        s"$still verdict(s) still name a taken-down carrier after the delete")
+      // and the next batch equals a batch probe of the masked index
+      val expect = Dedup.multiSignalProbeIndexed(
+        probeSlice.toSeq.toDF("doc_id", "text"),
+        Dedup.loadTextProbeIndex(spark, dir))
+      assert(b1.count() == expect.count())
+      assert(b1.except(expect).count() == 0 && expect.except(b1).count() == 0)
+    } finally q.stop()
+  }
+
+  test("image index deletes: masked serving equals rebuild-minus-deleted; fold at compaction; re-add guarded") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import graft.ops.Multimodal
+    val pngs = Multimodal.pngTable(s, TestSpark.sfDir)
+    val hist = pngs.filter($"doc_id" % 5 =!= 0)
+    val batch = pngs.filter($"doc_id" % 5 === 0).toDF()
+    val dir = java.nio.file.Files.createTempDirectory("graft-iidx-del").toString
+    Multimodal.persistImageIndex(hist, dir)
+    def idx(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"ahash_hi", $"ahash_lo")
+    def serve() = rows(Multimodal.imageProbeBatch(batch,
+      idx(Multimodal.loadImageIndex(s, dir))).orderBy($"doc_id"))
+    val before = serve()
+    // take down the emitted dup carriers (every one observable)
+    val carriers = Multimodal.imageProbeBatch(batch,
+        idx(Multimodal.loadImageIndex(s, dir)))
+      .filter($"dup_of".isNotNull).select($"dup_of".as("doc_id")).distinct()
+      .localCheckpoint()
+    assert(carriers.count() > 0, "fixture must emit image dups")
+    Multimodal.deleteFromImageIndex(carriers, dir)
+    val after = serve()
+    assert(after != before, "takedown never served — fixture too weak")
+    // masked serving == rebuild minus deleted: the raw rows minus the
+    // log probe identically (hash rows are per-image, so the rebuild
+    // IS the anti-joined table)
+    val rebuilt = rows(Multimodal.imageProbeBatch(batch,
+      idx(s.read.parquet(s"$dir/png_ahash")
+        .join(carriers, Seq("doc_id"), "left_anti"))).orderBy($"doc_id"))
+    assert(after == rebuilt)
+    // re-add guard until the fold
+    val deadOne = hist.filter($"doc_id".isin(
+      carriers.as[Long].collect().toSeq: _*)).limit(1)
+    intercept[IllegalArgumentException] {
+      Multimodal.refreshImageIndex(deadOne.as[Multimodal.PngRow], dir)
+    }
+    // fold: log cleared, rows physically absent, serving unchanged
+    Multimodal.compactImageIndex(s, dir)
+    assert(!new java.io.File(s"$dir/png_tombstones").exists())
+    val deadIds = carriers.as[Long].collect().toSet
+    assert(s.read.parquet(s"$dir/png_ahash").select($"doc_id").as[Long]
+      .collect().toSet.intersect(deadIds).isEmpty)
+    assert(serve() == after,
+      "folding the image delete log must not change a single verdict")
+    // after the fold the id is free again
+    Multimodal.refreshImageIndex(deadOne.as[Multimodal.PngRow], dir)
+    val readded = deadOne.select($"doc_id").as[Long].head()
+    assert(Multimodal.loadImageIndex(s, dir)
+      .filter($"doc_id" === readded).count() == 1)
+  }
+
   test("writeCuratedCorpus ships exactly the d27 survivors, partition-pruned by source") {
     val s = TestSpark.spark
     import s.implicits._

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** State-store OBSERVABILITY: Spark 4 ships a batch data source over
+  * streaming checkpoints (`spark.read.format("statestore")`), which is
+  * the "inspect a running pipeline without stopping it" operation a
+  * production deployment runs when a door misbehaves. This spec reads
+  * a live door's typed transformWithState state — StreamingLru's
+  * bounded dedup set — WHILE THE QUERY IS STILL RUNNING and proves the
+  * stored state equals, bit for bit, the state implied by the door's
+  * own emitted verdicts (insertion-ordered surviving keys + the
+  * max-seen seq the order guard carries).
+  */
+class StateStoreReadSpec extends AnyFunSuite {
+
+  test("statestore source reads the running LRU door's typed state; equals the verdict-implied set") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // Synthetic arrivals with planted repeats: keys cycle mod 17 over
+    // a maxsize-10 set, so the run realizes drops, evictions, AND
+    // re-admissions before the inspection point.
+    val arrivals = (0L until 120L).map(i => (i, i, s"k${i % 17}"))
+    val maxsize = 10
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssr_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ssr_out").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val stream = input.toDF().toDF("seq", "doc_id", "key")
+    val q = graft.streaming.StreamingLru.run(stream, maxsize, out, ckpt)
+    try {
+      input.addData(arrivals.take(70))
+      q.processAllAvailable()
+      input.addData(arrivals.drop(70))
+      q.processAllAvailable()
+
+      // The door is STILL RUNNING. Read its state store as a batch
+      // frame (the provider class must match the door's at read time).
+      val prev = spark.conf.getOption(graft.streaming.RocksDbProvider.Key)
+      spark.conf.set(graft.streaming.RocksDbProvider.Key,
+        graft.streaming.RocksDbProvider.Value)
+      val (storedKeys, storedMaxSeq) =
+        try {
+          val state = spark.read.format("statestore")
+            .option("stateVarName", "lru").load(ckpt)
+          val rows = state.selectExpr("value.keys", "value.maxSeq").collect()
+          assert(rows.length == 1, s"one constant group key, got ${rows.length}")
+          (rows.head.getSeq[String](0).toList, rows.head.getLong(1))
+        } finally prev match {
+          case Some(v) => spark.conf.set(graft.streaming.RocksDbProvider.Key, v)
+          case None    => spark.conf.unset(graft.streaming.RocksDbProvider.Key)
+        }
+
+      // Cross-check against the door's OWN OUTPUT: replay the emitted
+      // verdicts into the set they imply — emitted keys append in seq
+      // order, each evicted key removes its head occurrence.
+      val verdicts = spark.read.parquet(out)
+        .select($"seq", $"key", $"emitted", $"evicted")
+        .as[(Long, String, Boolean, String)].collect().sortBy(_._1)
+      val implied = scala.collection.mutable.ArrayBuffer.empty[String]
+      verdicts.foreach { case (_, k, emitted, evicted) =>
+        if (emitted) {
+          implied.append(k)
+          if (evicted != null) {
+            assert(implied.head == evicted,
+              "eviction must drop the insertion-order head")
+            implied.remove(0)
+          }
+        }
+      }
+      assert(storedKeys == implied.toList,
+        s"stored state $storedKeys != verdict-implied ${implied.toList}")
+      assert(storedMaxSeq == verdicts.map(_._1).max,
+        "the order guard's max-seen seq must be the last processed arrival")
+      assert(storedKeys.size == maxsize,
+        "fixture must fill the set so eviction state is inspected, not a prefix")
+    } finally q.stop()
+  }
+}

@@ -259,6 +259,72 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(b2 == 1L, "the cross-batch prefix must carry the 2h lateness")
   }
 
+  test("watermark honesty: under the e26-licensed delay no arrival falls below the in-force progress watermark; a tighter delay is violated") {
+    // The ST3 knob connected to the e26 evidence it exists to tune:
+    // e26 MEASURES the fixture's worst lateness, the door runs with a
+    // delay the measurement licenses, and the ACTUAL watermarks (read
+    // from StreamingQueryProgress.eventTime, not assumed) never
+    // overtake any arrival — so nothing is silently dropped. The
+    // negative control runs the same fixture under a delay the audit
+    // would veto and observes the violation the audit predicts.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val M = 1000000L
+    val log = Seq(
+      (1L, 0L), (2L, 3600L * M), (3L, 3600L * M - 120L * M),
+      (4L, 7200L * M), (5L, 7200L * M - 900L * M),
+      (6L, 20000L * M), (7L, 20000L * M - 7200L * M), (8L, 20001L * M))
+    // 1) the audit measures the stream's true disorder
+    val audit = graft.ops.EventOps
+      .latenessAuditFrame(log.toDF("event_id", "us")).collect().head
+    val maxLateS = audit.getAs[Long]("max_late_s")
+    assert(maxLateS == 7200L, "fixture's worst straggler is the 2h one")
+    val batches = Seq(log.take(4), log.slice(4, 6), log.drop(6))
+    def wmUs(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Long =
+      if (p == null || p.eventTime.get("watermark") == null) 0L
+      else java.time.Instant.parse(p.eventTime.get("watermark"))
+        .toEpochMilli * 1000L
+    // run the sessions door under `delay`, recording for each batch the
+    // watermark IN FORCE when it was processed (the previous trigger's
+    // reported watermark) and the batch's own min event time
+    def runWith(delay: String): (Seq[(Long, Long)], Long) = {
+      val out = java.nio.file.Files.createTempDirectory("graft_wmh_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_wmh_ckpt").toString
+      val input = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+      val stream = input.toDF().toDF("ts", "user_id", "event_type", "value")
+      val q = graft.streaming.StreamingSessions.run(stream, out, ckpt, delay)
+      try {
+        val obs = batches.map { b =>
+          val inForce = wmUs(q.lastProgress)
+          input.addData(b.map { case (id, us) =>
+            (new java.sql.Timestamp(us / 1000L), id, "view", 1.0)
+          })
+          q.processAllAvailable()
+          (inForce, b.map(_._2).min)
+        }
+        (obs, wmUs(q.lastProgress))
+      } finally q.stop()
+    }
+    // 2) the licensed delay (2x the measured worst lateness) dominates:
+    // every arrival sits at or above the watermark in force
+    val (good, finalWm) = runWith(s"${2L * maxLateS} seconds")
+    good.foreach { case (wm, minUs) =>
+      assert(minUs >= wm,
+        s"arrival at $minUs us fell below the in-force watermark $wm us " +
+          "under the audit-licensed delay")
+    }
+    // the knob is LIVE, not never-initialized: the final watermark
+    // advanced to exactly max event time - delay
+    assert(finalWm == 20001L * M - 2L * maxLateS * M,
+      s"final watermark $finalWm is not max-event-time minus the delay")
+    // 3) negative control: a delay the audit would veto (60 s << 7200 s)
+    // is overtaken by a straggler — the silent-drop configuration
+    val (tight, _) = runWith("60 seconds")
+    assert(tight.exists { case (wm, minUs) => minUs < wm },
+      "the tight delay must be violated on this fixture — else the audit gates nothing")
+  }
+
   test("StreamingBloomPrescreen: batches compose to the whole-slice probe; replay exactly-once") {
     val spark = TestSpark.spark
     import spark.implicits._
@@ -1769,6 +1835,68 @@ class StreamingExtrasSpec extends AnyFunSuite {
       assert(chain(ex).exists(m => m != null && m.contains("out-of-order arrival")),
         s"expected the seq-order guard, got: ${chain(ex).mkString(" | ")}")
     } finally q.stop()
+  }
+
+  test("StreamingRecentHistory: ListState window + MapState counters replay the driver model; replay exactly-once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val k = 5
+    // arrivals in event-time order over the real per-user event log —
+    // seq is the global arrival ordinal (per-user order is a subset)
+    val arrivals = Tables.events(spark, TestSpark.sfDir)
+      .select($"ts", $"user_id", $"event_type")
+      .as[(java.sql.Timestamp, Long, String)].collect()
+      .sortBy(r => (r._1.getTime, r._2, r._3))
+      .zipWithIndex.map { case ((_, u, t), i) => (i.toLong, u, t) }
+    // driver replay of the processor's model
+    val expected = {
+      val win = scala.collection.mutable.Map.empty[Long, Vector[String]]
+      val cnt = scala.collection.mutable.Map.empty[(Long, String), Long]
+      arrivals.map { case (seq, u, t) =>
+        val w = win.getOrElse(u, Vector.empty)
+        val c = cnt.getOrElse((u, t), 0L) + 1L
+        cnt((u, t)) = c
+        win(u) = (w :+ t).takeRight(k)
+        (seq, u, t, w.size, w.count(_ == t), c)
+      }.toSeq
+    }
+    // the fixture must realize full windows AND in-window repeats
+    assert(expected.exists(_._4 == k), "some user must fill the window")
+    assert(expected.exists(_._5 > 1), "some arrival must repeat in-window")
+    val batches = Seq(
+      arrivals.take(arrivals.length / 3),
+      arrivals.slice(arrivals.length / 3, 2 * arrivals.length / 3),
+      arrivals.drop(2 * arrivals.length / 3))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rh_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_rh_out").toString
+    val input = MemoryStream[(Long, Long, String)]
+    val stream = input.toDF().toDF("seq", "user_id", "event_type")
+    def start() = graft.streaming.StreamingRecentHistory.run(stream, k, out, ckpt)
+    val q1 = start()
+    try {
+      input.addData(batches(0).toSeq); q1.processAllAvailable()
+      input.addData(batches(1).toSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    // forced replay: drop the last commit; RocksDB restores version
+    // n-1 and the batch_id overwrite rewrites identical bytes
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      input.addData(batches(2).toSeq); q2.processAllAvailable()
+    } finally q2.stop()
+    val streamed = spark.read.parquet(out).drop("batch_id")
+      .select($"seq", $"user_id", $"event_type", $"n_recent",
+        $"n_same_recent", $"type_count")
+      .as[(Long, Long, String, Int, Int, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(streamed == expected,
+      "streamed verdicts must replay the driver history model exactly")
   }
 
   test("StreamingSpanDedup: streamed spans compose to batch d36 from the disk index; replay exactly-once") {
