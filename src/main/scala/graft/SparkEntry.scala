@@ -365,6 +365,12 @@ object SparkEntry {
     // 6 synchronous integer-only rounds (majority label, min-label
     // ties) — cohesion splits that CC's reachability cannot see.
     "d45_dup_communities"    -> ((s, d) => Dedup.dupCommunities(s, d)),
+    // d46 = takedown impact audit: over the shared capped pair graph,
+    // the pairs a delete wave (doc_id % 7 = 2) drops and the docs it
+    // RELEASES (every dup partner dead — the phantom-veto-ended count
+    // the deleteFromTextProbeIndex lifecycle exists for); one all-
+    // BIGINT row with the before = dead + released + after invariant.
+    "d46_takedown_audit"     -> ((s, d) => Dedup.takedownAudit(s, d)),
     // d31 = the SHIPPED curated corpus read back: writeCuratedCorpus
     // runs, then per-source doc count + token sum recomputed from the
     // written artifact itself — the write path under the hash oracle.
@@ -3858,6 +3864,31 @@ object SparkEntry {
       // d45: the shared pair prefix, then 6 chained integer
       // count->max->min LP rounds — exact in any engine.
       "d45_dup_communities" -> graft.ops.Dedup.labelPropOracle(6),
+      // d46: the shared pair prefix, then two integer stat arms — the
+      // pair drop counts and the per-doc released/after partition.
+      "d46_takedown_audit" -> ("WITH\n" + graft.ops.Dedup.pairsReplaySql + """,
+        fl AS (SELECT (doc_a % 7 = 2) OR (doc_b % 7 = 2) AS dropped
+               FROM pairs),
+        pa AS (SELECT count(*) AS n_pairs,
+                 CAST(sum(CAST(dropped AS INTEGER)) AS BIGINT) AS n_pairs_dropped
+               FROM fl),
+        half AS (SELECT doc_a AS doc, doc_b AS partner FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+        pd AS (SELECT doc, (doc % 7 = 2) AS doc_dead,
+                 min(CAST((partner % 7 = 2) AS INTEGER)) AS all_dead
+               FROM half GROUP BY 1, 2),
+        da AS (SELECT count(*) AS n_dup_docs_before,
+                 CAST(sum(CAST(doc_dead AS INTEGER)) AS BIGINT) AS n_dead_docs,
+                 CAST(sum(CAST((NOT doc_dead) AND all_dead = 1 AS INTEGER)) AS BIGINT)
+                   AS n_released,
+                 CAST(sum(CAST((NOT doc_dead) AND all_dead = 0 AS INTEGER)) AS BIGINT)
+                   AS n_dup_docs_after
+               FROM pd)
+        SELECT pa.n_pairs, pa.n_pairs_dropped,
+          pa.n_pairs - pa.n_pairs_dropped AS n_pairs_kept,
+          da.n_dup_docs_before, da.n_dead_docs, da.n_released,
+          da.n_dup_docs_after
+        FROM pa CROSS JOIN da"""),
       // d42: the d30 label-replay prefix (MinHash -> capped LSH ->
       // recursive CC), then the cluster x source rollup; arg_min picks
       // the representative's source exactly like min_by over the

@@ -2792,4 +2792,52 @@ object Dedup {
       .withColumn("cross_source", $"n_sources" >= 2)
       .orderBy($"cluster_id")
   }
+
+  /** d46 — TAKEDOWN IMPACT AUDIT: the report a compliance run ships
+    * BEFORE executing a delete wave against the dedup index (the
+    * [[deleteFromTextProbeIndex]] lifecycle): over the capped LSH
+    * candidate graph, how many near-dup pairs the wave drops, and —
+    * the number the lifecycle exists for — how many surviving docs
+    * are RELEASED (every one of their dup partners is taken down, so
+    * the veto that suppressed them ends and they re-enter selection).
+    * The takedown wave is the doc_id % 7 = 2 fixture (a realized
+    * released arm at every SF).
+    *
+    * One verdict row, all exact BIGINTs, with the conservation
+    * invariant the oracle hash enforces: n_dup_docs_before =
+    * n_dead_docs + n_released + n_dup_docs_after.
+    *
+    * Scale shape: the pair graph is the shared capped generator
+    * (degree ≤ cap × bands); the doc-level arm is one groupBy over
+    * the symmetrized pairs, the pair-level arm one aggregate — two
+    * one-row stat arms crossed into the single report row (the
+    * q25/q39 corpus-stats class; whitelisted). The dead-set test is
+    * ARITHMETIC on the id (the fixture stands in for a broadcast
+    * tombstone list — batch-sized at any corpus scale).
+    */
+  def takedownAudit(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import s.implicits._
+    val pairs = cappedPairsUnsorted(s, dir, cap)
+    val pairAgg = pairs
+      .withColumn("dropped",
+        (($"doc_a" % 7 === 2) || ($"doc_b" % 7 === 2)).cast("long"))
+      .agg(count(lit(1)).as("n_pairs"), sum($"dropped").as("n_pairs_dropped"))
+      .withColumn("n_pairs_kept", $"n_pairs" - $"n_pairs_dropped")
+    val half = pairs.select($"doc_a".as("doc"), $"doc_b".as("partner"))
+      .union(pairs.select($"doc_b".as("doc"), $"doc_a".as("partner")))
+    val docAgg = half
+      .withColumn("doc_dead", $"doc" % 7 === 2)
+      .withColumn("p_dead", ($"partner" % 7 === 2).cast("int"))
+      .groupBy($"doc", $"doc_dead").agg(min($"p_dead").as("all_dead"))
+      .agg(count(lit(1)).as("n_dup_docs_before"),
+        sum(when($"doc_dead", 1L).otherwise(0L)).as("n_dead_docs"),
+        sum(when(!$"doc_dead" && $"all_dead" === 1, 1L).otherwise(0L))
+          .as("n_released"),
+        sum(when(!$"doc_dead" && $"all_dead" === 0, 1L).otherwise(0L))
+          .as("n_dup_docs_after"))
+    pairAgg.crossJoin(docAgg)
+      .select($"n_pairs", $"n_pairs_dropped", $"n_pairs_kept",
+        $"n_dup_docs_before", $"n_dead_docs", $"n_released",
+        $"n_dup_docs_after")
+  }
 }

@@ -127,7 +127,10 @@ class PlanAuditSpec extends AnyFunSuite {
         // c02: inherits t54's one-row crosses (reference totals, cell
         // histogram total, quantized bar) plus t49's one-row model
         // totals — every cross side is a one-row aggregate.
-        "c02_ingest_campaign")
+        "c02_ingest_campaign",
+        // d46: the pair-level and doc-level one-row stat arms crossed
+        // into the single takedown report row (the q25/q39 class).
+        "d46_takedown_audit")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val spark = TestSpark.spark
