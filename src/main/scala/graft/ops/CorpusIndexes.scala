@@ -107,6 +107,9 @@ private[graft] object CorpusIndexes {
     // ivf_tombstones (append-only, folded by compaction)
     "pq_tombstones"  -> Layout(4, "vec_id", Seq("vec_id")),
     "srp_tombstones" -> Layout(4, "vec_id", Seq("vec_id")),
+    // the text-probe and image-fingerprint delete logs (TombLog)
+    "probe_tombstones" -> Layout(8, "hist_doc", Seq("hist_doc")),
+    "png_tombstones"   -> Layout(8, "doc_id", Seq("doc_id")),
     // the FROZEN 64-row DSIR histogram model (owned by
     // TextOps.persistDsirModel; the StreamingDsir door's probe joins
     // on bucket)
@@ -169,6 +172,102 @@ private[graft] object CorpusIndexes {
     */
   private[ops] def sidecarPathExists(s: SparkSession, p: String): Boolean =
     pathExists(s, p)
+
+  /** The delete-log (tombstone) lifecycle shared by EVERY durable
+    * index family — IVF/PQ/SRP, the text probe tables, the media
+    * fingerprints — implemented once at the layer that owns bucketed
+    * tables: append-only log keyed `keyCol`, read-time masking,
+    * re-add guarding, and the compaction FOLD. Folding clears EXACTLY
+    * the rows it folded (an anti-join rewrite of the log against the
+    * pinned snapshot, never a wholesale drop): a delete appended
+    * concurrently with a fold survives in the log, still masking —
+    * the fold-then-drop-everything race would silently discard it
+    * unfolded, resurrecting the taken-down id. A fully-folded log
+    * compacts to a row-less table, which [[hasRows]] reads as "no
+    * log" (so schema inference never sees an empty directory and the
+    * next append starts a fresh generation).
+    */
+  private[ops] final case class TombLog(root: String, key: String,
+                                        keyCol: String) {
+    val path = s"$root/$key"
+    private val tbl = tableName(root, key)
+    // Honor the registered layout when the key has one (the sim-family
+    // logs predate this helper with 4 buckets — a mismatched bucket
+    // count would silently misread an existing on-disk generation).
+    private val lay = layouts.getOrElse(key, Layout(8, keyCol, Seq(keyCol)))
+    require(lay.bucketCol == keyCol,
+      s"TombLog $key: registered layout buckets on ${lay.bucketCol}, not $keyCol")
+
+    private def hasRows(s: SparkSession): Boolean = {
+      val (fs, p) = hadoopPath(s, path)
+      fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    }
+
+    /** Append distinct ids (a frame bearing `keyCol`) to the log. */
+    def append(ids: DataFrame): Unit =
+      writeBucketedTable(ids.select(col(keyCol)).distinct(), path, tbl, lay,
+        append = hasRows(ids.sparkSession))
+
+    /** The live log, if any unfolded tombstone exists. */
+    def load(s: SparkSession): Option[DataFrame] =
+      if (hasRows(s)) Some(readBucketedTable(s, path, tbl, lay)) else None
+
+    /** Serve `frame` minus the log (no-op when no deletes exist). */
+    def mask(frame: DataFrame): DataFrame =
+      load(frame.sparkSession)
+        .map(ts => frame.join(ts, Seq(keyCol), "left_anti"))
+        .getOrElse(frame)
+
+    /** Reject arrivals (a frame bearing `keyCol`) that are tombstoned:
+      * a re-add before the fold would be stranded behind the serving
+      * mask forever. NOTE the check-then-append of the callers is a
+      * maintenance-op convention, not a concurrency primitive: index
+      * mutations (refresh/delete/compact) are serialized by the index
+      * owner's maintenance window (the compactTextProbeIndex contract)
+      * — the guard catches operator error, not a concurrent delete
+      * racing the append.
+      */
+    def guardArrivals(arrivals: DataFrame, op: String): Unit =
+      load(arrivals.sparkSession).foreach { ts =>
+        val clash = arrivals.select(col(keyCol))
+          .join(ts, Seq(keyCol), "left_semi").count()
+        require(clash == 0L,
+          s"$op: $clash arrival id(s) are tombstoned in $root; compact " +
+            "to fold the delete log before re-adding deleted ids")
+      }
+
+    /** Compact `tables` (path, tbl, layout), folding the log in when
+      * one exists: tombstoned rows become physically absent from every
+      * new generation, and the log keeps ONLY rows appended after the
+      * fold's snapshot. The snapshot pin is unpersisted on the way out
+      * (a long session folding on a cadence must not accumulate dead
+      * checkpoint blocks).
+      */
+    def foldInto(s: SparkSession,
+                 tables: Seq[(String, String, Layout)]): Unit =
+      load(s) match {
+        case None =>
+          tables.foreach { case (p, t, l) => compactBucketedTable(s, p, t, l) }
+        case Some(ts) =>
+          // Pin the log before any rewrite: the swap must not race a
+          // lazy reader, and the cleared rows must be exactly the ones
+          // folded into EVERY table.
+          val pinned = ts.localCheckpoint()
+          try {
+            tables.foreach { case (p, t, l) =>
+              compactBucketedTable(s, p, t, l,
+                df => df.join(pinned, Seq(keyCol), "left_anti"))
+            }
+            compactBucketedTable(s, path, tbl, lay,
+              df => df.join(pinned, Seq(keyCol), "left_anti"))
+          } finally pinned.queryExecution.analyzed.foreach {
+            case l: org.apache.spark.sql.execution.LogicalRDD =>
+              l.rdd.unpersist(false)
+            case _ => ()
+          }
+      }
+  }
 
   /** The marker file binding a sidecar root to its source corpus dir —
     * the guard against serving one corpus's indexes to another. Plain

@@ -828,13 +828,8 @@ object Dedup {
     * the re-added rows forever).
     */
   def refreshTextProbeIndex(newDocs: DataFrame, outDir: String): Unit = {
-    loadTextProbeTombstones(newDocs.sparkSession, outDir).foreach { ts =>
-      val clash = newDocs.select(col("doc_id").as("hist_doc"))
-        .join(ts, Seq("hist_doc"), "left_semi").count()
-      require(clash == 0L,
-        s"refreshTextProbeIndex: $clash arrival doc_id(s) are tombstoned " +
-          s"in $outDir; compact to fold the delete log before re-adding")
-    }
+    probeTomb(outDir).guardArrivals(
+      newDocs.select(col("doc_id").as("hist_doc")), "refreshTextProbeIndex")
     writeProbeParts(newDocs, outDir, append = true)
   }
 
@@ -851,32 +846,22 @@ object Dedup {
   // compaction folds the log into the files and clears it; a
   // tombstoned id cannot re-enter through refresh until the fold.
 
-  private def probeTombParts(outDir: String) =
-    (s"$outDir/probe_tombstones",
-      CorpusIndexes.tableName(outDir, "probe_tombstones"),
-      CorpusIndexes.Layout(8, "hist_doc", Seq("hist_doc")))
+  // hist_doc-keyed delete log over the ONE shared lifecycle
+  // (CorpusIndexes.TombLog — masked serving, re-add guard,
+  // fold-clears-exactly-the-folded-rows).
+  private def probeTomb(outDir: String) =
+    CorpusIndexes.TombLog(outDir, "probe_tombstones", "hist_doc")
 
   /** Append `ids` (doc_id) to the probe root's delete log. */
-  def deleteFromTextProbeIndex(ids: DataFrame, outDir: String): Unit = {
-    val s = ids.sparkSession
-    val (tp, tt, tl) = probeTombParts(outDir)
-    CorpusIndexes.writeBucketedTable(
-      ids.select(col("doc_id").as("hist_doc")).distinct(), tp, tt, tl,
-      append = CorpusIndexes.sidecarPathExists(s, tp))
-  }
+  def deleteFromTextProbeIndex(ids: DataFrame, outDir: String): Unit =
+    probeTomb(outDir).append(ids.select(col("doc_id").as("hist_doc")))
 
-  /** The probe root's delete log, if any delete ever ran. */
-  def loadTextProbeTombstones(s: SparkSession, outDir: String): Option[DataFrame] = {
-    val (tp, tt, tl) = probeTombParts(outDir)
-    if (CorpusIndexes.sidecarPathExists(s, tp))
-      Some(CorpusIndexes.readBucketedTable(s, tp, tt, tl))
-    else None
-  }
+  /** The probe root's delete log, if any unfolded delete exists. */
+  def loadTextProbeTombstones(s: SparkSession, outDir: String): Option[DataFrame] =
+    probeTomb(outDir).load(s)
 
   private def maskProbeDeletes(frame: DataFrame, outDir: String): DataFrame =
-    loadTextProbeTombstones(frame.sparkSession, outDir)
-      .map(ts => frame.join(ts, Seq("hist_doc"), "left_anti"))
-      .getOrElse(frame)
+    probeTomb(outDir).mask(frame)
 
   private def writeProbeParts(docs: DataFrame, outDir: String,
                               append: Boolean): Unit = {
@@ -1064,26 +1049,9 @@ object Dedup {
     * rotate roots where reader-concurrent compaction is needed.
     */
   def compactTextProbeIndex(s: SparkSession, outDir: String): Unit =
-    loadTextProbeTombstones(s, outDir) match {
-      case None =>
-        probeLayouts.foreach { case (key, lay) =>
-          CorpusIndexes.compactBucketedTable(s, s"$outDir/$key",
-            CorpusIndexes.tableName(outDir, key), lay)
-        }
-      case Some(ts) =>
-        // Fold the delete log in (the IVF contract): pin the log
-        // before the rewrites — the swap must not race a lazy reader,
-        // and the cleared log must be exactly the one folded into all
-        // THREE tables.
-        val pinned = ts.localCheckpoint()
-        probeLayouts.foreach { case (key, lay) =>
-          CorpusIndexes.compactBucketedTable(s, s"$outDir/$key",
-            CorpusIndexes.tableName(outDir, key), lay,
-            df => df.join(pinned, Seq("hist_doc"), "left_anti"))
-        }
-        val (tp, tt, _) = probeTombParts(outDir)
-        CorpusIndexes.dropBucketedTable(s, tp, tt)
-    }
+    probeTomb(outDir).foldInto(s, probeLayouts.map { case (key, lay) =>
+      (s"$outDir/$key", CorpusIndexes.tableName(outDir, key), lay)
+    })
 
   /** Read the probe index persisted by [[persistTextProbeIndex]] (and
     * any [[refreshTextProbeIndex]] appends) AS SERVED — what

@@ -1795,14 +1795,8 @@ object Multimodal {
     * row forever).
     */
   def refreshImageIndex(media: Dataset[PngRow], outDir: String): Unit = {
-    val s = media.sparkSession
-    loadImageTombstones(s, outDir).foreach { ts =>
-      val clash = media.toDF().select(col("doc_id"))
-        .join(ts, Seq("doc_id"), "left_semi").count()
-      require(clash == 0L,
-        s"refreshImageIndex: $clash arrival doc_id(s) are tombstoned in " +
-          s"$outDir; compact to fold the delete log before re-adding")
-    }
+    imageTomb(outDir).guardArrivals(media.toDF().select(col("doc_id")),
+      "refreshImageIndex")
     writeModalityPart(ahashRows(media).toDF(), outDir, "png_ahash",
       append = true)
   }
@@ -1813,20 +1807,9 @@ object Multimodal {
     * — serving results are bit-identical before and after.
     */
   def compactImageIndex(s: SparkSession, outDir: String): Unit =
-    loadImageTombstones(s, outDir) match {
-      case None =>
-        CorpusIndexes.compactBucketedTable(s, s"$outDir/png_ahash",
-          CorpusIndexes.tableName(outDir, "png_ahash"),
-          CorpusIndexes.layouts("png_ahash"))
-      case Some(ts) =>
-        val pinned = ts.localCheckpoint()
-        CorpusIndexes.compactBucketedTable(s, s"$outDir/png_ahash",
-          CorpusIndexes.tableName(outDir, "png_ahash"),
-          CorpusIndexes.layouts("png_ahash"),
-          df => df.join(pinned, Seq("doc_id"), "left_anti"))
-        val (tp, tt, _) = imageTombParts(outDir)
-        CorpusIndexes.dropBucketedTable(s, tp, tt)
-    }
+    imageTomb(outDir).foldInto(s, Seq((s"$outDir/png_ahash",
+      CorpusIndexes.tableName(outDir, "png_ahash"),
+      CorpusIndexes.layouts("png_ahash"))))
 
   // ---- delete/takedown for the durable image index ------------------
   //
@@ -1837,38 +1820,27 @@ object Multimodal {
   // masked serving, fold-at-compaction, re-add-guard — one contract
   // across every durable index family.
 
-  private def imageTombParts(outDir: String) =
-    (s"$outDir/png_tombstones",
-      CorpusIndexes.tableName(outDir, "png_tombstones"),
-      CorpusIndexes.Layout(8, "doc_id", Seq("doc_id")))
+  // doc_id-keyed delete log over the ONE shared lifecycle
+  // (CorpusIndexes.TombLog — masked serving, re-add guard,
+  // fold-clears-exactly-the-folded-rows).
+  private def imageTomb(outDir: String) =
+    CorpusIndexes.TombLog(outDir, "png_tombstones", "doc_id")
 
   /** Append `ids` (doc_id) to the image root's delete log. */
-  def deleteFromImageIndex(ids: DataFrame, outDir: String): Unit = {
-    val s = ids.sparkSession
-    val (tp, tt, tl) = imageTombParts(outDir)
-    CorpusIndexes.writeBucketedTable(ids.select(col("doc_id")).distinct(),
-      tp, tt, tl, append = CorpusIndexes.sidecarPathExists(s, tp))
-  }
+  def deleteFromImageIndex(ids: DataFrame, outDir: String): Unit =
+    imageTomb(outDir).append(ids)
 
-  /** The image root's delete log, if any delete ever ran. */
-  def loadImageTombstones(s: SparkSession, outDir: String): Option[DataFrame] = {
-    val (tp, tt, tl) = imageTombParts(outDir)
-    if (CorpusIndexes.sidecarPathExists(s, tp))
-      Some(CorpusIndexes.readBucketedTable(s, tp, tt, tl))
-    else None
-  }
+  /** The image root's delete log, if any unfolded delete exists. */
+  def loadImageTombstones(s: SparkSession, outDir: String): Option[DataFrame] =
+    imageTomb(outDir).load(s)
 
   /** Read the persisted image index — the static side
     * [[imageProbeBatch]] and the streaming image door probe. Serves
     * rows minus the delete log (no-op when no deletes exist), so a
     * masked read equals a rebuild without the deleted images.
     */
-  def loadImageIndex(s: SparkSession, outDir: String): DataFrame = {
-    val raw = CorpusIndexes.readSidecar(s, outDir, "png_ahash")
-    loadImageTombstones(s, outDir)
-      .map(ts => raw.join(ts, Seq("doc_id"), "left_anti"))
-      .getOrElse(raw)
-  }
+  def loadImageIndex(s: SparkSession, outDir: String): DataFrame =
+    imageTomb(outDir).mask(CorpusIndexes.readSidecar(s, outDir, "png_ahash"))
 
   /** Build the durable video frame-hash index: decode each GIF frame
     * by frame in the codec slot and write the (doc_id, frame_no,

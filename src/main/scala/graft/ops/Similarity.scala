@@ -1412,63 +1412,37 @@ object Similarity {
   // the re-add — the classic tombstone/upsert race — so re-adding an
   // id requires compacting first, which is cheap and explicit).
 
-  // Generic tombstone core shared by the three durable families (IVF
-  // coarse rows, PQ codes, SRP signatures) — one delete-log contract,
-  // three logs, so every family's semantics stay identical.
-
-  private def tombParts(outDir: String, key: String) =
-    (s"$outDir/$key", CorpusIndexes.tableName(outDir, key),
-      CorpusIndexes.layouts(key))
+  // The embedding families' delete logs, all vec_id-keyed — thin
+  // wrappers over the ONE shared lifecycle (CorpusIndexes.TombLog:
+  // masked serving, re-add guard, fold-clears-exactly-the-folded-rows).
+  private def tombLog(outDir: String, key: String) =
+    CorpusIndexes.TombLog(outDir, key, "vec_id")
 
   private def appendTombstones(ids: DataFrame, outDir: String,
-                               key: String): Unit = {
-    val s = ids.sparkSession
-    val (tp, tt, tl) = tombParts(outDir, key)
-    CorpusIndexes.writeBucketedTable(ids.select(col("vec_id")).distinct(),
-      tp, tt, tl, append = CorpusIndexes.sidecarPathExists(s, tp))
-  }
+                               key: String): Unit =
+    tombLog(outDir, key).append(ids)
 
   private def loadTombstonesFor(s: SparkSession, outDir: String,
-                                key: String): Option[DataFrame] = {
-    val (tp, tt, tl) = tombParts(outDir, key)
-    if (CorpusIndexes.sidecarPathExists(s, tp))
-      Some(CorpusIndexes.readBucketedTable(s, tp, tt, tl))
-    else None
-  }
+                                key: String): Option[DataFrame] =
+    tombLog(outDir, key).load(s)
 
   private def maskDeletesFor(frame: DataFrame, outDir: String,
                              key: String): DataFrame =
-    loadTombstonesFor(frame.sparkSession, outDir, key)
-      .map(ts => frame.join(ts, Seq("vec_id"), "left_anti"))
-      .getOrElse(frame)
+    tombLog(outDir, key).mask(frame)
 
   private def guardTombstonedArrivals(arrivals: DataFrame, outDir: String,
                                       key: String, op: String): Unit =
-    loadTombstonesFor(arrivals.sparkSession, outDir, key).foreach { ts =>
-      val clash = arrivals.join(ts, Seq("vec_id"), "left_semi").count()
-      require(clash == 0L,
-        s"$op: $clash arrival id(s) are tombstoned in $outDir; compact " +
-          "to fold the delete log before re-adding deleted ids")
-    }
+    tombLog(outDir, key).guardArrivals(arrivals, op)
 
   /** Compact a data table, folding its delete log in (physical
-    * removal + log clear) when one exists.
+    * removal; the log keeps only rows appended after the fold's
+    * snapshot) when one exists.
     */
   private def compactWithFold(s: SparkSession, dataPath: String,
                               dataTbl: String, dataLay: CorpusIndexes.Layout,
                               outDir: String, tombKey: String): Unit =
-    loadTombstonesFor(s, outDir, tombKey) match {
-      case None => CorpusIndexes.compactBucketedTable(s, dataPath, dataTbl, dataLay)
-      case Some(ts) =>
-        // Materialize the log before the rewrite: the swap must not
-        // race a lazy reader, and the cleared log must be exactly the
-        // one that was folded.
-        val pinned = ts.localCheckpoint()
-        CorpusIndexes.compactBucketedTable(s, dataPath, dataTbl, dataLay,
-          df => df.join(pinned, Seq("vec_id"), "left_anti"))
-        val (tp, tt, _) = tombParts(outDir, tombKey)
-        CorpusIndexes.dropBucketedTable(s, tp, tt)
-    }
+    tombLog(outDir, tombKey)
+      .foldInto(s, Seq((dataPath, dataTbl, dataLay)))
 
   /** Append `ids` (vec_id) to the IVF root's delete log. */
   def deleteFromIvfIndex(ids: DataFrame, outDir: String): Unit =
@@ -1561,6 +1535,10 @@ object Similarity {
     */
   def deleteFromPqIndex(ids: DataFrame, outDir: String): Unit =
     appendTombstones(ids, outDir, "pq_tombstones")
+
+  /** The PQ root's delete log, if any unfolded delete exists. */
+  def loadPqTombstones(s: SparkSession, outDir: String): Option[DataFrame] =
+    loadTombstonesFor(s, outDir, "pq_tombstones")
 
   /** The code rows as consumers should SERVE them: minus the log. */
   def loadPqIndexServing(s: SparkSession, outDir: String): DataFrame =
@@ -2571,6 +2549,10 @@ object Similarity {
     */
   def deleteFromSrpIndex(ids: DataFrame, outDir: String): Unit =
     appendTombstones(ids, outDir, "srp_tombstones")
+
+  /** The SRP root's delete log, if any unfolded delete exists. */
+  def loadSrpTombstones(s: SparkSession, outDir: String): Option[DataFrame] =
+    loadTombstonesFor(s, outDir, "srp_tombstones")
 
   /** The signature rows as consumers should SERVE them: minus the log. */
   def loadSrpIndexServing(s: SparkSession, outDir: String): DataFrame =

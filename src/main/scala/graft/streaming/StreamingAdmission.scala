@@ -87,18 +87,13 @@ object StreamingAdmission {
       .start()
   }
 
-  /** Per-batch index resolution (shared by both door shapes): disk
-    * indexes re-resolve each trigger (delete-log appends are honored
-    * without restart — the StreamingDedup discipline); a corpus build
-    * materializes once and is served to every batch.
+  /** Per-batch index resolution (shared by both door shapes) — the
+    * shared PerBatchIndex takedown discipline: disk indexes re-resolve
+    * each trigger, a corpus build materializes once.
     */
   private def resolver(docs: DataFrame, histDocs: DataFrame,
                        indexDir: Option[String]): () => graft.ops.Dedup.TextProbeIndex =
-    indexDir match {
-      case Some(d) =>
-        () => graft.ops.Dedup.loadTextProbeIndex(docs.sparkSession, d)
-      case None =>
-        val built = graft.ops.Dedup.buildTextProbeIndex(histDocs, materialize = true)
-        () => built
-    }
+    PerBatchIndex.resolver(indexDir,
+      d => graft.ops.Dedup.loadTextProbeIndex(docs.sparkSession, d),
+      graft.ops.Dedup.buildTextProbeIndex(histDocs, materialize = true))
 }

@@ -36,6 +36,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (batch-vs-bucketed-index equi-joins; broadcast gram set;
   * vocabulary-sized model broadcasts) plus three batch-cardinality
   * left joins on doc_id; history is never rescanned.
+  *
+  * SNAPSHOT-FROZEN by design — deliberately NOT the PerBatchIndex
+  * takedown discipline the solo doors run: the campaign's five gates
+  * are certified AGAINST EACH OTHER on one snapshot (the quantized JM
+  * bar is the median of the snapshot's scores; DSIR weights are the
+  * snapshot's histograms), so honoring a mid-run index mutation would
+  * let the dedup gate see a newer corpus than the bar that gates it —
+  * mutually inconsistent verdicts with no certifying oracle. Takedowns
+  * reach a campaign the way everything else does: a new snapshot and
+  * a rotation (the spec's snapshot-rotation second generation); the
+  * solo doors exist for the serve-latest use case.
   */
 object StreamingCampaign {
 

@@ -60,20 +60,12 @@ object StreamingDedup {
     // Durable-sidecar path: an `indexDir` written by
     // Dedup.persistTextProbeIndex skips the run-start corpus pass
     // entirely — the history reads straight from the bucketed disk
-    // tables (the snapshot-rotation shape at 100 TB). The index frames
-    // are RESOLVED PER BATCH, not pinned at run start: a delete-log
-    // append (Dedup.deleteFromTextProbeIndex) between triggers is
-    // honored by the very next batch without a restart — a run-start
-    // plan would keep the file listing (and so the pre-takedown index)
-    // frozen for the life of the query. The re-resolve costs a
-    // per-trigger table lookup, never a text re-hash.
-    val resolve: () => graft.ops.Dedup.TextProbeIndex = indexDir match {
-      case Some(d) =>
-        () => graft.ops.Dedup.loadTextProbeIndex(newDocs.sparkSession, d)
-      case None =>
-        val built = graft.ops.Dedup.buildTextProbeIndex(hist, cap, materialize = true)
-        () => built
-    }
+    // tables (the snapshot-rotation shape at 100 TB), re-resolved per
+    // trigger so takedowns are honored without restart (the shared
+    // PerBatchIndex discipline).
+    val resolve = PerBatchIndex.resolver(indexDir,
+      d => graft.ops.Dedup.loadTextProbeIndex(newDocs.sparkSession, d),
+      graft.ops.Dedup.buildTextProbeIndex(hist, cap, materialize = true))
     newDocs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Dedup.multiSignalProbeIndexed(batch, resolve())

@@ -49,16 +49,14 @@ object StreamingImageDedup {
   def run(newMedia: DataFrame, index: DataFrame, outDir: String,
           checkpointDir: String, maxHamming: Int = 2,
           indexDir: Option[String] = None): StreamingQuery = {
-    // Disk indexes re-resolve PER BATCH (the StreamingDedup takedown
-    // discipline): a delete-log append (Multimodal.deleteFromImageIndex)
-    // between triggers is honored by the next batch without a restart.
-    val resolve: () => DataFrame = indexDir match {
-      case Some(d) =>
-        () => graft.ops.Multimodal
-          .loadImageIndex(newMedia.sparkSession, d)
-          .select("doc_id", "ahash_hi", "ahash_lo")
-      case None => () => index
-    }
+    // Disk indexes re-resolve PER BATCH (the shared PerBatchIndex
+    // takedown discipline): a delete-log append
+    // (Multimodal.deleteFromImageIndex) between triggers is honored
+    // by the next batch without a restart.
+    val resolve = PerBatchIndex.resolver(indexDir,
+      d => graft.ops.Multimodal.loadImageIndex(newMedia.sparkSession, d)
+        .select("doc_id", "ahash_hi", "ahash_lo"),
+      index)
     newMedia.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         probeBatch(batch, resolve(), maxHamming)

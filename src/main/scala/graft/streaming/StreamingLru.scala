@@ -18,6 +18,11 @@ final case class LruArrival(seq: Long, doc_id: Long, key: String)
 final case class LruVerdict(seq: Long, doc_id: Long, key: String,
                             emitted: Boolean, evicted: String)
 
+// NOTE adding `maxSeq` changed the persisted ValueState schema: a
+// checkpoint written by the one-field version fails the state-store
+// schema check on restart — discard the checkpoint and replay (no
+// deployed checkpoints outlive a version here), or set the state
+// schema-evolution conf before resuming one.
 private final case class LruSetState(keys: Seq[String], maxSeq: Long)
 
 /** The reference producer's dedup structure, exactly: an

@@ -323,8 +323,10 @@ class SidecarDiskSpec extends AnyFunSuite {
     // (c) compaction folds the log into ALL THREE tables: the log is
     // cleared, rows physically absent, serving bit-identical.
     Dedup.compactTextProbeIndex(s, dir)
-    assert(!new java.io.File(s"$dir/probe_tombstones").exists(),
-      "compaction must clear the folded delete log")
+    assert(Dedup.loadTextProbeTombstones(s, dir)
+      .map(_.count()).getOrElse(0L) == 0L,
+      "compaction must clear every folded tombstone (only rows appended " +
+        "after the fold's snapshot may survive)")
     Seq("probe_md5s", "probe_raw_bands", "probe_sim_bands").foreach { key =>
       val kept = s.read.parquet(s"$dir/$key").select($"hist_doc").as[Long]
         .collect().toSet
@@ -341,6 +343,20 @@ class SidecarDiskSpec extends AnyFunSuite {
     Dedup.refreshTextProbeIndex(deadOne, dir)
     assert(Dedup.loadTextProbeIndex(s, dir).md5s
       .filter($"hist_doc" === deadIds.head).count() == 1)
+
+    // (e) the emptied log REGENERATES cleanly: a new delete wave after
+    // the fold starts a fresh log generation, masks immediately, and
+    // folds again (the empty-table read/append edge).
+    Dedup.deleteFromTextProbeIndex(Seq(deadIds.head).toDF("doc_id"), dir)
+    assert(Dedup.loadTextProbeIndex(s, dir).md5s
+      .filter($"hist_doc" === deadIds.head).count() == 0,
+      "a post-fold delete must mask immediately")
+    Dedup.compactTextProbeIndex(s, dir)
+    assert(Dedup.loadTextProbeTombstones(s, dir)
+      .map(_.count()).getOrElse(0L) == 0L)
+    assert(s.read.parquet(s"$dir/probe_md5s")
+      .filter($"hist_doc" === deadIds.head).count() == 0,
+      "the second fold must physically remove the re-deleted doc")
   }
 
   test("StreamingDedup honors a takedown between triggers without restart") {
@@ -422,7 +438,9 @@ class SidecarDiskSpec extends AnyFunSuite {
     }
     // fold: log cleared, rows physically absent, serving unchanged
     Multimodal.compactImageIndex(s, dir)
-    assert(!new java.io.File(s"$dir/png_tombstones").exists())
+    assert(Multimodal.loadImageTombstones(s, dir)
+      .map(_.count()).getOrElse(0L) == 0L,
+      "compaction must clear every folded image tombstone")
     val deadIds = carriers.as[Long].collect().toSet
     assert(s.read.parquet(s"$dir/png_ahash").select($"doc_id").as[Long]
       .collect().toSet.intersect(deadIds).isEmpty)
@@ -818,8 +836,10 @@ class SidecarDiskSpec extends AnyFunSuite {
     // (d) compaction folds the log: deleted rows physically absent
     // from the raw files, the log cleared, serving bit-identical.
     Similarity.compactIvfIndex(s, dir)
-    assert(!new java.io.File(s"$dir/ivf_tombstones").exists(),
-      "compaction must clear the folded delete log")
+    assert(Similarity.loadIvfTombstones(s, dir)
+      .map(_.count()).getOrElse(0L) == 0L,
+      "compaction must clear every folded tombstone (only rows appended " +
+        "after the fold's snapshot may survive)")
     val physical = s.read.parquet(s"$dir/ivf_assigned")
     assert(physical.filter($"vec_id" % 11 === 3 && $"vec_id" < 100000L).count() == 0,
       "tombstoned rows must be physically absent after the fold")
@@ -849,16 +869,17 @@ class SidecarDiskSpec extends AnyFunSuite {
                    del: (DataFrame, String) => Unit,
                    serve: String => DataFrame,
                    refresh: (DataFrame, String) => Unit,
-                   compact: String => Unit, dataSub: String, tombSub: String)
+                   compact: String => Unit, dataSub: String,
+                   tombs: String => Option[DataFrame])
     val fams = Seq(
       Fam("pq", d => Similarity.persistPqIndex(vecs, d),
         Similarity.deleteFromPqIndex, d => Similarity.loadPqIndexServing(s, d),
         Similarity.refreshPqIndex, d => Similarity.compactPqIndex(s, d),
-        "pq_codes", "pq_tombstones"),
+        "pq_codes", d => Similarity.loadPqTombstones(s, d)),
       Fam("srp", d => Similarity.persistSrpIndex(vecs, d),
         Similarity.deleteFromSrpIndex, d => Similarity.loadSrpIndexServing(s, d),
         Similarity.refreshSrpIndex, d => Similarity.compactSrpIndex(s, d),
-        "srp_sigs", "srp_tombstones"))
+        "srp_sigs", d => Similarity.loadSrpTombstones(s, d)))
     fams.foreach { f =>
       val dir = java.nio.file.Files.createTempDirectory(s"graft-${f.name}-del").toString
       f.persist(dir)
@@ -872,8 +893,8 @@ class SidecarDiskSpec extends AnyFunSuite {
         .orderBy($"vec_id").limit(1).localCheckpoint()
       intercept[IllegalArgumentException] { f.refresh(deadOne, dir) }
       f.compact(dir)
-      assert(!new java.io.File(s"$dir/${f.tombSub}").exists(),
-        s"${f.name}: compaction must clear the folded log")
+      assert(f.tombs(dir).map(_.count()).getOrElse(0L) == 0L,
+        s"${f.name}: compaction must clear every folded tombstone")
       val phys = s.read.parquet(s"$dir/${f.dataSub}")
         .select($"vec_id").as[Long].collect().toSet
       assert(phys == ids, s"${f.name}: fold must leave exactly the served rows")
