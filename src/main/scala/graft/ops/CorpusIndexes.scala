@@ -107,9 +107,11 @@ private[graft] object CorpusIndexes {
     // ivf_tombstones (append-only, folded by compaction)
     "pq_tombstones"  -> Layout(4, "vec_id", Seq("vec_id")),
     "srp_tombstones" -> Layout(4, "vec_id", Seq("vec_id")),
-    // the text-probe and image-fingerprint delete logs (TombLog)
+    // the text-probe and media-fingerprint delete logs (TombLog)
     "probe_tombstones" -> Layout(8, "hist_doc", Seq("hist_doc")),
     "png_tombstones"   -> Layout(8, "doc_id", Seq("doc_id")),
+    "gif_tombstones"   -> Layout(8, "doc_id", Seq("doc_id")),
+    "wav_tombstones"   -> Layout(8, "doc_id", Seq("doc_id")),
     // the FROZEN 64-row DSIR histogram model (owned by
     // TextOps.persistDsirModel; the StreamingDsir door's probe joins
     // on bucket)

@@ -1283,10 +1283,16 @@ object Multimodal {
     writeModalityPart(audioFingerprintRows(media).toDF(), outDir, "wav_fp",
       append = false)
 
-  /** INCREMENTAL refresh: fingerprint a new clip slice and append. */
-  def refreshAudioIndex(media: Dataset[WavRow], outDir: String): Unit =
+  /** INCREMENTAL refresh: fingerprint a new clip slice and append.
+    * Tombstoned doc_ids are rejected until the log folds (the shared
+    * TombLog re-add contract).
+    */
+  def refreshAudioIndex(media: Dataset[WavRow], outDir: String): Unit = {
+    audioTomb(outDir).guardArrivals(media.toDF().select(col("doc_id")),
+      "refreshAudioIndex")
     writeModalityPart(audioFingerprintRows(media).toDF(), outDir, "wav_fp",
       append = true)
+  }
 
   /** Rewrite the audio index to one file per bucket after appends
     * (like ivf_assigned, the duration-class bucket column is
@@ -1294,15 +1300,31 @@ object Multimodal {
     * restored count is AT MOST one per bucket).
     */
   def compactAudioIndex(s: SparkSession, outDir: String): Unit =
-    CorpusIndexes.compactBucketedTable(s, s"$outDir/wav_fp",
+    audioTomb(outDir).foldInto(s, Seq((s"$outDir/wav_fp",
       CorpusIndexes.tableName(outDir, "wav_fp"),
-      CorpusIndexes.layouts("wav_fp"))
+      CorpusIndexes.layouts("wav_fp"))))
+
+  // doc_id-keyed delete log over the shared lifecycle
+  // (CorpusIndexes.TombLog) — a taken-down clip must stop serving as
+  // anyone's nearest historical neighbor.
+  private def audioTomb(outDir: String) =
+    CorpusIndexes.TombLog(outDir, "wav_tombstones", "doc_id")
+
+  /** Append `ids` (doc_id) to the audio root's delete log. */
+  def deleteFromAudioIndex(ids: DataFrame, outDir: String): Unit =
+    audioTomb(outDir).append(ids)
+
+  /** The audio root's delete log, if any unfolded delete exists. */
+  def loadAudioTombstones(s: SparkSession, outDir: String): Option[DataFrame] =
+    audioTomb(outDir).load(s)
 
   /** Read the persisted audio index — the static side
-    * [[audioProbeBatch]] and the streaming audio door probe.
+    * [[audioProbeBatch]] and the streaming audio door probe. Serves
+    * rows minus the delete log, so a masked read equals a rebuild
+    * without the deleted clips.
     */
   def loadAudioIndex(s: SparkSession, outDir: String): DataFrame =
-    CorpusIndexes.readSidecar(s, outDir, "wav_fp")
+    audioTomb(outDir).mask(CorpusIndexes.readSidecar(s, outDir, "wav_fp"))
 
   final case class GifRow(doc_id: Long, payload: Array[Byte])
   final case class GifMeta(doc_id: Long, n_frames: Long, width: Long, height: Long,
@@ -1851,20 +1873,44 @@ object Multimodal {
     writeModalityPart(gifFrameAHashes(media).toDF(), outDir, "gif_frames",
       append = false)
 
-  /** INCREMENTAL refresh: frame-hash a new clip slice and append. */
-  def refreshVideoIndex(media: Dataset[GifRow], outDir: String): Unit =
+  /** INCREMENTAL refresh: frame-hash a new clip slice and append.
+    * Tombstoned doc_ids are rejected until the log folds (the shared
+    * TombLog re-add contract).
+    */
+  def refreshVideoIndex(media: Dataset[GifRow], outDir: String): Unit = {
+    videoTomb(outDir).guardArrivals(media.toDF().select(col("doc_id")),
+      "refreshVideoIndex")
     writeModalityPart(gifFrameAHashes(media).toDF(), outDir, "gif_frames",
       append = true)
+  }
 
   /** Rewrite the video index to one file per bucket after appends. */
   def compactVideoIndex(s: SparkSession, outDir: String): Unit =
-    CorpusIndexes.compactBucketedTable(s, s"$outDir/gif_frames",
+    videoTomb(outDir).foldInto(s, Seq((s"$outDir/gif_frames",
       CorpusIndexes.tableName(outDir, "gif_frames"),
-      CorpusIndexes.layouts("gif_frames"))
+      CorpusIndexes.layouts("gif_frames"))))
 
-  /** The raw persisted frame-hash rows. */
+  // doc_id-keyed delete log over the shared lifecycle
+  // (CorpusIndexes.TombLog) — a taken-down clip's frames must stop
+  // carrying earliest-carrier matches.
+  private def videoTomb(outDir: String) =
+    CorpusIndexes.TombLog(outDir, "gif_tombstones", "doc_id")
+
+  /** Append `ids` (doc_id) to the video root's delete log. */
+  def deleteFromVideoIndex(ids: DataFrame, outDir: String): Unit =
+    videoTomb(outDir).append(ids)
+
+  /** The video root's delete log, if any unfolded delete exists. */
+  def loadVideoTombstones(s: SparkSession, outDir: String): Option[DataFrame] =
+    videoTomb(outDir).load(s)
+
+  /** The persisted frame-hash rows, minus the delete log — masking
+    * BEFORE [[frameIndexOf]]'s earliest-carrier aggregate, so the
+    * served index equals a rebuild without the deleted clips
+    * (including a carrier whose deletion promotes the next-earliest).
+    */
   def loadVideoFrames(s: SparkSession, outDir: String): DataFrame =
-    CorpusIndexes.readSidecar(s, outDir, "gif_frames")
+    videoTomb(outDir).mask(CorpusIndexes.readSidecar(s, outDir, "gif_frames"))
 
   /** The earliest-carrier probe index from the persisted frame table —
     * what the streaming video door probes when given an index dir: a

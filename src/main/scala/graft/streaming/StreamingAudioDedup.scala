@@ -50,12 +50,15 @@ object StreamingAudioDedup {
   def run(newMedia: DataFrame, index: DataFrame, outDir: String,
           checkpointDir: String,
           indexDir: Option[String] = None): StreamingQuery = {
-    val idx = indexDir
-      .map(d => graft.ops.Multimodal.loadAudioIndex(newMedia.sparkSession, d))
-      .getOrElse(index)
+    // Disk indexes re-resolve PER BATCH (the shared PerBatchIndex
+    // takedown discipline — deleteFromAudioIndex lands without a
+    // restart).
+    val resolve = PerBatchIndex.resolver(indexDir,
+      d => graft.ops.Multimodal.loadAudioIndex(newMedia.sparkSession, d),
+      index)
     newMedia.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        probeBatch(batch, idx)
+        probeBatch(batch, resolve())
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }

@@ -51,13 +51,18 @@ object StreamingVideoDedup {
   def run(newMedia: DataFrame, index: DataFrame, outDir: String,
           checkpointDir: String,
           indexDir: Option[String] = None): StreamingQuery = {
-    val idx = indexDir
-      .map(d => graft.ops.Multimodal
-        .loadVideoFrameIndex(newMedia.sparkSession, d).localCheckpoint())
-      .getOrElse(index)
+    // Disk indexes re-resolve PER BATCH (the shared PerBatchIndex
+    // takedown discipline — deleteFromVideoIndex lands without a
+    // restart); the per-trigger cost is the zero-exchange digest
+    // aggregate over the bucketed rows, never a decode. This also
+    // drops the old run-start localCheckpoint, which pinned its
+    // blocks for the life of the query with nothing reaping them.
+    val resolve = PerBatchIndex.resolver(indexDir,
+      d => graft.ops.Multimodal.loadVideoFrameIndex(newMedia.sparkSession, d),
+      index)
     newMedia.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        probeBatch(batch, idx)
+        probeBatch(batch, resolve())
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }

@@ -453,6 +453,89 @@ class SidecarDiskSpec extends AnyFunSuite {
       .filter($"doc_id" === readded).count() == 1)
   }
 
+  test("video and audio index deletes: masked serving equals rebuild-minus-deleted; fold at compaction; re-add guarded") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import graft.ops.Multimodal
+    // ---- video: frames mask BEFORE the earliest-carrier aggregate
+    val gifs = Multimodal.gifTable(s, TestSpark.sfDir)
+    val vHist = gifs.filter($"doc_id" % 5 =!= 0)
+    val vBatch = gifs.filter($"doc_id" % 5 === 0).toDF()
+    val vDir = java.nio.file.Files.createTempDirectory("graft-vidx-del").toString
+    Multimodal.persistVideoIndex(vHist, vDir)
+    def vServe() = rows(Multimodal.videoProbeBatch(vBatch,
+      Multimodal.loadVideoFrameIndex(s, vDir)).orderBy($"doc_id"))
+    val vBefore = vServe()
+    val vCarriers = Multimodal.videoProbeBatch(vBatch,
+        Multimodal.loadVideoFrameIndex(s, vDir))
+      .filter($"first_hist".isNotNull).select($"first_hist".as("doc_id"))
+      .distinct().localCheckpoint()
+    assert(vCarriers.count() > 0, "fixture must emit video carriers")
+    Multimodal.deleteFromVideoIndex(vCarriers, vDir)
+    val vAfter = vServe()
+    assert(vAfter != vBefore, "video takedown never served")
+    val vRebuilt = rows(Multimodal.videoProbeBatch(vBatch,
+      Multimodal.frameIndexOf(s.read.parquet(s"$vDir/gif_frames")
+        .join(vCarriers, Seq("doc_id"), "left_anti"))).orderBy($"doc_id"))
+    assert(vAfter == vRebuilt,
+      "masked video serving must equal rebuild-minus-deleted")
+    val vDeadIds = vCarriers.as[Long].collect().toSet
+    val vDeadOne = vHist.filter($"doc_id" === vDeadIds.head)
+    intercept[IllegalArgumentException] {
+      Multimodal.refreshVideoIndex(vDeadOne, vDir)
+    }
+    Multimodal.compactVideoIndex(s, vDir)
+    assert(Multimodal.loadVideoTombstones(s, vDir)
+      .map(_.count()).getOrElse(0L) == 0L)
+    assert(s.read.parquet(s"$vDir/gif_frames").select($"doc_id").as[Long]
+      .collect().toSet.intersect(vDeadIds).isEmpty,
+      "folded video rows must be physically absent")
+    assert(vServe() == vAfter, "video fold must not change a verdict")
+    Multimodal.refreshVideoIndex(vDeadOne, vDir)
+    assert(s.read.parquet(s"$vDir/gif_frames")
+      .filter($"doc_id" === vDeadIds.head).count() > 0,
+      "video re-add after the fold must land")
+
+    // ---- audio: the nearest-neighbor serving path
+    val wavs = Multimodal.wavTable(s, TestSpark.sfDir)
+    val aHist = wavs.filter($"doc_id" % 5 =!= 0)
+    val aBatch = wavs.filter($"doc_id" % 5 === 0).toDF()
+    val aDir = java.nio.file.Files.createTempDirectory("graft-aidx-del").toString
+    Multimodal.persistAudioIndex(aHist, aDir)
+    def aServe() = rows(Multimodal.audioProbeBatch(aBatch,
+      Multimodal.loadAudioIndex(s, aDir)).orderBy($"doc_id"))
+    val aBefore = aServe()
+    val aCarriers = Multimodal.audioProbeBatch(aBatch,
+        Multimodal.loadAudioIndex(s, aDir))
+      .filter($"nn_id".isNotNull).select($"nn_id".as("doc_id"))
+      .distinct().localCheckpoint()
+    assert(aCarriers.count() > 0, "fixture must emit audio neighbors")
+    Multimodal.deleteFromAudioIndex(aCarriers, aDir)
+    val aAfter = aServe()
+    assert(aAfter != aBefore, "audio takedown never served")
+    val aRebuilt = rows(Multimodal.audioProbeBatch(aBatch,
+      s.read.parquet(s"$aDir/wav_fp")
+        .join(aCarriers, Seq("doc_id"), "left_anti")).orderBy($"doc_id"))
+    assert(aAfter == aRebuilt,
+      "masked audio serving must equal rebuild-minus-deleted")
+    val aDeadIds = aCarriers.as[Long].collect().toSet
+    val aDeadOne = aHist.filter($"doc_id" === aDeadIds.head)
+    intercept[IllegalArgumentException] {
+      Multimodal.refreshAudioIndex(aDeadOne, aDir)
+    }
+    Multimodal.compactAudioIndex(s, aDir)
+    assert(Multimodal.loadAudioTombstones(s, aDir)
+      .map(_.count()).getOrElse(0L) == 0L)
+    assert(s.read.parquet(s"$aDir/wav_fp").select($"doc_id").as[Long]
+      .collect().toSet.intersect(aDeadIds).isEmpty,
+      "folded audio rows must be physically absent")
+    assert(aServe() == aAfter, "audio fold must not change a verdict")
+    Multimodal.refreshAudioIndex(aDeadOne, aDir)
+    assert(s.read.parquet(s"$aDir/wav_fp")
+      .filter($"doc_id" === aDeadIds.head).count() > 0,
+      "audio re-add after the fold must land")
+  }
+
   test("writeCuratedCorpus ships exactly the d27 survivors, partition-pruned by source") {
     val s = TestSpark.spark
     import s.implicits._
