@@ -451,23 +451,24 @@ object TextOps {
         + ($"q_cell" > $"b3").cast("int")).cast("long"))
       .join(nll, "doc_id")
       .withColumn("nll_cell", floor($"avg_nll" * lit(1e4)))
-    // Doc-level stats and the grouped quantized median bar re-read the
-    // SAME labeled frame (identical subtrees → ReusedExchange).
-    val stats = dq.groupBy($"source", $"quartile")
-      .agg(count(lit(1)).as("n_docs"),
-        min($"quality").as("q_min"), max($"quality").as("q_max"))
+    // ONE pass over the labeled frame (dq embeds the whole t20 NLL
+    // pipeline — a second consumer would re-run it): the per-cell
+    // pre-aggregate carries the doc counts AND the quality extrema,
+    // so the group stats and the quantized median both fold out of
+    // the same bounded cell histogram.
     val h2 = dq.groupBy($"source", $"quartile", $"nll_cell")
-      .agg(count(lit(1)).as("n_cell"))
+      .agg(count(lit(1)).as("n_cell"),
+        min($"quality").as("cq_min"), max($"quality").as("cq_max"))
     val wCum2 = Window.partitionBy($"source", $"quartile").orderBy($"nll_cell")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll2 = Window.partitionBy($"source", $"quartile")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val med = h2
-      .withColumn("cum", sum($"n_cell").over(wCum2))
+    h2.withColumn("cum", sum($"n_cell").over(wCum2))
       .withColumn("n_grp", sum($"n_cell").over(wAll2))
       .groupBy($"source", $"quartile")
-      .agg(min(when($"cum" * 2 >= $"n_grp", $"nll_cell")).as("med_nll_cell"))
-    stats.join(med, Seq("source", "quartile"))
+      .agg(sum($"n_cell").as("n_docs"),
+        min($"cq_min").as("q_min"), max($"cq_max").as("q_max"),
+        min(when($"cum" * 2 >= $"n_grp", $"nll_cell")).as("med_nll_cell"))
       .orderBy($"source", $"quartile")
   }
 
