@@ -180,14 +180,19 @@ private[graft] object CorpusIndexes {
     * fingerprints — implemented once at the layer that owns bucketed
     * tables: append-only log keyed `keyCol`, read-time masking,
     * re-add guarding, and the compaction FOLD. Folding clears EXACTLY
-    * the rows it folded (an anti-join rewrite of the log against the
-    * pinned snapshot, never a wholesale drop): a delete appended
-    * concurrently with a fold survives in the log, still masking —
-    * the fold-then-drop-everything race would silently discard it
-    * unfolded, resurrecting the taken-down id. A fully-folded log
-    * compacts to a row-less table, which [[hasRows]] reads as "no
-    * log" (so schema inference never sees an empty directory and the
-    * next append starts a fresh generation).
+    * the rows it folded — an anti-join rewrite of the log against the
+    * pinned snapshot, never a wholesale drop. Like every index
+    * mutation, delete/refresh/fold are serialized by the index
+    * owner's maintenance window (the guardArrivals contract below):
+    * the anti-join is NOT a concurrency primitive — an append racing
+    * the log's own compact swap can still land in the set-aside
+    * generation — it exists so the cleared set provably equals the
+    * folded set (a wholesale drop clears strictly more than was
+    * folded whenever a delete lands between the pin and the drop,
+    * even under coarse serialization). A fully-folded log compacts to
+    * a row-less table, which [[hasRows]] reads as "no log" (so schema
+    * inference never sees an empty directory and the next append
+    * starts a fresh generation).
     */
   private[ops] final case class TombLog(root: String, key: String,
                                         keyCol: String) {
@@ -411,18 +416,6 @@ private[graft] object CorpusIndexes {
     // files are authoritative, the catalog entry (if any) just needs
     // its cached listing dropped.
     if (s.catalog.tableExists(tbl)) s.catalog.refreshTable(tbl)
-  }
-
-  /** Remove a sidecar table's files AND its catalog entry — the
-    * delete-log clear after compaction folds the log into the data
-    * files (a stale catalog entry would otherwise serve a dangling
-    * location to the next session).
-    */
-  private[graft] def dropBucketedTable(s: SparkSession, path: String,
-                                       tbl: String): Unit = {
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    val (fs, p) = hadoopPath(s, path)
-    if (fs.exists(p)) fs.delete(p, true)
   }
 
   private def readDisk(s: SparkSession, dir: String, key: String): Option[DataFrame] =

@@ -860,9 +860,6 @@ object Dedup {
   def loadTextProbeTombstones(s: SparkSession, outDir: String): Option[DataFrame] =
     probeTomb(outDir).load(s)
 
-  private def maskProbeDeletes(frame: DataFrame, outDir: String): DataFrame =
-    probeTomb(outDir).mask(frame)
-
   private def writeProbeParts(docs: DataFrame, outDir: String,
                               append: Boolean): Unit = {
     val (md5s, rawBands, simBands) = rawProbeParts(docs)
@@ -1069,9 +1066,19 @@ object Dedup {
     */
   def loadTextProbeIndex(s: SparkSession, outDir: String,
                          cap: Int = 64): TextProbeIndex = {
+    // ONE log snapshot masks all three tables: three independent loads
+    // could resolve different log generations when a delete lands
+    // mid-load (supported — the takedown door test appends while the
+    // query runs), serving an index state no rebuild could produce
+    // (band rows masked, md5 row still vetoing). One load also costs
+    // one existence probe and one catalog resolution per trigger
+    // instead of three.
+    val ts = probeTomb(outDir).load(s)
+    def mask(df: DataFrame): DataFrame =
+      ts.map(t => df.join(t, Seq("hist_doc"), "left_anti")).getOrElse(df)
     val Seq(md5s, raw, sim) = probeLayouts.map { case (key, lay) =>
-      maskProbeDeletes(CorpusIndexes.readBucketedTable(s, s"$outDir/$key",
-        CorpusIndexes.tableName(outDir, key), lay), outDir)
+      mask(CorpusIndexes.readBucketedTable(s, s"$outDir/$key",
+        CorpusIndexes.tableName(outDir, key), lay))
     }
     TextProbeIndex(md5s, capBands(raw, cap), sim)
   }

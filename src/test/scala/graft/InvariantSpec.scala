@@ -1005,9 +1005,9 @@ class InvariantSpec extends AnyFunSuite {
         case Array(a, b) => assert(a._5 < b._4, s"$src: ranges overlap")
         case _ =>
       }
-      // each quartile holds between 1/8 and 1/2 of the source under
-      // any tie pattern this corpus realizes (sanity, not exactness —
-      // the oracle certifies the exact counts)
+      // no quartile swallows its whole source (the cell convention
+      // permits uneven splits under ties, so this is the strongest
+      // tie-robust bound; the oracle certifies the exact counts)
       val n = srcCounts(src)
       ordered.foreach { case (_, q, cnt, _, _, _) =>
         assert(cnt < n, s"$src q$q holds the whole source")
