@@ -76,4 +76,73 @@ class StateStoreReadSpec extends AnyFunSuite {
         "fixture must fill the set so eviction state is inspected, not a prefix")
     } finally q.stop()
   }
+
+  test("statestore source reads the running history door's ListState, MapState and ValueState; all equal the driver model") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val k = 5
+    // arrivals over the real per-user event log (the RecentHistory
+    // door's own fixture derivation)
+    val arrivals = Tables.events(spark, TestSpark.sfDir)
+      .select($"ts", $"user_id", $"event_type")
+      .as[(java.sql.Timestamp, Long, String)].collect()
+      .sortBy(r => (r._1.getTime, r._2, r._3))
+      .zipWithIndex.map { case ((_, u, t), i) => (i.toLong, u, t) }
+    // driver model of the final state
+    val win = scala.collection.mutable.Map.empty[Long, Vector[String]]
+    val cnt = scala.collection.mutable.Map.empty[(Long, String), Long]
+    val last = scala.collection.mutable.Map.empty[Long, Long]
+    arrivals.foreach { case (seq, u, t) =>
+      win(u) = (win.getOrElse(u, Vector.empty) :+ t).takeRight(k)
+      cnt((u, t)) = cnt.getOrElse((u, t), 0L) + 1L
+      last(u) = seq
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssr2_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ssr2_out").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val stream = input.toDF().toDF("seq", "user_id", "event_type")
+    val q = graft.streaming.StreamingRecentHistory.run(stream, k, out, ckpt)
+    try {
+      input.addData(arrivals.take(arrivals.length / 2).toSeq)
+      q.processAllAvailable()
+      input.addData(arrivals.drop(arrivals.length / 2).toSeq)
+      q.processAllAvailable()
+      // the door is STILL RUNNING — inspect all three typed state vars
+      val prev = spark.conf.getOption(graft.streaming.RocksDbProvider.Key)
+      spark.conf.set(graft.streaming.RocksDbProvider.Key,
+        graft.streaming.RocksDbProvider.Value)
+      try {
+        def read(name: String) = spark.read.format("statestore")
+          .option("stateVarName", name).load(ckpt)
+        // ListState reads one row per element; compare per-user element
+        // MULTISETS (read row order is not a documented contract)
+        val gotWin = read("recent")
+          .selectExpr("key.value AS u", "list_element.value AS t")
+          .as[(Long, String)].collect()
+          .groupBy(_._1).map { case (u, xs) =>
+            u -> xs.map(_._2).groupBy(identity).map { case (t, o) => t -> o.length }
+          }
+        val wantWin = win.toMap.map { case (u, w) =>
+          u -> w.groupBy(identity).map { case (t, o) => t -> o.length }
+        }
+        assert(gotWin == wantWin, "ListState windows diverge from the model")
+        assert(gotWin.values.forall(_.values.sum <= k),
+          "a stored window exceeds its bound")
+        val gotCnt = read("counts")
+          .selectExpr("key.value AS u", "user_map_key.value AS t",
+            "user_map_value.value AS c")
+          .as[(Long, String, Long)].collect()
+          .map { case (u, t, c) => (u, t) -> c }.toMap
+        assert(gotCnt == cnt.toMap, "MapState counters diverge from the model")
+        val gotSeq = read("max_seq")
+          .selectExpr("key.value AS u", "value.value AS m")
+          .as[(Long, Long)].collect().toMap
+        assert(gotSeq == last.toMap, "ValueState max-seen seqs diverge")
+      } finally prev match {
+        case Some(v) => spark.conf.set(graft.streaming.RocksDbProvider.Key, v)
+        case None    => spark.conf.unset(graft.streaming.RocksDbProvider.Key)
+      }
+    } finally q.stop()
+  }
 }
