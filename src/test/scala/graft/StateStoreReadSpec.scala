@@ -145,4 +145,51 @@ class StateStoreReadSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("statestore source reads the timer door's REGISTERED TIMERS; expiry set tracks registration and eviction") {
+    // The third observability surface: event-time timers. The
+    // transitions door registers one timer per live user at
+    // last-event + horizon; reading the registered-timer table while
+    // the query runs shows exactly the pending evictions — and after
+    // the watermark fires a user's timer, that user's row is GONE
+    // (the timer state is live operational truth, not an append log).
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val (pk, pv) = (graft.streaming.RocksDbProvider.Key,
+      graft.streaming.RocksDbProvider.Value)
+    val prev = spark.conf.getOption(pk)
+    spark.conf.set(pk, pv)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssr3_ckpt").toString
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val horizon = 60000L
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val stream = input.toDF().toDF("user_id", "ts", "event_id", "event_type")
+    val q = graft.streaming.StreamTransitions2
+      .transitions(stream, watermark = "1 minute", horizonMs = horizon).toDF()
+      .writeStream.format("memory").queryName("ssr3_trans")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      def timers(): Map[Long, Long] = spark.read.format("statestore")
+        .option("readRegisteredTimers", "true").load(ckpt)
+        .selectExpr("key.value AS u", "expiration_timestamp_ms AS exp")
+        .as[(Long, Long)].collect().toMap
+      val (t1, t2) = (ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"))
+      input.addData((1L, t1, 1L, "view")); q.processAllAvailable()
+      assert(timers() == Map(1L -> (t1.getTime + horizon)),
+        "one pending timer at last-event + horizon after batch 1")
+      // batch 2 advances the watermark a day: user 1's timer FIRES
+      // (state evicted) and user 2 registers a fresh one
+      input.addData((2L, t2, 2L, "view")); q.processAllAvailable()
+      assert(timers() == Map(2L -> (t2.getTime + horizon)),
+        "the fired timer must be gone; only user 2's pending eviction remains")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(pk, v)
+        case None    => spark.conf.unset(pk)
+      }
+    }
+  }
 }
