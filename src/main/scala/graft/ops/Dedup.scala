@@ -2790,9 +2790,15 @@ object Dedup {
     * ARITHMETIC on the id (the fixture stands in for a broadcast
     * tombstone list — batch-sized at any corpus scale).
     */
-  def takedownAudit(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+  def takedownAudit(s: SparkSession, dir: String, cap: Int = 64): DataFrame =
+    takedownAuditOverPairs(cappedPairsUnsorted(s, dir, cap))
+
+  /** [[takedownAudit]] over an explicit DISTINCT (doc_a, doc_b) pair
+    * frame — the synthetic-graph spec seam (the d44/d45 convention).
+    */
+  private[graft] def takedownAuditOverPairs(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
     import s.implicits._
-    val pairs = cappedPairsUnsorted(s, dir, cap)
     val pairAgg = pairs
       .withColumn("dropped",
         (($"doc_a" % 7 === 2) || ($"doc_b" % 7 === 2)).cast("long"))

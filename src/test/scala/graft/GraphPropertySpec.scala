@@ -101,4 +101,41 @@ object GraphPropertySpec extends Properties("graph-ops") {
       labelsMatch && sizesMatch &&
         sizes.values.sum == got.size.toLong
     }
+
+  /** d46's takedown report against a driver recount on the same
+    * random graph: exact equality on all seven counters, plus the two
+    * structural invariants the report carries by construction —
+    * n_pairs = dropped + kept, and before = dead + released + after.
+    */
+  property("d46 takedown audit == driver recount; conservation holds") =
+    Prop.forAllNoShrink(genPairs) { pairs =>
+      val s = TestSpark.spark
+      import s.implicits._
+      val dead = (id: Long) => id % 7 == 2
+      val got = Dedup.takedownAuditOverPairs(pairs.toDF("doc_a", "doc_b"))
+        .collect().head
+      val (nPairs, dropped, kept) = (got.getLong(0), got.getLong(1), got.getLong(2))
+      val (before, deadDocs, released, after) =
+        (got.getLong(3), got.getLong(4), got.getLong(5), got.getLong(6))
+      val wantDropped = pairs.count(p => dead(p._1) || dead(p._2)).toLong
+      val docs = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val partners = pairs.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+        .groupBy(_._1).map { case (d, ps) => d -> ps.map(_._2) }
+      val wantDead = docs.count(dead).toLong
+      val wantReleased =
+        docs.count(d => !dead(d) && partners(d).forall(dead)).toLong
+      val wantAfter =
+        docs.count(d => !dead(d) && partners(d).exists(x => !dead(x))).toLong
+      val checks = Seq(
+        s"n_pairs $nPairs" -> (nPairs == pairs.size.toLong),
+        s"dropped $dropped != $wantDropped" -> (dropped == wantDropped),
+        "pair partition" -> (kept == nPairs - dropped),
+        s"before $before" -> (before == docs.size.toLong),
+        s"dead $deadDocs != $wantDead" -> (deadDocs == wantDead),
+        s"released $released != $wantReleased" -> (released == wantReleased),
+        s"after $after != $wantAfter" -> (after == wantAfter),
+        "conservation" -> (before == deadDocs + released + after))
+      val bad = checks.collect { case (label, false) => label }
+      Prop(bad.isEmpty) :| bad.mkString("; ")
+    }
 }
