@@ -136,6 +136,11 @@ object SparkEntry {
     // e42 = Spark 4 VARIANT ingestion: parse_json once, typed
     // variant_get extraction, exact integer rollup per type.
     "e42_variant_rollup"     -> (EventOps.variantRollup _),
+    // e43 = DYNAMIC-gap session windows: the gap Column is decided per
+    // event (purchase holds 30 min, else 10), session end is the
+    // running max of ts+gap — true interval merge, the Spark-4
+    // session_window(ts, gapExpr) surface e03's static form can't hit.
+    "e43_dynamic_sessions"   -> (EventOps.dynamicSessions _),
     // m19 = EXECUTED audio decimation through the real WAV codec
     // (decode → drop odd samples → re-encode at 4 kHz → decode);
     // position-weighted sums pin sample order across the chain.
@@ -1052,7 +1057,7 @@ object SparkEntry {
         WITH marked AS (
           SELECT user_id, ts, event_type,
             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '10 minutes'
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '10 minutes'
                  THEN 1 ELSE 0 END AS new_s
           FROM events),
         numbered AS (
@@ -1098,7 +1103,7 @@ object SparkEntry {
         WITH marked AS (
           SELECT user_id, ts,
             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '10 minutes'
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '10 minutes'
                  THEN 1 ELSE 0 END AS new_s
           FROM events),
         numbered AS (
@@ -1153,7 +1158,7 @@ object SparkEntry {
         WITH marked AS (
           SELECT user_id, ts,
             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '10 minutes'
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '10 minutes'
                  THEN 1 ELSE 0 END AS new_s
           FROM events),
         numbered AS (
@@ -1172,7 +1177,7 @@ object SparkEntry {
         WITH marked AS (
           SELECT user_id, ts, event_type,
             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '10 minutes'
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '10 minutes'
                  THEN 1 ELSE 0 END AS new_s
           FROM events),
         numbered AS (
@@ -1194,7 +1199,7 @@ object SparkEntry {
         WITH marked AS (
           SELECT user_id, ts, event_type, value,
             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '10 minutes'
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '10 minutes'
                  THEN 1 ELSE 0 END AS new_s
           FROM events),
         numbered AS (
@@ -1474,6 +1479,37 @@ object SparkEntry {
               FROM events)
         GROUP BY event_type
         ORDER BY event_type""",
+      // e43: the dynamic-gap interval merge replayed as gaps-and-
+      // islands whose new-session test is ts STRICTLY past the
+      // windowed max(end) of all PRIOR rows (running max, NOT lag — a
+      // long-gap purchase can bridge events its successors' short gaps
+      // would split on; an event AT the end merges, the probed
+      // boundary-inclusive session_window rule).
+      "e43_dynamic_sessions" -> """
+        WITH ends AS (
+          SELECT user_id, ts, event_type,
+            epoch_us(ts) + CASE WHEN event_type = 'purchase'
+              THEN 1800000000 ELSE 600000000 END AS end_us
+          FROM events),
+        marked AS (
+          SELECT user_id, ts, event_type,
+            CASE WHEN max(end_us) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                 OR epoch_us(ts) > max(end_us) OVER (PARTITION BY user_id
+                   ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS new_s
+          FROM ends),
+        numbered AS (
+          SELECT user_id, ts, event_type,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked)
+        SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+          count(*) AS n,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase
+        FROM numbered GROUP BY user_id, sid
+        ORDER BY user_id, session_start""",
       // e41: the identical depth-bounded recursion over the e14
       // adjacency (support edges) — integer path counts.
       "e41_path_counts" -> """
@@ -1549,12 +1585,13 @@ object SparkEntry {
             / CAST(t.n_days AS DOUBLE)) AS eta2
         FROM agg a CROSS JOIN tot t""",
       // e38: the e03 islands with the (ts, event_id) tiebreak on both
-      // engines; micros difference >= 600000000 is the 10-min gap.
+      // engines; a micros difference STRICTLY over 600000000 splits —
+      // the exact boundary merges (the probed session_window rule).
       "e38_bounce_rate" -> """
         WITH marked AS (
           SELECT user_id, ts, event_id, event_type,
             CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
                  THEN 1 ELSE 0 END AS new_s
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -55,9 +55,12 @@ object EventOps {
   }
 
   /** Session windows with a 10-minute inactivity gap per user (ST4
-    * extension). Spark merges rows while the next event starts before
-    * `prev_ts + gap` (end-exclusive) — the oracle reproduces exactly
-    * that boundary with a gaps-and-islands rewrite.
+    * extension). Spark merges rows while the next event starts AT or
+    * before `prev_ts + gap` — the boundary itself extends the session
+    * (inclusive merge, pinned by a crafted spec; the generator's µs
+    * timestamps never land on an exact boundary, so only a crafted row
+    * can tell). The oracle reproduces that with a gaps-and-islands
+    * rewrite splitting on a STRICT `>` gap.
     */
   def sessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -418,7 +421,7 @@ object EventOps {
       .withColumn("prev", lag($"ts", 1).over(w))
       .withColumn("new_s",
         when($"prev".isNull ||
-          micros($"ts") - micros($"prev") >= 600000000L, 1L).otherwise(0L))
+          micros($"ts") - micros($"prev") > 600000000L, 1L).otherwise(0L))
       .withColumn("sid", sum($"new_s")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val ws = Window.partitionBy($"user_id", $"sid").orderBy($"ts", $"event_id")
@@ -935,7 +938,9 @@ object EventOps {
     // Sessions must merge over ALL of a user's events (a session_window
     // groupBy with event_type as a key would sessionize per TYPE), so
     // events get their session label via gaps-and-islands: new session
-    // when the user gap is >= 10 minutes — exactly the e03 boundary.
+    // when the user gap is STRICTLY more than 10 minutes — an event at
+    // exactly prev_ts + gap extends the session, the boundary-inclusive
+    // merge session_window itself applies (pinned by crafted spec).
     val w = Window.partitionBy($"user_id").orderBy($"ts")
     val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val st = events(s, dir)
@@ -943,7 +948,7 @@ object EventOps {
       .withColumn("prev_us", lag(micros($"ts"), 1).over(w))
       .withColumn("new_s",
         when($"prev_us".isNull ||
-          micros($"ts") - $"prev_us" >= lit(600L * 1000000L), 1L)
+          micros($"ts") - $"prev_us" > lit(600L * 1000000L), 1L)
           .otherwise(0L))
       .withColumn("s_start", sum($"new_s").over(wc))
       .select($"user_id", $"s_start", $"event_type")
@@ -1627,5 +1632,47 @@ object EventOps {
       SELECT lvl AS k, src, dst, CAST(count(*) AS BIGINT) AS n_paths
       FROM paths GROUP BY lvl, src, dst
       ORDER BY k, src, dst""")
+  }
+
+  /** e43 — DYNAMIC-GAP session windows: the inactivity gap is decided
+    * PER EVENT by its type (a `purchase` holds the session open 30
+    * minutes, anything else 10), so a session's end is the RUNNING MAX
+    * of per-event `ts + gap` — true interval merging, not last-event
+    * reach. `session_window(ts, gapExpr)` is the Spark-4 surface e03's
+    * static form doesn't touch: the gap Column is evaluated row-by-row
+    * before the merge, and a long-gap event can bridge short-gap events
+    * that would otherwise split. The oracle replays exactly that with a
+    * gaps-and-islands rewrite whose new-session test compares each ts
+    * against the windowed `max(end)` of all PRIOR rows, splitting only
+    * STRICTLY past it (boundary-inclusive merge, the probed
+    * session_window rule). Scale: one shuffle on user_id into
+    * the session merge — the same shape as e03; the gap CASE is a
+    * row-local projection, free at any SF.
+    */
+  def dynamicSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dynamicSessionFrame(events(s, dir))
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** The e43 aggregation over any (ts, user_id, event_type) frame —
+    * batch here, and unchanged under `readStream` + watermark in
+    * [[graft.streaming.StreamingDynamicSessions]] (the door asserts
+    * stream == batch on the closed prefix). Unordered: the batch
+    * registry entry adds the total ORDER BY, the door cannot (append
+    * mode emits as the watermark closes sessions).
+    */
+  def dynamicSessionFrame(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val gap = when($"event_type" === "purchase", lit("30 minutes"))
+      .otherwise(lit("10 minutes"))
+    events
+      .groupBy(session_window($"ts", gap), $"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("n_purchase"))
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"n", $"n_purchase")
   }
 }

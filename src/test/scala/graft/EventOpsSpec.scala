@@ -214,7 +214,7 @@ class EventOpsSpec extends AnyFunSuite {
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
       var start = ts.head; var last = ts.head
       ts.tail.foreach { t =>
-        if (t - last >= gapMs) { out += ((uid, start, last)); start = t }
+        if (t - last > gapMs) { out += ((uid, start, last)); start = t }
         last = t
       }
       out += ((uid, start, last))
@@ -545,7 +545,7 @@ class EventOpsSpec extends AnyFunSuite {
       var cur = List.empty[(Long, java.sql.Timestamp, Long, String)]
       var prev: Option[Long] = None
       sorted.foreach { e =>
-        if (prev.exists(p => us(e._2) - p < 600000000L)) cur :+= e
+        if (prev.exists(p => us(e._2) - p <= 600000000L)) cur :+= e
         else { if (cur.nonEmpty) out += cur; cur = List(e) }
         prev = Some(us(e._2))
       }
@@ -736,5 +736,104 @@ class EventOpsSpec extends AnyFunSuite {
       assert(dau >= 1L && dau <= wau)
       assert(st > 0.0 && st <= 1.0)
     }
+  }
+
+  test("e43 dynamic gap: long-gap purchase bridges short-gap events; the exact end merges (inclusive)") {
+    // The two semantics this pins, on crafted rows:
+    // (1) INTERVAL MERGE, not lag-reach — e3 at 00:20 is past e2's own
+    //     end (00:05 view + 10 min = 00:15) but inside e1's purchase
+    //     window (00:00 + 30 min = 00:30); a lag-based rewrite splits
+    //     here, the running-max merge (and Spark) does not.
+    // (2) BOUNDARY-INCLUSIVE merge — e4 lands at exactly the session's
+    //     running-max end (00:30) and Spark EXTENDS the session (probed
+    //     empirically; MergingSessionsIterator admits start <= end). An
+    //     event strictly past the end (user 9's pair, 00:00 → 00:10.000001
+    //     with a 10-min gap) starts a new session. The oracles' islands
+    //     rewrite must therefore split on `>`, not `>=`.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e43").toString
+    def t(hms: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hms")
+    Seq(
+      (1L, t("00:00:00"), 7L, "purchase", 0.0, "{}"),
+      (2L, t("00:05:00"), 7L, "view", 0.0, "{}"),
+      (3L, t("00:20:00"), 7L, "view", 0.0, "{}"),
+      (4L, t("00:30:00"), 7L, "view", 0.0, "{}"),
+      (5L, t("00:45:00"), 7L, "view", 0.0, "{}"),
+      (6L, t("00:00:00"), 9L, "view", 0.0, "{}"),
+      (7L, t("00:10:00.000001"), 9L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val got = EventOps.dynamicSessions(spark, tmp).collect()
+      .map(r => (r.getLong(0), TestSpark.rowTs(r, 1).toString,
+        r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      // e4 AT the 00:30 end merges and extends the reach to 00:40;
+      // e5 at 00:45 is strictly past it -> new session
+      (7L, "2024-01-01 00:00:00.0", 4L, 1L),
+      (7L, "2024-01-01 00:45:00.0", 1L, 0L),
+      (9L, "2024-01-01 00:00:00.0", 1L, 0L),
+      (9L, "2024-01-01 00:10:00.000001", 1L, 0L)))
+  }
+
+  test("e03 static gap: the exact 10-minute boundary also merges (inclusive)") {
+    // The static form shares the merge rule: an event at exactly
+    // prev_ts + gap EXTENDS the session. The generator's microsecond
+    // timestamps never land on an exact boundary, so the sf oracles
+    // cannot distinguish `>` from `>=` — this crafted pin is what holds
+    // the oracle family to the `>` (strictly-past-the-end) split.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e03b").toString
+    def t(hms: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hms")
+    Seq(
+      (1L, t("00:00:00"), 7L, "view", 0.0, "{}"),
+      (2L, t("00:10:00"), 7L, "view", 0.0, "{}"),
+      (3L, t("00:20:00.000001"), 7L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val got = EventOps.sessions(spark, tmp).collect()
+      .map(r => (r.getLong(0), TestSpark.rowTs(r, 1).toString, r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (7L, "2024-01-01 00:00:00.0", 2L),
+      (7L, "2024-01-01 00:20:00.000001", 1L)))
+  }
+
+  test("e43 on sf data: running-max interval merge recomputed driver-side") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = SparkEntry.queries("e43_dynamic_sessions")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), TestSpark.rowTs(r, 1).getTime,
+        r.getLong(2), r.getLong(3)))
+    val raw = graft.Tables.events(spark, TestSpark.sfDir)
+      .select($"ts".cast("timestamp"), $"user_id", $"event_type").collect()
+      .map(r => (r.getLong(1), TestSpark.rowTs(r, 0).getTime, r.getString(2)))
+    def gapMs(tp: String) = if (tp == "purchase") 30L * 60000L else 10L * 60000L
+    val expected = raw.groupBy(_._1).toSeq.flatMap { case (uid, evs) =>
+      val sorted = evs.map(e => (e._2, e._3)).sortBy(_._1)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+      var start = sorted.head._1
+      var end = sorted.head._1 + gapMs(sorted.head._2)
+      var n = 1L
+      var np = if (sorted.head._2 == "purchase") 1L else 0L
+      sorted.tail.foreach { case (ts, tp) =>
+        if (ts > end) { // only STRICTLY past the end splits (inclusive merge)
+          out += ((uid, start, n, np)); start = ts; n = 0L; np = 0L; end = ts
+        }
+        end = math.max(end, ts + gapMs(tp)) // running max, not last reach
+        n += 1L
+        if (tp == "purchase") np += 1L
+      }
+      out += ((uid, start, n, np))
+      out
+    }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == expected)
+    // the corpus must actually exercise the dynamic arm: at least one
+    // session where a purchase's 30-min reach admitted an event that
+    // the uniform 10-min gap would have split off
+    val static = SparkEntry.queries("e03_sessions")(spark, TestSpark.sfDir).count()
+    assert(got.length < static,
+      "dynamic 30-min purchase gap merged no sessions — fixture too sparse to pin the dynamic arm")
   }
 }

@@ -192,4 +192,54 @@ class StateStoreReadSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("state-metadata source catalogs a checkpoint: operator, state vars, batch span") {
+    // The companion surface to `statestore`: before inspecting state
+    // you have to DISCOVER it — which stateful operators a checkpoint
+    // holds, under what names, across which batch range. That is what
+    // an operator does first against an unfamiliar production
+    // checkpoint; `spark.read.format("state-metadata")` answers it
+    // without the query's code.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val (pk, pv) = (graft.streaming.RocksDbProvider.Key,
+      graft.streaming.RocksDbProvider.Value)
+    val prev = spark.conf.getOption(pk)
+    spark.conf.set(pk, pv)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssr4_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ssr4_out").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val q = graft.streaming.StreamingRecentHistory
+      .run(input.toDF().toDF("seq", "user_id", "event_type"), 3, out, ckpt)
+    try {
+      input.addData((0L, 1L, "view")); q.processAllAvailable()
+      input.addData((1L, 1L, "click")); q.processAllAvailable()
+      val meta = spark.read.format("state-metadata").load(ckpt)
+        .selectExpr("operatorId", "operatorName", "stateStoreName",
+          "minBatchId", "maxBatchId")
+        .as[(Long, String, String, Long, Long)].collect()
+      // one stateful operator (transformWithState), default store name,
+      // and the batch span covering exactly the two committed batches
+      assert(meta.map(_._2).distinct.toList == List("transformWithStateExec"),
+        s"unexpected operator catalog: ${meta.toList}")
+      assert(meta.map(_._1).distinct.toList == List(0L))
+      assert(meta.map(_._3).distinct.toList == List("default"))
+      assert(meta.forall(m => m._4 == 0L && m._5 == 1L),
+        s"batch span must be [0, 1]: ${meta.toList}")
+      // and the catalog's operator is readable by the statestore source
+      // under the names the door declared — discovery is actionable
+      val vars = Seq("recent", "counts", "max_seq")
+      vars.foreach { v =>
+        assert(spark.read.format("statestore").option("stateVarName", v)
+          .load(ckpt).count() > 0L, s"cataloged var $v unreadable")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(pk, v)
+        case None    => spark.conf.unset(pk)
+      }
+    }
+  }
 }

@@ -2407,4 +2407,60 @@ class StreamingExtrasSpec extends AnyFunSuite {
       assert(n <= 256L, s"tick $b state has $n rows")
     }
   }
+
+  test("streaming dynamic-gap sessions equal batch e43; forced replay stays exactly-once") {
+    // The e43 door: the session-merge exec must honor the PER-EVENT gap
+    // under streaming too — a purchase's 30-minute reach keeps its
+    // session open across micro-batch boundaries (the watermark may only
+    // close a session past its RUNNING-MAX end, not the last event's own
+    // 10-minute reach). A sentinel 3 days past the log closes every real
+    // session; a dropped commit marker forces one batch to replay from
+    // checkpoint-restored session state.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val evs = Tables.events(spark, TestSpark.sfDir)
+      .select($"ts", $"user_id", $"event_type")
+      .as[(java.sql.Timestamp, Long, String)].collect().sortBy(_._1.getTime)
+    val batches = Seq(
+      evs.take(evs.length / 3),
+      evs.slice(evs.length / 3, 2 * evs.length / 3),
+      evs.drop(2 * evs.length / 3))
+    val sentinel = new java.sql.Timestamp(
+      evs.map(_._1.getTime).max + 3L * 24 * 3600 * 1000)
+    val out = java.nio.file.Files.createTempDirectory("graft_dsn_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dsn_ckpt").toString
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val stream = input.toDF().toDF("ts", "user_id", "event_type")
+    def start() = graft.streaming.StreamingDynamicSessions.run(stream, out, ckpt)
+
+    val q1 = start()
+    try {
+      batches.take(2).foreach { b =>
+        input.addData(b.toSeq); q1.processAllAvailable()
+      }
+    } finally q1.stop()
+    // crash between offset log and commit: drop the last commit marker
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    val lastId = commits.last.getName.toLong
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.$lastId.crc")
+    if (crc.exists()) assert(crc.delete())
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays the dropped batch
+      input.addData(batches(2).toSeq); q2.processAllAvailable()
+      input.addData(Seq((sentinel, -1L, "view"))); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batchRun = SparkEntry.queries("e43_dynamic_sessions")(spark, TestSpark.sfDir)
+    assert(streamed.count() > 0, "fixture must close at least one session")
+    assert(streamed.count() == batchRun.count())
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+  }
 }
