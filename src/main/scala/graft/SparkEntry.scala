@@ -1055,14 +1055,14 @@ object SparkEntry {
       // the pair join fans out at most |types|^2 per session.
       "e25_session_lift" -> """
         WITH marked AS (
-          SELECT user_id, ts, event_type,
-            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '10 minutes'
+          SELECT user_id, ts, event_id, event_type,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '10 minutes'
                  THEN 1 ELSE 0 END AS new_s
           FROM events),
         numbered AS (
           SELECT user_id, ts, event_type,
-            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
           FROM marked),
         st AS (
           SELECT DISTINCT user_id, sid, event_type FROM numbered),
@@ -1101,14 +1101,14 @@ object SparkEntry {
       // densifies to its covered hours via generate_series.
       "e22_concurrency" -> """
         WITH marked AS (
-          SELECT user_id, ts,
-            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '10 minutes'
+          SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '10 minutes'
                  THEN 1 ELSE 0 END AS new_s
           FROM events),
         numbered AS (
           SELECT user_id, ts,
-            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
           FROM marked),
         sess AS (
           SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
@@ -1156,14 +1156,14 @@ object SparkEntry {
         GROUP BY 1, 2 ORDER BY 1, 2""",
       "e03_sessions" -> """
         WITH marked AS (
-          SELECT user_id, ts,
-            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '10 minutes'
+          SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '10 minutes'
                  THEN 1 ELSE 0 END AS new_s
           FROM events),
         numbered AS (
           SELECT user_id, ts,
-            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
           FROM marked)
         SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start, count(*) AS n
         FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start""",
@@ -1175,14 +1175,14 @@ object SparkEntry {
       // divide on both sides.
       "e20_user_engagement" -> """
         WITH marked AS (
-          SELECT user_id, ts, event_type,
-            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '10 minutes'
+          SELECT user_id, ts, event_id, event_type,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '10 minutes'
                  THEN 1 ELSE 0 END AS new_s
           FROM events),
         numbered AS (
           SELECT user_id, ts, event_type,
-            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
           FROM marked),
         sess AS (
           SELECT user_id, sid, count(*) AS n_events,
@@ -1197,14 +1197,14 @@ object SparkEntry {
         FROM sess GROUP BY user_id ORDER BY user_id""",
       "e18_session_features" -> """
         WITH marked AS (
-          SELECT user_id, ts, event_type, value,
-            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '10 minutes'
+          SELECT user_id, ts, event_id, event_type, value,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '10 minutes'
                  THEN 1 ELSE 0 END AS new_s
           FROM events),
         numbered AS (
           SELECT user_id, ts, event_type, value,
-            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
           FROM marked)
         SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
           count(*) AS n_events,
@@ -1487,21 +1487,23 @@ object SparkEntry {
       // boundary-inclusive session_window rule).
       "e43_dynamic_sessions" -> """
         WITH ends AS (
-          SELECT user_id, ts, event_type,
+          SELECT user_id, ts, event_id, event_type,
             epoch_us(ts) + CASE WHEN event_type = 'purchase'
               THEN 1800000000 ELSE 600000000 END AS end_us
           FROM events),
         marked AS (
-          SELECT user_id, ts, event_type,
-            CASE WHEN max(end_us) OVER (PARTITION BY user_id ORDER BY ts
+          SELECT user_id, ts, event_id, event_type,
+            CASE WHEN max(end_us) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
                  OR epoch_us(ts) > max(end_us) OVER (PARTITION BY user_id
-                   ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                  THEN 1 ELSE 0 END AS new_s
           FROM ends),
         numbered AS (
           SELECT user_id, ts, event_type,
-            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS UNBOUNDED PRECEDING) AS sid
           FROM marked)
         SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,

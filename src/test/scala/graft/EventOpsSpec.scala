@@ -204,17 +204,21 @@ class EventOpsSpec extends AnyFunSuite {
       .collect()
       .map(r => (TestSpark.rowTs(r, 0).getTime / 3600000L,
         r.getLong(1), r.getLong(2)))
-    // driver-side sessionization with the same 10-minute gap
+    // driver-side sessionization with the same 10-minute gap, in exact
+    // MICROseconds (getTime truncates to ms; a sub-ms boundary gap
+    // would misfile — the engine splits at µs precision)
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     val raw = graft.Tables.events(spark, TestSpark.sfDir)
       .select($"ts".cast("timestamp"), $"user_id").collect()
-      .map(r => (r.getLong(1), TestSpark.rowTs(r, 0).getTime))
-    val gapMs = 10L * 60000L
+      .map(r => (r.getLong(1), us(TestSpark.rowTs(r, 0))))
+    val gapUs = 10L * 60000000L
     val sessions = raw.groupBy(_._1).toSeq.flatMap { case (uid, evs) =>
       val ts = evs.map(_._2).sorted
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
       var start = ts.head; var last = ts.head
       ts.tail.foreach { t =>
-        if (t - last > gapMs) { out += ((uid, start, last)); start = t }
+        if (t - last > gapUs) { out += ((uid, start, last)); start = t }
         last = t
       }
       out += ((uid, start, last))
@@ -222,7 +226,7 @@ class EventOpsSpec extends AnyFunSuite {
     }
     val expected = sessions
       .flatMap { case (uid, s0, s1) =>
-        (s0 / 3600000L to s1 / 3600000L).map(h => (h, uid))
+        (s0 / 3600000000L to s1 / 3600000000L).map(h => (h, uid))
       }
       .groupBy(_._1)
       .map { case (h, xs) => (h, xs.size.toLong, xs.map(_._2).distinct.size.toLong) }
@@ -802,26 +806,31 @@ class EventOpsSpec extends AnyFunSuite {
   test("e43 on sf data: running-max interval merge recomputed driver-side") {
     val spark = TestSpark.spark
     import spark.implicits._
+    // exact MICROsecond model (getTime truncates to ms; the engine
+    // merges at µs precision — a sub-ms boundary gap would misfile)
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     val got = SparkEntry.queries("e43_dynamic_sessions")(spark, TestSpark.sfDir)
       .collect()
-      .map(r => (r.getLong(0), TestSpark.rowTs(r, 1).getTime,
+      .map(r => (r.getLong(0), us(TestSpark.rowTs(r, 1)),
         r.getLong(2), r.getLong(3)))
     val raw = graft.Tables.events(spark, TestSpark.sfDir)
       .select($"ts".cast("timestamp"), $"user_id", $"event_type").collect()
-      .map(r => (r.getLong(1), TestSpark.rowTs(r, 0).getTime, r.getString(2)))
-    def gapMs(tp: String) = if (tp == "purchase") 30L * 60000L else 10L * 60000L
+      .map(r => (r.getLong(1), us(TestSpark.rowTs(r, 0)), r.getString(2)))
+    def gapUs(tp: String) =
+      if (tp == "purchase") 30L * 60000000L else 10L * 60000000L
     val expected = raw.groupBy(_._1).toSeq.flatMap { case (uid, evs) =>
       val sorted = evs.map(e => (e._2, e._3)).sortBy(_._1)
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
       var start = sorted.head._1
-      var end = sorted.head._1 + gapMs(sorted.head._2)
+      var end = sorted.head._1 + gapUs(sorted.head._2)
       var n = 1L
       var np = if (sorted.head._2 == "purchase") 1L else 0L
       sorted.tail.foreach { case (ts, tp) =>
         if (ts > end) { // only STRICTLY past the end splits (inclusive merge)
           out += ((uid, start, n, np)); start = ts; n = 0L; np = 0L; end = ts
         }
-        end = math.max(end, ts + gapMs(tp)) // running max, not last reach
+        end = math.max(end, ts + gapUs(tp)) // running max, not last reach
         n += 1L
         if (tp == "purchase") np += 1L
       }
