@@ -141,6 +141,10 @@ object SparkEntry {
     // running max of ts+gap — true interval merge, the Spark-4
     // session_window(ts, gapExpr) surface e03's static form can't hit.
     "e43_dynamic_sessions"   -> (EventOps.dynamicSessions _),
+    // e44 = CHAINED stateful shape: tumbling-hour histogram OVER the
+    // session_window aggregate (sessions bucketed by close hour) —
+    // batch anchor for the two-stateful-operators streaming door.
+    "e44_session_close_histogram" -> (EventOps.sessionCloseHistogram _),
     // m19 = EXECUTED audio decimation through the real WAV codec
     // (decode → drop odd samples → re-encode at 4 kHz → decode);
     // position-weighted sums pin sample order across the chain.
@@ -1512,6 +1516,31 @@ object SparkEntry {
             AS BIGINT) AS n_purchase
         FROM numbered GROUP BY user_id, sid
         ORDER BY user_id, session_start""",
+      // e44: the e03 islands (strict-> split, event_id tiebreaks),
+      // each session's close = last event + the 10-minute gap (static
+      // gap makes the running-max end the last event's reach), then a
+      // plain hour-bucket rollup of the closes. The bucket point is
+      // close − 1µs (Spark's window_time: an exact-boundary close
+      // files under the hour the session lived in).
+      "e44_session_close_histogram" -> """
+        WITH marked AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '10 minutes'
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        numbered AS (
+          SELECT user_id, ts,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked),
+        sess AS (
+          SELECT user_id, sid, count(*) AS n_events,
+            max(ts) + INTERVAL '10 minutes' - INTERVAL '1 microsecond' AS end_ts
+          FROM numbered GROUP BY user_id, sid)
+        SELECT CAST(time_bucket(INTERVAL '1 hour', end_ts) AS TIMESTAMP) AS close_hour,
+          count(*) AS n_sessions,
+          CAST(sum(n_events) AS BIGINT) AS n_events
+        FROM sess GROUP BY 1 ORDER BY 1""",
       // e41: the identical depth-bounded recursion over the e14
       // adjacency (support edges) — integer path counts.
       "e41_path_counts" -> """

@@ -1675,4 +1675,50 @@ object EventOps {
       .select($"user_id", $"session_window.start".as("session_start"),
         $"n", $"n_purchase")
   }
+
+  /** e44 — SESSION-CLOSE HISTOGRAM, the CHAINED-stateful shape: a
+    * tumbling-hour aggregate OVER the session_window aggregate's
+    * output (sessions bucketed by the hour their reach expires —
+    * `session_window.end` = last event + gap under the static form).
+    * In batch this is two ordinary aggregates; the point is the
+    * STREAMING form ([[graft.streaming.StreamingSessionChain]]):
+    * TWO STATEFUL OPERATORS IN ONE QUERY, the multi-stateful pipeline
+    * Structured Streaming long rejected — the watermark must
+    * propagate THROUGH the session merge so the downstream hour
+    * window can finalize (Spark derives the post-session watermark
+    * from the session end, not the raw event time). The capacity-
+    * planning view of the log: when do sessions expire, and how much
+    * state drains per hour.
+    *
+    * Scale: the first aggregate pays e03's one user_id shuffle; the
+    * second sees |sessions| rows pre-reduced map-side into ≤|hours|
+    * groups — the cheap tail of the pipeline at any SF.
+    */
+  def sessionCloseHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sessionCloseFrame(events(s, dir)).orderBy($"close_hour")
+  }
+
+  /** The e44 two-stage aggregation over any (ts, user_id) frame —
+    * batch here, unchanged under `readStream` + watermark in the
+    * chained-stateful door. Unordered (the door emits on watermark
+    * close; the batch registry entry adds the total ORDER BY).
+    */
+  private[graft] def sessionCloseFrame(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .groupBy(session_window($"ts", "10 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      // window_time = session end − 1µs, the WATERMARK-CARRYING
+      // event-time of a window struct — the only column a downstream
+      // stateful window may consume (a raw .end extract severs the
+      // watermark and the chained form is rejected under readStream).
+      // Consequence: a session ending EXACTLY on an hour boundary
+      // files under the hour it lived in, not the one it touches.
+      .groupBy(window(window_time($"session_window"), "1 hour"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum($"n_events").as("n_events"))
+      .select($"window.start".as("close_hour"), $"n_sessions", $"n_events")
+  }
 }

@@ -2463,4 +2463,59 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(streamed.except(batchRun).count() == 0)
     assert(batchRun.except(streamed).count() == 0)
   }
+
+  test("chained stateful operators: hour histogram over session_window equals batch e44; replay exactly-once") {
+    // TWO stateful aggregates in one streaming query (session merge →
+    // tumbling-hour rollup of session closes). The watermark must
+    // propagate THROUGH the session operator: an hour bucket may only
+    // finalize once no session can ever again close inside it. A
+    // sentinel 3 days out drains every real bucket; a dropped commit
+    // forces a replay through BOTH operators' checkpointed state.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val evs = Tables.events(spark, TestSpark.sfDir)
+      .select($"ts", $"user_id")
+      .as[(java.sql.Timestamp, Long)].collect().sortBy(_._1.getTime)
+    val batches = Seq(
+      evs.take(evs.length / 3),
+      evs.slice(evs.length / 3, 2 * evs.length / 3),
+      evs.drop(2 * evs.length / 3))
+    val sentinel = new java.sql.Timestamp(
+      evs.map(_._1.getTime).max + 3L * 24 * 3600 * 1000)
+    val out = java.nio.file.Files.createTempDirectory("graft_chn_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_chn_ckpt").toString
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val stream = input.toDF().toDF("ts", "user_id")
+    def start() = graft.streaming.StreamingSessionChain.run(stream, out, ckpt)
+
+    val q1 = start()
+    try {
+      batches.take(2).foreach { b =>
+        input.addData(b.toSeq); q1.processAllAvailable()
+      }
+    } finally q1.stop()
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    val lastId = commits.last.getName.toLong
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.$lastId.crc")
+    if (crc.exists()) assert(crc.delete())
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays the dropped batch
+      input.addData(batches(2).toSeq); q2.processAllAvailable()
+      input.addData(Seq((sentinel, -1L))); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batchRun = SparkEntry.queries("e44_session_close_histogram")(
+      spark, TestSpark.sfDir)
+    assert(streamed.count() > 0, "fixture must finalize at least one hour bucket")
+    assert(streamed.count() == batchRun.count())
+    assert(streamed.except(batchRun).count() == 0)
+    assert(batchRun.except(streamed).count() == 0)
+  }
 }
