@@ -5,6 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.scalatest.funsuite.AnyFunSuite
 
+/** One probe row from the TTL facet test: what each state var held
+  * BEFORE the arrival folded in (-1 = absent/expired).
+  */
+final case class TtlProbe(key: String, prior_long: Long, prior_short: Long,
+                          prior_ctl: Long)
+
 /** Streaming shapes beyond the reference's single pipeline: stream ⋈
   * static dimension enrichment, and arbitrary stateful processing via
   * flatMapGroupsWithState (the KeyValueGroupedDataset custom-state
@@ -2517,5 +2523,101 @@ class StreamingExtrasSpec extends AnyFunSuite {
     assert(streamed.count() == batchRun.count())
     assert(streamed.except(batchRun).count() == 0)
     assert(batchRun.except(streamed).count() == 0)
+  }
+
+  test("transformWithState declarative TTL: a value expires on schedule; the NONE control survives") {
+    // The fourth typed-state facet (the doors use ValueState/ListState/
+    // MapState, all with TTLConfig.NONE): a TTL'd state value must be
+    // readable within its lifetime and GONE after — with a NO-TTL
+    // control written in the same processor proving the disappearance
+    // is the TTL firing, not restart or key loss. Both arms are
+    // deterministic: within-lifetime visibility is pinned on a 1-HOUR
+    // TTL (cannot expire mid-test, whatever the box does), expiry on a
+    // 400 ms TTL read only after a 2 s sleep (cannot still be live);
+    // the short arm's mid-test reads are deliberately unasserted —
+    // they race the wall clock.
+    import org.apache.spark.sql.streaming.{ListState => _, _}
+    import org.apache.spark.sql.Encoders
+    class TtlProcessor
+        extends StatefulProcessor[String, (String, Long), TtlProbe] {
+      @transient private var long_ : ValueState[Long] = _
+      @transient private var short_ : ValueState[Long] = _
+      @transient private var ctl: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        long_ = getHandle.getValueState[Long]("ttl_long", Encoders.scalaLong,
+          TTLConfig(java.time.Duration.ofHours(1L)))
+        short_ = getHandle.getValueState[Long]("ttl_short", Encoders.scalaLong,
+          TTLConfig(java.time.Duration.ofMillis(400L)))
+        ctl = getHandle.getValueState[Long]("ctl", Encoders.scalaLong,
+          TTLConfig.NONE)
+      }
+      override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+                                   tv: TimerValues): Iterator[TtlProbe] = {
+        def read(s: ValueState[Long]) = if (s.exists()) s.get() else -1L
+        val probe = TtlProbe(key, read(long_), read(short_), read(ctl))
+        rows.toSeq.lastOption.foreach { r =>
+          long_.update(r._2); short_.update(r._2); ctl.update(r._2)
+        }
+        Iterator.single(probe)
+      }
+    }
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val (pk, pv) = (graft.streaming.RocksDbProvider.Key,
+      graft.streaming.RocksDbProvider.Value)
+    val prev = spark.conf.getOption(pk)
+    spark.conf.set(pk, pv)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ttl_ckpt").toString
+    val input = MemoryStream[(String, Long)]
+    // NOTE: processAllAvailable() is unusable here — a TTL'd state var
+    // in ProcessingTime mode makes the operator request another batch
+    // on every clock advance (shouldRunAnotherBatch), so "all
+    // available" never settles. Pace the empty-batch churn with a real
+    // trigger and poll the sink for each arrival's probe row instead.
+    val q = input.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new TtlProcessor,
+        TimeMode.ProcessingTime(), OutputMode.Update())
+      .writeStream.format("memory").queryName("ttl_probe")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .outputMode("update").start()
+    try {
+      def probes() = spark.table("ttl_probe")
+        .as[TtlProbe].collect().toList
+      def awaitProbes(n: Int): List[TtlProbe] = {
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        var got = probes()
+        while (got.size < n && System.nanoTime() < deadline) {
+          if (q.exception.isDefined) throw q.exception.get
+          Thread.sleep(100L); got = probes()
+        }
+        assert(got.size == n, s"expected $n probe rows, got ${got.size}")
+        got
+      }
+      input.addData(("k", 1L)); awaitProbes(1)
+      input.addData(("k", 2L))
+      // batch 2 ran within the 1h TTL: the long-TTL state and the
+      // control both held value 1 (the 400 ms arm races the clock —
+      // unasserted here)
+      assert(awaitProbes(2).map(p => (p.prior_long, p.prior_ctl)).toSet ==
+        Set((-1L, -1L), (1L, 1L)))
+      Thread.sleep(2000L) // far past the 400 ms TTL
+      input.addData(("k", 3L))
+      // the short-TTL value expired; the 1h state and the NONE control
+      // still hold 2
+      val last = awaitProbes(3).maxBy(_.prior_ctl)
+      assert(last.prior_ctl == 2L, "the no-TTL control must survive")
+      assert(last.prior_long == 2L, "the 1h-TTL value must survive")
+      assert(last.prior_short == -1L,
+        s"the 400ms-TTL value must be expired, still read ${last.prior_short}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(pk, v)
+        case None    => spark.conf.unset(pk)
+      }
+    }
   }
 }
