@@ -169,6 +169,45 @@ private[graft] object CorpusIndexes {
     fs.exists(path)
   }
 
+  /** Whether a table directory holds any parquet data file. A takedown
+    * wave can legitimately EMPTY a table (delete-all → fold): the
+    * bucketed writer emits no part files for zero rows, and a plain
+    * `spark.read.parquet` on such a directory dies with
+    * UNABLE_TO_INFER_SCHEMA — every footer-inference site must branch
+    * on this first.
+    */
+  private[graft] def hasParquetFiles(s: SparkSession, p: String): Boolean = {
+    val (fs, path) = hadoopPath(s, p)
+    fs.exists(path) &&
+      fs.listStatus(path).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Sidecar schema marker: the table's schema as JSON, written with
+    * every generation so an EMPTY generation (takedown emptied it)
+    * stays readable by a fresh session that has no catalog entry and
+    * no parquet footer to infer from.
+    */
+  private def schemaMarkerPath(path: String) = s"$path/_graft_table_schema"
+
+  private[graft] def writeSchemaMarker(s: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val (fs, p) = hadoopPath(s, schemaMarkerPath(path))
+    val out = fs.create(p, true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSchemaMarker(s: SparkSession, path: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val (fs, p) = hadoopPath(s, schemaMarkerPath(path))
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
   /** Existence probe for sidecar tables owned by other ops objects
     * (the IVF codebook's back-compat branch).
     */
@@ -328,6 +367,7 @@ private[graft] object CorpusIndexes {
       .bucketBy(lay.nBuckets, lay.bucketCol)
       .sortBy(lay.sortCols.head, lay.sortCols.tail: _*)
       .format("parquet").saveAsTable(tbl)
+    writeSchemaMarker(s, path, df.schema)
   }
 
   /** Register (if absent) and read the bucketed table written by
@@ -338,7 +378,15 @@ private[graft] object CorpusIndexes {
   private[graft] def readBucketedTable(s: SparkSession, path: String,
       tbl: String, lay: Layout): DataFrame = {
     if (!s.catalog.tableExists(tbl)) {
-      val schemaDDL = s.read.parquet(path).schema.toDDL
+      // Footer inference needs a data file; an EMPTY generation (a
+      // takedown wave deleted every row, then the fold compacted) has
+      // none — the schema marker written with each generation is the
+      // fallback that keeps the emptied index readable.
+      val schemaDDL =
+        if (hasParquetFiles(s, path)) s.read.parquet(path).schema.toDDL
+        else readSchemaMarker(s, path).map(_.toDDL).getOrElse(sys.error(
+          s"readBucketedTable: $path holds no parquet files and no " +
+            "schema marker — not a generation this engine wrote"))
       s.sql(s"CREATE TABLE $tbl ($schemaDDL) USING PARQUET " +
         s"CLUSTERED BY (${lay.bucketCol}) " +
         s"SORTED BY (${lay.sortCols.mkString(", ")}) " +
@@ -382,6 +430,12 @@ private[graft] object CorpusIndexes {
   private[graft] def compactBucketedTable(s: SparkSession, path: String,
       tbl: String, lay: Layout,
       transform: DataFrame => DataFrame = identity): Unit = {
+    // An EMPTY generation (takedown deleted every row, a prior fold
+    // compacted) holds zero part files: there is nothing to rewrite
+    // and nothing for a fold transform to drop — and the plain parquet
+    // read below would die on footer inference. No-op, keeping the
+    // schema marker for readers.
+    if (!hasParquetFiles(s, path)) return
     val tmpPath = path + "__compact"
     val tmpTbl = tbl + "__compact"
     s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
@@ -393,7 +447,8 @@ private[graft] object CorpusIndexes {
     // With an unknown-partitioning scan the shuffle really runs, its
     // hash IS the bucket function, and each task writes exactly one
     // bucket file.
-    transform(s.read.parquet(path))
+    val source = s.read.parquet(path)
+    transform(source)
       .repartition(lay.nBuckets, col(lay.bucketCol))
       .write.mode("overwrite").option("path", tmpPath)
       .bucketBy(lay.nBuckets, lay.bucketCol)
@@ -412,6 +467,9 @@ private[graft] object CorpusIndexes {
     }
     fs.delete(op, true)
     s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+    // the swap replaced the directory wholesale — restore the schema
+    // marker so a generation the fold EMPTIES stays readable
+    writeSchemaMarker(s, path, source.schema)
     // A fresh session may compact a root it never registered — the
     // files are authoritative, the catalog entry (if any) just needs
     // its cached listing dropped.

@@ -453,6 +453,50 @@ class SidecarDiskSpec extends AnyFunSuite {
       .filter($"doc_id" === readded).count() == 1)
   }
 
+  test("an index EMPTIED by takedown stays maintainable and readable (the TombLog property's crash)") {
+    // Found by TombLogPropertySpec (seed hotP0i4VEo6…): delete EVERY
+    // id, fold, then run maintenance again. The fold leaves a
+    // generation with ZERO part files (the bucketed writer emits none
+    // for zero rows), and compactBucketedTable's plain parquet read
+    // died on footer inference — a takedown wave that empties a small
+    // index bricked all later maintenance. Pinned here
+    // deterministically: the second compact no-ops, the delete→fold
+    // cycle keeps working on the empty generation, a fresh catalog
+    // (new session) reads the empty generation via the schema marker,
+    // and a re-add restores service.
+    val s = TestSpark.spark
+    import s.implicits._
+    import graft.ops.{CorpusIndexes, Multimodal}
+    val ids = (0L until 8L)
+    def media(sel: Seq[Long]) =
+      sel.sorted.map(id => (id, Multimodal.PngCodec.encode(id)))
+        .toDF("doc_id", "payload").as[Multimodal.PngRow]
+    val dir = java.nio.file.Files.createTempDirectory("graft-iidx-empty").toString
+    Multimodal.persistImageIndex(media(ids), dir)
+    Multimodal.deleteFromImageIndex(ids.toDF("doc_id"), dir)
+    assert(Multimodal.loadImageIndex(s, dir).count() == 0L, "all masked")
+    Multimodal.compactImageIndex(s, dir) // folds: zero part files remain
+    Multimodal.compactImageIndex(s, dir) // the crash site: must no-op
+    assert(Multimodal.loadImageIndex(s, dir).count() == 0L)
+    // the delete→fold cycle still works against the empty generation
+    Multimodal.deleteFromImageIndex(ids.toDF("doc_id"), dir)
+    intercept[IllegalArgumentException] {
+      Multimodal.refreshImageIndex(media(ids.take(2)), dir)
+    }
+    Multimodal.compactImageIndex(s, dir)
+    // a FRESH session has no catalog entry: drop it and prove the
+    // empty generation is still readable (schema marker, not footer)
+    s.sql(s"DROP TABLE IF EXISTS " +
+      CorpusIndexes.tableName(dir, "png_ahash"))
+    assert(Multimodal.loadImageIndex(s, dir).count() == 0L)
+    assert(Multimodal.loadImageIndex(s, dir).columns.contains("ahash_hi"),
+      "the marker must reproduce the real schema, not a stub")
+    // service restores on re-add
+    Multimodal.refreshImageIndex(media(ids.take(3)), dir)
+    assert(Multimodal.loadImageIndex(s, dir).select($"doc_id").as[Long]
+      .collect().toSet == ids.take(3).toSet)
+  }
+
   test("video and audio index deletes: masked serving equals rebuild-minus-deleted; fold at compaction; re-add guarded") {
     val s = TestSpark.spark
     import s.implicits._
