@@ -244,11 +244,7 @@ private[graft] object CorpusIndexes {
     require(lay.bucketCol == keyCol,
       s"TombLog $key: registered layout buckets on ${lay.bucketCol}, not $keyCol")
 
-    private def hasRows(s: SparkSession): Boolean = {
-      val (fs, p) = hadoopPath(s, path)
-      fs.exists(p) &&
-        fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
-    }
+    private def hasRows(s: SparkSession): Boolean = hasParquetFiles(s, path)
 
     /** Append distinct ids (a frame bearing `keyCol`) to the log. */
     def append(ids: DataFrame): Unit =
@@ -360,14 +356,20 @@ private[graft] object CorpusIndexes {
   private[graft] def writeBucketedTable(df: DataFrame, path: String,
       tbl: String, lay: Layout, append: Boolean = false): Unit = {
     val s = df.sparkSession
-    if (append) readBucketedTable(s, path, tbl, lay)
-    else s.sql(s"DROP TABLE IF EXISTS $tbl")
+    // In append mode the marker must record the TABLE's schema, not
+    // the arriving slice's: saveAsTable append resolves columns by
+    // name, so a slice with a different column order would succeed —
+    // and a slice-order marker would later register a fresh session's
+    // catalog entry in the wrong positional order.
+    val tableSchema =
+      if (append) readBucketedTable(s, path, tbl, lay).schema
+      else { s.sql(s"DROP TABLE IF EXISTS $tbl"); df.schema }
     df.repartition(lay.nBuckets, col(lay.bucketCol))
       .write.mode(if (append) "append" else "overwrite").option("path", path)
       .bucketBy(lay.nBuckets, lay.bucketCol)
       .sortBy(lay.sortCols.head, lay.sortCols.tail: _*)
       .format("parquet").saveAsTable(tbl)
-    writeSchemaMarker(s, path, df.schema)
+    writeSchemaMarker(s, path, tableSchema)
   }
 
   /** Register (if absent) and read the bucketed table written by
@@ -448,12 +450,21 @@ private[graft] object CorpusIndexes {
     // hash IS the bucket function, and each task writes exactly one
     // bucket file.
     val source = s.read.parquet(path)
-    transform(source)
+    val compacted = transform(source)
+    compacted
       .repartition(lay.nBuckets, col(lay.bucketCol))
       .write.mode("overwrite").option("path", tmpPath)
       .bucketBy(lay.nBuckets, lay.bucketCol)
       .sortBy(lay.sortCols.head, lay.sortCols.tail: _*)
       .format("parquet").saveAsTable(tmpTbl)
+    // The marker must TRAVEL WITH the directory swap: written into
+    // tmpPath before the renames, so no crash window exists in which
+    // the live path holds zero part files and no marker (an emptied
+    // generation would otherwise be unreadable with __old already
+    // gone). Schema is the POST-transform shape — the rows actually
+    // written — not the source's (a projecting fold would otherwise
+    // register a stale DDL for an emptied table).
+    writeSchemaMarker(s, tmpPath, compacted.schema)
     val (fs, p) = hadoopPath(s, path)
     val (_, tp) = hadoopPath(s, tmpPath)
     val (_, op) = hadoopPath(s, path + "__old")
@@ -467,9 +478,6 @@ private[graft] object CorpusIndexes {
     }
     fs.delete(op, true)
     s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
-    // the swap replaced the directory wholesale — restore the schema
-    // marker so a generation the fold EMPTIES stays readable
-    writeSchemaMarker(s, path, source.schema)
     // A fresh session may compact a root it never registered — the
     // files are authoritative, the catalog entry (if any) just needs
     // its cached listing dropped.
