@@ -193,6 +193,66 @@ class StateStoreReadSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-operator checkpoint: the catalog lists BOTH stateful stages; operatorId selects which state to read") {
+    // The chained door (two stateful operators in one query) makes the
+    // observability surfaces earn their keep: state-metadata must list
+    // both stages, and a statestore read must be TARGETED — on a
+    // multi-operator checkpoint "the state" is ambiguous until
+    // operatorId picks a stage. Crafted sessions make the expected
+    // state exact at each step: before any close the session stage
+    // holds every open session and the hour stage is empty; after a
+    // far-future sentinel drains the pipeline, only the sentinel's own
+    // open session remains anywhere.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val out = java.nio.file.Files.createTempDirectory("graft_ssr5_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssr5_ckpt").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    val q = graft.streaming.StreamingSessionChain.run(
+      input.toDF().toDF("ts", "user_id"), out, ckpt)
+    try {
+      // three open sessions: user 7 x2 (00:00-00:05, 02:00), user 9 x1
+      input.addData(Seq(
+        (ts("2024-01-01 00:00:00"), 7L), (ts("2024-01-01 00:05:00"), 7L),
+        (ts("2024-01-01 02:00:00"), 7L), (ts("2024-01-01 00:00:00"), 9L)))
+      q.processAllAvailable()
+
+      val ops = spark.read.format("state-metadata").load(ckpt)
+        .selectExpr("operatorId", "operatorName")
+        .as[(Long, String)].collect().toMap
+      assert(ops.size == 2, s"two stateful stages expected, got $ops")
+      val sessionOp = ops.collectFirst {
+        case (id, n) if n.toLowerCase.contains("session") => id }.get
+      val hourOp = (ops.keySet - sessionOp).head
+
+      def stateCount(op: Long): Long = spark.read.format("statestore")
+        .option("operatorId", op).load(ckpt).count()
+      assert(stateCount(sessionOp) == 3L,
+        "session stage must hold exactly the three open sessions")
+      assert(stateCount(hourOp) == 0L,
+        "no session has closed; the hour stage must be empty")
+
+      // sentinel 3 days out: every real session closes, every hour
+      // bucket finalizes and is evicted — only the sentinel's own
+      // session survives anywhere in state
+      input.addData(Seq((ts("2024-01-04 00:00:00"), -1L)))
+      q.processAllAvailable()
+      assert(stateCount(sessionOp) == 1L,
+        "only the sentinel's open session may remain")
+      assert(stateCount(hourOp) == 0L,
+        "drained hour buckets must be evicted, not retained")
+      // and the emitted rows are the exact finalized histogram
+      val emitted = spark.read.parquet(out)
+        .selectExpr("CAST(close_hour AS STRING)", "n_sessions", "n_events")
+        .as[(String, Long, Long)].collect().toSet
+      assert(emitted == Set(
+        ("2024-01-01 00:00:00", 2L, 3L),   // 7's first (2 ev) + 9's (1 ev)
+        ("2024-01-01 02:00:00", 1L, 1L)))  // 7's second
+    } finally q.stop()
+  }
+
   test("state-metadata source catalogs a checkpoint: operator, state vars, batch span") {
     // The companion surface to `statestore`: before inspecting state
     // you have to DISCOVER it — which stateful operators a checkpoint

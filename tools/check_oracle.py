@@ -44,16 +44,24 @@ def main():
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracles.items()):
-        try:
-            o = con.execute(sql)
-            o_cols = [d[0] for d in o.description]
-            o_rows = o.fetchall()
-            sres = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            s_cols = [d[0] for d in sres.description]
-            s_rows = sres.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: {str(e).splitlines()[0]}")
+        # Retry EXCEPTIONS once (a loaded box can OOM one DuckDB query
+        # transiently — observed at sf0.1); row/column MISMATCHES are
+        # deterministic over the same bytes and are never retried.
+        for attempt in (1, 2):
+            try:
+                o = con.execute(sql)
+                o_cols = [d[0] for d in o.description]
+                o_rows = o.fetchall()
+                sres = con.execute(
+                    f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+                s_cols = [d[0] for d in sres.description]
+                s_rows = sres.fetchall()
+                err = None
+                break
+            except Exception as e:
+                err = e
+        if err is not None:
+            print(f"FAIL {name}: {str(err).splitlines()[0]}")
             failures += 1
             continue
         o_rows, o_cols2 = canon(o_rows, o_cols)
