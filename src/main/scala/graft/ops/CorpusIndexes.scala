@@ -189,23 +189,38 @@ private[graft] object CorpusIndexes {
     */
   private def schemaMarkerPath(path: String) = s"$path/_graft_table_schema"
 
+  /** Marker writes are themselves crash-windowed (create truncates
+    * before the bytes land), so the marker goes to a `.tmp` sibling
+    * first and renames over — and the reader falls back to a complete
+    * `.tmp` left by a crash between the delete and the rename. A
+    * partially-written `.tmp` (crash mid-write) parses as garbage and
+    * is ignored; in that state the main marker is still intact,
+    * because the delete only happens after the tmp write closed.
+    */
   private[graft] def writeSchemaMarker(s: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): Unit = {
     val (fs, p) = hadoopPath(s, schemaMarkerPath(path))
-    val out = fs.create(p, true)
+    val (_, tp) = hadoopPath(s, schemaMarkerPath(path) + ".tmp")
+    val out = fs.create(tp, true)
     try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tp, p), s"schema marker rename failed under $path")
   }
 
   private def readSchemaMarker(s: SparkSession, path: String)
       : Option[org.apache.spark.sql.types.StructType] = {
+    def parse(at: org.apache.hadoop.fs.Path,
+              fs: org.apache.hadoop.fs.FileSystem) =
+      scala.util.Try {
+        val in = fs.open(at)
+        val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }.toOption
     val (fs, p) = hadoopPath(s, schemaMarkerPath(path))
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      Some(org.apache.spark.sql.types.DataType.fromJson(json)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-    }
+    val (_, tp) = hadoopPath(s, schemaMarkerPath(path) + ".tmp")
+    (if (fs.exists(p)) parse(p, fs) else None)
+      .orElse(if (fs.exists(tp)) parse(tp, fs) else None)
   }
 
   /** Existence probe for sidecar tables owned by other ops objects
@@ -342,6 +357,85 @@ private[graft] object CorpusIndexes {
     s"graft_sc_${key}_$h"
   }
 
+  /** TEST-ONLY crash injection for the generation-swap windows: called
+    * with a named point between every pair of filesystem steps in
+    * [[writeBucketedTable]]/[[compactBucketedTable]]; a test assigns a
+    * throwing hook to simulate a crash at exactly that point, then
+    * proves the next maintenance call recovers. Production value is
+    * the no-op.
+    */
+  private[graft] var crashHook: String => Unit = _ => ()
+
+  /** Heal a generation swap that crashed between filesystem steps —
+    * runs at the entry of every path that writes or compacts a
+    * generation, so "recoverable" means BY THE NEXT MAINTENANCE CALL,
+    * not by hand. The swap protocol (new generation fully written to
+    * `path__<sfx>` INCLUDING its schema marker, live renamed aside to
+    * `path__old`, new renamed in, `__old` deleted) leaves four
+    * distinguishable crash states, each with one safe move:
+    *   - live present + sibling tmp present: crash before any rename —
+    *     the tmp is an abandoned draft; delete it, live is truth.
+    *   - live present + `__old` present: crash after the swap-in but
+    *     before the cleanup delete — live is the NEW generation;
+    *     finish the delete.
+    *   - live MISSING + tmp with a schema marker: crash between the
+    *     two renames with the new generation complete (the marker is
+    *     written before any rename, so its presence certifies
+    *     completeness) — roll FORWARD: rename tmp in, drop `__old`.
+    *   - live MISSING + tmp absent/markerless + `__old` present: the
+    *     new generation never completed — roll BACK: rename `__old`
+    *     in. (The only non-readable instant is between the two
+    *     renames; it is bounded by two metadata ops and healed here.)
+    */
+  private[graft] def recoverSwap(s: SparkSession, path: String,
+      tmpSuffixes: Seq[String] = Seq("__compact", "__new")): Unit = {
+    val (fs, p) = hadoopPath(s, path)
+    val (_, op) = hadoopPath(s, path + "__old")
+    val tmps = tmpSuffixes.map(sfx => hadoopPath(s, path + sfx)._2)
+    def tmpComplete(tp: org.apache.hadoop.fs.Path) =
+      fs.exists(tp) &&
+        fs.exists(new org.apache.hadoop.fs.Path(tp, "_graft_table_schema"))
+    if (!fs.exists(p)) {
+      tmps.find(tmpComplete) match {
+        case Some(tp) =>
+          require(fs.rename(tp, p), s"recoverSwap: roll-forward rename failed for $path")
+        case None if fs.exists(op) =>
+          require(fs.rename(op, p), s"recoverSwap: roll-back rename failed for $path")
+        case None => () // nothing of this table ever existed here
+      }
+    }
+    if (fs.exists(p)) { // only clean aside dirs once a live dir is certain
+      if (fs.exists(op)) fs.delete(op, true)
+      tmps.foreach(tp => if (fs.exists(tp)) fs.delete(tp, true))
+    }
+  }
+
+  /** The two-rename generation swap shared by [[writeBucketedTable]]
+    * (overwrite) and [[compactBucketedTable]]: live aside, tmp in,
+    * aside deleted. `tmpPath` must already hold the COMPLETE new
+    * generation including its schema marker — the marker doubles as
+    * the roll-forward certificate [[recoverSwap]] keys on.
+    */
+  private def swapIntoPlace(s: SparkSession, path: String, tmpPath: String): Unit = {
+    val (fs, p) = hadoopPath(s, path)
+    val (_, tp) = hadoopPath(s, tmpPath)
+    val (_, op) = hadoopPath(s, path + "__old")
+    if (fs.exists(op)) fs.delete(op, true)
+    val hadLive = fs.exists(p)
+    if (hadLive) {
+      require(fs.rename(p, op), s"swap: could not set aside $path")
+      crashHook("live-aside")
+    }
+    if (!fs.rename(tp, p)) {
+      // restore the original before failing: the live path must never
+      // be left empty longer than the failed rename itself
+      if (hadLive) fs.rename(op, p)
+      sys.error(s"swap: could not move $tmpPath into place")
+    }
+    crashHook("swapped-in")
+    if (hadLive) fs.delete(op, true)
+  }
+
   /** Write `df` as a bucketed external parquet table at `path`. The
     * frame is repartitioned to the bucket count on the bucket column
     * first, so the layout is exactly one file per bucket — at campaign
@@ -356,20 +450,51 @@ private[graft] object CorpusIndexes {
   private[graft] def writeBucketedTable(df: DataFrame, path: String,
       tbl: String, lay: Layout, append: Boolean = false): Unit = {
     val s = df.sparkSession
-    // In append mode the marker must record the TABLE's schema, not
-    // the arriving slice's: saveAsTable append resolves columns by
-    // name, so a slice with a different column order would succeed —
-    // and a slice-order marker would later register a fresh session's
-    // catalog entry in the wrong positional order.
-    val tableSchema =
-      if (append) readBucketedTable(s, path, tbl, lay).schema
-      else { s.sql(s"DROP TABLE IF EXISTS $tbl"); df.schema }
-    df.repartition(lay.nBuckets, col(lay.bucketCol))
-      .write.mode(if (append) "append" else "overwrite").option("path", path)
-      .bucketBy(lay.nBuckets, lay.bucketCol)
-      .sortBy(lay.sortCols.head, lay.sortCols.tail: _*)
-      .format("parquet").saveAsTable(tbl)
-    writeSchemaMarker(s, path, tableSchema)
+    recoverSwap(s, path) // heal any crashed prior swap before touching the table
+    if (append) {
+      // In append mode the marker must record the TABLE's schema, not
+      // the arriving slice's: saveAsTable append resolves columns by
+      // name, so a slice with a different column order would succeed —
+      // and a slice-order marker would later register a fresh session's
+      // catalog entry in the wrong positional order. Appends add files
+      // next to an existing generation whose marker is already on
+      // disk, so there is no no-marker crash window on this path.
+      val tableSchema = readBucketedTable(s, path, tbl, lay).schema
+      df.repartition(lay.nBuckets, col(lay.bucketCol))
+        .write.mode("append").option("path", path)
+        .bucketBy(lay.nBuckets, lay.bucketCol)
+        .sortBy(lay.sortCols.head, lay.sortCols.tail: _*)
+        .format("parquet").saveAsTable(tbl)
+      writeSchemaMarker(s, path, tableSchema)
+    } else {
+      // Overwrite goes through the same sibling-then-swap discipline as
+      // compaction (the round-19 advice): a direct overwrite deletes
+      // the directory — old marker included — before the new files
+      // land, so a crash after an EMPTY dataframe's write (zero part
+      // files) and before the marker write would leave a generation
+      // with no files AND no marker, which readBucketedTable hard-errors
+      // on. Writing the full generation (marker included) to `__new`
+      // and swapping closes that window: the live path always holds a
+      // complete generation, and recoverSwap heals a death mid-swap.
+      val tmpPath = path + "__new"
+      val tmpTbl = tbl + "__new"
+      s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+      df.repartition(lay.nBuckets, col(lay.bucketCol))
+        .write.mode("overwrite").option("path", tmpPath)
+        .bucketBy(lay.nBuckets, lay.bucketCol)
+        .sortBy(lay.sortCols.head, lay.sortCols.tail: _*)
+        .format("parquet").saveAsTable(tmpTbl)
+      crashHook("tmp-written")
+      writeSchemaMarker(s, tmpPath, df.schema)
+      crashHook("marker-written")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      swapIntoPlace(s, path, tmpPath)
+      s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+      // re-register the table at its (unchanged) location so the
+      // writing session serves it exactly as saveAsTable used to
+      readBucketedTable(s, path, tbl, lay)
+      ()
+    }
   }
 
   /** Register (if absent) and read the bucketed table written by
@@ -407,9 +532,12 @@ private[graft] object CorpusIndexes {
     * being read, then swapped into place by TWO renames — the live
     * directory aside to `__old`, the compacted one in — so there is
     * no instant at which `path` has been deleted but nothing renamed
-    * in yet (a crash between the renames leaves the full old
-    * generation at `__old`, restorable by hand; a failure of the
-    * second rename restores the original automatically). Concurrency
+    * in yet (a crash between the renames leaves the complete new
+    * generation at `__compact` and the old at `__old`; [[recoverSwap]]
+    * rolls forward or back AUTOMATICALLY at the next maintenance or
+    * write call — crash states are injected and proven recoverable in
+    * SidecarDiskSpec; a failure of the second rename restores the
+    * original inline). Concurrency
     * caveat: `__old` is deleted IMMEDIATELY after the swap, so only
     * readers with already-OPEN handles on the old part files are safe;
     * a concurrent reader that resolved paths but has not yet opened
@@ -432,12 +560,24 @@ private[graft] object CorpusIndexes {
   private[graft] def compactBucketedTable(s: SparkSession, path: String,
       tbl: String, lay: Layout,
       transform: DataFrame => DataFrame = identity): Unit = {
+    recoverSwap(s, path) // heal any crashed prior swap first
     // An EMPTY generation (takedown deleted every row, a prior fold
-    // compacted) holds zero part files: there is nothing to rewrite
-    // and nothing for a fold transform to drop — and the plain parquet
-    // read below would die on footer inference. No-op, keeping the
-    // schema marker for readers.
-    if (!hasParquetFiles(s, path)) return
+    // compacted) holds zero part files: there is nothing to rewrite —
+    // and the plain parquet read below would die on footer inference.
+    // But the fold TRANSFORM may still change the schema a reader
+    // registers under (a projecting/renaming fold), so the marker is
+    // rewritten through the transform applied to an empty frame of the
+    // current marker schema — a stale marker would otherwise register
+    // the wrong DDL for the emptied table after such a fold.
+    if (!hasParquetFiles(s, path)) {
+      readSchemaMarker(s, path).foreach { sch =>
+        val empty = s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+        val folded = transform(empty).schema
+        if (folded != sch) writeSchemaMarker(s, path, folded)
+      }
+      return
+    }
     val tmpPath = path + "__compact"
     val tmpTbl = tbl + "__compact"
     s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
@@ -464,19 +604,10 @@ private[graft] object CorpusIndexes {
     // gone). Schema is the POST-transform shape — the rows actually
     // written — not the source's (a projecting fold would otherwise
     // register a stale DDL for an emptied table).
+    crashHook("tmp-written")
     writeSchemaMarker(s, tmpPath, compacted.schema)
-    val (fs, p) = hadoopPath(s, path)
-    val (_, tp) = hadoopPath(s, tmpPath)
-    val (_, op) = hadoopPath(s, path + "__old")
-    if (fs.exists(op)) fs.delete(op, true)
-    require(fs.rename(p, op), s"compact: could not set aside $path")
-    if (!fs.rename(tp, p)) {
-      // restore the original before failing: the live path must never
-      // be left empty
-      fs.rename(op, p)
-      sys.error(s"compact: could not swap $tmpPath into place")
-    }
-    fs.delete(op, true)
+    crashHook("marker-written")
+    swapIntoPlace(s, path, tmpPath)
     s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
     // A fresh session may compact a root it never registered — the
     // files are authoritative, the catalog entry (if any) just needs

@@ -1235,4 +1235,159 @@ class SidecarDiskSpec extends AnyFunSuite {
     assert(after == before && after.nonEmpty,
       "sidecar compaction must be invisible to consumers")
   }
+
+  // ---- crash injection for the generation-swap windows (round 20) --
+  // The swap protocol's crash-safety was argued in doc comments and
+  // asserted only on the happy path; these tests EXECUTE each window:
+  // CorpusIndexes.crashHook throws at a named point between two
+  // filesystem steps, and the assertions prove (a) every state except
+  // the instant between the two renames leaves a complete readable
+  // live generation, and (b) the NEXT maintenance call — not a human —
+  // heals every state, including the between-renames one, via
+  // recoverSwap's marker-certified roll-forward / roll-back.
+
+  private def withCrashAt[A](point: String)(body: => A): Unit = {
+    CorpusIndexes.crashHook =
+      pt => if (pt == point) sys.error(s"injected crash at $pt")
+    try {
+      intercept[RuntimeException](body)
+      ()
+    } finally CorpusIndexes.crashHook = _ => ()
+  }
+
+  private val swapPoints =
+    Seq("tmp-written", "marker-written", "live-aside", "swapped-in")
+
+  test("crash injection: every compaction swap window recovers at the next maintenance call") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val lay = CorpusIndexes.Layout(4, "id", Seq("id"))
+    swapPoints.foreach { point =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-crash-c").toString
+      val path = s"$dir/tbl"
+      val tbl = CorpusIndexes.tableName(dir, "crashc")
+      CorpusIndexes.writeBucketedTable(
+        (1L to 100L).toDF("id").withColumn("v", $"id" * 2), path, tbl, lay)
+      CorpusIndexes.writeBucketedTable( // second generation: compaction has work
+        (101L to 200L).toDF("id").withColumn("v", $"id" * 2), path, tbl, lay,
+        append = true)
+      val want = rows(s.read.parquet(path).orderBy($"id"))
+      withCrashAt(point) {
+        CorpusIndexes.compactBucketedTable(s, path, tbl, lay)
+      }
+      // readability of the crash state itself: all windows except the
+      // one between the two renames leave a complete live generation
+      if (point != "live-aside")
+        assert(rows(s.read.parquet(path).orderBy($"id")) == want,
+          s"$point: live generation must stay complete and readable")
+      // recovery: the next maintenance call heals and then compacts
+      CorpusIndexes.compactBucketedTable(s, path, tbl, lay)
+      assert(rows(s.read.parquet(path).orderBy($"id")) == want,
+        s"$point: rows must survive crash + recovery bit-for-bit")
+      Seq("__old", "__compact", "__new").foreach { sfx =>
+        assert(!new java.io.File(path + sfx).exists,
+          s"$point: recovery must leave no $sfx residue")
+      }
+      val files = new java.io.File(path).listFiles()
+        .count(_.getName.startsWith("part-"))
+      assert(files == 4, s"$point: recovered table must be compacted, got $files files")
+    }
+  }
+
+  test("crash injection: overwrite swap windows recover — including the empty-generation overwrite") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val lay = CorpusIndexes.Layout(4, "id", Seq("id"))
+    swapPoints.foreach { point =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-crash-w").toString
+      val path = s"$dir/tbl"
+      val tbl = CorpusIndexes.tableName(dir, "crashw")
+      CorpusIndexes.writeBucketedTable(
+        (1L to 50L).toDF("id").withColumn("v", $"id"), path, tbl, lay)
+      val old = rows(s.read.parquet(path).orderBy($"id"))
+      val next = (200L to 260L).toDF("id").withColumn("v", $"id" + 7)
+      withCrashAt(point) {
+        CorpusIndexes.writeBucketedTable(next, path, tbl, lay)
+      }
+      if (point != "live-aside") {
+        // before any rename the OLD generation is truth; after the
+        // swap-in the NEW one is — either way a complete generation
+        val live = rows(s.read.parquet(path).orderBy($"id"))
+        val expected =
+          if (point == "swapped-in") rows(next.orderBy($"id")) else old
+        assert(live == expected, s"$point: live generation wrong after crash")
+      }
+      // recovery by re-issuing the write (any maintenance call heals)
+      CorpusIndexes.writeBucketedTable(next, path, tbl, lay)
+      s.catalog.refreshTable(tbl)
+      assert(rows(CorpusIndexes.readBucketedTable(s, path, tbl, lay)
+        .orderBy($"id")) == rows(next.orderBy($"id")),
+        s"$point: overwrite must land intact after crash + retry")
+      Seq("__old", "__new").foreach { sfx =>
+        assert(!new java.io.File(path + sfx).exists,
+          s"$point: recovery must leave no $sfx residue")
+      }
+    }
+    // The round-19 advice window verbatim: an EMPTY dataframe's
+    // overwrite dies right after the files land (zero part files) and
+    // before the old-path marker write would have run. The live path
+    // must still hold the previous complete generation, and the
+    // re-issued empty overwrite must leave a marker-readable empty
+    // generation.
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash-e").toString
+    val path = s"$dir/tbl"
+    val tbl = CorpusIndexes.tableName(dir, "crashe")
+    CorpusIndexes.writeBucketedTable(
+      (1L to 30L).toDF("id").withColumn("v", $"id"), path, tbl, lay)
+    val empty = (1L to 30L).toDF("id").withColumn("v", $"id").filter($"id" < 0)
+    withCrashAt("tmp-written") {
+      CorpusIndexes.writeBucketedTable(empty, path, tbl, lay)
+    }
+    assert(s.read.parquet(path).count() == 30L,
+      "old generation must survive the crashed empty overwrite")
+    CorpusIndexes.writeBucketedTable(empty, path, tbl, lay)
+    s.catalog.refreshTable(tbl)
+    val reread = CorpusIndexes.readBucketedTable(s, path, tbl, lay)
+    assert(reread.count() == 0L && reread.schema.fieldNames.toSeq == Seq("id", "v"),
+      "empty generation must be schema-readable from its marker")
+  }
+
+  test("crash injection: a TombLog fold interrupted mid-rewrite heals at the next compact; no tombstoned row resurfaces") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import graft.ops.Dedup
+    val docs = Tables.documents(s, TestSpark.sfDir).select($"doc_id", $"text")
+    val hist = docs.filter($"doc_id" % 5 =!= 0).localCheckpoint()
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash-fold").toString
+    Dedup.persistTextProbeIndex(hist, dir)
+    def serve() = rows(Dedup.multiSignalProbeIndexed(batch,
+      Dedup.loadTextProbeIndex(s, dir)).orderBy($"doc_id"))
+    val matched = Dedup.multiSignalProbeIndexed(batch, Dedup.loadTextProbeIndex(s, dir))
+      .filter($"best_match".isNotNull).select($"best_match".as("doc_id"))
+      .distinct().as[Long].collect().sorted
+    assert(matched.nonEmpty, "fixture must emit matches")
+    val dead = matched.zipWithIndex.collect { case (id, i) if i % 2 == 0 => id }
+      .toSeq.toDF("doc_id")
+    Dedup.deleteFromTextProbeIndex(dead, dir)
+    val masked = serve() // tombstones masked at read; the fold must preserve this
+    // kill the fold between the two renames of the FIRST rewritten
+    // table — the worst window: that table's live dir is missing, the
+    // other tables are still unfolded, and the log still holds rows
+    withCrashAt("live-aside") {
+      Dedup.compactTextProbeIndex(s, dir)
+    }
+    // the next maintenance call heals the half-swapped table, re-runs
+    // the fold across all tables, and clears the log
+    Dedup.compactTextProbeIndex(s, dir)
+    assert(Dedup.loadTextProbeTombstones(s, dir)
+      .map(_.count()).getOrElse(0L) == 0L,
+      "the re-run fold must clear every folded tombstone")
+    assert(serve() == masked,
+      "post-fold serving must equal the masked serving bit-for-bit")
+    assert(serve() == rows(Dedup.multiSignalProbeIndexed(batch,
+      Dedup.buildTextProbeIndex(
+        hist.join(dead, Seq("doc_id"), "left_anti"))).orderBy($"doc_id")),
+      "no tombstoned row may resurface after the interrupted fold")
+  }
 }

@@ -180,8 +180,12 @@ class StateStoreReadSpec extends AnyFunSuite {
       assert(timers() == Map(1L -> (t1.getTime + horizon)),
         "one pending timer at last-event + horizon after batch 1")
       // batch 2 advances the watermark a day: user 1's timer FIRES
-      // (state evicted) and user 2 registers a fresh one
-      input.addData((2L, t2, 2L, "view")); q.processAllAvailable()
+      // (state evicted) and user 2 registers a fresh one. The firing
+      // happens in the NO-DATA microbatch after batch 2 commits (the
+      // watermark moves at batch end; timers fire against the next
+      // batch's watermark), so the read must quiesce, not merely
+      // processAllAvailable — the same race class as the chained test.
+      input.addData((2L, t2, 2L, "view")); TestSpark.quiesce(q)
       assert(timers() == Map(2L -> (t2.getTime + horizon)),
         "the fired timer must be gone; only user 2's pending eviction remains")
     } finally {
@@ -203,6 +207,18 @@ class StateStoreReadSpec extends AnyFunSuite {
     // holds every open session and the hour stage is empty; after a
     // far-future sentinel drains the pipeline, only the sentinel's own
     // open session remains anywhere.
+    //
+    // Race discipline (the round-19 flake): both halves of this test
+    // read state that a no-data microbatch can change after
+    // processAllAvailable() returns. The PRE-close reads are made
+    // deterministic by construction — the door runs with a 72-hour
+    // watermark delay against a 2-hour fixture, so no session can
+    // finalize no matter which microbatches run. The POST-drain reads
+    // are made deterministic by waiting — quiesce() polls until the
+    // committed batchId stops advancing, i.e. every eviction the
+    // sentinel's watermark licenses has landed. The sentinel sits 19
+    // days out so that even minus the 72-hour delay the watermark
+    // clears every real session and hour bucket by a wide margin.
     val spark = TestSpark.spark
     import spark.implicits._
     implicit val sql = spark.sqlContext
@@ -211,7 +227,7 @@ class StateStoreReadSpec extends AnyFunSuite {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ssr5_ckpt").toString
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
     val q = graft.streaming.StreamingSessionChain.run(
-      input.toDF().toDF("ts", "user_id"), out, ckpt)
+      input.toDF().toDF("ts", "user_id"), out, ckpt, watermark = "72 hours")
     try {
       // three open sessions: user 7 x2 (00:00-00:05, 02:00), user 9 x1
       input.addData(Seq(
@@ -234,11 +250,13 @@ class StateStoreReadSpec extends AnyFunSuite {
       assert(stateCount(hourOp) == 0L,
         "no session has closed; the hour stage must be empty")
 
-      // sentinel 3 days out: every real session closes, every hour
-      // bucket finalizes and is evicted — only the sentinel's own
-      // session survives anywhere in state
-      input.addData(Seq((ts("2024-01-04 00:00:00"), -1L)))
-      q.processAllAvailable()
+      // sentinel 19 days out (>> the 72-hour delay): every real
+      // session closes, every hour bucket finalizes and is evicted —
+      // only the sentinel's own session survives anywhere in state.
+      // quiesce, not processAllAvailable: the finalize/evict chain
+      // runs in no-data microbatches after the data batch commits.
+      input.addData(Seq((ts("2024-01-20 00:00:00"), -1L)))
+      TestSpark.quiesce(q)
       assert(stateCount(sessionOp) == 1L,
         "only the sentinel's open session may remain")
       assert(stateCount(hourOp) == 0L,

@@ -47,6 +47,11 @@ def main():
         # Retry EXCEPTIONS once (a loaded box can OOM one DuckDB query
         # transiently — observed at sf0.1); row/column MISMATCHES are
         # deterministic over the same bytes and are never retried.
+        # A retry that SUCCEEDS still prints the first attempt's error:
+        # a systematic-but-transient environment fault (OOM, bad
+        # connection state) must leave a trace in CI output, not vanish
+        # behind the green row.
+        err = None
         for attempt in (1, 2):
             try:
                 o = con.execute(sql)
@@ -56,6 +61,9 @@ def main():
                     f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
                 s_cols = [d[0] for d in sres.description]
                 s_rows = sres.fetchall()
+                if err is not None:
+                    print(f"WARN {name}: attempt 1 failed transiently, "
+                          f"retry succeeded: {str(err).splitlines()[0]}")
                 err = None
                 break
             except Exception as e:
