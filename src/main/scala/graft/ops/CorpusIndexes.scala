@@ -302,7 +302,12 @@ private[graft] object CorpusIndexes {
       * checkpoint blocks).
       */
     def foldInto(s: SparkSession,
-                 tables: Seq[(String, String, Layout)]): Unit =
+                 tables: Seq[(String, String, Layout)]): Unit = {
+      // The LOG's own compact (it folds itself last) may have crashed
+      // mid-swap: heal it BEFORE load() decides whether tombstones
+      // exist — the member tables heal inside their own compact calls,
+      // but load() runs first and would read the crashed state.
+      recoverSwap(s, path)
       load(s) match {
         case None =>
           tables.foreach { case (p, t, l) => compactBucketedTable(s, p, t, l) }
@@ -324,6 +329,7 @@ private[graft] object CorpusIndexes {
             case _ => ()
           }
       }
+    }
   }
 
   /** The marker file binding a sidecar root to its source corpus dir —
@@ -687,6 +693,11 @@ private[graft] object CorpusIndexes {
                       keys: Seq[String] = persistableKeys): Unit =
     keys.foreach { key =>
       val path = s"$root/$key"
+      // heal BEFORE the existence guard: a swap that crashed between
+      // its renames leaves the live path missing (only __old/__compact
+      // exist) — guarding on pathExists alone would skip exactly the
+      // table that needs recovery
+      recoverSwap(s, path)
       if (pathExists(s, path))
         compactBucketedTable(s, path, tableName(root, key), layouts(key))
     }

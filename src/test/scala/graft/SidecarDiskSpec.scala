@@ -1390,4 +1390,57 @@ class SidecarDiskSpec extends AnyFunSuite {
         hist.join(dead, Seq("doc_id"), "left_anti"))).orderBy($"doc_id")),
       "no tombstoned row may resurface after the interrupted fold")
   }
+
+  test("crash injection: the delete log's OWN swap crash (fold's last table) heals before the next fold reads the log") {
+    // The fold compacts the three probe tables first and the log
+    // LAST; a crash between the LOG's two renames leaves the log's
+    // live dir missing while every probe table is already folded. The
+    // hazard is specific: foldInto decides whether tombstones exist by
+    // READING the log before any per-table compact (whose entry heal
+    // would fix it) runs — so foldInto must heal the log path itself.
+    val s = TestSpark.spark
+    import s.implicits._
+    import graft.ops.Dedup
+    val docs = Tables.documents(s, TestSpark.sfDir).select($"doc_id", $"text")
+    val hist = docs.filter($"doc_id" % 5 =!= 0).localCheckpoint()
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash-log").toString
+    Dedup.persistTextProbeIndex(hist, dir)
+    def serve() = rows(Dedup.multiSignalProbeIndexed(batch,
+      Dedup.loadTextProbeIndex(s, dir)).orderBy($"doc_id"))
+    val matched = Dedup.multiSignalProbeIndexed(batch, Dedup.loadTextProbeIndex(s, dir))
+      .filter($"best_match".isNotNull).select($"best_match".as("doc_id"))
+      .distinct().as[Long].collect().sorted
+    assert(matched.nonEmpty, "fixture must emit matches")
+    val dead = matched.take(math.max(1, matched.length / 2)).toSeq.toDF("doc_id")
+    Dedup.deleteFromTextProbeIndex(dead, dir)
+    val masked = serve()
+    // fourth live-aside = the log's own swap (3 probe tables fold first)
+    var seen = 0
+    CorpusIndexes.crashHook = pt =>
+      if (pt == "live-aside") {
+        seen += 1
+        if (seen == 4) sys.error("injected crash at the log's own swap")
+      }
+    try {
+      intercept[RuntimeException](Dedup.compactTextProbeIndex(s, dir))
+      ()
+    } finally CorpusIndexes.crashHook = _ => ()
+    assert(seen == 4, "the crash must have hit the log's swap, not a table's")
+    // every probe table is folded; serving is already correct even
+    // with the log's live dir missing (nothing left to mask)
+    assert(serve() == masked,
+      "crashed-log state must serve the folded tables unmasked-and-correct")
+    // the next fold heals the log FIRST (roll-forward of its folded,
+    // empty generation), then finds no tombstones and no-ops the fold
+    Dedup.compactTextProbeIndex(s, dir)
+    assert(Dedup.loadTextProbeTombstones(s, dir)
+      .map(_.count()).getOrElse(0L) == 0L,
+      "the healed log must be the folded (cleared) generation")
+    assert(serve() == masked, "serving must be unchanged through the heal")
+    Seq("__old", "__compact").foreach { sfx =>
+      assert(!new java.io.File(s"$dir/probe_tombstones$sfx").exists,
+        s"heal must clear the log's $sfx residue")
+    }
+  }
 }
