@@ -398,9 +398,11 @@ private[graft] object CorpusIndexes {
     val (fs, p) = hadoopPath(s, path)
     val (_, op) = hadoopPath(s, path + "__old")
     val tmps = tmpSuffixes.map(sfx => hadoopPath(s, path + sfx)._2)
+    // the completeness certificate is THE schema marker — derive its
+    // name from schemaMarkerPath so certificate and marker cannot drift
     def tmpComplete(tp: org.apache.hadoop.fs.Path) =
       fs.exists(tp) &&
-        fs.exists(new org.apache.hadoop.fs.Path(tp, "_graft_table_schema"))
+        fs.exists(hadoopPath(s, schemaMarkerPath(tp.toString))._2)
     if (!fs.exists(p)) {
       tmps.find(tmpComplete) match {
         case Some(tp) =>
@@ -493,37 +495,84 @@ private[graft] object CorpusIndexes {
       crashHook("tmp-written")
       writeSchemaMarker(s, tmpPath, df.schema)
       crashHook("marker-written")
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
       swapIntoPlace(s, path, tmpPath)
       s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
       // re-register the table at its (unchanged) location so the
-      // writing session serves it exactly as saveAsTable used to
-      readBucketedTable(s, path, tbl, lay)
+      // writing session serves it exactly as saveAsTable used to.
+      // refresh-not-drop when the entry already matches: dropping and
+      // recreating an unchanged entry opens a window in which a
+      // concurrent serving trigger (the takedown door's contract lets
+      // the serving query keep running) resolves a missing table.
+      registerOrRefresh(s, path, tbl, lay, df.schema)
       ()
     }
   }
 
+  /** Serialize driver-side catalog registration: two queries in one
+    * JVM (the takedown door appending to the log while a serving door
+    * registers it on first sight) must not both pass a tableExists
+    * check and both issue CREATE. Catalog reads/writes here are
+    * driver-only, so a JVM-wide monitor is the correct scope.
+    */
+  private val catalogLock = new Object
+
+  /** Point the catalog entry `tbl` at the (possibly new) generation
+    * under `path`: refresh in place when the entry already exists with
+    * the same column names+types (the common case — swaps keep the
+    * location and schema), drop-and-recreate only on a real schema
+    * change. A racing CREATE from another thread is tolerated: the
+    * loser refreshes the winner's entry.
+    */
+  private def registerOrRefresh(s: SparkSession, path: String, tbl: String,
+      lay: Layout, schema: org.apache.spark.sql.types.StructType): Unit =
+    catalogLock.synchronized {
+      def sig(st: org.apache.spark.sql.types.StructType) =
+        st.fields.map(f => (f.name, f.dataType)).toSeq
+      if (s.catalog.tableExists(tbl) && sig(s.table(tbl).schema) == sig(schema)) {
+        s.catalog.refreshTable(tbl)
+      } else {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        // all-nullable: footer-inferred registration was always
+        // nullable; a NOT NULL carried in from df.schema would be a
+        // silent DDL behavior change (asNullable is private[spark])
+        val nullable = org.apache.spark.sql.types.StructType(
+          schema.fields.map(_.copy(nullable = true)))
+        try registerDDL(s, path, tbl, lay, nullable.toDDL)
+        catch { case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
+          s.catalog.refreshTable(tbl)
+        }
+      }
+    }
+
+  private def registerDDL(s: SparkSession, path: String, tbl: String,
+      lay: Layout, schemaDDL: String): Unit =
+    s.sql(s"CREATE TABLE $tbl ($schemaDDL) USING PARQUET " +
+      s"CLUSTERED BY (${lay.bucketCol}) " +
+      s"SORTED BY (${lay.sortCols.mkString(", ")}) " +
+      s"INTO ${lay.nBuckets} BUCKETS LOCATION '$path'")
+
   /** Register (if absent) and read the bucketed table written by
     * [[writeBucketedTable]]. The DDL re-issued here is the catalog
     * entry a deployment's metastore keeps; column list comes from the
-    * parquet footer, so the schema is byte-authoritative.
+    * parquet footer, so the schema is byte-authoritative. Registration
+    * is double-checked under [[catalogLock]]: two doors seeing the
+    * table for the first time in the same trigger must not both CREATE.
     */
   private[graft] def readBucketedTable(s: SparkSession, path: String,
       tbl: String, lay: Layout): DataFrame = {
-    if (!s.catalog.tableExists(tbl)) {
-      // Footer inference needs a data file; an EMPTY generation (a
-      // takedown wave deleted every row, then the fold compacted) has
-      // none — the schema marker written with each generation is the
-      // fallback that keeps the emptied index readable.
-      val schemaDDL =
-        if (hasParquetFiles(s, path)) s.read.parquet(path).schema.toDDL
-        else readSchemaMarker(s, path).map(_.toDDL).getOrElse(sys.error(
-          s"readBucketedTable: $path holds no parquet files and no " +
-            "schema marker — not a generation this engine wrote"))
-      s.sql(s"CREATE TABLE $tbl ($schemaDDL) USING PARQUET " +
-        s"CLUSTERED BY (${lay.bucketCol}) " +
-        s"SORTED BY (${lay.sortCols.mkString(", ")}) " +
-        s"INTO ${lay.nBuckets} BUCKETS LOCATION '$path'")
+    if (!s.catalog.tableExists(tbl)) catalogLock.synchronized {
+      if (!s.catalog.tableExists(tbl)) {
+        // Footer inference needs a data file; an EMPTY generation (a
+        // takedown wave deleted every row, then the fold compacted) has
+        // none — the schema marker written with each generation is the
+        // fallback that keeps the emptied index readable.
+        val schemaDDL =
+          if (hasParquetFiles(s, path)) s.read.parquet(path).schema.toDDL
+          else readSchemaMarker(s, path).map(_.toDDL).getOrElse(sys.error(
+            s"readBucketedTable: $path holds no parquet files and no " +
+              "schema marker — not a generation this engine wrote"))
+        registerDDL(s, path, tbl, lay, schemaDDL)
+      }
     }
     s.table(tbl)
   }

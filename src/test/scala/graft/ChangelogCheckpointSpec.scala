@@ -67,9 +67,11 @@ class ChangelogCheckpointSpec extends AnyFunSuite {
         } finally q2.stop()
       }
       // the conf was honored: per-batch changelog files in the layout
-      val changelogs = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$ckpt/state"))
-        .filter(p => p.getFileName.toString.endsWith(".changelog"))
-        .count()
+      // (walk stream holds directory handles — close it)
+      val changelogs = scala.util.Using.resource(
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$ckpt/state"))) {
+        _.filter(p => p.getFileName.toString.endsWith(".changelog")).count()
+      }
       assert(changelogs >= parts.length,
         s"expected one changelog per committed batch under $ckpt/state, found $changelogs")
       spark.read.parquet(out).drop("batch_id")

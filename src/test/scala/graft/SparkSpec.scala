@@ -64,5 +64,9 @@ object TestSpark {
       val b = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
       if (b == last) stable += 1 else { stable = 0; last = b }
     }
+    // a silent timeout would hand the caller half-drained state and
+    // resurrect the flake class this helper exists to close — fail loud
+    require(stable >= 3,
+      s"quiesce: batchId still advancing after ${timeoutMs}ms (last=$last)")
   }
 }

@@ -62,14 +62,15 @@ def main():
                 s_cols = [d[0] for d in sres.description]
                 s_rows = sres.fetchall()
                 if err is not None:
+                    first = (str(err).splitlines() or ["<no message>"])[0]
                     print(f"WARN {name}: attempt 1 failed transiently, "
-                          f"retry succeeded: {str(err).splitlines()[0]}")
+                          f"retry succeeded: {first}")
                 err = None
                 break
             except Exception as e:
                 err = e
         if err is not None:
-            print(f"FAIL {name}: {str(err).splitlines()[0]}")
+            print(f"FAIL {name}: {(str(err).splitlines() or ['<no message>'])[0]}")
             failures += 1
             continue
         o_rows, o_cols2 = canon(o_rows, o_cols)
