@@ -169,7 +169,8 @@ object Bench {
       val family = name.take(1)
       if (family != prevFamily) {
         settle()
-        // min of 2: one spiky sample must not flag a quiet run loaded
+        // min of 2: telemetry only (see run_loaded below) — the floor
+        // is the readable statistic for "was this segment slow"
         if (only.isEmpty) familyProbes +=
           (family -> math.min(calibrationProbe(), calibrationProbe()))
         prevFamily = family
