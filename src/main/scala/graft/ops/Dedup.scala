@@ -1857,15 +1857,22 @@ object Dedup {
   private[graft] def chunkDedupFrame(docs: DataFrame, window: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val words = docs
-      .select($"doc_id", posexplode(split($"text", "\\s+")).as(Seq("pos", "word")))
-    val chunks = words
-      .groupBy($"doc_id", ($"pos" / window).cast("int").as("chunk_no"))
-      .agg(count(lit(1)).as("n_words"),
-        array_join(
-          expr("transform(sort_array(collect_list(struct(pos, word))), x -> x.word)"),
-          " ").as("chunk"))
-      .filter($"n_words" === window) // trailing partial windows drop
+    // Chunk assembly is pure array slicing of the split result — the
+    // k-th chunk IS slice k of the word array, and trailing partial
+    // windows simply never materialize (floor(n/window) slices). The
+    // previous form exploded every token and re-grouped by
+    // (doc_id, chunk_no) — a corpus-wide shuffle of every word plus a
+    // per-group sort_array(collect_list(struct)) fold — to rebuild
+    // exactly the slices the array already held (§2.4: remove the
+    // shuffle outright; §2.3: what still shuffles downstream is the
+    // digest-keyed report, never tokens).
+    val chunks = docs
+      .select($"doc_id", split($"text", "\\s+").as("ws"))
+      .select($"doc_id", explode(expr(
+        s"""CASE WHEN size(ws) >= $window
+              THEN transform(sequence(0, int(size(ws) div $window) - 1),
+                   i -> array_join(slice(ws, i * $window + 1, $window), ' '))
+              ELSE array() END""")).as("chunk"))
     spanReport(s, chunks)
   }
 
@@ -1919,14 +1926,28 @@ object Dedup {
     */
   private def spanReport(s: SparkSession, chunks: DataFrame): DataFrame = {
     import s.implicits._
+    // Group on the chunk TEXT and derive the digest after aggregation:
+    // the previous md5-keyed form carried min(chunk) through both agg
+    // levels, and a variable-length agg BUFFER disqualifies
+    // HashAggregateExec — the whole report ran as sort-based
+    // aggregation (Sort + SortAggregate per level). Text-keyed groups
+    // leave only fixed-width buffers (counts, min id), so both levels
+    // hash-aggregate with map-side partial aggregation, and the
+    // shuffled bytes are unchanged (the text travelled anyway as the
+    // min(chunk) payload). Identical output: chunks equal ⇔ digests
+    // equal (md5 is injective on this corpus; the md5-keyed form
+    // already assumed exactly this when it picked min(chunk) as THE
+    // text for a digest).
     val perDoc = chunks
-      .groupBy(md5($"chunk").as("chunk_hash"), $"doc_id")
-      .agg(count(lit(1)).as("n_occ"), min($"chunk").as("chunk"))
+      .groupBy($"chunk", $"doc_id")
+      .agg(count(lit(1)).as("n_occ"))
     perDoc
-      .groupBy($"chunk_hash")
-      .agg(min($"chunk").as("chunk"), count(lit(1)).as("n_docs"),
-        sum($"n_occ").as("n_occ"), min($"doc_id").as("min_doc_id"))
+      .groupBy($"chunk")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_occ").as("n_occ"),
+        min($"doc_id").as("min_doc_id"))
       .filter($"n_docs" >= 2)
+      .select(md5($"chunk").as("chunk_hash"), $"chunk", $"n_docs",
+        $"n_occ", $"min_doc_id")
       .orderBy($"chunk_hash")
   }
 

@@ -35,13 +35,26 @@ object Relational2 {
     */
   def quantityPercentiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    lineitem(s, dir)
+    // percentile() buffers a boxed value→count map updated PER ROW
+    // (ObjectHashAggregate, no codegen). Pre-reducing to a (flag,
+    // value) histogram in a codegen'd HashAggregate and feeding the
+    // counts through percentile's FREQUENCY argument builds the same
+    // final buffer — bit-identical results — while the per-row work
+    // runs map-side-combined (§2.3); the boxed map only ever sees
+    // distinct-value-count rows. The three quantity percentiles share
+    // one buffer via the array form.
+    val li = lineitem(s, dir)
+    val qs = li.groupBy($"l_returnflag", $"l_quantity")
+      .agg(count(lit(1)).as("fq"))
       .groupBy($"l_returnflag")
-      .agg(
-        expr("percentile(l_quantity, 0.25)").as("q25"),
-        expr("percentile(l_quantity, 0.5)").as("median"),
-        expr("percentile(l_quantity, 0.75)").as("q75"),
-        expr("percentile(l_extendedprice, 0.9)").as("price_p90"))
+      .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D), fq)").as("qs"))
+      .select($"l_returnflag", $"qs".getItem(0).as("q25"),
+        $"qs".getItem(1).as("median"), $"qs".getItem(2).as("q75"))
+    val ps = li.groupBy($"l_returnflag", $"l_extendedprice")
+      .agg(count(lit(1)).as("fp"))
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.9, fp)").as("price_p90"))
+    qs.join(ps, Seq("l_returnflag"))
       .orderBy($"l_returnflag")
   }
 
@@ -166,13 +179,27 @@ object Relational2 {
     */
   def approxPercentileAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    lineitem(s, dir)
+    // The EXACT arms take the q14 histogram-frequency form (same
+    // boxed final buffer, bit-identical doubles, per-row work in a
+    // codegen'd map-side-combined HashAggregate — see
+    // quantityPercentiles). The SKETCH arms keep feeding on raw rows:
+    // approx_percentile has no frequency argument and the audit's
+    // whole point is the sketch as production would run it; its
+    // merge-order sensitivity is absorbed by the tolerance booleans
+    // by design.
+    val li = lineitem(s, dir)
+    val qh = li.groupBy($"l_returnflag", $"l_quantity")
+      .agg(count(lit(1)).as("fq"))
       .groupBy($"l_returnflag")
-      .agg(
-        expr("percentile(l_quantity, 0.5)").as("exact_med_qty"),
-        expr("approx_percentile(l_quantity, 0.5, 1000)").as("a_q"),
-        expr("percentile(l_extendedprice, 0.9)").as("exact_p90_price"),
+      .agg(expr("percentile(l_quantity, 0.5, fq)").as("exact_med_qty"))
+    val ph = li.groupBy($"l_returnflag", $"l_extendedprice")
+      .agg(count(lit(1)).as("fp"))
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.9, fp)").as("exact_p90_price"))
+    val ap = li.groupBy($"l_returnflag")
+      .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("a_q"),
         expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("a_p"))
+    qh.join(ph, Seq("l_returnflag")).join(ap, Seq("l_returnflag"))
       .select($"l_returnflag", $"exact_med_qty", $"exact_p90_price",
         (abs($"a_q" - $"exact_med_qty") <= lit(1.0)).as("qty_within_tol"),
         (abs($"a_p" - $"exact_p90_price") <= $"exact_p90_price" * 0.02).as("price_within_tol"))
@@ -1215,7 +1242,15 @@ object Relational2 {
   def partSupplierVariety(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bad = supplier(s, dir).filter($"s_acctbal" < 0.0).select($"s_suppkey")
+    // Dedup (partkey, suppkey) BEFORE the part join (§2.3: aggregate
+    // before you shuffle) — lineitem repeats each pair ~7x and the
+    // pre-join distinct key is two longs, so the first exchange
+    // carries ~1/7 the rows at a fraction of the width the old
+    // post-join distinct shuffled (brand/type/size strings). The
+    // post-join distinct stays: distinct partkeys can share a
+    // (brand, type, size).
     lineitem(s, dir).select($"l_partkey", $"l_suppkey")
+      .distinct()
       .join(bad, $"l_suppkey" === $"s_suppkey", "left_anti")
       // part is SF-scaling — no broadcast hint; AQE decides per-run.
       .join(part(s, dir).select($"p_partkey", $"p_brand", $"p_type", $"p_size"),

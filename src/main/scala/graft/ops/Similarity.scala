@@ -662,21 +662,29 @@ object Similarity {
     val ivfCand = assigned
       .join(q, $"cell_id" === $"q_cell" && $"vec_id" =!= $"q_id")
       .groupBy($"q_id").agg(count(lit(1)).as("n_cand_ivf"))
-    val bands = srpBands(s, dir).select($"vec_id", $"band", $"bval")
-    val srpCand = bands
-      .join(bands.toDF("q_id", "band", "bval").filter($"q_id" < 5),
+    // Within-query subplan reuse (§2.4/§5): the band explode feeds BOTH
+    // the candidate-count arm (self-joined — two consumers already) and
+    // the banded-recall arm; the brute-force top-5 truth feeds both
+    // recall arms. localCheckpoint materializes each once per run —
+    // index-sized (4 rows/vec) and k-sized (25 rows) respectively —
+    // instead of re-running the full index pipelines per consumer.
+    val bands = srpBands(s, dir).localCheckpoint()
+    val bandKeys = bands.select($"vec_id", $"band", $"bval")
+    val srpCand = bandKeys
+      .join(bandKeys.toDF("q_id", "band", "bval").filter($"q_id" < 5),
         Seq("band", "bval"))
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id").distinct()
       .groupBy($"q_id").agg(count(lit(1)).as("n_cand_srp"))
     val brute5 = bruteForceKnn(s, dir).filter($"rank" <= 5)
       .select($"q_id", $"vec_id").withColumn("hit", lit(1L))
+      .localCheckpoint()
     def recallOf(top: DataFrame, name: String): DataFrame =
       top.join(brute5, Seq("q_id", "vec_id"), "left")
         .groupBy($"q_id")
         .agg((sum(coalesce($"hit", lit(0L))).cast("double") / 5).as(name))
     val rIvf = recallOf(ivfKnn(s, dir).select($"q_id", $"vec_id"), "recall_ivf")
-    val rSrp = recallOf(srpBandedKnn(s, dir).filter($"rank" <= 5)
+    val rSrp = recallOf(srpBandedTopk(bands, k = 8).filter($"rank" <= 5)
       .select($"q_id", $"vec_id"), "recall_srp")
     ivfCand.join(srpCand, Seq("q_id"))
       .join(rIvf, Seq("q_id")).join(rSrp, Seq("q_id"))
@@ -2442,9 +2450,17 @@ object Similarity {
       .select($"vec_id", $"sig", $"pos".as("band"), $"col".as("bval"))
   }
 
-  def srpBandedKnn(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+  def srpBandedKnn(s: SparkSession, dir: String, k: Int = 8): DataFrame =
+    srpBandedTopk(srpBands(s, dir), k)
+
+  /** The s27 banded probe over an explicit (vec_id, sig, band, bval)
+    * band frame — the seam that lets s33's cost audit serve its
+    * candidate count and its recall arm from ONE materialized band
+    * explode instead of re-deriving the index per arm.
+    */
+  private def srpBandedTopk(bands: DataFrame, k: Int): DataFrame = {
+    val s = bands.sparkSession
     import s.implicits._
-    val bands = srpBands(s, dir)
     val q = bands.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"sig".as("q_sig"), $"band", $"bval")
     val cands = bands.join(broadcast(q), Seq("band", "bval"))
