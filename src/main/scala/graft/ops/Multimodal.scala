@@ -141,8 +141,21 @@ object Multimodal {
     * disk-backed ImageIO cache off (executors should never touch temp
     * files for an in-memory encode).
     */
-  def pngTable(s: SparkSession, dir: String): Dataset[PngRow] =
-    pngTableFor(documents(s, dir).select(col("doc_id")).as[Long](s.implicits.newLongEncoder))
+  def pngTable(s: SparkSession, dir: String): Dataset[PngRow] = {
+    // Session-scoped media store (the CorpusIndexes sidecar discipline
+    // applied to the payload table itself): at campaign scale media
+    // BYTES are a STORED parquet binary column — production reads
+    // them; only this fixture SYNTHESIZES them, and re-synthesizing
+    // per query charged every png consumer an ingest-encode pass that
+    // production never re-pays. One generation per (session, dir),
+    // localCheckpointed; the first consumer pays the encode inside its
+    // own timed region. Slice consumers (pngTableFor) still encode
+    // their filtered ids directly — no superfluous image is encoded.
+    CorpusIndexes.memo(s, dir, "png_payloads")(
+      pngTableFor(documents(s, dir).select(col("doc_id"))
+        .as[Long](s.implicits.newLongEncoder)).toDF())
+      .as[PngRow](org.apache.spark.sql.Encoders.product[PngRow])
+  }
 
   /** [[pngTable]] over an explicit id set — callers that work on a
     * SLICE (the incremental probe's new-arrivals side) filter ids
@@ -768,9 +781,12 @@ object Multimodal {
     */
   def wavTable(s: SparkSession, dir: String): Dataset[WavRow] = {
     import s.implicits._
-    documents(s, dir).select($"doc_id").as[Long].mapPartitions { ids =>
-      ids.map(id => WavRow(id, WavCodec.encode(id)))
-    }
+    // Session-scoped media store — see [[pngTable]]: stored bytes are
+    // read, not re-synthesized, by every consumer past the first.
+    CorpusIndexes.memo(s, dir, "wav_payloads")(
+      documents(s, dir).select($"doc_id").as[Long].mapPartitions { ids =>
+        ids.map(id => WavRow(id, WavCodec.encode(id)))
+      }.toDF()).as[WavRow]
   }
 
   /** The real-codec decode over WAV payloads — same shape as
@@ -1434,10 +1450,13 @@ object Multimodal {
     */
   def gifTable(s: SparkSession, dir: String): Dataset[GifRow] = {
     import s.implicits._
-    documents(s, dir).select($"doc_id").as[Long].mapPartitions { ids =>
-      ImageIO.setUseCache(false)
-      ids.map(id => GifRow(id, GifCodec.encode(id)))
-    }
+    // Session-scoped media store — see [[pngTable]]: stored bytes are
+    // read, not re-synthesized, by every consumer past the first.
+    CorpusIndexes.memo(s, dir, "gif_payloads")(
+      documents(s, dir).select($"doc_id").as[Long].mapPartitions { ids =>
+        ImageIO.setUseCache(false)
+        ids.map(id => GifRow(id, GifCodec.encode(id)))
+      }.toDF()).as[GifRow]
   }
 
   /** The real-codec decode over GIF payloads — same shape as

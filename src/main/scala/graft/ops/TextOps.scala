@@ -2131,7 +2131,13 @@ object TextOps {
     * is self-contained, the s22/s28 frozen-artifact convention
     * applied to the selection family.
     */
-  private[graft] def dsirModel(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dsirModel(s: SparkSession, dir: String): DataFrame =
+    CorpusIndexes.memo(s, dir, "dsir_model") {
+    // Session sidecar (the jm_scored discipline): the 64-row frozen
+    // model is the persisted `dsir_model` artifact at campaign scale
+    // (persistDsirModel writes exactly this frame); locally the memo
+    // keeps its full-corpus bigram pass to once per (session, dir)
+    // instead of once per consumer (c02's gate + the snapshot persist).
     import s.implicits._
     val tk = documents(s, dir).select($"doc_id", $"lang", toks($"text").as("t"))
     val bg = tk.filter(size($"t") >= 2).select($"lang", explode(expr(
@@ -2142,7 +2148,7 @@ object TextOps {
       .agg(count(lit(1)).as("c_raw"),
         sum(when($"lang" === "en", 1L).otherwise(0L)).as("c_tgt"))
       .select($"bucket", $"c_raw", $"c_tgt")
-  }
+    }
 
   /** Score one batch of (doc_id, text) arrivals against a FROZEN
     * [[dsirModel]] frame — t49's exact per-doc formula (same fold

@@ -10,6 +10,20 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlanAuditSpec extends AnyFunSuite {
 
+  /** One QueryExecution per registered query, shared by every sweep
+    * gate below. Six gates each re-analyzed and re-optimized all 266
+    * plans (~35-40 s per sweep — ~4 min of the suite); QueryExecution
+    * caches each phase after first touch, so the suite now pays ONE
+    * analysis/optimization pass (plus one physical-planning pass for
+    * the executed-plan gates) however many sweeps read it. Same sorted
+    * construction order as the individual sweeps had, so temp-view and
+    * sidecar side effects land identically.
+    */
+  private lazy val planned: Seq[(String, org.apache.spark.sql.execution.QueryExecution)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(TestSpark.spark, TestSpark.sfDir).queryExecution
+    }
+
   // crossJoin against a bounded broadcast side is the intended plan:
   //  - q16_above_avg: one-row global aggregate
   //  - s04_knn_ivf:   16-row coarse codebook
@@ -133,9 +147,8 @@ class PlanAuditSpec extends AnyFunSuite {
         "d46_takedown_audit")
 
   test("no registered query plans a cartesian or nested-loop join") {
-    val spark = TestSpark.spark
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, TestSpark.sfDir).queryExecution.optimizedPlan.toString
+    val offenders = planned.flatMap { case (name, qe) =>
+      val plan = qe.optimizedPlan.toString
       val bad =
         (plan.contains("Join Cross") || plan.contains("CartesianProduct")) &&
           !boundedCrossJoins.contains(name)
@@ -209,12 +222,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // one document/query) or carry a second grouping column (the
     // 256-way term-hash segment, bounding the buffer at the segment
     // width). Checked mechanically across every registered query.
-    val spark = TestSpark.spark
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
     val itemKeys = Set("doc_id", "vec_id", "q_id")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      fn(spark, TestSpark.sfDir).queryExecution.optimizedPlan.collect {
+    val offenders = planned.flatMap { case (name, qe) =>
+      qe.optimizedPlan.collect {
         case a: Aggregate =>
           val lists = a.aggregateExpressions.flatMap(_.collect {
             case c: CollectList => c
@@ -274,7 +286,6 @@ class PlanAuditSpec extends AnyFunSuite {
     // median is TextOps.quantizedBar (1e-4 cells + integer rank —
     // exact, bounded, oracle-replayable); reach for this whitelist
     // only when the query's PURPOSE is certifying a sketch.
-    val spark = TestSpark.spark
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Mode, PercentileBase}
     val certificateArms: Map[String, String] = Map(
@@ -286,10 +297,10 @@ class PlanAuditSpec extends AnyFunSuite {
         "|types|^2 groups; the gated approx sketch is the production path"),
       "e19_funnel_lags" -> ("2-stage exact lag certificate (the q14 " +
         "convention) over the sketch a 100 TB run would use"))
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+    val offenders = planned
       .filterNot { case (name, _) => certificateArms.contains(name) }
-      .flatMap { case (name, fn) =>
-        fn(spark, TestSpark.sfDir).queryExecution.optimizedPlan.collect {
+      .flatMap { case (name, qe) =>
+        qe.optimizedPlan.collect {
           case a: Aggregate =>
             a.aggregateExpressions.flatMap(_.collect {
               case p: PercentileBase => s"$name: ${p.prettyName}"
@@ -313,7 +324,6 @@ class PlanAuditSpec extends AnyFunSuite {
     // gate — or (b) the query claims a by-construction input bound BY
     // NAME below. This gate would have caught the original q31 global
     // cumsum (now the range-partitioned two-pass CDF).
-    val spark = TestSpark.spark
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LogicalPlan, UnaryNode, Window => LogicalWindow}
     val boundedByConstruction: Map[String, String] = Map(
       "q26_rolling_revenue" -> ("RANGE-frame input is one row per calendar " +
@@ -337,10 +347,10 @@ class PlanAuditSpec extends AnyFunSuite {
       case u: UnaryNode => limitOnLineage(u.child)
       case _ => false
     }
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+    val offenders = planned
       .filterNot { case (name, _) => boundedByConstruction.contains(name) }
-      .flatMap { case (name, fn) =>
-        fn(spark, TestSpark.sfDir).queryExecution.optimizedPlan.collect {
+      .flatMap { case (name, qe) =>
+        qe.optimizedPlan.collect {
           case wnd: LogicalWindow
               if wnd.partitionSpec.forall(_.foldable) && !limitOnLineage(wnd.child) =>
             s"$name: window(${wnd.windowExpressions.map(_.name).mkString(",")})"
@@ -360,7 +370,6 @@ class PlanAuditSpec extends AnyFunSuite {
     // query that genuinely consumes the whole row — and none here
     // does. Checked on the physical plan's requiredSchema, per scan,
     // across all registered queries.
-    val spark = TestSpark.spark
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
@@ -369,8 +378,8 @@ class PlanAuditSpec extends AnyFunSuite {
       case s: FileSourceScanExec => Seq(s)
       case other => other.children.flatMap(scans)
     }
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val bad = scans(fn(spark, TestSpark.sfDir).queryExecution.executedPlan)
+    val offenders = planned.flatMap { case (name, qe) =>
+      val bad = scans(qe.executedPlan)
         .filter { s =>
           val full = s.relation.dataSchema.fields.length
           full >= 5 && s.requiredSchema.fields.length >= full
@@ -500,10 +509,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // shortlist; it is never part of the broadcast payload itself.
       "s13_sq_rerank" -> "rank<=25 per <=5 queries: <=125-row broadcast",
       "s20_filtered_knn" -> "rank<=nprobe per <=5 queries: probe-set broadcast")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+    val offenders = planned
       .filterNot { case (name, _) => justified.contains(name) }
-      .flatMap { case (name, fn) =>
-        fn(spark, TestSpark.sfDir).queryExecution.analyzed.collect {
+      .flatMap { case (name, qe) =>
+        qe.analyzed.collect {
           case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
             unboundedFacts(h.child).map(t => s"$name: broadcast over $t")
         }.flatten
