@@ -953,6 +953,13 @@ object EventOps {
       .withColumn("s_start", sum($"new_s").over(wc))
       .select($"user_id", $"s_start", $"event_type")
       .distinct()
+      // Within-query reuse (the s33 discipline): FOUR consumers read
+      // this frame (session count, per-type counts, both self-join
+      // sides) and each would otherwise re-run the event-log shuffle
+      // and both sessionization windows — 10 window executions in the
+      // un-checkpointed plan, 2 after. The frame is (session, type)-
+      // sized: bounded by sessions × |types|, far under the log.
+      .localCheckpoint()
     val nSessions = st.select($"user_id", $"s_start").distinct()
       .agg(count(lit(1)).as("n_sessions"))
     val perType = st.groupBy($"event_type")
